@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7.
+  *
+  * The engine's declared surface: every operator from SURVEY §2 (plus the
+  * north-star text/dedup/similarity/multimodal set) registered as a named
+  * `(SparkSession, sfDir) => DataFrame` with, where ANSI-SQL-expressible,
+  * a DuckDB oracle the driver hash-compares against.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val registry: Seq[QueryDef] =
+    operators.CoreQueries.defs ++
+      operators.Relational.defs ++
+      operators.DedupOps.defs ++
+      operators.Multimodal.defs ++
+      functions.TextAnalysis.defs ++
+      functions.Similarity.defs
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Daily trend (SURVEY §7 step 1): scan → hash agg → sort. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q_daily_trend")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -1,0 +1,141 @@
+package graft.functions
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis toolkit for large-scale training-data pipelines
+  * (north-star scope, BASELINE.json): tokenization, language-ID heuristic,
+  * quality scoring, document fingerprinting. Everything is built from
+  * codegen'd `org.apache.spark.sql.functions` — no UDFs — so the whole
+  * pipeline stays inside WholeStageCodegen and scales linearly with
+  * partition count.
+  *
+  * Generalizes the reference's only text operation (multi-column lowercase
+  * substring search, src/app/streamlit_app.py:238-248) to the document-
+  * corpus operations a 100 TB pipeline needs.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def wsTokens(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(wsTokens(text))
+
+  /** BPE-ish subword-unit count: runs of lowercase letters or digits
+    * (a cheap, deterministic proxy for a real tokenizer's piece count). */
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z0-9]+"), lit(0)))
+
+  /** Count of English stopword hits (n-gram language-ID heuristic signal). */
+  def enStopwordHits(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\b(the|and|of|to|in)\\b"), lit(0)))
+
+  /** Heuristic language-ID from stopword density: >=2 English stopword hits
+    * → en, exactly 1 → mixed, else other. A real profile would score
+    * several languages' n-gram tables; the shape (pure expressions, no
+    * shuffle) is what matters at scale.
+    */
+  def languageGuess(text: Column): Column = {
+    val hits = enStopwordHits(text)
+    when(hits >= 2, "en").when(hits === 1, "mixed").otherwise("other")
+  }
+
+  /** Punctuation character count (quality-scoring signal). */
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[.,!?;:]"), lit(0)))
+
+  /** Stable document fingerprint: md5 of the trimmed, lowercased text.
+    * (The rolling-hash shingle fingerprint lives in Dedup.minhashSignature.)
+    */
+  def fingerprint(text: Column): Column = md5(lower(trim(text)))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // U3 corpus stats per language (counts + exact integer sums only —
+    // deterministic under any aggregation order)
+    QueryDef(
+      "q_text_stats",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("n_tokens", tokenCount(col("text")))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          sum("n_tokens").as("sum_tokens"))
+        .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // token counting: whitespace + BPE-ish regex pieces
+    QueryDef(
+      "q_token_count",
+      (s, d) => Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          tokenCount(col("text")).as("n_ws"),
+          bpeishCount(col("text")).as("n_re"),
+          col("n_chars"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws,
+             |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS n_re,
+             |  n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // language-ID heuristic vs the labeled lang column
+    QueryDef(
+      "q_lang_id",
+      (s, d) => Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          enStopwordHits(col("text")).as("en_hits"),
+          languageGuess(col("text")).as("guess"),
+          col("lang"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '\b(the|and|of|to|in)\b')) AS INT) AS en_hits,
+             |  CASE WHEN len(regexp_extract_all(text, '\b(the|and|of|to|in)\b')) >= 2 THEN 'en'
+             |       WHEN len(regexp_extract_all(text, '\b(the|and|of|to|in)\b')) = 1 THEN 'mixed'
+             |       ELSE 'other' END AS guess,
+             |  lang
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // quality scoring: length / punctuation / stopword-density signals
+    QueryDef(
+      "q_quality_score",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("n_tokens", tokenCount(col("text")))
+        .withColumn("stop_hits", enStopwordHits(col("text")))
+        .select(
+          col("doc_id"), col("n_chars"), col("n_tokens"), col("stop_hits"),
+          round(col("stop_hits").cast("double") / col("n_tokens"), 4).as("stop_ratio"),
+          when(col("n_chars") >= 100 && col("stop_hits") >= 1, "good")
+            .otherwise("low").as("quality"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, n_chars, n_tokens, stop_hits,
+             |  round(CAST(stop_hits AS DOUBLE) / n_tokens, 4) AS stop_ratio,
+             |  CASE WHEN n_chars >= 100 AND stop_hits >= 1 THEN 'good' ELSE 'low' END AS quality
+             |FROM (SELECT doc_id, n_chars,
+             |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             |    CAST(len(regexp_extract_all(text, '\b(the|and|of|to|in)\b')) AS INT) AS stop_hits
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // document fingerprinting (md5 of normalized text)
+    QueryDef(
+      "q_fingerprint",
+      (s, d) => Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          fingerprint(col("text")).as("fp"),
+          substring(fingerprint(col("text")), 1, 8).as("fp8"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, md5(lower(trim(text))) AS fp,
+             |  substr(md5(lower(trim(text))), 1, 8) AS fp8
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-scale deduplication (north-star scope): exact hash-dedup,
+  * MinHash signatures + LSH band-bucket candidate join, SimHash, and
+  * n-gram Jaccard verification.
+  *
+  * Scale shape: exact dedup is one hash-shuffle on the digest; MinHash/LSH
+  * turns the O(n²) near-dup problem into a per-band equi-join on bucket
+  * keys (shuffle ∝ corpus size, not pairs); Jaccard runs only on LSH
+  * candidates. Hashes are md5-derived so results are engine-portable and
+  * deterministic (no seed-dependent murmur differences vs the oracle).
+  */
+object DedupOps {
+
+  /** Distinct whitespace tokens, one row per (id, token). */
+  def explodeTokens(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id), explode(array_distinct(split(col(text), " "))).as("tok"))
+
+  /** One MinHash signature component: min over the token set of a salted
+    * md5 — a different salt per component simulates an independent hash
+    * function. Lexicographic min over hex digests is uniform enough and
+    * identical across engines.
+    */
+  def minhashAgg(salt: Int): Column =
+    min(md5(concat(lit(s"$salt:"), col("tok"))))
+
+  /** k-component MinHash signature per document. */
+  def minhashSignature(df: DataFrame, id: String, text: String, k: Int): DataFrame =
+    explodeTokens(df, id, text)
+      .groupBy(col(id))
+      .agg(minhashAgg(1).as("sig1"),
+        (2 to k).map(i => minhashAgg(i).as(s"sig$i")): _*)
+
+  /** LSH banding: hash `rowsPerBand` signature components into one bucket
+    * key per band; docs sharing any band bucket are near-dup candidates.
+    * Returns (id, band, bucket).
+    */
+  def lshBuckets(sig: DataFrame, id: String, k: Int, rowsPerBand: Int): DataFrame = {
+    val bands = (1 to k).grouped(rowsPerBand).zipWithIndex.map { case (comps, b) =>
+      sig.select(col(id), lit(b).as("band"),
+        md5(concat(comps.map(i => col(s"sig$i")): _*)).as("bucket"))
+    }
+    bands.reduce(_ unionByName _)
+  }
+
+  /** Candidate near-dup pairs (id1 < id2) from any shared LSH band bucket. */
+  def lshCandidates(sig: DataFrame, id: String, k: Int, rowsPerBand: Int): DataFrame = {
+    val b = lshBuckets(sig, id, k, rowsPerBand)
+    val l = b.select(col(id).as("id1"), col("band"), col("bucket"))
+    val r = b.select(col(id).as("id2"), col("band"), col("bucket"))
+    l.join(r, Seq("band", "bucket")).where(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** Exact token-set Jaccard similarity for a pair set — used to verify
+    * LSH candidates. Input: token table (id, tok) distinct; pairs from a
+    * self equi-join on tok (cheap when restricted to candidates).
+    */
+  def jaccardPairs(tokens: DataFrame, id: String): DataFrame = {
+    val counts = tokens.groupBy(col(id)).agg(count(lit(1)).as("n"))
+    val l = tokens.select(col(id).as("id1"), col("tok"))
+    val r = tokens.select(col(id).as("id2"), col("tok"))
+    val inter = l.join(r, "tok").where(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("i"))
+    inter
+      .join(counts.select(col(id).as("id1"), col("n").as("n1")), "id1")
+      .join(counts.select(col(id).as("id2"), col("n").as("n2")), "id2")
+      .select(col("id1"), col("id2"),
+        round(col("i").cast("double") / (col("n1") + col("n2") - col("i")), 4).as("jaccard"))
+  }
+
+  /** 8-bit SimHash from md5 nibble high-bits: per token, nibble j of the
+    * digest votes +1/-1 on bit j; the sign of the vote sum is the bit.
+    */
+  def simhashBits(df: DataFrame, id: String, text: String, bits: Int = 8): DataFrame = {
+    val toks = df.select(col(id), explode(split(col(text), " ")).as("tok"))
+    val votes = (1 to bits).map { j =>
+      sum(when(substring(md5(col("tok")), j, 1)
+        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)).as(s"s$j")
+    }
+    val agg = toks.groupBy(col(id)).agg(votes.head, votes.tail: _*)
+    agg.select(col(id),
+      concat((1 to bits).map(j => when(col(s"s$j") > 0, "1").otherwise("0")): _*).as("simhash"))
+  }
+
+  private val docsWithDups =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // exact dedup by content digest over a corpus with injected duplicates:
+    // group on md5(text), keep min id, count copies
+    QueryDef(
+      "q_dedup_exact",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val dups = docs.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        docs.unionByName(dups)
+          .groupBy(md5(col("text")).as("h"))
+          .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+          .orderBy("keeper")
+      },
+      Some(s"""SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_copies
+              |FROM ($docsWithDups) GROUP BY 1 ORDER BY keeper""".stripMargin)),
+
+    // MinHash signatures (k=4) per document
+    QueryDef(
+      "q_minhash_sig",
+      (s, d) => minhashSignature(Tables.documents(s, d), "doc_id", "text", 4)
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  min(md5('1:' || tok)) AS sig1, min(md5('2:' || tok)) AS sig2,
+             |  min(md5('3:' || tok)) AS sig3, min(md5('4:' || tok)) AS sig4
+             |FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+             |      FROM documents)
+             |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // SimHash (8-bit) per document
+    QueryDef(
+      "q_simhash",
+      (s, d) => simhashBits(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some {
+        val sums = (1 to 8).map(j =>
+          s"""sum(CASE WHEN substr(md5(tok), $j, 1) IN
+             | ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$j"""
+            .stripMargin.replace("\n", "")).mkString(",\n    ")
+        val bits = (1 to 8).map(j => s"CASE WHEN s$j > 0 THEN '1' ELSE '0' END")
+          .mkString(" || ")
+        s"""SELECT doc_id, $bits AS simhash FROM (
+           |  SELECT doc_id,
+           |    $sums
+           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+           |  GROUP BY 1)
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // token-set Jaccard over a bounded pair set (the all-pairs form is for
+    // verification only; at scale pairs come from lshCandidates)
+    QueryDef(
+      "q_ngram_jaccard",
+      (s, d) => jaccardPairs(
+        explodeTokens(Tables.documents(s, d).where(col("doc_id") < 20), "doc_id", "text"),
+        "doc_id").orderBy("id1", "id2"),
+      Some("""WITH t AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+             |           FROM documents WHERE doc_id < 20),
+             |c AS (SELECT doc_id, count(*) AS n FROM t GROUP BY 1),
+             |i AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+             |      FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+             |      GROUP BY 1, 2)
+             |SELECT id1, id2,
+             |  round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) AS jaccard
+             |FROM i JOIN c ca ON ca.doc_id = id1 JOIN c cb ON cb.doc_id = id2
+             |ORDER BY id1, id2""".stripMargin))
+  )
+}

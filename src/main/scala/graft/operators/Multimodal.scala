@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (north-star scope): media payloads as opaque
+  * `binary` columns with typed metadata structs, plus a per-partition
+  * feature-extraction stage. The decode step is a clearly-marked
+  * deterministic STUB (no image/audio codecs in this environment); the
+  * Spark-side contract — schema, batching, partition-parallel execution —
+  * is real and is what matters at 100 TB (payload bytes never pass through
+  * the driver; features are computed executor-side, partition by partition).
+  */
+object Multimodal {
+
+  /** Output schema of the feature-extraction stage. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  /** Attach a fake media payload to each document: the UTF-8 bytes of its
+    * text standing in for an encoded image, plus a metadata struct. */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(col("source").as("origin"), col("n_chars").as("declared_len"))
+        .as("meta"))
+
+  /** STUB decode: a real implementation would decode the payload with an
+    * image codec here. This deterministic fake derives "dimensions" from
+    * the byte length so the pipeline shape is testable end-to-end. */
+  def stubDecodeDims(nBytes: Int): (Int, Int) =
+    (32 + nBytes % 32, 32 + (nBytes / 64) % 32)
+
+  /** Partition-parallel feature extraction over binary payloads. Runs as
+    * `mapPartitions` so a real decoder could batch/reuse native resources
+    * per partition (the JVM analogue of a Pandas-UDF batch loop). */
+  def extractFeatures(spark: SparkSession, withBytes: DataFrame): DataFrame = {
+    val rowEnc = org.apache.spark.sql.Encoders.row(featureSchema)
+    val ds: Dataset[Row] = withBytes.select("doc_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val (w, h) = stubDecodeDims(bytes.length)
+        Row(id, bytes.length, w, h)
+      }
+    }(rowEnc)
+    ds.toDF()
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // binary payload + metadata + feature extraction, expressed with
+    // pure built-ins (the mapPartitions variant above is unit-tested and
+    // must agree with this declarative form)
+    QueryDef(
+      "q_multimodal_features",
+      (s, d) => withPayload(Tables.documents(s, d))
+        .select(
+          col("doc_id"),
+          octet_length(col("payload")).as("n_bytes"),
+          (lit(32) + octet_length(col("payload")) % 32).as("width"),
+          (lit(32) + expr("octet_length(payload) div 64") % 32).as("height"),
+          col("meta.origin").as("origin"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(payload) AS INT) AS n_bytes,
+             |  CAST(32 + octet_length(payload) % 32 AS INT) AS width,
+             |  CAST(32 + (octet_length(payload) // 64) % 32 AS INT) AS height,
+             |  source AS origin
+             |FROM (SELECT doc_id, encode(text) AS payload, source FROM documents)
+             |ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational breadth beyond strict reference parity: multi-way joins,
+  * semi/anti joins, window functions, rollup, distinct aggregates. The
+  * reference's only join is a tiny dim lookup (SURVEY §2.6 note), but a
+  * drop-in engine at 100 TB needs the full relational algebra; plans here
+  * are written so Catalyst can pick broadcast vs sort-merge per side
+  * (explicit `broadcast()` only on genuinely small dims).
+  */
+object Relational {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // TPC-H Q1-style pricing summary: partial (map-side) aggregation makes
+    // this a single shuffle of ~|groups| rows regardless of input size.
+    QueryDef(
+      "q1_pricing_summary",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  sum(l_quantity) AS sum_qty,
+             |  round(sum(l_extendedprice), 2) AS sum_price,
+             |  round(avg(l_discount), 4) AS avg_disc,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // revenue per nation: orders ⋈ customer (shuffle) ⋈ nation (broadcast)
+    QueryDef(
+      "q_join_agg",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        val n = Tables.nation(s, d)
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // EXISTS → left-semi join (no row duplication, build side pruned)
+    QueryDef(
+      "q_semi_join",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val l = Tables.lineitem(s, d).where(col("l_quantity") > 45)
+        o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+          .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n FROM orders o
+             |WHERE EXISTS (SELECT 1 FROM lineitem l
+             |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // NOT EXISTS → left-anti join
+    QueryDef(
+      "q_anti_join",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // window functions: row_number / lag / running sum over a pinned total
+    // order (ts, event_id) so the sequential float sum is deterministic
+    QueryDef(
+      "q_window_funcs",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .select(
+            col("event_id"), col("user_id"),
+            row_number().over(w).as("rn"),
+            lag("value", 1).over(w).as("prev_value"),
+            round(sum("value").over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("run_sum"))
+          .orderBy("user_id", "rn")
+      },
+      Some("""SELECT event_id, user_id,
+             |  CAST(row_number() OVER w AS INT) AS rn,
+             |  lag(value, 1) OVER w AS prev_value,
+             |  round(sum(value) OVER (PARTITION BY user_id
+             |    ORDER BY CAST(ts AS TIMESTAMP), event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+             |ORDER BY user_id, rn""".stripMargin)),
+
+    // rollup with pinned NULL ordering (Spark default = NULLS FIRST asc;
+    // DuckDB default differs, so the oracle pins it explicitly)
+    QueryDef(
+      "q_rollup_count",
+      (s, d) => Tables.events(s, d)
+        .rollup(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("event_type"), asc_nulls_first("user_id")),
+      Some("""SELECT event_type, user_id, count(*) AS n FROM events
+             |GROUP BY ROLLUP (event_type, user_id)
+             |ORDER BY event_type ASC NULLS FIRST, user_id ASC NULLS FIRST""".stripMargin)),
+
+    // distinct aggregate (expands to a two-phase plan; at scale prefer
+    // approx_count_distinct when exactness isn't required)
+    QueryDef(
+      "q_distinct_agg",
+      (s, d) => Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}
