@@ -67,18 +67,20 @@ object Relational {
              |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    // NOT EXISTS → left-anti join
+    // NOT EXISTS → left-anti join (customers with no high-value order —
+    // the unfiltered variant is empty on the fixtures)
     QueryDef(
       "q_anti_join",
       (s, d) => {
         val c = Tables.customer(s, d)
-        val o = Tables.orders(s, d)
+        val o = Tables.orders(s, d).where(col("o_totalprice") > 250000)
         c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
           .select("c_custkey", "c_name")
           .orderBy("c_custkey")
       },
       Some("""SELECT c_custkey, c_name FROM customer c
-             |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
              |ORDER BY c_custkey""".stripMargin)),
 
     // window functions: row_number / lag / running sum over a pinned total

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.DedupOps
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "alpha beta gamma delta epsilon"),
+    (2L, "alpha beta gamma delta epsilon"), // exact dup of 1
+    (3L, "alpha beta gamma delta zeta"), // near-dup of 1 (4/6 jaccard)
+    (4L, "one two three four five")) // unrelated
+    .toDF("doc_id", "text")
+
+  test("minhash signatures: identical docs get identical signatures") {
+    val sig = DedupOps.minhashSignature(docs, "doc_id", "text", 4)
+      .orderBy("doc_id").collect()
+    assert(sig.length == 4)
+    assert(sig(0).toSeq.tail == sig(1).toSeq.tail) // docs 1,2 same sigs
+    assert(sig(0).toSeq.tail != sig(3).toSeq.tail) // doc 4 differs
+  }
+
+  test("LSH candidates contain exact duplicates and not unrelated docs") {
+    val sig = DedupOps.minhashSignature(docs, "doc_id", "text", 4)
+    val cands = DedupOps.lshCandidates(sig, "doc_id", 4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("jaccardPairs computes exact token-set jaccard") {
+    val toks = DedupOps.explodeTokens(docs, "doc_id", "text")
+    val j = DedupOps.jaccardPairs(toks, "doc_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) == round4(4.0 / 6.0))
+    assert(!j.contains((1L, 4L))) // zero intersection → no pair emitted
+  }
+
+  test("simhash: identical docs equal, 8-char bitstring") {
+    val sh = DedupOps.simhashBits(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(sh(0)._2 == sh(1)._2)
+    assert(sh.forall(_._2.matches("[01]{8}")))
+  }
+
+  private def round4(d: Double): Double = math.round(d * 10000).toDouble / 10000
+}

@@ -1,0 +1,41 @@
+package graft
+
+import graft.functions.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot and cosine on known vectors") {
+    val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0)), (Array(1.0, 0.0), Array(0.0, 1.0)))
+      .toDF("a", "b")
+    val got = df.select(
+      Similarity.dot(col("a"), col("b")).as("d"),
+      round(Similarity.cosine(col("a"), col("b")), 6).as("c")).collect()
+    assert(got(0).getDouble(0) == 11.0)
+    assert(got(1).getDouble(0) == 0.0)
+    assert(got(0).getDouble(1) == 0.98387) // 11/(√5·√25)
+    assert(got(1).getDouble(1) == 0.0)
+  }
+
+  test("bruteTopK ranks by similarity, excludes self, respects k") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val emb = vecs.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("ed"))
+    val q = emb.where(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("ed").as("qe"))
+    val got = Similarity.bruteTopK(emb, q, 2)
+      .orderBy("rn").select("vec_id").as[Long].collect()
+    assert(got.toSeq == Seq(1L, 3L)) // by dot: 0.9, 0.5, 0.0
+  }
+
+  test("signBits produces one bit per leading dimension") {
+    val df = Seq((Array(0.5f, -0.1f, 0.0f, 1.0f))).toDF("v")
+    val got = df.select(Similarity.signBits(col("v"), 4)).head().getString(0)
+    assert(got == "1011") // 0.0 counts as non-negative
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.streaming.IncrementalUpsert
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("value", DoubleType)))
+
+  private def rows(data: Seq[(Long, String, Double)]) =
+    data.toDF("event_id", "ts_s", "value")
+      .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"), col("value"))
+
+  test("incremental latest-wins upsert across two streaming runs (restart-safe)") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val src = s"$dir/src"
+    val tgt = s"$dir/tgt"
+    val chk = s"$dir/chk"
+
+    // batch 1: keys 1,2 (with an in-batch duplicate of key 1 — pagination
+    // overlap; newer ts must win)
+    rows(Seq(
+      (1L, "2024-01-01 00:00:00", 1.0),
+      (1L, "2024-01-01 01:00:00", 1.5),
+      (2L, "2024-01-01 00:00:00", 2.0)))
+      .write.mode("append").parquet(src)
+    val q1 = IncrementalUpsert.run(
+      spark.readStream.schema(schema).parquet(src),
+      tgt, chk, Seq("event_id"), "ts", "ts")
+    q1.awaitTermination()
+
+    // batch 2 (separate run = daily cron restart): update key 2, insert key 3
+    rows(Seq(
+      (2L, "2024-01-02 00:00:00", 2.5),
+      (3L, "2024-01-02 00:00:00", 3.0)))
+      .write.mode("append").parquet(src)
+    val q2 = IncrementalUpsert.run(
+      spark.readStream.schema(schema).parquet(src),
+      tgt, chk, Seq("event_id"), "ts", "ts")
+    q2.awaitTermination()
+
+    val got = spark.read.parquet(tgt)
+      .orderBy("event_id")
+      .select("event_id", "value").as[(Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 1.5), (2L, 2.5), (3L, 3.0)))
+  }
+}
