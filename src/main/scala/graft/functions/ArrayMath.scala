@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native dot product over float/double array columns.
+  *
+  * The composable form (`zip_with` + `aggregate` higher-order functions)
+  * allocates a lambda frame per element and is CodegenFallback anyway; at
+  * 100 TB the dot product is the innermost loop of similarity search, so
+  * it gets a dedicated expression: one tight primitive loop over the
+  * underlying ArrayData, no per-element allocation.
+  *
+  * Accumulation is left-to-right in IEEE double (floats widened exactly),
+  * bit-identical to the composed form and to the DuckDB oracle for
+  * equal-length inputs. Ragged inputs use min-length semantics (the
+  * composed `zip_with` form would instead NULL-pad and propagate NULL).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def elemType(e: Expression): DataType = e.dataType match {
+    case ArrayType(t, _) => t
+    case t => t
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    (elemType(left), elemType(right)) match {
+      case (FloatType, FloatType) =>
+        while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+      case (DoubleType, DoubleType) =>
+        while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+      case (FloatType, DoubleType) =>
+        while (i < n) { acc += x.getFloat(i).toDouble * y.getDouble(i); i += 1 }
+      case (DoubleType, FloatType) =>
+        while (i < n) { acc += x.getDouble(i) * y.getFloat(i).toDouble; i += 1 }
+      case other =>
+        throw new IllegalArgumentException(s"dot_product over $other")
+    }
+    acc
+  }
+
+  override def prettyName: String = "dot_product"
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArrayMath {
+  /** Column-API dot product (double result, element-wise, min-length). */
+  def dotProduct(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -21,9 +21,10 @@ object Similarity {
   def asDouble(v: Column): Column =
     transform(v, x => x.cast("double"))
 
-  /** Sequential dot product of two double-array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Sequential dot product of two array columns — native expression
+    * (tight primitive loop; see [[ArrayMath]]) with identical semantics to
+    * the composed `aggregate(zip_with(...))` form. */
+  def dot(a: Column, b: Column): Column = ArrayMath.dotProduct(a, b)
 
   /** Cosine similarity; for pre-normalized vectors prefer [[dot]]. */
   def cosine(a: Column, b: Column): Column = {
