@@ -15,7 +15,19 @@ object Scratch {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (args.headOption.contains("dot-probe")) {
+    if (args.headOption.contains("session-probe")) {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      // events exactly 1h apart (u=1) vs 1s under the gap (u=2)
+      val df = Seq(
+        (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 01:00:00"),
+        (2L, "2024-01-01 00:00:00"), (2L, "2024-01-01 00:59:59"))
+        .toDF("u", "s").select($"u", $"s".cast("timestamp_ntz").as("ts"))
+      df.groupBy(session_window($"ts", "1 hour").as("sw"), $"u")
+        .agg(count(lit(1)).as("n"))
+        .select($"u", $"sw.start", $"sw.end", $"n")
+        .orderBy("u", "sw.start").show(false)
+    } else if (args.headOption.contains("dot-probe")) {
       import spark.implicits._
       import org.apache.spark.sql.functions.col
       val df = Seq(

@@ -108,6 +108,88 @@ object Similarity {
            |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
       }),
 
+    // embedding-cosine near-duplicate pairs: LSH bucket join prunes the
+    // pair space, then an exact cosine threshold — the scale recipe for
+    // corpus-level near-dup removal by embedding
+    QueryDef(
+      "q_near_dup_cosine",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), asDouble(col("embedding")).as("ed"),
+            signBits(col("embedding"), 8).as("sig"))
+        val l = emb.select(col("vec_id").as("id1"), col("ed").as("e1"), col("sig"))
+        val r = emb.select(col("vec_id").as("id2"), col("ed").as("e2"), col("sig"))
+        l.join(r, "sig")
+          .where(col("id1") < col("id2"))
+          .withColumn("sim", round(dot(col("e1"), col("e2")), 4))
+          .where(col("sim") >= 0.3)
+          .select("id1", "id2", "sim")
+          .orderBy("id1", "id2")
+      },
+      Some {
+        val sig = (1 to 8).map(j =>
+          s"CASE WHEN embedding[$j] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+           |             $sig AS sig
+           |           FROM embeddings)
+           |SELECT a.vec_id AS id1, b.vec_id AS id2,
+           |  round(list_dot_product(a.ed, b.ed), 4) AS sim
+           |FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id < b.vec_id
+           |WHERE round(list_dot_product(a.ed, b.ed), 4) >= 0.3
+           |ORDER BY id1, id2""".stripMargin
+      }),
+
+    // IVF-style ANN: assign every vector to its nearest "centroid" (a
+    // deterministic coarse codebook — the first 8 vectors), then search
+    // only the query's cell (nprobe=1). Candidate count drops ~|codebook|×
+    // versus brute force; at scale the assignment is one broadcast join
+    // and cells become the partitioning key.
+    QueryDef(
+      "q_ivf_ann",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), asDouble(col("embedding")).as("ed"))
+        val cents = emb.where(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"), col("ed").as("ce"))
+        val wAssign = Window.partitionBy("vec_id")
+          .orderBy(col("cdot").desc, col("cent_id"))
+        val assign = emb.crossJoin(broadcast(cents))
+          .withColumn("cdot", round(dot(col("ed"), col("ce")), 4))
+          .withColumn("crn", row_number().over(wAssign))
+          .where(col("crn") === 1)
+          .select(col("vec_id"), col("ed"), col("cent_id").as("cluster"))
+        val q = assign.where(col("vec_id") >= 8 && col("vec_id") < 13)
+          .select(col("vec_id").as("qid"), col("ed").as("qe"), col("cluster"))
+        val wRank = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+        assign.join(broadcast(q), "cluster")
+          .where(col("vec_id") =!= col("qid"))
+          .withColumn("sim", round(dot(col("qe"), col("ed")), 4))
+          .withColumn("rn", row_number().over(wRank))
+          .where(col("rn") <= 3)
+          .select("qid", "vec_id", "cluster", "sim", "rn")
+          .orderBy("qid", "rn")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
+             |c AS (SELECT vec_id AS cent_id, ed AS ce FROM e WHERE vec_id < 8),
+             |ad AS (SELECT e.vec_id, e.ed, c.cent_id,
+             |         round(list_dot_product(e.ed, c.ce), 4) AS cdot,
+             |         row_number() OVER (PARTITION BY e.vec_id
+             |           ORDER BY round(list_dot_product(e.ed, c.ce), 4) DESC, c.cent_id) AS crn
+             |       FROM e CROSS JOIN c),
+             |assign AS (SELECT vec_id, ed, cent_id AS cluster FROM ad WHERE crn = 1),
+             |q AS (SELECT vec_id AS qid, ed AS qe, cluster FROM assign
+             |      WHERE vec_id >= 8 AND vec_id < 13),
+             |sims AS (SELECT q.qid, a.vec_id, a.cluster,
+             |           round(list_dot_product(q.qe, a.ed), 4) AS sim
+             |         FROM q JOIN assign a ON a.cluster = q.cluster
+             |         WHERE a.vec_id <> q.qid),
+             |r AS (SELECT qid, vec_id, cluster, sim,
+             |        CAST(row_number() OVER (PARTITION BY qid
+             |          ORDER BY sim DESC, vec_id) AS INT) AS rn
+             |      FROM sims)
+             |SELECT qid, vec_id, cluster, sim, rn FROM r WHERE rn <= 3
+             |ORDER BY qid, rn""".stripMargin)),
+
     // U6 multimodal join: text beside its embedding vector
     QueryDef(
       "q_doc_embed_join",

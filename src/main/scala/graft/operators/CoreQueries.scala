@@ -276,6 +276,38 @@ object CoreQueries {
              |  FROM events)
              |ORDER BY event_id""".stripMargin)),
 
+    // P6 list-first extraction (reference: list-valued CountyNo → first
+    // element, src/trv/transform.py:79-80)
+    QueryDef(
+      "q_list_first",
+      (s, d) => Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          element_at(split(col("text"), " "), 1).as("first_tok"),
+          size(split(col("text"), " ")).as("n_tokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, string_split(text, ' ')[1] AS first_tok,
+             |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // F1+P9 string trim/normalize + non-empty guard
+    // (src/trv/transform.py:58-60,134-136)
+    QueryDef(
+      "q_trim_guard",
+      (s, d) => Tables.events(s, d)
+        .withColumn("msg_raw",
+          when(col("event_id") % 11 === 0, lit("   "))
+            .otherwise(concat(lit("  "), col("event_type"), lit(" "))))
+        .where(length(trim(col("msg_raw"))) > 0)
+        .select(col("event_id"), trim(col("msg_raw")).as("msg"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, trim(msg_raw) AS msg FROM (
+             |  SELECT event_id,
+             |    CASE WHEN event_id % 11 = 0 THEN '   '
+             |         ELSE '  ' || event_type || ' ' END AS msg_raw
+             |  FROM events)
+             |WHERE length(trim(msg_raw)) > 0 ORDER BY event_id""".stripMargin)),
+
     // D2 latest-wins dedup by key (src/trv/transform.py:116-118)
     QueryDef(
       "q_dedup_latest",

@@ -120,6 +120,37 @@ object Relational {
              |GROUP BY ROLLUP (event_type, user_id)
              |ORDER BY event_type ASC NULLS FIRST, user_id ASC NULLS FIRST""".stripMargin)),
 
+    // pivot: one column per event_type, count cells (null-filled to 0 to
+    // match conditional-aggregation semantics)
+    QueryDef(
+      "q_pivot",
+      (s, d) => Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0)
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+             |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+             |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+             |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+             |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+             |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // exact median / interpolated percentile per group
+    QueryDef(
+      "q_median",
+      (s, d) => Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          round(median(col("value")), 4).as("med"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, round(median(value), 4) AS med,
+             |  round(quantile_cont(value, 0.9), 4) AS p90
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // distinct aggregate (expands to a two-phase plan; at scale prefer
     // approx_count_distinct when exactness isn't required)
     QueryDef(

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing beyond the reference's daily trend (SURVEY §2.6
+  * A3): tumbling windows via `window()` and sessionization via
+  * `session_window()`. Both are streaming-ready (the same expressions work
+  * under `readStream` + watermark); batch oracles use date_trunc and a
+  * gaps-and-islands rewrite respectively.
+  */
+object TimeWindows {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // tumbling 1-hour window (epoch-aligned, equals date_trunc)
+    QueryDef(
+      "q_hourly_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("hour_start"), col("n"))
+        .orderBy("hour_start"),
+      Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, count(*) AS n
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // session windows, 1-hour inactivity gap; a session's end is
+    // last-event + gap (Spark session_window semantics). The oracle is the
+    // classic gaps-and-islands rewrite: flag gap-starts, running-sum to a
+    // session id, aggregate.
+    QueryDef(
+      "q_session_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "1 hour").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n"))
+        .orderBy("user_id", "session_start"),
+      Some("""WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+             |x AS (SELECT user_id, ts,
+             |        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |                  <= INTERVAL 1 HOUR THEN 0 ELSE 1 END AS new_s
+             |      FROM ev),
+             |y AS (SELECT user_id, ts,
+             |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |      FROM x)
+             |SELECT user_id, min(ts) AS session_start,
+             |  max(ts) + INTERVAL 1 HOUR AS session_end, count(*) AS n
+             |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin))
+  )
+}
