@@ -1,0 +1,37 @@
+package graft
+
+import graft.functions.{DotProduct, WktCentroid}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Session wiring for graft's native expressions.
+  *
+  * Two entry points with identical results:
+  *  - `GraftFunctions.registerAll(spark)` on a live session;
+  *  - `SparkSession.builder().withExtensions(new GraftExtensions)` at
+  *    build time (also usable via the
+  *    `spark.sql.extensions=graft.GraftExtensions` conf on a cluster).
+  */
+object GraftFunctions {
+  def registerAll(spark: SparkSession): Unit = {
+    WktCentroid.register(spark)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+  }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("wkt_centroid"),
+      new ExpressionInfo(classOf[WktCentroid].getName, "wkt_centroid"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WktCentroid(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(exprs(0), exprs(1))))
+  }
+}

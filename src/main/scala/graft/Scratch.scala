@@ -15,7 +15,31 @@ object Scratch {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (args.headOption.contains("session-probe")) {
+    if (args.headOption.contains("obs-probe")) {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      // RunReport over a real status derivation on the fixture events
+      val st = SparkEntry.queries("q_status_case")(spark, "/root/testdata/sf0.001")
+      val r1 = observability.RunReport.report(st, "status", notify = m => println(s"[notify] $m"))
+      println(s"report: $r1")
+      val r2 = observability.RunReport.report(st, "status", expectMin = 1000000,
+        notify = m => println(s"[notify] $m"))
+      println(s"anomaly: ${r2.anomaly}")
+      // KPI aggregator over the same column
+      val kpi = st.select(col("status")).as[String]
+        .select(functions.KpiAggregator.byStatus.toColumn).head()
+      println(s"kpi: $kpi")
+      // skew-salted agg on a deliberately hot key
+      val skewed = spark.range(0, 100000)
+        .select(when(col("id") % 100 =!= 0, lit("hot")).otherwise(lit("cold")).as("k"))
+      println("salted:")
+      operators.Skew.saltedCount(skewed, Seq("k"), 16).orderBy("k").show()
+      // extensions-built session (separate context-sharing session)
+      GraftFunctions.registerAll(spark)
+      spark.sql("SELECT wkt_centroid('LINESTRING (0 0, 2 0, 2 2)') AS c, " +
+        "dot_product(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)), array(3.0D, 4.0D)) AS dp")
+        .show(false)
+    } else if (args.headOption.contains("session-probe")) {
       import spark.implicits._
       import org.apache.spark.sql.functions._
       // events exactly 1h apart (u=1) vs 1s under the gap (u=2)

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Skew
+import org.apache.spark.sql.functions._
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 10k rows of hot key + a cold tail — the shape that straggles a reducer
+  private lazy val skewed = spark.range(0, 10000).select(lit("hot").as("k"), col("id").as("v"))
+    .unionByName(spark.range(0, 50).select(concat(lit("cold"), col("id")).as("k"), col("id").as("v")))
+    .repartition(8)
+
+  test("saltedCount equals plain groupBy count") {
+    val plain = skewed.groupBy("k").agg(count(lit(1)).as("n"))
+      .orderBy("k").as[(String, Long)].collect()
+    val salted = Skew.saltedCount(skewed, Seq("k"), 16)
+      .orderBy("k").as[(String, Long)].collect()
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("saltedSum equals plain groupBy sum") {
+    val plain = skewed.groupBy("k").agg(sum("v").as("s"))
+      .orderBy("k").as[(String, Long)].collect()
+    val salted = Skew.saltedSum(skewed, Seq("k"), "v", 16)
+      .orderBy("k").as[(String, Long)].collect()
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("salted join equals plain join") {
+    val dim = Seq(("hot", "H"), ("cold1", "C1")).toDF("k", "label")
+    val plain = skewed.join(dim, "k").groupBy("k", "label")
+      .agg(count(lit(1)).as("n")).orderBy("k")
+      .as[(String, String, Long)].collect()
+    val (big, small, cols) = Skew.saltedJoinSides(skewed, dim, "k", 8)
+    val salted = big.join(small, cols).groupBy("k", "label")
+      .agg(count(lit(1)).as("n")).orderBy("k")
+      .as[(String, String, Long)].collect()
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("GraftFunctions.registerAll exposes wkt_centroid and dot_product to SQL") {
+    GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT wkt_centroid('POINT (3 4)').lat AS lat, " +
+        "dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp").head()
+    assert(r.getDouble(0) == 4.0 && r.getDouble(1) == 11.0)
+  }
+}
