@@ -15,7 +15,57 @@ object Scratch {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (args.headOption.contains("obs-probe")) {
+    if (args.headOption.contains("source-probe")) {
+      import org.apache.spark.sql.functions._
+      val dir = java.nio.file.Files.createTempDirectory("graft-sp").toString
+      val ok = s"$dir/ok.xml"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(ok),
+        "<RESPONSE><RESULT><Situation><Id>s</Id><ModifiedTime>2024-01-05T00:00:00Z</ModifiedTime>" +
+          "<Deviation><DeviationId>d</DeviationId><Message>m</Message></Deviation>" +
+          "</Situation></RESULT></RESPONSE>")
+      def attempt(label: String)(f: => Any): Unit =
+        try println(s"$label -> " + f)
+        catch { case e: Throwable => println(s"$label -> ${e.getClass.getSimpleName}: ${e.getMessage.linesIterator.next()}") }
+      attempt("missing path") {
+        spark.read.format("graft.sources.PagedXmlSource").load().count()
+      }
+      val bad = s"$dir/bad.xml"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(bad), "<RESPONSE><oops")
+      attempt("malformed xml") {
+        spark.read.format("graft.sources.PagedXmlSource").option("path", bad).load().count()
+      }
+      attempt("filter excludes all") {
+        spark.read.format("graft.sources.PagedXmlSource").option("path", ok).load()
+          .where(col("modified_time") > "2030-01-01").count()
+      }
+      attempt("nulls for absent tags") {
+        spark.read.format("graft.sources.PagedXmlSource").option("path", ok).load()
+          .select("deviation_id", "county_no", "wkt").collect().mkString(";")
+      }
+    } else if (args.headOption.contains("pipeline-probe")) {
+      import org.apache.spark.sql.functions._
+      val xml =
+        """<RESPONSE><RESULT><Situation><Id>s1</Id>
+          |<ModifiedTime>2024-01-09T10:00:00Z</ModifiedTime>
+          |<PublicationTime>2024-01-09T10:00:00Z</PublicationTime>
+          |<Deviation><DeviationId>d1</DeviationId><Message>Ongoing roadwork</Message>
+          |<MessageType>Vägarbete</MessageType><LocationDescriptor>E4</LocationDescriptor>
+          |<RoadNumber>E4</RoadNumber><CountyNo>14</CountyNo>
+          |<StartTime>2024-01-09T00:00:00Z</StartTime>
+          |<WGS84>POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))</WGS84></Deviation>
+          |</Situation></RESULT></RESPONSE>""".stripMargin
+      val dir = java.nio.file.Files.createTempDirectory("graft-pp").toString
+      val xmlPath = s"$dir/sit.xml"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(xmlPath), xml)
+      val out = Pipeline.runIngest(spark, xmlPath, s"$dir/tgt",
+        expr("TIMESTAMP_NTZ '2024-01-10 00:00:00'"))
+      out.select("incident_id", "status", "county_display", "latitude",
+        "longitude", "modified_ts").show(false)
+      // second run (idempotence) + re-show
+      Pipeline.runIngest(spark, xmlPath, s"$dir/tgt",
+        expr("TIMESTAMP_NTZ '2024-01-10 00:00:00'"))
+      println(s"after rerun rows = ${spark.read.parquet(s"$dir/tgt").count()}")
+    } else if (args.headOption.contains("obs-probe")) {
       import spark.implicits._
       import org.apache.spark.sql.functions._
       // RunReport over a real status derivation on the fixture events

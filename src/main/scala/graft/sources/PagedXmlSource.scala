@@ -1,0 +1,224 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector mirroring the reference's paginated incident
+  * API (SURVEY §2.1 S1–S3): a nested Situation→Deviation XML document is
+  * flattened to one row per Deviation at the source (S4,
+  * reference src/trv/endpoints.py:107-163), pages become Spark input
+  * partitions (cursor pagination → parallel partition reads,
+  * src/trv/endpoints.py:166-207), and the reference's server-side query
+  * DSL (`<FILTER><GT/LT>` + `<INCLUDE>`, src/trv/endpoints.py:60-104)
+  * becomes `SupportsPushDownFilters` on the time columns plus
+  * `SupportsPushDownRequiredColumns` column pruning — the filter runs
+  * inside the reader, before pagination, exactly like the remote server
+  * would.
+  *
+  * The transport here is a local XML file standing in for the HTTP POST
+  * (this environment has no egress); retry/backoff (S1) is a transport
+  * concern that would wrap the per-partition fetch. Cross-page dedup by
+  * id (S3 `seen_ids`) remains a downstream `dropDuplicates`, as in the
+  * reference where the client dedups across page boundaries.
+  *
+  * Usage:
+  * {{{
+  *   spark.read.format("graft.sources.PagedXmlSource")
+  *     .option("path", "/data/situations.xml")
+  *     .option("pageSize", "500").option("maxPages", "20")
+  *     .load()
+  * }}}
+  */
+class PagedXmlSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PagedXmlSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new PagedXmlTable(new CaseInsensitiveStringMap(properties))
+}
+
+object PagedXmlSource {
+  /** Fixed source schema (reference DDL src/trv/load_sqlite.py:6-25;
+    * timestamps stay ISO strings at the source, normalized downstream by
+    * the P2 operator). */
+  val schema: StructType = StructType(Seq(
+    StructField("situation_id", StringType),
+    StructField("deviation_id", StringType),
+    StructField("message", StringType),
+    StructField("message_type", StringType),
+    StructField("location_descriptor", StringType),
+    StructField("road_number", StringType),
+    StructField("county_no", IntegerType),
+    StructField("start_time", StringType),
+    StructField("end_time", StringType),
+    StructField("modified_time", StringType),
+    StructField("publication_time", StringType),
+    StructField("wkt", StringType)))
+
+  private[sources] val timeCols = Set("modified_time", "publication_time", "start_time")
+
+  /** A pushed filter is honorable iff it's a bound on an ISO-string time
+    * column (lexicographic order == chronological order for ISO-8601). */
+  private[sources] def pushable(f: Filter): Boolean = f match {
+    case GreaterThan(c, _: String) => timeCols(c)
+    case GreaterThanOrEqual(c, _: String) => timeCols(c)
+    case LessThan(c, _: String) => timeCols(c)
+    case LessThanOrEqual(c, _: String) => timeCols(c)
+    case IsNotNull(c) => timeCols(c)
+    case _ => false
+  }
+
+  private[sources] def eval(f: Filter, row: Map[String, Any]): Boolean = f match {
+    case GreaterThan(c, v: String) => row(c) != null && row(c).toString > v
+    case GreaterThanOrEqual(c, v: String) => row(c) != null && row(c).toString >= v
+    case LessThan(c, v: String) => row(c) != null && row(c).toString < v
+    case LessThanOrEqual(c, v: String) => row(c) != null && row(c).toString <= v
+    case IsNotNull(c) => row(c) != null
+    case _ => true
+  }
+
+  /** DOM-parse the document and flatten to per-Deviation row maps (the
+    * per-partition equivalent of one page fetch + parse). */
+  private[sources] def parseRows(path: String): Seq[Map[String, Any]] = {
+    val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder().parse(new java.io.File(path))
+    def text(e: org.w3c.dom.Element, tag: String): String = {
+      val nl = e.getElementsByTagName(tag)
+      if (nl.getLength == 0) null else nl.item(0).getTextContent
+    }
+    val situations = doc.getElementsByTagName("Situation")
+    (0 until situations.getLength).flatMap { i =>
+      val sit = situations.item(i).asInstanceOf[org.w3c.dom.Element]
+      val sitId = text(sit, "Id")
+      val modified = text(sit, "ModifiedTime")
+      val published = text(sit, "PublicationTime")
+      val devs = sit.getElementsByTagName("Deviation")
+      (0 until devs.getLength).map { j =>
+        val d = devs.item(j).asInstanceOf[org.w3c.dom.Element]
+        val county = Option(text(d, "CountyNo")).flatMap(_.trim.toIntOption)
+        Map[String, Any](
+          "situation_id" -> sitId,
+          "deviation_id" -> text(d, "DeviationId"),
+          "message" -> text(d, "Message"),
+          "message_type" -> text(d, "MessageType"),
+          "location_descriptor" -> text(d, "LocationDescriptor"),
+          "road_number" -> text(d, "RoadNumber"),
+          "county_no" -> county.orNull,
+          "start_time" -> text(d, "StartTime"),
+          "end_time" -> text(d, "EndTime"),
+          "modified_time" -> modified,
+          "publication_time" -> published,
+          "wkt" -> text(d, "WGS84"))
+      }
+    }
+  }
+}
+
+private[sources] class PagedXmlTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = s"paged_xml(${options.get("path")})"
+  override def schema(): StructType = PagedXmlSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new PagedXmlScanBuilder(opts)
+}
+
+private[sources] class PagedXmlScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = PagedXmlSource.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accept, residual) = filters.partition(PagedXmlSource.pushable)
+    pushed = accept
+    residual // Spark re-applies only these
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new PagedXmlScan(
+    Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
+      "graft.sources.PagedXmlSource requires the 'path' option " +
+        "(spark.read.format(...).option(\"path\", \"/data/situations.xml\"))")),
+    Option(options.get("pageSize")).map(_.toInt).getOrElse(500),
+    Option(options.get("maxPages")).map(_.toInt).getOrElse(20),
+    pushed, required)
+}
+
+private[sources] class PagedXmlScan(path: String, pageSize: Int, maxPages: Int,
+    filters: Array[Filter], required: StructType) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  // surfaces what was pushed in .explain() output, like file sources do
+  override def description(): String =
+    s"PagedXmlScan path=$path pageSize=$pageSize " +
+      s"PushedFilters: [${filters.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // cheap driver-side page count (the cursor-pagination analogue: how
+    // many pages exist after server-side filtering); rows are parsed
+    // executor-side per partition
+    val n = PagedXmlSource.parseRows(path)
+      .count(r => filters.forall(PagedXmlSource.eval(_, r)))
+    val pages = math.min(maxPages, math.max(1, (n + pageSize - 1) / pageSize))
+    (0 until pages).map(p => PagedXmlPartition(p): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedXmlReaderFactory(path, pageSize, filters, required)
+}
+
+private[sources] case class PagedXmlPartition(page: Int) extends InputPartition
+
+private[sources] class PagedXmlReaderFactory(path: String, pageSize: Int,
+    filters: Array[Filter], required: StructType)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val page = partition.asInstanceOf[PagedXmlPartition].page
+    new PartitionReader[InternalRow] {
+      // one "page fetch": parse, server-side filter, slice this page
+      private val rows = PagedXmlSource.parseRows(path)
+        .filter(r => filters.forall(PagedXmlSource.eval(_, r)))
+        .slice(page * pageSize, (page + 1) * pageSize)
+        .iterator
+      private var current: Map[String, Any] = _
+
+      override def next(): Boolean = {
+        if (!rows.hasNext) return false
+        current = rows.next(); true
+      }
+
+      override def get(): InternalRow = InternalRow.fromSeq(
+        required.fields.toSeq.map { f =>
+          current(f.name) match {
+            case null => null
+            case s: String => UTF8String.fromString(s)
+            case i: Int => i
+            case other => other
+          }
+        })
+
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+class XmlSourceSpec extends SparkSpec {
+
+  private lazy val xmlPath: String = {
+    val sb = new StringBuilder("<RESPONSE><RESULT>")
+    for (s <- 1 to 5) {
+      sb.append(s"<Situation><Id>sit$s</Id>")
+      sb.append(s"<ModifiedTime>2024-01-0${s}T00:00:00Z</ModifiedTime>")
+      sb.append(s"<PublicationTime>2024-01-0${s}T00:00:00Z</PublicationTime>")
+      for (d <- 1 to 5) {
+        sb.append("<Deviation>")
+        sb.append(s"<DeviationId>sit$s:d$d</DeviationId>")
+        sb.append(s"<Message>Incident $s-$d</Message>")
+        sb.append("<MessageType>Olycka</MessageType>")
+        sb.append(s"<LocationDescriptor>Plats $d</LocationDescriptor>")
+        sb.append(s"<RoadNumber>E$d</RoadNumber>")
+        sb.append(s"<CountyNo>${d % 3 + 1}</CountyNo>")
+        sb.append(s"<StartTime>2024-01-0${s}T0$d:00:00Z</StartTime>")
+        sb.append(s"<WGS84>POINT (1$d.5 6$d.25)</WGS84>")
+        sb.append("</Deviation>")
+      }
+      sb.append("</Situation>")
+    }
+    sb.append("</RESULT></RESPONSE>")
+    val p = Files.createTempFile("graft-situations", ".xml")
+    Files.writeString(p, sb.toString)
+    p.toString
+  }
+
+  private def read = spark.read.format("graft.sources.PagedXmlSource")
+    .option("path", xmlPath).option("pageSize", "10")
+
+  test("flattens Situation→Deviation to one row each, inheriting parent fields") {
+    val df = read.load()
+    assert(df.count() == 25)
+    val r = df.where(col("deviation_id") === "sit3:d2")
+      .select("situation_id", "modified_time", "message", "county_no").head()
+    assert(r.getString(0) == "sit3")
+    assert(r.getString(1) == "2024-01-03T00:00:00Z")
+    assert(r.getString(2) == "Incident 3-2")
+    assert(r.getInt(3) == 3)
+  }
+
+  test("pages become input partitions") {
+    assert(read.load().rdd.getNumPartitions == 3) // 25 rows / pageSize 10
+  }
+
+  test("time-range filters push into the source and re-partition the scan") {
+    val df = read.load()
+      .where(col("modified_time") > "2024-01-03T12:00:00Z")
+    assert(df.count() == 10) // situations 4,5 → 2×5 deviations
+    // filtered page count shrinks: 10 rows / 10 per page = 1 partition
+    assert(df.rdd.getNumPartitions == 1)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") || plan.contains("GreaterThan"),
+      s"expected pushed filter in plan:\n$plan")
+  }
+
+  test("column pruning reaches the reader") {
+    val df = read.load().select("deviation_id", "wkt")
+    assert(df.schema.fieldNames.toSeq == Seq("deviation_id", "wkt"))
+    assert(df.where(col("wkt").startsWith("POINT")).count() == 25)
+  }
+
+  test("non-time filters are evaluated by Spark, not lost") {
+    val df = read.load().where(col("message_type") === "Olycka")
+    assert(df.count() == 25)
+    assert(read.load().where(col("message_type") === "nope").count() == 0)
+  }
+
+  test("maxPages caps the scan like the reference pagination limit") {
+    val df = spark.read.format("graft.sources.PagedXmlSource")
+      .option("path", xmlPath).option("pageSize", "10").option("maxPages", "2")
+      .load()
+    assert(df.count() == 20) // 2 pages × 10
+  }
+}
