@@ -15,7 +15,36 @@ object Scratch {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (args.headOption.contains("source-probe")) {
+    if (args.headOption.contains("dashboard-probe")) {
+      import org.apache.spark.sql.functions._
+      // full system: ingest the XML window, then run the dashboard over
+      // the published target — the reference's two programs end to end
+      val xml =
+        """<RESPONSE><RESULT><Situation><Id>s1</Id>
+          |<ModifiedTime>2024-01-09T10:00:00Z</ModifiedTime>
+          |<PublicationTime>2024-01-09T10:00:00Z</PublicationTime>
+          |<Deviation><DeviationId>d1</DeviationId><Message>Crash northbound</Message>
+          |<MessageType>Olycka</MessageType><LocationDescriptor>E4 north</LocationDescriptor>
+          |<RoadNumber>E4</RoadNumber><CountyNo>1</CountyNo>
+          |<StartTime>2024-01-09T00:00:00Z</StartTime>
+          |<WGS84>POINT (18.06 59.33)</WGS84></Deviation>
+          |<Deviation><DeviationId>d2</DeviationId><Message>Planned roadwork</Message>
+          |<MessageType>Vägarbete</MessageType><LocationDescriptor>E6</LocationDescriptor>
+          |<RoadNumber>E6</RoadNumber><CountyNo>12</CountyNo>
+          |<StartTime>2024-01-20T00:00:00Z</StartTime>
+          |<WGS84>POINT (13.0 55.6)</WGS84></Deviation>
+          |</Situation></RESULT></RESPONSE>""".stripMargin
+      val dir = java.nio.file.Files.createTempDirectory("graft-dash").toString
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/sit.xml"), xml)
+      val now = expr("TIMESTAMP_NTZ '2024-01-10 00:00:00'")
+      val tgt = Pipeline.runIngest(spark, s"$dir/sit.xml", s"$dir/tgt", now)
+      val base = Dashboard.baseView(spark, tgt, None)
+      println(s"kpis = ${Dashboard.kpis(base)}")
+      Dashboard.countyCounts(base).show(false)
+      Dashboard.applyFilters(base, Dashboard.Filters(freeText = Some("crash")))
+        .select("incident_id", "status", "county_display").show(false)
+      Dashboard.mapPoints(base).show(false)
+    } else if (args.headOption.contains("source-probe")) {
       import org.apache.spark.sql.functions._
       val dir = java.nio.file.Files.createTempDirectory("graft-sp").toString
       val ok = s"$dir/ok.xml"
