@@ -60,11 +60,15 @@ object DedupOps {
     * LSH candidates. Input: token table (id, tok) distinct; pairs from a
     * self equi-join on tok (cheap when restricted to candidates).
     */
-  def jaccardPairs(tokens: DataFrame, id: String): DataFrame = {
+  def jaccardPairs(tokens: DataFrame, id: String,
+      broadcastTokens: Boolean = false): DataFrame = {
     val counts = tokens.groupBy(col(id)).agg(count(lit(1)).as("n"))
     val l = tokens.select(col(id).as("id1"), col("tok"))
     val r = tokens.select(col(id).as("id2"), col("tok"))
-    val inter = l.join(r, "tok").where(col("id1") < col("id2"))
+    // when the pair set is known-small (LSH candidates, bounded subsets)
+    // broadcasting the right side removes the token shuffle entirely
+    val rSide = if (broadcastTokens) broadcast(r) else r
+    val inter = l.join(rSide, "tok").where(col("id1") < col("id2"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("i"))
     inter
       .join(counts.select(col(id).as("id1"), col("n").as("n1")), "id1")
@@ -148,7 +152,7 @@ object DedupOps {
       "q_ngram_jaccard",
       (s, d) => jaccardPairs(
         explodeTokens(Tables.documents(s, d).where(col("doc_id") < 20), "doc_id", "text"),
-        "doc_id").orderBy("id1", "id2"),
+        "doc_id", broadcastTokens = true).orderBy("id1", "id2"),
       Some("""WITH t AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
              |           FROM documents WHERE doc_id < 20),
              |c AS (SELECT doc_id, count(*) AS n FROM t GROUP BY 1),
