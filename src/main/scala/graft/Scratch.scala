@@ -15,7 +15,19 @@ object Scratch {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (args.headOption.contains("dashboard-probe")) {
+    if (args.headOption.contains("ml-probe")) {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      val withDup = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") === 7)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      for (n <- Seq(1, 3)) {
+        val pairs = operators.DedupOps.mlNearDupPairs(withDup, "doc_id", "text",
+          0.3, shingleN = n)
+        println(s"shingleN=$n pairs under distance 0.3 = ${pairs.count()}")
+        pairs.orderBy("jaccard_distance", "id1").show(3, truncate = false)
+      }
+    } else if (args.headOption.contains("dashboard-probe")) {
       import org.apache.spark.sql.functions._
       // full system: ingest the XML window, then run the dashboard over
       // the published target — the reference's two programs end to end

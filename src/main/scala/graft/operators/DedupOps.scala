@@ -20,6 +20,17 @@ object DedupOps {
   def explodeTokens(df: DataFrame, id: String, text: String): DataFrame =
     df.select(col(id), explode(array_distinct(split(col(text), " "))).as("tok"))
 
+  /** Distinct word n-gram shingles as an array column. Unigram token SETS
+    * saturate on small vocabularies (every document contains every word →
+    * Jaccard 1.0 between unrelated docs); shingles of n≥3 keep word order
+    * and discriminate. */
+  def shingles(text: Column, n: Int): Column = {
+    if (n <= 1) return array_distinct(split(text, " "))
+    val toks = split(text, " ")
+    val starts = sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1)))
+    array_distinct(transform(starts, i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
   /** One MinHash signature component: min over the token set of a salted
     * md5 — a different salt per component simulates an independent hash
     * function. Lexicographic min over hex digests is uniform enough and
@@ -89,6 +100,31 @@ object DedupOps {
     val agg = toks.groupBy(col(id)).agg(votes.head, votes.tail: _*)
     agg.select(col(id),
       concat((1 to bits).map(j => when(col(s"s$j") > 0, "1").otherwise("0")): _*).as("simhash"))
+  }
+
+  /** MLlib-assisted fuzzy dedup (SURVEY §2.8 U4 scale path): token sets →
+    * sparse term vectors (HashingTF, binary) → MinHashLSH →
+    * approxSimilarityJoin on Jaccard distance. Fixed seed keeps hash
+    * tables deterministic. Returns (id1, id2, jaccard_distance) for pairs
+    * under `maxDistance`. Complement to the md5-based [[minhashSignature]]
+    * (which exists for engine-portable oracle checks).
+    */
+  def mlNearDupPairs(df: DataFrame, id: String, text: String,
+      maxDistance: Double, numHashTables: Int = 5, shingleN: Int = 1): DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    val toks = df.select(col(id), shingles(col(text), shingleN).as("toks"))
+    val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val vecs = tf.transform(toks)
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(numHashTables).setSeed(42L)
+    val model = lsh.fit(vecs)
+    model.approxSimilarityJoin(vecs, vecs, maxDistance, "dist")
+      .select(
+        col(s"datasetA.$id").as("id1"),
+        col(s"datasetB.$id").as("id2"),
+        round(col("dist"), 4).as("jaccard_distance"))
+      .where(col("id1") < col("id2"))
   }
 
   private val docsWithDups =

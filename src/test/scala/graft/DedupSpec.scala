@@ -45,5 +45,36 @@ class DedupSpec extends SparkSpec {
     assert(sh.forall(_._2.matches("[01]{8}")))
   }
 
+  test("mlNearDupPairs (MinHashLSH) finds exact and near dups, skips unrelated") {
+    val pairs = DedupOps.mlNearDupPairs(docs, "doc_id", "text", maxDistance = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.get((1L, 2L)).contains(0.0)) // exact dup, distance 0
+    assert(pairs.contains((1L, 3L))) // near dup: jaccard 4/6 → distance ~0.333
+    assert(pairs((1L, 3L)) == round4(1 - 4.0 / 6.0))
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("shingles produce ordered word n-grams; short texts degrade gracefully") {
+    val df = Seq("a b c d", "x").toDF("text")
+    val got = df.select(DedupOps.shingles(col("text"), 3).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq("x"))
+  }
+
+  test("shingled MinHashLSH discriminates where unigram sets saturate") {
+    // same token SET, different order → unigram distance 0, shingle distance > 0
+    val perm = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "h g f e d c b a"))
+      .toDF("doc_id", "text")
+    val uni = DedupOps.mlNearDupPairs(perm, "doc_id", "text", 0.9, shingleN = 1)
+      .collect().map(_.getDouble(2))
+    val tri = DedupOps.mlNearDupPairs(perm, "doc_id", "text", 0.9, shingleN = 3)
+      .collect().map(_.getDouble(2))
+    assert(uni.headOption.contains(0.0))
+    assert(tri.headOption.forall(_ > 0.9) || tri.isEmpty)
+  }
+
   private def round4(d: Double): Double = math.round(d * 10000).toDouble / 10000
 }
