@@ -182,6 +182,34 @@ object DedupOps {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    // word-3-gram shingle Jaccard — the discriminating variant (unigram
+    // sets saturate on small vocabularies); same join shape as
+    // q_ngram_jaccard but over ordered shingles
+    QueryDef(
+      "q_shingle_jaccard",
+      (s, d) => {
+        val docs = Tables.documents(s, d).where(col("doc_id") < 20)
+        val toks = docs.select(col("doc_id"),
+          explode(shingles(col("text"), 3)).as("tok")).distinct()
+        jaccardPairs(toks, "doc_id", broadcastTokens = true)
+          .orderBy("id1", "id2")
+      },
+      Some("""WITH t AS (
+             |  SELECT DISTINCT doc_id, unnest(sh) AS tok FROM (
+             |    SELECT doc_id,
+             |      [array_to_string(toks[i:i+2], ' ')
+             |       for i in range(1, greatest(len(toks)-2, 1)+1)] AS sh
+             |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+             |          FROM documents WHERE doc_id < 20))),
+             |c AS (SELECT doc_id, count(*) AS n FROM t GROUP BY 1),
+             |i AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+             |      FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+             |      GROUP BY 1, 2)
+             |SELECT id1, id2,
+             |  round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) AS jaccard
+             |FROM i JOIN c ca ON ca.doc_id = id1 JOIN c cb ON cb.doc_id = id2
+             |ORDER BY id1, id2""".stripMargin)),
+
     // token-set Jaccard over a bounded pair set (the all-pairs form is for
     // verification only; at scale pairs come from lshCandidates)
     QueryDef(
