@@ -42,6 +42,17 @@ object TextAnalysis {
     when(hits >= 2, "en").when(hits === 1, "mixed").otherwise("other")
   }
 
+  /** Stopword profiles for the n-gram language-ID heuristic. */
+  val langProfiles: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|in)\\b",
+    "de" -> "\\b(der|die|das|und|nicht)\\b",
+    "es" -> "\\b(el|la|los|que|y)\\b",
+    "fr" -> "\\b(le|la|les|et|des)\\b")
+
+  /** Per-language stopword hit count. */
+  def profileHits(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
   /** Punctuation character count (quality-scoring signal). */
   def punctCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[.,!?;:]"), lit(0)))
@@ -103,6 +114,34 @@ object TextAnalysis {
              |       ELSE 'other' END AS guess,
              |  lang
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // multi-language profile scoring: hit counts per profile, argmax
+    // guess with a deterministic tiebreak order (en > de > es > fr)
+    QueryDef(
+      "q_lang_profile",
+      (s, d) => {
+        val base = langProfiles.foldLeft(Tables.documents(s, d)) {
+          case (df, (l, p)) => df.withColumn(l, profileHits(col("text"), p))
+        }
+        base.select(
+          col("doc_id"), col("en"), col("de"), col("es"), col("fr"),
+          when(col("en") >= col("de") && col("en") >= col("es") && col("en") >= col("fr"), "en")
+            .when(col("de") >= col("es") && col("de") >= col("fr"), "de")
+            .when(col("es") >= col("fr"), "es")
+            .otherwise("fr").as("guess"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, en, de, es, fr,
+             |  CASE WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+             |       WHEN de >= es AND de >= fr THEN 'de'
+             |       WHEN es >= fr THEN 'es' ELSE 'fr' END AS guess
+             |FROM (SELECT doc_id,
+             |    CAST(len(regexp_extract_all(text, '\b(the|and|of|to|in)\b')) AS INT) AS en,
+             |    CAST(len(regexp_extract_all(text, '\b(der|die|das|und|nicht)\b')) AS INT) AS de,
+             |    CAST(len(regexp_extract_all(text, '\b(el|la|los|que|y)\b')) AS INT) AS es,
+             |    CAST(len(regexp_extract_all(text, '\b(le|la|les|et|des)\b')) AS INT) AS fr
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
 
     // quality scoring: length / punctuation / stopword-density signals
     QueryDef(

@@ -24,6 +24,21 @@ object TimeWindows {
       Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, count(*) AS n
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // sliding window (2h length, 1h slide): each event lands in two
+    // windows; the oracle expands the window membership explicitly
+    QueryDef(
+      "q_sliding_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("w_start"), col("n"))
+        .orderBy("w_start"),
+      Some("""SELECT w_start, count(*) AS n FROM (
+             |  SELECT unnest([date_trunc('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR,
+             |                 date_trunc('hour', CAST(ts AS TIMESTAMP))]) AS w_start
+             |  FROM events)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // session windows, 1-hour inactivity gap; a session's end is
     // last-event + gap (Spark session_window semantics). The oracle is the
     // classic gaps-and-islands rewrite: flag gap-starts, running-sum to a
