@@ -15,7 +15,32 @@ object Scratch {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (args.headOption.contains("ml-probe")) {
+    if (args.headOption.contains("sess-probe")) {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.streaming.Trigger
+      val dir = java.nio.file.Files.createTempDirectory("graft-sessp").toString
+      def runOnce(): Unit = {
+        val stream = spark.readStream
+          .schema("user_id LONG, ts TIMESTAMP, value DOUBLE").parquet(s"$dir/src")
+          .withWatermark("ts", "10 minutes").as[streaming.Sessionize.Ev]
+        streaming.Sessionize.sessions(stream, 60 * 60 * 1000L)
+          .writeStream.format("parquet").option("path", s"$dir/out")
+          .option("checkpointLocation", s"$dir/chk")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          .awaitTermination()
+      }
+      def feed(rows: (Long, String, Double)*): Unit =
+        rows.toSeq.toDF("user_id", "s", "value")
+          .select($"user_id", $"s".cast("timestamp").as("ts"), $"value")
+          .write.mode("append").parquet(s"$dir/src")
+      feed((1L, "2024-01-01 00:00:00", 1.0), (1L, "2024-01-01 00:20:00", 2.0))
+      runOnce()
+      feed((1L, "2024-01-01 06:00:00", 5.0), (2L, "2024-01-01 06:00:00", 9.0))
+      runOnce()
+      println("closed sessions after 2 runs:")
+      spark.read.parquet(s"$dir/out").orderBy("user_id", "session_start").show(false)
+    } else if (args.headOption.contains("ml-probe")) {
       import org.apache.spark.sql.functions._
       val docs = Tables.documents(spark, "/root/testdata/sf0.001")
       val withDup = docs.select(col("doc_id"), col("text"))
