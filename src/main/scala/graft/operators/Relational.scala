@@ -151,6 +151,34 @@ object Relational {
              |  round(quantile_cont(value, 0.9), 4) AS p90
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // cube with grouping markers (distinguishes "NULL because subtotal"
+    // from NULL data)
+    QueryDef(
+      "q_cube_grouping",
+      (s, d) => Tables.events(s, d)
+        .cube(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          grouping("event_type").cast("int").as("g_et"),
+          grouping("user_id").cast("int").as("g_u"))
+        .orderBy(asc_nulls_first("event_type"), asc_nulls_first("user_id")),
+      Some("""SELECT event_type, user_id, count(*) AS n,
+             |  CAST(GROUPING(event_type) AS INT) AS g_et,
+             |  CAST(GROUPING(user_id) AS INT) AS g_u
+             |FROM events GROUP BY CUBE (event_type, user_id)
+             |ORDER BY event_type ASC NULLS FIRST, user_id ASC NULLS FIRST""".stripMargin)),
+
+    // approximate distinct (HyperLogLog++). No oracle: HLL sketches are
+    // implementation-specific, so engines disagree by design — the driver
+    // records the weaker rows-check and RelationalSpec bounds the error
+    // against the exact count.
+    QueryDef(
+      "q_approx_distinct",
+      (s, d) => Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct("user_id").as("n_users_approx"))
+        .orderBy("event_type"),
+      None),
+
     // distinct aggregate (expands to a two-phase plan; at scale prefer
     // approx_count_distinct when exactness isn't required)
     QueryDef(
