@@ -42,8 +42,16 @@ object Dashboard {
     var out = df
     if (f.statuses.nonEmpty) out = out.where(col("status").isin(f.statuses: _*))
     if (f.counties.nonEmpty) out = out.where(col("county_display").isin(f.counties: _*))
-    f.tsFrom.foreach(a => out = out.where(col("start_ts") >= expr(s"TIMESTAMP_NTZ '$a'")))
-    f.tsUntil.foreach(b => out = out.where(col("start_ts") < expr(s"TIMESTAMP_NTZ '$b'")))
+    // lit() + try_to_timestamp, not string interpolation into expr():
+    // filter values are user input — interpolation would allow expression
+    // injection. An unparseable date yields NULL, and the isNull arm
+    // treats it as "filter unset" rather than silently matching nothing.
+    def tsBound(v: String, cmp: Column => Column): Column = {
+      val parsed = try_to_timestamp(lit(v)).cast("timestamp_ntz")
+      parsed.isNull || cmp(parsed)
+    }
+    f.tsFrom.foreach(a => out = out.where(tsBound(a, col("start_ts") >= _)))
+    f.tsUntil.foreach(b => out = out.where(tsBound(b, col("start_ts") < _)))
     f.freeText.foreach { q =>
       out = out.where(CoreQueries.textSearch(
         Seq(col("message"), col("location_descriptor"), col("road_number")), q))

@@ -88,16 +88,20 @@ object Pipeline {
     * parquet target (reference §3.1 extract/transform/load). Idempotent:
     * re-running the same window leaves the target unchanged. */
   def runIngest(spark: SparkSession, xmlPath: String, targetDir: String,
-      nowLit: Column, pageSize: Int = 500): DataFrame = {
+      nowLit: Column, pageSize: Int = 500,
+      maxPages: Int = Int.MaxValue): DataFrame = {
+    // maxPages defaults to unlimited here: the connector's page cap is an
+    // API-client safety valve (reference max_pages=20), but an ingest
+    // that silently truncates its window would corrupt the target
     val raw = spark.read.format("graft.sources.PagedXmlSource")
-      .option("path", xmlPath).option("pageSize", pageSize.toString).load()
+      .option("path", xmlPath).option("pageSize", pageSize.toString)
+      .option("maxPages", maxPages.toString).load()
     val normalized = normalizeIncidents(spark, raw, nowLit)
-    val fs = new java.io.File(targetDir)
-    val merged =
-      if (fs.exists() && fs.listFiles().exists(_.getName.endsWith(".parquet")))
-        CoreQueries.upsert(spark.read.parquet(targetDir), normalized, Seq("incident_id"))
-      else normalized
-    merged.localCheckpoint(true).write.mode("overwrite").parquet(targetDir)
+    val merged = AtomicPublish.readIfExists(spark, targetDir) match {
+      case Some(t) => CoreQueries.upsert(t, normalized, Seq("incident_id"))
+      case None => normalized
+    }
+    AtomicPublish.overwrite(merged, targetDir)
     spark.read.parquet(targetDir)
   }
 }

@@ -15,7 +15,44 @@ object Scratch {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (args.headOption.contains("sess-probe")) {
+    if (args.headOption.contains("fix-probe")) {
+      import org.apache.spark.sql.functions._
+      val xml =
+        """<RESPONSE><RESULT><Situation><Id>s1</Id>
+          |<ModifiedTime>2024-01-09T10:00:00Z</ModifiedTime>
+          |<PublicationTime>2024-01-09T10:00:00Z</PublicationTime>
+          |<Deviation><DeviationId>d1</DeviationId><Message>Crash</Message>
+          |<MessageType>Olycka</MessageType><LocationDescriptor>E4</LocationDescriptor>
+          |<RoadNumber>E4</RoadNumber><CountyNo>1</CountyNo>
+          |<StartTime>2024-01-09T00:00:00Z</StartTime>
+          |<WGS84>POINT (18 59)</WGS84></Deviation>
+          |<Deviation><DeviationId>d2</DeviationId><Message>Roadwork</Message>
+          |<MessageType>Vägarbete</MessageType><LocationDescriptor>E6</LocationDescriptor>
+          |<RoadNumber>E6</RoadNumber><CountyNo>12</CountyNo>
+          |<StartTime>2024-01-20T00:00:00Z</StartTime>
+          |<WGS84>POINT (13 55)</WGS84></Deviation>
+          |</Situation></RESULT></RESPONSE>""".stripMargin
+      val dir = java.nio.file.Files.createTempDirectory("graft-fix").toString
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/sit.xml"), xml)
+      val now = expr("TIMESTAMP_NTZ '2024-01-10 00:00:00'")
+      Pipeline.runIngest(spark, s"$dir/sit.xml", s"$dir/tgt", now)
+      // simulate a crash between the two publish renames: target gone,
+      // backup present — the next ingest must recover from .bak
+      val t = new java.io.File(s"$dir/tgt")
+      assert(t.renameTo(new java.io.File(s"$dir/tgt.bak")))
+      val recovered = Pipeline.runIngest(spark, s"$dir/sit.xml", s"$dir/tgt", now)
+      println(s"recovered rows after simulated crash = ${recovered.count()}")
+      // malformed dashboard date filter: must filter nothing out cleanly
+      val base = Dashboard.baseView(spark, recovered, None, cache = false)
+      val n = Dashboard.applyFilters(base,
+        Dashboard.Filters(tsFrom = Some("01/05/2024 not-a-date"))).count()
+      println(s"rows under malformed tsFrom filter = $n (no throw)")
+      // truncated scan warning
+      spark.read.format("graft.sources.PagedXmlSource")
+        .option("path", s"$dir/sit.xml").option("pageSize", "1").option("maxPages", "1")
+        .load().count()
+      println("maxPages=1 scan done (see warning above)")
+    } else if (args.headOption.contains("sess-probe")) {
       import spark.implicits._
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.streaming.Trigger
@@ -145,11 +182,12 @@ object Scratch {
       val kpi = st.select(col("status")).as[String]
         .select(functions.KpiAggregator.byStatus.toColumn).head()
       println(s"kpi: $kpi")
-      // skew-salted agg on a deliberately hot key
+      // skew-salted distinct count on a deliberately hot key
       val skewed = spark.range(0, 100000)
-        .select(when(col("id") % 100 =!= 0, lit("hot")).otherwise(lit("cold")).as("k"))
-      println("salted:")
-      operators.Skew.saltedCount(skewed, Seq("k"), 16).orderBy("k").show()
+        .select(when(col("id") % 100 =!= 0, lit("hot")).otherwise(lit("cold")).as("k"),
+          col("id").as("v"))
+      println("salted distinct:")
+      operators.Skew.saltedDistinctCount(skewed, Seq("k"), "v", 16).orderBy("k").show()
       // extensions-built session (separate context-sharing session)
       GraftFunctions.registerAll(spark)
       spark.sql("SELECT wkt_centroid('LINESTRING (0 0, 2 0, 2 2)') AS c, " +

@@ -44,8 +44,16 @@ case class DotProduct(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
+    // a NULL element poisons the whole product (matches the composed
+    // zip_with/aggregate form, where null * v → null propagates through
+    // the fold) — getDouble on a null slot would silently read 0.0
     var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      i += 1
+    }
+    var acc = 0.0
+    i = 0
     (elemType(left), elemType(right)) match {
       case (FloatType, FloatType) =>
         while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }

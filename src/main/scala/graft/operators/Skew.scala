@@ -1,37 +1,38 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Skew mitigation for hot grouping keys (100 TB design point): when one
-  * key holds a disproportionate share of rows, the single reducer owning
-  * it becomes the stage's straggler. Salting splits each key into
-  * `buckets` sub-keys for a partial aggregate, then combines partials in
-  * a second (tiny) shuffle.
+/** Skew mitigation for hot grouping keys (100 TB design point).
   *
-  * AQE's skew-join handling covers joins; this utility covers
-  * aggregations, which AQE does not re-balance. Only reassociatable
-  * aggregates (count/sum/min/max) are supported — exactly the ones whose
-  * partial+final decomposition is lossless.
+  * Decomposable aggregates (count/sum/min/max) do NOT need salting:
+  * map-side partial aggregation already reduces every key to at most one
+  * row per input partition before the shuffle, so a hot key's reducer
+  * receives ≤ numPartitions tiny partials. Salting those would add a
+  * shuffle and make things strictly slower.
+  *
+  * The genuine straggler cases are aggregates whose per-key state is
+  * itself huge — countDistinct (the final per-key reducer receives every
+  * distinct value) and collect-style aggregates. There, bucketing by a
+  * hash of the VALUE splits the hot key's state across `buckets`
+  * reducers, and a second (tiny) shuffle combines exact partials.
+  * AQE's skew handling covers joins only; these cover aggregation.
   */
 object Skew {
 
-  /** Salted group-by-count. Salt is derived from a hash of the full row's
-    * partition-local position, which is irrelevant to the result (counts
-    * re-combine exactly); `buckets` bounds the fan-out of the hot key. */
-  def saltedCount(df: DataFrame, keys: Seq[String], buckets: Int): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(spark_partition_id(), lit(buckets)))
-    val partial = salted.groupBy((keys :+ "__salt").map(col): _*)
-      .agg(count(lit(1)).as("__pn"))
-    partial.groupBy(keys.map(col): _*).agg(sum("__pn").as("n"))
-  }
-
-  /** Salted sum over a numeric column (same two-phase shape). */
-  def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String, buckets: Int): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(spark_partition_id(), lit(buckets)))
-    val partial = salted.groupBy((keys :+ "__salt").map(col): _*)
-      .agg(sum(valueCol).as("__ps"))
-    partial.groupBy(keys.map(col): _*).agg(sum("__ps").as(s"sum_$valueCol"))
+  /** Exact distinct count per key, hot-key safe: stage 1 groups by
+    * (key, hash(value) % buckets) — value-hash buckets partition the
+    * distinct value set disjointly, so stage 2's per-key sum of bucket
+    * counts is exact, and no reducer ever holds more than ~1/buckets of
+    * a hot key's values. */
+  def saltedDistinctCount(df: DataFrame, keys: Seq[String], valueCol: String,
+      buckets: Int): DataFrame = {
+    val partial = df
+      .withColumn("__salt", pmod(hash(col(valueCol)), lit(buckets)))
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(countDistinct(col(valueCol)).as("__pd"))
+    partial.groupBy(keys.map(col): _*)
+      .agg(sum("__pd").as(s"n_distinct_$valueCol"))
   }
 
   /** Salted broadcast-side replication for a skewed join: replicate each

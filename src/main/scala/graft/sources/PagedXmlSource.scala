@@ -88,9 +88,25 @@ object PagedXmlSource {
     case _ => true
   }
 
+  // Memoize the last parsed document per JVM keyed by (path, mtime): the
+  // planner counts pages and every partition reader slices the same
+  // parse, so without this a k-page scan DOM-parses the file k+1 times.
+  // (A real HTTP source fetches per page server-side; the local-file
+  // stand-in shares the parse instead.)
+  @volatile private var cache: (String, Long, Seq[Map[String, Any]]) = null
+
+  private[sources] def parseRows(path: String): Seq[Map[String, Any]] = {
+    val mtime = new java.io.File(path).lastModified()
+    val c = cache
+    if (c != null && c._1 == path && c._2 == mtime) return c._3
+    val rows = doParse(path)
+    cache = (path, mtime, rows)
+    rows
+  }
+
   /** DOM-parse the document and flatten to per-Deviation row maps (the
     * per-partition equivalent of one page fetch + parse). */
-  private[sources] def parseRows(path: String): Seq[Map[String, Any]] = {
+  private def doParse(path: String): Seq[Map[String, Any]] = {
     val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
       .newDocumentBuilder().parse(new java.io.File(path))
     def text(e: org.w3c.dom.Element, tag: String): String = {
@@ -162,7 +178,8 @@ private[sources] class PagedXmlScanBuilder(options: CaseInsensitiveStringMap)
 }
 
 private[sources] class PagedXmlScan(path: String, pageSize: Int, maxPages: Int,
-    filters: Array[Filter], required: StructType) extends Scan with Batch {
+    filters: Array[Filter], required: StructType)
+    extends Scan with Batch with org.apache.spark.internal.Logging {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -174,12 +191,17 @@ private[sources] class PagedXmlScan(path: String, pageSize: Int, maxPages: Int,
       s"ReadSchema: ${required.catalogString}"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // cheap driver-side page count (the cursor-pagination analogue: how
-    // many pages exist after server-side filtering); rows are parsed
-    // executor-side per partition
+    // driver-side page count (the cursor-pagination analogue: how many
+    // pages exist after server-side filtering); the parse is memoized so
+    // partition readers reuse it
     val n = PagedXmlSource.parseRows(path)
       .count(r => filters.forall(PagedXmlSource.eval(_, r)))
-    val pages = math.min(maxPages, math.max(1, (n + pageSize - 1) / pageSize))
+    val needed = math.max(1, (n + pageSize - 1) / pageSize)
+    val pages = math.min(maxPages, needed)
+    if (pages < needed) {
+      logWarning(s"paged_xml($path): maxPages=$maxPages truncates the scan to " +
+        s"${pages.toLong * pageSize} of $n rows — raise maxPages if this is an ingest")
+    }
     (0 until pages).map(p => PagedXmlPartition(p): InputPartition).toArray
   }
 

@@ -27,20 +27,13 @@ object IncrementalUpsert {
     */
   def mergeBatch(spark: SparkSession, batch: DataFrame, targetDir: String,
       keys: Seq[String], versionCol: String): Unit = {
-    val fs = new java.io.File(targetDir)
-    val current =
-      if (fs.exists() && fs.listFiles().exists(_.getName.endsWith(".parquet")))
-        Some(spark.read.parquet(targetDir))
-      else None
     val deduped = CoreQueries.latestWins(
       batch, keys, Seq(col(versionCol).desc))
-    val merged = current match {
+    val merged = graft.AtomicPublish.readIfExists(spark, targetDir) match {
       case Some(t) => CoreQueries.upsert(t, deduped, keys)
       case None => deduped
     }
-    // break lineage on the target before overwriting it
-    val snapshot = merged.localCheckpoint(true)
-    snapshot.write.mode("overwrite").parquet(targetDir)
+    graft.AtomicPublish.overwrite(merged, targetDir)
   }
 
   /** Wire a streaming DataFrame into the watermark → dropDuplicates →

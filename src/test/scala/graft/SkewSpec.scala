@@ -6,23 +6,17 @@ import org.apache.spark.sql.functions._
 class SkewSpec extends SparkSpec {
   import spark.implicits._
 
-  // 10k rows of hot key + a cold tail — the shape that straggles a reducer
+  // hot key with many distinct values + a cold tail — the shape whose
+  // per-key distinct state straggles a reducer
   private lazy val skewed = spark.range(0, 10000).select(lit("hot").as("k"), col("id").as("v"))
-    .unionByName(spark.range(0, 50).select(concat(lit("cold"), col("id")).as("k"), col("id").as("v")))
+    .unionByName(spark.range(0, 50).select(concat(lit("cold"), col("id")).as("k"), (col("id") % 7).as("v")))
+    .unionByName(spark.range(0, 100).select(lit("hot").as("k"), (col("id") % 100).as("v"))) // dup values
     .repartition(8)
 
-  test("saltedCount equals plain groupBy count") {
-    val plain = skewed.groupBy("k").agg(count(lit(1)).as("n"))
+  test("saltedDistinctCount equals plain countDistinct") {
+    val plain = skewed.groupBy("k").agg(countDistinct("v").as("n"))
       .orderBy("k").as[(String, Long)].collect()
-    val salted = Skew.saltedCount(skewed, Seq("k"), 16)
-      .orderBy("k").as[(String, Long)].collect()
-    assert(salted.toSeq == plain.toSeq)
-  }
-
-  test("saltedSum equals plain groupBy sum") {
-    val plain = skewed.groupBy("k").agg(sum("v").as("s"))
-      .orderBy("k").as[(String, Long)].collect()
-    val salted = Skew.saltedSum(skewed, Seq("k"), "v", 16)
+    val salted = Skew.saltedDistinctCount(skewed, Seq("k"), "v", 16)
       .orderBy("k").as[(String, Long)].collect()
     assert(salted.toSeq == plain.toSeq)
   }
@@ -43,7 +37,10 @@ class SkewSpec extends SparkSpec {
     GraftFunctions.registerAll(spark)
     val r = spark.sql(
       "SELECT wkt_centroid('POINT (3 4)').lat AS lat, " +
-        "dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp").head()
+        "dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp, " +
+        "dot_product(array(1.0D, CAST(NULL AS DOUBLE)), array(2.0D, 3.0D)) AS dp_null")
+      .head()
     assert(r.getDouble(0) == 4.0 && r.getDouble(1) == 11.0)
+    assert(r.isNullAt(2)) // null element poisons the product
   }
 }
