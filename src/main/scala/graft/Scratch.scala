@@ -52,6 +52,12 @@ object Scratch {
         .option("path", s"$dir/sit.xml").option("pageSize", "1").option("maxPages", "1")
         .load().count()
       println("maxPages=1 scan done (see warning above)")
+      // multimodal resize + frame-sample stages over real documents
+      val pay = operators.Multimodal.withPayload(
+        Tables.documents(spark, "/root/testdata/sf0.001").limit(10))
+      operators.Multimodal.resizeAll(spark, pay, 16, 16)
+        .agg(count(lit(1)).as("docs"), max("n_bytes").as("max_bytes")).show()
+      println(s"frames = ${operators.Multimodal.sampleFrames(spark, pay, 4).count()}")
     } else if (args.headOption.contains("sess-probe")) {
       import spark.implicits._
       import org.apache.spark.sql.functions._

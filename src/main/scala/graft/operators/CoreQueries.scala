@@ -433,7 +433,11 @@ object CoreQueries {
              |ORDER BY c_custkey""".stripMargin)),
 
     // S4 nest → explode round-trip (reference XML Situation/Deviation
-    // flatten, src/trv/endpoints.py:107-163)
+    // flatten, src/trv/endpoints.py:107-163). Scale note: collect_list
+    // materializes one group's whole array in a single task — fine here
+    // (the nested shape is the source format being demonstrated), but a
+    // hot key with millions of children needs pre-bucketing or streaming
+    // flatten at the source (which PagedXmlSource does).
     QueryDef(
       "q_explode",
       (s, d) => Tables.events(s, d)

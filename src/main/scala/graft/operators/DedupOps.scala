@@ -4,7 +4,11 @@ import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Corpus-scale deduplication (north-star scope): exact hash-dedup,
+/** Corpus-scale deduplication (north-star scope), generalizing the
+  * reference's exact dedups (composite-key keep-first
+  * src/trv/transform.py:111-114, latest-wins-by-id
+  * src/trv/transform.py:116-118, cross-page seen-ids
+  * src/trv/endpoints.py:177-202): exact hash-dedup,
   * MinHash signatures + LSH band-bucket candidate join, SimHash, and
   * n-gram Jaccard verification.
   *

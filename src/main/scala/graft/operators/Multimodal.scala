@@ -37,6 +37,60 @@ object Multimodal {
   def stubDecodeDims(nBytes: Int): (Int, Int) =
     (32 + nBytes % 32, 32 + (nBytes / 64) % 32)
 
+  /** STUB resize: a real implementation would decode, scale, and
+    * re-encode; this deterministic fake keeps the contract — binary in,
+    * binary out, output length a function of the target dims — so
+    * downstream stages (storage sizing, schema) are exercised for real. */
+  def stubResize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](math.min(payload.length, w * h))
+    var i = 0
+    while (i < out.length) { out(i) = payload(i % payload.length); i += 1 }
+    out
+  }
+
+  /** STUB frame sampling: a real implementation would decode a video
+    * container and grab every k-th frame; the fake slices the payload
+    * into `frames` equal chunks. Output shape (array<binary> with frame
+    * index struct) is the real contract. */
+  def stubFrameSample(payload: Array[Byte], frames: Int): Seq[(Int, Array[Byte])] = {
+    val n = math.max(1, frames)
+    val step = math.max(1, payload.length / n)
+    (0 until n).map(i => i -> payload.slice(i * step, math.min((i + 1) * step, payload.length)))
+  }
+
+  /** Resize stage over the payload column: partition-parallel, no driver
+    * involvement (the 100 TB contract — payload bytes move executor to
+    * executor only). */
+  def resizeAll(spark: SparkSession, withBytes: DataFrame, w: Int, h: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("resized", BinaryType),
+      StructField("n_bytes", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    withBytes.select("doc_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        val out = stubResize(r.getAs[Array[Byte]](1), w, h)
+        Row(r.getLong(0), out, out.length)
+      }
+    }(enc).toDF()
+  }
+
+  /** Frame-sample stage: one row per (doc, frame). */
+  def sampleFrames(spark: SparkSession, withBytes: DataFrame, frames: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("frame", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    withBytes.select("doc_id", "payload").mapPartitions { it =>
+      it.flatMap { r =>
+        stubFrameSample(r.getAs[Array[Byte]](1), frames).map {
+          case (i, b) => Row(r.getLong(0), i, b)
+        }
+      }
+    }(enc).toDF()
+  }
+
   /** Partition-parallel feature extraction over binary payloads. Runs as
     * `mapPartitions` so a real decoder could batch/reuse native resources
     * per partition (the JVM analogue of a Pandas-UDF batch loop). */

@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 
 /** Relational breadth beyond strict reference parity: multi-way joins,
   * semi/anti joins, window functions, rollup, distinct aggregates. The
-  * reference's only join is a tiny dim lookup (SURVEY §2.6 note), but a
+  * reference's only join is a tiny dim lookup
+  * (src/trv/transform.py:78-81; SURVEY §2.6 note), but a
   * drop-in engine at 100 TB needs the full relational algebra; plans here
   * are written so Catalyst can pick broadcast vs sort-merge per side
   * (explicit `broadcast()` only on genuinely small dims).

@@ -3,8 +3,9 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.functions._
 
-/** Event-time windowing beyond the reference's daily trend (SURVEY §2.6
-  * A3): tumbling windows via `window()` and sessionization via
+/** Event-time windowing beyond the reference's daily trend (the tumbling
+  * 1-day count at src/app/streamlit_app.py:483-486, SURVEY §2.6 A3):
+  * tumbling/sliding windows via `window()` and sessionization via
   * `session_window()`. Both are streaming-ready (the same expressions work
   * under `readStream` + watermark); batch oracles use date_trunc and a
   * gaps-and-islands rewrite respectively.

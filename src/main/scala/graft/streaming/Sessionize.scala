@@ -6,6 +6,8 @@ import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Custom stateful sessionization via `flatMapGroupsWithState` — the
+  * reference has no session concept (SURVEY §2.7 note: "no session
+  * windows"); this is north-star scope for event-stream analytics —
   * arbitrary-state counterpart to the SQL `session_window` operator
   * (operators.TimeWindows): use this form when a session needs state the
   * built-in can't carry (running aggregates, per-session caps, custom

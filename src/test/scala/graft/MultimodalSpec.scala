@@ -25,6 +25,17 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(r => r.getString(0) == r.getString(1)))
   }
 
+  test("resize and frame-sample stages keep the binary contract, executor-side") {
+    val docs = Tables.documents(spark, sf).limit(20)
+    val payloads = Multimodal.withPayload(docs)
+    val resized = Multimodal.resizeAll(spark, payloads, 16, 16)
+    assert(resized.count() == 20)
+    assert(resized.agg(max("n_bytes")).head().getInt(0) <= 256)
+    val frames = Multimodal.sampleFrames(spark, payloads, 4)
+    assert(frames.count() == 80) // 4 frames per doc
+    assert(frames.groupBy("doc_id").count().agg(min("count")).head().getLong(0) == 4)
+  }
+
   test("stub decode dims are deterministic and in range") {
     val (w, h) = Multimodal.stubDecodeDims(1000)
     assert((w, h) == Multimodal.stubDecodeDims(1000))
