@@ -373,6 +373,31 @@ object CoreQueries {
       Some("""SELECT user_id, count(*) AS n FROM events GROUP BY 1
              |ORDER BY n DESC, user_id LIMIT 10""".stripMargin)),
 
+    // A1 via the typed Aggregator (U7): one-pass KPI fold over the derived
+    // status stream; must agree with the conditional-count oracle
+    QueryDef(
+      "q_kpi_udaf",
+      (s, d) => {
+        import s.implicits._
+        val status = graft.SparkEntry.queries("q_status_case")(s, d)
+          .select("status").as[String]
+        // typed select: the aggregator yields Dataset[Kpi], whose case
+        // class fields become the output columns
+        status.select(graft.functions.KpiAggregator.byStatus.toColumn).toDF()
+      },
+      Some(s"""SELECT count(CASE WHEN status = 'PÅGÅR' THEN 1 END) AS ongoing,
+              |  count(CASE WHEN status = 'KOMMANDE' THEN 1 END) AS upcoming,
+              |  count(*) AS total
+              |FROM (
+              |  SELECT CASE WHEN ts2 > TIMESTAMP '${Fixtures.NowLit}' THEN 'KOMMANDE'
+              |              WHEN end_ts IS NULL OR end_ts > TIMESTAMP '${Fixtures.NowLit}' THEN 'PÅGÅR'
+              |         END AS status
+              |  FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts2,
+              |          CASE WHEN event_id % 3 = 0 THEN NULL
+              |               ELSE CAST(ts AS TIMESTAMP) + INTERVAL 5 DAY END AS end_ts
+              |        FROM events))
+              |WHERE status IS NOT NULL""".stripMargin)),
+
     // A1 conditional-count KPIs (src/app/streamlit_app.py:254-257)
     QueryDef(
       "q_kpi_counts",

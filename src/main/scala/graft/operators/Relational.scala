@@ -180,6 +180,17 @@ object Relational {
         .orderBy("event_type"),
       None),
 
+    // the skew-salted distinct count must agree with the plain one —
+    // declaring it puts Skew.saltedDistinctCount under the oracle gate
+    QueryDef(
+      "q_salted_distinct",
+      (s, d) => Skew.saltedDistinctCount(
+        Tables.events(s, d), Seq("event_type"), "user_id", 16)
+        .withColumnRenamed("n_distinct_user_id", "n_users")
+        .orderBy("event_type"),
+      Some("""SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // distinct aggregate (expands to a two-phase plan; at scale prefer
     // approx_count_distinct when exactness isn't required)
     QueryDef(
