@@ -197,7 +197,8 @@ object Scratch {
       // extensions-built session (separate context-sharing session)
       GraftFunctions.registerAll(spark)
       spark.sql("SELECT wkt_centroid('LINESTRING (0 0, 2 0, 2 2)') AS c, " +
-        "dot_product(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)), array(3.0D, 4.0D)) AS dp")
+        "dot_product(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)), array(3.0D, 4.0D)) AS dp, " +
+        "rolling_hash('spark shingle') AS rh, rolling_hash('spark shingl') AS rh2")
         .show(false)
     } else if (args.headOption.contains("session-probe")) {
       import spark.implicits._

@@ -80,4 +80,77 @@ object ArrayMath {
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(
       DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column-API rolling hash (see [[RollingHash]]). */
+  def rollingHash(s: Column): Column =
+    ColumnBridge.column(RollingHash(ColumnBridge.expression(s)))
+}
+
+/** Rabin–Karp polynomial rolling hash over a string's UTF-8 bytes:
+  * `h = Σ b_i · B^(n-1-i) mod M` with B=257, M=2^61−1 (a Mersenne prime,
+  * so the reduction is two shifts and an add — no division). The
+  * composable property (`hash(xy) = hash(x)·B^|y| + hash(y)`) is what
+  * makes shingle fingerprints O(1) per slide at corpus scale, unlike a
+  * cryptographic digest recomputed per window (TextAnalysis.fingerprint's
+  * md5 is for whole-document identity; this is for windows).
+  * Deterministic, engine-independent, and a tight primitive loop.
+  */
+case class RollingHash(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"rolling_hash requires a string input, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    RollingHash.hashBytes(bytes)
+  }
+
+  override def prettyName: String = "rolling_hash"
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+object RollingHash {
+  val Base = 257L
+  val Mod = (1L << 61) - 1 // Mersenne prime 2^61-1
+
+  private def mulMod(a: Long, b: Long): Long = {
+    // 61-bit modular multiply via Math.multiplyHigh (Java 9+)
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    // fold 128-bit product into 61 bits: (x mod 2^61) + (x >> 61)
+    var r = (lo & Mod) + ((hi << 3) | (lo >>> 61))
+    if (r >= Mod) r -= Mod
+    r
+  }
+
+  def hashBytes(bytes: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = mulMod(h, Base) + (bytes(i) & 0xffL)
+      if (h >= Mod) h -= Mod
+      i += 1
+    }
+    h
+  }
+
+  /** hash(x concat y) from hash(x), hash(y), |y| — the composition law
+    * rolling windows rely on. */
+  def combine(hx: Long, hy: Long, yLen: Int): Long = {
+    var p = 1L
+    var i = 0
+    while (i < yLen) { p = mulMod(p, Base); i += 1 }
+    var r = mulMod(hx, p) + hy
+    if (r >= Mod) r -= Mod
+    r
+  }
 }
