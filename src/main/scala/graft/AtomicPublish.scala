@@ -27,15 +27,19 @@ object AtomicPublish {
   }
 
   /** Write `df` as the new content of `targetDir`: tmp write → backup
-    * swap → cleanup. `df` may read from the current target. */
+    * swap → cleanup. `df` may read from the current target (or the
+    * backup, on a recovery re-run). Ordering invariant: at every instant
+    * either `targetDir` or `targetDir.bak` holds a complete table — in
+    * particular, on a recovery run (no target, only .bak) the new table
+    * is published BEFORE the backup is deleted. */
   def overwrite(df: DataFrame, targetDir: String): Unit = {
     val target = new File(targetDir)
     val tmp = new File(targetDir + ".tmp")
     val bak = new File(targetDir + ".bak")
     deleteRecursively(tmp)
     df.write.mode("overwrite").parquet(tmp.getPath)
-    deleteRecursively(bak)
     if (target.exists()) {
+      deleteRecursively(bak)
       require(target.renameTo(bak), s"could not stage backup of $targetDir")
     }
     require(tmp.renameTo(target), s"could not publish $targetDir")

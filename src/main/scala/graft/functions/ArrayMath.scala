@@ -143,13 +143,24 @@ object RollingHash {
     h
   }
 
+  /** B^e mod M by square-and-multiply — O(log e), so window slides that
+    * combine per position stay O(1)-ish rather than O(window). */
+  def powMod(e: Long): Long = {
+    var result = 1L
+    var base = Base
+    var k = e
+    while (k > 0) {
+      if ((k & 1) == 1) result = mulMod(result, base)
+      base = mulMod(base, base)
+      k >>= 1
+    }
+    result
+  }
+
   /** hash(x concat y) from hash(x), hash(y), |y| — the composition law
     * rolling windows rely on. */
   def combine(hx: Long, hy: Long, yLen: Int): Long = {
-    var p = 1L
-    var i = 0
-    while (i < yLen) { p = mulMod(p, Base); i += 1 }
-    var r = mulMod(hx, p) + hy
+    var r = mulMod(hx, powMod(yLen)) + hy
     if (r >= Mod) r -= Mod
     r
   }

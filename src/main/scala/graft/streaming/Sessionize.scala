@@ -49,12 +49,21 @@ object Sessionize {
     for (e <- events.toSeq.sortBy(_.ts.getTime)) {
       val t = e.ts.getTime
       open match {
-        case Some(s) if t - s.lastMs <= gapMs =>
-          open = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1,
+        // session_window semantics: event [t, t+gap) merges iff it
+        // overlaps the open session [start, last+gap) — on either side
+        // (a late-but-overlapping event may LOWER the start)
+        case Some(s) if t <= s.lastMs + gapMs && t + gapMs >= s.startMs =>
+          open = Some(s.copy(startMs = math.min(s.startMs, t),
+            lastMs = math.max(s.lastMs, t), n = s.n + 1,
             total = s.total + e.value))
-        case Some(s) =>
+        case Some(s) if t > s.lastMs + gapMs =>
+          // strictly after: close the open session, start a new one
           closed += toSession(user, s, gapMs)
           open = Some(SessionState(t, t, 1, e.value))
+        case Some(s) =>
+          // strictly before (disjoint late event): it can never merge
+          // with anything newer, emit it as its own closed session
+          closed += toSession(user, SessionState(t, t, 1, e.value), gapMs)
         case None =>
           open = Some(SessionState(t, t, 1, e.value))
       }
@@ -62,7 +71,13 @@ object Sessionize {
     open match {
       case Some(s) =>
         state.update(s)
-        state.setTimeoutTimestamp(s.lastMs + gapMs)
+        // a timeout below the current watermark is rejected by Spark —
+        // clamp when a late event re-opened state after its natural close
+        // (batch mode has no watermark: getCurrentWatermarkMs throws)
+        val wm =
+          try state.getCurrentWatermarkMs()
+          catch { case scala.util.control.NonFatal(_) => Long.MinValue }
+        state.setTimeoutTimestamp(math.max(s.lastMs + gapMs, wm + 1))
       case None => state.remove()
     }
     closed.result().iterator

@@ -24,6 +24,15 @@ class RollingHashSpec extends SparkSpec {
     assert(RollingHash.combine(hx, hy, y.getBytes("UTF-8").length) == whole)
   }
 
+  test("powMod agrees with iterated multiplication") {
+    var p = 1L
+    for (e <- 0 to 70) {
+      assert(RollingHash.powMod(e) == p, s"e=$e")
+      // iterate using the same 61-bit modular multiply
+      p = RollingHash.combine(p, 0L, 1) // p * B^1 + 0
+    }
+  }
+
   test("type check rejects non-string input at analysis time") {
     val e = intercept[org.apache.spark.sql.AnalysisException] {
       Seq(1).toDF("n").select(ArrayMath.rollingHash(col("n"))).collect()
