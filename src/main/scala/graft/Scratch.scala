@@ -58,6 +58,17 @@ object Scratch {
       operators.Multimodal.resizeAll(spark, pay, 16, 16)
         .agg(count(lit(1)).as("docs"), max("n_bytes").as("max_bytes")).show()
       println(s"frames = ${operators.Multimodal.sampleFrames(spark, pay, 4).count()}")
+      // physical layout: bucketed join plan + partition pruning
+      spark.sql("DROP TABLE IF EXISTS probe_bucketed")
+      operators.Layout.writeBucketed(
+        Tables.events(spark, "/root/testdata/sf0.001").select("event_id", "user_id"),
+        "probe_bucketed", 8, Seq("user_id"))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.table("probe_bucketed").groupBy("user_id").count().explain()
+      val pdir = dir + "/daily"
+      operators.Layout.writeDailyPartitioned(
+        Tables.events(spark, "/root/testdata/sf0.001"), "ts", pdir)
+      operators.Layout.readDays(spark, pdir, "2024-01-10", "2024-01-12").explain()
     } else if (args.headOption.contains("sess-probe")) {
       import spark.implicits._
       import org.apache.spark.sql.functions._
