@@ -33,6 +33,19 @@ object Similarity {
     dot(a, b) / (n1 * n2)
   }
 
+  /** Symmetric int8 quantization of a unit-scale float vector: x →
+    * round(x·127) clamped to [-127, 127]. 4× smaller than float32 at
+    * ~1% cosine error — the standard storage/bandwidth lever for
+    * billion-vector similarity search (dequantize with [[dequantize]]
+    * or compute directly on int8 with a scaled dot product). */
+  def quantizeInt8(v: Column): Column =
+    transform(v, x =>
+      greatest(lit(-127), least(lit(127), round(x * 127).cast("int"))))
+
+  /** Inverse of [[quantizeInt8]] (lossy). */
+  def dequantize(q: Column): Column =
+    transform(q, x => x.cast("double") / 127.0)
+
   /** Sign-bit hyperplane LSH signature over the first `bits` dimensions:
     * a '1'/'0' string. Vectors in the same bucket are ANN candidates. */
   def signBits(v: Column, bits: Int): Column =
@@ -189,6 +202,29 @@ object Similarity {
              |      FROM sims)
              |SELECT qid, vec_id, cluster, sim, rn FROM r WHERE rn <= 3
              |ORDER BY qid, rn""".stripMargin)),
+
+    // int8 quantization integrity: exact integer digests of the quantized
+    // vectors (sum/min/max are deterministic ints; the array itself stays
+    // engine-internal)
+    QueryDef(
+      "q_embed_quantize",
+      (s, d) => Tables.embeddings(s, d)
+        .select(
+          col("vec_id"),
+          aggregate(quantizeInt8(asDouble(col("embedding"))), lit(0L),
+            (acc, x) => acc + x).as("q_sum"),
+          array_min(quantizeInt8(asDouble(col("embedding")))).as("q_min"),
+          array_max(quantizeInt8(asDouble(col("embedding")))).as("q_max"))
+        .orderBy("vec_id"),
+      Some("""SELECT vec_id,
+             |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+             |  CAST(list_min(q) AS INT) AS q_min,
+             |  CAST(list_max(q) AS INT) AS q_max
+             |FROM (SELECT vec_id,
+             |    list_transform(CAST(embedding AS DOUBLE[]),
+             |      x -> greatest(-127, least(127, CAST(round(x * 127) AS INT)))) AS q
+             |  FROM embeddings)
+             |ORDER BY vec_id""".stripMargin)),
 
     // U6 multimodal join: text beside its embedding vector
     QueryDef(

@@ -33,6 +33,21 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == Seq(1L, 3L)) // by dot: 0.9, 0.5, 0.0
   }
 
+  test("int8 quantize/dequantize round-trip keeps cosine within 2% on real vectors") {
+    val emb = Tables.embeddings(spark, sf).limit(50)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("ed"))
+    val rt = emb.select(
+      Similarity.dot(col("ed"), col("ed")).as("orig"),
+      Similarity.dot(
+        Similarity.dequantize(Similarity.quantizeInt8(col("ed"))),
+        Similarity.dequantize(Similarity.quantizeInt8(col("ed")))).as("rt"))
+      .collect()
+    rt.foreach { r =>
+      val (o, q) = (r.getDouble(0), r.getDouble(1))
+      assert(math.abs(o - q) <= 0.02 * math.max(o, 1e-9), s"orig=$o quantized=$q")
+    }
+  }
+
   test("signBits produces one bit per leading dimension") {
     val df = Seq((Array(0.5f, -0.1f, 0.0f, 1.0f))).toDF("v")
     val got = df.select(Similarity.signBits(col("v"), 4)).head().getString(0)
