@@ -106,6 +106,45 @@ object DedupOps {
       concat((1 to bits).map(j => when(col(s"s$j") > 0, "1").otherwise("0")): _*).as("simhash"))
   }
 
+  /** Transitive near-dup clustering: connected components over a pair
+    * edge list (id1, id2) by iterative min-label propagation — after LSH
+    * pair generation, duplicates form chains (A~B, B~C) that pairwise
+    * removal misses; the cluster id (minimum member id) is the keeper.
+    *
+    * Each iteration is one join + aggregate (both shuffles on the node
+    * id) and converges in O(component diameter) rounds. Near-dup
+    * clusters are tiny (diameter ≪ 10), so the loop is effectively
+    * bounded; `maxIter` guards pathological inputs. Returns
+    * (id, cluster). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id1"), col("id2"))
+      .unionByName(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .distinct().cache()
+    var labels = edges.select(col("id1").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // propagate: each node takes the min of its own and neighbors' labels
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "id2"), "id2")
+        .groupBy(col("id1").as("id"))
+        .agg(min("cluster").as("n_cluster"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("n_cluster"), col("cluster"))).as("cluster"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .where(col("cluster") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** MLlib-assisted fuzzy dedup (SURVEY §2.8 U4 scale path): token sets →
     * sparse term vectors (HashingTF, binary) → MinHashLSH →
     * approxSimilarityJoin on Jaccard distance. Fixed seed keeps hash
@@ -213,6 +252,38 @@ object DedupOps {
              |  round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) AS jaccard
              |FROM i JOIN c ca ON ca.doc_id = id1 JOIN c cb ON cb.doc_id = id2
              |ORDER BY id1, id2""".stripMargin)),
+
+    // transitive dup clusters over shingle-share edges: iterative
+    // connected components on the Spark side, recursive-CTE reachability
+    // closure as the oracle
+    QueryDef(
+      "q_dup_clusters",
+      (s, d) => {
+        val docs = Tables.documents(s, d).where(col("doc_id") < 20)
+        val toks = docs.select(col("doc_id"),
+          explode(shingles(col("text"), 3)).as("tok")).distinct()
+        val l = toks.select(col("doc_id").as("id1"), col("tok"))
+        val r = toks.select(col("doc_id").as("id2"), col("tok"))
+        val pairs = l.join(broadcast(r), "tok").where(col("id1") < col("id2"))
+          .select("id1", "id2").distinct()
+        connectedComponents(pairs).orderBy("id")
+      },
+      Some("""WITH RECURSIVE
+             |t AS (SELECT DISTINCT doc_id, unnest(sh) AS tok FROM (
+             |    SELECT doc_id,
+             |      [array_to_string(toks[i:i+2], ' ')
+             |       for i in range(1, greatest(len(toks)-2, 1)+1)] AS sh
+             |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+             |          FROM documents WHERE doc_id < 20))),
+             |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+             |      FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+             |      GROUP BY 1, 2),
+             |e AS (SELECT id1, id2 FROM p UNION SELECT id2, id1 FROM p),
+             |reach(id, r) AS (
+             |  SELECT id1, id1 FROM e
+             |  UNION
+             |  SELECT e.id1, reach.r FROM e JOIN reach ON reach.id = e.id2)
+             |SELECT id, min(r) AS cluster FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // token-set Jaccard over a bounded pair set (the all-pairs form is for
     // verification only; at scale pairs come from lshCandidates)

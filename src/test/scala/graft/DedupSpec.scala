@@ -76,5 +76,12 @@ class DedupSpec extends SparkSpec {
     assert(tri.headOption.forall(_ > 0.9) || tri.isEmpty)
   }
 
+  test("connectedComponents: chains merge transitively, islands stay apart") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val got = DedupOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   private def round4(d: Double): Double = math.round(d * 10000).toDouble / 10000
 }
