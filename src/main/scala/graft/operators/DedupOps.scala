@@ -117,11 +117,15 @@ object DedupOps {
     * bounded; `maxIter` guards pathological inputs. Returns
     * (id, cluster). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // eager localCheckpoint (not cache) at every step: an iterative
+    // DataFrame loop otherwise grows its logical plan each round, and the
+    // accumulating lineage blows up analysis time and driver heap
     val edges = pairs.select(col("id1"), col("id2"))
       .unionByName(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-      .distinct().cache()
+      .distinct().localCheckpoint(true)
     var labels = edges.select(col("id1").as("id")).distinct()
       .withColumn("cluster", col("id"))
+      .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -133,15 +137,13 @@ object DedupOps {
       val next = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("n_cluster"), col("cluster"))).as("cluster"))
-        .cache()
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
         .where(col("cluster") =!= col("old")).limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       i += 1
     }
-    edges.unpersist()
     labels
   }
 
