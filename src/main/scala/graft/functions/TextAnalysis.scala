@@ -164,6 +164,27 @@ object TextAnalysis {
              |  FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // edit-distance fuzzy matching on bounded prefixes (levenshtein is
+    // O(m·n) per pair — at scale it runs only on LSH candidates, never
+    // all pairs; the bounded pair set here mirrors that)
+    QueryDef(
+      "q_edit_distance",
+      (s, d) => {
+        val docs = Tables.documents(s, d).where(col("doc_id") < 10)
+          .select(col("doc_id"), substring(col("text"), 1, 30).as("prefix"))
+        val l = docs.select(col("doc_id").as("id1"), col("prefix").as("p1"))
+        val r = docs.select(col("doc_id").as("id2"), col("prefix").as("p2"))
+        l.join(broadcast(r), col("id1") < col("id2"))
+          .select(col("id1"), col("id2"),
+            levenshtein(col("p1"), col("p2")).as("dist"))
+          .orderBy("id1", "id2")
+      },
+      Some("""SELECT a.doc_id AS id1, b.doc_id AS id2,
+             |  CAST(levenshtein(substr(a.text, 1, 30), substr(b.text, 1, 30)) AS INT) AS dist
+             |FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+             |WHERE a.doc_id < 10 AND b.doc_id < 10
+             |ORDER BY id1, id2""".stripMargin)),
+
     // document fingerprinting (md5 of normalized text)
     QueryDef(
       "q_fingerprint",
