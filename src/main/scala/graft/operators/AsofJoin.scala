@@ -43,7 +43,53 @@ object AsofJoin {
     carried.where(col("__is_r") === 0).drop("__ts", "__is_r")
   }
 
+  /** Range (interval) join: pairs within `toleranceSec` of each other on
+    * the same key. A plain inequality join plans as a nested-loop at any
+    * scale; bucketizing both sides to `toleranceSec`-wide time buckets
+    * (the probe side exploded into its 3 adjacent buckets) turns it into
+    * an equi-join on (key, bucket) + an exact residual filter — shuffle
+    * ∝ input, candidate pairs ∝ true matches. */
+  def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, toleranceSec: Long): DataFrame = {
+    // ntz → ltz is the identity under the pinned UTC session; unix_seconds
+    // then gives bucket-able epoch seconds (TIMESTAMP_NTZ can't cast to
+    // BIGINT directly)
+    val bucket = (c: Column) =>
+      (unix_seconds(c.cast("timestamp")) / toleranceSec).cast("long")
+    val l = left.withColumn("__b", bucket(col(leftTs)))
+    val r = right
+      .withColumn("__b0", bucket(col(rightTs)))
+      .withColumn("__b", explode(array(col("__b0") - 1, col("__b0"), col("__b0") + 1)))
+      .drop("__b0")
+    l.join(r, keys :+ "__b")
+      .where(col(leftTs) >= col(rightTs) - expr(s"INTERVAL $toleranceSec SECOND")
+        && col(leftTs) <= col(rightTs) + expr(s"INTERVAL $toleranceSec SECOND"))
+      .drop("__b")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // events paired with same-user purchases within ±30 minutes —
+    // bucketized range join vs the oracle's plain inequality join
+    QueryDef(
+      "q_range_join",
+      (s, d) => {
+        val ev = Tables.events(s, d).select("event_id", "user_id", "ts")
+        val purchases = Tables.events(s, d)
+          .where(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+        rangeJoin(ev, purchases, Seq("user_id"), "ts", "p_ts", 1800)
+          .where(col("event_id") =!= col("p_id"))
+          .select("event_id", "p_id")
+          .orderBy("event_id", "p_id")
+      },
+      Some("""SELECT e.event_id, p.event_id AS p_id
+             |FROM events e JOIN events p
+             |  ON e.user_id = p.user_id AND p.event_type = 'purchase'
+             | AND e.event_id <> p.event_id
+             | AND CAST(e.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
+             | AND CAST(e.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+             |ORDER BY 1, 2""".stripMargin)),
 
     // every event annotated with the user's latest purchase value at or
     // before that event (oracle: DuckDB's native ASOF LEFT JOIN)
