@@ -152,6 +152,44 @@ object Relational {
              |  round(quantile_cont(value, 0.9), 4) AS p90
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // set operations: users who both errored and purchased / errored only
+    QueryDef(
+      "q_intersect",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        ev.where(col("event_type") === "error").select("user_id")
+          .intersect(ev.where(col("event_type") === "purchase").select("user_id"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id FROM events WHERE event_type = 'error'
+             |INTERSECT
+             |SELECT user_id FROM events WHERE event_type = 'purchase'
+             |ORDER BY user_id""".stripMargin)),
+
+    QueryDef(
+      "q_except",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        ev.where(col("event_type") === "error").select("user_id")
+          .except(ev.where(col("event_type") === "purchase" && col("value") > 300)
+            .select("user_id"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id FROM events WHERE event_type = 'error'
+             |EXCEPT
+             |SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 300
+             |ORDER BY user_id""".stripMargin)),
+
+    // fixed-width histogram binning (dashboard value distribution)
+    QueryDef(
+      "q_histogram_bins",
+      (s, d) => Tables.events(s, d)
+        .groupBy(floor(col("value") / 33).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket"),
+      Some("""SELECT CAST(floor(value / 33) AS INT) AS bucket, count(*) AS n
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // cube with grouping markers (distinguishes "NULL because subtotal"
     // from NULL data)
     QueryDef(
