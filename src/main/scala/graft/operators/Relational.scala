@@ -152,6 +152,50 @@ object Relational {
              |  round(quantile_cont(value, 0.9), 4) AS p90
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ranking-function suite over a pinned unique order
+    QueryDef(
+      "q_rank_suite",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("value"), col("event_id"))
+        Tables.events(s, d)
+          .select(
+            col("event_id"), col("user_id"),
+            dense_rank().over(w).as("drank"),
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 6).as("prank"),
+            round(cume_dist().over(w), 6).as("cdist"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  CAST(dense_rank() OVER w AS INT) AS drank,
+             |  CAST(ntile(4) OVER w AS INT) AS quartile,
+             |  round(percent_rank() OVER w, 6) AS prank,
+             |  round(cume_dist() OVER w, 6) AS cdist
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // calendar part extraction (dayofweek conventions differ between
+    // engines — ISO day-of-week is the portable form)
+    QueryDef(
+      "q_date_parts",
+      (s, d) => Tables.events(s, d)
+        .select(
+          col("event_id"),
+          year(col("ts")).as("y"),
+          month(col("ts")).as("m"),
+          dayofmonth(col("ts")).as("dom"),
+          hour(col("ts")).as("h"),
+          minute(col("ts")).as("mi"),
+          (expr("weekday(ts)") + 1).as("isodow")) // weekday: 0=Monday
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  CAST(year(ts2) AS INT) AS y, CAST(month(ts2) AS INT) AS m,
+             |  CAST(day(ts2) AS INT) AS dom, CAST(hour(ts2) AS INT) AS h,
+             |  CAST(minute(ts2) AS INT) AS mi, CAST(isodow(ts2) AS INT) AS isodow
+             |FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts2 FROM events)
+             |ORDER BY event_id""".stripMargin)),
+
     // set operations: users who both errored and purchased / errored only
     QueryDef(
       "q_intersect",
