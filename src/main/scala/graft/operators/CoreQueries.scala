@@ -241,6 +241,29 @@ object CoreQueries {
              |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // scalar-function breadth: case/pad/replace/split/null-handling in
+    // one projection (P9/P10 family)
+    QueryDef(
+      "q_scalar_suite",
+      (s, d) => Tables.events(s, d)
+        .select(
+          col("event_id"),
+          upper(col("event_type")).as("u"),
+          lpad(col("event_type"), 10, "_").as("padded"),
+          regexp_replace(col("event_type"), "e", "3").as("leeted"),
+          expr("split_part(props, ':', 1)").as("json_head"),
+          nullif(col("event_type"), lit("view")).as("no_view"),
+          greatest(col("value"), lit(100.0)).as("floor100"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  upper(event_type) AS u,
+             |  lpad(event_type, 10, '_') AS padded,
+             |  replace(event_type, 'e', '3') AS leeted,
+             |  split_part(props, ':', 1) AS json_head,
+             |  nullif(event_type, 'view') AS no_view,
+             |  greatest(value, 100.0) AS floor100
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // P10 display formatting (src/app/streamlit_app.py:474-476,280-282)
     QueryDef(
       "q_format",
