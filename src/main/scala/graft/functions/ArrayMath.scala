@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -20,9 +20,13 @@ import org.apache.spark.sql.types._
   * bit-identical to the composed form and to the DuckDB oracle for
   * equal-length inputs. Ragged inputs use min-length semantics (the
   * composed `zip_with` form would instead NULL-pad and propagate NULL).
+  *
+  * Participates in whole-stage codegen: `doGenCode` emits the same
+  * primitive loop directly over the `ArrayData` accessors, so the hot
+  * path has no boxing and no virtual `eval` dispatch per row.
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -69,6 +73,27 @@ case class DotProduct(left: Expression, right: Expression)
     acc
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // element getters are resolved at plan time (the array element type is
+    // static), so the generated loop is monomorphic primitive code
+    val lGet = if (elemType(left) == FloatType) "getFloat" else "getDouble"
+    val rGet = if (elemType(right) == FloatType) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $acc += (double) $x.$lGet($i) * (double) $y.$rGet($i);
+         |}
+         |if (!${ev.isNull}) { ${ev.value} = $acc; }
+       """.stripMargin
+    })
+  }
+
   override def prettyName: String = "dot_product"
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
@@ -93,10 +118,12 @@ object ArrayMath {
   * makes shingle fingerprints O(1) per slide at corpus scale, unlike a
   * cryptographic digest recomputed per window (TextAnalysis.fingerprint's
   * md5 is for whole-document identity; this is for windows).
-  * Deterministic, engine-independent, and a tight primitive loop.
+  * Deterministic, engine-independent, and a tight primitive loop —
+  * codegen'd (`doGenCode` calls the shared static hash over the string's
+  * bytes, keeping the expression inside whole-stage codegen spans).
   */
 case class RollingHash(child: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -111,6 +138,10 @@ case class RollingHash(child: Expression)
     val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
     RollingHash.hashBytes(bytes)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.RollingHash$$.MODULE$$.hashBytes($c.getBytes())")
 
   override def prettyName: String = "rolling_hash"
 
