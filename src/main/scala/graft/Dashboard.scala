@@ -79,10 +79,46 @@ object Dashboard {
     topK.fold(counts)(counts.limit)
   }
 
-  /** Map projection (F7 + column pruning): points with coordinates. */
-  def mapPoints(df: DataFrame): DataFrame =
-    df.where(col("latitude").isNotNull && col("longitude").isNotNull)
+  /** County centroids for coordinate imputation (reference COUNTY_CENTER,
+    * src/app/streamlit_app.py:141-146). */
+  val CountyCenters: Seq[(String, Double, Double)] = Seq(
+    ("Stockholms län", 59.334, 18.063),
+    ("Uppsala län", 59.858, 17.638),
+    ("Skåne län", 55.604, 13.003),
+    ("Västra Götalands län", 57.708, 11.974))
+
+  /** Map projection (F7 + column pruning): points with coordinates. With
+    * `approxMissing` (the reference's default-on checkbox,
+    * src/app/streamlit_app.py:392-400), rows missing a coordinate are
+    * back-filled from the broadcast county-center dim before the
+    * not-null filter; counties outside the dim stay NULL and drop. */
+  def mapPoints(df: DataFrame, approxMissing: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val filled =
+      if (!approxMissing) df
+      else df
+        .join(broadcast(CountyCenters.toDF("county_display", "__c_lat", "__c_lon")),
+          Seq("county_display"), "left")
+        .withColumn("latitude", coalesce(col("latitude"), col("__c_lat")))
+        .withColumn("longitude", coalesce(col("longitude"), col("__c_lon")))
+        .drop("__c_lat", "__c_lon")
+    filled.where(col("latitude").isNotNull && col("longitude").isNotNull)
       .select("incident_id", "latitude", "longitude", "county_display", "status")
+  }
+
+  /** Map viewport from the focused points: center + the reference's
+    * span→zoom threshold ladder (src/app/streamlit_app.py:424-430). */
+  def viewport(points: DataFrame): DataFrame =
+    points.agg(
+      min("latitude").as("lat_min"), max("latitude").as("lat_max"),
+      min("longitude").as("lon_min"), max("longitude").as("lon_max"))
+      .select(
+        ((col("lat_min") + col("lat_max")) / 2).as("lat_center"),
+        ((col("lon_min") + col("lon_max")) / 2).as("lon_center"),
+        greatest(col("lat_max") - col("lat_min"),
+          col("lon_max") - col("lon_min")).as("span"))
+      .withColumn("zoom", CoreQueries.zoomOf(col("span")))
 
   /** O3 sorted + limited table view. */
   def tableView(df: DataFrame, sortCol: String, ascending: Boolean, maxRows: Int): DataFrame = {

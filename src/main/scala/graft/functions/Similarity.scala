@@ -16,14 +16,37 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Banded-LSH index shape for the ANN queries: 16 bands × 4 sign bits
+    * covering all 64 dims of the fixture embeddings. For a pair with
+    * per-hyperplane agreement p, hit probability is 1 − (1 − p^r)^b.
+    * True top-5 neighbors in the fixture corpus agree on ~61% of sign
+    * bits (measured), so 16×4 gives ≈0.91 expected recall where a single
+    * 8-bit band gives ≈0.02. `q_ann_recall` measures the realized
+    * recall@5 against the exact brute-force baseline; tune bands/bits to
+    * the corpus's neighbor-agreement level, not by guesswork. */
+  val AnnBands = 16
+  val AnnBits = 4
+
+  /** DuckDB-side band signatures sig0..sig{bands-1}, same hyperplanes as
+    * [[bandSig]] (sign test on the raw float element). */
+  private def bandSigSqlCols: Seq[String] =
+    (0 until AnnBands).map { b =>
+      val bits = (b * AnnBits + 1 to b * AnnBits + AnnBits).map(j =>
+        s"CASE WHEN embedding[$j] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+      s"$bits AS sig$b"
+    }
+
   /** Cast a float-array column to double elements (so all arithmetic is
     * IEEE double, matching the oracle exactly). */
   def asDouble(v: Column): Column =
     transform(v, x => x.cast("double"))
 
   /** Sequential dot product of two array columns — native expression
-    * (tight primitive loop; see [[ArrayMath]]) with identical semantics to
-    * the composed `aggregate(zip_with(...))` form. */
+    * (tight primitive loop; see [[ArrayMath]]). For equal-length,
+    * non-null inputs the result is bit-identical to the composed
+    * `aggregate(zip_with(...))` form; on ragged inputs this uses
+    * min-length semantics where the composed form would NULL-pad and
+    * return NULL (see [[DotProduct]]'s scaladoc). */
   def dot(a: Column, b: Column): Column = ArrayMath.dotProduct(a, b)
 
   /** Cosine similarity; for pre-normalized vectors prefer [[dot]]. */
@@ -46,11 +69,27 @@ object Similarity {
   def dequantize(q: Column): Column =
     transform(q, x => x.cast("double") / 127.0)
 
-  /** Sign-bit hyperplane LSH signature over the first `bits` dimensions:
-    * a '1'/'0' string. Vectors in the same bucket are ANN candidates. */
-  def signBits(v: Column, bits: Int): Column =
-    concat((1 to bits).map(j =>
+  /** Sign-bit hyperplane signature of band `band`: a '1'/'0' string over
+    * dimensions [band·bits+1, (band+1)·bits]. One band alone is a single
+    * AND-composition of `bits` hyperplane tests — high precision, poor
+    * recall (any one boundary crossing evicts a true neighbor). Real LSH
+    * ORs several bands (see [[explodeBands]]), exactly like
+    * [[graft.operators.DedupOps.lshBuckets]] does for MinHash. */
+  def bandSig(v: Column, band: Int, bits: Int): Column =
+    concat((band * bits + 1 to band * bits + bits).map(j =>
       when(element_at(v, j) >= 0, "1").otherwise("0")): _*)
+
+  /** One row per (input row, band) with the band's signature — the OR
+    * construction: rows sharing ANY (band, sig) bucket become candidates.
+    * With b bands of r bits, a pair whose per-hyperplane agreement is p is
+    * found with probability 1 − (1 − p^r)^b; more bands → higher recall,
+    * more bits → higher precision. Shuffle stays ∝ bands·corpus. */
+  def explodeBands(df: DataFrame, vec: Column, bands: Int, bits: Int): DataFrame = {
+    val keep = df.columns.map(col)
+    df.withColumn("__band", explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), bandSig(vec, b, bits).as("sig"))): _*)))
+      .select(keep :+ col("__band.band").as("band") :+ col("__band.sig").as("sig"): _*)
+  }
 
   /** Exact top-k by (rounded) similarity per query, brute force. `queries`
     * must be small (it is broadcast against every candidate partition). */
@@ -87,19 +126,24 @@ object Similarity {
              |      FROM sims)
              |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
 
-    // U5 scale path: hyperplane-LSH bucketed ANN — equi-join on the 8-bit
-    // sign signature prunes candidates ~256× before any dot product
+    // U5 scale path: multi-band hyperplane-LSH ANN — 4 bands × 8 bits
+    // OR-ed. Each band's equi-join prunes the candidate space ~256×; the
+    // band union recovers neighbors a single band's boundary would lose.
     QueryDef(
       "q_ann_lsh",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
           .select(col("vec_id"), asDouble(col("embedding")).as("ed"),
-            signBits(col("embedding"), 8).as("sig"))
-        val q = emb.where(col("vec_id") < 20)
-          .select(col("vec_id").as("qid"), col("ed").as("qe"), col("sig"))
+            col("embedding"))
+        val eb = explodeBands(emb, col("embedding"), AnnBands, AnnBits)
+          .drop("embedding")
+        val qb = eb.where(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("ed").as("qe"), col("band"), col("sig"))
         val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
-        emb.join(q, "sig")
+        eb.join(qb, Seq("band", "sig"))
           .where(col("vec_id") =!= col("qid"))
+          .select("qid", "vec_id", "qe", "ed")
+          .dropDuplicates("qid", "vec_id")
           .withColumn("sim", round(dot(col("qe"), col("ed")), 4))
           .withColumn("rn", row_number().over(w))
           .where(col("rn") <= 3)
@@ -107,47 +151,122 @@ object Similarity {
           .orderBy("qid", "rn")
       },
       Some {
-        val sig = (1 to 8).map(j =>
-          s"CASE WHEN embedding[$j] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
-           |             $sig AS sig
+           |             ${bandSigSqlCols.mkString(",\n             ")}
            |           FROM embeddings),
-           |q AS (SELECT vec_id AS qid, ed AS qe, sig FROM e WHERE vec_id < 20),
-           |sims AS (SELECT q.qid, e.vec_id, round(list_dot_product(q.qe, e.ed), 4) AS sim
-           |         FROM q JOIN e ON e.sig = q.sig WHERE e.vec_id <> q.qid),
+           |q AS (SELECT vec_id AS qid, ed AS qe,
+           |        ${(0 until AnnBands).map(b => s"sig$b").mkString(", ")}
+           |      FROM e WHERE vec_id < 20),
+           |cand AS (
+           |  ${(0 until AnnBands).map(b =>
+               s"SELECT q.qid, e.vec_id FROM q JOIN e ON e.sig$b = q.sig$b WHERE e.vec_id <> q.qid")
+               .mkString("\n  UNION\n  ")}),
+           |sims AS (SELECT c.qid, c.vec_id, round(list_dot_product(q2.qe, e2.ed), 4) AS sim
+           |         FROM cand c JOIN q q2 ON q2.qid = c.qid JOIN e e2 ON e2.vec_id = c.vec_id),
            |r AS (SELECT qid, vec_id, sim,
            |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS rn
            |      FROM sims)
            |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
       }),
 
-    // embedding-cosine near-duplicate pairs: LSH bucket join prunes the
-    // pair space, then an exact cosine threshold — the scale recipe for
-    // corpus-level near-dup removal by embedding
+    // oracled ANN quality gate: recall@5 of the banded-LSH path against
+    // the exact brute-force top-5, computed in-engine per query vector —
+    // the number that tells you whether the index is safe to ship at 100×
+    QueryDef(
+      "q_ann_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), asDouble(col("embedding")).as("ed"),
+            col("embedding"))
+        val plain = emb.drop("embedding")
+        val q = plain.where(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("ed").as("qe"))
+        val brute = bruteTopK(plain, q, 5).select("qid", "vec_id")
+        val eb = explodeBands(emb, col("embedding"), AnnBands, AnnBits)
+          .drop("embedding")
+        val qb = eb.where(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("ed").as("qe"), col("band"), col("sig"))
+        val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+        val lshTop = eb.join(qb, Seq("band", "sig"))
+          .where(col("vec_id") =!= col("qid"))
+          .select("qid", "vec_id", "qe", "ed")
+          .dropDuplicates("qid", "vec_id")
+          .withColumn("sim", round(dot(col("qe"), col("ed")), 4))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 5)
+          .select("qid", "vec_id")
+        val hits = brute.join(lshTop, Seq("qid", "vec_id"), "left_semi")
+          .groupBy("qid").agg(count(lit(1)).as("hits"))
+        q.select("qid").join(hits, Seq("qid"), "left")
+          .select(col("qid"),
+            coalesce(col("hits"), lit(0L)).as("hits"),
+            round(coalesce(col("hits"), lit(0L)) / 5.0, 4).as("recall_at_5"))
+          .orderBy("qid")
+      },
+      Some {
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+           |             ${bandSigSqlCols.mkString(",\n             ")}
+           |           FROM embeddings),
+           |q AS (SELECT vec_id AS qid, ed AS qe,
+           |        ${(0 until AnnBands).map(b => s"sig$b").mkString(", ")}
+           |      FROM e WHERE vec_id < 20),
+           |bsims AS (SELECT q.qid, e.vec_id, round(list_dot_product(q.qe, e.ed), 4) AS sim
+           |          FROM q CROSS JOIN e WHERE e.vec_id <> q.qid),
+           |brute AS (SELECT qid, vec_id FROM (
+           |    SELECT qid, vec_id,
+           |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+           |    FROM bsims) WHERE rn <= 5),
+           |cand AS (
+           |  ${(0 until AnnBands).map(b =>
+               s"SELECT q.qid, e.vec_id FROM q JOIN e ON e.sig$b = q.sig$b WHERE e.vec_id <> q.qid")
+               .mkString("\n  UNION\n  ")}),
+           |lsims AS (SELECT c.qid, c.vec_id, round(list_dot_product(q2.qe, e2.ed), 4) AS sim
+           |          FROM cand c JOIN q q2 ON q2.qid = c.qid JOIN e e2 ON e2.vec_id = c.vec_id),
+           |lsh AS (SELECT qid, vec_id FROM (
+           |    SELECT qid, vec_id,
+           |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+           |    FROM lsims) WHERE rn <= 5),
+           |h AS (SELECT b.qid, count(*) AS hits FROM brute b
+           |      JOIN lsh l ON l.qid = b.qid AND l.vec_id = b.vec_id GROUP BY 1)
+           |SELECT q.qid, coalesce(h.hits, 0) AS hits,
+           |  round(coalesce(h.hits, 0) / 5.0, 4) AS recall_at_5
+           |FROM q LEFT JOIN h ON h.qid = q.qid ORDER BY q.qid""".stripMargin
+      }),
+
+    // embedding-cosine near-duplicate pairs: banded LSH join prunes the
+    // pair space (OR over bands), then an exact cosine threshold — the
+    // scale recipe for corpus-level near-dup removal by embedding
     QueryDef(
       "q_near_dup_cosine",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
           .select(col("vec_id"), asDouble(col("embedding")).as("ed"),
-            signBits(col("embedding"), 8).as("sig"))
-        val l = emb.select(col("vec_id").as("id1"), col("ed").as("e1"), col("sig"))
-        val r = emb.select(col("vec_id").as("id2"), col("ed").as("e2"), col("sig"))
-        l.join(r, "sig")
+            col("embedding"))
+        val eb = explodeBands(emb, col("embedding"), AnnBands, AnnBits)
+          .drop("embedding")
+        val l = eb.select(col("vec_id").as("id1"), col("ed").as("e1"),
+          col("band"), col("sig"))
+        val r = eb.select(col("vec_id").as("id2"), col("ed").as("e2"),
+          col("band"), col("sig"))
+        l.join(r, Seq("band", "sig"))
           .where(col("id1") < col("id2"))
+          .select("id1", "id2", "e1", "e2")
+          .dropDuplicates("id1", "id2")
           .withColumn("sim", round(dot(col("e1"), col("e2")), 4))
           .where(col("sim") >= 0.3)
           .select("id1", "id2", "sim")
           .orderBy("id1", "id2")
       },
       Some {
-        val sig = (1 to 8).map(j =>
-          s"CASE WHEN embedding[$j] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
-           |             $sig AS sig
-           |           FROM embeddings)
-           |SELECT a.vec_id AS id1, b.vec_id AS id2,
-           |  round(list_dot_product(a.ed, b.ed), 4) AS sim
-           |FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id < b.vec_id
+           |             ${bandSigSqlCols.mkString(",\n             ")}
+           |           FROM embeddings),
+           |cand AS (
+           |  ${(0 until AnnBands).map(b =>
+               s"SELECT a.vec_id AS id1, b.vec_id AS id2 FROM e a JOIN e b ON a.sig$b = b.sig$b AND a.vec_id < b.vec_id")
+               .mkString("\n  UNION\n  ")})
+           |SELECT c.id1, c.id2, round(list_dot_product(a.ed, b.ed), 4) AS sim
+           |FROM cand c JOIN e a ON a.vec_id = c.id1 JOIN e b ON b.vec_id = c.id2
            |WHERE round(list_dot_product(a.ed, b.ed), 4) >= 0.3
            |ORDER BY id1, id2""".stripMargin
       }),

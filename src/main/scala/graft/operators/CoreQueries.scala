@@ -71,6 +71,28 @@ object CoreQueries {
   def wktPointLon(wkt: Column): Column = pointCoord(wkt, 1)
   def wktPointLat(wkt: Column): Column = pointCoord(wkt, 2)
 
+  /** Hex "#rrggbb" → struct(r,g,b,a) with the reference's
+    * malformed-input fallback [230, 57, 70, a]
+    * (src/app/streamlit_app.py:411-414: strip '#', length≠6 → fallback).
+    * This total-function form also routes non-hex 6-char strings to the
+    * fallback, where the reference's `int(h, 16)` would raise. */
+  def hexToRgba(h: Column, alpha: Int): Column = {
+    val s = lower(regexp_replace(h, "^#", ""))
+    val ok = s.rlike("^[0-9a-f]{6}$")
+    def ch(i: Int) = conv(substring(s, i, 2), 16, 10).cast("int")
+    struct(
+      when(ok, ch(1)).otherwise(230).as("r"),
+      when(ok, ch(3)).otherwise(57).as("g"),
+      when(ok, ch(5)).otherwise(70).as("b"),
+      lit(alpha).as("a"))
+  }
+
+  /** Map zoom from a coordinate span — the reference's 6-step threshold
+    * ladder (src/app/streamlit_app.py:430). */
+  def zoomOf(span: Column): Column =
+    when(span <= 0.08, 11).when(span <= 0.25, 9).when(span <= 0.6, 7)
+      .when(span <= 1.2, 6).when(span <= 3.0, 5).otherwise(4)
+
   // ------------------------------------------------------------- registry
 
   val defs: Seq[QueryDef] = Seq(
@@ -517,6 +539,103 @@ object CoreQueries {
              |    UNION ALL
              |    SELECT event_id, CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR, value + 100, 1
              |    FROM events WHERE event_id % 5 = 0))
-             |WHERE rn = 1 ORDER BY event_id""".stripMargin))
+             |WHERE rn = 1 ORDER BY event_id""".stripMargin)),
+
+    // P5/F7 county-center imputation: back-fill missing coordinates from
+    // a broadcast county-center dim before the geo filter (reference
+    // src/app/streamlit_app.py:394-400 — COUNTY_CENTER.get then dropna).
+    // Counties absent from the dim stay NULL and are dropped, exactly
+    // like the reference's (None, None) default.
+    QueryDef(
+      "q_geo_impute",
+      (s, d) => {
+        import s.implicits._
+        val centers = graft.Dashboard.CountyCenters.toDF("county", "c_lat", "c_lon")
+        val names = array(lit("Stockholms län"), lit("Uppsala län"),
+          lit("Skåne län"), lit("Västra Götalands län"), lit("Okänt län"))
+        val src = Tables.events(s, d).select(
+          col("event_id"),
+          element_at(names, (col("user_id") % 5 + 1).cast("int")).as("county"),
+          when(col("event_id") % 7 === 0, lit(null))
+            .otherwise(round(col("value") / 10 + 55, 4)).as("lat"),
+          when(col("event_id") % 3 === 0, lit(null))
+            .otherwise(round(col("value") / 20 + 11, 4)).as("lon"))
+        src.join(broadcast(centers), Seq("county"), "left")
+          .select(col("event_id"), col("county"),
+            coalesce(col("lat"), col("c_lat")).as("latitude"),
+            coalesce(col("lon"), col("c_lon")).as("longitude"))
+          .where(col("latitude").isNotNull && col("longitude").isNotNull)
+          .orderBy("event_id")
+      },
+      Some("""WITH src AS (SELECT event_id,
+             |    ['Stockholms län','Uppsala län','Skåne län','Västra Götalands län','Okänt län']
+             |      [CAST(user_id % 5 AS INT) + 1] AS county,
+             |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE round(value / 10 + 55, 4) END AS lat,
+             |    CASE WHEN event_id % 3 = 0 THEN NULL ELSE round(value / 20 + 11, 4) END AS lon
+             |  FROM events),
+             |c(county, c_lat, c_lon) AS (VALUES
+             |  ('Stockholms län', 59.334, 18.063), ('Uppsala län', 59.858, 17.638),
+             |  ('Skåne län', 55.604, 13.003), ('Västra Götalands län', 57.708, 11.974))
+             |SELECT event_id, county,
+             |  coalesce(lat, c_lat) AS latitude, coalesce(lon, c_lon) AS longitude
+             |FROM src LEFT JOIN c USING (county)
+             |WHERE coalesce(lat, c_lat) IS NOT NULL AND coalesce(lon, c_lon) IS NOT NULL
+             |ORDER BY event_id""".stripMargin)),
+
+    // P10 hex→RGBA color conversion incl. the malformed-input fallback
+    // (src/app/streamlit_app.py:411-414): '#'-prefixed and bare 6-digit
+    // hex parse; junk falls back to [230, 57, 70, 210]
+    QueryDef(
+      "q_hex_rgba",
+      (s, d) => {
+        val hx = format_string("%06x", pmod(col("event_id") * 9973, lit(16777216)))
+        Tables.events(s, d)
+          .withColumn("hex_color",
+            when(col("event_id") % 13 === 0, lit("zz"))
+              .when(col("event_id") % 13 === 1, concat(lit("#"), hx))
+              .otherwise(hx))
+          .withColumn("rgba", hexToRgba(col("hex_color"), 210))
+          .select(col("event_id"), col("hex_color"),
+            col("rgba.r").as("r"), col("rgba.g").as("g"),
+            col("rgba.b").as("b"), col("rgba.a").as("a"))
+          .orderBy("event_id")
+      },
+      Some("""WITH src AS (SELECT event_id,
+             |    CASE WHEN event_id % 13 = 0 THEN 'zz'
+             |         WHEN event_id % 13 = 1 THEN '#' || printf('%06x', (event_id * 9973) % 16777216)
+             |         ELSE printf('%06x', (event_id * 9973) % 16777216) END AS hex_color
+             |  FROM events),
+             |p AS (SELECT event_id, hex_color,
+             |    lower(regexp_replace(hex_color, '^#', '')) AS h,
+             |    regexp_full_match(lower(regexp_replace(hex_color, '^#', '')), '[0-9a-f]{6}') AS ok
+             |  FROM src)
+             |SELECT event_id, hex_color,
+             |  CASE WHEN ok THEN (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+             |                  + strpos('0123456789abcdef', substr(h, 2, 1)) - 1 ELSE 230 END AS r,
+             |  CASE WHEN ok THEN (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+             |                  + strpos('0123456789abcdef', substr(h, 4, 1)) - 1 ELSE 57 END AS g,
+             |  CASE WHEN ok THEN (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16
+             |                  + strpos('0123456789abcdef', substr(h, 6, 1)) - 1 ELSE 70 END AS b,
+             |  210 AS a
+             |FROM p ORDER BY event_id""".stripMargin)),
+
+    // A5 extension: span → map-zoom bucketing ladder
+    // (src/app/streamlit_app.py:424-430); per-group spans scaled across
+    // four decades so every ladder rung is exercised
+    QueryDef(
+      "q_zoom_ladder",
+      (s, d) => Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(round((max("value") - min("value")) / pow(lit(4.0), col("user_id")), 4).as("span"))
+        .select(col("user_id"), col("span"), zoomOf(col("span")).as("zoom"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, span,
+             |  CASE WHEN span <= 0.08 THEN 11 WHEN span <= 0.25 THEN 9
+             |       WHEN span <= 0.6 THEN 7 WHEN span <= 1.2 THEN 6
+             |       WHEN span <= 3.0 THEN 5 ELSE 4 END AS zoom
+             |FROM (SELECT user_id,
+             |    round((max(value) - min(value)) / power(4, user_id), 4) AS span
+             |  FROM events GROUP BY 1)
+             |ORDER BY user_id""".stripMargin))
   )
 }

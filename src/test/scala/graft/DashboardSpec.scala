@@ -44,4 +44,26 @@ class DashboardSpec extends SparkSpec {
     assert(Dashboard.typeHistogram(base).head().getLong(1) == 1)
     assert(Dashboard.mapPoints(base).count() == 2)
   }
+
+  test("mapPoints imputes missing coordinates from county centers") {
+    // give 'c' a county that IS in the dim but keep its NULL coords
+    val withCounty = base.withColumn("county_display",
+      when(col("incident_id") === "c", "Uppsala län").otherwise(col("county_display")))
+    // default: dropped; approxMissing: back-filled with the county center
+    assert(Dashboard.mapPoints(withCounty).count() == 2)
+    val imputed = Dashboard.mapPoints(withCounty, approxMissing = true)
+    assert(imputed.count() == 3)
+    val c = imputed.where(col("incident_id") === "c").head()
+    assert(c.getAs[Double]("latitude") == 59.858 && c.getAs[Double]("longitude") == 17.638)
+    // a county outside the dim still drops (reference (None, None) default)
+    val unknown = base // 'c' has county_display "Okänt län" — not in the dim
+    assert(Dashboard.mapPoints(unknown, approxMissing = true).count() == 2)
+  }
+
+  test("viewport computes center and the reference zoom ladder") {
+    val v = Dashboard.viewport(Dashboard.mapPoints(base)).head()
+    // lat 55.6..59.3, lon 13.0..18.0 → span 5.0 → zoom 4
+    assert(math.abs(v.getAs[Double]("span") - 5.0) < 1e-9)
+    assert(v.getAs[Int]("zoom") == 4)
+  }
 }
