@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   * candidates. Hashes are md5-derived so results are engine-portable and
   * deterministic (no seed-dependent murmur differences vs the oracle).
   */
-object DedupOps {
+object DedupOps extends org.apache.spark.internal.Logging {
 
   /** Distinct whitespace tokens, one row per (id, token). */
   def explodeTokens(df: DataFrame, id: String, text: String): DataFrame =
@@ -116,16 +116,31 @@ object DedupOps {
     * clusters are tiny (diameter ≪ 10), so the loop is effectively
     * bounded; `maxIter` guards pathological inputs. Returns
     * (id, cluster). */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    // eager localCheckpoint (not cache) at every step: an iterative
-    // DataFrame loop otherwise grows its logical plan each round, and the
-    // accumulating lineage blows up analysis time and driver heap
-    val edges = pairs.select(col("id1"), col("id2"))
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
+      checkpointDir: Option[String] = None, convergeEvery: Int = 3,
+      failOnUnconverged: Boolean = true): DataFrame = {
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    // eager checkpoint (not cache) at every step: an iterative DataFrame
+    // loop otherwise grows its logical plan each round, and the
+    // accumulating lineage blows up analysis time and driver heap. With a
+    // `checkpointDir` the checkpoint is RELIABLE (survives executor loss
+    // — required on a real cluster, where a localCheckpoint'd iteration
+    // dies with any one executor); without one it falls back to
+    // executor-local blocks, fine for local[n] runs.
+    def persist(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    val edges = persist(pairs.select(col("id1"), col("id2"))
       .unionByName(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-      .distinct().localCheckpoint(true)
-    var labels = edges.select(col("id1").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .localCheckpoint(true)
+      .distinct())
+    var labels = persist(edges.select(col("id1").as("id")).distinct()
+      .withColumn("cluster", col("id")))
+    // labels only ever decrease, so "unchanged since the last check" ⇔
+    // "unchanged at every intermediate step" — the convergence action
+    // (a join + count) can safely run every `convergeEvery` rounds
+    // instead of every round, trading ≤ convergeEvery−1 extra cheap
+    // propagation rounds for 3× fewer jobs on the common path
+    var lastChecked = labels
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -134,15 +149,25 @@ object DedupOps {
         .join(labels.withColumnRenamed("id", "id2"), "id2")
         .groupBy(col("id1").as("id"))
         .agg(min("cluster").as("n_cluster"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
+      labels = persist(labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
-          least(col("cluster"), coalesce(col("n_cluster"), col("cluster"))).as("cluster"))
-        .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .where(col("cluster") =!= col("old")).limit(1).count()
-      labels = next
-      converged = changed == 0
+          least(col("cluster"), coalesce(col("n_cluster"), col("cluster"))).as("cluster")))
       i += 1
+      if (i % convergeEvery == 0 || i == maxIter) {
+        val changed = labels.join(lastChecked.withColumnRenamed("cluster", "old"), "id")
+          .where(col("cluster") =!= col("old")).limit(1).count()
+        converged = changed == 0
+        lastChecked = labels
+      }
+    }
+    if (!converged) {
+      // a component with diameter > maxIter would otherwise ship WRONG
+      // cluster labels with no signal at all
+      val msg = s"connectedComponents did not converge within $maxIter iterations; " +
+        "labels are incomplete (some components carry more than one cluster id). " +
+        "Raise maxIter or pass failOnUnconverged=false to accept partial labels."
+      if (failOnUnconverged) throw new IllegalStateException(msg)
+      else logWarning(msg)
     }
     labels
   }
@@ -286,6 +311,36 @@ object DedupOps {
              |  UNION
              |  SELECT e.id1, reach.r FROM e JOIN reach ON reach.id = e.id2)
              |SELECT id, min(r) AS cluster FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // the SCALE dedup path, oracle-gated end to end: MinHash signatures →
+    // 2-band LSH bucketing → candidate pairs from any shared band bucket,
+    // over the corpus with injected exact duplicates. This per-band
+    // equi-join (shuffle ∝ corpus, not pairs) is what actually runs at
+    // 100 TB; the all-pairs Jaccard forms above only verify it.
+    QueryDef(
+      "q_lsh_candidates",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val dups = docs.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        val sig = minhashSignature(docs.unionByName(dups), "doc_id", "text", 4)
+        lshCandidates(sig, "doc_id", 4, 2).orderBy("id1", "id2")
+      },
+      Some(s"""WITH sig AS (
+              |  SELECT doc_id,
+              |    min(md5('1:' || tok)) AS sig1, min(md5('2:' || tok)) AS sig2,
+              |    min(md5('3:' || tok)) AS sig3, min(md5('4:' || tok)) AS sig4
+              |  FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+              |        FROM ($docsWithDups))
+              |  GROUP BY 1),
+              |b AS (
+              |  SELECT doc_id, 0 AS band, md5(sig1 || sig2) AS bucket FROM sig
+              |  UNION ALL
+              |  SELECT doc_id, 1 AS band, md5(sig3 || sig4) AS bucket FROM sig)
+              |SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+              |FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket
+              |WHERE l.doc_id < r.doc_id
+              |ORDER BY id1, id2""".stripMargin)),
 
     // token-set Jaccard over a bounded pair set (the all-pairs form is for
     // verification only; at scale pairs come from lshCandidates)

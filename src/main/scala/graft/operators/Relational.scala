@@ -273,6 +273,28 @@ object Relational {
       Some("""SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // skew-salted join: events' 5-value event_type is the hot key; the
+    // salted plan spreads each key over 8 reducers (row-hash salt on the
+    // big side, 8× replication of the tiny dim side) and must produce
+    // exactly the plain join's rows — declaring it puts
+    // Skew.saltedJoinSides under the oracle gate
+    QueryDef(
+      "q_salted_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val dim = ev.groupBy("event_type")
+          .agg(round(avg("value"), 4).as("type_avg"))
+        val (big, small, joinCols) = Skew.saltedJoinSides(ev, dim, "event_type", 8)
+        big.join(small, joinCols)
+          .select(col("event_id"), col("event_type"), col("type_avg"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, event_type, type_avg
+             |FROM events
+             |JOIN (SELECT event_type, round(avg(value), 4) AS type_avg
+             |      FROM events GROUP BY 1) USING (event_type)
+             |ORDER BY event_id""".stripMargin)),
+
     // distinct aggregate (expands to a two-phase plan; at scale prefer
     // approx_count_distinct when exactness isn't required)
     QueryDef(

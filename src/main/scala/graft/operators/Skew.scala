@@ -35,13 +35,20 @@ object Skew {
       .agg(sum("__pd").as(s"n_distinct_$valueCol"))
   }
 
-  /** Salted broadcast-side replication for a skewed join: replicate each
-    * small-side row `buckets` times with an explicit salt so the big
-    * side's salted keys all find their match. Returns (bigSalted,
-    * smallReplicated, joinCols). */
+  /** Salted replication for a skewed join: replicate each small-side row
+    * `buckets` times with an explicit salt so the big side's salted keys
+    * all find their match. The big side's salt is derived from the ROW
+    * (hash of every column mod buckets), not from the physical partition:
+    * a hot key that arrives physically clustered — one file, one
+    * kafka partition — would map to a single `spark_partition_id` and
+    * stay on one reducer, while a row hash spreads it uniformly no matter
+    * how the input is laid out. Any deterministic row-dependent value
+    * works (the salt never reaches the output); hash collisions merely
+    * co-bucket rows. Returns (bigSalted, smallReplicated, joinCols). */
   def saltedJoinSides(big: DataFrame, small: DataFrame, key: String, buckets: Int)
       : (DataFrame, DataFrame, Seq[String]) = {
-    val bigSalted = big.withColumn("__salt", pmod(spark_partition_id(), lit(buckets)))
+    val bigSalted = big.withColumn(
+      "__salt", pmod(hash(big.columns.map(col): _*), lit(buckets)))
     val smallRep = small.withColumn("__salt", explode(
       array((0 until buckets).map(lit): _*)))
     (bigSalted, smallRep, Seq(key, "__salt"))

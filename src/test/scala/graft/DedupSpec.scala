@@ -83,5 +83,25 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents: diameter > maxIter fails loudly, or warns with partial labels") {
+    // a 9-node chain needs 8 propagation rounds; cap at 2
+    val chain = (0L until 8L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val e = intercept[IllegalStateException] {
+      DedupOps.connectedComponents(chain, maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // opting out returns the partial labels instead of throwing
+    val partial = DedupOps.connectedComponents(chain, maxIter = 2, failOnUnconverged = false)
+    assert(partial.count() == 9)
+  }
+
+  test("connectedComponents: reliable checkpointDir path matches localCheckpoint path") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id1", "id2")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-chk").toString
+    val got = DedupOps.connectedComponents(pairs, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   private def round4(d: Double): Double = math.round(d * 10000).toDouble / 10000
 }

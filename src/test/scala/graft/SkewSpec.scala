@@ -33,6 +33,15 @@ class SkewSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("salted join spreads a physically-clustered hot key over many salts") {
+    // one physical partition = the worst case for a partition-id salt
+    // (every row would land in a single salt bucket and one reducer)
+    val clustered = skewed.where(col("k") === "hot").coalesce(1)
+    val (big, _, _) = Skew.saltedJoinSides(clustered, Seq(("hot", "H")).toDF("k", "label"), "k", 8)
+    val saltsUsed = big.select(countDistinct("__salt")).head().getLong(0)
+    assert(saltsUsed == 8, s"row-hash salt must use all 8 buckets, used $saltsUsed")
+  }
+
   test("GraftFunctions.registerAll exposes wkt_centroid and dot_product to SQL") {
     GraftFunctions.registerAll(spark)
     val r = spark.sql(
