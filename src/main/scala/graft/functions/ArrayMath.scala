@@ -139,9 +139,12 @@ case class RollingHash(child: Expression)
     RollingHash.hashBytes(bytes)
   }
 
+  // the $-less form calls the Scala-generated static forwarder on the
+  // companion class — the conventional shape for generated code (Spark's
+  // own StaticInvoke strips the trailing $ the same way)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.RollingHash$$.MODULE$$.hashBytes($c.getBytes())")
+      s"graft.functions.RollingHash.hashBytes($c.getBytes())")
 
   override def prettyName: String = "rolling_hash"
 

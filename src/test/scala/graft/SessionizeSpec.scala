@@ -50,56 +50,75 @@ class SessionizeSpec extends SparkSpec {
     assert(s.session_end.toString == "2024-01-01 01:10:00.0") // last + 1h gap
   }
 
-  test("late overlapping event lowers session start; disjoint late event closes alone") {
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
-    // drive updateGroup directly with a fake in-order batch then a late one
+  test("two disjoint late events across micro-batches merge; watermark finalizes sessions") {
+    import org.apache.spark.sql.streaming.GroupState
+    // drive updateGroup directly across simulated micro-batches
     val gap = 60 * 60 * 1000L
-    var held: Option[Sessionize.SessionState] = None
-    val state = new GroupState[Sessionize.SessionState] {
+    var held: Option[Sessionize.OpenSessions] = None
+    var wm = 0L
+    var timedOut = false
+    val state = new GroupState[Sessionize.OpenSessions] {
       override def exists: Boolean = held.isDefined
-      override def get: Sessionize.SessionState = held.get
-      override def getOption: Option[Sessionize.SessionState] = held
-      override def update(s: Sessionize.SessionState): Unit = held = Some(s)
+      override def get: Sessionize.OpenSessions = held.get
+      override def getOption: Option[Sessionize.OpenSessions] = held
+      override def update(s: Sessionize.OpenSessions): Unit = held = Some(s)
       override def remove(): Unit = held = None
-      override def hasTimedOut: Boolean = false
+      override def hasTimedOut: Boolean = timedOut
       override def setTimeoutDuration(d: Long): Unit = ()
       override def setTimeoutDuration(d: String): Unit = ()
       override def setTimeoutTimestamp(t: Long): Unit =
-        assert(t >= 0, "timeout must be clamped non-negative")
+        assert(t > wm, "timeout must be clamped above the watermark")
       override def setTimeoutTimestamp(t: Long, additional: String): Unit = ()
       override def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
       override def setTimeoutTimestamp(t: java.sql.Date, additional: String): Unit = ()
-      override def getCurrentWatermarkMs(): Long = 0L
+      override def getCurrentWatermarkMs(): Long = wm
       override def getCurrentProcessingTimeMs(): Long = 0L
     }
     def ev(s: String, v: Double) =
       Sessionize.Ev(1L, java.sql.Timestamp.valueOf(s), v)
-    // open session 10:00–10:30
+    def ms(s: String) = java.sql.Timestamp.valueOf(s).getTime
+    // batch 1: open session 10:00–10:30
     val out1 = Sessionize.updateGroup(gap)(1L,
       Iterator(ev("2024-01-01 10:00:00", 1.0), ev("2024-01-01 10:30:00", 2.0)), state)
-    assert(out1.isEmpty && held.get.n == 2)
-    // late overlapping event 09:45 (within gap of start) → start lowers
-    val out2 = Sessionize.updateGroup(gap)(1L,
-      Iterator(ev("2024-01-01 09:45:00", 1.0)), state)
-    assert(out2.isEmpty)
-    assert(held.get.startMs == java.sql.Timestamp.valueOf("2024-01-01 09:45:00").getTime)
-    // disjoint late event 06:00 → emitted alone, open session untouched
-    val out3 = Sessionize.updateGroup(gap)(1L,
-      Iterator(ev("2024-01-01 06:00:00", 9.0)), state).toSeq
-    assert(out3.map(s => (s.n, s.total)) == Seq((1L, 9.0)))
-    assert(held.get.n == 3)
+    assert(out1.isEmpty && held.get.sessions.map(_.n) == Seq(2L))
+    // batch 2: late overlapping event 09:45 (within gap of start) → start lowers
+    assert(Sessionize.updateGroup(gap)(1L, Iterator(ev("2024-01-01 09:45:00", 1.0)), state).isEmpty)
+    assert(held.get.sessions.map(s => (s.startMs, s.n)) == Seq((ms("2024-01-01 09:45:00"), 3L)))
+    // batch 3: disjoint late event 06:00 → held OPEN (not emitted): a later
+    // overlapping late event must still be able to merge with it
+    assert(Sessionize.updateGroup(gap)(1L, Iterator(ev("2024-01-01 06:00:00", 9.0)), state).isEmpty)
+    assert(held.get.sessions.size == 2)
+    // batch 4: second late event 06:30 overlaps the first → one session of
+    // two events, exactly what session_window would build (the old
+    // single-open-session design emitted 06:00 alone and then 06:30 alone)
+    assert(Sessionize.updateGroup(gap)(1L, Iterator(ev("2024-01-01 06:30:00", 1.0)), state).isEmpty)
+    assert(held.get.sessions.map(s => (s.startMs, s.lastMs, s.n)) ==
+      Seq((ms("2024-01-01 06:00:00"), ms("2024-01-01 06:30:00"), 2L),
+        (ms("2024-01-01 09:45:00"), ms("2024-01-01 10:30:00"), 3L)))
+    // watermark passes 06:30+gap → timeout finalizes ONLY the late session
+    wm = ms("2024-01-01 08:00:00"); timedOut = true
+    val out5 = Sessionize.updateGroup(gap)(1L, Iterator.empty, state).toSeq
+    assert(out5.map(s => (s.session_start.toString, s.session_end.toString, s.n, s.total)) ==
+      Seq(("2024-01-01 06:00:00.0", "2024-01-01 07:30:00.0", 2L, 10.0)))
+    assert(held.get.sessions.map(_.n) == Seq(3L))
   }
 
-  test("batch mode agrees with session_window on in-batch gaps") {
+  test("batch mode equals the built-in session_window row for row") {
     val events = evDf(Seq(
       (1L, "2024-01-01 00:00:00", 1.0), (1L, "2024-01-01 00:30:00", 2.0),
       (1L, "2024-01-01 03:00:00", 4.0),
       (2L, "2024-01-01 00:00:00", 8.0))).as[Sessionize.Ev]
-    // batch flatMapGroupsWithState emits only gap-closed sessions (the
-    // final open ones stay in "state"); compare against session_window
-    // restricted to the same closed sessions
-    val closed = Sessionize.sessions(events, 60 * 60 * 1000L)
-      .collect().map(s => (s.user_id, s.session_start.toString, s.n, s.total))
-    assert(closed.toSeq == Seq((1L, "2024-01-01 00:00:00.0", 2L, 3.0)))
+    // batch input is complete, so every session is final and emitted
+    val got = Sessionize.sessions(events, 60 * 60 * 1000L)
+      .orderBy("user_id", "session_start")
+      .collect().map(s => (s.user_id, s.session_start.toString, s.session_end.toString, s.n, s.total))
+    val viaBuiltin = events.toDF()
+      .groupBy(col("user_id"), session_window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .select(col("user_id"), col("w.start").as("s"), col("w.end").as("e"), col("n"), col("total"))
+      .orderBy("user_id", "s")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString,
+        r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == viaBuiltin.toSeq && got.length == 3)
   }
 }
