@@ -240,18 +240,24 @@ object Similarity {
       "q_near_dup_cosine",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-          .select(col("vec_id"), asDouble(col("embedding")).as("ed"),
-            col("embedding"))
-        val eb = explodeBands(emb, col("embedding"), AnnBands, AnnBits)
+        // candidate generation stays SKINNY — (vec_id, band, sig) only.
+        // Carrying the 64-dim arrays through the band explode, self-join
+        // and distinct would multiply shuffle bytes by the vector size ×
+        // band count; instead dedup id pairs first, then join the
+        // embeddings back just for the exact scoring (the embedding side
+        // is one row per vector — AQE broadcasts it when small)
+        val eb = explodeBands(
+          emb.select("vec_id", "embedding"), col("embedding"), AnnBands, AnnBits)
           .drop("embedding")
-        val l = eb.select(col("vec_id").as("id1"), col("ed").as("e1"),
-          col("band"), col("sig"))
-        val r = eb.select(col("vec_id").as("id2"), col("ed").as("e2"),
-          col("band"), col("sig"))
-        l.join(r, Seq("band", "sig"))
+        val cand = eb.select(col("vec_id").as("id1"), col("band"), col("sig"))
+          .join(eb.select(col("vec_id").as("id2"), col("band"), col("sig")),
+            Seq("band", "sig"))
           .where(col("id1") < col("id2"))
-          .select("id1", "id2", "e1", "e2")
-          .dropDuplicates("id1", "id2")
+          .select("id1", "id2").distinct()
+        val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("ed"))
+        cand
+          .join(e.select(col("vec_id").as("id1"), col("ed").as("e1")), "id1")
+          .join(e.select(col("vec_id").as("id2"), col("ed").as("e2")), "id2")
           .withColumn("sim", round(dot(col("e1"), col("e2")), 4))
           .where(col("sim") >= 0.3)
           .select("id1", "id2", "sim")

@@ -43,23 +43,37 @@ object DedupOps extends org.apache.spark.internal.Logging {
   def minhashAgg(salt: Int): Column =
     min(md5(concat(lit(s"$salt:"), col("tok"))))
 
-  /** k-component MinHash signature per document. */
-  def minhashSignature(df: DataFrame, id: String, text: String, k: Int): DataFrame =
-    explodeTokens(df, id, text)
-      .groupBy(col(id))
+  /** k-component MinHash signature per document, over unigram tokens
+    * (`shingleN = 1`) or word n-gram shingles. Shingles are what the LSH
+    * candidate path should hash on for small vocabularies: unigram SETS
+    * saturate (see [[shingles]]) and put half the corpus in one bucket,
+    * turning the candidate join quadratic. */
+  def minhashSignature(df: DataFrame, id: String, text: String, k: Int,
+      shingleN: Int = 1): DataFrame = {
+    val toks =
+      if (shingleN <= 1) explodeTokens(df, id, text)
+      else df.select(col(id), explode(shingles(col(text), shingleN)).as("tok"))
+    toks.groupBy(col(id))
       .agg(minhashAgg(1).as("sig1"),
         (2 to k).map(i => minhashAgg(i).as(s"sig$i")): _*)
+  }
 
   /** LSH banding: hash `rowsPerBand` signature components into one bucket
     * key per band; docs sharing any band bucket are near-dup candidates.
     * Returns (id, band, bucket).
     */
   def lshBuckets(sig: DataFrame, id: String, k: Int, rowsPerBand: Int): DataFrame = {
+    // explode ONE array of (band, bucket) structs rather than unioning
+    // per-band projections: a union's branches are distinct subplans, so a
+    // downstream self-join would recompute the (expensive) signature
+    // aggregation once per branch per side — the explode keeps a single
+    // child plan whose shuffle the self-join reuses (ReuseExchange)
     val bands = (1 to k).grouped(rowsPerBand).zipWithIndex.map { case (comps, b) =>
-      sig.select(col(id), lit(b).as("band"),
+      struct(lit(b).as("band"),
         md5(concat(comps.map(i => col(s"sig$i")): _*)).as("bucket"))
-    }
-    bands.reduce(_ unionByName _)
+    }.toSeq
+    sig.select(col(id), explode(array(bands: _*)).as("__bb"))
+      .select(col(id), col("__bb.band").as("band"), col("__bb.bucket").as("bucket"))
   }
 
   /** Candidate near-dup pairs (id1 < id2) from any shared LSH band bucket. */
@@ -312,26 +326,38 @@ object DedupOps extends org.apache.spark.internal.Logging {
              |  SELECT e.id1, reach.r FROM e JOIN reach ON reach.id = e.id2)
              |SELECT id, min(r) AS cluster FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    // the SCALE dedup path, oracle-gated end to end: MinHash signatures →
-    // 2-band LSH bucketing → candidate pairs from any shared band bucket,
-    // over the corpus with injected exact duplicates. This per-band
-    // equi-join (shuffle ∝ corpus, not pairs) is what actually runs at
-    // 100 TB; the all-pairs Jaccard forms above only verify it.
+    // the SCALE dedup path, oracle-gated end to end: MinHash signatures
+    // over 3-gram shingles → 2-band LSH bucketing → candidate pairs from
+    // any shared band bucket, over the corpus with injected exact
+    // duplicates. This per-band equi-join (shuffle ∝ corpus, not pairs)
+    // is what actually runs at 100 TB; the all-pairs Jaccard forms above
+    // only verify it. Shingles, not unigrams: the fixture vocabulary is
+    // ~31 words, so unigram-set MinHash puts half the corpus in one
+    // bucket (measured: a 3 518-doc bucket → 12.8 M candidate pairs at
+    // sf0.1) where shingle signatures keep buckets ∝ true duplicates
+    // (max bucket 8, ~2 k pairs).
     QueryDef(
       "q_lsh_candidates",
       (s, d) => {
         val docs = Tables.documents(s, d).select("doc_id", "text")
         val dups = docs.where(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 100000).as("doc_id"), col("text"))
-        val sig = minhashSignature(docs.unionByName(dups), "doc_id", "text", 4)
+        val sig = minhashSignature(docs.unionByName(dups), "doc_id", "text", 4,
+          shingleN = 3)
         lshCandidates(sig, "doc_id", 4, 2).orderBy("id1", "id2")
       },
-      Some(s"""WITH sig AS (
+      Some(s"""WITH t AS (
+              |  SELECT DISTINCT doc_id, unnest(sh) AS tok FROM (
+              |    SELECT doc_id,
+              |      [array_to_string(toks[i:i+2], ' ')
+              |       for i in range(1, greatest(len(toks)-2, 1)+1)] AS sh
+              |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              |          FROM ($docsWithDups)))),
+              |sig AS (
               |  SELECT doc_id,
               |    min(md5('1:' || tok)) AS sig1, min(md5('2:' || tok)) AS sig2,
               |    min(md5('3:' || tok)) AS sig3, min(md5('4:' || tok)) AS sig4
-              |  FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-              |        FROM ($docsWithDups))
+              |  FROM t
               |  GROUP BY 1),
               |b AS (
               |  SELECT doc_id, 0 AS band, md5(sig1 || sig2) AS bucket FROM sig

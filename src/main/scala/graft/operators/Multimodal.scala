@@ -7,11 +7,14 @@ import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing (north-star scope): media payloads as opaque
   * `binary` columns with typed metadata structs, plus a per-partition
-  * feature-extraction stage. The decode step is a clearly-marked
-  * deterministic STUB (no image/audio codecs in this environment); the
-  * Spark-side contract — schema, batching, partition-parallel execution —
-  * is real and is what matters at 100 TB (payload bytes never pass through
-  * the driver; features are computed executor-side, partition by partition).
+  * feature-extraction stage. Image decode and resize run through
+  * `javax.imageio` (pure-JDK PNG/BMP/GIF/JPEG codecs) with a
+  * clearly-marked deterministic STUB fallback for undecodable payloads
+  * (the text-bytes fixtures, and any format the JDK lacks — video frame
+  * sampling stays stubbed, there is no JDK video codec). The Spark-side
+  * contract — schema, batching, partition-parallel execution — is real
+  * and is what matters at 100 TB (payload bytes never pass through the
+  * driver; features are computed executor-side, partition by partition).
   */
 object Multimodal {
 
@@ -31,21 +34,50 @@ object Multimodal {
       struct(col("source").as("origin"), col("n_chars").as("declared_len"))
         .as("meta"))
 
-  /** STUB decode: a real implementation would decode the payload with an
-    * image codec here. This deterministic fake derives "dimensions" from
-    * the byte length so the pipeline shape is testable end-to-end. */
+  /** STUB decode: derives "dimensions" from the byte length so the
+    * pipeline shape is testable on payloads that aren't real images
+    * (the text-bytes fixtures). Real images go through [[decodeDims]]. */
   def stubDecodeDims(nBytes: Int): (Int, Int) =
     (32 + nBytes % 32, 32 + (nBytes / 64) % 32)
 
-  /** STUB resize: a real implementation would decode, scale, and
-    * re-encode; this deterministic fake keeps the contract — binary in,
-    * binary out, output length a function of the target dims — so
-    * downstream stages (storage sizing, schema) are exercised for real. */
+  /** Real decode via `javax.imageio` (ships with the JDK — PNG, BMP, GIF,
+    * JPEG readers; no native deps, works headless). Undecodable payloads
+    * fall back to the deterministic stub, so one code path serves both
+    * real images and the codec-less fixtures. */
+  def decodeDims(payload: Array[Byte]): (Int, Int) =
+    Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      .map(img => (img.getWidth, img.getHeight))
+      .getOrElse(stubDecodeDims(payload.length))
+
+  /** STUB resize for undecodable payloads: binary in, binary out, output
+    * length a function of the target dims — keeps downstream stages
+    * (storage sizing, schema) exercised without a decodable image. */
   def stubResize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val out = new Array[Byte](math.min(payload.length, w * h))
     var i = 0
     while (i < out.length) { out(i) = payload(i % payload.length); i += 1 }
     out
+  }
+
+  /** Real resize: decode with `javax.imageio`, bilinear-scale onto a
+    * w×h canvas, re-encode as PNG. Falls back to [[stubResize]] when the
+    * payload isn't a decodable image. */
+  def resizePayload(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    if (img == null) stubResize(payload, w, h)
+    else {
+      val out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
   }
 
   /** STUB frame sampling: a real implementation would decode a video
@@ -69,7 +101,7 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(schema)
     withBytes.select("doc_id", "payload").mapPartitions { it =>
       it.map { r =>
-        val out = stubResize(r.getAs[Array[Byte]](1), w, h)
+        val out = resizePayload(r.getAs[Array[Byte]](1), w, h)
         Row(r.getLong(0), out, out.length)
       }
     }(enc).toDF()
@@ -100,7 +132,7 @@ object Multimodal {
       it.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        val (w, h) = stubDecodeDims(bytes.length)
+        val (w, h) = decodeDims(bytes)
         Row(id, bytes.length, w, h)
       }
     }(rowEnc)

@@ -36,6 +36,34 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.groupBy("doc_id").count().agg(min("count")).head().getLong(0) == 4)
   }
 
+  test("real PNG payloads decode to true dimensions and resize through the imageio codec") {
+    import spark.implicits._
+    // build a real 40×20 PNG in-process (no fixture files needed)
+    val img = new java.awt.image.BufferedImage(40, 20, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 40).foreach(x => (0 until 20).foreach(y => img.setRGB(x, y, x * 31 + y)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+
+    val df = Seq((1L, png), (2L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    // decode: the real image reports its true dims, junk falls to the stub
+    val feats = Multimodal.extractFeatures(spark, df)
+      .orderBy("doc_id").collect()
+    assert(feats(0).getInt(2) == 40 && feats(0).getInt(3) == 20)
+    val (sw, sh) = Multimodal.stubDecodeDims("not an image".getBytes("UTF-8").length)
+    assert(feats(1).getInt(2) == sw && feats(1).getInt(3) == sh)
+
+    // resize: output is a real PNG that decodes back at the target dims
+    val resized = Multimodal.resizeAll(spark, df, 16, 8)
+      .orderBy("doc_id").collect()
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized(0).getAs[Array[Byte]]("resized")))
+    assert(back.getWidth == 16 && back.getHeight == 8)
+    // undecodable payload keeps the stub contract (length bounded by w*h)
+    assert(resized(1).getAs[Array[Byte]]("resized").length <= 16 * 8)
+  }
+
   test("stub decode dims are deterministic and in range") {
     val (w, h) = Multimodal.stubDecodeDims(1000)
     assert((w, h) == Multimodal.stubDecodeDims(1000))
