@@ -91,6 +91,30 @@ object Similarity {
       .select(keep :+ col("__band.band").as("band") :+ col("__band.sig").as("sig"): _*)
   }
 
+  /** Banded-LSH approximate top-k: candidates from the band equi-join on
+    * SKINNY (vec_id, band, sig) rows — ids dedup before any vector moves
+    * — then one embedding re-join for exact scoring. Queries are the
+    * rows matching `queryFilter`. Returns (qid, vec_id, sim, rn ≤ k). */
+  def lshTopK(emb: DataFrame, queryFilter: Column, k: Int): DataFrame = {
+    val eb = explodeBands(emb.select("vec_id", "embedding"),
+      col("embedding"), AnnBands, AnnBits).drop("embedding")
+    val cand = eb.join(
+        eb.where(queryFilter)
+          .select(col("vec_id").as("qid"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .where(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").distinct()
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("ed"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    cand
+      .join(e.select(col("vec_id").as("qid"), col("ed").as("qe")), "qid")
+      .join(e, "vec_id")
+      .withColumn("sim", round(dot(col("qe"), col("ed")), 4))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("qid", "vec_id", "sim", "rn")
+  }
+
   /** Exact top-k by (rounded) similarity per query, brute force. `queries`
     * must be small (it is broadcast against every candidate partition). */
   def bruteTopK(candidates: DataFrame, queries: DataFrame, k: Int): DataFrame = {
@@ -126,30 +150,13 @@ object Similarity {
              |      FROM sims)
              |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
 
-    // U5 scale path: multi-band hyperplane-LSH ANN — 4 bands × 8 bits
-    // OR-ed. Each band's equi-join prunes the candidate space ~256×; the
-    // band union recovers neighbors a single band's boundary would lose.
+    // U5 scale path: multi-band hyperplane-LSH ANN (AnnBands × AnnBits,
+    // OR-ed). Each band's equi-join prunes the candidate space; the band
+    // union recovers neighbors a single band's boundary would lose.
     QueryDef(
       "q_ann_lsh",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-          .select(col("vec_id"), asDouble(col("embedding")).as("ed"),
-            col("embedding"))
-        val eb = explodeBands(emb, col("embedding"), AnnBands, AnnBits)
-          .drop("embedding")
-        val qb = eb.where(col("vec_id") < 20)
-          .select(col("vec_id").as("qid"), col("ed").as("qe"), col("band"), col("sig"))
-        val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
-        eb.join(qb, Seq("band", "sig"))
-          .where(col("vec_id") =!= col("qid"))
-          .select("qid", "vec_id", "qe", "ed")
-          .dropDuplicates("qid", "vec_id")
-          .withColumn("sim", round(dot(col("qe"), col("ed")), 4))
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") <= 3)
-          .select("qid", "vec_id", "sim", "rn")
-          .orderBy("qid", "rn")
-      },
+      (s, d) => lshTopK(Tables.embeddings(s, d), col("vec_id") < 20, 3)
+        .orderBy("qid", "rn"),
       Some {
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
            |             ${bandSigSqlCols.mkString(",\n             ")}
@@ -176,25 +183,11 @@ object Similarity {
       "q_ann_recall",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-          .select(col("vec_id"), asDouble(col("embedding")).as("ed"),
-            col("embedding"))
-        val plain = emb.drop("embedding")
+        val plain = emb.select(col("vec_id"), asDouble(col("embedding")).as("ed"))
         val q = plain.where(col("vec_id") < 20)
           .select(col("vec_id").as("qid"), col("ed").as("qe"))
         val brute = bruteTopK(plain, q, 5).select("qid", "vec_id")
-        val eb = explodeBands(emb, col("embedding"), AnnBands, AnnBits)
-          .drop("embedding")
-        val qb = eb.where(col("vec_id") < 20)
-          .select(col("vec_id").as("qid"), col("ed").as("qe"), col("band"), col("sig"))
-        val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
-        val lshTop = eb.join(qb, Seq("band", "sig"))
-          .where(col("vec_id") =!= col("qid"))
-          .select("qid", "vec_id", "qe", "ed")
-          .dropDuplicates("qid", "vec_id")
-          .withColumn("sim", round(dot(col("qe"), col("ed")), 4))
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") <= 5)
-          .select("qid", "vec_id")
+        val lshTop = lshTopK(emb, col("vec_id") < 20, 5).select("qid", "vec_id")
         val hits = brute.join(lshTop, Seq("qid", "vec_id"), "left_semi")
           .groupBy("qid").agg(count(lit(1)).as("hits"))
         q.select("qid").join(hits, Seq("qid"), "left")

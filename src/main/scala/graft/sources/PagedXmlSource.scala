@@ -26,10 +26,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * would.
   *
   * The transport here is a local XML file standing in for the HTTP POST
-  * (this environment has no egress); retry/backoff (S1) is a transport
-  * concern that would wrap the per-partition fetch. Cross-page dedup by
-  * id (S3 `seen_ids`) remains a downstream `dropDuplicates`, as in the
-  * reference where the client dedups across page boundaries.
+  * (this environment has no egress); the per-partition fetch is wrapped
+  * in [[Retry.withBackoff]] (S1/T6 — capped exponential backoff with
+  * full jitter, `retries`/`retryBaseMs` options), so a transient
+  * transport failure retries the one page instead of failing the Spark
+  * task. Cross-page dedup by id (S3 `seen_ids`) remains a downstream
+  * `dropDuplicates`, as in the reference where the client dedups across
+  * page boundaries.
   *
   * Usage:
   * {{{
@@ -95,11 +98,15 @@ object PagedXmlSource {
   // stand-in shares the parse instead.)
   @volatile private var cache: (String, Long, Seq[Map[String, Any]]) = null
 
-  private[sources] def parseRows(path: String): Seq[Map[String, Any]] = {
+  private[sources] def parseRows(path: String, retries: Int = 3,
+      retryBaseMs: Long = 50L): Seq[Map[String, Any]] = {
     val mtime = new java.io.File(path).lastModified()
     val c = cache
     if (c != null && c._1 == path && c._2 == mtime) return c._3
-    val rows = doParse(path)
+    // the "page fetch": transient transport failures back off and retry
+    // executor-side (S1/T6), like the reference's fetch_with_retry wraps
+    // its HTTP POST (src/trv/endpoints.py:34-57)
+    val rows = Retry.withBackoff(retries, retryBaseMs)(doParse(path))
     cache = (path, mtime, rows)
     rows
   }
@@ -174,10 +181,13 @@ private[sources] class PagedXmlScanBuilder(options: CaseInsensitiveStringMap)
         "(spark.read.format(...).option(\"path\", \"/data/situations.xml\"))")),
     Option(options.get("pageSize")).map(_.toInt).getOrElse(500),
     Option(options.get("maxPages")).map(_.toInt).getOrElse(20),
+    Option(options.get("retries")).map(_.toInt).getOrElse(3),
+    Option(options.get("retryBaseMs")).map(_.toLong).getOrElse(50L),
     pushed, required)
 }
 
 private[sources] class PagedXmlScan(path: String, pageSize: Int, maxPages: Int,
+    retries: Int, retryBaseMs: Long,
     filters: Array[Filter], required: StructType)
     extends Scan with Batch with org.apache.spark.internal.Logging {
 
@@ -194,7 +204,7 @@ private[sources] class PagedXmlScan(path: String, pageSize: Int, maxPages: Int,
     // driver-side page count (the cursor-pagination analogue: how many
     // pages exist after server-side filtering); the parse is memoized so
     // partition readers reuse it
-    val n = PagedXmlSource.parseRows(path)
+    val n = PagedXmlSource.parseRows(path, retries, retryBaseMs)
       .count(r => filters.forall(PagedXmlSource.eval(_, r)))
     val needed = math.max(1, (n + pageSize - 1) / pageSize)
     val pages = math.min(maxPages, needed)
@@ -206,12 +216,13 @@ private[sources] class PagedXmlScan(path: String, pageSize: Int, maxPages: Int,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PagedXmlReaderFactory(path, pageSize, filters, required)
+    new PagedXmlReaderFactory(path, pageSize, retries, retryBaseMs, filters, required)
 }
 
 private[sources] case class PagedXmlPartition(page: Int) extends InputPartition
 
 private[sources] class PagedXmlReaderFactory(path: String, pageSize: Int,
+    retries: Int, retryBaseMs: Long,
     filters: Array[Filter], required: StructType)
     extends PartitionReaderFactory {
 
@@ -219,7 +230,7 @@ private[sources] class PagedXmlReaderFactory(path: String, pageSize: Int,
     val page = partition.asInstanceOf[PagedXmlPartition].page
     new PartitionReader[InternalRow] {
       // one "page fetch": parse, server-side filter, slice this page
-      private val rows = PagedXmlSource.parseRows(path)
+      private val rows = PagedXmlSource.parseRows(path, retries, retryBaseMs)
         .filter(r => filters.forall(PagedXmlSource.eval(_, r)))
         .slice(page * pageSize, (page + 1) * pageSize)
         .iterator
