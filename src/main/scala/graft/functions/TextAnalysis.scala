@@ -2,6 +2,7 @@ package graft.functions
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis toolkit for large-scale training-data pipelines
@@ -184,6 +185,66 @@ object TextAnalysis {
              |FROM documents a JOIN documents b ON a.doc_id < b.doc_id
              |WHERE a.doc_id < 10 AND b.doc_id < 10
              |ORDER BY id1, id2""".stripMargin)),
+
+    // deterministic stratified sampling — the training-data curation op:
+    // per-language sampling rates (downsample the dominant language,
+    // keep more of the rare ones) driven by an md5 hash bucket of the
+    // doc id, so the sample is reproducible on any engine and any run
+    // (no RNG state, no seed drift), and membership is decided row-local
+    // (no shuffle at all — a pure filter over the scan)
+    QueryDef(
+      "q_stratified_sample",
+      (s, d) => {
+        val bucket = substring(md5(concat(lit("s:"), col("doc_id"))), 1, 2)
+        // hex threshold per stratum: en 25% (0x40/0x100), others 50%
+        val keepBelow = when(col("lang") === "en", "40").otherwise("80")
+        Tables.documents(s, d)
+          .where(bucket < keepBelow)
+          .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, substr(md5('s:' || doc_id), 1, 2) AS bucket
+             |FROM documents
+             |WHERE substr(md5('s:' || doc_id), 1, 2) <
+             |  CASE WHEN lang = 'en' THEN '40' ELSE '80' END
+             |ORDER BY doc_id""".stripMargin)),
+
+    // per-document top terms by tf × inverse document frequency (linear
+    // N/df weighting — ln(N/df) ranks identically but a libm ln can
+    // differ cross-engine in the last ulp; division is IEEE-exact).
+    // Ranking runs on the ROUNDED score with a term tiebreak so the
+    // order is engine-portable. The shape is the standard corpus
+    // keyword-extraction plan: one tokens shuffle feeds both tf and df,
+    // and the 1-row corpus count broadcasts.
+    QueryDef(
+      "q_tfidf_terms",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfreq = toks.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+        val n = docs.agg(countDistinct("doc_id").as("n_docs"))
+        val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+        tf.join(dfreq, "tok").crossJoin(broadcast(n))
+          .withColumn("score",
+            round(col("tf").cast("double") * col("n_docs") / col("df"), 4))
+          .withColumn("rn", row_number().over(w).cast("int"))
+          .where(col("rn") <= 3)
+          .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("score"), col("rn"))
+          .orderBy("doc_id", "rn")
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+             |dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+             |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+             |sc AS (SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+             |    round(CAST(tf.tf AS DOUBLE) * n.n_docs / dfreq.df, 4) AS score
+             |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n),
+             |r AS (SELECT doc_id, tok, tf, df, score,
+             |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS INT) AS rn
+             |  FROM sc)
+             |SELECT doc_id, tok, tf, df, score, rn FROM r WHERE rn <= 3
+             |ORDER BY doc_id, rn""".stripMargin)),
 
     // document fingerprinting (md5 of normalized text)
     QueryDef(

@@ -368,6 +368,64 @@ object DedupOps extends org.apache.spark.internal.Logging {
               |WHERE l.doc_id < r.doc_id
               |ORDER BY id1, id2""".stripMargin)),
 
+    // oracled dedup quality gate, mirroring q_ann_recall for the text
+    // path: candidate recall of banded MinHash-LSH against ground-truth
+    // high-Jaccard pairs (all-pairs shingle Jaccard on a bounded subset —
+    // ground truth is only computable exhaustively, so the gate runs on a
+    // slice; the LSH path itself is unchanged from q_lsh_candidates).
+    // md5-derived MinHash is deterministic, so recall is an exact,
+    // engine-portable number, not a seed-dependent estimate.
+    QueryDef(
+      "q_lsh_recall",
+      (s, d) => {
+        val docs = Tables.documents(s, d).where(col("doc_id") < 50)
+          .select("doc_id", "text")
+        val dups = docs.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        val corpus = docs.unionByName(dups)
+        val toks = corpus.select(col("doc_id"),
+          explode(shingles(col("text"), 3)).as("tok")).distinct()
+        val truth = jaccardPairs(toks, "doc_id", broadcastTokens = true)
+          .where(col("jaccard") >= 0.5).select("id1", "id2")
+        val cand = lshCandidates(
+          minhashSignature(corpus, "doc_id", "text", 4, shingleN = 3),
+          "doc_id", 4, 2)
+        val found = truth.join(cand, Seq("id1", "id2"), "left_semi")
+        truth.agg(count(lit(1)).as("n_true"))
+          .crossJoin(found.agg(count(lit(1)).as("n_found")))
+          .select(col("n_true"), col("n_found"),
+            round(col("n_found").cast("double") / col("n_true"), 4).as("recall"))
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id < 50
+             |  UNION ALL
+             |  SELECT doc_id + 100000, text FROM documents
+             |  WHERE doc_id % 10 = 0 AND doc_id < 50),
+             |t AS (SELECT DISTINCT doc_id, unnest(sh) AS tok FROM (
+             |    SELECT doc_id,
+             |      [array_to_string(toks[i:i+2], ' ')
+             |       for i in range(1, greatest(len(toks)-2, 1)+1)] AS sh
+             |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus))),
+             |c AS (SELECT doc_id, count(*) AS n FROM t GROUP BY 1),
+             |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+             |          FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2),
+             |truth AS (SELECT id1, id2 FROM inter
+             |          JOIN c ca ON ca.doc_id = id1 JOIN c cb ON cb.doc_id = id2
+             |          WHERE round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) >= 0.5),
+             |sig AS (SELECT doc_id,
+             |    min(md5('1:' || tok)) AS s1, min(md5('2:' || tok)) AS s2,
+             |    min(md5('3:' || tok)) AS s3, min(md5('4:' || tok)) AS s4
+             |  FROM t GROUP BY 1),
+             |b AS (SELECT doc_id, md5(s1 || s2) AS bucket FROM sig
+             |      UNION ALL SELECT doc_id, md5(s3 || s4) FROM sig),
+             |cand AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+             |         FROM b l JOIN b r USING (bucket) WHERE l.doc_id < r.doc_id)
+             |SELECT (SELECT count(*) FROM truth) AS n_true,
+             |  (SELECT count(*) FROM truth JOIN cand USING (id1, id2)) AS n_found,
+             |  round(CAST((SELECT count(*) FROM truth JOIN cand USING (id1, id2)) AS DOUBLE)
+             |    / (SELECT count(*) FROM truth), 4) AS recall""".stripMargin)),
+
     // token-set Jaccard over a bounded pair set (the all-pairs form is for
     // verification only; at scale pairs come from lshCandidates)
     QueryDef(
