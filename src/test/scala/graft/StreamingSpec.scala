@@ -51,4 +51,39 @@ class StreamingSpec extends SparkSpec {
       .select("event_id", "value").as[(Long, Double)].collect()
     assert(got.toSeq == Seq((1L, 1.5), (2L, 2.5), (3L, 3.0)))
   }
+
+  test("streaming dedup drops cross-batch duplicates within the watermark, bounded state") {
+    import graft.streaming.StreamDedup
+    val dir = Files.createTempDirectory("graft-sdedup").toString
+    val (src, out, chk) = (s"$dir/src", s"$dir/out", s"$dir/chk")
+
+    def runOnce(): Unit = StreamDedup.run(
+      spark.readStream.schema(schema).parquet(src),
+      out, chk, Seq("event_id"), "ts", "1 hour").awaitTermination()
+
+    // run 1: keys 1,2 (and an in-batch duplicate of 1 at a later fetch ts)
+    rows(Seq(
+      (1L, "2024-01-01 00:00:00", 1.0),
+      (1L, "2024-01-01 00:10:00", 99.0),
+      (2L, "2024-01-01 00:20:00", 2.0)))
+      .write.mode("append").parquet(src)
+    runOnce()
+
+    // run 2: key 1 re-arrives within its watermark horizon (dropped),
+    // key 3 is new (kept)
+    rows(Seq(
+      (1L, "2024-01-01 00:30:00", 98.0),
+      (3L, "2024-01-01 00:40:00", 3.0)))
+      .write.mode("append").parquet(src)
+    runOnce()
+
+    val got = spark.read.parquet(out)
+      .orderBy("event_id").select("event_id", "value").as[(Long, Double)].collect()
+    // exactly one row per key; which IN-batch duplicate of key 1 wins is
+    // not specified (dedup keeps one arbitrary arrival), but the
+    // CROSS-batch re-arrival (98.0) must have been dropped by state
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(Set(1.0, 99.0).contains(got(0)._2), s"run-2 duplicate leaked: ${got(0)}")
+    assert(got(1)._2 == 2.0 && got(2)._2 == 3.0)
+  }
 }
