@@ -63,6 +63,40 @@ object TimeWindows {
              |      FROM x)
              |SELECT user_id, min(ts) AS session_start,
              |  max(ts) + INTERVAL 1 HOUR AS session_end, count(*) AS n
+             |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
+
+    // the CUSTOM stateful sessionizer (flatMapGroupsWithState,
+    // streaming.Sessionize) run in batch mode under the same
+    // gaps-and-islands oracle — batch input is complete, so the operator
+    // must equal session_window row for row, which puts the hand-rolled
+    // state machine itself under the hash-compare gate (not just its
+    // SQL-builtin sibling above)
+    QueryDef(
+      "q_sessionize_custom",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("value"))
+          .as[graft.streaming.Sessionize.Ev]
+        graft.streaming.Sessionize.sessions(ev, 60 * 60 * 1000L).toDF()
+          .select(col("user_id"),
+            col("session_start").cast("timestamp_ntz").as("session_start"),
+            col("session_end").cast("timestamp_ntz").as("session_end"),
+            col("n"), round(col("total"), 4).as("total"))
+          .orderBy("user_id", "session_start")
+      },
+      Some("""WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+             |x AS (SELECT user_id, ts, value,
+             |        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |                  <= INTERVAL 1 HOUR THEN 0 ELSE 1 END AS new_s
+             |      FROM ev),
+             |y AS (SELECT user_id, ts, value,
+             |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |      FROM x)
+             |SELECT user_id, min(ts) AS session_start,
+             |  max(ts) + INTERVAL 1 HOUR AS session_end, count(*) AS n,
+             |  round(sum(value), 4) AS total
              |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin))
   )
 }

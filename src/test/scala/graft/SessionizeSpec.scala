@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import java.time.Instant
 
 import graft.streaming.Sessionize
 import org.apache.spark.sql.functions._
@@ -12,6 +13,10 @@ class SessionizeSpec extends SparkSpec {
   private def evDf(rows: Seq[(Long, String, Double)]) =
     rows.toDF("user_id", "s", "value")
       .select(col("user_id"), col("s").cast("timestamp").as("ts"), col("value"))
+
+  // "2024-01-01 10:00:00" (UTC wall clock, matching the UTC session TZ)
+  private def inst(s: String): Instant = Instant.parse(s.replace(' ', 'T') + "Z")
+  private def us(s: String): Long = inst(s).toEpochMilli * 1000L
 
   test("stateful sessionization across two streaming runs closes gapped sessions") {
     val dir = Files.createTempDirectory("graft-sess").toString
@@ -46,8 +51,8 @@ class SessionizeSpec extends SparkSpec {
     assert(sessions.length == 1)
     val s = sessions.head
     assert(s.user_id == 1L && s.n == 2 && s.total == 3.0)
-    assert(s.session_start.toString == "2024-01-01 00:00:00.0")
-    assert(s.session_end.toString == "2024-01-01 01:10:00.0") // last + 1h gap
+    assert(s.session_start == inst("2024-01-01 00:00:00"))
+    assert(s.session_end == inst("2024-01-01 01:10:00")) // last + 1h gap
   }
 
   test("two disjoint late events across micro-batches merge; watermark finalizes sessions") {
@@ -74,16 +79,14 @@ class SessionizeSpec extends SparkSpec {
       override def getCurrentWatermarkMs(): Long = wm
       override def getCurrentProcessingTimeMs(): Long = 0L
     }
-    def ev(s: String, v: Double) =
-      Sessionize.Ev(1L, java.sql.Timestamp.valueOf(s), v)
-    def ms(s: String) = java.sql.Timestamp.valueOf(s).getTime
+    def ev(s: String, v: Double) = Sessionize.Ev(1L, inst(s), v)
     // batch 1: open session 10:00–10:30
     val out1 = Sessionize.updateGroup(gap)(1L,
       Iterator(ev("2024-01-01 10:00:00", 1.0), ev("2024-01-01 10:30:00", 2.0)), state)
     assert(out1.isEmpty && held.get.sessions.map(_.n) == Seq(2L))
     // batch 2: late overlapping event 09:45 (within gap of start) → start lowers
     assert(Sessionize.updateGroup(gap)(1L, Iterator(ev("2024-01-01 09:45:00", 1.0)), state).isEmpty)
-    assert(held.get.sessions.map(s => (s.startMs, s.n)) == Seq((ms("2024-01-01 09:45:00"), 3L)))
+    assert(held.get.sessions.map(s => (s.startUs, s.n)) == Seq((us("2024-01-01 09:45:00"), 3L)))
     // batch 3: disjoint late event 06:00 → held OPEN (not emitted): a later
     // overlapping late event must still be able to merge with it
     assert(Sessionize.updateGroup(gap)(1L, Iterator(ev("2024-01-01 06:00:00", 9.0)), state).isEmpty)
@@ -92,14 +95,14 @@ class SessionizeSpec extends SparkSpec {
     // two events, exactly what session_window would build (the old
     // single-open-session design emitted 06:00 alone and then 06:30 alone)
     assert(Sessionize.updateGroup(gap)(1L, Iterator(ev("2024-01-01 06:30:00", 1.0)), state).isEmpty)
-    assert(held.get.sessions.map(s => (s.startMs, s.lastMs, s.n)) ==
-      Seq((ms("2024-01-01 06:00:00"), ms("2024-01-01 06:30:00"), 2L),
-        (ms("2024-01-01 09:45:00"), ms("2024-01-01 10:30:00"), 3L)))
+    assert(held.get.sessions.map(s => (s.startUs, s.lastUs, s.n)) ==
+      Seq((us("2024-01-01 06:00:00"), us("2024-01-01 06:30:00"), 2L),
+        (us("2024-01-01 09:45:00"), us("2024-01-01 10:30:00"), 3L)))
     // watermark passes 06:30+gap → timeout finalizes ONLY the late session
-    wm = ms("2024-01-01 08:00:00"); timedOut = true
+    wm = us("2024-01-01 08:00:00") / 1000L; timedOut = true
     val out5 = Sessionize.updateGroup(gap)(1L, Iterator.empty, state).toSeq
-    assert(out5.map(s => (s.session_start.toString, s.session_end.toString, s.n, s.total)) ==
-      Seq(("2024-01-01 06:00:00.0", "2024-01-01 07:30:00.0", 2L, 10.0)))
+    assert(out5.map(s => (s.session_start, s.session_end, s.n, s.total)) ==
+      Seq((inst("2024-01-01 06:00:00"), inst("2024-01-01 07:30:00"), 2L, 10.0)))
     assert(held.get.sessions.map(_.n) == Seq(3L))
   }
 
@@ -111,13 +114,13 @@ class SessionizeSpec extends SparkSpec {
     // batch input is complete, so every session is final and emitted
     val got = Sessionize.sessions(events, 60 * 60 * 1000L)
       .orderBy("user_id", "session_start")
-      .collect().map(s => (s.user_id, s.session_start.toString, s.session_end.toString, s.n, s.total))
+      .collect().map(s => (s.user_id, s.session_start, s.session_end, s.n, s.total))
     val viaBuiltin = events.toDF()
       .groupBy(col("user_id"), session_window(col("ts"), "1 hour").as("w"))
       .agg(count(lit(1)).as("n"), sum("value").as("total"))
       .select(col("user_id"), col("w.start").as("s"), col("w.end").as("e"), col("n"), col("total"))
       .orderBy("user_id", "s")
-      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString,
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toInstant, r.getTimestamp(2).toInstant,
         r.getLong(3), r.getDouble(4)))
     assert(got.toSeq == viaBuiltin.toSeq && got.length == 3)
   }
