@@ -295,6 +295,26 @@ object Relational {
              |      FROM events GROUP BY 1) USING (event_type)
              |ORDER BY event_id""".stripMargin)),
 
+    // second-moment statistics suite: stddev / variance / covariance /
+    // correlation per group, rounded to absorb aggregation-order ulps
+    // (Spark's partial-merge order differs from DuckDB's sequential scan)
+    QueryDef(
+      "q_stats_suite",
+      (s, d) => Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          round(stddev_samp(col("value")), 4).as("sd"),
+          round(var_samp(col("value")), 4).as("variance"),
+          round(covar_samp(col("value"), col("user_id").cast("double")), 4).as("cov_vu"),
+          round(corr(col("value"), col("user_id").cast("double")), 4).as("corr_vu"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  round(stddev_samp(value), 4) AS sd,
+             |  round(var_samp(value), 4) AS variance,
+             |  round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS cov_vu,
+             |  round(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_vu
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // distinct aggregate (expands to a two-phase plan; at scale prefer
     // approx_count_distinct when exactness isn't required)
     QueryDef(

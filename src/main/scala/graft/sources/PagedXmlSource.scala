@@ -42,7 +42,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *     .load()
   * }}}
   */
-class PagedXmlSource extends TableProvider {
+class PagedXmlSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  // META-INF/services registration → spark.read.format("paged-xml")
+  override def shortName(): String = "paged-xml"
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     PagedXmlSource.schema
 

@@ -79,4 +79,9 @@ class XmlSourceSpec extends SparkSpec {
       .load()
     assert(df.count() == 20) // 2 pages × 10
   }
+
+  test("short name 'paged-xml' resolves via DataSourceRegister") {
+    val df = spark.read.format("paged-xml").option("path", xmlPath).load()
+    assert(df.count() == 25)
+  }
 }
