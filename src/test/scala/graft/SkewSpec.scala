@@ -42,6 +42,40 @@ class SkewSpec extends SparkSpec {
     assert(saltsUsed == 8, s"row-hash salt must use all 8 buckets, used $saltsUsed")
   }
 
+  test("AQE splits a skewed sort-merge join partition (skew=true in the final plan)") {
+    // force the skew machinery visible at toy scale: no broadcast, tiny
+    // skew thresholds, so the "hot" partition qualifies as skewed
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val big = spark.range(0, 20000)
+        .select(when(col("id") % 100 =!= 0, "hot").otherwise(concat(lit("c"), col("id"))).as("k"),
+          col("id").as("v"))
+      val dim = Seq(("hot", "H"), ("c0", "C")).toDF("k", "label")
+      // collect() and plan-read must target the SAME Dataset object —
+      // .as/.orderBy each derive a new QueryExecution, and only the
+      // executed one carries AQE's re-planned (isFinalPlan=true) tree
+      val joined = big.join(dim, "k").groupBy("label").agg(count(lit(1)).as("n"))
+        .orderBy("label").as[(String, Long)]
+      val rows = joined.collect()
+      assert(rows.toSeq == Seq(("C", 1L), ("H", 19800L)))
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected AQE to mark the hot partition skewed; plan:\n$finalPlan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("GraftFunctions.registerAll exposes wkt_centroid and dot_product to SQL") {
     GraftFunctions.registerAll(spark)
     val r = spark.sql(
