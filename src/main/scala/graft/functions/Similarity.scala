@@ -321,6 +321,86 @@ object Similarity {
              |SELECT qid, vec_id, cluster, sim, rn FROM r WHERE rn <= 3
              |ORDER BY qid, rn""".stripMargin)),
 
+    // oracled IVF quality gate: recall@5 of 2-probe IVF search (each
+    // query searches its top-2 nearest cells, not just its own) against
+    // the exact brute-force top-5 — single-probe IVF silently loses
+    // neighbors that fall just across a cell boundary; nprobe is the
+    // recall/cost dial and this query measures where it's set. Measured
+    // 0.47 mean on the fixtures: the 8-vector codebook is UNTRAINED
+    // (first 8 corpus vectors, no k-means), so cells barely cluster —
+    // exactly the kind of silent index rot this gate exists to surface;
+    // a production codebook is trained and re-measured here.
+    QueryDef(
+      "q_ivf_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), asDouble(col("embedding")).as("ed"))
+        val cents = emb.where(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"), col("ed").as("ce"))
+        val wAssign = Window.partitionBy("vec_id")
+          .orderBy(col("cdot").desc, col("cent_id"))
+        val ranked = emb.crossJoin(broadcast(cents))
+          .withColumn("cdot", round(dot(col("ed"), col("ce")), 4))
+          .withColumn("crn", row_number().over(wAssign))
+        val assign = ranked.where(col("crn") === 1)
+          .select(col("vec_id"), col("ed"), col("cent_id").as("cluster"))
+        val isQuery = col("vec_id") >= 8 && col("vec_id") < 28
+        val probes = ranked.where(isQuery && col("crn") <= 2)
+          .select(col("vec_id").as("qid"), col("ed").as("qe"),
+            col("cent_id").as("cluster"))
+        val wRank = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+        val ivfTop = assign.join(broadcast(probes), "cluster")
+          .where(col("vec_id") =!= col("qid"))
+          .select("qid", "vec_id", "qe", "ed")
+          .dropDuplicates("qid", "vec_id")
+          .withColumn("sim", round(dot(col("qe"), col("ed")), 4))
+          .withColumn("rn", row_number().over(wRank))
+          .where(col("rn") <= 5)
+          .select("qid", "vec_id")
+        val q = emb.where(isQuery)
+          .select(col("vec_id").as("qid"), col("ed").as("qe"))
+        val brute = bruteTopK(emb, q, 5).select("qid", "vec_id")
+        val hits = brute.join(ivfTop, Seq("qid", "vec_id"), "left_semi")
+          .groupBy("qid").agg(count(lit(1)).as("hits"))
+        q.select("qid").join(hits, Seq("qid"), "left")
+          .select(col("qid"),
+            coalesce(col("hits"), lit(0L)).as("hits"),
+            round(coalesce(col("hits"), lit(0L)) / 5.0, 4).as("recall_at_5"))
+          .orderBy("qid")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
+             |c AS (SELECT vec_id AS cent_id, ed AS ce FROM e WHERE vec_id < 8),
+             |ad AS (SELECT e.vec_id, e.ed, c.cent_id,
+             |         round(list_dot_product(e.ed, c.ce), 4) AS cdot,
+             |         row_number() OVER (PARTITION BY e.vec_id
+             |           ORDER BY round(list_dot_product(e.ed, c.ce), 4) DESC, c.cent_id) AS crn
+             |       FROM e CROSS JOIN c),
+             |assign AS (SELECT vec_id, ed, cent_id AS cluster FROM ad WHERE crn = 1),
+             |probes AS (SELECT vec_id AS qid, ed AS qe, cent_id AS cluster FROM ad
+             |           WHERE vec_id >= 8 AND vec_id < 28 AND crn <= 2),
+             |cand AS (SELECT DISTINCT p.qid, a.vec_id FROM probes p
+             |         JOIN assign a ON a.cluster = p.cluster WHERE a.vec_id <> p.qid),
+             |isims AS (SELECT cd.qid, cd.vec_id,
+             |            round(list_dot_product(q2.ed, e2.ed), 4) AS sim
+             |          FROM cand cd JOIN e q2 ON q2.vec_id = cd.qid
+             |          JOIN e e2 ON e2.vec_id = cd.vec_id),
+             |ivf AS (SELECT qid, vec_id FROM (
+             |    SELECT qid, vec_id,
+             |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+             |    FROM isims) WHERE rn <= 5),
+             |q AS (SELECT vec_id AS qid, ed AS qe FROM e WHERE vec_id >= 8 AND vec_id < 28),
+             |bsims AS (SELECT q.qid, e.vec_id, round(list_dot_product(q.qe, e.ed), 4) AS sim
+             |          FROM q CROSS JOIN e WHERE e.vec_id <> q.qid),
+             |brute AS (SELECT qid, vec_id FROM (
+             |    SELECT qid, vec_id,
+             |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+             |    FROM bsims) WHERE rn <= 5),
+             |h AS (SELECT b.qid, count(*) AS hits FROM brute b
+             |      JOIN ivf i ON i.qid = b.qid AND i.vec_id = b.vec_id GROUP BY 1)
+             |SELECT q.qid, coalesce(h.hits, 0) AS hits,
+             |  round(coalesce(h.hits, 0) / 5.0, 4) AS recall_at_5
+             |FROM q LEFT JOIN h ON h.qid = q.qid ORDER BY q.qid""".stripMargin)),
+
     // int8 quantization integrity: exact integer digests of the quantized
     // vectors (sum/min/max are deterministic ints; the array itself stays
     // engine-internal)

@@ -152,6 +152,28 @@ object Relational {
              |  round(quantile_cont(value, 0.9), 4) AS p90
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // full quantile ladder per group (exact interpolated percentiles —
+    // Spark `percentile` ≡ DuckDB `quantile_cont`); at 100 TB switch to
+    // approx_percentile and drop the oracle, as with q_approx_distinct
+    QueryDef(
+      "q_percentiles",
+      (s, d) => Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.01)"), 4).as("p01"),
+          round(expr("percentile(value, 0.25)"), 4).as("p25"),
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.75)"), 4).as("p75"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  round(quantile_cont(value, 0.01), 4) AS p01,
+             |  round(quantile_cont(value, 0.25), 4) AS p25,
+             |  round(quantile_cont(value, 0.5), 4) AS p50,
+             |  round(quantile_cont(value, 0.75), 4) AS p75,
+             |  round(quantile_cont(value, 0.99), 4) AS p99
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ranking-function suite over a pinned unique order
     QueryDef(
       "q_rank_suite",
