@@ -115,6 +115,78 @@ object Similarity {
       .select("qid", "vec_id", "sim", "rn")
   }
 
+  /** recall@5 of nprobe-cell IVF search against the exact brute-force
+    * top-5, for an arbitrary codebook `cents` (cent_id, ce). `emb` is
+    * (vec_id, ed); queries are rows matching `isQuery`. */
+  def ivfRecallAt5(emb: DataFrame, cents: DataFrame, isQuery: Column,
+      nprobe: Int): DataFrame = {
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("cdot").desc, col("cent_id"))
+    val ranked = emb.crossJoin(broadcast(cents))
+      .withColumn("cdot", round(dot(col("ed"), col("ce")), 4))
+      .withColumn("crn", row_number().over(wAssign))
+    val assign = ranked.where(col("crn") === 1)
+      .select(col("vec_id"), col("ed"), col("cent_id").as("cluster"))
+    val probes = ranked.where(isQuery && col("crn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("ed").as("qe"),
+        col("cent_id").as("cluster"))
+    val wRank = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    val ivfTop = assign.join(broadcast(probes), "cluster")
+      .where(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id", "qe", "ed")
+      .dropDuplicates("qid", "vec_id")
+      .withColumn("sim", round(dot(col("qe"), col("ed")), 4))
+      .withColumn("rn", row_number().over(wRank))
+      .where(col("rn") <= 5)
+      .select("qid", "vec_id")
+    val q = emb.where(isQuery)
+      .select(col("vec_id").as("qid"), col("ed").as("qe"))
+    val brute = bruteTopK(emb, q, 5).select("qid", "vec_id")
+    val hits = brute.join(ivfTop, Seq("qid", "vec_id"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+    q.select("qid").join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / 5.0, 4).as("recall_at_5"))
+      .orderBy("qid")
+  }
+
+  /** Spherical-k-means codebook trainer (Lloyd iterations, cosine
+    * objective): assign each vector to its max-dot centroid, recompute
+    * each centroid as the L2-normalized element-wise mean of its members,
+    * repeat. Deterministic init (first k vectors) + fixed iteration count
+    * — no RNG. Each iteration is one broadcast-nested-loop assignment and
+    * one (cluster, dim)-keyed aggregation: shuffle ∝ corpus × dims, never
+    * corpus². Empty clusters keep their previous centroid. */
+  def trainCodebook(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cents = emb.where(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("ed").as("ce"))
+    for (_ <- 1 to iters) {
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("cdot").desc, col("cent_id"))
+      val assign = emb.crossJoin(broadcast(cents))
+        .withColumn("cdot", dot(col("ed"), col("ce")))
+        .withColumn("crn", row_number().over(wAssign))
+        .where(col("crn") === 1)
+        .select(col("vec_id"), col("ed"), col("cent_id"))
+      val means = assign
+        .select(col("cent_id"), posexplode(col("ed")).as(Seq("pos", "x")))
+        .groupBy("cent_id", "pos").agg(avg("x").as("m"))
+        .groupBy("cent_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cent_id"),
+          transform(col("pm"), p => p.getField("m")).as("mean"))
+        .withColumn("norm",
+          sqrt(aggregate(col("mean"), lit(0.0), (acc, x) => acc + x * x)))
+        .select(col("cent_id"),
+          transform(col("mean"), x => x / col("norm")).as("ce_new"))
+      cents = cents.join(means, Seq("cent_id"), "left")
+        .select(col("cent_id"), coalesce(col("ce_new"), col("ce")).as("ce"))
+        .localCheckpoint(true) // truncate the per-iteration lineage
+    }
+    cents
+  }
+
   /** Exact top-k by (rounded) similarity per query, brute force. `queries`
     * must be small (it is broadcast against every candidate partition). */
   def bruteTopK(candidates: DataFrame, queries: DataFrame, k: Int): DataFrame = {
@@ -337,36 +409,8 @@ object Similarity {
           .select(col("vec_id"), asDouble(col("embedding")).as("ed"))
         val cents = emb.where(col("vec_id") < 8)
           .select(col("vec_id").as("cent_id"), col("ed").as("ce"))
-        val wAssign = Window.partitionBy("vec_id")
-          .orderBy(col("cdot").desc, col("cent_id"))
-        val ranked = emb.crossJoin(broadcast(cents))
-          .withColumn("cdot", round(dot(col("ed"), col("ce")), 4))
-          .withColumn("crn", row_number().over(wAssign))
-        val assign = ranked.where(col("crn") === 1)
-          .select(col("vec_id"), col("ed"), col("cent_id").as("cluster"))
-        val isQuery = col("vec_id") >= 8 && col("vec_id") < 28
-        val probes = ranked.where(isQuery && col("crn") <= 2)
-          .select(col("vec_id").as("qid"), col("ed").as("qe"),
-            col("cent_id").as("cluster"))
-        val wRank = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
-        val ivfTop = assign.join(broadcast(probes), "cluster")
-          .where(col("vec_id") =!= col("qid"))
-          .select("qid", "vec_id", "qe", "ed")
-          .dropDuplicates("qid", "vec_id")
-          .withColumn("sim", round(dot(col("qe"), col("ed")), 4))
-          .withColumn("rn", row_number().over(wRank))
-          .where(col("rn") <= 5)
-          .select("qid", "vec_id")
-        val q = emb.where(isQuery)
-          .select(col("vec_id").as("qid"), col("ed").as("qe"))
-        val brute = bruteTopK(emb, q, 5).select("qid", "vec_id")
-        val hits = brute.join(ivfTop, Seq("qid", "vec_id"), "left_semi")
-          .groupBy("qid").agg(count(lit(1)).as("hits"))
-        q.select("qid").join(hits, Seq("qid"), "left")
-          .select(col("qid"),
-            coalesce(col("hits"), lit(0L)).as("hits"),
-            round(coalesce(col("hits"), lit(0L)) / 5.0, 4).as("recall_at_5"))
-          .orderBy("qid")
+        ivfRecallAt5(emb, cents, col("vec_id") >= 8 && col("vec_id") < 28,
+          nprobe = 2)
       },
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
              |c AS (SELECT vec_id AS cent_id, ed AS ce FROM e WHERE vec_id < 8),

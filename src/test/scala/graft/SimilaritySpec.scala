@@ -82,4 +82,32 @@ class SimilaritySpec extends SparkSpec {
     // not codebook quality
     assert(recall >= 0.3, s"mean IVF recall@5 = $recall")
   }
+
+  test("k-means training improves the quantization objective; codebook stays unit-norm") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("ed"))
+    // the spherical-k-means objective: mean cosine to the assigned
+    // (best) centroid — Lloyd iterations are monotone non-decreasing in
+    // it. (Fixed-nprobe RECALL is not guaranteed monotone, and on these
+    // iid-random fixture vectors it only drifts with cluster structure:
+    // measured 0.47 → 0.51 at sf0.01 after 5 iters.)
+    def objective(cents: org.apache.spark.sql.DataFrame): Double = {
+      val w = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cent_id"))
+      emb.crossJoin(broadcast(cents))
+        .withColumn("cdot", Similarity.dot(col("ed"), col("ce")))
+        .withColumn("crn", row_number().over(w)).where(col("crn") === 1)
+        .agg(avg("cdot")).head().getDouble(0)
+    }
+    val untrained = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("ed").as("ce"))
+    val trained = Similarity.trainCodebook(emb, k = 8, iters = 3)
+    val norms = trained.select(
+      sqrt(aggregate(col("ce"), lit(0.0), (a, x) => a + x * x)).as("n"))
+      .collect().map(_.getDouble(0))
+    assert(norms.length == 8 && norms.forall(n => math.abs(n - 1.0) < 1e-9))
+    val (u, t) = (objective(untrained), objective(trained))
+    assert(t >= u - 1e-12, s"objective degraded: trained=$t untrained=$u")
+    assert(t > u + 0.01, s"training moved the objective too little: $u -> $t")
+  }
 }
