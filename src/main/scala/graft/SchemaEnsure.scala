@@ -29,13 +29,21 @@ import org.apache.spark.sql.types.{StructField, StructType}
 object SchemaEnsure {
 
   /** Create the table directory with an empty parquet file of `schema`
-    * iff it does not already hold a table. Returns true when created. */
+    * iff it does not already hold a table. Detection is RECURSIVE: a
+    * partitioned table keeps its parquet parts under `key=value/`
+    * subdirectories with nothing directly in `dir`, and treating that as
+    * absent would let the create-path `mode("overwrite")` destroy it.
+    * Returns true when created. */
   def ensure(spark: SparkSession, dir: String, schema: StructType): Boolean = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val exists = fs.exists(p) && {
-      val st = fs.listStatus(p)
-      st != null && st.exists(_.getPath.getName.endsWith(".parquet"))
+      val it = fs.listFiles(p, /* recursive = */ true)
+      var found = false
+      while (!found && it != null && it.hasNext) {
+        found = it.next().getPath.getName.endsWith(".parquet")
+      }
+      found
     }
     if (!exists) {
       spark.createDataFrame(

@@ -128,13 +128,20 @@ object Similarity {
     val assign = ranked.where(col("crn") === 1)
       .select(col("vec_id"), col("ed"), col("cent_id").as("cluster"))
     val probes = ranked.where(isQuery && col("crn") <= nprobe)
-      .select(col("vec_id").as("qid"), col("ed").as("qe"),
-        col("cent_id").as("cluster"))
-    val wRank = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
-    val ivfTop = assign.join(broadcast(probes), "cluster")
+      .select(col("vec_id").as("qid"), col("cent_id").as("cluster"))
+    // candidates dedup on SKINNY (qid, vec_id) pairs; embeddings join
+    // back only for scoring — same shape as lshTopK (carrying the 64-dim
+    // arrays through the dedup was this repo's measured q_near_dup_cosine
+    // scale bug)
+    val cand = assign.select(col("vec_id"), col("cluster"))
+      .join(broadcast(probes), "cluster")
       .where(col("vec_id") =!= col("qid"))
-      .select("qid", "vec_id", "qe", "ed")
-      .dropDuplicates("qid", "vec_id")
+      .select("qid", "vec_id").distinct()
+    val e = emb.select(col("vec_id"), col("ed"))
+    val wRank = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    val ivfTop = cand
+      .join(e.select(col("vec_id").as("qid"), col("ed").as("qe")), "qid")
+      .join(e, "vec_id")
       .withColumn("sim", round(dot(col("qe"), col("ed")), 4))
       .withColumn("rn", row_number().over(wRank))
       .where(col("rn") <= 5)

@@ -134,7 +134,16 @@ object DedupOps extends org.apache.spark.internal.Logging {
       checkpointDir: Option[String] = None, convergeEvery: Int = 3,
       failOnUnconverged: Boolean = true): DataFrame = {
     val spark = pairs.sparkSession
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    // setCheckpointDir is application-global state: honor an existing
+    // setting rather than silently redirecting every other checkpoint in
+    // the app. NOTE reliable checkpoint files are NOT auto-deleted
+    // (spark.cleaner.referenceTracking.cleanCheckpoints is off by
+    // default) — pass a job-scoped directory and remove it once the
+    // returned labels have been persisted.
+    checkpointDir.foreach { d =>
+      if (spark.sparkContext.getCheckpointDir.isEmpty)
+        spark.sparkContext.setCheckpointDir(d)
+    }
     // eager checkpoint (not cache) at every step: an iterative DataFrame
     // loop otherwise grows its logical plan each round, and the
     // accumulating lineage blows up analysis time and driver heap. With a

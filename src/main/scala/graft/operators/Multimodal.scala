@@ -40,12 +40,27 @@ object Multimodal {
   def stubDecodeDims(nBytes: Int): (Int, Int) =
     (32 + nBytes % 32, 32 + (nBytes / 64) % 32)
 
+  // inputs are in-memory byte arrays: without this, ImageIO spools every
+  // payload to an executor-local temp FILE before decoding (per-record
+  // disk I/O inside the mapPartitions hot loop)
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** ImageIO decode that treats BOTH "no reader claims the format"
+    * (read returns null) and "a reader claimed it but the bytes are
+    * corrupt" (read throws) as undecodable — at corpus scale corrupt
+    * images are guaranteed, and one bad record must degrade to the stub,
+    * not kill the task. */
+  private def tryDecode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case scala.util.control.NonFatal(_) => None }
+
   /** Real decode via `javax.imageio` (ships with the JDK — PNG, BMP, GIF,
     * JPEG readers; no native deps, works headless). Undecodable payloads
-    * fall back to the deterministic stub, so one code path serves both
-    * real images and the codec-less fixtures. */
+    * (unknown format OR corrupt bytes) fall back to the deterministic
+    * stub, so one code path serves both real images and the codec-less
+    * fixtures. */
   def decodeDims(payload: Array[Byte]): (Int, Int) =
-    Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    tryDecode(payload)
       .map(img => (img.getWidth, img.getHeight))
       .getOrElse(stubDecodeDims(payload.length))
 
@@ -63,7 +78,7 @@ object Multimodal {
     * w×h canvas, re-encode as PNG. Falls back to [[stubResize]] when the
     * payload isn't a decodable image. */
   def resizePayload(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    val img = tryDecode(payload).orNull
     if (img == null) stubResize(payload, w, h)
     else {
       val out = new java.awt.image.BufferedImage(

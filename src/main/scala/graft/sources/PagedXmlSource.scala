@@ -102,15 +102,17 @@ object PagedXmlSource {
   // stand-in shares the parse instead.)
   @volatile private var cache: (String, Long, Seq[Map[String, Any]]) = null
 
-  private[sources] def parseRows(path: String, retries: Int = 3,
+  /** `retries` counts RETRIES, not attempts: retries=0 disables retrying
+    * (one attempt), the default 4 gives 5 total attempts like the
+    * reference's fetch_with_retry (src/trv/endpoints.py:34-57). */
+  private[sources] def parseRows(path: String, retries: Int = 4,
       retryBaseMs: Long = 50L): Seq[Map[String, Any]] = {
     val mtime = new java.io.File(path).lastModified()
     val c = cache
     if (c != null && c._1 == path && c._2 == mtime) return c._3
     // the "page fetch": transient transport failures back off and retry
-    // executor-side (S1/T6), like the reference's fetch_with_retry wraps
-    // its HTTP POST (src/trv/endpoints.py:34-57)
-    val rows = Retry.withBackoff(retries, retryBaseMs)(doParse(path))
+    // executor-side (S1/T6)
+    val rows = Retry.withBackoff(retries + 1, retryBaseMs)(doParse(path))
     cache = (path, mtime, rows)
     rows
   }
@@ -185,7 +187,7 @@ private[sources] class PagedXmlScanBuilder(options: CaseInsensitiveStringMap)
         "(spark.read.format(...).option(\"path\", \"/data/situations.xml\"))")),
     Option(options.get("pageSize")).map(_.toInt).getOrElse(500),
     Option(options.get("maxPages")).map(_.toInt).getOrElse(20),
-    Option(options.get("retries")).map(_.toInt).getOrElse(3),
+    Option(options.get("retries")).map(_.toInt).getOrElse(4),
     Option(options.get("retryBaseMs")).map(_.toLong).getOrElse(50L),
     pushed, required)
 }

@@ -90,7 +90,11 @@ object Sessionize {
         sessions = merged :: rest
       }
     }
-    val (done, open) = sessions.partition(_.lastUs + gapUs <= wmUs)
+    // STRICT bound: Spark admits events with ts == watermark, and the
+    // merge rule above is inclusive (t <= last + gap) — finalizing at
+    // last+gap == wm would emit a session that an admissible on-time
+    // event could still legally extend, splitting it spuriously
+    val (done, open) = sessions.partition(_.lastUs + gapUs < wmUs)
     if (open.isEmpty) state.remove()
     else {
       state.update(OpenSessions(open.sortBy(_.startUs)))

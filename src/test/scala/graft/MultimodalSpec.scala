@@ -64,6 +64,22 @@ class MultimodalSpec extends SparkSpec {
     assert(resized(1).getAs[Array[Byte]]("resized").length <= 16 * 8)
   }
 
+  test("corrupt-but-recognized image bytes degrade to the stub instead of failing the task") {
+    // a real PNG truncated mid-body: a reader CLAIMS the format (magic
+    // header intact), then throws during decode — must not kill the task
+    val img = new java.awt.image.BufferedImage(20, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val corrupt = bos.toByteArray.take(bos.size() / 2)
+    val (w, h) = Multimodal.decodeDims(corrupt)
+    assert((w, h) == Multimodal.stubDecodeDims(corrupt.length))
+    val resized = Multimodal.resizePayload(corrupt, 8, 8)
+    assert(resized.length <= 64) // stub contract
+    import spark.implicits._
+    val df = Seq((1L, corrupt)).toDF("doc_id", "payload")
+    assert(Multimodal.extractFeatures(spark, df).count() == 1) // no task failure
+  }
+
   test("stub decode dims are deterministic and in range") {
     val (w, h) = Multimodal.stubDecodeDims(1000)
     assert((w, h) == Multimodal.stubDecodeDims(1000))

@@ -33,6 +33,16 @@ class SchemaEnsureSpec extends SparkSpec {
     assert(SchemaEnsure.read(spark, dir, StructType(v1.take(1))).columns.toSeq == Seq("id"))
   }
 
+  test("ensure is a no-op on a PARTITIONED table (parts live in subdirectories)") {
+    val dir = Files.createTempDirectory("graft-ddl").toString + "/t"
+    Seq((1L, "a", "d1"), (2L, "b", "d2")).toDF("id", "name", "day")
+      .write.partitionBy("day").parquet(dir)
+    // no *.parquet directly under dir — only day=*/part-*.parquet; ensure
+    // must still see the table and NOT overwrite it with an empty one
+    assert(!SchemaEnsure.ensure(spark, dir, v1))
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
   test("conform projects writers onto the declared layout") {
     val messy = Seq(("7", 0.5, "x", 99)).toDF("id", "score", "name", "extra")
     val got = SchemaEnsure.conform(messy, v2)
