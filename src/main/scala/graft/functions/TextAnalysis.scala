@@ -246,6 +246,48 @@ object TextAnalysis {
              |SELECT doc_id, tok, tf, df, score, rn FROM r WHERE rn <= 3
              |ORDER BY doc_id, rn""".stripMargin)),
 
+    // PII scrubbing — the redaction pass every training-data pipeline
+    // runs before tokenization: emails and phone numbers replaced by
+    // placeholder tokens, with per-doc hit counts for audit. Patterns
+    // stay inside the Java∩RE2 regex subset so the same expression runs
+    // on Spark (java.util.regex) and the DuckDB oracle (RE2); synthetic
+    // PII is injected deterministically since the fixture corpus has none
+    QueryDef(
+      "q_pii_scrub",
+      (s, d) => {
+        val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val phoneRe = "\\b\\d{3}-\\d{3} \\d{2}\\b"
+        val dirty = when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .when(col("doc_id") % 3 === 1,
+            concat(col("text"), lit(" call 070-123 "),
+              format_string("%02d", col("doc_id") % 100)))
+          .otherwise(col("text"))
+        Tables.documents(s, d)
+          .withColumn("dirty", dirty)
+          .select(
+            col("doc_id"),
+            regexp_count(col("dirty"), lit(emailRe)).cast("int").as("n_email"),
+            regexp_count(col("dirty"), lit(phoneRe)).cast("int").as("n_phone"),
+            regexp_replace(regexp_replace(col("dirty"), emailRe, "[EMAIL]"),
+              phoneRe, "[PHONE]").as("clean"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH dirty AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 3 = 0
+             |           THEN text || ' contact user' || doc_id || '@example.com'
+             |         WHEN doc_id % 3 = 1
+             |           THEN text || ' call 070-123 ' || printf('%02d', doc_id % 100)
+             |         ELSE text END AS dirty
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(dirty, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_email,
+             |  CAST(len(regexp_extract_all(dirty, '\b\d{3}-\d{3} \d{2}\b')) AS INT) AS n_phone,
+             |  regexp_replace(
+             |    regexp_replace(dirty, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+             |    '\b\d{3}-\d{3} \d{2}\b', '[PHONE]', 'g') AS clean
+             |FROM dirty ORDER BY doc_id""".stripMargin)),
+
     // document fingerprinting (md5 of normalized text)
     QueryDef(
       "q_fingerprint",

@@ -117,39 +117,69 @@ object PagedXmlSource {
     rows
   }
 
-  /** DOM-parse the document and flatten to per-Deviation row maps (the
-    * per-partition equivalent of one page fetch + parse). */
+  /** StAX pull-parse the document and flatten to per-Deviation row maps
+    * (the per-partition equivalent of one page fetch + parse). Streaming,
+    * not DOM: memory is O(one Deviation), not O(document) — a multi-GB
+    * feed file parses in constant space. First occurrence of a tag wins
+    * (matching the previous DOM `getElementsByTagName(...).item(0)`
+    * behavior); DTDs and external entities are disabled (XXE hardening
+    * for a feed of untrusted XML). */
   private def doParse(path: String): Seq[Map[String, Any]] = {
-    val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-      .newDocumentBuilder().parse(new java.io.File(path))
-    def text(e: org.w3c.dom.Element, tag: String): String = {
-      val nl = e.getElementsByTagName(tag)
-      if (nl.getLength == 0) null else nl.item(0).getTextContent
-    }
-    val situations = doc.getElementsByTagName("Situation")
-    (0 until situations.getLength).flatMap { i =>
-      val sit = situations.item(i).asInstanceOf[org.w3c.dom.Element]
-      val sitId = text(sit, "Id")
-      val modified = text(sit, "ModifiedTime")
-      val published = text(sit, "PublicationTime")
-      val devs = sit.getElementsByTagName("Deviation")
-      (0 until devs.getLength).map { j =>
-        val d = devs.item(j).asInstanceOf[org.w3c.dom.Element]
-        val county = Option(text(d, "CountyNo")).flatMap(_.trim.toIntOption)
-        Map[String, Any](
-          "situation_id" -> sitId,
-          "deviation_id" -> text(d, "DeviationId"),
-          "message" -> text(d, "Message"),
-          "message_type" -> text(d, "MessageType"),
-          "location_descriptor" -> text(d, "LocationDescriptor"),
-          "road_number" -> text(d, "RoadNumber"),
-          "county_no" -> county.orNull,
-          "start_time" -> text(d, "StartTime"),
-          "end_time" -> text(d, "EndTime"),
-          "modified_time" -> modified,
-          "publication_time" -> published,
-          "wkt" -> text(d, "WGS84"))
+    import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, java.lang.Boolean.FALSE)
+    val in = new java.io.BufferedInputStream(new java.io.FileInputStream(path))
+    val r = f.createXMLStreamReader(in)
+    try {
+      val rows = Seq.newBuilder[Map[String, Any]]
+      val sit = scala.collection.mutable.Map.empty[String, String]
+      val dev = scala.collection.mutable.Map.empty[String, String]
+      var inDeviation = false
+      var text: StringBuilder = null
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "Situation" => sit.clear()
+              case "Deviation" => dev.clear(); inDeviation = true
+              case _ => text = new StringBuilder
+            }
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+            if (text != null) text.append(r.getText)
+          case XMLStreamConstants.END_ELEMENT =>
+            val name = r.getLocalName
+            name match {
+              case "Deviation" =>
+                inDeviation = false
+                val county = dev.get("CountyNo").flatMap(_.trim.toIntOption)
+                rows += Map[String, Any](
+                  "situation_id" -> sit.getOrElse("Id", null),
+                  "deviation_id" -> dev.getOrElse("DeviationId", null),
+                  "message" -> dev.getOrElse("Message", null),
+                  "message_type" -> dev.getOrElse("MessageType", null),
+                  "location_descriptor" -> dev.getOrElse("LocationDescriptor", null),
+                  "road_number" -> dev.getOrElse("RoadNumber", null),
+                  "county_no" -> county.orNull,
+                  "start_time" -> dev.getOrElse("StartTime", null),
+                  "end_time" -> dev.getOrElse("EndTime", null),
+                  "modified_time" -> sit.getOrElse("ModifiedTime", null),
+                  "publication_time" -> sit.getOrElse("PublicationTime", null),
+                  "wkt" -> dev.getOrElse("WGS84", null))
+              case "Situation" => // row-per-Deviation; nothing to emit
+              case _ if text != null =>
+                val target = if (inDeviation) dev else sit
+                if (!target.contains(name)) target += name -> text.toString
+                text = null
+              case _ =>
+            }
+          case _ =>
+        }
       }
+      rows.result()
+    } finally {
+      r.close()
+      in.close()
     }
   }
 }
