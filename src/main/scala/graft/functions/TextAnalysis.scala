@@ -246,6 +246,35 @@ object TextAnalysis {
              |SELECT doc_id, tok, tf, df, score, rn FROM r WHERE rn <= 3
              |ORDER BY doc_id, rn""".stripMargin)),
 
+    // repetition scoring (the Gopher-style quality rule): share of all
+    // 3-gram occurrences taken by the single most frequent 3-gram —
+    // boilerplate and degenerate generations repeat n-grams; natural
+    // text doesn't. Uses RAW occurrence counts (not the distinct
+    // shingle SETS the dedup path uses), one explode + two aggregations
+    QueryDef(
+      "q_repetition",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val starts = sequence(lit(1), greatest(size(toks) - lit(2), lit(1)))
+        val grams = transform(starts, i => concat_ws(" ", slice(toks, i, lit(3))))
+        val counts = Tables.documents(s, d)
+          .select(col("doc_id"), explode(grams).as("gram"))
+          .groupBy("doc_id", "gram").agg(count(lit(1)).as("n"))
+        counts.groupBy("doc_id")
+          .agg(max("n").as("top_n"), sum("n").as("total"),
+            round(max("n").cast("double") / sum("n"), 4).as("rep_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (SELECT doc_id, unnest(grams) AS gram FROM (
+             |    SELECT doc_id,
+             |      [array_to_string(toks[i:i+2], ' ')
+             |       for i in range(1, greatest(len(toks)-2, 1)+1)] AS grams
+             |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))),
+             |c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2)
+             |SELECT doc_id, max(n) AS top_n, CAST(sum(n) AS BIGINT) AS total,
+             |  round(CAST(max(n) AS DOUBLE) / sum(n), 4) AS rep_ratio
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // PII scrubbing — the redaction pass every training-data pipeline
     // runs before tokenization: emails and phone numbers replaced by
     // placeholder tokens, with per-doc hit counts for audit. Patterns
