@@ -377,6 +377,53 @@ object DedupOps extends org.apache.spark.internal.Logging {
               |WHERE l.doc_id < r.doc_id
               |ORDER BY id1, id2""".stripMargin)),
 
+    // the end-to-end corpus dedup a curation user actually runs:
+    // signatures → LSH candidates → transitive clusters → keep one doc
+    // (min id) per cluster plus every unclustered doc. Composes the
+    // oracle-gated pieces (q_lsh_candidates + q_dup_clusters) into the
+    // "give me the deduplicated corpus" operation; the oracle recomputes
+    // the whole chain with a recursive-CTE closure.
+    QueryDef(
+      "q_dedup_corpus",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val dups = docs.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        val corpus = docs.unionByName(dups)
+        val sig = minhashSignature(corpus, "doc_id", "text", 4, shingleN = 3)
+        val cand = lshCandidates(sig, "doc_id", 4, 2)
+        val clusters = connectedComponents(cand)
+        // non-keeper cluster members (id != cluster label) drop out;
+        // docs in no candidate pair never appear in `clusters` and stay
+        val losers = clusters.where(col("id") =!= col("cluster"))
+          .select(col("id").as("doc_id"))
+        corpus.join(losers, Seq("doc_id"), "left_anti")
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE corpus AS ($docsWithDups),
+              |t AS (SELECT DISTINCT doc_id, unnest(sh) AS tok FROM (
+              |    SELECT doc_id,
+              |      [array_to_string(toks[i:i+2], ' ')
+              |       for i in range(1, greatest(len(toks)-2, 1)+1)] AS sh
+              |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus))),
+              |sig AS (SELECT doc_id,
+              |    min(md5('1:' || tok)) AS s1, min(md5('2:' || tok)) AS s2,
+              |    min(md5('3:' || tok)) AS s3, min(md5('4:' || tok)) AS s4
+              |  FROM t GROUP BY 1),
+              |b AS (SELECT doc_id, md5(s1 || s2) AS bucket FROM sig
+              |      UNION ALL SELECT doc_id, md5(s3 || s4) FROM sig),
+              |p AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+              |      FROM b l JOIN b r USING (bucket) WHERE l.doc_id < r.doc_id),
+              |e AS (SELECT id1, id2 FROM p UNION SELECT id2, id1 FROM p),
+              |reach(id, r) AS (
+              |  SELECT id1, id1 FROM e
+              |  UNION
+              |  SELECT e.id1, reach.r FROM e JOIN reach ON reach.id = e.id2),
+              |lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY 1)
+              |SELECT doc_id FROM corpus
+              |WHERE doc_id NOT IN (SELECT id FROM lab WHERE id <> cluster)
+              |ORDER BY doc_id""".stripMargin)),
+
     // oracled dedup quality gate, mirroring q_ann_recall for the text
     // path: candidate recall of banded MinHash-LSH against ground-truth
     // high-Jaccard pairs (all-pairs shingle Jaccard on a bounded subset —
