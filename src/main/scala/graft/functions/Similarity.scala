@@ -27,13 +27,24 @@ object Similarity {
   val AnnBands = 16
   val AnnBits = 4
 
+  /** Pair-MINING band shape (`q_near_dup_cosine`): 8 bands × 8 bits.
+    * All-pairs mining is the quadratic workload — candidate pairs per
+    * band grow ∝ n²/2^r, so r must grow with log₂(corpus) or the bucket
+    * join degenerates (measured: 16×4 banding went 8.8× slower on a 3×
+    * corpus; 8-bit bands cut pairs/band 16×). Fewer, wider bands trade
+    * recall at the low-sim end (p=0.86 pairs, i.e. cosine ≈ 0.9, are
+    * still found with prob ≈ 0.93) — the right trade for near-DUP
+    * mining, where targets are high-sim, unlike top-k ANN above. */
+  val NdBands = 8
+  val NdBits = 8
+
   /** DuckDB-side band signatures sig0..sig{bands-1}, same hyperplanes as
     * [[bandSig]] (sign test on the raw float element). */
-  private def bandSigSqlCols: Seq[String] =
-    (0 until AnnBands).map { b =>
-      val bits = (b * AnnBits + 1 to b * AnnBits + AnnBits).map(j =>
+  private def bandSigSqlCols(bands: Int = AnnBands, bits: Int = AnnBits): Seq[String] =
+    (0 until bands).map { b =>
+      val tests = (b * bits + 1 to b * bits + bits).map(j =>
         s"CASE WHEN embedding[$j] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
-      s"$bits AS sig$b"
+      s"$tests AS sig$b"
     }
 
   /** Cast a float-array column to double elements (so all arithmetic is
@@ -238,7 +249,7 @@ object Similarity {
         .orderBy("qid", "rn"),
       Some {
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
-           |             ${bandSigSqlCols.mkString(",\n             ")}
+           |             ${bandSigSqlCols().mkString(",\n             ")}
            |           FROM embeddings),
            |q AS (SELECT vec_id AS qid, ed AS qe,
            |        ${(0 until AnnBands).map(b => s"sig$b").mkString(", ")}
@@ -277,7 +288,7 @@ object Similarity {
       },
       Some {
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
-           |             ${bandSigSqlCols.mkString(",\n             ")}
+           |             ${bandSigSqlCols().mkString(",\n             ")}
            |           FROM embeddings),
            |q AS (SELECT vec_id AS qid, ed AS qe,
            |        ${(0 until AnnBands).map(b => s"sig$b").mkString(", ")}
@@ -307,7 +318,10 @@ object Similarity {
 
     // embedding-cosine near-duplicate pairs: banded LSH join prunes the
     // pair space (OR over bands), then an exact cosine threshold — the
-    // scale recipe for corpus-level near-dup removal by embedding
+    // scale recipe for corpus-level near-dup removal by embedding. Uses
+    // the WIDE pair-mining bands ([[NdBands]]×[[NdBits]]), not the ANN
+    // shape: all-pairs workloads blow up quadratically in bucket
+    // occupancy, so bits-per-band must track log₂(corpus).
     QueryDef(
       "q_near_dup_cosine",
       (s, d) => {
@@ -319,7 +333,7 @@ object Similarity {
         // embeddings back just for the exact scoring (the embedding side
         // is one row per vector — AQE broadcasts it when small)
         val eb = explodeBands(
-          emb.select("vec_id", "embedding"), col("embedding"), AnnBands, AnnBits)
+          emb.select("vec_id", "embedding"), col("embedding"), NdBands, NdBits)
           .drop("embedding")
         val cand = eb.select(col("vec_id").as("id1"), col("band"), col("sig"))
           .join(eb.select(col("vec_id").as("id2"), col("band"), col("sig")),
@@ -337,10 +351,10 @@ object Similarity {
       },
       Some {
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
-           |             ${bandSigSqlCols.mkString(",\n             ")}
+           |             ${bandSigSqlCols(NdBands, NdBits).mkString(",\n             ")}
            |           FROM embeddings),
            |cand AS (
-           |  ${(0 until AnnBands).map(b =>
+           |  ${(0 until NdBands).map(b =>
                s"SELECT a.vec_id AS id1, b.vec_id AS id2 FROM e a JOIN e b ON a.sig$b = b.sig$b AND a.vec_id < b.vec_id")
                .mkString("\n  UNION\n  ")})
            |SELECT c.id1, c.id2, round(list_dot_product(a.ed, b.ed), 4) AS sim
