@@ -131,7 +131,7 @@ object DedupOps extends org.apache.spark.internal.Logging {
     * bounded; `maxIter` guards pathological inputs. Returns
     * (id, cluster). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
-      checkpointDir: Option[String] = None, convergeEvery: Int = 3,
+      checkpointDir: Option[String] = None,
       failOnUnconverged: Boolean = true): DataFrame = {
     val spark = pairs.sparkSession
     // setCheckpointDir is application-global state: honor an existing
@@ -158,12 +158,13 @@ object DedupOps extends org.apache.spark.internal.Logging {
       .distinct())
     var labels = persist(edges.select(col("id1").as("id")).distinct()
       .withColumn("cluster", col("id")))
-    // labels only ever decrease, so "unchanged since the last check" ⇔
-    // "unchanged at every intermediate step" — the convergence action
-    // (a join + count) can safely run every `convergeEvery` rounds
-    // instead of every round, trading ≤ convergeEvery−1 extra cheap
-    // propagation rounds for 3× fewer jobs on the common path
-    var lastChecked = labels
+    // Convergence is checked EVERY iteration, nearly for free: the
+    // persisted frame keeps the pre-propagation label alongside the new
+    // one, so the changed-row probe is a filter over already-materialized
+    // data (no extra join, no second shuffle). Near-dup graphs are
+    // mostly diameter-1 pairs, and a batched check (every k rounds)
+    // costs k−1 full propagation shuffles on exactly that common case —
+    // measured 6 rounds instead of 2 on the corpus-dedup pair graph.
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -172,16 +173,12 @@ object DedupOps extends org.apache.spark.internal.Logging {
         .join(labels.withColumnRenamed("id", "id2"), "id2")
         .groupBy(col("id1").as("id"))
         .agg(min("cluster").as("n_cluster"))
-      labels = persist(labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"),
+      val step = persist(labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"), col("cluster").as("old"),
           least(col("cluster"), coalesce(col("n_cluster"), col("cluster"))).as("cluster")))
+      converged = step.where(col("cluster") =!= col("old")).limit(1).count() == 0
+      labels = step.select("id", "cluster")
       i += 1
-      if (i % convergeEvery == 0 || i == maxIter) {
-        val changed = labels.join(lastChecked.withColumnRenamed("cluster", "old"), "id")
-          .where(col("cluster") =!= col("old")).limit(1).count()
-        converged = changed == 0
-        lastChecked = labels
-      }
     }
     if (!converged) {
       // a component with diameter > maxIter would otherwise ship WRONG
