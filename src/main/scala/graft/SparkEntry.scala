@@ -17,6 +17,7 @@ object SparkEntry {
       operators.AsofJoin.defs ++
       operators.TimeWindows.defs ++
       operators.DedupOps.defs ++
+      operators.Curation.defs ++
       operators.Multimodal.defs ++
       functions.TextAnalysis.defs ++
       functions.Similarity.defs

@@ -1,0 +1,188 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation pipeline stages beyond dedup (north-star scope):
+  * benchmark decontamination, composite quality filtering, domain-mix
+  * resampling, and sequence packing. These are the remaining operations a
+  * training-data pipeline runs between "raw crawl" and "tokenizer input"
+  * that [[DedupOps]] / [[graft.functions.TextAnalysis]] don't already
+  * cover. Everything is deterministic (md5-derived randomness, pinned
+  * orders) so each query is oracle-checkable cross-engine.
+  *
+  * Generalizes the reference's filter stages (status/message guards,
+  * src/trv/transform.py:90-109) to corpus-level admission control.
+  */
+object Curation {
+
+  /** Number of shards for parallel sequence packing; at cluster scale
+    * this is O(total tokens / tokens-per-writer-task). */
+  val PackShards = 8
+
+  /** Token budget per packed training sequence. */
+  val PackBudget = 512
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // benchmark decontamination — the eval-leakage guard every training
+    // pipeline runs: any training doc sharing a 5-gram with the held-out
+    // benchmark set is flagged for removal. The benchmark gram set is
+    // small by construction (it's an eval set), so it BROADCASTS and the
+    // whole check is one map-side semi-join over the training scan — no
+    // training-side shuffle except the per-doc hit count. 5-grams, not
+    // unigrams: contamination means verbatim overlap, not vocabulary
+    // overlap.
+    QueryDef(
+      "q_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val bench = docs.where(col("doc_id") % 97 === 0)
+        val train = docs.where(col("doc_id") % 97 =!= 0)
+        val bg = bench.select(
+          explode(DedupOps.shingles(col("text"), 5)).as("gram")).distinct()
+        val tg = train.select(col("doc_id"),
+          explode(DedupOps.shingles(col("text"), 5)).as("gram"))
+        val hits = tg.join(broadcast(bg), "gram")
+          .groupBy("doc_id").agg(countDistinct("gram").as("n_hits"))
+        train.join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            when(coalesce(col("n_hits"), lit(0L)) > 0, "drop")
+              .otherwise("keep").as("verdict"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH sh AS (SELECT doc_id, unnest(g) AS gram FROM (
+             |    SELECT doc_id,
+             |      [array_to_string(toks[i:i+4], ' ')
+             |       for i in range(1, greatest(len(toks)-4, 1)+1)] AS g
+             |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))),
+             |bg AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 97 = 0),
+             |hits AS (SELECT doc_id, count(DISTINCT gram) AS n_hits
+             |         FROM sh JOIN bg USING (gram)
+             |         WHERE doc_id % 97 <> 0 GROUP BY 1)
+             |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+             |  CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 'drop' ELSE 'keep' END AS verdict
+             |FROM documents d LEFT JOIN hits h USING (doc_id)
+             |WHERE d.doc_id % 97 <> 0
+             |ORDER BY doc_id""".stripMargin)),
+
+    // composite quality filter — the Gopher-style admission rule: token
+    // count in range, at least one stopword hit, repetition ratio under
+    // threshold. The only shuffle is the per-doc 3-gram top-share
+    // aggregation; every other signal is row-local and stays in the scan
+    // stage. At 100 TB this is the shape you want: one explode+agg pass
+    // producing all signals, one verdict column, no per-rule passes.
+    QueryDef(
+      "q_quality_filter",
+      (s, d) => {
+        import graft.functions.TextAnalysis.{enStopwordHits, tokenCount}
+        val toks = split(col("text"), " ")
+        val starts = sequence(lit(1), greatest(size(toks) - lit(2), lit(1)))
+        val grams = transform(starts, i => concat_ws(" ", slice(toks, i, lit(3))))
+        val rep = Tables.documents(s, d)
+          .select(col("doc_id"), explode(grams).as("gram"))
+          .groupBy("doc_id", "gram").agg(count(lit(1)).as("n"))
+          .groupBy("doc_id")
+          .agg(round(max("n").cast("double") / sum("n"), 4).as("rep_ratio"))
+        Tables.documents(s, d)
+          .withColumn("n_tokens", tokenCount(col("text")))
+          .withColumn("stop_hits", enStopwordHits(col("text")))
+          .join(rep, "doc_id")
+          .select(col("doc_id"), col("n_tokens"), col("stop_hits"),
+            col("rep_ratio"),
+            round(col("n_chars").cast("double") / col("n_tokens"), 4)
+              .as("chars_per_tok"),
+            when(col("n_tokens").between(30, 500) && col("stop_hits") >= 1 &&
+              col("rep_ratio") <= 0.2, "keep").otherwise("drop").as("verdict"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (SELECT doc_id, unnest(grams) AS gram FROM (
+             |    SELECT doc_id,
+             |      [array_to_string(toks[i:i+2], ' ')
+             |       for i in range(1, greatest(len(toks)-2, 1)+1)] AS grams
+             |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))),
+             |c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2),
+             |rep AS (SELECT doc_id,
+             |    round(CAST(max(n) AS DOUBLE) / sum(n), 4) AS rep_ratio
+             |  FROM c GROUP BY 1),
+             |sig AS (SELECT doc_id, n_chars,
+             |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             |    CAST(len(regexp_extract_all(text, '\b(the|and|of|to|in)\b')) AS INT) AS stop_hits
+             |  FROM documents)
+             |SELECT s.doc_id, s.n_tokens, s.stop_hits, r.rep_ratio,
+             |  round(CAST(s.n_chars AS DOUBLE) / s.n_tokens, 4) AS chars_per_tok,
+             |  CASE WHEN s.n_tokens BETWEEN 30 AND 500 AND s.stop_hits >= 1
+             |            AND r.rep_ratio <= 0.2
+             |       THEN 'keep' ELSE 'drop' END AS verdict
+             |FROM sig s JOIN rep r USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // domain-mix resampling — data mixing toward a target composition:
+    // each source domain is capped at a 4% share of the corpus, with the
+    // per-domain keep-rate COMPUTED from measured domain counts (one tiny
+    // agg, broadcast back) and membership decided row-locally by md5
+    // bucket against a hex threshold. Same mechanics at 100 TB: the rate
+    // table is O(domains), the corpus pass is a pure filter over the
+    // scan. Thresholds compare as 3-char hex strings ('0'||byte vs
+    // printf %03x) so rate 1.0 → cut '100' keeps everything.
+    QueryDef(
+      "q_domain_mix",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val per = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+        val tot = docs.agg(count(lit(1)).as("total"))
+        val rate = least(lit(1.0), lit(0.04) * col("total") / col("n_src"))
+        val rates = per.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_src"),
+            format_string("%03x", floor(rate * lit(256)).cast("int")).as("cut"))
+        docs.join(broadcast(rates), "source")
+          .where(concat(lit("0"),
+            substring(md5(concat(lit("m:"), col("doc_id"))), 1, 2)) < col("cut"))
+          .select(col("doc_id"), col("source"), col("n_src"), col("cut"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH per AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1),
+             |tot AS (SELECT count(*) AS total FROM documents),
+             |rates AS (SELECT source, n_src,
+             |    printf('%03x', CAST(floor(
+             |      least(1.0, 0.04 * total / n_src) * 256) AS INT)) AS cut
+             |  FROM per CROSS JOIN tot)
+             |SELECT d.doc_id, d.source, r.n_src, r.cut
+             |FROM documents d JOIN rates r USING (source)
+             |WHERE '0' || substr(md5('m:' || d.doc_id), 1, 2) < r.cut
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // sequence packing — assign docs to fixed-token-budget training
+    // sequences: shard the corpus (parallel writers), order within shard,
+    // running token offset via window cumsum, bin = offset / budget.
+    // The window partitions BY SHARD, so packing parallelizes across
+    // writers instead of serializing on one global sort — the per-shard
+    // window is the scale unit (shards sized so one shard's manifest
+    // fits one writer task).
+    QueryDef(
+      "q_seq_pack",
+      (s, d) => {
+        import graft.functions.TextAnalysis.tokenCount
+        val w = Window.partitionBy("shard").orderBy("doc_id")
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            (col("doc_id") % PackShards).cast("int").as("shard"),
+            tokenCount(col("text")).as("n_tokens"))
+          .withColumn("offset",
+            (sum("n_tokens").over(w) - col("n_tokens")).cast("bigint"))
+          .withColumn("bin", floor(col("offset") / PackBudget).cast("int"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, shard, n_tokens,
+              |  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+              |       - n_tokens AS BIGINT) AS "offset",
+              |  CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+              |       - n_tokens) / $PackBudget) AS INT) AS bin
+              |FROM (SELECT doc_id, CAST(doc_id % $PackShards AS INT) AS shard,
+              |        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+              |      FROM documents)
+              |ORDER BY doc_id""".stripMargin))
+  )
+}
