@@ -35,27 +35,32 @@ object DedupOps extends org.apache.spark.internal.Logging {
     array_distinct(transform(starts, i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
-  /** One MinHash signature component: min over the token set of a salted
-    * md5 — a different salt per component simulates an independent hash
-    * function. Lexicographic min over hex digests is uniform enough and
-    * identical across engines.
-    */
-  def minhashAgg(salt: Int): Column =
-    min(md5(concat(lit(s"$salt:"), col("tok"))))
-
-  /** k-component MinHash signature per document, over unigram tokens
-    * (`shingleN = 1`) or word n-gram shingles. Shingles are what the LSH
-    * candidate path should hash on for small vocabularies: unigram SETS
-    * saturate (see [[shingles]]) and put half the corpus in one bucket,
-    * turning the candidate join quadratic. */
+  /** k-component one-permutation MinHash signature per document, over
+    * unigram tokens (`shingleN = 1`) or word n-gram shingles. Shingles
+    * are what the LSH candidate path should hash on for small
+    * vocabularies: unigram SETS saturate (see [[shingles]]) and put half
+    * the corpus in one bucket, turning the candidate join quadratic.
+    *
+    * ONE md5 per shingle: component i is the min over the token set of
+    * the i-th 8-hex-char digest slice. Hashing is the dominant CPU cost
+    * of corpus-scale MinHash (billions of shingles × k salted digests in
+    * the naive form); disjoint slices of one digest are independent
+    * hash values for min-wise sampling, and the digest is computed in a
+    * projection BEFORE the aggregate so it runs exactly once per row
+    * (not once per component, independent of subexpression elimination).
+    * Lexicographic min over fixed-width hex slices is uniform and
+    * identical across engines. */
   def minhashSignature(df: DataFrame, id: String, text: String, k: Int,
       shingleN: Int = 1): DataFrame = {
+    require(k >= 1 && k <= 4,
+      "one-permutation minhash slices a 32-hex md5 into at most 4 components")
     val toks =
       if (shingleN <= 1) explodeTokens(df, id, text)
       else df.select(col(id), explode(shingles(col(text), shingleN)).as("tok"))
-    toks.groupBy(col(id))
-      .agg(minhashAgg(1).as("sig1"),
-        (2 to k).map(i => minhashAgg(i).as(s"sig$i")): _*)
+    def comp(i: Int): Column = min(substring(col("__h"), (i - 1) * 8 + 1, 8))
+    toks.select(col(id), md5(col("tok")).as("__h"))
+      .groupBy(col(id))
+      .agg(comp(1).as("sig1"), (2 to k).map(i => comp(i).as(s"sig$i")): _*)
   }
 
   /** LSH banding: hash `rowsPerBand` signature components into one bucket
@@ -246,8 +251,8 @@ object DedupOps extends org.apache.spark.internal.Logging {
       (s, d) => minhashSignature(Tables.documents(s, d), "doc_id", "text", 4)
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
-             |  min(md5('1:' || tok)) AS sig1, min(md5('2:' || tok)) AS sig2,
-             |  min(md5('3:' || tok)) AS sig3, min(md5('4:' || tok)) AS sig4
+             |  min(substr(md5(tok), 1, 8)) AS sig1, min(substr(md5(tok), 9, 8)) AS sig2,
+             |  min(substr(md5(tok), 17, 8)) AS sig3, min(substr(md5(tok), 25, 8)) AS sig4
              |FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
              |      FROM documents)
              |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
@@ -361,8 +366,8 @@ object DedupOps extends org.apache.spark.internal.Logging {
               |          FROM ($docsWithDups)))),
               |sig AS (
               |  SELECT doc_id,
-              |    min(md5('1:' || tok)) AS sig1, min(md5('2:' || tok)) AS sig2,
-              |    min(md5('3:' || tok)) AS sig3, min(md5('4:' || tok)) AS sig4
+              |    min(substr(md5(tok), 1, 8)) AS sig1, min(substr(md5(tok), 9, 8)) AS sig2,
+              |    min(substr(md5(tok), 17, 8)) AS sig3, min(substr(md5(tok), 25, 8)) AS sig4
               |  FROM t
               |  GROUP BY 1),
               |b AS (
@@ -404,8 +409,8 @@ object DedupOps extends org.apache.spark.internal.Logging {
               |       for i in range(1, greatest(len(toks)-2, 1)+1)] AS sh
               |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus))),
               |sig AS (SELECT doc_id,
-              |    min(md5('1:' || tok)) AS s1, min(md5('2:' || tok)) AS s2,
-              |    min(md5('3:' || tok)) AS s3, min(md5('4:' || tok)) AS s4
+              |    min(substr(md5(tok), 1, 8)) AS s1, min(substr(md5(tok), 9, 8)) AS s2,
+              |    min(substr(md5(tok), 17, 8)) AS s3, min(substr(md5(tok), 25, 8)) AS s4
               |  FROM t GROUP BY 1),
               |b AS (SELECT doc_id, md5(s1 || s2) AS bucket FROM sig
               |      UNION ALL SELECT doc_id, md5(s3 || s4) FROM sig),
@@ -467,8 +472,8 @@ object DedupOps extends org.apache.spark.internal.Logging {
              |          JOIN c ca ON ca.doc_id = id1 JOIN c cb ON cb.doc_id = id2
              |          WHERE round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) >= 0.5),
              |sig AS (SELECT doc_id,
-             |    min(md5('1:' || tok)) AS s1, min(md5('2:' || tok)) AS s2,
-             |    min(md5('3:' || tok)) AS s3, min(md5('4:' || tok)) AS s4
+             |    min(substr(md5(tok), 1, 8)) AS s1, min(substr(md5(tok), 9, 8)) AS s2,
+             |    min(substr(md5(tok), 17, 8)) AS s3, min(substr(md5(tok), 25, 8)) AS s4
              |  FROM t GROUP BY 1),
              |b AS (SELECT doc_id, md5(s1 || s2) AS bucket FROM sig
              |      UNION ALL SELECT doc_id, md5(s3 || s4) FROM sig),
