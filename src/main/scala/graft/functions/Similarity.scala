@@ -363,6 +363,77 @@ object Similarity {
            |ORDER BY id1, id2""".stripMargin
       }),
 
+    // end-to-end SEMANTIC dedup — the embedding-space twin of
+    // q_dedup_corpus: wide-band LSH candidates → exact cosine threshold →
+    // transitive clusters → keep min-id per cluster. Duplicates are
+    // injected deterministically (the fixture has no natural near-dups:
+    // max pairwise sim ≈ 0.51): exact copies (sim 1.0, always drop) and
+    // last-dimension-negated copies (sim = 1 − 2·v₆₄², straddling the
+    // 0.95 threshold per vector — both survivors and drops, exercising
+    // the discrimination boundary). Negation is EXACT in IEEE float, so
+    // both engines compute bit-identical sims; a scaled copy would round
+    // differently per engine.
+    QueryDef(
+      "q_embed_dedup",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+        val negLast = transform(col("embedding"),
+          (x, i) => when(i === 63, -x).otherwise(x))
+        val corpus = emb
+          .unionByName(emb.where(col("vec_id") % 10 === 0)
+            .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+          .unionByName(emb.where(col("vec_id") % 7 === 0)
+            .select((col("vec_id") + 200000).as("vec_id"),
+              negLast.as("embedding")))
+        val eb = explodeBands(corpus, col("embedding"), NdBands, NdBits)
+          .drop("embedding")
+        val cand = eb.select(col("vec_id").as("id1"), col("band"), col("sig"))
+          .join(eb.select(col("vec_id").as("id2"), col("band"), col("sig")),
+            Seq("band", "sig"))
+          .where(col("id1") < col("id2"))
+          .select("id1", "id2").distinct()
+        val e = corpus.select(col("vec_id"), asDouble(col("embedding")).as("ed"))
+        val pairs = cand
+          .join(e.select(col("vec_id").as("id1"), col("ed").as("e1")), "id1")
+          .join(e.select(col("vec_id").as("id2"), col("ed").as("e2")), "id2")
+          .where(round(dot(col("e1"), col("e2")), 4) >= 0.95)
+          .select("id1", "id2")
+        val clusters = graft.operators.DedupOps.connectedComponents(pairs)
+        val losers = clusters.where(col("id") =!= col("cluster"))
+          .select(col("id").as("vec_id"))
+        corpus.join(losers, Seq("vec_id"), "left_anti")
+          .select("vec_id").orderBy("vec_id")
+      },
+      Some {
+        s"""WITH RECURSIVE corpus AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 10 = 0
+           |  UNION ALL
+           |  SELECT vec_id + 200000,
+           |    list_concat(embedding[1:63], [-embedding[64]])
+           |  FROM embeddings WHERE vec_id % 7 = 0),
+           |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+           |             ${bandSigSqlCols(NdBands, NdBits).mkString(",\n             ")}
+           |      FROM corpus),
+           |cand AS (
+           |  ${(0 until NdBands).map(b =>
+               s"SELECT a.vec_id AS id1, b.vec_id AS id2 FROM e a JOIN e b ON a.sig$b = b.sig$b AND a.vec_id < b.vec_id")
+               .mkString("\n  UNION\n  ")}),
+           |p AS (SELECT c.id1, c.id2
+           |      FROM cand c JOIN e a ON a.vec_id = c.id1 JOIN e b ON b.vec_id = c.id2
+           |      WHERE round(list_dot_product(a.ed, b.ed), 4) >= 0.95),
+           |ee AS (SELECT id1, id2 FROM p UNION SELECT id2, id1 FROM p),
+           |reach(id, r) AS (
+           |  SELECT id1, id1 FROM ee
+           |  UNION
+           |  SELECT ee.id1, reach.r FROM ee JOIN reach ON reach.id = ee.id2),
+           |lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY 1)
+           |SELECT vec_id FROM corpus
+           |WHERE vec_id NOT IN (SELECT id FROM lab WHERE id <> cluster)
+           |ORDER BY vec_id""".stripMargin
+      }),
+
     // IVF-style ANN: assign every vector to its nearest "centroid" (a
     // deterministic coarse codebook — the first 8 vectors), then search
     // only the query's cell (nprobe=1). Candidate count drops ~|codebook|×
