@@ -197,6 +197,75 @@ object DedupOps extends org.apache.spark.internal.Logging {
     labels
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14): converges in O(log n) rounds INDEPENDENT of
+    * component diameter, where [[connectedComponents]]' min-label
+    * propagation needs O(diameter) rounds. Near-dup clusters are tiny
+    * stars and the simple loop wins there; this is the scale path for
+    * pathological inputs — long chains (A~B~C~…) from chained
+    * boilerplate edits, where diameter grows with corpus size.
+    *
+    * Each round is two grouped aggregations + joins on the node id, all
+    * shuffle-partitioned the same way; edges stay canonical (hi, lo)
+    * and strictly shrink toward stars rooted at each component's min.
+    * Returns (id, cluster) like [[connectedComponents]].
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 25,
+      checkpointDir: Option[String] = None,
+      failOnUnconverged: Boolean = true): DataFrame = {
+    val spark = pairs.sparkSession
+    checkpointDir.foreach { d =>
+      if (spark.sparkContext.getCheckpointDir.isEmpty)
+        spark.sparkContext.setCheckpointDir(d)
+    }
+    def persist(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    var edges = persist(pairs
+      .select(greatest(col("id1"), col("id2")).as("hi"),
+        least(col("id1"), col("id2")).as("lo"))
+      .where(col("hi") =!= col("lo")).distinct())
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star: every node u links its LARGER neighbors to
+      // m = min(Γ(u) ∪ {u}); needs both orientations of each edge
+      val bidir = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .unionByName(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = bidir.groupBy("u").agg(min("v").as("mv"))
+      val ls = bidir.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("hi"), least(col("mv"), col("u")).as("lo"))
+        .where(col("hi") =!= col("lo")).distinct()
+      // small-star: every node links its smaller neighbors AND itself to
+      // m = min(Γ⁻(u) ∪ {u}); canonical (hi, lo) rows ARE Γ⁻
+      val minsS = ls.groupBy("hi").agg(min("lo").as("m"))
+      val ss = ls.join(minsS, "hi")
+        .select(col("lo").as("x"), col("m"))
+        .unionByName(minsS.select(col("hi").as("x"), col("m")))
+        .where(col("x") =!= col("m"))
+        .select(greatest(col("x"), col("m")).as("hi"),
+          least(col("x"), col("m")).as("lo"))
+        .distinct()
+      val next = persist(ss)
+      // star-shaped fixpoint: the round rewrote every edge to point at a
+      // root and changed nothing — set equality via anti-join on the
+      // (small, persisted) edge lists, both already canonical+distinct
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("hi", "lo"), "left_anti").limit(1).count() == 0
+      edges = next
+      i += 1
+    }
+    if (!converged) {
+      val msg = s"connectedComponentsStar did not converge within $maxIter rounds"
+      if (failOnUnconverged) throw new IllegalStateException(msg)
+      else logWarning(msg)
+    }
+    edges.select(col("hi").as("id"), col("lo").as("cluster"))
+      .unionByName(edges.select(col("lo"), col("lo")).distinct()
+        .toDF("id", "cluster"))
+  }
+
   /** MLlib-assisted fuzzy dedup (SURVEY §2.8 U4 scale path): token sets →
     * sparse term vectors (HashingTF, binary) → MinHashLSH →
     * approxSimilarityJoin on Jaccard distance. Fixed seed keeps hash
@@ -226,6 +295,36 @@ object DedupOps extends org.apache.spark.internal.Logging {
     """SELECT doc_id, text FROM documents
       |UNION ALL
       |SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  /** Shingle-share edge list over the bounded doc subset — the common
+    * input of the two q_dup_clusters variants. */
+  private def shareEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).where(col("doc_id") < 20)
+    val toks = docs.select(col("doc_id"),
+      explode(shingles(col("text"), 3)).as("tok")).distinct()
+    val l = toks.select(col("doc_id").as("id1"), col("tok"))
+    val r = toks.select(col("doc_id").as("id2"), col("tok"))
+    l.join(broadcast(r), "tok").where(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  private val dupClustersOracle =
+    """WITH RECURSIVE
+      |t AS (SELECT DISTINCT doc_id, unnest(sh) AS tok FROM (
+      |    SELECT doc_id,
+      |      [array_to_string(toks[i:i+2], ' ')
+      |       for i in range(1, greatest(len(toks)-2, 1)+1)] AS sh
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      |          FROM documents WHERE doc_id < 20))),
+      |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+      |      FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2),
+      |e AS (SELECT id1, id2 FROM p UNION SELECT id2, id1 FROM p),
+      |reach(id, r) AS (
+      |  SELECT id1, id1 FROM e
+      |  UNION
+      |  SELECT e.id1, reach.r FROM e JOIN reach ON reach.id = e.id2)
+      |SELECT id, min(r) AS cluster FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -310,32 +409,17 @@ object DedupOps extends org.apache.spark.internal.Logging {
     // closure as the oracle
     QueryDef(
       "q_dup_clusters",
-      (s, d) => {
-        val docs = Tables.documents(s, d).where(col("doc_id") < 20)
-        val toks = docs.select(col("doc_id"),
-          explode(shingles(col("text"), 3)).as("tok")).distinct()
-        val l = toks.select(col("doc_id").as("id1"), col("tok"))
-        val r = toks.select(col("doc_id").as("id2"), col("tok"))
-        val pairs = l.join(broadcast(r), "tok").where(col("id1") < col("id2"))
-          .select("id1", "id2").distinct()
-        connectedComponents(pairs).orderBy("id")
-      },
-      Some("""WITH RECURSIVE
-             |t AS (SELECT DISTINCT doc_id, unnest(sh) AS tok FROM (
-             |    SELECT doc_id,
-             |      [array_to_string(toks[i:i+2], ' ')
-             |       for i in range(1, greatest(len(toks)-2, 1)+1)] AS sh
-             |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
-             |          FROM documents WHERE doc_id < 20))),
-             |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
-             |      FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
-             |      GROUP BY 1, 2),
-             |e AS (SELECT id1, id2 FROM p UNION SELECT id2, id1 FROM p),
-             |reach(id, r) AS (
-             |  SELECT id1, id1 FROM e
-             |  UNION
-             |  SELECT e.id1, reach.r FROM e JOIN reach ON reach.id = e.id2)
-             |SELECT id, min(r) AS cluster FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)),
+      (s, d) => connectedComponents(shareEdges(s, d)).orderBy("id"),
+      Some(dupClustersOracle)),
+
+    // the SAME clusters via the large-star/small-star contraction — the
+    // O(log n)-round scale path gets its own end-to-end oracle gate (one
+    // oracle, two algorithms: both must produce the identical min-id
+    // labeling)
+    QueryDef(
+      "q_dup_clusters_star",
+      (s, d) => connectedComponentsStar(shareEdges(s, d)).orderBy("id"),
+      Some(dupClustersOracle)),
 
     // the SCALE dedup path, oracle-gated end to end: MinHash signatures
     // over 3-gram shingles → 2-band LSH bucketing → candidate pairs from

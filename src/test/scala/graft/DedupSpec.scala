@@ -95,6 +95,32 @@ class DedupSpec extends SparkSpec {
     assert(partial.count() == 9)
   }
 
+  test("connectedComponentsStar: matches naive CC on pseudo-random graphs") {
+    // deterministic LCG edge lists — varied shapes (sparse, dense-ish)
+    // without seeding drift across runs
+    var x = 12345L
+    def nxt(mod: Long): Long = { x = (x * 1103515245L + 12345L) % 2147483648L; x % mod }
+    for ((nodes, nEdges) <- Seq((30L, 15), (30L, 40), (60L, 90))) {
+      val pairs = (1 to nEdges).map(_ => (nxt(nodes), nxt(nodes)))
+        .filter { case (a, b) => a != b }.toDF("id1", "id2")
+      val naive = DedupOps.connectedComponents(pairs, maxIter = 40)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+      val star = DedupOps.connectedComponentsStar(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+      assert(star == naive, s"nodes=$nodes edges=$nEdges")
+    }
+  }
+
+  test("connectedComponentsStar: diameter-100 chain converges in O(log n) rounds") {
+    val chain = (0L until 100L).map(i => (i, i + 1)).toDF("id1", "id2")
+    // naive min-label propagation would need ~100 rounds; the star
+    // contraction's 25-round default is ample at ANY diameter
+    val labels = DedupOps.connectedComponentsStar(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == 101)
+    assert(labels.forall(_._2 == 0L))
+  }
+
   test("connectedComponents: reliable checkpointDir path matches localCheckpoint path") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id1", "id2")
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-chk").toString
