@@ -41,26 +41,31 @@ object DedupOps extends org.apache.spark.internal.Logging {
     * vocabularies: unigram SETS saturate (see [[shingles]]) and put half
     * the corpus in one bucket, turning the candidate join quadratic.
     *
-    * ONE md5 per shingle: component i is the min over the token set of
-    * the i-th 8-hex-char digest slice. Hashing is the dominant CPU cost
-    * of corpus-scale MinHash (billions of shingles × k salted digests in
-    * the naive form); disjoint slices of one digest are independent
-    * hash values for min-wise sampling, and the digest is computed in a
-    * projection BEFORE the aggregate so it runs exactly once per row
-    * (not once per component, independent of subexpression elimination).
-    * Lexicographic min over fixed-width hex slices is uniform and
-    * identical across engines. */
+    * SHUFFLE-FREE and one md5 per shingle: the signature is a pure
+    * projection — hash the shingle array once with a higher-order
+    * `transform`, then ONE `aggregate` fold takes the running min of
+    * each component's 8-hex-char digest slice. No explode, no groupBy:
+    * at corpus scale the signature stage is map-only inside
+    * WholeStageCodegen, and the LSH bucket join downstream is the first
+    * shuffle in the whole dedup plan. Disjoint slices of one digest are
+    * independent hash values for min-wise sampling (min over the
+    * multiset equals min over the set, so shingle de-duplication is
+    * irrelevant here); lexicographic min over fixed-width hex slices is
+    * uniform and identical across engines. */
   def minhashSignature(df: DataFrame, id: String, text: String, k: Int,
       shingleN: Int = 1): DataFrame = {
     require(k >= 1 && k <= 4,
       "one-permutation minhash slices a 32-hex md5 into at most 4 components")
-    val toks =
-      if (shingleN <= 1) explodeTokens(df, id, text)
-      else df.select(col(id), explode(shingles(col(text), shingleN)).as("tok"))
-    def comp(i: Int): Column = min(substring(col("__h"), (i - 1) * 8 + 1, 8))
-    toks.select(col(id), md5(col("tok")).as("__h"))
-      .groupBy(col(id))
-      .agg(comp(1).as("sig1"), (2 to k).map(i => comp(i).as(s"sig$i")): _*)
+    val sh =
+      if (shingleN <= 1) array_distinct(split(col(text), " "))
+      else shingles(col(text), shingleN)
+    val hashes = transform(sh, t => md5(t))
+    // '~' (0x7e) sorts after every hex char, so it is a safe fold identity
+    val init = struct((1 to k).map(i => lit("~").as(s"m$i")): _*)
+    val folded = aggregate(hashes, init, (acc, h) =>
+      struct((1 to k).map(i =>
+        least(acc.getField(s"m$i"), substring(h, (i - 1) * 8 + 1, 8)).as(s"m$i")): _*))
+    df.select(col(id) +: (1 to k).map(i => folded.getField(s"m$i").as(s"sig$i")): _*)
   }
 
   /** LSH banding: hash `rowsPerBand` signature components into one bucket
@@ -81,12 +86,27 @@ object DedupOps extends org.apache.spark.internal.Logging {
       .select(col(id), col("__bb.band").as("band"), col("__bb.bucket").as("bucket"))
   }
 
-  /** Candidate near-dup pairs (id1 < id2) from any shared LSH band bucket. */
+  /** Candidate near-dup pairs (id1 < id2) from any shared LSH band bucket.
+    *
+    * The explicit repartition on the join key is a REUSE point, not a
+    * tuning knob: since [[minhashSignature]] became a shuffle-free
+    * projection there is no aggregation exchange in this plan, and
+    * without one the self-join would evaluate the signature subtree
+    * (md5 over every shingle) once per side. One exchange on
+    * (band, bucket) — skinny banded rows, ~bands per doc — hashes the
+    * corpus once and both join sides read it (ReuseExchange). */
   def lshCandidates(sig: DataFrame, id: String, k: Int, rowsPerBand: Int): DataFrame = {
     val b = lshBuckets(sig, id, k, rowsPerBand)
+      .repartition(col("band"), col("bucket"))
     val l = b.select(col(id).as("id1"), col("band"), col("bucket"))
     val r = b.select(col(id).as("id2"), col("band"), col("bucket"))
-    l.join(r, Seq("band", "bucket")).where(col("id1") < col("id2"))
+    // shuffle_hash, not broadcast: both sides of a self-join are the
+    // whole corpus, so AQE's small-table broadcast conversion (which
+    // fires on small fixtures) is the wrong shape at scale AND builds a
+    // second copy of the signature subtree; with both sides shuffled,
+    // the planner reuses one exchange and the hash join needs no sort
+    l.join(r.hint("shuffle_hash"), Seq("band", "bucket"))
+      .where(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
   }
 
