@@ -18,6 +18,7 @@ object SparkEntry {
       operators.TimeWindows.defs ++
       operators.DedupOps.defs ++
       operators.Curation.defs ++
+      operators.Behavioral.defs ++
       operators.Multimodal.defs ++
       functions.TextAnalysis.defs ++
       functions.Similarity.defs

@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** User-behavior analytics over the `events` stream table: slowly-changing
+  * dimension (type-2) state tracking, weekly cohort retention, and an
+  * ordered conversion funnel. These are the warehouse-side query shapes the
+  * reference's dashboard aggregations (SURVEY §2.6) generalize to once the
+  * grain is "user over time" instead of "row over columns".
+  *
+  * All three shuffle exactly once on `user_id` (the natural partition key);
+  * at 100 TB the same plans hold with `user_id`-bucketed storage, which
+  * removes even that exchange.
+  */
+object Behavioral {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // SCD type-2 build: compress each user's event-type history into
+    // validity intervals [valid_from, valid_to) with a version counter,
+    // keeping only CHANGE rows (consecutive duplicate states collapse).
+    // One window partition per user — no self-join, no second shuffle:
+    // lag() finds change points, a conditional running count numbers the
+    // versions, lead() over the change rows closes each interval.
+    QueryDef(
+      "q_scd2",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val changes = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("prev", lag("event_type", 1).over(w))
+          .where(col("prev").isNull || col("prev") =!= col("event_type"))
+        val wc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        changes
+          .withColumn("version", row_number().over(wc))
+          .withColumn("valid_to", lead("ts", 1).over(wc))
+          .select(col("user_id"), col("version"), col("event_type"),
+            col("ts").as("valid_from"), col("valid_to"),
+            col("valid_to").isNull.as("is_current"))
+          .orderBy("user_id", "version")
+      },
+      Some("""WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |  FROM events),
+             |ch AS (SELECT * FROM o WHERE prev IS NULL OR prev <> event_type)
+             |SELECT user_id,
+             |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version,
+             |  event_type, ts AS valid_from,
+             |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+             |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+             |FROM ch
+             |ORDER BY user_id, version""".stripMargin)),
+
+    // weekly cohort retention: users grouped by first-seen ISO week, then
+    // counted in each later week they were active. Two aggregations (first
+    // touch per user; distinct user-weeks) and one join, all keyed on
+    // user_id — the exchange is reused across the stages.
+    QueryDef(
+      "q_cohort_retention",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+        val first = ev.groupBy("user_id").agg(min("wk").as("cohort"))
+        val active = ev.distinct()
+        active.join(first, "user_id")
+          .withColumn("week_offset",
+            (datediff(col("wk"), col("cohort")) / 7).cast("int"))
+          .groupBy("cohort", "week_offset")
+          .agg(countDistinct("user_id").as("n_users"))
+          .orderBy("cohort", "week_offset")
+      },
+      Some("""WITH ev AS (SELECT user_id,
+             |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+             |  FROM events),
+             |first AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY 1),
+             |active AS (SELECT DISTINCT user_id, wk FROM ev)
+             |SELECT f.cohort,
+             |  CAST(date_diff('day', f.cohort, a.wk) / 7 AS INT) AS week_offset,
+             |  count(DISTINCT a.user_id) AS n_users
+             |FROM active a JOIN first f USING (user_id)
+             |GROUP BY 1, 2
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // ordered conversion funnel view → click → purchase: each later stage
+    // must happen strictly AFTER the user's earliest completion of the
+    // prior stage (min-ts semantics, not mere set membership — a purchase
+    // before the first view does not convert). Three conditional
+    // aggregations, each one user_id-keyed shuffle; the two stage joins
+    // are on the 150-row per-user frames and broadcast.
+    QueryDef(
+      "q_funnel",
+      (s, d) => {
+        val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+        val v = ev.where(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("view_ts"))
+        val c = ev.join(v, "user_id")
+          .where(col("event_type") === "click" && col("ts") > col("view_ts"))
+          .groupBy("user_id").agg(min("ts").as("click_ts"))
+        val p = ev.join(c, "user_id")
+          .where(col("event_type") === "purchase" && col("ts") > col("click_ts"))
+          .groupBy("user_id").agg(min("ts").as("purchase_ts"))
+        Tables.events(s, d).select("user_id").distinct()
+          .join(v, Seq("user_id"), "left")
+          .join(c, Seq("user_id"), "left")
+          .join(p, Seq("user_id"), "left")
+          .select(col("user_id"), col("view_ts"), col("click_ts"),
+            col("purchase_ts"),
+            when(col("purchase_ts").isNotNull, "purchase")
+              .when(col("click_ts").isNotNull, "click")
+              .when(col("view_ts").isNotNull, "view")
+              .otherwise("none").as("stage"))
+          .orderBy("user_id")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+             |v AS (SELECT user_id, min(ts) AS view_ts FROM ev
+             |      WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT e.user_id, min(e.ts) AS click_ts FROM ev e JOIN v USING (user_id)
+             |      WHERE e.event_type = 'click' AND e.ts > v.view_ts GROUP BY 1),
+             |p AS (SELECT e.user_id, min(e.ts) AS purchase_ts FROM ev e JOIN c USING (user_id)
+             |      WHERE e.event_type = 'purchase' AND e.ts > c.click_ts GROUP BY 1)
+             |SELECT u.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+             |  CASE WHEN p.purchase_ts IS NOT NULL THEN 'purchase'
+             |       WHEN c.click_ts IS NOT NULL THEN 'click'
+             |       WHEN v.view_ts IS NOT NULL THEN 'view'
+             |       ELSE 'none' END AS stage
+             |FROM (SELECT DISTINCT user_id FROM ev) u
+             |LEFT JOIN v USING (user_id)
+             |LEFT JOIN c USING (user_id)
+             |LEFT JOIN p USING (user_id)
+             |ORDER BY u.user_id""".stripMargin))
+  )
+}
