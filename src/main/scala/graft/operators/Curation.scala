@@ -21,6 +21,26 @@ object Curation {
     * this is O(total tokens / tokens-per-writer-task). */
   val PackShards = 8
 
+  /** Bloom-filter geometry for [[q_bloom_decontaminate]]: positions are
+    * 20-bit (2^20 bits = 16 Ki 64-bit words = 128 KiB), two positions per
+    * gram from disjoint md5 hex slices. Size for ~10 bits/element at the
+    * expected benchmark-gram cardinality; the filter is fixed-size no
+    * matter how big the training corpus gets. */
+  private val BloomHexChars = 5
+
+  /** Bloom position of a gram: `BloomHexChars` hex chars of md5 starting
+    * at `off` (1-based), parsed base-16. Engine-portable: DuckDB computes
+    * the identical value with per-char `instr` arithmetic. */
+  private def bloomPos(gram: org.apache.spark.sql.Column, off: Int) =
+    conv(substring(md5(gram), off, BloomHexChars), 16, 10).cast("long")
+
+  /** DuckDB equivalent of [[bloomPos]] (no `conv` there — horner-expand
+    * the hex digits). */
+  private def bloomPosSql(off: Int): String =
+    (0 until BloomHexChars).map(i =>
+      s"(instr('0123456789abcdef', substr(md5(gram),${off + i},1))-1)*${math.pow(16, BloomHexChars - 1 - i).toLong}")
+      .mkString(" + ")
+
   /** Token budget per packed training sequence. */
   val PackBudget = 512
 
@@ -67,6 +87,80 @@ object Curation {
              |FROM documents d LEFT JOIN hits h USING (doc_id)
              |WHERE d.doc_id % 97 <> 0
              |ORDER BY doc_id""".stripMargin)),
+
+    // bloom-filter decontamination — the 100 TB shape of q_decontaminate.
+    // There the distinct benchmark-gram SET broadcasts; at corpus scale
+    // that set is tens of GB and the broadcast dies. Here it compresses
+    // to a FIXED 128 KiB bit array: bench grams set two md5-derived bloom
+    // bits each (one groupBy over 16 Ki words, bit_or-packed into longs),
+    // the packed words broadcast, and every training gram tests its two
+    // bits map-side. Bloom has no false negatives, so the exact
+    // confirmation join only runs over the bloom-POSITIVE grams (the
+    // ~FP-rate-sized survivor set), never the whole corpus — verdicts are
+    // exactly q_decontaminate's, at a fraction of its shuffle. The oracle
+    // states the same membership logic on the position SET (bit set ⇔
+    // position present — bit-packing is representation, not semantics).
+    QueryDef(
+      "q_bloom_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val bench = docs.where(col("doc_id") % 97 === 0)
+        val train = docs.where(col("doc_id") % 97 =!= 0)
+        val bg = bench.select(
+          explode(DedupOps.shingles(col("text"), 5)).as("gram")).distinct()
+        val bloom = bg.select(bloomPos(col("gram"), 1).as("p"))
+          .unionByName(bg.select(bloomPos(col("gram"), 9).as("p")))
+          .select(expr("p div 64").as("w"),
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT))").as("b"))
+          .groupBy("w").agg(expr("bit_or(b)").as("bits"))
+        // shingles() is array_distinct per doc, so gram counts below are
+        // distinct-gram counts without a re-distinct
+        val tg = train.select(col("doc_id"),
+            explode(DedupOps.shingles(col("text"), 5)).as("gram"))
+          .withColumn("p1", bloomPos(col("gram"), 1))
+          .withColumn("p2", bloomPos(col("gram"), 9))
+          .withColumn("w1", expr("p1 div 64"))
+          .withColumn("w2", expr("p2 div 64"))
+        val bloomHit = tg
+          .join(broadcast(bloom.select(col("w").as("w1"), col("bits").as("bits1"))), "w1")
+          .join(broadcast(bloom.select(col("w").as("w2"), col("bits").as("bits2"))), "w2")
+          .where(
+            expr("(bits1 & shiftleft(CAST(1 AS BIGINT), CAST(pmod(p1, 64) AS INT))) != 0") &&
+            expr("(bits2 & shiftleft(CAST(1 AS BIGINT), CAST(pmod(p2, 64) AS INT))) != 0"))
+          .select("doc_id", "gram")
+        val bh = bloomHit.groupBy("doc_id").agg(count(lit(1)).as("bloom_hits"))
+        val ex = bloomHit.join(broadcast(bg), "gram")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        train.join(bh, Seq("doc_id"), "left").join(ex, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("bloom_hits"), lit(0L)).as("bloom_hits"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            when(coalesce(col("n_hits"), lit(0L)) > 0, "drop")
+              .otherwise("keep").as("verdict"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, unnest(g) AS gram FROM (
+              |    SELECT doc_id,
+              |      [array_to_string(toks[i:i+4], ' ')
+              |       for i in range(1, greatest(len(toks)-4, 1)+1)] AS g
+              |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))),
+              |bg AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 97 = 0),
+              |bpos AS (SELECT ${bloomPosSql(1)} AS p FROM bg
+              |         UNION SELECT ${bloomPosSql(9)} FROM bg),
+              |tg AS (SELECT DISTINCT doc_id, gram FROM sh WHERE doc_id % 97 <> 0),
+              |tp AS (SELECT doc_id, gram, ${bloomPosSql(1)} AS p1,
+              |         ${bloomPosSql(9)} AS p2 FROM tg),
+              |bloomhit AS (SELECT doc_id, gram FROM tp
+              |  WHERE p1 IN (SELECT p FROM bpos) AND p2 IN (SELECT p FROM bpos)),
+              |bh AS (SELECT doc_id, count(*) AS bloom_hits FROM bloomhit GROUP BY 1),
+              |ex AS (SELECT doc_id, count(*) AS n_hits
+              |       FROM bloomhit JOIN bg USING (gram) GROUP BY 1)
+              |SELECT d.doc_id, coalesce(bh.bloom_hits, 0) AS bloom_hits,
+              |  coalesce(ex.n_hits, 0) AS n_hits,
+              |  CASE WHEN coalesce(ex.n_hits, 0) > 0 THEN 'drop' ELSE 'keep' END AS verdict
+              |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+              |LEFT JOIN bh USING (doc_id) LEFT JOIN ex USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)),
 
     // composite quality filter — the Gopher-style admission rule: token
     // count in range, at least one stopword hit, repetition ratio under
