@@ -38,6 +38,16 @@ object Similarity {
   val NdBands = 8
   val NdBits = 8
 
+  /** Product-quantization geometry (`q_pq_recall`): the 64-dim vector
+    * splits into [[PqSubs]] subvectors of [[PqSubDim]] dims; each
+    * subvector quantizes to its max-dot centroid among [[PqCents]]
+    * per-subspace centroids. Codes are PqSubs × log₂(PqCents) bits =
+    * 6 bytes against 256 bytes of float32 — the ~42× memory lever that
+    * makes billion-vector indexes fit in RAM. */
+  val PqSubs = 8
+  val PqSubDim = 8
+  val PqCents = 64
+
   /** DuckDB-side band signatures sig0..sig{bands-1}, same hyperplanes as
     * [[bandSig]] (sign test on the raw float element). */
   private def bandSigSqlCols(bands: Int = AnnBands, bits: Int = AnnBits): Seq[String] =
@@ -536,6 +546,98 @@ object Similarity {
              |SELECT q.qid, coalesce(h.hits, 0) AS hits,
              |  round(coalesce(h.hits, 0) / 5.0, 4) AS recall_at_5
              |FROM q LEFT JOIN h ON h.qid = q.qid ORDER BY q.qid""".stripMargin)),
+
+    // product-quantization recall gate: PQ-code ADC (asymmetric distance
+    // computation) top-5 against the exact brute-force top-5. Encoding
+    // assigns every subvector to a per-subspace centroid (broadcast
+    // codebook, map-side); scoring joins the 6-byte codes against the
+    // query's per-(subspace, centroid) dot-product LUT — the corpus scan
+    // never touches a float vector, which is PQ's entire point at scale.
+    // The 8-term LUT sum folds left-to-right in one fixed expression so
+    // both engines produce bit-identical scores. Measured ≈0.31 mean
+    // recall on the fixtures: the codebook is UNTRAINED (subvector slices
+    // of the first PqCents corpus vectors) over near-orthogonal random
+    // embeddings — the honest floor this gate exists to surface; a
+    // production codebook is k-means-trained per subspace (see
+    // [[trainCodebook]] for the training shape) and re-measured here.
+    QueryDef(
+      "q_pq_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), asDouble(col("embedding")).as("ed"))
+        val sub = emb.select(col("vec_id"),
+          posexplode(array((0 until PqSubs).map(i =>
+            slice(col("ed"), i * PqSubDim + 1, PqSubDim)): _*)).as(Seq("s", "xs")))
+        val cents = sub.where(col("vec_id") < PqCents)
+          .select(col("s"), col("vec_id").as("cent_id"), col("xs").as("cs"))
+        val wAssign = Window.partitionBy("vec_id", "s")
+          .orderBy(col("v").desc, col("cent_id"))
+        val codes = sub.join(broadcast(cents), "s")
+          .withColumn("v", round(dot(col("xs"), col("cs")), 4))
+          .withColumn("crn", row_number().over(wAssign))
+          .where(col("crn") === 1)
+          .select(col("vec_id"), col("s"), col("cent_id").as("code"))
+        val qs = sub.where(col("vec_id") >= PqCents && col("vec_id") < PqCents + 20)
+          .select(col("vec_id").as("qid"), col("s"), col("xs"))
+        val lut = qs.join(broadcast(cents), "s")
+          .select(col("qid"), col("s"), col("cent_id").as("code"),
+            round(dot(col("xs"), col("cs")), 4).as("v"))
+        val scoreSum = (0 until PqSubs)
+          .map(i => max(when(col("s") === i, col("v"))))
+          .reduce(_ + _)
+        val approx = codes.join(broadcast(lut), Seq("s", "code"))
+          .where(col("vec_id") =!= col("qid"))
+          .groupBy("qid", "vec_id")
+          .agg(round(scoreSum, 4).as("score"))
+        val wTop = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
+        val pqTop = approx.withColumn("rn", row_number().over(wTop))
+          .where(col("rn") <= 5).select("qid", "vec_id")
+        val q2 = emb.where(col("vec_id") >= PqCents && col("vec_id") < PqCents + 20)
+          .select(col("vec_id").as("qid"), col("ed").as("qe"))
+        val brute = bruteTopK(emb, q2, 5).select("qid", "vec_id")
+        val hits = brute.join(pqTop, Seq("qid", "vec_id"), "left_semi")
+          .groupBy("qid").agg(count(lit(1)).as("hits"))
+        q2.select("qid").join(hits, Seq("qid"), "left")
+          .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"),
+            round(coalesce(col("hits"), lit(0L)) / 5.0, 4).as("recall_at_5"))
+          .orderBy("qid")
+      },
+      Some {
+        val m = PqSubs; val k = PqCents; val sd = PqSubDim
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
+           |sub AS (SELECT vec_id, s, ed[s*$sd+1 : s*$sd+$sd] AS xs FROM e, range($m) t(s)),
+           |cents AS (SELECT s, vec_id AS cent_id, xs AS cs FROM sub WHERE vec_id < $k),
+           |ad AS (SELECT sub.vec_id, sub.s, c.cent_id,
+           |         round(list_dot_product(sub.xs, c.cs), 4) AS v,
+           |         row_number() OVER (PARTITION BY sub.vec_id, sub.s
+           |           ORDER BY round(list_dot_product(sub.xs, c.cs), 4) DESC, c.cent_id) AS crn
+           |       FROM sub JOIN cents c USING (s)),
+           |codes AS (SELECT vec_id, s, cent_id AS code FROM ad WHERE crn = 1),
+           |qs AS (SELECT vec_id AS qid, s, xs FROM sub WHERE vec_id >= $k AND vec_id < ${k + 20}),
+           |lut AS (SELECT q.qid, q.s, c.cent_id, round(list_dot_product(q.xs, c.cs), 4) AS v
+           |        FROM qs q JOIN cents c USING (s)),
+           |approx AS (SELECT l.qid, c.vec_id,
+           |    round(${(0 until m).map(i => s"max(CASE WHEN c.s = $i THEN l.v END)").mkString("\n        + ")}, 4) AS score
+           |  FROM codes c JOIN lut l ON l.s = c.s AND l.cent_id = c.code
+           |  WHERE c.vec_id <> l.qid
+           |  GROUP BY 1, 2),
+           |pq AS (SELECT qid, vec_id FROM (
+           |    SELECT qid, vec_id,
+           |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+           |    FROM approx) WHERE rn <= 5),
+           |q2 AS (SELECT vec_id AS qid, ed AS qe FROM e WHERE vec_id >= $k AND vec_id < ${k + 20}),
+           |bsims AS (SELECT q2.qid, e.vec_id, round(list_dot_product(q2.qe, e.ed), 4) AS sim
+           |          FROM q2 CROSS JOIN e WHERE e.vec_id <> q2.qid),
+           |brute AS (SELECT qid, vec_id FROM (
+           |    SELECT qid, vec_id,
+           |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+           |    FROM bsims) WHERE rn <= 5),
+           |h AS (SELECT b.qid, count(*) AS hits FROM brute b
+           |      JOIN pq p ON p.qid = b.qid AND p.vec_id = b.vec_id GROUP BY 1)
+           |SELECT q2.qid, coalesce(h.hits, 0) AS hits,
+           |  round(coalesce(h.hits, 0) / 5.0, 4) AS recall_at_5
+           |FROM q2 LEFT JOIN h ON h.qid = q2.qid ORDER BY q2.qid""".stripMargin
+      }),
 
     // int8 quantization integrity: exact integer digests of the quantized
     // vectors (sum/min/max are deterministic ints; the array itself stays
