@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, RollingHash, WktCentroid}
+import graft.functions.{CosineSim, DotProduct, RollingHash, WktCentroid}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -20,6 +20,8 @@ object GraftFunctions {
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
   }
 }
 
@@ -40,5 +42,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         RollingHash(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSim(exprs(0), exprs(1))))
   }
 }

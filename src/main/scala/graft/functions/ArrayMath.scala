@@ -106,9 +106,104 @@ object ArrayMath {
     ColumnBridge.column(
       DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Column-API one-pass cosine similarity (see [[CosineSim]]). */
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Column-API rolling hash (see [[RollingHash]]). */
   def rollingHash(s: Column): Column =
     ColumnBridge.column(RollingHash(ColumnBridge.expression(s)))
+}
+
+/** One-pass cosine similarity: a·b / (‖a‖·‖b‖) with all three accumulators
+  * (dot, ‖a‖², ‖b‖²) folded in a single traversal — the composed form
+  * (one [[DotProduct]] plus two `aggregate(x*x)` folds) walks the arrays
+  * three times and drops the norm folds out of whole-stage codegen.
+  *
+  * Semantics: each accumulator folds left-to-right in IEEE double over the
+  * first min(|a|,|b|) elements, so for equal-length inputs the result is
+  * bit-identical to the composed form (independent accumulators commute
+  * with loop fusion). Ragged inputs truncate BOTH the dot and the norms to
+  * the common prefix — the composed form would norm each array over its
+  * full length. NULL elements poison the result to NULL (as in
+  * [[DotProduct]]); zero-norm inputs follow IEEE division (NaN/Infinity),
+  * matching `x / sqrt(0.0)` in the composed form.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(lt, _), ArrayType(rt, _))
+        if Set[DataType](FloatType, DoubleType)(lt) && Set[DataType](FloatType, DoubleType)(rt) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim requires array<float|double> inputs, got ${l.catalogString} and ${r.catalogString}")
+  }
+
+  private def elemType(e: Expression): DataType = e.dataType match {
+    case ArrayType(t, _) => t
+    case t => t
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      i += 1
+    }
+    val lf = elemType(left) == FloatType
+    val rf = elemType(right) == FloatType
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xv * yv
+      na += xv * xv
+      nb += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (elemType(left) == FloatType) "getFloat" else "getDouble"
+    val rGet = if (elemType(right) == FloatType) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |final int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  final double $xv = (double) $x.$lGet($i);
+         |  final double $yv = (double) $y.$rGet($i);
+         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |}
+         |if (!${ev.isNull}) { ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)); }
+       """.stripMargin
+    })
+  }
+
+  override def prettyName: String = "cosine_sim"
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Rabin–Karp polynomial rolling hash over a string's UTF-8 bytes:

@@ -70,12 +70,13 @@ object Similarity {
     * return NULL (see [[DotProduct]]'s scaladoc). */
   def dot(a: Column, b: Column): Column = ArrayMath.dotProduct(a, b)
 
-  /** Cosine similarity; for pre-normalized vectors prefer [[dot]]. */
-  def cosine(a: Column, b: Column): Column = {
-    val n1 = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
-    val n2 = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x * x))
-    dot(a, b) / (n1 * n2)
-  }
+  /** Cosine similarity — native one-pass expression ([[CosineSim]]): dot
+    * and both norms accumulate in a single codegen'd traversal instead of
+    * three separate array walks. Bit-identical to the composed
+    * `dot/(√Σa²·√Σb²)` form for equal-length inputs (ragged inputs
+    * truncate to the common prefix — see [[CosineSim]]'s scaladoc). For
+    * pre-normalized vectors prefer [[dot]]. */
+  def cosine(a: Column, b: Column): Column = ArrayMath.cosineSim(a, b)
 
   /** Symmetric int8 quantization of a unit-scale float vector: x →
     * round(x·127) clamped to [-127, 127]. 4× smaller than float32 at

@@ -70,6 +70,40 @@ class CodegenParitySpec extends SparkSpec {
     }
   }
 
+  test("cosine_sim: codegen and interpreted paths agree bit-for-bit") {
+    val rows = samples(Gen.zip(arrGen, arrGen), 40)
+      .map { case (a, b) => Row(a, b) }
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(FloatType, containsNull = true)),
+      StructField("b", ArrayType(FloatType, containsNull = true))))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    def run(on: Boolean): Seq[Any] = withCodegen(on) {
+      df.select(ArrayMath.cosineSim(col("a"), col("b")).as("c"))
+        .collect().map(r => bits(r.get(0))).toSeq
+    }
+    assert(run(true) == run(false))
+  }
+
+  test("cosine_sim equals the composed dot/(norm·norm) form on equal-length inputs") {
+    val pairGen = Gen.choose(1, 8).flatMap { n =>
+      val elems = Gen.listOfN(n, Gen.choose(-100, 100).map(_ / 7.0))
+      Gen.zip(elems, elems)
+    }
+    val rows = samples(pairGen, 50).map { case (a, b) => Row(a, b) }
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(DoubleType)),
+      StructField("b", ArrayType(DoubleType))))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val composed = df.select(
+      (ArrayMath.dotProduct(col("a"), col("b")) /
+        (sqrt(aggregate(col("a"), lit(0.0), (acc, x) => acc + x * x)) *
+          sqrt(aggregate(col("b"), lit(0.0), (acc, x) => acc + x * x)))).as("c"))
+      .collect().map(r => bits(r.get(0))).toSeq
+    val native = df.select(ArrayMath.cosineSim(col("a"), col("b")).as("c"))
+      .collect().map(r => bits(r.get(0))).toSeq
+    assert(native == composed)
+  }
+
   test("rolling_hash: codegen and interpreted paths agree on generated strings") {
     val strGen: Gen[String] = Gen.frequency(
       8 -> Gen.listOf(Gen.frequency(
