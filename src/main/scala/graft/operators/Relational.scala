@@ -317,6 +317,100 @@ object Relational {
              |      FROM events GROUP BY 1) USING (event_type)
              |ORDER BY event_id""".stripMargin)),
 
+    // TPC-H Q3 shape (shipping-priority top-N): segment-filtered dim
+    // broadcasts against the two fact tables' shuffle join, group on the
+    // order key, rank by revenue, keep 10. Catalyst turns the
+    // orderBy+limit into TakeOrderedAndProject (no global sort — each
+    // partition keeps 10, the driver merges). Ranking uses the ROUNDED
+    // revenue with the order key as tiebreak so double ulps can't flip
+    // the cut line between engines.
+    QueryDef(
+      "q_tpch_q3",
+      (s, d) => {
+        val cutoff = lit("1998-06-01 00:00:00").cast("timestamp")
+        val cust = Tables.customer(s, d)
+          .where(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")
+        val ord = Tables.orders(s, d)
+          .where(col("o_orderdate") < cutoff)
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+        val li = Tables.lineitem(s, d)
+          .where(col("l_shipdate") > cutoff)
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"),
+            col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"),
+            col("o_orderpriority"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+             |  o_orderpriority,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1998-06-01 00:00:00'
+             |  AND CAST(l_shipdate AS TIMESTAMP) > TIMESTAMP '1998-06-01 00:00:00'
+             |GROUP BY 1, 2, 3
+             |ORDER BY revenue DESC, l_orderkey
+             |LIMIT 10""".stripMargin)),
+
+    // 7-day rolling window per user (RANGE frame over event time, not
+    // ROWS — frames are defined by the time axis, so ties and gaps are
+    // handled identically however rows are laid out). The summed value is
+    // integer cents: a sliding-frame SUM may combine in segment-tree
+    // order, and integer addition is the only order-free way to make two
+    // engines agree bit-for-bit.
+    QueryDef(
+      "q_rolling_7d",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("us"))
+          .rangeBetween(-604800000000L, 0L) // 7 days in micros, inclusive
+        Tables.events(s, d)
+          .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+          .withColumn("cents", round(col("value") * 100).cast("bigint"))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            sum("cents").over(w).as("roll_cents"),
+            count(lit(1)).over(w).as("roll_n"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             |  sum(CAST(round(value * 100) AS BIGINT)) OVER w AS roll_cents,
+             |  count(*) OVER w AS roll_n
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+             |  RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin)),
+
+    // null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    // each other instead of vanishing, and Spark still plans a hash join
+    // (EqualNullSafe is a valid hash key — no nested-loop fallback)
+    QueryDef(
+      "q_null_safe_join",
+      (s, d) => {
+        val keyed = Tables.events(s, d)
+          .withColumn("k", expr("nullif(event_type, 'error')"))
+        val a = keyed.groupBy("k").agg(count(lit(1)).as("n_all"))
+        val b = keyed.where(col("value") > 50)
+          .groupBy(col("k").as("kb")).agg(count(lit(1)).as("n_hi"))
+        a.join(b, col("k") <=> col("kb"))
+          .select(col("k"), col("n_all"), col("n_hi"))
+          .orderBy(asc_nulls_first("k"))
+      },
+      Some("""WITH a AS (SELECT nullif(event_type, 'error') AS k, count(*) AS n_all
+             |          FROM events GROUP BY 1),
+             |b AS (SELECT nullif(event_type, 'error') AS k, count(*) AS n_hi
+             |      FROM events WHERE value > 50 GROUP BY 1)
+             |SELECT a.k, n_all, n_hi
+             |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+             |ORDER BY a.k NULLS FIRST""".stripMargin)),
+
     // second-moment statistics suite: stddev / variance / covariance /
     // correlation per group, rounded to absorb aggregation-order ulps
     // (Spark's partial-merge order differs from DuckDB's sequential scan)
