@@ -431,6 +431,84 @@ object Relational {
              |  round(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_vu
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // explicit GROUPING SETS (the general form cube/rollup specialize):
+    // three grouping combinations in ONE pass over the input — Spark
+    // expands the sets into a single Expand + hash aggregate, not three
+    // scans. grouping() flags disambiguate "NULL because aggregated away"
+    // from a genuine NULL key.
+    QueryDef(
+      "q_grouping_sets",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), to_date(col("ts")).as("day"))
+        ev.groupingSets(
+            Seq(Seq(col("event_type")), Seq(col("day")),
+              Seq(col("event_type"), col("day"))),
+            col("event_type"), col("day"))
+          .agg(grouping("event_type").cast("int").as("g_type"),
+            grouping("day").cast("int").as("g_day"),
+            count(lit(1)).as("n"))
+          .orderBy(col("g_type"), col("g_day"),
+            asc_nulls_first("event_type"), asc_nulls_first("day"))
+      },
+      Some("""SELECT event_type,
+             |  CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             |  CAST(grouping(event_type) AS INT) AS g_type,
+             |  CAST(grouping(day) AS INT) AS g_day,
+             |  count(*) AS n
+             |FROM events
+             |GROUP BY GROUPING SETS ((event_type), (day), (event_type, day))
+             |ORDER BY g_type, g_day, event_type NULLS FIRST, day NULLS FIRST""".stripMargin)),
+
+    // order-deterministic string aggregation: the collect→sort→join form
+    // pins element order inside the aggregate (collect_list alone is
+    // partition-order-dependent — never comparable across engines or even
+    // across runs). The struct sort key makes the fold reproducible; at
+    // scale this is also the only defensible way to emit event sequences
+    // for downstream sequence models.
+    QueryDef(
+      "q_string_agg",
+      (s, d) => Tables.events(s, d)
+        .where(col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(
+          concat_ws(",", transform(
+            array_sort(collect_list(struct(col("event_id"), col("event_type")))),
+            x => x.getField("event_type"))).as("seq"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+             |  string_agg(event_type, ',' ORDER BY event_id) AS seq,
+             |  count(*) AS n
+             |FROM events WHERE user_id < 20
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // frame-edge window navigation: first/last/nth over the full
+    // partition. last_value needs the explicit UNBOUNDED FOLLOWING frame —
+    // the default frame ends at CURRENT ROW, a classic cross-engine
+    // semantics trap both engines agree on once pinned.
+    QueryDef(
+      "q_first_last",
+      (s, d) => {
+        val wDefault = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val wFull = wDefault.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            first("value").over(wDefault).as("first_v"),
+            last("value").over(wFull).as("last_v"),
+            nth_value(col("value"), 2).over(wFull).as("second_v"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  first_value(value) OVER w AS first_v,
+             |  last_value(value) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v,
+             |  nth_value(value, 2) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_v
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+             |ORDER BY event_id""".stripMargin)),
+
     // distinct aggregate (expands to a two-phase plan; at scale prefer
     // approx_count_distinct when exactness isn't required)
     QueryDef(
