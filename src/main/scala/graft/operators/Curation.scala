@@ -248,6 +248,30 @@ object Curation {
              |WHERE '0' || substr(md5('m:' || d.doc_id), 1, 2) < r.cut
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // lexical-diversity signal — Simpson/Gini diversity of each doc's
+    // word distribution (1 − Σp²): near 0 = one token repeated (drop),
+    // near 1 = fully diverse vocabulary. Deliberately ENTROPY-FREE: the
+    // classic Shannon form needs libm log, whose last-ulp differs across
+    // engines (see q_tfidf_terms); Σn² stays in exact integer arithmetic
+    // until one final division, so both engines agree bit-for-bit.
+    QueryDef(
+      "q_word_gini",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("n_w"))
+        .groupBy("doc_id")
+        .agg(sum(col("n_w") * col("n_w")).as("sumsq"), sum("n_w").as("n"))
+        .select(col("doc_id"), col("n"),
+          round(lit(1) - col("sumsq").cast("double") / (col("n") * col("n")), 6)
+            .as("gini"))
+        .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+             |c AS (SELECT doc_id, word, count(*) AS n_w FROM w GROUP BY 1, 2),
+             |g AS (SELECT doc_id, sum(n_w * n_w) AS sumsq,
+             |        CAST(sum(n_w) AS BIGINT) AS n FROM c GROUP BY 1)
+             |SELECT doc_id, n, round(1 - CAST(sumsq AS DOUBLE) / (n * n), 6) AS gini
+             |FROM g ORDER BY doc_id""".stripMargin)),
+
     // sequence packing — assign docs to fixed-token-budget training
     // sequences: shard the corpus (parallel writers), order within shard,
     // running token offset via window cumsum, bin = offset / budget.

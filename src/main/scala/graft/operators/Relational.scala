@@ -411,6 +411,33 @@ object Relational {
              |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
              |ORDER BY a.k NULLS FIRST""".stripMargin)),
 
+    // argmax/argmin (max_by / arg_max): "which row had the extreme" in
+    // ONE aggregation pass — no self-join back to the max, no window
+    // sort. The ordering key packs exact cents with the unique event_id
+    // (values ARE exact cents in this corpus — verified, and 8 rows tie
+    // at group minima at sf0.1, so a bare value key would be
+    // nondeterministic in both engines).
+    QueryDef(
+      "q_argmax",
+      (s, d) => {
+        val key = expr("CAST(round(value * 100) AS BIGINT)") * lit(1000000000L) +
+          col("event_id")
+        Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(
+            max_by(col("event_id"), key).as("max_event"),
+            min_by(col("event_id"), key).as("min_event"),
+            max("value").as("max_v"),
+            min("value").as("min_v"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+             |  arg_max(event_id, CAST(round(value * 100) AS BIGINT) * 1000000000 + event_id) AS max_event,
+             |  arg_min(event_id, CAST(round(value * 100) AS BIGINT) * 1000000000 + event_id) AS min_event,
+             |  max(value) AS max_v,
+             |  min(value) AS min_v
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // second-moment statistics suite: stddev / variance / covariance /
     // correlation per group, rounded to absorb aggregation-order ulps
     // (Spark's partial-merge order differs from DuckDB's sequential scan)
