@@ -1,0 +1,49 @@
+package graft
+
+/** Executable plan audits for the continuation-batch queries — the shapes
+  * BENCH.md claims, asserted on the optimized physical plan so a future
+  * refactor can't silently regress them (a query that still returns the
+  * right rows through a cartesian product would pass the oracle gate and
+  * be a scale-killer at 100 TB).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("no declared query plans a CartesianProduct") {
+    // brute-force baselines use broadcast nested loop ON PURPOSE (small
+    // side broadcast); an unbroadcast cartesian product is never intended
+    for (name <- SparkEntry.queries.keys) {
+      assert(!planOf(name).contains("CartesianProduct"), s"$name")
+    }
+  }
+
+  test("q_tpch_q3: broadcast dim, shuffle fact join, TakeOrderedAndProject") {
+    val plan = planOf("q_tpch_q3")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-N not pushed:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"dim not broadcast:\n$plan")
+  }
+
+  test("q_bloom_decontaminate: both bloom probes are broadcast hash joins") {
+    val plan = planOf("q_bloom_decontaminate")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    // two bloom-word probes + the exact-confirm gram join
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"bloom probe fell back to a shuffle join:\n$plan")
+  }
+
+  test("q_pq_recall: codebook assignment and LUT scoring stay broadcast") {
+    val plan = planOf("q_pq_recall")
+    assert(plan.contains("BroadcastHashJoin"), s"LUT join not broadcast:\n$plan")
+  }
+
+  test("filter pushdown reaches the parquet scan on the behavioral suite") {
+    val plan = planOf("q_funnel")
+    // event-type filters are applied post-scan (they sit under a join),
+    // but the scan itself must prune columns: no props/value columns read
+    assert(plan.contains("ReadSchema"), plan)
+    assert(!plan.contains("props"), s"funnel reads unused props column:\n$plan")
+  }
+}
