@@ -216,6 +216,91 @@ object Similarity {
     cents
   }
 
+  /** Split (vec_id, ed) into one row per (vec_id, s, xs) subvector. */
+  def pqSubvectors(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      posexplode(array((0 until PqSubs).map(i =>
+        slice(col("ed"), i * PqSubDim + 1, PqSubDim)): _*)).as(Seq("s", "xs")))
+
+  /** Per-subspace k-means PQ codebook trainer (Lloyd iterations, L2
+    * objective): every subspace trains concurrently in ONE keyed
+    * DataFrame — assignment is a broadcast join on the subspace id with
+    * argmin-L2 via the `x·c − ‖c‖²/2` form (no per-subspace driver
+    * loop), update is the element-wise member mean. Deterministic init
+    * (subvector slices of the first k vectors) + fixed iteration count;
+    * empty cells keep their previous centroid. Returns (s, cent_id, cs). */
+  def trainPqCodebooks(emb: DataFrame, iters: Int): DataFrame = {
+    val sub = pqSubvectors(emb)
+    var cents = sub.where(col("vec_id") < PqCents)
+      .select(col("s"), col("vec_id").as("cent_id"), col("xs").as("cs"))
+    for (_ <- 1 to iters) {
+      val scored = sub.join(broadcast(cents), "s")
+        .withColumn("score",
+          dot(col("xs"), col("cs")) -
+            aggregate(col("cs"), lit(0.0), (a, x) => a + x * x) / 2)
+      val wAssign = Window.partitionBy("vec_id", "s")
+        .orderBy(col("score").desc, col("cent_id"))
+      val assign = scored
+        .withColumn("crn", row_number().over(wAssign))
+        .where(col("crn") === 1)
+        .select(col("s"), col("cent_id"), col("xs"))
+      val means = assign
+        .select(col("s"), col("cent_id"), posexplode(col("xs")).as(Seq("pos", "x")))
+        .groupBy("s", "cent_id", "pos").agg(avg("x").as("m"))
+        .groupBy("s", "cent_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("s"), col("cent_id"),
+          transform(col("pm"), p => p.getField("m")).as("cs_new"))
+      cents = cents.join(means, Seq("s", "cent_id"), "left")
+        .select(col("s"), col("cent_id"),
+          coalesce(col("cs_new"), col("cs")).as("cs"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
+  /** recall@5 of PQ ADC search against the exact brute-force top-5 for an
+    * arbitrary per-subspace codebook `cents` (s, cent_id, cs). Encoding
+    * assigns each subvector by `assignScore(xs, cs)` (max wins, cent_id
+    * tiebreak); scoring joins the codes against the query's
+    * per-(subspace, centroid) dot LUT and folds the subspace terms in one
+    * fixed-order expression. */
+  def pqRecallAt5(emb: DataFrame, cents: DataFrame, isQuery: Column,
+      assignScore: (Column, Column) => Column): DataFrame = {
+    val sub = pqSubvectors(emb)
+    val wAssign = Window.partitionBy("vec_id", "s")
+      .orderBy(col("v").desc, col("cent_id"))
+    val codes = sub.join(broadcast(cents), "s")
+      .withColumn("v", assignScore(col("xs"), col("cs")))
+      .withColumn("crn", row_number().over(wAssign))
+      .where(col("crn") === 1)
+      .select(col("vec_id"), col("s"), col("cent_id").as("code"))
+    val qs = sub.where(isQuery)
+      .select(col("vec_id").as("qid"), col("s"), col("xs"))
+    val lut = qs.join(broadcast(cents), "s")
+      .select(col("qid"), col("s"), col("cent_id").as("code"),
+        round(dot(col("xs"), col("cs")), 4).as("v"))
+    val scoreSum = (0 until PqSubs)
+      .map(i => max(when(col("s") === i, col("v"))))
+      .reduce(_ + _)
+    val approx = codes.join(broadcast(lut), Seq("s", "code"))
+      .where(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(round(scoreSum, 4).as("score"))
+    val wTop = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
+    val pqTop = approx.withColumn("rn", row_number().over(wTop))
+      .where(col("rn") <= 5).select("qid", "vec_id")
+    val q2 = emb.where(isQuery)
+      .select(col("vec_id").as("qid"), col("ed").as("qe"))
+    val brute = bruteTopK(emb, q2, 5).select("qid", "vec_id")
+    val hits = brute.join(pqTop, Seq("qid", "vec_id"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+    q2.select("qid").join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / 5.0, 4).as("recall_at_5"))
+      .orderBy("qid")
+  }
+
   /** Exact top-k by (rounded) similarity per query, brute force. `queries`
     * must be small (it is broadcast against every candidate partition). */
   def bruteTopK(candidates: DataFrame, queries: DataFrame, k: Int): DataFrame = {
@@ -566,42 +651,11 @@ object Similarity {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
           .select(col("vec_id"), asDouble(col("embedding")).as("ed"))
-        val sub = emb.select(col("vec_id"),
-          posexplode(array((0 until PqSubs).map(i =>
-            slice(col("ed"), i * PqSubDim + 1, PqSubDim)): _*)).as(Seq("s", "xs")))
-        val cents = sub.where(col("vec_id") < PqCents)
+        val cents = pqSubvectors(emb).where(col("vec_id") < PqCents)
           .select(col("s"), col("vec_id").as("cent_id"), col("xs").as("cs"))
-        val wAssign = Window.partitionBy("vec_id", "s")
-          .orderBy(col("v").desc, col("cent_id"))
-        val codes = sub.join(broadcast(cents), "s")
-          .withColumn("v", round(dot(col("xs"), col("cs")), 4))
-          .withColumn("crn", row_number().over(wAssign))
-          .where(col("crn") === 1)
-          .select(col("vec_id"), col("s"), col("cent_id").as("code"))
-        val qs = sub.where(col("vec_id") >= PqCents && col("vec_id") < PqCents + 20)
-          .select(col("vec_id").as("qid"), col("s"), col("xs"))
-        val lut = qs.join(broadcast(cents), "s")
-          .select(col("qid"), col("s"), col("cent_id").as("code"),
-            round(dot(col("xs"), col("cs")), 4).as("v"))
-        val scoreSum = (0 until PqSubs)
-          .map(i => max(when(col("s") === i, col("v"))))
-          .reduce(_ + _)
-        val approx = codes.join(broadcast(lut), Seq("s", "code"))
-          .where(col("vec_id") =!= col("qid"))
-          .groupBy("qid", "vec_id")
-          .agg(round(scoreSum, 4).as("score"))
-        val wTop = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
-        val pqTop = approx.withColumn("rn", row_number().over(wTop))
-          .where(col("rn") <= 5).select("qid", "vec_id")
-        val q2 = emb.where(col("vec_id") >= PqCents && col("vec_id") < PqCents + 20)
-          .select(col("vec_id").as("qid"), col("ed").as("qe"))
-        val brute = bruteTopK(emb, q2, 5).select("qid", "vec_id")
-        val hits = brute.join(pqTop, Seq("qid", "vec_id"), "left_semi")
-          .groupBy("qid").agg(count(lit(1)).as("hits"))
-        q2.select("qid").join(hits, Seq("qid"), "left")
-          .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"),
-            round(coalesce(col("hits"), lit(0L)) / 5.0, 4).as("recall_at_5"))
-          .orderBy("qid")
+        pqRecallAt5(emb, cents,
+          col("vec_id") >= PqCents && col("vec_id") < PqCents + 20,
+          (xs, cs) => round(dot(xs, cs), 4))
       },
       Some {
         val m = PqSubs; val k = PqCents; val sd = PqSubDim

@@ -110,4 +110,27 @@ class SimilaritySpec extends SparkSpec {
     assert(t >= u - 1e-12, s"objective degraded: trained=$t untrained=$u")
     assert(t > u + 0.01, s"training moved the objective too little: $u -> $t")
   }
+
+  test("trained PQ codebooks improve ADC recall over the untrained slices") {
+    import org.apache.spark.sql.Column
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("ed"))
+    val isQ = col("vec_id") >= Similarity.PqCents &&
+      col("vec_id") < Similarity.PqCents + 20
+    // the oracled query's codebook: raw subvector slices, max-dot codes
+    val untrained = Similarity.pqSubvectors(emb)
+      .where(col("vec_id") < Similarity.PqCents)
+      .select(col("s"), col("vec_id").as("cent_id"), col("xs").as("cs"))
+    val maxDot = (xs: Column, cs: Column) => round(Similarity.dot(xs, cs), 4)
+    val base = Similarity.pqRecallAt5(emb, untrained, isQ, maxDot)
+      .agg(avg("recall_at_5")).head().getDouble(0)
+    // k-means-trained codebooks, argmin-L2 codes (x·c − ‖c‖²/2)
+    val trained = Similarity.trainPqCodebooks(emb, iters = 3)
+    val l2Score = (xs: Column, cs: Column) =>
+      Similarity.dot(xs, cs) -
+        aggregate(cs, lit(0.0), (a, x) => a + x * x) / 2
+    val tuned = Similarity.pqRecallAt5(emb, trained, isQ, l2Score)
+      .agg(avg("recall_at_5")).head().getDouble(0)
+    assert(tuned > base, s"training did not help: untrained=$base trained=$tuned")
+  }
 }
