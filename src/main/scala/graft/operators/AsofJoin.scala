@@ -19,10 +19,9 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
-  /** `payload` names the right-side columns to carry onto left rows
-    * (NULL where no version precedes the row). Left columns are
-    * preserved; payload names must not collide with left columns. */
-  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+  /** Tag both sides and union them on the shared (__ts, __is_r, payload)
+    * shape — the input both as-of directions carry over. */
+  private def tagUnion(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
     val rTagged = right.select(
       (keys.map(col) :+ col(rightTs).as("__ts") :+ lit(1).as("__is_r")) ++
@@ -33,13 +32,38 @@ object AsofJoin {
     val lFull = payload.foldLeft(lTagged)((df, p) =>
       df.withColumn(p, lit(null).cast(rTagged.schema(p).dataType)))
       .select(lTagged.columns.map(col) ++ payload.map(col): _*)
-    val unioned = lFull.unionByName(rTagged, allowMissingColumns = true)
+    lFull.unionByName(rTagged, allowMissingColumns = true)
+  }
+
+  /** `payload` names the right-side columns to carry onto left rows
+    * (NULL where no version precedes the row). Left columns are
+    * preserved; payload names must not collide with left columns. */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    val unioned = tagUnion(left, right, keys, leftTs, rightTs, payload)
     // right rows sort before left rows at equal ts → "<=" semantics
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__is_r").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = payload.foldLeft(unioned)((df, p) =>
       df.withColumn(p, last(col(p), ignoreNulls = true).over(w)))
+    carried.where(col("__is_r") === 0).drop("__ts", "__is_r")
+  }
+
+  /** Forward as-of: for every left row, the EARLIEST right row with the
+    * same key and `rightTs >= leftTs` ("next version after the event").
+    * Mirror image of [[asofJoin]]: left rows sort before right rows at
+    * equal ts so ties are included, and the payload is pulled back with
+    * `first(ignoreNulls)` over the current-row→unbounded-following frame.
+    * Same scale shape — one shuffle on the key, no row blow-up. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    val unioned = tagUnion(left, right, keys, leftTs, rightTs, payload)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__is_r").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = payload.foldLeft(unioned)((df, p) =>
+      df.withColumn(p, first(col(p), ignoreNulls = true).over(w)))
     carried.where(col("__is_r") === 0).drop("__ts", "__is_r")
   }
 
@@ -111,6 +135,57 @@ object AsofJoin {
              |      FROM events WHERE event_type = 'purchase')
              |SELECT e.event_id, e.user_id, e.ts, v.last_purchase
              |FROM e ASOF LEFT JOIN v ON e.user_id = v.user_id AND e.ts >= v.v_ts
+             |ORDER BY event_id""".stripMargin)),
+
+    // nearest-neighbor as-of: both directions carried in one pipeline
+    // (backward pass feeds the forward pass — still two key-partitioned
+    // windows over the same exchange), then the closer version wins with
+    // backward preferred on exact distance ties. The sensor-alignment /
+    // feature-join shape: every event annotated with its temporally
+    // nearest purchase.
+    QueryDef(
+      "q_asof_nearest",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val v = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("v_ts"), col("value"))
+        val back = asofJoin(
+          ev.select("event_id", "user_id", "ts"),
+          v.select(col("user_id"), col("v_ts"),
+            col("v_ts").as("prev_ts"), col("value").as("prev_val")),
+          Seq("user_id"), "ts", "v_ts", Seq("prev_ts", "prev_val"))
+        val both = asofJoinForward(
+          back,
+          v.select(col("user_id"), col("v_ts"),
+            col("v_ts").as("next_ts"), col("value").as("next_val")),
+          Seq("user_id"), "ts", "v_ts", Seq("next_ts", "next_val"))
+        val dPrev = unix_micros(col("ts").cast("timestamp")) -
+          unix_micros(col("prev_ts").cast("timestamp"))
+        val dNext = unix_micros(col("next_ts").cast("timestamp")) -
+          unix_micros(col("ts").cast("timestamp"))
+        both.select(col("event_id"), col("user_id"), col("ts"),
+            col("prev_ts"), col("next_ts"),
+            when(col("prev_ts").isNull, col("next_val"))
+              .when(col("next_ts").isNull, col("prev_val"))
+              .when(dPrev <= dNext, col("prev_val"))
+              .otherwise(col("next_val")).as("near_val"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+             |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS v_ts, value AS pval
+             |      FROM events WHERE event_type = 'purchase'),
+             |p AS (SELECT e.event_id, max(v.v_ts) AS prev_ts FROM e
+             |      LEFT JOIN v ON v.user_id = e.user_id AND v.v_ts <= e.ts GROUP BY 1),
+             |n AS (SELECT e.event_id, min(v.v_ts) AS next_ts FROM e
+             |      LEFT JOIN v ON v.user_id = e.user_id AND v.v_ts >= e.ts GROUP BY 1)
+             |SELECT e.event_id, e.user_id, e.ts, p.prev_ts, n.next_ts,
+             |  CASE WHEN p.prev_ts IS NULL THEN nv.pval
+             |       WHEN n.next_ts IS NULL THEN pv.pval
+             |       WHEN (e.ts - p.prev_ts) <= (n.next_ts - e.ts) THEN pv.pval
+             |       ELSE nv.pval END AS near_val
+             |FROM e JOIN p USING (event_id) JOIN n USING (event_id)
+             |LEFT JOIN v pv ON pv.user_id = e.user_id AND pv.v_ts = p.prev_ts
+             |LEFT JOIN v nv ON nv.user_id = e.user_id AND nv.v_ts = n.next_ts
              |ORDER BY event_id""".stripMargin))
   )
 }
