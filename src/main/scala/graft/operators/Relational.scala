@@ -360,6 +360,47 @@ object Relational {
              |ORDER BY revenue DESC, l_orderkey
              |LIMIT 10""".stripMargin)),
 
+    // TPC-H Q5 shape (local-supplier revenue by nation): a 6-way join
+    // where the planner should pick per-side strategies — fact⋈fact
+    // (lineitem⋈orders⋈customer) shuffles, the supplier join carries the
+    // compound local-supply condition (c_nationkey = s_nationkey), and
+    // the nation/region dims broadcast. Filters reach every scan.
+    QueryDef(
+      "q_tpch_q5",
+      (s, d) => {
+        val ord = Tables.orders(s, d)
+          .where(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+          .select("o_orderkey", "o_custkey")
+        val asia = Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d).where(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+            col("o_custkey") === col("c_custkey"))
+          .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(asia), col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1997-01-01 00:00:00'
+             |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin)),
+
     // 7-day rolling window per user (RANGE frame over event time, not
     // ROWS — frames are defined by the time axis, so ties and gaps are
     // handled identically however rows are laid out). The summed value is
