@@ -137,6 +137,21 @@ object Similarity {
       .select("qid", "vec_id", "sim", "rn")
   }
 
+  /** Shared tail of every ANN recall gate: recall@5 of `approxTop`
+    * (qid, vec_id) against the exact brute-force top-5 for the query set
+    * `q2` (qid, qe). One definition so the gates (LSH / IVF / PQ) cannot
+    * drift apart on k, rounding, or the missing-query left join. */
+  def recallAt5VsBrute(emb: DataFrame, approxTop: DataFrame,
+      q2: DataFrame): DataFrame = {
+    val brute = bruteTopK(emb, q2, 5).select("qid", "vec_id")
+    val hits = brute.join(approxTop, Seq("qid", "vec_id"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+    q2.select("qid").join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / 5.0, 4).as("recall_at_5"))
+      .orderBy("qid")
+  }
+
   /** recall@5 of nprobe-cell IVF search against the exact brute-force
     * top-5, for an arbitrary codebook `cents` (cent_id, ce). `emb` is
     * (vec_id, ed); queries are rows matching `isQuery`. */
@@ -170,14 +185,7 @@ object Similarity {
       .select("qid", "vec_id")
     val q = emb.where(isQuery)
       .select(col("vec_id").as("qid"), col("ed").as("qe"))
-    val brute = bruteTopK(emb, q, 5).select("qid", "vec_id")
-    val hits = brute.join(ivfTop, Seq("qid", "vec_id"), "left_semi")
-      .groupBy("qid").agg(count(lit(1)).as("hits"))
-    q.select("qid").join(hits, Seq("qid"), "left")
-      .select(col("qid"),
-        coalesce(col("hits"), lit(0L)).as("hits"),
-        round(coalesce(col("hits"), lit(0L)) / 5.0, 4).as("recall_at_5"))
-      .orderBy("qid")
+    recallAt5VsBrute(emb, ivfTop, q)
   }
 
   /** Spherical-k-means codebook trainer (Lloyd iterations, cosine
@@ -292,13 +300,7 @@ object Similarity {
       .where(col("rn") <= 5).select("qid", "vec_id")
     val q2 = emb.where(isQuery)
       .select(col("vec_id").as("qid"), col("ed").as("qe"))
-    val brute = bruteTopK(emb, q2, 5).select("qid", "vec_id")
-    val hits = brute.join(pqTop, Seq("qid", "vec_id"), "left_semi")
-      .groupBy("qid").agg(count(lit(1)).as("hits"))
-    q2.select("qid").join(hits, Seq("qid"), "left")
-      .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"),
-        round(coalesce(col("hits"), lit(0L)) / 5.0, 4).as("recall_at_5"))
-      .orderBy("qid")
+    recallAt5VsBrute(emb, pqTop, q2)
   }
 
   /** Exact top-k by (rounded) similarity per query, brute force. `queries`
@@ -372,15 +374,8 @@ object Similarity {
         val plain = emb.select(col("vec_id"), asDouble(col("embedding")).as("ed"))
         val q = plain.where(col("vec_id") < 20)
           .select(col("vec_id").as("qid"), col("ed").as("qe"))
-        val brute = bruteTopK(plain, q, 5).select("qid", "vec_id")
         val lshTop = lshTopK(emb, col("vec_id") < 20, 5).select("qid", "vec_id")
-        val hits = brute.join(lshTop, Seq("qid", "vec_id"), "left_semi")
-          .groupBy("qid").agg(count(lit(1)).as("hits"))
-        q.select("qid").join(hits, Seq("qid"), "left")
-          .select(col("qid"),
-            coalesce(col("hits"), lit(0L)).as("hits"),
-            round(coalesce(col("hits"), lit(0L)) / 5.0, 4).as("recall_at_5"))
-          .orderBy("qid")
+        recallAt5VsBrute(plain, lshTop, q)
       },
       Some {
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
@@ -645,7 +640,8 @@ object Similarity {
     // of the first PqCents corpus vectors) over near-orthogonal random
     // embeddings — the honest floor this gate exists to surface; a
     // production codebook is k-means-trained per subspace (see
-    // [[trainCodebook]] for the training shape) and re-measured here.
+    // [[trainPqCodebooks]]; `SimilaritySpec` measures the trained
+    // codebooks beating this floor) and re-measured here.
     QueryDef(
       "q_pq_recall",
       (s, d) => {

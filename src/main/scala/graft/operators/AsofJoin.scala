@@ -147,8 +147,15 @@ object AsofJoin {
       "q_asof_nearest",
       (s, d) => {
         val ev = Tables.events(s, d)
+        // pre-aggregate to one version per (user, ts): the carry helpers
+        // require unique (key, ts) on the right, and the oracle's
+        // re-fetch-by-max-ts join would duplicate rows on a tie. The
+        // fixtures happen to have no (user_id, ts) purchase ties at any
+        // SF, but the max() makes both engines deterministic by
+        // construction rather than by data luck.
         val v = ev.where(col("event_type") === "purchase")
-          .select(col("user_id"), col("ts").as("v_ts"), col("value"))
+          .groupBy(col("user_id"), col("ts").as("v_ts"))
+          .agg(max("value").as("value"))
         val back = asofJoin(
           ev.select("event_id", "user_id", "ts"),
           v.select(col("user_id"), col("v_ts"),
@@ -172,8 +179,8 @@ object AsofJoin {
           .orderBy("event_id")
       },
       Some("""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
-             |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS v_ts, value AS pval
-             |      FROM events WHERE event_type = 'purchase'),
+             |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS v_ts, max(value) AS pval
+             |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
              |p AS (SELECT e.event_id, max(v.v_ts) AS prev_ts FROM e
              |      LEFT JOIN v ON v.user_id = e.user_id AND v.v_ts <= e.ts GROUP BY 1),
              |n AS (SELECT e.event_id, min(v.v_ts) AS next_ts FROM e

@@ -44,6 +44,20 @@ object Curation {
   /** Token budget per packed training sequence. */
   val PackBudget = 512
 
+  /** The contamination contract, spelled once: deterministic
+    * benchmark/train split (doc_id % 97) and the benchmark's distinct
+    * 5-gram set. Both decontamination queries derive from this, and
+    * `BehavioralSpec` asserts their verdicts are identical — changing the
+    * modulus or gram width here changes both together. */
+  private def benchTrainGrams(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val train = docs.where(col("doc_id") % 97 =!= 0)
+    val bg = docs.where(col("doc_id") % 97 === 0)
+      .select(explode(DedupOps.shingles(col("text"), 5)).as("gram")).distinct()
+    (train, bg)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // benchmark decontamination — the eval-leakage guard every training
@@ -57,11 +71,7 @@ object Curation {
     QueryDef(
       "q_decontaminate",
       (s, d) => {
-        val docs = Tables.documents(s, d).select("doc_id", "text")
-        val bench = docs.where(col("doc_id") % 97 === 0)
-        val train = docs.where(col("doc_id") % 97 =!= 0)
-        val bg = bench.select(
-          explode(DedupOps.shingles(col("text"), 5)).as("gram")).distinct()
+        val (train, bg) = benchTrainGrams(s, d)
         val tg = train.select(col("doc_id"),
           explode(DedupOps.shingles(col("text"), 5)).as("gram"))
         val hits = tg.join(broadcast(bg), "gram")
@@ -97,17 +107,17 @@ object Curation {
     // bits map-side. Bloom has no false negatives, so the exact
     // confirmation join only runs over the bloom-POSITIVE grams (the
     // ~FP-rate-sized survivor set), never the whole corpus — verdicts are
-    // exactly q_decontaminate's, at a fraction of its shuffle. The oracle
-    // states the same membership logic on the position SET (bit set ⇔
-    // position present — bit-packing is representation, not semantics).
+    // exactly q_decontaminate's, at a fraction of its shuffle. The
+    // confirm join carries NO broadcast hint on the gram set (that hint
+    // is the thing this query exists to remove): with the bloom-positive
+    // side reduced to ~FP-rate size, either join strategy is cheap, and
+    // the planner chooses. The oracle states the same membership logic on
+    // the position SET (bit set ⇔ position present — bit-packing is
+    // representation, not semantics).
     QueryDef(
       "q_bloom_decontaminate",
       (s, d) => {
-        val docs = Tables.documents(s, d).select("doc_id", "text")
-        val bench = docs.where(col("doc_id") % 97 === 0)
-        val train = docs.where(col("doc_id") % 97 =!= 0)
-        val bg = bench.select(
-          explode(DedupOps.shingles(col("text"), 5)).as("gram")).distinct()
+        val (train, bg) = benchTrainGrams(s, d)
         val bloom = bg.select(bloomPos(col("gram"), 1).as("p"))
           .unionByName(bg.select(bloomPos(col("gram"), 9).as("p")))
           .select(expr("p div 64").as("w"),
@@ -129,7 +139,7 @@ object Curation {
             expr("(bits2 & shiftleft(CAST(1 AS BIGINT), CAST(pmod(p2, 64) AS INT))) != 0"))
           .select("doc_id", "gram")
         val bh = bloomHit.groupBy("doc_id").agg(count(lit(1)).as("bloom_hits"))
-        val ex = bloomHit.join(broadcast(bg), "gram")
+        val ex = bloomHit.join(bg, "gram")
           .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
         train.join(bh, Seq("doc_id"), "left").join(ex, Seq("doc_id"), "left")
           .select(col("doc_id"),

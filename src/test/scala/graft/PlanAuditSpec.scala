@@ -25,13 +25,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"dim not broadcast:\n$plan")
   }
 
-  test("q_bloom_decontaminate: both bloom probes are broadcast hash joins") {
+  test("q_bloom_decontaminate: both bloom-word probes are broadcast hash joins") {
     val plan = planOf("q_bloom_decontaminate")
     val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
-    // two bloom-word probes + the exact-confirm gram join
-    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts:\n$plan")
-    assert(!plan.contains("SortMergeJoin"),
-      s"bloom probe fell back to a shuffle join:\n$plan")
+    // the two 16 Ki-word bloom probes are structurally tiny and must
+    // broadcast; the exact-confirm gram join deliberately carries no
+    // hint (its left side is the ~FP-rate bloom-positive set) and may
+    // take whichever strategy the planner picks
+    assert(broadcasts >= 2, s"expected >=2 broadcast joins, got $broadcasts:\n$plan")
   }
 
   test("q_pq_recall: codebook assignment and LUT scoring stay broadcast") {
