@@ -452,6 +452,32 @@ object Relational {
              |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
              |ORDER BY a.k NULLS FIRST""".stripMargin)),
 
+    // unpivot (melt): wide metric columns → long (metric, value) rows —
+    // the inverse of q_pivot and the shape dashboards and metric stores
+    // ingest. Spark's native `unpivot` expands row-locally (an Expand
+    // node, no shuffle beyond the source agg); values unify to double as
+    // unpivot requires one common value type.
+    QueryDef(
+      "q_unpivot",
+      (s, d) => Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).cast("double").as("n_events"),
+          round(avg("value"), 4).as("avg_value"),
+          round(sum("value"), 2).as("sum_value"))
+        .unpivot(Array(col("event_type")),
+          Array(col("n_events"), col("avg_value"), col("sum_value")),
+          "metric", "val")
+        .orderBy("event_type", "metric"),
+      Some("""WITH m AS (SELECT event_type,
+             |    CAST(count(*) AS DOUBLE) AS n_events,
+             |    round(avg(value), 4) AS avg_value,
+             |    round(sum(value), 2) AS sum_value
+             |  FROM events GROUP BY 1)
+             |SELECT event_type, metric, val
+             |FROM m UNPIVOT (val FOR metric IN (n_events, avg_value, sum_value))
+             |ORDER BY event_type, metric""".stripMargin)),
+
     // argmax/argmin (max_by / arg_max): "which row had the extreme" in
     // ONE aggregation pass — no self-join back to the max, no window
     // sort. The ordering key packs exact cents with the unique event_id

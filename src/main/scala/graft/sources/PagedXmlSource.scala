@@ -6,7 +6,8 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -194,11 +195,18 @@ private[sources] class PagedXmlTable(options: CaseInsensitiveStringMap)
     new PagedXmlScanBuilder(opts)
 }
 
+/** The translated form of a pushed aggregation: group-by column names plus
+  * (func, column) aggregate terms — `("count", "")`, `("min", c)`,
+  * `("max", c)`. Serializable strings only, so the Scan ships to readers. */
+private[sources] case class PushedAgg(groupCols: Seq[String], aggs: Seq[(String, String)])
+
 private[sources] class PagedXmlScanBuilder(options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = PagedXmlSource.schema
+  private var agg: Option[PushedAgg] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accept, residual) = filters.partition(PagedXmlSource.pushable)
@@ -208,8 +216,53 @@ private[sources] class PagedXmlScanBuilder(options: CaseInsensitiveStringMap)
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** COUNT(*) / MIN(col) / MAX(col) grouped by plain columns — the shapes
+    * the reference's server DSL can answer without shipping rows (the
+    * local stand-in computes them at the source the same way). Sum/avg
+    * stay in Spark: the source's ISO-string time columns have no
+    * meaningful sum, and partial-agg count+sum already minimizes their
+    * shuffle. */
+  private def translate(a: Aggregation): Option[PushedAgg] = {
+    def name(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+        case _ => None
+      }
+    val groups = a.groupByExpressions.toSeq.map(name)
+    val funcs = a.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(("count", ""))
+      case m: Min => name(m.column).map(("min", _))
+      case m: Max => name(m.column).map(("max", _))
+      case _ => None
+    }
+    if (groups.forall(_.isDefined) && funcs.forall(_.isDefined))
+      Some(PushedAgg(groups.flatten, funcs.flatten))
+    else None
+  }
+
+  // complete pushdown: the scan emits FINAL aggregated rows, Spark plans
+  // no aggregate node at all above this scan
+  override def supportCompletePushDown(a: Aggregation): Boolean =
+    translate(a).isDefined
+
+  override def pushAggregation(a: Aggregation): Boolean = translate(a) match {
+    case Some(p) =>
+      agg = Some(p)
+      val src = PagedXmlSource.schema
+      required = StructType(
+        p.groupCols.map(c => src(c)) ++
+          p.aggs.map {
+            case ("count", _) => StructField("count(*)", LongType, nullable = false)
+            case (f, c) => StructField(s"$f($c)", src(c).dataType)
+          })
+      true
+    case None => false
+  }
+
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    // after an aggregation is pushed the scan's output IS the agg schema;
+    // Spark's later prune call carries that same shape
+    if (agg.isEmpty) required = requiredSchema
 
   override def build(): Scan = new PagedXmlScan(
     Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
@@ -219,12 +272,12 @@ private[sources] class PagedXmlScanBuilder(options: CaseInsensitiveStringMap)
     Option(options.get("maxPages")).map(_.toInt).getOrElse(20),
     Option(options.get("retries")).map(_.toInt).getOrElse(4),
     Option(options.get("retryBaseMs")).map(_.toLong).getOrElse(50L),
-    pushed, required)
+    pushed, required, agg)
 }
 
 private[sources] class PagedXmlScan(path: String, pageSize: Int, maxPages: Int,
     retries: Int, retryBaseMs: Long,
-    filters: Array[Filter], required: StructType)
+    filters: Array[Filter], required: StructType, agg: Option[PushedAgg])
     extends Scan with Batch with org.apache.spark.internal.Logging {
 
   override def readSchema(): StructType = required
@@ -234,9 +287,14 @@ private[sources] class PagedXmlScan(path: String, pageSize: Int, maxPages: Int,
   override def description(): String =
     s"PagedXmlScan path=$path pageSize=$pageSize " +
       s"PushedFilters: [${filters.mkString(", ")}], " +
+      agg.map(a => s"PushedAggregates: [${a.aggs.map(t => s"${t._1}(${t._2})").mkString(", ")}], " +
+        s"PushedGroupBy: [${a.groupCols.mkString(", ")}], ").getOrElse("") +
       s"ReadSchema: ${required.catalogString}"
 
   override def planInputPartitions(): Array[InputPartition] = {
+    // a pushed aggregation answers from one partition (the "server"
+    // returns |groups| rows, not pages of raw rows)
+    if (agg.isDefined) return Array(PagedXmlPartition(0))
     // driver-side page count (the cursor-pagination analogue: how many
     // pages exist after server-side filtering); the parse is memoized so
     // partition readers reuse it
@@ -252,42 +310,88 @@ private[sources] class PagedXmlScan(path: String, pageSize: Int, maxPages: Int,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PagedXmlReaderFactory(path, pageSize, retries, retryBaseMs, filters, required)
+    new PagedXmlReaderFactory(path, pageSize, maxPages, retries, retryBaseMs,
+      filters, required, agg)
 }
 
 private[sources] case class PagedXmlPartition(page: Int) extends InputPartition
 
 private[sources] class PagedXmlReaderFactory(path: String, pageSize: Int,
-    retries: Int, retryBaseMs: Long,
-    filters: Array[Filter], required: StructType)
+    maxPages: Int, retries: Int, retryBaseMs: Long,
+    filters: Array[Filter], required: StructType, agg: Option[PushedAgg])
     extends PartitionReaderFactory {
+
+  private def toCatalyst(v: Any): Any = v match {
+    case null => null
+    case s: String => UTF8String.fromString(s)
+    case other => other
+  }
+
+  /** Evaluate a completely-pushed aggregation over the filtered rows —
+    * what the reference's server would compute from its query DSL. */
+  private def aggregated(base: Seq[Map[String, Any]], p: PushedAgg): Seq[Seq[Any]] = {
+    def extreme(rs: Seq[Map[String, Any]], c: String, wantMin: Boolean): Any = {
+      val vs = rs.map(_(c)).filter(_ != null)
+      if (vs.isEmpty) null
+      else vs.head match {
+        case _: String =>
+          val ss = vs.map(_.asInstanceOf[String]); if (wantMin) ss.min else ss.max
+        case _: Int =>
+          val is = vs.map(_.asInstanceOf[Int]); if (wantMin) is.min else is.max
+        case other => throw new IllegalStateException(s"un-aggregable value $other")
+      }
+    }
+    def evalAggs(rs: Seq[Map[String, Any]]): Seq[Any] = p.aggs.map {
+      case ("count", _) => rs.size.toLong
+      case ("min", c) => extreme(rs, c, wantMin = true)
+      case ("max", c) => extreme(rs, c, wantMin = false)
+      case (f, c) => throw new IllegalStateException(s"unsupported pushed agg $f($c)")
+    }
+    if (p.groupCols.isEmpty) Seq(evalAggs(base)) // global agg: one row even on empty input
+    else base.groupBy(r => p.groupCols.map(r(_))).toSeq
+      .map { case (k, rs) => k ++ evalAggs(rs) }
+  }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val page = partition.asInstanceOf[PagedXmlPartition].page
-    new PartitionReader[InternalRow] {
-      // one "page fetch": parse, server-side filter, slice this page
-      private val rows = PagedXmlSource.parseRows(path, retries, retryBaseMs)
-        .filter(r => filters.forall(PagedXmlSource.eval(_, r)))
-        .slice(page * pageSize, (page + 1) * pageSize)
-        .iterator
-      private var current: Map[String, Any] = _
-
-      override def next(): Boolean = {
-        if (!rows.hasNext) return false
-        current = rows.next(); true
-      }
-
-      override def get(): InternalRow = InternalRow.fromSeq(
-        required.fields.toSeq.map { f =>
-          current(f.name) match {
-            case null => null
-            case s: String => UTF8String.fromString(s)
-            case i: Int => i
-            case other => other
+    val filtered = () => PagedXmlSource.parseRows(path, retries, retryBaseMs)
+      .filter(r => filters.forall(PagedXmlSource.eval(_, r)))
+    agg match {
+      case Some(p) =>
+        new PartitionReader[InternalRow] {
+          // the aggregation must see exactly what a row scan would have
+          // returned — including the maxPages truncation, which the row
+          // path applies by planning only `maxPages` partitions
+          private val cap =
+            math.min(Int.MaxValue.toLong, maxPages.toLong * pageSize).toInt
+          private val rows = aggregated(filtered().take(cap), p).iterator
+          private var current: Seq[Any] = _
+          override def next(): Boolean = {
+            if (!rows.hasNext) return false
+            current = rows.next(); true
           }
-        })
+          override def get(): InternalRow =
+            InternalRow.fromSeq(current.map(toCatalyst))
+          override def close(): Unit = ()
+        }
+      case None =>
+        new PartitionReader[InternalRow] {
+          // one "page fetch": parse, server-side filter, slice this page
+          private val rows = filtered()
+            .slice(page * pageSize, (page + 1) * pageSize)
+            .iterator
+          private var current: Map[String, Any] = _
 
-      override def close(): Unit = ()
+          override def next(): Boolean = {
+            if (!rows.hasNext) return false
+            current = rows.next(); true
+          }
+
+          override def get(): InternalRow = InternalRow.fromSeq(
+            required.fields.toSeq.map(f => toCatalyst(current(f.name))))
+
+          override def close(): Unit = ()
+        }
     }
   }
 }

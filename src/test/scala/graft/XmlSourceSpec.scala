@@ -84,4 +84,35 @@ class XmlSourceSpec extends SparkSpec {
     val df = spark.read.format("paged-xml").option("path", xmlPath).load()
     assert(df.count() == 25)
   }
+
+  test("grouped count/min/max push completely into the source: no Spark aggregate") {
+    val df = read.load()
+      .groupBy("message_type")
+      .agg(count(lit(1)).as("n"), min("start_time").as("first_start"),
+        max("start_time").as("last_start"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"aggregate was not completely pushed:\n$plan")
+    assert(plan.contains("PushedAggregates"), s"scan does not report pushdown:\n$plan")
+    val r = df.collect()
+    assert(r.length == 1 && r(0).getString(0) == "Olycka" && r(0).getLong(1) == 25)
+    assert(r(0).getString(2) == "2024-01-01T01:00:00Z")
+    assert(r(0).getString(3) == "2024-01-05T05:00:00Z")
+  }
+
+  test("global count(*) composes with a pushed time filter") {
+    val df = read.load()
+      .where(col("modified_time") > "2024-01-03T12:00:00Z")
+      .agg(count(lit(1)).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"aggregate was not completely pushed:\n$plan")
+    assert(df.head().getLong(0) == 10)
+  }
+
+  test("aggregates Spark can't push (avg on county_no) still compute correctly") {
+    val df = read.load().groupBy("message_type").agg(avg("county_no").as("a"))
+    // partial pushdown of avg is declined by the source → Spark aggregates
+    assert(df.head().getDouble(1) == 11.0 / 5) // counties 2,3,1,2,3 per situation
+  }
 }
