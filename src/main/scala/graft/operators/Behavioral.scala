@@ -83,6 +83,64 @@ object Behavioral {
              |GROUP BY 1, 2
              |ORDER BY 1, 2""".stripMargin)),
 
+    // CDC-style state diff: latest-wins state per user at two points in
+    // time, full-outer-joined and classified added / changed / unchanged
+    // (removed arises with deletion events, which this append-only
+    // fixture lacks). The two snapshot builds share one user_id exchange;
+    // null-safe <=> comparisons make NULL attribute flips count as
+    // changes. This is the query shape behind incremental publication:
+    // ship only the 'added'/'changed' rows downstream.
+    QueryDef(
+      "q_cdc_diff",
+      (s, d) => {
+        def stateAt(cutoff: Option[String]) = {
+          val w = Window.partitionBy("user_id")
+            .orderBy(col("ts").desc, col("event_id").desc)
+          val ev = Tables.events(s, d)
+          cutoff.fold(ev)(c => ev.where(col("ts") < lit(c).cast("timestamp_ntz")))
+            .withColumn("rn", row_number().over(w))
+            .where(col("rn") === 1)
+            .select("user_id", "event_type", "value")
+        }
+        val s1 = stateAt(Some("2024-01-03 00:00:00"))
+          .select(col("user_id").as("u1"), col("event_type").as("old_type"),
+            col("value").as("v1"))
+        val s2 = stateAt(None)
+          .select(col("user_id").as("u2"), col("event_type").as("new_type"),
+            col("value").as("v2"))
+        s1.join(s2, col("u1") === col("u2"), "full_outer")
+          .select(
+            coalesce(col("u1"), col("u2")).as("user_id"),
+            when(col("u1").isNull, "added")
+              .when(col("u2").isNull, "removed")
+              .when(col("old_type") <=> col("new_type") &&
+                col("v1") <=> col("v2"), "unchanged")
+              .otherwise("changed").as("change"),
+            col("old_type"), col("new_type"))
+          .orderBy("user_id")
+      },
+      Some("""WITH s1 AS (SELECT user_id, event_type, value FROM (
+             |    SELECT user_id, event_type, value,
+             |      row_number() OVER (PARTITION BY user_id
+             |        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+             |    FROM events
+             |    WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-03 00:00:00')
+             |  WHERE rn = 1),
+             |s2 AS (SELECT user_id, event_type, value FROM (
+             |    SELECT user_id, event_type, value,
+             |      row_number() OVER (PARTITION BY user_id
+             |        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+             |    FROM events) WHERE rn = 1)
+             |SELECT coalesce(s1.user_id, s2.user_id) AS user_id,
+             |  CASE WHEN s1.user_id IS NULL THEN 'added'
+             |       WHEN s2.user_id IS NULL THEN 'removed'
+             |       WHEN s1.event_type IS NOT DISTINCT FROM s2.event_type
+             |        AND s1.value IS NOT DISTINCT FROM s2.value THEN 'unchanged'
+             |       ELSE 'changed' END AS change,
+             |  s1.event_type AS old_type, s2.event_type AS new_type
+             |FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+             |ORDER BY user_id""".stripMargin)),
+
     // ordered conversion funnel view → click → purchase: each later stage
     // must happen strictly AFTER the user's earliest completion of the
     // prior stage (min-ts semantics, not mere set membership — a purchase
