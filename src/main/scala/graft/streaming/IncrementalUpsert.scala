@@ -54,4 +54,41 @@ object IncrementalUpsert {
       }
       .start()
   }
+
+  /** Latest-wins merge of one micro-batch published as a NEW
+    * [[graft.Snapshots]] version (reads the previous latest, merges,
+    * publishes). Content-idempotent: replaying a batch appends a version
+    * whose CONTENT equals the previous latest — readers pinned to any
+    * version are unaffected, `readLatest` sees the same rows. */
+  def mergeBatchVersioned(spark: SparkSession, batch: DataFrame, root: String,
+      keys: Seq[String], versionCol: String): Long = {
+    val deduped = CoreQueries.latestWins(
+      batch, keys, Seq(col(versionCol).desc))
+    val merged = graft.Snapshots.latestVersion(spark, root) match {
+      case Some(v) => CoreQueries.upsert(
+        graft.Snapshots.readVersion(spark, root, v), deduped, keys)
+      case None => deduped
+    }
+    graft.Snapshots.publish(merged, root)
+  }
+
+  /** [[run]] with versioned publication: every micro-batch becomes a
+    * time-travelable snapshot version, so downstream consumers can pin
+    * the exact table state any batch produced (the "train on the corpus
+    * snapshot the eval ran against" requirement, now fed by a stream). */
+  def runVersioned(stream: DataFrame, root: String, checkpointDir: String,
+      keys: Seq[String], eventTimeCol: String, versionCol: String,
+      watermark: String = "30 days"): StreamingQuery = {
+    stream
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicates(keys :+ versionCol)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeBatchVersioned(batch.sparkSession, batch, root, keys, versionCol)
+        ()
+      }
+      .start()
+  }
 }

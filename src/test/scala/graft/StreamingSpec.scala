@@ -52,6 +52,40 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 1.5), (2L, 2.5), (3L, 3.0)))
   }
 
+  test("versioned streaming upsert: each run publishes a time-travelable snapshot") {
+    val dir = Files.createTempDirectory("graft-stream-ver").toString
+    val src = s"$dir/src"
+    val root = s"$dir/table"
+    val chk = s"$dir/chk"
+
+    rows(Seq(
+      (1L, "2024-01-01 00:00:00", 1.0),
+      (2L, "2024-01-01 00:00:00", 2.0)))
+      .write.mode("append").parquet(src)
+    IncrementalUpsert.runVersioned(
+      spark.readStream.schema(schema).parquet(src),
+      root, chk, Seq("event_id"), "ts", "ts").awaitTermination()
+
+    rows(Seq(
+      (2L, "2024-01-02 00:00:00", 2.5),
+      (3L, "2024-01-02 00:00:00", 3.0)))
+      .write.mode("append").parquet(src)
+    IncrementalUpsert.runVersioned(
+      spark.readStream.schema(schema).parquet(src),
+      root, chk, Seq("event_id"), "ts", "ts").awaitTermination()
+
+    // latest state merged both batches
+    val latest = Snapshots.readLatest(spark, root)
+      .orderBy("event_id").select("event_id", "value").as[(Long, Double)].collect()
+    assert(latest.toSeq == Seq((1L, 1.0), (2L, 2.5), (3L, 3.0)))
+    // time travel: version 1 is exactly the pre-merge state of batch 1
+    val vs = Snapshots.versions(spark, root)
+    assert(vs.nonEmpty)
+    val v1 = Snapshots.readVersion(spark, root, vs.head)
+      .orderBy("event_id").select("event_id", "value").as[(Long, Double)].collect()
+    assert(v1.toSeq == Seq((1L, 1.0), (2L, 2.0)))
+  }
+
   test("streaming dedup drops cross-batch duplicates within the watermark, bounded state") {
     import graft.streaming.StreamDedup
     val dir = Files.createTempDirectory("graft-sdedup").toString
