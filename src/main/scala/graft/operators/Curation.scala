@@ -258,6 +258,31 @@ object Curation {
              |WHERE '0' || substr(md5('m:' || d.doc_id), 1, 2) < r.cut
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // weighted sampling — keep-probability proportional to document
+    // length (capped at 1): the data-mixing primitive for upweighting
+    // long-form text without RNG state. Same md5-threshold mechanics as
+    // q_domain_mix but with a PER-ROW rate, at 12-bit resolution
+    // ('0'+3-hex bucket vs 4-hex cut, so rate 1.0 → cut '1000' keeps
+    // everything). Row-local: a pure filter over the scan at any scale,
+    // reproducible across runs and engines.
+    QueryDef(
+      "q_weighted_sample",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("cut", format_string("%04x",
+          floor(least(lit(1.0), col("n_chars").cast("double") / 400) * 4096)
+            .cast("int")))
+        .where(concat(lit("0"),
+          substring(md5(concat(lit("w:"), col("doc_id"))), 1, 3)) < col("cut"))
+        .select("doc_id", "n_chars", "cut")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, n_chars, cut FROM (
+             |  SELECT doc_id, n_chars,
+             |    printf('%04x', CAST(floor(least(1.0,
+             |      CAST(n_chars AS DOUBLE) / 400) * 4096) AS INT)) AS cut
+             |  FROM documents)
+             |WHERE '0' || substr(md5('w:' || doc_id), 1, 3) < cut
+             |ORDER BY doc_id""".stripMargin)),
+
     // lexical-diversity signal — Simpson/Gini diversity of each doc's
     // word distribution (1 − Σp²): near 0 = one token repeated (drop),
     // near 1 = fully diverse vocabulary. Deliberately ENTROPY-FREE: the
