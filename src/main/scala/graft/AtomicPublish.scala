@@ -21,7 +21,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object AtomicPublish {
 
-  private def fsFor(spark: SparkSession, dir: String): (FileSystem, Path) = {
+  // shared with Snapshots — the one place FS resolution is spelled
+  private[graft] def fsFor(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
     val conf: Configuration = spark.sparkContext.hadoopConfiguration
     (p.getFileSystem(conf), p)

@@ -468,6 +468,12 @@ object Relational {
         .unpivot(Array(col("event_type")),
           Array(col("n_events"), col("avg_value"), col("sum_value")),
           "metric", "val")
+        // Spark's Dataset.unpivot keeps NULL values; DuckDB's UNPIVOT
+        // excludes them by default. These metrics are never NULL on this
+        // data (count ≥ 1 per group, value is non-null), but pin the
+        // EXCLUDE-NULLS semantics explicitly so the two sides can't
+        // diverge on future inputs.
+        .where(col("val").isNotNull)
         .orderBy("event_type", "metric"),
       Some("""WITH m AS (SELECT event_type,
              |    CAST(count(*) AS DOUBLE) AS n_events,

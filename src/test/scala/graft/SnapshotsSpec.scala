@@ -47,6 +47,22 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.versions(spark, root) == Seq(1L, 2L, 3L))
   }
 
+  test("crash-leftover .tmp and .claim artifacts never break or resurrect anything") {
+    val root = freshRoot()
+    Snapshots.publish(Seq(1).toDF("x"), root)
+    // simulate a publisher that died mid-write (tmp) and one that died
+    // right after claiming (claim)
+    Seq(99).toDF("x").write.parquet(s"$root/v_00002.tmp")
+    val (fs, _) = AtomicPublish.fsFor(spark, root)
+    fs.create(new org.apache.hadoop.fs.Path(s"$root/v_00003.claim"), false).close()
+    assert(Snapshots.versions(spark, root) == Seq(1L))
+    assert(Snapshots.latestVersion(spark, root).contains(1L))
+    // next publish skips the claimed number and commits cleanly
+    val v = Snapshots.publish(Seq(7).toDF("x"), root)
+    assert(v == 4L)
+    assert(Snapshots.readLatest(spark, root).as[Int].collect().toSeq == Seq(7))
+  }
+
   test("expire keeps the newest versions and never the current pointer target") {
     val root = freshRoot()
     (1 to 4).foreach(i => Snapshots.publish(Seq(i).toDF("x"), root))
