@@ -137,6 +137,33 @@ object AsofJoin {
              |FROM e ASOF LEFT JOIN v ON e.user_id = v.user_id AND e.ts >= v.v_ts
              |ORDER BY event_id""".stripMargin)),
 
+    // forward as-of: every event annotated with the user's NEXT purchase
+    // value at or after the event ("time to next conversion" joins). The
+    // oracle states the same semantics with a min-ts subquery + re-fetch,
+    // over the tie-proof pre-aggregated version frame.
+    QueryDef(
+      "q_asof_forward",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val v = ev.where(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts").as("v_ts"))
+          .agg(max("value").as("next_purchase"))
+        asofJoinForward(
+          ev.select("event_id", "user_id", "ts"),
+          v, Seq("user_id"), "ts", "v_ts", Seq("next_purchase"))
+          .select("event_id", "user_id", "ts", "next_purchase")
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+             |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS v_ts, max(value) AS pval
+             |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+             |n AS (SELECT e.event_id, min(v.v_ts) AS next_ts FROM e
+             |      LEFT JOIN v ON v.user_id = e.user_id AND v.v_ts >= e.ts GROUP BY 1)
+             |SELECT e.event_id, e.user_id, e.ts, nv.pval AS next_purchase
+             |FROM e JOIN n USING (event_id)
+             |LEFT JOIN v nv ON nv.user_id = e.user_id AND nv.v_ts = n.next_ts
+             |ORDER BY event_id""".stripMargin)),
+
     // nearest-neighbor as-of: both directions carried in one pipeline
     // (backward pass feeds the forward pass — still two key-partitioned
     // windows over the same exchange), then the closer version wins with
