@@ -63,6 +63,27 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.readLatest(spark, root).as[Int].collect().toSeq == Seq(7))
   }
 
+  test("schema evolution across versions: old snapshots read through the new declaration") {
+    import org.apache.spark.sql.types._
+    val root = freshRoot()
+    Snapshots.publish(Seq((1L, "a")).toDF("id", "name"), root)
+    // the declaration grows a column; new versions carry it, old ones
+    // must read back with typed NULLs — pinned reproducible reads can't
+    // break just because the table evolved
+    val v2Schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    Snapshots.publish(
+      SchemaEnsure.conform(Seq((2L, "b", 0.5)).toDF("id", "name", "score"), v2Schema),
+      root)
+    val old = SchemaEnsure.read(spark, s"$root/v_00001", v2Schema)
+    assert(old.schema.fieldNames.toSeq == Seq("id", "name", "score"))
+    val r = old.collect()(0)
+    assert(r.getLong(0) == 1L && r.getString(1) == "a" && r.isNullAt(2))
+    val latest = Snapshots.readLatest(spark, root).collect()(0)
+    assert(latest.getDouble(2) == 0.5)
+  }
+
   test("expire keeps the newest versions and never the current pointer target") {
     val root = freshRoot()
     (1 to 4).foreach(i => Snapshots.publish(Seq(i).toDF("x"), root))
