@@ -68,15 +68,17 @@ object Funnel {
         case _ => // already past this stage, or out of order for it
       }
     }
-    if (hold.isEmpty && p.isDefined) state.remove() // funnel complete, nothing pending
-    else {
-      state.update(FunnelState(hold, v, c, p))
-      // buffered events fold only when the watermark moves — without a
-      // wake-up a quiet user's buffer would never drain
-      if (hold.nonEmpty)
-        state.setTimeoutTimestamp(math.max(
-          Math.ceil(hold.map(e => toUs(e.ts)).min / 1000.0).toLong + 1, wmMs + 1))
-    }
+    // the completed-stage state is kept as a tombstone even once the
+    // funnel finishes: dropping it would let a later event for the same
+    // user start a FRESH state and re-emit stage transitions (duplicate
+    // output). State is then bounded by |users|, not the watermark — the
+    // right trade for a funnel, whose per-user state is three longs.
+    state.update(FunnelState(hold, v, c, p))
+    // buffered events fold only when the watermark moves — without a
+    // wake-up a quiet user's buffer would never drain
+    if (hold.nonEmpty)
+      state.setTimeoutTimestamp(math.max(
+        Math.ceil(hold.map(e => toUs(e.ts)).min / 1000.0).toLong + 1, wmMs + 1))
     out.result().iterator
   }
 

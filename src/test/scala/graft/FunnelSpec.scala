@@ -91,5 +91,15 @@ class FunnelSpec extends SparkSpec {
       ("view", inst("2024-01-01 10:00:00")),
       ("click", inst("2024-01-01 11:30:00")),
       ("purchase", inst("2024-01-01 13:00:00"))))
+
+    // run 3: more events for the completed user must NOT re-emit stages
+    // (the completed state is a tombstone, not removed)
+    evDf(Seq((1L, "2024-01-01 21:00:00", "view"),
+      (2L, "2024-01-02 09:00:00", "view")))
+      .write.mode("append").parquet(src)
+    runOnce()
+    val finalRows = spark.read.schema("user_id LONG, stage STRING, at TIMESTAMP")
+      .parquet(out).where(col("user_id") === 1).collect()
+    assert(finalRows.length == 3, s"duplicate stage emissions: ${finalRows.toSeq}")
   }
 }
