@@ -84,6 +84,23 @@ class SnapshotsSpec extends SparkSpec {
     assert(latest.getDouble(2) == 0.5)
   }
 
+  test("legacy one-line _latest pointer files still resolve (and reserve their target)") {
+    val root = freshRoot()
+    Seq(1).toDF("x").write.parquet(s"$root/v_00001")
+    Seq(2).toDF("x").write.parquet(s"$root/v_00002")
+    val (fs, _) = AtomicPublish.fsFor(spark, root)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$root/_latest"), true)
+    out.write("2".getBytes("UTF-8")); out.close()
+    assert(Snapshots.latestVersion(spark, root).contains(2L))
+    assert(Snapshots.readLatest(spark, root).as[Int].collect().toSeq == Seq(2))
+    // expire must protect the legacy pointer's target
+    assert(Snapshots.expire(spark, root, keep = 1) == Seq(1L))
+    assert(Snapshots.readLatest(spark, root).as[Int].collect().toSeq == Seq(2))
+    // the next publish supersedes the legacy pointer with a marker
+    val v = Snapshots.publish(Seq(3).toDF("x"), root)
+    assert(v == 3L && Snapshots.latestVersion(spark, root).contains(3L))
+  }
+
   test("expire keeps the newest versions and never the current pointer target") {
     val root = freshRoot()
     (1 to 4).foreach(i => Snapshots.publish(Seq(i).toDF("x"), root))
