@@ -45,6 +45,24 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q_weighted_sample: saturated docs always kept, keep-rate grows with length") {
+    val out = run("q_weighted_sample").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val all = Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // rate 1.0 (n_chars ≥ 400) must ALWAYS keep — the '0'+hex-cut
+    // comparison saturates at cut '1000'
+    all.filter(_._2 >= 400).foreach { case (id, _) =>
+      assert(out.contains(id), s"saturated doc $id dropped")
+    }
+    // keep-rate is monotone in length at the population level
+    val (long, short) = all.partition(_._2 >= 300)
+    def rate(xs: Array[(Long, Long)]) =
+      xs.count(x => out.contains(x._1)).toDouble / xs.length
+    assert(rate(long) > rate(short), s"${rate(long)} !> ${rate(short)}")
+  }
+
   test("q_seq_pack: offsets are contiguous per shard and bins respect the budget") {
     val rows = run("q_seq_pack").collect()
       .map(r => (r.getInt(1), r.getLong(0), r.getInt(2), r.getLong(3), r.getInt(4)))
