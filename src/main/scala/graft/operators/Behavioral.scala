@@ -83,6 +83,47 @@ object Behavioral {
              |GROUP BY 1, 2
              |ORDER BY 1, 2""".stripMargin)),
 
+    // RFM segmentation — recency / frequency / monetary quartiles per
+    // user, the classic product-analytics cut. One user-keyed
+    // aggregation, then global ntile windows over the tiny per-user
+    // frame (|users| rows). At 100 TB the quartile boundaries come from
+    // approx-quantile cut points broadcast back instead of a global
+    // sort; the per-user aggregate stage is unchanged. Monetary sums in
+    // exact integer cents; every ntile ordering carries a user_id
+    // tiebreak so ranks are engine-deterministic.
+    QueryDef(
+      "q_rfm",
+      (s, d) => {
+        val m = Tables.events(s, d).groupBy("user_id").agg(
+          datediff(lit("2024-02-01").cast("date"), max(to_date(col("ts"))))
+            .as("recency_days"),
+          count(lit(1)).as("frequency"),
+          coalesce(sum(when(col("event_type") === "purchase",
+            expr("CAST(round(value * 100) AS BIGINT)"))), lit(0L))
+            .as("monetary_cents"))
+        m.select(col("user_id"), col("recency_days"), col("frequency"),
+            col("monetary_cents"),
+            ntile(4).over(Window.orderBy("recency_days", "user_id"))
+              .as("r_quartile"),
+            ntile(4).over(Window.orderBy(col("frequency").desc, col("user_id")))
+              .as("f_quartile"),
+            ntile(4).over(Window.orderBy(col("monetary_cents").desc, col("user_id")))
+              .as("m_quartile"))
+          .orderBy("user_id")
+      },
+      Some("""WITH m AS (SELECT user_id,
+             |    CAST(date_diff('day', max(CAST(ts AS TIMESTAMP)),
+             |      TIMESTAMP '2024-02-01 00:00:00') AS INT) AS recency_days,
+             |    count(*) AS frequency,
+             |    coalesce(CAST(sum(CAST(round(value * 100) AS BIGINT))
+             |      FILTER (WHERE event_type = 'purchase') AS BIGINT), 0) AS monetary_cents
+             |  FROM events GROUP BY 1)
+             |SELECT user_id, recency_days, frequency, monetary_cents,
+             |  CAST(ntile(4) OVER (ORDER BY recency_days, user_id) AS INT) AS r_quartile,
+             |  CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS INT) AS f_quartile,
+             |  CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, user_id) AS INT) AS m_quartile
+             |FROM m ORDER BY user_id""".stripMargin)),
+
     // CDC-style state diff: latest-wins state per user at two points in
     // time, full-outer-joined and classified added / changed / unchanged
     // (removed arises with deletion events, which this append-only
