@@ -376,6 +376,62 @@ object DedupOps extends org.apache.spark.internal.Logging {
              |      FROM documents)
              |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
 
+    // MinHash estimation-quality gate: signature-agreement Jaccard
+    // estimate vs the exact set Jaccard, per bounded doc pair, with the
+    // absolute error as a column — the sketch-accuracy twin of the LSH
+    // recall gates. k=4 components → estimates on a 1/4 grid; at
+    // production k (128+) the same query measures real sketch error.
+    // Everything is md5-derived and deterministic, so even the ERROR of
+    // the approximation is oracle-checkable cross-engine.
+    QueryDef(
+      "q_minhash_est",
+      (s, d) => {
+        val docs = Tables.documents(s, d).where(col("doc_id") < 20)
+        val sig = minhashSignature(docs, "doc_id", "text", 4)
+        val a = sig.select(col("doc_id").as("id1") +:
+          (1 to 4).map(i => col(s"sig$i").as(s"a$i")): _*)
+        val b = sig.select(col("doc_id").as("id2") +:
+          (1 to 4).map(i => col(s"sig$i").as(s"b$i")): _*)
+        val agree = (1 to 4).map(i =>
+          (col(s"a$i") === col(s"b$i")).cast("int")).reduce(_ + _)
+        val est = a.crossJoin(broadcast(b)).where(col("id1") < col("id2"))
+          .select(col("id1"), col("id2"), round(agree / 4.0, 4).as("est"))
+        val toks = docs.select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("tok")).distinct()
+        val exact = jaccardPairs(toks, "doc_id", broadcastTokens = true)
+          .withColumnRenamed("jaccard", "exact_j")
+        est.join(exact, Seq("id1", "id2"), "left")
+          .select(col("id1"), col("id2"), col("est"),
+            coalesce(col("exact_j"), lit(0.0)).as("exact_j"),
+            round(abs(col("est") - coalesce(col("exact_j"), lit(0.0))), 4).as("err"))
+          .orderBy("id1", "id2")
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+             |sig AS (SELECT doc_id,
+             |    min(substr(md5(tok), 1, 8)) AS s1, min(substr(md5(tok), 9, 8)) AS s2,
+             |    min(substr(md5(tok), 17, 8)) AS s3, min(substr(md5(tok), 25, 8)) AS s4
+             |  FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM d)
+             |  GROUP BY 1),
+             |t AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM d),
+             |n AS (SELECT doc_id, count(*) AS n FROM t GROUP BY 1),
+             |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+             |          FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2),
+             |ex AS (SELECT id1, id2,
+             |         round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) AS exact_j
+             |       FROM inter JOIN n na ON na.doc_id = id1
+             |       JOIN n nb ON nb.doc_id = id2),
+             |est AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+             |    round(((CASE WHEN a.s1 = b.s1 THEN 1 ELSE 0 END)
+             |         + (CASE WHEN a.s2 = b.s2 THEN 1 ELSE 0 END)
+             |         + (CASE WHEN a.s3 = b.s3 THEN 1 ELSE 0 END)
+             |         + (CASE WHEN a.s4 = b.s4 THEN 1 ELSE 0 END)) / 4.0, 4) AS est
+             |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+             |SELECT e.id1, e.id2, e.est, coalesce(x.exact_j, 0) AS exact_j,
+             |  round(abs(e.est - coalesce(x.exact_j, 0)), 4) AS err
+             |FROM est e LEFT JOIN ex x USING (id1, id2)
+             |ORDER BY 1, 2""".stripMargin)),
+
     // SimHash (8-bit) per document
     QueryDef(
       "q_simhash",
