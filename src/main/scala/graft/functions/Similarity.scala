@@ -690,6 +690,122 @@ object Similarity {
            |FROM q2 LEFT JOIN h ON h.qid = q2.qid ORDER BY q2.qid""".stripMargin
       }),
 
+    // IVF-PQ recall gate — the production-ANN composition: coarse cells
+    // prune the candidate set (2-probe), product-quantized RESIDUALS
+    // (x − cell_centroid) compress what's left to 8 one-byte codes, and
+    // ADC scores candidates as dot(q, c) + Σ_s dot(q_s, pq(r_x)_s) —
+    // exact for the inner-product metric modulo quantization (the LUT
+    // uses RAW query subvectors; a query-residual LUT would add a
+    // −dot(c, r_x) error term). Measured ≈0.15 mean recall@5: coarse
+    // cells AND residual codebooks are both untrained seed slices over
+    // near-orthogonal random fixtures — the compounded floor this gate
+    // surfaces; production trains both (trainCodebook for cells,
+    // trainPqCodebooks on residuals) and re-measures here. The 8-term
+    // score folds left-to-right FROM the coarse term, matching the
+    // oracle's association exactly.
+    QueryDef(
+      "q_ivfpq_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), asDouble(col("embedding")).as("ed"))
+        val cc = emb.where(col("vec_id") < 8)
+          .select(col("vec_id").as("cell"), col("ed").as("ce"))
+        val wA = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cell"))
+        val ad = emb.crossJoin(broadcast(cc))
+          .withColumn("cdot", round(dot(col("ed"), col("ce")), 4))
+          .withColumn("crn", row_number().over(wA))
+        val assign = ad.where(col("crn") === 1)
+          .select(col("vec_id"), col("cell"),
+            zip_with(col("ed"), col("ce"), (x, c) => x - c).as("res"))
+        val rsub = assign.select(col("vec_id"), col("cell"),
+          posexplode(array((0 until PqSubs).map(i =>
+            slice(col("res"), i * PqSubDim + 1, PqSubDim)): _*)).as(Seq("s", "xs")))
+        val cents = rsub.where(col("vec_id") >= 8 && col("vec_id") < 8 + PqCents)
+          .select(col("s"), (col("vec_id") - 8).as("cent_id"), col("xs").as("cs"))
+        val wC = Window.partitionBy("vec_id", "s").orderBy(col("v").desc, col("cent_id"))
+        val codes = rsub.join(broadcast(cents), "s")
+          .withColumn("v", round(dot(col("xs"), col("cs")), 4))
+          .withColumn("crn", row_number().over(wC))
+          .where(col("crn") === 1)
+          .select(col("vec_id"), col("cell"), col("s"), col("cent_id").as("code"))
+        val probes = ad.where(
+            col("vec_id") >= 72 && col("vec_id") < 92 && col("crn") <= 2)
+          .select(col("vec_id").as("qid"), col("ed").as("qe"),
+            col("cell"), col("cdot"))
+        val qsub = probes.select(col("qid"), col("cell"), col("cdot"),
+          posexplode(array((0 until PqSubs).map(i =>
+            slice(col("qe"), i * PqSubDim + 1, PqSubDim)): _*)).as(Seq("s", "qs")))
+        val lut = qsub.join(broadcast(cents), "s")
+          .select(col("qid"), col("cell"), col("cdot"), col("s"),
+            col("cent_id").as("code"),
+            round(dot(col("qs"), col("cs")), 4).as("v"))
+        val scoreSum = (0 until PqSubs)
+          .map(i => max(when(col("s") === i, col("v"))))
+          .foldLeft(max(col("cdot")))(_ + _)
+        val approx = codes.join(broadcast(lut), Seq("cell", "s", "code"))
+          .where(col("vec_id") =!= col("qid"))
+          .groupBy("qid", "vec_id").agg(round(scoreSum, 4).as("score"))
+        val wT = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
+        val top = approx.withColumn("rn", row_number().over(wT))
+          .where(col("rn") <= 5).select("qid", "vec_id")
+        val q2 = emb.where(col("vec_id") >= 72 && col("vec_id") < 92)
+          .select(col("vec_id").as("qid"), col("ed").as("qe"))
+        recallAt5VsBrute(emb, top, q2)
+      },
+      Some {
+        val sd = PqSubDim
+        val lutSum = (0 until PqSubs).map(i =>
+          s"max(CASE WHEN co.s = $i THEN l.v END)").mkString("\n        + ")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
+           |cc AS (SELECT vec_id AS cell, ed AS ce FROM e WHERE vec_id < 8),
+           |ad AS (SELECT e.vec_id, e.ed, cc.cell, cc.ce,
+           |         round(list_dot_product(e.ed, cc.ce), 4) AS cdot,
+           |         row_number() OVER (PARTITION BY e.vec_id
+           |           ORDER BY round(list_dot_product(e.ed, cc.ce), 4) DESC, cc.cell) AS crn
+           |       FROM e CROSS JOIN cc),
+           |assign AS (SELECT vec_id, ed, cell,
+           |    [ed[i] - ce[i] for i in range(1, 65)] AS res
+           |  FROM ad WHERE crn = 1),
+           |rsub AS (SELECT vec_id, cell, s, res[s*$sd+1 : s*$sd+$sd] AS xs
+           |         FROM assign, range(${PqSubs}) t(s)),
+           |cents AS (SELECT s, vec_id - 8 AS cent_id, xs AS cs FROM rsub
+           |          WHERE vec_id >= 8 AND vec_id < ${8 + PqCents}),
+           |codes AS (SELECT vec_id, cell, s, cent_id AS code FROM (
+           |    SELECT r.vec_id, r.cell, r.s, c.cent_id,
+           |      row_number() OVER (PARTITION BY r.vec_id, r.s
+           |        ORDER BY round(list_dot_product(r.xs, c.cs), 4) DESC, c.cent_id) AS crn
+           |    FROM rsub r JOIN cents c USING (s)) WHERE crn = 1),
+           |probes AS (SELECT vec_id AS qid, ed AS qe, cell, cdot FROM ad
+           |           WHERE vec_id >= 72 AND vec_id < 92 AND crn <= 2),
+           |qsub AS (SELECT qid, cell, cdot, s, qe[s*$sd+1 : s*$sd+$sd] AS qs
+           |         FROM probes, range(${PqSubs}) t(s)),
+           |lut AS (SELECT q.qid, q.cell, q.cdot, q.s, c.cent_id,
+           |          round(list_dot_product(q.qs, c.cs), 4) AS v
+           |        FROM qsub q JOIN cents c USING (s)),
+           |approx AS (SELECT l.qid, co.vec_id,
+           |    round(max(l.cdot)
+           |        + $lutSum, 4) AS score
+           |  FROM codes co JOIN lut l ON l.cell = co.cell AND l.s = co.s AND l.cent_id = co.code
+           |  WHERE co.vec_id <> l.qid
+           |  GROUP BY 1, 2),
+           |pq AS (SELECT qid, vec_id FROM (
+           |    SELECT qid, vec_id,
+           |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+           |    FROM approx) WHERE rn <= 5),
+           |q2 AS (SELECT vec_id AS qid, ed AS qe FROM e WHERE vec_id >= 72 AND vec_id < 92),
+           |bsims AS (SELECT q2.qid, e.vec_id, round(list_dot_product(q2.qe, e.ed), 4) AS sim
+           |          FROM q2 CROSS JOIN e WHERE e.vec_id <> q2.qid),
+           |brute AS (SELECT qid, vec_id FROM (
+           |    SELECT qid, vec_id,
+           |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+           |    FROM bsims) WHERE rn <= 5),
+           |h AS (SELECT b.qid, count(*) AS hits FROM brute b
+           |      JOIN pq p ON p.qid = b.qid AND p.vec_id = b.vec_id GROUP BY 1)
+           |SELECT q2.qid, coalesce(h.hits, 0) AS hits,
+           |  round(coalesce(h.hits, 0) / 5.0, 4) AS recall_at_5
+           |FROM q2 LEFT JOIN h ON h.qid = q2.qid ORDER BY q2.qid""".stripMargin
+      }),
+
     // int8 quantization integrity: exact integer digests of the quantized
     // vectors (sum/min/max are deterministic ints; the array itself stays
     // engine-internal)
