@@ -80,4 +80,45 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("as-of joins match a brute-force reference on generated event/version sets") {
+    import graft.operators.AsofJoin
+    val evGen: Gen[(List[(Long, Int)], List[(Long, Int, String)])] = for {
+      left <- Gen.listOfN(25, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0, 50)))
+      right0 <- Gen.listOfN(10, for {
+        k <- Gen.choose(0L, 3L); t <- Gen.choose(0, 50)
+        p <- Gen.oneOf("x", "y", "z")
+      } yield (k, t, p))
+    } yield (left, right0.distinctBy(r => (r._1, r._2))) // unique (key, ts)
+    for (((left, right), i) <- samples(evGen, 6).zipWithIndex if right.nonEmpty) {
+      val l = left.zipWithIndex
+        .map { case ((k, t), id) => (id.toLong, k, t) }
+      val lDf = l.toDF("id", "k", "t")
+        .select(col("id"), col("k"),
+          expr("timestamp_micros(CAST(t AS BIGINT) * 1000000)").as("ts"))
+      val rDf = right.toDF("k", "vt", "p")
+        .select(col("k"),
+          expr("timestamp_micros(CAST(vt AS BIGINT) * 1000000)").as("v_ts"),
+          col("p"))
+      def brute(cmp: (Int, Int) => Boolean, pick: Seq[(Long, Int, String)] => Option[String])
+          (id: Long, k: Long, t: Int): Option[String] =
+        pick(right.filter(r => r._1 == k && cmp(r._2, t)))
+      val backExpect = l.map { case (id, k, t) =>
+        id -> brute((vt, t0) => vt <= t0,
+          rs => if (rs.isEmpty) None else Some(rs.maxBy(_._2)._3))(id, k, t)
+      }.toMap
+      val fwdExpect = l.map { case (id, k, t) =>
+        id -> brute((vt, t0) => vt >= t0,
+          rs => if (rs.isEmpty) None else Some(rs.minBy(_._2)._3))(id, k, t)
+      }.toMap
+      val back = AsofJoin.asofJoin(lDf, rDf, Seq("k"), "ts", "v_ts", Seq("p"))
+        .select("id", "p").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      val fwd = AsofJoin.asofJoinForward(lDf, rDf, Seq("k"), "ts", "v_ts", Seq("p"))
+        .select("id", "p").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(back == backExpect, s"sample $i backward")
+      assert(fwd == fwdExpect, s"sample $i forward")
+    }
+  }
 }
