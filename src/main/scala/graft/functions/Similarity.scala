@@ -764,7 +764,7 @@ object Similarity {
            |           ORDER BY round(list_dot_product(e.ed, cc.ce), 4) DESC, cc.cell) AS crn
            |       FROM e CROSS JOIN cc),
            |assign AS (SELECT vec_id, ed, cell,
-           |    [ed[i] - ce[i] for i in range(1, 65)] AS res
+           |    [ed[i] - ce[i] for i in range(1, ${PqSubs * PqSubDim + 1})] AS res
            |  FROM ad WHERE crn = 1),
            |rsub AS (SELECT vec_id, cell, s, res[s*$sd+1 : s*$sd+$sd] AS xs
            |         FROM assign, range(${PqSubs}) t(s)),

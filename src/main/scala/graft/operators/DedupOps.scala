@@ -396,9 +396,8 @@ object DedupOps extends org.apache.spark.internal.Logging {
           (col(s"a$i") === col(s"b$i")).cast("int")).reduce(_ + _)
         val est = a.crossJoin(broadcast(b)).where(col("id1") < col("id2"))
           .select(col("id1"), col("id2"), round(agree / 4.0, 4).as("est"))
-        val toks = docs.select(col("doc_id"),
-          explode(array_distinct(split(col("text"), " "))).as("tok")).distinct()
-        val exact = jaccardPairs(toks, "doc_id", broadcastTokens = true)
+        val exact = jaccardPairs(explodeTokens(docs, "doc_id", "text"),
+          "doc_id", broadcastTokens = true)
           .withColumnRenamed("jaccard", "exact_j")
         est.join(exact, Seq("id1", "id2"), "left")
           .select(col("id1"), col("id2"), col("est"),

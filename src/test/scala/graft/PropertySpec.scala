@@ -101,15 +101,15 @@ class PropertySpec extends SparkSpec {
           expr("timestamp_micros(CAST(vt AS BIGINT) * 1000000)").as("v_ts"),
           col("p"))
       def brute(cmp: (Int, Int) => Boolean, pick: Seq[(Long, Int, String)] => Option[String])
-          (id: Long, k: Long, t: Int): Option[String] =
+          (k: Long, t: Int): Option[String] =
         pick(right.filter(r => r._1 == k && cmp(r._2, t)))
       val backExpect = l.map { case (id, k, t) =>
         id -> brute((vt, t0) => vt <= t0,
-          rs => if (rs.isEmpty) None else Some(rs.maxBy(_._2)._3))(id, k, t)
+          rs => if (rs.isEmpty) None else Some(rs.maxBy(_._2)._3))(k, t)
       }.toMap
       val fwdExpect = l.map { case (id, k, t) =>
         id -> brute((vt, t0) => vt >= t0,
-          rs => if (rs.isEmpty) None else Some(rs.minBy(_._2)._3))(id, k, t)
+          rs => if (rs.isEmpty) None else Some(rs.minBy(_._2)._3))(k, t)
       }.toMap
       val back = AsofJoin.asofJoin(lDf, rDf, Seq("k"), "ts", "v_ts", Seq("p"))
         .select("id", "p").collect()
