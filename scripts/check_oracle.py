@@ -1,11 +1,14 @@
 #!/usr/bin/env python3
-"""Dev-only local mirror of the driver's correctness gate: run after
-`sbt "runMain graft.Verify <sfDir> <outDir>"`, compares each dumped
-parquet against its DuckDB oracle result (exact, like the driver's hash).
-Not part of the shipped library.
+"""Local mirror of the driver's correctness gate.
 
-Usage: python3 scripts/check_oracle.py <sfDir> <outDir>
+Usage: check_oracle.py <sfDir> <verifyOutDir> [query ...]
+
+Reads each <verifyOutDir>/<name> parquet (Spark result), runs the matching
+oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB over the sfDir
+parquet tables, sorts columns by name and rows by all values, and compares
+exactly. Prints per-query status and a final "N ok, M failed" line.
 """
+import datetime
 import json
 import math
 import sys
@@ -16,53 +19,74 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(v):
+def norm_cell(v):
+    # the driver compares through pandas, where DATE and midnight
+    # TIMESTAMP both become datetime64[ns] — mirror that equivalence
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return datetime.datetime(v.year, v.month, v.day).isoformat(sep=" ")
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return v
-    return v
+        return repr(v)
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
 
 
-def main(sf_dir, out_dir):
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_ok = n_bad = 0
-    for name, sql in sorted(oracle.items()):
+    oracle_sql = json.load(open(f"{out_dir}/oracle_sql.json"))
+    ok = failed = 0
+    for name in sorted(oracle_sql):
+        if only and name not in only:
+            continue
+        sql = oracle_sql[name]
         try:
-            got = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
-            exp = con.execute(sql).fetchdf()
+            sdf = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            scols, srows = sdf.description, sdf.fetchall()
+            scols = [c[0] for c in scols]
+            odf = con.execute(sql)
+            ocols, orows = [c[0] for c in odf.description], odf.fetchall()
         except Exception as e:
-            print(f"FAIL {name}: {e}")
-            n_bad += 1
+            print(f"FAIL {name}: error {e}")
+            failed += 1
             continue
-        gc, ec = sorted(got.columns), sorted(exp.columns)
-        if gc != ec:
-            print(f"FAIL {name}: columns {gc} vs {ec}")
-            n_bad += 1
-            continue
-        g = [tuple(norm(v) for v in r) for r in got[gc].itertuples(index=False)]
-        e = [tuple(norm(v) for v in r) for r in exp[ec].itertuples(index=False)]
-        if len(g) != len(e):
-            print(f"FAIL {name}: rows {len(g)} vs {len(e)}")
-            n_bad += 1
-            continue
-        bad = [(i, a, b) for i, (a, b) in enumerate(zip(g, e)) if a != b]
-        if bad:
-            i, a, b = bad[0]
-            print(f"FAIL {name}: {len(bad)}/{len(g)} rows differ; first row "
-                  f"{i}:\n  spark={a}\n  duck ={b}\n  cols={gc}")
-            n_bad += 1
+        sc, sr = canon(scols, srows)
+        oc, orr = canon(ocols, orows)
+        if sc != oc:
+            print(f"FAIL {name}: columns spark={sc} oracle={oc}")
+            failed += 1
+        elif len(sr) != len(orr):
+            print(f"FAIL {name}: rows spark={len(sr)} oracle={len(orr)}")
+            failed += 1
+        elif sr != orr:
+            diff = next(i for i, (a, b) in enumerate(zip(sr, orr)) if a != b)
+            print(f"FAIL {name}: first diff at sorted row {diff}:\n"
+                  f"  spark : {sr[diff]}\n  oracle: {orr[diff]}")
+            failed += 1
         else:
-            print(f"ok   {name} ({len(g)} rows)")
-            n_ok += 1
-    print(f"\n{n_ok} ok, {n_bad} failed")
-    return 1 if n_bad else 0
+            print(f"ok   {name} ({len(sr)} rows)")
+            ok += 1
+    print(f"{ok} ok, {failed} failed")
+    sys.exit(1 if failed else 0)
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    main()

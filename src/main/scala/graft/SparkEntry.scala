@@ -14,6 +14,7 @@ object SparkEntry {
   private val registry: Seq[QueryDef] =
     operators.CoreQueries.defs ++
       operators.Relational.defs ++
+      operators.TpchSuite.defs ++
       operators.AsofJoin.defs ++
       operators.TimeWindows.defs ++
       operators.DedupOps.defs ++

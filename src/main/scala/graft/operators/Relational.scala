@@ -422,7 +422,7 @@ object Relational {
           .orderBy("event_id")
       },
       Some("""SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
-             |  sum(CAST(round(value * 100) AS BIGINT)) OVER w AS roll_cents,
+             |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS roll_cents,
              |  count(*) OVER w AS roll_n
              |FROM events
              |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)

@@ -1,0 +1,338 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Adapted TPC-H decision-support suite (Q4, Q7, Q10, Q13, Q14, Q15, Q17,
+  * Q18, Q19, Q22) over the fixture star schema. Q1/Q3/Q5 live in
+  * `Relational`; the ten here cover the remaining plan shapes the fixture
+  * columns can express: correlated EXISTS with date arithmetic (Q4),
+  * nation-pair self-join of a dimension (Q7), top-N by aggregated revenue
+  * (Q10), outer-join count distribution (Q13), conditional-ratio aggregate
+  * (Q14), max-over-aggregated-view (Q15), correlated scalar average (Q17),
+  * HAVING-driven semi-join (Q18), disjunctive pushdown (Q19), and
+  * anti-join under a global scalar threshold (Q22). Queries needing
+  * `partsupp` or lineitem columns the fixtures lack (Q2/Q8/Q9/Q11/Q12/
+  * Q16/Q20/Q21) are out of reach of this schema.
+  *
+  * Determinism (FIXTURES.md): revenue terms `l_extendedprice*(1-l_discount)`
+  * are per-row rounded to integer cents and summed as BIGINT — integer
+  * addition is order-free, so Spark's partial-merge order and DuckDB's
+  * sequential scan agree bit-for-bit. `l_quantity` is integral in the
+  * corpus (verified), so quantity sums/averages are exact doubles.
+  */
+object TpchSuite {
+
+  /** Per-row exact cents of the discounted price — the only order-free
+    * way to aggregate a product of doubles across two engines. */
+  private def revCents(price: String = "l_extendedprice",
+      disc: String = "l_discount") =
+    expr(s"CAST(round($price * (1 - $disc) * 100) AS BIGINT)")
+
+  private val revCentsSql =
+    "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Q4: order-priority checking. "Late line" = shipped >60 days after
+    // the order date (the fixtures lack commit/receipt dates, so the
+    // correlated predicate compares the two dates we do have). EXISTS →
+    // left-semi join; the date arithmetic stays on the probe side so the
+    // join is a plain equi-join on orderkey.
+    QueryDef(
+      "q_tpch_q4",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .where(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-04-01 00:00:00").cast("timestamp"))
+        val late = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+        o.join(late,
+            o("o_orderkey") === late("l_orderkey") &&
+              late("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders o
+             |WHERE CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1997-01-01 00:00:00'
+             |  AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1997-04-01 00:00:00'
+             |  AND EXISTS (SELECT 1 FROM lineitem l
+             |              WHERE l.l_orderkey = o.o_orderkey
+             |                AND CAST(l.l_shipdate AS TIMESTAMP)
+             |                    > CAST(o.o_orderdate AS TIMESTAMP) + INTERVAL 60 DAY)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Q7: volume shipping between two nations, by direction and ship year.
+    // The 25-row nation dim joins twice (supplier side, customer side) —
+    // both broadcast; the nation-pair filter prunes before the fact
+    // shuffle. One orderkey shuffle joins the two fact legs.
+    QueryDef(
+      "q_tpch_q7",
+      (s, d) => {
+        val n1 = Tables.nation(s, d)
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        val n2 = Tables.nation(s, d)
+          .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        // superset pre-filters: the OR pair condition spans both legs so
+        // Catalyst can't split it — prune each leg to the two nations
+        // before the fact shuffle, apply the exact pairing after
+        val supp = Tables.supplier(s, d).join(broadcast(n1),
+          col("s_nationkey") === col("s_nk")).select("s_suppkey", "supp_nation")
+          .where(col("supp_nation").isin("NATION_18", "NATION_19"))
+        val cust = Tables.customer(s, d).join(broadcast(n2),
+          col("c_nationkey") === col("c_nk")).select("c_custkey", "cust_nation")
+          .where(col("cust_nation").isin("NATION_18", "NATION_19"))
+        Tables.lineitem(s, d)
+          .where(col("l_shipdate") >= lit("1998-01-01 00:00:00").cast("timestamp") &&
+            col("l_shipdate") < lit("2000-01-01 00:00:00").cast("timestamp"))
+          .select(col("l_orderkey"), col("l_suppkey"), year(col("l_shipdate")).as("l_year"),
+            revCents().as("cents"))
+          .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .where((col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19") ||
+            (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
+          .groupBy("supp_nation", "cust_nation", "l_year")
+          .agg(sum("cents").as("revenue_c"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some(s"""SELECT supp_nation, cust_nation, l_year, CAST(sum(cents) AS BIGINT) AS revenue_c
+             |FROM (
+             |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |    CAST(year(CAST(l_shipdate AS TIMESTAMP)) AS INT) AS l_year,
+             |    $revCentsSql AS cents
+             |  FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |  WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1998-01-01 00:00:00'
+             |    AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '2000-01-01 00:00:00'
+             |    AND ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+             |      OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')))
+             |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // Q10: returned-item reporting — top 20 customers by revenue lost to
+    // returns in a quarter. Fact-fact shuffle on orderkey, customer join,
+    // broadcast nation, then TakeOrderedAndProject (no global sort).
+    QueryDef(
+      "q_tpch_q10",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .where(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-04-01 00:00:00").cast("timestamp"))
+          .select("o_orderkey", "o_custkey")
+        Tables.lineitem(s, d)
+          .where(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), revCents().as("cents"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "n_name")
+          .agg(sum("cents").as("revenue_c"))
+          .orderBy(col("revenue_c").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some(s"""SELECT c_custkey, c_name, n_name, CAST(sum($revCentsSql) AS BIGINT) AS revenue_c
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE l_returnflag = 'R'
+             |  AND CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1997-01-01 00:00:00'
+             |  AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1997-04-01 00:00:00'
+             |GROUP BY 1, 2, 3 ORDER BY revenue_c DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // Q13: customer order-count distribution. LEFT OUTER join (customers
+    // with zero qualifying orders must survive as count 0), then a second
+    // aggregation over the first — two shuffles by construction, the
+    // second over at most |distinct counts| rows.
+    QueryDef(
+      "q_tpch_q13",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .where(col("o_orderpriority") =!= "5-LOW")
+          .select("o_orderkey", "o_custkey")
+        Tables.customer(s, d).select("c_custkey")
+          .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, count(*) AS custdist
+             |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+             |      FROM customer LEFT OUTER JOIN orders
+             |        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+             |      GROUP BY 1)
+             |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // Q14: promo-revenue share for one ship month. Two integer-cents sums
+    // in one pass (conditional aggregation), ratio taken once at the end —
+    // a single scan, a single 1-row result.
+    QueryDef(
+      "q_tpch_q14",
+      (s, d) => Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= lit("1998-03-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-04-01 00:00:00").cast("timestamp"))
+        .join(Tables.part(s, d).select("p_partkey", "p_type"),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", revCents()).otherwise(lit(0L)))
+            .as("promo_c"),
+          sum(revCents()).as("total_c"))
+        .select(col("promo_c"), col("total_c"),
+          round(lit(100.0) * col("promo_c") / col("total_c"), 4).as("promo_pct")),
+      Some(s"""SELECT promo_c, total_c, round(100.0 * promo_c / total_c, 4) AS promo_pct
+             |FROM (SELECT
+             |    CAST(sum(CASE WHEN p_type = 'PROMO' THEN $revCentsSql ELSE 0 END) AS BIGINT) AS promo_c,
+             |    CAST(sum($revCentsSql) AS BIGINT) AS total_c
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1998-03-01 00:00:00'
+             |    AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '1998-04-01 00:00:00')""".stripMargin)),
+
+    // Q15: top supplier(s) by quarterly revenue. The revenue view
+    // aggregates once; the global max is a second 1-row aggregate joined
+    // back by exact equality (cents are integers, so equality is sound).
+    // Two passes — NOT a single-partition window over every supplier,
+    // which would serialize at real supplier cardinality.
+    QueryDef(
+      "q_tpch_q15",
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .where(col("l_shipdate") >= lit("1998-01-01 00:00:00").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-04-01 00:00:00").cast("timestamp"))
+          .groupBy("l_suppkey")
+          .agg(sum(revCents()).as("total_revenue_c"))
+        val mx = rev.agg(max("total_revenue_c").as("mx"))
+        rev.join(broadcast(mx), col("total_revenue_c") === col("mx"))
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .select("s_suppkey", "s_name", "total_revenue_c")
+          .orderBy("s_suppkey")
+      },
+      Some(s"""WITH rev AS (
+             |  SELECT l_suppkey, CAST(sum($revCentsSql) AS BIGINT) AS total_revenue_c
+             |  FROM lineitem
+             |  WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1998-01-01 00:00:00'
+             |    AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '1998-04-01 00:00:00'
+             |  GROUP BY 1)
+             |SELECT s_suppkey, s_name, total_revenue_c
+             |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE total_revenue_c = (SELECT max(total_revenue_c) FROM rev)
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // Q17: small-quantity-order revenue. Correlated scalar average →
+    // per-part aggregate joined back to the fact (Catalyst's decorrelation
+    // does the same). Quantities are integral so the 0.5·avg threshold is
+    // bit-identical across engines.
+    QueryDef(
+      "q_tpch_q17",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val partSel = Tables.part(s, d)
+          .where(col("p_brand") === "Brand#4" && col("p_size") < 10)
+          .select("p_partkey")
+        val avgQty = li.groupBy(col("l_partkey").as("ap_partkey"))
+          .agg(avg("l_quantity").as("avg_qty"))
+        li.select(col("l_partkey"), col("l_quantity"), revCents().as("cents"))
+          .join(partSel, col("l_partkey") === col("p_partkey"))
+          .join(avgQty, col("l_partkey") === col("ap_partkey"))
+          .where(col("l_quantity") < lit(0.5) * col("avg_qty"))
+          .agg(count(lit(1)).as("n_lines"), sum("cents").as("revenue_c"))
+      },
+      Some(s"""SELECT count(*) AS n_lines, CAST(sum($revCentsSql) AS BIGINT) AS revenue_c
+             |FROM lineitem l JOIN part ON l_partkey = p_partkey
+             |WHERE p_brand = 'Brand#4' AND p_size < 10
+             |  AND l_quantity < 0.5 * (SELECT avg(l2.l_quantity) FROM lineitem l2
+             |                          WHERE l2.l_partkey = l.l_partkey)""".stripMargin)),
+
+    // Q18: large-volume customers. HAVING over the fact aggregate first
+    // (cheapest reduction), then joins to orders/customer only for the
+    // surviving keys; top 100 via TakeOrderedAndProject.
+    QueryDef(
+      "q_tpch_q18",
+      (s, d) => {
+        val big = Tables.lineitem(s, d)
+          .groupBy("l_orderkey")
+          .agg(sum("l_quantity").as("sum_qty"))
+          .where(col("sum_qty") > 300)
+        big.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            col("o_orderdate"), col("sum_qty"))
+          .orderBy(col("sum_qty").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""SELECT c_custkey, c_name, o_orderkey,
+             |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, sum_qty
+             |FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+             |      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300)
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |ORDER BY sum_qty DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    // Q19: disjunctive revenue — OR of three (brand, size, quantity)
+    // conjunctions. The whole disjunction evaluates against the joined
+    // row; brand/size legs push into the part scan, quantity legs into
+    // the lineitem scan as a superset OR-filter.
+    QueryDef(
+      "q_tpch_q19",
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity"), revCents().as("cents"))
+        .join(Tables.part(s, d).select("p_partkey", "p_brand", "p_size"),
+          col("l_partkey") === col("p_partkey"))
+        .where(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(count(lit(1)).as("n_lines"), sum("cents").as("revenue_c")),
+      Some(s"""SELECT count(*) AS n_lines, CAST(sum($revCentsSql) AS BIGINT) AS revenue_c
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+             |       AND l_quantity BETWEEN 1 AND 11)
+             |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+             |       AND l_quantity BETWEEN 10 AND 20)
+             |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+             |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
+    // Q22: global-acctbal threshold + anti-join. The positive-balance
+    // average is one broadcast scalar; the NOT EXISTS is a left-anti join
+    // on custkey ("lapsed" = no order since 2000 — every fixture customer
+    // has SOME order, so the unscoped form is empty). Threshold rounded to
+    // cents so the ulp of a float average can never flip a boundary row
+    // between engines.
+    QueryDef(
+      "q_tpch_q22",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val thr = c.where(col("c_acctbal") > 0.0)
+          .agg(round(avg("c_acctbal"), 2).as("thr"))
+        c.crossJoin(broadcast(thr)).where(col("c_acctbal") > col("thr"))
+          .join(Tables.orders(s, d)
+              .where(col("o_orderdate") >= lit("2000-01-01 00:00:00").cast("timestamp"))
+              .select("o_custkey"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("numcust"),
+            round(sum("c_acctbal"), 2).as("totacctbal"))
+          .orderBy("c_nationkey")
+      },
+      Some("""SELECT c_nationkey, count(*) AS numcust,
+             |  round(sum(c_acctbal), 2) AS totacctbal
+             |FROM customer c
+             |WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM customer
+             |                   WHERE c_acctbal > 0.0)
+             |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+             |    AND CAST(o.o_orderdate AS TIMESTAMP) >= TIMESTAMP '2000-01-01 00:00:00')
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}

