@@ -15,6 +15,8 @@ object SparkEntry {
     operators.CoreQueries.defs ++
       operators.Relational.defs ++
       operators.TpchSuite.defs ++
+      operators.Sketches.defs ++
+      operators.Layout.defs ++
       operators.AsofJoin.defs ++
       operators.TimeWindows.defs ++
       operators.DedupOps.defs ++

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.{QueryDef, Tables}
+import graft.functions.ZOrder
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -36,4 +38,39 @@ object Layout {
   def readDays(spark: SparkSession, path: String, from: String, until: String): DataFrame =
     spark.read.parquet(path)
       .where(col("p_date") >= lit(from) && col("p_date") < lit(until))
+
+  /** Write `df` globally ordered by the Morton interleave of two integer
+    * dimension columns. Every parquet row group then covers a compact
+    * z-range, so min/max pruning works for range predicates on EITHER
+    * column — the multi-dimensional analogue of a sorted write. The sort
+    * is a range-partitioned total order (one shuffle), same cost shape as
+    * any sorted write at 100 TB. */
+  def writeZOrdered(df: DataFrame, xCol: String, yCol: String, path: String): Unit =
+    df.withColumn("z", ZOrder.interleaveBits(col(xCol), col(yCol)))
+      .orderBy("z")
+      .drop("z")
+      .write.mode("overwrite").parquet(path)
+
+  val defs: Seq[QueryDef] = Seq(
+    // the clustering key itself under the oracle gate: the native
+    // expression vs 64 shift-mask-add terms of plain SQL bit arithmetic —
+    // any drift in the bit layout breaks the hash. Dimensions are
+    // pmod-quantized to 10 bits each, the realistic grid for file-level
+    // clustering (finer grids thrash row-group boundaries).
+    QueryDef(
+      "q_zorder_key",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+          pmod(col("user_id"), lit(1024)).cast("int").as("zx"),
+          pmod(expr("CAST(round(value * 100) AS BIGINT)"), lit(1024)).cast("int").as("zy"))
+        .select(col("event_id"), col("zx"), col("zy"),
+          ZOrder.interleaveBits(col("zx"), col("zy")).as("zkey"))
+        .orderBy("event_id"),
+      Some(s"""SELECT event_id, zx, zy, ${ZOrder.mortonSql("zx", "zy")} AS zkey
+             |FROM (SELECT event_id,
+             |    CAST(((user_id % 1024) + 1024) % 1024 AS INT) AS zx,
+             |    CAST(((CAST(round(value * 100) AS BIGINT) % 1024) + 1024) % 1024 AS INT) AS zy
+             |  FROM events)
+             |ORDER BY event_id""".stripMargin))
+  )
 }

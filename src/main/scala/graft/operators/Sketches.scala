@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.SketchProbe
+import org.apache.spark.sql.functions._
+
+/** Approximate-sketch accuracy gates. A sketch's VALUE is engine-specific
+  * (DuckDB cannot replay HLL++ registers or a CMS binary), but its error
+  * GUARANTEE is checkable: compute estimate and exact in the same query
+  * and emit the bound-check as a boolean next to the exact value. The
+  * oracle recomputes the exact side and expects `true` — if the sketch
+  * ever drifts out of its contract, the row hash breaks and the driver's
+  * gate goes red. Same pattern as `q_minhash_est` (DedupOps).
+  *
+  * All three sketches are merge-order-independent, which is what makes
+  * the booleans stable under Spark's nondeterministic partial-agg order:
+  * HLL++ merges by register-max, CMS by counter-addition (both exactly
+  * commutative), and percentile_approx's rank error ≤ 1/accuracy holds
+  * for ANY merge order — the gates assert the contract, not one ordering.
+  *
+  * At 100 TB these are the operators that replace their exact siblings
+  * (`q_distinct_agg`, `q_percentiles`, `q_topk_groups`): one pass, fixed
+  * memory, no giant shuffle.
+  */
+object Sketches {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // HyperLogLog++ distinct-count gate: |est − exact| ≤ 5·rsd·exact per
+    // group (rsd = 0.02 → the bound is ±10% = 5σ — deterministic data +
+    // deterministic registers keep the margin fixed, verified at every
+    // fixture sf).
+    QueryDef(
+      "q_hll_gate",
+      (s, d) => Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("exact_n"),
+          approx_count_distinct(col("user_id"), 0.02).as("est"))
+        .select(col("event_type"), col("exact_n"),
+          (abs(col("est") - col("exact_n")) <=
+            lit(0.10) * col("exact_n")).as("within_bound"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_n,
+             |  true AS within_bound
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // count-min-sketch heavy-hitter gate: for the exact top-10 keys, the
+    // sketch estimate must sit in [exact, exact + ε·N] (one-sided
+    // overcount is the CMS contract; ε = 0.001, depth from confidence
+    // 0.999, seed pinned). The probe runs distributed through the native
+    // cms_estimate expression — no driver-side sketch collect.
+    QueryDef(
+      "q_cms_topk",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val sk = ev.agg(
+          expr("count_min_sketch(user_id, 0.001d, 0.999d, 42)").as("sk"),
+          count(lit(1)).as("total"))
+        val top = ev.groupBy("user_id")
+          .agg(count(lit(1)).as("exact_n"))
+          .orderBy(col("exact_n").desc, col("user_id"))
+          .limit(10)
+        top.crossJoin(broadcast(sk))
+          .select(col("user_id"), col("exact_n"),
+            SketchProbe.cmsEstimate(col("sk"), col("user_id")).as("est"),
+            col("total"))
+          .select(col("user_id"), col("exact_n"),
+            (col("est") >= col("exact_n")).as("no_undercount"),
+            (col("est") <= col("exact_n") +
+              ceil(lit(0.001) * col("total"))).as("within_eps"))
+          .orderBy(col("exact_n").desc, col("user_id"))
+      },
+      Some("""SELECT user_id, exact_n, true AS no_undercount, true AS within_eps
+             |FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+             |      FROM events GROUP BY 1
+             |      ORDER BY exact_n DESC, user_id LIMIT 10)
+             |ORDER BY exact_n DESC, user_id""".stripMargin)),
+
+    // approx-quantile gate: percentile_approx(accuracy = 10⁴) guarantees
+    // rank error ≤ 1/accuracy = 10⁻⁴; the gate grants ±0.005 quantile
+    // slack (50× the contract) by bracketing each estimate between the
+    // EXACT quantiles at q ∓ 0.005 — both engines compute the exact
+    // brackets, only Spark computes the sketch.
+    QueryDef(
+      "q_quantile_gate",
+      (s, d) => Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          expr("percentile_approx(value, array(0.5D, 0.9D), 10000)").as("apx"),
+          expr("percentile(value, 0.495)").as("lo50"),
+          expr("percentile(value, 0.505)").as("hi50"),
+          expr("percentile(value, 0.895)").as("lo90"),
+          expr("percentile(value, 0.905)").as("hi90"))
+        .select(col("event_type"),
+          round(col("lo50"), 4).as("lo50"), round(col("hi50"), 4).as("hi50"),
+          (element_at(col("apx"), 1).between(col("lo50"), col("hi50")))
+            .as("p50_in_bracket"),
+          (element_at(col("apx"), 2).between(col("lo90"), col("hi90")))
+            .as("p90_in_bracket"))
+        .select(col("event_type"), col("lo50"), col("hi50"),
+          col("p50_in_bracket"), col("p90_in_bracket"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  round(quantile_cont(value, 0.495), 4) AS lo50,
+             |  round(quantile_cont(value, 0.505), 4) AS hi50,
+             |  true AS p50_in_bracket,
+             |  true AS p90_in_bracket
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}

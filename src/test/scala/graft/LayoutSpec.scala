@@ -62,4 +62,53 @@ class LayoutSpec extends SparkSpec {
         && col("ts") < lit("2024-01-12").cast("timestamp_ntz")).count()
     assert(narrow.count() == expected)
   }
+
+  test("interleave_bits: known Morton codes and bit-layout invariants") {
+    import functions.ZOrder
+    // hand-computed: x=3 (bits 11), y=5 (bits 101) → z = 101011₂... laid
+    // out x0@0 y0@1 x1@2 y1@3 x2@4 y2@5 = 1+2+4+0+0+32 = 39
+    assert(ZOrder.morton(3, 5) == 39L)
+    assert(ZOrder.morton(0, 0) == 0L)
+    assert(ZOrder.morton(1, 0) == 1L)
+    assert(ZOrder.morton(0, 1) == 2L)
+    assert(ZOrder.morton(Int.MaxValue, Int.MaxValue) == 0x3fffffffffffffffL)
+    // quadrant monotonicity: doubling the grid cell of both coordinates
+    // can only raise the key (prefix property of the interleave)
+    for (x <- 0 to 16; y <- 0 to 16)
+      assert(ZOrder.morton(x, y) < ZOrder.morton(x + 17, y + 17))
+  }
+
+  test("interleave_bits: negative input yields NULL, codegen matches eval") {
+    import spark.implicits._
+    val df = Seq((3, 5), (-1, 5), (5, -1), (7, 11)).toDF("x", "y")
+      .select(functions.ZOrder.interleaveBits(col("x"), col("y")).as("z"))
+    val got = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got.toSeq == Seq(Some(39L), None, None,
+      Some(functions.ZOrder.morton(7, 11))))
+  }
+
+  test("z-ordered write clusters both dimensions: a 2-D box touches few z-runs") {
+    import spark.implicits._
+    // 64×64 grid, one point per cell, written z-ordered. An 8×8 box query
+    // over a row-major sort touches 8 widely-spaced runs of 8; over the
+    // z-order it touches O(box) contiguous key space. Measure run count
+    // of matching rows in file order.
+    val grid = (for (x <- 0 until 64; y <- 0 until 64) yield (x, y)).toDF("x", "y")
+    val dir = Files.createTempDirectory("graft-z").toString
+    Layout.writeZOrdered(grid, "x", "y", s"$dir/z")
+    grid.orderBy("x", "y").write.parquet(s"$dir/rowmajor")
+    def runs(path: String): Long = {
+      val rows = spark.read.parquet(path)
+        .select(monotonically_increasing_id().as("pos"), col("x"), col("y"))
+        .where(col("x").between(24, 31) && col("y").between(24, 31))
+        .orderBy("pos").select("pos").as[Long].collect()
+      1L + rows.toSeq.sliding(2).count { case Seq(a, b) => b != a + 1; case _ => false }
+    }
+    val zRuns = runs(s"$dir/z")
+    val rmRuns = runs(s"$dir/rowmajor")
+    // row-major: 8 separated stripes; z-order: the 8×8 box at a 8-aligned
+    // corner is ONE contiguous z-range
+    assert(zRuns < rmRuns, s"z=$zRuns rowmajor=$rmRuns")
+    assert(zRuns <= 4, s"expected near-contiguous z-range, got $zRuns runs")
+  }
 }
