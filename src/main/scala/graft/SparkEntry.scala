@@ -17,6 +17,7 @@ object SparkEntry {
       operators.TpchSuite.defs ++
       operators.Sketches.defs ++
       operators.Layout.defs ++
+      operators.Frontier.defs ++
       operators.AsofJoin.defs ++
       operators.TimeWindows.defs ++
       operators.DedupOps.defs ++
