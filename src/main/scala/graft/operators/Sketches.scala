@@ -78,6 +78,47 @@ object Sketches {
              |      ORDER BY exact_n DESC, user_id LIMIT 10)
              |ORDER BY exact_n DESC, user_id""".stripMargin)),
 
+    // Space-Saving heavy-hitter gate (the streaming summary run in batch
+    // mode, same pattern as q_sessionize_custom): for every item whose
+    // true frequency exceeds N/capacity, the Metwally guarantee says the
+    // summary MUST monitor it with exact_n ≤ est ≤ exact_n + err. The
+    // estimates themselves are fold-order-dependent (not emitted); the
+    // guarantees are not — the oracle recomputes the exact heavy set and
+    // expects all three booleans true.
+    QueryDef(
+      "q_ss_topk",
+      (s, d) => {
+        import s.implicits._
+        val capacity = 128
+        val items = Tables.events(s, d)
+          .select(col("event_type").as("group"), col("user_id").as("item"))
+          .as[graft.streaming.TopK.Item]
+        val summary = graft.streaming.TopK.heavyHitters(items, capacity).toDF()
+        val exact = Tables.events(s, d)
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("exact_n"))
+        val totals = Tables.events(s, d)
+          .groupBy("event_type").agg(count(lit(1)).as("n_group"))
+        exact.join(totals, "event_type")
+          .where(col("exact_n") > col("n_group") / capacity.toDouble)
+          .join(summary,
+            col("event_type") === col("group") && col("user_id") === col("item"),
+            "left")
+          .select(col("event_type"), col("user_id"), col("exact_n"),
+            col("est").isNotNull.as("monitored"),
+            (col("est") >= col("exact_n")).as("no_undercount"),
+            (col("est") - col("err") <= col("exact_n")).as("within_err"))
+          .orderBy("event_type", "user_id")
+      },
+      Some("""WITH c AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS exact_n
+             |          FROM events GROUP BY 1, 2),
+             |t AS (SELECT event_type, count(*) AS n_group FROM events GROUP BY 1)
+             |SELECT c.event_type, c.user_id, c.exact_n,
+             |  true AS monitored, true AS no_undercount, true AS within_err
+             |FROM c JOIN t ON c.event_type = t.event_type
+             |WHERE c.exact_n > t.n_group / 128.0
+             |ORDER BY 1, 2""".stripMargin)),
+
     // approx-quantile gate: percentile_approx(accuracy = 10⁴) guarantees
     // rank error ≤ 1/accuracy = 10⁻⁴; the gate grants ±0.005 quantile
     // slack (50× the contract) by bracketing each estimate between the

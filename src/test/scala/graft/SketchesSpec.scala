@@ -49,7 +49,7 @@ class SketchesSpec extends SparkSpec {
   }
 
   test("sketch gates hold at sf0.001 (booleans all true, no empty groups)") {
-    for (name <- Seq("q_hll_gate", "q_cms_topk", "q_quantile_gate")) {
+    for (name <- Seq("q_hll_gate", "q_cms_topk", "q_quantile_gate", "q_ss_topk")) {
       val rows = SparkEntry.queries(name)(spark, sf).collect()
       assert(rows.nonEmpty, s"$name empty")
       val boolIdx = rows.head.schema.fields.zipWithIndex
