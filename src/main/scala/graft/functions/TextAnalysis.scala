@@ -82,6 +82,32 @@ object TextAnalysis {
              |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Shannon token entropy per document (the quality signal next to
+    // q_word_gini's collision diversity). Float summation order is the
+    // cross-engine hazard, so each term c·ln(c) is quantized to integer
+    // micro-nats BEFORE the sum — integer addition is order-free, ln is
+    // taken only of small ints (identical doubles in both engines), and
+    // H = ln(n) − Σ/1e6/n happens once per doc after aggregation.
+    QueryDef(
+      "q_token_entropy",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(
+          sum(expr("CAST(round(c * ln(c) * 1000000) AS BIGINT)")).as("s_micro"),
+          sum("c").as("n"))
+        .select(col("doc_id"), col("n"),
+          round(log(col("n")) - col("s_micro") / 1e6 / col("n"), 4).as("entropy"))
+        .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+             |c AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+             |g AS (SELECT doc_id,
+             |        CAST(sum(CAST(round(c * ln(c) * 1000000) AS BIGINT)) AS BIGINT) AS s_micro,
+             |        CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1)
+             |SELECT doc_id, n, round(ln(n) - s_micro / 1e6 / n, 4) AS entropy
+             |FROM g ORDER BY doc_id""".stripMargin)),
+
     // token counting: whitespace + BPE-ish regex pieces
     QueryDef(
       "q_token_count",

@@ -348,6 +348,37 @@ object DedupOps extends org.apache.spark.internal.Logging {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // edit-distance-1 fuzzy self-join via deletion-neighborhood blocking
+    // (the SymSpell trick): every string produces itself plus each
+    // one-char-deletion variant; two strings within Levenshtein distance
+    // 1 — substitution, insertion, or deletion — necessarily SHARE a
+    // variant, so an equi-join on the variant finds every candidate and
+    // the exact confirm only runs on that tiny set. Candidates scale
+    // with true near-matches (an equi-join shuffle), never |table|² —
+    // unlike the oracle's quadratic formulation, which is the
+    // independent algorithm the gate compares against.
+    QueryDef(
+      "q_fuzzy_join",
+      (s, d) => {
+        val names = Tables.customer(s, d).select(col("c_name").as("name"))
+        val variants = names.select(col("name"), explode(expr(
+          """array_distinct(transform(
+            |  sequence(1, length(name) + 1),
+            |  i -> concat(substring(name, 1, i - 1), substring(name, i + 1))))"""
+            .stripMargin)).as("v"))
+        val a = variants.select(col("name").as("name1"), col("v"))
+        val b = variants.select(col("name").as("name2"), col("v"))
+        a.join(b, Seq("v"))
+          .where(col("name1") < col("name2"))
+          .select("name1", "name2").distinct()
+          .where(levenshtein(col("name1"), col("name2")) <= 1)
+          .orderBy("name1", "name2")
+      },
+      Some("""SELECT a.c_name AS name1, b.c_name AS name2
+             |FROM customer a JOIN customer b
+             |  ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1
+             |ORDER BY 1, 2""".stripMargin)),
+
     // exact dedup by content digest over a corpus with injected duplicates:
     // group on md5(text), keep min id, count copies
     QueryDef(

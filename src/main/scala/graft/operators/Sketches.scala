@@ -78,6 +78,30 @@ object Sketches {
              |      ORDER BY exact_n DESC, user_id LIMIT 10)
              |ORDER BY exact_n DESC, user_id""".stripMargin)),
 
+    // sketch REAGGREGATION gate — the pattern that matters at 100 TB:
+    // per-segment DataSketches HLL sketches (in production, stored in a
+    // rollup table) union into a global distinct estimate WITHOUT
+    // touching raw data again. Register-max union is commutative, so the
+    // estimate is stable under any merge order; the gate bounds it
+    // against the exact global distinct (±10% at lgK=12 ≈ 6σ).
+    QueryDef(
+      "q_hll_union_gate",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val perSegment = ev.groupBy("event_type")
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        val merged = perSegment
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        val exact = ev.agg(countDistinct(col("user_id")).as("exact_n"))
+        exact.crossJoin(merged)
+          .select(col("exact_n"),
+            (abs(col("est") - col("exact_n")) <=
+              lit(0.10) * col("exact_n")).as("within_bound"))
+      },
+      Some("""SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_n,
+             |  true AS within_bound
+             |FROM events""".stripMargin)),
+
     // Space-Saving heavy-hitter gate (the streaming summary run in batch
     // mode, same pattern as q_sessionize_custom): for every item whose
     // true frequency exceeds N/capacity, the Metwally guarantee says the
