@@ -40,6 +40,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"LUT join not broadcast:\n$plan")
   }
 
+  test("q_fuzzy_join: candidates come from an equi-join on the variant, not a cross product") {
+    val plan = planOf("q_fuzzy_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join fell back to a nested loop:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), s"no hash/merge join on variants:\n$plan")
+  }
+
+  test("q_skyline: the per-point window partitions by bucket (no global point sort)") {
+    val plan = planOf("q_skyline")
+    // exactly one window may be unpartitioned — the |buckets|-row cummax;
+    // the point-level window must carry the bucket partition key
+    assert(plan.contains("Window"), plan)
+    assert("partitionBy=\\[\\]".r.findAllIn(plan).size <= 1 ||
+      plan.contains("bucket"), s"point window lost its partition key:\n$plan")
+  }
+
   test("filter pushdown reaches the parquet scan on the behavioral suite") {
     val plan = planOf("q_funnel")
     // event-type filters are applied post-scan (they sit under a join),
