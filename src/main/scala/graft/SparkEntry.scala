@@ -18,6 +18,7 @@ object SparkEntry {
       operators.Sketches.defs ++
       operators.Layout.defs ++
       operators.Frontier.defs ++
+      operators.GeoArray.defs ++
       operators.AsofJoin.defs ++
       operators.TimeWindows.defs ++
       operators.DedupOps.defs ++
