@@ -27,6 +27,8 @@ object GraftFunctions {
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // whole-operator extension: heap-based top-k per group (graft.plans)
+    e.injectPlannerStrategy(_ => graft.plans.GroupTopKStrategy)
     e.injectFunction((
       new FunctionIdentifier("wkt_centroid"),
       new ExpressionInfo(classOf[WktCentroid].getName, "wkt_centroid"),

@@ -19,6 +19,7 @@ object SparkEntry {
       operators.Layout.defs ++
       operators.Frontier.defs ++
       operators.GeoArray.defs ++
+      plans.GroupTopK.defs ++
       operators.AsofJoin.defs ++
       operators.TimeWindows.defs ++
       operators.DedupOps.defs ++
