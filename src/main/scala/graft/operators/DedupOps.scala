@@ -369,9 +369,12 @@ object DedupOps extends org.apache.spark.internal.Logging {
         val a = variants.select(col("name").as("name1"), col("v"))
         val b = variants.select(col("name").as("name2"), col("v"))
         a.join(b, Seq("v"))
-          .where(col("name1") < col("name2"))
+          .where(col("name1") < col("name2") &&
+            levenshtein(col("name1"), col("name2")) <= 1)
+          // confirm BEFORE the dedup shuffle: a pair reaches distinct() at
+          // most |name|+1 times but levenshtein on a candidate is cheaper
+          // than shuffling the ~10× larger unconfirmed candidate set
           .select("name1", "name2").distinct()
-          .where(levenshtein(col("name1"), col("name2")) <= 1)
           .orderBy("name1", "name2")
       },
       Some("""SELECT a.c_name AS name1, b.c_name AS name2
