@@ -27,8 +27,11 @@ object GraftFunctions {
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    // whole-operator extension: heap-based top-k per group (graft.plans)
+    // whole-operator extension: heap-based top-k per group (graft.plans) —
+    // the rewrite turns row_number()<=k window filters into the operator
+    // transparently; the strategy plans it
     e.injectPlannerStrategy(_ => graft.plans.GroupTopKStrategy)
+    e.injectOptimizerRule(_ => graft.plans.GroupTopKRewrite)
     e.injectFunction((
       new FunctionIdentifier("wkt_centroid"),
       new ExpressionInfo(classOf[WktCentroid].getName, "wkt_centroid"),
