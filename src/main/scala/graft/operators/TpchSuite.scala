@@ -64,6 +64,26 @@ object TpchSuite {
              |                    > CAST(o.o_orderdate AS TIMESTAMP) + INTERVAL 60 DAY)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Q6: forecasting revenue change — the pure scan shape: three range
+    // predicates that must ALL reach the parquet scan as pushed filters,
+    // then a single partial-aggregated sum. No join, no shuffle beyond
+    // the 1-row final merge.
+    QueryDef(
+      "q_tpch_q6",
+      (s, d) => Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(expr("CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)"))
+          .as("revenue_c"), count(lit(1)).as("n_lines")),
+      Some("""SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT)
+             |    AS revenue_c,
+             |  count(*) AS n_lines
+             |FROM lineitem
+             |WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1997-01-01 00:00:00'
+             |  AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '1998-01-01 00:00:00'
+             |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)),
+
     // Q7: volume shipping between two nations, by direction and ship year.
     // The 25-row nation dim joins twice (supplier side, customer side) —
     // both broadcast; the nation-pair filter prunes before the fact
