@@ -82,6 +82,58 @@ object TextAnalysis {
              |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // KenLM-lite: corpus-trained bigram language-model score per document
+    // (add-1 smoothed, avg log P(w2|w1)) — the model-based quality signal
+    // next to the heuristic ones. The MODEL is a table (bigram counts ⋈
+    // unigram counts ⋈ vocab scalar), trained and applied in the same
+    // lineage; at 100 TB it would persist as a rollup and reapply by
+    // join, exactly like q_hll_union_gate's stored sketches. Determinism:
+    // each bigram's log-prob quantizes to integer micro-nats ONCE in the
+    // model table (pure function of integer counts), so per-doc sums are
+    // order-free integer adds; one division + round happens per doc.
+    QueryDef(
+      "q_bigram_lm",
+      (s, d) => {
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        val pairs = toks
+          .withColumn("w2", lead("tok", 1).over(w))
+          .where(col("w2").isNotNull)
+          .select(col("doc_id"), col("tok").as("w1"), col("w2"))
+        val uni = toks.groupBy(col("tok").as("u_w")).agg(count(lit(1)).as("c1"))
+        val vocab = toks.agg(countDistinct(col("tok")).as("v"))
+        val model = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+          .join(uni, col("w1") === col("u_w"))
+          .crossJoin(broadcast(vocab))
+          .select(col("w1"), col("w2"),
+            expr("CAST(round(ln((c12 + 1.0) / (c1 + v)) * 1000000) AS BIGINT)")
+              .as("s_micro"))
+        pairs.join(model, Seq("w1", "w2"))
+          .groupBy("doc_id")
+          .agg(sum("s_micro").as("sm"), count(lit(1)).as("n_bigrams"))
+          .select(col("doc_id"), col("n_bigrams"),
+            round(col("sm") / 1e6 / col("n_bigrams"), 4).as("avg_logp"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH pairs AS (
+             |  SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+             |       LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) t),
+             |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |uni AS (SELECT tok AS u_w, count(*) AS c1 FROM toks GROUP BY 1),
+             |voc AS (SELECT count(DISTINCT tok) AS v FROM toks),
+             |model AS (
+             |  SELECT w1, w2,
+             |    CAST(round(ln((c12 + 1.0) / (c1 + v)) * 1000000) AS BIGINT) AS s_micro
+             |  FROM (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2)
+             |  JOIN uni ON w1 = u_w CROSS JOIN voc)
+             |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |  round(CAST(sum(s_micro) AS BIGINT) / 1e6 / count(*), 4) AS avg_logp
+             |FROM pairs p JOIN model USING (w1, w2)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Shannon token entropy per document (the quality signal next to
     // q_word_gini's collision diversity). Float summation order is the
     // cross-engine hazard, so each term c·ln(c) is quantized to integer

@@ -38,6 +38,28 @@ class GroupTopKSpec extends SparkSpec {
     assert(got == Set(("a", 1L), ("a", 2L), ("b", 3L)))
   }
 
+  test("property: heap top-k equals brute-force selection on generated data with ties") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val rowsGen = Gen.listOfN(60, for {
+      g <- Gen.oneOf("x", "y", "z")
+      v <- Gen.choose(0, 5) // heavy ties on the order value — the
+      id <- Gen.choose(0L, 1000L) // unique-ish id is the tiebreaker
+    } yield (g, v, id))
+    val cases = (1 to 5).flatMap(i =>
+      rowsGen.apply(Gen.Parameters.default, Seed(1000L + i)))
+    for ((rows, i) <- cases.zipWithIndex; k <- Seq(1, 4)) {
+      val distinctRows = rows.distinct // duplicate (g,v,id) would break total order
+      val df = distinctRows.toDF("g", "v", "id")
+      val got = GroupTopK.topK(df, k, Seq("g"), Seq(col("v").desc, col("id")))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      val want = distinctRows.groupBy(_._1).flatMap { case (_, rs) =>
+        rs.sortBy(t => (-t._2, t._3)).take(k)
+      }.toSet
+      assert(got == want, s"case $i k=$k")
+    }
+  }
+
   test("plan: two heap passes around one hash exchange, and NO sort") {
     val plan = heapTopK(3).queryExecution.executedPlan.toString
     assert("TopKPerGroup ".r.findAllIn(plan).size == 2, s"expected 2 passes:\n$plan")
