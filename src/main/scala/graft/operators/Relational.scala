@@ -246,6 +246,78 @@ object Relational {
              |SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 300
              |ORDER BY user_id""".stripMargin)),
 
+    // bag-semantics set ops: EXCEPT ALL / INTERSECT ALL preserve
+    // multiplicity (set-semantics except/intersect above collapse it) —
+    // the distinction matters when rows ARE occurrences, e.g. removing
+    // one processed batch from a work queue without deduplicating it.
+    // Grouped to a multiplicity count for a deterministic output key.
+    QueryDef(
+      "q_except_all",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        ev.where(col("event_type") === "error").select("user_id")
+          .exceptAll(ev.where(col("event_type") === "signup").select("user_id"))
+          .groupBy("user_id").agg(count(lit(1)).as("n"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n FROM (
+             |  SELECT user_id FROM events WHERE event_type = 'error'
+             |  EXCEPT ALL
+             |  SELECT user_id FROM events WHERE event_type = 'signup')
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef(
+      "q_intersect_all",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        ev.where(col("event_type") === "error").select("user_id")
+          .intersectAll(ev.where(col("event_type") === "signup").select("user_id"))
+          .groupBy("user_id").agg(count(lit(1)).as("n"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n FROM (
+             |  SELECT user_id FROM events WHERE event_type = 'error'
+             |  INTERSECT ALL
+             |  SELECT user_id FROM events WHERE event_type = 'signup')
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // chi-square independence statistic between event_type and a user
+    // bucket: observed/expected from exact integer counts, each cell's
+    // (o−e)²/e contribution quantized to integer micro-units before the
+    // sum (order-free), one rounding at the end. The classic "is this
+    // feature correlated with that label" screen over contingency counts.
+    QueryDef(
+      "q_chisq",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), pmod(col("user_id"), lit(4)).as("bucket"))
+        val cells = ev.groupBy("event_type", "bucket").agg(count(lit(1)).as("o"))
+        val rows = ev.groupBy("event_type").agg(count(lit(1)).as("r_n"))
+        val cols = ev.groupBy("bucket").agg(count(lit(1)).as("c_n"))
+        val total = ev.agg(count(lit(1)).as("t_n"))
+        cells.join(rows, "event_type").join(cols, "bucket")
+          .crossJoin(broadcast(total))
+          .select(expr(
+            """CAST(round(
+              |  pow(o - r_n * c_n / CAST(t_n AS DOUBLE), 2)
+              |    / (r_n * c_n / CAST(t_n AS DOUBLE)) * 1000000) AS BIGINT)"""
+              .stripMargin).as("contrib_micro"))
+          .agg(round(sum("contrib_micro") / 1e6, 4).as("chi2"),
+            count(lit(1)).as("n_cells"))
+      },
+      Some("""WITH ev AS (SELECT event_type, ((user_id % 4) + 4) % 4 AS bucket FROM events),
+             |cells AS (SELECT event_type, bucket, count(*) AS o FROM ev GROUP BY 1, 2),
+             |r AS (SELECT event_type, count(*) AS r_n FROM ev GROUP BY 1),
+             |c AS (SELECT bucket, count(*) AS c_n FROM ev GROUP BY 1),
+             |t AS (SELECT count(*) AS t_n FROM ev),
+             |k AS (SELECT CAST(round(
+             |    pow(o - r_n * c_n / CAST(t_n AS DOUBLE), 2)
+             |      / (r_n * c_n / CAST(t_n AS DOUBLE)) * 1000000) AS BIGINT) AS contrib_micro
+             |  FROM cells JOIN r USING (event_type) JOIN c USING (bucket) CROSS JOIN t)
+             |SELECT round(CAST(sum(contrib_micro) AS BIGINT) / 1e6, 4) AS chi2,
+             |  count(*) AS n_cells
+             |FROM k""".stripMargin)),
+
     // fixed-width histogram binning (dashboard value distribution)
     QueryDef(
       "q_histogram_bins",
