@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, SortOrder => connectorSortOrder}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
@@ -94,6 +94,38 @@ object PagedXmlSource {
     case LessThanOrEqual(c, v: String) => row(c) != null && row(c).toString <= v
     case IsNotNull(c) => row(c) != null
     case _ => true
+  }
+
+  /** Server-side sort + row cap over the filtered rows — what the
+    * reference DSL's `orderby`/`limit` parameters do remotely. Sort keys
+    * are (column, ascending, nullsFirst); the sort is stable, so parse
+    * order breaks ties deterministically on every executor. */
+  private[sources] def applyPushed(
+      rows: Seq[Map[String, Any]], filters: Array[Filter],
+      topN: Seq[(String, Boolean, Boolean)], limit: Option[Int])
+      : Seq[Map[String, Any]] = {
+    val filtered = rows.filter(r => filters.forall(eval(_, r)))
+    val sorted =
+      if (topN.isEmpty) filtered
+      else filtered.sortWith((a, b) => compareRows(a, b, topN) < 0)
+    limit.fold(sorted)(sorted.take)
+  }
+
+  private def compareRows(a: Map[String, Any], b: Map[String, Any],
+      keys: Seq[(String, Boolean, Boolean)]): Int = {
+    for ((col, asc, nullsFirst) <- keys) {
+      val (x, y) = (a(col), b(col))
+      val c = (x, y) match {
+        case (null, null) => 0
+        case (null, _) => if (nullsFirst) -1 else 1
+        case (_, null) => if (nullsFirst) 1 else -1
+        case (i: Int, j: Int) => Integer.compare(i, j)
+        case (s: String, t: String) => s.compareTo(t)
+        case (u, v) => u.toString.compareTo(v.toString)
+      }
+      if (c != 0) return if (asc) c else -c
+    }
+    0
   }
 
   // Memoize the last parsed document per JVM keyed by (path, mtime): the
@@ -202,11 +234,47 @@ private[sources] case class PushedAgg(groupCols: Seq[String], aggs: Seq[(String,
 
 private[sources] class PagedXmlScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = PagedXmlSource.schema
   private var agg: Option[PushedAgg] = None
+  private var limit: Option[Int] = None
+  private var topN: Seq[(String, Boolean, Boolean)] = Nil
+
+  /** LIMIT reaches the source as a page-count cap (the reference DSL's
+    * `limit` parameter): the scan plans only ceil(limit/pageSize) pages.
+    * Partial pushdown — Spark keeps its exact limit on top. Refused once
+    * an aggregation is pushed (the agg output is already tiny). */
+  override def pushLimit(l: Int): Boolean =
+    if (agg.isDefined) false
+    else { limit = Some(limit.fold(l)(math.min(_, l))); true }
+
+  /** ORDER BY + LIMIT (the DSL's `orderby`): the source sorts the
+    * filtered rows and serves only the top pages. Partial pushdown —
+    * Spark re-sorts the ≤limit surviving rows for the final order. */
+  override def pushTopN(orders: Array[connectorSortOrder], l: Int): Boolean = {
+    if (agg.isDefined) return false
+    val keys = orders.toSeq.map { o =>
+      o.expression() match {
+        case nr: NamedReference if nr.fieldNames.length == 1 &&
+            PagedXmlSource.schema.fieldNames.contains(nr.fieldNames()(0)) =>
+          Some((nr.fieldNames()(0),
+            o.direction() == org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING,
+            o.nullOrdering() == org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST))
+        case _ => None
+      }
+    }
+    if (keys.exists(_.isEmpty)) false
+    else {
+      topN = keys.flatten
+      limit = Some(limit.fold(l)(math.min(_, l)))
+      true
+    }
+  }
+
+  override def isPartiallyPushed(): Boolean = true
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accept, residual) = filters.partition(PagedXmlSource.pushable)
@@ -272,12 +340,13 @@ private[sources] class PagedXmlScanBuilder(options: CaseInsensitiveStringMap)
     Option(options.get("maxPages")).map(_.toInt).getOrElse(20),
     Option(options.get("retries")).map(_.toInt).getOrElse(4),
     Option(options.get("retryBaseMs")).map(_.toLong).getOrElse(50L),
-    pushed, required, agg)
+    pushed, required, agg, limit, topN)
 }
 
 private[sources] class PagedXmlScan(path: String, pageSize: Int, maxPages: Int,
     retries: Int, retryBaseMs: Long,
-    filters: Array[Filter], required: StructType, agg: Option[PushedAgg])
+    filters: Array[Filter], required: StructType, agg: Option[PushedAgg],
+    limit: Option[Int], topN: Seq[(String, Boolean, Boolean)])
     extends Scan with Batch with org.apache.spark.internal.Logging {
 
   override def readSchema(): StructType = required
@@ -289,6 +358,9 @@ private[sources] class PagedXmlScan(path: String, pageSize: Int, maxPages: Int,
       s"PushedFilters: [${filters.mkString(", ")}], " +
       agg.map(a => s"PushedAggregates: [${a.aggs.map(t => s"${t._1}(${t._2})").mkString(", ")}], " +
         s"PushedGroupBy: [${a.groupCols.mkString(", ")}], ").getOrElse("") +
+      limit.map(l => s"PushedLimit: $l, ").getOrElse("") +
+      (if (topN.isEmpty) ""
+       else s"PushedTopN: [${topN.map(t => s"${t._1} ${if (t._2) "ASC" else "DESC"}").mkString(", ")}], ") +
       s"ReadSchema: ${required.catalogString}"
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -296,10 +368,11 @@ private[sources] class PagedXmlScan(path: String, pageSize: Int, maxPages: Int,
     // returns |groups| rows, not pages of raw rows)
     if (agg.isDefined) return Array(PagedXmlPartition(0))
     // driver-side page count (the cursor-pagination analogue: how many
-    // pages exist after server-side filtering); the parse is memoized so
-    // partition readers reuse it
-    val n = PagedXmlSource.parseRows(path, retries, retryBaseMs)
-      .count(r => filters.forall(PagedXmlSource.eval(_, r)))
+    // pages exist after server-side filtering, sorting and the pushed
+    // row cap); the parse is memoized so partition readers reuse it
+    val n = PagedXmlSource.applyPushed(
+      PagedXmlSource.parseRows(path, retries, retryBaseMs),
+      filters, topN, limit).size
     val needed = math.max(1, (n + pageSize - 1) / pageSize)
     val pages = math.min(maxPages, needed)
     if (pages < needed) {
@@ -311,14 +384,15 @@ private[sources] class PagedXmlScan(path: String, pageSize: Int, maxPages: Int,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PagedXmlReaderFactory(path, pageSize, maxPages, retries, retryBaseMs,
-      filters, required, agg)
+      filters, required, agg, limit, topN)
 }
 
 private[sources] case class PagedXmlPartition(page: Int) extends InputPartition
 
 private[sources] class PagedXmlReaderFactory(path: String, pageSize: Int,
     maxPages: Int, retries: Int, retryBaseMs: Long,
-    filters: Array[Filter], required: StructType, agg: Option[PushedAgg])
+    filters: Array[Filter], required: StructType, agg: Option[PushedAgg],
+    limit: Option[Int], topN: Seq[(String, Boolean, Boolean)])
     extends PartitionReaderFactory {
 
   private def toCatalyst(v: Any): Any = v match {
@@ -354,8 +428,9 @@ private[sources] class PagedXmlReaderFactory(path: String, pageSize: Int,
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val page = partition.asInstanceOf[PagedXmlPartition].page
-    val filtered = () => PagedXmlSource.parseRows(path, retries, retryBaseMs)
-      .filter(r => filters.forall(PagedXmlSource.eval(_, r)))
+    // same deterministic filter→sort→cap pipeline the planner counted
+    val filtered = () => PagedXmlSource.applyPushed(
+      PagedXmlSource.parseRows(path, retries, retryBaseMs), filters, topN, limit)
     agg match {
       case Some(p) =>
         new PartitionReader[InternalRow] {

@@ -80,6 +80,35 @@ class XmlSourceSpec extends SparkSpec {
     assert(df.count() == 20) // 2 pages × 10
   }
 
+  test("LIMIT pushes into the source and shrinks the planned pages") {
+    val df = read.load().limit(7)
+    assert(df.count() == 7)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit: 7"), s"limit not pushed:\n$plan")
+    // 7 rows at pageSize 10 need one page, not three
+    val scanParts = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.size
+    }
+    assert(scanParts.contains(1), s"expected 1 planned page, got $scanParts")
+  }
+
+  test("ORDER BY + LIMIT pushes as server-side top-N; Spark re-sorts the survivors") {
+    val df = read.load()
+      .orderBy(col("start_time").desc, col("deviation_id"))
+      .limit(3).select("deviation_id", "start_time")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedTopN: [start_time DESC"), s"top-N not pushed:\n$plan")
+    // both sort keys are schema fields, so the source's top-3 under the
+    // full order must equal the unpushed formulation exactly
+    val expected = read.load().collect()
+      .map(r => (r.getAs[String]("start_time"), r.getAs[String]("deviation_id")))
+      .sortBy(identity)(Ordering.Tuple2(Ordering.String.reverse, Ordering.String))
+      .take(3).map(_._2).toSeq
+    val got = df.collect().map(_.getString(0)).toSeq
+    assert(got == expected)
+  }
+
   test("short name 'paged-xml' resolves via DataSourceRegister") {
     val df = spark.read.format("paged-xml").option("path", xmlPath).load()
     assert(df.count() == 25)
