@@ -102,13 +102,15 @@ object PagedXmlSource {
     * order breaks ties deterministically on every executor. */
   private[sources] def applyPushed(
       rows: Seq[Map[String, Any]], filters: Array[Filter],
-      topN: Seq[(String, Boolean, Boolean)], limit: Option[Int])
+      topN: Seq[(String, Boolean, Boolean)], limit: Option[Int],
+      offset: Option[Int] = None)
       : Seq[Map[String, Any]] = {
     val filtered = rows.filter(r => filters.forall(eval(_, r)))
     val sorted =
       if (topN.isEmpty) filtered
       else filtered.sortWith((a, b) => compareRows(a, b, topN) < 0)
-    limit.fold(sorted)(sorted.take)
+    val skipped = offset.fold(sorted)(sorted.drop)
+    limit.fold(skipped)(skipped.take)
   }
 
   private def compareRows(a: Map[String, Any], b: Map[String, Any],
@@ -235,12 +237,14 @@ private[sources] case class PushedAgg(groupCols: Seq[String], aggs: Seq[(String,
 private[sources] class PagedXmlScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
-    with SupportsPushDownLimit with SupportsPushDownTopN {
+    with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownOffset {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = PagedXmlSource.schema
   private var agg: Option[PushedAgg] = None
   private var limit: Option[Int] = None
+  private var offset: Option[Int] = None
   private var topN: Seq[(String, Boolean, Boolean)] = Nil
 
   /** LIMIT reaches the source as a page-count cap (the reference DSL's
@@ -273,6 +277,14 @@ private[sources] class PagedXmlScanBuilder(options: CaseInsensitiveStringMap)
       true
     }
   }
+
+  /** OFFSET (the DSL's `skip`): rows skipped at the source, after the
+    * pushed sort, before the limit — Spark only calls this when it can
+    * drop its own offset, so the pushdown must be EXACT, which the
+    * deterministic filter→sort→slice pipeline guarantees. */
+  override def pushOffset(n: Int): Boolean =
+    if (agg.isDefined) false
+    else { offset = Some(offset.fold(n)(_ + n)); true }
 
   override def isPartiallyPushed(): Boolean = true
 
@@ -340,13 +352,13 @@ private[sources] class PagedXmlScanBuilder(options: CaseInsensitiveStringMap)
     Option(options.get("maxPages")).map(_.toInt).getOrElse(20),
     Option(options.get("retries")).map(_.toInt).getOrElse(4),
     Option(options.get("retryBaseMs")).map(_.toLong).getOrElse(50L),
-    pushed, required, agg, limit, topN)
+    pushed, required, agg, limit, offset, topN)
 }
 
 private[sources] class PagedXmlScan(path: String, pageSize: Int, maxPages: Int,
     retries: Int, retryBaseMs: Long,
     filters: Array[Filter], required: StructType, agg: Option[PushedAgg],
-    limit: Option[Int], topN: Seq[(String, Boolean, Boolean)])
+    limit: Option[Int], offset: Option[Int], topN: Seq[(String, Boolean, Boolean)])
     extends Scan with Batch with org.apache.spark.internal.Logging {
 
   override def readSchema(): StructType = required
@@ -359,6 +371,7 @@ private[sources] class PagedXmlScan(path: String, pageSize: Int, maxPages: Int,
       agg.map(a => s"PushedAggregates: [${a.aggs.map(t => s"${t._1}(${t._2})").mkString(", ")}], " +
         s"PushedGroupBy: [${a.groupCols.mkString(", ")}], ").getOrElse("") +
       limit.map(l => s"PushedLimit: $l, ").getOrElse("") +
+      offset.map(o => s"PushedOffset: $o, ").getOrElse("") +
       (if (topN.isEmpty) ""
        else s"PushedTopN: [${topN.map(t => s"${t._1} ${if (t._2) "ASC" else "DESC"}").mkString(", ")}], ") +
       s"ReadSchema: ${required.catalogString}"
@@ -372,7 +385,7 @@ private[sources] class PagedXmlScan(path: String, pageSize: Int, maxPages: Int,
     // row cap); the parse is memoized so partition readers reuse it
     val n = PagedXmlSource.applyPushed(
       PagedXmlSource.parseRows(path, retries, retryBaseMs),
-      filters, topN, limit).size
+      filters, topN, limit, offset).size
     val needed = math.max(1, (n + pageSize - 1) / pageSize)
     val pages = math.min(maxPages, needed)
     if (pages < needed) {
@@ -384,7 +397,7 @@ private[sources] class PagedXmlScan(path: String, pageSize: Int, maxPages: Int,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PagedXmlReaderFactory(path, pageSize, maxPages, retries, retryBaseMs,
-      filters, required, agg, limit, topN)
+      filters, required, agg, limit, offset, topN)
 }
 
 private[sources] case class PagedXmlPartition(page: Int) extends InputPartition
@@ -392,7 +405,7 @@ private[sources] case class PagedXmlPartition(page: Int) extends InputPartition
 private[sources] class PagedXmlReaderFactory(path: String, pageSize: Int,
     maxPages: Int, retries: Int, retryBaseMs: Long,
     filters: Array[Filter], required: StructType, agg: Option[PushedAgg],
-    limit: Option[Int], topN: Seq[(String, Boolean, Boolean)])
+    limit: Option[Int], offset: Option[Int], topN: Seq[(String, Boolean, Boolean)])
     extends PartitionReaderFactory {
 
   private def toCatalyst(v: Any): Any = v match {
@@ -430,7 +443,7 @@ private[sources] class PagedXmlReaderFactory(path: String, pageSize: Int,
     val page = partition.asInstanceOf[PagedXmlPartition].page
     // same deterministic filter→sort→cap pipeline the planner counted
     val filtered = () => PagedXmlSource.applyPushed(
-      PagedXmlSource.parseRows(path, retries, retryBaseMs), filters, topN, limit)
+      PagedXmlSource.parseRows(path, retries, retryBaseMs), filters, topN, limit, offset)
     agg match {
       case Some(p) =>
         new PartitionReader[InternalRow] {

@@ -109,6 +109,27 @@ class XmlSourceSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("OFFSET pushes into the source (bare pagination); sorted pagination folds into top-N") {
+    // bare offset: Spark delegates the skip to the source entirely
+    val df = read.load().offset(5).limit(4).select("deviation_id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedOffset: 5"), s"offset not pushed:\n$plan")
+    val expected = read.load().collect().map(_.getAs[String]("deviation_id"))
+      .slice(5, 9).toSeq // parse order — the source's deterministic order
+    assert(df.collect().map(_.getString(0)).toSeq == expected)
+
+    // sorted pagination: Spark instead pushes top-N with limit = o + l
+    // and keeps the exact offset — pin that contract too
+    val sorted = read.load().orderBy(col("deviation_id"))
+      .offset(5).limit(4).select("deviation_id")
+    val sPlan = sorted.queryExecution.executedPlan.toString
+    assert(sPlan.contains("PushedTopN: [deviation_id ASC") &&
+      sPlan.contains("PushedLimit: 9"), s"top-N+offset contract changed:\n$sPlan")
+    val sExpected = read.load().collect().map(_.getAs[String]("deviation_id"))
+      .sorted.slice(5, 9).toSeq
+    assert(sorted.collect().map(_.getString(0)).toSeq == sExpected)
+  }
+
   test("short name 'paged-xml' resolves via DataSourceRegister") {
     val df = spark.read.format("paged-xml").option("path", xmlPath).load()
     assert(df.count() == 25)
