@@ -60,6 +60,45 @@ object Curation {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // boilerplate-window detection (the Dolma/RefinedWeb cleanup pass):
+    // a sliding 3-token window shared verbatim by ≥5 distinct documents
+    // is template text, and a document's boilerplate RATIO is a drop
+    // signal. One explode → one window-frequency aggregate → one
+    // re-join; shuffle is ∝ windows, the frequency table is ∝ distinct
+    // shared windows (tiny), and nothing is quadratic in documents.
+    QueryDef(
+      "q_boilerplate",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("l"))
+          .where(size(col("l")) >= 3)
+        val wins = toks.select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(l) - 2), i -> concat_ws(' ', slice(l, i, 3)))"))
+          .as("win"))
+        val boiler = wins.groupBy("win")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .where(col("nd") >= 5)
+          .select(col("win"), lit(1).as("b"))
+        wins.join(boiler, Seq("win"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_windows"), count(col("b")).as("n_boiler"))
+          .select(col("doc_id"), col("n_windows"), col("n_boiler"),
+            round(col("n_boiler") / col("n_windows").cast("double"), 4)
+              .as("boiler_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH wins AS (
+             |  SELECT doc_id, array_to_string(l[i:i+2], ' ') AS win
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+             |       LATERAL (SELECT unnest(generate_series(1, len(l) - 2)) AS i) t),
+             |f AS (SELECT win FROM wins GROUP BY win
+             |      HAVING count(DISTINCT doc_id) >= 5)
+             |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+             |  CAST(count(f.win) AS BIGINT) AS n_boiler,
+             |  round(CAST(count(f.win) AS DOUBLE) / count(*), 4) AS boiler_ratio
+             |FROM wins w LEFT JOIN f ON w.win = f.win
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // benchmark decontamination — the eval-leakage guard every training
     // pipeline runs: any training doc sharing a 5-gram with the held-out
     // benchmark set is flagged for removal. The benchmark gram set is
