@@ -263,6 +263,50 @@ object CoreQueries {
              |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // Spark 4 VARIANT: the open semi-structured type (parse once, binary
+    // encoding, typed path access) that replaces string-JSON re-parsing
+    // per extraction — at 100 TB the props column parses ONCE into
+    // variant at ingest instead of per get_json_object call. Typed get,
+    // and a missing path through the try_ variant → NULL not error.
+    QueryDef(
+      "q_variant",
+      (s, d) => Tables.events(s, d)
+        .select(
+          col("event_id"),
+          expr("variant_get(parse_json(props), '$.k', 'int')").as("k_int"),
+          expr("try_variant_get(parse_json(props), '$.missing', 'int')").as("absent"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+             |  CAST(NULL AS INT) AS absent
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // correlated LATERAL subquery (the SQL-surface form of "agg per outer
+    // row") — Catalyst decorrelates it into the same join+agg a
+    // hand-written plan would use, so the lateral is syntax, not a
+    // nested-loop execution. LEFT JOIN LATERAL ON true on BOTH engines:
+    // the comma-join form diverges on outer rows with no matches (Spark
+    // keeps the scalar-agg NULL row, DuckDB drops the row), and the
+    // explicit outer form is the one with agreed semantics.
+    QueryDef(
+      "q_lateral",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("graft_lat_orders")
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_lat_lineitem")
+        s.sql("""SELECT o_orderkey, o_totalprice, l.max_qty
+                |FROM graft_lat_orders o
+                |LEFT JOIN LATERAL (SELECT max(l_quantity) AS max_qty
+                |  FROM graft_lat_lineitem WHERE l_orderkey = o.o_orderkey) l ON true
+                |WHERE o_orderkey < 100
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_totalprice, l.max_qty
+             |FROM orders o
+             |LEFT JOIN LATERAL (SELECT max(l_quantity) AS max_qty
+             |  FROM lineitem WHERE l_orderkey = o.o_orderkey) l ON true
+             |WHERE o_orderkey < 100
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // scalar-function breadth: case/pad/replace/split/null-handling in
     // one projection (P9/P10 family)
     QueryDef(
