@@ -16,6 +16,45 @@ import org.apache.spark.sql.streaming.Trigger
 class StreamJoinSpec extends SparkSpec {
   import spark.implicits._
 
+  test("stream-static join: each micro-batch enriches against the CURRENT dim table") {
+    // the slowly-changing-dimension enrichment shape: the static side
+    // binds at (re)start, so a dim overwrite is picked up by the next
+    // AvailableNow run against the SAME checkpoint — already-processed
+    // batches keep their old enrichment (no retroactive rewrite)
+    val dir = Files.createTempDirectory("graft-ssjoin").toString
+    val (src, out, chk, dimDir) = (s"$dir/src", s"$dir/out", s"$dir/chk", s"$dir/dim")
+
+    Seq((1L, "bronze"), (2L, "silver")).toDF("user_id", "tier")
+      .write.parquet(dimDir)
+
+    def runBatch(events: Seq[(Long, Long)]): Unit = {
+      events.toDF("event_id", "user_id")
+        .write.mode("append").parquet(src)
+      val stream = spark.readStream
+        .schema("event_id LONG, user_id LONG").parquet(src)
+      val dim = spark.read.parquet(dimDir)
+      val q = stream.join(dim, Seq("user_id"), "left")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    runBatch(Seq((100L, 1L), (101L, 2L)))
+    // dim changes between micro-batches: user 2 promoted, user 3 appears
+    Seq((1L, "bronze"), (2L, "gold"), (3L, "silver")).toDF("user_id", "tier")
+      .write.mode("overwrite").parquet(dimDir)
+    runBatch(Seq((102L, 2L), (103L, 3L), (104L, 99L)))
+
+    val got = spark.read.parquet(out).collect()
+      .map(r => r.getLong(1) -> (if (r.isNullAt(2)) null else r.getString(2))).toMap
+    assert(got(100L) == "bronze")
+    assert(got(101L) == "silver", "batch 1 must see the OLD dim")
+    assert(got(102L) == "gold", "batch 2 must see the overwritten dim")
+    assert(got(103L) == "silver")
+    assert(got(104L) == null, "unmatched events survive the left join")
+  }
+
   test("clicks join impressions within the attribution window, batch parity") {
     val dir = Files.createTempDirectory("graft-sjoin").toString
     val (impSrc, clkSrc, out, chk) = (s"$dir/imp", s"$dir/clk", s"$dir/out", s"$dir/chk")
