@@ -38,9 +38,11 @@ def norm_cell(v):
 
 
 def canon(cols, rows):
+    # columns sort by name (mirrors the driver); rows stay POSITIONAL —
+    # every declared query ends in a total ORDER BY, so an ordering
+    # regression must fail here, not be sorted away
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    out.sort()
     return [cols[i] for i in order], out
 
 
@@ -52,6 +54,10 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle_sql = json.load(open(f"{out_dir}/oracle_sql.json"))
+    unknown = only - set(oracle_sql)
+    if unknown:
+        print(f"FAIL unknown query name(s) in filter: {sorted(unknown)}")
+        sys.exit(1)
     ok = failed = 0
     for name in sorted(oracle_sql):
         if only and name not in only:

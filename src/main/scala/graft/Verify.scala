@@ -8,6 +8,9 @@ object Verify {
     // driver calls with exactly (sfDir, outDir); any further args are a
     // local-iteration filter of query names to dump (subset re-verify)
     val Array(sfDir, outDir, only @ _*) = args
+    val unknown = only.toSet.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s) in filter: ${unknown.toSeq.sorted.mkString(", ")}")
     val wanted: String => Boolean =
       if (only.isEmpty) _ => true else only.toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -45,11 +45,16 @@ object Layout {
     * column — the multi-dimensional analogue of a sorted write. The sort
     * is a range-partitioned total order (one shuffle), same cost shape as
     * any sorted write at 100 TB. */
-  def writeZOrdered(df: DataFrame, xCol: String, yCol: String, path: String): Unit =
-    df.withColumn("z", ZOrder.interleaveBits(col(xCol), col(yCol)))
-      .orderBy("z")
-      .drop("z")
+  def writeZOrdered(df: DataFrame, xCol: String, yCol: String, path: String): Unit = {
+    // collision-proof working column: a user column named "z" must
+    // survive the write untouched
+    val zc = "__graft_zorder"
+    require(!df.columns.contains(zc), s"input already has a $zc column")
+    df.withColumn(zc, ZOrder.interleaveBits(col(xCol), col(yCol)))
+      .orderBy(zc)
+      .drop(zc)
       .write.mode("overwrite").parquet(path)
+  }
 
   val defs: Seq[QueryDef] = Seq(
     // the clustering key itself under the oracle gate: the native

@@ -295,7 +295,11 @@ object Relational {
         val rows = ev.groupBy("event_type").agg(count(lit(1)).as("r_n"))
         val cols = ev.groupBy("bucket").agg(count(lit(1)).as("c_n"))
         val total = ev.agg(count(lit(1)).as("t_n"))
-        cells.join(rows, "event_type").join(cols, "bucket")
+        // full margin grid, NOT just observed cells: an absent
+        // (event_type, bucket) pair still contributes (0−e)²/e = e
+        rows.crossJoin(cols)
+          .join(cells, Seq("event_type", "bucket"), "left")
+          .na.fill(0L, Seq("o"))
           .crossJoin(broadcast(total))
           .select(expr(
             """CAST(round(
@@ -310,10 +314,13 @@ object Relational {
              |r AS (SELECT event_type, count(*) AS r_n FROM ev GROUP BY 1),
              |c AS (SELECT bucket, count(*) AS c_n FROM ev GROUP BY 1),
              |t AS (SELECT count(*) AS t_n FROM ev),
+             |grid AS (SELECT event_type, bucket, r_n, c_n,
+             |    coalesce(o, 0) AS o
+             |  FROM r CROSS JOIN c LEFT JOIN cells USING (event_type, bucket)),
              |k AS (SELECT CAST(round(
              |    pow(o - r_n * c_n / CAST(t_n AS DOUBLE), 2)
              |      / (r_n * c_n / CAST(t_n AS DOUBLE)) * 1000000) AS BIGINT) AS contrib_micro
-             |  FROM cells JOIN r USING (event_type) JOIN c USING (bucket) CROSS JOIN t)
+             |  FROM grid CROSS JOIN t)
              |SELECT round(CAST(sum(contrib_micro) AS BIGINT) / 1e6, 4) AS chi2,
              |  count(*) AS n_cells
              |FROM k""".stripMargin)),

@@ -33,8 +33,12 @@ object GroupTopK {
     def attrOf(n: String) = analyzed.output.find(a => resolver(a.name, n))
       .getOrElse(throw new IllegalArgumentException(
         s"no column '$n' among ${analyzed.output.map(_.name).mkString(", ")}"))
-    PlanBridge.ofRows(spark,
-      TopKPerGroup(k, groupCols.map(attrOf), order, analyzed))
+    // float/double group keys must normalize (-0.0 → 0.0, canonical NaN)
+    // BEFORE hashing/heap-keying — Spark's NormalizeFloatingNumbers rule
+    // does this for its own operators but knows nothing about this node
+    val groups = groupCols.map(attrOf)
+      .map(org.apache.spark.sql.graftbridge.ColumnBridge.normalizeFloats)
+    PlanBridge.ofRows(spark, TopKPerGroup(k, groups, order, analyzed))
   }
 
   val defs: Seq[QueryDef] = Seq(

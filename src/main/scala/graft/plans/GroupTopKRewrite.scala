@@ -65,7 +65,12 @@ object GroupTopKRewrite extends Rule[LogicalPlan] {
                   wgl.limit >= n => wgl.child
             case other => other
           }
-          Project(projectList, TopKPerGroup(n, part, order, base))
+          // normalize float/double group keys (-0.0/NaN) — depending on
+          // where this rule runs, NormalizeFloatingNumbers may not have
+          // touched the window yet and will never touch TopKPerGroup
+          val groups = part.map(
+            org.apache.spark.sql.graftbridge.ColumnBridge.normalizeFloats)
+          Project(projectList, TopKPerGroup(n, groups, order, base))
         case _ => p
       }
   }

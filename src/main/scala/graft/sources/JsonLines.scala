@@ -27,18 +27,20 @@ object JsonLines {
       : (DataFrame, DataFrame) = {
     require(!schema.fieldNames.contains(CorruptCol),
       s"schema must not predeclare $CorruptCol")
-    val raw = spark.read
-      .schema(schema.add(CorruptCol, StringType))
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", CorruptCol)
-      .json(path)
-      // Spark refuses a query that selects ONLY the corrupt column from a
-      // JSON scan (the parser would never materialize it); persisting the
-      // full parse once is also what keeps this one pass over the input
-      .cache()
-    val clean = raw.where(col(CorruptCol).isNull).drop(CorruptCol)
-    val quarantine = raw.where(col(CorruptCol).isNotNull)
-      .select(col(CorruptCol).as("raw_line"))
+    // read as text and parse with from_json carrying the corrupt-record
+    // field INSIDE the struct: no caching (the json-scan route refuses to
+    // select only the corrupt column unless the whole parse is cached —
+    // a non-starter when the input is the 100 TB corpus itself), and the
+    // raw line stays available verbatim for the quarantine
+    val parsed = spark.read.text(path)
+      .select(col("value"), from_json(col("value"),
+        schema.add(CorruptCol, StringType),
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> CorruptCol)).as("j"))
+    val clean = parsed.where(col(s"j.$CorruptCol").isNull)
+      .select(col("j.*")).drop(CorruptCol)
+    val quarantine = parsed.where(col(s"j.$CorruptCol").isNotNull)
+      .select(col("value").as("raw_line"))
     (clean, quarantine)
   }
 

@@ -36,12 +36,13 @@ object TopK {
       group: String, item: Long, est: Long, err: Long, stream_total: Long)
 
   /** Fold one batch of arrivals into a summary. Deterministic eviction:
-    * the minimum (est, item) counter goes first. */
-  private[graft] def fold(st: Summary, items: Seq[Long], capacity: Int): Summary = {
+    * the minimum (est, item) counter goes first. Takes IterableOnce so a
+    * group's iterator streams straight through — never materialized. */
+  private[graft] def fold(st: Summary, items: IterableOnce[Long], capacity: Int): Summary = {
     val m = scala.collection.mutable.LinkedHashMap(
       st.counters.map(c => c.item -> c): _*)
     var total = st.total
-    for (it <- items) {
+    for (it <- items.iterator) {
       total += 1
       m.get(it) match {
         case Some(c) => m(it) = c.copy(est = c.est + 1)
@@ -58,8 +59,10 @@ object TopK {
   private def updateGroup(capacity: Int)(
       group: String, events: Iterator[Item], state: GroupState[Summary])
       : Iterator[HeavyHitter] = {
+    // the iterator streams through the fold — a group (at batch scale,
+    // EVERY row of one key) is never buffered in memory
     val st = fold(state.getOption.getOrElse(Summary(Nil, 0L)),
-      events.map(_.item).toSeq, capacity)
+      events.map(_.item), capacity)
     state.update(st)
     st.counters.sortBy(c => (-c.est, c.item))
       .map(c => HeavyHitter(group, c.item, c.est, c.err, st.total))

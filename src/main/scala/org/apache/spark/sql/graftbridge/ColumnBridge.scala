@@ -14,4 +14,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Float/double canonicalization (-0.0 → 0.0, one NaN bit pattern) via
+    * Spark's own rule — `private[sql]`, so exposed here for the custom
+    * operators whose grouping keys Spark's optimizer can't see. */
+  def normalizeFloats(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
 }

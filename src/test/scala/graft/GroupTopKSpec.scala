@@ -60,6 +60,14 @@ class GroupTopKSpec extends SparkSpec {
     }
   }
 
+  test("float group keys normalize: -0.0 and 0.0 are ONE group, like the window form") {
+    val df = Seq((0.0, 1L), (-0.0, 2L), (0.0, 3L), (1.5, 4L)).toDF("g", "id")
+    val got = GroupTopK.topK(df, 2, Seq("g"), Seq(col("id")))
+      .collect().map(r => r.getLong(1)).toSet
+    // one merged zero-group keeps ids 1,2 (top-2 by id); group 1.5 keeps 4
+    assert(got == Set(1L, 2L, 4L), s"zero groups split: kept $got")
+  }
+
   test("plan: two heap passes around one hash exchange, and NO sort") {
     val plan = heapTopK(3).queryExecution.executedPlan.toString
     assert("TopKPerGroup ".r.findAllIn(plan).size == 2, s"expected 2 passes:\n$plan")

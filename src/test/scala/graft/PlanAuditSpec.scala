@@ -49,12 +49,22 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q_skyline: the per-point window partitions by bucket (no global point sort)") {
-    val plan = planOf("q_skyline")
-    // exactly one window may be unpartitioned — the |buckets|-row cummax;
-    // the point-level window must carry the bucket partition key
-    assert(plan.contains("Window"), plan)
-    assert("partitionBy=\\[\\]".r.findAllIn(plan).size <= 1 ||
-      plan.contains("bucket"), s"point window lost its partition key:\n$plan")
+    // inspect the LOGICAL windows: the point-level one (computing the
+    // prevMax running max) must carry a non-empty partition spec; only
+    // the |buckets|-row cummax window may be global
+    val plan = SparkEntry.queries("q_skyline")(spark, sf)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "expected window nodes in the skyline plan")
+    val unpartitioned = windows.filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.size <= 1,
+      s"more than one global window:\n${unpartitioned.mkString("\n")}")
+    val pointWindow = windows.filter(w =>
+      w.windowExpressions.exists(_.name == "prevMax"))
+    assert(pointWindow.nonEmpty && pointWindow.forall(_.partitionSpec.nonEmpty),
+      s"point window lost its bucket partition key:\n$plan")
   }
 
   test("filter pushdown reaches the parquet scan on the behavioral suite") {
