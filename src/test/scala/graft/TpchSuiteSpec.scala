@@ -30,6 +30,14 @@ class TpchSuiteSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q_tpch_q6: all three range predicates reach the parquet scan") {
+    val plan = planOf("q_tpch_q6")
+    assert(plan.contains("PushedFilters:"), plan)
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(plan.replaceAll("ReadSchema.*", "").contains(c),
+        s"$c not pushed to the scan:\n$plan")
+  }
+
   test("q_tpch_q7: both nation legs broadcast; pair filter prunes before the fact shuffle") {
     val plan = planOf("q_tpch_q7")
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
