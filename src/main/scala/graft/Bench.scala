@@ -1,5 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Prints exactly ONE JSON line:
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...,
+  *  "runs":{...},"errors":[...],"calibration":{...}}
+  *
+  * Trust properties (a benchmark that can't prove itself is noise):
+  *  - a throwing query is EXCLUDED from the total and reported in
+  *    "errors" with its message — failures can never make the bench
+  *    look faster;
+  *  - "runs" carries every raw run time (not just the min), so a reader
+  *    can see variance per query instead of trusting a point estimate;
+  *  - "calibration" runs a fixed constant-cost probe (sum over a 10M-row
+  *    range) before and after the query sweep. Engine changes cannot
+  *    affect it, so any drift between rounds or between before/after is
+  *    ambient box load, visible in the artifact itself.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,23 +29,79 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    def jsonStr(s: String): String =
+      "\"" + s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => ""
+        case '\t' => " "
+        case c if c < ' ' => ""
+        case c    => c.toString
+      } + "\""
+
+    // Fixed-cost probe: a wide-int hash-mix sum over spark.range(10M).
+    // Independent of every engine code path under test; its time is a
+    // pure function of box weather.
+    def calibrateOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(10000000L)
+        .selectExpr("sum(id * 2654435761) as s", "count(*) as n")
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def round3(d: Double): Double = math.rint(d * 1000) / 1000
+
     // steady-state timing: two runs per query, report the min — the first
     // absorbs janino codegen/JIT/parquet-footer warmup, and min-of-2 is
     // robust to transient GC pauses from accumulated broadcast state
-    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case t: Throwable =>
+          Left(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(200)}")
+      }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // warm the JVM once so the "before" calibration isn't a JIT outlier
+    calibrateOnce()
+    val calibBefore = math.min(calibrateOnce(), calibrateOnce())
+
+    case class QResult(runs: List[Double], err: Option[String])
+    val results: Seq[(String, QResult)] = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val a = timeOnce(fn)
-      val b = timeOnce(fn)
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val b = a match {
+        case Right(_) => timeOnce(fn)
+        case Left(_)  => a // don't re-run a broken query
+      }
+      val runs = List(a, b).collect { case Right(d) => round3(d) }
+      val err = List(a, b).collectFirst { case Left(m) => m }
+      name -> QResult(runs, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val calibAfter = math.min(calibrateOnce(), calibrateOnce())
+
+    val ok = results.collect { case (n, QResult(runs, None)) => n -> runs.min }
+    val total = round3(ok.map(_._2).sum)
+    val qs = ok.map { case (k, v) => jsonStr(k) + ":" + v }.mkString("{", ",", "}")
+    val runsJson = results
+      .map { case (k, r) => jsonStr(k) + ":" + r.runs.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errsJson = results
+      .collect { case (n, QResult(_, Some(m))) => s"""{"query":${jsonStr(n)},"error":${jsonStr(m)}}""" }
+      .mkString("[", ",", "]")
+    val calibJson =
+      s"""{"probe":"range10M_sum","before_sec":${round3(calibBefore)},"after_sec":${round3(calibAfter)}}"""
+
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jsonStr(sfDir)},""" +
+      s""""ok_count":${ok.size},"error_count":${results.size - ok.size},""" +
+      s""""errors":$errsJson,"runs":$runsJson,"calibration":$calibJson}"""
+    )
     spark.stop()
   }
 }

@@ -34,9 +34,19 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_daily_trend")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Each entry first installs graft's Catalyst extensions on the caller's
+    * session (idempotent) so the declared path — including driver-built
+    * Verify/Bench sessions — plans through the heap top-k operator when
+    * the row_number()<=k rewrite applies, not only sessions built with
+    * `withExtensions`. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    registry.map(q => q.name -> q.fn).toMap
+    registry.map { q =>
+      q.name -> { (s: SparkSession, d: String) =>
+        GraftRuntime.ensure(s); q.fn(s, d)
+      }
+    }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

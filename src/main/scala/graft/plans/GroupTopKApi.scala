@@ -16,9 +16,7 @@ object GroupTopK {
     * (sort afterwards if needed). */
   def topK(df: DataFrame, k: Int, groupCols: Seq[String], orderCols: Seq[Column]): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(GroupTopKStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ GroupTopKStrategy
+    graft.GraftRuntime.ensure(spark)
     // Spark 4 Columns carry lazy ColumnNodes that only become (resolved,
     // serializable) catalyst expressions through analysis — so feed the
     // sort columns through a throwaway sortWithinPartitions plan and lift
