@@ -35,21 +35,30 @@ object Bench {
         case '"'  => "\\\""
         case '\\' => "\\\\"
         case '\n' => "\\n"
-        case '\r' => ""
-        case '\t' => " "
-        case c if c < ' ' => ""
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c    => c.toString
       } + "\""
 
-    // Fixed-cost probe: a wide-int hash-mix sum over spark.range(10M).
-    // Independent of every engine code path under test; its time is a
-    // pure function of box weather.
-    def calibrateOnce(): Double = {
+    // Fixed-cost probe: a hash-mix sum over spark.range(10M), in DOUBLE
+    // space so the fold cannot overflow under ANSI mode (the long-space
+    // variant sums to ~1.3e23 and threw ARITHMETIC_OVERFLOW, killing the
+    // round-4 bench before it timed anything). Independent of every engine
+    // code path under test; its time is a pure function of box weather.
+    // Isolated exactly like a query: a probe failure is REPORTED in the
+    // calibration object, never allowed to zero the artifact.
+    def calibrateOnce(): Either[String, Double] = {
       val t0 = System.nanoTime()
-      spark.range(10000000L)
-        .selectExpr("sum(id * 2654435761) as s", "count(*) as n")
-        .collect()
-      (System.nanoTime() - t0) / 1e9
+      try {
+        spark.range(10000000L)
+          .selectExpr("sum(cast(id as double) * 2654435761.0) as s", "count(*) as n")
+          .collect()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case t: Throwable =>
+          Left(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(200)}")
+      }
     }
     def round3(d: Double): Double = math.rint(d * 1000) / 1000
 
@@ -67,9 +76,17 @@ object Bench {
       }
     }
 
+    // min-of-2 over the successful runs; any failure message is kept
+    def calibrate(): (Option[Double], Option[String]) = {
+      val runs = List(calibrateOnce(), calibrateOnce())
+      val ok = runs.collect { case Right(d) => d }
+      val err = runs.collectFirst { case Left(m) => m }
+      (if (ok.nonEmpty) Some(ok.min) else None, err)
+    }
+
     // warm the JVM once so the "before" calibration isn't a JIT outlier
     calibrateOnce()
-    val calibBefore = math.min(calibrateOnce(), calibrateOnce())
+    val (calibBefore, calibBeforeErr) = calibrate()
 
     case class QResult(runs: List[Double], err: Option[String])
     val results: Seq[(String, QResult)] = SparkEntry.queries.toSeq.map { case (name, fn) =>
@@ -83,7 +100,7 @@ object Bench {
       name -> QResult(runs, err)
     }
 
-    val calibAfter = math.min(calibrateOnce(), calibrateOnce())
+    val (calibAfter, calibAfterErr) = calibrate()
 
     val ok = results.collect { case (n, QResult(runs, None)) => n -> runs.min }
     val total = round3(ok.map(_._2).sum)
@@ -94,8 +111,11 @@ object Bench {
     val errsJson = results
       .collect { case (n, QResult(_, Some(m))) => s"""{"query":${jsonStr(n)},"error":${jsonStr(m)}}""" }
       .mkString("[", ",", "]")
+    def calibVal(v: Option[Double]): String = v.map(d => round3(d).toString).getOrElse("null")
+    val calibErrs = (calibBeforeErr.toList ++ calibAfterErr.toList).map(jsonStr)
     val calibJson =
-      s"""{"probe":"range10M_sum","before_sec":${round3(calibBefore)},"after_sec":${round3(calibAfter)}}"""
+      s"""{"probe":"range10M_sum_double","before_sec":${calibVal(calibBefore)},""" +
+      s""""after_sec":${calibVal(calibAfter)},"probe_errors":${calibErrs.mkString("[", ",", "]")}}"""
 
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jsonStr(sfDir)},""" +
