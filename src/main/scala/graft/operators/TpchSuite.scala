@@ -327,31 +327,38 @@ object TpchSuite {
     // Q22: global-acctbal threshold + anti-join. The positive-balance
     // average is one broadcast scalar; the NOT EXISTS is a left-anti join
     // on custkey ("lapsed" = no order since 2000 — every fixture customer
-    // has SOME order, so the unscoped form is empty). Threshold rounded to
-    // cents so the ulp of a float average can never flip a boundary row
+    // has SOME order, so the unscoped form is empty). Integer-cents
+    // convention throughout: balances quantized per row to BIGINT cents,
+    // summed exactly, and the "above average" test is the exact rational
+    // comparison cents*n > sum(cents) — no double ever enters an
+    // aggregation, so no partial-agg merge order can flip a boundary row
     // between engines.
     QueryDef(
       "q_tpch_q22",
       (s, d) => {
         val c = Tables.customer(s, d)
-        val thr = c.where(col("c_acctbal") > 0.0)
-          .agg(round(avg("c_acctbal"), 2).as("thr"))
-        c.crossJoin(broadcast(thr)).where(col("c_acctbal") > col("thr"))
+          .withColumn("cents", round(col("c_acctbal") * 100, 0).cast("long"))
+        val thr = c.where(col("cents") > 0)
+          .agg(sum("cents").as("s"), count(lit(1)).as("n"))
+        c.crossJoin(broadcast(thr)).where(col("cents") * col("n") > col("s"))
           .join(Tables.orders(s, d)
               .where(col("o_orderdate") >= lit("2000-01-01 00:00:00").cast("timestamp"))
               .select("o_custkey"),
             col("c_custkey") === col("o_custkey"), "left_anti")
           .groupBy("c_nationkey")
           .agg(count(lit(1)).as("numcust"),
-            round(sum("c_acctbal"), 2).as("totacctbal"))
+            sum("cents").as("totacctbal_c"))
           .orderBy("c_nationkey")
       },
-      Some("""SELECT c_nationkey, count(*) AS numcust,
-             |  round(sum(c_acctbal), 2) AS totacctbal
-             |FROM customer c
-             |WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM customer
-             |                   WHERE c_acctbal > 0.0)
-             |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      Some("""WITH c2 AS (SELECT *, CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+             |            FROM customer),
+             |t AS (SELECT CAST(sum(cents) AS BIGINT) AS s, count(*) AS n
+             |      FROM c2 WHERE cents > 0)
+             |SELECT c_nationkey, count(*) AS numcust,
+             |  CAST(sum(cents) AS BIGINT) AS totacctbal_c
+             |FROM c2, t
+             |WHERE cents * n > s
+             |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c2.c_custkey
              |    AND CAST(o.o_orderdate AS TIMESTAMP) >= TIMESTAMP '2000-01-01 00:00:00')
              |GROUP BY 1 ORDER BY 1""".stripMargin))
   )

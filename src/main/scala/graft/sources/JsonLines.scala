@@ -37,9 +37,12 @@ object JsonLines {
         schema.add(CorruptCol, StringType),
         Map("mode" -> "PERMISSIVE",
           "columnNameOfCorruptRecord" -> CorruptCol)).as("j"))
-    val clean = parsed.where(col(s"j.$CorruptCol").isNull)
+    // a line that parses to a NULL struct (blank line, literal `null`) has
+    // a null corrupt column too — require j itself non-null for clean, or
+    // those lines would land as all-null rows instead of the quarantine
+    val clean = parsed.where(col("j").isNotNull && col(s"j.$CorruptCol").isNull)
       .select(col("j.*")).drop(CorruptCol)
-    val quarantine = parsed.where(col(s"j.$CorruptCol").isNotNull)
+    val quarantine = parsed.where(col("j").isNull || col(s"j.$CorruptCol").isNotNull)
       .select(col("value").as("raw_line"))
     (clean, quarantine)
   }

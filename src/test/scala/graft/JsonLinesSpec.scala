@@ -35,6 +35,24 @@ class JsonLinesSpec extends SparkSpec {
     assert(q.exists(_.contains("not-a-number")))
   }
 
+  test("null-struct lines (blank, literal null) quarantine instead of becoming all-null rows") {
+    val dir = Files.createTempDirectory("graft-jsonl-null").toString
+    val lines = Seq(
+      """{"doc_id": 1, "text": "alpha"}""",
+      "", // blank line → from_json yields a NULL struct, not a corrupt record
+      "null", // literal JSON null → same
+      """{"doc_id": 2, "text": "beta"}""")
+    Files.writeString(java.nio.file.Path.of(s"$dir/part.jsonl"),
+      lines.mkString("\n"))
+
+    val (clean, quarantine) = JsonLines.readWithQuarantine(spark, dir, schema)
+    val cleanRows = clean.orderBy("doc_id").collect()
+    assert(cleanRows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // no all-null row slipped through
+    assert(clean.where(col("doc_id").isNull && col("text").isNull).isEmpty)
+    assert(quarantine.collect().map(_.getString(0)).sorted.toSeq == Seq("", "null"))
+  }
+
   test("round-trip: documents fixture → JSONL → identical frame, zero quarantine") {
     val dir = Files.createTempDirectory("graft-jsonl-rt").toString
     val docs = Tables.documents(spark, sf)
