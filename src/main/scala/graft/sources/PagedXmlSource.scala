@@ -113,6 +113,30 @@ object PagedXmlSource {
     limit.fold(skipped)(skipped.take)
   }
 
+  /** Unsigned byte-wise comparison of the UTF-8 encodings — the order
+    * Spark itself uses for strings (`UTF8String.binaryCompare`). UTF-16
+    * `String.compareTo` disagrees on any pair straddling the surrogate
+    * range (e.g. U+FF01 vs U+10000), and under pushed TopN the source
+    * truncates to its OWN top-N, so an ordering mismatch would return
+    * rows Spark cannot repair. */
+  private def compareUtf8(s: String, t: String): Int = {
+    val x = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Column types the source has a Spark-order-faithful comparator for;
+    * `pushTopN` refuses sort keys outside this set. */
+  private[sources] def topNComparable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt == StringType || dt == IntegerType
+
   private def compareRows(a: Map[String, Any], b: Map[String, Any],
       keys: Seq[(String, Boolean, Boolean)]): Int = {
     for ((col, asc, nullsFirst) <- keys) {
@@ -122,8 +146,10 @@ object PagedXmlSource {
         case (null, _) => if (nullsFirst) -1 else 1
         case (_, null) => if (nullsFirst) 1 else -1
         case (i: Int, j: Int) => Integer.compare(i, j)
-        case (s: String, t: String) => s.compareTo(t)
-        case (u, v) => u.toString.compareTo(v.toString)
+        case (s: String, t: String) => compareUtf8(s, t)
+        case (u, v) => throw new IllegalStateException(
+          s"no typed comparator for $col: ${u.getClass} vs ${v.getClass} — " +
+            "pushTopN should have refused this key")
       }
       if (c != 0) return if (asc) c else -c
     }
@@ -159,12 +185,22 @@ object PagedXmlSource {
     * (matching the previous DOM `getElementsByTagName(...).item(0)`
     * behavior); DTDs and external entities are disabled (XXE hardening
     * for a feed of untrusted XML). */
-  private def doParse(path: String): Seq[Map[String, Any]] = {
+  private def doParse(path: String): Seq[Map[String, Any]] =
+    doParseStream(new java.io.BufferedInputStream(new java.io.FileInputStream(path)))
+
+  /** Parse an already-fetched XML document (the shape a streaming
+    * file-arrival pipeline holds after `wholetext` read: one document per
+    * row, no path). Same StAX flattening as the batch scan. */
+  private[graft] def parseString(xml: String): Seq[Map[String, Any]] =
+    doParseStream(new java.io.ByteArrayInputStream(
+      xml.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+
+  private def doParseStream(in0: java.io.InputStream): Seq[Map[String, Any]] = {
     import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
     val f = XMLInputFactory.newInstance()
     f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
     f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, java.lang.Boolean.FALSE)
-    val in = new java.io.BufferedInputStream(new java.io.FileInputStream(path))
+    val in = in0
     val r = f.createXMLStreamReader(in)
     try {
       val rows = Seq.newBuilder[Map[String, Any]]
@@ -263,7 +299,9 @@ private[sources] class PagedXmlScanBuilder(options: CaseInsensitiveStringMap)
     val keys = orders.toSeq.map { o =>
       o.expression() match {
         case nr: NamedReference if nr.fieldNames.length == 1 &&
-            PagedXmlSource.schema.fieldNames.contains(nr.fieldNames()(0)) =>
+            PagedXmlSource.schema.fields.exists(f =>
+              f.name == nr.fieldNames()(0) &&
+                PagedXmlSource.topNComparable(f.dataType)) =>
           Some((nr.fieldNames()(0),
             o.direction() == org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING,
             o.nullOrdering() == org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST))

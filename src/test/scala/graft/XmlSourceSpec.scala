@@ -130,6 +130,41 @@ class XmlSourceSpec extends SparkSpec {
     assert(sorted.collect().map(_.getString(0)).toSeq == sExpected)
   }
 
+  test("pushed top-N orders strings by UTF-8 bytes — Spark's order — beyond the BMP") {
+    // U+FF61 sorts AFTER U+10000 under UTF-16 `String.compareTo` (code
+    // unit 0xFF61 > surrogate 0xD800) but BEFORE it in UTF-8 byte order
+    // (EF BD A1 < F0 90 80 80), which is the order Spark's UTF8String
+    // uses. Under pushed TopN the source truncates to its OWN top-N, so
+    // an ordering mismatch SELECTS the wrong rows — with limit 2 below,
+    // a UTF-16 comparator keeps {AB, A+U+10000} while Spark's order
+    // wants {AB, A U+FF61}: a wrong SET, which no post-sort can repair.
+    val msgs = Seq("A｡", "A" + new String(Character.toChars(0x10000)), "AB", "Å")
+    val sb = new StringBuilder("<RESPONSE><RESULT>")
+    sb.append("<Situation><Id>sit1</Id>")
+    sb.append("<ModifiedTime>2024-01-01T00:00:00Z</ModifiedTime>")
+    sb.append("<PublicationTime>2024-01-01T00:00:00Z</PublicationTime>")
+    for ((m, i) <- msgs.zipWithIndex) {
+      sb.append("<Deviation>")
+      sb.append(s"<DeviationId>d$i</DeviationId>")
+      sb.append(s"<Message>$m</Message>")
+      sb.append(s"<StartTime>2024-01-01T0$i:00:00Z</StartTime>")
+      sb.append("</Deviation>")
+    }
+    sb.append("</Situation></RESULT></RESPONSE>")
+    val p = Files.createTempFile("graft-utf8-topn", ".xml")
+    Files.writeString(p, sb.toString)
+    val src = spark.read.format("paged-xml").option("path", p.toString)
+
+    val df = src.load().orderBy(col("message")).limit(2).select("message")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedTopN: [message ASC"), s"top-N not pushed:\n$plan")
+    // expected = Spark's own global sort over the un-truncated scan
+    val expected = src.load().select("message").orderBy(col("message"))
+      .collect().map(_.getString(0)).take(2).toSeq
+    assert(df.collect().map(_.getString(0)).toSeq == expected,
+      "source top-N order diverges from Spark's string order")
+  }
+
   test("short name 'paged-xml' resolves via DataSourceRegister") {
     val df = spark.read.format("paged-xml").option("path", xmlPath).load()
     assert(df.count() == 25)
