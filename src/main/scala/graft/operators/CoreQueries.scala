@@ -17,6 +17,18 @@ object CoreQueries {
 
   private def now: Column = expr(s"TIMESTAMP_NTZ '${Fixtures.NowLit}'")
 
+  /** The dashboard's county color map as a file, written once per JVM the
+    * way `save_color_map` does (src/app/streamlit_app.py:271-277) so
+    * `q_color_map` can exercise the load path (file → engine → dim). */
+  private[operators] def colorMapFile(): String = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_county_colors.json")
+    val doc =
+      """{"Stockholms län": "#1f77b4", "Uppsala län": "#ff7f0e", "Skåne län": "#2ca02c"}"""
+    java.nio.file.Files.write(p, doc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    p.toString
+  }
+
   // ---------------------------------------------------------------- library
 
   /** Temporal status classifier (reference src/trv/transform.py:68-73):
@@ -204,6 +216,62 @@ object CoreQueries {
               |               ELSE CAST(ts AS TIMESTAMP) + INTERVAL 5 DAY END AS end_ts
               |        FROM events))
               |WHERE status IS NOT NULL ORDER BY event_id""".stripMargin)),
+
+    // P3, all three reference forks side by side. The reference derives
+    // status in three places with subtly different semantics:
+    //  - canonical (src/trv/transform.py:68-73): future → KOMMANDE; open
+    //    or unexpired → PÅGÅR; expired → row DROPPED (NULL here so the
+    //    fork is visible);
+    //  - etl_runner (src/app/etl_runner.py:67-79): requires a start time,
+    //    end bound is INCLUSIVE (now == end is still PÅGÅR), and expired /
+    //    start-less rows are KEPT with "" status;
+    //  - endpoints (src/trv/endpoints.py:33-57): strict end bound, and a
+    //    fallback label — start-less → PÅGÅR, expired → KOMMANDE (never
+    //    empty, never dropped).
+    // start is NULLed every 11th row and end pinned exactly to "now" every
+    // 13th, so every fork's distinguishing branch is exercised.
+    QueryDef(
+      "q_status_variants",
+      (s, d) => Tables.events(s, d)
+        .withColumn("start_ts",
+          when(col("event_id") % 11 === 0, lit(null).cast("timestamp_ntz"))
+            .otherwise(col("ts")))
+        .withColumn("end_ts",
+          when(col("event_id") % 3 === 0, lit(null).cast("timestamp_ntz"))
+            .when(col("event_id") % 13 === 0, now)
+            .otherwise(col("ts") + expr("INTERVAL 5 DAY")))
+        .select(
+          col("event_id"),
+          statusOf(col("start_ts"), col("end_ts"), now).as("status_canonical"),
+          when(col("start_ts").isNotNull && now < col("start_ts"), "KOMMANDE")
+            .when(col("start_ts").isNotNull &&
+              (col("end_ts").isNull || now <= col("end_ts")), "PÅGÅR")
+            .otherwise("").as("status_etl"),
+          when(col("start_ts").isNull, "PÅGÅR")
+            .when(col("start_ts") > now, "KOMMANDE")
+            .when(col("end_ts").isNull || col("end_ts") > now, "PÅGÅR")
+            .otherwise("KOMMANDE").as("status_endpoints"))
+        .orderBy("event_id"),
+      Some(s"""SELECT event_id,
+              |  CASE WHEN start_ts > TIMESTAMP '${Fixtures.NowLit}' THEN 'KOMMANDE'
+              |       WHEN end_ts IS NULL OR end_ts > TIMESTAMP '${Fixtures.NowLit}' THEN 'PÅGÅR'
+              |  END AS status_canonical,
+              |  CASE WHEN start_ts IS NOT NULL AND TIMESTAMP '${Fixtures.NowLit}' < start_ts THEN 'KOMMANDE'
+              |       WHEN start_ts IS NOT NULL
+              |            AND (end_ts IS NULL OR TIMESTAMP '${Fixtures.NowLit}' <= end_ts) THEN 'PÅGÅR'
+              |       ELSE '' END AS status_etl,
+              |  CASE WHEN start_ts IS NULL THEN 'PÅGÅR'
+              |       WHEN start_ts > TIMESTAMP '${Fixtures.NowLit}' THEN 'KOMMANDE'
+              |       WHEN end_ts IS NULL OR end_ts > TIMESTAMP '${Fixtures.NowLit}' THEN 'PÅGÅR'
+              |       ELSE 'KOMMANDE' END AS status_endpoints
+              |FROM (SELECT event_id,
+              |    CASE WHEN event_id % 11 = 0 THEN NULL
+              |         ELSE CAST(ts AS TIMESTAMP) END AS start_ts,
+              |    CASE WHEN event_id % 3 = 0 THEN NULL
+              |         WHEN event_id % 13 = 0 THEN TIMESTAMP '${Fixtures.NowLit}'
+              |         ELSE CAST(ts AS TIMESTAMP) + INTERVAL 5 DAY END AS end_ts
+              |  FROM events)
+              |ORDER BY event_id""".stripMargin)),
 
     // P2/P8 timestamp normalize + numeric coercion, junk → NULL
     QueryDef(
@@ -662,6 +730,50 @@ object CoreQueries {
              |                  + strpos('0123456789abcdef', substr(h, 6, 1)) - 1 ELSE 70 END AS b,
              |  210 AS a
              |FROM p ORDER BY event_id""".stripMargin)),
+
+    // P11+P5 file-driven color-map dimension (save_color_map /
+    // load_color_map, src/app/streamlit_app.py:262-277): a {county →
+    // "#RRGGBB"} JSON document persisted to a file, read back through the
+    // engine, exploded to a dim, broadcast-joined to per-county groups,
+    // and composed with the hex→RGBA formatter; counties absent from the
+    // map fall back to a default color exactly like the dashboard does.
+    QueryDef(
+      "q_color_map",
+      (s, d) => {
+        val path = colorMapFile()
+        val dim = s.read.option("wholetext", "true").text(path)
+          .select(explode(from_json(col("value"),
+              org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")))
+            .as(Seq("county", "hex_color")))
+        val names = array(
+          lit("Stockholms län"), lit("Uppsala län"), lit("Skåne län"),
+          lit("Västra Götalands län"), lit("Okänt län"))
+        val groups = Tables.events(s, d)
+          .select(element_at(names, (col("user_id") % 5 + 1).cast("int")).as("county"))
+          .groupBy("county").agg(count(lit(1)).as("n"))
+        groups.join(broadcast(dim), Seq("county"), "left")
+          .withColumn("hex_color", coalesce(col("hex_color"), lit("#cccccc")))
+          .withColumn("rgba", hexToRgba(col("hex_color"), 210))
+          .select(col("county"), col("n"), col("hex_color"),
+            col("rgba.r").as("r"), col("rgba.g").as("g"),
+            col("rgba.b").as("b"), col("rgba.a").as("a"))
+          .orderBy("county")
+      },
+      Some("""WITH grp AS (SELECT
+             |    ['Stockholms län','Uppsala län','Skåne län','Västra Götalands län','Okänt län']
+             |      [CAST(user_id % 5 AS INT) + 1] AS county,
+             |    count(*) AS n
+             |  FROM events GROUP BY 1),
+             |cm(county, hex_color, r, g, b) AS (VALUES
+             |  ('Stockholms län', '#1f77b4', 31, 119, 180),
+             |  ('Uppsala län', '#ff7f0e', 255, 127, 14),
+             |  ('Skåne län', '#2ca02c', 44, 160, 44))
+             |SELECT grp.county, n,
+             |  coalesce(cm.hex_color, '#cccccc') AS hex_color,
+             |  coalesce(cm.r, 204) AS r, coalesce(cm.g, 204) AS g,
+             |  coalesce(cm.b, 204) AS b, 210 AS a
+             |FROM grp LEFT JOIN cm ON cm.county = grp.county
+             |ORDER BY grp.county""".stripMargin)),
 
     // A5 extension: span → map-zoom bucketing ladder
     // (src/app/streamlit_app.py:424-430); per-group spans scaled across
