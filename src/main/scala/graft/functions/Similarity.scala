@@ -152,10 +152,11 @@ object Similarity {
       .orderBy("qid")
   }
 
-  /** recall@5 of nprobe-cell IVF search against the exact brute-force
-    * top-5, for an arbitrary codebook `cents` (cent_id, ce). `emb` is
-    * (vec_id, ed); queries are rows matching `isQuery`. */
-  def ivfRecallAt5(emb: DataFrame, cents: DataFrame, isQuery: Column,
+  /** The nprobe-cell IVF candidate set as SKINNY (qid, vec_id) pairs:
+    * every vector assigned to one of the query's `nprobe` nearest cells.
+    * Shared by the recall gate and the tuning frontier so the two can
+    * never measure different index shapes. */
+  def ivfCandidates(emb: DataFrame, cents: DataFrame, isQuery: Column,
       nprobe: Int): DataFrame = {
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("cdot").desc, col("cent_id"))
@@ -170,22 +171,75 @@ object Similarity {
     // back only for scoring — same shape as lshTopK (carrying the 64-dim
     // arrays through the dedup was this repo's measured q_near_dup_cosine
     // scale bug)
-    val cand = assign.select(col("vec_id"), col("cluster"))
+    assign.select(col("vec_id"), col("cluster"))
       .join(broadcast(probes), "cluster")
       .where(col("vec_id") =!= col("qid"))
       .select("qid", "vec_id").distinct()
-    val e = emb.select(col("vec_id"), col("ed"))
-    val wRank = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
-    val ivfTop = cand
+  }
+
+  /** Exact-score a (qid, vec_id) candidate set and keep each query's
+    * top-k — the shared scoring tail of every bucketed ANN variant. */
+  def scoreCandidatesTopK(cand: DataFrame, e: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    cand
       .join(e.select(col("vec_id").as("qid"), col("ed").as("qe")), "qid")
       .join(e, "vec_id")
       .withColumn("sim", round(dot(col("qe"), col("ed")), 4))
-      .withColumn("rn", row_number().over(wRank))
-      .where(col("rn") <= 5)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
       .select("qid", "vec_id")
+  }
+
+  /** recall@5 of nprobe-cell IVF search against the exact brute-force
+    * top-5, for an arbitrary codebook `cents` (cent_id, ce). `emb` is
+    * (vec_id, ed); queries are rows matching `isQuery`. */
+  def ivfRecallAt5(emb: DataFrame, cents: DataFrame, isQuery: Column,
+      nprobe: Int): DataFrame = {
+    val cand = ivfCandidates(emb, cents, isQuery, nprobe)
+    val ivfTop = scoreCandidatesTopK(cand, emb.select("vec_id", "ed"), 5)
     val q = emb.where(isQuery)
       .select(col("vec_id").as("qid"), col("ed").as("qe"))
     recallAt5VsBrute(emb, ivfTop, q)
+  }
+
+  /** One point on the banded-LSH tuning frontier: mean recall@5 vs brute
+    * force and mean exact-score candidates per query for one bands×bits
+    * shape — the two numbers the index dial trades off (1−(1−p^bits)^bands
+    * recall vs candidates ∝ bucket collisions). `embRaw` carries the raw
+    * `embedding` column; requires bands·bits ≤ dims. Diagnostic: collects
+    * three scalars to the driver. */
+  def lshFrontierPoint(embRaw: DataFrame, isQuery: Column,
+      bands: Int, bits: Int): (Double, Double) = {
+    val eb = explodeBands(embRaw.select("vec_id", "embedding"),
+      col("embedding"), bands, bits).drop("embedding")
+    val cand = eb.join(
+        eb.where(isQuery)
+          .select(col("vec_id").as("qid"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .where(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").distinct()
+    val e = embRaw.select(col("vec_id"), asDouble(col("embedding")).as("ed"))
+    val q2 = e.where(isQuery).select(col("vec_id").as("qid"), col("ed").as("qe"))
+    val top = scoreCandidatesTopK(cand, e, 5)
+    val nq = math.max(1L, q2.count())
+    val candPerQ = cand.count().toDouble / nq
+    val recall = recallAt5VsBrute(e, top, q2)
+      .agg(avg("recall_at_5")).head().getDouble(0)
+    (recall, candPerQ)
+  }
+
+  /** One point on the IVF tuning frontier: mean recall@5 and mean
+    * candidates per query at a given nprobe. */
+  def ivfFrontierPoint(emb: DataFrame, cents: DataFrame, isQuery: Column,
+      nprobe: Int): (Double, Double) = {
+    val cand = ivfCandidates(emb, cents, isQuery, nprobe)
+    val q2 = emb.where(isQuery)
+      .select(col("vec_id").as("qid"), col("ed").as("qe"))
+    val nq = math.max(1L, q2.count())
+    val candPerQ = cand.count().toDouble / nq
+    val recall = ivfRecallAt5(emb, cents, isQuery, nprobe)
+      .agg(avg("recall_at_5")).head().getDouble(0)
+    (recall, candPerQ)
   }
 
   /** Spherical-k-means codebook trainer (Lloyd iterations, cosine
@@ -812,12 +866,13 @@ object Similarity {
     QueryDef(
       "q_embed_quantize",
       (s, d) => Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          quantizeInt8(asDouble(col("embedding"))).as("q"))
         .select(
           col("vec_id"),
-          aggregate(quantizeInt8(asDouble(col("embedding"))), lit(0L),
-            (acc, x) => acc + x).as("q_sum"),
-          array_min(quantizeInt8(asDouble(col("embedding")))).as("q_min"),
-          array_max(quantizeInt8(asDouble(col("embedding")))).as("q_max"))
+          aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+          array_min(col("q")).as("q_min"),
+          array_max(col("q")).as("q_max"))
         .orderBy("vec_id"),
       Some("""SELECT vec_id,
              |  CAST(list_sum(q) AS BIGINT) AS q_sum,

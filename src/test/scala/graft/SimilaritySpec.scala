@@ -74,6 +74,29 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"mean recall@5 = $recall")
   }
 
+  test("tuning-frontier points: more bands / more probes never lose recall, costs stay sane") {
+    val embRaw = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val emb = embRaw.select(col("vec_id"),
+      Similarity.asDouble(col("embedding")).as("ed"))
+    val isQuery = col("vec_id") >= 8 && col("vec_id") < 18
+    val n = embRaw.count().toDouble
+
+    val (r8, c8) = Similarity.lshFrontierPoint(embRaw, isQuery, 8, 4)
+    val (r16, c16) = Similarity.lshFrontierPoint(embRaw, isQuery, 16, 4)
+    // the 16-band bucket union contains the 8-band union (same first 8
+    // bands), so recall and candidate count are both monotone
+    assert(r16 >= r8, s"recall dropped adding bands: $r8 → $r16")
+    assert(c16 >= c8 && c16 <= n, s"candidates not monotone/bounded: $c8 → $c16")
+    assert(r8 >= 0.0 && r16 <= 1.0)
+
+    val cents = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("ed").as("ce"))
+    val (p1, k1) = Similarity.ivfFrontierPoint(emb, cents, isQuery, 1)
+    val (p2, k2) = Similarity.ivfFrontierPoint(emb, cents, isQuery, 2)
+    assert(p2 >= p1, s"recall dropped adding probes: $p1 → $p2")
+    assert(k2 >= k1 && k2 <= n, s"candidates not monotone/bounded: $k1 → $k2")
+  }
+
   test("2-probe IVF recall@5 holds its measured floor (untrained codebook)") {
     val recall = SparkEntry.queries("q_ivf_recall")(spark, sf)
       .agg(avg("recall_at_5")).head().getDouble(0)
