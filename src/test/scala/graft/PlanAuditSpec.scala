@@ -11,6 +11,25 @@ class PlanAuditSpec extends SparkSpec {
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("declared path installs the heap rewrite on a vanilla session") {
+    // SparkEntry.queries wraps every fn in GraftRuntime.ensure so the
+    // driver's own Verify/Bench sessions — built WITHOUT withExtensions —
+    // still plan per-group top-k through the heap operator. A fresh
+    // newSession() has empty experimental hooks, so this fails if the
+    // wrapper is ever dropped.
+    val vanilla = spark.newSession()
+    assert(vanilla.experimental.extraStrategies.isEmpty &&
+      vanilla.experimental.extraOptimizations.isEmpty,
+      "newSession() was expected to start with no experimental hooks")
+    for (name <- Seq("q_topk_heap", "q_ann_recall", "q_ivf_recall",
+        "q_pq_recall", "q_ivfpq_recall")) {
+      val plan = SparkEntry.queries(name)(vanilla, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerGroup"),
+        s"$name did not plan through the heap operator on a vanilla session:\n$plan")
+    }
+  }
+
   test("no declared query plans a CartesianProduct") {
     // brute-force baselines use broadcast nested loop ON PURPOSE (small
     // side broadcast); an unbroadcast cartesian product is never intended
