@@ -348,6 +348,65 @@ object DedupOps extends org.apache.spark.internal.Logging {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // C4-style corpus-wide LINE dedup (the other axis from whole-doc
+    // dedup: a boilerplate line repeated across thousands of pages is
+    // removed everywhere but its first occurrence, and documents that
+    // become empty are dropped). Three stages, all keyed shuffles with
+    // no driver state, so the shape survives 100 TB: segment (here into
+    // deterministic 8-word lines — the fixture text has no newlines;
+    // with real text the split is `\n`), keep-first per exact line
+    // (window partitioned BY LINE TEXT — the canonical C4 shuffle,
+    // skinny (line, doc_id, line_no) rows), reassemble in line order
+    // (shuffle by doc_id). Keep-first order is pinned (doc_id, line_no)
+    // for cross-engine determinism.
+    QueryDef(
+      "q_line_dedup",
+      (s, d) => {
+        val words = split(col("text"), " ")
+        val nLines = ceil(size(words) / lit(8.0)).cast("int")
+        val segmented = Tables.documents(s, d).select(
+          col("doc_id"),
+          when(nLines > lit(0), transform(sequence(lit(0), nLines - 1),
+              i => array_join(slice(words, i * 8 + 1, lit(8)), " ")))
+            .otherwise(array().cast("array<string>")).as("lines"))
+        val exploded = segmented.select(col("doc_id"),
+          posexplode(col("lines")).as(Seq("line_no", "line")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("line").orderBy("doc_id", "line_no")
+        exploded
+          .withColumn("rn", row_number().over(w))
+          .groupBy("doc_id")
+          .agg(
+            sum(when(col("rn") === 1, 1L).otherwise(0L)).as("kept_lines"),
+            sum(when(col("rn") > 1, 1L).otherwise(0L)).as("dropped_lines"),
+            array_join(
+              transform(
+                array_sort(collect_list(
+                  when(col("rn") === 1, struct(col("line_no"), col("line"))))),
+                x => x.getField("line")),
+              " ").as("cleaned"))
+          .where(col("kept_lines") > 0)
+          .orderBy("doc_id")
+      },
+      Some("""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |lines AS (
+             |  SELECT doc_id, CAST(i AS INT) AS line_no,
+             |    array_to_string(w[(CAST(i AS INT)*8+1):(CAST(i AS INT)*8+8)], ' ') AS line
+             |  FROM words, UNNEST(range(CAST(ceil(len(w)/8.0) AS BIGINT))) AS t(i)
+             |),
+             |kept AS (
+             |  SELECT doc_id, line_no, line,
+             |    row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+             |  FROM lines
+             |)
+             |SELECT doc_id,
+             |  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS kept_lines,
+             |  CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS dropped_lines,
+             |  string_agg(line, ' ' ORDER BY line_no) FILTER (WHERE rn = 1) AS cleaned
+             |FROM kept GROUP BY doc_id
+             |HAVING count(*) FILTER (WHERE rn = 1) > 0
+             |ORDER BY doc_id""".stripMargin)),
+
     // edit-distance-1 fuzzy self-join via deletion-neighborhood blocking
     // (the SymSpell trick): every string produces itself plus each
     // one-char-deletion variant; two strings within Levenshtein distance

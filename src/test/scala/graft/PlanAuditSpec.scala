@@ -30,6 +30,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_color_map: the file-backed color dim is a broadcast join") {
+    val plan = planOf("q_color_map")
+    assert(plan.contains("BroadcastHashJoin"), s"color dim not broadcast:\n$plan")
+  }
+
+  test("q_line_dedup: both dedup stages shuffle on their keys (line, then doc_id)") {
+    val plan = planOf("q_line_dedup")
+    assert(plan.contains("hashpartitioning(line#"),
+      s"keep-first window not keyed on line text:\n$plan")
+    assert(plan.contains("hashpartitioning(doc_id#"),
+      s"reassembly not keyed on doc_id:\n$plan")
+  }
+
   test("no declared query plans a CartesianProduct") {
     // brute-force baselines use broadcast nested loop ON PURPOSE (small
     // side broadcast); an unbroadcast cartesian product is never intended
