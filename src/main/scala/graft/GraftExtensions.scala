@@ -1,6 +1,7 @@
 package graft
 
-import graft.functions.{CosineSim, DotProduct, RollingHash, WktCentroid}
+import graft.functions.{CosineSim, DotProduct, HyperplaneSigs, RollingHash, WktCentroid}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -14,6 +15,17 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *    `spark.sql.extensions=graft.GraftExtensions` conf on a cluster).
   */
 object GraftFunctions {
+  /** SQL call sites pass band/bit counts as literals (the expression
+    * embeds them at plan time — they size generated code, not row data). */
+  private[graft] def litInt(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  private[graft] def mkHyperplaneSigs(exprs: Seq[Expression]): HyperplaneSigs =
+    HyperplaneSigs(exprs(0), litInt(exprs(1), "bands"), litInt(exprs(2), "bits"))
+
   def registerAll(spark: SparkSession): Unit = {
     WktCentroid.register(spark)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -22,6 +34,8 @@ object GraftFunctions {
       "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hyperplane_sigs", mkHyperplaneSigs, "built-in")
   }
 }
 
@@ -52,5 +66,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSim(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("hyperplane_sigs"),
+      new ExpressionInfo(classOf[HyperplaneSigs].getName, "hyperplane_sigs"),
+      GraftFunctions.mkHyperplaneSigs _))
   }
 }

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Growth-under-scale probe: materializes a FACTOR× (default 10×, ≈sf1)
+  * copy of an SF directory with referentially-consistent key offsets,
+  * then times representative queries at both scales and prints the
+  * per-query growth factor — the direct evidence for "would this plan
+  * survive a 10× scale-up?".
+  *
+  * Scaling is NOT naive row duplication (which would turn every dedup
+  * key into a 10-way collision and every dim join ambiguous):
+  *  - fact keys offset per copy, foreign keys offset with their parents
+  *    (orders→customer, lineitem→orders/part/supplier stay joinable);
+  *  - dimension tables (region, nation) stay unscaled — dims don't grow
+  *    10× when facts do;
+  *  - `documents.text` gets a per-copy suffix token, so copies form
+  *    NEAR-duplicate families of 10 — deliberate: web-scale corpora are
+  *    30–60% near-dup, so the dedup operators are probed on exactly the
+  *    distribution they exist for;
+  *  - `customer.c_name` suffixes are pairwise Levenshtein>1 across
+  *    copies, so the fuzzy join replicates original matches without
+  *    manufacturing quadratic cross-copy matches;
+  *  - each embedding copy is rotated by its copy index — norms and
+  *    intra-copy distances are preserved (rotated near-pairs stay near),
+  *    cross-copy cosines are background-level, so ANN input and output
+  *    both grow linearly.
+  *
+  * Usage: runMain graft.ScaleProbe [srcDir] [dstDir] [factor] [query...]
+  * Writes only under dstDir (default /tmp/graft_sf1). If dstDir already
+  * holds scaled tables, generation is skipped (delete it to regenerate);
+  * extra args restrict the probe to that query subset.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dst = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val subset = args.drop(3).toSet
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setCheckpointDir(s"$dst/_checkpoints")
+
+    def base(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+    def keyBase(df: DataFrame, c: String): Long =
+      df.agg(max(col(c).cast("long"))).head().getLong(0) + 1
+
+    /** One scaled copy: keys shifted by i×base keeping their type. */
+    def offsetKeys(df: DataFrame, i: Int, offs: Seq[(String, Long)]): DataFrame =
+      offs.foldLeft(df) { case (d, (c, b)) =>
+        d.withColumn(c, (col(c).cast("long") + lit(i * b)).cast(df.schema(c).dataType))
+      }
+
+    def writeScaled(name: String, mk: (DataFrame, Int) => DataFrame): Unit = {
+      val b = base(name)
+      (0 until factor).map(i => mk(b, i)).reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
+    }
+    def copyAsIs(name: String): Unit =
+      base(name).write.mode("overwrite").parquet(s"$dst/$name.parquet")
+
+    val alreadyScaled =
+      new java.io.File(s"$dst/embeddings.parquet").exists()
+    if (alreadyScaled) println(s"reusing scaled tables in $dst")
+    else {
+    println(s"scaling $src -> $dst at ${factor}x ...")
+    copyAsIs("region"); copyAsIs("nation")
+    val custB = keyBase(base("customer"), "c_custkey")
+    val ordB = keyBase(base("orders"), "o_orderkey")
+    val partB = keyBase(base("part"), "p_partkey")
+    val suppB = keyBase(base("supplier"), "s_suppkey")
+    val evB = keyBase(base("events"), "event_id")
+    val docB = keyBase(base("documents"), "doc_id")
+    val vecB = keyBase(base("embeddings"), "vec_id")
+
+    writeScaled("customer", (df, i) => {
+      val shifted = offsetKeys(df, i, Seq("c_custkey" -> custB))
+      // pairwise-distant suffixes: no manufactured cross-copy fuzzy matches
+      if (i == 0) shifted
+      else shifted.withColumn("c_name",
+        concat(col("c_name"), lit(" " + (('a' + i).toChar.toString * 2))))
+    })
+    writeScaled("supplier", offsetKeys(_, _, Seq("s_suppkey" -> suppB)))
+    writeScaled("part", offsetKeys(_, _, Seq("p_partkey" -> partB)))
+    writeScaled("orders",
+      offsetKeys(_, _, Seq("o_orderkey" -> ordB, "o_custkey" -> custB)))
+    writeScaled("lineitem", offsetKeys(_, _,
+      Seq("l_orderkey" -> ordB, "l_partkey" -> partB, "l_suppkey" -> suppB)))
+    writeScaled("events", offsetKeys(_, _, Seq("event_id" -> evB)))
+    writeScaled("documents", (df, i) => {
+      val shifted = offsetKeys(df, i, Seq("doc_id" -> docB))
+      if (i == 0) shifted
+      else shifted.withColumn("text", concat(col("text"), lit(s" v$i")))
+    })
+    writeScaled("embeddings", (df, i) => {
+      val shifted = offsetKeys(df, i, Seq("vec_id" -> vecB))
+      if (i == 0) shifted
+      // rotation: norm-preserving, intra-copy geometry unchanged,
+      // cross-copy cosine at background level
+      else shifted.withColumn("embedding", expr(
+        s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), " +
+          s"slice(embedding, 1, $i))"))
+    })
+    println("scaled tables written")
+    }
+
+    val probeQueries = Seq(
+      "q_line_dedup", "q_dedup_exact", "q_dedup_latest", "q_dedup_corpus",
+      "q_dup_clusters_star", "q_lsh_candidates", "q_embed_dedup",
+      "q_embed_dedup_adaptive",
+      "q_fuzzy_join", "q_boilerplate", "q_bigram_lm", "q_quality_filter",
+      "q_tfidf_terms", "q_ann_lsh", "q_cosine_topk", "q_ivfpq_recall",
+      "q1_pricing_summary", "q_tpch_q7", "q_tpch_q18", "q_group_count",
+      "q_topk_heap", "q_upsert_latest", "q_daily_trend")
+      .filter(SparkEntry.queries.contains)
+      .filter(q => subset.isEmpty || subset(q))
+
+    def timeMin2(name: String, dir: String): (Double, Long) = {
+      def once(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(name)(spark, dir).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val a = once(); val b = once()
+      (math.min(a._1, b._1), b._2)
+    }
+
+    println(f"| query | t@1x (s) | rows@1x | t@${factor}x (s) | rows@${factor}x | growth |")
+    println("|---|---:|---:|---:|---:|---:|")
+    for (q <- probeQueries) {
+      try {
+        val (t1, n1) = timeMin2(q, src)
+        val (tN, nN) = timeMin2(q, dst)
+        println(f"| $q | $t1%.2f | $n1 | $tN%.2f | $nN | ${tN / t1}%.1f× |")
+      } catch {
+        case t: Throwable =>
+          println(s"| $q | ERROR ${t.getClass.getSimpleName}: " +
+            s"${Option(t.getMessage).getOrElse("").take(120)} |")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -114,6 +114,10 @@ object ArrayMath {
   /** Column-API rolling hash (see [[RollingHash]]). */
   def rollingHash(s: Column): Column =
     ColumnBridge.column(RollingHash(ColumnBridge.expression(s)))
+
+  /** Column-API banded hyperplane signatures (see [[HyperplaneSigs]]). */
+  def hyperplaneSigs(v: Column, bands: Int, bits: Int): Column =
+    ColumnBridge.column(HyperplaneSigs(ColumnBridge.expression(v), bands, bits))
 }
 
 /** One-pass cosine similarity: a·b / (‖a‖·‖b‖) with all three accumulators
@@ -204,6 +208,108 @@ case class CosineSim(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =
     copy(left = newLeft, right = newRight)
+}
+
+/** Banded random-hyperplane LSH signatures with UNBOUNDED bits-per-band.
+  *
+  * The coordinate-sign construction used by the fixed-shape queries (sig =
+  * sign bits of `bits` consecutive dims) caps total signature width at the
+  * vector dimension — 64 bits for the fixture — which caps the bucket
+  * count per band at 2^(64/bands). All-pairs mining is quadratic in
+  * bucket occupancy (background candidates ≈ bands·n²/2^bits), so at
+  * growing corpus size `bits` must track log₂(n) past what coordinate
+  * signs can supply. This expression draws each hyperplane as a ±1 vector
+  * from a splitmix64-mixed counter keyed on (band, bit, dim-block) — the
+  * standard SRP (signed random projection) scheme: P(bit agrees) =
+  * 1 − θ(a,b)/π, independent across bits, unlimited supply.
+  *
+  * Returns `array<bigint>` of length `bands`; bit j of band b is set iff
+  * Σ_d ±v_d ≥ 0 for that hyperplane (accumulated left-to-right in IEEE
+  * double — deterministic). NULL elements poison the row to NULL (as in
+  * [[DotProduct]]). One traversal per (band, bit); the whole computation
+  * stays inside whole-stage codegen via a static helper call.
+  */
+case class HyperplaneSigs(child: Expression, bands: Int, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(bands > 0 && bits > 0 && bits <= 64,
+    s"hyperplane_sigs needs 1..64 bits per band, got bands=$bands bits=$bits")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(t, _) if Set[DataType](FloatType, DoubleType)(t) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_sigs requires array<float|double> input, got ${t.catalogString}")
+  }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HyperplaneSigs.compute(input.asInstanceOf[ArrayData], isFloat, bands, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val r = ctx.freshName("sigs")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r = graft.functions.HyperplaneSigs.compute(
+         |  $x, $isFloat, $bands, $bits);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override def prettyName: String = "hyperplane_sigs"
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSigs =
+    copy(child = newChild)
+}
+
+object HyperplaneSigs {
+  /** splitmix64 finalizer — full-avalanche mix of a counter. */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Null on any NULL element (poison semantics); otherwise bands longs. */
+  def compute(x: ArrayData, isFloat: Boolean, bands: Int, bits: Int): ArrayData = {
+    val n = x.numElements()
+    var d = 0
+    while (d < n) { if (x.isNullAt(d)) return null; d += 1 }
+    val v = new Array[Double](n)
+    d = 0
+    while (d < n) {
+      v(d) = if (isFloat) x.getFloat(d).toDouble else x.getDouble(d)
+      d += 1
+    }
+    val sigs = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var sig = 0L
+      var j = 0
+      while (j < bits) {
+        var acc = 0.0
+        var mask = 0L
+        d = 0
+        while (d < n) {
+          if ((d & 63) == 0) mask = mix((b.toLong * 1048576L + j) * 1024L + (d >> 6))
+          acc += (if (((mask >>> (d & 63)) & 1L) == 1L) v(d) else -v(d))
+          d += 1
+        }
+        if (acc >= 0) sig |= (1L << j)
+        j += 1
+      }
+      sigs(b) = sig
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs)
+  }
 }
 
 /** Rabin–Karp polynomial rolling hash over a string's UTF-8 bytes:

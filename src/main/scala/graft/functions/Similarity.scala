@@ -368,6 +368,78 @@ object Similarity {
       .where(col("rn") <= k)
   }
 
+  /** Shared corpus for the semantic-dedup queries: fixture embeddings plus
+    * deterministically injected duplicates — exact copies (sim 1.0) of
+    * every 10th vector and last-dimension-negated copies (sim = 1 − 2·v₆₄²,
+    * straddling the 0.95 threshold) of every 7th. Negation is exact in
+    * IEEE float, so both engines compute bit-identical sims. */
+  private def dedupCorpus(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val negLast = transform(col("embedding"),
+      (x, i) => when(i === 63, -x).otherwise(x))
+    emb
+      .unionByName(emb.where(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      .unionByName(emb.where(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 200000).as("vec_id"),
+          negLast.as("embedding")))
+  }
+
+  /** DuckDB twin of [[dedupCorpus]] (CTE body, no leading WITH). */
+  private val dedupCorpusSql: String =
+    """corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 10 = 0
+      |  UNION ALL
+      |  SELECT vec_id + 200000,
+      |    list_concat(embedding[1:63], [-embedding[64]])
+      |  FROM embeddings WHERE vec_id % 7 = 0)""".stripMargin
+
+  /** SRP-LSH shape for all-pairs mining at corpus size n: bits-per-band
+    * tracks log₂(n) so expected bucket occupancy — and with it the
+    * quadratic background-candidate term bands·n²/2^bits — stays bounded
+    * (≈ bands·n/16 with the +4 margin, i.e. linear in n); bands then
+    * come from inverting the OR-construction recall formula
+    * 1 − (1 − p^bits)^bands ≥ targetRecall at the threshold similarity's
+    * per-bit agreement p = 1 − acos(sim)/π. Measured on this box: the
+    * fixed 8×8 shape grew 17.9× on a 10× corpus (candidates ∝ n²), this
+    * shape grows ≈ linearly. */
+  def adaptiveBandShape(n: Long, simThreshold: Double, targetRecall: Double): (Int, Int) = {
+    val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
+    val bits = math.min(64, math.max(NdBits, ceilLog2 + 4))
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, simThreshold))) / math.Pi
+    val perBand = math.pow(p, bits)
+    val bands = math.max(1,
+      math.ceil(math.log1p(-targetRecall) / math.log1p(-perBand)).toInt)
+    (bands, bits)
+  }
+
+  /** Near-duplicate pairs (id1 < id2, exact-cosine-confirmed ≥ threshold)
+    * from adaptive-shape SRP-LSH candidates — the scale path for
+    * corpus-level semantic dedup. One counting pass sizes the shape
+    * ([[adaptiveBandShape]]); candidates stay SKINNY (vec_id, band, sig)
+    * through the self-join and pair-dedup, and the embeddings join back
+    * only for the exact confirm. Input must have (vec_id, embedding). */
+  def adaptiveNearDupPairs(emb: DataFrame, threshold: Double,
+      targetRecall: Double): DataFrame = {
+    val (bands, bits) = adaptiveBandShape(emb.count(), threshold, targetRecall)
+    val eb = emb.select(col("vec_id"),
+        posexplode(ArrayMath.hyperplaneSigs(col("embedding"), bands, bits)))
+      .toDF("vec_id", "band", "sig")
+    val cand = eb.select(col("vec_id").as("id1"), col("band"), col("sig"))
+      .join(eb.select(col("vec_id").as("id2"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .where(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("ed"))
+    cand
+      .join(e.select(col("vec_id").as("id1"), col("ed").as("e1")), "id1")
+      .join(e.select(col("vec_id").as("id2"), col("ed").as("e2")), "id2")
+      .where(round(dot(col("e1"), col("e2")), 4) >= threshold)
+      .select("id1", "id2")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // U5 brute-force cosine top-k (vectors are pre-normalized → dot =
@@ -521,15 +593,7 @@ object Similarity {
     QueryDef(
       "q_embed_dedup",
       (s, d) => {
-        val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
-        val negLast = transform(col("embedding"),
-          (x, i) => when(i === 63, -x).otherwise(x))
-        val corpus = emb
-          .unionByName(emb.where(col("vec_id") % 10 === 0)
-            .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
-          .unionByName(emb.where(col("vec_id") % 7 === 0)
-            .select((col("vec_id") + 200000).as("vec_id"),
-              negLast.as("embedding")))
+        val corpus = dedupCorpus(s, d)
         val eb = explodeBands(corpus, col("embedding"), NdBands, NdBits)
           .drop("embedding")
         val cand = eb.select(col("vec_id").as("id1"), col("band"), col("sig"))
@@ -550,14 +614,7 @@ object Similarity {
           .select("vec_id").orderBy("vec_id")
       },
       Some {
-        s"""WITH RECURSIVE corpus AS (
-           |  SELECT vec_id, embedding FROM embeddings
-           |  UNION ALL
-           |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 10 = 0
-           |  UNION ALL
-           |  SELECT vec_id + 200000,
-           |    list_concat(embedding[1:63], [-embedding[64]])
-           |  FROM embeddings WHERE vec_id % 7 = 0),
+        s"""WITH RECURSIVE $dedupCorpusSql,
            |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
            |             ${bandSigSqlCols(NdBands, NdBits).mkString(",\n             ")}
            |      FROM corpus),
@@ -567,6 +624,45 @@ object Similarity {
                .mkString("\n  UNION\n  ")}),
            |p AS (SELECT c.id1, c.id2
            |      FROM cand c JOIN e a ON a.vec_id = c.id1 JOIN e b ON b.vec_id = c.id2
+           |      WHERE round(list_dot_product(a.ed, b.ed), 4) >= 0.95),
+           |ee AS (SELECT id1, id2 FROM p UNION SELECT id2, id1 FROM p),
+           |reach(id, r) AS (
+           |  SELECT id1, id1 FROM ee
+           |  UNION
+           |  SELECT ee.id1, reach.r FROM ee JOIN reach ON reach.id = ee.id2),
+           |lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY 1)
+           |SELECT vec_id FROM corpus
+           |WHERE vec_id NOT IN (SELECT id FROM lab WHERE id <> cluster)
+           |ORDER BY vec_id""".stripMargin
+      }),
+
+    // the ADAPTIVE-shape twin of q_embed_dedup: same semantic contract
+    // (cosine ≥ 0.95 pairs → transitive clusters → keep min-id), but
+    // candidates come from [[adaptiveNearDupPairs]] — SRP-LSH with
+    // bits-per-band sized to log₂(corpus) at runtime, the shape that
+    // stays linear where the fixed 8×8 banding goes quadratic (measured:
+    // 17.9× time on a 10× corpus). The oracle is the BRUTE-FORCE ground
+    // truth (no LSH mirror): the rows hash-match iff realized recall is
+    // exactly 1.0 on the gate fixture — the recall target (0.9999 at the
+    // 0.95 boundary, higher above it) makes that hold, and with
+    // hash-derived hyperplanes the outcome is deterministic, so the gate
+    // is stable, not flaky.
+    QueryDef(
+      "q_embed_dedup_adaptive",
+      (s, d) => {
+        val corpus = dedupCorpus(s, d)
+        val pairs = adaptiveNearDupPairs(corpus, 0.95, 0.9999)
+        val clusters = graft.operators.DedupOps.connectedComponents(pairs)
+        val losers = clusters.where(col("id") =!= col("cluster"))
+          .select(col("id").as("vec_id"))
+        corpus.join(losers, Seq("vec_id"), "left_anti")
+          .select("vec_id").orderBy("vec_id")
+      },
+      Some {
+        s"""WITH RECURSIVE $dedupCorpusSql,
+           |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM corpus),
+           |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+           |      FROM e a JOIN e b ON a.vec_id < b.vec_id
            |      WHERE round(list_dot_product(a.ed, b.ed), 4) >= 0.95),
            |ee AS (SELECT id1, id2 FROM p UNION SELECT id2, id1 FROM p),
            |reach(id, r) AS (

@@ -104,6 +104,18 @@ class CodegenParitySpec extends SparkSpec {
     assert(native == composed)
   }
 
+  test("hyperplane_sigs: codegen and interpreted paths agree on generated vectors") {
+    val rows = samples(arrGen, 40).map(Row(_))
+    val schema = StructType(Seq(
+      StructField("v", ArrayType(FloatType, containsNull = true))))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    def run(on: Boolean): Seq[Any] = withCodegen(on) {
+      df.select(ArrayMath.hyperplaneSigs(col("v"), 5, 17).as("s"))
+        .collect().map(r => Option(r.getSeq[Long](0)).map(_.toList).orNull).toSeq
+    }
+    assert(run(true) == run(false))
+  }
+
   test("rolling_hash: codegen and interpreted paths agree on generated strings") {
     val strGen: Gen[String] = Gen.frequency(
       8 -> Gen.listOf(Gen.frequency(

@@ -156,4 +156,44 @@ class SimilaritySpec extends SparkSpec {
       .agg(avg("recall_at_5")).head().getDouble(0)
     assert(tuned > base, s"training did not help: untrained=$base trained=$tuned")
   }
+
+  test("hyperplaneSigs: deterministic, scale-invariant, sign-sensitive, null-poisoned") {
+    import graft.functions.ArrayMath
+    val emb = Tables.embeddings(spark, sf).limit(20)
+      .select(col("vec_id"), col("embedding"))
+    def sigsOf(c: org.apache.spark.sql.Column): Seq[Seq[Long]] =
+      emb.orderBy("vec_id")
+        .select(ArrayMath.hyperplaneSigs(c, 6, 20).as("s"))
+        .collect().map(_.getSeq[Long](0).toList).toSeq
+    val base = sigsOf(col("embedding"))
+    assert(base.forall(s => s.length == 6 && s.forall(v => v >= 0 && v < (1L << 20))))
+    assert(base == sigsOf(col("embedding")), "same input must give same sigs")
+    // positive scaling never crosses a hyperplane
+    assert(base == sigsOf(transform(col("embedding"), x => x * 7.5f)))
+    // negation flips (almost) every sign test → sigs must differ
+    val neg = sigsOf(transform(col("embedding"), x => -x))
+    assert(base.zip(neg).forall { case (a, b) => a != b })
+    // a NULL element poisons the row
+    val poisoned = emb.select(ArrayMath.hyperplaneSigs(
+      transform(col("embedding"),
+        (x, i) => when(i === 3, lit(null)).otherwise(x)), 6, 20).as("s"))
+      .collect()
+    assert(poisoned.forall(_.isNullAt(0)))
+  }
+
+  test("adaptiveBandShape: bits track log2(n), bands meet the recall target") {
+    for (n <- Seq(62L, 770L, 24860L, 2500000L)) {
+      val (bands, bits) = Similarity.adaptiveBandShape(n, 0.95, 0.9999)
+      // occupancy bound: bucket space ≥ 16n ⇒ background candidates
+      // bands·n²/2^bits ≤ bands·n/16 — linear in n
+      assert((1L << bits) >= 16 * n || bits == 64, s"n=$n bits=$bits")
+      // OR-construction recall at the threshold meets the target
+      val p = 1.0 - math.acos(0.95) / math.Pi
+      val recall = 1.0 - math.pow(1.0 - math.pow(p, bits), bands)
+      assert(recall >= 0.9999, s"n=$n bands=$bands bits=$bits recall=$recall")
+      // and bands is the MINIMAL such count (no gratuitous work)
+      val under = 1.0 - math.pow(1.0 - math.pow(p, bits), bands - 1)
+      assert(bands == 1 || under < 0.9999, s"n=$n bands=$bands not minimal")
+    }
+  }
 }

@@ -85,5 +85,15 @@ class SkewSpec extends SparkSpec {
       .head()
     assert(r.getDouble(0) == 4.0 && r.getDouble(1) == 11.0)
     assert(r.isNullAt(2)) // null element poisons the product
+    // hyperplane_sigs takes its shape as literals (plan-time constants)
+    val hs = spark.sql(
+      "SELECT hyperplane_sigs(array(1.0D, -2.0D, 0.5D), 3, 12) AS s").head()
+    assert(hs.getSeq[Long](0).length == 3 &&
+      hs.getSeq[Long](0).forall(v => v >= 0 && v < (1L << 12)))
+    val err = intercept[Exception](
+      spark.sql("SELECT hyperplane_sigs(array(1.0D), 1 + 2, 12)").head())
+    val messages = Iterator.iterate(err: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(messages.exists(_.contains("integer literal")), messages.toString)
   }
 }
