@@ -110,6 +110,39 @@ object DedupOps extends org.apache.spark.internal.Logging {
       .select("id1", "id2").distinct()
   }
 
+  /** Incremental batch dedup against a STORED corpus index — the
+    * operating mode a 100 TB curation pipeline actually runs: the
+    * established corpus is never re-read or re-clustered; only its
+    * skinny (id, band, bucket) LSH index (maintained by appending each
+    * accepted batch's buckets, see [[lshBuckets]]) joins against the new
+    * batch. Cost ∝ |batch| · bands, independent of corpus size.
+    *
+    * Contract (candidate-level, like [[lshCandidates]]): a batch row
+    * sharing ANY band bucket with the index is a duplicate of the
+    * corpus and drops; the remaining rows dedup among themselves
+    * (bucket self-join → transitive clusters → keep min id). Returns
+    * the surviving batch rows with their original columns. */
+  def dedupAgainstIndex(batch: DataFrame, index: DataFrame, id: String,
+      k: Int, rowsPerBand: Int): DataFrame = {
+    val bb = lshBuckets(
+      minhashSignature(batch, id, "text", k, shingleN = 3), id, k, rowsPerBand)
+    val hitBase = bb
+      .join(index.select(col("band"), col("bucket")), Seq("band", "bucket"),
+        "left_semi")
+      .select(col(id)).distinct()
+    val fresh = batch.join(hitBase, Seq(id), "left_anti")
+    val fb = bb.join(fresh.select(id), Seq(id), "left_semi")
+      .repartition(col("band"), col("bucket"))
+    val pairs = fb.select(col(id).as("id1"), col("band"), col("bucket"))
+      .join(fb.select(col(id).as("id2"), col("band"), col("bucket"))
+        .hint("shuffle_hash"), Seq("band", "bucket"))
+      .where(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val losers = connectedComponents(pairs)
+      .where(col("id") =!= col("cluster")).select(col("id").as(id))
+    fresh.join(losers, Seq(id), "left_anti")
+  }
+
   /** Exact token-set Jaccard similarity for a pair set — used to verify
     * LSH candidates. Input: token table (id, tok) distinct; pairs from a
     * self equi-join on tok (cheap when restricted to candidates).
@@ -675,6 +708,73 @@ object DedupOps extends org.apache.spark.internal.Logging {
               |  SELECT e.id1, reach.r FROM e JOIN reach ON reach.id = e.id2),
               |lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY 1)
               |SELECT doc_id FROM corpus
+              |WHERE doc_id NOT IN (SELECT id FROM lab WHERE id <> cluster)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // incremental dedup — [[dedupAgainstIndex]] as a declared query. The
+    // corpus splits into an established base (doc_id % 5 ≠ 0) whose LSH
+    // index is the only thing the batch touches, and a new batch
+    // (doc_id % 5 = 0) salted with two dup classes: exact copies of base
+    // docs (must drop via the index hit) and exact copies of batch docs
+    // (must drop via the batch-internal cluster, keeping the min id).
+    // The oracle recomputes the whole chain; at 100 TB the base side of
+    // this plan is an index READ, not a corpus scan — that asymmetry is
+    // the operator's reason to exist.
+    QueryDef(
+      "q_incremental_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val base = docs.where(col("doc_id") % 5 =!= 0)
+        val batch = docs.where(col("doc_id") % 5 === 0)
+          .unionByName(base.where(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+          .unionByName(docs.where(col("doc_id") % 15 === 0)
+            .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+        val index = lshBuckets(
+          minhashSignature(base, "doc_id", "text", 4, shingleN = 3),
+          "doc_id", 4, 2)
+        dedupAgainstIndex(batch, index, "doc_id", 4, 2)
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE
+              |base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+              |batch AS (
+              |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+              |  UNION ALL
+              |  SELECT doc_id + 100000, text FROM documents
+              |  WHERE doc_id % 5 <> 0 AND doc_id % 7 = 0
+              |  UNION ALL
+              |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 15 = 0),
+              |allt AS (SELECT * FROM base UNION ALL SELECT * FROM batch),
+              |t AS (SELECT DISTINCT doc_id, unnest(sh) AS tok FROM (
+              |    SELECT doc_id,
+              |      [array_to_string(toks[i:i+2], ' ')
+              |       for i in range(1, greatest(len(toks)-2, 1)+1)] AS sh
+              |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM allt))),
+              |sig AS (SELECT doc_id,
+              |    min(substr(md5(tok), 1, 8)) AS s1, min(substr(md5(tok), 9, 8)) AS s2,
+              |    min(substr(md5(tok), 17, 8)) AS s3, min(substr(md5(tok), 25, 8)) AS s4
+              |  FROM t GROUP BY 1),
+              |b AS (SELECT doc_id, 0 AS band, md5(s1 || s2) AS bucket FROM sig
+              |      UNION ALL SELECT doc_id, 1 AS band, md5(s3 || s4) FROM sig),
+              |basehit AS (SELECT DISTINCT bb.doc_id FROM b bb
+              |            JOIN b ib ON ib.band = bb.band AND ib.bucket = bb.bucket
+              |            WHERE bb.doc_id IN (SELECT doc_id FROM batch)
+              |              AND ib.doc_id IN (SELECT doc_id FROM base)),
+              |fresh AS (SELECT doc_id FROM batch
+              |          WHERE doc_id NOT IN (SELECT doc_id FROM basehit)),
+              |p AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+              |      FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket
+              |      WHERE l.doc_id < r.doc_id
+              |        AND l.doc_id IN (SELECT doc_id FROM fresh)
+              |        AND r.doc_id IN (SELECT doc_id FROM fresh)),
+              |e AS (SELECT id1, id2 FROM p UNION SELECT id2, id1 FROM p),
+              |reach(id, r) AS (
+              |  SELECT id1, id1 FROM e
+              |  UNION
+              |  SELECT e.id1, reach.r FROM e JOIN reach ON reach.id = e.id2),
+              |lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY 1)
+              |SELECT doc_id FROM fresh
               |WHERE doc_id NOT IN (SELECT id FROM lab WHERE id <> cluster)
               |ORDER BY doc_id""".stripMargin)),
 
