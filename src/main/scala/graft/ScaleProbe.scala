@@ -59,16 +59,23 @@ object ScaleProbe {
         d.withColumn(c, (col(c).cast("long") + lit(i * b)).cast(df.schema(c).dataType))
       }
 
-    def writeScaled(name: String, mk: (DataFrame, Int) => DataFrame): Unit = {
-      val b = base(name)
-      (0 until factor).map(i => mk(b, i)).reduce(_ unionAll _)
-        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
-    }
+    // per-table resume: a committed write leaves a _SUCCESS marker, an
+    // aborted one does not — so a crashed generation redoes only the
+    // missing tables on the next run
+    def done(name: String): Boolean =
+      new java.io.File(s"$dst/$name.parquet/_SUCCESS").exists()
+    def writeScaled(name: String, mk: (DataFrame, Int) => DataFrame): Unit =
+      if (!done(name)) {
+        val b = base(name)
+        (0 until factor).map(i => mk(b, i)).reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      }
     def copyAsIs(name: String): Unit =
-      base(name).write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      if (!done(name))
+        base(name).write.mode("overwrite").parquet(s"$dst/$name.parquet")
 
     val alreadyScaled =
-      new java.io.File(s"$dst/embeddings.parquet").exists()
+      new java.io.File(s"$dst/embeddings.parquet/_SUCCESS").exists()
     if (alreadyScaled) println(s"reusing scaled tables in $dst")
     else {
     println(s"scaling $src -> $dst at ${factor}x ...")
@@ -102,12 +109,20 @@ object ScaleProbe {
     })
     writeScaled("embeddings", (df, i) => {
       val shifted = offsetKeys(df, i, Seq("vec_id" -> vecB))
-      if (i == 0) shifted
-      // rotation: norm-preserving, intra-copy geometry unchanged,
-      // cross-copy cosine at background level
-      else shifted.withColumn("embedding", expr(
-        s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), " +
-          s"slice(embedding, 1, $i))"))
+      // rotation (norm-preserving, intra-copy geometry unchanged,
+      // cross-copy cosine at background level), composed with a sign
+      // flip once the 64 distinct rotations are exhausted — negation
+      // also preserves norms and intra-copy distances, and a negated
+      // rotation is never cosine-close to the positive one, so all 128
+      // combinations stay pairwise background-level
+      val r = i % 64
+      val rotated =
+        if (r == 0) col("embedding")
+        else expr(s"concat(slice(embedding, ${r + 1}, size(embedding) - $r), " +
+          s"slice(embedding, 1, $r))")
+      val oriented =
+        if (i < 64) rotated else transform(rotated, x => -x)
+      if (i == 0) shifted else shifted.withColumn("embedding", oriented)
     })
     println("scaled tables written")
     }
@@ -115,7 +130,7 @@ object ScaleProbe {
     val probeQueries = Seq(
       "q_line_dedup", "q_dedup_exact", "q_dedup_latest", "q_dedup_corpus",
       "q_dup_clusters_star", "q_lsh_candidates", "q_embed_dedup",
-      "q_embed_dedup_adaptive",
+      "q_embed_dedup_adaptive", "q_incremental_dedup",
       "q_fuzzy_join", "q_boilerplate", "q_bigram_lm", "q_quality_filter",
       "q_tfidf_terms", "q_ann_lsh", "q_cosine_topk", "q_ivfpq_recall",
       "q1_pricing_summary", "q_tpch_q7", "q_tpch_q18", "q_group_count",

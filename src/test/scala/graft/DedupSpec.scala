@@ -129,5 +129,30 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("dedupAgainstIndex: index hits drop, batch-internal dups keep min id, unique rows survive") {
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon"), // exact copy of base 1 → index hit
+      (11L, "red orange yellow green blue"),   // new, duplicated in-batch
+      (12L, "red orange yellow green blue"),   // in-batch dup of 11 → drops
+      (13L, "lorem ipsum dolor sit amet"))     // new, unique
+      .toDF("doc_id", "text")
+    val index = DedupOps.lshBuckets(
+      DedupOps.minhashSignature(base, "doc_id", "text", 4, shingleN = 3),
+      "doc_id", 4, 2)
+    val got = DedupOps.dedupAgainstIndex(batch, index, "doc_id", 4, 2)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(11L, 13L))
+    // idempotence under index growth: append the accepted batch's buckets
+    // and replay the same batch — everything now hits the index
+    val grown = index.unionByName(DedupOps.lshBuckets(
+      DedupOps.minhashSignature(batch.where(col("doc_id").isin(11L, 13L)),
+        "doc_id", "text", 4, shingleN = 3), "doc_id", 4, 2))
+    assert(DedupOps.dedupAgainstIndex(batch, grown, "doc_id", 4, 2).count() == 0L)
+  }
+
   private def round4(d: Double): Double = math.round(d * 10000).toDouble / 10000
 }

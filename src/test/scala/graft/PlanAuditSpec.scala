@@ -43,6 +43,30 @@ class PlanAuditSpec extends SparkSpec {
       s"reassembly not keyed on doc_id:\n$plan")
   }
 
+  test("q_embed_dedup_adaptive: native sig projection, equi-join candidates, anti-join survivors") {
+    // the declared query's final plan starts at the connected-components
+    // checkpoint (lineage deliberately severed), so the LSH stages are
+    // audited on the pair generator they actually run through
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val pairs = graft.functions.Similarity.adaptiveNearDupPairs(emb, 0.95, 0.9999)
+      .queryExecution.executedPlan.toString
+    assert(pairs.contains("hyperplane_sigs"),
+      s"signature stage not the native expression:\n$pairs")
+    // keyed on (band, sig) — shuffled at scale, broadcast on the tiny
+    // fixture (AQE's call); either way the join keys are the audit
+    assert(pairs.contains("hashpartitioning(band#") ||
+      pairs.contains("BroadcastHashJoin [band#"),
+      s"candidate join not keyed on (band, sig):\n$pairs")
+    val plan = planOf("q_embed_dedup_adaptive")
+    assert(plan.contains("LeftAnti"), s"survivor filter not an anti-join:\n$plan")
+  }
+
+  test("q_incremental_dedup: index probe is a semi-join, drops are anti-joins") {
+    val plan = planOf("q_incremental_dedup")
+    assert(plan.contains("LeftSemi"), s"index probe not a semi-join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"dup drop not an anti-join:\n$plan")
+  }
+
   test("no declared query plans a CartesianProduct") {
     // brute-force baselines use broadcast nested loop ON PURPOSE (small
     // side broadcast); an unbroadcast cartesian product is never intended
