@@ -3,17 +3,21 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.functions._
 
-/** Adapted TPC-H decision-support suite (Q4, Q7, Q10, Q13, Q14, Q15, Q17,
-  * Q18, Q19, Q22) over the fixture star schema. Q1/Q3/Q5 live in
-  * `Relational`; the ten here cover the remaining plan shapes the fixture
-  * columns can express: correlated EXISTS with date arithmetic (Q4),
-  * nation-pair self-join of a dimension (Q7), top-N by aggregated revenue
-  * (Q10), outer-join count distribution (Q13), conditional-ratio aggregate
+/** Adapted TPC-H decision-support suite (Q4, Q7, Q8, Q9, Q10, Q13, Q14,
+  * Q15, Q17, Q18, Q19, Q22) over the fixture star schema. Q1/Q3/Q5 live in
+  * `Relational`; the twelve here cover the remaining plan shapes the
+  * fixture columns can express: correlated EXISTS with date arithmetic
+  * (Q4), nation-pair self-join of a dimension (Q7), market-share ratio
+  * over an 8-table join (Q8), profit rollup by nation-year (Q9, unit cost
+  * adapted to a `p_retailprice` fraction — the fixture has no `partsupp`
+  * — preserving the plan shape), top-N by aggregated revenue (Q10),
+  * outer-join count distribution (Q13), conditional-ratio aggregate
   * (Q14), max-over-aggregated-view (Q15), correlated scalar average (Q17),
   * HAVING-driven semi-join (Q18), disjunctive pushdown (Q19), and
   * anti-join under a global scalar threshold (Q22). Queries needing
-  * `partsupp` or lineitem columns the fixtures lack (Q2/Q8/Q9/Q11/Q12/
-  * Q16/Q20/Q21) are out of reach of this schema.
+  * `partsupp` itself (Q2/Q11/Q16/Q20) or the shipmode/commitdate/
+  * receiptdate lineitem columns (Q12/Q21) are out of reach of this
+  * schema.
   *
   * Determinism (FIXTURES.md): revenue terms `l_extendedprice*(1-l_discount)`
   * are per-row rounded to integer cents and summed as BIGINT — integer
@@ -135,6 +139,113 @@ object TpchSuite {
              |    AND ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
              |      OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')))
              |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // Q8 national market share: the widest join in the suite (lineitem ×
+    // orders × part × customer × supplier, nation/region pre-folded onto
+    // the dimension legs as broadcasts). The share is a ratio of two
+    // exact BIGINT cent sums — one IEEE division of integers, identical
+    // in both engines. Dimension legs filter BEFORE the fact shuffle
+    // (region prune on customers, type prune on parts); the fact join
+    // order follows selectivity so AQE sizes each exchange off a
+    // pre-pruned side.
+    QueryDef(
+      "q_tpch_q8",
+      (s, d) => {
+        val nations = Tables.nation(s, d)
+        val custEur = Tables.customer(s, d)
+          .join(broadcast(nations
+            .select(col("n_nationkey").as("c_nk"), col("n_regionkey"))),
+            col("c_nationkey") === col("c_nk"))
+          .join(broadcast(Tables.region(s, d)
+            .where(col("r_name") === "EUROPE").select("r_regionkey")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("c_custkey")
+        val suppN = Tables.supplier(s, d)
+          .join(broadcast(nations
+            .select(col("n_nationkey").as("s_nk"), col("n_name").as("nation"))),
+            col("s_nationkey") === col("s_nk"))
+          .select("s_suppkey", "nation")
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            revCents().as("cents"))
+          .join(Tables.part(s, d).where(col("p_type") === "ECONOMY")
+            .select("p_partkey"), col("l_partkey") === col("p_partkey"))
+          .join(Tables.orders(s, d)
+            .where(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+              col("o_orderdate") <= lit("1997-12-31 00:00:00").cast("timestamp"))
+            .select(col("o_orderkey"), col("o_custkey"),
+              year(col("o_orderdate")).as("o_year")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(custEur, col("o_custkey") === col("c_custkey"))
+          .join(suppN, col("l_suppkey") === col("s_suppkey"))
+          .groupBy("o_year")
+          .agg(round(
+            sum(when(col("nation") === "NATION_7", col("cents")).otherwise(0L))
+              .cast("double") / sum("cents").cast("double"), 6).as("mkt_share"))
+          .orderBy("o_year")
+      },
+      Some(s"""SELECT o_year,
+             |  round(CAST(sum(CASE WHEN nation = 'NATION_7' THEN cents ELSE 0 END) AS DOUBLE)
+             |    / CAST(sum(cents) AS DOUBLE), 6) AS mkt_share
+             |FROM (
+             |  SELECT CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS INT) AS o_year,
+             |    $revCentsSql AS cents, n2.n_name AS nation
+             |  FROM lineitem
+             |  JOIN part ON p_partkey = l_partkey
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             |  JOIN region ON n1.n_regionkey = r_regionkey
+             |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             |  WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+             |    AND CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01 00:00:00'
+             |    AND CAST(o_orderdate AS TIMESTAMP) <= TIMESTAMP '1997-12-31 00:00:00')
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Q9 product-type profit: the fixture has no partsupp, so unit cost
+    // adapts to 60% of p_retailprice (integer cents — order-free), which
+    // preserves Q9's plan shape: a 5-way fact join rolled up by supplier
+    // nation × order year. Part filter adapts LIKE '%green%' to the
+    // PROMO type bucket.
+    QueryDef(
+      "q_tpch_q9",
+      (s, d) => {
+        val suppN = Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey").as("s_nk"), col("n_name").as("nation"))),
+            col("s_nationkey") === col("s_nk"))
+          .select("s_suppkey", "nation")
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            col("l_quantity"), revCents().as("rev_c"))
+          .join(Tables.part(s, d).where(col("p_type") === "PROMO")
+            .select("p_partkey", "p_retailprice"),
+            col("l_partkey") === col("p_partkey"))
+          .join(Tables.orders(s, d)
+            .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(suppN, col("l_suppkey") === col("s_suppkey"))
+          .withColumn("profit_c", col("rev_c") -
+            expr("CAST(round(p_retailprice * 60) AS BIGINT) * CAST(l_quantity AS BIGINT)"))
+          .groupBy("nation", "o_year")
+          .agg(sum("profit_c").as("profit_c"))
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      Some(s"""SELECT nation, o_year, CAST(sum(profit_c) AS BIGINT) AS profit_c
+             |FROM (
+             |  SELECT n_name AS nation,
+             |    CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS INT) AS o_year,
+             |    $revCentsSql
+             |      - CAST(round(p_retailprice * 60) AS BIGINT) * CAST(l_quantity AS BIGINT)
+             |      AS profit_c
+             |  FROM lineitem
+             |  JOIN part ON p_partkey = l_partkey
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  WHERE p_type = 'PROMO')
+             |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin)),
 
     // Q10: returned-item reporting — top 20 customers by revenue lost to
     // returns in a quarter. Fact-fact shuffle on orderkey, customer join,

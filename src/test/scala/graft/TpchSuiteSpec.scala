@@ -14,7 +14,7 @@ class TpchSuiteSpec extends SparkSpec {
 
   test("every TPC-H query is registered with an oracle and runs non-empty at sf0.001") {
     val names = operators.TpchSuite.defs.map(_.name)
-    assert(names.size == 11)
+    assert(names.size == 13)
     for (n <- names) {
       assert(SparkEntry.oracleSql.contains(n), s"$n lacks an oracle")
       // q22's lapsed-customer set and q7's nation-pair slice are the two
@@ -42,6 +42,26 @@ class TpchSuiteSpec extends SparkSpec {
     val plan = planOf("q_tpch_q7")
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
       s"nation dims not broadcast:\n$plan")
+  }
+
+  test("q_tpch_q8: nation/region legs broadcast; both prunes precede the fact shuffle") {
+    val plan = planOf("q_tpch_q8")
+    assert(plan.contains("BroadcastHashJoin"), s"dims not broadcast:\n$plan")
+    // the region prune must reach the region scan, the type prune the
+    // part scan — not sit above the 5-way join
+    assert(plan.contains("EUROPE"), s"region prune missing:\n$plan")
+    assert(plan.contains("ECONOMY"), s"part-type prune missing:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q_tpch_q9: part-type prune reaches the scan; profit stays integer until output") {
+    val plan = planOf("q_tpch_q9")
+    assert(plan.contains("PROMO"), s"part-type prune missing:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    import org.apache.spark.sql.types._
+    val schema = df("q_tpch_q9").schema
+    assert(schema("profit_c").dataType == LongType,
+      s"profit must be BIGINT cents, got ${schema("profit_c").dataType}")
   }
 
   test("q_tpch_q10: top-20 is TakeOrderedAndProject, not a global sort") {
