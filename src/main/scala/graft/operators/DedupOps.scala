@@ -349,6 +349,43 @@ object DedupOps extends org.apache.spark.internal.Logging {
       |UNION ALL
       |SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
+  /** Shared chain of the corpus-dedup compositions: the exact-dup-salted
+    * corpus and its MinHash-LSH duplicate-cluster labels (id → cluster,
+    * clustered docs only). Every stage is a keyed shuffle ∝ corpus size. */
+  private def corpusAndClusters(s: org.apache.spark.sql.SparkSession,
+      d: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val dups = docs.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val corpus = docs.unionByName(dups)
+    val sig = minhashSignature(corpus, "doc_id", "text", 4, shingleN = 3)
+    (corpus, connectedComponents(lshCandidates(sig, "doc_id", 4, 2)))
+  }
+
+  /** The recursive-CTE oracle mirror of [[corpusAndClusters]]: CTEs up to
+    * `lab(id, cluster)`. Callers append their own final SELECT. */
+  private val corpusClustersCte =
+    s"""WITH RECURSIVE corpus AS ($docsWithDups),
+      |t AS (SELECT DISTINCT doc_id, unnest(sh) AS tok FROM (
+      |    SELECT doc_id,
+      |      [array_to_string(toks[i:i+2], ' ')
+      |       for i in range(1, greatest(len(toks)-2, 1)+1)] AS sh
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus))),
+      |sig AS (SELECT doc_id,
+      |    min(substr(md5(tok), 1, 8)) AS s1, min(substr(md5(tok), 9, 8)) AS s2,
+      |    min(substr(md5(tok), 17, 8)) AS s3, min(substr(md5(tok), 25, 8)) AS s4
+      |  FROM t GROUP BY 1),
+      |b AS (SELECT doc_id, md5(s1 || s2) AS bucket FROM sig
+      |      UNION ALL SELECT doc_id, md5(s3 || s4) FROM sig),
+      |p AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+      |      FROM b l JOIN b r USING (bucket) WHERE l.doc_id < r.doc_id),
+      |e AS (SELECT id1, id2 FROM p UNION SELECT id2, id1 FROM p),
+      |reach(id, r) AS (
+      |  SELECT id1, id1 FROM e
+      |  UNION
+      |  SELECT e.id1, reach.r FROM e JOIN reach ON reach.id = e.id2),
+      |lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY 1)""".stripMargin
+
   /** Shingle-share edge list over the bounded doc subset — the common
     * input of the two q_dup_clusters variants. */
   private def shareEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
@@ -673,13 +710,7 @@ object DedupOps extends org.apache.spark.internal.Logging {
     QueryDef(
       "q_dedup_corpus",
       (s, d) => {
-        val docs = Tables.documents(s, d).select("doc_id", "text")
-        val dups = docs.where(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 100000).as("doc_id"), col("text"))
-        val corpus = docs.unionByName(dups)
-        val sig = minhashSignature(corpus, "doc_id", "text", 4, shingleN = 3)
-        val cand = lshCandidates(sig, "doc_id", 4, 2)
-        val clusters = connectedComponents(cand)
+        val (corpus, clusters) = corpusAndClusters(s, d)
         // non-keeper cluster members (id != cluster label) drop out;
         // docs in no candidate pair never appear in `clusters` and stay
         val losers = clusters.where(col("id") =!= col("cluster"))
@@ -687,29 +718,76 @@ object DedupOps extends org.apache.spark.internal.Logging {
         corpus.join(losers, Seq("doc_id"), "left_anti")
           .select("doc_id").orderBy("doc_id")
       },
-      Some(s"""WITH RECURSIVE corpus AS ($docsWithDups),
-              |t AS (SELECT DISTINCT doc_id, unnest(sh) AS tok FROM (
-              |    SELECT doc_id,
-              |      [array_to_string(toks[i:i+2], ' ')
-              |       for i in range(1, greatest(len(toks)-2, 1)+1)] AS sh
-              |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus))),
-              |sig AS (SELECT doc_id,
-              |    min(substr(md5(tok), 1, 8)) AS s1, min(substr(md5(tok), 9, 8)) AS s2,
-              |    min(substr(md5(tok), 17, 8)) AS s3, min(substr(md5(tok), 25, 8)) AS s4
-              |  FROM t GROUP BY 1),
-              |b AS (SELECT doc_id, md5(s1 || s2) AS bucket FROM sig
-              |      UNION ALL SELECT doc_id, md5(s3 || s4) FROM sig),
-              |p AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
-              |      FROM b l JOIN b r USING (bucket) WHERE l.doc_id < r.doc_id),
-              |e AS (SELECT id1, id2 FROM p UNION SELECT id2, id1 FROM p),
-              |reach(id, r) AS (
-              |  SELECT id1, id1 FROM e
-              |  UNION
-              |  SELECT e.id1, reach.r FROM e JOIN reach ON reach.id = e.id2),
-              |lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY 1)
+      Some(s"""$corpusClustersCte
               |SELECT doc_id FROM corpus
               |WHERE doc_id NOT IN (SELECT id FROM lab WHERE id <> cluster)
               |ORDER BY doc_id""".stripMargin)),
+
+    // keep-BEST corpus dedup: same clusters, but the survivor of each
+    // duplicate cluster is the member you'd actually keep in a training
+    // corpus — the longest text (ties → lowest id) — rather than the
+    // arbitrary min-id label. The survivor selection is a per-cluster
+    // top-1 (row_number()==1), which the GroupTopKRewrite turns into the
+    // heap operator: no per-cluster sort materializes. Differs from
+    // q_dedup_corpus exactly on clusters whose members have unequal
+    // lengths (real near-dups, not the injected exact copies) — so a
+    // policy regression cannot hide behind the exact-dup majority.
+    QueryDef(
+      "q_dedup_keep_best",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val (corpus, clusters) = corpusAndClusters(s, d)
+        val withLen = corpus
+          .select(col("doc_id"), length(col("text")).cast("long").as("doc_len"))
+        val kept = clusters.join(withLen, col("id") === col("doc_id"))
+          .withColumn("rn", row_number().over(Window.partitionBy("cluster")
+            .orderBy(col("doc_len").desc, col("doc_id"))))
+          .where(col("rn") === 1)
+          .select("doc_id", "doc_len")
+        val unclustered = withLen
+          .join(clusters.select("id"), col("doc_id") === col("id"), "left_anti")
+          .select("doc_id", "doc_len")
+        kept.unionByName(unclustered).orderBy("doc_id")
+      },
+      Some(s"""$corpusClustersCte
+              |SELECT doc_id, CAST(doc_len AS BIGINT) AS doc_len FROM (
+              |  SELECT c.doc_id, length(c.text) AS doc_len,
+              |    row_number() OVER (PARTITION BY lab.cluster
+              |      ORDER BY length(c.text) DESC, c.doc_id) AS rn
+              |  FROM lab JOIN corpus c ON lab.id = c.doc_id) WHERE rn = 1
+              |UNION ALL
+              |SELECT doc_id, CAST(length(text) AS BIGINT) AS doc_len FROM corpus
+              |WHERE doc_id NOT IN (SELECT id FROM lab)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // dataset-card duplication metric: per-source document counts, how
+    // many are cluster losers (would drop in dedup), and the dup rate —
+    // the number a corpus curator actually reports. Joins the cluster
+    // labels back to the REAL documents only (injected ids carry no
+    // source); one broadcast-sized join + one grouped aggregate on top of
+    // the chain.
+    QueryDef(
+      "q_dup_stats_by_source",
+      (s, d) => {
+        val (_, clusters) = corpusAndClusters(s, d)
+        val losers = clusters.where(col("id") =!= col("cluster"))
+          .select(col("id").as("l_id"))
+        Tables.documents(s, d).select("doc_id", "source")
+          .join(losers, col("doc_id") === col("l_id"), "left_outer")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            count(col("l_id")).as("n_dup"))
+          .withColumn("dup_rate",
+            round(col("n_dup").cast("double") / col("n_docs"), 4))
+          .orderBy("source")
+      },
+      Some(s"""$corpusClustersCte,
+              |losers AS (SELECT id FROM lab WHERE id <> cluster)
+              |SELECT source, count(*) AS n_docs,
+              |  CAST(count(losers.id) AS BIGINT) AS n_dup,
+              |  round(CAST(count(losers.id) AS DOUBLE) / count(*), 4) AS dup_rate
+              |FROM documents LEFT OUTER JOIN losers ON doc_id = losers.id
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // incremental dedup — [[dedupAgainstIndex]] as a declared query. The
     // corpus splits into an established base (doc_id % 5 ≠ 0) whose LSH

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, IntegerLiteral, LessThan, LessThanOrEqual, NamedExpression, RowNumber, WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, IntegerLiteral, LessThan, LessThanOrEqual, NamedExpression, RowNumber, WindowExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -19,8 +19,9 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * Deliberately conservative; the rewrite fires only when
   *  - the Window computes EXACTLY one expression and it is row_number()
   *    (rank/dense_rank admit ties past k — different semantics);
-  *  - the filter is `rn <= lit` or `rn < lit` on that alias, nothing else
-  *    (a conjunction could also reference rn);
+  *  - the filter is `rn <= lit`, `rn < lit`, or the argmax idiom
+  *    `rn = 1` on that alias, nothing else (a conjunction could also
+  *    reference rn; `rn = n` for n>1 selects exactly rank n, not top-n);
   *  - the Project above drops the rank column (so nothing downstream can
   *    observe the row numbers the heap never assigns);
   *  - the partition spec is non-empty (a global top-k has no clustering
@@ -48,6 +49,12 @@ object GroupTopKRewrite extends Rule[LogicalPlan] {
             if a.exprId == rn.exprId => Some(n)
         case LessThan(a: AttributeReference, IntegerLiteral(n))
             if a.exprId == rn.exprId => Some(n - 1)
+        // the argmax idiom: rn = 1 ⟺ rn <= 1 (row_number starts at 1).
+        // ONLY k=1 — `rn = n` for n>1 means "exactly rank n", not top-n
+        case EqualTo(a: AttributeReference, IntegerLiteral(1))
+            if a.exprId == rn.exprId => Some(1)
+        case EqualTo(IntegerLiteral(1), a: AttributeReference)
+            if a.exprId == rn.exprId => Some(1)
         case _ => None
       }
       val projDropsRn =

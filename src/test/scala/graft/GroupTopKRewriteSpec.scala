@@ -69,4 +69,39 @@ class GroupTopKRewriteSpec extends SparkSpec {
       case w: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit => w
     }.isEmpty, s"stale WindowGroupLimit survived:\n$positive")
   }
+
+  test("the argmax idiom rn = 1 rewrites; rn = 2 (exactly-rank-2) does not") {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").desc, col("event_id"))
+    val ev = Tables.events(spark, sf).select("event_type", "event_id", "value")
+    def exactRank(n: Int): DataFrame = ev
+      .withColumn("rn", row_number().over(w)).where(col("rn") === n).drop("rn")
+
+    val argmax = GroupTopKRewrite(exactRank(1).queryExecution.optimizedPlan)
+    assert(argmax.collect { case t: graft.plans.TopKPerGroup => t }.nonEmpty,
+      s"rn = 1 should rewrite (it means top-1):\n$argmax")
+    // rn = 2 selects the SECOND row per group, not the top two — a heap
+    // top-2 would return different rows; the guard must refuse
+    val rank2 = GroupTopKRewrite(exactRank(2).queryExecution.optimizedPlan)
+    assert(rank2.collect { case t: graft.plans.TopKPerGroup => t }.isEmpty,
+      s"rn = 2 must not rewrite:\n$rank2")
+
+    // end-to-end: rewritten argmax returns exactly the baseline rows
+    val baseline = exactRank(1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val (savedOpt, savedStrat) =
+      (spark.experimental.extraOptimizations, spark.experimental.extraStrategies)
+    try {
+      spark.experimental.extraOptimizations = savedOpt :+ GroupTopKRewrite
+      spark.experimental.extraStrategies = savedStrat :+ GroupTopKStrategy
+      val accel = exactRank(1)
+      assert(accel.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+      val got = accel.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == baseline)
+    } finally {
+      spark.experimental.extraOptimizations = savedOpt
+      spark.experimental.extraStrategies = savedStrat
+    }
+  }
 }

@@ -30,6 +30,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_keep_best: survivor selection plans through the heap operator") {
+    // the per-cluster top-1 (longest text, tie lowest id) is written as
+    // row_number()==1 — the rewrite must turn it into the heap operator,
+    // not a per-cluster sort
+    val plan = planOf("q_dedup_keep_best")
+    assert(plan.contains("TopKPerGroup"),
+      s"survivor selection did not use the heap operator:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q_color_map: the file-backed color dim is a broadcast join") {
     val plan = planOf("q_color_map")
     assert(plan.contains("BroadcastHashJoin"), s"color dim not broadcast:\n$plan")
