@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSim, DotProduct, HyperplaneSigs, RollingHash, WktCentroid}
+import graft.functions.{CosineSim, DotProduct, HyperplaneSigs, NfcNormalize, RollingHash, WktCentroid}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -36,6 +36,7 @@ object GraftFunctions {
       "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hyperplane_sigs", mkHyperplaneSigs, "built-in")
+    NfcNormalize.register(spark)
   }
 }
 
@@ -70,5 +71,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("hyperplane_sigs"),
       new ExpressionInfo(classOf[HyperplaneSigs].getName, "hyperplane_sigs"),
       GraftFunctions.mkHyperplaneSigs _))
+    e.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        NfcNormalize(exprs.head)))
   }
 }

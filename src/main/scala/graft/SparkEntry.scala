@@ -23,6 +23,7 @@ object SparkEntry {
       operators.AsofJoin.defs ++
       operators.TimeWindows.defs ++
       operators.DedupOps.defs ++
+      operators.Release.defs ++
       operators.Curation.defs ++
       operators.Behavioral.defs ++
       operators.Multimodal.defs ++

@@ -352,7 +352,7 @@ object DedupOps extends org.apache.spark.internal.Logging {
   /** Shared chain of the corpus-dedup compositions: the exact-dup-salted
     * corpus and its MinHash-LSH duplicate-cluster labels (id → cluster,
     * clustered docs only). Every stage is a keyed shuffle ∝ corpus size. */
-  private def corpusAndClusters(s: org.apache.spark.sql.SparkSession,
+  private[operators] def corpusAndClusters(s: org.apache.spark.sql.SparkSession,
       d: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val dups = docs.where(col("doc_id") % 10 === 0)
@@ -364,7 +364,7 @@ object DedupOps extends org.apache.spark.internal.Logging {
 
   /** The recursive-CTE oracle mirror of [[corpusAndClusters]]: CTEs up to
     * `lab(id, cluster)`. Callers append their own final SELECT. */
-  private val corpusClustersCte =
+  private[operators] val corpusClustersCte =
     s"""WITH RECURSIVE corpus AS ($docsWithDups),
       |t AS (SELECT DISTINCT doc_id, unnest(sh) AS tok FROM (
       |    SELECT doc_id,
@@ -388,7 +388,7 @@ object DedupOps extends org.apache.spark.internal.Logging {
 
   /** Shingle-share edge list over the bounded doc subset — the common
     * input of the two q_dup_clusters variants. */
-  private def shareEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+  private[operators] def shareEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).where(col("doc_id") < 20)
     val toks = docs.select(col("doc_id"),
       explode(shingles(col("text"), 3)).as("tok")).distinct()

@@ -1,0 +1,284 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.NfcNormalize
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The "release" stage of a training-data pipeline: the operators that run
+  * AFTER curation (dedup/quality/decontamination, DedupOps + TextAnalysis)
+  * and turn a curated corpus into something you can actually ship and train
+  * on — calendar-complete reporting series, coverage intervals, leakage-free
+  * train/valid/test splits, outlier clipping, canonical text normalization,
+  * and graph centrality over the duplicate graph.
+  *
+  * Scale notes (the shapes are what matter — fixtures are small):
+  *  - every query is one or two keyed shuffles over the big table; the
+  *    calendar / bounds / split-threshold sides are tiny and broadcast;
+  *  - the PageRank loop is the same bounded-iteration keyed-shuffle pattern
+  *    as [[DedupOps.connectedComponents]] (per-iteration cost ∝ |E|, keyed
+  *    on node id; at 100 TB you add the same per-iteration checkpoint);
+  *  - all arithmetic that crosses the oracle boundary is integer-exact
+  *    (rank thresholds, fixed-point PageRank, epoch seconds) — no float
+  *    summation-order hazards anywhere in the file.
+  */
+object Release {
+
+  /** DuckDB mirror of [[DedupOps.shareEdges]] (same `doc_id < 20` slice,
+    * same 3-gram shingles), as the `t`/`p` CTE prefix: `p(id1, id2)` is the
+    * distinct undirected edge list with id1 < id2. */
+  private val shareEdgesCte =
+    """t AS (SELECT DISTINCT doc_id, unnest(sh) AS tok FROM (
+      |    SELECT doc_id,
+      |      [array_to_string(toks[i:i+2], ' ')
+      |       for i in range(1, greatest(len(toks)-2, 1)+1)] AS sh
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      |          FROM documents WHERE doc_id < 20))),
+      |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+      |      FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2)""".stripMargin
+
+  /** Fixed-point PageRank oracle: the recursive dependency is unrolled into
+    * ten explicit CTE stages (DuckDB disallows aggregates in a recursive
+    * term, and unrolling keeps every stage a plain join+groupby both
+    * engines execute identically). All integer arithmetic — `//` here,
+    * `div` on the Spark side — so the two engines agree bit for bit. */
+  private val pagerankOracle: String = {
+    val graph =
+      s"""WITH $shareEdgesCte,
+         |e AS (SELECT id1 AS src, id2 AS dst FROM p
+         |      UNION ALL SELECT id2, id1 FROM p),
+         |deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY 1),
+         |pr0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS r FROM deg)""".stripMargin
+    val iters = (1 to 10).map { k =>
+      s"""pr$k AS (SELECT d.id,
+         |    CAST(150000000 + (85 * coalesce(m.csum, 0)) // 100 AS BIGINT) AS r
+         |  FROM deg d LEFT JOIN (
+         |    SELECT e.dst AS id, CAST(sum(pp.r // g.deg) AS BIGINT) AS csum
+         |    FROM pr${k - 1} pp JOIN deg g ON g.id = pp.id
+         |      JOIN e ON e.src = pp.id
+         |    GROUP BY 1) m ON m.id = d.id)""".stripMargin
+    }
+    (graph +: iters).mkString(",\n") +
+      "\nSELECT d.id, d.deg, pr10.r FROM deg d JOIN pr10 ON pr10.id = d.id ORDER BY d.id"
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // calendar gap-fill: daily counts of high-value events per type with
+    // MISSING DAYS MATERIALIZED AS ZEROS — the difference between a
+    // reporting series a dashboard can plot and one with silent holes.
+    // The dense calendar×type grid is generated (30×5 rows) and broadcast
+    // against the aggregated sparse side, so the big-table work is one
+    // hash aggregate; the grid never shuffles the fact table. At 100 TB
+    // the same plan holds: the grid grows with the calendar, not the data.
+    QueryDef(
+      "q_gap_fill",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val days = s.range(1).select(explode(sequence(
+          to_date(lit("2024-01-01")), to_date(lit("2024-01-30")))).as("day"))
+        val types = ev.select("event_type").distinct()
+        val sparse = ev.where(col("value") > 250)
+          .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        days.crossJoin(broadcast(types))
+          .join(sparse, Seq("day", "event_type"), "left")
+          .select(col("day"), col("event_type"),
+            coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy("day", "event_type")
+      },
+      Some("""WITH days AS (SELECT CAST(unnest(generate_series(
+             |      DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY)) AS DATE) AS day),
+             |types AS (SELECT DISTINCT event_type FROM events),
+             |sparse AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             |    event_type, count(*) AS n
+             |  FROM events WHERE value > 250 GROUP BY 1, 2)
+             |SELECT d.day, t.event_type, CAST(coalesce(s.n, 0) AS BIGINT) AS n
+             |FROM days d CROSS JOIN types t
+             |LEFT JOIN sparse s ON s.day = d.day AND s.event_type = t.event_type
+             |ORDER BY d.day, t.event_type""".stripMargin)),
+
+    // gaps-and-islands interval merge: each event covers [ts, ts+300s);
+    // overlapping/touching covers union into maximal islands per user.
+    // This is interval COVERAGE (union length), not gap sessionization
+    // (q_session_window): a new island starts exactly when an event begins
+    // after the running max of all previous interval ends — so within an
+    // island the union is contiguous and covered = max(end) − min(start).
+    // All interval arithmetic stays in the (timezone-free) TIMESTAMP_NTZ
+    // domain truncated to whole seconds — ntz→numeric casts are illegal
+    // under ANSI, and second-truncation first makes Spark's micros-based
+    // timestampdiff and DuckDB's boundary-crossing date_diff coincide.
+    // One window partition per user, then one grouped aggregate on the
+    // same key — the user_id exchange is reused.
+    QueryDef(
+      "q_islands",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            date_trunc("second", col("ts")).as("st"),
+            (date_trunc("second", col("ts")) + expr("INTERVAL 300 SECONDS")).as("en"))
+          .withColumn("run_max_en",
+            max("en").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("ni",
+            (col("run_max_en").isNull || col("st") > col("run_max_en")).cast("int"))
+          .withColumn("island", sum("ni").over(w).cast("int"))
+          .groupBy("user_id", "island")
+          .agg(count(lit(1)).as("n_events"),
+            min("st").as("start_ts"), max("en").as("end_ts"))
+          .withColumn("covered_sec",
+            expr("timestampdiff(SECOND, start_ts, end_ts)"))
+          .orderBy("user_id", "island")
+      },
+      Some("""WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             |    date_trunc('second', CAST(ts AS TIMESTAMP)) AS st,
+             |    date_trunc('second', CAST(ts AS TIMESTAMP)) + INTERVAL 300 SECOND AS en
+             |  FROM events),
+             |m AS (SELECT *, max(en) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_max_en FROM ev),
+             |f AS (SELECT *, CASE WHEN run_max_en IS NULL OR st > run_max_en
+             |    THEN 1 ELSE 0 END AS ni FROM m),
+             |i AS (SELECT *, CAST(sum(ni) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id) AS INT) AS island FROM f)
+             |SELECT user_id, island, count(*) AS n_events,
+             |  min(st) AS start_ts, max(en) AS end_ts,
+             |  CAST(date_diff('second', min(st), max(en)) AS BIGINT) AS covered_sec
+             |FROM i GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // leakage-free train/valid/test split: the assignment unit is the
+    // NEAR-DUPLICATE CLUSTER (the same MinHash-LSH + connected-components
+    // labels as q_dedup_corpus), not the document — a hash split at the
+    // document level puts one near-dup in train and its twin in test, and
+    // the eval silently measures memorization. Split by md5 of the cluster
+    // label (engine-portable, seedless, reproducible on re-runs with new
+    // data arriving): first hex byte < 0xcc → train (~80%), < 0xe6 →
+    // valid (~10%), else test. By construction no cluster straddles splits.
+    QueryDef(
+      "q_split_assign",
+      (s, d) => {
+        val (corpus, clusters) = DedupOps.corpusAndClusters(s, d)
+        val labeled = corpus.select("doc_id")
+          .join(clusters.select(col("id").as("doc_id"), col("cluster")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster"), col("doc_id")).as("cluster"))
+        val bucket = substring(md5(concat(lit("sp:"), col("cluster"))), 1, 2)
+        labeled
+          .select(col("doc_id"), col("cluster"),
+            when(bucket < "cc", "train").when(bucket < "e6", "valid")
+              .otherwise("test").as("split"))
+          .orderBy("doc_id")
+      },
+      Some(s"""${DedupOps.corpusClustersCte}
+              |SELECT c.doc_id,
+              |  CAST(coalesce(l.cluster, c.doc_id) AS BIGINT) AS cluster,
+              |  CASE WHEN substr(md5('sp:' || coalesce(l.cluster, c.doc_id)), 1, 2) < 'cc' THEN 'train'
+              |       WHEN substr(md5('sp:' || coalesce(l.cluster, c.doc_id)), 1, 2) < 'e6' THEN 'valid'
+              |       ELSE 'test' END AS split
+              |FROM corpus c LEFT JOIN lab l ON l.id = c.doc_id
+              |ORDER BY doc_id""".stripMargin)),
+
+    // winsorize: clip document length to the per-language exact [p5, p95].
+    // The percentiles are RANK-BASED (value at row ceil(q·n), ceil done in
+    // integer arithmetic `(q·n + 99) div 100`) — interpolating percentiles
+    // differ across engines in the last ulp, rank-ceil ones cannot. Two
+    // window passes + a 5-row broadcast join back; at scale the bounds side
+    // stays tiny (one row per group) and the clip is a map-side projection.
+    // (At 100 TB you'd swap the exact rank windows for approx_percentile
+    // with a gated error contract, as q_quantile_gate does.)
+    QueryDef(
+      "q_winsorize",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+        val ranked = docs
+          .withColumn("rn",
+            row_number().over(Window.partitionBy("lang").orderBy("n_chars", "doc_id")))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy("lang")))
+        val bounds = ranked
+          .withColumn("lo_rank", expr("(5 * cnt + 99) div 100"))
+          .withColumn("hi_rank", expr("(95 * cnt + 99) div 100"))
+          .groupBy("lang")
+          .agg(min(when(col("rn") === col("lo_rank"), col("n_chars"))).as("lo"),
+            min(when(col("rn") === col("hi_rank"), col("n_chars"))).as("hi"))
+        docs.join(broadcast(bounds), "lang")
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("lo"), col("hi"),
+            least(greatest(col("n_chars"), col("lo")), col("hi")).as("clipped"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH r AS (SELECT doc_id, lang, n_chars,
+             |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+             |    count(*) OVER (PARTITION BY lang) AS cnt
+             |  FROM documents),
+             |b AS (SELECT lang,
+             |    min(CASE WHEN rn = (5 * cnt + 99) // 100 THEN n_chars END) AS lo,
+             |    min(CASE WHEN rn = (95 * cnt + 99) // 100 THEN n_chars END) AS hi
+             |  FROM r GROUP BY 1)
+             |SELECT d.doc_id, d.lang, d.n_chars, b.lo, b.hi,
+             |  least(greatest(d.n_chars, b.lo), b.hi) AS clipped
+             |FROM documents d JOIN b USING (lang)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // PageRank over the shingle-share duplicate graph (the q_dup_clusters
+    // edge list): which documents sit at the CENTER of a near-dup family —
+    // the template everything else was derived from — vs its periphery.
+    // Ten power iterations in 61-bit FIXED POINT (unit rank = 1e9; damping
+    // 0.85 as ×85 div 100; per-edge contribution r div deg): integer
+    // division is order-free under summation, so both engines produce
+    // bit-identical ranks — the trick that makes an iterative float
+    // algorithm hash-oracle-able. Each iteration is one keyed join + one
+    // grouped sum on node id, the connectedComponents shuffle pattern.
+    QueryDef(
+      "q_pagerank",
+      (s, d) => {
+        val e0 = DedupOps.shareEdges(s, d)
+        val edges = e0.select(col("id1").as("src"), col("id2").as("dst"))
+          .unionByName(e0.select(col("id2").as("src"), col("id1").as("dst")))
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+          .select(col("src").as("id"), col("deg"))
+        var ranks = deg.select(col("id"), lit(1000000000L).as("r"))
+        for (_ <- 1 to 10) {
+          val contribs = ranks.join(deg, "id")
+            .join(edges, col("id") === col("src"))
+            .groupBy("dst").agg(sum(expr("r div deg")).as("csum"))
+          ranks = deg.select(col("id"))
+            .join(contribs.select(col("dst").as("id"), col("csum")), Seq("id"), "left")
+            .select(col("id"),
+              (lit(150000000L) + expr("(85 * coalesce(csum, 0L)) div 100")).as("r"))
+        }
+        ranks.join(deg, "id").select("id", "deg", "r").orderBy("id")
+      },
+      Some(pagerankOracle)),
+
+    // Unicode NFC canonicalization via the native nfc_normalize expression:
+    // decomposed sequences (base char + combining mark, injected here as
+    // literals since the fixture corpus is ASCII) compose to their canonical
+    // single-codepoint forms, so byte-hashing operators downstream (dedup,
+    // fingerprints, shingles) see one spelling per word. len_raw > len_norm
+    // on every row is the visible proof the composition actually ran; the
+    // normalized STRING hash-matching DuckDB's independent UAX#15
+    // implementation is the correctness gate.
+    QueryDef(
+      "q_unicode_norm",
+      (s, d) => {
+        NfcNormalize.register(s)
+        // the literal below is DECOMPOSED on purpose ('e'+U+0301,
+        // 'i'+U+0308, raw UTF-8 in this source file) — NFC must do real
+        // work for len_raw > len_norm to hold
+        val raw = concat(substring(col("text"), 1, 12),
+          lit(" café naïve"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), raw.as("raw"))
+          .select(col("doc_id"),
+            NfcNormalize.column(col("raw")).as("norm"),
+            length(col("raw")).as("len_raw"),
+            length(NfcNormalize.column(col("raw"))).as("len_norm"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  nfc_normalize(substr(text, 1, 12) || ' cafe' || chr(769) || ' nai' || chr(776) || 've') AS norm,
+             |  CAST(length(substr(text, 1, 12) || ' cafe' || chr(769) || ' nai' || chr(776) || 've') AS INT) AS len_raw,
+             |  CAST(length(nfc_normalize(substr(text, 1, 12) || ' cafe' || chr(769) || ' nai' || chr(776) || 've')) AS INT) AS len_norm
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -116,6 +116,36 @@ class CodegenParitySpec extends SparkSpec {
     assert(run(true) == run(false))
   }
 
+  test("nfc_normalize: codegen and interpreted paths agree; NFC law holds") {
+    val strGen: Gen[String] = Gen.frequency(
+      6 -> Gen.listOf(Gen.frequency[String](
+        5 -> Gen.alphaNumChar.map(_.toString),
+        // decomposed sequences NFC must compose
+        2 -> Gen.oneOf("e\u0301", "a\u030a", "o\u0308", "n\u0303"),
+        // precomposed forms NFC must leave alone
+        2 -> Gen.oneOf("\u00e9", "\u00e5", "\u00f6", "\u00f1", "\u20ac"),
+        1 -> Gen.const("\u0301"))).map(_.mkString),
+      1 -> Gen.const(""),
+      1 -> Gen.const(null))
+    val rows = samples(strGen, 60).map(Row(_))
+    val schema = StructType(Seq(StructField("s", StringType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    graft.functions.NfcNormalize.register(spark)
+    def run(on: Boolean): Seq[Any] = withCodegen(on) {
+      df.selectExpr("nfc_normalize(s) AS n").collect().map(_.get(0)).toSeq
+    }
+    val codegen = run(true)
+    assert(codegen == run(false))
+    // idempotence + agreement with the JDK normalizer
+    codegen.zip(rows.map(_.get(0))).foreach {
+      case (null, raw) => assert(raw == null)
+      case (norm: String, raw: String) =>
+        assert(java.text.Normalizer.isNormalized(norm, java.text.Normalizer.Form.NFC))
+        assert(norm == java.text.Normalizer.normalize(raw, java.text.Normalizer.Form.NFC))
+      case other => fail(s"unexpected $other")
+    }
+  }
+
   test("rolling_hash: codegen and interpreted paths agree on generated strings") {
     val strGen: Gen[String] = Gen.frequency(
       8 -> Gen.listOf(Gen.frequency(

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Release
+import org.apache.spark.sql.DataFrame
+
+/** Invariants of the release-stage operators that the DuckDB hash oracle
+  * cannot express: leakage-freedom of the split, rank conservation of the
+  * fixed-point PageRank, and the non-overlap law of interval islands. */
+class ReleaseSpec extends SparkSpec {
+
+  private def run(name: String): DataFrame =
+    Release.defs.find(_.name == name).get.fn(spark, sf)
+
+  test("q_split_assign: no near-dup cluster straddles a split boundary") {
+    val rows = run("q_split_assign").collect()
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_.getLong(1)).view.mapValues(_.map(_.getString(2)).distinct)
+    assert(byCluster.values.forall(_.length == 1),
+      "a cluster was assigned to more than one split — leakage")
+    // all three splits populated, with train the large share
+    val share = rows.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(share.keySet == Set("train", "valid", "test"))
+    assert(share("train") > share("valid") && share("train") > share("test"))
+  }
+
+  test("q_pagerank: ranks positive and total rank conserved within truncation loss") {
+    val rows = run("q_pagerank").collect()
+    assert(rows.nonEmpty)
+    val n = rows.length.toLong
+    val total = rows.map(_.getLong(2)).sum
+    assert(rows.forall(_.getLong(2) >= 150000000L)) // the damping floor
+    // integer-division truncation only loses rank: total ∈ (0.97·n·1e9, n·1e9]
+    assert(total <= n * 1000000000L)
+    assert(total > (n * 1000000000L * 97) / 100, s"lost too much rank: $total of ${n * 1000000000L}")
+  }
+
+  test("q_islands: islands are disjoint, ordered, and cover ≥ one interval") {
+    val rows = run("q_islands").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(5) >= 300L && r.getLong(2) >= 1L))
+    rows.groupBy(_.getLong(0)).foreach { case (user, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // next island starts strictly after the previous union ends
+          assert(b.getTimestamp(3).after(a.getTimestamp(4)),
+            s"user $user islands ${a.getInt(1)} and ${b.getInt(1)} overlap")
+        case _ =>
+      }
+    }
+  }
+
+  test("q_gap_fill: dense 30-day × type grid with zero-filled holes") {
+    val rows = run("q_gap_fill").collect()
+    val types = rows.map(_.getString(1)).distinct.length
+    assert(rows.length == 30 * types)
+    assert(rows.exists(_.getLong(2) == 0L), "expected at least one gap day")
+  }
+}
