@@ -250,6 +250,61 @@ object Release {
       },
       Some(pagerankOracle)),
 
+    // release manifest: the end-of-pipeline composition — near-dup cluster
+    // labels (the q_dedup_corpus chain) → representative per cluster (min
+    // doc_id) → cluster-granular split (the q_split_assign rule) → one
+    // manifest row per split: member count (pre-dedup), released doc count,
+    // char/token totals, and an ORDER-FREE content checksum (sum of
+    // 48-bit-md5 mod 1e9+7 per released doc — commutative, so partial-agg
+    // merge order can't change it, and modular so the running sum can
+    // never overflow BIGINT under ANSI no matter the corpus size). This is
+    // the artifact a training run pins: any document added, dropped, or
+    // edited anywhere in the pipeline changes exactly one row's checksum.
+    // One wide-table pass: window for the representative, one grouped agg.
+    QueryDef(
+      "q_manifest",
+      (s, d) => {
+        val (corpus, clusters) = DedupOps.corpusAndClusters(s, d)
+        val labeled = corpus
+          .join(clusters.select(col("id").as("doc_id"), col("cluster")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), col("text"),
+            coalesce(col("cluster"), col("doc_id")).as("cluster"))
+        val bucket = substring(md5(concat(lit("sp:"), col("cluster"))), 1, 2)
+        val isRep = col("doc_id") === min("doc_id").over(Window.partitionBy("cluster"))
+        labeled
+          .withColumn("rep", isRep)
+          .withColumn("part",
+            when(bucket < "cc", "train").when(bucket < "e6", "valid")
+              .otherwise("test"))
+          .groupBy("part")
+          .agg(
+            count(lit(1)).as("n_members"),
+            countDistinct("cluster").as("n_docs"),
+            sum(when(col("rep"), length(col("text")).cast("long"))).as("total_chars"),
+            sum(when(col("rep"),
+              size(split(col("text"), " ")).cast("long"))).as("total_tokens"),
+            sum(when(col("rep"),
+              conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long") % 1000000007L))
+              .as("checksum"))
+          .orderBy("part")
+      },
+      Some(s"""${DedupOps.corpusClustersCte},
+              |lc AS (SELECT c.doc_id, c.text,
+              |    coalesce(l.cluster, c.doc_id) AS cluster
+              |  FROM corpus c LEFT JOIN lab l ON l.id = c.doc_id),
+              |rp AS (SELECT *, doc_id = min(doc_id) OVER (PARTITION BY cluster) AS rep,
+              |    CASE WHEN substr(md5('sp:' || cluster), 1, 2) < 'cc' THEN 'train'
+              |         WHEN substr(md5('sp:' || cluster), 1, 2) < 'e6' THEN 'valid'
+              |         ELSE 'test' END AS part
+              |  FROM lc)
+              |SELECT part, CAST(count(*) AS BIGINT) AS n_members,
+              |  CAST(count(DISTINCT cluster) AS BIGINT) AS n_docs,
+              |  CAST(sum(CASE WHEN rep THEN length(text) END) AS BIGINT) AS total_chars,
+              |  CAST(sum(CASE WHEN rep THEN len(string_split(text, ' ')) END) AS BIGINT) AS total_tokens,
+              |  CAST(sum(CASE WHEN rep THEN CAST('0x' || substr(md5(text), 1, 12) AS BIGINT) % 1000000007 END) AS BIGINT) AS checksum
+              |FROM rp GROUP BY 1 ORDER BY part""".stripMargin)),
+
     // Unicode NFC canonicalization via the native nfc_normalize expression:
     // decomposed sequences (base char + combining mark, injected here as
     // literals since the fixture corpus is ASCII) compose to their canonical

@@ -50,6 +50,20 @@ class ReleaseSpec extends SparkSpec {
     }
   }
 
+  test("q_manifest: accounting agrees with q_split_assign; dedup never grows a split") {
+    val man = run("q_manifest").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(man.keySet == Set("train", "valid", "test"))
+    val assign = run("q_split_assign").collect().groupBy(_.getString(2))
+    for ((part, rows) <- assign) {
+      val (members, released) = man(part)
+      assert(members == rows.length, s"$part member count")
+      assert(released == rows.map(_.getLong(1)).distinct.length,
+        s"$part released-doc count must equal its distinct clusters")
+      assert(released <= members)
+    }
+  }
+
   test("q_gap_fill: dense 30-day × type grid with zero-filled holes") {
     val rows = run("q_gap_fill").collect()
     val types = rows.map(_.getString(1)).distinct.length
