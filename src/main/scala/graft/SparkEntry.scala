@@ -24,6 +24,7 @@ object SparkEntry {
       operators.TimeWindows.defs ++
       operators.DedupOps.defs ++
       operators.Release.defs ++
+      operators.GlobalOrder.defs ++
       operators.Curation.defs ++
       operators.Behavioral.defs ++
       operators.Multimodal.defs ++

@@ -101,14 +101,20 @@ object Behavioral {
           coalesce(sum(when(col("event_type") === "purchase",
             expr("CAST(round(value * 100) AS BIGINT)"))), lit(0L))
             .as("monetary_cents"))
-        m.select(col("user_id"), col("recency_days"), col("frequency"),
-            col("monetary_cents"),
-            ntile(4).over(Window.orderBy("recency_days", "user_id"))
-              .as("r_quartile"),
-            ntile(4).over(Window.orderBy(col("frequency").desc, col("user_id")))
-              .as("f_quartile"),
-            ntile(4).over(Window.orderBy(col("monetary_cents").desc, col("user_id")))
-              .as("m_quartile"))
+        // three GLOBAL quartile assignments without partitionless ntile
+        // windows (which funnel every user through one task — Spark warns
+        // `WindowExec: No Partition Defined`): each is GlobalOrder's
+        // range-partitioned two-phase rank + closed-form ntile. The oracle
+        // below still uses native ntile() — hash equality proves the
+        // distributed path reproduces the single-node semantics exactly.
+        val r = GlobalOrder.withGlobalNtile(m,
+          Seq(col("recency_days").asc, col("user_id").asc), 4, "r_quartile")
+        val f = GlobalOrder.withGlobalNtile(r,
+          Seq(col("frequency").desc, col("user_id").asc), 4, "f_quartile")
+        GlobalOrder.withGlobalNtile(f,
+          Seq(col("monetary_cents").desc, col("user_id").asc), 4, "m_quartile")
+          .select("user_id", "recency_days", "frequency", "monetary_cents",
+            "r_quartile", "f_quartile", "m_quartile")
           .orderBy("user_id")
       },
       Some("""WITH m AS (SELECT user_id,

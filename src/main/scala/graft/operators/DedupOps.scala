@@ -110,6 +110,35 @@ object DedupOps extends org.apache.spark.internal.Logging {
       .select("id1", "id2").distinct()
   }
 
+  /** Star-pattern candidate edges for CONNECTIVITY consumers
+    * (connected-components clustering): every bucket member links to the
+    * bucket's minimum id instead of to every other member.
+    *
+    * Same components, same min-id labels as [[lshCandidates]] — a bucket
+    * is a clique there and a star here, and both connect exactly the same
+    * node set (any two members reach each other through the hub; the hub
+    * is the bucket min, so component minima are untouched). What changes
+    * is the COST LAW: a duplicate family of m docs sharing a bucket emits
+    * m−1 edges instead of m·(m−1)/2 pairs. All-pairs is quadratic in
+    * duplicate-cluster size — measured: the 100× scale probe (families of
+    * ~100, ≈50M pairs) ran the corpus-CC chain out of aggregate memory,
+    * while the star form stays linear in corpus size at any family size.
+    * Use [[lshCandidates]] only where the SEMANTICS are pair-level
+    * (recall gates, Jaccard confirmation); use this wherever the pairs
+    * feed [[connectedComponents]].
+    *
+    * One exchange: the window's (band, bucket) partitioning is the same
+    * repartition the bucket rows already carry. */
+  def lshStarEdges(sig: DataFrame, id: String, k: Int, rowsPerBand: Int): DataFrame = {
+    val b = lshBuckets(sig, id, k, rowsPerBand)
+      .repartition(col("band"), col("bucket"))
+    val hub = min(col(id)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket"))
+    b.withColumn("hub", hub)
+      .where(col(id) =!= col("hub"))
+      .select(col("hub").as("id1"), col(id).as("id2")).distinct()
+  }
+
   /** Incremental batch dedup against a STORED corpus index — the
     * operating mode a 100 TB curation pipeline actually runs: the
     * established corpus is never re-read or re-clustered; only its
@@ -133,12 +162,14 @@ object DedupOps extends org.apache.spark.internal.Logging {
     val fresh = batch.join(hitBase, Seq(id), "left_anti")
     val fb = bb.join(fresh.select(id), Seq(id), "left_semi")
       .repartition(col("band"), col("bucket"))
-    val pairs = fb.select(col(id).as("id1"), col("band"), col("bucket"))
-      .join(fb.select(col(id).as("id2"), col("band"), col("bucket"))
-        .hint("shuffle_hash"), Seq("band", "bucket"))
-      .where(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
-    val losers = connectedComponents(pairs)
+    // star edges (hub = bucket min): same components as the all-pairs
+    // bucket join, linear in duplicate-family size (see lshStarEdges)
+    val hub = min(col(id)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket"))
+    val pairs = fb.withColumn("hub", hub)
+      .where(col(id) =!= col("hub"))
+      .select(col("hub").as("id1"), col(id).as("id2")).distinct()
+    val losers = connectedComponentsStar(pairs)
       .where(col("id") =!= col("cluster")).select(col("id").as(id))
     fresh.join(losers, Seq(id), "left_anti")
   }
@@ -359,7 +390,14 @@ object DedupOps extends org.apache.spark.internal.Logging {
       .select((col("doc_id") + 100000).as("doc_id"), col("text"))
     val corpus = docs.unionByName(dups)
     val sig = minhashSignature(corpus, "doc_id", "text", 4, shingleN = 3)
-    (corpus, connectedComponents(lshCandidates(sig, "doc_id", 4, 2)))
+    // star edges, not all-pairs: identical components and labels, but
+    // linear (not quadratic) in duplicate-family size — see lshStarEdges.
+    // Clustering via the Kiveris star-contraction CC: O(log n) rounds
+    // regardless of component diameter — at 100× the scaled corpus forms
+    // CHAINS of near-dup copies (copy i buckets with copy i±1 only), so
+    // diameter grows with scale and O(diameter) min-label propagation
+    // hits any fixed iteration cap; measured on the 100× probe.
+    (corpus, connectedComponentsStar(lshStarEdges(sig, "doc_id", 4, 2)))
   }
 
   /** The recursive-CTE oracle mirror of [[corpusAndClusters]]: CTEs up to

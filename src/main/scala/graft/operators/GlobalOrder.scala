@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed dense global ordering — the scale-safe replacement for the
+  * `Window.orderBy(...)` (no partition) idiom, which funnels the entire
+  * dataset through ONE task (Spark itself warns `WindowExec: No Partition
+  * Defined`). At 100 TB that single task is the whole job.
+  *
+  * The pattern here is the classic two-phase global rank:
+  *   1. `repartitionByRange` on the order keys (one real shuffle; range
+  *      boundaries from Spark's deterministic reservoir sample) and sort
+  *      within each partition — the data is now globally ordered across
+  *      partitions and locally ordered within them;
+  *   2. `monotonically_increasing_id()` evaluated above that sort encodes
+  *      `(partition index << 33) | local position` in one codegen'd
+  *      expression — no window, no extra shuffle;
+  *   3. per-partition row counts (a ≤ numShufflePartitions-row aggregate)
+  *      are prefix-summed into start offsets — the only partitionless
+  *      window in the plan runs over that config-bounded tiny table, never
+  *      over data — and broadcast-joined back: global position = partition
+  *      offset + local position + 1.
+  *
+  * Cost: ONE data-sized shuffle plus one map-side-combined count pass,
+  * fully parallel at any scale. The order must be TOTAL (include a unique
+  * tiebreak column): with a total order, every row's global position is
+  * independent of where the range boundaries land, so the result is
+  * deterministic even though the two jobs that consume the shuffled plan
+  * (the count pass and the final pass) re-execute it.
+  */
+object GlobalOrder {
+
+  private val LocalBits = 33 // monotonically_increasing_id: pid << 33 | local
+
+  /** Adds a dense 1-based `out` BIGINT column: the row's position under
+    * `order` (which must be a total order) across the whole dataset. */
+  def withGlobalRowNumber(df: DataFrame, order: Seq[Column], out: String): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val mid = df.repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("_go_mid", monotonically_increasing_id())
+      .withColumn("_go_pid", shiftright(col("_go_mid"), LocalBits))
+      .withColumn("_go_loc", col("_go_mid").bitwiseAND(lit((1L << LocalBits) - 1)))
+    val offsets = mid.groupBy("_go_pid").agg(count(lit(1)).as("_go_cnt"))
+      .withColumn("_go_off", coalesce(
+        sum("_go_cnt").over(Window.orderBy("_go_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_go_pid", "_go_off")
+    mid.join(broadcast(offsets), "_go_pid")
+      .withColumn(out, (col("_go_off") + col("_go_loc") + lit(1L)).cast("long"))
+      .drop("_go_mid", "_go_pid", "_go_loc", "_go_off")
+  }
+
+  /** SQL-standard `ntile(k)` from a 1-based global position `rn` and total
+    * row count `n`, in closed form (pure integer arithmetic, no window):
+    * with n = k·q + r, the first r tiles hold q+1 rows and the rest hold q.
+    * CaseWhen short-circuits, so the q=0 (n < k) case never divides by
+    * zero. Matches Spark's and DuckDB's ntile exactly — `q_global_order`'s
+    * oracle pins that equivalence.
+    */
+  def ntileFrom(rn: Column, n: Column, k: Int): Column = {
+    // integer `div` (IntegralDivide), NOT Column./ which is double division
+    // and loses exactness past 2^53 rows
+    def idiv(a: Column, b: Column): Column = call_function("div", a, b)
+    val q = idiv(n, lit(k.toLong))
+    val r = n % k
+    when(rn <= r * (q + 1), idiv(rn - 1, q + 1) + 1)
+      .otherwise(r + idiv(rn - 1 - r * (q + 1), q) + 1)
+      .cast("int")
+  }
+
+  /** [[withGlobalRowNumber]] + [[ntileFrom]]: a scale-safe global
+    * `ntile(k)` under `order`. The total count rides in as a broadcast
+    * one-row cross join, so the whole thing stays one declarative plan. */
+  def withGlobalNtile(df: DataFrame, order: Seq[Column], k: Int, out: String): DataFrame = {
+    val tot = df.agg(count(lit(1)).cast("long").as("_go_n"))
+    val rn = withGlobalRowNumber(df, order, "_go_rn")
+    rn.crossJoin(broadcast(tot))
+      .withColumn(out, ntileFrom(col("_go_rn"), col("_go_n"), k))
+      .drop("_go_rn", "_go_n")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // dense global ordering of the corpus by (n_chars desc, doc_id): the
+    // "training order" assignment every curriculum/packing step needs.
+    // position comes from the two-phase range-partition rank; quartile
+    // from the closed-form ntile. The oracle computes BOTH with DuckDB's
+    // native global window row_number()/ntile() — hash equality proves the
+    // distributed formulation IS the single-node semantics.
+    QueryDef(
+      "q_global_order",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "n_chars")
+        val ordered = withGlobalRowNumber(docs,
+          Seq(col("n_chars").desc, col("doc_id").asc), "pos")
+        val tot = docs.agg(count(lit(1)).cast("long").as("_n"))
+        ordered.crossJoin(broadcast(tot))
+          .select(col("doc_id"), col("n_chars"), col("pos"),
+            ntileFrom(col("pos"), col("_n"), 4).as("quartile"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, n_chars,
+             |  CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS pos,
+             |  CAST(ntile(4) OVER (ORDER BY n_chars DESC, doc_id) AS INT) AS quartile
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -29,6 +29,26 @@ class DedupSpec extends SparkSpec {
     assert(!cands.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("lshStarEdges: same connected components and labels as all-pairs candidates") {
+    // synthetic corpus with duplicate families of size 1..6 — big enough
+    // that star (m-1 edges) and clique (m(m-1)/2 pairs) genuinely differ
+    val fam = (0 until 40).flatMap { f =>
+      (0 to f % 6).map(i => (f * 100L + i, s"family $f shared text body tok$f"))
+    }.toDF("doc_id", "text")
+    val sig = DedupOps.minhashSignature(fam, "doc_id", "text", 4)
+    val viaPairs = DedupOps.connectedComponents(
+      DedupOps.lshCandidates(sig, "doc_id", 4, 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaStar = DedupOps.connectedComponents(
+      DedupOps.lshStarEdges(sig, "doc_id", 4, 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaStar == viaPairs)
+    // and the star edge count is linear in family size, not quadratic
+    val nStar = DedupOps.lshStarEdges(sig, "doc_id", 4, 2).count()
+    val nPairs = DedupOps.lshCandidates(sig, "doc_id", 4, 2).count()
+    assert(nStar <= nPairs)
+  }
+
   test("jaccardPairs computes exact token-set jaccard") {
     val toks = DedupOps.explodeTokens(docs, "doc_id", "text")
     val j = DedupOps.jaccardPairs(toks, "doc_id")

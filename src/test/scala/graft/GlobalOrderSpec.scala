@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.GlobalOrder
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The distributed global-ordering primitive must reproduce the
+  * single-partition window semantics exactly — on ragged sizes, ties in
+  * the value column (broken by the unique key), and n < k. */
+class GlobalOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("withGlobalRowNumber equals the single-partition row_number window") {
+    for (n <- Seq(0, 1, 3, 97, 1000)) {
+      val df = spark.range(n.toLong).select(col("id"),
+        (col("id") * 2654435761L % 101).as("v")) // many ties
+      val got = GlobalOrder.withGlobalRowNumber(
+          df, Seq(col("v").desc, col("id").asc), "pos")
+        .select("id", "pos")
+      val want = df.select(col("id"),
+        row_number().over(Window.orderBy(col("v").desc, col("id").asc))
+          .cast("long").as("pos"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty, s"n=$n")
+    }
+  }
+
+  test("ntileFrom matches ntile() for every (n, k) shape incl. n < k") {
+    for (n <- Seq(1, 2, 3, 4, 5, 7, 8, 97, 400); k <- Seq(1, 2, 3, 4, 10)) {
+      val df = spark.range(n.toLong).toDF("id")
+      val got = df
+        .select(col("id"), GlobalOrder.ntileFrom(
+          col("id") + 1, lit(n.toLong), k).as("t"))
+      val want = df.select(col("id"),
+        ntile(k).over(Window.orderBy("id")).as("t"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"n=$n k=$k")
+    }
+  }
+
+  test("withGlobalNtile equals the global ntile window under a total order") {
+    val df = spark.range(500).select(col("id"),
+      (col("id") * 1103515245L % 37).as("v"))
+    val got = GlobalOrder.withGlobalNtile(
+        df, Seq(col("v").asc, col("id").asc), 4, "q")
+      .select("id", "q")
+    val want = df.select(col("id"),
+      ntile(4).over(Window.orderBy(col("v").asc, col("id").asc)).as("q"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+}
