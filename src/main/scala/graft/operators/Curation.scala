@@ -297,6 +297,57 @@ object Curation {
              |WHERE '0' || substr(md5('m:' || d.doc_id), 1, 2) < r.cut
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // epoch mixing — the UP-sampling twin of q_domain_mix: every source
+    // is pulled toward an equal target share with a fractional repeat
+    // factor f = (target · total) / n_src, capped at 4 epochs. A doc is
+    // emitted floor(f) times unconditionally plus one more copy iff its
+    // seedless md5 fraction clears frac(f) — so f = 2.3 repeats every doc
+    // twice and a deterministic 30% of docs a third time, and f = 0.4
+    // (an over-represented source) degrades to pure down-sampling with
+    // zero guaranteed copies. Integer repeats come from
+    // explode(sequence(0, n_int)): the blow-up is exactly the intended
+    // output size, per-row, with no shuffle — the only aggregates are the
+    // tiny per-source rate table (broadcast). The copy_id in the output
+    // is what downstream shuffling/packing keys on so repeated copies
+    // spread across partitions instead of clumping.
+    QueryDef(
+      "q_epoch_mix",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val per = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+        val tot = docs.agg(count(lit(1)).as("total"))
+        val f = least(lit(4.0), lit(0.25) * col("total") / col("n_src"))
+        val rates = per.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_src"),
+            floor(f).cast("int").as("n_int"),
+            format_string("%04x",
+              floor((f - floor(f)) * 4096).cast("int")).as("cut"))
+        docs.join(broadcast(rates), "source")
+          .select(col("doc_id"), col("source"), col("n_int"), col("cut"),
+            explode(sequence(lit(0), col("n_int"))).as("copy_id"))
+          .where(col("copy_id") < col("n_int") ||
+            concat(lit("0"),
+              substring(md5(concat(lit("e:"), col("doc_id"))), 1, 3)) < col("cut"))
+          .select("doc_id", "source", "copy_id")
+          .orderBy("doc_id", "copy_id")
+      },
+      Some("""WITH per AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1),
+             |tot AS (SELECT count(*) AS total FROM documents),
+             |rates AS (SELECT source, n_src,
+             |    CAST(floor(f) AS INT) AS n_int,
+             |    printf('%04x', CAST(floor((f - floor(f)) * 4096) AS INT)) AS cut
+             |  FROM (SELECT source, n_src,
+             |      least(4.0, 0.25 * total / n_src) AS f
+             |    FROM per CROSS JOIN tot)),
+             |x AS (SELECT d.doc_id, d.source, r.n_int, r.cut, u.copy_id
+             |  FROM documents d JOIN rates r USING (source),
+             |    LATERAL (SELECT unnest(range(0, r.n_int + 1)) AS copy_id) u)
+             |SELECT doc_id, source, CAST(copy_id AS INT) AS copy_id
+             |FROM x
+             |WHERE copy_id < n_int
+             |   OR ('0' || substr(md5('e:' || doc_id), 1, 3)) < cut
+             |ORDER BY doc_id, copy_id""".stripMargin)),
+
     // weighted sampling — keep-probability proportional to document
     // length (capped at 1): the data-mixing primitive for upweighting
     // long-form text without RNG state. Same md5-threshold mechanics as
