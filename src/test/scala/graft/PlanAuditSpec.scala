@@ -40,6 +40,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q_rfm: no partitionless ntile window survives the GlobalOrder rewrite") {
+    // three global quartiles used to be ntile(4) OVER (ORDER BY …) — a
+    // single-task funnel at scale (WindowExec warns "No Partition
+    // Defined"). They now go through GlobalOrder; if anyone reintroduces
+    // the window form, this fails.
+    val plan = planOf("q_rfm")
+    assert(!plan.contains("ntile"), s"q_rfm plans a global ntile window:\n$plan")
+    assert(plan.contains("rangepartitioning"),
+      s"q_rfm lost the range-repartition global order:\n$plan")
+  }
+
+  test("q_global_order: range exchange + id-encoded local position, no data-sized global window") {
+    val plan = planOf("q_global_order")
+    assert(plan.contains("rangepartitioning"), s"no range exchange:\n$plan")
+    assert(plan.contains("monotonically_increasing_id"),
+      s"local position not id-encoded:\n$plan")
+    // the only permitted global window is the prefix-sum over the
+    // per-partition counts (an aggregate of ≤ numShufflePartitions rows)
+    assert(!plan.contains("row_number() windowspecdefinition()"),
+      s"data-sized global row_number window present:\n$plan")
+  }
+
+  test("q_epoch_mix: rate table broadcasts; repeats explode without a shuffle") {
+    val plan = planOf("q_epoch_mix")
+    assert(plan.contains("BroadcastHashJoin"), s"rates not broadcast:\n$plan")
+    assert(plan.contains("Generate explode"), s"repeat explode missing:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q_color_map: the file-backed color dim is a broadcast join") {
     val plan = planOf("q_color_map")
     assert(plan.contains("BroadcastHashJoin"), s"color dim not broadcast:\n$plan")
