@@ -137,7 +137,8 @@ object ScaleProbe {
       "q1_pricing_summary", "q_tpch_q2", "q_tpch_q7", "q_tpch_q18",
       "q_tpch_q21", "q_group_count",
       "q_topk_heap", "q_upsert_latest", "q_daily_trend",
-      "q_islands", "q_split_assign", "q_winsorize", "q_unicode_norm")
+      "q_islands", "q_split_assign", "q_winsorize", "q_unicode_norm",
+      "q_manifest", "q_epoch_mix", "q_global_order")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 
