@@ -65,6 +65,41 @@ object TextAnalysis {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // inverted index build — the search-engine staple over a corpus:
+    // term → document frequency, total term frequency, and the full
+    // postings list as a SORTED array<struct<doc_id,pos>> (0-based token
+    // positions, so phrase queries can check adjacency). One posexplode
+    // (rows = total tokens, the index's own size) and one hash aggregate
+    // keyed on the term — the same shuffle law as word count; postings
+    // arrays are per-term, so a 100 TB build is bounded by its most
+    // frequent kept term, which the df floor keeps to genuinely common
+    // vocabulary (stop-word-scale terms are exactly what a real indexer
+    // handles specially anyway). sort_array on the struct gives one
+    // canonical order under any aggregation schedule.
+    QueryDef(
+      "q_inverted_index",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .withColumnRenamed("col", "tok")
+        .groupBy("tok")
+        .agg(
+          countDistinct("doc_id").as("df"),
+          count(lit(1)).as("tf_total"),
+          sort_array(collect_list(struct(col("doc_id"), col("pos"))))
+            .as("postings"))
+        .where(col("df") >= 25)
+        .orderBy("tok"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, CAST(u.i - 1 AS INT) AS pos, toks[u.i] AS tok
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |    LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) u)
+             |SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+             |  CAST(count(*) AS BIGINT) AS tf_total,
+             |  list(struct_pack(doc_id := doc_id, pos := pos)
+             |       ORDER BY doc_id, pos) AS postings
+             |FROM t GROUP BY tok HAVING count(DISTINCT doc_id) >= 25
+             |ORDER BY tok""".stripMargin)),
+
     // U3 corpus stats per language (counts + exact integer sums only —
     // deterministic under any aggregation order)
     QueryDef(

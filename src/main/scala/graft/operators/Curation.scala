@@ -297,6 +297,64 @@ object Curation {
              |WHERE '0' || substr(md5('m:' || d.doc_id), 1, 2) < r.cut
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // column profiler — the data-quality report every ingestion run emits
+    // before anything downstream trusts the batch: per column, row/non-null
+    // /distinct counts, min/max, and the modal value with its count
+    // (ties broken deterministically on the string form). Each column is
+    // one hash aggregate plus one value-counts top-1 over the same scan
+    // (Spark reuses the exchange); the per-column branches union into one
+    // report frame. Numeric columns profile in exact integer domains
+    // (cents for the double) so the report hash-matches across engines.
+    QueryDef(
+      "q_profile",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        def one(name: String, c: org.apache.spark.sql.Column) = {
+          val v = ev.select(c.as("raw"))
+          val stats = v.agg(
+            count(lit(1)).as("n_rows"),
+            count(col("raw")).as("n_nonnull"),
+            countDistinct(col("raw")).as("n_distinct"),
+            min(col("raw")).cast("string").as("min_v"),
+            max(col("raw")).cast("string").as("max_v"))
+          val top = v.where(col("raw").isNotNull)
+            .groupBy(col("raw").cast("string").as("top_value"))
+            .agg(count(lit(1)).as("top_count"))
+            .orderBy(col("top_count").desc, col("top_value").asc)
+            .limit(1)
+          stats.crossJoin(broadcast(top))
+            .select(lit(name).as("col_name"), col("n_rows"), col("n_nonnull"),
+              col("n_distinct"), col("min_v"), col("max_v"),
+              col("top_value"), col("top_count"))
+        }
+        one("event_id", col("event_id"))
+          .unionByName(one("event_type", col("event_type")))
+          .unionByName(one("user_id", col("user_id")))
+          .unionByName(one("value_cents",
+            expr("CAST(round(value * 100) AS BIGINT)")))
+          .orderBy("col_name")
+      },
+      Some {
+        def one(name: String, c: String) =
+          s"""SELECT '$name' AS col_name,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count($c) AS BIGINT) AS n_nonnull,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  CAST(min($c) AS VARCHAR) AS min_v,
+             |  CAST(max($c) AS VARCHAR) AS max_v,
+             |  (SELECT CAST($c AS VARCHAR) FROM src WHERE $c IS NOT NULL
+             |   GROUP BY $c ORDER BY count(*) DESC, CAST($c AS VARCHAR) LIMIT 1) AS top_value,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM src WHERE $c IS NOT NULL
+             |   GROUP BY $c ORDER BY count(*) DESC, CAST($c AS VARCHAR) LIMIT 1) AS top_count
+             |FROM src""".stripMargin
+        s"""WITH src AS (SELECT event_id, event_type, user_id,
+           |    CAST(round(value * 100) AS BIGINT) AS value_cents FROM events)
+           |${Seq("event_id" -> "event_id", "event_type" -> "event_type",
+                  "user_id" -> "user_id", "value_cents" -> "value_cents")
+              .map { case (n, c) => one(n, c) }.mkString("\nUNION ALL\n")}
+           |ORDER BY col_name""".stripMargin
+      }),
+
     // epoch mixing — the UP-sampling twin of q_domain_mix: every source
     // is pulled toward an equal target share with a fractional repeat
     // factor f = (target · total) / n_src, capped at 4 epochs. A doc is
