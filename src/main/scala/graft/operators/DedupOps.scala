@@ -952,6 +952,75 @@ object DedupOps extends org.apache.spark.internal.Logging {
              |  round(CAST((SELECT count(*) FROM truth JOIN cand USING (id1, id2)) AS DOUBLE)
              |    / (SELECT count(*) FROM truth), 4) AS recall""".stripMargin)),
 
+    // EXACT set-similarity join with prefix filtering (the AllPairs /
+    // PPJoin family — Bayardo et al. WWW'07): find every doc pair with
+    // token-set Jaccard ≥ 0.9, exactly, without LSH's probabilistic miss
+    // and without the all-pairs token join. The filter: order each doc's
+    // tokens by GLOBAL rarity (df asc, token asc — rare first) and keep
+    // only the first n − ceil(τ·n) + 1 as its prefix (≈ n/10 + 1 tokens
+    // at τ = 0.9); any pair with J ≥ τ must share a prefix token, so the
+    // candidate join runs over short rare-token prefixes, then candidates
+    // verify with an exact intersection count. The threshold compares in
+    // pure integers (J ≥ 9/10 ⟺ 19·i ≥ 9·(n1+n2)) — no float boundary
+    // can disagree between engines. The ORACLE computes ground truth with
+    // NO prefix filter, so the hash match also proves the filter's
+    // completeness guarantee held on this corpus. Shuffle law: token-df
+    // aggregate + per-doc rank window + prefix equi-join + candidate
+    // verify — every stage keyed, no stage quadratic in corpus size
+    // (the prefix join is quadratic only within per-token groups, and
+    // prefixes deliberately hold the RAREST tokens). τ prices the run:
+    // at 0.6 on this heavily templated fixture 57% of ALL pairs qualify,
+    // so output alone is Ω(n²); even at 0.9 the full sf0.1 fixture holds
+    // ~1M true pairs — hence, like the other pair-listing queries
+    // (q_ngram_jaccard, q_shingle_jaccard), the declared form runs on a
+    // fixed id-slice (10%, so the slice scales with the corpus) and the
+    // algorithm itself carries no bound.
+    QueryDef(
+      "q_setsim_join",
+      (s, d) => {
+        val t = explodeTokens(
+          Tables.documents(s, d).where(col("doc_id") % 10 === 0),
+          "doc_id", "text")
+        val tokDf = t.groupBy("tok").agg(count(lit(1)).as("tok_df"))
+        val ranked = t.join(tokDf, "tok")
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("doc_id").orderBy("tok_df", "tok")))
+          .withColumn("n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+        val prefix = ranked
+          .where(col("rn") <= col("n") - expr("(9 * n + 9) div 10") + 1)
+          .select("doc_id", "tok")
+        val cand = prefix.select(col("doc_id").as("id1"), col("tok"))
+          .join(prefix.select(col("doc_id").as("id2"), col("tok")), "tok")
+          .where(col("id1") < col("id2"))
+          .select("id1", "id2").distinct()
+        val inter = cand
+          .join(t.select(col("doc_id").as("id1"), col("tok")), "id1")
+          .join(t.select(col("doc_id").as("id2"), col("tok")), Seq("id2", "tok"))
+          .groupBy("id1", "id2").agg(count(lit(1)).as("i"))
+        val sizes = t.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        inter
+          .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
+          .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
+          .where(col("i") * 19 >= (col("n1") + col("n2")) * 9)
+          .select(col("id1"), col("id2"), col("i"),
+            (col("n1") + col("n2") - col("i")).as("u"))
+          .orderBy("id1", "id2")
+      },
+      Some("""WITH t AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+             |           FROM documents WHERE doc_id % 10 = 0),
+             |n AS (SELECT doc_id, count(*) AS n FROM t GROUP BY 1),
+             |i AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+             |    CAST(count(*) AS BIGINT) AS i
+             |  FROM t a JOIN t b USING (tok) WHERE a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT i.id1, i.id2, i.i,
+             |  CAST(a.n + b.n - i.i AS BIGINT) AS u
+             |FROM i JOIN n a ON a.doc_id = i.id1 JOIN n b ON b.doc_id = i.id2
+             |WHERE 19 * i.i >= 9 * (a.n + b.n)
+             |ORDER BY id1, id2""".stripMargin)),
+
     // token-set Jaccard over a bounded pair set (the all-pairs form is for
     // verification only; at scale pairs come from lshCandidates)
     QueryDef(
