@@ -100,6 +100,45 @@ object TextAnalysis {
              |FROM t GROUP BY tok HAVING count(DISTINCT doc_id) >= 25
              |ORDER BY tok""".stripMargin)),
 
+    // phrase search — the adjacency composition the positional index
+    // exists for: find every occurrence of a two-token phrase by joining
+    // token occurrences on (doc_id, pos+1). The phrase itself is chosen
+    // from the data (most frequent bigram, ties broken lexically) so the
+    // query is self-contained and the oracle pins both the selection and
+    // the matches. Cost: one doc_id-keyed self-join over the token table
+    // (both sides the same exchange) + a tiny broadcast top-1; at index
+    // scale you'd probe the stored postings of the two rarest phrase
+    // terms instead — same join, prefiltered input.
+    QueryDef(
+      "q_phrase_search",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .withColumnRenamed("col", "tok")
+        val bigrams = toks.as("a")
+          .join(toks.as("b"),
+            col("a.doc_id") === col("b.doc_id") &&
+              col("b.pos") === col("a.pos") + 1)
+          .select(col("a.doc_id").as("doc_id"), col("a.pos").as("pos"),
+            concat_ws(" ", col("a.tok"), col("b.tok")).as("phrase"))
+        val top = bigrams.groupBy("phrase")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("phrase").asc)
+          .limit(1).select("phrase")
+        bigrams.join(broadcast(top), "phrase")
+          .select("doc_id", "pos", "phrase")
+          .orderBy("doc_id", "pos")
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |bg AS (SELECT doc_id, CAST(u.i - 1 AS INT) AS pos,
+             |    toks[u.i] || ' ' || toks[u.i + 1] AS phrase
+             |  FROM tk, LATERAL (SELECT unnest(range(1, len(toks))) AS i) u),
+             |top AS (SELECT phrase FROM bg GROUP BY phrase
+             |        ORDER BY count(*) DESC, phrase LIMIT 1)
+             |SELECT b.doc_id, b.pos, b.phrase
+             |FROM bg b JOIN top USING (phrase)
+             |ORDER BY doc_id, pos""".stripMargin)),
+
     // U3 corpus stats per language (counts + exact integer sums only —
     // deterministic under any aggregation order)
     QueryDef(

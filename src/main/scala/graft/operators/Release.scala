@@ -305,6 +305,44 @@ object Release {
               |  CAST(sum(CASE WHEN rep THEN CAST('0x' || substr(md5(text), 1, 12) AS BIGINT) % 1000000007 END) AS BIGINT) AS checksum
               |FROM rp GROUP BY 1 ORDER BY part""".stripMargin)),
 
+    // triangle census of the duplicate graph: triangles (mutually-similar
+    // triples) vs wedges (open 2-paths) — the global clustering
+    // coefficient's 3·Δ/W numerator and denominator, kept as exact
+    // integers so the gate is float-free. Dense near-dup families are
+    // triangle-rich; chained boilerplate edits are wedge-rich — the ratio
+    // tells which dedup regime a corpus is in (transitive clusters safe
+    // vs clusters that over-merge through chain links). The triangle
+    // join is edge-oriented (ab ⋈ bc on the shared endpoint, closing
+    // edge probed with the canonical id1<id2<id3 orientation), the
+    // standard distributed formulation — each step an equi-join on node
+    // ids, never a cross product.
+    QueryDef(
+      "q_triangles",
+      (s, d) => {
+        val e = DedupOps.shareEdges(s, d)
+        val tri = e.as("ab")
+          .join(e.as("bc"), col("ab.id2") === col("bc.id1"))
+          .join(e.as("ac"),
+            col("ac.id1") === col("ab.id1") && col("ac.id2") === col("bc.id2"))
+          .agg(count(lit(1)).as("n_triangles"))
+        val deg = e.select(col("id1").as("id"))
+          .unionByName(e.select(col("id2").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("d"))
+        val wedges = deg.agg(
+          sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+        tri.crossJoin(broadcast(wedges))
+      },
+      Some(s"""WITH $shareEdgesCte,
+              |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+              |  FROM p ab JOIN p bc ON ab.id2 = bc.id1
+              |    JOIN p ac ON ac.id1 = ab.id1 AND ac.id2 = bc.id2),
+              |deg AS (SELECT id, count(*) AS d FROM (
+              |    SELECT id1 AS id FROM p UNION ALL SELECT id2 FROM p)
+              |  GROUP BY 1)
+              |SELECT tri.n_triangles,
+              |  (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges
+              |FROM tri""".stripMargin)),
+
     // Unicode NFC canonicalization via the native nfc_normalize expression:
     // decomposed sequences (base char + combining mark, injected here as
     // literals since the fixture corpus is ASCII) compose to their canonical
