@@ -138,7 +138,8 @@ object ScaleProbe {
       "q_tpch_q21", "q_group_count",
       "q_topk_heap", "q_upsert_latest", "q_daily_trend",
       "q_islands", "q_split_assign", "q_winsorize", "q_unicode_norm",
-      "q_manifest", "q_epoch_mix", "q_global_order")
+      "q_manifest", "q_epoch_mix", "q_global_order",
+      "q_setsim_join", "q_inverted_index", "q_phrase_search", "q_profile")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 
