@@ -107,12 +107,19 @@ object Behavioral {
         // range-partitioned two-phase rank + closed-form ntile. The oracle
         // below still uses native ntile() — hash equality proves the
         // distributed path reproduces the single-node semantics exactly.
+        // the user count is invariant across the three passes — computed
+        // once from the base aggregate and threaded through, so passes 2
+        // and 3 don't re-execute the prior pass's plan just to recount
+        val tot = m.agg(count(lit(1)).cast("long").as("_go_n"))
         val r = GlobalOrder.withGlobalNtile(m,
-          Seq(col("recency_days").asc, col("user_id").asc), 4, "r_quartile")
+          Seq(col("recency_days").asc, col("user_id").asc), 4, "r_quartile",
+          Some(tot))
         val f = GlobalOrder.withGlobalNtile(r,
-          Seq(col("frequency").desc, col("user_id").asc), 4, "f_quartile")
+          Seq(col("frequency").desc, col("user_id").asc), 4, "f_quartile",
+          Some(tot))
         GlobalOrder.withGlobalNtile(f,
-          Seq(col("monetary_cents").desc, col("user_id").asc), 4, "m_quartile")
+          Seq(col("monetary_cents").desc, col("user_id").asc), 4, "m_quartile",
+          Some(tot))
           .select("user_id", "recency_days", "frequency", "monetary_cents",
             "r_quartile", "f_quartile", "m_quartile")
           .orderBy("user_id")

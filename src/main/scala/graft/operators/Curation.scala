@@ -322,7 +322,12 @@ object Curation {
             .agg(count(lit(1)).as("top_count"))
             .orderBy(col("top_count").desc, col("top_value").asc)
             .limit(1)
-          stats.crossJoin(broadcast(top))
+          // LEFT join on true, not crossJoin: an all-NULL column has an
+          // empty top-1 frame, and a cross join would silently drop that
+          // column's whole report row — the exact row a profiler exists
+          // to surface. The oracle's scalar subqueries return NULL there;
+          // this matches them.
+          stats.join(broadcast(top), lit(true), "left")
             .select(lit(name).as("col_name"), col("n_rows"), col("n_nonnull"),
               col("n_distinct"), col("min_v"), col("max_v"),
               col("top_value"), col("top_count"))

@@ -129,12 +129,19 @@ object DedupOps extends org.apache.spark.internal.Logging {
     *
     * One exchange: the window's (band, bucket) partitioning is the same
     * repartition the bucket rows already carry. */
-  def lshStarEdges(sig: DataFrame, id: String, k: Int, rowsPerBand: Int): DataFrame = {
-    val b = lshBuckets(sig, id, k, rowsPerBand)
-      .repartition(col("band"), col("bucket"))
+  def lshStarEdges(sig: DataFrame, id: String, k: Int, rowsPerBand: Int): DataFrame =
+    starEdgesFromBuckets(
+      lshBuckets(sig, id, k, rowsPerBand).repartition(col("band"), col("bucket")), id)
+
+  /** The star construction itself, shared by [[lshStarEdges]] and
+    * [[dedupAgainstIndex]] so the two star forms cannot drift: per
+    * (band, bucket), every member links to the bucket minimum. Input
+    * should already be partitioned on (band, bucket) so the hub window
+    * reuses that exchange. */
+  private def starEdgesFromBuckets(buckets: DataFrame, id: String): DataFrame = {
     val hub = min(col(id)).over(
       org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket"))
-    b.withColumn("hub", hub)
+    buckets.withColumn("hub", hub)
       .where(col(id) =!= col("hub"))
       .select(col("hub").as("id1"), col(id).as("id2")).distinct()
   }
@@ -164,11 +171,7 @@ object DedupOps extends org.apache.spark.internal.Logging {
       .repartition(col("band"), col("bucket"))
     // star edges (hub = bucket min): same components as the all-pairs
     // bucket join, linear in duplicate-family size (see lshStarEdges)
-    val hub = min(col(id)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket"))
-    val pairs = fb.withColumn("hub", hub)
-      .where(col(id) =!= col("hub"))
-      .select(col("hub").as("id1"), col(id).as("id2")).distinct()
+    val pairs = starEdgesFromBuckets(fb, id)
     val losers = connectedComponentsStar(pairs)
       .where(col("id") =!= col("cluster")).select(col("id").as(id))
     fresh.join(losers, Seq(id), "left_anti")

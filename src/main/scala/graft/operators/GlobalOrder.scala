@@ -74,9 +74,17 @@ object GlobalOrder {
 
   /** [[withGlobalRowNumber]] + [[ntileFrom]]: a scale-safe global
     * `ntile(k)` under `order`. The total count rides in as a broadcast
-    * one-row cross join, so the whole thing stays one declarative plan. */
-  def withGlobalNtile(df: DataFrame, order: Seq[Column], k: Int, out: String): DataFrame = {
-    val tot = df.agg(count(lit(1)).cast("long").as("_go_n"))
+    * one-row cross join, so the whole thing stays one declarative plan.
+    *
+    * `total`: a one-row frame holding the row count as `_go_n`. Callers
+    * chaining several ntile passes over the SAME rows (q_rfm's three
+    * quartiles) should compute it once from the base frame and pass it
+    * in — the default counts `df` itself, which for a chained call means
+    * re-executing the previous pass's whole plan just to recount an
+    * unchanged total. */
+  def withGlobalNtile(df: DataFrame, order: Seq[Column], k: Int, out: String,
+      total: Option[DataFrame] = None): DataFrame = {
+    val tot = total.getOrElse(df.agg(count(lit(1)).cast("long").as("_go_n")))
     val rn = withGlobalRowNumber(df, order, "_go_rn")
     rn.crossJoin(broadcast(tot))
       .withColumn(out, ntileFrom(col("_go_rn"), col("_go_n"), k))

@@ -254,10 +254,10 @@ object Release {
     // labels (the q_dedup_corpus chain) → representative per cluster (min
     // doc_id) → cluster-granular split (the q_split_assign rule) → one
     // manifest row per split: member count (pre-dedup), released doc count,
-    // char/token totals, and an ORDER-FREE content checksum (sum of
-    // 48-bit-md5 mod 1e9+7 per released doc — commutative, so partial-agg
-    // merge order can't change it, and modular so the running sum can
-    // never overflow BIGINT under ANSI no matter the corpus size). This is
+    // char/token totals, and an ORDER-FREE content checksum (per-doc
+    // 48-bit-md5 residues mod 1e9+7, summed exactly in DECIMAL(38,0),
+    // total reduced mod 1e9+7 — commutative, so partial-agg merge order
+    // can't change it, and overflow-free to ~1e29 docs). This is
     // the artifact a training run pins: any document added, dropped, or
     // edited anywhere in the pipeline changes exactly one row's checksum.
     // One wide-table pass: window for the representative, one grouped agg.
@@ -284,9 +284,15 @@ object Release {
             sum(when(col("rep"), length(col("text")).cast("long"))).as("total_chars"),
             sum(when(col("rep"),
               size(split(col("text"), " ")).cast("long"))).as("total_tokens"),
-            sum(when(col("rep"),
-              conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long") % 1000000007L))
-              .as("checksum"))
+            // residues sum in DECIMAL(38,0) and the MOD is re-applied to
+            // the total: a plain BIGINT sum of <1e9 residues overflows at
+            // ~9e9 docs per split — reachable at the 100 TB design point.
+            // Decimal summation is exact to 1e38 and both engines reduce
+            // the same total mod p, so the gate stays bit-identical.
+            (sum(when(col("rep"),
+              conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long") % 1000000007L)
+              .cast("decimal(38,0)")) % 1000000007L)
+              .cast("long").as("checksum"))
           .orderBy("part")
       },
       Some(s"""${DedupOps.corpusClustersCte},
@@ -302,7 +308,7 @@ object Release {
               |  CAST(count(DISTINCT cluster) AS BIGINT) AS n_docs,
               |  CAST(sum(CASE WHEN rep THEN length(text) END) AS BIGINT) AS total_chars,
               |  CAST(sum(CASE WHEN rep THEN len(string_split(text, ' ')) END) AS BIGINT) AS total_tokens,
-              |  CAST(sum(CASE WHEN rep THEN CAST('0x' || substr(md5(text), 1, 12) AS BIGINT) % 1000000007 END) AS BIGINT) AS checksum
+              |  CAST(sum(CASE WHEN rep THEN CAST('0x' || substr(md5(text), 1, 12) AS BIGINT) % 1000000007 END) % 1000000007 AS BIGINT) AS checksum
               |FROM rp GROUP BY 1 ORDER BY part""".stripMargin)),
 
     // triangle census of the duplicate graph: triangles (mutually-similar

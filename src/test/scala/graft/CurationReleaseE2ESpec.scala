@@ -41,8 +41,9 @@ class CurationReleaseE2ESpec extends SparkSpec {
     val r = df.agg(
       count(lit(1)).as("n_docs"),
       sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
-      sum(conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long")
-        % 1000000007L).as("checksum")).head()
+      (sum((conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long")
+        % 1000000007L).cast("decimal(38,0)")) % 1000000007L)
+        .cast("long").as("checksum")).head()
     (r.getLong(0), r.getLong(1), r.getLong(2))
   }
 

@@ -57,9 +57,10 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("monotonically_increasing_id"),
       s"local position not id-encoded:\n$plan")
     // the only permitted global window is the prefix-sum over the
-    // per-partition counts (an aggregate of ≤ numShufflePartitions rows)
-    assert(!plan.contains("row_number() windowspecdefinition()"),
-      s"data-sized global row_number window present:\n$plan")
+    // per-partition counts (an aggregate of ≤ numShufflePartitions rows);
+    // the rank itself must never come from a row_number window at all
+    assert(!plan.contains("row_number"),
+      s"global row_number window present:\n$plan")
   }
 
   test("q_epoch_mix: rate table broadcasts; repeats explode without a shuffle") {
