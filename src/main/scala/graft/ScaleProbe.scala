@@ -139,7 +139,8 @@ object ScaleProbe {
       "q_topk_heap", "q_upsert_latest", "q_daily_trend",
       "q_islands", "q_split_assign", "q_winsorize", "q_unicode_norm",
       "q_manifest", "q_epoch_mix", "q_global_order",
-      "q_setsim_join", "q_inverted_index", "q_phrase_search", "q_profile")
+      "q_setsim_join", "q_inverted_index", "q_phrase_search", "q_profile",
+      "q_rfm")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 
