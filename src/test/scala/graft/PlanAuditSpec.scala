@@ -22,7 +22,7 @@ class PlanAuditSpec extends SparkSpec {
       vanilla.experimental.extraOptimizations.isEmpty,
       "newSession() was expected to start with no experimental hooks")
     for (name <- Seq("q_topk_heap", "q_ann_recall", "q_ivf_recall",
-        "q_pq_recall", "q_ivfpq_recall")) {
+        "q_pq_recall", "q_ivfpq_recall", "q_knn_graph")) {
       val plan = SparkEntry.queries(name)(vanilla, sf)
         .queryExecution.executedPlan.toString
       assert(plan.contains("TopKPerGroup"),
