@@ -114,6 +114,39 @@ object GlobalOrder {
       Some("""SELECT doc_id, n_chars,
              |  CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS pos,
              |  CAST(ntile(4) OVER (ORDER BY n_chars DESC, doc_id) AS INT) AS quartile
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // equi-DEPTH histogram: decile upper edges of the value distribution
+    // by exact rank (edge d = value at row ⌈d·n/10⌉, ceiling in integer
+    // arithmetic) — the complement of q_histogram_bins' equi-width bins,
+    // and the binning a skew-aware partitioner actually wants (equal ROW
+    // counts per bin, not equal value spans). Rank comes from the
+    // two-phase global order; the 10 edge ranks are generated from the
+    // one-row count and broadcast, so the big side is touched once.
+    // Values quantize to integer cents first: rank-selected edges are
+    // then bit-exact across engines.
+    QueryDef(
+      "q_equidepth_hist",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        val ranked = withGlobalRowNumber(ev,
+          Seq(col("cents").asc, col("event_id").asc), "rn")
+        val tot = ev.agg(count(lit(1)).as("n"))
+        val edgeRanks = tot
+          .select(explode(sequence(lit(1), lit(10))).as("decile"), col("n"))
+          .select(col("decile"), expr("(decile * n + 9) div 10").as("rn"))
+        ranked.join(broadcast(edgeRanks), "rn")
+          .select(col("decile"), col("cents").as("upper_cents"))
+          .orderBy("decile")
+      },
+      Some("""WITH v AS (SELECT event_id,
+             |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+             |r AS (SELECT *, row_number() OVER (ORDER BY cents, event_id) AS rn FROM v),
+             |n AS (SELECT count(*) AS n FROM v),
+             |d AS (SELECT CAST(u.d AS INT) AS decile, (u.d * n.n + 9) // 10 AS rn
+             |      FROM (SELECT unnest(range(1, 11)) AS d) u CROSS JOIN n)
+             |SELECT d.decile, r.cents AS upper_cents
+             |FROM d JOIN r USING (rn) ORDER BY decile""".stripMargin))
   )
 }
