@@ -368,6 +368,54 @@ object Similarity {
       .where(col("rn") <= k)
   }
 
+  /** Shared kNN-graph build (`q_knn_graph` / `q_mutual_knn`): wide-band
+    * LSH candidate pairs scored exactly, each undirected pair feeding
+    * both endpoints' rankings, per-vector top-3 as row_number()<=3 with
+    * the rank dropped — the shape [[graft.plans.GroupTopKRewrite]] plans
+    * through the heap operator. Columns: (vec_id, neighbor, sim). */
+  private def knnGraph(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val eb = explodeBands(
+      emb.select("vec_id", "embedding"), col("embedding"), NdBands, NdBits)
+      .drop("embedding")
+    val cand = eb.select(col("vec_id").as("id1"), col("band"), col("sig"))
+      .join(eb.select(col("vec_id").as("id2"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .where(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("ed"))
+    val scored = cand
+      .join(e.select(col("vec_id").as("id1"), col("ed").as("e1")), "id1")
+      .join(e.select(col("vec_id").as("id2"), col("ed").as("e2")), "id2")
+      .withColumn("sim", round(dot(col("e1"), col("e2")), 4))
+      .select("id1", "id2", "sim")
+    val edges = scored.unionByName(
+      scored.select(col("id2").as("id1"), col("id1").as("id2"), col("sim")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id1").orderBy(col("sim").desc, col("id2").asc)
+    edges.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("id1").as("vec_id"), col("id2").as("neighbor"), col("sim"))
+  }
+
+  /** DuckDB twin of [[knnGraph]] (CTE chain ending in `knn(vec_id,
+    * neighbor, sim)`, no leading WITH). */
+  private def knnGraphCte: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+       |        ${bandSigSqlCols(NdBands, NdBits).mkString(",\n        ")}
+       |      FROM embeddings),
+       |cand AS (
+       |  ${(0 until NdBands).map(b =>
+           s"SELECT a.vec_id AS id1, b.vec_id AS id2 FROM e a JOIN e b ON a.sig$b = b.sig$b AND a.vec_id < b.vec_id")
+           .mkString("\n  UNION\n  ")}),
+       |sc AS (SELECT c.id1, c.id2, round(list_dot_product(a.ed, b.ed), 4) AS sim
+       |       FROM cand c JOIN e a ON a.vec_id = c.id1 JOIN e b ON b.vec_id = c.id2),
+       |ed2 AS (SELECT id1, id2, sim FROM sc
+       |        UNION ALL SELECT id2, id1, sim FROM sc),
+       |r AS (SELECT *, row_number() OVER (
+       |    PARTITION BY id1 ORDER BY sim DESC, id2) AS rnk FROM ed2),
+       |knn AS (SELECT id1 AS vec_id, id2 AS neighbor, sim FROM r WHERE rnk <= 3)""".stripMargin
+
   /** Shared corpus for the semantic-dedup queries: fixture embeddings plus
     * deterministically injected duplicates — exact copies (sim 1.0) of
     * every 10th vector and last-dimension-negated copies (sim = 1 − 2·v₆₄²,
@@ -590,51 +638,34 @@ object Similarity {
     // through the TopKPerGroup heap operator (pinned in PlanAuditSpec).
     QueryDef(
       "q_knn_graph",
+      (s, d) => knnGraph(s, d)
+        .orderBy(col("vec_id"), col("sim").desc, col("neighbor")),
+      Some(s"""WITH $knnGraphCte
+              |SELECT vec_id, neighbor, sim
+              |FROM knn ORDER BY vec_id, sim DESC, neighbor""".stripMargin)),
+
+    // mutual-kNN sparsification — keep an edge only when BOTH endpoints
+    // rank each other in their top-3 (a ∈ kNN(b) ∧ b ∈ kNN(a)): the
+    // standard pre-filter that strips hub-dominated one-way edges before
+    // graph clustering. One self-join of the kNN graph on the reversed
+    // pair; the kNN subtree appears on both sides of the join, so the
+    // planner reuses its exchanges.
+    QueryDef(
+      "q_mutual_knn",
       (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val eb = explodeBands(
-          emb.select("vec_id", "embedding"), col("embedding"), NdBands, NdBits)
-          .drop("embedding")
-        val cand = eb.select(col("vec_id").as("id1"), col("band"), col("sig"))
-          .join(eb.select(col("vec_id").as("id2"), col("band"), col("sig")),
-            Seq("band", "sig"))
-          .where(col("id1") < col("id2"))
-          .select("id1", "id2").distinct()
-        val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("ed"))
-        val scored = cand
-          .join(e.select(col("vec_id").as("id1"), col("ed").as("e1")), "id1")
-          .join(e.select(col("vec_id").as("id2"), col("ed").as("e2")), "id2")
-          .withColumn("sim", round(dot(col("e1"), col("e2")), 4))
-          .select("id1", "id2", "sim")
-        val edges = scored.unionByName(
-          scored.select(col("id2").as("id1"), col("id1").as("id2"), col("sim")))
-        // the rank column is NOT emitted: the heap rewrite only fires
-        // when nothing downstream observes the row numbers the heap
-        // never assigns, and neighbor order already encodes the rank
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("id1").orderBy(col("sim").desc, col("id2").asc)
-        edges.withColumn("rank", row_number().over(w))
-          .where(col("rank") <= 3)
-          .select(col("id1").as("vec_id"), col("id2").as("neighbor"), col("sim"))
-          .orderBy(col("vec_id"), col("sim").desc, col("neighbor"))
+        val knn = knnGraph(s, d)
+        knn.join(knn.select(col("vec_id").as("neighbor"),
+            col("neighbor").as("vec_id")), Seq("vec_id", "neighbor"), "left_semi")
+          .where(col("vec_id") < col("neighbor"))
+          .select(col("vec_id").as("id1"), col("neighbor").as("id2"), col("sim"))
+          .orderBy("id1", "id2")
       },
-      Some {
-        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
-           |             ${bandSigSqlCols(NdBands, NdBits).mkString(",\n             ")}
-           |           FROM embeddings),
-           |cand AS (
-           |  ${(0 until NdBands).map(b =>
-               s"SELECT a.vec_id AS id1, b.vec_id AS id2 FROM e a JOIN e b ON a.sig$b = b.sig$b AND a.vec_id < b.vec_id")
-               .mkString("\n  UNION\n  ")}),
-           |sc AS (SELECT c.id1, c.id2, round(list_dot_product(a.ed, b.ed), 4) AS sim
-           |       FROM cand c JOIN e a ON a.vec_id = c.id1 JOIN e b ON b.vec_id = c.id2),
-           |ed2 AS (SELECT id1, id2, sim FROM sc
-           |        UNION ALL SELECT id2, id1, sim FROM sc),
-           |r AS (SELECT *, row_number() OVER (
-           |    PARTITION BY id1 ORDER BY sim DESC, id2) AS rnk FROM ed2)
-           |SELECT id1 AS vec_id, id2 AS neighbor, sim
-           |FROM r WHERE rnk <= 3 ORDER BY vec_id, sim DESC, neighbor""".stripMargin
-      }),
+      Some(s"""WITH $knnGraphCte
+              |SELECT a.vec_id AS id1, a.neighbor AS id2, a.sim
+              |FROM knn a JOIN knn b
+              |  ON b.vec_id = a.neighbor AND b.neighbor = a.vec_id
+              |WHERE a.vec_id < a.neighbor
+              |ORDER BY id1, id2""".stripMargin)),
 
     // end-to-end SEMANTIC dedup — the embedding-space twin of
     // q_dedup_corpus: wide-band LSH candidates → exact cosine threshold →

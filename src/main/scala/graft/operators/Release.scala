@@ -311,6 +311,55 @@ object Release {
               |  CAST(sum(CASE WHEN rep THEN CAST('0x' || substr(md5(text), 1, 12) AS BIGINT) % 1000000007 END) % 1000000007 AS BIGINT) AS checksum
               |FROM rp GROUP BY 1 ORDER BY part""".stripMargin)),
 
+    // two-sample Kolmogorov–Smirnov drift gate — the statistical check a
+    // release pipeline runs between two distributions (here: click vs
+    // purchase event values) before declaring them exchangeable. Exact
+    // and float-free: with per-value counts c1,c2 and cumulative sums
+    // cum1,cum2, D = max|cum1/N1 − cum2/N2| is reported as the exact
+    // integer numerator max|cum1·N2 − cum2·N1| beside N1 and N2 (the
+    // statistic is d_num/(N1·N2); at N1·N2 beyond 9e18 lift the products
+    // into DECIMAL(38,0) — BIGINT here keeps cross-engine hash type
+    // parity). The one partitionless window runs over DISTINCT values
+    // (bounded by the integer-cents domain, not the row count — the same
+    // bounded-table exemption as the skyline's bucket cummax); everything
+    // row-scaled is a keyed aggregate.
+    QueryDef(
+      "q_ks_test",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .where(col("event_type").isin("click", "purchase"))
+          .select(expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+            (col("event_type") === "click").cast("long").as("is1"))
+        val per = ev.groupBy("cents").agg(
+          sum(col("is1")).as("c1"), sum(lit(1L) - col("is1")).as("c2"))
+        val w = Window.orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cum = per
+          .withColumn("cum1", sum("c1").over(w))
+          .withColumn("cum2", sum("c2").over(w))
+        val tot = ev.agg(sum(col("is1")).as("n1"),
+          sum(lit(1L) - col("is1")).as("n2"))
+        cum.crossJoin(broadcast(tot))
+          .select(abs(col("cum1") * col("n2") - col("cum2") * col("n1")).as("dn"),
+            col("n1"), col("n2"))
+          .agg(max("dn").as("d_num"), max("n1").as("n1"), max("n2").as("n2"))
+      },
+      Some("""WITH ev AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1
+             |  FROM events WHERE event_type IN ('click', 'purchase')),
+             |per AS (SELECT cents, CAST(sum(is1) AS BIGINT) AS c1,
+             |    CAST(sum(1 - is1) AS BIGINT) AS c2
+             |  FROM ev GROUP BY 1),
+             |cum AS (SELECT cents,
+             |    CAST(sum(c1) OVER (ORDER BY cents) AS BIGINT) AS cum1,
+             |    CAST(sum(c2) OVER (ORDER BY cents) AS BIGINT) AS cum2
+             |  FROM per),
+             |tot AS (SELECT CAST(sum(is1) AS BIGINT) AS n1,
+             |    CAST(sum(1 - is1) AS BIGINT) AS n2 FROM ev)
+             |SELECT CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num,
+             |  max(n1) AS n1, max(n2) AS n2
+             |FROM cum CROSS JOIN tot""".stripMargin)),
+
     // triangle census of the duplicate graph: triangles (mutually-similar
     // triples) vs wedges (open 2-paths) — the global clustering
     // coefficient's 3·Δ/W numerator and denominator, kept as exact
