@@ -13,23 +13,27 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as a nanos-epoch
-    * long (legacy conf) and convert to a micros TimestampType column —
-    * lossless here (fixture timestamps are second-scale) and matching
-    * the oracle side's `CAST(ts AS TIMESTAMP)` (FIXTURES.md determinism
-    * rules).
+  /** `events.ts` has shipped in two physical types across fixture
+    * generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader rejects — [PARQUET_TYPE_ILLEGAL] — so with the legacy conf
+    * it surfaces as a nanos-epoch BIGINT) and plain TIMESTAMP(MICROS)
+    * (surfaces as TimestampType directly). Branch on the read type so
+    * either generation normalizes to the same `timestamp_ntz` column
+    * the oracle side sees via `CAST(ts AS TIMESTAMP)`.
     */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    // integer `div`, NOT `/`: ns-epoch values exceed double's 2^53 exact
-    // range, so float division would be off by ±1µs
-    raw.withColumn(
-      "ts",
-      org.apache.spark.sql.functions
-        .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000"))
-        .cast("timestamp_ntz"))
+    import org.apache.spark.sql.functions._
+    val tsCol = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // nanos-epoch long: integer `div`, NOT `/` — ns-epoch values
+        // exceed double's 2^53 exact range, so float division would be
+        // off by ±1µs
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")
+      case _ => col("ts").cast("timestamp_ntz")
+    }
+    raw.withColumn("ts", tsCol)
   }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")

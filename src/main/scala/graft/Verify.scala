@@ -19,8 +19,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS) — must be set at session
-      // build time (Tables.events converts the long to timestamp_ntz)
+      // older events.parquet generations carried TIMESTAMP(NANOS) — the
+      // conf must be set at session build time; harmless for the current
+      // TIMESTAMP(MICROS) fixtures (Tables.events branches on read type)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
