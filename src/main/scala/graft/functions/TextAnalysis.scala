@@ -75,7 +75,11 @@ object TextAnalysis {
     // frequent kept term, which the df floor keeps to genuinely common
     // vocabulary (stop-word-scale terms are exactly what a real indexer
     // handles specially anyway). sort_array on the struct gives one
-    // canonical order under any aggregation schedule.
+    // canonical order under any aggregation schedule; the postings list
+    // is then serialized to a canonical JSON string — nested
+    // array<struct> survives parquet fine, but the driver's hash
+    // comparator (pandas sort_values) can't hash ndarray cells, so the
+    // declared surface emits the string form on both sides.
     QueryDef(
       "q_inverted_index",
       (s, d) => Tables.documents(s, d)
@@ -85,7 +89,7 @@ object TextAnalysis {
         .agg(
           countDistinct("doc_id").as("df"),
           count(lit(1)).as("tf_total"),
-          sort_array(collect_list(struct(col("doc_id"), col("pos"))))
+          to_json(sort_array(collect_list(struct(col("doc_id"), col("pos")))))
             .as("postings"))
         .where(col("df") >= 25)
         .orderBy("tok"),
@@ -95,8 +99,8 @@ object TextAnalysis {
              |    LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) u)
              |SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
              |  CAST(count(*) AS BIGINT) AS tf_total,
-             |  list(struct_pack(doc_id := doc_id, pos := pos)
-             |       ORDER BY doc_id, pos) AS postings
+             |  CAST(to_json(list(struct_pack(doc_id := doc_id, pos := pos)
+             |       ORDER BY doc_id, pos)) AS VARCHAR) AS postings
              |FROM t GROUP BY tok HAVING count(DISTINCT doc_id) >= 25
              |ORDER BY tok""".stripMargin)),
 
