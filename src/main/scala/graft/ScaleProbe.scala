@@ -139,7 +139,8 @@ object ScaleProbe {
       "q_topk_heap", "q_upsert_latest", "q_daily_trend",
       "q_islands", "q_split_assign", "q_winsorize", "q_unicode_norm",
       "q_manifest", "q_epoch_mix", "q_global_order",
-      "q_setsim_join", "q_inverted_index", "q_phrase_search", "q_profile",
+      "q_setsim_join", "q_setsim_topk", "q_inverted_index", "q_phrase_search",
+      "q_profile",
       "q_rfm", "q_knn_graph", "q_mutual_knn", "q_equidepth_hist",
       "q_ks_test", "q_triangles")
       .filter(SparkEntry.queries.contains)

@@ -977,7 +977,9 @@ object DedupOps extends org.apache.spark.internal.Logging {
     // ~1M true pairs — hence, like the other pair-listing queries
     // (q_ngram_jaccard, q_shingle_jaccard), the declared form runs on a
     // fixed id-slice (10%, so the slice scales with the corpus) and the
-    // algorithm itself carries no bound.
+    // algorithm itself carries no bound. This query is the small-scale
+    // EXACTNESS oracle; the bounded-output production form is
+    // q_setsim_topk below.
     QueryDef(
       "q_setsim_join",
       (s, d) => {
@@ -1023,6 +1025,96 @@ object DedupOps extends org.apache.spark.internal.Logging {
              |FROM i JOIN n a ON a.doc_id = i.id1 JOIN n b ON b.doc_id = i.id2
              |WHERE 19 * i.i >= 9 * (a.n + b.n)
              |ORDER BY id1, id2""".stripMargin)),
+
+    // BOUNDED-OUTPUT set-similarity: per-document best match (top-1 by
+    // token-set Jaccard) — the production form of q_setsim_join. A pair
+    // LISTER's output is Ω(n²)·density on a near-dup-dense corpus (the
+    // 10× probe measured 102× growth), but a curation pipeline doesn't
+    // consume pair lists; it asks "what is this document's closest
+    // sibling?". Contract: candidates come from the SAME deterministic
+    // one-permutation MinHash-LSH banding as q_lsh_candidates (k=4
+    // signature slices, 2 bands), and within each bucket every member
+    // pairs only with the bucket's 9 smallest-id members — a per-bucket
+    // seed cap that makes candidate count ≤ 18 per doc, so compute AND
+    // output are O(n) regardless of duplicate-family size (an m-doc dup
+    // family emits ≤ 9m candidate pairs, not m²/2). Candidates then
+    // verify with EXACT intersection counts; the integer guard
+    // 3i ≥ n1+n2 ⟺ J ≥ 0.5 admits no float boundary, and the top-1 rank
+    // orders on the ROUNDED jaccard (both engines compute the identical
+    // double from identical integers) with partner-id tie-break. The
+    // oracle replicates the signature + cap byte-for-byte, so the hash
+    // match pins candidate generation, verification, and selection.
+    // Shuffle law: signature is a shuffle-free projection; one exchange
+    // on (band,bucket) for seeds + candidates; verify joins keyed on
+    // doc id; final window partitions by doc over ≤18 rows each.
+    QueryDef(
+      "q_setsim_topk",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val t = explodeTokens(docs, "doc_id", "text")
+        val sig = minhashSignature(docs, "doc_id", "text", 4)
+        val b = lshBuckets(sig, "doc_id", 4, 2)
+          .repartition(col("band"), col("bucket"))
+        val seeds = b
+          .withColumn("rn", row_number().over(
+            w.partitionBy("band", "bucket").orderBy("doc_id")))
+          .where(col("rn") <= 9)
+          .select(col("doc_id").as("partner"), col("band"), col("bucket"))
+        val cand = b.join(seeds, Seq("band", "bucket"))
+          .where(col("partner") =!= col("doc_id"))
+          .select(col("doc_id").as("id"), col("partner")).distinct()
+        val inter = cand
+          .join(t.select(col("doc_id").as("id"), col("tok")), "id")
+          .join(t.select(col("doc_id").as("partner"), col("tok")),
+            Seq("partner", "tok"))
+          .groupBy("id", "partner").agg(count(lit(1)).as("i"))
+        val sizes = t.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val scored = inter
+          .join(sizes.select(col("doc_id").as("id"), col("n").as("n1")), "id")
+          .join(sizes.select(col("doc_id").as("partner"), col("n").as("n2")),
+            "partner")
+          .where(col("i") * 3 >= col("n1") + col("n2"))
+          .withColumn("u", col("n1") + col("n2") - col("i"))
+          .withColumn("jaccard", round(col("i").cast("double") / col("u"), 4))
+        scored
+          .withColumn("rn", row_number().over(
+            w.partitionBy("id").orderBy(col("jaccard").desc, col("partner"))))
+          .where(col("rn") === 1)
+          .select(col("id").as("doc_id"), col("partner").as("match_id"),
+            col("i"), col("u"), col("jaccard"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+             |           FROM documents),
+             |sig AS (SELECT doc_id,
+             |    min(substr(md5(tok), 1, 8)) AS s1, min(substr(md5(tok), 9, 8)) AS s2,
+             |    min(substr(md5(tok), 17, 8)) AS s3, min(substr(md5(tok), 25, 8)) AS s4
+             |  FROM t GROUP BY 1),
+             |b AS (SELECT doc_id, 0 AS band, md5(s1 || s2) AS bucket FROM sig
+             |      UNION ALL SELECT doc_id, 1, md5(s3 || s4) FROM sig),
+             |seed AS (SELECT doc_id, band, bucket,
+             |    row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rn
+             |  FROM b),
+             |cand AS (SELECT DISTINCT m.doc_id AS id, s.doc_id AS partner
+             |  FROM b m JOIN seed s USING (band, bucket)
+             |  WHERE s.rn <= 9 AND s.doc_id <> m.doc_id),
+             |n AS (SELECT doc_id, count(*) AS n FROM t GROUP BY 1),
+             |i AS (SELECT c.id, c.partner, CAST(count(*) AS BIGINT) AS i
+             |  FROM cand c JOIN t a ON a.doc_id = c.id
+             |  JOIN t b2 ON b2.doc_id = c.partner AND b2.tok = a.tok
+             |  GROUP BY 1, 2),
+             |scored AS (SELECT i.id, i.partner, i.i,
+             |    CAST(na.n + nb.n - i.i AS BIGINT) AS u,
+             |    round(CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i), 4) AS jaccard
+             |  FROM i JOIN n na ON na.doc_id = i.id
+             |  JOIN n nb ON nb.doc_id = i.partner
+             |  WHERE 3 * i.i >= na.n + nb.n),
+             |best AS (SELECT *, row_number()
+             |    OVER (PARTITION BY id ORDER BY jaccard DESC, partner) AS rn
+             |  FROM scored)
+             |SELECT id AS doc_id, partner AS match_id, i, u, jaccard
+             |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
 
     // token-set Jaccard over a bounded pair set (the all-pairs form is for
     // verification only; at scale pairs come from lshCandidates)
