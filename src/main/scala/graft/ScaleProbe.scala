@@ -137,7 +137,7 @@ object ScaleProbe {
       "q1_pricing_summary", "q_tpch_q2", "q_tpch_q7", "q_tpch_q18",
       "q_tpch_q21", "q_group_count",
       "q_topk_heap", "q_upsert_latest", "q_daily_trend",
-      "q_islands", "q_split_assign", "q_winsorize", "q_unicode_norm",
+      "q_gap_fill", "q_islands", "q_split_assign", "q_winsorize", "q_unicode_norm",
       "q_manifest", "q_epoch_mix", "q_global_order",
       "q_setsim_join", "q_setsim_topk", "q_inverted_index", "q_phrase_search",
       "q_profile",

@@ -163,6 +163,41 @@ class PlanAuditSpec extends SparkSpec {
       s"point window lost its bucket partition key:\n$plan")
   }
 
+  test("q_setsim_topk: bucket-keyed windows only, candidates from an equi-join") {
+    // the bounded-output contract is only scale-safe if (a) no window
+    // runs partitionless (seed ranks key on (band,bucket), top-1 keys on
+    // doc id) and (b) candidates come from the bucket equi-join, never a
+    // cross product / nested loop
+    val logical = SparkEntry.queries("q_setsim_topk")(spark, sf)
+      .queryExecution.optimizedPlan
+    val windows = logical.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "expected window nodes in the topk plan")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      s"partitionless window in q_setsim_topk:\n$logical")
+    val plan = planOf("q_setsim_topk")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation fell back to a nested loop:\n$plan")
+    assert(plan.contains("hashpartitioning(band#") ||
+      plan.contains("BroadcastHashJoin [band#"),
+      s"candidate join not keyed on (band, bucket):\n$plan")
+  }
+
+  test("q_setsim_topk: one row per matched doc, scores in the J >= 0.5 contract") {
+    val out = SparkEntry.queries("q_setsim_topk")(spark, sf).collect()
+    val ids = out.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length == ids.length, "duplicate doc_id rows in top-1 output")
+    out.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      val i = r.getAs[Long]("i"); val u = r.getAs[Long]("u")
+      assert(j >= 0.5 && j <= 1.0, s"jaccard $j outside contract")
+      assert(3 * i >= i + u, s"integer guard violated: i=$i u=$u")
+      assert(r.getAs[Long]("match_id") != r.getAs[Long]("doc_id"),
+        "doc matched itself")
+    }
+  }
+
   test("filter pushdown reaches the parquet scan on the behavioral suite") {
     val plan = planOf("q_funnel")
     // event-type filters are applied post-scan (they sit under a join),
