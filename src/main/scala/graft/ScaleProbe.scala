@@ -131,7 +131,7 @@ object ScaleProbe {
       "q_line_dedup", "q_dedup_exact", "q_dedup_latest", "q_dedup_corpus",
       "q_dedup_keep_best", "q_dup_stats_by_source",
       "q_dup_clusters_star", "q_lsh_candidates", "q_embed_dedup",
-      "q_embed_dedup_adaptive", "q_incremental_dedup",
+      "q_embed_dedup_adaptive", "q_semantic_dedup", "q_incremental_dedup",
       "q_fuzzy_join", "q_boilerplate", "q_bigram_lm", "q_quality_filter",
       "q_tfidf_terms", "q_ann_lsh", "q_cosine_topk", "q_ivfpq_recall",
       "q1_pricing_summary", "q_tpch_q2", "q_tpch_q7", "q_tpch_q18",

@@ -762,6 +762,72 @@ object Similarity {
            |ORDER BY vec_id""".stripMargin
       }),
 
+    // SemDeDup-style semantic dedup (Abbas et al. 2023): partition the
+    // embedding space into cells around a deterministic coarse codebook
+    // (every 50th vec_id → codebook size n/50, mean cell ≈ 50 vectors at
+    // ANY corpus size), then drop, within each cell, every vector with a
+    // lower-id neighbor at cosine ≥ 0.95 — reporting the minimum-id
+    // witness. Differs from q_embed_dedup on both axes that define the
+    // method: candidates come from cluster CO-MEMBERSHIP (not LSH band
+    // collisions) and the drop rule is greedy keep-lowest (not transitive
+    // CC), which is exactly the published recipe. Scale law: assignment
+    // is one broadcast of the codebook; the within-cell pair join is
+    // quadratic only in CELL size, which the id-stride codebook pins to a
+    // constant — total work O(n·cellsize), shuffles keyed on cluster.
+    // Runs on the same injected-duplicate corpus as q_embed_dedup (the
+    // raw fixture has no sim ≥ 0.95 pairs); exact copies share their
+    // original's cell by construction (identical rounded dots, same
+    // tie-break), so every sim-1.0 pair is caught — the negated-copy
+    // boundary cases land by cell geometry, which the oracle replicates.
+    QueryDef(
+      "q_semantic_dedup",
+      (s, d) => {
+        val corpus = dedupCorpus(s, d)
+          .select(col("vec_id"), asDouble(col("embedding")).as("ed"))
+        val cents = corpus.where(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("cent_id"), col("ed").as("ce"))
+        val wAssign = Window.partitionBy("vec_id")
+          .orderBy(col("cdot").desc, col("cent_id"))
+        val assign = corpus.crossJoin(broadcast(cents))
+          .withColumn("cdot", round(dot(col("ed"), col("ce")), 4))
+          .withColumn("crn", row_number().over(wAssign))
+          .where(col("crn") === 1)
+          .select(col("vec_id"), col("ed"), col("cent_id").as("cluster"))
+        val lower = assign.select(col("cluster"),
+          col("vec_id").as("witness_id"), col("ed").as("ed2"))
+        val pairs = assign.join(lower.hint("shuffle_hash"), Seq("cluster"))
+          .where(col("witness_id") < col("vec_id"))
+          .withColumn("sim", round(dot(col("ed"), col("ed2")), 4))
+          .where(col("sim") >= 0.95)
+        val wWitness = Window.partitionBy("vec_id").orderBy("witness_id")
+        pairs
+          .withColumn("wrn", row_number().over(wWitness))
+          .where(col("wrn") === 1)
+          .select(col("vec_id"), col("cluster"), col("witness_id"), col("sim"))
+          .orderBy("vec_id")
+      },
+      Some {
+        s"""WITH $dedupCorpusSql,
+           |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM corpus),
+           |c AS (SELECT vec_id AS cent_id, ed AS ce FROM e WHERE vec_id % 50 = 0),
+           |ad AS (SELECT e.vec_id, e.ed, c.cent_id,
+           |         row_number() OVER (PARTITION BY e.vec_id
+           |           ORDER BY round(list_dot_product(e.ed, c.ce), 4) DESC,
+           |             c.cent_id) AS crn
+           |       FROM e CROSS JOIN c),
+           |a AS (SELECT vec_id, ed, cent_id AS cluster FROM ad WHERE crn = 1),
+           |p AS (SELECT x.vec_id, x.cluster, y.vec_id AS witness_id,
+           |        round(list_dot_product(x.ed, y.ed), 4) AS sim
+           |      FROM a x JOIN a y
+           |        ON y.cluster = x.cluster AND y.vec_id < x.vec_id
+           |      WHERE round(list_dot_product(x.ed, y.ed), 4) >= 0.95),
+           |w AS (SELECT *, row_number()
+           |        OVER (PARTITION BY vec_id ORDER BY witness_id) AS wrn
+           |      FROM p)
+           |SELECT vec_id, cluster, witness_id, sim
+           |FROM w WHERE wrn = 1 ORDER BY vec_id""".stripMargin
+      }),
+
     // IVF-style ANN: assign every vector to its nearest "centroid" (a
     // deterministic coarse codebook — the first 8 vectors), then search
     // only the query's cell (nprobe=1). Candidate count drops ~|codebook|×
