@@ -770,10 +770,18 @@ object Similarity {
     // witness. Differs from q_embed_dedup on both axes that define the
     // method: candidates come from cluster CO-MEMBERSHIP (not LSH band
     // collisions) and the drop rule is greedy keep-lowest (not transitive
-    // CC), which is exactly the published recipe. Scale law: assignment
-    // is one broadcast of the codebook; the within-cell pair join is
-    // quadratic only in CELL size, which the id-stride codebook pins to a
-    // constant — total work O(n·cellsize), shuffles keyed on cluster.
+    // CC), which is exactly the published recipe. Scale law, stated
+    // honestly: the within-cell pair phase — the part SemDeDup
+    // contributes — is quadratic only in CELL size, which the id-stride
+    // codebook pins to a constant, so that phase is O(n·cell). The
+    // ASSIGNMENT is O(n·k) with k = n/50 — the method's real cost (it is
+    // matmul-shaped; the paper runs it as a sharded GPU matmul). Spark
+    // shards the n side for free; when k outgrows one broadcast, chunk
+    // the codebook into fixed-size broadcasts and merge with a per-vector
+    // top-1 — identical semantics, bounded memory — or feed the
+    // assignment through the ANN machinery (q_ivf_ann / q_ann_lsh) for
+    // sub-brute cost at a recall trade the fixture-scale oracle can't
+    // express. Shuffles keyed on cluster throughout.
     // Runs on the same injected-duplicate corpus as q_embed_dedup (the
     // raw fixture has no sim ≥ 0.95 pairs); exact copies share their
     // original's cell by construction (identical rounded dots, same
