@@ -14,6 +14,29 @@ class FixtureDriftSpec extends SparkSpec {
     assert(drift.isEmpty, s"\nFIXTURE DRIFT:\n${drift.mkString("\n")}")
   }
 
+  test("FixtureCheck actually detects drift (negative case)") {
+    // a tripwire that can't fire is decoration: write a deliberately
+    // drifted events table (ts as STRING, props dropped, extra column)
+    // and assert every drift class is named
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    try {
+      spark.read.parquet(s"$sf/events.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.date_format(
+          org.apache.spark.sql.functions.col("ts"), "yyyy-MM-dd"))
+        .withColumn("surprise", org.apache.spark.sql.functions.lit(1))
+        .drop("props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      // the other nine tables are absent → unreadable counts as drift too
+      val drift = FixtureCheck.check(spark, dir)
+      assert(drift.exists(_.contains("events.ts")), drift.mkString("\n"))
+      assert(drift.exists(_.contains("`props` is missing")), drift.mkString("\n"))
+      assert(drift.exists(_.contains("`surprise`")), drift.mkString("\n"))
+      assert(drift.exists(_.contains("unreadable")), drift.mkString("\n"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("Tables.events normalizes real fixture ts to timestamp_ntz") {
     val ev = Tables.events(spark, sf)
     assert(ev.schema("ts").dataType == TimestampNTZType)
