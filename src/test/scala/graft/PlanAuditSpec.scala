@@ -115,6 +115,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("partitionless windows appear only in the five documented bounded-domain queries") {
+    // a window with no partition spec funnels its whole input through one
+    // task — fatal at scale UNLESS the input is provably bounded. The
+    // whitelist: GlobalOrder's prefix-sum over ≤ #shuffle-partitions rows
+    // (q_global_order, q_equidepth_hist, q_rfm), the skyline's |buckets|-
+    // row cummax, and the KS ECDF over the bounded integer-cents domain.
+    // Any new registry entry that plans a global window must either join
+    // this list with a boundedness argument or be rewritten.
+    val allowed = Set("q_global_order", "q_equidepth_hist", "q_rfm",
+      "q_skyline", "q_ks_test")
+    for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
+      val global = fn(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }
+      assert(global.isEmpty,
+        s"$name plans ${global.size} partitionless window(s):\n${global.mkString("\n")}")
+    }
+  }
+
   test("q_tpch_q3: broadcast dim, shuffle fact join, TakeOrderedAndProject") {
     val plan = planOf("q_tpch_q3")
     assert(plan.contains("TakeOrderedAndProject"), s"top-N not pushed:\n$plan")
