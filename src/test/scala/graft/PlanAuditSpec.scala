@@ -218,6 +218,23 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("events ts/type predicates push down to the parquet scan") {
+    // on micros fixtures Tables.events keeps `ts` a NATIVE column (just a
+    // ntz cast), so half-open ranges and IN-lists reach the scan as
+    // PushedFilters — row groups outside the range never leave disk. The
+    // legacy nanos path computes ts and cannot push; this pins the
+    // micros-path advantage, and fails if anyone reintroduces an
+    // unconditional computed ts.
+    for ((q, expect) <- Seq(
+        "q_recent_scan" -> "GreaterThanOrEqual(ts",
+        "q_ts_range" -> "LessThan(ts",
+        "q_isin" -> "In(event_type")) {
+      val plan = planOf(q)
+      assert(plan.contains(expect),
+        s"$q scan lost pushdown of $expect:\n${plan.take(2000)}")
+    }
+  }
+
   test("filter pushdown reaches the parquet scan on the behavioral suite") {
     val plan = planOf("q_funnel")
     // event-type filters are applied post-scan (they sit under a join),
