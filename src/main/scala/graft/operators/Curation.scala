@@ -489,6 +489,48 @@ object Curation {
               |FROM (SELECT doc_id, CAST(doc_id % $PackShards AS INT) AS shard,
               |        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
               |      FROM documents)
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // sliding-window document chunking — q_seq_pack's complement: packing
+    // concatenates SHORT docs up to a token budget; chunking SPLITS docs
+    // longer than the context window into overlapping fixed-size pieces
+    // (the standard prep for embedding models and long-doc pretraining).
+    // Window L=32 tokens, overlap 8 (stride 24): chunk count for an
+    // n-token doc is max(1, ceil((n−8)/24)) = max(1, (n+15) div 24) —
+    // integer-exact on both engines — and chunk i covers tokens
+    // [24i+1, 24i+32], the last chunk truncating at the doc end (every
+    // token belongs to ≥1 chunk; consecutive chunks share 8). The whole
+    // op is one stateless projection + explode(sequence(...)) — no
+    // shuffle at all until the declared ORDER BY; output rows ≈
+    // Σ n_i/24, linear in corpus tokens, embarrassingly parallel.
+    QueryDef(
+      "q_doc_chunk",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        Tables.documents(s, d)
+          .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
+          .withColumn("nc",
+            greatest(lit(1), expr("(n + 15) div 24")).cast("int"))
+          .select(col("doc_id"), col("toks"), col("n"),
+            explode(sequence(lit(0), col("nc") - 1)).as("chunk_id"))
+          .select(col("doc_id"), col("chunk_id"),
+            size(slice(col("toks"), col("chunk_id") * 24 + 1, lit(32)))
+              .as("chunk_tokens"),
+            array_join(slice(col("toks"), col("chunk_id") * 24 + 1, lit(32)), " ")
+              .as("chunk_text"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+             |    len(string_split(text, ' ')) AS n FROM documents),
+             |c AS (SELECT doc_id, toks, n,
+             |    CAST(u.i AS INT) AS chunk_id
+             |  FROM t, LATERAL (SELECT unnest(range(0,
+             |    greatest(1, (n + 15) // 24))) AS i) u)
+             |SELECT doc_id, chunk_id,
+             |  CAST(len(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS INT)
+             |    AS chunk_tokens,
+             |  array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
+             |    AS chunk_text
+             |FROM c ORDER BY doc_id, chunk_id""".stripMargin))
   )
 }
