@@ -52,21 +52,29 @@ object DedupOps extends org.apache.spark.internal.Logging {
     * multiset equals min over the set, so shingle de-duplication is
     * irrelevant here); lexicographic min over fixed-width hex slices is
     * uniform and identical across engines. */
-  def minhashSignature(df: DataFrame, id: String, text: String, k: Int,
-      shingleN: Int = 1): DataFrame = {
+  /** The k one-permutation minhash components as COLUMN expressions — a
+    * stateless projection, so it composes into batch plans and streaming
+    * queries alike (see [[graft.streaming.StreamDedup.runNearDupSignature]]). */
+  def minhashComponents(text: Column, k: Int, shingleN: Int = 1): Seq[Column] = {
     require(k >= 1 && k <= 4,
       "one-permutation minhash slices a 32-hex md5 into at most 4 components")
     val sh =
-      if (shingleN <= 1) array_distinct(split(col(text), " "))
-      else shingles(col(text), shingleN)
+      if (shingleN <= 1) array_distinct(split(text, " "))
+      else shingles(text, shingleN)
     val hashes = transform(sh, t => md5(t))
     // '~' (0x7e) sorts after every hex char, so it is a safe fold identity
     val init = struct((1 to k).map(i => lit("~").as(s"m$i")): _*)
     val folded = aggregate(hashes, init, (acc, h) =>
       struct((1 to k).map(i =>
         least(acc.getField(s"m$i"), substring(h, (i - 1) * 8 + 1, 8)).as(s"m$i")): _*))
-    df.select(col(id) +: (1 to k).map(i => folded.getField(s"m$i").as(s"sig$i")): _*)
+    (1 to k).map(i => folded.getField(s"m$i"))
   }
+
+  def minhashSignature(df: DataFrame, id: String, text: String, k: Int,
+      shingleN: Int = 1): DataFrame =
+    df.select(col(id) +:
+      minhashComponents(col(text), k, shingleN).zipWithIndex
+        .map { case (c, i) => c.as(s"sig${i + 1}") }: _*)
 
   /** LSH banding: hash `rowsPerBand` signature components into one bucket
     * key per band; docs sharing any band bucket are near-dup candidates.

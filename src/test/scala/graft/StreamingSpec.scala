@@ -120,4 +120,47 @@ class StreamingSpec extends SparkSpec {
     assert(Set(1.0, 99.0).contains(got(0)._2), s"run-2 duplicate leaked: ${got(0)}")
     assert(got(1)._2 == 2.0 && got(2)._2 == 3.0)
   }
+
+  test("streaming near-dup signature filter drops token-set duplicates across batches") {
+    import graft.streaming.StreamDedup
+    val dir = Files.createTempDirectory("graft-snear").toString
+    val (src, out, chk) = (s"$dir/src", s"$dir/out", s"$dir/chk")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    def docs(data: Seq[(Long, String, String)]) =
+      data.toDF("doc_id", "ts_s", "text")
+        .select(col("doc_id"), col("ts_s").cast("timestamp").as("ts"), col("text"))
+    def runOnce(): Unit = StreamDedup.runNearDupSignature(
+      spark.readStream.schema(docSchema).parquet(src),
+      out, chk, "text", "ts", "1 hour").awaitTermination()
+
+    // batch 1: one doc, plus an IN-batch token-reorder of it (same token
+    // set -> same signature -> one survives), plus a distinct doc
+    docs(Seq(
+      (1L, "2024-01-01 00:00:00", "alpha beta gamma delta"),
+      (2L, "2024-01-01 00:05:00", "delta gamma beta alpha"),
+      (3L, "2024-01-01 00:10:00", "one two three four")))
+      .write.mode("append").parquet(src)
+    runOnce()
+
+    // batch 2: a token-REPETITION variant of doc 1 (same token set ->
+    // dropped by state) and a genuinely new doc (kept)
+    docs(Seq(
+      (4L, "2024-01-01 00:30:00", "alpha beta gamma delta alpha alpha"),
+      (5L, "2024-01-01 00:40:00", "five six seven eight")))
+      .write.mode("append").parquet(src)
+    runOnce()
+
+    val got = spark.read.parquet(out)
+      .orderBy("doc_id").select("doc_id").as[Long].collect().toSeq
+    // exactly one of {1,2} survives (in-batch winner unspecified), 4 is
+    // dropped by cross-batch state, 3 and 5 survive; the helper column
+    // must not leak into the sink
+    assert(got.size == 3, s"got $got")
+    assert(got.count(Set(1L, 2L)) == 1, s"token-set dup leaked: $got")
+    assert(got.contains(3L) && got.contains(5L) && !got.contains(4L), s"got $got")
+    assert(!spark.read.parquet(out).columns.contains("__graft_sig"))
+  }
 }
