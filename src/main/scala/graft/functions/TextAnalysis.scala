@@ -402,6 +402,118 @@ object TextAnalysis {
              |SELECT doc_id, tok, tf, df, score, rn FROM r WHERE rn <= 3
              |ORDER BY doc_id, rn""".stripMargin)),
 
+    // BM25 ranking (Lucene/Okapi form, k1=1.2 b=0.75) for a fixed
+    // 3-term query — the retrieval scorer the inverted index + tf-idf
+    // queries build toward. The term IN-list is applied to the exploded
+    // tokens BEFORE any aggregation, so every shuffle is ∝ postings of
+    // the query terms, not corpus size; corpus stats (N, total tokens)
+    // and per-term df are broadcast. Per-term contributions are
+    // quantized to integer micro-units before the per-doc sum
+    // (order-free, cross-engine bit-exact — the q_chisq convention),
+    // and the final top-20 is a TakeOrderedAndProject, never a global
+    // sort. idf = ln(1 + (N−df+0.5)/(df+0.5)) is Lucene's
+    // non-negative variant.
+    QueryDef(
+      "q_bm25",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = docs
+          .select(col("doc_id"), size(split(col("text"), " ")).as("dl"),
+            explode(split(col("text"), " ")).as("tok"))
+          .where(col("tok").isin("dup", "scan", "spark"))
+        val tf = toks.groupBy("doc_id", "tok", "dl").agg(count(lit(1)).as("tf"))
+        val dfreq = toks.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+        val stats = docs.agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).as("tot_toks"))
+        tf.join(broadcast(dfreq), "tok").crossJoin(broadcast(stats))
+          .select(col("doc_id"), expr(
+            """CAST(round(
+              |  ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+              |    * (tf * 2.2)
+              |    / (tf + 1.2 * (0.25
+              |        + 0.75 * dl / (CAST(tot_toks AS DOUBLE) / n_docs)))
+              |    * 1000000) AS BIGINT)""".stripMargin).as("contrib_micro"))
+          .groupBy("doc_id")
+          .agg(round(sum("contrib_micro") / 1e6, 4).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+             |    unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |q AS (SELECT * FROM t WHERE tok IN ('dup', 'scan', 'spark')),
+             |tf AS (SELECT doc_id, tok, dl, count(*) AS tf FROM q GROUP BY 1, 2, 3),
+             |dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM q GROUP BY 1),
+             |stats AS (SELECT count(*) AS n_docs,
+             |    sum(len(string_split(text, ' '))) AS tot_toks FROM documents),
+             |k AS (SELECT doc_id, CAST(round(
+             |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             |      * (tf * 2.2)
+             |      / (tf + 1.2 * (0.25
+             |          + 0.75 * dl / (CAST(tot_toks AS DOUBLE) / n_docs)))
+             |      * 1000000) AS BIGINT) AS contrib_micro
+             |  FROM tf JOIN dfreq USING (tok) CROSS JOIN stats)
+             |SELECT doc_id, round(CAST(sum(contrib_micro) AS BIGINT) / 1e6, 4) AS bm25
+             |FROM k GROUP BY doc_id
+             |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // pointwise mutual information over ADJACENT token pairs — the
+    // collocation detector (which word pairs co-occur far above chance):
+    // pmi(x,y) = ln(p(x,y) / (p(x)p(y))) with p(x,y) from bigram counts
+    // and p(x) from unigram counts. All counts are exact integers from
+    // map-side-combined hash aggs (shuffle ∝ distinct bigrams ≤ vocab²,
+    // not corpus); probabilities divide through doubles BEFORE the ln so
+    // planet-scale counts can't overflow an integer product. Count floor
+    // ≥5 drops noise collocations; ordering is on the ROUNDED score so
+    // both engines sort the same key.
+    QueryDef(
+      "q_pmi_bigrams",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val starts = sequence(lit(1), greatest(size(toks) - lit(1), lit(1)))
+        val docs = Tables.documents(s, d)
+        val bi = docs
+          .where(size(toks) >= 2)
+          .select(explode(transform(starts,
+            i => struct(element_at(toks, i).as("x"),
+              element_at(toks, i + 1).as("y")))).as("b"))
+          .select(col("b.x").as("x"), col("b.y").as("y"))
+          .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+        val uni = docs.select(explode(toks).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c"))
+        val nBi = bi.agg(sum("c_xy").as("n_bi"))
+        val nUni = uni.agg(sum("c").as("n_uni"))
+        bi.where(col("c_xy") >= 5)
+          .join(broadcast(uni).withColumnRenamed("tok", "x")
+            .withColumnRenamed("c", "c_x"), "x")
+          .join(broadcast(uni).withColumnRenamed("tok", "y")
+            .withColumnRenamed("c", "c_y"), "y")
+          .crossJoin(broadcast(nBi)).crossJoin(broadcast(nUni))
+          .select(col("x"), col("y"), col("c_xy"), expr(
+            """round(ln((c_xy / CAST(n_bi AS DOUBLE))
+              |  / ((c_x / CAST(n_uni AS DOUBLE))
+              |     * (c_y / CAST(n_uni AS DOUBLE)))), 4)""".stripMargin)
+            .as("pmi"))
+          .orderBy(col("pmi").desc, col("x"), col("y")).limit(15)
+      },
+      Some("""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+             |bi AS (SELECT toks[u.i] AS x, toks[u.i + 1] AS y
+             |  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) u
+             |  WHERE len(toks) >= 2),
+             |bc AS (SELECT x, y, count(*) AS c_xy FROM bi GROUP BY 1, 2),
+             |uni AS (SELECT tok, count(*) AS c FROM (
+             |    SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
+             |nb AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_bi FROM bc),
+             |nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uni)
+             |SELECT x, y, c_xy,
+             |  round(ln((c_xy / CAST(n_bi AS DOUBLE))
+             |    / ((cx.c / CAST(n_uni AS DOUBLE))
+             |       * (cy.c / CAST(n_uni AS DOUBLE)))), 4) AS pmi
+             |FROM bc JOIN uni cx ON cx.tok = x JOIN uni cy ON cy.tok = y
+             |CROSS JOIN nb CROSS JOIN nu
+             |WHERE c_xy >= 5
+             |ORDER BY pmi DESC, x, y LIMIT 15""".stripMargin)),
+
     // repetition scoring (the Gopher-style quality rule): share of all
     // 3-gram occurrences taken by the single most frequent 3-gram —
     // boilerplate and degenerate generations repeat n-grams; natural

@@ -241,6 +241,50 @@ object Behavioral {
              |LEFT JOIN v USING (user_id)
              |LEFT JOIN c USING (user_id)
              |LEFT JOIN p USING (user_id)
-             |ORDER BY u.user_id""".stripMargin))
+             |ORDER BY u.user_id""".stripMargin)),
+
+    // volume-anomaly screen — the monitoring aggregate behind the
+    // reference's row-count alert bounds (cli.py EXPECT_MIN/MAX_ROWS),
+    // done statistically: per event_type daily counts, z-scored against
+    // that type's own distribution across days, |z| > 2 flagged. The
+    // moments come from EXACT integer sums (n, Σc, Σc²) — doubles enter
+    // only in the final mean/variance arithmetic, so the result is
+    // bit-identical under any partitioning/merge order, unlike a naive
+    // stddev_samp whose Welford merges are order-sensitive. Two hash
+    // aggs (day grain, then type grain) + one broadcast join back;
+    // shuffle ∝ distinct (type, day), trivially scale-stable.
+    QueryDef(
+      "q_anomaly_zscore",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("c"))
+        val moments = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"), sum("c").as("s1"),
+            sum(col("c") * col("c")).as("s2"))
+        daily.join(broadcast(moments), "event_type")
+          .select(col("event_type"), col("day"), col("c"), expr(
+            """round((c - s1 / CAST(n_days AS DOUBLE))
+              |  / sqrt((s2 - s1 * (s1 / CAST(n_days AS DOUBLE)))
+              |         / (n_days - 1)), 3)""".stripMargin).as("z"))
+          .withColumn("is_anomaly", (abs(col("z")) > 2.0).cast("int"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             |    count(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |m AS (SELECT event_type, count(*) AS n_days,
+             |    CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c * c) AS BIGINT) AS s2
+             |  FROM daily GROUP BY 1)
+             |SELECT event_type, day, c,
+             |  round((c - s1 / CAST(n_days AS DOUBLE))
+             |    / sqrt((s2 - s1 * (s1 / CAST(n_days AS DOUBLE)))
+             |           / (n_days - 1)), 3) AS z,
+             |  CAST(abs(round((c - s1 / CAST(n_days AS DOUBLE))
+             |    / sqrt((s2 - s1 * (s1 / CAST(n_days AS DOUBLE)))
+             |           / (n_days - 1)), 3)) > 2.0 AS INT) AS is_anomaly
+             |FROM daily JOIN m USING (event_type)
+             |ORDER BY event_type, day""".stripMargin))
   )
 }

@@ -531,6 +531,56 @@ object Curation {
              |    AS chunk_tokens,
              |  array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
              |    AS chunk_text
-             |FROM c ORDER BY doc_id, chunk_id""".stripMargin))
+             |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // chunk-level duplication metric — sub-document dedup granularity:
+    // chunk every doc with q_doc_chunk's exact window (L=32, stride 24),
+    // fingerprint each chunk (md5), and report per doc how many of its
+    // chunks also appear verbatim in ANOTHER doc. Catches shared
+    // passages (licenses, headers, quoted blocks) that whole-doc
+    // fingerprints miss and that MinHash only sees diluted. Cost: one
+    // stateless chunk explode (rows ≈ Σ tokens/24), one hash agg keyed
+    // on the 128-bit fingerprint (shuffle ∝ chunks, map-side combined),
+    // one fingerprint-keyed join back, one per-doc agg — every shuffle
+    // linear in corpus size, no pairwise anything.
+    QueryDef(
+      "q_chunk_dedup",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val chunks = Tables.documents(s, d)
+          .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
+          .withColumn("nc",
+            greatest(lit(1), expr("(n + 15) div 24")).cast("int"))
+          .select(col("doc_id"),
+            explode(sequence(lit(0), col("nc") - 1)).as("chunk_id"),
+            col("toks"))
+          .select(col("doc_id"), col("chunk_id"),
+            md5(array_join(slice(col("toks"), col("chunk_id") * 24 + 1, lit(32)), " "))
+              .as("fp"))
+        val shared = chunks.groupBy("fp")
+          .agg(countDistinct("doc_id").as("n_docs_fp"))
+        chunks.join(shared, "fp")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("n_docs_fp") > 1, 1L).otherwise(0L)).as("n_shared"))
+          .withColumn("shared_frac",
+            round(col("n_shared").cast("double") / col("n_chunks"), 4))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+             |    len(string_split(text, ' ')) AS n FROM documents),
+             |c AS (SELECT doc_id,
+             |    md5(array_to_string(
+             |      toks[u.i * 24 + 1 : u.i * 24 + 32], ' ')) AS fp
+             |  FROM t, LATERAL (SELECT unnest(range(0,
+             |    greatest(1, (n + 15) // 24))) AS i) u),
+             |s AS (SELECT fp, count(DISTINCT doc_id) AS n_docs_fp
+             |  FROM c GROUP BY 1)
+             |SELECT doc_id, count(*) AS n_chunks,
+             |  CAST(sum(CASE WHEN n_docs_fp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+             |  round(CAST(sum(CASE WHEN n_docs_fp > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / count(*), 4) AS shared_frac
+             |FROM c JOIN s USING (fp)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

@@ -691,6 +691,50 @@ object DedupOps extends org.apache.spark.internal.Logging {
              |FROM i JOIN c ca ON ca.doc_id = id1 JOIN c cb ON cb.doc_id = id2
              |ORDER BY id1, id2""".stripMargin)),
 
+    // asymmetric set containment — |A∩B|/|A| and |A∩B|/|B| per pair:
+    // the measure Jaccard can't express. A 30-token doc fully quoted
+    // inside a 300-token doc has Jaccard ≈ 0.1 (looks unrelated) but
+    // containment(A→B) = 1.0 — exactly the sub-document duplication a
+    // training corpus needs to catch (q_chunk_dedup is its fixed-window
+    // cousin). Same token-join shape as q_shingle_jaccard on the same
+    // audit slice; at scale this formula runs on LSH candidate pairs
+    // (q_lsh_candidates), not all pairs — the slice here is the
+    // exactness oracle for the formula itself.
+    QueryDef(
+      "q_containment",
+      (s, d) => {
+        val toks = Tables.documents(s, d).where(col("doc_id") < 20)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .distinct()
+        val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = toks.as("a")
+          .join(toks.as("b"),
+            col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+          .agg(count(lit(1)).as("i"))
+        inter
+          .join(broadcast(sizes).withColumnRenamed("doc_id", "id1")
+            .withColumnRenamed("n", "n1"), "id1")
+          .join(broadcast(sizes).withColumnRenamed("doc_id", "id2")
+            .withColumnRenamed("n", "n2"), "id2")
+          .select(col("id1"), col("id2"),
+            round(col("i").cast("double") / col("n1"), 4).as("cont_1in2"),
+            round(col("i").cast("double") / col("n2"), 4).as("cont_2in1"))
+          .orderBy("id1", "id2")
+      },
+      Some("""WITH t AS (
+             |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents WHERE doc_id < 20),
+             |c AS (SELECT doc_id, count(*) AS n FROM t GROUP BY 1),
+             |i AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+             |      FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+             |      GROUP BY 1, 2)
+             |SELECT id1, id2,
+             |  round(CAST(i AS DOUBLE) / ca.n, 4) AS cont_1in2,
+             |  round(CAST(i AS DOUBLE) / cb.n, 4) AS cont_2in1
+             |FROM i JOIN c ca ON ca.doc_id = id1 JOIN c cb ON cb.doc_id = id2
+             |ORDER BY id1, id2""".stripMargin)),
+
     // transitive dup clusters over shingle-share edges: iterative
     // connected components on the Spark side, recursive-CTE reachability
     // closure as the oracle
