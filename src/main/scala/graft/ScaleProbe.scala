@@ -142,7 +142,11 @@ object ScaleProbe {
       "q_setsim_join", "q_setsim_topk", "q_inverted_index", "q_phrase_search",
       "q_profile",
       "q_rfm", "q_knn_graph", "q_mutual_knn", "q_equidepth_hist",
-      "q_ks_test", "q_triangles")
+      "q_ks_test", "q_triangles",
+      // round-7 additions (q_containment is excluded by design: it runs
+      // on a fixed doc_id<20 audit slice, so 10× growth is zero by
+      // construction — nothing to learn)
+      "q_bm25", "q_chunk_dedup", "q_pmi_bigrams", "q_anomaly_zscore")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

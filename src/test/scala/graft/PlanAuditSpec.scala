@@ -242,4 +242,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("ReadSchema"), plan)
     assert(!plan.contains("props"), s"funnel reads unused props column:\n$plan")
   }
+
+  test("q_bm25: df/stats broadcast, term filter pre-shuffle, top-20 is a TakeOrdered") {
+    val plan = planOf("q_bm25")
+    assert(plan.contains("BroadcastHashJoin"), s"df table not broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 is not a TakeOrderedAndProject (global sort?):\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the IN-list must appear in the plan as a filter on the exploded
+    // tokens — shuffle ∝ query-term postings, not corpus tokens
+    assert(plan.contains("dup"), s"term filter missing from plan:\n$plan")
+  }
+
+  test("q_chunk_dedup: fingerprint agg shuffles on fp, doc agg on doc_id; no pairs") {
+    val plan = planOf("q_chunk_dedup")
+    assert(plan.contains("hashpartitioning(fp#"),
+      s"chunk-fingerprint agg does not shuffle on fp:\n$plan")
+    assert(plan.contains("hashpartitioning(doc_id#"),
+      s"per-doc agg does not shuffle on doc_id:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin") || plan.contains("hashpartitioning(fp#"),
+      plan)
+  }
+
+  test("q_pmi_bigrams and q_anomaly_zscore: small sides broadcast, top via TakeOrdered") {
+    val pmi = planOf("q_pmi_bigrams")
+    assert(pmi.contains("BroadcastHashJoin"), s"unigram counts not broadcast:\n$pmi")
+    assert(pmi.contains("TakeOrderedAndProject"),
+      s"pmi top-15 is not a TakeOrderedAndProject:\n$pmi")
+    val z = planOf("q_anomaly_zscore")
+    assert(z.contains("BroadcastHashJoin"), s"per-type moments not broadcast:\n$z")
+    assert(!z.contains("CartesianProduct"), z)
+  }
 }
