@@ -581,6 +581,65 @@ object Curation {
              |  round(CAST(sum(CASE WHEN n_docs_fp > 1 THEN 1 ELSE 0 END) AS DOUBLE)
              |    / count(*), 4) AS shared_frac
              |FROM c JOIN s USING (fp)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // content-defined chunking (CDC) dedup — the shift-robust complement
+    // to q_chunk_dedup's fixed windows: a chunk boundary falls AFTER any
+    // token whose md5 starts with hex '0' (p = 1/16 → expected chunk
+    // ≈ 16 tokens), so inserting one token near a doc's head moves ONE
+    // boundary instead of re-phasing every downstream window — shared
+    // passages between edited revisions keep identical fingerprints.
+    // This is the Rabin-chunking idea storage dedup systems use, on
+    // token streams. Cost: one posexplode (shuffle ∝ corpus tokens,
+    // keyed by doc_id — the only window is per-doc, never global), one
+    // fingerprint hash agg, one join back, one per-doc agg.
+    QueryDef(
+      "q_cdc_chunks",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .withColumnRenamed("col", "tok")
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val chunks = toks
+          .withColumn("brk",
+            (substring(md5(col("tok")), 1, 1) === "0").cast("int"))
+          .withColumn("chunk_id",
+            coalesce(sum("brk").over(w), lit(0)).cast("int"))
+          .groupBy("doc_id", "chunk_id")
+          .agg(md5(array_join(transform(
+            sort_array(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ")).as("fp"))
+        val shared = chunks.groupBy("fp")
+          .agg(countDistinct("doc_id").as("n_docs_fp"))
+        chunks.join(shared, "fp")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("n_docs_fp") > 1, 1L).otherwise(0L)).as("n_shared"))
+          .withColumn("shared_frac",
+            round(col("n_shared").cast("double") / col("n_chunks"), 4))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |tok AS (SELECT doc_id, CAST(u.i AS INT) AS pos, toks[u.i] AS tok
+             |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) u),
+             |c AS (SELECT doc_id, pos, tok,
+             |    CAST(coalesce(sum(CASE WHEN substr(md5(tok), 1, 1) = '0'
+             |        THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS INT) AS chunk_id
+             |  FROM tok),
+             |ch AS (SELECT doc_id, chunk_id,
+             |    md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+             |  FROM c GROUP BY 1, 2),
+             |s AS (SELECT fp, count(DISTINCT doc_id) AS n_docs_fp
+             |  FROM ch GROUP BY 1)
+             |SELECT doc_id, count(*) AS n_chunks,
+             |  CAST(sum(CASE WHEN n_docs_fp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+             |  round(CAST(sum(CASE WHEN n_docs_fp > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / count(*), 4) AS shared_frac
+             |FROM ch JOIN s USING (fp)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }
