@@ -93,7 +93,11 @@ object Bench {
     val (calibBefore, calibBeforeErr) = calibrate()
 
     case class QResult(runs: List[Double], err: Option[String])
-    val results: Seq[(String, QResult)] = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // optional args = local-iteration subset (the driver passes none)
+    val wanted: String => Boolean =
+      if (args.isEmpty) _ => true else args.toSet
+    val results: Seq[(String, QResult)] = SparkEntry.queries.toSeq
+      .filter(kv => wanted(kv._1)).map { case (name, fn) =>
       val a = timeOnce(fn)
       val b = a match {
         case Right(_) => timeOnce(fn)

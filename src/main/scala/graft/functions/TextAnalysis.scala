@@ -472,6 +472,11 @@ object TextAnalysis {
         val toks = split(col("text"), " ")
         val starts = sequence(lit(1), greatest(size(toks) - lit(1), lit(1)))
         val docs = Tables.documents(s, d)
+        // both count tables are consumed by several downstream branches
+        // (uni twice as a broadcast dim + once for its total; bi once +
+        // once for its total), and every broadcast/aggregate branch
+        // would otherwise re-run the full token explode — cache() the
+        // tiny results (≤ vocab² rows) so the corpus is read once each
         val bi = docs
           .where(size(toks) >= 2)
           .select(explode(transform(starts,
@@ -479,8 +484,10 @@ object TextAnalysis {
               element_at(toks, i + 1).as("y")))).as("b"))
           .select(col("b.x").as("x"), col("b.y").as("y"))
           .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+          .cache()
         val uni = docs.select(explode(toks).as("tok"))
           .groupBy("tok").agg(count(lit(1)).as("c"))
+          .cache()
         val nBi = bi.agg(sum("c_xy").as("n_bi"))
         val nUni = uni.agg(sum("c").as("n_uni"))
         bi.where(col("c_xy") >= 5)

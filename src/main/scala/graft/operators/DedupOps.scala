@@ -167,14 +167,23 @@ object DedupOps extends org.apache.spark.internal.Logging {
     * (bucket self-join → transitive clusters → keep min id). Returns
     * the surviving batch rows with their original columns. */
   def dedupAgainstIndex(batch: DataFrame, index: DataFrame, id: String,
-      k: Int, rowsPerBand: Int): DataFrame = {
-    val bb = lshBuckets(
-      minhashSignature(batch, id, "text", k, shingleN = 3), id, k, rowsPerBand)
+      k: Int, rowsPerBand: Int, materialize: Boolean = true): DataFrame = {
+    // bb and fresh are each consumed twice (bb: index probe + batch-
+    // internal clustering; fresh: clustering input + final survivors),
+    // and the CC loop's own actions would otherwise re-run the whole
+    // signature chain once more per consumer — measured 3× sig / 2×
+    // index rebuilds per call. cache() (recomputable on eviction, so
+    // never a correctness risk) collapses that to one build each; the
+    // cached sets are id/bucket lists, ∝ batch size only. materialize=
+    // false exists for plan audits that assert the uncached join shape.
+    def mat(df: DataFrame): DataFrame = if (materialize) df.cache() else df
+    val bb = mat(lshBuckets(
+      minhashSignature(batch, id, "text", k, shingleN = 3), id, k, rowsPerBand))
     val hitBase = bb
       .join(index.select(col("band"), col("bucket")), Seq("band", "bucket"),
         "left_semi")
       .select(col(id)).distinct()
-    val fresh = batch.join(hitBase, Seq(id), "left_anti")
+    val fresh = mat(batch.join(hitBase, Seq(id), "left_anti"))
     val fb = bb.join(fresh.select(id), Seq(id), "left_semi")
       .repartition(col("band"), col("bucket"))
     // star edges (hub = bucket min): same components as the all-pairs
@@ -544,9 +553,15 @@ object DedupOps extends org.apache.spark.internal.Logging {
             |  sequence(1, length(name) + 1),
             |  i -> concat(substring(name, 1, i - 1), substring(name, i + 1))))"""
             .stripMargin)).as("v"))
-        val a = variants.select(col("name").as("name1"), col("v"))
-        val b = variants.select(col("name").as("name2"), col("v"))
-        a.join(b, Seq("v"))
+        // one exchange on the variant key, both join sides read it
+        // (ReuseExchange) — without it each side re-runs the variant
+        // explode; shuffle_hash keeps AQE from broadcasting one side
+        // (which would rebuild the subtree instead of reusing the
+        // exchange, and is the wrong shape at corpus scale anyway)
+        val vparts = variants.repartition(col("v"))
+        val a = vparts.select(col("name").as("name1"), col("v"))
+        val b = vparts.select(col("name").as("name2"), col("v"))
+        a.join(b.hint("shuffle_hash"), Seq("v"))
           .where(col("name1") < col("name2") &&
             levenshtein(col("name1"), col("name2")) <= 1)
           // confirm BEFORE the dedup shuffle: a pair reaches distinct() at

