@@ -146,7 +146,8 @@ object ScaleProbe {
       // round-7 additions (q_containment is excluded by design: it runs
       // on a fixed doc_id<20 audit slice, so 10× growth is zero by
       // construction — nothing to learn)
-      "q_bm25", "q_chunk_dedup", "q_pmi_bigrams", "q_anomaly_zscore")
+      "q_bm25", "q_chunk_dedup", "q_cdc_chunks", "q_pmi_bigrams",
+      "q_anomaly_zscore")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

@@ -472,12 +472,16 @@ object Similarity {
   def adaptiveNearDupPairs(emb: DataFrame, threshold: Double,
       targetRecall: Double): DataFrame = {
     val (bands, bits) = adaptiveBandShape(emb.count(), threshold, targetRecall)
+    // one exchange on (band, sig) read by both self-join sides
+    // (ReuseExchange + shuffle_hash) — without it each side re-runs the
+    // hyperplane-signature projection over the whole corpus
     val eb = emb.select(col("vec_id"),
         posexplode(ArrayMath.hyperplaneSigs(col("embedding"), bands, bits)))
       .toDF("vec_id", "band", "sig")
+      .repartition(col("band"), col("sig"))
     val cand = eb.select(col("vec_id").as("id1"), col("band"), col("sig"))
-      .join(eb.select(col("vec_id").as("id2"), col("band"), col("sig")),
-        Seq("band", "sig"))
+      .join(eb.select(col("vec_id").as("id2"), col("band"), col("sig"))
+        .hint("shuffle_hash"), Seq("band", "sig"))
       .where(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
     val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("ed"))
@@ -680,12 +684,17 @@ object Similarity {
     QueryDef(
       "q_embed_dedup",
       (s, d) => {
-        val corpus = dedupCorpus(s, d)
+        // the corpus union feeds the sig explode, two confirm joins, and
+        // the final anti-join — cache the (skinny) table so each branch
+        // doesn't re-read and re-union the fixture
+        val corpus = dedupCorpus(s, d).cache()
         val eb = explodeBands(corpus, col("embedding"), NdBands, NdBits)
           .drop("embedding")
+          // single (band, sig) exchange shared by both self-join sides
+          .repartition(col("band"), col("sig"))
         val cand = eb.select(col("vec_id").as("id1"), col("band"), col("sig"))
-          .join(eb.select(col("vec_id").as("id2"), col("band"), col("sig")),
-            Seq("band", "sig"))
+          .join(eb.select(col("vec_id").as("id2"), col("band"), col("sig"))
+            .hint("shuffle_hash"), Seq("band", "sig"))
           .where(col("id1") < col("id2"))
           .select("id1", "id2").distinct()
         val e = corpus.select(col("vec_id"), asDouble(col("embedding")).as("ed"))
@@ -737,7 +746,9 @@ object Similarity {
     QueryDef(
       "q_embed_dedup_adaptive",
       (s, d) => {
-        val corpus = dedupCorpus(s, d)
+        // cached for the same reason as q_embed_dedup, plus the shape-
+        // sizing count() in adaptiveNearDupPairs is one more consumer
+        val corpus = dedupCorpus(s, d).cache()
         val pairs = adaptiveNearDupPairs(corpus, 0.95, 0.9999)
         val clusters = graft.operators.DedupOps.connectedComponents(pairs)
         val losers = clusters.where(col("id") =!= col("cluster"))
