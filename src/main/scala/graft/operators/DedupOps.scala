@@ -262,9 +262,13 @@ object DedupOps extends org.apache.spark.internal.Logging {
     // executor-local blocks, fine for local[n] runs.
     def persist(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    // persisted pre-partitioned on the per-round join key: every
+    // propagation round joins edges on id2, so paying one extra exchange
+    // here removes the edges-side shuffle from every iteration
+    // (localCheckpoint preserves partitioning)
     val edges = persist(pairs.select(col("id1"), col("id2"))
       .unionByName(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-      .distinct())
+      .distinct().repartition(col("id2")))
     var labels = persist(edges.select(col("id1").as("id")).distinct()
       .withColumn("cluster", col("id")))
     // Convergence is checked EVERY iteration, nearly for free: the
@@ -329,22 +333,37 @@ object DedupOps extends org.apache.spark.internal.Logging {
       .select(greatest(col("id1"), col("id2")).as("hi"),
         least(col("id1"), col("id2")).as("lo"))
       .where(col("hi") =!= col("lo")).distinct())
+    // carried across iterations so the equality probe needs no re-count
+    // of the already-persisted previous edge list (one fewer driver
+    // action per round; the loop is action-latency-bound, not data-bound)
+    var edgeCount = edges.count()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       // large-star: every node u links its LARGER neighbors to
-      // m = min(Γ(u) ∪ {u}); needs both orientations of each edge
+      // m = min(Γ(u) ∪ {u}); needs both orientations of each edge.
+      // ONE explicit exchange on the grouping key per half-round, read
+      // by both the min-aggregate and the join (ReuseExchange; the
+      // aggregate's output partitioning satisfies the join in place, and
+      // shuffle_hash keeps the planner from inserting sorts) — the naive
+      // form shuffles 6–7× per round, this one 3×, and per-round shuffle
+      // count is exactly what a 100 TB CC run pays for.
       val bidir = edges.select(col("hi").as("u"), col("lo").as("v"))
         .unionByName(edges.select(col("lo").as("u"), col("hi").as("v")))
+        .repartition(col("u"))
       val mins = bidir.groupBy("u").agg(min("v").as("mv"))
-      val ls = bidir.join(mins, "u")
+      // no intermediate distinct: duplicate ls rows change neither the
+      // small-star minima nor the final distinct'd edge set, and the
+      // dedup shuffle they'd need costs more than carrying them one step
+      val ls = bidir.join(mins.hint("shuffle_hash"), "u")
         .where(col("v") > col("u"))
         .select(col("v").as("hi"), least(col("mv"), col("u")).as("lo"))
-        .where(col("hi") =!= col("lo")).distinct()
+        .where(col("hi") =!= col("lo"))
+        .repartition(col("hi"))
       // small-star: every node links its smaller neighbors AND itself to
       // m = min(Γ⁻(u) ∪ {u}); canonical (hi, lo) rows ARE Γ⁻
       val minsS = ls.groupBy("hi").agg(min("lo").as("m"))
-      val ss = ls.join(minsS, "hi")
+      val ss = ls.join(minsS.hint("shuffle_hash"), "hi")
         .select(col("lo").as("x"), col("m"))
         .unionByName(minsS.select(col("hi").as("x"), col("m")))
         .where(col("x") =!= col("m"))
@@ -355,9 +374,11 @@ object DedupOps extends org.apache.spark.internal.Logging {
       // star-shaped fixpoint: the round rewrote every edge to point at a
       // root and changed nothing — set equality via anti-join on the
       // (small, persisted) edge lists, both already canonical+distinct
-      converged = next.count() == edges.count() &&
+      val nextCount = next.count()
+      converged = nextCount == edgeCount &&
         next.join(edges, Seq("hi", "lo"), "left_anti").limit(1).count() == 0
       edges = next
+      edgeCount = nextCount
       i += 1
     }
     if (!converged) {
