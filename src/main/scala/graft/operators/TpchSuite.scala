@@ -515,22 +515,34 @@ object TpchSuite {
     QueryDef(
       "q_tpch_q2",
       (s, d) => {
+        // ONE pass over lineitem: both the part predicate and the
+        // Europe supplier set are broadcast semi-joins BELOW the big
+        // aggregation (the correlated "min cost for this part" then
+        // falls out of a per-part window over the already-aggregated
+        // rows — valid because the part filter drops whole partkeys,
+        // never individual supplier rows of a kept part). The naive
+        // translation aggregates all of lineitem twice, once for the
+        // subquery and once for the outer block.
         val eur = Tables.supplier(s, d)
           .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(Tables.region(s, d).where(col("r_name") === "EUROPE")),
             col("n_regionkey") === col("r_regionkey"))
           .select("s_suppkey", "s_acctbal", "s_name", "n_name")
-        val psEur = derivedPartsupp(s, d)
-          .join(eur, col("ps_suppkey") === col("s_suppkey"))
-        val minCost = psEur.groupBy(col("ps_partkey").as("m_partkey"))
-          .agg(min("ps_supplycost_c").as("min_cost_c"))
-        psEur
+        val ps = Tables.lineitem(s, d)
           .join(broadcast(Tables.part(s, d)
               .where(col("p_size") < 10 && col("p_type") === "LARGE")
               .select("p_partkey")),
-            col("ps_partkey") === col("p_partkey"))
-          .join(minCost, col("ps_partkey") === col("m_partkey") &&
-            col("ps_supplycost_c") === col("min_cost_c"))
+            col("l_partkey") === col("p_partkey"), "left_semi")
+          .join(broadcast(eur.select("s_suppkey")),
+            col("l_suppkey") === col("s_suppkey"), "left_semi")
+          .groupBy(col("l_partkey").as("ps_partkey"),
+            col("l_suppkey").as("ps_suppkey"))
+          .agg(min(expr("CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT)"))
+            .as("ps_supplycost_c"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("ps_partkey")
+        ps.withColumn("min_cost_c", min("ps_supplycost_c").over(w))
+          .where(col("ps_supplycost_c") === col("min_cost_c"))
+          .join(broadcast(eur), col("ps_suppkey") === col("s_suppkey"))
           .select("s_acctbal", "s_name", "n_name", "ps_partkey", "ps_supplycost_c")
           .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("ps_partkey"))
           .limit(100)
