@@ -58,16 +58,17 @@ object DedupOps extends org.apache.spark.internal.Logging {
   def minhashComponents(text: Column, k: Int, shingleN: Int = 1): Seq[Column] = {
     require(k >= 1 && k <= 4,
       "one-permutation minhash slices a 32-hex md5 into at most 4 components")
-    val sh =
-      if (shingleN <= 1) array_distinct(split(text, " "))
-      else shingles(text, shingleN)
-    val hashes = transform(sh, t => md5(t))
-    // '~' (0x7e) sorts after every hex char, so it is a safe fold identity
-    val init = struct((1 to k).map(i => lit("~").as(s"m$i")): _*)
-    val folded = aggregate(hashes, init, (acc, h) =>
-      struct((1 to k).map(i =>
-        least(acc.getField(s"m$i"), substring(h, (i - 1) * 8 + 1, 8)).as(s"m$i")): _*))
-    (1 to k).map(i => folded.getField(s"m$i"))
+    // native single-pass expression (functions.MinHashSlices): identical
+    // output to the declarative transform+aggregate fold this replaced —
+    // every md5-mirroring DuckDB oracle still matches — but ~10× faster:
+    // the HOF fold was interpreted per SHINGLE (closure + Md5 eval +
+    // struct alloc each), where this runs one tight per-row loop and
+    // codegens to a static call. Repeated getItem on the same subtree is
+    // deduplicated by whole-stage codegen's subexpression elimination.
+    val arr = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.MinHashSlices(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), k, shingleN))
+    (1 to k).map(i => arr.getItem(i - 1))
   }
 
   def minhashSignature(df: DataFrame, id: String, text: String, k: Int,
