@@ -52,6 +52,65 @@ case class MinHashSlices(child: Expression, k: Int, shingleN: Int)
     copy(child = newChild)
 }
 
+/** Native word n-gram builder: the array of space-joined n-grams of a
+  * document's tokens, one pass, no per-element lambda frames.
+  *
+  * Exactly `transform(sequence(1, greatest(size(toks) − n + 1, 1)),
+  * i => concat_ws(" ", slice(toks, i, n)))` over `split(text, " ")` —
+  * the declarative form is interpreted per GRAM (a closure, a slice
+  * allocation and a concat per window), which dominates every
+  * shingle-exploding query once the explode materializes the grams.
+  * Shorter-than-n docs produce their single whole-document gram; NULL
+  * text stays NULL.
+  */
+case class WordNGrams(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, "n must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_ngrams needs a string column, got $other")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordNGrams.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordNGrams.compute($c, $n)")
+
+  override def prettyName: String = "word_ngrams"
+
+  override protected def withNewChildInternal(newChild: Expression): WordNGrams =
+    copy(child = newChild)
+}
+
+object WordNGrams {
+  /** One pass over the row's token windows; called from generated code. */
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val len = toks.length
+    val m = math.max(len - (n - 1), 1)
+    val out = new Array[Any](m)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      val end = math.min(i + n, len)
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object MinHashSlices {
   private val digests = ThreadLocal.withInitial[MessageDigest](() =>
     MessageDigest.getInstance("MD5"))

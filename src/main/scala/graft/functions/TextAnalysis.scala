@@ -529,9 +529,7 @@ object TextAnalysis {
     QueryDef(
       "q_repetition",
       (s, d) => {
-        val toks = split(col("text"), " ")
-        val starts = sequence(lit(1), greatest(size(toks) - lit(2), lit(1)))
-        val grams = transform(starts, i => concat_ws(" ", slice(toks, i, lit(3))))
+        val grams = graft.operators.DedupOps.wordNGrams(col("text"), 3)
         val counts = Tables.documents(s, d)
           .select(col("doc_id"), explode(grams).as("gram"))
           .groupBy("doc_id", "gram").agg(count(lit(1)).as("n"))

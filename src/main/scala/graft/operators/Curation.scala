@@ -221,9 +221,7 @@ object Curation {
       "q_quality_filter",
       (s, d) => {
         import graft.functions.TextAnalysis.{enStopwordHits, tokenCount}
-        val toks = split(col("text"), " ")
-        val starts = sequence(lit(1), greatest(size(toks) - lit(2), lit(1)))
-        val grams = transform(starts, i => concat_ws(" ", slice(toks, i, lit(3))))
+        val grams = DedupOps.wordNGrams(col("text"), 3)
         val rep = Tables.documents(s, d)
           .select(col("doc_id"), explode(grams).as("gram"))
           .groupBy("doc_id", "gram").agg(count(lit(1)).as("n"))

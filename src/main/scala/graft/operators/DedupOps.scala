@@ -30,10 +30,18 @@ object DedupOps extends org.apache.spark.internal.Logging {
     * and discriminate. */
   def shingles(text: Column, n: Int): Column = {
     if (n <= 1) return array_distinct(split(text, " "))
-    val toks = split(text, " ")
-    val starts = sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1)))
-    array_distinct(transform(starts, i => concat_ws(" ", slice(toks, i, lit(n)))))
+    array_distinct(wordNGrams(text, n))
   }
+
+  /** Raw (non-distinct) word n-gram array — the native single-pass form
+    * of `transform(starts, i => concat_ws(" ", slice(toks, i, n)))`,
+    * shared by the set-semantics [[shingles]] and the occurrence-count
+    * consumers (repetition/boilerplate scoring), which need multiplicity.
+    */
+  def wordNGrams(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.WordNGrams(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), n))
 
   /** k-component one-permutation MinHash signature per document, over
     * unigram tokens (`shingleN = 1`) or word n-gram shingles. Shingles

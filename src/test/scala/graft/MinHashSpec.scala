@@ -55,6 +55,23 @@ class MinHashSpec extends SparkSpec {
     }
   }
 
+  test("native word n-grams equal the declarative transform on fixture + edge rows") {
+    val edges = Seq(
+      (100001L, ""), (100002L, "a"), (100003L, "a  b"), (100004L, "x y"))
+      .toDF("doc_id", "text")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .unionByName(edges)
+    for (n <- Seq(2, 3, 5)) {
+      val toks = split(col("text"), " ")
+      val starts = sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1)))
+      val ref = docs.select(col("doc_id"),
+        transform(starts, i => concat_ws(" ", slice(toks, i, lit(n)))).as("g"))
+      val got = docs.select(col("doc_id"), DedupOps.wordNGrams(col("text"), n).as("g"))
+      assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty,
+        s"n=$n: native and declarative n-grams differ")
+    }
+  }
+
   test("the signature stage stays inside whole-stage codegen") {
     val plan = DedupOps.minhashSignature(
       Tables.documents(spark, sf), "doc_id", "text", 4, shingleN = 3)
