@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSim, DotProduct, HyperplaneSigs, NfcNormalize, RollingHash, WktCentroid}
+import graft.functions.{CosineSim, DotProduct, HyperplaneSigs, MinHashSlices, NfcNormalize, RollingHash, WktCentroid, WordNGrams}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -26,6 +26,12 @@ object GraftFunctions {
   private[graft] def mkHyperplaneSigs(exprs: Seq[Expression]): HyperplaneSigs =
     HyperplaneSigs(exprs(0), litInt(exprs(1), "bands"), litInt(exprs(2), "bits"))
 
+  private[graft] def mkMinHashSlices(exprs: Seq[Expression]): MinHashSlices =
+    MinHashSlices(exprs(0), litInt(exprs(1), "k"), litInt(exprs(2), "shingleN"))
+
+  private[graft] def mkWordNGrams(exprs: Seq[Expression]): WordNGrams =
+    WordNGrams(exprs(0), litInt(exprs(1), "n"))
+
   def registerAll(spark: SparkSession): Unit = {
     WktCentroid.register(spark)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -36,6 +42,10 @@ object GraftFunctions {
       "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hyperplane_sigs", mkHyperplaneSigs, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_slices", mkMinHashSlices, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_ngrams", mkWordNGrams, "built-in")
     NfcNormalize.register(spark)
   }
 }
@@ -76,5 +86,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         NfcNormalize(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("minhash_slices"),
+      new ExpressionInfo(classOf[MinHashSlices].getName, "minhash_slices"),
+      GraftFunctions.mkMinHashSlices _))
+    e.injectFunction((
+      new FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams"),
+      GraftFunctions.mkWordNGrams _))
   }
 }

@@ -72,6 +72,16 @@ class MinHashSpec extends SparkSpec {
     }
   }
 
+  test("SQL registration: minhash_slices and word_ngrams callable from SQL") {
+    GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT minhash_slices('a b c', 4, 3) AS mh, word_ngrams('a b c', 2) AS ng")
+      .head()
+    assert(r.getSeq[String](0).length == 4)
+    assert(r.getSeq[String](0).forall(_.matches("[0-9a-f]{8}")))
+    assert(r.getSeq[String](1) == Seq("a b", "b c"))
+  }
+
   test("the signature stage stays inside whole-stage codegen") {
     val plan = DedupOps.minhashSignature(
       Tables.documents(spark, sf), "doc_id", "text", 4, shingleN = 3)
