@@ -285,6 +285,44 @@ object Behavioral {
              |    / sqrt((s2 - s1 * (s1 / CAST(n_days AS DOUBLE)))
              |           / (n_days - 1)), 3)) > 2.0 AS INT) AS is_anomaly
              |FROM daily JOIN m USING (event_type)
-             |ORDER BY event_type, day""".stripMargin))
+             |ORDER BY event_type, day""".stripMargin)),
+
+    // cumulative distinct users by day — the growth curve every
+    // dashboard wants and the aggregation naive SQL gets catastrophically
+    // wrong at scale (count(DISTINCT) over an expanding window rescans
+    // the prefix per day). The scalable identity: a user contributes to
+    // the cumulative count from their FIRST day onward, so cum_users(d)
+    // = Σ_{d' ≤ d} new_users(d') — one user-keyed aggregate (shuffle ∝
+    // users), one day-grain aggregate, and a prefix sum over the ≤ #days
+    // result (the only partitionless window, provably bounded by the
+    // calendar — whitelisted in PlanAuditSpec).
+    QueryDef(
+      "q_cume_distinct",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+        val firstSeen = ev.groupBy("user_id").agg(min("day").as("day"))
+          .groupBy("day").agg(count(lit(1)).as("new_users"))
+        val days = ev.select("day").distinct()
+        days.join(firstSeen, Seq("day"), "left")
+          .na.fill(0L, Seq("new_users"))
+          .withColumn("cum_users",
+            sum("new_users").over(
+              Window.orderBy("day")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .orderBy("day")
+      },
+      Some("""WITH ev AS (SELECT user_id,
+             |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+             |f AS (SELECT user_id, min(day) AS day FROM ev GROUP BY 1),
+             |n AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1),
+             |days AS (SELECT DISTINCT day FROM ev)
+             |SELECT days.day, CAST(coalesce(n.new_users, 0) AS BIGINT) AS new_users,
+             |  CAST(sum(coalesce(n.new_users, 0)) OVER (ORDER BY days.day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |    AS cum_users
+             |FROM days LEFT JOIN n USING (day)
+             |ORDER BY day""".stripMargin))
   )
 }

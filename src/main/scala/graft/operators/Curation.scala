@@ -638,6 +638,48 @@ object Curation {
              |  round(CAST(sum(CASE WHEN n_docs_fp > 1 THEN 1 ELSE 0 END) AS DOUBLE)
              |    / count(*), 4) AS shared_frac
              |FROM ch JOIN s USING (fp)
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // label-balance card — the class-distribution summary a dataset card
+    // reports for a labeled corpus: label count, Shannon entropy of the
+    // label distribution (nats), entropy normalized by the uniform
+    // maximum ln(k), and the majority-class share. Per-label entropy
+    // contributions −p·ln p are micro-quantized to integers before the
+    // sum (order-free, the q_chisq convention); two tiny aggregates over
+    // one label-grain hash agg — shuffle ∝ distinct labels.
+    QueryDef(
+      "q_label_balance",
+      (s, d) => {
+        val byLabel = Tables.embeddings(s, d)
+          .groupBy("label").agg(count(lit(1)).as("n"))
+        val total = byLabel.agg(sum("n").as("t"),
+          count(lit(1)).as("k"), max("n").as("max_n"))
+        byLabel.crossJoin(broadcast(total))
+          .select(col("k"), col("t"), col("max_n"), expr(
+            """CAST(round(-(n / CAST(t AS DOUBLE))
+              |  * ln(n / CAST(t AS DOUBLE)) * 1000000) AS BIGINT)"""
+              .stripMargin).as("h_micro"))
+          .groupBy("k", "t", "max_n")
+          .agg(sum("h_micro").as("h_sum"))
+          .select(
+            col("k").as("n_labels"), col("t").as("n_vecs"),
+            round(col("h_sum") / 1e6, 4).as("entropy"),
+            round(col("h_sum") / 1e6 / log(col("k").cast("double")), 4)
+              .as("norm_entropy"),
+            round(col("max_n").cast("double") / col("t"), 4).as("max_share"))
+      },
+      Some("""WITH b AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS t, count(*) AS k,
+             |    CAST(max(n) AS BIGINT) AS max_n FROM b),
+             |h AS (SELECT k, t, max_n,
+             |    CAST(round(-(n / CAST(t AS DOUBLE))
+             |      * ln(n / CAST(t AS DOUBLE)) * 1000000) AS BIGINT) AS h_micro
+             |  FROM b CROSS JOIN t)
+             |SELECT k AS n_labels, t AS n_vecs,
+             |  round(CAST(sum(h_micro) AS BIGINT) / 1e6, 4) AS entropy,
+             |  round(CAST(sum(h_micro) AS BIGINT) / 1e6 / ln(CAST(k AS DOUBLE)), 4)
+             |    AS norm_entropy,
+             |  round(CAST(max_n AS DOUBLE) / t, 4) AS max_share
+             |FROM h GROUP BY k, t, max_n""".stripMargin))
   )
 }

@@ -129,7 +129,7 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("partitionless windows appear only in the five documented bounded-domain queries") {
+  test("partitionless windows appear only in the documented bounded-domain queries") {
     // a window with no partition spec funnels its whole input through one
     // task — fatal at scale UNLESS the input is provably bounded. The
     // whitelist: GlobalOrder's prefix-sum over ≤ #shuffle-partitions rows
@@ -137,8 +137,10 @@ class PlanAuditSpec extends SparkSpec {
     // row cummax, and the KS ECDF over the bounded integer-cents domain.
     // Any new registry entry that plans a global window must either join
     // this list with a boundedness argument or be rewritten.
+    // q_cume_distinct: prefix sum over the day-grain aggregate — ≤ #days
+    // rows, bounded by the calendar, never by data volume
     val allowed = Set("q_global_order", "q_equidepth_hist", "q_rfm",
-      "q_skyline", "q_ks_test")
+      "q_skyline", "q_ks_test", "q_cume_distinct")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
       val global = fn(spark, sf).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
