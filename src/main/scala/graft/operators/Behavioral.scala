@@ -262,30 +262,40 @@ object Behavioral {
         val moments = daily.groupBy("event_type")
           .agg(count(lit(1)).as("n_days"), sum("c").as("s1"),
             sum(col("c") * col("c")).as("s2"))
+        // degenerate guards mirror streaming.AnomalyMonitor exactly: a
+        // type with <2 days or zero variance has no defined z (NULL, not
+        // an engine-specific inf/NaN from the zero divisor) and is never
+        // flagged
+        val varExpr =
+          """(s2 - s1 * (s1 / CAST(n_days AS DOUBLE))) / (n_days - 1)"""
         daily.join(broadcast(moments), "event_type")
           .select(col("event_type"), col("day"), col("c"), expr(
-            """round((c - s1 / CAST(n_days AS DOUBLE))
-              |  / sqrt((s2 - s1 * (s1 / CAST(n_days AS DOUBLE)))
-              |         / (n_days - 1)), 3)""".stripMargin).as("z"))
-          .withColumn("is_anomaly", (abs(col("z")) > 2.0).cast("int"))
+            s"""CASE WHEN n_days < 2 OR $varExpr <= 0 THEN NULL
+               |ELSE round((c - s1 / CAST(n_days AS DOUBLE))
+               |  / sqrt($varExpr), 3) END""".stripMargin).as("z"))
+          .withColumn("is_anomaly",
+            coalesce(abs(col("z")) > 2.0, lit(false)).cast("int"))
           .orderBy("event_type", "day")
       },
-      Some("""WITH daily AS (
-             |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
-             |    count(*) AS c
-             |  FROM events GROUP BY 1, 2),
-             |m AS (SELECT event_type, count(*) AS n_days,
-             |    CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c * c) AS BIGINT) AS s2
-             |  FROM daily GROUP BY 1)
-             |SELECT event_type, day, c,
-             |  round((c - s1 / CAST(n_days AS DOUBLE))
-             |    / sqrt((s2 - s1 * (s1 / CAST(n_days AS DOUBLE)))
-             |           / (n_days - 1)), 3) AS z,
-             |  CAST(abs(round((c - s1 / CAST(n_days AS DOUBLE))
-             |    / sqrt((s2 - s1 * (s1 / CAST(n_days AS DOUBLE)))
-             |           / (n_days - 1)), 3)) > 2.0 AS INT) AS is_anomaly
-             |FROM daily JOIN m USING (event_type)
-             |ORDER BY event_type, day""".stripMargin)),
+      Some {
+        val varSql =
+          "(s2 - s1 * (s1 / CAST(n_days AS DOUBLE))) / (n_days - 1)"
+        s"""WITH daily AS (
+           |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           |    count(*) AS c
+           |  FROM events GROUP BY 1, 2),
+           |m AS (SELECT event_type, count(*) AS n_days,
+           |    CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c * c) AS BIGINT) AS s2
+           |  FROM daily GROUP BY 1),
+           |z AS (SELECT event_type, day, c,
+           |    CASE WHEN n_days < 2 OR $varSql <= 0 THEN NULL
+           |    ELSE round((c - s1 / CAST(n_days AS DOUBLE))
+           |      / sqrt($varSql), 3) END AS z
+           |  FROM daily JOIN m USING (event_type))
+           |SELECT event_type, day, c, z,
+           |  CAST(coalesce(abs(z) > 2.0, FALSE) AS INT) AS is_anomaly
+           |FROM z ORDER BY event_type, day""".stripMargin
+      }),
 
     // cumulative distinct users by day — the growth curve every
     // dashboard wants and the aggregation naive SQL gets catastrophically

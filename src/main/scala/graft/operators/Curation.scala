@@ -28,6 +28,46 @@ object Curation {
     * matter how big the training corpus gets. */
   private val BloomHexChars = 5
 
+  /** Sliding-window chunk geometry, shared by [[q_doc_chunk]] (the chunk
+    * LISTING) and [[q_chunk_dedup]] (the chunk-level dup metric) on BOTH
+    * engines — window/stride and the ceil chunk-count formula live here
+    * and nowhere else, so the two queries cannot drift on what a "chunk"
+    * is. Chunk count for an n-token doc = max(1, ceil((n−overlap)/stride))
+    * with overlap = len−stride; chunk i covers tokens
+    * [i·stride+1, i·stride+len], the last truncating at the doc end. */
+  private val ChunkLen = 32
+  private val ChunkStride = 24
+  private val ChunkCeilAdd = 2 * ChunkStride - ChunkLen - 1 // (n+15) for 32/24
+
+  private def chunkTable(docs: org.apache.spark.sql.DataFrame) = {
+    val toks = split(col("text"), " ")
+    docs
+      .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
+      .withColumn("nc",
+        greatest(lit(1), expr(s"(n + $ChunkCeilAdd) div $ChunkStride")).cast("int"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), col("nc") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(slice(col("toks"), col("chunk_id") * ChunkStride + 1, lit(ChunkLen)))
+          .as("chunk_tokens"),
+        array_join(slice(col("toks"), col("chunk_id") * ChunkStride + 1, lit(ChunkLen)), " ")
+          .as("chunk_text"))
+  }
+
+  /** DuckDB twin of [[chunkTable]] (CTE body up to `chunks`, no WITH). */
+  private val chunkCte =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+       |    len(string_split(text, ' ')) AS n FROM documents),
+       |c AS (SELECT doc_id, toks, CAST(u.i AS INT) AS chunk_id
+       |  FROM t, LATERAL (SELECT unnest(range(0,
+       |    greatest(1, (n + $ChunkCeilAdd) // $ChunkStride))) AS i) u),
+       |chunks AS (SELECT doc_id, chunk_id,
+       |    CAST(len(toks[chunk_id * $ChunkStride + 1 :
+       |      chunk_id * $ChunkStride + $ChunkLen]) AS INT) AS chunk_tokens,
+       |    array_to_string(toks[chunk_id * $ChunkStride + 1 :
+       |      chunk_id * $ChunkStride + $ChunkLen], ' ') AS chunk_text
+       |  FROM c)""".stripMargin
+
   /** Bloom position of a gram: `BloomHexChars` hex chars of md5 starting
     * at `off` (1-based), parsed base-16. Engine-portable: DuckDB computes
     * the identical value with per-char `instr` arithmetic. */
@@ -503,33 +543,11 @@ object Curation {
     // Σ n_i/24, linear in corpus tokens, embarrassingly parallel.
     QueryDef(
       "q_doc_chunk",
-      (s, d) => {
-        val toks = split(col("text"), " ")
-        Tables.documents(s, d)
-          .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
-          .withColumn("nc",
-            greatest(lit(1), expr("(n + 15) div 24")).cast("int"))
-          .select(col("doc_id"), col("toks"), col("n"),
-            explode(sequence(lit(0), col("nc") - 1)).as("chunk_id"))
-          .select(col("doc_id"), col("chunk_id"),
-            size(slice(col("toks"), col("chunk_id") * 24 + 1, lit(32)))
-              .as("chunk_tokens"),
-            array_join(slice(col("toks"), col("chunk_id") * 24 + 1, lit(32)), " ")
-              .as("chunk_text"))
-          .orderBy("doc_id", "chunk_id")
-      },
-      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
-             |    len(string_split(text, ' ')) AS n FROM documents),
-             |c AS (SELECT doc_id, toks, n,
-             |    CAST(u.i AS INT) AS chunk_id
-             |  FROM t, LATERAL (SELECT unnest(range(0,
-             |    greatest(1, (n + 15) // 24))) AS i) u)
-             |SELECT doc_id, chunk_id,
-             |  CAST(len(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS INT)
-             |    AS chunk_tokens,
-             |  array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
-             |    AS chunk_text
-             |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+      (s, d) => chunkTable(Tables.documents(s, d))
+        .orderBy("doc_id", "chunk_id"),
+      Some(s"""WITH $chunkCte
+              |SELECT doc_id, chunk_id, chunk_tokens, chunk_text
+              |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin)),
 
     // chunk-level duplication metric — sub-document dedup granularity:
     // chunk every doc with q_doc_chunk's exact window (L=32, stride 24),
@@ -544,17 +562,8 @@ object Curation {
     QueryDef(
       "q_chunk_dedup",
       (s, d) => {
-        val toks = split(col("text"), " ")
-        val chunks = Tables.documents(s, d)
-          .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
-          .withColumn("nc",
-            greatest(lit(1), expr("(n + 15) div 24")).cast("int"))
-          .select(col("doc_id"),
-            explode(sequence(lit(0), col("nc") - 1)).as("chunk_id"),
-            col("toks"))
-          .select(col("doc_id"), col("chunk_id"),
-            md5(array_join(slice(col("toks"), col("chunk_id") * 24 + 1, lit(32)), " "))
-              .as("fp"))
+        val chunks = chunkTable(Tables.documents(s, d))
+          .select(col("doc_id"), md5(col("chunk_text")).as("fp"))
         val shared = chunks.groupBy("fp")
           .agg(countDistinct("doc_id").as("n_docs_fp"))
         chunks.join(shared, "fp")
@@ -565,21 +574,16 @@ object Curation {
             round(col("n_shared").cast("double") / col("n_chunks"), 4))
           .orderBy("doc_id")
       },
-      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
-             |    len(string_split(text, ' ')) AS n FROM documents),
-             |c AS (SELECT doc_id,
-             |    md5(array_to_string(
-             |      toks[u.i * 24 + 1 : u.i * 24 + 32], ' ')) AS fp
-             |  FROM t, LATERAL (SELECT unnest(range(0,
-             |    greatest(1, (n + 15) // 24))) AS i) u),
-             |s AS (SELECT fp, count(DISTINCT doc_id) AS n_docs_fp
-             |  FROM c GROUP BY 1)
-             |SELECT doc_id, count(*) AS n_chunks,
-             |  CAST(sum(CASE WHEN n_docs_fp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
-             |  round(CAST(sum(CASE WHEN n_docs_fp > 1 THEN 1 ELSE 0 END) AS DOUBLE)
-             |    / count(*), 4) AS shared_frac
-             |FROM c JOIN s USING (fp)
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+      Some(s"""WITH $chunkCte,
+              |ch AS (SELECT doc_id, md5(chunk_text) AS fp FROM chunks),
+              |s AS (SELECT fp, count(DISTINCT doc_id) AS n_docs_fp
+              |  FROM ch GROUP BY 1)
+              |SELECT doc_id, count(*) AS n_chunks,
+              |  CAST(sum(CASE WHEN n_docs_fp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+              |  round(CAST(sum(CASE WHEN n_docs_fp > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              |    / count(*), 4) AS shared_frac
+              |FROM ch JOIN s USING (fp)
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // content-defined chunking (CDC) dedup — the shift-robust complement
     // to q_chunk_dedup's fixed windows: a chunk boundary falls AFTER any
@@ -664,7 +668,11 @@ object Curation {
           .select(
             col("k").as("n_labels"), col("t").as("n_vecs"),
             round(col("h_sum") / 1e6, 4).as("entropy"),
-            round(col("h_sum") / 1e6 / log(col("k").cast("double")), 4)
+            // a one-label corpus has zero diversity by convention (the
+            // ln(1)=0 denominator would otherwise make this an
+            // engine-specific NULL-vs-NaN)
+            when(col("k") < 2, lit(0.0)).otherwise(
+              round(col("h_sum") / 1e6 / log(col("k").cast("double")), 4))
               .as("norm_entropy"),
             round(col("max_n").cast("double") / col("t"), 4).as("max_share"))
       },
@@ -677,8 +685,9 @@ object Curation {
              |  FROM b CROSS JOIN t)
              |SELECT k AS n_labels, t AS n_vecs,
              |  round(CAST(sum(h_micro) AS BIGINT) / 1e6, 4) AS entropy,
-             |  round(CAST(sum(h_micro) AS BIGINT) / 1e6 / ln(CAST(k AS DOUBLE)), 4)
-             |    AS norm_entropy,
+             |  CASE WHEN k < 2 THEN 0.0
+             |  ELSE round(CAST(sum(h_micro) AS BIGINT) / 1e6
+             |    / ln(CAST(k AS DOUBLE)), 4) END AS norm_entropy,
              |  round(CAST(max_n AS DOUBLE) / t, 4) AS max_share
              |FROM h GROUP BY k, t, max_n""".stripMargin))
   )

@@ -183,8 +183,11 @@ object DedupOps extends org.apache.spark.internal.Logging {
     // signature chain once more per consumer — measured 3× sig / 2×
     // index rebuilds per call. cache() (recomputable on eviction, so
     // never a correctness risk) collapses that to one build each; the
-    // cached sets are id/bucket lists, ∝ batch size only. materialize=
-    // false exists for plan audits that assert the uncached join shape.
+    // cached sets are id/bucket lists, ∝ batch size only. The entries
+    // live until the session ends — fine for one-shot batch callers;
+    // LONG-RUNNING callers (a foreachBatch loop) must pass materialize=
+    // false or they leak two cache entries per invocation. Plan audits
+    // also use materialize=false to see the uncached join shape.
     def mat(df: DataFrame): DataFrame = if (materialize) df.cache() else df
     val bb = mat(lshBuckets(
       minhashSignature(batch, id, "text", k, shingleN = 3), id, k, rowsPerBand))

@@ -59,8 +59,14 @@ object CurationStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val s = batch.sparkSession
+        // materialize=false: the internal bucket/survivor caches the
+        // batch form uses have no unpersist path, so a long-running
+        // stream would leak two cache entries per trigger; the
+        // micro-batch is small and its two consumers (write + index
+        // build) already share this persist()
         val survivors = DedupOps.dedupAgainstIndex(
-          batch, readIndex(s, indexRoot), "doc_id", k, rowsPerBand)
+          batch, readIndex(s, indexRoot), "doc_id", k, rowsPerBand,
+          materialize = false)
           .persist()
         try {
           survivors.write.mode("overwrite")

@@ -260,14 +260,31 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q_bm25: df/stats broadcast, term filter pre-shuffle, top-20 is a TakeOrdered") {
-    val plan = planOf("q_bm25")
+    val exec = SparkEntry.queries("q_bm25")(spark, sf).queryExecution.executedPlan
+    val plan = exec.toString
     assert(plan.contains("BroadcastHashJoin"), s"df table not broadcast:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-20 is not a TakeOrderedAndProject (global sort?):\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
-    // the IN-list must appear in the plan as a filter on the exploded
-    // tokens — shuffle ∝ query-term postings, not corpus tokens
-    assert(plan.contains("dup"), s"term filter missing from plan:\n$plan")
+    // the IN-list must sit ABOVE the token explode with NO shuffle in
+    // between — shuffle ∝ query-term postings, not corpus tokens. The
+    // structural check: some Filter mentioning a query term has the
+    // Generate in its subtree and no exchange below it.
+    import org.apache.spark.sql.execution.{FilterExec, GenerateExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // AdaptiveSparkPlanExec exposes no children to collect — unwrap
+    val root = exec match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val termFilters = root.collect {
+      case f: FilterExec if f.condition.toString.contains("dup") => f
+    }
+    assert(termFilters.exists(f =>
+      f.collectFirst { case g: GenerateExec => g }.isDefined &&
+        f.collect { case e: ShuffleExchangeExec => e }.isEmpty),
+      s"term IN-list is not applied between the explode and the first shuffle:\n$plan")
   }
 
   test("q_chunk_dedup: fingerprint agg shuffles on fp, doc agg on doc_id; no pairs") {
@@ -277,8 +294,6 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(doc_id#"),
       s"per-doc agg does not shuffle on doc_id:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
-    assert(!plan.contains("SortMergeJoin") || plan.contains("hashpartitioning(fp#"),
-      plan)
   }
 
   test("q_pmi_bigrams and q_anomaly_zscore: small sides broadcast, top via TakeOrdered") {
