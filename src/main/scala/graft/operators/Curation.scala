@@ -98,7 +98,93 @@ object Curation {
     (train, bg)
   }
 
+  /** Iterative BPE vocabulary induction (Sennrich et al. 2016) over a
+    * document corpus — the tokenizer-training step between "curated
+    * corpus" and "training tokens".
+    *
+    * Trains on the word-frequency table (the standard formulation: pair
+    * statistics are per unique word × its corpus frequency, so corpus
+    * size only affects the ONE word-count aggregate; every merge round
+    * runs on the distinct-word table, ∝ vocabulary). Symbols start as
+    * characters; each round counts adjacent symbol pairs (zip_with, no
+    * explode of raw text), picks the most frequent (ties broken
+    * lexicographically, so training is deterministic), and rewrites the
+    * symbol arrays with a left-to-right non-overlapping fold — [a,a,a]
+    * with merge (a,a) becomes [aa,a], the reference behavior. The word
+    * table is locally checkpointed each round (the CC-loop discipline:
+    * iterative lineage must be cut, or analysis cost grows per round).
+    *
+    * Returns the ordered merge list — with the word table's final
+    * symbolization, the artifacts a tokenizer ships.
+    */
+  def bpeTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      numMerges: Int): Seq[(String, String)] = {
+    var words = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), split(col("w"), "").as("syms"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (merges.size < numMerges && !exhausted) {
+      val szm1 = size(col("syms")) - 1
+      val top = words.where(size(col("syms")) >= 2)
+        .select(col("freq"), explode(zip_with(
+          slice(col("syms"), lit(1), szm1), slice(col("syms"), lit(2), szm1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b) = (top.head.getString(0), top.head.getString(1))
+        merges += ((a, b))
+        val merged = aggregate(col("syms"),
+          array().cast("array<string>"),
+          (acc, x) =>
+            when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(a) && x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+              .otherwise(concat(acc, array(x))))
+        words = words.select(col("freq"), merged.as("syms"))
+          .localCheckpoint(true)
+      }
+    }
+    merges.toSeq
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // the oracle-able single step of [[bpeTrain]]: the weighted adjacent
+    // character-pair statistics of the corpus's word-frequency table and
+    // the top-10 merge candidates in training order (count desc, pair
+    // lexicographic). Before any merge every symbol is one character, so
+    // a pair is substr(w, i, 2) — expressible identically in both
+    // engines; later rounds (multi-char symbols) are BpeSpec territory.
+    QueryDef(
+      "q_bpe_first_merge",
+      (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .where(length(col("w")) > 0)
+          .groupBy("w").agg(count(lit(1)).as("freq"))
+        words.where(length(col("w")) >= 2)
+          .select(col("freq"), explode(transform(
+            sequence(lit(1), length(col("w")) - 1),
+            i => col("w").substr(i, lit(2)))).as("pair"))
+          .groupBy("pair").agg(sum("freq").as("n"))
+          .orderBy(col("n").desc, col("pair")).limit(10)
+      },
+      Some("""WITH w AS (SELECT tok AS w, count(*) AS freq FROM (
+             |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+             |  WHERE length(tok) > 0 GROUP BY 1),
+             |p AS (SELECT substr(w, CAST(u.i AS INT), 2) AS pair, freq
+             |  FROM w, LATERAL (SELECT unnest(range(1, length(w))) AS i) u
+             |  WHERE length(w) >= 2)
+             |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+             |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 10""".stripMargin)),
 
     // boilerplate-window detection (the Dolma/RefinedWeb cleanup pass):
     // a sliding 3-token window shared verbatim by ≥5 distinct documents
