@@ -147,7 +147,9 @@ object ScaleProbe {
       // on a fixed doc_id<20 audit slice, so 10× growth is zero by
       // construction — nothing to learn)
       "q_bm25", "q_chunk_dedup", "q_cdc_chunks", "q_pmi_bigrams",
-      "q_anomaly_zscore")
+      "q_anomaly_zscore",
+      // round-7 continuation 2
+      "q_ppl_buckets", "q_gopher_repetition", "q_domain_kl", "q_zipf_fit")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

@@ -601,6 +601,237 @@ object TextAnalysis {
         .orderBy("doc_id"),
       Some("""SELECT doc_id, md5(lower(trim(text))) AS fp,
              |  substr(md5(lower(trim(text))), 1, 8) AS fp8
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // CCNet-style perplexity bucketing: score every document with the
+    // corpus-trained bigram LM (the exact q_bigram_lm lineage — integer
+    // micro-nat sums, one rounded division per doc), then split the
+    // corpus into head/middle/tail TERTILES of model score. This is the
+    // quality stratification step a pretraining mix actually samples
+    // from; the tertile boundary must be a corpus-wide rank, which is
+    // the partitionless-window trap — so the tile comes from
+    // GlobalOrder.withGlobalNtile (range shuffle + broadcast prefix
+    // offsets + closed-form ntile), scale-safe at any corpus size. The
+    // per-doc score table is KiB-scale and cached: the ntile machinery
+    // consumes it three times (count, offsets, final), and recomputing
+    // the LM join each time would triple the real work.
+    QueryDef(
+      "q_ppl_buckets",
+      (s, d) => {
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        val pairs = toks
+          .withColumn("w2", lead("tok", 1).over(w))
+          .where(col("w2").isNotNull)
+          .select(col("doc_id"), col("tok").as("w1"), col("w2"))
+        val uni = toks.groupBy(col("tok").as("u_w")).agg(count(lit(1)).as("c1"))
+        val vocab = toks.agg(countDistinct(col("tok")).as("v"))
+        val model = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+          .join(uni, col("w1") === col("u_w"))
+          .crossJoin(broadcast(vocab))
+          .select(col("w1"), col("w2"),
+            expr("CAST(round(ln((c12 + 1.0) / (c1 + v)) * 1000000) AS BIGINT)")
+              .as("s_micro"))
+        val scored = pairs.join(model, Seq("w1", "w2"))
+          .groupBy("doc_id")
+          .agg(sum("s_micro").as("sm"), count(lit(1)).as("nb"))
+          .select(col("doc_id"),
+            round(col("sm") / 1e6 / col("nb"), 4).as("avg_logp"))
+          .cache()
+        graft.operators.GlobalOrder.withGlobalNtile(scored,
+            Seq(col("avg_logp").desc, col("doc_id").asc), 3, "tile")
+          .select(col("doc_id"), col("avg_logp"),
+            when(col("tile") === 1, "head")
+              .when(col("tile") === 2, "middle")
+              .otherwise("tail").as("bucket"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH pairs AS (
+             |  SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+             |       LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) t),
+             |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |uni AS (SELECT tok AS u_w, count(*) AS c1 FROM toks GROUP BY 1),
+             |voc AS (SELECT count(DISTINCT tok) AS v FROM toks),
+             |model AS (
+             |  SELECT w1, w2,
+             |    CAST(round(ln((c12 + 1.0) / (c1 + v)) * 1000000) AS BIGINT) AS s_micro
+             |  FROM (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2)
+             |  JOIN uni ON w1 = u_w CROSS JOIN voc),
+             |scored AS (
+             |  SELECT p.doc_id,
+             |    round(CAST(sum(s_micro) AS BIGINT) / 1e6 / count(*), 4) AS avg_logp
+             |  FROM pairs p JOIN model USING (w1, w2) GROUP BY 1)
+             |SELECT doc_id, avg_logp,
+             |  CASE ntile(3) OVER (ORDER BY avg_logp DESC, doc_id)
+             |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+             |FROM scored ORDER BY doc_id""".stripMargin)),
+
+    // Gopher-style repetition suite, char-weighted: the published filter
+    // family q_repetition's single top-3-gram ratio approximates. Per
+    // document and per n ∈ {2,3,4}: the fraction of characters covered
+    // by the single heaviest n-gram (count × gram length, the max taken
+    // over the PRODUCT so no tie-break is ever needed); per n ∈ {5,10}:
+    // the fraction of characters inside n-grams occurring 2+ times
+    // (an upper-bound proxy — overlapping occurrences double-count,
+    // identically in both engines). All five metrics come from ONE
+    // union of n-tagged explodes over the same pruned scan, one
+    // (doc,n,gram) count, one (doc,n) coverage agg, and one conditional
+    // pivot back to columns — three map-side-combined shuffles total,
+    // each linear in corpus token count. Verdict applies Gopher's
+    // published thresholds to the rounded fractions.
+    QueryDef(
+      "q_gopher_repetition",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "n_chars", "text")
+        val byN = Seq(2, 3, 4, 5, 10).map { n =>
+          docs.select(col("doc_id"), col("n_chars"), lit(n).as("n"),
+            explode(graft.operators.DedupOps.wordNGrams(col("text"), n)).as("gram"))
+        }.reduce(_ unionByName _)
+        val counts = byN.groupBy("doc_id", "n_chars", "n", "gram")
+          .agg(count(lit(1)).as("c"))
+        val cov = counts.groupBy("doc_id", "n_chars", "n").agg(
+          max(col("c") * length(col("gram"))).as("top_cov"),
+          sum(when(col("c") >= 2, col("c") * length(col("gram")))
+            .otherwise(0L)).as("dup_cov"))
+        def frac(n: Int, c: Column) =
+          max(when(col("n") === n, round(c / col("n_chars").cast("double"), 4)))
+        val out = cov.groupBy("doc_id", "n_chars").agg(
+          frac(2, col("top_cov")).as("top2"),
+          frac(3, col("top_cov")).as("top3"),
+          frac(4, col("top_cov")).as("top4"),
+          frac(5, col("dup_cov")).as("dup5"),
+          frac(10, col("dup_cov")).as("dup10"))
+        out.withColumn("verdict",
+            when(col("top2") <= 0.20 && col("top3") <= 0.18 &&
+              col("top4") <= 0.16 && col("dup5") <= 0.15 &&
+              col("dup10") <= 0.10, "keep").otherwise("drop"))
+          .orderBy("doc_id")
+      },
+      Some {
+        def grams(n: Int) =
+          s"""SELECT doc_id, n_chars, $n AS n,
+             |      [array_to_string(toks[i:i+${n - 1}], ' ')
+             |       for i in range(1, greatest(len(toks)-${n - 1}, 1)+1)] AS grams
+             |    FROM t""".stripMargin
+        s"""WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
+           |g AS (SELECT doc_id, n_chars, n, unnest(grams) AS gram FROM (
+           |    ${Seq(2, 3, 4, 5, 10).map(grams).mkString("\n    UNION ALL\n    ")})),
+           |c AS (SELECT doc_id, n_chars, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3, 4),
+           |cov AS (SELECT doc_id, n_chars, n,
+           |    max(c * len(gram)) AS top_cov,
+           |    sum(CASE WHEN c >= 2 THEN c * len(gram) ELSE 0 END) AS dup_cov
+           |  FROM c GROUP BY 1, 2, 3),
+           |p AS (SELECT doc_id, n_chars,
+           |    max(CASE WHEN n = 2 THEN round(top_cov / CAST(n_chars AS DOUBLE), 4) END) AS top2,
+           |    max(CASE WHEN n = 3 THEN round(top_cov / CAST(n_chars AS DOUBLE), 4) END) AS top3,
+           |    max(CASE WHEN n = 4 THEN round(top_cov / CAST(n_chars AS DOUBLE), 4) END) AS top4,
+           |    max(CASE WHEN n = 5 THEN round(dup_cov / CAST(n_chars AS DOUBLE), 4) END) AS dup5,
+           |    max(CASE WHEN n = 10 THEN round(dup_cov / CAST(n_chars AS DOUBLE), 4) END) AS dup10
+           |  FROM cov GROUP BY 1, 2)
+           |SELECT doc_id, n_chars, top2, top3, top4, dup5, dup10,
+           |  CASE WHEN top2 <= 0.20 AND top3 <= 0.18 AND top4 <= 0.16
+           |        AND dup5 <= 0.15 AND dup10 <= 0.10 THEN 'keep' ELSE 'drop' END AS verdict
+           |FROM p ORDER BY doc_id""".stripMargin
+      }),
+
+    // per-source KL divergence from the corpus word distribution — the
+    // dataset-card "how different is this source" number that decides
+    // mixture weights. KL(s‖corpus) = Σ_w p_s(w)·ln(p_s(w)/p(w)), all
+    // four inputs exact integer counts; each term is ONE double
+    // expression per (source, word) — identical in both engines —
+    // quantized to integer NANO-nats before the per-source sum (terms
+    // are O(1/vocab), micro-nats would zero them), so aggregation order
+    // can't move the result. Shapes: the (source, word) count table is
+    // the only data-sized shuffle; the word-marginal join keys on word;
+    // the source-marginal and corpus totals broadcast.
+    QueryDef(
+      "q_domain_kl",
+      (s, d) => {
+        val sw = Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+          .groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+        val srcTot = sw.groupBy("source").agg(sum("c_sw").as("n_s"))
+        val wTot = sw.groupBy("w").agg(sum("c_sw").as("c_w"))
+        val tot = sw.agg(sum("c_sw").as("n_tot"))
+        sw.join(broadcast(srcTot), "source")
+          .join(wTot, "w")
+          .crossJoin(broadcast(tot))
+          .select(col("source"), expr(
+            """CAST(round(c_sw / CAST(n_s AS DOUBLE)
+              |  * ln((c_sw * CAST(n_tot AS DOUBLE)) / (CAST(n_s AS DOUBLE) * c_w))
+              |  * 1e9) AS BIGINT)""".stripMargin).as("t_nano"))
+          .groupBy("source")
+          .agg(sum("t_nano").as("s_nano"), count(lit(1)).as("n_terms"))
+          .select(col("source"), col("n_terms"),
+            round(col("s_nano") / 1e9, 6).as("kl_nats"))
+          .orderBy("source")
+      },
+      Some("""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+             |sw AS (SELECT source, w, count(*) AS c_sw FROM toks GROUP BY 1, 2),
+             |st AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s FROM sw GROUP BY 1),
+             |wt AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY 1),
+             |tot AS (SELECT CAST(sum(c_sw) AS BIGINT) AS n_tot FROM sw)
+             |SELECT sw.source, CAST(count(*) AS BIGINT) AS n_terms,
+             |  round(CAST(sum(CAST(round(c_sw / CAST(n_s AS DOUBLE)
+             |    * ln((c_sw * CAST(n_tot AS DOUBLE)) / (CAST(n_s AS DOUBLE) * c_w))
+             |    * 1e9) AS BIGINT)) AS BIGINT) / 1e9, 6) AS kl_nats
+             |FROM sw JOIN st USING (source) JOIN wt USING (w) CROSS JOIN tot
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Zipf-law fit over the corpus vocabulary: least-squares slope and
+    // intercept of ln(freq) on ln(rank) — the one-row corpus-health
+    // number (natural text ≈ −1; template floods and degenerate corpora
+    // bend it). Rank is a GLOBAL position over the vocabulary — at real
+    // scale the vocab table is itself huge, so it comes from
+    // GlobalOrder.withGlobalRowNumber (range shuffle, no data-sized
+    // window). Determinism: x = ln(rank), y = ln(c) are doubles from
+    // exact ints; each regression moment term (x, y, x², x·y) quantizes
+    // to integer nano-units per word before the sums, and the closed
+    // form runs once on the five exact integer sums.
+    QueryDef(
+      "q_zipf_fit",
+      (s, d) => {
+        val vocab = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        val ranked = graft.operators.GlobalOrder.withGlobalRowNumber(
+          vocab, Seq(col("c").desc, col("w").asc), "rank")
+        val q = (c: org.apache.spark.sql.Column) =>
+          round(c * lit(1e9)).cast("long")
+        val moments = ranked
+          .select(
+            q(log(col("rank"))).as("sx"), q(log(col("c"))).as("sy"),
+            q(log(col("rank")) * log(col("rank"))).as("sxx"),
+            q(log(col("rank")) * log(col("c"))).as("sxy"))
+          .agg(count(lit(1)).as("n"), sum("sx").as("sx"), sum("sy").as("sy"),
+            sum("sxx").as("sxx"), sum("sxy").as("sxy"))
+        moments
+          .withColumn("slope_raw",
+            (col("n") * (col("sxy") / 1e9) - (col("sx") / 1e9) * (col("sy") / 1e9)) /
+              (col("n") * (col("sxx") / 1e9) - (col("sx") / 1e9) * (col("sx") / 1e9)))
+          .select(col("n").as("n_vocab"),
+            round(col("slope_raw"), 4).as("slope"),
+            round((col("sy") / 1e9 - col("slope_raw") * (col("sx") / 1e9)) / col("n"), 4)
+              .as("intercept"))
+      },
+      Some("""WITH v AS (SELECT w, count(*) AS c FROM (
+             |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1),
+             |r AS (SELECT c, CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS rank FROM v),
+             |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CAST(round(ln(rank) * 1e9) AS BIGINT)) AS BIGINT) AS sx,
+             |    CAST(sum(CAST(round(ln(c) * 1e9) AS BIGINT)) AS BIGINT) AS sy,
+             |    CAST(sum(CAST(round(ln(rank) * ln(rank) * 1e9) AS BIGINT)) AS BIGINT) AS sxx,
+             |    CAST(sum(CAST(round(ln(rank) * ln(c) * 1e9) AS BIGINT)) AS BIGINT) AS sxy
+             |  FROM r),
+             |s AS (SELECT n, sx, sy,
+             |    (n * (sxy / 1e9) - (sx / 1e9) * (sy / 1e9))
+             |      / (n * (sxx / 1e9) - (sx / 1e9) * (sx / 1e9)) AS slope_raw
+             |  FROM m)
+             |SELECT n AS n_vocab, round(slope_raw, 4) AS slope,
+             |  round((sy / 1e9 - slope_raw * (sx / 1e9)) / n, 4) AS intercept
+             |FROM s""".stripMargin))
   )
 }

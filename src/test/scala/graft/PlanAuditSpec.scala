@@ -139,8 +139,12 @@ class PlanAuditSpec extends SparkSpec {
     // this list with a boundedness argument or be rewritten.
     // q_cume_distinct: prefix sum over the day-grain aggregate — ≤ #days
     // rows, bounded by the calendar, never by data volume
+    // q_ppl_buckets: GlobalOrder's same ≤ #shuffle-partitions prefix-sum
+    // (the tertile assignment itself is the range-shuffle closed form)
+    // q_zipf_fit: GlobalOrder's prefix-sum again (vocab ranking)
     val allowed = Set("q_global_order", "q_equidepth_hist", "q_rfm",
-      "q_skyline", "q_ks_test", "q_cume_distinct")
+      "q_skyline", "q_ks_test", "q_cume_distinct", "q_ppl_buckets",
+      "q_zipf_fit")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
       val global = fn(spark, sf).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
