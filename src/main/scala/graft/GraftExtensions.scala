@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSim, DotProduct, HyperplaneSigs, MinHashSlices, NfcNormalize, RollingHash, WktCentroid, WordNGrams}
+import graft.functions.{BpeEncode, CosineSim, DotProduct, HyperplaneSigs, MinHashSlices, NfcNormalize, RollingHash, WktCentroid, WordNGrams}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -46,6 +46,8 @@ object GraftFunctions {
       "minhash_slices", mkMinHashSlices, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_ngrams", mkWordNGrams, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_encode", exprs => BpeEncode(exprs(0), exprs(1)), "built-in")
     NfcNormalize.register(spark)
   }
 }
@@ -94,5 +96,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("word_ngrams"),
       new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams"),
       GraftFunctions.mkWordNGrams _))
+    e.injectFunction((
+      new FunctionIdentifier("bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BpeEncode(exprs(0), exprs(1))))
   }
 }

@@ -155,6 +155,16 @@ object Curation {
     merges.toSeq
   }
 
+  /** Memoized [[bpeTrain]] — the registry sweeps (plan audits, Verify,
+    * Bench) construct each query several times, and training is 8
+    * blocking jobs; the merge list is deterministic per (corpus, k), so
+    * per-directory memoization changes nothing but the job count. */
+  private val bpeMergeCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[(String, String)]]
+  private def bpeMerges(s: org.apache.spark.sql.SparkSession, d: String,
+      k: Int): Seq[(String, String)] =
+    bpeMergeCache.getOrElseUpdate((d, k), bpeTrain(Tables.documents(s, d), "text", k))
+
   val defs: Seq[QueryDef] = Seq(
 
     // the oracle-able single step of [[bpeTrain]]: the weighted adjacent
@@ -185,6 +195,36 @@ object Curation {
              |  WHERE length(w) >= 2)
              |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
              |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 10""".stripMargin)),
+
+    // the APPLY half of the tokenizer: train 8 merges with [[bpeTrain]],
+    // then encode every document with the native greedy `bpe_encode`
+    // expression and report word/piece counts + compression. The merge
+    // list is a plan-time literal (the artifact a tokenizer ships — at
+    // real scale it trains once and is baked into the job, exactly as
+    // here); encoding is then a pure per-row map over the scan, no
+    // shuffle, whole-stage codegen. No DuckDB oracle: both the iterative
+    // training and the greedy rank loop are outside SQL — this is the
+    // registry's second deliberate oracle exception (q_approx_distinct
+    // is the first). Gated instead by BpeSpec: hand cases, structural
+    // properties (concat-identity, monotone counts), and full-vocabulary
+    // equivalence against an independent sequential-replay encoder.
+    QueryDef(
+      "q_bpe_encode",
+      (s, d) => {
+        val merges = bpeMerges(s, d, 8)
+        val mergeLit = array(merges.map { case (a, b) => lit(a + " " + b) }: _*)
+          .cast("array<string>") // a degenerate corpus can train 0 merges
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).as("n_words"),
+            size(graft.functions.BpeEncode.bpeEncode(col("text"), mergeLit))
+              .as("n_pieces"),
+            length(col("text")).as("n_text_chars"))
+          .withColumn("pieces_per_word",
+            round(col("n_pieces") / col("n_words").cast("double"), 4))
+          .orderBy("doc_id")
+      },
+      None),
 
     // boilerplate-window detection (the Dolma/RefinedWeb cleanup pass):
     // a sliding 3-token window shared verbatim by ≥5 distinct documents
