@@ -149,7 +149,8 @@ object ScaleProbe {
       "q_bm25", "q_chunk_dedup", "q_cdc_chunks", "q_pmi_bigrams",
       "q_anomaly_zscore",
       // round-7 continuation 2
-      "q_ppl_buckets", "q_gopher_repetition", "q_domain_kl", "q_zipf_fit")
+      "q_ppl_buckets", "q_gopher_repetition", "q_domain_kl", "q_zipf_fit",
+      "q_embed_health", "q_lang_confusion")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

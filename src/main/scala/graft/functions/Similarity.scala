@@ -1165,6 +1165,43 @@ object Similarity {
       },
       Some("""SELECT doc_id, lang, label, CAST(len(embedding) AS INT) AS dim
              |FROM documents JOIN embeddings ON doc_id = vec_id
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // embedding-table health gate — the validation pass that runs before
+    // any ANN index build trusts a batch: per label, vector count,
+    // degenerate vectors (zero norm), NaN contamination, dimension
+    // consistency, and the norm² range. One map-side-combined aggregate
+    // over the scan (label domain is tiny); norm² is the native one-pass
+    // DotProduct whose left-to-right IEEE fold is bit-identical to
+    // DuckDB's list_dot_product, rounded once per row before any
+    // aggregation so min/max are order-free.
+    QueryDef(
+      "q_embed_health",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("label"), size(col("embedding")).as("dim"),
+            round(dot(asDouble(col("embedding")), asDouble(col("embedding"))), 4)
+              .as("norm2"),
+            exists(col("embedding"), x => isnan(x)).as("has_nan"))
+        e.groupBy("label").agg(
+            count(lit(1)).as("n_vecs"),
+            sum(when(col("norm2") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+            sum(when(col("has_nan"), 1L).otherwise(0L)).as("n_nan"),
+            countDistinct(col("dim")).as("n_dims"),
+            min("norm2").as("min_norm2"),
+            max("norm2").as("max_norm2"))
+          .orderBy("label")
+      },
+      Some("""WITH e AS (SELECT label, CAST(len(embedding) AS INT) AS dim,
+             |    round(list_dot_product(CAST(embedding AS DOUBLE[]),
+             |                           CAST(embedding AS DOUBLE[])), 4) AS norm2,
+             |    len([x FOR x IN embedding IF isnan(x)]) > 0 AS has_nan
+             |  FROM embeddings)
+             |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+             |  CAST(sum(CASE WHEN norm2 = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+             |  CAST(sum(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+             |  CAST(count(DISTINCT dim) AS BIGINT) AS n_dims,
+             |  min(norm2) AS min_norm2, max(norm2) AS max_norm2
+             |FROM e GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -832,6 +832,36 @@ object TextAnalysis {
              |  FROM m)
              |SELECT n AS n_vocab, round(slope_raw, 4) AS slope,
              |  round((sy / 1e9 - slope_raw * (sx / 1e9)) / n, 4) AS intercept
-             |FROM s""".stripMargin))
+             |FROM s""".stripMargin)),
+
+    // language-ID confusion matrix — the classifier-quality report for
+    // the heuristic next to q_lang_id's per-doc view: per (labeled lang,
+    // guess) cell count and its share of the label's row count. Two tiny
+    // aggregates (the cell table is |langs×guesses|) over one scan; the
+    // per-lang totals broadcast back. The share divides two exact counts
+    // once per CELL, so it is deterministic under any aggregation order.
+    QueryDef(
+      "q_lang_confusion",
+      (s, d) => {
+        val guessed = Tables.documents(s, d)
+          .select(col("lang"), languageGuess(col("text")).as("guess"))
+        val cells = guessed.groupBy("lang", "guess").agg(count(lit(1)).as("n"))
+        val tot = guessed.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+        cells.join(broadcast(tot), "lang")
+          .select(col("lang"), col("guess"), col("n"),
+            round(col("n") / col("n_lang").cast("double"), 4).as("share"))
+          .orderBy("lang", "guess")
+      },
+      Some("""WITH g AS (SELECT lang,
+             |    CASE WHEN len(regexp_extract_all(text, '\b(the|and|of|to|in)\b')) >= 2 THEN 'en'
+             |         WHEN len(regexp_extract_all(text, '\b(the|and|of|to|in)\b')) = 1 THEN 'mixed'
+             |         ELSE 'other' END AS guess
+             |  FROM documents),
+             |c AS (SELECT lang, guess, count(*) AS n FROM g GROUP BY 1, 2),
+             |t AS (SELECT lang, count(*) AS n_lang FROM g GROUP BY 1)
+             |SELECT c.lang, c.guess, CAST(c.n AS BIGINT) AS n,
+             |  round(CAST(c.n AS DOUBLE) / t.n_lang, 4) AS share
+             |FROM c JOIN t USING (lang)
+             |ORDER BY lang, guess""".stripMargin))
   )
 }
