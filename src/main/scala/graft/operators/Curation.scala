@@ -426,6 +426,70 @@ object Curation {
              |FROM sig s JOIN rep r USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    // DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): score every
+    // document by how much more likely its tokens are under a TARGET
+    // domain's unigram model than under the whole corpus's — here the
+    // target is the labeled-English slice, the proxy for "looks like the
+    // domain we want more of". Both models are add-1-smoothed count
+    // tables over the shared vocabulary; each word's log-ratio quantizes
+    // to integer micro-nats ONCE in the model table (pure function of
+    // four exact integers), so per-doc sums are order-free. Shapes: two
+    // vocab-sized aggregates, one word-keyed model join back to the
+    // token stream (the only data-sized shuffles), scalars broadcast.
+    // At 100 TB the model table persists as a rollup and reapplies by
+    // join — the same stored-model pattern as q_bigram_lm.
+    QueryDef(
+      "q_dsir_weight",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("w"))
+        val cc = toks.groupBy("w").agg(count(lit(1)).as("c_c"))
+        val ct = toks.where(col("lang") === "en")
+          .groupBy("w").agg(count(lit(1)).as("c_t"))
+        val nC = toks.agg(count(lit(1)).as("n_c"))
+        val nT = toks.where(col("lang") === "en").agg(count(lit(1)).as("n_t"))
+        val vocabN = cc.agg(count(lit(1)).as("v"))
+        val model = cc.join(ct, Seq("w"), "left")
+          .na.fill(0L, Seq("c_t"))
+          .crossJoin(broadcast(nC)).crossJoin(broadcast(nT))
+          .crossJoin(broadcast(vocabN))
+          .select(col("w"), expr(
+            """CAST(round((ln((c_t + 1.0) / (n_t + v))
+              |  - ln((c_c + 1.0) / (n_c + v))) * 1000000) AS BIGINT)""".stripMargin)
+            .as("s_micro"))
+        toks.join(model, "w")
+          .groupBy("doc_id")
+          .agg(sum("s_micro").as("sm"), count(lit(1)).as("n_tokens"))
+          // full micro precision, NOT round(...,4): sm is integer micro-
+          // nats, so 4-decimal rounding lands on exact .5 ties where the
+          // two engines' rounding modes diverge; sm/1e6 is one IEEE
+          // division of exact operands — bit-identical everywhere
+          .select(col("doc_id"), col("n_tokens"),
+            (col("sm") / 1e6).as("log_ratio"),
+            when(col("sm") > 0, "target").otherwise("background").as("bucket"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, lang,
+             |    unnest(string_split(text, ' ')) AS w FROM documents),
+             |cc AS (SELECT w, count(*) AS c_c FROM toks GROUP BY 1),
+             |ct AS (SELECT w, count(*) AS c_t FROM toks WHERE lang = 'en' GROUP BY 1),
+             |nc AS (SELECT count(*) AS n_c FROM toks),
+             |nt AS (SELECT count(*) AS n_t FROM toks WHERE lang = 'en'),
+             |v AS (SELECT count(*) AS v FROM cc),
+             |model AS (SELECT cc.w,
+             |    CAST(round((ln((coalesce(ct.c_t, 0) + 1.0) / (n_t + v))
+             |      - ln((cc.c_c + 1.0) / (n_c + v))) * 1000000) AS BIGINT) AS s_micro
+             |  FROM cc LEFT JOIN ct USING (w)
+             |  CROSS JOIN nc CROSS JOIN nt CROSS JOIN v)
+             |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |  CAST(sum(s_micro) AS BIGINT) / 1e6 AS log_ratio,
+             |  CASE WHEN CAST(sum(s_micro) AS BIGINT) > 0
+             |       THEN 'target' ELSE 'background' END AS bucket
+             |FROM toks t JOIN model USING (w)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // domain-mix resampling — data mixing toward a target composition:
     // each source domain is capped at a 4% share of the corpus, with the
     // per-domain keep-rate COMPUTED from measured domain counts (one tiny
