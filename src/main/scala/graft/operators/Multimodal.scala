@@ -154,6 +154,141 @@ object Multimodal {
     ds.toDF()
   }
 
+  // ---- audio: real RIFF/WAV PCM parse + feature extraction ----
+
+  /** Output schema of the audio feature stage. */
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_channels", IntegerType),
+    StructField("bits", IntegerType),
+    StructField("n_samples", IntegerType),
+    StructField("rms_milli", LongType),
+    StructField("duration_ms", LongType)))
+
+  private def leInt(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def leShort(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def tag(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Parsed WAV: (sampleRate, channels, bitsPerSample, dataOffset,
+    * dataLen). Walks the RIFF chunk list (fmt can precede or follow
+    * other chunks); PCM only. None on anything malformed — corpus-scale
+    * audio has corrupt files, and a bad record must degrade, not throw. */
+  def parseWav(b: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
+    if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None
+    var data: Option[(Int, Int)] = None
+    while (off + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = tag(b, off)
+      val sz = leInt(b, off + 4)
+      if (sz < 0 || off + 8 + sz > b.length) return None
+      if (id == "fmt " && sz >= 16) {
+        if (leShort(b, off + 8) != 1) return None // PCM only
+        fmt = Some((leInt(b, off + 12), leShort(b, off + 10), leShort(b, off + 22)))
+      } else if (id == "data") data = Some((off + 8, sz))
+      off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+    }
+    for ((rate, ch, bits) <- fmt; (o, n) <- data) yield (rate, ch, bits, o, n)
+  }
+
+  /** RMS over centered PCM samples (8-bit unsigned → −128..127, 16-bit
+    * signed LE), in milli-units of the sample scale. */
+  private def pcmRmsMilli(b: Array[Byte], off: Int, len: Int, bits: Int): Long = {
+    var sum = 0.0; var n = 0
+    if (bits == 8) {
+      var i = off
+      while (i < off + len) { val v = (b(i) & 0xff) - 128.0; sum += v * v; n += 1; i += 1 }
+    } else {
+      var i = off
+      while (i + 1 < off + len) {
+        val v = leShort(b, i).toShort.toDouble; sum += v * v; n += 2; i += 2 }
+      n /= 2
+    }
+    if (n == 0) 0L else math.round(math.sqrt(sum / n) * 1000)
+  }
+
+  /** STUB audio decode for unparseable payloads: the raw bytes AS 8-bit
+    * unsigned PCM at a nominal 8 kHz — deterministic, keeps the schema
+    * populated, and is obviously marked by bits = 0 in the output. */
+  def stubAudioFeatures(id: Long, b: Array[Byte]): Row = {
+    val rms = pcmRmsMilli(b, 0, b.length, 8)
+    Row(id, b.length, 8000, 1, 0, b.length, rms,
+      math.round(b.length / 8000.0 * 1000))
+  }
+
+  /** Partition-parallel audio feature extraction: header metadata + RMS
+    * energy + duration per payload; WAV-parse failures degrade to
+    * [[stubAudioFeatures]]. Same executor-only movement contract as the
+    * image stages. */
+  def audioFeatures(spark: SparkSession, withBytes: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(audioFeatureSchema)
+    withBytes.select("doc_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val b = r.getAs[Array[Byte]](1)
+        parseWav(b) match {
+          case Some((rate, ch, bits, off, len)) =>
+            val bytesPerSample = math.max(1, bits / 8) * math.max(1, ch)
+            val nSamples = len / bytesPerSample
+            Row(id, b.length, rate, ch, bits, nSamples,
+              pcmRmsMilli(b, off, len, bits),
+              math.round(nSamples.toDouble / rate * 1000))
+          case None => stubAudioFeatures(id, b)
+        }
+      }
+    }(enc).toDF()
+  }
+
+  /** Deterministic synthetic WAV per document: 8-bit unsigned mono PCM at
+    * 8 kHz, a square wave of amplitude 10 + doc_id % 50 with period 16,
+    * 64 + n_chars % 192 samples — every derived feature has a closed
+    * form in (doc_id, n_chars), which is what lets a SQL oracle pin the
+    * full synth → encode → parse → extract loop. */
+  def synthWav(docId: Long, nChars: Long): Array[Byte] = {
+    val n = (64 + nChars % 192).toInt
+    val amp = (10 + docId % 50).toInt
+    val out = new Array[Byte](44 + n)
+    def putTag(o: Int, s: String): Unit =
+      System.arraycopy(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII), 0, out, o, 4)
+    def putLeInt(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+      out(o + 2) = ((v >> 16) & 0xff).toByte; out(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def putLeShort(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    putTag(0, "RIFF"); putLeInt(4, 36 + n); putTag(8, "WAVE")
+    putTag(12, "fmt "); putLeInt(16, 16)
+    putLeShort(20, 1); putLeShort(22, 1) // PCM, mono
+    putLeInt(24, 8000); putLeInt(28, 8000) // rate, byte rate
+    putLeShort(32, 1); putLeShort(34, 8) // block align, bits
+    putTag(36, "data"); putLeInt(40, n)
+    var j = 0
+    while (j < n) {
+      val s = if ((j / 8) % 2 == 0) amp else -amp
+      out(44 + j) = (128 + s).toByte
+      j += 1
+    }
+    out
+  }
+
+  /** Attach the synthetic WAV payload (executor-side byte synthesis —
+    * payloads never exist on the driver). */
+  def withAudioPayload(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select("doc_id", "n_chars").mapPartitions { it =>
+      it.map(r => Row(r.getLong(0), synthWav(r.getLong(0), r.getLong(1))))
+    }(enc).toDF()
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // binary payload + metadata + feature extraction, expressed with
@@ -175,6 +310,27 @@ object Multimodal {
              |  CAST(32 + (octet_length(payload) // 64) % 32 AS INT) AS height,
              |  source AS origin
              |FROM (SELECT doc_id, encode(text) AS payload, source FROM documents)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // audio modality end-to-end: synthesize a REAL RIFF/WAV payload per
+    // document executor-side (square wave whose parameters are closed
+    // forms in doc_id/n_chars), then run the actual byte-level parse +
+    // PCM RMS extraction. The oracle states the closed forms — so a
+    // header-layout, chunk-walk, sample-decode, or RMS bug each breaks
+    // the hash match; this is an oracle over the BINARY codec path, not
+    // just the relational shell. Per-row work only, no shuffle.
+    QueryDef(
+      "q_audio_features",
+      (s, d) => audioFeatures(s, withAudioPayload(Tables.documents(s, d)))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(44 + 64 + n_chars % 192 AS INT) AS n_bytes,
+             |  CAST(8000 AS INT) AS sample_rate,
+             |  CAST(1 AS INT) AS n_channels,
+             |  CAST(8 AS INT) AS bits,
+             |  CAST(64 + n_chars % 192 AS INT) AS n_samples,
+             |  CAST((10 + doc_id % 50) * 1000 AS BIGINT) AS rms_milli,
+             |  CAST(round((64 + n_chars % 192) / 8.0) AS BIGINT) AS duration_ms
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

@@ -85,4 +85,45 @@ class MultimodalSpec extends SparkSpec {
     assert((w, h) == Multimodal.stubDecodeDims(1000))
     assert(w >= 32 && w < 64 && h >= 32 && h < 64)
   }
+
+  test("WAV parse: synthesized payload round-trips; corrupt payloads degrade to the stub") {
+    import spark.implicits._
+    val good = Multimodal.synthWav(7L, 100L) // amp 17, n = 64 + 100 = 164
+    val Some((rate, ch, bits, off, len)) = Multimodal.parseWav(good)
+    assert((rate, ch, bits, len) == (8000, 1, 8, 164) && off == 44)
+    // corrupt inputs: truncated header, bad magic, chunk size past EOF
+    assert(Multimodal.parseWav(good.take(20)).isEmpty)
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    assert(Multimodal.parseWav(badMagic).isEmpty)
+    val badSize = good.clone(); badSize(40) = -1; badSize(41) = -1
+    assert(Multimodal.parseWav(badSize).isEmpty)
+    // the extraction stage must not fail the task on a corrupt record,
+    // and marks the stub path with bits = 0
+    val df = Seq((1L, good), (2L, good.take(20))).toDF("doc_id", "payload")
+    val feats = Multimodal.audioFeatures(spark, df).orderBy("doc_id").collect()
+    assert(feats(0).getInt(4) == 8 && feats(0).getLong(6) == 17000)
+    assert(feats(1).getInt(4) == 0, "corrupt payload must carry the stub marker")
+  }
+
+  test("WAV parse: 16-bit PCM and a non-leading data chunk") {
+    // hand-built 16-bit mono WAV with a junk chunk BEFORE fmt/data:
+    // 4 samples of constant amplitude 1000 → RMS exactly 1000
+    val samples = Seq(1000, -1000, 1000, -1000)
+    val bos = new java.io.ByteArrayOutputStream()
+    def tag(s: String) = bos.write(s.getBytes("US-ASCII"))
+    def le32(v: Int) = (0 to 3).foreach(i => bos.write((v >> (8 * i)) & 0xff))
+    def le16(v: Int) = (0 to 1).foreach(i => bos.write((v >> (8 * i)) & 0xff))
+    tag("RIFF"); le32(4 + 8 + 2 + 8 + 16 + 8 + 8); tag("WAVE")
+    tag("LIST"); le32(2); le16(0) // junk chunk the walker must skip
+    tag("fmt "); le32(16); le16(1); le16(1); le32(16000); le32(32000); le16(2); le16(16)
+    tag("data"); le32(8); samples.foreach(le16)
+    val b = bos.toByteArray
+    val Some((rate, ch, bits, off, len)) = Multimodal.parseWav(b)
+    assert((rate, ch, bits, len) == (16000, 1, 16, 8))
+    import spark.implicits._
+    val feats = Multimodal.audioFeatures(spark, Seq((1L, b)).toDF("doc_id", "payload"))
+      .collect().head
+    assert(feats.getInt(5) == 4, "n_samples from data length / block size")
+    assert(feats.getLong(6) == 1000000L, "RMS of a constant-amplitude wave in milli-units")
+  }
 }
