@@ -107,8 +107,16 @@ object BpeEncode {
     val n = word.length
     if (n == 0) return // split(" ", -1) keeps empties; they carry no pieces
     val syms = new scala.collection.mutable.ArrayBuffer[String](n)
+    // seed by CODE POINT, not code unit: bpeTrain's split(w, "") keeps
+    // surrogate pairs whole (Java regex is code-point-aware), and a lone
+    // surrogate would be corrupted to '?' by the UTF-8 encoder — the
+    // alphabets must agree or non-BMP text breaks concat-identity
     var i = 0
-    while (i < n) { syms += word.substring(i, i + 1); i += 1 }
+    while (i < n) {
+      val cc = Character.charCount(word.codePointAt(i))
+      syms += word.substring(i, i + cc)
+      i += cc
+    }
     var done = false
     while (!done && syms.length >= 2) {
       var best = -1

@@ -676,20 +676,27 @@ object TextAnalysis {
     // over the PRODUCT so no tie-break is ever needed); per n ∈ {5,10}:
     // the fraction of characters inside n-grams occurring 2+ times
     // (an upper-bound proxy — overlapping occurrences double-count,
-    // identically in both engines). All five metrics come from ONE
-    // union of n-tagged explodes over the same pruned scan, one
-    // (doc,n,gram) count, one (doc,n) coverage agg, and one conditional
-    // pivot back to columns — three map-side-combined shuffles total,
-    // each linear in corpus token count. Verdict applies Gopher's
-    // published thresholds to the rounded fractions.
+    // identically in both engines). All five metrics come from ONE scan
+    // (the five n-widths' gram arrays concatenate as n-tagged structs
+    // inside the projection — each width re-tokenizes in-expression, but
+    // the text column is read and decoded once), one (doc,n,gram) count,
+    // one (doc,n) coverage agg, and one conditional pivot back to
+    // columns — three map-side-combined shuffles total, each linear in
+    // corpus token count. Verdict applies Gopher's published thresholds
+    // to the rounded fractions.
     QueryDef(
       "q_gopher_repetition",
       (s, d) => {
         val docs = Tables.documents(s, d).select("doc_id", "n_chars", "text")
-        val byN = Seq(2, 3, 4, 5, 10).map { n =>
-          docs.select(col("doc_id"), col("n_chars"), lit(n).as("n"),
-            explode(graft.operators.DedupOps.wordNGrams(col("text"), n)).as("gram"))
-        }.reduce(_ unionByName _)
+        val tagged = Seq(2, 3, 4, 5, 10).map { n =>
+          transform(graft.operators.DedupOps.wordNGrams(col("text"), n),
+            g => struct(lit(n).as("n"), g.as("gram")))
+        }
+        val byN = docs
+          .select(col("doc_id"), col("n_chars"),
+            explode(concat(tagged: _*)).as("t"))
+          .select(col("doc_id"), col("n_chars"),
+            col("t.n").as("n"), col("t.gram").as("gram"))
         val counts = byN.groupBy("doc_id", "n_chars", "n", "gram")
           .agg(count(lit(1)).as("c"))
         val cov = counts.groupBy("doc_id", "n_chars", "n").agg(

@@ -187,14 +187,22 @@ object Multimodal {
     while (off + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
       val id = tag(b, off)
       val sz = leInt(b, off + 4)
-      if (sz < 0 || off + 8 + sz > b.length) return None
+      // LONG arithmetic: a hostile size field near Int.MaxValue would wrap
+      // 'off + 8 + sz' negative and bypass the bound, then index past the
+      // array — the exact crash this parser exists to absorb
+      if (sz < 0 || off.toLong + 8 + sz > b.length) return None
       if (id == "fmt " && sz >= 16) {
         if (leShort(b, off + 8) != 1) return None // PCM only
         fmt = Some((leInt(b, off + 12), leShort(b, off + 10), leShort(b, off + 22)))
       } else if (id == "data") data = Some((off + 8, sz))
       off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
     }
-    for ((rate, ch, bits) <- fmt; (o, n) <- data) yield (rate, ch, bits, o, n)
+    // reject fmt values the extractor can't honor: rate <= 0 divides to
+    // Infinity downstream; bits outside {8,16} would decode garbage; and
+    // bits = 0 would collide with the stub's malformed-marker
+    for ((rate, ch, bits) <- fmt; (o, n) <- data
+         if rate > 0 && ch > 0 && (bits == 8 || bits == 16))
+      yield (rate, ch, bits, o, n)
   }
 
   /** RMS over centered PCM samples (8-bit unsigned → −128..127, 16-bit
@@ -230,8 +238,12 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(audioFeatureSchema)
     withBytes.select("doc_id", "payload").mapPartitions { it =>
       it.map { r =>
-        val id = r.getLong(0)
-        val b = r.getAs[Array[Byte]](1)
+        // Number-safe id read (int32-vs-int64 key width is a fixture
+        // re-encoding FixtureCheck accepts); null payload → stub, one
+        // null cell in a 100 TB media table must not fail the job
+        val id = r.getAs[Number](0).longValue()
+        val b0 = r.getAs[Array[Byte]](1)
+        val b = if (b0 == null) Array.emptyByteArray else b0
         parseWav(b) match {
           case Some((rate, ch, bits, off, len)) =>
             val bytesPerSample = math.max(1, bits / 8) * math.max(1, ch)
@@ -285,7 +297,10 @@ object Multimodal {
       StructField("doc_id", LongType), StructField("payload", BinaryType)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
     docs.select("doc_id", "n_chars").mapPartitions { it =>
-      it.map(r => Row(r.getLong(0), synthWav(r.getLong(0), r.getLong(1))))
+      it.map { r =>
+        val id = r.getAs[Number](0).longValue() // int32 fixture width ok
+        Row(id, synthWav(id, r.getAs[Number](1).longValue()))
+      }
     }(enc).toDF()
   }
 

@@ -84,6 +84,10 @@ class BpeSpec extends SparkSpec {
     assert(encodeDf(Seq("ab  c"), Nil) == Seq(Seq("a", "b", "c")))
     // run of a's under (a,a): greedy leftmost = [aa, a], like the trainer
     assert(encodeDf(Seq("aaa"), Seq("a" -> "a")) == Seq(Seq("aa", "a")))
+    // non-BMP text: symbols seed by CODE POINT — a surrogate pair stays
+    // one symbol (lone surrogates would be corrupted to '?' in UTF-8)
+    assert(encodeDf(Seq("a😀b"), Nil) ==
+      Seq(Seq("a", "😀", "b")))
   }
 
   test("bpe_encode: concat-identity and count bounds on the fixture corpus") {

@@ -120,6 +120,20 @@ class MultimodalSpec extends SparkSpec {
     val b = bos.toByteArray
     val Some((rate, ch, bits, off, len)) = Multimodal.parseWav(b)
     assert((rate, ch, bits, len) == (16000, 1, 16, 8))
+    // hostile fmt values must be rejected, not produce garbage features:
+    // rate 0 (→ Infinity duration), bits 24 (16-bit branch would decode
+    // nonsense), bits 0 (collides with the stub marker)
+    // (layout with the LIST chunk: fmt body starts at 30 — sampleRate
+    // bytes 34-37, bitsPerSample bytes 44-45)
+    def patched(f: Array[Byte] => Unit) = { val c = b.clone(); f(c); c }
+    assert(Multimodal.parseWav(patched { c => c(34) = 0; c(35) = 0; c(36) = 0; c(37) = 0 }).isEmpty)
+    assert(Multimodal.parseWav(patched { c => c(44) = 24 }).isEmpty)
+    assert(Multimodal.parseWav(patched { c => c(44) = 0 }).isEmpty)
+    // near-Int.MaxValue chunk size must fail the bound check (long
+    // arithmetic), not wrap negative and index past the array
+    val hostile = Multimodal.synthWav(1L, 10L)
+    hostile(40) = -1; hostile(41) = -1; hostile(42) = -1; hostile(43) = 0x7f
+    assert(Multimodal.parseWav(hostile).isEmpty)
     import spark.implicits._
     val feats = Multimodal.audioFeatures(spark, Seq((1L, b)).toDF("doc_id", "payload"))
       .collect().head
