@@ -150,7 +150,8 @@ object ScaleProbe {
       "q_anomaly_zscore",
       // round-7 continuation 2
       "q_ppl_buckets", "q_gopher_repetition", "q_domain_kl", "q_zipf_fit",
-      "q_embed_health", "q_lang_confusion", "q_dsir_weight")
+      "q_embed_health", "q_lang_confusion", "q_dsir_weight",
+      "q_audio_features", "q_k_anonymity")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

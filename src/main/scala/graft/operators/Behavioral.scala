@@ -243,6 +243,32 @@ object Behavioral {
              |LEFT JOIN p USING (user_id)
              |ORDER BY u.user_id""".stripMargin)),
 
+    // k-anonymity audit — the privacy gate a dataset release runs next
+    // to PII scrubbing (q_pii_scrub): project the table to its quasi-
+    // identifiers (event type, day, coarse value band) and flag every
+    // combination observed fewer than k = 5 times — rows in those groups
+    // are re-identifiable by the QI tuple alone. One map-side-combined
+    // aggregate; shuffle ∝ distinct QI tuples, never rows. NULL values
+    // band to a sentinel so the group-by is total and the cross-engine
+    // ordering never compares NULLs (Spark sorts them first, DuckDB
+    // last).
+    QueryDef(
+      "q_k_anonymity",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          coalesce(floor(col("value") / 50).cast("int"), lit(-9999))
+            .as("value_band"))
+        .groupBy("event_type", "day", "value_band")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("at_risk", (col("n") < 5).cast("int"))
+        .orderBy("event_type", "day", "value_band"),
+      Some("""SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             |  coalesce(CAST(floor(value / 50) AS INT), -9999) AS value_band,
+             |  count(*) AS n,
+             |  CAST(count(*) < 5 AS INT) AS at_risk
+             |FROM events GROUP BY 1, 2, 3
+             |ORDER BY event_type, day, value_band""".stripMargin)),
+
     // volume-anomaly screen — the monitoring aggregate behind the
     // reference's row-count alert bounds (cli.py EXPECT_MIN/MAX_ROWS),
     // done statistically: per event_type daily counts, z-scored against
