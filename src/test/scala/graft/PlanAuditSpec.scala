@@ -309,4 +309,49 @@ class PlanAuditSpec extends SparkSpec {
     assert(z.contains("BroadcastHashJoin"), s"per-type moments not broadcast:\n$z")
     assert(!z.contains("CartesianProduct"), z)
   }
+
+  test("q_ppl_buckets: tertile assignment rides the range shuffle, not a data window") {
+    // the CCNet stratification claim: the only Exchange over per-doc
+    // scores is GlobalOrder's rangepartitioning; the corpus never
+    // funnels through a single-task window (whitelist sweep covers the
+    // window side — this pins the positive shape)
+    val plan = planOf("q_ppl_buckets")
+    assert(plan.contains("rangepartitioning"),
+      s"tertile rank lost the range-shuffle formulation:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"per-doc score table is no longer cached (LM lineage would run 3x):\n$plan")
+  }
+
+  test("q_domain_kl and q_dsir_weight: marginals broadcast, model applied by word join") {
+    val kl = planOf("q_domain_kl")
+    assert(kl.contains("BroadcastHashJoin"),
+      s"per-source totals not broadcast:\n$kl")
+    // (the scalar totals ride one-row broadcast cross joins; the global
+    // no-CartesianProduct sweep already guards the unbroadcast case)
+    val dsir = planOf("q_dsir_weight")
+    assert(dsir.contains("hashpartitioning(w#"),
+      s"model application is not a word-keyed join:\n$dsir")
+  }
+
+  test("q_gopher_repetition: ONE documents scan feeds all five n-widths") {
+    // the review fix this pins: the five per-n explodes once compiled to
+    // five parquet scans of documents; the struct-concat form must keep
+    // exactly one
+    val plan = planOf("q_gopher_repetition")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 documents scan, found $scans:\n$plan")
+  }
+
+  test("q_audio_features and q_k_anonymity: single pass, no joins") {
+    // audio: synth + parse + extract is a pure per-row map — the only
+    // exchange is the output sort; k-anonymity: one map-combined
+    // aggregate over the scan
+    for (name <- Seq("q_audio_features", "q_k_anonymity")) {
+      val plan = planOf(name)
+      assert(!plan.contains("Join"), s"$name plans a join:\n$plan")
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(exchanges <= 2, // agg shuffle (k-anon) + output sort
+        s"$name plans $exchanges exchanges:\n$plan")
+    }
+  }
 }
