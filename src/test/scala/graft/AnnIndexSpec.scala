@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.functions.Similarity
+import org.apache.spark.sql.functions._
+
+/** The persisted ANN index lifecycle: `saveIvfIndex` pays the
+  * corpus-sized work once (codebook training + full cell assignment) and
+  * publishes two parquet artifacts; `queryIvfIndex` probes them with no
+  * corpus-sized recomputation. Mirrors `DedupOps.dedupAgainstIndex`'s
+  * build/probe asymmetry for the similarity-search side.
+  */
+class AnnIndexSpec extends SparkSpec {
+
+  test("persisted IVF index: build once, probe from a fresh session, in-memory parity + recall") {
+    val dir = Files.createTempDirectory("graft-ivf").toString
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("ed"))
+    Similarity.saveIvfIndex(emb, dir, k = 8, iters = 3)
+
+    // artifact shapes: k-row codebook, one skinny assignment per vector
+    val cents = spark.read.parquet(s"$dir/codebook")
+    assert(cents.count() == 8)
+    assert(cents.columns.toSeq == Seq("cent_id", "ce"))
+    val assign = spark.read.parquet(s"$dir/assignments")
+    assert(assign.count() == emb.count())
+    assert(assign.columns.toSeq == Seq("vec_id", "cluster"))
+
+    // probe through a FRESH session — nothing may ride the builder
+    // session's temp state; the index is the only contract
+    val s2 = spark.newSession()
+    val emb2 = Tables.embeddings(s2, sf)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("ed"))
+    val q = emb2.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("ed").as("qe"))
+    val got = Similarity.queryIvfIndex(s2, dir, q,
+      emb2.select("vec_id", "ed"), nprobe = 2, k = 5)
+    val gotPairs = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotPairs.nonEmpty)
+
+    // parity: the stored-index probe must equal the in-memory IVF
+    // formulation over the same codebook (both use round(dot, 4) cell
+    // ranks, so the assignments are identical by construction)
+    val memCand = Similarity.ivfCandidates(emb, cents, col("vec_id") < 10, 2)
+    val mem = Similarity.scoreCandidatesTopK(memCand, emb.select("vec_id", "ed"), 5)
+    val memPairs = mem.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotPairs == memPairs,
+      s"stored-index probe diverged from the in-memory path: ${gotPairs.diff(memPairs)} / ${memPairs.diff(gotPairs)}")
+
+    // quality gate: recall@5 vs brute force stays useful through the
+    // persisted path (same bound q_ivf_recall holds for the in-memory one)
+    val recall = Similarity.recallAt5VsBrute(emb2.select("vec_id", "ed"), got, q)
+      .agg(avg("recall_at_5")).head().getDouble(0)
+    assert(recall >= 0.8, s"persisted-index recall@5 degraded to $recall")
+  }
+
+  test("probe plan touches the stored assignments, never re-assigns the corpus") {
+    val dir = Files.createTempDirectory("graft-ivf2").toString
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("ed"))
+    Similarity.saveIvfIndex(emb, dir, k = 8, iters = 1)
+    val q = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("ed").as("qe"))
+    val plan = Similarity.queryIvfIndex(spark, dir, q,
+        emb.select("vec_id", "ed"), nprobe = 2, k = 5)
+      .queryExecution.executedPlan.toString
+    // the corpus×codebook cross join exists only at BUILD time; at probe
+    // time the single nested-loop join is queries×codebook (5 rows)
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnl <= 1, s"probe re-ranks the corpus against the codebook:\n$plan")
+    assert(plan.contains("assignments"),
+      s"probe does not scan the stored assignments:\n$plan")
+  }
+}
