@@ -56,6 +56,27 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Small-file compaction (the OPTIMIZE maintenance pass): rewrite a
+    * parquet directory into ⌈bytes / targetBytes⌉ files and publish the
+    * result through [[graft.AtomicPublish.overwrite]], so readers see
+    * either the fragmented table or the compacted one, never a partial
+    * rewrite. Streaming sinks and incremental upserts accrete small
+    * files; at 100 TB the file count — not the byte count — is what
+    * kills scan planning (one footer read and one task per file).
+    * Returns (filesBefore, filesAfter). Uses coalesce, not repartition:
+    * bin-packing reads without a shuffle is the entire point. */
+  def compact(spark: SparkSession, dir: String, targetBytes: Long): (Int, Int) = {
+    val (fs, path) = graft.AtomicPublish.fsFor(spark, dir)
+    val parts = fs.listStatus(path).filter(_.getPath.getName.endsWith(".parquet"))
+    val before = parts.length
+    val totalBytes = parts.map(_.getLen).sum
+    val want = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    graft.AtomicPublish.overwrite(spark.read.parquet(dir).coalesce(want), dir)
+    val after = fs.listStatus(path)
+      .count(_.getPath.getName.endsWith(".parquet"))
+    (before, after)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // the clustering key itself under the oracle gate: the native
     // expression vs 64 shift-mask-add terms of plain SQL bit arithmetic —

@@ -111,4 +111,22 @@ class LayoutSpec extends SparkSpec {
     assert(zRuns < rmRuns, s"z=$zRuns rowmajor=$rmRuns")
     assert(zRuns <= 4, s"expected near-contiguous z-range, got $zRuns runs")
   }
+
+  test("compact: bin-packs a fragmented table atomically, content unchanged") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    // a streaming-sink-shaped mess: 32 tiny files
+    spark.range(10000).select(col("id"), (col("id") % 97).as("v"))
+      .repartition(32).write.parquet(dir)
+    val beforeSum = spark.read.parquet(dir).agg(sum("v")).head().getLong(0)
+    val (before, after) = operators.Layout.compact(spark, dir, targetBytes = 1L << 20)
+    assert(before == 32, s"expected the fragmented layout, saw $before files")
+    assert(after < before && after <= 2, s"compaction left $after files")
+    // content identical, and no leftover .tmp/.bak from the atomic swap
+    assert(spark.read.parquet(dir).agg(sum("v")).head().getLong(0) == beforeSum)
+    assert(spark.read.parquet(dir).count() == 10000)
+    val parent = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
+    assert(!parent.exists(n => n.endsWith(".tmp") || n.endsWith(".bak")),
+      s"swap debris left behind: ${parent.mkString(",")}")
+  }
 }
