@@ -561,6 +561,44 @@ object Similarity {
              |      FROM sims)
              |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
 
+    // hard-negative mining for embedding-model training: per query vector,
+    // the top-3 most-similar vectors with a DIFFERENT label — the
+    // near-miss examples a contrastive loss learns most from. Same
+    // broadcast-queries brute-force shape as q_cosine_topk (the exactness
+    // oracle; at corpus scale the candidate set comes from the ANN index
+    // instead, e.g. queryIvfIndex, and this ranking runs on candidates);
+    // the label inequality rides in the join condition, so mismatched
+    // pairs are dropped before scoring. row_number()<=3 per qid plans
+    // through the GroupTopK heap rewrite.
+    QueryDef(
+      "q_hard_negatives",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d).select(
+          col("vec_id"), col("label"), asDouble(col("embedding")).as("ed"))
+        val q = emb.where(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+            col("ed").as("qe"))
+        val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+        emb.join(broadcast(q), col("label") =!= col("qlabel"))
+          .withColumn("sim", round(dot(col("qe"), col("ed")), 4))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 3)
+          .select("qid", "vec_id", "label", "sim", "rn")
+          .orderBy("qid", "rn")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ed
+             |          FROM embeddings),
+             |q AS (SELECT vec_id AS qid, label AS qlabel, ed AS qe
+             |      FROM e WHERE vec_id < 5),
+             |sims AS (SELECT q.qid, e.vec_id, e.label,
+             |           round(list_dot_product(q.qe, e.ed), 4) AS sim
+             |         FROM q CROSS JOIN e WHERE e.label <> q.qlabel),
+             |r AS (SELECT qid, vec_id, label, sim,
+             |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS rn
+             |      FROM sims)
+             |SELECT qid, vec_id, label, sim, rn FROM r
+             |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin)),
+
     // U5 scale path: multi-band hyperplane-LSH ANN (AnnBands × AnnBits,
     // OR-ed). Each band's equi-join prunes the candidate space; the band
     // union recovers neighbors a single band's boundary would lose.

@@ -783,6 +783,52 @@ object DedupOps extends org.apache.spark.internal.Logging {
              |FROM i JOIN c ca ON ca.doc_id = id1 JOIN c cb ON cb.doc_id = id2
              |ORDER BY id1, id2""".stripMargin)),
 
+    // sub-corpus leakage matrix: pairwise 3-gram-shingle Jaccard between
+    // SOURCES over the whole corpus — the dataset-card number that says
+    // "these two crawls are 40% the same data" before mixture weights get
+    // assigned (q_shingle_jaccard is its per-document cousin on an audit
+    // slice). The distinct (source, shingle) projection is
+    // vocabulary-sized, the shingle self-join fans out at most
+    // |sources|² per shingle, and the output is (|sources| choose 2)
+    // rows — every step bounded by source count, not corpus size.
+    QueryDef(
+      "q_source_overlap",
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .select(col("source"), explode(shingles(col("text"), 3)).as("sh"))
+          .distinct()
+        val sizes = t.groupBy("source").agg(count(lit(1)).as("n"))
+        val inter = t.as("a")
+          .join(t.as("b"),
+            col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+          .agg(count(lit(1)).as("i"))
+        inter
+          .join(broadcast(sizes).withColumnRenamed("source", "s1")
+            .withColumnRenamed("n", "n1"), "s1")
+          .join(broadcast(sizes).withColumnRenamed("source", "s2")
+            .withColumnRenamed("n", "n2"), "s2")
+          .select(col("s1"), col("s2"), col("i"),
+            round(col("i").cast("double") / (col("n1") + col("n2") - col("i")), 4)
+              .as("jaccard"))
+          .orderBy("s1", "s2")
+      },
+      Some("""WITH t AS (
+             |  SELECT DISTINCT source, unnest(sh) AS sh FROM (
+             |    SELECT source,
+             |      [array_to_string(toks[i:i+2], ' ')
+             |       for i in range(1, greatest(len(toks)-2, 1)+1)] AS sh
+             |    FROM (SELECT source, string_split(text, ' ') AS toks
+             |          FROM documents))),
+             |c AS (SELECT source, count(*) AS n FROM t GROUP BY 1),
+             |i AS (SELECT a.source AS s1, b.source AS s2, count(*) AS i
+             |      FROM t a JOIN t b ON a.sh = b.sh AND a.source < b.source
+             |      GROUP BY 1, 2)
+             |SELECT s1, s2, i,
+             |  round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) AS jaccard
+             |FROM i JOIN c ca ON ca.source = s1 JOIN c cb ON cb.source = s2
+             |ORDER BY s1, s2""".stripMargin)),
+
     // transitive dup clusters over shingle-share edges: iterative
     // connected components on the Spark side, recursive-CTE reachability
     // closure as the oracle

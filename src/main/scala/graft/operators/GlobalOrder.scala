@@ -72,6 +72,42 @@ object GlobalOrder {
       .cast("int")
   }
 
+  /** Adds a global running total of `value` under `order` (which must be
+    * total) as `out` — the scale-safe form of
+    * `sum(value) OVER (ORDER BY ...)`, which Spark would otherwise plan as
+    * a single-task partitionless window.
+    *
+    * Same two-phase shape as [[withGlobalRowNumber]], with the per-
+    * partition COUNT offsets replaced by per-partition SUM offsets:
+    * range-shuffle on the order keys, per-partition prefix sum (a window
+    * PARTITIONED by the range-partition id — every task scans only its
+    * own partition), and the ≤ numShufflePartitions-row offset table
+    * prefix-summed and broadcast back. Two data-sized exchanges total
+    * (the range shuffle, then the hash exchange the pid-keyed window
+    * requires — partitions move as whole units, so no skew beyond the
+    * range split itself); both fully parallel at any scale.
+    */
+  def withRunningTotal(df: DataFrame, order: Seq[Column], value: Column,
+      out: String): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val mid = df.repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("_go_val", value.cast("long"))
+      .withColumn("_go_pid",
+        shiftright(monotonically_increasing_id(), LocalBits))
+    val local = mid.withColumn("_go_run",
+      sum("_go_val").over(Window.partitionBy("_go_pid").orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val offsets = mid.groupBy("_go_pid").agg(sum("_go_val").as("_go_psum"))
+      .withColumn("_go_off", coalesce(
+        sum("_go_psum").over(Window.orderBy("_go_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_go_pid", "_go_off")
+    local.join(broadcast(offsets), "_go_pid")
+      .withColumn(out, (col("_go_off") + col("_go_run")).cast("long"))
+      .drop("_go_val", "_go_pid", "_go_run", "_go_off")
+  }
+
   /** [[withGlobalRowNumber]] + [[ntileFrom]]: a scale-safe global
     * `ntile(k)` under `order`. The total count rides in as a broadcast
     * one-row cross join, so the whole thing stays one declarative plan.
@@ -147,6 +183,49 @@ object GlobalOrder {
              |d AS (SELECT CAST(u.d AS INT) AS decile, (u.d * n.n + 9) // 10 AS rn
              |      FROM (SELECT unnest(range(1, 11)) AS d) u CROSS JOIN n)
              |SELECT d.decile, r.cents AS upper_cents
-             |FROM d JOIN r USING (rn) ORDER BY decile""".stripMargin))
+             |FROM d JOIN r USING (rn) ORDER BY decile""".stripMargin)),
+
+    // greedy data selection under a token budget: rank documents by a
+    // quality score (here lexical diversity — unique-token ratio in exact
+    // integer micro-units, so the order is engine-independent), take docs
+    // in rank order until the cumulative token count reaches 25% of the
+    // corpus. This is the "select the best N tokens" step every training
+    // mix ends with; the cumulative sum is the scale-safe two-phase
+    // running total (withRunningTotal), never a partitionless window, and
+    // the budget rides in as a broadcast one-row frame. The oracle states
+    // the same selection with DuckDB's native global window sum — hash
+    // equality proves the distributed prefix-sum IS the single-node
+    // cumulative-sum semantics.
+    QueryDef(
+      "q_token_budget",
+      (s, d) => {
+        val scored = Tables.documents(s, d).select(
+            col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("toks"),
+            size(array_distinct(split(col("text"), " "))).cast("long").as("uniq"))
+          .withColumn("q_micro", expr("(1000000 * uniq) div toks"))
+          .select("doc_id", "q_micro", "toks")
+        // integer `div`, not `/`: token totals at corpus scale exceed
+        // double's exact range
+        val budget = scored.agg(
+          call_function("div", sum("toks"), lit(4L)).as("_budget"))
+        val run = withRunningTotal(scored,
+          Seq(col("q_micro").desc, col("doc_id").asc), col("toks"), "cum_toks")
+        run.crossJoin(broadcast(budget))
+          .where(col("cum_toks") <= col("_budget"))
+          .select("doc_id", "q_micro", "toks", "cum_toks")
+          .orderBy("doc_id")
+      },
+      Some("""WITH s AS (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+             |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS uniq
+             |  FROM documents),
+             |q AS (SELECT doc_id, (1000000 * uniq) // toks AS q_micro, toks FROM s),
+             |r AS (SELECT doc_id, q_micro, toks,
+             |        CAST(sum(toks) OVER (ORDER BY q_micro DESC, doc_id) AS BIGINT) AS cum_toks
+             |      FROM q),
+             |b AS (SELECT CAST(sum(toks) // 4 AS BIGINT) AS budget FROM q)
+             |SELECT doc_id, q_micro, toks, cum_toks FROM r, b
+             |WHERE cum_toks <= budget ORDER BY doc_id""".stripMargin))
   )
 }

@@ -37,6 +37,21 @@ class GlobalOrderSpec extends SparkSpec {
     }
   }
 
+  test("withRunningTotal equals the single-partition cumulative-sum window") {
+    for (n <- Seq(0, 1, 3, 97, 1000)) {
+      val df = spark.range(n.toLong).select(col("id"),
+        (col("id") * 2654435761L % 101).as("v"), // many order ties
+        (col("id") % 13 + 1).as("w"))
+      val got = GlobalOrder.withRunningTotal(
+          df, Seq(col("v").desc, col("id").asc), col("w"), "cum")
+        .select("id", "cum")
+      val want = df.select(col("id"),
+        sum("w").over(Window.orderBy(col("v").desc, col("id").asc)
+          .rowsBetween(Window.unboundedPreceding, 0)).cast("long").as("cum"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty, s"n=$n")
+    }
+  }
+
   test("withGlobalNtile equals the global ntile window under a total order") {
     val df = spark.range(500).select(col("id"),
       (col("id") * 1103515245L % 37).as("v"))

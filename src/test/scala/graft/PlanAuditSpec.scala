@@ -142,9 +142,11 @@ class PlanAuditSpec extends SparkSpec {
     // q_ppl_buckets: GlobalOrder's same ≤ #shuffle-partitions prefix-sum
     // (the tertile assignment itself is the range-shuffle closed form)
     // q_zipf_fit: GlobalOrder's prefix-sum again (vocab ranking)
+    // q_token_budget: withRunningTotal's offset prefix-sum — same
+    // ≤ #shuffle-partitions bound as the GlobalOrder family
     val allowed = Set("q_global_order", "q_equidepth_hist", "q_rfm",
       "q_skyline", "q_ks_test", "q_cume_distinct", "q_ppl_buckets",
-      "q_zipf_fit")
+      "q_zipf_fit", "q_token_budget")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
       val global = fn(spark, sf).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
