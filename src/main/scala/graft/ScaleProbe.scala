@@ -151,7 +151,10 @@ object ScaleProbe {
       // round-7 continuation 2
       "q_ppl_buckets", "q_gopher_repetition", "q_domain_kl", "q_zipf_fit",
       "q_embed_health", "q_lang_confusion", "q_dsir_weight",
-      "q_audio_features", "q_k_anonymity")
+      "q_audio_features", "q_k_anonymity",
+      // round-7 continuation 3
+      "q_token_budget", "q_hard_negatives", "q_source_overlap",
+      "q_skipgram_pairs", "q_kmeans_iter", "q_domain_percentile")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

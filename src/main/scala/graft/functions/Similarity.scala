@@ -599,6 +599,56 @@ object Similarity {
              |SELECT qid, vec_id, label, sim, rn FROM r
              |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin)),
 
+    // one Lloyd iteration of the k-means codebook trainer under the
+    // oracle gate: max-dot assignment to the k=8 deterministic seed
+    // centroids (ranked on the ROUNDED dot, ties to the lower cent_id —
+    // engine-independent), then per-(centroid, dimension) member sums in
+    // exact integer micros, so the update is order-free where a raw
+    // double avg would depend on partition summation order. mean_micro
+    // divides the two exact integers once per output row (floor: no
+    // half-tie rounding divergence). This pins the assignment + update
+    // steps [[trainCodebook]] iterates; the full trainer (normalization,
+    // empty-cell carry, iteration) is spec-gated via AnnIndexSpec.
+    // Assignment is one broadcast nested loop over the k-row codebook;
+    // the update is one (centroid, dim)-keyed map-combined aggregate —
+    // shuffle ∝ corpus × dims.
+    QueryDef(
+      "q_kmeans_iter",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), asDouble(col("embedding")).as("ed"))
+        val cents = emb.where(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"), col("ed").as("ce"))
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("cdot").desc, col("cent_id"))
+        val assign = emb.crossJoin(broadcast(cents))
+          .withColumn("cdot", round(dot(col("ed"), col("ce")), 4))
+          .withColumn("crn", row_number().over(w))
+          .where(col("crn") === 1)
+        assign
+          .select(col("cent_id"), posexplode(col("ed")).as(Seq("pos0", "x")))
+          .groupBy(col("cent_id"), (col("pos0") + 1).as("pos"))
+          .agg(sum(expr("CAST(round(x * 1000000) AS BIGINT)")).as("sx"),
+            count(lit(1)).as("n"))
+          .select(col("cent_id"), col("pos"), col("n"),
+            floor(col("sx") * lit(1.0) / col("n")).cast("long").as("mean_micro"))
+          .orderBy("cent_id", "pos")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
+             |c AS (SELECT vec_id AS cent_id, ed AS ce FROM e WHERE vec_id < 8),
+             |a AS (SELECT e.vec_id, e.ed, c.cent_id,
+             |        row_number() OVER (PARTITION BY e.vec_id
+             |          ORDER BY round(list_dot_product(e.ed, c.ce), 4) DESC, c.cent_id) AS rn
+             |      FROM e CROSS JOIN c),
+             |x AS (SELECT cent_id, unnest(ed) AS x, generate_subscripts(ed, 1) AS pos
+             |      FROM a WHERE rn = 1),
+             |m AS (SELECT cent_id, pos,
+             |        sum(CAST(round(x * 1000000) AS BIGINT)) AS sx, count(*) AS n
+             |      FROM x GROUP BY 1, 2)
+             |SELECT cent_id, CAST(pos AS INT) AS pos, CAST(n AS BIGINT) AS n,
+             |  CAST(floor(sx * 1.0 / n) AS BIGINT) AS mean_micro
+             |FROM m ORDER BY cent_id, pos""".stripMargin)),
+
     // U5 scale path: multi-band hyperplane-LSH ANN (AnnBands × AnnBits,
     // OR-ed). Each band's equi-join prunes the candidate space; the band
     // union recovers neighbors a single band's boundary would lose.

@@ -869,6 +869,46 @@ object TextAnalysis {
              |SELECT c.lang, c.guess, CAST(c.n AS BIGINT) AS n,
              |  round(CAST(c.n AS DOUBLE) / t.n_lang, 4) AS share
              |FROM c JOIN t USING (lang)
-             |ORDER BY lang, guess""".stripMargin))
+             |ORDER BY lang, guess""".stripMargin)),
+
+    // word2vec-style skip-gram training pairs: (center, context) counts
+    // for a ±2 window — the co-occurrence table embedding trainers and
+    // PMI-style association measures consume (q_pmi_bigrams is the
+    // adjacent-pair special case). A pair at distance k is exactly the
+    // (first, last) of a (k+1)-gram, so the whole table falls out of ONE
+    // scan through the native word_ngrams expression — no token
+    // self-join (a first cut joined (doc, pos) against (doc, pos±k):
+    // two scans + a data-sized shuffle, 5.0× at the 10× probe vs 1.1×
+    // for this form). Both orientations are emitted per gram before the
+    // single map-combined aggregate; output is vocabulary², bounded by
+    // the vocabulary, not the corpus. The length guards keep degenerate
+    // short docs from disguising an n-token text as an n-gram.
+    QueryDef(
+      "q_skipgram_pairs",
+      (s, d) => {
+        val nToks = size(split(col("text"), " "))
+        val grams = Tables.documents(s, d).select(explode(flatten(array(
+            when(nToks >= 2, graft.operators.DedupOps.wordNGrams(col("text"), 2))
+              .otherwise(array().cast("array<string>")),
+            when(nToks >= 3, graft.operators.DedupOps.wordNGrams(col("text"), 3))
+              .otherwise(array().cast("array<string>"))))).as("g"))
+        grams.select(split(col("g"), " ").as("ts"))
+          .select(explode(array(
+            struct(element_at(col("ts"), 1).as("center"),
+              element_at(col("ts"), -1).as("context")),
+            struct(element_at(col("ts"), -1).as("center"),
+              element_at(col("ts"), 1).as("context")))).as("p"))
+          .groupBy(col("p.center").as("center"), col("p.context").as("context"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("center", "context")
+      },
+      Some("""WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |t AS (SELECT doc_id, unnest(toks) AS w,
+             |        generate_subscripts(toks, 1) AS pos FROM s),
+             |p AS (SELECT a.w AS center, b.w AS context
+             |      FROM t a JOIN t b
+             |      ON a.doc_id = b.doc_id AND b.pos - a.pos IN (-2, -1, 1, 2))
+             |SELECT center, context, count(*) AS n FROM p
+             |GROUP BY 1, 2 ORDER BY center, context""".stripMargin))
   )
 }

@@ -879,6 +879,46 @@ object Curation {
              |  ELSE round(CAST(sum(h_micro) AS BIGINT) / 1e6
              |    / ln(CAST(k AS DOUBLE)), 4) END AS norm_entropy,
              |  round(CAST(max_n AS DOUBLE) / t, 4) AS max_share
-             |FROM h GROUP BY k, t, max_n""".stripMargin))
+             |FROM h GROUP BY k, t, max_n""".stripMargin)),
+
+    // per-domain quality thresholding: keep each source's top half by
+    // quality (FineWeb-style — a single global cutoff would let one
+    // verbose domain crowd out every other; ranking WITHIN the source
+    // makes the filter distribution-free across domains). Quality is the
+    // exact-integer lexical-diversity score shared with q_token_budget;
+    // the window partitions by source, so no task ever sees more than one
+    // domain (a pathologically dominant domain is the known skew case —
+    // the mitigation at 100 TB is pre-aggregating the rank key, or
+    // salting the hot domain and merging ranks, both documented in
+    // Skew.scala's patterns).
+    QueryDef(
+      "q_domain_percentile",
+      (s, d) => {
+        val scored = Tables.documents(s, d).select(
+            col("source"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("toks"),
+            size(array_distinct(split(col("text"), " "))).cast("long").as("uniq"))
+          .withColumn("q_micro", expr("(1000000 * uniq) div toks"))
+        val w = Window.partitionBy("source")
+          .orderBy(col("q_micro").desc, col("doc_id").asc)
+        scored
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+          .where(col("rn") <= expr("(n + 1) div 2"))
+          .select("source", "doc_id", "q_micro", "rn")
+          .orderBy("source", "rn")
+      },
+      Some("""WITH s AS (SELECT source, doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+             |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS uniq
+             |  FROM documents),
+             |q AS (SELECT source, doc_id, (1000000 * uniq) // toks AS q_micro FROM s),
+             |r AS (SELECT source, doc_id, q_micro,
+             |        CAST(row_number() OVER (PARTITION BY source
+             |          ORDER BY q_micro DESC, doc_id) AS BIGINT) AS rn,
+             |        CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+             |      FROM q)
+             |SELECT source, doc_id, q_micro, rn FROM r
+             |WHERE rn <= (n + 1) // 2 ORDER BY source, rn""".stripMargin))
   )
 }
