@@ -154,7 +154,10 @@ object ScaleProbe {
       "q_audio_features", "q_k_anonymity",
       // round-7 continuation 3
       "q_token_budget", "q_hard_negatives", "q_source_overlap",
-      "q_skipgram_pairs", "q_kmeans_iter", "q_domain_percentile")
+      "q_skipgram_pairs", "q_kmeans_iter", "q_domain_percentile",
+      // relational/fact-table growth (lineitem is the 100 TB-shaped
+      // table; q1_pricing_summary and q_tpch_q18 are already listed above)
+      "q_tpch_q3", "q_join_agg", "q_topk_groups")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 
