@@ -155,6 +155,7 @@ object ScaleProbe {
       // round-7 continuation 3
       "q_token_budget", "q_hard_negatives", "q_source_overlap",
       "q_skipgram_pairs", "q_kmeans_iter", "q_domain_percentile",
+      "q_length_batching", "q_dup_weights",
       // relational/fact-table growth (lineitem is the 100 TB-shaped
       // table; q1_pricing_summary and q_tpch_q18 are already listed above)
       "q_tpch_q3", "q_join_agg", "q_topk_groups")

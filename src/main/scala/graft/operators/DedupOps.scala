@@ -976,6 +976,37 @@ object DedupOps extends org.apache.spark.internal.Logging {
               |FROM documents LEFT OUTER JOIN losers ON doc_id = losers.id
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // SOFT dedup (SlimPajama-style down-weighting): instead of DROPPING
+    // near-dup losers, give every document a sampling weight 1/family —
+    // a family of 4 near-copies contributes one document's worth of
+    // expected tokens, spread over the variants. The complement of
+    // q_dedup_keep_best on the same cluster chain: curators choose drop
+    // or down-weight per corpus, so the engine offers both from one CC
+    // labeling. Exact integer micros (1e6 div family size) — no FP, no
+    // rounding divergence. One count over the labels + one label-keyed
+    // left join against the real documents.
+    QueryDef(
+      "q_dup_weights",
+      (s, d) => {
+        val (_, clusters) = corpusAndClusters(s, d)
+        val fam = clusters.groupBy("cluster").agg(count(lit(1)).as("fam_n"))
+        Tables.documents(s, d).select("doc_id")
+          .join(clusters, col("doc_id") === col("id"), "left_outer")
+          .join(fam, Seq("cluster"), "left_outer")
+          .select(col("doc_id"), coalesce(col("fam_n"), lit(1L)).as("fam_n"))
+          .withColumn("weight_micro", expr("1000000 div fam_n"))
+          .orderBy("doc_id")
+      },
+      Some(s"""$corpusClustersCte,
+              |fam AS (SELECT cluster, count(*) AS fam_n FROM lab GROUP BY 1)
+              |SELECT d.doc_id,
+              |  CAST(coalesce(fam.fam_n, 1) AS BIGINT) AS fam_n,
+              |  CAST(1000000 // coalesce(fam.fam_n, 1) AS BIGINT) AS weight_micro
+              |FROM documents d
+              |LEFT JOIN lab ON lab.id = d.doc_id
+              |LEFT JOIN fam USING (cluster)
+              |ORDER BY doc_id""".stripMargin)),
+
     // incremental dedup — [[dedupAgainstIndex]] as a declared query. The
     // corpus splits into an established base (doc_id % 5 ≠ 0) whose LSH
     // index is the only thing the batch touches, and a new batch

@@ -226,6 +226,63 @@ object GlobalOrder {
              |      FROM q),
              |b AS (SELECT CAST(sum(toks) // 4 AS BIGINT) AS budget FROM q)
              |SELECT doc_id, q_micro, toks, cum_toks FROM r, b
-             |WHERE cum_toks <= budget ORDER BY doc_id""".stripMargin))
+             |WHERE cum_toks <= budget ORDER BY doc_id""".stripMargin)),
+
+    // length-bucketed batch construction — the padding-waste minimizer:
+    // sort docs by token count into 8 contiguous ntile buckets, cut each
+    // bucket into 32-doc batches in order, report per-batch padding waste
+    // (tokens padded to the batch max / batch capacity, in exact integer
+    // micros). Similar-length docs share a batch, so waste stays a few
+    // percent where random batching pads every short doc to the corpus
+    // tail. Everything after the ONE range shuffle is closed-form
+    // arithmetic on the global row number: the tile comes from ntileFrom,
+    // and the within-tile position is rn − tileStart with tileStart in
+    // closed form too (tiles of a global ntile are contiguous ranges) —
+    // no per-bucket window, so no data-sized window partitions at any
+    // scale. The oracle computes the same batches with DuckDB's native
+    // ntile + within-tile row_number.
+    QueryDef(
+      "q_length_batching",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        val tot = docs.agg(count(lit(1)).cast("long").as("_n"))
+        val rn = withGlobalRowNumber(docs,
+          Seq(col("n_tokens").asc, col("doc_id").asc), "rn")
+        rn.crossJoin(broadcast(tot))
+          .withColumn("bucket", ntileFrom(col("rn"), col("_n"), 8))
+          // tile t of ntile(k) over n rows starts at
+          // (t−1)·q + min(t−1, r) + 1 with n = k·q + r
+          .withColumn("_q", call_function("div", col("_n"), lit(8L)))
+          .withColumn("_r", col("_n") % 8)
+          .withColumn("_start",
+            (col("bucket") - 1).cast("long") * col("_q") +
+              least((col("bucket") - 1).cast("long"), col("_r")) + 1)
+          .withColumn("batch",
+            call_function("div", col("rn") - col("_start"), lit(32L)).cast("int"))
+          .groupBy("bucket", "batch")
+          .agg(count(lit(1)).as("n_docs"),
+            max("n_tokens").as("max_tokens"),
+            sum("n_tokens").as("sum_tokens"))
+          .withColumn("pad_waste_micro", expr(
+            "(1000000 * (max_tokens * n_docs - sum_tokens)) div (max_tokens * n_docs)"))
+          .orderBy("bucket", "batch")
+      },
+      Some("""WITH s AS (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |t AS (SELECT doc_id, n_tokens,
+             |        CAST(ntile(8) OVER (ORDER BY n_tokens, doc_id) AS INT) AS bucket
+             |      FROM s),
+             |r AS (SELECT doc_id, n_tokens, bucket,
+             |        row_number() OVER (PARTITION BY bucket
+             |          ORDER BY n_tokens, doc_id) AS rib FROM t),
+             |b AS (SELECT bucket, CAST((rib - 1) // 32 AS INT) AS batch, n_tokens FROM r)
+             |SELECT bucket, batch, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+             |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+             |  CAST((1000000 * (max(n_tokens) * count(*) - sum(n_tokens)))
+             |       // (max(n_tokens) * count(*)) AS BIGINT) AS pad_waste_micro
+             |FROM b GROUP BY 1, 2 ORDER BY bucket, batch""".stripMargin))
   )
 }

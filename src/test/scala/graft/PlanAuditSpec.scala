@@ -144,9 +144,11 @@ class PlanAuditSpec extends SparkSpec {
     // q_zipf_fit: GlobalOrder's prefix-sum again (vocab ranking)
     // q_token_budget: withRunningTotal's offset prefix-sum — same
     // ≤ #shuffle-partitions bound as the GlobalOrder family
+    // q_length_batching: withGlobalRowNumber's offset prefix-sum again
+    // (batch/bucket assignment itself is closed-form arithmetic)
     val allowed = Set("q_global_order", "q_equidepth_hist", "q_rfm",
       "q_skyline", "q_ks_test", "q_cume_distinct", "q_ppl_buckets",
-      "q_zipf_fit", "q_token_budget")
+      "q_zipf_fit", "q_token_budget", "q_length_batching")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
       val global = fn(spark, sf).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
