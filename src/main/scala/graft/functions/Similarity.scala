@@ -58,9 +58,12 @@ object Similarity {
     }
 
   /** Cast a float-array column to double elements (so all arithmetic is
-    * IEEE double, matching the oracle exactly). */
-  def asDouble(v: Column): Column =
-    transform(v, x => x.cast("double"))
+    * IEEE double, matching the oracle exactly). A direct array cast, not
+    * `transform(v, _.cast("double"))`: Cast on ArrayType participates in
+    * whole-stage codegen while ArrayTransform is an interpreted
+    * higher-order function — same float→double exact widening either
+    * way. */
+  def asDouble(v: Column): Column = v.cast("array<double>")
 
   /** Sequential dot product of two array columns — native expression
     * (tight primitive loop; see [[ArrayMath]]). For equal-length,
@@ -1335,6 +1338,97 @@ object Similarity {
              |  CAST(sum(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
              |  CAST(count(DISTINCT dim) AS BIGINT) AS n_dims,
              |  min(norm2) AS min_norm2, max(norm2) AS max_norm2
-             |FROM e GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // per-DIMENSION variance profile — the dimension-selection signal for
+    // embedding pruning/truncation (which coordinates actually carry
+    // information). Values are micro-quantized ONCE at the scan, then the
+    // variance is the exact integer identity (n·Σx² − (Σx)²) div n² — no
+    // float mean subtraction, so partial-aggregate merge order can't
+    // change a digit. posexplode fans each row out to `dim` rows, but the
+    // aggregate is map-side-combined down to one row per dimension before
+    // the (≤ dim-sized) shuffle; top-8 via TakeOrderedAndProject.
+    QueryDef(
+      "q_embed_variance",
+      (s, d) => {
+        val dims = Tables.embeddings(s, d)
+          .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+          .select(col("dim"),
+            round(col("x").cast("double") * 1e6).cast("long").as("xm"))
+        // the identity's cross terms exceed int64 once n·Σx² passes ~2^63
+        // (a few hundred M vectors at micro scale) — compute them in
+        // DECIMAL(38,0), the same 128-bit width DuckDB's hugeint sums use
+        dims.groupBy("dim")
+          .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+            sum(col("xm").cast("decimal(38,0)")).as("sum_micro"),
+            sum((col("xm") * col("xm")).cast("decimal(38,0)")).as("ss"))
+          .select(col("dim"), col("n").cast("long").as("n"),
+            col("sum_micro").cast("long").as("sum_micro"),
+            expr("CAST((n * ss - sum_micro * sum_micro) div (n * n) AS BIGINT)")
+              .as("var_micro2"))
+          .orderBy(col("var_micro2").desc, col("dim"))
+          .limit(8)
+      },
+      Some("""WITH dims AS (
+             |  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xm
+             |  FROM embeddings)
+             |SELECT CAST(dim AS INT) AS dim, count(*) AS n,
+             |  CAST(sum(xm) AS BIGINT) AS sum_micro,
+             |  CAST((count(*) * sum(xm*xm) - sum(xm)*sum(xm))
+             |       // (count(*) * count(*)) AS BIGINT) AS var_micro2
+             |FROM dims GROUP BY 1 ORDER BY var_micro2 DESC, dim LIMIT 8""".stripMargin)),
+
+    // per-label centroids + the inter-label cosine matrix — the class-
+    // separation report an embedding space gets on a dataset card (labels
+    // whose centroids sit close are the ones a classifier confuses).
+    // Centroid coordinates are integer-micro means (exact sums, one
+    // truncating division), so the pairwise dot/norm sums are exact
+    // integers and the only float op is the final sqrt+divide, rounded to
+    // 6dp. Everything after the first map-combined aggregate is bounded
+    // by |labels|·dim, not corpus size; the pair join is labels×labels.
+    QueryDef(
+      "q_label_centroids",
+      (s, d) => {
+        val dims = Tables.embeddings(s, d)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .select(col("label"), col("dim"),
+            round(col("x").cast("double") * 1e6).cast("long").as("xm"))
+        val cent = dims.groupBy("label", "dim")
+          .agg(expr("sum(xm) div count(1)").as("cm"))
+        val a = cent.select(col("label").as("label_a"), col("dim"), col("cm").as("ca"))
+        val b = cent.select(col("label").as("label_b"), col("dim"), col("cm").as("cb"))
+        a.join(broadcast(b), Seq("dim"))
+          .where(col("label_a") < col("label_b"))
+          .groupBy("label_a", "label_b")
+          .agg(sum(col("ca") * col("cb")).as("dot"),
+            sum(col("ca") * col("ca")).as("na"),
+            sum(col("cb") * col("cb")).as("nb"))
+          .select(col("label_a"), col("label_b"),
+            // na·nb exceeds int64 (each ≈ dims·(1e7)²); the product is
+            // only ever consumed by sqrt, so take it in double — exactly
+            // what the oracle's CAST(... AS DOUBLE) * CAST(... AS DOUBLE)
+            // computes
+            round(col("dot").cast("double") /
+              sqrt(col("na").cast("double") * col("nb").cast("double")), 6)
+              .as("cos_sim"))
+          .orderBy("label_a", "label_b")
+      },
+      Some("""WITH dims AS (
+             |  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+             |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xm
+             |  FROM embeddings),
+             |cent AS (SELECT label, dim, sum(xm) // count(*) AS cm
+             |         FROM dims GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT a.label AS label_a, b.label AS label_b,
+             |         sum(a.cm * b.cm) AS dot,
+             |         sum(a.cm * a.cm) AS na, sum(b.cm * b.cm) AS nb
+             |  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+             |  GROUP BY 1, 2)
+             |SELECT label_a, label_b,
+             |  round(CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
+             |    AS cos_sim
+             |FROM pairs ORDER BY label_a, label_b""".stripMargin))
   )
 }

@@ -359,6 +359,41 @@ object Behavioral {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              |    AS cum_users
              |FROM days LEFT JOIN n USING (day)
-             |ORDER BY day""".stripMargin))
+             |ORDER BY day""".stripMargin)),
+
+    // Event-type Markov transition matrix: (from, to) counts over each
+    // user's time-ordered event sequence, plus the row-normalized share in
+    // integer micros. The lead() window shuffles once on user_id (same key
+    // as every query in this file — bucketed storage removes it at scale);
+    // the per-from_type normalizing window runs over the AGGREGATED
+    // |types|² table (≤ dozens of rows), never the raw events, so the
+    // bounded-domain partition is post-agg and skew-free.
+    QueryDef(
+      "q_event_transitions",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val seq = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("to_type", lead("event_type", 1).over(w))
+          .where(col("to_type").isNotNull)
+        val counts = seq.groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+        counts
+          .withColumn("from_total",
+            sum("n").over(Window.partitionBy("from_type")))
+          .select(col("from_type"), col("to_type"), col("n"),
+            expr("(n * CAST(1000000 AS BIGINT)) div from_total").as("share_micro"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH seq AS (
+             |  SELECT event_type AS from_type,
+             |         lead(event_type) OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id) AS to_type
+             |  FROM events)
+             |SELECT from_type, to_type, count(*) AS n,
+             |  (count(*) * 1000000) // CAST(sum(count(*))
+             |     OVER (PARTITION BY from_type) AS BIGINT) AS share_micro
+             |FROM seq WHERE to_type IS NOT NULL
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -919,6 +919,50 @@ object Curation {
              |        CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
              |      FROM q)
              |SELECT source, doc_id, q_micro, rn FROM r
-             |WHERE rn <= (n + 1) // 2 ORDER BY source, rn""".stripMargin))
+             |WHERE rn <= (n + 1) // 2 ORDER BY source, rn""".stripMargin)),
+
+    // Readability banding: Flesch-Kincaid-style grade per document from
+    // three regexp counts (words [A-Za-z]+, sentence marks [.!?], syllable
+    // proxy = vowel groups [aeiouy]+), banded into a 2-grade-wide corpus
+    // histogram. The grade is computed ENTIRELY in integer centi-units
+    // with per-term truncating division — (39·W) div S + (1180·Y) div W −
+    // 1559 — so both engines land on the same integer (no float FK
+    // formula to disagree on ulps); the band divides the 0-clamped grade
+    // so truncation-vs-floor on negatives never applies. One scan, three
+    // codegen'd regexp counts per row, one map-combined aggregate —
+    // shuffle ∝ distinct bands (dozens), embarrassingly scalable.
+    QueryDef(
+      "q_readability",
+      (s, d) => {
+        val m = Tables.documents(s, d).select(
+          greatest(size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0))), lit(1))
+            .cast("long").as("words"),
+          greatest(size(regexp_extract_all(col("text"), lit("[.!?]"), lit(0))), lit(1))
+            .cast("long").as("sents"),
+          size(regexp_extract_all(col("text"), lit("[aeiouyAEIOUY]+"), lit(0)))
+            .cast("long").as("sylls"))
+        val g = m.select(col("words"),
+          (expr("(39 * words) div sents") + expr("(1180 * sylls) div words") - lit(1559L))
+            .as("grade_centi"))
+        g.groupBy(expr("greatest(grade_centi, CAST(0 AS BIGINT)) div 200").as("band"))
+          .agg(count(lit(1)).as("docs"),
+            min("grade_centi").as("min_centi"),
+            max("grade_centi").as("max_centi"),
+            expr("(sum(words) * CAST(1000000 AS BIGINT)) div count(1)").as("avg_words_micro"))
+          .orderBy("band")
+      },
+      Some("""WITH m AS (
+             |  SELECT CAST(greatest(len(regexp_extract_all(text, '[A-Za-z]+')), 1) AS BIGINT) AS words,
+             |         CAST(greatest(len(regexp_extract_all(text, '[.!?]')), 1) AS BIGINT) AS sents,
+             |         CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT) AS sylls
+             |  FROM documents),
+             |g AS (SELECT words,
+             |        (39 * words) // sents + (1180 * sylls) // words - 1559 AS grade_centi
+             |      FROM m)
+             |SELECT greatest(grade_centi, 0) // 200 AS band,
+             |  count(*) AS docs,
+             |  min(grade_centi) AS min_centi, max(grade_centi) AS max_centi,
+             |  CAST((sum(words) * 1000000) // count(*) AS BIGINT) AS avg_words_micro
+             |FROM g GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

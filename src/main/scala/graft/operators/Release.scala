@@ -427,6 +427,78 @@ object Release {
              |  nfc_normalize(substr(text, 1, 12) || ' cafe' || chr(769) || ' nai' || chr(776) || 've') AS norm,
              |  CAST(length(substr(text, 1, 12) || ' cafe' || chr(769) || ' nai' || chr(776) || 've') AS INT) AS len_raw,
              |  CAST(length(nfc_normalize(substr(text, 1, 12) || ' cafe' || chr(769) || ' nai' || chr(776) || 've')) AS INT) AS len_norm
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Train/valid/test LEAKAGE audit — the reason q_split_assign splits by
+    // duplicate-cluster, made measurable: under a NAIVE per-document hash
+    // split, how many near-dup families straddle a split boundary (their
+    // members leak eval data into train), vs the cluster-aware rule (0 by
+    // construction — every member hashes on the shared family id)? Reuses
+    // the corpusAndClusters chain; the per-family spread is one grouped
+    // agg (shuffle keyed on family), and BOTH summary rows come out of a
+    // single pass over that tiny table (one agg, exploded two ways) — the
+    // CC chain is never recomputed per method.
+    QueryDef(
+      "q_split_leakage",
+      (s, d) => {
+        val (corpus, clusters) = DedupOps.corpusAndClusters(s, d)
+        def splitOf(c: org.apache.spark.sql.Column) = {
+          val b = substring(md5(concat(lit("sp:"), c)), 1, 2)
+          when(b < "cc", "train").when(b < "e6", "valid").otherwise("test")
+        }
+        val fam = corpus.select("doc_id")
+          .join(clusters.select(col("id").as("doc_id"), col("cluster")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("family"))
+          .withColumn("naive_split", splitOf(col("doc_id")))
+          .withColumn("aware_split", splitOf(col("family")))
+        val per = fam.groupBy("family")
+          .agg(count(lit(1)).as("members"),
+            countDistinct("naive_split").as("naive_spread"),
+            countDistinct("aware_split").as("aware_spread"))
+          .where(col("members") > 1)
+        val summary = per.agg(
+          count(lit(1)).as("families"),
+          count(when(col("naive_spread") > 1, 1)).as("naive_leaking"),
+          coalesce(sum(when(col("naive_spread") > 1, col("members"))), lit(0L))
+            .as("naive_docs"),
+          count(when(col("aware_spread") > 1, 1)).as("aware_leaking"),
+          coalesce(sum(when(col("aware_spread") > 1, col("members"))), lit(0L))
+            .as("aware_docs"))
+        summary.select(explode(array(
+            struct(lit("naive").as("method"), col("families"),
+              col("naive_leaking").as("leaking"), col("naive_docs").as("docs_leaking")),
+            struct(lit("cluster").as("method"), col("families"),
+              col("aware_leaking").as("leaking"), col("aware_docs").as("docs_leaking"))))
+            .as("r"))
+          .select("r.*")
+          .orderBy("method")
+      },
+      Some(s"""${DedupOps.corpusClustersCte},
+              |fam AS (
+              |  SELECT c.doc_id, coalesce(l.cluster, c.doc_id) AS family,
+              |    CASE WHEN substr(md5('sp:' || c.doc_id), 1, 2) < 'cc' THEN 'train'
+              |         WHEN substr(md5('sp:' || c.doc_id), 1, 2) < 'e6' THEN 'valid'
+              |         ELSE 'test' END AS naive_split,
+              |    CASE WHEN substr(md5('sp:' || coalesce(l.cluster, c.doc_id)), 1, 2) < 'cc' THEN 'train'
+              |         WHEN substr(md5('sp:' || coalesce(l.cluster, c.doc_id)), 1, 2) < 'e6' THEN 'valid'
+              |         ELSE 'test' END AS aware_split
+              |  FROM corpus c LEFT JOIN lab l ON l.id = c.doc_id),
+              |per AS (
+              |  SELECT family, count(*) AS members,
+              |    count(DISTINCT naive_split) AS naive_spread,
+              |    count(DISTINCT aware_split) AS aware_spread
+              |  FROM fam GROUP BY 1 HAVING count(*) > 1)
+              |SELECT method, families, leaking, docs_leaking FROM (
+              |  SELECT 'naive' AS method, count(*) AS families,
+              |         count(*) FILTER (naive_spread > 1) AS leaking,
+              |         CAST(coalesce(sum(members) FILTER (naive_spread > 1), 0) AS BIGINT)
+              |           AS docs_leaking
+              |  FROM per
+              |  UNION ALL
+              |  SELECT 'cluster', count(*), count(*) FILTER (aware_spread > 1),
+              |         CAST(coalesce(sum(members) FILTER (aware_spread > 1), 0) AS BIGINT)
+              |  FROM per)
+              |ORDER BY method""".stripMargin))
   )
 }

@@ -358,4 +358,55 @@ class PlanAuditSpec extends SparkSpec {
         s"$name plans $exchanges exchanges:\n$plan")
     }
   }
+
+  test("q_event_transitions: normalizing window runs post-agg, user shuffle once") {
+    // the per-from_type share must be computed over the |types|²
+    // aggregate, never as a window over raw events (a ~5-partition
+    // shuffle of the whole fact table would be a skew funnel at scale)
+    val plan = planOf("q_event_transitions")
+    val winIdx = plan.indexOf("Window")
+    val aggIdx = plan.lastIndexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"share window does not sit above the transition-count aggregate:\n$plan")
+    val userShuffles = "hashpartitioning\\(user_id".r.findAllIn(plan).length
+    assert(userShuffles <= 1, s"events shuffled on user_id more than once:\n$plan")
+  }
+
+  test("q_readability: one scan, one map-combined aggregate") {
+    val plan = planOf("q_readability")
+    assert(!plan.contains("Join"), s"q_readability plans a join:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 documents scan, found $scans:\n$plan")
+  }
+
+  test("q_embed_variance: partial agg under the generator, top-8 is a TakeOrdered") {
+    // posexplode fans out corpus×dim rows; the per-dim stats must
+    // map-side-combine before the (dim-sized) shuffle, and the top-8 must
+    // be TakeOrderedAndProject, not a global sort
+    val plan = planOf("q_embed_variance")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-8 dims is not a TakeOrdered:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly the dim-keyed agg exchange:\n$plan")
+  }
+
+  test("q_label_centroids: centroid pair join broadcasts, corpus scanned once per side max") {
+    val plan = planOf("q_label_centroids")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"centroid×centroid pair join is not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q_split_leakage: both summary rows come from ONE pass over the family table") {
+    // the naive-vs-cluster comparison must not recompute the CC chain per
+    // method: one grouped agg over families, one generator (explode) for
+    // the two report rows — so the expensive clustering subtree appears
+    // once, not twice
+    val plan = planOf("q_split_leakage")
+    val ccScans = "Scan parquet".r.findAllIn(plan).length
+    assert(ccScans <= 4, // corpus + dup-union + signature side + probe side
+      s"q_split_leakage scans parquet $ccScans times (CC chain duplicated?):\n$plan")
+    assert(plan.contains("Generate"),
+      s"two-row report is not the single-agg explode form:\n$plan")
+  }
 }
