@@ -158,7 +158,11 @@ object ScaleProbe {
       "q_length_batching", "q_dup_weights",
       // relational/fact-table growth (lineitem is the 100 TB-shaped
       // table; q1_pricing_summary and q_tpch_q18 are already listed above)
-      "q_tpch_q3", "q_join_agg", "q_topk_groups")
+      "q_tpch_q3", "q_join_agg", "q_topk_groups",
+      // round-7 continuation 4
+      "q_event_transitions", "q_readability", "q_split_leakage",
+      "q_embed_variance", "q_label_centroids", "q_ngram_novelty",
+      "q_mislabel_candidates", "q_matryoshka_recall")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

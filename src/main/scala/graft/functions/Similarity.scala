@@ -1429,6 +1429,118 @@ object Similarity {
              |SELECT label_a, label_b,
              |  round(CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
              |    AS cos_sim
-             |FROM pairs ORDER BY label_a, label_b""".stripMargin))
+             |FROM pairs ORDER BY label_a, label_b""".stripMargin)),
+
+    // mislabel-candidate mining: the 10 vectors whose cosine MARGIN (own-
+    // label centroid minus best other-label centroid) is most negative —
+    // the standard confident-learning-style triage list for label QA.
+    // Centroids are the same integer-micro construction as
+    // q_label_centroids; every vector scores against the broadcast
+    // |labels|-row centroid table (the k-means assignment shape), with
+    // per-side norms computed ONCE before the fan-out. The per-vector
+    // best-other rank partitions by vec_id (natural unit of work); final
+    // top-10 is a TakeOrdered.
+    QueryDef(
+      "q_mislabel_candidates",
+      (s, d) => {
+        val dims = Tables.embeddings(s, d)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .select(col("label"), col("dim"),
+            round(col("x").cast("double") * 1e6).cast("long").as("xm"))
+        val cvec = dims.groupBy("label", "dim")
+          .agg(expr("sum(xm) div count(1)").as("cm"))
+          .groupBy("label")
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("cm")))),
+            e => e.getField("cm").cast("double")).as("cv"))
+        val c2 = cvec.select(col("label").as("clabel"), col("cv"),
+          sqrt(dot(col("cv"), col("cv"))).as("cnorm"))
+        val v = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+            transform(col("embedding"), x => round(x.cast("double") * 1e6)).as("vm"))
+          .withColumn("vnorm", sqrt(dot(col("vm"), col("vm"))))
+        val sc = v.crossJoin(broadcast(c2))
+          .withColumn("cos",
+            round(dot(col("vm"), col("cv")) / (col("vnorm") * col("cnorm")), 6))
+        val own = sc.where(col("label") === col("clabel"))
+          .select(col("vec_id"), col("label"), col("cos").as("own_cos"))
+        val wv = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("clabel"))
+        val oth = sc.where(col("label") =!= col("clabel"))
+          .withColumn("rn", row_number().over(wv))
+          .where(col("rn") === 1)
+          .select(col("vec_id"), col("clabel").as("other_label"),
+            col("cos").as("other_cos"))
+        own.join(oth, "vec_id")
+          .select(col("vec_id"), col("label"), col("own_cos"),
+            col("other_label"), col("other_cos"),
+            round(col("own_cos") - col("other_cos"), 6).as("margin"))
+          .orderBy(col("margin"), col("vec_id"))
+          .limit(10)
+      },
+      Some("""WITH dims AS (
+             |  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+             |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xm
+             |  FROM embeddings),
+             |cent AS (SELECT label, dim, sum(xm) // count(*) AS cm FROM dims GROUP BY 1, 2),
+             |cvec AS (SELECT label, list(CAST(cm AS DOUBLE) ORDER BY dim) AS cv
+             |         FROM cent GROUP BY 1),
+             |v AS (SELECT vec_id, label,
+             |        [CAST(round(CAST(x AS DOUBLE)*1000000) AS DOUBLE) FOR x IN embedding] AS vm
+             |      FROM embeddings),
+             |sc AS (SELECT v.vec_id, v.label, c.label AS clabel,
+             |         round(list_dot_product(v.vm, c.cv) /
+             |           (sqrt(list_dot_product(v.vm, v.vm)) * sqrt(list_dot_product(c.cv, c.cv))), 6)
+             |           AS cos
+             |       FROM v CROSS JOIN cvec c),
+             |own AS (SELECT vec_id, label, cos AS own_cos FROM sc WHERE label = clabel),
+             |oth AS (SELECT vec_id, clabel AS other_label, cos AS other_cos,
+             |          row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rn
+             |        FROM sc WHERE label <> clabel)
+             |SELECT o.vec_id, o.label, o.own_cos, t.other_label, t.other_cos,
+             |  round(o.own_cos - t.other_cos, 6) AS margin
+             |FROM own o JOIN oth t ON t.vec_id = o.vec_id AND t.rn = 1
+             |ORDER BY margin, o.vec_id LIMIT 10""".stripMargin)),
+
+    // Matryoshka-style truncation gate: recall@5 of brute-force search in
+    // the FIRST-16-dims subspace against the full-64-dim exact top-5 —
+    // the measurement that tells you whether a cheaper prefix-dim index
+    // (4× less memory and FLOPs per probe) is safe for candidate
+    // generation at scale. Same query set and exact-scoring conventions
+    // as q_ann_recall; the fixture embeddings are isotropic so the
+    // expected number is LOW — the gate exists to measure, and a real
+    // MRL-trained space would be admitted or rejected on this exact
+    // query.
+    QueryDef(
+      "q_matryoshka_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val plain = emb.select(col("vec_id"), asDouble(col("embedding")).as("ed"))
+        val trunc = emb.select(col("vec_id"),
+          asDouble(slice(col("embedding"), 1, 16)).as("ed"))
+        val qt = trunc.where(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("ed").as("qe"))
+        val truncTop = bruteTopK(trunc, qt, 5).select("qid", "vec_id")
+        val qf = plain.where(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("ed").as("qe"))
+        recallAt5VsBrute(plain, truncTop, qf)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+             |             CAST(embedding[1:16] AS DOUBLE[]) AS td FROM embeddings),
+             |q AS (SELECT vec_id AS qid, ed AS qe, td AS qt FROM e WHERE vec_id < 20),
+             |fsims AS (SELECT q.qid, e.vec_id, round(list_dot_product(q.qe, e.ed), 4) AS sim
+             |          FROM q CROSS JOIN e WHERE e.vec_id <> q.qid),
+             |brute AS (SELECT qid, vec_id FROM (
+             |    SELECT qid, vec_id,
+             |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+             |    FROM fsims) WHERE rn <= 5),
+             |tsims AS (SELECT q.qid, e.vec_id, round(list_dot_product(q.qt, e.td), 4) AS sim
+             |          FROM q CROSS JOIN e WHERE e.vec_id <> q.qid),
+             |tr AS (SELECT qid, vec_id FROM (
+             |    SELECT qid, vec_id,
+             |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+             |    FROM tsims) WHERE rn <= 5),
+             |h AS (SELECT b.qid, count(*) AS hits FROM brute b
+             |      JOIN tr l ON l.qid = b.qid AND l.vec_id = b.vec_id GROUP BY 1)
+             |SELECT q.qid, coalesce(h.hits, 0) AS hits,
+             |  round(coalesce(h.hits, 0) / 5.0, 4) AS recall_at_5
+             |FROM q LEFT JOIN h ON h.qid = q.qid ORDER BY q.qid""".stripMargin))
   )
 }

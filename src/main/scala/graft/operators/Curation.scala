@@ -963,6 +963,51 @@ object Curation {
              |  count(*) AS docs,
              |  min(grade_centi) AS min_centi, max(grade_centi) AS max_centi,
              |  CAST((sum(words) * 1000000) // count(*) AS BIGINT) AS avg_words_micro
-             |FROM g GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // N-gram novelty profile: per document, the fraction of its distinct
+    // 3-gram shingles whose FIRST corpus occurrence (min doc_id) is this
+    // document — the "how much new text does each source actually add"
+    // dataset-card curve that motivates ordering/cutoff decisions.
+    // Per-doc fractions are integer micros ((novel·1e6) div shingles), so
+    // the per-source averages are exact integer sums with one truncating
+    // division. Two shuffles, both keyed on the shingle (Catalyst reuses
+    // the exchange between the min-doc aggregate and the join back);
+    // per-source rollup is map-combined over the bounded source domain.
+    QueryDef(
+      "q_ngram_novelty",
+      (s, d) => {
+        val sh = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            explode(DedupOps.shingles(col("text"), 3)).as("tok"))
+        val first = sh.groupBy("tok").agg(min("doc_id").as("first_doc"))
+        val per = sh.join(first, "tok")
+          .groupBy("doc_id", "source")
+          .agg(count(lit(1)).as("n_sh"),
+            count(when(col("first_doc") === col("doc_id"), 1)).as("novel"))
+          .select(col("source"),
+            expr("(novel * CAST(1000000 AS BIGINT)) div n_sh").as("nov_micro"))
+        per.groupBy("source")
+          .agg(count(lit(1)).as("docs"),
+            expr("sum(nov_micro) div count(1)").as("avg_novelty_micro"),
+            min("nov_micro").as("min_novelty_micro"),
+            max("nov_micro").as("max_novelty_micro"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source, string_split(text,' ') AS toks
+             |           FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, source,
+             |         unnest([array_to_string(toks[i:i+2],' ')
+             |                 for i in range(1, greatest(len(toks)-2,1)+1)]) AS tok
+             |       FROM d),
+             |f AS (SELECT tok, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+             |per AS (SELECT s.doc_id, s.source, count(*) AS n_sh,
+             |          count(*) FILTER (f.first_doc = s.doc_id) AS novel
+             |        FROM sh s JOIN f USING (tok) GROUP BY 1, 2)
+             |SELECT source, count(*) AS docs,
+             |  CAST(sum((novel*1000000)//n_sh) // count(*) AS BIGINT) AS avg_novelty_micro,
+             |  CAST(min((novel*1000000)//n_sh) AS BIGINT) AS min_novelty_micro,
+             |  CAST(max((novel*1000000)//n_sh) AS BIGINT) AS max_novelty_micro
+             |FROM per GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

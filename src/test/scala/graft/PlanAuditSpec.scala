@@ -409,4 +409,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Generate"),
       s"two-row report is not the single-agg explode form:\n$plan")
   }
+
+  test("q_ngram_novelty: shingle-keyed shuffles only, no pair join") {
+    // first-occurrence lookup must be min-agg + equi-join on the shingle,
+    // never any doc×doc comparison
+    val plan = planOf("q_ngram_novelty")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert("hashpartitioning\\(tok".r.findAllIn(plan).nonEmpty,
+      s"novelty join is not shingle-keyed:\n$plan")
+  }
+
+  test("q_mislabel_candidates: norms precomputed before the centroid fan-out, top-10 TakeOrdered") {
+    val plan = planOf("q_mislabel_candidates")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"margin top-10 is not a TakeOrdered:\n$plan")
+    // the only nested-loop joins are the two intended |labels|-row
+    // broadcast cross joins (own-branch and other-branch of the shared
+    // scoring subtree)
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(nlj <= 2, s"unexpected nested-loop joins ($nlj):\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
