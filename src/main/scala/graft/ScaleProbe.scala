@@ -162,7 +162,8 @@ object ScaleProbe {
       // round-7 continuation 4
       "q_event_transitions", "q_readability", "q_split_leakage",
       "q_embed_variance", "q_label_centroids", "q_ngram_novelty",
-      "q_mislabel_candidates", "q_matryoshka_recall")
+      "q_mislabel_candidates", "q_matryoshka_recall", "q_retrieval_eval",
+      "q_sq_recall", "q_windowed_funnel")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

@@ -1541,6 +1541,96 @@ object Similarity {
              |      JOIN tr l ON l.qid = b.qid AND l.vec_id = b.vec_id GROUP BY 1)
              |SELECT q.qid, coalesce(h.hits, 0) AS hits,
              |  round(coalesce(h.hits, 0) / 5.0, 4) AS recall_at_5
+             |FROM q LEFT JOIN h ON h.qid = q.qid ORDER BY q.qid""".stripMargin)),
+
+    // retrieval-quality eval harness: per query vector, hits@10 and MRR
+    // against LABEL relevance (retrieved neighbor counts as relevant iff
+    // it shares the query's label) — the standard embedding-space quality
+    // scorecard an index build is accepted on. Reciprocal rank is the
+    // exact integer 1e6 div first-relevant-rank (0 when no hit), so the
+    // metric is ulp-proof. Brute-force exactness path; at scale the same
+    // scorecard runs over any ANN candidate stream (the metrics only see
+    // (qid, rank, label) pairs).
+    QueryDef(
+      "q_retrieval_eval",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("ed"))
+        val q2 = e.where(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+            col("ed").as("qe"))
+        bruteTopK(e, q2, 10)
+          .groupBy("qid")
+          .agg(max("qlabel").as("label"),
+            count(when(col("label") === col("qlabel"), 1)).as("hits_at_10"),
+            coalesce(
+              expr("CAST(1000000 AS BIGINT) div min(CASE WHEN label = qlabel THEN rn END)"),
+              lit(0L)).as("rr_micro"))
+          .orderBy("qid")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ed
+             |           FROM embeddings),
+             |q AS (SELECT vec_id AS qid, label AS qlabel, ed AS qe
+             |      FROM e WHERE vec_id < 50),
+             |sims AS (SELECT q.qid, q.qlabel, e.vec_id, e.label,
+             |           round(list_dot_product(q.qe, e.ed), 4) AS sim
+             |         FROM q CROSS JOIN e WHERE e.vec_id <> q.qid),
+             |top AS (SELECT qid, qlabel, vec_id, label,
+             |          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+             |        FROM sims QUALIFY rn <= 10)
+             |SELECT qid, any_value(qlabel) AS label,
+             |  count(*) FILTER (label = qlabel) AS hits_at_10,
+             |  CAST(coalesce(1000000 // min(rn) FILTER (label = qlabel), 0) AS BIGINT)
+             |    AS rr_micro
+             |FROM top GROUP BY qid ORDER BY qid""".stripMargin)),
+
+    // int8 scalar-quantization recall gate: rank by the INTEGER dot of
+    // the q_embed_quantize codes (4× memory cut, exact integer scores —
+    // no rounding convention needed at all) and measure recall@5 against
+    // the full-precision exact top-5. Completes the compression-fidelity
+    // family (PQ / IVF-PQ / Matryoshka / SQ): per byte of code, SQ keeps
+    // far more of the neighborhood structure than prefix truncation on
+    // an isotropic space — this pair of gates is how you'd prove that
+    // choice for a real corpus.
+    QueryDef(
+      "q_sq_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val plain = emb.select(col("vec_id"), asDouble(col("embedding")).as("ed"))
+        // int8 codes carried as exact small-integer doubles so the shared
+        // brute-force ranker applies; its round-to-4dp is the identity on
+        // integer-valued dots
+        val quant = emb.select(col("vec_id"),
+          quantizeInt8(asDouble(col("embedding"))).cast("array<double>").as("ed"))
+        val qq = quant.where(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("ed").as("qe"))
+        val sqTop = bruteTopK(quant, qq, 5).select("qid", "vec_id")
+        val qf = plain.where(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("ed").as("qe"))
+        recallAt5VsBrute(plain, sqTop, qf)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+             |             list_transform(CAST(embedding AS DOUBLE[]),
+             |               x -> CAST(greatest(-127, least(127, CAST(round(x * 127) AS INT))) AS DOUBLE)) AS qv
+             |           FROM embeddings),
+             |q AS (SELECT vec_id AS qid, ed AS qe, qv AS qq FROM e WHERE vec_id < 20),
+             |fsims AS (SELECT q.qid, e.vec_id, round(list_dot_product(q.qe, e.ed), 4) AS sim
+             |          FROM q CROSS JOIN e WHERE e.vec_id <> q.qid),
+             |brute AS (SELECT qid, vec_id FROM (
+             |    SELECT qid, vec_id,
+             |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+             |    FROM fsims) WHERE rn <= 5),
+             |qsims AS (SELECT q.qid, e.vec_id,
+             |            round(list_dot_product(q.qq, e.qv), 4) AS sim
+             |          FROM q CROSS JOIN e WHERE e.vec_id <> q.qid),
+             |sq AS (SELECT qid, vec_id FROM (
+             |    SELECT qid, vec_id,
+             |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+             |    FROM qsims) WHERE rn <= 5),
+             |h AS (SELECT b.qid, count(*) AS hits FROM brute b
+             |      JOIN sq l ON l.qid = b.qid AND l.vec_id = b.vec_id GROUP BY 1)
+             |SELECT q.qid, coalesce(h.hits, 0) AS hits,
+             |  round(coalesce(h.hits, 0) / 5.0, 4) AS recall_at_5
              |FROM q LEFT JOIN h ON h.qid = q.qid ORDER BY q.qid""".stripMargin))
   )
 }

@@ -394,6 +394,59 @@ object Behavioral {
              |  (count(*) * 1000000) // CAST(sum(count(*))
              |     OVER (PARTITION BY from_type) AS BIGINT) AS share_micro
              |FROM seq WHERE to_type IS NOT NULL
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // time-BOUNDED funnel: q_funnel's ordered stages with a 24 h max gap
+    // per step (a click only converts within a day of the first view, a
+    // purchase within a day of that click) — the form product analytics
+    // actually reports, since unbounded funnels only ever grow. Output is
+    // the 3-row stage-count summary; the three per-user stage frames join
+    // left-to-right and are counted in ONE aggregate (explode fans the
+    // single summary row out), so the events scan's per-stage subtrees
+    // share their user_id exchanges instead of running once per stage
+    // row.
+    QueryDef(
+      "q_windowed_funnel",
+      (s, d) => {
+        val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+        val v = ev.where(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("view_ts"))
+        val c = ev.join(v, "user_id")
+          .where(col("event_type") === "click" && col("ts") > col("view_ts") &&
+            col("ts") <= col("view_ts") + expr("INTERVAL 24 HOURS"))
+          .groupBy("user_id").agg(min("ts").as("click_ts"))
+        val p = ev.join(c, "user_id")
+          .where(col("event_type") === "purchase" && col("ts") > col("click_ts") &&
+            col("ts") <= col("click_ts") + expr("INTERVAL 24 HOURS"))
+          .groupBy("user_id").agg(min("ts").as("purchase_ts"))
+        val summary = v.join(c, Seq("user_id"), "left")
+          .join(p, Seq("user_id"), "left")
+          .agg(count("view_ts").as("n_view"), count("click_ts").as("n_click"),
+            count("purchase_ts").as("n_purchase"))
+        summary.select(explode(array(
+            struct(lit("1_view").as("stage"), col("n_view").as("users")),
+            struct(lit("2_click").as("stage"), col("n_click").as("users")),
+            struct(lit("3_purchase").as("stage"), col("n_purchase").as("users"))))
+            .as("r"))
+          .select("r.*")
+          .orderBy("stage")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type,
+             |              CAST(ts AS TIMESTAMP) AS ts FROM events),
+             |v AS (SELECT user_id, min(ts) AS view_ts FROM ev
+             |      WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT e.user_id, min(e.ts) AS click_ts
+             |      FROM ev e JOIN v USING (user_id)
+             |      WHERE e.event_type = 'click' AND e.ts > v.view_ts
+             |        AND e.ts <= v.view_ts + INTERVAL 24 HOUR GROUP BY 1),
+             |p AS (SELECT e.user_id, min(e.ts) AS purchase_ts
+             |      FROM ev e JOIN c USING (user_id)
+             |      WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+             |        AND e.ts <= c.click_ts + INTERVAL 24 HOUR GROUP BY 1)
+             |SELECT stage, users FROM (
+             |  SELECT '1_view' AS stage, count(*) AS users FROM v
+             |  UNION ALL SELECT '2_click', count(*) FROM c
+             |  UNION ALL SELECT '3_purchase', count(*) FROM p)
+             |ORDER BY stage""".stripMargin))
   )
 }

@@ -431,4 +431,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(nlj <= 2, s"unexpected nested-loop joins ($nlj):\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("q_windowed_funnel: stage joins are user-keyed, counts come from one explode") {
+    val plan = planOf("q_windowed_funnel")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Generate"),
+      s"stage summary is not the single-agg explode form:\n$plan")
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).nonEmpty,
+      s"stage joins are not user_id-keyed:\n$plan")
+  }
 }
