@@ -163,7 +163,8 @@ object ScaleProbe {
       "q_event_transitions", "q_readability", "q_split_leakage",
       "q_embed_variance", "q_label_centroids", "q_ngram_novelty",
       "q_mislabel_candidates", "q_matryoshka_recall", "q_retrieval_eval",
-      "q_sq_recall", "q_windowed_funnel")
+      "q_sq_recall", "q_windowed_funnel", "q_time_to_convert",
+      "q_first_touch", "q_quality_length_corr")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

@@ -447,6 +447,100 @@ object Behavioral {
              |  SELECT '1_view' AS stage, count(*) AS users FROM v
              |  UNION ALL SELECT '2_click', count(*) FROM c
              |  UNION ALL SELECT '3_purchase', count(*) FROM p)
-             |ORDER BY stage""".stripMargin))
+             |ORDER BY stage""".stripMargin)),
+
+    // time-to-convert distribution: RANK-EXACT p25/p50/p75/p90 of the
+    // view→click delay in whole seconds over converting users — the
+    // latency histogram beside the funnel counts. Rank-ceil percentiles
+    // ((q·n + 99) div 100, the q_winsorize convention) cannot drift by an
+    // ulp across engines the way interpolating ones do. The duration
+    // table is one row per converting user; its global rank runs over
+    // that already-small frame (bounded-domain argument: conversions per
+    // analysis window, orders of magnitude under the event count — the
+    // partitionless window is whitelisted in PlanAuditSpec on that
+    // basis; at true 100 TB the same rank rides GlobalOrder's range
+    // shuffle).
+    QueryDef(
+      "q_time_to_convert",
+      (s, d) => {
+        val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+        val v = ev.where(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("view_ts"))
+        val c = ev.join(v, "user_id")
+          .where(col("event_type") === "click" && col("ts") > col("view_ts"))
+          .groupBy("user_id").agg(min("ts").as("click_ts"))
+        val dur = c.join(v, "user_id")
+          .select(col("user_id"),
+            (unix_timestamp(col("click_ts")) - unix_timestamp(col("view_ts")))
+              .as("secs"))
+        val r = dur
+          .withColumn("rn", row_number().over(
+            Window.orderBy("secs", "user_id")).cast("long"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        Seq(25, 50, 75, 90).map { qq =>
+          r.where(col("rn") === expr(s"($qq * n + 99) div 100"))
+            .select(lit(qq).as("q"), col("secs"))
+        }.reduce(_.unionByName(_)).orderBy("q")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type,
+             |              CAST(ts AS TIMESTAMP) AS ts FROM events),
+             |v AS (SELECT user_id, min(ts) AS view_ts FROM ev
+             |      WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT e.user_id, min(e.ts) AS click_ts
+             |      FROM ev e JOIN v USING (user_id)
+             |      WHERE e.event_type = 'click' AND e.ts > v.view_ts GROUP BY 1),
+             |dur AS (SELECT c.user_id,
+             |          CAST(date_diff('second', v.view_ts, c.click_ts) AS BIGINT) AS secs
+             |        FROM c JOIN v USING (user_id)),
+             |r AS (SELECT secs, row_number() OVER (ORDER BY secs, user_id) AS rn,
+             |        count(*) OVER () AS n FROM dur)
+             |SELECT q, secs FROM (
+             |  SELECT 25 AS q, secs FROM r WHERE rn = (25*n + 99) // 100
+             |  UNION ALL SELECT 50, secs FROM r WHERE rn = (50*n + 99) // 100
+             |  UNION ALL SELECT 75, secs FROM r WHERE rn = (75*n + 99) // 100
+             |  UNION ALL SELECT 90, secs FROM r WHERE rn = (90*n + 99) // 100)
+             |ORDER BY q""".stripMargin)),
+
+    // first-touch attribution: every user's purchase count and micro-
+    // quantized purchase value credited to the event type that FIRST
+    // brought them in (rank-1 by ts with event_id tiebreak — argmin made
+    // deterministic). Two user_id-keyed frames joined on the same key;
+    // the report aggregate is map-combined over the bounded type domain.
+    QueryDef(
+      "q_first_touch",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select("user_id", "event_type", "value", "ts", "event_id")
+        val wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val ft = ev.withColumn("rn", row_number().over(wu))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("event_type").as("first_touch"))
+        val pv = ev.where(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(sum(round(col("value") * 1e6).cast("long")).as("value_micro"),
+            count(lit(1)).as("purchases"))
+        ft.join(pv, Seq("user_id"), "left")
+          .groupBy("first_touch")
+          .agg(count(lit(1)).as("users"),
+            coalesce(sum("purchases"), lit(0L)).as("purchases"),
+            coalesce(sum("value_micro"), lit(0L)).as("value_micro"))
+          .orderBy("first_touch")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, value,
+             |              CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+             |ft AS (SELECT user_id, event_type AS first_touch FROM (
+             |    SELECT user_id, event_type,
+             |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             |    FROM ev) WHERE rn = 1),
+             |pv AS (SELECT user_id,
+             |         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+             |           AS value_micro,
+             |         count(*) AS purchases
+             |       FROM ev WHERE event_type = 'purchase' GROUP BY 1)
+             |SELECT f.first_touch, count(*) AS users,
+             |  CAST(coalesce(sum(p.purchases), 0) AS BIGINT) AS purchases,
+             |  CAST(coalesce(sum(p.value_micro), 0) AS BIGINT) AS value_micro
+             |FROM ft f LEFT JOIN pv p USING (user_id)
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

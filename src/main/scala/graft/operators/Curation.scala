@@ -1008,6 +1008,48 @@ object Curation {
              |  CAST(sum((novel*1000000)//n_sh) // count(*) AS BIGINT) AS avg_novelty_micro,
              |  CAST(min((novel*1000000)//n_sh) AS BIGINT) AS min_novelty_micro,
              |  CAST(max((novel*1000000)//n_sh) AS BIGINT) AS max_novelty_micro
-             |FROM per GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM per GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // signal-correlation stat: exact Pearson correlation between lexical
+    // diversity (the q_domain_percentile quality score, CENTI-quantized)
+    // and document length — the dataset-card number that says whether a
+    // quality gate is secretly a length gate. The five moment sums are
+    // exact integers (centi scale keeps every sum under 2^53 to ~1e9
+    // docs, so the final double arithmetic starts from exactly-cast
+    // values and both engines compute the identical closed form). One
+    // scan, one map-combined aggregate, one output row.
+    QueryDef(
+      "q_quality_length_corr",
+      (s, d) => {
+        val sdf = Tables.documents(s, d).select(
+          expr("(CAST(10000 AS BIGINT) * size(array_distinct(split(text, ' ')))) " +
+            "div size(split(text, ' '))").as("x"),
+          col("n_chars").as("y"))
+        sdf.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"),
+            sum(col("x") * col("y")).as("sxy"))
+          .select(col("n"),
+            round((col("n").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+              sqrt((col("n").cast("double") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")) *
+                (col("n").cast("double") * col("syy").cast("double") -
+                  col("sy").cast("double") * col("sy").cast("double"))), 6)
+              .as("corr"))
+      },
+      Some("""WITH s AS (SELECT
+             |    (10000 * CAST(len(list_distinct(string_split(text,' '))) AS BIGINT))
+             |      // CAST(len(string_split(text,' ')) AS BIGINT) AS x,
+             |    n_chars AS y
+             |  FROM documents),
+             |m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             |        sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy FROM s)
+             |SELECT CAST(n AS BIGINT) AS n,
+             |  round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+             |        sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+             |             (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6)
+             |    AS corr
+             |FROM m""".stripMargin))
   )
 }

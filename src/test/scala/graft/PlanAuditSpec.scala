@@ -146,9 +146,14 @@ class PlanAuditSpec extends SparkSpec {
     // ≤ #shuffle-partitions bound as the GlobalOrder family
     // q_length_batching: withGlobalRowNumber's offset prefix-sum again
     // (batch/bucket assignment itself is closed-form arithmetic)
+    // q_time_to_convert: global rank over the per-converting-user
+    // duration frame — one row per conversion in the analysis window,
+    // orders of magnitude under the event count (at true 100 TB the same
+    // rank rides GlobalOrder's range shuffle)
     val allowed = Set("q_global_order", "q_equidepth_hist", "q_rfm",
       "q_skyline", "q_ks_test", "q_cume_distinct", "q_ppl_buckets",
-      "q_zipf_fit", "q_token_budget", "q_length_batching")
+      "q_zipf_fit", "q_token_budget", "q_length_batching",
+      "q_time_to_convert")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
       val global = fn(spark, sf).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
