@@ -541,6 +541,65 @@ object Behavioral {
              |  CAST(coalesce(sum(p.purchases), 0) AS BIGINT) AS purchases,
              |  CAST(coalesce(sum(p.value_micro), 0) AS BIGINT) AS value_micro
              |FROM ft f LEFT JOIN pv p USING (user_id)
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // feature-drift monitor: Population Stability Index of the `value`
+    // distribution, first calendar half vs second — the gate that flags
+    // "this feature's distribution moved" before a model ever sees it.
+    // Laplace-smoothed band shares (+1 count, +bands denominator) keep
+    // every ln finite; per-band terms are nano-quantized BEFORE the sum
+    // (the q_domain_kl convention) so the cross-engine total is an exact
+    // integer. The whole thing is two tiny aggregates over one scan —
+    // band domain is fixed (10 bands), every join after the count table
+    // is broadcast.
+    QueryDef(
+      "q_feature_drift",
+      (s, d) => {
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+        val tagged = Tables.events(s, d).where(col("value").isNotNull)
+          .select(when(col("ts") < cut, "a").otherwise("b").as("half"),
+            least(greatest(floor(col("value") / 100).cast("int"), lit(0)), lit(9))
+              .as("band"))
+        val cnt = tagged.groupBy("half", "band").agg(count(lit(1)).as("n"))
+        val tot = cnt.groupBy("half").agg(sum("n").as("t"))
+        val ta = tot.where(col("half") === "a").select(col("t").as("ta"))
+        val tb = tot.where(col("half") === "b").select(col("t").as("tb"))
+        val a = cnt.where(col("half") === "a").select(col("band"), col("n").as("na"))
+        val b = cnt.where(col("half") === "b").select(col("band"), col("n").as("nb"))
+        val p = cnt.select("band").distinct()
+          .join(a, Seq("band"), "left").join(b, Seq("band"), "left")
+          .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+          .select(
+            ((coalesce(col("na"), lit(0L)) + lit(1)).cast("double") /
+              (col("ta") + lit(10)).cast("double")).as("pa"),
+            ((coalesce(col("nb"), lit(0L)) + lit(1)).cast("double") /
+              (col("tb") + lit(10)).cast("double")).as("pb"))
+        p.select(round((col("pa") - col("pb")) * log(col("pa") / col("pb")) * lit(1e9))
+            .cast("long").as("term_nano"))
+          .agg(sum("term_nano").cast("long").as("psi_nano"),
+            count(lit(1)).as("bands"))
+      },
+      Some("""WITH ev AS (SELECT value, CAST(ts AS TIMESTAMP) AS ts
+             |            FROM events WHERE value IS NOT NULL),
+             |tagged AS (SELECT CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+             |                    THEN 'a' ELSE 'b' END AS half,
+             |             least(greatest(CAST(floor(value / 100) AS INT), 0), 9) AS band
+             |           FROM ev),
+             |cnt AS (SELECT half, band, count(*) AS n FROM tagged GROUP BY 1, 2),
+             |tot AS (SELECT half, sum(n) AS t FROM cnt GROUP BY 1),
+             |bands AS (SELECT DISTINCT band FROM cnt),
+             |p AS (SELECT b.band,
+             |        CAST(coalesce(a.n, 0) + 1 AS DOUBLE) / (ta.t + 10) AS pa,
+             |        CAST(coalesce(c.n, 0) + 1 AS DOUBLE) / (tb.t + 10) AS pb
+             |      FROM bands b
+             |      LEFT JOIN cnt a ON a.band = b.band AND a.half = 'a'
+             |      LEFT JOIN cnt c ON c.band = b.band AND c.half = 'b'
+             |      CROSS JOIN (SELECT t FROM tot WHERE half = 'a') ta
+             |      CROSS JOIN (SELECT t FROM tot WHERE half = 'b') tb),
+             |terms AS (SELECT band,
+             |            CAST(round((pa - pb) * ln(pa / pb) * 1e9) AS BIGINT) AS term_nano
+             |          FROM p)
+             |SELECT CAST(sum(term_nano) AS BIGINT) AS psi_nano, count(*) AS bands
+             |FROM terms""".stripMargin))
   )
 }

@@ -1050,6 +1050,40 @@ object Curation {
              |        sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
              |             (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6)
              |    AS corr
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // vocabulary coverage curve: the share of all corpus tokens covered
+    // by the k most frequent words (k = 10/25/50) — the number tokenizer
+    // vocab-size decisions read off. The vocabulary is DATA-sized, so its
+    // global frequency rank rides GlobalOrder's range shuffle (the
+    // q_zipf_fit convention), never a partitionless window; the three
+    // cutoffs fan out of one exploded literal array and aggregate in a
+    // single map-combined pass.
+    QueryDef(
+      "q_vocab_coverage",
+      (s, d) => {
+        val freq = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("n"))
+        val ranked = GlobalOrder.withGlobalRowNumber(
+          freq, Seq(col("n").desc, col("w")), "rnk")
+        val tot = freq.agg(sum("n").as("t"))
+        ranked.crossJoin(broadcast(tot))
+          .select(explode(array(lit(10), lit(25), lit(50))).as("k"),
+            col("rnk"), col("n"), col("t"))
+          .groupBy("k")
+          .agg(expr("(sum(CASE WHEN rnk <= k THEN n ELSE 0 END) * CAST(1000000 AS BIGINT)) div max(t)")
+            .as("coverage_micro"))
+          .orderBy("k")
+      },
+      Some("""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+             |freq AS (SELECT w, count(*) AS n FROM toks GROUP BY 1),
+             |tot AS (SELECT sum(n) AS t FROM freq),
+             |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, w) AS rnk FROM freq)
+             |SELECT ks.k, CAST((sum(CASE WHEN r.rnk <= ks.k THEN r.n ELSE 0 END) * 1000000)
+             |         // max(t.t) AS BIGINT) AS coverage_micro
+             |FROM (VALUES (10), (25), (50)) AS ks(k)
+             |CROSS JOIN r CROSS JOIN tot t
+             |GROUP BY ks.k ORDER BY ks.k""".stripMargin))
   )
 }

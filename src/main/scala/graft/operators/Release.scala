@@ -499,6 +499,40 @@ object Release {
               |  SELECT 'cluster', count(*), count(*) FILTER (aware_spread > 1),
               |         CAST(coalesce(sum(members) FILTER (aware_spread > 1), 0) AS BIGINT)
               |  FROM per)
-              |ORDER BY method""".stripMargin))
+              |ORDER BY method""".stripMargin)),
+
+    // TEMPORAL split audit — the time-based companion of q_split_leakage:
+    // cut the event stream at a calendar boundary (train strictly before,
+    // test at-or-after), report per-split row/user counts AND the entity
+    // leakage (users active on both sides — their test rows are
+    // predictable from their own train history). Two aggregates off one
+    // tagged scan, both keyed on split/user; the leak count broadcasts
+    // onto the two-row report.
+    QueryDef(
+      "q_temporal_split",
+      (s, d) => {
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+        val tagged = Tables.events(s, d).select(col("user_id"),
+          when(col("ts") < cut, "train").otherwise("test").as("split"))
+        val per = tagged.groupBy("split")
+          .agg(count(lit(1)).as("rows_n"), countDistinct("user_id").as("users"))
+        val lk = tagged.groupBy("user_id")
+          .agg(countDistinct("split").as("ns"))
+          .where(col("ns") > 1)
+          .agg(count(lit(1)).as("leaked_users"))
+        per.crossJoin(broadcast(lk)).orderBy("split")
+      },
+      Some("""WITH tagged AS (SELECT user_id,
+             |    CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'
+             |         THEN 'train' ELSE 'test' END AS split
+             |  FROM events),
+             |per AS (SELECT split, count(*) AS rows_n,
+             |          count(DISTINCT user_id) AS users
+             |        FROM tagged GROUP BY 1),
+             |lk AS (SELECT count(*) AS leaked_users FROM (
+             |         SELECT user_id FROM tagged GROUP BY 1
+             |         HAVING count(DISTINCT split) > 1))
+             |SELECT p.split, p.rows_n, p.users, l.leaked_users
+             |FROM per p CROSS JOIN lk l ORDER BY p.split""".stripMargin))
   )
 }

@@ -150,10 +150,12 @@ class PlanAuditSpec extends SparkSpec {
     // duration frame — one row per conversion in the analysis window,
     // orders of magnitude under the event count (at true 100 TB the same
     // rank rides GlobalOrder's range shuffle)
+    // q_vocab_coverage: withGlobalRowNumber's ≤ #shuffle-partitions
+    // prefix-sum (vocab rank itself is the range-shuffle closed form)
     val allowed = Set("q_global_order", "q_equidepth_hist", "q_rfm",
       "q_skyline", "q_ks_test", "q_cume_distinct", "q_ppl_buckets",
       "q_zipf_fit", "q_token_budget", "q_length_batching",
-      "q_time_to_convert")
+      "q_time_to_convert", "q_vocab_coverage")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
       val global = fn(spark, sf).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
