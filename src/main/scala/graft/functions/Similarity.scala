@@ -1631,6 +1631,77 @@ object Similarity {
              |      JOIN sq l ON l.qid = b.qid AND l.vec_id = b.vec_id GROUP BY 1)
              |SELECT q.qid, coalesce(h.hits, 0) AS hits,
              |  round(coalesce(h.hits, 0) / 5.0, 4) AS recall_at_5
-             |FROM q LEFT JOIN h ON h.qid = q.qid ORDER BY q.qid""".stripMargin))
+             |FROM q LEFT JOIN h ON h.qid = q.qid ORDER BY q.qid""".stripMargin)),
+
+    // IVF cell-balance report — the index-maintenance number next to the
+    // recall gates: per cell, occupancy, corpus share, and the balance
+    // factor (1e6 = perfectly even; a hot cell >> 1e6 means probes that
+    // hit it scan far more than corpus/cells candidates, the quiet way an
+    // IVF index rots as data drifts from its codebook). Same 8-centroid
+    // assignment as q_ivf_ann; everything after the one grouped count is
+    // bounded by the codebook size.
+    QueryDef(
+      "q_ivf_balance",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), asDouble(col("embedding")).as("ed"))
+        val cents = emb.where(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"), col("ed").as("ce"))
+        val wAssign = Window.partitionBy("vec_id")
+          .orderBy(col("cdot").desc, col("cent_id"))
+        val assign = emb.crossJoin(broadcast(cents))
+          .withColumn("cdot", round(dot(col("ed"), col("ce")), 4))
+          .withColumn("crn", row_number().over(wAssign))
+          .where(col("crn") === 1)
+          .select(col("vec_id"), col("cent_id").as("cluster"))
+        val per = assign.groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
+        val tot = per.agg(sum("n_vecs").as("t"), count(lit(1)).as("cells"))
+        per.crossJoin(broadcast(tot))
+          .select(col("cluster"), col("n_vecs"),
+            expr("(n_vecs * CAST(1000000 AS BIGINT)) div t").as("share_micro"),
+            expr("(n_vecs * cells * CAST(1000000 AS BIGINT)) div t").as("balance_micro"))
+          .orderBy("cluster")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
+             |c AS (SELECT vec_id AS cent_id, ed AS ce FROM e WHERE vec_id < 8),
+             |ad AS (SELECT e.vec_id, c.cent_id,
+             |         row_number() OVER (PARTITION BY e.vec_id
+             |           ORDER BY round(list_dot_product(e.ed, c.ce), 4) DESC, c.cent_id) AS crn
+             |       FROM e CROSS JOIN c),
+             |assign AS (SELECT vec_id, cent_id AS cluster FROM ad WHERE crn = 1),
+             |per AS (SELECT cluster, count(*) AS n_vecs FROM assign GROUP BY 1),
+             |tot AS (SELECT sum(n_vecs) AS t, count(*) AS cells FROM per)
+             |SELECT p.cluster, p.n_vecs,
+             |  CAST((p.n_vecs * 1000000) // t.t AS BIGINT) AS share_micro,
+             |  CAST((p.n_vecs * t.cells * 1000000) // t.t AS BIGINT) AS balance_micro
+             |FROM per p CROSS JOIN tot t ORDER BY cluster""".stripMargin)),
+
+    // kNN-graph hub profile: the IN-degree histogram of the directed
+    // top-3 graph (out-degree is 3 by construction; in-degree is where
+    // hubness shows). Hub vectors — in-degree far above k — are the known
+    // failure mode of high-dim neighbor graphs (they dominate clustering
+    // and retrieval); this is the one-line health check run after every
+    // graph build. Zero-in-degree vectors come from a left join against
+    // the corpus so the histogram's mass always sums to the corpus size.
+    QueryDef(
+      "q_knn_degree",
+      (s, d) => {
+        val deg = knnGraph(s, d)
+          .groupBy(col("neighbor").as("vec_id"))
+          .agg(count(lit(1)).as("indeg"))
+        Tables.embeddings(s, d).select("vec_id")
+          .join(deg, Seq("vec_id"), "left")
+          .select(coalesce(col("indeg"), lit(0L)).as("in_degree"))
+          .groupBy("in_degree").agg(count(lit(1)).as("n_vectors"))
+          .orderBy("in_degree")
+      },
+      Some(s"""WITH $knnGraphCte,
+              |deg AS (SELECT neighbor AS vec_id, count(*) AS indeg
+              |        FROM knn GROUP BY 1),
+              |d2 AS (SELECT a.vec_id, coalesce(deg.indeg, 0) AS indeg
+              |       FROM (SELECT vec_id FROM embeddings) a
+              |       LEFT JOIN deg USING (vec_id))
+              |SELECT indeg AS in_degree, count(*) AS n_vectors
+              |FROM d2 GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
