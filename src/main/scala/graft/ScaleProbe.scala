@@ -165,7 +165,8 @@ object ScaleProbe {
       "q_mislabel_candidates", "q_matryoshka_recall", "q_retrieval_eval",
       "q_sq_recall", "q_windowed_funnel", "q_time_to_convert",
       "q_first_touch", "q_quality_length_corr", "q_vocab_coverage",
-      "q_temporal_split", "q_feature_drift", "q_ivf_balance", "q_knn_degree")
+      "q_temporal_split", "q_feature_drift", "q_ivf_balance", "q_knn_degree",
+      "q_lsh_precision", "q_shingle_df_profile", "q_activity_concentration")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

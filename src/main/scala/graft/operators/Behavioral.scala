@@ -600,6 +600,35 @@ object Behavioral {
              |            CAST(round((pa - pb) * ln(pa / pb) * 1e9) AS BIGINT) AS term_nano
              |          FROM p)
              |SELECT CAST(sum(term_nano) AS BIGINT) AS psi_nano, count(*) AS bands
-             |FROM terms""".stripMargin))
+             |FROM terms""".stripMargin)),
+
+    // activity concentration: decile-bucketed user activity (decile 1 =
+    // most active tenth) with each decile's share of ALL events — the
+    // "top 10% of users generate X% of traffic" skew number that sizes
+    // salting/AQE decisions for user-keyed work. The user table is
+    // data-sized, so the decile rank rides GlobalOrder's range shuffle
+    // (q_ppl_buckets' tertile convention, oracled against DuckDB's
+    // native ntile); the share denominators broadcast.
+    QueryDef(
+      "q_activity_concentration",
+      (s, d) => {
+        val pu = Tables.events(s, d).groupBy("user_id")
+          .agg(count(lit(1)).as("n"))
+        val ranked = GlobalOrder.withGlobalNtile(
+          pu, Seq(col("n").desc, col("user_id")), 10, "decile")
+        val tot = pu.agg(sum("n").as("t"))
+        ranked.crossJoin(broadcast(tot))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("users"), sum("n").as("events"),
+            expr("(sum(n) * CAST(1000000 AS BIGINT)) div max(t)").as("share_micro"))
+          .orderBy("decile")
+      },
+      Some("""WITH pu AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+             |r AS (SELECT user_id, n,
+             |        ntile(10) OVER (ORDER BY n DESC, user_id) AS decile FROM pu),
+             |tot AS (SELECT sum(n) AS t FROM pu)
+             |SELECT decile, count(*) AS users, CAST(sum(n) AS BIGINT) AS events,
+             |  CAST((sum(n) * 1000000) // max(t.t) AS BIGINT) AS share_micro
+             |FROM r CROSS JOIN tot t GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

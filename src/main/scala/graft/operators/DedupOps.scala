@@ -1309,6 +1309,105 @@ object DedupOps extends org.apache.spark.internal.Logging {
              |SELECT id1, id2,
              |  round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) AS jaccard
              |FROM i JOIN c ca ON ca.doc_id = id1 JOIN c cb ON cb.doc_id = id2
-             |ORDER BY id1, id2""".stripMargin))
+             |ORDER BY id1, id2""".stripMargin)),
+
+    // LSH candidate PRECISION — the cost axis next to q_lsh_recall's
+    // quality axis: of the pairs the banded index surfaces, how many are
+    // REAL duplicates (exact shingle Jaccard ≥ 0.5)? Precision is what
+    // prices the verification stage at scale (every false candidate is a
+    // wasted exact-Jaccard computation); recall and precision together
+    // are the two dials band geometry trades. Exact Jaccard runs ONLY on
+    // the candidate pairs (work ∝ candidates, the whole point of the
+    // index), integer-micro so the threshold can't drift cross-engine.
+    QueryDef(
+      "q_lsh_precision",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val dups = docs.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        val corpus = docs.unionByName(dups)
+        val sig = minhashSignature(corpus, "doc_id", "text", 4, shingleN = 3)
+        val cand = lshCandidates(sig, "doc_id", 4, 2)
+        val toks = corpus.select(col("doc_id"),
+          explode(shingles(col("text"), 3)).as("tok"))
+        val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = cand
+          .join(toks.select(col("doc_id").as("id1"), col("tok")), "id1")
+          .join(toks.select(col("doc_id").as("id2"), col("tok")), Seq("id2", "tok"))
+          .groupBy("id1", "id2").agg(count(lit(1)).as("i"))
+        val scored = cand
+          .join(inter, Seq("id1", "id2"), "left")
+          .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
+          .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
+          .select(expr("(coalesce(i, CAST(0 AS BIGINT)) * CAST(1000000 AS BIGINT)) " +
+            "div (n1 + n2 - coalesce(i, CAST(0 AS BIGINT)))").as("jacc_micro"))
+        scored.agg(count(lit(1)).as("candidates"),
+          count(when(col("jacc_micro") >= 500000, 1)).as("true_pairs"),
+          expr("(count(CASE WHEN jacc_micro >= 500000 THEN 1 END) * CAST(1000000 AS BIGINT)) div count(1)")
+            .as("precision_micro"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT DISTINCT doc_id, unnest(sh) AS tok FROM (
+              |    SELECT doc_id,
+              |      [array_to_string(toks[i:i+2], ' ')
+              |       for i in range(1, greatest(len(toks)-2, 1)+1)] AS sh
+              |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              |          FROM ($docsWithDups)))),
+              |sig AS (
+              |  SELECT doc_id,
+              |    min(substr(md5(tok), 1, 8)) AS sig1, min(substr(md5(tok), 9, 8)) AS sig2,
+              |    min(substr(md5(tok), 17, 8)) AS sig3, min(substr(md5(tok), 25, 8)) AS sig4
+              |  FROM t GROUP BY 1),
+              |b AS (
+              |  SELECT doc_id, 0 AS band, md5(sig1 || sig2) AS bucket FROM sig
+              |  UNION ALL
+              |  SELECT doc_id, 1 AS band, md5(sig3 || sig4) AS bucket FROM sig),
+              |cand AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+              |         FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket
+              |         WHERE l.doc_id < r.doc_id),
+              |c AS (SELECT doc_id, count(*) AS n FROM t GROUP BY 1),
+              |i AS (SELECT cd.id1, cd.id2, count(*) AS i
+              |      FROM cand cd JOIN t a ON a.doc_id = cd.id1
+              |                   JOIN t b2 ON b2.doc_id = cd.id2 AND b2.tok = a.tok
+              |      GROUP BY 1, 2),
+              |sc AS (SELECT (coalesce(i.i, 0) * 1000000)
+              |         // (ca.n + cb.n - coalesce(i.i, 0)) AS jacc_micro
+              |       FROM cand cd
+              |       LEFT JOIN i ON i.id1 = cd.id1 AND i.id2 = cd.id2
+              |       JOIN c ca ON ca.doc_id = cd.id1
+              |       JOIN c cb ON cb.doc_id = cd.id2)
+              |SELECT count(*) AS candidates,
+              |  CAST(count(*) FILTER (jacc_micro >= 500000) AS BIGINT) AS true_pairs,
+              |  CAST((count(*) FILTER (jacc_micro >= 500000) * 1000000) // count(*) AS BIGINT)
+              |    AS precision_micro
+              |FROM sc""".stripMargin)),
+
+    // shingle document-frequency profile — the dedup-side hub report
+    // (q_knn_degree's analogue for the MinHash index): how many shingles
+    // appear in 1, 2, …, 10+ documents, with the posting mass each band
+    // carries. High-df "stop shingles" are what blow up LSH bucket
+    // occupancy; production pipelines cap df before banding, and this
+    // histogram is the number that decision reads. One scan, two
+    // map-combined aggregates, shuffle ∝ distinct shingles.
+    QueryDef(
+      "q_shingle_df_profile",
+      (s, d) => {
+        val df = Tables.documents(s, d)
+          .select(col("doc_id"), explode(shingles(col("text"), 3)).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("df"))
+        df.groupBy(least(col("df"), lit(10L)).as("df_band"))
+          .agg(count(lit(1)).as("shingles"), sum("df").as("postings"))
+          .orderBy("df_band")
+      },
+      Some("""WITH t AS (
+             |  SELECT DISTINCT doc_id, unnest(sh) AS tok FROM (
+             |    SELECT doc_id,
+             |      [array_to_string(toks[i:i+2], ' ')
+             |       for i in range(1, greatest(len(toks)-2, 1)+1)] AS sh
+             |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))),
+             |df AS (SELECT tok, count(*) AS df FROM t GROUP BY 1)
+             |SELECT least(df, 10) AS df_band, count(*) AS shingles,
+             |  CAST(sum(df) AS BIGINT) AS postings
+             |FROM df GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -155,7 +155,10 @@ class PlanAuditSpec extends SparkSpec {
     val allowed = Set("q_global_order", "q_equidepth_hist", "q_rfm",
       "q_skyline", "q_ks_test", "q_cume_distinct", "q_ppl_buckets",
       "q_zipf_fit", "q_token_budget", "q_length_batching",
-      "q_time_to_convert", "q_vocab_coverage")
+      "q_time_to_convert", "q_vocab_coverage",
+      // q_activity_concentration: withGlobalNtile's prefix-sum (decile
+      // assignment itself is the range-shuffle closed form)
+      "q_activity_concentration")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
       val global = fn(spark, sf).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
