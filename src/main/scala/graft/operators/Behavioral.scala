@@ -629,6 +629,39 @@ object Behavioral {
              |tot AS (SELECT sum(n) AS t FROM pu)
              |SELECT decile, count(*) AS users, CAST(sum(n) AS BIGINT) AS events,
              |  CAST((sum(n) * 1000000) // max(t.t) AS BIGINT) AS share_micro
-             |FROM r CROSS JOIN tot t GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM r CROSS JOIN tot t GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // acquisition-cohort report over the RELATIONAL fact table: customers
+    // grouped by first-order month, with total orders, orders-per-
+    // customer in exact micros, and lifetime value in integer cents —
+    // the q_cohort_retention shape applied to the orders table (cohort
+    // analytics are not events-only). Two map-combined aggregates, keyed
+    // on customer then on the bounded month domain.
+    QueryDef(
+      "q_orders_cohort",
+      (s, d) => {
+        val fo = Tables.orders(s, d).groupBy("o_custkey")
+          .agg(min(col("o_orderdate")).as("first_dt"),
+            count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("value_cents"))
+        fo.groupBy(to_date(date_trunc("month", col("first_dt"))).as("cohort_month"))
+          .agg(count(lit(1)).as("customers"),
+            sum("n_orders").as("orders_total"),
+            expr("(sum(n_orders) * CAST(1000000 AS BIGINT)) div count(1)")
+              .as("orders_per_cust_micro"),
+            sum("value_cents").as("value_cents"))
+          .orderBy("cohort_month")
+      },
+      Some("""WITH fo AS (SELECT o_custkey,
+             |              min(CAST(o_orderdate AS TIMESTAMP)) AS first_dt,
+             |              count(*) AS n_orders,
+             |              sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS value_cents
+             |            FROM orders GROUP BY 1)
+             |SELECT CAST(date_trunc('month', first_dt) AS DATE) AS cohort_month,
+             |  count(*) AS customers, CAST(sum(n_orders) AS BIGINT) AS orders_total,
+             |  CAST((sum(n_orders) * 1000000) // count(*) AS BIGINT)
+             |    AS orders_per_cust_micro,
+             |  CAST(sum(value_cents) AS BIGINT) AS value_cents
+             |FROM fo GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -1408,6 +1408,122 @@ object DedupOps extends org.apache.spark.internal.Logging {
              |df AS (SELECT tok, count(*) AS df FROM t GROUP BY 1)
              |SELECT least(df, 10) AS df_band, count(*) AS shingles,
              |  CAST(sum(df) AS BIGINT) AS postings
-             |FROM df GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM df GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // MinHash ESTIMATOR accuracy: on the candidate pairs, compare the
+    // k=4 signature-agreement Jaccard estimate (matching slices × 1/k)
+    // against the exact shingle Jaccard — mean and max absolute error.
+    // This is the measurement that justifies (or indicts) a signature
+    // width: 4 slices quantize the estimate to 1/4 steps, so the gate
+    // reports ~0.04 mean error on the fixture corpus and a production
+    // pipeline re-runs it to size k. All scoring ∝ candidates.
+    QueryDef(
+      "q_minhash_accuracy",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val dups = docs.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        val corpus = docs.unionByName(dups)
+        val sig = minhashSignature(corpus, "doc_id", "text", 4, shingleN = 3)
+        val cand = lshCandidates(sig, "doc_id", 4, 2)
+        val toks = corpus.select(col("doc_id"),
+          explode(shingles(col("text"), 3)).as("tok"))
+        val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = cand
+          .join(toks.select(col("doc_id").as("id1"), col("tok")), "id1")
+          .join(toks.select(col("doc_id").as("id2"), col("tok")), Seq("id2", "tok"))
+          .groupBy("id1", "id2").agg(count(lit(1)).as("i"))
+        val exact = cand
+          .join(inter, Seq("id1", "id2"), "left")
+          .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
+          .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
+          .select(col("id1"), col("id2"),
+            expr("(coalesce(i, CAST(0 AS BIGINT)) * CAST(1000000 AS BIGINT)) " +
+              "div (n1 + n2 - coalesce(i, CAST(0 AS BIGINT)))").as("jacc_micro"))
+        val est = cand
+          .join(sig.select(col("doc_id").as("id1"), col("sig1").as("a1"),
+            col("sig2").as("a2"), col("sig3").as("a3"), col("sig4").as("a4")), "id1")
+          .join(sig.select(col("doc_id").as("id2"), col("sig1").as("b1"),
+            col("sig2").as("b2"), col("sig3").as("b3"), col("sig4").as("b4")), "id2")
+          .select(col("id1"), col("id2"),
+            ((when(col("a1") === col("b1"), 1).otherwise(0) +
+              when(col("a2") === col("b2"), 1).otherwise(0) +
+              when(col("a3") === col("b3"), 1).otherwise(0) +
+              when(col("a4") === col("b4"), 1).otherwise(0)) * lit(250000))
+              .cast("long").as("est_micro"))
+        exact.join(est, Seq("id1", "id2"))
+          .select(abs(col("est_micro") - col("jacc_micro")).as("err"))
+          .agg(count(lit(1)).as("pairs"),
+            expr("sum(err) div count(1)").as("mae_micro"),
+            max("err").as("max_err_micro"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT DISTINCT doc_id, unnest(sh) AS tok FROM (
+              |    SELECT doc_id,
+              |      [array_to_string(toks[i:i+2], ' ')
+              |       for i in range(1, greatest(len(toks)-2, 1)+1)] AS sh
+              |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              |          FROM ($docsWithDups)))),
+              |sig AS (
+              |  SELECT doc_id,
+              |    min(substr(md5(tok), 1, 8)) AS sig1, min(substr(md5(tok), 9, 8)) AS sig2,
+              |    min(substr(md5(tok), 17, 8)) AS sig3, min(substr(md5(tok), 25, 8)) AS sig4
+              |  FROM t GROUP BY 1),
+              |b AS (
+              |  SELECT doc_id, 0 AS band, md5(sig1 || sig2) AS bucket FROM sig
+              |  UNION ALL
+              |  SELECT doc_id, 1 AS band, md5(sig3 || sig4) AS bucket FROM sig),
+              |cand AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+              |         FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket
+              |         WHERE l.doc_id < r.doc_id),
+              |c AS (SELECT doc_id, count(*) AS n FROM t GROUP BY 1),
+              |i AS (SELECT cd.id1, cd.id2, count(*) AS i
+              |      FROM cand cd JOIN t a ON a.doc_id = cd.id1
+              |                   JOIN t b2 ON b2.doc_id = cd.id2 AND b2.tok = a.tok
+              |      GROUP BY 1, 2),
+              |sc AS (SELECT cd.id1, cd.id2, (coalesce(i.i, 0) * 1000000)
+              |         // (ca.n + cb.n - coalesce(i.i, 0)) AS jacc_micro
+              |       FROM cand cd
+              |       LEFT JOIN i ON i.id1 = cd.id1 AND i.id2 = cd.id2
+              |       JOIN c ca ON ca.doc_id = cd.id1
+              |       JOIN c cb ON cb.doc_id = cd.id2),
+              |est AS (SELECT cd.id1, cd.id2,
+              |          ((CASE WHEN s1.sig1 = s2.sig1 THEN 1 ELSE 0 END) +
+              |           (CASE WHEN s1.sig2 = s2.sig2 THEN 1 ELSE 0 END) +
+              |           (CASE WHEN s1.sig3 = s2.sig3 THEN 1 ELSE 0 END) +
+              |           (CASE WHEN s1.sig4 = s2.sig4 THEN 1 ELSE 0 END)) * 250000 AS est_micro
+              |        FROM cand cd JOIN sig s1 ON s1.doc_id = cd.id1
+              |                     JOIN sig s2 ON s2.doc_id = cd.id2)
+              |SELECT count(*) AS pairs,
+              |  CAST(sum(abs(e.est_micro - sc.jacc_micro)) // count(*) AS BIGINT) AS mae_micro,
+              |  CAST(max(abs(e.est_micro - sc.jacc_micro)) AS BIGINT) AS max_err_micro
+              |FROM sc JOIN est e ON e.id1 = sc.id1 AND e.id2 = sc.id2""".stripMargin)),
+
+    // duplicate-family-size histogram — the dataset-card shape of the
+    // corpus's duplication: how many families of 2, 3, … near-identical
+    // docs exist and how much of the corpus they hold. Same CC labels
+    // the dedup/keep-best/soft-weight queries consume; two map-combined
+    // aggregates after the (already linear) clustering chain.
+    QueryDef(
+      "q_dup_family_sizes",
+      (s, d) => {
+        val (corpus, clusters) = corpusAndClusters(s, d)
+        val fam = corpus.select("doc_id")
+          .join(clusters.select(col("id").as("doc_id"), col("cluster")),
+            Seq("doc_id"), "left")
+          .select(coalesce(col("cluster"), col("doc_id")).as("family"))
+        fam.groupBy("family").agg(count(lit(1)).as("members"))
+          .groupBy("members").agg(count(lit(1)).as("families"))
+          .select(col("members").as("family_size"), col("families"),
+            (col("members") * col("families")).as("docs"))
+          .orderBy("family_size")
+      },
+      Some(s"""${corpusClustersCte},
+              |fam AS (SELECT c.doc_id, coalesce(l.cluster, c.doc_id) AS family
+              |        FROM corpus c LEFT JOIN lab l ON l.id = c.doc_id),
+              |sz AS (SELECT family, count(*) AS members FROM fam GROUP BY 1)
+              |SELECT members AS family_size, count(*) AS families,
+              |  CAST(members * count(*) AS BIGINT) AS docs
+              |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
