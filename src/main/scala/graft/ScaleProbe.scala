@@ -167,7 +167,8 @@ object ScaleProbe {
       "q_first_touch", "q_quality_length_corr", "q_vocab_coverage",
       "q_temporal_split", "q_feature_drift", "q_ivf_balance", "q_knn_degree",
       "q_lsh_precision", "q_shingle_df_profile", "q_activity_concentration",
-      "q_minhash_accuracy", "q_dup_family_sizes", "q_orders_cohort")
+      "q_minhash_accuracy", "q_dup_family_sizes", "q_orders_cohort",
+      "q_basket_pairs", "q_l_diversity", "q_pq_distortion")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

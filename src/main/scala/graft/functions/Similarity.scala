@@ -1702,6 +1702,54 @@ object Similarity {
               |       FROM (SELECT vec_id FROM embeddings) a
               |       LEFT JOIN deg USING (vec_id))
               |SELECT indeg AS in_degree, count(*) AS n_vectors
-              |FROM d2 GROUP BY 1 ORDER BY 1""".stripMargin))
+              |FROM d2 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // PQ reconstruction DISTORTION — the other axis of q_pq_recall: per
+    // subspace, the mean squared error between each subvector and its
+    // assigned centroid (micro-quantized per row, so the per-subspace
+    // averages are exact integer sums). Recall tells you whether the
+    // index still finds neighbors; distortion tells you WHERE the codes
+    // lose geometry (a hot subspace with 2× the MSE is the one to give
+    // more centroids). Assignment mirrors q_pq_recall's max-dot codes;
+    // ‖x−c‖² comes from three shared-traversal dot products.
+    QueryDef(
+      "q_pq_distortion",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), asDouble(col("embedding")).as("ed"))
+        val sub = pqSubvectors(emb)
+        val cents = sub.where(col("vec_id") < PqCents)
+          .select(col("s"), col("vec_id").as("cent_id"), col("xs").as("cs"))
+        val wA = Window.partitionBy("vec_id", "s")
+          .orderBy(col("v").desc, col("cent_id"))
+        val best = sub.join(broadcast(cents), "s")
+          .withColumn("v", round(dot(col("xs"), col("cs")), 4))
+          .withColumn("crn", row_number().over(wA))
+          .where(col("crn") === 1)
+        best
+          .select(col("s"),
+            round((dot(col("xs"), col("xs")) - lit(2.0) * dot(col("xs"), col("cs")) +
+              dot(col("cs"), col("cs"))) * lit(1e6)).cast("long").as("dist_micro"))
+          .groupBy("s")
+          .agg(count(lit(1)).as("n"),
+            expr("sum(dist_micro) div count(1)").as("mse_micro"))
+          .orderBy("s")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
+              |sub AS (SELECT vec_id, s, ed[s*$PqSubDim+1 : s*$PqSubDim+$PqSubDim] AS xs
+              |        FROM e, range($PqSubs) t(s)),
+              |cents AS (SELECT s, vec_id AS cent_id, xs AS cs FROM sub WHERE vec_id < $PqCents),
+              |ad AS (SELECT sub.vec_id, sub.s, sub.xs, c.cs,
+              |         row_number() OVER (PARTITION BY sub.vec_id, sub.s
+              |           ORDER BY round(list_dot_product(sub.xs, c.cs), 4) DESC, c.cent_id) AS crn
+              |       FROM sub JOIN cents c USING (s)),
+              |best AS (SELECT * FROM ad WHERE crn = 1),
+              |dist AS (SELECT s, CAST(round((list_dot_product(xs, xs)
+              |           - 2*list_dot_product(xs, cs)
+              |           + list_dot_product(cs, cs)) * 1000000) AS BIGINT) AS dist_micro
+              |         FROM best)
+              |SELECT CAST(s AS INT) AS s, count(*) AS n,
+              |  CAST(sum(dist_micro) // count(*) AS BIGINT) AS mse_micro
+              |FROM dist GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

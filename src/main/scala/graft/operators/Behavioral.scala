@@ -662,6 +662,35 @@ object Behavioral {
              |  CAST((sum(n_orders) * 1000000) // count(*) AS BIGINT)
              |    AS orders_per_cust_micro,
              |  CAST(sum(value_cents) AS BIGINT) AS value_cents
-             |FROM fo GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM fo GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // l-diversity audit — k-anonymity's sharper sibling (q_k_anonymity
+    // checks group SIZE; this checks group VARIETY): for each
+    // quasi-identifier group (day, value band), how many distinct values
+    // of the SENSITIVE attribute (event type) appear? A group where
+    // everyone shares one sensitive value leaks it to anyone who can
+    // place a person in the group, however large the group is. Reports
+    // the weak groups (l < 3). One map-combined aggregate; NULL values
+    // band to a sentinel (the q_k_anonymity convention).
+    QueryDef(
+      "q_l_diversity",
+      (s, d) => Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"),
+          coalesce(floor(col("value") / 100).cast("int"), lit(-9999))
+            .as("value_band"),
+          col("event_type"))
+        .groupBy("day", "value_band")
+        .agg(count(lit(1)).as("rows_n"),
+          countDistinct("event_type").as("l"))
+        .where(col("l") < 3)
+        .orderBy("day", "value_band"),
+      Some("""WITH g AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             |             coalesce(CAST(floor(value / 100) AS INT), -9999) AS value_band,
+             |             event_type
+             |           FROM events)
+             |SELECT day, value_band, count(*) AS rows_n,
+             |  CAST(count(DISTINCT event_type) AS BIGINT) AS l
+             |FROM g GROUP BY 1, 2 HAVING count(DISTINCT event_type) < 3
+             |ORDER BY 1, 2""".stripMargin))
   )
 }

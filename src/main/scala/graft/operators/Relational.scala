@@ -702,6 +702,50 @@ object Relational {
         .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n"))
         .orderBy("event_type"),
       Some("""SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
-             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // market-basket pair mining over the fact table: the top-20 part
+    // pairs co-purchased in the same order, with LIFT (observed co-rate
+    // over the independence expectation, integer micros) — q_pmi_bigrams'
+    // shape on relational data. The pair join is keyed on the order (pairs
+    // per order ≈ C(items,2), items small), the top-20 cut is taken
+    // BEFORE any dimension lookups, so the per-part counts and the
+    // order total join onto 20 rows, not the pair space.
+    QueryDef(
+      "q_basket_pairs",
+      (s, d) => {
+        val lp = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_partkey").distinct()
+        val n = lp.agg(countDistinct("l_orderkey").as("n_orders"))
+        val pc = lp.groupBy("l_partkey").agg(count(lit(1)).as("c"))
+        val pr = lp.select(col("l_orderkey"), col("l_partkey").as("p1"))
+          .join(lp.select(col("l_orderkey"), col("l_partkey").as("p2")),
+            "l_orderkey")
+          .where(col("p1") < col("p2"))
+          .groupBy("p1", "p2").agg(count(lit(1)).as("cnt"))
+        val top = pr.orderBy(col("cnt").desc, col("p1"), col("p2")).limit(20)
+        top
+          .join(broadcast(pc.select(col("l_partkey").as("p1"), col("c").as("c1"))), "p1")
+          .join(broadcast(pc.select(col("l_partkey").as("p2"), col("c").as("c2"))), "p2")
+          .crossJoin(broadcast(n))
+          .select(col("p1"), col("p2"), col("cnt"),
+            expr("(cnt * n_orders * CAST(1000000 AS BIGINT)) div (c1 * c2)")
+              .as("lift_micro"))
+          .orderBy(col("cnt").desc, col("p1"), col("p2"))
+      },
+      Some("""WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lp),
+             |pc AS (SELECT l_partkey, count(*) AS c FROM lp GROUP BY 1),
+             |pr AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS cnt
+             |       FROM lp a JOIN lp b
+             |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |       GROUP BY 1, 2),
+             |top AS (SELECT p1, p2, cnt FROM pr ORDER BY cnt DESC, p1, p2 LIMIT 20)
+             |SELECT t.p1, t.p2, t.cnt,
+             |  CAST((t.cnt * n.n_orders * 1000000) // (c1.c * c2.c) AS BIGINT)
+             |    AS lift_micro
+             |FROM top t JOIN pc c1 ON c1.l_partkey = t.p1
+             |           JOIN pc c2 ON c2.l_partkey = t.p2
+             |CROSS JOIN n ORDER BY cnt DESC, p1, p2""".stripMargin))
   )
 }
