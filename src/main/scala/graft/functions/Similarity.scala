@@ -1750,6 +1750,41 @@ object Similarity {
               |         FROM best)
               |SELECT CAST(s AS INT) AS s, count(*) AS n,
               |  CAST(sum(dist_micro) // count(*) AS BIGINT) AS mse_micro
-              |FROM dist GROUP BY 1 ORDER BY 1""".stripMargin))
+              |FROM dist GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // LSH hyperplane BALANCE: per embedding dimension, the share of
+    // positive signs — the health check on the sign-test hyperplanes the
+    // banded ANN index is built from. A dimension that is 90/10 carries
+    // ~0.47 bits instead of 1: its band positions mostly agree for ALL
+    // vectors, inflating bucket occupancy without adding selectivity.
+    // Top-8 most imbalanced dims, everything in exact integer micros
+    // computed from the raw sign counts (never from a pre-truncated
+    // share, so the two engines cannot round differently).
+    QueryDef(
+      "q_lsh_bit_balance",
+      (s, d) => {
+        val dims = Tables.embeddings(s, d)
+          .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+          .select(col("dim"),
+            when(col("x") >= 0, 1L).otherwise(0L).as("pos"))
+        dims.groupBy("dim")
+          .agg(count(lit(1)).as("n"), sum("pos").as("positives"))
+          .select(col("dim"), col("n"), col("positives"),
+            expr("(positives * CAST(1000000 AS BIGINT)) div n").as("pos_micro"),
+            expr("abs((2 * positives * CAST(1000000 AS BIGINT)) div n " +
+              "- CAST(1000000 AS BIGINT))").as("imbalance_micro"))
+          .orderBy(col("imbalance_micro").desc, col("dim"))
+          .limit(8)
+      },
+      Some("""WITH dims AS (
+             |  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             |         CASE WHEN unnest(embedding) >= 0 THEN 1 ELSE 0 END AS pos
+             |  FROM embeddings)
+             |SELECT CAST(dim AS INT) AS dim, count(*) AS n,
+             |  CAST(sum(pos) AS BIGINT) AS positives,
+             |  CAST((sum(pos) * 1000000) // count(*) AS BIGINT) AS pos_micro,
+             |  CAST(abs((2 * sum(pos) * 1000000) // count(*) - 1000000) AS BIGINT)
+             |    AS imbalance_micro
+             |FROM dims GROUP BY 1 ORDER BY imbalance_micro DESC, dim LIMIT 8""".stripMargin))
   )
 }

@@ -1524,6 +1524,103 @@ object DedupOps extends org.apache.spark.internal.Logging {
               |sz AS (SELECT family, count(*) AS members FROM fam GROUP BY 1)
               |SELECT members AS family_size, count(*) AS families,
               |  CAST(members * count(*) AS BIGINT) AS docs
-              |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin))
+              |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // cross-source duplicate FLOW: candidate near-dup pairs grouped by
+    // (source, source) — which feeds copy from each other, and how much
+    // of each source's duplication is internal (the diagonal). The
+    // directional sibling of q_source_overlap's corpus-level Jaccard:
+    // overlap says "40% the same data", this says which pairs carry it.
+    // Sources join onto the (already bounded) candidate set; top-15 by
+    // pair count with a total order under the cut.
+    QueryDef(
+      "q_dup_source_flow",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val dups = docs.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        val corpus = docs.unionByName(dups)
+        val sig = minhashSignature(corpus, "doc_id", "text", 4, shingleN = 3)
+        val cand = lshCandidates(sig, "doc_id", 4, 2)
+        val srcBase = Tables.documents(s, d).select("doc_id", "source")
+        val src = srcBase.unionByName(
+          srcBase.where(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 100000).as("doc_id"), col("source")))
+        cand
+          .join(src.select(col("doc_id").as("id1"), col("source").as("sa")), "id1")
+          .join(src.select(col("doc_id").as("id2"), col("source").as("sb")), "id2")
+          .groupBy(least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"))
+          .agg(count(lit(1)).as("dup_pairs"))
+          .orderBy(col("dup_pairs").desc, col("source_a"), col("source_b"))
+          .limit(15)
+      },
+      Some(s"""WITH t AS (
+              |  SELECT DISTINCT doc_id, unnest(sh) AS tok FROM (
+              |    SELECT doc_id,
+              |      [array_to_string(toks[i:i+2], ' ')
+              |       for i in range(1, greatest(len(toks)-2, 1)+1)] AS sh
+              |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              |          FROM ($docsWithDups)))),
+              |sig AS (
+              |  SELECT doc_id,
+              |    min(substr(md5(tok), 1, 8)) AS sig1, min(substr(md5(tok), 9, 8)) AS sig2,
+              |    min(substr(md5(tok), 17, 8)) AS sig3, min(substr(md5(tok), 25, 8)) AS sig4
+              |  FROM t GROUP BY 1),
+              |b AS (
+              |  SELECT doc_id, 0 AS band, md5(sig1 || sig2) AS bucket FROM sig
+              |  UNION ALL
+              |  SELECT doc_id, 1 AS band, md5(sig3 || sig4) AS bucket FROM sig),
+              |cand AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+              |         FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket
+              |         WHERE l.doc_id < r.doc_id),
+              |src AS (SELECT doc_id, source FROM documents
+              |        UNION ALL
+              |        SELECT doc_id + 100000, source FROM documents WHERE doc_id % 10 = 0)
+              |SELECT least(sa.source, sb.source) AS source_a,
+              |       greatest(sa.source, sb.source) AS source_b,
+              |       count(*) AS dup_pairs
+              |FROM cand cd JOIN src sa ON sa.doc_id = cd.id1
+              |             JOIN src sb ON sb.doc_id = cd.id2
+              |GROUP BY 1, 2 ORDER BY dup_pairs DESC, 1, 2 LIMIT 15""".stripMargin)),
+
+    // dedup SAVINGS summary — the one-row business case: total corpus
+    // chars, chars the keep-best survivors retain (each family keeps its
+    // longest member — max(len) per family, so no survivor selection pass
+    // is needed for LENGTH accounting), and the saved fraction in micros.
+    // Everything is exact integer arithmetic over the shared CC labels.
+    QueryDef(
+      "q_dedup_savings",
+      (s, d) => {
+        val (corpus, clusters) = corpusAndClusters(s, d)
+        val fam = corpus
+          .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+          .join(clusters.select(col("id").as("doc_id"), col("cluster")),
+            Seq("doc_id"), "left")
+          .select(coalesce(col("cluster"), col("doc_id")).as("family"), col("len"))
+        val per = fam.groupBy("family")
+          .agg(count(lit(1)).as("members"), sum("len").as("sum_len"),
+            max("len").as("max_len"))
+        per.agg(
+          sum("members").as("docs"), count(lit(1)).as("families"),
+          sum("sum_len").as("total_chars"), sum("max_len").as("kept_chars"),
+          (sum("sum_len") - sum("max_len")).as("saved_chars"),
+          expr("((sum(sum_len) - sum(max_len)) * CAST(1000000 AS BIGINT)) div sum(sum_len)")
+            .as("saved_micro"))
+      },
+      Some(s"""${corpusClustersCte},
+              |fam AS (SELECT coalesce(l.cluster, c.doc_id) AS family,
+              |          CAST(length(c.text) AS BIGINT) AS len
+              |        FROM corpus c LEFT JOIN lab l ON l.id = c.doc_id),
+              |per AS (SELECT family, count(*) AS members, sum(len) AS sum_len,
+              |          max(len) AS max_len
+              |        FROM fam GROUP BY 1)
+              |SELECT CAST(sum(members) AS BIGINT) AS docs, count(*) AS families,
+              |  CAST(sum(sum_len) AS BIGINT) AS total_chars,
+              |  CAST(sum(max_len) AS BIGINT) AS kept_chars,
+              |  CAST(sum(sum_len) - sum(max_len) AS BIGINT) AS saved_chars,
+              |  CAST(((sum(sum_len) - sum(max_len)) * 1000000) // sum(sum_len) AS BIGINT)
+              |    AS saved_micro
+              |FROM per""".stripMargin))
   )
 }
