@@ -169,7 +169,8 @@ object ScaleProbe {
       "q_lsh_precision", "q_shingle_df_profile", "q_activity_concentration",
       "q_minhash_accuracy", "q_dup_family_sizes", "q_orders_cohort",
       "q_basket_pairs", "q_l_diversity", "q_pq_distortion",
-      "q_dup_source_flow", "q_dedup_savings", "q_lsh_bit_balance")
+      "q_dup_source_flow", "q_dedup_savings", "q_lsh_bit_balance",
+      "q_filter_funnel", "q_cosine_hist")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

@@ -1785,6 +1785,37 @@ object Similarity {
              |  CAST((sum(pos) * 1000000) // count(*) AS BIGINT) AS pos_micro,
              |  CAST(abs((2 * sum(pos) * 1000000) // count(*) - 1000000) AS BIGINT)
              |    AS imbalance_micro
-             |FROM dims GROUP BY 1 ORDER BY imbalance_micro DESC, dim LIMIT 8""".stripMargin))
+             |FROM dims GROUP BY 1 ORDER BY imbalance_micro DESC, dim LIMIT 8""".stripMargin)),
+
+    // pairwise-cosine GEOMETRY histogram: the distribution of cosine over
+    // a 50-query × corpus sample, banded at 0.1 — the isotropy sanity
+    // check run before trusting any similarity threshold (a mean-shifted
+    // or collapsed embedding space shows up here first; thresholds like
+    // "0.95 = duplicate" only mean something against this background).
+    // The native one-pass cosine expression ([[cosine]]) is bit-identical
+    // to the oracle's dot/(√·√) composition; floor on the 4dp-rounded
+    // value keeps band edges exact.
+    QueryDef(
+      "q_cosine_hist",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), asDouble(col("embedding")).as("ed"))
+        val q2 = e.where(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), col("ed").as("qe"))
+        e.crossJoin(broadcast(q2))
+          .where(col("vec_id") =!= col("qid"))
+          .select(floor(round(cosine(col("qe"), col("ed")), 4) * 10)
+            .cast("int").as("band"))
+          .groupBy("band").agg(count(lit(1)).as("pairs"))
+          .orderBy("band")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
+             |q AS (SELECT vec_id AS qid, ed AS qe FROM e WHERE vec_id < 50),
+             |sims AS (SELECT round(list_dot_product(q.qe, e.ed) /
+             |           (sqrt(list_dot_product(q.qe, q.qe)) *
+             |            sqrt(list_dot_product(e.ed, e.ed))), 4) AS cos
+             |         FROM q CROSS JOIN e WHERE e.vec_id <> q.qid)
+             |SELECT CAST(floor(cos * 10) AS INT) AS band, count(*) AS pairs
+             |FROM sims GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

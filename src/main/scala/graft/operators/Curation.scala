@@ -1084,6 +1084,77 @@ object Curation {
              |         // max(t.t) AS BIGINT) AS coverage_micro
              |FROM (VALUES (10), (25), (50)) AS ks(k)
              |CROSS JOIN r CROSS JOIN tot t
-             |GROUP BY ks.k ORDER BY ks.k""".stripMargin))
+             |GROUP BY ks.k ORDER BY ks.k""".stripMargin)),
+
+    // filter FUNNEL — the per-stage drop accounting every curation paper
+    // publishes (C4, Gopher, FineWeb report exactly this table): apply
+    // q_quality_filter's three gates in sequence (length band → stopword
+    // presence → repetition cap) and report survivors and drops at each
+    // stage. The per-doc predicate bits are computed ONCE in a single
+    // pass; all four funnel rows come out of one aggregate (conditional
+    // counts over the bit combinations), exploded to rows — the corpus is
+    // never re-scanned per stage.
+    QueryDef(
+      "q_filter_funnel",
+      (s, d) => {
+        import graft.functions.TextAnalysis.{enStopwordHits, tokenCount}
+        val grams = DedupOps.wordNGrams(col("text"), 3)
+        val rep = Tables.documents(s, d)
+          .select(col("doc_id"), explode(grams).as("gram"))
+          .groupBy("doc_id", "gram").agg(count(lit(1)).as("n"))
+          .groupBy("doc_id")
+          .agg(round(max("n").cast("double") / sum("n"), 4).as("rep_ratio"))
+        val fl = Tables.documents(s, d)
+          .withColumn("n_tokens", tokenCount(col("text")))
+          .withColumn("stop_hits", enStopwordHits(col("text")))
+          .join(rep, "doc_id")
+          .select(col("n_tokens").between(30, 500).as("p_len"),
+            (col("stop_hits") >= 1).as("p_stop"),
+            (col("rep_ratio") <= 0.2).as("p_rep"))
+        val agg = fl.agg(
+          count(lit(1)).as("all_n"),
+          count(when(col("p_len"), 1)).as("s1"),
+          count(when(col("p_len") && col("p_stop"), 1)).as("s2"),
+          count(when(col("p_len") && col("p_stop") && col("p_rep"), 1)).as("s3"))
+        agg.select(explode(array(
+            struct(lit("0_all").as("stage"), col("all_n").as("remaining"),
+              lit(0L).as("dropped")),
+            struct(lit("1_length").as("stage"), col("s1").as("remaining"),
+              (col("all_n") - col("s1")).as("dropped")),
+            struct(lit("2_stopwords").as("stage"), col("s2").as("remaining"),
+              (col("s1") - col("s2")).as("dropped")),
+            struct(lit("3_repetition").as("stage"), col("s3").as("remaining"),
+              (col("s2") - col("s3")).as("dropped")))).as("r"))
+          .select("r.*")
+          .orderBy("stage")
+      },
+      Some("""WITH g AS (SELECT doc_id, unnest(grams) AS gram FROM (
+             |    SELECT doc_id,
+             |      [array_to_string(toks[i:i+2], ' ')
+             |       for i in range(1, greatest(len(toks)-2, 1)+1)] AS grams
+             |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))),
+             |c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2),
+             |rep AS (SELECT doc_id,
+             |    round(CAST(max(n) AS DOUBLE) / sum(n), 4) AS rep_ratio
+             |  FROM c GROUP BY 1),
+             |fl AS (SELECT
+             |    (len(string_split(d.text, ' ')) BETWEEN 30 AND 500) AS p_len,
+             |    (len(regexp_extract_all(d.text, '\b(the|and|of|to|in)\b')) >= 1) AS p_stop,
+             |    (r.rep_ratio <= 0.2) AS p_rep
+             |  FROM documents d JOIN rep r ON r.doc_id = d.doc_id)
+             |SELECT stage, remaining, dropped FROM (
+             |  SELECT '0_all' AS stage, count(*) AS remaining,
+             |         CAST(0 AS BIGINT) AS dropped FROM fl
+             |  UNION ALL
+             |  SELECT '1_length', count(*) FILTER (p_len),
+             |         count(*) - count(*) FILTER (p_len) FROM fl
+             |  UNION ALL
+             |  SELECT '2_stopwords', count(*) FILTER (p_len AND p_stop),
+             |         count(*) FILTER (p_len) - count(*) FILTER (p_len AND p_stop) FROM fl
+             |  UNION ALL
+             |  SELECT '3_repetition', count(*) FILTER (p_len AND p_stop AND p_rep),
+             |         count(*) FILTER (p_len AND p_stop)
+             |           - count(*) FILTER (p_len AND p_stop AND p_rep) FROM fl)
+             |ORDER BY stage""".stripMargin))
   )
 }
