@@ -1155,6 +1155,58 @@ object Curation {
              |  SELECT '3_repetition', count(*) FILTER (p_len AND p_stop AND p_rep),
              |         count(*) FILTER (p_len AND p_stop)
              |           - count(*) FILTER (p_len AND p_stop AND p_rep) FROM fl)
-             |ORDER BY stage""".stripMargin))
+             |ORDER BY stage""".stripMargin)),
+
+    // ROBUST per-source outlier detection: median + median-absolute-
+    // deviation of document length (both RANK-CEIL exact, the q_winsorize
+    // convention — interpolating quantiles drift cross-engine, rank ones
+    // cannot), flagging docs beyond 3×MAD. MAD-based flags survive the
+    // exact pathology that breaks z-scores: the outliers themselves
+    // inflate a standard deviation until nothing is flagged, while the
+    // median/MAD barely move. Two per-source window passes + two
+    // broadcast-sized joins back (one row per source each).
+    QueryDef(
+      "q_robust_outliers",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("source", "doc_id", "n_chars")
+        val w1 = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+        val med = docs
+          .withColumn("rn", row_number().over(w1).cast("long"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+          .where(col("rn") === expr("(50 * n + 99) div 100"))
+          .select(col("source"), col("n_chars").as("med"))
+        val dev = docs.join(med, "source")
+          .select(col("source"), col("doc_id"),
+            abs(col("n_chars") - col("med")).as("ad"), col("med"))
+        val w2 = Window.partitionBy("source").orderBy("ad", "doc_id")
+        val mad = dev
+          .withColumn("rn", row_number().over(w2).cast("long"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+          .where(col("rn") === expr("(50 * n + 99) div 100"))
+          .select(col("source"), col("ad").as("mad"))
+        dev.join(mad, "source")
+          .groupBy("source")
+          .agg(max("med").as("median_chars"), max("mad").as("mad_chars"),
+            count(lit(1)).as("docs"),
+            count(when(col("ad") > lit(3) * col("mad"), 1)).as("outliers"))
+          .orderBy("source")
+      },
+      Some("""WITH r1 AS (SELECT source, doc_id, n_chars,
+             |       row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+             |       count(*) OVER (PARTITION BY source) AS n
+             |     FROM documents),
+             |med AS (SELECT source, n_chars AS med FROM r1 WHERE rn = (50*n + 99) // 100),
+             |dev AS (SELECT d.source, d.doc_id, abs(d.n_chars - m.med) AS ad, m.med
+             |        FROM documents d JOIN med m USING (source)),
+             |r2 AS (SELECT source, ad,
+             |         row_number() OVER (PARTITION BY source ORDER BY ad, doc_id) AS rn,
+             |         count(*) OVER (PARTITION BY source) AS n
+             |       FROM dev),
+             |mad AS (SELECT source, ad AS mad FROM r2 WHERE rn = (50*n + 99) // 100)
+             |SELECT v.source, max(v.med) AS median_chars, max(m.mad) AS mad_chars,
+             |  count(*) AS docs,
+             |  CAST(count(CASE WHEN v.ad > 3 * m.mad THEN 1 END) AS BIGINT) AS outliers
+             |FROM dev v JOIN mad m USING (source)
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
