@@ -1683,6 +1683,16 @@ object Similarity {
     // and retrieval); this is the one-line health check run after every
     // graph build. Zero-in-degree vectors come from a left join against
     // the corpus so the histogram's mass always sums to the corpus size.
+    // Scale note (measured): the shared [[knnGraph]] build carries the
+    // FIXED NdBands×NdBits shape, whose per-bucket occupancy — and so
+    // its candidate-pair count — grows quadratically once the corpus
+    // outruns 2^bits·parallelism; the 100× probe (500 k vectors on 8-bit
+    // bands) hits exactly that wall (disk-exhausting spill in the bucket
+    // self-join). That is the documented tuning law at the top of this
+    // file (bits ∝ log₂ corpus), not a plan defect: a production build
+    // re-derives the band shape from the corpus count the way
+    // [[adaptiveNearDupPairs]] does, and this histogram is the gate that
+    // would catch a mis-sized shape before anything trusts the graph.
     QueryDef(
       "q_knn_degree",
       (s, d) => {
