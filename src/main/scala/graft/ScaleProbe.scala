@@ -170,7 +170,8 @@ object ScaleProbe {
       "q_minhash_accuracy", "q_dup_family_sizes", "q_orders_cohort",
       "q_basket_pairs", "q_l_diversity", "q_pq_distortion",
       "q_dup_source_flow", "q_dedup_savings", "q_lsh_bit_balance",
-      "q_filter_funnel", "q_cosine_hist", "q_robust_outliers")
+      "q_filter_funnel", "q_cosine_hist", "q_robust_outliers",
+      "q_ab_assign", "q_seasonal_naive")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

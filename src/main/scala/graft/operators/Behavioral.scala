@@ -691,6 +691,81 @@ object Behavioral {
              |SELECT day, value_band, count(*) AS rows_n,
              |  CAST(count(DISTINCT event_type) AS BIGINT) AS l
              |FROM g GROUP BY 1, 2 HAVING count(DISTINCT event_type) < 3
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // A/B experiment readout: users deterministically hash-assigned to
+    // arms (md5 — seedless, replayable, cross-engine identical, the
+    // q_split_assign convention), per-arm purchase intensity and value
+    // per user in exact integer micros. The assignment-at-analysis-time
+    // form is what an experimentation pipeline runs when arms were
+    // assigned by the same hash at serving time. Two user-keyed
+    // aggregates joined on the key; the report is |arms| rows.
+    QueryDef(
+      "q_ab_assign",
+      (s, d) => {
+        val arm = Tables.events(s, d).select("user_id").distinct()
+          .withColumn("arm",
+            when(substring(md5(concat(lit("ab:"), col("user_id"))), 1, 1) < "8",
+              "A").otherwise("B"))
+        val m = Tables.events(s, d).groupBy("user_id")
+          .agg(count(when(col("event_type") === "purchase", 1)).as("purchases"),
+            coalesce(sum(when(col("event_type") === "purchase",
+              round(col("value") * 1e6).cast("long"))), lit(0L)).as("value_micro"))
+        arm.join(m, "user_id")
+          .groupBy("arm")
+          .agg(count(lit(1)).as("users"),
+            sum("purchases").as("purchases"),
+            expr("(sum(purchases) * CAST(1000000 AS BIGINT)) div count(1)")
+              .as("purchases_per_user_micro"),
+            expr("sum(value_micro) div count(1)").as("value_per_user_micro"))
+          .orderBy("arm")
+      },
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+             |arm AS (SELECT user_id,
+             |          CASE WHEN substr(md5('ab:' || user_id), 1, 1) < '8'
+             |               THEN 'A' ELSE 'B' END AS arm
+             |        FROM u),
+             |m AS (SELECT user_id,
+             |        count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
+             |        CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+             |              THEN CAST(round(value * 1000000) AS BIGINT) END), 0) AS BIGINT)
+             |          AS value_micro
+             |      FROM events GROUP BY 1)
+             |SELECT a.arm, count(*) AS users, CAST(sum(m.purchases) AS BIGINT) AS purchases,
+             |  CAST((sum(m.purchases) * 1000000) // count(*) AS BIGINT)
+             |    AS purchases_per_user_micro,
+             |  CAST(sum(m.value_micro) // count(*) AS BIGINT) AS value_per_user_micro
+             |FROM arm a JOIN m USING (user_id) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // seasonal-naive forecast BACKTEST: predict each day's event count
+    // with the count seven days earlier and report the mean/max absolute
+    // percentage error in integer micros — the baseline every real
+    // forecasting model must beat, and the shape of a backtest harness
+    // (join actuals to lagged actuals; error ∝ days, not rows). The
+    // daily counts are one map-combined aggregate; the lag join is on
+    // the bounded day domain.
+    QueryDef(
+      "q_seasonal_naive",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+        val j = daily.as("a")
+          .join(daily.as("b"), expr("b.day = a.day - INTERVAL 7 DAYS"))
+          .select(expr("(abs(a.n - b.n) * CAST(1000000 AS BIGINT)) div a.n")
+            .as("ape_micro"))
+        j.agg(count(lit(1)).as("days"),
+          expr("sum(ape_micro) div count(1)").as("mape_micro"),
+          max("ape_micro").as("max_ape_micro"))
+      },
+      Some("""WITH daily AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             |                 count(*) AS n
+             |               FROM events GROUP BY 1),
+             |j AS (SELECT a.day, a.n AS actual, b.n AS forecast,
+             |        (abs(a.n - b.n) * 1000000) // a.n AS ape_micro
+             |      FROM daily a JOIN daily b ON b.day = a.day - INTERVAL 7 DAY)
+             |SELECT count(*) AS days,
+             |  CAST(sum(ape_micro) // count(*) AS BIGINT) AS mape_micro,
+             |  CAST(max(ape_micro) AS BIGINT) AS max_ape_micro
+             |FROM j""".stripMargin))
   )
 }
