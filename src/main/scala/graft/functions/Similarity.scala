@@ -1826,6 +1826,61 @@ object Similarity {
              |            sqrt(list_dot_product(e.ed, e.ed))), 4) AS cos
              |         FROM q CROSS JOIN e WHERE e.vec_id <> q.qid)
              |SELECT CAST(floor(cos * 10) AS INT) AS band, count(*) AS pairs
-             |FROM sims GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM sims GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // embedding-batch DRIFT: per label, how far the centroid computed on
+    // one half of the corpus sits from the other half's (cosine + L2 in
+    // micro units) — q_feature_drift's question asked of the embedding
+    // space, the check a pipeline runs before mixing two ingestion
+    // batches through one index. Deterministic halves (vec_id parity),
+    // integer-micro centroids, exact integer dot/norm/diff sums; the
+    // only float ops are the final sqrt/divide on exactly-cast values.
+    QueryDef(
+      "q_embed_drift",
+      (s, d) => {
+        val dims = Tables.embeddings(s, d)
+          .select(col("label"),
+            when(col("vec_id") % 2 === 0, "h1").otherwise("h2").as("half"),
+            posexplode(col("embedding")).as(Seq("dim", "x")))
+          .select(col("label"), col("half"), col("dim"),
+            round(col("x").cast("double") * 1e6).cast("long").as("xm"))
+        val cent = dims.groupBy("label", "half", "dim")
+          .agg(expr("sum(xm) div count(1)").as("cm"))
+        val a = cent.where(col("half") === "h1")
+          .select(col("label"), col("dim"), col("cm").as("ca"))
+        val b = cent.where(col("half") === "h2")
+          .select(col("label"), col("dim"), col("cm").as("cb"))
+        a.join(b, Seq("label", "dim"))
+          .groupBy("label")
+          .agg(sum(col("ca") * col("cb")).as("dot"),
+            sum(col("ca") * col("ca")).as("na"),
+            sum(col("cb") * col("cb")).as("nb"),
+            sum((col("ca") - col("cb")) * (col("ca") - col("cb"))).as("d2"))
+          .select(col("label"),
+            round(col("dot").cast("double") /
+              sqrt(col("na").cast("double") * col("nb").cast("double")), 6)
+              .as("cos_shift"),
+            round(sqrt(col("d2").cast("double"))).cast("long").as("l2_micro"))
+          .orderBy("label")
+      },
+      Some("""WITH half AS (SELECT vec_id, label,
+             |        CASE WHEN vec_id % 2 = 0 THEN 'h1' ELSE 'h2' END AS half, embedding
+             |      FROM embeddings),
+             |dims AS (SELECT label, half, generate_subscripts(embedding, 1) - 1 AS dim,
+             |           CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xm
+             |         FROM half),
+             |cent AS (SELECT label, half, dim, sum(xm) // count(*) AS cm
+             |         FROM dims GROUP BY 1, 2, 3),
+             |p AS (SELECT a.label, sum(a.cm * b.cm) AS dot,
+             |        sum(a.cm * a.cm) AS na, sum(b.cm * b.cm) AS nb,
+             |        sum((a.cm - b.cm) * (a.cm - b.cm)) AS d2
+             |      FROM cent a JOIN cent b ON a.label = b.label AND a.dim = b.dim
+             |      WHERE a.half = 'h1' AND b.half = 'h2'
+             |      GROUP BY 1)
+             |SELECT label,
+             |  round(CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
+             |    AS cos_shift,
+             |  CAST(round(sqrt(CAST(d2 AS DOUBLE))) AS BIGINT) AS l2_micro
+             |FROM p ORDER BY label""".stripMargin))
   )
 }

@@ -746,6 +746,21 @@ object Relational {
              |    AS lift_micro
              |FROM top t JOIN pc c1 ON c1.l_partkey = t.p1
              |           JOIN pc c2 ON c2.l_partkey = t.p2
-             |CROSS JOIN n ORDER BY cnt DESC, p1, p2""".stripMargin))
+             |CROSS JOIN n ORDER BY cnt DESC, p1, p2""".stripMargin)),
+
+    // fact-table shape profile: the lines-per-order distribution — the
+    // first number a join planner wants about a fact table (it bounds
+    // per-key fan-out in every orderkey join and sizes q_basket_pairs'
+    // pair space at C(lines, 2) per order). Two map-combined aggregates.
+    QueryDef(
+      "q_order_shape",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_orderkey").agg(count(lit(1)).as("lines"))
+        .groupBy("lines").agg(count(lit(1)).as("orders"))
+        .orderBy("lines"),
+      Some("""WITH c AS (SELECT l_orderkey, count(*) AS lines
+             |           FROM lineitem GROUP BY 1)
+             |SELECT lines, count(*) AS orders FROM c
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
