@@ -171,7 +171,8 @@ object ScaleProbe {
       "q_basket_pairs", "q_l_diversity", "q_pq_distortion",
       "q_dup_source_flow", "q_dedup_savings", "q_lsh_bit_balance",
       "q_filter_funnel", "q_cosine_hist", "q_robust_outliers",
-      "q_ab_assign", "q_seasonal_naive", "q_embed_drift", "q_order_shape")
+      "q_ab_assign", "q_seasonal_naive", "q_embed_drift", "q_order_shape",
+      "q_wow_growth", "q_source_gini")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

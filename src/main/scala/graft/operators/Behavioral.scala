@@ -766,6 +766,37 @@ object Behavioral {
              |SELECT count(*) AS days,
              |  CAST(sum(ape_micro) // count(*) AS BIGINT) AS mape_micro,
              |  CAST(max(ape_micro) AS BIGINT) AS max_ape_micro
-             |FROM j""".stripMargin))
+             |FROM j""".stripMargin)),
+
+    // week-over-week growth report: per (week, event type), the count
+    // and its signed delta vs the prior week in integer micros — the
+    // dashboard trend table with the division done in exact integers so
+    // a -24.56% never differs in the last digit across engines. One
+    // map-combined aggregate; the lag join runs on the bounded
+    // week × type domain.
+    QueryDef(
+      "q_wow_growth",
+      (s, d) => {
+        val w = Tables.events(s, d)
+          .groupBy(to_date(date_trunc("week", col("ts"))).as("week"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val a = w.select(col("week"), col("event_type"), col("n"))
+        val b = w.select(date_add(col("week"), 7).as("week"),
+          col("event_type"), col("n").as("prev_n"))
+        a.join(b, Seq("week", "event_type"))
+          .select(col("week"), col("event_type"), col("n"), col("prev_n"),
+            expr("((n - prev_n) * CAST(1000000 AS BIGINT)) div prev_n")
+              .as("wow_micro"))
+          .orderBy("week", "event_type")
+      },
+      Some("""WITH w AS (SELECT CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
+             |             AS week, event_type, count(*) AS n
+             |           FROM events GROUP BY 1, 2)
+             |SELECT a.week, a.event_type, a.n, b.n AS prev_n,
+             |  CAST(((a.n - b.n) * 1000000) // b.n AS BIGINT) AS wow_micro
+             |FROM w a JOIN w b ON b.event_type = a.event_type
+             |  AND b.week = a.week - INTERVAL 7 DAY
+             |ORDER BY a.week, a.event_type""".stripMargin))
   )
 }

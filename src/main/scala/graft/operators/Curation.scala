@@ -1207,6 +1207,37 @@ object Curation {
              |  count(*) AS docs,
              |  CAST(count(CASE WHEN v.ad > 3 * m.mad THEN 1 END) AS BIGINT) AS outliers
              |FROM dev v JOIN mad m USING (source)
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // corpus-balance GINI: one-row Gini coefficient of per-source CHAR
+    // mass (0 = perfectly balanced, → 1 = one source is the corpus) —
+    // the single number a dataset card quotes for source concentration.
+    // Uses the exact pairwise form G = Σᵢⱼ|xᵢ−xⱼ| / (2k·total) over the
+    // k-row per-source aggregate — all integer arithmetic, no sort, no
+    // global window; the k² pair space is bounded by the SOURCE count,
+    // and the one-row sides broadcast.
+    QueryDef(
+      "q_source_gini",
+      (s, d) => {
+        val src = Tables.documents(s, d).groupBy("source")
+          .agg(sum("n_chars").as("n"))
+        val sad = src.select(col("n").as("na"))
+          .crossJoin(broadcast(src.select(col("n").as("nb"))))
+          .agg(sum(abs(col("na") - col("nb"))).as("sad"))
+        val t = src.agg(count(lit(1)).as("k"), sum("n").as("tot"))
+        sad.crossJoin(broadcast(t))
+          .select(col("k").as("sources"), col("tot").as("chars"),
+            expr("(sad * CAST(1000000 AS BIGINT)) div (2 * k * tot)")
+              .as("gini_micro"))
+      },
+      Some("""WITH s AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS n
+             |           FROM documents GROUP BY 1),
+             |p AS (SELECT CAST(sum(abs(a.n - b.n)) AS BIGINT) AS sad
+             |      FROM s a CROSS JOIN s b),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS tot
+             |      FROM s)
+             |SELECT t.k AS sources, t.tot AS chars,
+             |  CAST((p.sad * 1000000) // (2 * t.k * t.tot) AS BIGINT) AS gini_micro
+             |FROM p CROSS JOIN t""".stripMargin))
   )
 }
