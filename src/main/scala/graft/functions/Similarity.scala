@@ -1881,6 +1881,36 @@ object Similarity {
              |  round(CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
              |    AS cos_shift,
              |  CAST(round(sqrt(CAST(d2 AS DOUBLE))) AS BIGINT) AS l2_micro
-             |FROM p ORDER BY label""".stripMargin))
+             |FROM p ORDER BY label""".stripMargin)),
+
+    // int8 SQ reconstruction distortion — q_pq_distortion's twin for the
+    // scalar quantizer: per-element |x − dequantize(quantize(x))| in
+    // nano units, mean and max over the corpus. The max lands at
+    // ~1/(2·127) ≈ 0.0039 by construction (half the quantization grain)
+    // — a report that DOESN'T is how a scaling bug in the codec
+    // announces itself. One scan, one generator, one map-combined
+    // aggregate.
+    QueryDef(
+      "q_sq_distortion",
+      (s, d) => {
+        val x = Tables.embeddings(s, d)
+          .select(explode(col("embedding")).as("xf"))
+          .select(col("xf").cast("double").as("x"))
+        val q = greatest(lit(-127), least(lit(127),
+          round(col("x") * 127).cast("int")))
+        x.select(round(abs(col("x") - q.cast("double") / 127.0) * 1e9)
+            .cast("long").as("e"))
+          .agg(count(lit(1)).as("elements"),
+            expr("sum(e) div count(1)").as("mae_nano"),
+            max("e").as("max_err_nano"))
+      },
+      Some("""WITH err AS (
+             |  SELECT CAST(round(abs(x - CAST(greatest(-127, least(127,
+             |           CAST(round(x * 127) AS INT))) AS DOUBLE) / 127.0) * 1e9) AS BIGINT) AS e
+             |  FROM (SELECT CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings))
+             |SELECT count(*) AS elements,
+             |  CAST(sum(e) // count(*) AS BIGINT) AS mae_nano,
+             |  CAST(max(e) AS BIGINT) AS max_err_nano
+             |FROM err""".stripMargin))
   )
 }

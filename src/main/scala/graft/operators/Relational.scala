@@ -761,6 +761,64 @@ object Relational {
       Some("""WITH c AS (SELECT l_orderkey, count(*) AS lines
              |           FROM lineitem GROUP BY 1)
              |SELECT lines, count(*) AS orders FROM c
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // referential-integrity audit — the dbt-style relationship test run
+    // as one report: for every declared FK edge of the star schema, the
+    // child row count and the orphan count (child keys with no parent).
+    // All-zero orphans IS the assertion on consistent data; any nonzero
+    // row is the broken-ingest alarm. Dimension parents broadcast
+    // (skinny key projections); the fact-fact edge (lineitem→orders) is
+    // left to the planner — at scale it's the one shuffle here.
+    QueryDef(
+      "q_fk_orphans",
+      (s, d) => {
+        def audit(rel: String, child: org.apache.spark.sql.DataFrame,
+            childKey: String, parent: org.apache.spark.sql.DataFrame,
+            parentKey: String, bcast: Boolean) = {
+          val p0 = parent.select(col(parentKey).as("__pk")).distinct()
+          val p = if (bcast) broadcast(p0) else p0
+          child.select(col(childKey).as("__ck"))
+            .join(p, col("__ck") === col("__pk"), "left")
+            .agg(count(lit(1)).as("child_rows"),
+              count(when(col("__pk").isNull, 1)).as("orphans"))
+            .select(lit(rel).as("relation"), col("child_rows"), col("orphans"))
+        }
+        val li = Tables.lineitem(s, d)
+        Seq(
+          audit("lineitem.l_orderkey->orders", li, "l_orderkey",
+            Tables.orders(s, d), "o_orderkey", bcast = false),
+          audit("lineitem.l_partkey->part", li, "l_partkey",
+            Tables.part(s, d), "p_partkey", bcast = true),
+          audit("lineitem.l_suppkey->supplier", li, "l_suppkey",
+            Tables.supplier(s, d), "s_suppkey", bcast = true),
+          audit("orders.o_custkey->customer", Tables.orders(s, d), "o_custkey",
+            Tables.customer(s, d), "c_custkey", bcast = true),
+          audit("customer.c_nationkey->nation", Tables.customer(s, d), "c_nationkey",
+            Tables.nation(s, d), "n_nationkey", bcast = true))
+          .reduce(_.unionByName(_))
+          .orderBy("relation")
+      },
+      Some("""SELECT relation, child_rows, orphans FROM (
+             |  SELECT 'lineitem.l_orderkey->orders' AS relation, count(*) AS child_rows,
+             |    CAST(count(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS BIGINT) AS orphans
+             |  FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+             |  UNION ALL
+             |  SELECT 'lineitem.l_partkey->part', count(*),
+             |    CAST(count(CASE WHEN p.p_partkey IS NULL THEN 1 END) AS BIGINT)
+             |  FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+             |  UNION ALL
+             |  SELECT 'lineitem.l_suppkey->supplier', count(*),
+             |    CAST(count(CASE WHEN s.s_suppkey IS NULL THEN 1 END) AS BIGINT)
+             |  FROM lineitem l LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey
+             |  UNION ALL
+             |  SELECT 'orders.o_custkey->customer', count(*),
+             |    CAST(count(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS BIGINT)
+             |  FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+             |  UNION ALL
+             |  SELECT 'customer.c_nationkey->nation', count(*),
+             |    CAST(count(CASE WHEN n.n_nationkey IS NULL THEN 1 END) AS BIGINT)
+             |  FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+             |) ORDER BY relation""".stripMargin))
   )
 }
