@@ -1238,6 +1238,81 @@ object Curation {
              |      FROM s)
              |SELECT t.k AS sources, t.tot AS chars,
              |  CAST((p.sad * 1000000) // (2 * t.k * t.tot) AS BIGINT) AS gini_micro
-             |FROM p CROSS JOIN t""".stripMargin))
+             |FROM p CROSS JOIN t""".stripMargin)),
+
+    // Heaps'-law fit — q_zipf_fit's companion: regress ln(vocab) on
+    // ln(tokens) across documents (V ≈ k·N^β; β ≈ 0.5 on natural text)
+    // — the growth law that predicts how big the corpus vocabulary gets
+    // at 100× before you build it. Same exact-integer-moment OLS as
+    // q_zipf_fit: logs micro-quantized per point, the five sums carried
+    // in DECIMAL(38,0) (micro-log squares pass 2^53 within one sf step),
+    // closed form on exactly-cast values. One scan, one aggregate.
+    QueryDef(
+      "q_heaps_fit",
+      (s, d) => {
+        val pts = Tables.documents(s, d).select(
+            size(split(col("text"), " ")).cast("long").as("n_tok"),
+            size(array_distinct(split(col("text"), " "))).cast("long").as("v"))
+          .where(col("n_tok") > 0 && col("v") > 0)
+          .select(round(log(col("n_tok")) * 1e6).cast("long").as("x"),
+            round(log(col("v")) * 1e6).cast("long").as("y"))
+        val m = pts.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+        m.select(col("n").cast("long").as("docs"),
+            ((col("n").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+              (col("n").cast("double") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double"))).as("beta_raw"),
+            col("sx").cast("double").as("sxd"), col("sy").cast("double").as("syd"),
+            col("n").cast("double").as("nd"))
+          .select(col("docs"), round(col("beta_raw"), 6).as("beta"),
+            round((col("syd") - col("beta_raw") * col("sxd")) / col("nd"))
+              .cast("long").as("intercept_micro"))
+      },
+      Some("""WITH s AS (SELECT CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+             |             CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS v
+             |           FROM documents),
+             |pts AS (SELECT CAST(round(ln(n_tok) * 1000000) AS BIGINT) AS x,
+             |          CAST(round(ln(v) * 1000000) AS BIGINT) AS y
+             |        FROM s WHERE n_tok > 0 AND v > 0),
+             |m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             |        sum(x*x) AS sxx, sum(x*y) AS sxy FROM pts),
+             |b AS (SELECT n, sx, sy,
+             |        (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+             |        (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+             |          AS beta_raw
+             |      FROM m)
+             |SELECT CAST(n AS BIGINT) AS docs, round(beta_raw, 6) AS beta,
+             |  CAST(round((CAST(sy AS DOUBLE) - beta_raw * CAST(sx AS DOUBLE))
+             |       / CAST(n AS DOUBLE)) AS BIGINT) AS intercept_micro
+             |FROM b""".stripMargin)),
+
+    // type-token-ratio curve by length band — the measured form of the
+    // "lexical diversity falls with length" effect q_quality_length_corr
+    // summarizes to one number: micro-exact pooled TTR per 25-token band
+    // (capped at band 8). The banding is why per-doc TTRs are never
+    // compared across lengths raw. One scan, one map-combined aggregate.
+    QueryDef(
+      "q_ttr_curve",
+      (s, d) => Tables.documents(s, d).select(
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          size(array_distinct(split(col("text"), " "))).cast("long").as("v"))
+        .select(least(expr("n_tok div 25"), lit(8L)).as("band"),
+          col("n_tok"), col("v"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("docs"), sum("n_tok").as("tokens"),
+          expr("(sum(v) * CAST(1000000 AS BIGINT)) div sum(n_tok)").as("ttr_micro"))
+        .orderBy("band"),
+      Some("""WITH s AS (SELECT CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+             |             CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS v
+             |           FROM documents),
+             |b AS (SELECT least(n_tok // 25, 8) AS band, n_tok, v FROM s)
+             |SELECT band, count(*) AS docs,
+             |  CAST(sum(n_tok) AS BIGINT) AS tokens,
+             |  CAST((sum(v) * 1000000) // sum(n_tok) AS BIGINT) AS ttr_micro
+             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
