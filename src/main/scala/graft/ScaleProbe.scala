@@ -173,7 +173,7 @@ object ScaleProbe {
       "q_filter_funnel", "q_cosine_hist", "q_robust_outliers",
       "q_ab_assign", "q_seasonal_naive", "q_embed_drift", "q_order_shape",
       "q_wow_growth", "q_source_gini", "q_fk_orphans", "q_sq_distortion",
-      "q_heaps_fit", "q_ttr_curve")
+      "q_heaps_fit", "q_ttr_curve", "q_top_eigen")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

@@ -1911,6 +1911,81 @@ object Similarity {
              |SELECT count(*) AS elements,
              |  CAST(sum(e) // count(*) AS BIGINT) AS mae_nano,
              |  CAST(max(e) AS BIGINT) AS max_err_nano
-             |FROM err""".stripMargin))
+             |FROM err""".stripMargin)),
+
+    // spectral anisotropy probe: top-eigenvalue SHARE of the second-
+    // moment matrix via two distributed power iterations — the one
+    // number that says whether the space has collapsed toward a dominant
+    // direction (isotropic ⇒ share ≈ 1/dim; a rogue normalization bug ⇒
+    // share → 1, and every cosine threshold silently changes meaning).
+    // Everything is exact integer arithmetic: milli-quantized inputs,
+    // the dim×dim moment matrix as a (i, j, Σxᵢxⱼ) TABLE (one corpus
+    // pass, map-combined to dim² rows — the only data-sized stage),
+    // iteration vectors re-quantized to 1e6 max-norm by truncating
+    // division each step (deterministic), the Rayleigh quotient in
+    // 128-bit (the triple product passes int64). Fixed iteration count
+    // + fixed start vector — no convergence test, so both engines walk
+    // the identical integer path.
+    QueryDef(
+      "q_top_eigen",
+      (s, d) => {
+        val dims = Tables.embeddings(s, d)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .select(col("vec_id"), col("dim"),
+            round(col("x").cast("double") * 1e3).cast("long").as("xm"))
+        val m = dims.select(col("vec_id"), col("dim").as("i"), col("xm").as("xa"))
+          .join(dims.select(col("vec_id"), col("dim").as("j"), col("xm").as("xb")),
+            "vec_id")
+          .groupBy("i", "j").agg(sum(col("xa") * col("xb")).as("mij"))
+        def iterate(v: org.apache.spark.sql.DataFrame) = {
+          val w = m.join(v.select(col("dim").as("j"), col("v")), "j")
+            .groupBy(col("i").as("dim")).agg(sum(col("mij") * col("v")).as("w"))
+          val mx = w.agg(max(abs(col("w"))).as("mx"))
+          w.crossJoin(broadcast(mx))
+            .select(col("dim"),
+              expr("CAST((CAST(w AS DECIMAL(38,0)) * 1000000) div mx AS BIGINT)")
+                .as("v"))
+        }
+        val v0 = m.select(col("i").as("dim")).distinct()
+          .withColumn("v", lit(1000000L))
+        val v2 = iterate(iterate(v0))
+        val ray = m
+          .join(v2.select(col("dim").as("i"), col("v").as("va")), "i")
+          .join(v2.select(col("dim").as("j"), col("v").as("vb")), "j")
+          .agg(sum(expr("CAST(mij AS DECIMAL(38,0)) * va * vb")).as("vmv"))
+        val vv = v2.agg(sum(col("v") * col("v")).as("v2n"))
+        val tr = m.where(col("i") === col("j")).agg(sum("mij").as("trace"))
+        ray.crossJoin(broadcast(vv)).crossJoin(broadcast(tr))
+          .select(expr("CAST(vmv div v2n AS BIGINT)").as("lambda_top"),
+            col("trace"),
+            expr("CAST((CAST(vmv div v2n AS DECIMAL(38,0)) * 1000000) div trace AS BIGINT)")
+              .as("top_share_micro"))
+      },
+      Some("""WITH dims AS (
+             |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+             |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS xm
+             |  FROM embeddings),
+             |m AS (SELECT a.dim AS i, b.dim AS j, CAST(sum(a.xm * b.xm) AS BIGINT) AS mij
+             |      FROM dims a JOIN dims b ON a.vec_id = b.vec_id
+             |      GROUP BY 1, 2),
+             |v0 AS (SELECT DISTINCT i AS dim, CAST(1000000 AS BIGINT) AS v FROM m),
+             |w1 AS (SELECT m.i AS dim, sum(CAST(m.mij AS HUGEINT) * v0.v) AS w
+             |       FROM m JOIN v0 ON v0.dim = m.j GROUP BY 1),
+             |n1 AS (SELECT max(abs(w)) AS mx FROM w1),
+             |v1 AS (SELECT w1.dim, CAST((w1.w * 1000000) // n1.mx AS BIGINT) AS v
+             |       FROM w1 CROSS JOIN n1),
+             |w2 AS (SELECT m.i AS dim, sum(CAST(m.mij AS HUGEINT) * v1.v) AS w
+             |       FROM m JOIN v1 ON v1.dim = m.j GROUP BY 1),
+             |n2 AS (SELECT max(abs(w)) AS mx FROM w2),
+             |v2 AS (SELECT w2.dim, CAST((w2.w * 1000000) // n2.mx AS BIGINT) AS v
+             |       FROM w2 CROSS JOIN n2),
+             |ray AS (SELECT sum(CAST(m.mij AS HUGEINT) * a.v * b.v) AS vmv
+             |        FROM m JOIN v2 a ON a.dim = m.i JOIN v2 b ON b.dim = m.j),
+             |vv AS (SELECT CAST(sum(v * v) AS BIGINT) AS v2n FROM v2),
+             |tr AS (SELECT CAST(sum(mij) AS BIGINT) AS trace FROM m WHERE i = j)
+             |SELECT CAST(ray.vmv // vv.v2n AS BIGINT) AS lambda_top, tr.trace,
+             |  CAST(((ray.vmv // vv.v2n) * 1000000) // tr.trace AS BIGINT)
+             |    AS top_share_micro
+             |FROM ray CROSS JOIN vv CROSS JOIN tr""".stripMargin))
   )
 }
