@@ -1986,6 +1986,51 @@ object Similarity {
              |SELECT CAST(ray.vmv // vv.v2n AS BIGINT) AS lambda_top, tr.trace,
              |  CAST(((ray.vmv // vv.v2n) * 1000000) // tr.trace AS BIGINT)
              |    AS top_share_micro
-             |FROM ray CROSS JOIN vv CROSS JOIN tr""".stripMargin))
+             |FROM ray CROSS JOIN vv CROSS JOIN tr""".stripMargin)),
+
+    // label-separation statistic: mean/min/max pairwise cosine split by
+    // same-label vs cross-label over the 50-query sample — the two-row
+    // summary that says whether labels carry ANY geometry (a trained
+    // space shows intra ≫ inter; the isotropic fixture shows both at
+    // ~0, which is the honest reading this gate exists to give).
+    // Cosines micro-quantized per pair before aggregation so the means
+    // are exact integer sums.
+    QueryDef(
+      "q_label_separation",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("ed"))
+        val q2 = e.where(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+            col("ed").as("qe"))
+        e.crossJoin(broadcast(q2))
+          .where(col("vec_id") =!= col("qid"))
+          .select(
+            when(col("label") === col("qlabel"), "intra").otherwise("inter")
+              .as("kind"),
+            round(cosine(col("qe"), col("ed")) * 1e6).cast("long").as("cos_micro"))
+          .groupBy("kind")
+          .agg(count(lit(1)).as("pairs"),
+            expr("sum(cos_micro) div count(1)").as("mean_cos_micro"),
+            min("cos_micro").as("min_cos_micro"),
+            max("cos_micro").as("max_cos_micro"))
+          .orderBy("kind")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ed
+             |           FROM embeddings),
+             |q AS (SELECT vec_id AS qid, label AS qlabel, ed AS qe
+             |      FROM e WHERE vec_id < 50),
+             |sims AS (SELECT CASE WHEN e.label = q.qlabel THEN 'intra'
+             |                  ELSE 'inter' END AS kind,
+             |           CAST(round(list_dot_product(q.qe, e.ed) /
+             |             (sqrt(list_dot_product(q.qe, q.qe)) *
+             |              sqrt(list_dot_product(e.ed, e.ed))) * 1000000) AS BIGINT)
+             |             AS cos_micro
+             |         FROM q CROSS JOIN e WHERE e.vec_id <> q.qid)
+             |SELECT kind, count(*) AS pairs,
+             |  CAST(sum(cos_micro) // count(*) AS BIGINT) AS mean_cos_micro,
+             |  CAST(min(cos_micro) AS BIGINT) AS min_cos_micro,
+             |  CAST(max(cos_micro) AS BIGINT) AS max_cos_micro
+             |FROM sims GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

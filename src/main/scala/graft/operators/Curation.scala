@@ -1313,6 +1313,79 @@ object Curation {
              |SELECT band, count(*) AS docs,
              |  CAST(sum(n_tok) AS BIGINT) AS tokens,
              |  CAST((sum(v) * 1000000) // sum(n_tok) AS BIGINT) AS ttr_micro
-             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // pairwise Jensen-Shannon divergence between source word
+    // distributions — q_domain_kl's symmetric, bounded sibling at pair
+    // grain (JS never blows up on one-sided words, so it's the metric
+    // for ranking SOURCE PAIRS by redistributional closeness — the
+    // distribution-level complement of q_source_overlap's shingle-set
+    // view). One-sided words contribute their exact 0.5·p·ln2 mass via
+    // a source-pair × vocabulary grid (pairs bounded by the source
+    // count; the vocab axis shuffles on the word, the data-sized key);
+    // terms nano-quantized pre-sum. Top-10 CLOSEST pairs.
+    QueryDef(
+      "q_source_js",
+      (s, d) => {
+        val cnt = Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("word"))
+          .groupBy("source", "word").agg(count(lit(1)).as("n"))
+        val tot = cnt.groupBy("source").agg(sum("n").as("t"))
+        val p = cnt.join(broadcast(tot), "source")
+          .select(col("source"), col("word"),
+            (col("n").cast("double") / col("t").cast("double")).as("p"))
+        val srcs = tot.select(col("source").as("sa"))
+          .crossJoin(broadcast(tot.select(col("source").as("sb"))))
+          .where(col("sa") < col("sb"))
+        val words = cnt.select("word").distinct()
+        val grid = words.crossJoin(broadcast(srcs))
+        val j = grid
+          .join(p.select(col("source").as("sa"), col("word"), col("p").as("pa0")),
+            Seq("sa", "word"), "left")
+          .join(p.select(col("source").as("sb"), col("word"), col("p").as("pb0")),
+            Seq("sb", "word"), "left")
+          .select(col("sa"), col("sb"),
+            coalesce(col("pa0"), lit(0.0)).as("pa"),
+            coalesce(col("pb0"), lit(0.0)).as("pb"))
+          .where(col("pa") > 0 || col("pb") > 0)
+        j.select(col("sa"), col("sb"),
+            round((when(col("pa") > 0,
+              lit(0.5) * col("pa") * log(lit(2.0) * col("pa") / (col("pa") + col("pb"))))
+              .otherwise(lit(0.0)) +
+              when(col("pb") > 0,
+                lit(0.5) * col("pb") * log(lit(2.0) * col("pb") / (col("pa") + col("pb"))))
+                .otherwise(lit(0.0))) * lit(1e9)).cast("long").as("term_nano"))
+          .groupBy("sa", "sb")
+          .agg(sum("term_nano").as("js_nano"))
+          .select(col("sa").as("source_a"), col("sb").as("source_b"), col("js_nano"))
+          .orderBy(col("js_nano"), col("source_a"), col("source_b"))
+          .limit(10)
+      },
+      Some("""WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word
+             |           FROM documents),
+             |cnt AS (SELECT source, word, count(*) AS n FROM w GROUP BY 1, 2),
+             |tot AS (SELECT source, sum(n) AS t FROM cnt GROUP BY 1),
+             |p AS (SELECT c.source, c.word, CAST(c.n AS DOUBLE) / t.t AS p
+             |      FROM cnt c JOIN tot t USING (source)),
+             |srcs AS (SELECT a.source AS sa, b.source AS sb
+             |         FROM tot a JOIN tot b ON a.source < b.source),
+             |words AS (SELECT DISTINCT word FROM cnt),
+             |grid AS (SELECT s.sa, s.sb, w.word FROM srcs s CROSS JOIN words w),
+             |j AS (SELECT g.sa, g.sb, g.word,
+             |        coalesce(pa.p, 0) AS pa, coalesce(pb.p, 0) AS pb
+             |      FROM grid g
+             |      LEFT JOIN p pa ON pa.source = g.sa AND pa.word = g.word
+             |      LEFT JOIN p pb ON pb.source = g.sb AND pb.word = g.word),
+             |terms AS (SELECT sa, sb,
+             |    CAST(round(((CASE WHEN pa > 0
+             |                  THEN 0.5 * pa * ln(2*pa/(pa+pb)) ELSE 0 END)
+             |              + (CASE WHEN pb > 0
+             |                  THEN 0.5 * pb * ln(2*pb/(pa+pb)) ELSE 0 END)) * 1e9)
+             |         AS BIGINT) AS term_nano
+             |  FROM j WHERE pa > 0 OR pb > 0)
+             |SELECT sa AS source_a, sb AS source_b,
+             |  CAST(sum(term_nano) AS BIGINT) AS js_nano
+             |FROM terms GROUP BY 1, 2
+             |ORDER BY js_nano, source_a, source_b LIMIT 10""".stripMargin))
   )
 }
