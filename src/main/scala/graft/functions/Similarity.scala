@@ -2031,6 +2031,47 @@ object Similarity {
              |  CAST(sum(cos_micro) // count(*) AS BIGINT) AS mean_cos_micro,
              |  CAST(min(cos_micro) AS BIGINT) AS min_cos_micro,
              |  CAST(max(cos_micro) AS BIGINT) AS max_cos_micro
-             |FROM sims GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM sims GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // effective dimensionality (diagonal participation ratio):
+    // (Σvᵢ)² / Σvᵢ² over the per-dimension variances — how many
+    // dimensions the space EFFECTIVELY uses (isotropic ⇒ ≈ dim; one hot
+    // dimension ⇒ → 1). The cheap per-dimension complement of
+    // q_top_eigen's cross-dimension probe: variances come from the same
+    // exact integer identity as q_embed_variance, and the ratio runs in
+    // 128-bit integers (Σv² passes 2^63 immediately at micro² scale).
+    QueryDef(
+      "q_effective_dims",
+      (s, d) => {
+        val dims = Tables.embeddings(s, d)
+          .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+          .select(col("dim"),
+            round(col("x").cast("double") * 1e6).cast("long").as("xm"))
+        val v = dims.groupBy("dim")
+          .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+            sum(col("xm").cast("decimal(38,0)")).as("sxm"),
+            sum((col("xm") * col("xm")).cast("decimal(38,0)")).as("ss"))
+          .select(expr("CAST((n * ss - sxm * sxm) div (n * n) AS DECIMAL(38,0))")
+            .as("var_micro2"))
+        v.agg(count(lit(1)).as("dims"),
+            sum("var_micro2").as("sv"),
+            sum(expr("var_micro2 * var_micro2")).as("sv2"))
+          .select(col("dims"),
+            expr("CAST((sv * sv * 1000) div sv2 AS BIGINT)").as("pr_milli"))
+      },
+      Some("""WITH dims AS (
+             |  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xm
+             |  FROM embeddings),
+             |v AS (SELECT dim,
+             |        CAST((count(*) * sum(xm*xm) - sum(xm)*sum(xm))
+             |             // (count(*) * count(*)) AS HUGEINT) AS var_micro2
+             |      FROM dims GROUP BY 1),
+             |m AS (SELECT CAST(count(*) AS BIGINT) AS dims,
+             |        sum(var_micro2) AS sv,
+             |        sum(var_micro2 * var_micro2) AS sv2
+             |      FROM v)
+             |SELECT dims, CAST((sv * sv * 1000) // sv2 AS BIGINT) AS pr_milli
+             |FROM m""".stripMargin))
   )
 }

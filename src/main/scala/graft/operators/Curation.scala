@@ -1386,6 +1386,48 @@ object Curation {
              |SELECT sa AS source_a, sb AS source_b,
              |  CAST(sum(term_nano) AS BIGINT) AS js_nano
              |FROM terms GROUP BY 1, 2
-             |ORDER BY js_nano, source_a, source_b LIMIT 10""".stripMargin))
+             |ORDER BY js_nano, source_a, source_b LIMIT 10""".stripMargin)),
+
+    // corpus ENTROPY RATE: conditional word entropy H(next | prev) over
+    // the bigram distribution, in nano-nats — the information-theoretic
+    // compressibility number beside q_token_entropy's unigram view and
+    // q_bigram_lm's per-doc scores (a boilerplate-heavy corpus shows a
+    // collapsing rate long before a dedup pass finds the culprits).
+    // Terms p(w1,w2)·ln(c(w1)/c(w1,w2)) are nano-quantized pre-sum; the
+    // bigram table comes from the shared native word_ngrams expression
+    // with its truncated-short-doc convention, filtered to true bigrams
+    // identically on both engines.
+    QueryDef(
+      "q_entropy_rate",
+      (s, d) => {
+        val grams = Tables.documents(s, d)
+          .select(explode(DedupOps.wordNGrams(col("text"), 2)).as("gram"))
+          .where(instr(col("gram"), " ") > 0)
+        val c2 = grams.groupBy("gram").agg(count(lit(1)).as("n"))
+          .withColumn("w1", substring_index(col("gram"), " ", 1))
+        val ct = c2.groupBy("w1").agg(sum("n").as("t"))
+        val tot = c2.agg(sum("n").as("g"))
+        c2.join(ct, "w1").crossJoin(broadcast(tot))
+          .select(round((col("n").cast("double") / col("g").cast("double")) *
+            log(col("t").cast("double") / col("n").cast("double")) * lit(1e9))
+            .cast("long").as("term_nano"))
+          .agg(count(lit(1)).as("bigrams"),
+            sum("term_nano").cast("long").as("entropy_rate_nano"))
+      },
+      Some("""WITH g AS (SELECT unnest([array_to_string(ts[i:i+1], ' ')
+             |                          for i in range(1, greatest(len(ts)-1, 1)+1)]) AS gram
+             |           FROM (SELECT string_split(text, ' ') AS ts FROM documents)),
+             |bg AS (SELECT gram FROM g WHERE strpos(gram, ' ') > 0),
+             |c2 AS (SELECT gram, count(*) AS n FROM bg GROUP BY 1),
+             |c1 AS (SELECT string_split(gram, ' ')[1] AS w1, gram, n FROM c2),
+             |ct AS (SELECT w1, sum(n) AS t FROM c1 GROUP BY 1),
+             |tot AS (SELECT sum(n) AS g FROM c2),
+             |terms AS (SELECT
+             |    CAST(round((CAST(c1.n AS DOUBLE) / tot.g) *
+             |               ln(CAST(ct.t AS DOUBLE) / c1.n) * 1e9) AS BIGINT) AS term_nano
+             |  FROM c1 JOIN ct USING (w1) CROSS JOIN tot)
+             |SELECT count(*) AS bigrams,
+             |  CAST(sum(term_nano) AS BIGINT) AS entropy_rate_nano
+             |FROM terms""".stripMargin))
   )
 }
