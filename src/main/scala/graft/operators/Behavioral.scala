@@ -797,6 +797,56 @@ object Behavioral {
              |  CAST(((a.n - b.n) * 1000000) // b.n AS BIGINT) AS wow_micro
              |FROM w a JOIN w b ON b.event_type = a.event_type
              |  AND b.week = a.week - INTERVAL 7 DAY
-             |ORDER BY a.week, a.event_type""".stripMargin))
+             |ORDER BY a.week, a.event_type""".stripMargin)),
+
+    // quantile-grain drift: rank-exact p50/p90/p99 of `value` in each
+    // calendar half, side by side with the signed delta — WHERE the
+    // distribution moved, beside q_feature_drift's one-number PSI (a
+    // clean median with a runaway tail is a different incident than a
+    // wholesale shift). Per-half ranks ride ONE GlobalOrder range
+    // shuffle on (half, value): the global row number minus the
+    // broadcast first-half size IS the second half's local rank — no
+    // per-half window ever funnels half the table through one task.
+    QueryDef(
+      "q_quantile_drift",
+      (s, d) => {
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+        val ev = Tables.events(s, d).where(col("value").isNotNull)
+          .select(when(col("ts") < cut, "a").otherwise("b").as("half"),
+            round(col("value") * 1e6).cast("long").as("vm"), col("event_id"))
+        val ranked = GlobalOrder.withGlobalRowNumber(
+          ev, Seq(col("half"), col("vm"), col("event_id")), "grn")
+        val sizes = ev.groupBy("half").agg(count(lit(1)).as("n"))
+        val na = sizes.where(col("half") === "a").select(col("n").as("na"))
+        val r = ranked.crossJoin(broadcast(na))
+          .join(broadcast(sizes), "half")
+          .withColumn("rn",
+            when(col("half") === "a", col("grn")).otherwise(col("grn") - col("na")))
+        val qs = Seq(50, 90, 99).map { qq =>
+          r.where(col("rn") === expr(s"($qq * n + 99) div 100"))
+            .select(lit(qq).as("q"), col("half"), col("vm"))
+        }.reduce(_.unionByName(_))
+        qs.where(col("half") === "a")
+          .select(col("q"), col("vm").as("half_a_micro"))
+          .join(qs.where(col("half") === "b")
+            .select(col("q"), col("vm").as("half_b_micro")), "q")
+          .select(col("q"), col("half_a_micro"), col("half_b_micro"),
+            (col("half_b_micro") - col("half_a_micro")).as("delta_micro"))
+          .orderBy("q")
+      },
+      Some("""WITH ev AS (SELECT
+             |    CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'
+             |         THEN 'a' ELSE 'b' END AS half,
+             |    CAST(round(value * 1000000) AS BIGINT) AS vm, event_id
+             |  FROM events WHERE value IS NOT NULL),
+             |r AS (SELECT half, vm,
+             |        row_number() OVER (PARTITION BY half ORDER BY vm, event_id) AS rn,
+             |        count(*) OVER (PARTITION BY half) AS n FROM ev),
+             |qs AS (SELECT q, half, vm FROM (VALUES (50), (90), (99)) AS t(q)
+             |       JOIN r ON r.rn = (t.q * r.n + 99) // 100)
+             |SELECT a.q, a.vm AS half_a_micro, b.vm AS half_b_micro,
+             |  CAST(b.vm - a.vm AS BIGINT) AS delta_micro
+             |FROM qs a JOIN qs b ON a.q = b.q AND a.half = 'a' AND b.half = 'b'
+             |ORDER BY a.q""".stripMargin))
   )
 }

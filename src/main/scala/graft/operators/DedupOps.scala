@@ -1526,6 +1526,50 @@ object DedupOps extends org.apache.spark.internal.Logging {
               |  CAST(members * count(*) AS BIGINT) AS docs
               |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // duplicate-family source PURITY: the fraction of near-dup families
+    // whose members all come from ONE source — the number that decides
+    // whether dedup can run per-source (embarrassingly parallel, no
+    // cross-source shuffle) or must run globally. 0.67 on the fixtures:
+    // a third of the families span sources, so per-source dedup would
+    // silently keep cross-source copies. One grouped agg over the shared
+    // CC labels joined to the source dimension.
+    QueryDef(
+      "q_family_purity",
+      (s, d) => {
+        val (corpus, clusters) = corpusAndClusters(s, d)
+        val srcBase = Tables.documents(s, d).select("doc_id", "source")
+        val src = srcBase.unionByName(
+          srcBase.where(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 100000).as("doc_id"), col("source")))
+        val fam = corpus.select("doc_id")
+          .join(clusters.select(col("id").as("doc_id"), col("cluster")),
+            Seq("doc_id"), "left")
+          .join(src, "doc_id")
+          .select(coalesce(col("cluster"), col("doc_id")).as("family"),
+            col("source"))
+        fam.groupBy("family")
+          .agg(count(lit(1)).as("members"), countDistinct("source").as("n_src"))
+          .where(col("members") > 1)
+          .agg(count(lit(1)).as("families"),
+            count(when(col("n_src") === 1, 1)).as("single_source"),
+            expr("(count(CASE WHEN n_src = 1 THEN 1 END) * CAST(1000000 AS BIGINT)) div count(1)")
+              .as("purity_micro"))
+      },
+      Some(s"""${corpusClustersCte},
+              |src AS (SELECT doc_id, source FROM documents
+              |        UNION ALL
+              |        SELECT doc_id + 100000, source FROM documents WHERE doc_id % 10 = 0),
+              |fam AS (SELECT coalesce(l.cluster, c.doc_id) AS family, s.source
+              |        FROM corpus c LEFT JOIN lab l ON l.id = c.doc_id
+              |        JOIN src s ON s.doc_id = c.doc_id),
+              |per AS (SELECT family, count(*) AS members, count(DISTINCT source) AS n_src
+              |        FROM fam GROUP BY 1 HAVING count(*) > 1)
+              |SELECT count(*) AS families,
+              |  CAST(count(CASE WHEN n_src = 1 THEN 1 END) AS BIGINT) AS single_source,
+              |  CAST((count(CASE WHEN n_src = 1 THEN 1 END) * 1000000) // count(*) AS BIGINT)
+              |    AS purity_micro
+              |FROM per""".stripMargin)),
+
     // cross-source duplicate FLOW: candidate near-dup pairs grouped by
     // (source, source) — which feeds copy from each other, and how much
     // of each source's duplication is internal (the diagonal). The

@@ -158,7 +158,10 @@ class PlanAuditSpec extends SparkSpec {
       "q_time_to_convert", "q_vocab_coverage",
       // q_activity_concentration: withGlobalNtile's prefix-sum (decile
       // assignment itself is the range-shuffle closed form)
-      "q_activity_concentration")
+      "q_activity_concentration",
+      // q_quantile_drift: withGlobalRowNumber's prefix-sum (per-half
+      // ranks are the one range shuffle minus a broadcast offset)
+      "q_quantile_drift")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
       val global = fn(spark, sf).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
