@@ -175,7 +175,8 @@ object ScaleProbe {
       "q_wow_growth", "q_source_gini", "q_fk_orphans", "q_sq_distortion",
       "q_heaps_fit", "q_ttr_curve", "q_top_eigen", "q_label_separation",
       "q_source_js", "q_entropy_rate", "q_effective_dims",
-      "q_family_purity", "q_quantile_drift")
+      "q_family_purity", "q_quantile_drift", "q_product_communities",
+      "q_modal_dedup_agreement")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

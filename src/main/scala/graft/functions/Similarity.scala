@@ -2072,6 +2072,82 @@ object Similarity {
              |        sum(var_micro2 * var_micro2) AS sv2
              |      FROM v)
              |SELECT dims, CAST((sv * sv * 1000) // sv2 AS BIGINT) AS pr_milli
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // cross-MODALITY dedup agreement: on the same injected-duplicate
+    // corpus (doc_id ≡ vec_id), how much do the text-LSH candidate set
+    // and the embedding near-dup pair set overlap? The consistency audit
+    // a multimodal pipeline runs before trusting either modality alone —
+    // embeddings catching pairs text misses (paraphrases) and vice versa
+    // (shared boilerplate) both show up here as a low Jaccard. The
+    // banded embedding path matches the oracle's exact all-pairs form
+    // because every injected duplicate is an exact copy (identical
+    // signatures bucket together; the raw fixture has no other sim ≥
+    // 0.95 pair).
+    QueryDef(
+      "q_modal_dedup_agreement",
+      (s, d) => {
+        import graft.operators.DedupOps
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val tcorpus = docs.unionByName(docs.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        val textp = DedupOps.lshCandidates(
+          DedupOps.minhashSignature(tcorpus, "doc_id", "text", 4, shingleN = 3),
+          "doc_id", 4, 2)
+        val embBase = Tables.embeddings(s, d).select("vec_id", "embedding")
+        val ec = embBase.unionByName(embBase.where(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+        val embp = adaptiveNearDupPairs(ec, 0.95, 0.9999)
+        val marked = textp.select(col("id1"), col("id2"),
+            lit(1L).as("t"), lit(0L).as("e"))
+          .unionByName(embp.select(col("id1"), col("id2"),
+            lit(0L).as("t"), lit(1L).as("e")))
+          .groupBy("id1", "id2")
+          .agg(max("t").as("in_text"), max("e").as("in_emb"))
+        marked.agg(
+          sum("in_text").cast("long").as("text_pairs"),
+          sum("in_emb").cast("long").as("embed_pairs"),
+          count(when(col("in_text") === 1 && col("in_emb") === 1, 1))
+            .as("both_pairs"),
+          expr("(count(CASE WHEN in_text = 1 AND in_emb = 1 THEN 1 END) " +
+            "* CAST(1000000 AS BIGINT)) div count(1)").as("jaccard_micro"))
+      },
+      Some("""WITH t AS (
+             |  SELECT DISTINCT doc_id, unnest(sh) AS tok FROM (
+             |    SELECT doc_id,
+             |      [array_to_string(toks[i:i+2], ' ')
+             |       for i in range(1, greatest(len(toks)-2, 1)+1)] AS sh
+             |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+             |          FROM (SELECT doc_id, text FROM documents
+             |                UNION ALL
+             |                SELECT doc_id + 100000 AS doc_id, text
+             |                FROM documents WHERE doc_id % 10 = 0)))),
+             |sig AS (SELECT doc_id,
+             |    min(substr(md5(tok), 1, 8)) AS s1, min(substr(md5(tok), 9, 8)) AS s2,
+             |    min(substr(md5(tok), 17, 8)) AS s3, min(substr(md5(tok), 25, 8)) AS s4
+             |  FROM t GROUP BY 1),
+             |b AS (SELECT doc_id, 0 AS band, md5(s1 || s2) AS bucket FROM sig
+             |      UNION ALL SELECT doc_id, 1, md5(s3 || s4) FROM sig),
+             |textp AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+             |          FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket
+             |          WHERE l.doc_id < r.doc_id),
+             |ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings
+             |       UNION ALL
+             |       SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
+             |       FROM embeddings WHERE vec_id % 10 = 0),
+             |embp AS (SELECT a.vec_id AS id1, b2.vec_id AS id2
+             |         FROM ec a JOIN ec b2 ON a.vec_id < b2.vec_id
+             |         WHERE round(list_dot_product(a.ed, b2.ed), 4) >= 0.95),
+             |u AS (SELECT id1, id2, max(t) AS in_text, max(e) AS in_emb FROM (
+             |        SELECT id1, id2, 1 AS t, 0 AS e FROM textp
+             |        UNION ALL SELECT id1, id2, 0, 1 FROM embp)
+             |      GROUP BY 1, 2)
+             |SELECT CAST(sum(in_text) AS BIGINT) AS text_pairs,
+             |  CAST(sum(in_emb) AS BIGINT) AS embed_pairs,
+             |  CAST(sum(CASE WHEN in_text = 1 AND in_emb = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS both_pairs,
+             |  CAST((sum(CASE WHEN in_text = 1 AND in_emb = 1 THEN 1 ELSE 0 END) * 1000000)
+             |       // count(*) AS BIGINT) AS jaccard_micro
+             |FROM u""".stripMargin))
   )
 }

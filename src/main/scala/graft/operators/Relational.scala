@@ -819,6 +819,45 @@ object Relational {
              |  SELECT 'customer.c_nationkey->nation', count(*),
              |    CAST(count(CASE WHEN n.n_nationkey IS NULL THEN 1 END) AS BIGINT)
              |  FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
-             |) ORDER BY relation""".stripMargin))
+             |) ORDER BY relation""".stripMargin)),
+
+    // product COMMUNITIES: connected components over the co-purchase
+    // graph (edges = part pairs co-ordered ≥ 3 times), reported as the
+    // community-size histogram — "market structure" mining with the same
+    // checkpointed CC machinery the corpus dedup uses (support
+    // thresholding is what keeps the edge set sparse; without it the
+    // graph is one giant hairball and the histogram is meaningless).
+    QueryDef(
+      "q_product_communities",
+      (s, d) => {
+        val lp = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_partkey").distinct()
+        val pr = lp.select(col("l_orderkey"), col("l_partkey").as("id1"))
+          .join(lp.select(col("l_orderkey"), col("l_partkey").as("id2")),
+            "l_orderkey")
+          .where(col("id1") < col("id2"))
+          .groupBy("id1", "id2").agg(count(lit(1)).as("cnt"))
+          .where(col("cnt") >= 3)
+          .select("id1", "id2")
+        DedupOps.connectedComponents(pr)
+          .groupBy("cluster").agg(count(lit(1)).as("members"))
+          .groupBy(col("members").as("community_size"))
+          .agg(count(lit(1)).as("communities"))
+          .orderBy("community_size")
+      },
+      Some("""WITH RECURSIVE lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |pr AS (SELECT a.l_partkey AS id1, b.l_partkey AS id2, count(*) AS cnt
+             |       FROM lp a JOIN lp b
+             |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |       GROUP BY 1, 2 HAVING count(*) >= 3),
+             |e AS (SELECT id1, id2 FROM pr UNION SELECT id2, id1 FROM pr),
+             |reach(id, r) AS (
+             |  SELECT id1, id1 FROM e
+             |  UNION
+             |  SELECT e.id1, reach.r FROM e JOIN reach ON reach.id = e.id2),
+             |lab AS (SELECT id, min(r) AS community FROM reach GROUP BY 1),
+             |sz AS (SELECT community, count(*) AS members FROM lab GROUP BY 1)
+             |SELECT members AS community_size, count(*) AS communities
+             |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
