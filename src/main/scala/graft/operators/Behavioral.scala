@@ -847,6 +847,104 @@ object Behavioral {
              |SELECT a.q, a.vm AS half_a_micro, b.vm AS half_b_micro,
              |  CAST(b.vm - a.vm AS BIGINT) AS delta_micro
              |FROM qs a JOIN qs b ON a.q = b.q AND a.half = 'a' AND b.half = 'b'
-             |ORDER BY a.q""".stripMargin))
+             |ORDER BY a.q""".stripMargin)),
+
+    // 5 %-TRIMMED mean of value per event type, beside the raw mean —
+    // the robust location estimate that shrugs off tail contamination
+    // (the trim bounds are rank-ceil integers, so both engines cut the
+    // identical rows). Per-type ranks ride ONE GlobalOrder range shuffle
+    // on (type, value): the prefix offsets come from the |types|-row
+    // count table (its tiny prefix-sum window is post-agg and
+    // calendar-bounded), so no per-type window ever funnels a type's
+    // full stream through one task.
+    QueryDef(
+      "q_trimmed_mean",
+      (s, d) => {
+        val ev = Tables.events(s, d).where(col("value").isNotNull)
+          .select(col("event_type"),
+            round(col("value") * 1e6).cast("long").as("vm"), col("event_id"))
+        val ranked = GlobalOrder.withGlobalRowNumber(
+          ev, Seq(col("event_type"), col("vm"), col("event_id")), "grn")
+        val sizes = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+        val offs = sizes.withColumn("off",
+          coalesce(sum("n").over(Window.orderBy("event_type")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val r = ranked.join(broadcast(offs), "event_type")
+          .withColumn("rn", col("grn") - col("off"))
+          .withColumn("lo", expr("(5 * n + 99) div 100"))
+        r.groupBy("event_type")
+          .agg(max("n").as("n"),
+            count(when(col("rn") > col("lo") && col("rn") <= col("n") - col("lo"), 1))
+              .as("kept"),
+            expr("sum(CASE WHEN rn > lo AND rn <= n - lo THEN vm ELSE CAST(0 AS BIGINT) END) " +
+              "div count(CASE WHEN rn > lo AND rn <= n - lo THEN 1 END)")
+              .as("trimmed_mean_micro"),
+            expr("sum(vm) div count(1)").as("raw_mean_micro"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS vm,
+             |              event_id
+             |            FROM events WHERE value IS NOT NULL),
+             |r AS (SELECT event_type, vm,
+             |        row_number() OVER (PARTITION BY event_type ORDER BY vm, event_id) AS rn,
+             |        count(*) OVER (PARTITION BY event_type) AS n
+             |      FROM ev),
+             |k AS (SELECT event_type, vm, rn, n, (5 * n + 99) // 100 AS lo FROM r)
+             |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+             |  CAST(count(CASE WHEN rn > lo AND rn <= n - lo THEN 1 END) AS BIGINT) AS kept,
+             |  CAST(sum(CASE WHEN rn > lo AND rn <= n - lo THEN vm ELSE 0 END)
+             |       // count(CASE WHEN rn > lo AND rn <= n - lo THEN 1 END) AS BIGINT)
+             |    AS trimmed_mean_micro,
+             |  CAST(sum(vm) // count(*) AS BIGINT) AS raw_mean_micro
+             |FROM k GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // categorical MIX-SHIFT monitor: per month, the chi-square distance
+    // of the order-priority mix from the all-time mix (micro-quantized
+    // terms) — the drift alarm for SHARES where q_feature_drift watches
+    // a numeric distribution. Expected cells come from the bounded
+    // month × priority grid (two tiny broadcast aggregates); a month
+    // whose chi2 spikes is the one whose mix moved.
+    QueryDef(
+      "q_mix_shift",
+      (s, d) => {
+        val o = Tables.orders(s, d).select(
+          to_date(date_trunc("month", col("o_orderdate"))).as("month"),
+          col("o_orderpriority").as("pri"))
+        val cnt = o.groupBy("month", "pri").agg(count(lit(1)).as("n"))
+        val mt = cnt.groupBy("month").agg(sum("n").as("t"))
+        val pt = cnt.groupBy("pri").agg(sum("n").as("pn"))
+        val g = cnt.agg(sum("n").as("gt"))
+        val grid = mt.crossJoin(broadcast(pt)).crossJoin(broadcast(g))
+        val j = grid.join(cnt, Seq("month", "pri"), "left")
+          .select(col("month"),
+            coalesce(col("n"), lit(0L)).cast("double").as("obs"),
+            (col("t").cast("double") * col("pn").cast("double") /
+              col("gt").cast("double")).as("exp"))
+          .where(col("exp") > 0)
+        j.select(col("month"),
+            round((col("obs") - col("exp")) * (col("obs") - col("exp")) /
+              col("exp") * lit(1e6)).cast("long").as("term_micro"))
+          .groupBy("month")
+          .agg(sum("term_micro").cast("long").as("chi2_micro"),
+            count(lit(1)).as("cells"))
+          .orderBy("month")
+      },
+      Some("""WITH o AS (SELECT CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP))
+             |             AS DATE) AS month, o_orderpriority AS pri FROM orders),
+             |cnt AS (SELECT month, pri, count(*) AS n FROM o GROUP BY 1, 2),
+             |mt AS (SELECT month, sum(n) AS t FROM cnt GROUP BY 1),
+             |pt AS (SELECT pri, sum(n) AS pn FROM cnt GROUP BY 1),
+             |g AS (SELECT sum(n) AS gt FROM cnt),
+             |grid AS (SELECT m.month, p.pri, m.t, p.pn, g.gt
+             |         FROM mt m CROSS JOIN pt p CROSS JOIN g),
+             |j AS (SELECT gr.month, gr.pri,
+             |        CAST(coalesce(c.n, 0) AS DOUBLE) AS obs,
+             |        CAST(gr.t AS DOUBLE) * gr.pn / gr.gt AS exp
+             |      FROM grid gr LEFT JOIN cnt c ON c.month = gr.month AND c.pri = gr.pri),
+             |terms AS (SELECT month,
+             |    CAST(round((obs - exp) * (obs - exp) / exp * 1e6) AS BIGINT) AS term_micro
+             |  FROM j WHERE exp > 0)
+             |SELECT month, CAST(sum(term_micro) AS BIGINT) AS chi2_micro, count(*) AS cells
+             |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

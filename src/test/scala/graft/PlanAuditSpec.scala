@@ -161,7 +161,11 @@ class PlanAuditSpec extends SparkSpec {
       "q_activity_concentration",
       // q_quantile_drift: withGlobalRowNumber's prefix-sum (per-half
       // ranks are the one range shuffle minus a broadcast offset)
-      "q_quantile_drift")
+      "q_quantile_drift",
+      // q_trimmed_mean: withGlobalRowNumber's prefix-sum + the per-type
+      // offset window over the |event types|-row count table (post-agg,
+      // bounded by the type domain, never by data volume)
+      "q_trimmed_mean")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
       val global = fn(spark, sf).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
