@@ -176,7 +176,8 @@ object ScaleProbe {
       "q_heaps_fit", "q_ttr_curve", "q_top_eigen", "q_label_separation",
       "q_source_js", "q_entropy_rate", "q_effective_dims",
       "q_family_purity", "q_quantile_drift", "q_product_communities",
-      "q_modal_dedup_agreement", "q_trimmed_mean", "q_mix_shift")
+      "q_modal_dedup_agreement", "q_trimmed_mean", "q_mix_shift",
+      "q_autocorr", "q_benford")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

@@ -945,6 +945,79 @@ object Behavioral {
              |    CAST(round((obs - exp) * (obs - exp) / exp * 1e6) AS BIGINT) AS term_micro
              |  FROM j WHERE exp > 0)
              |SELECT month, CAST(sum(term_micro) AS BIGINT) AS chi2_micro, count(*) AS cells
-             |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // lag-1 autocorrelation of daily event volume — the one-number
+    // "does yesterday predict today" check that decides whether
+    // q_seasonal_naive's weekly lag is even the right baseline family.
+    // Exact integer moments over the calendar-bounded daily table; the
+    // closed form runs on exactly-cast sums (the q_quality_length_corr
+    // convention).
+    QueryDef(
+      "q_autocorr",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+        val pairs = daily.select(col("day"), col("n").as("x"))
+          .join(daily.select(date_sub(col("day"), 1).as("day"), col("n").as("y")),
+            "day")
+        val m = pairs.agg(count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        m.select(col("k").as("pairs"),
+          round((col("k").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            sqrt((col("k").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+              (col("k").cast("double") * col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double"))), 6)
+            .as("autocorr_lag1"))
+      },
+      Some("""WITH daily AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             |                 CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+             |pairs AS (SELECT a.n AS x, b.n AS y
+             |          FROM daily a JOIN daily b ON b.day = a.day + INTERVAL 1 DAY),
+             |m AS (SELECT count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+             |        sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy FROM pairs)
+             |SELECT CAST(k AS BIGINT) AS pairs,
+             |  round((CAST(k AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+             |        sqrt((CAST(k AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+             |             (CAST(k AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6)
+             |    AS autocorr_lag1
+             |FROM m""".stripMargin)),
+
+    // Benford first-digit audit of order totals: observed first-
+    // significant-digit shares beside the ln(1+1/d)/ln 10 expectation in
+    // integer micros — the classic fabricated-numbers screen. The
+    // fixture prices are uniform-ish and FAIL Benford loudly (digits
+    // 1–4 each near 22%), which is precisely the kind of distributional
+    // anomaly this report exists to surface; on organic financial data
+    // the two columns track. One scan, digit extraction on the integer
+    // part's decimal string (identical on both engines), bounded output.
+    QueryDef(
+      "q_benford",
+      (s, d) => {
+        val c = Tables.orders(s, d).where(col("o_totalprice") >= 1)
+          .select(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+            .cast("int").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n"))
+        val t = c.agg(sum("n").as("tot"))
+        c.crossJoin(broadcast(t))
+          .select(col("digit"), col("n"),
+            expr("(n * CAST(1000000 AS BIGINT)) div tot").as("observed_micro"),
+            round(log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)) * lit(1e6))
+              .cast("long").as("benford_micro"))
+          .orderBy("digit")
+      },
+      Some("""WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+             |             AS VARCHAR), 1, 1) AS INT) AS digit
+             |           FROM orders WHERE o_totalprice >= 1),
+             |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+             |t AS (SELECT sum(n) AS tot FROM c)
+             |SELECT c.digit, c.n,
+             |  CAST((c.n * 1000000) // t.tot AS BIGINT) AS observed_micro,
+             |  CAST(round(ln(1.0 + 1.0/c.digit) / ln(10.0) * 1000000) AS BIGINT)
+             |    AS benford_micro
+             |FROM c CROSS JOIN t ORDER BY c.digit""".stripMargin))
   )
 }
