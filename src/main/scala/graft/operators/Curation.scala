@@ -1428,6 +1428,52 @@ object Curation {
              |  FROM c1 JOIN ct USING (w1) CROSS JOIN tot)
              |SELECT count(*) AS bigrams,
              |  CAST(sum(term_nano) AS BIGINT) AS entropy_rate_nano
-             |FROM terms""".stripMargin))
+             |FROM terms""".stripMargin)),
+
+    // sampler BIAS audit: draw the standard deterministic ~12.5 % md5
+    // sample and compare each source's share in the sample against its
+    // share in the full corpus — max and mean absolute deviation in
+    // micros. This is the gate that says whether a cheap hash sample can
+    // stand in for the corpus in dataset-card numbers (a skewed hash or
+    // a correlated key shows up here immediately). Two map-combined
+    // aggregates; the report is one row.
+    QueryDef(
+      "q_sample_bias",
+      (s, d) => {
+        val f = Tables.documents(s, d)
+          .select(col("source"),
+            (substring(md5(concat(lit("smp:"), col("doc_id"))), 1, 1) < "2")
+              .as("sampled"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"), count(when(col("sampled"), 1)).as("k"))
+        val t = f.agg(sum("n").as("tn"), sum("k").as("tk"))
+        f.crossJoin(broadcast(t))
+          .select(
+            expr("(n * CAST(1000000 AS BIGINT)) div tn").as("full_micro"),
+            expr("CAST(CASE WHEN tk > 0 THEN (k * 1000000) div tk ELSE 0 END AS BIGINT)")
+              .as("sample_micro"))
+          .agg(count(lit(1)).as("sources"),
+            max(abs(col("sample_micro") - col("full_micro")))
+              .as("max_abs_dev_micro"),
+            expr("sum(abs(sample_micro - full_micro)) div count(1)")
+              .as("mean_abs_dev_micro"))
+      },
+      Some("""WITH s AS (SELECT source,
+             |             substr(md5('smp:' || doc_id), 1, 1) < '2' AS sampled
+             |           FROM documents),
+             |f AS (SELECT source, count(*) AS n,
+             |        count(CASE WHEN sampled THEN 1 END) AS k
+             |      FROM s GROUP BY 1),
+             |t AS (SELECT sum(n) AS tn, sum(k) AS tk FROM f),
+             |dev AS (SELECT f.source,
+             |          (f.n * 1000000) // t.tn AS full_micro,
+             |          CAST(CASE WHEN t.tk > 0 THEN (f.k * 1000000) // t.tk ELSE 0 END
+             |               AS BIGINT) AS sample_micro
+             |        FROM f CROSS JOIN t)
+             |SELECT count(*) AS sources,
+             |  CAST(max(abs(sample_micro - full_micro)) AS BIGINT) AS max_abs_dev_micro,
+             |  CAST(sum(abs(sample_micro - full_micro)) // count(*) AS BIGINT)
+             |    AS mean_abs_dev_micro
+             |FROM dev""".stripMargin))
   )
 }

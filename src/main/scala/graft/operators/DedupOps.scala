@@ -1570,6 +1570,52 @@ object DedupOps extends org.apache.spark.internal.Logging {
               |    AS purity_micro
               |FROM per""".stripMargin)),
 
+    // LSH bucket-OCCUPANCY capacity report: per band, bucket count, max
+    // and mean occupancy, and the exact candidate-pair load Σ occ·(occ−1)/2
+    // — the numbers a band-shape decision is actually made on (the 100×
+    // kNN wall documented in BENCH.md is this pair column going
+    // quadratic; here it's measured per build instead of discovered as a
+    // disk-filling spill). Runs on the same banding q_lsh_candidates
+    // joins on; everything after the per-bucket count is bounded by the
+    // band count.
+    QueryDef(
+      "q_bucket_occupancy",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val dups = docs.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        val sig = minhashSignature(docs.unionByName(dups), "doc_id", "text", 4,
+          shingleN = 3)
+        val occ = lshBuckets(sig, "doc_id", 4, 2)
+          .groupBy("band", "bucket").agg(count(lit(1)).as("occ"))
+        occ.groupBy("band")
+          .agg(count(lit(1)).as("buckets"), sum("occ").as("docs"),
+            max("occ").as("max_occ"),
+            expr("(sum(occ) * CAST(1000000 AS BIGINT)) div count(1)")
+              .as("avg_occ_micro"),
+            sum(expr("occ * (occ - 1) div 2")).as("candidate_pairs"))
+          .orderBy("band")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT DISTINCT doc_id, unnest(sh) AS tok FROM (
+              |    SELECT doc_id,
+              |      [array_to_string(toks[i:i+2], ' ')
+              |       for i in range(1, greatest(len(toks)-2, 1)+1)] AS sh
+              |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              |          FROM ($docsWithDups)))),
+              |sig AS (SELECT doc_id,
+              |    min(substr(md5(tok), 1, 8)) AS s1, min(substr(md5(tok), 9, 8)) AS s2,
+              |    min(substr(md5(tok), 17, 8)) AS s3, min(substr(md5(tok), 25, 8)) AS s4
+              |  FROM t GROUP BY 1),
+              |b AS (SELECT doc_id, 0 AS band, md5(s1 || s2) AS bucket FROM sig
+              |      UNION ALL SELECT doc_id, 1, md5(s3 || s4) FROM sig),
+              |occ AS (SELECT band, bucket, count(*) AS occ FROM b GROUP BY 1, 2)
+              |SELECT band, count(*) AS buckets, CAST(sum(occ) AS BIGINT) AS docs,
+              |  CAST(max(occ) AS BIGINT) AS max_occ,
+              |  CAST((sum(occ) * 1000000) // count(*) AS BIGINT) AS avg_occ_micro,
+              |  CAST(sum(occ * (occ - 1) // 2) AS BIGINT) AS candidate_pairs
+              |FROM occ GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // cross-source duplicate FLOW: candidate near-dup pairs grouped by
     // (source, source) — which feeds copy from each other, and how much
     // of each source's duplication is internal (the diagonal). The
