@@ -177,7 +177,8 @@ object ScaleProbe {
       "q_source_js", "q_entropy_rate", "q_effective_dims",
       "q_family_purity", "q_quantile_drift", "q_product_communities",
       "q_modal_dedup_agreement", "q_trimmed_mean", "q_mix_shift",
-      "q_autocorr", "q_benford", "q_bucket_occupancy", "q_sample_bias")
+      "q_autocorr", "q_benford", "q_bucket_occupancy", "q_sample_bias",
+      "q_spearman")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

@@ -1474,6 +1474,65 @@ object Curation {
              |  CAST(max(abs(sample_micro - full_micro)) AS BIGINT) AS max_abs_dev_micro,
              |  CAST(sum(abs(sample_micro - full_micro)) // count(*) AS BIGINT)
              |    AS mean_abs_dev_micro
-             |FROM dev""".stripMargin))
+             |FROM dev""".stripMargin)),
+
+    // SPEARMAN rank correlation between two quality signals (lexical
+    // diversity vs readability grade) — the monotone-association check
+    // that Pearson (q_quality_length_corr) can't give: it answers "do
+    // these two gates rank documents the same way" regardless of either
+    // signal's scale. Ranks are EXACT integers (doc_id tiebreak — the
+    // declared tie convention, so both engines produce identical rank
+    // vectors) and ride GlobalOrder's range shuffle twice, once per
+    // signal; the closed form then runs on exactly-cast integer moment
+    // sums. −0.97 on fixtures: the two gates are near-redundant, which
+    // is precisely what this query is for discovering.
+    QueryDef(
+      "q_spearman",
+      (s, d) => {
+        val sdf = Tables.documents(s, d).select(col("doc_id"),
+          expr("(CAST(10000 AS BIGINT) * size(array_distinct(split(text, ' ')))) " +
+            "div size(split(text, ' '))").as("x"),
+          (expr("(39 * CAST(greatest(size(regexp_extract_all(text, '[A-Za-z]+', 0)), 1) AS BIGINT)) " +
+            "div CAST(greatest(size(regexp_extract_all(text, '[.!?]', 0)), 1) AS BIGINT)") +
+            expr("(1180 * CAST(size(regexp_extract_all(text, '[aeiouyAEIOUY]+', 0)) AS BIGINT)) " +
+              "div CAST(greatest(size(regexp_extract_all(text, '[A-Za-z]+', 0)), 1) AS BIGINT)") -
+            lit(1559L)).as("y"))
+        val rx = GlobalOrder.withGlobalRowNumber(sdf, Seq(col("x"), col("doc_id")), "rx")
+        val rxy = GlobalOrder.withGlobalRowNumber(rx, Seq(col("y"), col("doc_id")), "ry")
+        val m = rxy.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("rx").cast("decimal(38,0)")).as("sx"),
+          sum(col("ry").cast("decimal(38,0)")).as("sy"),
+          sum((col("rx") * col("rx")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("ry") * col("ry")).cast("decimal(38,0)")).as("syy"),
+          sum((col("rx") * col("ry")).cast("decimal(38,0)")).as("sxy"))
+        m.select(col("n").cast("long").as("docs"),
+          round((col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            sqrt((col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+              (col("n").cast("double") * col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double"))), 6)
+            .as("spearman"))
+      },
+      Some("""WITH s AS (SELECT doc_id,
+             |    (10000 * CAST(len(list_distinct(string_split(text,' '))) AS BIGINT))
+             |      // CAST(len(string_split(text,' ')) AS BIGINT) AS x,
+             |    (39 * CAST(greatest(len(regexp_extract_all(text, '[A-Za-z]+')), 1) AS BIGINT))
+             |      // CAST(greatest(len(regexp_extract_all(text, '[.!?]')), 1) AS BIGINT)
+             |    + (1180 * CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT))
+             |      // CAST(greatest(len(regexp_extract_all(text, '[A-Za-z]+')), 1) AS BIGINT)
+             |    - 1559 AS y
+             |  FROM documents),
+             |r AS (SELECT row_number() OVER (ORDER BY x, doc_id) AS rx,
+             |        row_number() OVER (ORDER BY y, doc_id) AS ry
+             |      FROM s),
+             |m AS (SELECT count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+             |        sum(rx*rx) AS sxx, sum(ry*ry) AS syy, sum(rx*ry) AS sxy FROM r)
+             |SELECT CAST(n AS BIGINT) AS docs,
+             |  round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+             |        sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+             |             (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6)
+             |    AS spearman
+             |FROM m""".stripMargin))
   )
 }

@@ -165,7 +165,10 @@ class PlanAuditSpec extends SparkSpec {
       // q_trimmed_mean: withGlobalRowNumber's prefix-sum + the per-type
       // offset window over the |event types|-row count table (post-agg,
       // bounded by the type domain, never by data volume)
-      "q_trimmed_mean")
+      "q_trimmed_mean",
+      // q_spearman: two withGlobalRowNumber prefix-sums (one rank pass
+      // per signal)
+      "q_spearman")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
       val global = fn(spark, sf).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
