@@ -1018,6 +1018,73 @@ object Behavioral {
              |  CAST((c.n * 1000000) // t.tot AS BIGINT) AS observed_micro,
              |  CAST(round(ln(1.0 + 1.0/c.digit) / ln(10.0) * 1000000) AS BIGINT)
              |    AS benford_micro
-             |FROM c CROSS JOIN t ORDER BY c.digit""".stripMargin))
+             |FROM c CROSS JOIN t ORDER BY c.digit""".stripMargin)),
+
+    // CONDITIONAL value: mean purchase value split by the PRIOR event
+    // type in the user's stream — does a view-led purchase carry the
+    // same basket as an error-led one? (The attribution-adjacent
+    // question q_first_touch answers at user grain, asked at event
+    // grain.) One lag window on the user_id shuffle every query in this
+    // file shares; exact integer micro means over the bounded
+    // prior-type domain.
+    QueryDef(
+      "q_conditional_value",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("value"),
+            col("ts"), col("event_id"))
+          .withColumn("prev_type", lag("event_type", 1).over(w))
+          .where(col("event_type") === "purchase" &&
+            col("prev_type").isNotNull && col("value").isNotNull)
+          .select(col("prev_type"),
+            round(col("value") * 1e6).cast("long").as("vm"))
+          .groupBy("prev_type")
+          .agg(count(lit(1)).as("purchases"),
+            expr("sum(vm) div count(1)").as("mean_value_micro"))
+          .orderBy("prev_type")
+      },
+      Some("""WITH seq AS (SELECT user_id, event_type, value, ts, event_id,
+             |        lag(event_type) OVER (PARTITION BY user_id
+             |          ORDER BY ts, event_id) AS prev_type
+             |      FROM events),
+             |p AS (SELECT prev_type, CAST(round(value * 1000000) AS BIGINT) AS vm
+             |      FROM seq WHERE event_type = 'purchase' AND prev_type IS NOT NULL
+             |        AND value IS NOT NULL)
+             |SELECT prev_type, count(*) AS purchases,
+             |  CAST(sum(vm) // count(*) AS BIGINT) AS mean_value_micro
+             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // user-type AFFINITY: top-20 (user, event type) cells by lift over
+    // the independence expectation — the personalization signal behind
+    // "this user over-indexes on errors 1.5×". Same pointwise-lift shape
+    // as q_basket_pairs/q_pmi_bigrams, at the user×type grain; the three
+    // marginals are tiny aggregates joined back (user marginal keyed on
+    // the same user_id shuffle), top-20 with a total order under the cut.
+    QueryDef(
+      "q_user_type_affinity",
+      (s, d) => {
+        val c = Tables.events(s, d).groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("n"))
+        val u = c.groupBy("user_id").agg(sum("n").as("un"))
+        val t = c.groupBy("event_type").agg(sum("n").as("tn"))
+        val g = c.agg(sum("n").as("gn"))
+        c.join(u, "user_id").join(broadcast(t), "event_type")
+          .crossJoin(broadcast(g))
+          .select(col("user_id"), col("event_type"), col("n"),
+            expr("(n * gn * CAST(1000000 AS BIGINT)) div (un * tn)")
+              .as("lift_micro"))
+          .orderBy(col("lift_micro").desc, col("user_id"), col("event_type"))
+          .limit(20)
+      },
+      Some("""WITH c AS (SELECT user_id, event_type, count(*) AS n
+             |           FROM events GROUP BY 1, 2),
+             |u AS (SELECT user_id, sum(n) AS un FROM c GROUP BY 1),
+             |t AS (SELECT event_type, sum(n) AS tn FROM c GROUP BY 1),
+             |g AS (SELECT sum(n) AS gn FROM c)
+             |SELECT c.user_id, c.event_type, c.n,
+             |  CAST((c.n * g.gn * 1000000) // (u.un * t.tn) AS BIGINT) AS lift_micro
+             |FROM c JOIN u USING (user_id) JOIN t USING (event_type) CROSS JOIN g
+             |ORDER BY lift_micro DESC, c.user_id, c.event_type LIMIT 20""".stripMargin))
   )
 }
