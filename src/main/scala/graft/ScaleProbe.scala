@@ -178,7 +178,8 @@ object ScaleProbe {
       "q_family_purity", "q_quantile_drift", "q_product_communities",
       "q_modal_dedup_agreement", "q_trimmed_mean", "q_mix_shift",
       "q_autocorr", "q_benford", "q_bucket_occupancy", "q_sample_bias",
-      "q_spearman", "q_conditional_value", "q_user_type_affinity")
+      "q_spearman", "q_conditional_value", "q_user_type_affinity",
+      "q_dim_corr", "q_repurchase_interval")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

@@ -2074,6 +2074,53 @@ object Similarity {
              |SELECT dims, CAST((sv * sv * 1000) // sv2 AS BIGINT) AS pr_milli
              |FROM m""".stripMargin)),
 
+    // dimension-pair CORRELATION screen: the 8 most-correlated embedding
+    // coordinate pairs from the same integer moment matrix q_top_eigen
+    // iterates on (corr = mᵢⱼ/√(mᵢᵢmⱼⱼ)) — redundant dimension pairs are
+    // where truncation/PQ subspace splits should cut, and a pair near
+    // ±1 means the model wastes a coordinate. The upper-triangle moment
+    // table is dim²/2 rows from one map-combined corpus pass; everything
+    // after is bounded by dim².
+    QueryDef(
+      "q_dim_corr",
+      (s, d) => {
+        val dims = Tables.embeddings(s, d)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .select(col("vec_id"), col("dim"),
+            round(col("x").cast("double") * 1e3).cast("long").as("xm"))
+        val m = dims.select(col("vec_id"), col("dim").as("i"), col("xm").as("xa"))
+          .join(dims.select(col("vec_id"), col("dim").as("j"), col("xm").as("xb")),
+            "vec_id")
+          .where(col("i") <= col("j"))
+          .groupBy("i", "j").agg(sum(col("xa") * col("xb")).as("mij"))
+        val diag = m.where(col("i") === col("j"))
+          .select(col("i").as("dim"), col("mij").as("mii"))
+        m.where(col("i") < col("j"))
+          .join(broadcast(diag.select(col("dim").as("i"), col("mii").as("ma"))), "i")
+          .join(broadcast(diag.select(col("dim").as("j"), col("mii").as("mb"))), "j")
+          .select(col("i"), col("j"),
+            round(col("mij").cast("double") /
+              sqrt(col("ma").cast("double") * col("mb").cast("double")), 6)
+              .as("corr"))
+          .orderBy(abs(col("corr")).desc, col("i"), col("j"))
+          .limit(8)
+      },
+      Some("""WITH dims AS (
+             |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+             |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS xm
+             |  FROM embeddings),
+             |m AS (SELECT a.dim AS i, b.dim AS j, CAST(sum(a.xm * b.xm) AS BIGINT) AS mij
+             |      FROM dims a JOIN dims b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+             |      GROUP BY 1, 2),
+             |diag AS (SELECT i AS dim, mij AS mii FROM m WHERE i = j),
+             |off AS (SELECT m.i, m.j,
+             |          round(CAST(m.mij AS DOUBLE) /
+             |            sqrt(CAST(da.mii AS DOUBLE) * CAST(db.mii AS DOUBLE)), 6) AS corr
+             |        FROM m JOIN diag da ON da.dim = m.i JOIN diag db ON db.dim = m.j
+             |        WHERE m.i < m.j)
+             |SELECT i, j, corr FROM off
+             |ORDER BY abs(corr) DESC, i, j LIMIT 8""".stripMargin)),
+
     // cross-MODALITY dedup agreement: on the same injected-duplicate
     // corpus (doc_id ≡ vec_id), how much do the text-LSH candidate set
     // and the embedding near-dup pair set overlap? The consistency audit

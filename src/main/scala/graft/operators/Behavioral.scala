@@ -1085,6 +1085,50 @@ object Behavioral {
              |SELECT c.user_id, c.event_type, c.n,
              |  CAST((c.n * g.gn * 1000000) // (u.un * t.tn) AS BIGINT) AS lift_micro
              |FROM c JOIN u USING (user_id) JOIN t USING (event_type) CROSS JOIN g
-             |ORDER BY lift_micro DESC, c.user_id, c.event_type LIMIT 20""".stripMargin))
+             |ORDER BY lift_micro DESC, c.user_id, c.event_type LIMIT 20""".stripMargin)),
+
+    // repurchase-interval quartiles: rank-exact p25/50/75 of the gap (in
+    // whole seconds) between a user's consecutive purchases — the
+    // inter-purchase cadence that retention models calibrate against.
+    // Gaps come from one lag window on the user_id shuffle; their global
+    // rank runs over the purchase-pair frame (orders of magnitude under
+    // the event count; whitelisted on that bounded-domain argument, with
+    // GlobalOrder as the stated 100 TB path — the q_time_to_convert
+    // convention).
+    QueryDef(
+      "q_repurchase_interval",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val gaps = Tables.events(s, d)
+          .where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .withColumn("secs",
+            unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(w)))
+          .where(col("secs").isNotNull)
+        val r = gaps
+          .withColumn("rn", row_number().over(
+            Window.orderBy("secs", "user_id", "event_id")).cast("long"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        Seq(25, 50, 75).map { qq =>
+          r.where(col("rn") === expr(s"($qq * n + 99) div 100"))
+            .select(lit(qq).as("q"), col("secs"))
+        }.reduce(_.unionByName(_)).orderBy("q")
+      },
+      Some("""WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+             |           FROM events WHERE event_type = 'purchase'),
+             |gaps AS (SELECT user_id, event_id,
+             |           CAST(date_diff('second',
+             |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+             |             ts) AS BIGINT) AS secs
+             |         FROM p),
+             |g AS (SELECT user_id, event_id, secs FROM gaps WHERE secs IS NOT NULL),
+             |r AS (SELECT secs,
+             |        row_number() OVER (ORDER BY secs, user_id, event_id) AS rn,
+             |        count(*) OVER () AS n FROM g)
+             |SELECT q, secs FROM (
+             |  SELECT 25 AS q, secs FROM r WHERE rn = (25*n + 99) // 100
+             |  UNION ALL SELECT 50, secs FROM r WHERE rn = (50*n + 99) // 100
+             |  UNION ALL SELECT 75, secs FROM r WHERE rn = (75*n + 99) // 100)
+             |ORDER BY q""".stripMargin))
   )
 }

@@ -168,7 +168,12 @@ class PlanAuditSpec extends SparkSpec {
       "q_trimmed_mean",
       // q_spearman: two withGlobalRowNumber prefix-sums (one rank pass
       // per signal)
-      "q_spearman")
+      "q_spearman",
+      // q_repurchase_interval: global rank over the purchase-PAIR frame
+      // — one row per consecutive purchase, orders of magnitude under
+      // the event count (GlobalOrder is the 100 TB path, the
+      // q_time_to_convert convention)
+      "q_repurchase_interval")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
       val global = fn(spark, sf).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
