@@ -179,7 +179,8 @@ object ScaleProbe {
       "q_modal_dedup_agreement", "q_trimmed_mean", "q_mix_shift",
       "q_autocorr", "q_benford", "q_bucket_occupancy", "q_sample_bias",
       "q_spearman", "q_conditional_value", "q_user_type_affinity",
-      "q_dim_corr", "q_repurchase_interval")
+      "q_dim_corr", "q_repurchase_interval", "q_weekday_profile",
+      "q_discount_impact")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

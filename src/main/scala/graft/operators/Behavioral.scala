@@ -1129,6 +1129,33 @@ object Behavioral {
              |  SELECT 25 AS q, secs FROM r WHERE rn = (25*n + 99) // 100
              |  UNION ALL SELECT 50, secs FROM r WHERE rn = (50*n + 99) // 100
              |  UNION ALL SELECT 75, secs FROM r WHERE rn = (75*n + 99) // 100)
-             |ORDER BY q""".stripMargin))
+             |ORDER BY q""".stripMargin)),
+
+    // weekday seasonality profile: event counts and corpus share by
+    // (day-of-week × type) — the load-shape table capacity planning and
+    // anomaly baselines read. Day-of-week numbering differs between
+    // engines (Spark Sunday=1, DuckDB Sunday=0), so the Spark side
+    // offsets to the 0-based convention explicitly. One map-combined
+    // aggregate over the bounded 7×|types| domain.
+    QueryDef(
+      "q_weekday_profile",
+      (s, d) => {
+        val c = Tables.events(s, d)
+          .select((dayofweek(col("ts")) - 1).cast("int").as("dow"),
+            col("event_type"))
+          .groupBy("dow", "event_type").agg(count(lit(1)).as("n"))
+        val t = c.agg(sum("n").as("tot"))
+        c.crossJoin(broadcast(t))
+          .select(col("dow"), col("event_type"), col("n"),
+            expr("(n * CAST(1000000 AS BIGINT)) div tot").as("share_micro"))
+          .orderBy("dow", "event_type")
+      },
+      Some("""WITH e AS (SELECT CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS INT) AS dow,
+             |             event_type FROM events),
+             |c AS (SELECT dow, event_type, count(*) AS n FROM e GROUP BY 1, 2),
+             |t AS (SELECT sum(n) AS tot FROM c)
+             |SELECT c.dow, c.event_type, c.n,
+             |  CAST((c.n * 1000000) // t.tot AS BIGINT) AS share_micro
+             |FROM c CROSS JOIN t ORDER BY c.dow, c.event_type""".stripMargin))
   )
 }

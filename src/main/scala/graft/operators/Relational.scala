@@ -858,6 +858,34 @@ object Relational {
              |lab AS (SELECT id, min(r) AS community FROM reach GROUP BY 1),
              |sz AS (SELECT community, count(*) AS members FROM lab GROUP BY 1)
              |SELECT members AS community_size, count(*) AS communities
-             |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // discount-band impact: net revenue (integer cents) and mean quantity
+    // per whole-percent discount band — the pricing-analytics table that
+    // says whether discounts move volume. The band is round(disc·100):
+    // both engines evaluate the identical IEEE expression on the stored
+    // double, so the banding cannot diverge cross-engine. One
+    // map-combined aggregate over the bounded band domain.
+    QueryDef(
+      "q_discount_impact",
+      (s, d) => Tables.lineitem(s, d)
+        .select(round(col("l_discount") * 100).cast("int").as("disc_pct"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+            .cast("long").as("rev_cents"),
+          round(col("l_quantity") * 1e6).cast("long").as("qty_micro"))
+        .groupBy("disc_pct")
+        .agg(count(lit(1)).as("lines"),
+          sum("rev_cents").as("revenue_cents"),
+          expr("sum(qty_micro) div count(1)").as("avg_qty_micro"))
+        .orderBy("disc_pct"),
+      Some("""WITH b AS (SELECT CAST(round(l_discount * 100) AS INT) AS disc_pct,
+             |             CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+             |               AS rev_cents,
+             |             CAST(round(l_quantity * 1000000) AS BIGINT) AS qty_micro
+             |           FROM lineitem)
+             |SELECT disc_pct, count(*) AS lines,
+             |  CAST(sum(rev_cents) AS BIGINT) AS revenue_cents,
+             |  CAST(sum(qty_micro) // count(*) AS BIGINT) AS avg_qty_micro
+             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
