@@ -1156,6 +1156,44 @@ object Behavioral {
              |t AS (SELECT sum(n) AS tot FROM c)
              |SELECT c.dow, c.event_type, c.n,
              |  CAST((c.n * 1000000) // t.tot AS BIGINT) AS share_micro
-             |FROM c CROSS JOIN t ORDER BY c.dow, c.event_type""".stripMargin))
+             |FROM c CROSS JOIN t ORDER BY c.dow, c.event_type""".stripMargin)),
+
+    // user DIVERSITY histogram: per-user Shannon entropy of the
+    // event-type mix (nano-nats, the q_domain_kl term convention),
+    // banded at 0.1 nat — generalists (entropy near ln |types|) vs
+    // specialists (near 0) is the segmentation axis behind
+    // recommendation cold-start policies. Per-user terms aggregate on
+    // the one user_id shuffle; the histogram is bounded by the entropy
+    // range.
+    QueryDef(
+      "q_user_diversity",
+      (s, d) => {
+        val c = Tables.events(s, d).groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("n"))
+        val u = c.groupBy("user_id").agg(sum("n").as("un"))
+        val ent = c.join(u, "user_id")
+          .select(col("user_id"),
+            round((col("n").cast("double") / col("un").cast("double")) *
+              log(col("un").cast("double") / col("n").cast("double")) * lit(1e9))
+              .cast("long").as("term_nano"))
+          .groupBy("user_id").agg(sum("term_nano").cast("long").as("h_nano"))
+        ent.groupBy(expr("h_nano div 100000000").as("band"))
+          .agg(count(lit(1)).as("users"),
+            min("h_nano").as("min_nano"), max("h_nano").as("max_nano"))
+          .orderBy("band")
+      },
+      Some("""WITH c AS (SELECT user_id, event_type, count(*) AS n
+             |           FROM events GROUP BY 1, 2),
+             |u AS (SELECT user_id, sum(n) AS un FROM c GROUP BY 1),
+             |terms AS (SELECT c.user_id,
+             |    CAST(round((CAST(c.n AS DOUBLE) / u.un) *
+             |               ln(CAST(u.un AS DOUBLE) / c.n) * 1e9) AS BIGINT) AS term_nano
+             |  FROM c JOIN u USING (user_id)),
+             |ent AS (SELECT user_id, CAST(sum(term_nano) AS BIGINT) AS h_nano
+             |        FROM terms GROUP BY 1)
+             |SELECT h_nano // 100000000 AS band, count(*) AS users,
+             |  CAST(min(h_nano) AS BIGINT) AS min_nano,
+             |  CAST(max(h_nano) AS BIGINT) AS max_nano
+             |FROM ent GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -886,6 +886,32 @@ object Relational {
              |SELECT disc_pct, count(*) AS lines,
              |  CAST(sum(rev_cents) AS BIGINT) AS revenue_cents,
              |  CAST(sum(qty_micro) // count(*) AS BIGINT) AS avg_qty_micro
-             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // monthly RETURN-rate trend: share of lineitems flagged returned per
+    // ship month in integer micros — the operations health line an
+    // anomaly monitor watches (a month whose return rate jumps is a
+    // product or logistics incident). One map-combined aggregate over
+    // the calendar-bounded month domain.
+    QueryDef(
+      "q_return_rate",
+      (s, d) => Tables.lineitem(s, d)
+        .select(to_date(date_trunc("month", col("l_shipdate"))).as("month"),
+          col("l_returnflag"))
+        .groupBy("month")
+        .agg(count(lit(1)).as("lines"),
+          count(when(col("l_returnflag") === "R", 1)).as("returned"))
+        .select(col("month"), col("lines"), col("returned"),
+          expr("(returned * CAST(1000000 AS BIGINT)) div lines")
+            .as("return_micro"))
+        .orderBy("month"),
+      Some("""WITH l AS (SELECT CAST(date_trunc('month', CAST(l_shipdate AS TIMESTAMP))
+             |             AS DATE) AS month, l_returnflag FROM lineitem),
+             |c AS (SELECT month, count(*) AS lines,
+             |        count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS returned
+             |      FROM l GROUP BY 1)
+             |SELECT month, lines, CAST(returned AS BIGINT) AS returned,
+             |  CAST((returned * 1000000) // lines AS BIGINT) AS return_micro
+             |FROM c ORDER BY month""".stripMargin))
   )
 }
