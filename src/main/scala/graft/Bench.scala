@@ -130,6 +130,16 @@ object Bench {
       s""""ok_count":${ok.size},"error_count":${results.size - ok.size},""" +
       s""""errors":$errsJson,"runs":$runsJson,"calibration":$calibJson}"""
     println(fullLine)
+    // capture-proof record: the driver's stdout capture has truncated the
+    // full line three rounds running, so ALSO write it to a repo file that
+    // gets committed at round close — BENCH_r* analysis can then always
+    // read a complete per-query map regardless of capture behavior
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json"))
+      java.nio.file.Files.write(out,
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () } // never let the file write kill the bench
     // compact tail-survivor: everything a grader needs if the full line
     // is truncated again (worst-5 = the slowest five, where any perf
     // regression worth chasing will appear)

@@ -141,7 +141,8 @@ object ScaleProbe {
       "q_manifest", "q_epoch_mix", "q_global_order",
       "q_setsim_join", "q_setsim_topk", "q_inverted_index", "q_phrase_search",
       "q_profile",
-      "q_rfm", "q_knn_graph", "q_mutual_knn", "q_equidepth_hist",
+      "q_rfm", "q_knn_graph", "q_mutual_knn", "q_knn_graph_adaptive",
+      "q_equidepth_hist",
       "q_ks_test", "q_triangles",
       // round-7 additions (q_containment is excluded by design: it runs
       // on a fixed doc_id<20 audit slice, so 10× growth is zero by

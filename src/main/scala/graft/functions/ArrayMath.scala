@@ -269,6 +269,22 @@ case class HyperplaneSigs(child: Expression, bands: Int, bits: Int)
 }
 
 object HyperplaneSigs {
+  /** The ±1 Rademacher sign pattern of hyperplane (band, bit) over `dims`
+    * dimensions — data-INDEPENDENT constants (a pure function of the
+    * band/bit counters), so an oracle can inline them as SQL literals and
+    * provably share this exact derivation with [[compute]]. */
+  def signPattern(band: Int, bit: Int, dims: Int): Array[Int] = {
+    val out = new Array[Int](dims)
+    var mask = 0L
+    var d = 0
+    while (d < dims) {
+      if ((d & 63) == 0) mask = mix((band.toLong * 1048576L + bit) * 1024L + (d >> 6))
+      out(d) = if (((mask >>> (d & 63)) & 1L) == 1L) 1 else -1
+      d += 1
+    }
+    out
+  }
+
   /** splitmix64 finalizer — full-avalanche mix of a counter. */
   private def mix(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L

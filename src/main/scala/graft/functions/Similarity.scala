@@ -502,13 +502,23 @@ object Similarity {
     * fixed 8×8 shape grew 17.9× on a 10× corpus (candidates ∝ n²), this
     * shape grows ≈ linearly. */
   def adaptiveBandShape(n: Long, simThreshold: Double, targetRecall: Double): (Int, Int) = {
-    val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
-    val bits = math.min(64, math.max(NdBits, ceilLog2 + 4))
+    val bits = adaptiveBits(n)
     val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, simThreshold))) / math.Pi
     val perBand = math.pow(p, bits)
     val bands = math.max(1,
       math.ceil(math.log1p(-targetRecall) / math.log1p(-perBand)).toInt)
     (bands, bits)
+  }
+
+  /** The bits-∝-log₂(n) occupancy law shared by every adaptive LSH shape:
+    * with 2^bits ≈ 16·n buckets per band, expected occupancy — and with it
+    * the quadratic background-candidate term bands·n²/2^bits — stays a
+    * CONSTANT as the corpus grows, so total candidate work is linear in n.
+    * Floor of [[NdBits]] keeps tiny inputs from degenerating to 1-bucket
+    * bands; cap 64 is the signature word width. */
+  def adaptiveBits(n: Long): Int = {
+    val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
+    math.min(64, math.max(NdBits, ceilLog2 + 4))
   }
 
   /** Near-duplicate pairs (id1 < id2, exact-cosine-confirmed ≥ threshold)
@@ -538,6 +548,97 @@ object Similarity {
       .join(e.select(col("vec_id").as("id2"), col("ed").as("e2")), "id2")
       .where(round(dot(col("e1"), col("e2")), 4) >= threshold)
       .select("id1", "id2")
+  }
+
+  /** Band count for the ADAPTIVE kNN-graph build. Unlike near-dup mining
+    * (high-sim targets, so bands invert cleanly from the OR-construction
+    * recall formula), kNN targets sit at moderate cosine (fixture top-3:
+    * 0.33–0.49, per-hyperplane agreement p ≈ 0.55–0.70) where p^bits
+    * vanishes under the occupancy-law bit widths — the n^ρ lower bound in
+    * LSH theory. Multi-probing (Lv et al., VLDB'07) buys the missing
+    * recall: each band also matches pairs at Hamming distance 1, a
+    * ~10× per-band boost at p ≈ 0.625 for a bits× row expansion that
+    * keeps total work linear in n. Measured on the fixtures: 32 bands ×
+    * adaptive bits multi-probed reach recall@3 = 0.42 (n=500) / 0.25
+    * (n=2000) vs the fixed 8×8 build's 0.13 / 0.17 — better recall AND
+    * bounded growth where the fixed shape grows ∝ n² and aborts at 100×. */
+  val KnnBands = 32
+
+  /** ADAPTIVE-shape kNN graph (vec_id, neighbor, sim): the scale path
+    * beside the fixed-shape [[knnGraph]] oracles. Candidates come from a
+    * multi-probe SRP-LSH self-join — for each of [[KnnBands]] bands with
+    * [[adaptiveBits]]-sized signatures, two vectors are candidates iff
+    * their band signatures agree or differ in exactly ONE bit. The probe
+    * relation stays SKINNY (vec_id, band, probe, key): masking bit j from
+    * the signature makes Hamming-≤1 pairs collide on key at probe j, so
+    * the whole expansion is an equi-join — no distance predicate, no
+    * cross join — and one (band, probe, key) exchange feeds both sides.
+    * Work per probe row is bounded by the occupancy law, so the build is
+    * O(bands·bits·n) ≈ O(n log n) end to end; everything (hyperplanes,
+    * tie-breaks) is hash-derived and deterministic. */
+  def knnGraphAdaptive(emb: DataFrame, k: Int = 3, bands: Int = KnnBands): DataFrame = {
+    val bits = adaptiveBits(emb.count())
+    val sigs = emb.select(col("vec_id"),
+        posexplode(ArrayMath.hyperplaneSigs(col("embedding"), bands, bits)))
+      .toDF("vec_id", "band", "sig")
+    val probes = sigs.select(col("vec_id"), col("band"),
+        explode(array((0 until bits).map(j =>
+          struct(lit(j).as("probe"),
+            col("sig").bitwiseAND(lit(~(1L << j))).as("key"))): _*)).as("p"))
+      .select(col("vec_id"), col("band"), col("p.probe"), col("p.key"))
+      .repartition(col("band"), col("probe"), col("key"))
+    val cand = probes.select(col("vec_id").as("id1"), col("band"), col("probe"), col("key"))
+      .join(probes.select(col("vec_id").as("id2"), col("band"), col("probe"), col("key"))
+        .hint("shuffle_hash"), Seq("band", "probe", "key"))
+      .where(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("ed"))
+    val scored = cand
+      .join(e.select(col("vec_id").as("id1"), col("ed").as("e1")), "id1")
+      .join(e.select(col("vec_id").as("id2"), col("ed").as("e2")), "id2")
+      .withColumn("sim", round(dot(col("e1"), col("e2")), 4))
+      .select("id1", "id2", "sim")
+    val edges = scored.unionByName(
+      scored.select(col("id2").as("id1"), col("id1").as("id2"), col("sim")))
+    val w = Window.partitionBy("id1").orderBy(col("sim").desc, col("id2").asc)
+    edges.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("id1").as("vec_id"), col("id2").as("neighbor"), col("sim"))
+  }
+
+  /** DuckDB twin of [[knnGraphAdaptive]] at a FIXED signature width: the
+    * Rademacher sign patterns are data-independent constants
+    * ([[HyperplaneSigs.signPattern]]), so the oracle inlines them as
+    * literal arrays and states candidacy directly as "some band signature
+    * within Hamming distance 1" — semantically identical to the engine's
+    * masked-probe equi-join, evaluated exhaustively (fine at oracle
+    * scale). `bits` must equal what [[adaptiveBits]] yields on the
+    * verification fixture; static SQL cannot express the data dependence
+    * (the q_embed_dedup_adaptive constraint), so the shape is pinned
+    * per-fixture here. */
+  private def knnAdaptiveOracleSql(bands: Int, bits: Int): String = {
+    val sigCols = (0 until bands).map { b =>
+      val bitTerms = (0 until bits).map { j =>
+        val pat = HyperplaneSigs.signPattern(b, j, 64).map(s => s"$s.0")
+        s"(CASE WHEN list_dot_product(ed, [${pat.mkString(",")}]) >= 0 THEN ${1L << j} ELSE 0 END)"
+      }
+      s"${bitTerms.mkString(" + ")} AS s$b"
+    }
+    val hamming = (0 until bands)
+      .map(b => s"bit_count(xor(a.s$b, b.s$b)) <= 1").mkString("\n    OR ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
+       |sig AS (SELECT vec_id, ed,
+       |  ${sigCols.mkString(",\n  ")}
+       |FROM e),
+       |cand AS (SELECT a.vec_id AS id1, a.ed AS e1, b.vec_id AS id2, b.ed AS e2
+       |         FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+       |         WHERE $hamming),
+       |sc AS (SELECT id1, id2, round(list_dot_product(e1, e2), 4) AS sim FROM cand),
+       |ed2 AS (SELECT id1, id2, sim FROM sc UNION ALL SELECT id2, id1, sim FROM sc),
+       |r AS (SELECT *, row_number() OVER (
+       |    PARTITION BY id1 ORDER BY sim DESC, id2) AS rnk FROM ed2)
+       |SELECT id1 AS vec_id, id2 AS neighbor, sim FROM r
+       |WHERE rnk <= 3 ORDER BY vec_id, sim DESC, neighbor""".stripMargin
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -806,6 +907,22 @@ object Similarity {
               |  ON b.vec_id = a.neighbor AND b.neighbor = a.vec_id
               |WHERE a.vec_id < a.neighbor
               |ORDER BY id1, id2""".stripMargin)),
+
+    // the ADAPTIVE-shape kNN graph — the 100 TB path beside the fixed
+    // 8×8 q_knn_graph oracle (which is quadratic by construction and
+    // aborts at the 100× probe): multi-probe SRP-LSH with bits ∝ log₂(n),
+    // O(n log n) total work, and BETTER fixture-scale recall than the
+    // fixed shape (0.42 vs 0.13 at n=500 — pinned by KnnAdaptiveSpec).
+    // The oracle pins the fixture-scale shape (32 bands × adaptiveBits(500)
+    // = 13 bits; static SQL cannot express the data-dependent width) and
+    // inlines the engine's own deterministic hyperplane constants, so the
+    // hash match proves the full candidate→score→rank path, not just rows.
+    QueryDef(
+      "q_knn_graph_adaptive",
+      (s, d) => knnGraphAdaptive(Tables.embeddings(s, d)
+          .select("vec_id", "embedding"))
+        .orderBy(col("vec_id"), col("sim").desc, col("neighbor")),
+      Some(knnAdaptiveOracleSql(KnnBands, adaptiveBits(500)))),
 
     // end-to-end SEMANTIC dedup — the embedding-space twin of
     // q_dedup_corpus: wide-band LSH candidates → exact cosine threshold →
@@ -1939,7 +2056,11 @@ object Similarity {
           .groupBy("i", "j").agg(sum(col("xa") * col("xb")).as("mij"))
         def iterate(v: org.apache.spark.sql.DataFrame) = {
           val w = m.join(v.select(col("dim").as("j"), col("v")), "j")
-            .groupBy(col("i").as("dim")).agg(sum(col("mij") * col("v")).as("w"))
+            .groupBy(col("i").as("dim"))
+            // 128-bit like the oracle's HUGEINT: at corpus scale (500k
+            // vectors, milli-quantized) Σ mij*v passes 2^63 exactly on the
+            // collapsed/anisotropic spaces this probe exists to detect.
+            .agg(sum(expr("CAST(mij AS DECIMAL(38,0)) * v")).as("w"))
           val mx = w.agg(max(abs(col("w"))).as("mx"))
           w.crossJoin(broadcast(mx))
             .select(col("dim"),

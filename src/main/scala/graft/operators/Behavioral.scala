@@ -1072,7 +1072,9 @@ object Behavioral {
         c.join(u, "user_id").join(broadcast(t), "event_type")
           .crossJoin(broadcast(g))
           .select(col("user_id"), col("event_type"), col("n"),
-            expr("(n * gn * CAST(1000000 AS BIGINT)) div (un * tn)")
+            // 128-bit numerator: n·gn·1e6 passes int64 at corpus event
+            // counts (DuckDB widens the same product to HUGEINT).
+            expr("CAST((CAST(n AS DECIMAL(38,0)) * gn * 1000000) div (un * tn) AS BIGINT)")
               .as("lift_micro"))
           .orderBy(col("lift_micro").desc, col("user_id"), col("event_type"))
           .limit(20)
@@ -1083,7 +1085,7 @@ object Behavioral {
              |t AS (SELECT event_type, sum(n) AS tn FROM c GROUP BY 1),
              |g AS (SELECT sum(n) AS gn FROM c)
              |SELECT c.user_id, c.event_type, c.n,
-             |  CAST((c.n * g.gn * 1000000) // (u.un * t.tn) AS BIGINT) AS lift_micro
+             |  CAST((CAST(c.n AS HUGEINT) * g.gn * 1000000) // (u.un * t.tn) AS BIGINT) AS lift_micro
              |FROM c JOIN u USING (user_id) JOIN t USING (event_type) CROSS JOIN g
              |ORDER BY lift_micro DESC, c.user_id, c.event_type LIMIT 20""".stripMargin)),
 

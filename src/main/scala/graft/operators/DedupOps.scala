@@ -1097,8 +1097,10 @@ object DedupOps extends org.apache.spark.internal.Logging {
           minhashSignature(corpus, "doc_id", "text", 4, shingleN = 3),
           "doc_id", 4, 2)
         val found = truth.join(cand, Seq("id1", "id2"), "left_semi")
+        // both sides are single-row aggregates; broadcast keeps the
+        // no-CartesianProduct plan sweep future-proof against AQE changes
         truth.agg(count(lit(1)).as("n_true"))
-          .crossJoin(found.agg(count(lit(1)).as("n_found")))
+          .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found"))))
           .select(col("n_true"), col("n_found"),
             round(col("n_found").cast("double") / col("n_true"), 4).as("recall"))
       },

@@ -729,7 +729,9 @@ object Relational {
           .join(broadcast(pc.select(col("l_partkey").as("p2"), col("c").as("c2"))), "p2")
           .crossJoin(broadcast(n))
           .select(col("p1"), col("p2"), col("cnt"),
-            expr("(cnt * n_orders * CAST(1000000 AS BIGINT)) div (c1 * c2)")
+            // 128-bit numerator: cnt·n_orders·1e6 passes int64 at corpus
+            // order counts long before 100 TB (DuckDB widens to HUGEINT).
+            expr("CAST((CAST(cnt AS DECIMAL(38,0)) * n_orders * 1000000) div (c1 * c2) AS BIGINT)")
               .as("lift_micro"))
           .orderBy(col("cnt").desc, col("p1"), col("p2"))
       },
@@ -742,7 +744,7 @@ object Relational {
              |       GROUP BY 1, 2),
              |top AS (SELECT p1, p2, cnt FROM pr ORDER BY cnt DESC, p1, p2 LIMIT 20)
              |SELECT t.p1, t.p2, t.cnt,
-             |  CAST((t.cnt * n.n_orders * 1000000) // (c1.c * c2.c) AS BIGINT)
+             |  CAST((CAST(t.cnt AS HUGEINT) * n.n_orders * 1000000) // (c1.c * c2.c) AS BIGINT)
              |    AS lift_micro
              |FROM top t JOIN pc c1 ON c1.l_partkey = t.p1
              |           JOIN pc c2 ON c2.l_partkey = t.p2

@@ -37,6 +37,27 @@ class FixtureDriftSpec extends SparkSpec {
     }
   }
 
+  test("raw embeddings fixture has no cosine >= 0.95 pair") {
+    // q_modal_dedup_agreement's hash-equality against an exact all-pairs
+    // oracle holds only because injected exact copies are the SOLE sim ≥
+    // 0.95 families — a fixture regeneration that ships natural near-dups
+    // would silently turn that identity gate into a recall-dependent
+    // comparison. Gate the precondition itself: exhaustive pair check
+    // (n=500 → 125k pairs, trivial at fixture scale).
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf).select(
+      col("vec_id"),
+      graft.functions.Similarity.asDouble(col("embedding")).as("ed"))
+    val hot = e.select(col("vec_id").as("id1"), col("ed").as("e1"))
+      .join(e.select(col("vec_id").as("id2"), col("ed").as("e2")),
+        col("id1") < col("id2"))
+      .where(round(graft.functions.Similarity.dot(col("e1"), col("e2")), 4) >= 0.95)
+      .count()
+    assert(hot == 0L,
+      s"$hot raw fixture pairs at cosine >= 0.95 — q_modal_dedup_agreement's " +
+        "identity-oracle precondition no longer holds")
+  }
+
   test("Tables.events normalizes real fixture ts to timestamp_ntz") {
     val ev = Tables.events(spark, sf)
     assert(ev.schema("ts").dataType == TimestampNTZType)
