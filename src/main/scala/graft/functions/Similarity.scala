@@ -256,15 +256,69 @@ object Similarity {
     * `dir/assignments` (vec_id, cluster) — one skinny row per vector. */
   def saveIvfIndex(emb: DataFrame, dir: String, k: Int, iters: Int): Unit = {
     val cents = trainCodebook(emb, k, iters)
+    cents.write.mode("overwrite").parquet(s"$dir/codebook")
+    assignToCodebook(emb, cents)
+      .write.mode("overwrite").parquet(s"$dir/assignments")
+  }
+
+  /** The ONE cell-assignment rule every IVF surface shares (build,
+    * append, in-memory candidates): nearest frozen centroid by rounded
+    * dot, ties to the lower cent_id — pointwise per vector, which is what
+    * makes incremental appends exact (see [[appendToIvfIndex]]). */
+  def assignToCodebook(emb: DataFrame, cents: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("cdot").desc, col("cent_id"))
-    val assign = emb.crossJoin(broadcast(cents))
+    emb.crossJoin(broadcast(cents))
       .withColumn("cdot", round(dot(col("ed"), col("ce")), 4))
       .withColumn("crn", row_number().over(wAssign))
       .where(col("crn") === 1)
       .select(col("vec_id"), col("cent_id").as("cluster"))
-    cents.write.mode("overwrite").parquet(s"$dir/codebook")
-    assign.write.mode("overwrite").parquet(s"$dir/assignments")
+  }
+
+  /** Incremental index MAINTENANCE: assign only the `delta` (vec_id, ed)
+    * batch against the FROZEN codebook and append the skinny rows to the
+    * stored assignments — O(|delta|·k) work, touching nothing
+    * corpus-sized. Because [[assignToCodebook]] is pointwise per vector,
+    * append-then-probe is IDENTICAL to re-assigning the whole unioned
+    * corpus against the same codebook (pinned by AnnIndexSpec) — freezing
+    * the codebook is exactly what buys the cheap delta.
+    *
+    * The returned report is the gate on that freeze: per-cell base vs
+    * delta occupancy (`base_n`/`delta_n`, Laplace-smoothed shares in
+    * micro) and each cell's signed PSI contribution (`psi_micro`;
+    * population stability index — sum the column for the total). A delta
+    * the frozen centroids no longer describe piles into few cells and
+    * the summed PSI blows past the conventional 0.25 (250,000 micro)
+    * "investigate" bound — retrain the codebook then, not per batch. */
+  def appendToIvfIndex(spark: SparkSession, dir: String,
+      delta: DataFrame): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/codebook")
+    // base occupancy must materialize BEFORE the append — parquet file
+    // listing is lazy, and after the write the same path includes the
+    // delta. k rows: driver-safe by construction.
+    val baseOcc = spark.read.parquet(s"$dir/assignments")
+      .groupBy("cluster").agg(count(lit(1)).as("base_n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val assign = assignToCodebook(delta, cents).persist()
+    assign.write.mode("append").parquet(s"$dir/assignments")
+    val deltaOcc = assign.groupBy("cluster").agg(count(lit(1)).as("delta_n"))
+    assign.unpersist(false)
+    import spark.implicits._
+    val base = baseOcc.toDF("cluster", "base_n")
+    val k = math.max(1L, cents.count())
+    val occ = base.join(deltaOcc, Seq("cluster"), "full_outer")
+      .na.fill(0L, Seq("base_n", "delta_n"))
+    val totals = occ.agg(sum("base_n").as("bt"), sum("delta_n").as("dt"))
+    occ.crossJoin(broadcast(totals))
+      // Laplace smoothing keeps empty cells finite; micro precision
+      .withColumn("pb", (col("base_n") + 1).cast("double") / (col("bt") + k))
+      .withColumn("pd", (col("delta_n") + 1).cast("double") / (col("dt") + k))
+      .select(col("cluster"), col("base_n"), col("delta_n"),
+        round(col("pb") * 1e6).cast("long").as("base_share_micro"),
+        round(col("pd") * 1e6).cast("long").as("delta_share_micro"),
+        round((col("pd") - col("pb")) * log(col("pd") / col("pb")) * 1e6)
+          .cast("long").as("psi_micro"))
+      .orderBy("cluster")
   }
 
   /** Persisted-index PROBE: top-k neighbors for `queries` (qid, qe)
@@ -587,9 +641,14 @@ object Similarity {
             col("sig").bitwiseAND(lit(~(1L << j))).as("key"))): _*)).as("p"))
       .select(col("vec_id"), col("band"), col("p.probe"), col("p.key"))
       .repartition(col("band"), col("probe"), col("key"))
+    // sort-merge, NOT shuffle_hash: the probe relation is bits× wider
+    // than a plain band explode (n·bands·bits rows), and SHJ's unsafe
+    // hash map cannot spill — at the 100× corpus (140M probe rows) it
+    // OOMs, while SMJ sorts with graceful disk spill. Both sides still
+    // ride the single (band, probe, key) exchange above.
     val cand = probes.select(col("vec_id").as("id1"), col("band"), col("probe"), col("key"))
       .join(probes.select(col("vec_id").as("id2"), col("band"), col("probe"), col("key"))
-        .hint("shuffle_hash"), Seq("band", "probe", "key"))
+        .hint("merge"), Seq("band", "probe", "key"))
       .where(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
     val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("ed"))

@@ -55,6 +55,59 @@ class AnnIndexSpec extends SparkSpec {
     assert(recall >= 0.8, s"persisted-index recall@5 degraded to $recall")
   }
 
+  test("incremental append: delta-only assignment, probe identical to full re-assignment") {
+    val dir = Files.createTempDirectory("graft-ivf-inc").toString
+    val all = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("ed"))
+    val base = all.where(col("vec_id") < 400)
+    val delta = all.where(col("vec_id") >= 400)
+    Similarity.saveIvfIndex(base, dir, k = 8, iters = 3)
+
+    val report = Similarity.appendToIvfIndex(spark, dir, delta)
+    // every delta vector landed exactly once; base rows untouched
+    val assign = spark.read.parquet(s"$dir/assignments")
+    assert(assign.count() == all.count())
+    assert(assign.select("vec_id").distinct().count() == all.count())
+
+    // the identity that makes freezing the codebook sound: append-then-
+    // probe ≡ one full re-assignment of the unioned corpus against the
+    // SAME codebook (assignment is pointwise per vector)
+    val cents = spark.read.parquet(s"$dir/codebook")
+    val dir2 = Files.createTempDirectory("graft-ivf-full").toString
+    cents.write.parquet(s"$dir2/codebook")
+    Similarity.assignToCodebook(all, cents)
+      .write.parquet(s"$dir2/assignments")
+    val q = all.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("ed").as("qe"))
+    def probe(d: String) = Similarity
+      .queryIvfIndex(spark, d, q, all.select("vec_id", "ed"), nprobe = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe(dir) == probe(dir2),
+      "append-path probe diverged from full re-assignment against the same codebook")
+
+    // in-distribution delta: occupancy shift is sampling noise, PSI far
+    // under the conventional 0.25 retrain bound
+    val psi = report.agg(org.apache.spark.sql.functions.sum("psi_micro"))
+      .head().getLong(0)
+    assert(psi >= 0 && psi < 250000, s"in-distribution delta PSI $psi µ out of range")
+  }
+
+  test("append drift report flags an out-of-distribution delta") {
+    val dir = Files.createTempDirectory("graft-ivf-ood").toString
+    val all = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("ed"))
+    Similarity.saveIvfIndex(all.where(col("vec_id") < 400), dir, k = 8, iters = 3)
+    // OOD batch: every dimension collapsed to the first — all vectors
+    // point along ±(1,1,…,1), so they pile into one or two cells
+    val ood = all.where(col("vec_id") >= 400)
+      .select(col("vec_id"),
+        transform(col("ed"), _ => element_at(col("ed"), 1)).as("ed"))
+    val psi = Similarity.appendToIvfIndex(spark, dir, ood)
+      .agg(org.apache.spark.sql.functions.sum("psi_micro")).head().getLong(0)
+    assert(psi >= 250000,
+      s"collapsed-direction delta should trip the 0.25 PSI retrain gate, got $psi µ")
+  }
+
   test("probe plan touches the stored assignments, never re-assigns the corpus") {
     val dir = Files.createTempDirectory("graft-ivf2").toString
     val emb = Tables.embeddings(spark, sf)
