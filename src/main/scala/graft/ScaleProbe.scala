@@ -181,7 +181,10 @@ object ScaleProbe {
       "q_autocorr", "q_benford", "q_bucket_occupancy", "q_sample_bias",
       "q_spearman", "q_conditional_value", "q_user_type_affinity",
       "q_dim_corr", "q_repurchase_interval", "q_weekday_profile",
-      "q_discount_impact", "q_user_diversity", "q_return_rate")
+      "q_discount_impact", "q_user_diversity", "q_return_rate",
+      // round 8
+      "q_dau_stickiness", "q_burstiness", "q_volume_concentration",
+      "q_decile_lift")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

@@ -1196,6 +1196,70 @@ object Behavioral {
              |SELECT h_nano // 100000000 AS band, count(*) AS users,
              |  CAST(min(h_nano) AS BIGINT) AS min_nano,
              |  CAST(max(h_nano) AS BIGINT) AS max_nano
-             |FROM ent GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM ent GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // DAU/MAU stickiness — the engagement ratio product dashboards lead
+    // with: per calendar day, distinct actives against the calendar
+    // month's distinct actives (integer micros). Two distinct-count
+    // aggregates; the month table is one row per month, so it rides a
+    // broadcast back onto the daily grain — no second shuffle. At scale
+    // both distincts shuffle on (period, user), the natural key.
+    QueryDef(
+      "q_dau_stickiness",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(date_trunc("day", col("ts")).as("day"),
+            date_trunc("month", col("ts")).as("mo"), col("user_id"))
+        val dau = ev.groupBy("day", "mo").agg(countDistinct("user_id").as("dau"))
+        val mau = ev.groupBy("mo").agg(countDistinct("user_id").as("mau"))
+        dau.join(broadcast(mau), "mo")
+          .select(col("day"), col("dau"), col("mau"),
+            expr("(dau * CAST(1000000 AS BIGINT)) div mau").as("stickiness_micro"))
+          .orderBy("day")
+      },
+      Some("""WITH d AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             |                  date_trunc('month', CAST(ts AS TIMESTAMP)) AS mo,
+             |                  count(DISTINCT user_id) AS dau
+             |           FROM events GROUP BY 1, 2),
+             |m AS (SELECT date_trunc('month', CAST(ts AS TIMESTAMP)) AS mo,
+             |             count(DISTINCT user_id) AS mau
+             |      FROM events GROUP BY 1)
+             |SELECT d.day, d.dau, m.mau,
+             |  CAST(d.dau * 1000000 // m.mau AS BIGINT) AS stickiness_micro
+             |FROM d JOIN m USING (mo) ORDER BY d.day""".stripMargin)),
+
+    // burstiness audit: the Fano factor (variance/mean) of DAILY volume
+    // per event type — the dispersion number that separates steady
+    // telemetry (≈1, Poisson) from bursty incident traffic (≫1) and
+    // metronomic batch jobs (≪1), and the first input to capacity
+    // headroom. Exact integer identity: var/mean = (n·Σc²−S²)/((n−1)·S)
+    // on daily-count integers, widened to 128-bit where S² passes int64
+    // at corpus volumes (DuckDB's sum already returns HUGEINT). Two
+    // map-combined aggregates, nothing data-sized leaves the executors.
+    QueryDef(
+      "q_burstiness",
+      (s, d) => {
+        val c = Tables.events(s, d)
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("c"))
+        c.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("c").as("sc"),
+            sum(col("c") * col("c")).as("sc2"))
+          .select(col("event_type"), col("n"), col("sc").as("total"),
+            expr("(sc * CAST(1000000 AS BIGINT)) div n").as("mean_micro"),
+            expr("CAST(((CAST(n AS DECIMAL(38,0)) * sc2 - CAST(sc AS DECIMAL(38,0)) * sc) * 1000000) " +
+              "div ((n - 1) * sc) AS BIGINT)").as("fano_micro"))
+          .orderBy("event_type")
+      },
+      Some("""WITH c AS (SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             |                  count(*) AS c
+             |           FROM events GROUP BY 1, 2),
+             |s AS (SELECT event_type, count(*) AS n, sum(c) AS sc, sum(c*c) AS sc2
+             |      FROM c GROUP BY 1)
+             |SELECT event_type, n, CAST(sc AS BIGINT) AS total,
+             |  CAST(sc * 1000000 // n AS BIGINT) AS mean_micro,
+             |  CAST((CAST(n AS HUGEINT) * sc2 - CAST(sc AS HUGEINT) * sc) * 1000000
+             |       // ((n - 1) * sc) AS BIGINT) AS fano_micro
+             |FROM s ORDER BY event_type""".stripMargin))
   )
 }

@@ -27,16 +27,29 @@ import org.apache.spark.sql.functions._
   * Cost: ONE data-sized shuffle plus one map-side-combined count pass,
   * fully parallel at any scale. The order must be TOTAL (include a unique
   * tiebreak column): with a total order, every row's global position is
-  * independent of where the range boundaries land, so the result is
-  * deterministic even though the two jobs that consume the shuffled plan
-  * (the count pass and the final pass) re-execute it.
+  * independent of where the range boundaries land. The boundaries must
+  * still be CONSISTENT between the count pass and the final pass — the
+  * two jobs would otherwise re-execute the upstream plan, which AQE may
+  * re-plan differently per job — so the ranked projection is persisted
+  * before either job runs (see [[withGlobalRowNumber]]).
   */
 object GlobalOrder {
 
   private val LocalBits = 33 // monotonically_increasing_id: pid << 33 | local
 
   /** Adds a dense 1-based `out` BIGINT column: the row's position under
-    * `order` (which must be a total order) across the whole dataset. */
+    * `order` (which must be a total order) across the whole dataset.
+    *
+    * The ranked projection is PERSISTED before the two consuming jobs
+    * (the offset aggregate, then the final pass): each job would
+    * otherwise re-execute the upstream plan, and AQE may re-plan its
+    * shuffles differently per job — different input partitioning feeds
+    * the range sampler different boundaries, and job-2 local positions
+    * join against job-1 offsets, silently shifting every rank (observed
+    * on a window+join upstream: ranks off by 14 on one run, correct on
+    * the next). Same cross-job-consistency requirement as RDD
+    * zipWithIndex; the materialized skinny projection is the price. At
+    * cluster scale prefer a checkpoint if executor loss is in play. */
   def withGlobalRowNumber(df: DataFrame, order: Seq[Column], out: String): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val mid = df.repartitionByRange(parts, order: _*)
@@ -44,6 +57,7 @@ object GlobalOrder {
       .withColumn("_go_mid", monotonically_increasing_id())
       .withColumn("_go_pid", shiftright(col("_go_mid"), LocalBits))
       .withColumn("_go_loc", col("_go_mid").bitwiseAND(lit((1L << LocalBits) - 1)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val offsets = mid.groupBy("_go_pid").agg(count(lit(1)).as("_go_cnt"))
       .withColumn("_go_off", coalesce(
         sum("_go_cnt").over(Window.orderBy("_go_pid")
@@ -90,11 +104,15 @@ object GlobalOrder {
   def withRunningTotal(df: DataFrame, order: Seq[Column], value: Column,
       out: String): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    // persisted for the same cross-job consistency reason as
+    // withGlobalRowNumber: the offsets job and the final pass must see
+    // identical range partitioning
     val mid = df.repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("_go_val", value.cast("long"))
       .withColumn("_go_pid",
         shiftright(monotonically_increasing_id(), LocalBits))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val local = mid.withColumn("_go_run",
       sum("_go_val").over(Window.partitionBy("_go_pid").orderBy(order: _*)
         .rowsBetween(Window.unboundedPreceding, 0)))

@@ -914,6 +914,92 @@ object Relational {
              |      FROM l GROUP BY 1)
              |SELECT month, lines, CAST(returned AS BIGINT) AS returned,
              |  CAST((returned * 1000000) // lines AS BIGINT) AS return_micro
-             |FROM c ORDER BY month""".stripMargin))
+             |FROM c ORDER BY month""".stripMargin)),
+
+    // revenue-concentration curve: how many parts (ranked by revenue)
+    // cover 50% / 90% / 99% of total revenue — the long-tail number that
+    // decides hot-set caching, assortment cuts, and whether a "top-N
+    // parts" materialization is worth its storage. Per-part cents from
+    // one map-combined aggregate; the global rank AND running total ride
+    // GlobalOrder's range shuffle (parts are data-sized — a partitionless
+    // window here would be the single-task trap); the three threshold
+    // probes and the part count land on a broadcast. The crossing
+    // comparison runs in DECIMAL(38,0): cum·100 passes int64 at
+    // warehouse-scale revenue.
+    QueryDef(
+      "q_volume_concentration",
+      (s, d) => {
+        val pr = Tables.lineitem(s, d)
+          .select(col("l_partkey"),
+            round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+              .cast("long").as("cents"))
+          .groupBy("l_partkey").agg(sum("cents").as("cents"))
+        val ord = Seq(col("cents").desc, col("l_partkey").asc)
+        val ranked = GlobalOrder.withGlobalRowNumber(
+          GlobalOrder.withRunningTotal(pr, ord, col("cents"), "cum"),
+          ord, "rnk")
+        val tot = pr.agg(sum("cents").as("tot"),
+          count(lit(1)).as("total_parts"))
+        val th = ranked.sparkSession.range(1).select(
+          explode(array(lit(50), lit(90), lit(99))).as("threshold_pct"))
+        ranked.crossJoin(broadcast(tot)).crossJoin(broadcast(th))
+          .where(expr("CAST(cum AS DECIMAL(38,0)) * 100 >= CAST(tot AS DECIMAL(38,0)) * threshold_pct"))
+          .groupBy("threshold_pct")
+          .agg(min("rnk").as("parts_needed"), max("total_parts").as("total_parts"))
+          .orderBy("threshold_pct")
+      },
+      Some("""WITH pr AS (SELECT l_partkey,
+             |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM lineitem GROUP BY 1),
+             |r AS (SELECT l_partkey, cents,
+             |        sum(cents) OVER (ORDER BY cents DESC, l_partkey) AS cum,
+             |        row_number() OVER (ORDER BY cents DESC, l_partkey) AS rnk
+             |      FROM pr),
+             |t AS (SELECT sum(cents) AS tot, count(*) AS total_parts FROM pr)
+             |SELECT th.threshold_pct, min(r.rnk) AS parts_needed,
+             |  CAST(max(t.total_parts) AS BIGINT) AS total_parts
+             |FROM r CROSS JOIN t
+             |CROSS JOIN (VALUES (50), (90), (99)) AS th(threshold_pct)
+             |WHERE CAST(r.cum AS HUGEINT) * 100 >= CAST(t.tot AS HUGEINT) * th.threshold_pct
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // customer-decile lift: order volume and revenue by account-balance
+    // decile — the "does wealth band predict spend" sanity screen every
+    // targeting model starts from (and on this uniform fixture the flat
+    // answer IS the audit, the q_benford convention). Deciles come from
+    // GlobalOrder's closed-form ntile over the range shuffle (customers
+    // are data-sized); per-customer order rollups shuffle on o_custkey
+    // and join the decile table on the same key. Revenue accumulates in
+    // DECIMAL(38,0) — per-decile cents pass int64 at warehouse scale.
+    QueryDef(
+      "q_decile_lift",
+      (s, d) => {
+        val c = GlobalOrder.withGlobalNtile(
+          Tables.customer(s, d).select("c_custkey", "c_acctbal"),
+          Seq(col("c_acctbal").asc, col("c_custkey").asc), 10, "decile")
+        val o = Tables.orders(s, d)
+          .select(col("o_custkey"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"), sum("cents").as("cents"))
+        c.join(o, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_cust"),
+            coalesce(sum("n_orders"), lit(0L)).as("orders"),
+            expr("CAST(coalesce(sum(CAST(cents AS DECIMAL(38,0))), 0) AS BIGINT)")
+              .as("revenue_cents"))
+          .orderBy("decile")
+      },
+      Some("""WITH c AS (SELECT c_custkey,
+             |    CAST(ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS decile
+             |  FROM customer),
+             |o AS (SELECT o_custkey, count(*) AS n_orders,
+             |        sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+             |      FROM orders GROUP BY 1)
+             |SELECT c.decile, count(*) AS n_cust,
+             |  CAST(coalesce(sum(o.n_orders), 0) AS BIGINT) AS orders,
+             |  CAST(coalesce(sum(o.cents), 0) AS BIGINT) AS revenue_cents
+             |FROM c LEFT JOIN o ON o.o_custkey = c.c_custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -173,7 +173,14 @@ class PlanAuditSpec extends SparkSpec {
       // — one row per consecutive purchase, orders of magnitude under
       // the event count (GlobalOrder is the 100 TB path, the
       // q_time_to_convert convention)
-      "q_repurchase_interval")
+      "q_repurchase_interval",
+      // q_volume_concentration: withRunningTotal + withGlobalRowNumber
+      // offset prefix-sums — both over the ≤ #shuffle-partitions tables
+      // (the part ranking itself is the range-shuffle closed form)
+      "q_volume_concentration",
+      // q_decile_lift: withGlobalNtile's offset prefix-sum, same
+      // ≤ #shuffle-partitions bound
+      "q_decile_lift")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
       val global = fn(spark, sf).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
