@@ -184,7 +184,10 @@ object ScaleProbe {
       "q_discount_impact", "q_user_diversity", "q_return_rate",
       // round 8
       "q_dau_stickiness", "q_burstiness", "q_volume_concentration",
-      "q_decile_lift")
+      "q_decile_lift", "q_char_class_mix", "q_norm_outliers",
+      "q_knn_degree_adaptive", "q_ship_lag", "q_price_realization",
+      "q_path_triples", "q_type_percentiles", "q_brand_hhi",
+      "q_knn_label_purity", "q_seasonality_strength", "q_temperature_mix")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

@@ -675,7 +675,7 @@ object Similarity {
     * verification fixture; static SQL cannot express the data dependence
     * (the q_embed_dedup_adaptive constraint), so the shape is pinned
     * per-fixture here. */
-  private def knnAdaptiveOracleSql(bands: Int, bits: Int): String = {
+  private def knnAdaptiveCte(bands: Int, bits: Int): String = {
     val sigCols = (0 until bands).map { b =>
       val bitTerms = (0 until bits).map { j =>
         val pat = HyperplaneSigs.signPattern(b, j, 64).map(s => s"$s.0")
@@ -685,7 +685,7 @@ object Similarity {
     }
     val hamming = (0 until bands)
       .map(b => s"bit_count(xor(a.s$b, b.s$b)) <= 1").mkString("\n    OR ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
        |sig AS (SELECT vec_id, ed,
        |  ${sigCols.mkString(",\n  ")}
        |FROM e),
@@ -695,10 +695,14 @@ object Similarity {
        |sc AS (SELECT id1, id2, round(list_dot_product(e1, e2), 4) AS sim FROM cand),
        |ed2 AS (SELECT id1, id2, sim FROM sc UNION ALL SELECT id2, id1, sim FROM sc),
        |r AS (SELECT *, row_number() OVER (
-       |    PARTITION BY id1 ORDER BY sim DESC, id2) AS rnk FROM ed2)
-       |SELECT id1 AS vec_id, id2 AS neighbor, sim FROM r
-       |WHERE rnk <= 3 ORDER BY vec_id, sim DESC, neighbor""".stripMargin
+       |    PARTITION BY id1 ORDER BY sim DESC, id2) AS rnk FROM ed2),
+       |knn AS (SELECT id1 AS vec_id, id2 AS neighbor, sim FROM r WHERE rnk <= 3)""".stripMargin
   }
+
+  private def knnAdaptiveOracleSql(bands: Int, bits: Int): String =
+    s"""WITH ${knnAdaptiveCte(bands, bits)}
+       |SELECT vec_id, neighbor, sim FROM knn
+       |ORDER BY vec_id, sim DESC, neighbor""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -982,6 +986,102 @@ object Similarity {
           .select("vec_id", "embedding"))
         .orderBy(col("vec_id"), col("sim").desc, col("neighbor")),
       Some(knnAdaptiveOracleSql(KnnBands, adaptiveBits(500)))),
+
+    // hubness gate for the ADAPTIVE graph — q_knn_degree's twin on the
+    // scale path: the in-degree histogram that catches a mis-sized band
+    // shape (a degenerate shape concentrates in-edges on hub vectors)
+    // before anything trusts the graph. Same oracle convention as
+    // q_knn_graph_adaptive (fixture-pinned shape, inlined hyperplanes).
+    QueryDef(
+      "q_knn_degree_adaptive",
+      (s, d) => {
+        val deg = knnGraphAdaptive(Tables.embeddings(s, d)
+            .select("vec_id", "embedding"))
+          .groupBy(col("neighbor").as("vec_id"))
+          .agg(count(lit(1)).as("indeg"))
+        Tables.embeddings(s, d).select("vec_id")
+          .join(deg, Seq("vec_id"), "left")
+          .select(coalesce(col("indeg"), lit(0L)).as("in_degree"))
+          .groupBy("in_degree").agg(count(lit(1)).as("n_vectors"))
+          .orderBy("in_degree")
+      },
+      Some(s"""WITH ${knnAdaptiveCte(KnnBands, adaptiveBits(500))},
+              |deg AS (SELECT neighbor AS vec_id, count(*) AS indeg
+              |        FROM knn GROUP BY 1),
+              |d2 AS (SELECT a.vec_id, coalesce(deg.indeg, 0) AS indeg
+              |       FROM (SELECT vec_id FROM embeddings) a
+              |       LEFT JOIN deg USING (vec_id))
+              |SELECT indeg AS in_degree, count(*) AS n_vectors
+              |FROM d2 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // label purity of the adaptive kNN graph: per label, the share of
+    // top-3 edges that stay IN-label (micro) — the
+    // classifier-feasibility gate (purity at chance ≈ label prior means
+    // the embedding carries no class signal; purity ≈ 1 means a kNN
+    // classifier is already enough). Runs on the ADAPTIVE graph — the
+    // build that exists at corpus scale — so this is also the quality
+    // gate for that build; label lookups are two skinny joins onto the
+    // 6k-edge graph.
+    QueryDef(
+      "q_knn_label_purity",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val lab = emb.select(col("vec_id"), col("label"))
+        knnGraphAdaptive(emb.select("vec_id", "embedding"))
+          .join(lab.select(col("vec_id"), col("label").as("la")), "vec_id")
+          .join(lab.select(col("vec_id").as("neighbor"), col("label").as("lb")),
+            "neighbor")
+          .groupBy(col("la").as("label"))
+          .agg(count(lit(1)).as("edges"),
+            count(when(col("la") === col("lb"), 1)).as("in_label"),
+            expr("(count(CASE WHEN la = lb THEN 1 END) * CAST(1000000 AS BIGINT)) div count(1)")
+              .as("purity_micro"))
+          .orderBy("label")
+      },
+      Some(s"""WITH ${knnAdaptiveCte(KnnBands, adaptiveBits(500))},
+              |j AS (SELECT ea.label AS la, eb.label AS lb
+              |      FROM knn JOIN embeddings ea ON ea.vec_id = knn.vec_id
+              |               JOIN embeddings eb ON eb.vec_id = knn.neighbor)
+              |SELECT la AS label, count(*) AS edges,
+              |  CAST(count(CASE WHEN la = lb THEN 1 END) AS BIGINT) AS in_label,
+              |  CAST(count(CASE WHEN la = lb THEN 1 END) * 1000000 // count(*) AS BIGINT)
+              |    AS purity_micro
+              |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // norm-outlier screen: the top-10 vectors by deviation of ‖v‖²
+    // (exact integer millis) from the rank-exact corpus median — on a
+    // pre-normalized corpus every norm should sit at 1.0 ± float error,
+    // so the extremes ARE the ingest bugs (unnormalized rows, truncated
+    // arrays, scaled duplicates). Per-vector norms are one map-combined
+    // aggregate; the median rides GlobalOrder's range shuffle (vectors
+    // are data-sized) and lands back as a one-row broadcast; top-10 is
+    // TakeOrdered under a total order.
+    QueryDef(
+      "q_norm_outliers",
+      (s, d) => {
+        val n2 = Tables.embeddings(s, d)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .select(col("vec_id"),
+            round(col("x").cast("double") * 1e3).cast("long").as("xm"))
+          .groupBy("vec_id").agg(sum(col("xm") * col("xm")).as("n2m"))
+        val cnt = n2.agg(count(lit(1)).as("cnt"))
+        val med = graft.operators.GlobalOrder
+          .withGlobalRowNumber(n2, Seq(col("n2m").asc, col("vec_id").asc), "rn")
+          .crossJoin(broadcast(cnt))
+          .where(expr("rn = (cnt + 1) div 2"))
+          .select(col("n2m").as("m"))
+        n2.crossJoin(broadcast(med))
+          .select(col("vec_id"), col("n2m"), abs(col("n2m") - col("m")).as("dev"))
+          .orderBy(col("dev").desc, col("vec_id")).limit(10)
+      },
+      Some("""WITH n AS (SELECT vec_id,
+             |    CAST(sum(CAST(round(x * 1000) AS BIGINT) * CAST(round(x * 1000) AS BIGINT)) AS BIGINT) AS n2m
+             |  FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)
+             |  GROUP BY 1),
+             |med AS (SELECT n2m AS m FROM n ORDER BY n2m, vec_id
+             |        LIMIT 1 OFFSET (SELECT (count(*) - 1) // 2 FROM n))
+             |SELECT vec_id, n2m, abs(n2m - med.m) AS dev
+             |FROM n CROSS JOIN med ORDER BY dev DESC, vec_id LIMIT 10""".stripMargin)),
 
     // end-to-end SEMANTIC dedup — the embedding-space twin of
     // q_dedup_corpus: wide-band LSH candidates → exact cosine threshold →

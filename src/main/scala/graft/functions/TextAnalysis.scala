@@ -909,6 +909,43 @@ object TextAnalysis {
              |      FROM t a JOIN t b
              |      ON a.doc_id = b.doc_id AND b.pos - a.pos IN (-2, -1, 1, 2))
              |SELECT center, context, count(*) AS n FROM p
-             |GROUP BY 1, 2 ORDER BY center, context""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY center, context""".stripMargin)),
+
+    // character-class composition per source: alpha / digit / space /
+    // other shares of the raw character mass (integer micros) — the
+    // cheapest corpus fingerprint there is, and the first split that
+    // separates prose from tables, code, and OCR noise in a quality
+    // funnel. On this clean word fixture digit and punctuation land at
+    // exactly ZERO — that IS the audit (the q_benford convention): any
+    // nonzero digit share after a regeneration is a corpus change the
+    // gate catches. Class counts come from codegen'd regexp strips in
+    // one map-combined aggregate; one shuffle of |sources| rows.
+    QueryDef(
+      "q_char_class_mix",
+      (s, d) => Tables.documents(s, d)
+        .groupBy("source")
+        .agg(sum(length(col("text"))).as("chars"),
+          sum(length(regexp_replace(col("text"), "[^a-zA-Z]", ""))).as("alpha"),
+          sum(length(regexp_replace(col("text"), "[^0-9]", ""))).as("digit"),
+          sum(length(regexp_replace(col("text"), "[^ ]", ""))).as("space"))
+        .select(col("source"), col("chars"),
+          expr("(alpha * CAST(1000000 AS BIGINT)) div chars").as("alpha_micro"),
+          expr("(digit * CAST(1000000 AS BIGINT)) div chars").as("digit_micro"),
+          expr("(space * CAST(1000000 AS BIGINT)) div chars").as("space_micro"),
+          expr("((chars - alpha - digit - space) * CAST(1000000 AS BIGINT)) div chars")
+            .as("other_micro"))
+        .orderBy("source"),
+      Some("""WITH c AS (SELECT source,
+             |    sum(length(text)) AS chars,
+             |    sum(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))) AS alpha,
+             |    sum(length(regexp_replace(text, '[^0-9]', '', 'g'))) AS digit,
+             |    sum(length(regexp_replace(text, '[^ ]', '', 'g'))) AS space
+             |  FROM documents GROUP BY 1)
+             |SELECT source, CAST(chars AS BIGINT) AS chars,
+             |  CAST(alpha * 1000000 // chars AS BIGINT) AS alpha_micro,
+             |  CAST(digit * 1000000 // chars AS BIGINT) AS digit_micro,
+             |  CAST(space * 1000000 // chars AS BIGINT) AS space_micro,
+             |  CAST((chars - alpha - digit - space) * 1000000 // chars AS BIGINT) AS other_micro
+             |FROM c ORDER BY source""".stripMargin))
   )
 }

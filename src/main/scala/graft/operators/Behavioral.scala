@@ -1260,6 +1260,121 @@ object Behavioral {
              |  CAST(sc * 1000000 // n AS BIGINT) AS mean_micro,
              |  CAST((CAST(n AS HUGEINT) * sc2 - CAST(sc AS HUGEINT) * sc) * 1000000
              |       // ((n - 1) * sc) AS BIGINT) AS fano_micro
-             |FROM s ORDER BY event_type""".stripMargin))
+             |FROM s ORDER BY event_type""".stripMargin)),
+
+    // second-order behavior: the top-20 three-step event-type paths —
+    // where q_event_transitions sees only pairwise hops, this is the
+    // shortest window in which "view→view→click" separates from
+    // "click→view→view" (what sequence models and funnel designers
+    // actually consume). Two lags over ONE user-keyed window pass (same
+    // exchange), then a count rollup; top-20 under a total order.
+    QueryDef(
+      "q_path_triples",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("p1", lag("event_type", 1).over(w))
+          .withColumn("p2", lag("event_type", 2).over(w))
+          .where(col("p2").isNotNull)
+          .groupBy(col("p2").as("step1"), col("p1").as("step2"),
+            col("event_type").as("step3"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+          .limit(20)
+      },
+      Some("""WITH s AS (SELECT user_id, event_type, ts, event_id,
+             |        lag(event_type, 1) OVER (PARTITION BY user_id
+             |          ORDER BY ts, event_id) AS p1,
+             |        lag(event_type, 2) OVER (PARTITION BY user_id
+             |          ORDER BY ts, event_id) AS p2
+             |      FROM events)
+             |SELECT p2 AS step1, p1 AS step2, event_type AS step3, count(*) AS n
+             |FROM s WHERE p2 IS NOT NULL
+             |GROUP BY 1, 2, 3
+             |ORDER BY n DESC, step1, step2, step3 LIMIT 20""".stripMargin)),
+
+    // rank-exact per-type value percentiles (p50/p90/p99, rank-ceil):
+    // the per-segment latency/value SLO numbers, computed EXACTLY — the
+    // q_trimmed_mean machinery (one GlobalOrder range shuffle over
+    // (type, value, id), per-type offsets from the |types|-row count
+    // table broadcast back) with the three rank probes selected in the
+    // same grouped pass. Percentile VALUES are tie-invariant: equal
+    // values share rank permutations but the value at the probed rank
+    // is unique.
+    QueryDef(
+      "q_type_percentiles",
+      (s, d) => {
+        val ev = Tables.events(s, d).where(col("value").isNotNull)
+          .select(col("event_type"),
+            round(col("value") * 1e6).cast("long").as("vm"), col("event_id"))
+        val ranked = GlobalOrder.withGlobalRowNumber(
+          ev, Seq(col("event_type"), col("vm"), col("event_id")), "grn")
+        val sizes = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+        val offs = sizes.withColumn("off",
+          coalesce(sum("n").over(Window.orderBy("event_type")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        ranked.join(broadcast(offs), "event_type")
+          .withColumn("rn", col("grn") - col("off"))
+          .groupBy("event_type")
+          .agg(
+            max(when(col("rn") === expr("(n * 50 + 99) div 100"), col("vm")))
+              .as("p50_micro"),
+            max(when(col("rn") === expr("(n * 90 + 99) div 100"), col("vm")))
+              .as("p90_micro"),
+            max(when(col("rn") === expr("(n * 99 + 99) div 100"), col("vm")))
+              .as("p99_micro"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS vm,
+             |              event_id
+             |            FROM events WHERE value IS NOT NULL),
+             |r AS (SELECT event_type, vm,
+             |        row_number() OVER (PARTITION BY event_type ORDER BY vm, event_id) AS rn,
+             |        count(*) OVER (PARTITION BY event_type) AS n
+             |      FROM ev)
+             |SELECT event_type,
+             |  max(CASE WHEN rn = (n * 50 + 99) // 100 THEN vm END) AS p50_micro,
+             |  max(CASE WHEN rn = (n * 90 + 99) // 100 THEN vm END) AS p90_micro,
+             |  max(CASE WHEN rn = (n * 99 + 99) // 100 THEN vm END) AS p99_micro
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // seasonality STRENGTH: η² of the weekday model on daily volume —
+    // the one number (between-weekday variance share) that says whether
+    // a weekly-seasonal forecast beats a flat one, complementing
+    // q_weekday_profile's shape table. Exact integer arithmetic end to
+    // end: each weekday's sw²/nw term is milli-scaled integer division
+    // (truncation identical in both engines; bias ≤ 7 milli-units
+    // against a ~1e10 numerator), the η² ratio cross-multiplies in
+    // 128-bit. Day and weekday tables are calendar-bounded — everything
+    // after the daily rollup is broadcast-sized.
+    QueryDef(
+      "q_seasonality_strength",
+      (s, d) => {
+        val c = Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"), expr("weekday(ts)").as("wd"))
+          .agg(count(lit(1)).as("c"))
+        val g = c.agg(count(lit(1)).as("n"), sum("c").as("s"),
+          sum(col("c") * col("c")).as("s2"))
+        val b = c.groupBy("wd").agg(count(lit(1)).as("nw"), sum("c").as("sw"))
+          .agg(sum(expr("(CAST(sw AS DECIMAL(38,0)) * sw * 1000) div nw"))
+            .as("ssb_milli"))
+        g.crossJoin(broadcast(b))
+          .select(col("n").as("n_days"),
+            expr("CAST((CAST(n AS DECIMAL(38,0)) * ssb_milli - 1000 * CAST(s AS DECIMAL(38,0)) * s) * 1000000 " +
+              "div (1000 * CAST(n AS DECIMAL(38,0)) * s2 - 1000 * CAST(s AS DECIMAL(38,0)) * s) AS BIGINT)")
+              .as("eta2_micro"))
+      },
+      Some("""WITH c AS (SELECT CAST(ts AS DATE) AS day,
+             |                  isodow(CAST(ts AS DATE)) - 1 AS wd, count(*) AS c
+             |           FROM events GROUP BY 1, 2),
+             |g AS (SELECT count(*) AS n, sum(c) AS s, sum(c*c) AS s2 FROM c),
+             |w AS (SELECT wd, count(*) AS nw, sum(c) AS sw FROM c GROUP BY 1),
+             |b AS (SELECT sum((CAST(sw AS HUGEINT) * sw * 1000) // nw) AS ssb_milli FROM w)
+             |SELECT g.n AS n_days,
+             |  CAST((CAST(g.n AS HUGEINT) * b.ssb_milli - 1000 * CAST(g.s AS HUGEINT) * g.s) * 1000000
+             |       // (1000 * CAST(g.n AS HUGEINT) * g.s2 - 1000 * CAST(g.s AS HUGEINT) * g.s) AS BIGINT)
+             |    AS eta2_micro
+             |FROM g CROSS JOIN b""".stripMargin))
   )
 }

@@ -1533,6 +1533,52 @@ object Curation {
              |        sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
              |             (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6)
              |    AS spearman
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // temperature-scaled source mixing (the multilingual-sampling
+    // formula, α = 0.7): sampled share ∝ p_i^α flattens the source
+    // distribution — head sources downweight, tail sources upweight —
+    // the standard mix transform between "natural crawl proportions"
+    // and "what the training run actually samples". Shares are on char
+    // mass (source doc-COUNTS are fixture-balanced — the documented
+    // degeneracy); p^α evaluates as exp(α·ln p) SPELLED IDENTICALLY in
+    // both engines and is nano-rounded per source before any ratio, so
+    // the cross-engine surface is one libm-stable transcendental per
+    // source, not an accumulated float sum. Everything after the
+    // per-source rollup is |sources|-row broadcast work.
+    QueryDef(
+      "q_temperature_mix",
+      (s, d) => {
+        val src = Tables.documents(s, d)
+          .groupBy("source").agg(sum(length(col("text"))).as("c"))
+        val t = src.agg(sum("c").as("ct"))
+        val w = src.crossJoin(broadcast(t))
+          .select(col("source"), col("c"), col("ct"),
+            round(exp(lit(0.7) * log(col("c").cast("double") / col("ct"))) * 1e9)
+              .cast("long").as("w_nano"))
+        val z = w.agg(sum("w_nano").as("wz"))
+        w.crossJoin(broadcast(z))
+          .select(col("source"), col("c").as("chars"),
+            expr("CAST(CAST(c AS DECIMAL(38,0)) * 1000000 div ct AS BIGINT)")
+              .as("raw_share_micro"),
+            expr("CAST(CAST(w_nano AS DECIMAL(38,0)) * 1000000 div wz AS BIGINT)")
+              .as("temp_share_micro"),
+            expr("CAST(CAST(w_nano AS DECIMAL(38,0)) * 1000000 * ct div (CAST(wz AS DECIMAL(38,0)) * c) AS BIGINT)")
+              .as("upweight_micro"))
+          .orderBy("source")
+      },
+      Some("""WITH s AS (SELECT source, CAST(sum(length(text)) AS BIGINT) AS c
+             |           FROM documents GROUP BY 1),
+             |t AS (SELECT sum(c) AS ct FROM s),
+             |w AS (SELECT source, c, t.ct,
+             |        CAST(round(exp(0.7 * ln(CAST(c AS DOUBLE) / t.ct)) * 1e9) AS BIGINT) AS w_nano
+             |      FROM s CROSS JOIN t),
+             |z AS (SELECT sum(w_nano) AS wz FROM w)
+             |SELECT w.source, w.c AS chars,
+             |  CAST(CAST(w.c AS HUGEINT) * 1000000 // w.ct AS BIGINT) AS raw_share_micro,
+             |  CAST(CAST(w.w_nano AS HUGEINT) * 1000000 // z.wz AS BIGINT) AS temp_share_micro,
+             |  CAST(CAST(w.w_nano AS HUGEINT) * 1000000 * w.ct // (CAST(z.wz AS HUGEINT) * w.c) AS BIGINT)
+             |    AS upweight_micro
+             |FROM w CROSS JOIN z ORDER BY w.source""".stripMargin))
   )
 }

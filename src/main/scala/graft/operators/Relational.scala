@@ -1000,6 +1000,171 @@ object Relational {
              |  CAST(coalesce(sum(o.n_orders), 0) AS BIGINT) AS orders,
              |  CAST(coalesce(sum(o.cents), 0) AS BIGINT) AS revenue_cents
              |FROM c LEFT JOIN o ON o.o_custkey = c.c_custkey
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // order→ship lag histogram (whole weeks, truncation toward zero —
+    // `div` and DuckDB `//` agree on negatives): the fulfillment-latency
+    // distribution, and on THIS fixture a data-quality audit — the
+    // synthetic dates are drawn independently, so the histogram shows a
+    // ±340-week symmetric spread where real fulfillment would be a tight
+    // non-negative band; a regeneration that introduces causality shows
+    // up as the histogram collapsing. The one fact-fact join rides the
+    // l_orderkey shuffle (orders projected to two columns first).
+    QueryDef(
+      "q_ship_lag",
+      (s, d) => {
+        val o = Tables.orders(s, d).select("o_orderkey", "o_orderdate")
+        Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+          .join(o, col("o_orderkey") === col("l_orderkey"))
+          .select(datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+            .cast("long").as("lag_days"))
+          .groupBy(expr("lag_days div 7").as("lag_week"))
+          .agg(count(lit(1)).as("lines"),
+            min("lag_days").as("min_days"), max("lag_days").as("max_days"))
+          .orderBy("lag_week")
+      },
+      Some("""WITH l AS (SELECT date_diff('day', CAST(o.o_orderdate AS DATE),
+             |                  CAST(li.l_shipdate AS DATE)) AS lag_days
+             |           FROM lineitem li JOIN orders o ON o.o_orderkey = li.l_orderkey)
+             |SELECT lag_days // 7 AS lag_week, count(*) AS lines,
+             |  min(lag_days) AS min_days, max(lag_days) AS max_days
+             |FROM l GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // price-realization by brand: realized revenue over quantity-scaled
+    // retail value (integer micros) — the discount-netted pricing-power
+    // number merchandising tracks per brand. Per-line integers first
+    // (cents, quantity-scaled retail cents), then one brand rollup; the
+    // part dim broadcasts onto the lineitem scan. The ratio numerator
+    // runs in DECIMAL(38,0)/HUGEINT — Σcents·1e6 passes int64 at
+    // warehouse scale.
+    QueryDef(
+      "q_price_realization",
+      (s, d) => {
+        val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"),
+          round(col("p_retailprice") * 100).cast("long").as("retail_cents"))
+        Tables.lineitem(s, d)
+          .select(col("l_partkey"),
+            round(col("l_extendedprice") * 100).cast("long").as("ext_cents"),
+            col("l_quantity").as("qty"))
+          .join(broadcast(p), col("p_partkey") === col("l_partkey"))
+          .select(col("p_brand"), col("ext_cents"),
+            round(col("qty") * col("retail_cents")).cast("long").as("scaled_retail"))
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("lines"),
+            expr("CAST(sum(CAST(ext_cents AS DECIMAL(38,0))) * 1000000 div sum(scaled_retail) AS BIGINT)")
+              .as("realization_micro"))
+          .orderBy("p_brand")
+      },
+      Some("""WITH u AS (SELECT p.p_brand,
+             |    CAST(round(li.l_extendedprice * 100) AS BIGINT) AS ext_cents,
+             |    CAST(round(li.l_quantity * CAST(round(p.p_retailprice * 100) AS BIGINT)) AS BIGINT)
+             |      AS scaled_retail
+             |  FROM lineitem li JOIN part p ON p.p_partkey = li.l_partkey)
+             |SELECT p_brand, count(*) AS lines,
+             |  CAST(CAST(sum(ext_cents) AS HUGEINT) * 1000000 // sum(scaled_retail) AS BIGINT)
+             |    AS realization_micro
+             |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // market-concentration gate: the Herfindahl–Hirschman index of brand
+    // revenue shares (micro) plus the top brand's share — the one-row
+    // monopoly screen (uniform fixture ⇒ HHI ≈ 1/n_brands ≈ 40,000 µ;
+    // a reconcentration after regeneration moves it loudly). Shares are
+    // integer micros over a broadcast total, HHI is Σ share² rescaled —
+    // all exact. One brand rollup on the broadcast part dim, then a
+    // 25-row reduction.
+    QueryDef(
+      "q_brand_hhi",
+      (s, d) => {
+        val p = Tables.part(s, d).select("p_partkey", "p_brand")
+        val b = Tables.lineitem(s, d)
+          .select(col("l_partkey"),
+            round(col("l_extendedprice") * 100).cast("long").as("cents"))
+          .join(broadcast(p), col("p_partkey") === col("l_partkey"))
+          .groupBy("p_brand").agg(sum("cents").as("cents"))
+        val t = b.agg(sum("cents").as("tot"), count(lit(1)).as("n_brands"))
+        b.crossJoin(broadcast(t))
+          .select(col("n_brands"),
+            expr("(CAST(cents AS DECIMAL(38,0)) * 1000000) div tot").cast("long")
+              .as("share_micro"))
+          .groupBy()
+          .agg(max("n_brands").as("n_brands"),
+            expr("CAST(sum(share_micro * share_micro) div 1000000 AS BIGINT)")
+              .as("hhi_micro"),
+            max("share_micro").as("top_share_micro"))
+      },
+      Some("""WITH b AS (SELECT p.p_brand,
+             |    sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS cents
+             |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey GROUP BY 1),
+             |t AS (SELECT sum(cents) AS tot, count(*) AS n_brands FROM b),
+             |sh AS (SELECT p_brand,
+             |         CAST(CAST(b.cents AS HUGEINT) * 1000000 // t.tot AS BIGINT) AS share_micro
+             |       FROM b CROSS JOIN t)
+             |SELECT max(t.n_brands) AS n_brands,
+             |  CAST(sum(share_micro * share_micro) // 1000000 AS BIGINT) AS hhi_micro,
+             |  max(share_micro) AS top_share_micro
+             |FROM sh CROSS JOIN t""".stripMargin)),
+
+    // domain-bounds audit — the dbt accepted_range test suite as ONE
+    // report (q_fk_orphans' column-domain sibling): for every documented
+    // value constraint of the star schema, rows checked and rows in
+    // violation. All-zero violations IS the assertion on consistent
+    // data; any nonzero row names the broken column. One multi-counter
+    // scan per table (stack() fans the counters into rows — no second
+    // scan), four tables total.
+    QueryDef(
+      "q_domain_bounds",
+      (s, d) => {
+        def rules(df: org.apache.spark.sql.DataFrame,
+            rs: Seq[(String, org.apache.spark.sql.Column)]) = {
+          val aggCols = count(lit(1)).as("checked") +:
+            rs.zipWithIndex.map { case ((_, c), i) => c.as(s"v$i") }
+          val agg = df.agg(aggCols.head, aggCols.tail: _*)
+          val stackArgs = rs.zipWithIndex
+            .map { case ((name, _), i) => s"'$name', v$i" }.mkString(", ")
+          agg.select(col("checked"),
+            expr(s"stack(${rs.size}, $stackArgs) AS (rule, violations)"))
+            .select("rule", "checked", "violations")
+        }
+        def bad(c: org.apache.spark.sql.Column) = count(when(c, 1))
+        val l = rules(Tables.lineitem(s, d), Seq(
+          "lineitem.l_quantity in [1,50]" ->
+            bad(col("l_quantity") < 1 || col("l_quantity") > 50),
+          "lineitem.l_discount in [0,0.1]" ->
+            bad(col("l_discount") < 0 || col("l_discount") > 0.1),
+          "lineitem.l_tax in [0,0.08]" ->
+            bad(col("l_tax") < 0 || col("l_tax") > 0.08),
+          "lineitem.l_extendedprice > 0" -> bad(col("l_extendedprice") <= 0)))
+        val o = rules(Tables.orders(s, d), Seq(
+          "orders.o_totalprice > 0" -> bad(col("o_totalprice") <= 0)))
+        val c = rules(Tables.customer(s, d), Seq(
+          "customer.c_acctbal in [-1000,10000]" ->
+            bad(col("c_acctbal") < -1000 || col("c_acctbal") > 10000)))
+        val e = rules(Tables.events(s, d), Seq(
+          "events.value >= 0 or null" -> bad(col("value") < 0)))
+        l.unionByName(o).unionByName(c).unionByName(e).orderBy("rule")
+      },
+      Some("""SELECT rule, checked, violations FROM (
+             |  SELECT 'lineitem.l_quantity in [1,50]' AS rule, count(*) AS checked,
+             |    count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END) AS violations
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'lineitem.l_discount in [0,0.1]', count(*),
+             |    count(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 END) FROM lineitem
+             |  UNION ALL
+             |  SELECT 'lineitem.l_tax in [0,0.08]', count(*),
+             |    count(CASE WHEN l_tax < 0 OR l_tax > 0.08 THEN 1 END) FROM lineitem
+             |  UNION ALL
+             |  SELECT 'lineitem.l_extendedprice > 0', count(*),
+             |    count(CASE WHEN l_extendedprice <= 0 THEN 1 END) FROM lineitem
+             |  UNION ALL
+             |  SELECT 'orders.o_totalprice > 0', count(*),
+             |    count(CASE WHEN o_totalprice <= 0 THEN 1 END) FROM orders
+             |  UNION ALL
+             |  SELECT 'customer.c_acctbal in [-1000,10000]', count(*),
+             |    count(CASE WHEN c_acctbal < -1000 OR c_acctbal > 10000 THEN 1 END) FROM customer
+             |  UNION ALL
+             |  SELECT 'events.value >= 0 or null', count(*),
+             |    count(CASE WHEN value < 0 THEN 1 END) FROM events
+             |) ORDER BY rule""".stripMargin))
   )
 }

@@ -180,7 +180,13 @@ class PlanAuditSpec extends SparkSpec {
       "q_volume_concentration",
       // q_decile_lift: withGlobalNtile's offset prefix-sum, same
       // ≤ #shuffle-partitions bound
-      "q_decile_lift")
+      "q_decile_lift",
+      // q_norm_outliers: withGlobalRowNumber's offset prefix-sum (the
+      // median rank itself is the range-shuffle closed form)
+      "q_norm_outliers",
+      // q_type_percentiles: q_trimmed_mean's exact machinery — the
+      // offset window runs over the |event types|-row count table
+      "q_type_percentiles")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
       val global = fn(spark, sf).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
