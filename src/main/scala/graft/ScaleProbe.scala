@@ -187,7 +187,9 @@ object ScaleProbe {
       "q_decile_lift", "q_char_class_mix", "q_norm_outliers",
       "q_knn_degree_adaptive", "q_ship_lag", "q_price_realization",
       "q_path_triples", "q_type_percentiles", "q_brand_hhi",
-      "q_knn_label_purity", "q_seasonality_strength", "q_temperature_mix")
+      "q_knn_label_purity", "q_seasonality_strength", "q_temperature_mix",
+      "q_domain_bounds", "q_key_uniqueness", "q_freshness", "q_rrf_fusion",
+      "q_mannwhitney", "q_changepoint")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

@@ -946,6 +946,96 @@ object TextAnalysis {
              |  CAST(digit * 1000000 // chars AS BIGINT) AS digit_micro,
              |  CAST(space * 1000000 // chars AS BIGINT) AS space_micro,
              |  CAST((chars - alpha - digit - space) * 1000000 // chars AS BIGINT) AS other_micro
-             |FROM c ORDER BY source""".stripMargin))
+             |FROM c ORDER BY source""".stripMargin)),
+
+    // hybrid retrieval via reciprocal-rank fusion: the q_bm25 lexical
+    // ranker and a cosine ranker against query vector 0, each truncated
+    // to its top-100 candidate list (the production shape — RRF fuses
+    // top-k LISTS from each retriever, never full rankings, so each arm
+    // ends in a TakeOrderedAndProject and the fusion join touches ≤200
+    // rows), then scored 1/(60+rank) per list in exact integer micros.
+    // Ranks are exact cross-engine: BM25 in integer micros, cosine
+    // rounded to 4 places, doc_id tiebreaks; absent-from-list arms
+    // contribute 0 (standard RRF). The windows run over ≤100-row lists
+    // by construction (PlanAuditSpec whitelist).
+    QueryDef(
+      "q_rrf_fusion",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = docs
+          .select(col("doc_id"), size(split(col("text"), " ")).as("dl"),
+            explode(split(col("text"), " ")).as("tok"))
+          .where(col("tok").isin("dup", "scan", "spark"))
+        val tf = toks.groupBy("doc_id", "tok", "dl").agg(count(lit(1)).as("tf"))
+        val dfreq = toks.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+        val stats = docs.agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).as("tot_toks"))
+        val bm = tf.join(broadcast(dfreq), "tok").crossJoin(broadcast(stats))
+          .select(col("doc_id"), expr(
+            """CAST(round(
+              |  ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+              |    * (tf * 2.2)
+              |    / (tf + 1.2 * (0.25
+              |        + 0.75 * dl / (CAST(tot_toks AS DOUBLE) / n_docs)))
+              |    * 1000000) AS BIGINT)""".stripMargin).as("contrib_micro"))
+          .groupBy("doc_id")
+          .agg(sum("contrib_micro").as("bm25_micro"))
+          .orderBy(col("bm25_micro").desc, col("doc_id")).limit(100)
+        val lex = bm.withColumn("r_lex",
+          row_number().over(Window.orderBy(col("bm25_micro").desc, col("doc_id"))))
+          .select("doc_id", "r_lex")
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("ed"))
+        val qv = emb.where(col("vec_id") === 0)
+          .select(col("ed").as("qe"))
+        val cs = emb.where(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+          .select(col("vec_id").as("doc_id"),
+            round(Similarity.dot(col("qe"), col("ed")), 4).as("sim"))
+          .orderBy(col("sim").desc, col("doc_id")).limit(100)
+        val sem = cs.withColumn("r_sem",
+          row_number().over(Window.orderBy(col("sim").desc, col("doc_id"))))
+          .select("doc_id", "r_sem")
+        lex.join(sem, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            (coalesce(expr("1000000 div (60 + r_lex)"), lit(0L)) +
+             coalesce(expr("1000000 div (60 + r_sem)"), lit(0L))).as("rrf_micro"),
+            col("r_lex"), col("r_sem"))
+          .orderBy(col("rrf_micro").desc, col("doc_id")).limit(20)
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+             |    unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |q AS (SELECT * FROM t WHERE tok IN ('dup', 'scan', 'spark')),
+             |tf AS (SELECT doc_id, tok, dl, count(*) AS tf FROM q GROUP BY 1, 2, 3),
+             |dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM q GROUP BY 1),
+             |stats AS (SELECT count(*) AS n_docs,
+             |    sum(len(string_split(text, ' '))) AS tot_toks FROM documents),
+             |k AS (SELECT doc_id, CAST(round(
+             |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             |      * (tf * 2.2)
+             |      / (tf + 1.2 * (0.25
+             |          + 0.75 * dl / (CAST(tot_toks AS DOUBLE) / n_docs)))
+             |      * 1000000) AS BIGINT) AS contrib_micro
+             |  FROM tf JOIN dfreq USING (tok) CROSS JOIN stats),
+             |bm AS (SELECT doc_id, CAST(sum(contrib_micro) AS BIGINT) AS bm25_micro
+             |       FROM k GROUP BY 1 ORDER BY bm25_micro DESC, doc_id LIMIT 100),
+             |lex AS (SELECT doc_id,
+             |    CAST(row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS INT) AS r_lex
+             |  FROM bm),
+             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
+             |qv AS (SELECT ed AS qe FROM e WHERE vec_id = 0),
+             |cs AS (SELECT e.vec_id AS doc_id, round(list_dot_product(qe, ed), 4) AS sim
+             |       FROM e CROSS JOIN qv WHERE e.vec_id <> 0
+             |       ORDER BY sim DESC, doc_id LIMIT 100),
+             |sem AS (SELECT doc_id,
+             |    CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS INT) AS r_sem
+             |  FROM cs)
+             |SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+             |  coalesce(1000000 // (60 + r_lex), 0) + coalesce(1000000 // (60 + r_sem), 0)
+             |    AS rrf_micro,
+             |  r_lex, r_sem
+             |FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+             |ORDER BY rrf_micro DESC, doc_id LIMIT 20""".stripMargin))
   )
 }

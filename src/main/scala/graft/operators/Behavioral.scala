@@ -1375,6 +1375,122 @@ object Behavioral {
              |  CAST((CAST(g.n AS HUGEINT) * b.ssb_milli - 1000 * CAST(g.s AS HUGEINT) * g.s) * 1000000
              |       // (1000 * CAST(g.n AS HUGEINT) * g.s2 - 1000 * CAST(g.s AS HUGEINT) * g.s) AS BIGINT)
              |    AS eta2_micro
-             |FROM g CROSS JOIN b""".stripMargin))
+             |FROM g CROSS JOIN b""".stripMargin)),
+
+    // Mann–Whitney U — the rank-based two-sample test (the A/B test
+    // that survives the heavy-tailed metrics q_ab_assign's mean-diff
+    // breaks on). Purchase vs click `value`, milli-quantized; tied
+    // values get the average rank exactly by working in DOUBLED rank
+    // units (start+end = 2·cum − cnt + 1, all integers). The rank-sum
+    // rides the per-distinct-value count table through GlobalOrder's
+    // range-shuffle running total — never a partitionless window over
+    // raw rows. u1_x2 = 2·U₁; auc_micro = U₁/(n₁n₂) is the probability-
+    // of-superiority effect size (= ROC AUC); z is tie-corrected,
+    // computed as one fixed IEEE expression over the exact integers in
+    // both engines. Products run in DECIMAL(38,0)/HUGEINT — rank sums
+    // pass 2^63 at warehouse scale.
+    QueryDef(
+      "q_mannwhitney",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .where(col("event_type").isin("purchase", "click"))
+          .select(expr("CAST(round(value * 1000) AS BIGINT)").as("v"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("g1"))
+        val byv = ev.groupBy("v")
+          .agg(count(lit(1)).as("cnt"), sum("g1").as("cnt1"))
+        val run = GlobalOrder.withRunningTotal(byv, Seq(col("v")),
+          col("cnt"), "cum")
+        val acc = run.agg(
+          sum(expr("CAST(cnt1 AS DECIMAL(38,0)) * (2 * cum - cnt + 1)"))
+            .as("r1x2"),
+          sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt")).as("tie3"))
+        val tot = ev.agg(sum("g1").as("n1"), count(lit(1)).as("n"))
+        acc.crossJoin(broadcast(tot)).select(
+          col("n1"), (col("n") - col("n1")).as("n2"),
+          expr("CAST(r1x2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1) AS BIGINT)")
+            .as("u1_x2"),
+          expr("""CAST((r1x2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)) * 1000000
+                 | div (2 * CAST(n1 AS DECIMAL(38,0)) * (n - n1)) AS BIGINT)"""
+            .stripMargin).as("auc_micro"),
+          expr("""CAST(round(
+                 |  (CAST(r1x2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1) AS DOUBLE) / 2.0
+                 |    - CAST(n1 AS DOUBLE) * (n - n1) / 2.0)
+                 |  / sqrt(CAST(n1 AS DOUBLE) * (n - n1) / 12.0
+                 |      * ((n + 1) - CAST(tie3 AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))))
+                 |  * 1000) AS BIGINT)""".stripMargin).as("z_milli"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT CAST(round(value * 1000) AS BIGINT) AS v,
+             |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1
+             |  FROM events WHERE event_type IN ('purchase', 'click')),
+             |byv AS (SELECT v, count(*) AS cnt, sum(g1) AS cnt1 FROM ev GROUP BY 1),
+             |run AS (SELECT v, cnt, cnt1,
+             |          sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |        FROM byv),
+             |tot AS (SELECT CAST(sum(g1) AS BIGINT) AS n1, count(*) AS n FROM ev),
+             |acc AS (SELECT
+             |    sum(CAST(cnt1 AS HUGEINT) * (2 * cum - cnt + 1)) AS r1x2,
+             |    sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tie3
+             |  FROM run)
+             |SELECT n1, CAST(n - n1 AS BIGINT) AS n2,
+             |  CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS u1_x2,
+             |  CAST((r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1)) * 1000000
+             |       // (2 * CAST(n1 AS HUGEINT) * (n - n1)) AS BIGINT) AS auc_micro,
+             |  CAST(round(
+             |    (CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE) / 2.0
+             |      - CAST(n1 AS DOUBLE) * (n - n1) / 2.0)
+             |    / sqrt(CAST(n1 AS DOUBLE) * (n - n1) / 12.0
+             |        * ((n + 1) - CAST(tie3 AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))))
+             |    * 1000) AS BIGINT) AS z_milli
+             |FROM acc CROSS JOIN tot""".stripMargin)),
+
+    // CUSUM changepoint — where did the level of the daily event series
+    // shift? S_t = Σ_{i≤t}(x_i − x̄) maximized in |·|, kept EXACT by
+    // scaling through the day count: S'_t = T·cum_t − t·N (all
+    // integers, no rational mean). The series is the daily count table
+    // (calendar-bounded, tiny at any corpus scale), so the running sum
+    // is an ordinary bounded-domain window; argmax is a 1-row TopK with
+    // date tiebreak. Output: the detected change date with exact
+    // before/after mean levels in micros.
+    QueryDef(
+      "q_changepoint",
+      (s, d) => {
+        val day = Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("dt")).agg(count(lit(1)).as("x"))
+        val tot = day.agg(count(lit(1)).as("t_days"), sum("x").as("n_events"))
+        val w = Window.orderBy("dt")
+        val run = day
+          .withColumn("cumx", sum("x").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("idx", row_number().over(w))
+        val best = run.crossJoin(broadcast(tot))
+          .select(col("dt"), col("idx"), col("cumx"), col("t_days"),
+            col("n_events"),
+            expr("CAST(t_days AS DECIMAL(38,0)) * cumx - CAST(idx AS DECIMAL(38,0)) * n_events")
+              .as("s_scaled"))
+          .orderBy(abs(col("s_scaled")).desc, col("dt")).limit(1)
+        best.select(col("t_days"), col("n_events"), col("dt").as("change_date"),
+          col("s_scaled").cast("long").as("cusum_scaled"),
+          expr("CAST(CAST(cumx AS DECIMAL(38,0)) * 1000000 div idx AS BIGINT)")
+            .as("mean_before_micro"),
+          expr("""CAST(CAST(n_events - cumx AS DECIMAL(38,0)) * 1000000
+                 | div (t_days - idx) AS BIGINT)""".stripMargin)
+            .as("mean_after_micro"))
+      },
+      Some("""WITH day AS (SELECT CAST(ts AS DATE) AS dt, count(*) AS x FROM events GROUP BY 1),
+             |tot AS (SELECT count(*) AS t_days, sum(x) AS n_events FROM day),
+             |run AS (SELECT dt, x,
+             |          sum(x) OVER (ORDER BY dt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumx,
+             |          row_number() OVER (ORDER BY dt) AS idx
+             |        FROM day),
+             |s AS (SELECT dt, idx, cumx,
+             |        CAST(t_days AS HUGEINT) * cumx - CAST(idx AS HUGEINT) * n_events AS s_scaled
+             |      FROM run CROSS JOIN tot)
+             |SELECT t.t_days, CAST(t.n_events AS BIGINT) AS n_events, b.dt AS change_date,
+             |  CAST(b.s_scaled AS BIGINT) AS cusum_scaled,
+             |  CAST(b.cumx * 1000000 // b.idx AS BIGINT) AS mean_before_micro,
+             |  CAST((t.n_events - b.cumx) * 1000000 // (t.t_days - b.idx) AS BIGINT)
+             |    AS mean_after_micro
+             |FROM (SELECT * FROM s ORDER BY abs(s_scaled) DESC, dt LIMIT 1) b CROSS JOIN tot t""".stripMargin))
   )
 }

@@ -1165,6 +1165,82 @@ object Relational {
              |  UNION ALL
              |  SELECT 'events.value >= 0 or null', count(*),
              |    count(CASE WHEN value < 0 THEN 1 END) FROM events
-             |) ORDER BY rule""".stripMargin))
+             |) ORDER BY rule""".stripMargin)),
+
+    // primary-key uniqueness audit — the dbt `unique` test suite as one
+    // report (q_domain_bounds' key sibling): per table, rows vs distinct
+    // declared-key tuples. On THIS fixture lineitem's documented
+    // composite key (l_orderkey, l_linenumber) is NOT unique (≈24% of
+    // rows collide) — the audit genuinely fires, which is the point: a
+    // dedup or merge stage keyed on a non-key silently drops data. Each
+    // count-distinct is one hash-agg shuffle on the key; eight small
+    // one-row aggs union after.
+    QueryDef(
+      "q_key_uniqueness",
+      (s, d) => {
+        def one(name: String, df: org.apache.spark.sql.DataFrame,
+            keys: Seq[String]) =
+          df.agg(count(lit(1)).as("n_rows"),
+              count_distinct(col(keys.head), keys.tail.map(col): _*)
+                .as("distinct_keys"))
+            .select(lit(name).as("tbl"), col("n_rows"), col("distinct_keys"),
+              (col("n_rows") - col("distinct_keys")).as("dup_rows"))
+        one("orders", Tables.orders(s, d), Seq("o_orderkey"))
+          .unionByName(one("lineitem", Tables.lineitem(s, d),
+            Seq("l_orderkey", "l_linenumber")))
+          .unionByName(one("customer", Tables.customer(s, d), Seq("c_custkey")))
+          .unionByName(one("part", Tables.part(s, d), Seq("p_partkey")))
+          .unionByName(one("supplier", Tables.supplier(s, d), Seq("s_suppkey")))
+          .unionByName(one("events", Tables.events(s, d), Seq("event_id")))
+          .unionByName(one("documents", Tables.documents(s, d), Seq("doc_id")))
+          .unionByName(one("embeddings", Tables.embeddings(s, d), Seq("vec_id")))
+          .orderBy("tbl")
+      },
+      Some("""WITH k AS (
+             | SELECT 'orders' AS tbl, count(*) AS n_rows,
+             |   count(DISTINCT o_orderkey) AS distinct_keys FROM orders
+             | UNION ALL SELECT 'lineitem', count(*),
+             |   count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem
+             | UNION ALL SELECT 'customer', count(*), count(DISTINCT c_custkey) FROM customer
+             | UNION ALL SELECT 'part', count(*), count(DISTINCT p_partkey) FROM part
+             | UNION ALL SELECT 'supplier', count(*), count(DISTINCT s_suppkey) FROM supplier
+             | UNION ALL SELECT 'events', count(*), count(DISTINCT event_id) FROM events
+             | UNION ALL SELECT 'documents', count(*), count(DISTINCT doc_id) FROM documents
+             | UNION ALL SELECT 'embeddings', count(*), count(DISTINCT vec_id) FROM embeddings)
+             |SELECT tbl, n_rows, distinct_keys, n_rows - distinct_keys AS dup_rows
+             |FROM k ORDER BY tbl""".stripMargin)),
+
+    // freshness audit — per time-bearing table, the newest row and its
+    // staleness in days against the corpus-wide newest timestamp (a
+    // deterministic anchor: no wall clock in a reproducible pipeline).
+    // The synthetic domains land decades apart — faithfully reported;
+    // on production data this is the "did yesterday's load run" SLA
+    // check. Three max() scans, one 3-row reduction.
+    QueryDef(
+      "q_freshness",
+      (s, d) => {
+        val m = Tables.events(s, d).agg(max(col("ts")).as("max_ts"))
+          .select(lit("events").as("tbl"), col("max_ts"))
+          .unionByName(Tables.orders(s, d)
+            .agg(max(col("o_orderdate").cast("timestamp_ntz")).as("max_ts"))
+            .select(lit("orders").as("tbl"), col("max_ts")))
+          .unionByName(Tables.lineitem(s, d)
+            .agg(max(col("l_shipdate").cast("timestamp_ntz")).as("max_ts"))
+            .select(lit("lineitem").as("tbl"), col("max_ts")))
+        val g = m.agg(max("max_ts").as("anchor"))
+        m.crossJoin(broadcast(g))
+          .select(col("tbl"), col("max_ts"),
+            datediff(to_date(col("anchor")), to_date(col("max_ts")))
+              .cast("long").as("staleness_days"))
+          .orderBy("tbl")
+      },
+      Some("""WITH m AS (
+             |  SELECT 'events' AS tbl, max(CAST(ts AS TIMESTAMP)) AS max_ts FROM events
+             |  UNION ALL SELECT 'orders', max(CAST(o_orderdate AS TIMESTAMP)) FROM orders
+             |  UNION ALL SELECT 'lineitem', max(CAST(l_shipdate AS TIMESTAMP)) FROM lineitem),
+             |g AS (SELECT max(max_ts) AS anchor FROM m)
+             |SELECT tbl, max_ts,
+             |  date_diff('day', CAST(max_ts AS DATE), CAST(anchor AS DATE)) AS staleness_days
+             |FROM m CROSS JOIN g ORDER BY tbl""".stripMargin))
   )
 }

@@ -186,7 +186,18 @@ class PlanAuditSpec extends SparkSpec {
       "q_norm_outliers",
       // q_type_percentiles: q_trimmed_mean's exact machinery — the
       // offset window runs over the |event types|-row count table
-      "q_type_percentiles")
+      "q_type_percentiles",
+      // q_rrf_fusion: rank windows over the two ≤100-row top-k candidate
+      // lists (each arm ends in a TakeOrderedAndProject LIMIT 100 before
+      // its window — bounded by construction, the production RRF shape)
+      "q_rrf_fusion",
+      // q_mannwhitney: withRunningTotal's offset prefix-sum, same
+      // ≤ #shuffle-partitions bound as the GlobalOrder family
+      "q_mannwhitney",
+      // q_changepoint: running sum + row_number over the day-grain count
+      // table — ≤ #days rows, bounded by the calendar (q_cume_distinct
+      // convention)
+      "q_changepoint")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
       val global = fn(spark, sf).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
