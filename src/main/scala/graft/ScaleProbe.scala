@@ -189,7 +189,8 @@ object ScaleProbe {
       "q_path_triples", "q_type_percentiles", "q_brand_hhi",
       "q_knn_label_purity", "q_seasonality_strength", "q_temperature_mix",
       "q_domain_bounds", "q_key_uniqueness", "q_freshness", "q_rrf_fusion",
-      "q_mannwhitney", "q_changepoint")
+      "q_mannwhitney", "q_changepoint", "q_ewma", "q_bootstrap_ci",
+      "q_kcore")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

@@ -1491,6 +1491,133 @@ object Behavioral {
              |  CAST(b.cumx * 1000000 // b.idx AS BIGINT) AS mean_before_micro,
              |  CAST((t.n_events - b.cumx) * 1000000 // (t.t_days - b.idx) AS BIGINT)
              |    AS mean_after_micro
-             |FROM (SELECT * FROM s ORDER BY abs(s_scaled) DESC, dt LIMIT 1) b CROSS JOIN tot t""".stripMargin))
+             |FROM (SELECT * FROM s ORDER BY abs(s_scaled) DESC, dt LIMIT 1) b CROSS JOIN tot t""".stripMargin)),
+
+    // exponential-smoothing forecast backtest (EWMA, α=1/2) — the
+    // recency-weighted companion of q_seasonal_naive: per event type,
+    // forecast the final day's volume from the 16 preceding days with
+    // weights 2^(15−lag), EXACT as Σy·2^(15−j)·10⁶ div 65535 (α=1/2
+    // makes every weight a power of two — no float smoothing loop, no
+    // recursion; the geometric tail past 16 days is < 2⁻¹⁶ of the
+    // weight mass). The day×type grid is densified first so a silent
+    // empty day forecasts as 0, not as a dropped term. All frames after
+    // the one daily rollup are calendar-bounded.
+    QueryDef(
+      "q_ewma",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val days = ev.select(to_date(col("ts")).as("dt")).distinct()
+        val types = ev.select("event_type").distinct()
+        val cnt = ev.groupBy(to_date(col("ts")).as("dt"), col("event_type"))
+          .agg(count(lit(1)).as("y"))
+        val g = days.crossJoin(broadcast(types))
+          .join(cnt, Seq("dt", "event_type"), "left")
+          .select(col("dt"), col("event_type"), coalesce(col("y"), lit(0L)).as("y"))
+        val mx = g.agg(max("dt").as("t_last"))
+        val withLag = g.crossJoin(broadcast(mx))
+        val f = withLag
+          .where(col("dt") < col("t_last") &&
+            datediff(col("t_last"), col("dt")) <= 16)
+          .select(col("event_type"), col("y"),
+            (datediff(col("t_last"), col("dt")) - 1).as("j"))
+          .groupBy("event_type")
+          // Σy·2^15 · 10⁶ passes 2^63 at ~3e8 events/day — the weighted
+          // sum widens to DECIMAL(38,0)/HUGEINT before the micro scale-up
+          .agg(expr("""CAST(CAST(sum(y * shiftleft(CAST(1 AS BIGINT), CAST(15 - j AS INT)))
+                      |   AS DECIMAL(38,0)) * 1000000 div 65535 AS BIGINT)""".stripMargin)
+            .as("forecast_micro"))
+        val act = withLag.where(col("dt") === col("t_last"))
+          .select(col("event_type"), col("y").as("actual"))
+        f.join(act, "event_type")
+          .select(col("event_type"), col("forecast_micro"), col("actual"),
+            abs(col("forecast_micro") - col("actual") * 1000000L)
+              .as("abs_err_micro"))
+          .orderBy("event_type")
+      },
+      Some("""WITH grid AS (
+             |  SELECT d.dt, t.event_type FROM
+             |    (SELECT DISTINCT CAST(ts AS DATE) AS dt FROM events) d
+             |    CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
+             |cnt AS (SELECT CAST(ts AS DATE) AS dt, event_type, count(*) AS y
+             |        FROM events GROUP BY 1, 2),
+             |g AS (SELECT grid.dt, grid.event_type, coalesce(cnt.y, 0) AS y
+             |      FROM grid LEFT JOIN cnt ON grid.dt = cnt.dt AND grid.event_type = cnt.event_type),
+             |mx AS (SELECT max(dt) AS t_last FROM g),
+             |hist AS (SELECT g.event_type, g.y,
+             |           date_diff('day', g.dt, t_last) - 1 AS j
+             |         FROM g CROSS JOIN mx
+             |         WHERE g.dt < t_last AND date_diff('day', g.dt, t_last) <= 16),
+             |f AS (SELECT event_type,
+             |        CAST(CAST(sum(y * (CAST(1 AS BIGINT) << (15 - j))) AS HUGEINT)
+             |             * 1000000 // 65535 AS BIGINT)
+             |          AS forecast_micro
+             |      FROM hist GROUP BY 1),
+             |act AS (SELECT g.event_type, g.y AS actual FROM g CROSS JOIN mx WHERE g.dt = t_last)
+             |SELECT f.event_type AS event_type, forecast_micro, CAST(actual AS BIGINT) AS actual,
+             |  abs(forecast_micro - actual * 1000000) AS abs_err_micro
+             |FROM f JOIN act ON f.event_type = act.event_type ORDER BY 1""".stripMargin)),
+
+    // Poisson-bootstrap confidence interval — THE distributed bootstrap
+    // (multinomial resampling needs the row count up front and a global
+    // draw; independent Poisson(1) weights per (row, replicate) need
+    // neither, and at corpus scale are indistinguishable). 40 replicate
+    // weights come from md5-derived uniforms cut at the exact Poisson(1)
+    // pmf thresholds (0.367879/0.735759/0.919699/0.981012 in integer
+    // millionths), so both engines draw bit-identical resamples with no
+    // RNG. The explode-by-40 feeds straight into a partial aggregate —
+    // 40 groups per partition, a 40-row shuffle, nothing materializes
+    // 40× the data. CI = rank-based 2.5/97.5 percentiles over the 40
+    // replicate means (ceil convention: ranks 1 and 39), exact integer
+    // micros throughout.
+    QueryDef(
+      "q_bootstrap_ci",
+      (s, d) => {
+        val p = Tables.events(s, d).where(col("event_type") === "purchase")
+          .select(col("event_id"),
+            expr("CAST(round(value * 1000) AS BIGINT)").as("v"))
+        val reps = p.select(col("event_id"), col("v"),
+            explode(sequence(lit(0), lit(39))).as("b"))
+          .withColumn("u",
+            conv(substring(md5(concat(lit("bs:"), col("b").cast("string"),
+              lit(":"), col("event_id").cast("string"))), 1, 12), 16, 10)
+              .cast("long") % 1000000L)
+          .withColumn("wt",
+            when(col("u") < 367879L, 0L).when(col("u") < 735759L, 1L)
+              .when(col("u") < 919699L, 2L).when(col("u") < 981012L, 3L)
+              .otherwise(4L))
+        // Σwt·v (wt ≤ 4, v in millis) passes 2^63 near 5e14 rows — the
+        // resample sums run in DECIMAL(38,0)/HUGEINT before the division
+        val bm = reps.groupBy("b")
+          .agg(expr("CAST(sum(CAST(wt AS DECIMAL(38,0)) * v) * 1000 div sum(wt) AS BIGINT)")
+            .as("mean_micro"))
+        val r = bm.withColumn("rn",
+          row_number().over(Window.orderBy(col("mean_micro"), col("b"))))
+        val base = p.agg(count(lit(1)).as("n"),
+          expr("CAST(CAST(sum(v) AS DECIMAL(38,0)) * 1000 div count(1) AS BIGINT)")
+            .as("mean_micro"))
+        base
+          .crossJoin(broadcast(r.where(col("rn") === 1)
+            .select(col("mean_micro").as("boot_lo_micro"))))
+          .crossJoin(broadcast(r.where(col("rn") === 39)
+            .select(col("mean_micro").as("boot_hi_micro"))))
+      },
+      Some("""WITH p AS (SELECT event_id, CAST(round(value * 1000) AS BIGINT) AS v
+             |           FROM events WHERE event_type = 'purchase'),
+             |reps AS (SELECT p.event_id, p.v, r.range AS b,
+             |           CAST('0x' || substr(md5('bs:' || r.range || ':' || p.event_id), 1, 12) AS BIGINT)
+             |             % 1000000 AS u
+             |         FROM p CROSS JOIN range(40) r),
+             |w AS (SELECT b, v,
+             |        CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+             |             WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3 ELSE 4 END AS wt
+             |      FROM reps),
+             |bm AS (SELECT b, CAST(CAST(sum(wt * v) AS HUGEINT) * 1000 // sum(wt) AS BIGINT) AS mean_micro
+             |       FROM w GROUP BY 1),
+             |r AS (SELECT mean_micro, row_number() OVER (ORDER BY mean_micro, b) AS rn FROM bm),
+             |base AS (SELECT count(*) AS n, CAST(CAST(sum(v) AS HUGEINT) * 1000 // count(*) AS BIGINT) AS mean_micro FROM p)
+             |SELECT base.n, base.mean_micro,
+             |  (SELECT mean_micro FROM r WHERE rn = 1) AS boot_lo_micro,
+             |  (SELECT mean_micro FROM r WHERE rn = 39) AS boot_hi_micro
+             |FROM base""".stripMargin))
   )
 }

@@ -533,6 +533,120 @@ object Release {
              |         SELECT user_id FROM tagged GROUP BY 1
              |         HAVING count(DISTINCT split) > 1))
              |SELECT p.split, p.rows_n, p.users, l.leaked_users
-             |FROM per p CROSS JOIN lk l ORDER BY p.split""".stripMargin))
+             |FROM per p CROSS JOIN lk l ORDER BY p.split""".stripMargin)),
+
+    // k-core peel of the co-purchase graph, k = ⌊avg degree⌋, four fixed
+    // rounds — the cohesion probe beside q_triangles/q_pagerank: each
+    // round drops nodes whose degree among SURVIVORS falls below k and
+    // reports the shrinking (nodes, edges) frontier. On the near-regular
+    // synthetic graph the cascade collapses to an empty core — itself
+    // the finding (no dense subcommunity exists); on real co-purchase
+    // data the fixpoint is the recommender's backbone. Every round is an
+    // equi-join of the edge list against the survivor set (never a cross
+    // product); eager per-round checkpoints keep the lineage bounded
+    // exactly like the connected-components chain.
+    QueryDef(
+      "q_kcore",
+      (s, d) => {
+        def cp0(df: org.apache.spark.sql.DataFrame) = df.localCheckpoint(true)
+        val lp = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_partkey").distinct()
+        val e0 = cp0(lp.select(col("l_orderkey"), col("l_partkey").as("p1"))
+          .join(lp.select(col("l_orderkey"), col("l_partkey").as("p2")),
+            "l_orderkey")
+          .where(col("p1") < col("p2"))
+          .select("p1", "p2").distinct())
+        // eager localCheckpoint per round, the connected-components-chain
+        // convention (DedupOps.corpusAndClusters): an iterative DataFrame
+        // loop otherwise stacks one join-lineage level per round and every
+        // consumer (the degree pass, the k frame, the final annotation)
+        // replays the whole prefix — measured 21 s → ~6 s at sf0.1. On a
+        // real cluster the same hook takes a reliable checkpoint dir.
+        def cp(df: org.apache.spark.sql.DataFrame) = df.localCheckpoint(true)
+        def degrees(e: org.apache.spark.sql.DataFrame) =
+          cp(e.select(col("p1").as("p")).unionAll(e.select(col("p2").as("p")))
+            .groupBy("p").agg(count(lit(1)).as("deg")))
+        val deg0 = degrees(e0)
+        val kk = deg0.agg(expr("sum(deg) div count(1)").as("k"))
+        def peel(deg: org.apache.spark.sql.DataFrame,
+            e: org.apache.spark.sql.DataFrame) = {
+          val surv = deg.crossJoin(broadcast(kk))
+            .where(col("deg") >= col("k")).select("p")
+          val e2 = cp(e.join(surv.select(col("p").as("p1")), "p1")
+            .join(surv.select(col("p").as("p2")), "p2")
+            .select("p1", "p2"))
+          (surv, e2)
+        }
+        val (s1, e1) = peel(deg0, e0)
+        val (s2, e2) = peel(degrees(e1), e1)
+        val (s3, e3) = peel(degrees(e2), e2)
+        val (s4, _) = peel(degrees(e3), e3)
+        // one plan, not ten count branches: annotate every node with the
+        // LAST round it survived (the sets nest, so four left-join
+        // markers fold into one CASE), derive each edge's last round as
+        // least(endpoint lasts), and produce all five (nodes, edges)
+        // rows from two aggregates + a stack — 10× fewer Spark jobs than
+        // counting each frame separately.
+        def mark(r: Int, sr: org.apache.spark.sql.DataFrame) =
+          sr.withColumn(s"r$r", lit(1))
+        val n = deg0.select("p")
+          .join(mark(1, s1), Seq("p"), "left")
+          .join(mark(2, s2), Seq("p"), "left")
+          .join(mark(3, s3), Seq("p"), "left")
+          .join(mark(4, s4), Seq("p"), "left")
+          .select(col("p"),
+            coalesce(when(col("r4") === 1, 4).when(col("r3") === 1, 3)
+              .when(col("r2") === 1, 2).when(col("r1") === 1, 1), lit(0))
+              .as("last"))
+          .localCheckpoint(true)
+        val nCols = Seq.range(0, 5).map(r =>
+          count(when(col("last") >= r, 1)).as(s"n$r"))
+        val nodeAgg = n.agg(nCols.head, nCols.tail: _*)
+        val edgeAgg = e0
+          .join(n.select(col("p").as("p1"), col("last").as("l1")), "p1")
+          .join(n.select(col("p").as("p2"), col("last").as("l2")), "p2")
+          .select(least(col("l1"), col("l2")).as("elast"))
+        val eCols = Seq.range(0, 5).map(r =>
+          count(when(col("elast") >= r, 1)).as(s"e$r"))
+        val edgeAggD = edgeAgg.agg(eCols.head, eCols.tail: _*)
+        nodeAgg.crossJoin(broadcast(edgeAggD)).crossJoin(broadcast(kk))
+          .select(col("k").cast("long").as("k"),
+            expr("stack(5, 0, n0, e0, 1, n1, e1, 2, n2, e2, 3, n3, e3, 4, n4, e4)" +
+              " AS (round, nodes, edges)"))
+          .select("round", "k", "nodes", "edges")
+          .orderBy("round")
+      },
+      Some("""WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+             |      FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+             |deg0 AS MATERIALIZED (SELECT p, count(*) AS deg FROM (
+             |           SELECT p1 AS p FROM e UNION ALL SELECT p2 FROM e) GROUP BY 1),
+             |kk AS MATERIALIZED (SELECT sum(deg) // count(*) AS k FROM deg0),
+             |s1 AS MATERIALIZED (SELECT p FROM deg0 CROSS JOIN kk WHERE deg >= k),
+             |e1 AS MATERIALIZED (SELECT e.* FROM e JOIN s1 a ON e.p1 = a.p JOIN s1 b ON e.p2 = b.p),
+             |deg1 AS MATERIALIZED (SELECT p, count(*) AS deg FROM (
+             |           SELECT p1 AS p FROM e1 UNION ALL SELECT p2 FROM e1) GROUP BY 1),
+             |s2 AS MATERIALIZED (SELECT p FROM deg1 CROSS JOIN kk WHERE deg >= k),
+             |e2 AS MATERIALIZED (SELECT e1.* FROM e1 JOIN s2 a ON e1.p1 = a.p JOIN s2 b ON e1.p2 = b.p),
+             |deg2 AS MATERIALIZED (SELECT p, count(*) AS deg FROM (
+             |           SELECT p1 AS p FROM e2 UNION ALL SELECT p2 FROM e2) GROUP BY 1),
+             |s3 AS MATERIALIZED (SELECT p FROM deg2 CROSS JOIN kk WHERE deg >= k),
+             |e3 AS MATERIALIZED (SELECT e2.* FROM e2 JOIN s3 a ON e2.p1 = a.p JOIN s3 b ON e2.p2 = b.p),
+             |deg3 AS MATERIALIZED (SELECT p, count(*) AS deg FROM (
+             |           SELECT p1 AS p FROM e3 UNION ALL SELECT p2 FROM e3) GROUP BY 1),
+             |s4 AS MATERIALIZED (SELECT p FROM deg3 CROSS JOIN kk WHERE deg >= k),
+             |e4 AS MATERIALIZED (SELECT e3.* FROM e3 JOIN s4 a ON e3.p1 = a.p JOIN s4 b ON e3.p2 = b.p)
+             |SELECT * FROM (
+             |  SELECT 0 AS round, CAST((SELECT max(k) FROM kk) AS BIGINT) AS k,
+             |    (SELECT count(*) FROM deg0) AS nodes, (SELECT count(*) FROM e) AS edges
+             |  UNION ALL SELECT 1, CAST((SELECT max(k) FROM kk) AS BIGINT),
+             |    (SELECT count(*) FROM s1), (SELECT count(*) FROM e1)
+             |  UNION ALL SELECT 2, CAST((SELECT max(k) FROM kk) AS BIGINT),
+             |    (SELECT count(*) FROM s2), (SELECT count(*) FROM e2)
+             |  UNION ALL SELECT 3, CAST((SELECT max(k) FROM kk) AS BIGINT),
+             |    (SELECT count(*) FROM s3), (SELECT count(*) FROM e3)
+             |  UNION ALL SELECT 4, CAST((SELECT max(k) FROM kk) AS BIGINT),
+             |    (SELECT count(*) FROM s4), (SELECT count(*) FROM e4)
+             |) ORDER BY round""".stripMargin))
   )
 }

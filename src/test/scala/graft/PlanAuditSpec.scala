@@ -197,7 +197,10 @@ class PlanAuditSpec extends SparkSpec {
       // q_changepoint: running sum + row_number over the day-grain count
       // table — ≤ #days rows, bounded by the calendar (q_cume_distinct
       // convention)
-      "q_changepoint")
+      "q_changepoint",
+      // q_bootstrap_ci: rank over the 40-row replicate-mean table —
+      // bounded by the replicate count, never by data volume
+      "q_bootstrap_ci")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
       val global = fn(spark, sf).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
