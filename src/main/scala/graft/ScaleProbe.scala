@@ -190,7 +190,7 @@ object ScaleProbe {
       "q_knn_label_purity", "q_seasonality_strength", "q_temperature_mix",
       "q_domain_bounds", "q_key_uniqueness", "q_freshness", "q_rrf_fusion",
       "q_mannwhitney", "q_changepoint", "q_ewma", "q_bootstrap_ci",
-      "q_kcore")
+      "q_kcore", "q_t_closeness", "q_cramers_v", "q_logreg_irls", "q_ndcg")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

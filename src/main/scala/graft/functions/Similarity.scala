@@ -1860,6 +1860,70 @@ object Similarity {
              |    AS rr_micro
              |FROM top GROUP BY qid ORDER BY qid""".stripMargin)),
 
+    // NDCG@10 — the position-weighted companion of q_retrieval_eval's
+    // hits/MRR (a hit at rank 1 is worth more than one at rank 10; NDCG
+    // is the metric retrieval A/B tests actually move). Binary label
+    // relevance; the 1/log₂(r+1) discount is micro-rounded ONCE per rank
+    // (ten fixed constants, the same IEEE expression in both engines),
+    // so DCG and the ideal DCG (= hits compacted to the top ranks via a
+    // running hit index) are exact integer sums, and NDCG an exact
+    // integer ratio. Windows run inside the ≤10-row per-query lists.
+    QueryDef(
+      "q_ndcg",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("ed"))
+        val q2 = e.where(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+            col("ed").as("qe"))
+        val w = Window.partitionBy("qid").orderBy("rn")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        bruteTopK(e, q2, 10)
+          .withColumn("rel", when(col("label") === col("qlabel"), 1L).otherwise(0L))
+          .withColumn("hit_idx", sum("rel").over(w))
+          .groupBy("qid")
+          .agg(
+            sum("rel").as("hits"),
+            sum(expr("CASE WHEN rel = 1 THEN CAST(round(1000000 / log2(rn + 1)) AS BIGINT) ELSE 0 END"))
+              .as("dcg_micro"),
+            // hit_idx is 0 until the first hit — the discount is only
+            // defined (and only counted) on rel rows
+            sum(expr("CASE WHEN rel = 1 THEN CAST(round(1000000 / log2(hit_idx + 1)) AS BIGINT) ELSE 0 END"))
+              .as("idcg_micro"))
+          .select(col("qid"), col("hits"), col("dcg_micro"), col("idcg_micro"),
+            expr("CASE WHEN idcg_micro = 0 THEN CAST(0 AS BIGINT) " +
+              "ELSE dcg_micro * 1000 div idcg_micro END").as("ndcg_milli"))
+          .orderBy("qid")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ed
+             |           FROM embeddings),
+             |q AS (SELECT vec_id AS qid, label AS qlabel, ed AS qe
+             |      FROM e WHERE vec_id < 50),
+             |sims AS (SELECT q.qid, q.qlabel, e.vec_id, e.label,
+             |           round(list_dot_product(q.qe, e.ed), 4) AS sim
+             |         FROM q CROSS JOIN e WHERE e.vec_id <> q.qid),
+             |top AS (SELECT qid, qlabel, vec_id, label,
+             |          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+             |        FROM sims QUALIFY rn <= 10),
+             |rel AS (SELECT qid, rn,
+             |          CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel,
+             |          sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+             |            OVER (PARTITION BY qid ORDER BY rn
+             |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hit_idx
+             |        FROM top),
+             |agg AS (SELECT qid, CAST(sum(rel) AS BIGINT) AS hits,
+             |          CAST(sum(CASE WHEN rel = 1
+             |            THEN CAST(round(1000000 / log2(rn + 1)) AS BIGINT) ELSE 0 END) AS BIGINT)
+             |            AS dcg_micro,
+             |          CAST(sum(CASE WHEN rel = 1
+             |            THEN CAST(round(1000000 / log2(hit_idx + 1)) AS BIGINT) ELSE 0 END) AS BIGINT)
+             |            AS idcg_micro
+             |        FROM rel GROUP BY qid)
+             |SELECT qid, hits, dcg_micro, idcg_micro,
+             |  CAST(coalesce(dcg_micro * 1000 // nullif(idcg_micro, 0), 0) AS BIGINT)
+             |    AS ndcg_milli
+             |FROM agg ORDER BY qid""".stripMargin)),
+
     // int8 scalar-quantization recall gate: rank by the INTEGER dot of
     // the q_embed_quantize codes (4× memory cut, exact integer scores —
     // no rounding convention needed at all) and measure recall@5 against

@@ -1618,6 +1618,58 @@ object Behavioral {
              |SELECT base.n, base.mean_micro,
              |  (SELECT mean_micro FROM r WHERE rn = 1) AS boot_lo_micro,
              |  (SELECT mean_micro FROM r WHERE rn = 39) AS boot_hi_micro
-             |FROM base""".stripMargin))
+             |FROM base""".stripMargin)),
+
+    // t-closeness — the release gate that completes the privacy triad
+    // beside q_k_anonymity / q_l_diversity: for each quasi-identifier
+    // group (source), the total-variation distance between its sensitive-
+    // attribute distribution (lang) and the corpus-wide one; the release
+    // requirement is max ≤ t. EXACT: TVD = Σ|a·n − b·n_g| / (2·n_g·n)
+    // kept as a 128-bit integer numerator over the exact denominator —
+    // no per-cell rational rounding. The grid densifies absent (group,
+    // lang) cells (they still contribute b·n_g). Two keyed aggregates +
+    // a broadcast margin grid; one |groups|-row reduction.
+    QueryDef(
+      "q_t_closeness",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val cell = docs.groupBy("source", "lang").agg(count(lit(1)).as("a"))
+        val grp = docs.groupBy("source").agg(count(lit(1)).as("ng"))
+        val glb = docs.groupBy("lang").agg(count(lit(1)).as("b"))
+        val tot = docs.agg(count(lit(1)).as("n"))
+        val grid = grp.crossJoin(broadcast(glb))
+          .join(cell, Seq("source", "lang"), "left")
+          .na.fill(0L, Seq("a"))
+          .crossJoin(broadcast(tot))
+        val tvd = grid.groupBy("source")
+          .agg(max("ng").as("ng"), max("n").as("n"),
+            sum(abs(expr("CAST(a AS DECIMAL(38,0)) * n - CAST(b AS DECIMAL(38,0)) * ng")))
+              .as("num"))
+          .select(col("source"),
+            expr("CAST(num * 1000000 div (2 * CAST(ng AS DECIMAL(38,0)) * n) AS BIGINT)")
+              .as("tvd_micro"))
+        tvd.agg(
+          max("tvd_micro").as("t_closeness_micro"),
+          count(lit(1)).as("n_groups"),
+          min("tvd_micro").as("min_tvd_micro"),
+          expr("sum(tvd_micro) div count(1)").as("avg_tvd_micro"))
+      },
+      Some("""WITH cell AS (SELECT source, lang, count(*) AS a FROM documents GROUP BY 1, 2),
+             |grp AS (SELECT source, count(*) AS ng FROM documents GROUP BY 1),
+             |glb AS (SELECT lang, count(*) AS b FROM documents GROUP BY 1),
+             |tot AS (SELECT count(*) AS n FROM documents),
+             |grid AS (SELECT g.source, g.ng, l.lang, l.b, coalesce(c.a, 0) AS a
+             |         FROM grp g CROSS JOIN glb l
+             |         LEFT JOIN cell c ON c.source = g.source AND c.lang = l.lang),
+             |tvd AS (SELECT source, max(ng) AS ng,
+             |          sum(abs(CAST(a AS HUGEINT) * n - CAST(b AS HUGEINT) * ng)) AS num
+             |        FROM grid CROSS JOIN tot GROUP BY source),
+             |pg AS (SELECT source, CAST(num * 1000000 // (2 * CAST(ng AS HUGEINT) * n) AS BIGINT) AS tvd_micro
+             |       FROM tvd CROSS JOIN tot)
+             |SELECT CAST(max(tvd_micro) AS BIGINT) AS t_closeness_micro,
+             |  CAST(count(*) AS BIGINT) AS n_groups,
+             |  CAST(min(tvd_micro) AS BIGINT) AS min_tvd_micro,
+             |  CAST(sum(tvd_micro) // count(*) AS BIGINT) AS avg_tvd_micro
+             |FROM pg""".stripMargin))
   )
 }

@@ -1579,6 +1579,87 @@ object Curation {
              |  CAST(CAST(w.w_nano AS HUGEINT) * 1000000 // z.wz AS BIGINT) AS temp_share_micro,
              |  CAST(CAST(w.w_nano AS HUGEINT) * 1000000 * w.ct // (CAST(z.wz AS HUGEINT) * w.c) AS BIGINT)
              |    AS upweight_micro
-             |FROM w CROSS JOIN z ORDER BY w.source""".stripMargin))
+             |FROM w CROSS JOIN z ORDER BY w.source""".stripMargin)),
+
+    // two IRLS/Newton steps of logistic regression (purchase ~ value) —
+    // the GLM-training-on-Spark shape beside q_kmeans_iter: each step is
+    // ONE pass of map-combined moment aggregation (gradient + 2×2
+    // Hessian), the 100 TB distributed-training pattern where compute
+    // scales with rows and only six numbers shuffle. Step 1 exploits
+    // β₀ = 0 (σ ≡ ½), so gradient and Hessian are pure integer moments
+    // and the Newton solve is an exact 128-bit closed form. Step 2
+    // evaluates the sigmoid at the step-1 coefficients, micro-rounds the
+    // per-row probability ONCE (both engines evaluate the identical IEEE
+    // expression on exact integers), and re-solves on exact integer
+    // sums. Fixture check: β₀ walks −1.184 → −1.353 toward the true
+    // base-rate logit −1.398. DECIMAL(38,0)/HUGEINT throughout; the
+    // moment magnitudes bound exactness to ~1e9 rows at milli
+    // quantization — past that, quantize coarser (documented trade).
+    QueryDef(
+      "q_logreg_irls",
+      (s, d) => {
+        val e = Tables.events(s, d).select(
+          expr("CAST(round(value * 1000) AS BIGINT)").as("v"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+        val m = e.agg(count(lit(1)).as("n"), sum("y").as("n1"),
+          sum(expr("CAST(v AS DECIMAL(38,0))")).as("sv"),
+          sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("sv2"),
+          sum(expr("CAST(2 * y - 1 AS DECIMAL(38,0)) * v")).as("g2_1"))
+        val b1 = m.select(col("n"), col("n1").as("n_pos"),
+          expr("""CAST(2 * (sv2 * CAST(2 * n1 - n AS DECIMAL(38,0)) - sv * g2_1)
+                 | * 1000000 div (n * sv2 - sv * sv) AS BIGINT)""".stripMargin)
+            .as("b0_micro"),
+          expr("""CAST(2 * (n * g2_1 - sv * CAST(2 * n1 - n AS DECIMAL(38,0)))
+                 | * 1000000000 div (n * sv2 - sv * sv) AS BIGINT)""".stripMargin)
+            .as("b1_nano"))
+        val pr = e.crossJoin(broadcast(b1))
+          .withColumn("p_micro",
+            expr("""CAST(round(1000000.0 / (1.0 + exp(-(b0_micro / 1000000.0
+                   | + b1_nano / 1000000000.0 * v)))) AS BIGINT)""".stripMargin))
+          .withColumn("w_micro", expr("p_micro * (1000000 - p_micro) div 1000000"))
+        val s2 = pr.agg(
+          sum(expr("CAST(y * 1000000 - p_micro AS DECIMAL(38,0))")).as("g0s"),
+          sum(expr("CAST(y * 1000000 - p_micro AS DECIMAL(38,0)) * v")).as("g1s"),
+          sum(expr("CAST(w_micro AS DECIMAL(38,0))")).as("h00s"),
+          sum(expr("CAST(w_micro AS DECIMAL(38,0)) * v")).as("h01s"),
+          sum(expr("CAST(w_micro AS DECIMAL(38,0)) * v * v")).as("h11s"))
+        s2.crossJoin(broadcast(b1))
+          .select(col("n"), col("n_pos"),
+            col("b0_micro").as("beta0_micro"), col("b1_nano").as("beta1_nano"),
+            expr("""b0_micro + CAST((h11s * g0s - h01s * g1s) * 1000000
+                   | div (h00s * h11s - h01s * h01s) AS BIGINT)""".stripMargin)
+              .as("beta0_2_micro"),
+            expr("""b1_nano + CAST((h00s * g1s - h01s * g0s) * 1000000000
+                   | div (h00s * h11s - h01s * h01s) AS BIGINT)""".stripMargin)
+              .as("beta1_2_nano"))
+      },
+      Some("""WITH e AS (SELECT CAST(round(value*1000) AS BIGINT) AS v,
+             |            CASE WHEN event_type='purchase' THEN 1 ELSE 0 END AS y FROM events),
+             |m AS (SELECT count(*) AS n, sum(y) AS n1,
+             |        sum(CAST(v AS HUGEINT)) AS sv, sum(CAST(v AS HUGEINT)*v) AS sv2,
+             |        sum(CAST(2*y-1 AS HUGEINT)*v) AS g2_1,
+             |        CAST(2*sum(y)-count(*) AS HUGEINT) AS g2_0
+             |      FROM e),
+             |b1 AS (SELECT CAST(n AS BIGINT) AS n, CAST(n1 AS BIGINT) AS n_pos,
+             |  CAST(2*(sv2*g2_0 - sv*g2_1)*1000000 // (n*sv2 - sv*sv) AS BIGINT) AS b0_micro,
+             |  CAST(2*(n*g2_1 - sv*g2_0)*1000000000 // (n*sv2 - sv*sv) AS BIGINT) AS b1_nano
+             |FROM m),
+             |pr AS (SELECT e.y, e.v,
+             |         CAST(round(1000000.0 / (1.0 + exp(-(b0_micro / 1000000.0
+             |           + b1_nano / 1000000000.0 * v)))) AS BIGINT) AS p_micro
+             |       FROM e CROSS JOIN b1),
+             |s2 AS (SELECT
+             |    sum(CAST(y * 1000000 - p_micro AS HUGEINT)) AS g0s,
+             |    sum(CAST(y * 1000000 - p_micro AS HUGEINT) * v) AS g1s,
+             |    sum(CAST(p_micro * (1000000 - p_micro) // 1000000 AS HUGEINT)) AS h00s,
+             |    sum(CAST(p_micro * (1000000 - p_micro) // 1000000 AS HUGEINT) * v) AS h01s,
+             |    sum(CAST(p_micro * (1000000 - p_micro) // 1000000 AS HUGEINT) * v * v) AS h11s
+             |  FROM pr)
+             |SELECT b1.n, b1.n_pos, b1.b0_micro AS beta0_micro, b1.b1_nano AS beta1_nano,
+             |  b1.b0_micro + CAST((h11s*g0s - h01s*g1s) * 1000000
+             |    // (h00s*h11s - h01s*h01s) AS BIGINT) AS beta0_2_micro,
+             |  b1.b1_nano + CAST((h00s*g1s - h01s*g0s) * 1000000000
+             |    // (h00s*h11s - h01s*h01s) AS BIGINT) AS beta1_2_nano
+             |FROM s2 CROSS JOIN b1""".stripMargin))
   )
 }

@@ -325,6 +325,57 @@ object Relational {
              |  count(*) AS n_cells
              |FROM k""".stripMargin)),
 
+    // Cramér's V — q_chisq's effect size, on the source × lang pair of
+    // the document corpus (is language mix source-dependent, and HOW
+    // strongly — the number that stays comparable across table sizes
+    // where raw χ² only grows). Same densified margin grid and per-cell
+    // micro-rounded contributions as q_chisq (exact integer sum after
+    // the one rounding); V = √(χ²/(n·min(r−1,c−1))) evaluated as one
+    // fixed IEEE expression over the exact integers in both engines.
+    QueryDef(
+      "q_cramers_v",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("source", "lang")
+        val cells = docs.groupBy("source", "lang").agg(count(lit(1)).as("o"))
+        val rows = docs.groupBy("source").agg(count(lit(1)).as("r_n"))
+        val cols = docs.groupBy("lang").agg(count(lit(1)).as("c_n"))
+        val total = docs.agg(count(lit(1)).as("t_n"),
+          countDistinct("source").as("r"), countDistinct("lang").as("c"))
+        rows.crossJoin(broadcast(cols))
+          .join(cells, Seq("source", "lang"), "left")
+          .na.fill(0L, Seq("o"))
+          .crossJoin(broadcast(total))
+          .select(col("t_n"), col("r"), col("c"), expr(
+            """CAST(round(
+              |  pow(o - r_n * c_n / CAST(t_n AS DOUBLE), 2)
+              |    / (r_n * c_n / CAST(t_n AS DOUBLE)) * 1000000) AS BIGINT)"""
+              .stripMargin).as("contrib_micro"))
+          .groupBy()
+          .agg(max("t_n").as("n"), count(lit(1)).as("n_cells"),
+            sum("contrib_micro").as("chi2_micro"),
+            expr("""CAST(round(sqrt(CAST(sum(contrib_micro) AS DOUBLE) / 1e6
+                   |  / (max(t_n) * (least(max(r), max(c)) - 1))) * 1000) AS BIGINT)"""
+              .stripMargin).as("cramers_v_milli"))
+      },
+      Some("""WITH d AS (SELECT source, lang FROM documents),
+             |cells AS (SELECT source, lang, count(*) AS o FROM d GROUP BY 1, 2),
+             |r AS (SELECT source, count(*) AS r_n FROM d GROUP BY 1),
+             |c AS (SELECT lang, count(*) AS c_n FROM d GROUP BY 1),
+             |t AS (SELECT count(*) AS t_n, count(DISTINCT source) AS r,
+             |        count(DISTINCT lang) AS c FROM d),
+             |grid AS (SELECT source, lang, r_n, c_n, coalesce(o, 0) AS o
+             |  FROM r CROSS JOIN c LEFT JOIN cells USING (source, lang)),
+             |k AS (SELECT t_n, r.r AS rr, r.c AS cc, CAST(round(
+             |    pow(o - r_n * c_n / CAST(t_n AS DOUBLE), 2)
+             |      / (r_n * c_n / CAST(t_n AS DOUBLE)) * 1000000) AS BIGINT) AS contrib_micro
+             |  FROM grid CROSS JOIN t r)
+             |SELECT CAST(max(t_n) AS BIGINT) AS n, count(*) AS n_cells,
+             |  CAST(sum(contrib_micro) AS BIGINT) AS chi2_micro,
+             |  CAST(round(sqrt(CAST(sum(contrib_micro) AS DOUBLE) / 1e6
+             |    / (max(t_n) * (least(max(rr), max(cc)) - 1))) * 1000) AS BIGINT)
+             |    AS cramers_v_milli
+             |FROM k""".stripMargin)),
+
     // fixed-width histogram binning (dashboard value distribution)
     QueryDef(
       "q_histogram_bins",
