@@ -190,7 +190,10 @@ object ScaleProbe {
       "q_knn_label_purity", "q_seasonality_strength", "q_temperature_mix",
       "q_domain_bounds", "q_key_uniqueness", "q_freshness", "q_rrf_fusion",
       "q_mannwhitney", "q_changepoint", "q_ewma", "q_bootstrap_ci",
-      "q_kcore", "q_t_closeness", "q_cramers_v", "q_logreg_irls", "q_ndcg")
+      "q_kcore", "q_t_closeness", "q_cramers_v", "q_logreg_irls", "q_ndcg",
+      // q_link_predict excluded by design: fixed seed slice p < 100, the
+      // q_containment convention — growth is zero by construction
+      "q_als_step", "q_assortativity")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

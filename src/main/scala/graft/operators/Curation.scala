@@ -1660,6 +1660,66 @@ object Curation {
              |    // (h00s*h11s - h01s*h01s) AS BIGINT) AS beta0_2_micro,
              |  b1.b1_nano + CAST((h00s*g1s - h01s*g0s) * 1000000000
              |    // (h00s*h11s - h01s*h01s) AS BIGINT) AS beta1_2_nano
-             |FROM s2 CROSS JOIN b1""".stripMargin))
+             |FROM s2 CROSS JOIN b1""".stripMargin)),
+
+    // one ALS half-step of implicit-feedback matrix factorization
+    // (customer × part, rank 2) — the recommender-training-on-Spark
+    // shape (spark.ml ALS): with item factors FROZEN (deterministic
+    // md5-seeded milli vectors — exactly how a rank sweep seeds its
+    // first sweep), every user's factor solve is an independent 2×2
+    // ridge system over that user's own ratings, i.e. ONE groupBy
+    // producing five exact integer moments per user and a closed-form
+    // 128-bit solve — no gradient loop, no driver-side state, perfectly
+    // partitioned by user at any scale. λ=1 (milli² units) keeps
+    // single-item users non-singular. Output: the first 21 customers'
+    // solved factors in exact micros.
+    QueryDef(
+      "q_als_step",
+      (s, d) => {
+        val r = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
+          .agg(sum("l_quantity").cast("long").as("r"))
+        def fcol(salt: String) =
+          (conv(substring(md5(concat(lit(salt), col("p").cast("string"))), 1, 12),
+            16, 10).cast("long") % 2001L - 1000L)
+        val f = r.select("p").distinct()
+          .select(col("p"), fcol("f1:").as("f1"), fcol("f2:").as("f2"))
+        val m = r.join(f, "p")
+          .groupBy("c")
+          .agg(count(lit(1)).as("n_rated"),
+            (sum(expr("CAST(f1 AS DECIMAL(38,0)) * f1")) + 1000000L).as("a11"),
+            sum(expr("CAST(f1 AS DECIMAL(38,0)) * f2")).as("a12"),
+            (sum(expr("CAST(f2 AS DECIMAL(38,0)) * f2")) + 1000000L).as("a22"),
+            sum(expr("CAST(f1 AS DECIMAL(38,0)) * r")).as("b1"),
+            sum(expr("CAST(f2 AS DECIMAL(38,0)) * r")).as("b2"))
+        m.where(col("c") < 21)
+          .select(col("c"), col("n_rated"),
+            expr("CAST((a22 * b1 - a12 * b2) * 1000000 div (a11 * a22 - a12 * a12) AS BIGINT)")
+              .as("u1_micro"),
+            expr("CAST((a11 * b2 - a12 * b1) * 1000000 div (a11 * a22 - a12 * a12) AS BIGINT)")
+              .as("u2_micro"))
+          .orderBy("c")
+      },
+      Some("""WITH r AS (SELECT o.o_custkey AS c, l.l_partkey AS p,
+             |             CAST(sum(l.l_quantity) AS BIGINT) AS r
+             |           FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+             |           GROUP BY 1, 2),
+             |f AS (SELECT DISTINCT p,
+             |        CAST('0x' || substr(md5('f1:' || p), 1, 12) AS BIGINT) % 2001 - 1000 AS f1,
+             |        CAST('0x' || substr(md5('f2:' || p), 1, 12) AS BIGINT) % 2001 - 1000 AS f2
+             |      FROM r),
+             |m AS (SELECT r.c, count(*) AS n_rated,
+             |        sum(CAST(f.f1 AS HUGEINT) * f.f1) + 1000000 AS a11,
+             |        sum(CAST(f.f1 AS HUGEINT) * f.f2) AS a12,
+             |        sum(CAST(f.f2 AS HUGEINT) * f.f2) + 1000000 AS a22,
+             |        sum(CAST(f.f1 AS HUGEINT) * r.r) AS b1,
+             |        sum(CAST(f.f2 AS HUGEINT) * r.r) AS b2
+             |      FROM r JOIN f ON f.p = r.p GROUP BY 1)
+             |SELECT c, n_rated,
+             |  CAST((a22 * b1 - a12 * b2) * 1000000 // (a11 * a22 - a12 * a12) AS BIGINT) AS u1_micro,
+             |  CAST((a11 * b2 - a12 * b1) * 1000000 // (a11 * a22 - a12 * a12) AS BIGINT) AS u2_micro
+             |FROM m WHERE c < 21 ORDER BY c""".stripMargin))
   )
 }

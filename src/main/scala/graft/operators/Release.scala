@@ -63,6 +63,37 @@ object Release {
       "\nSELECT d.id, d.deg, pr10.r FROM deg d JOIN pr10 ON pr10.id = d.id ORDER BY d.id"
   }
 
+  /** Eager lineage cut, DedupOps convention: a RELIABLE checkpoint when
+    * the session has a checkpoint dir (localCheckpoint blocks are pinned
+    * — they cannot be recomputed — so a corpus-scale edge list held in
+    * block storage starves hash aggregation of execution memory; the
+    * 100× probe hit exactly that), localCheckpoint otherwise. */
+  private def cutLineage(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(true)
+    else df.localCheckpoint(true)
+
+  /** Distinct undirected co-purchase edges (p1 < p2) with per-node
+    * degrees — the shared graph the k-core / assortativity / link-
+    * prediction family analyzes. Orientation via `<` keeps every pair
+    * single-counted; the per-order self-join is bounded by C(lines, 2)
+    * per order (q_order_shape pins that fan-out). */
+  private def copurchaseGraph(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val lp = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey").distinct()
+    val e = cutLineage(lp.select(col("l_orderkey"), col("l_partkey").as("p1"))
+      .join(lp.select(col("l_orderkey"), col("l_partkey").as("p2")),
+        "l_orderkey")
+      .where(col("p1") < col("p2"))
+      .select("p1", "p2").distinct())
+    val deg = cutLineage(
+      e.select(col("p1").as("p")).unionAll(e.select(col("p2").as("p")))
+        .groupBy("p").agg(count(lit(1)).as("deg")))
+    (e, deg)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // calendar gap-fill: daily counts of high-value events per type with
@@ -548,31 +579,22 @@ object Release {
     QueryDef(
       "q_kcore",
       (s, d) => {
-        def cp0(df: org.apache.spark.sql.DataFrame) = df.localCheckpoint(true)
-        val lp = Tables.lineitem(s, d)
-          .select("l_orderkey", "l_partkey").distinct()
-        val e0 = cp0(lp.select(col("l_orderkey"), col("l_partkey").as("p1"))
-          .join(lp.select(col("l_orderkey"), col("l_partkey").as("p2")),
-            "l_orderkey")
-          .where(col("p1") < col("p2"))
-          .select("p1", "p2").distinct())
-        // eager localCheckpoint per round, the connected-components-chain
+        // eager lineage cut per round, the connected-components-chain
         // convention (DedupOps.corpusAndClusters): an iterative DataFrame
         // loop otherwise stacks one join-lineage level per round and every
         // consumer (the degree pass, the k frame, the final annotation)
-        // replays the whole prefix — measured 21 s → ~6 s at sf0.1. On a
-        // real cluster the same hook takes a reliable checkpoint dir.
-        def cp(df: org.apache.spark.sql.DataFrame) = df.localCheckpoint(true)
+        // replays the whole prefix — measured 21 s → ~6 s at sf0.1.
+        val (e0, deg0) = copurchaseGraph(s, d)
         def degrees(e: org.apache.spark.sql.DataFrame) =
-          cp(e.select(col("p1").as("p")).unionAll(e.select(col("p2").as("p")))
-            .groupBy("p").agg(count(lit(1)).as("deg")))
-        val deg0 = degrees(e0)
+          cutLineage(
+            e.select(col("p1").as("p")).unionAll(e.select(col("p2").as("p")))
+              .groupBy("p").agg(count(lit(1)).as("deg")))
         val kk = deg0.agg(expr("sum(deg) div count(1)").as("k"))
         def peel(deg: org.apache.spark.sql.DataFrame,
             e: org.apache.spark.sql.DataFrame) = {
           val surv = deg.crossJoin(broadcast(kk))
             .where(col("deg") >= col("k")).select("p")
-          val e2 = cp(e.join(surv.select(col("p").as("p1")), "p1")
+          val e2 = cutLineage(e.join(surv.select(col("p").as("p1")), "p1")
             .join(surv.select(col("p").as("p2")), "p2")
             .select("p1", "p2"))
           (surv, e2)
@@ -598,7 +620,7 @@ object Release {
             coalesce(when(col("r4") === 1, 4).when(col("r3") === 1, 3)
               .when(col("r2") === 1, 2).when(col("r1") === 1, 1), lit(0))
               .as("last"))
-          .localCheckpoint(true)
+          .transform(cutLineage)
         val nCols = Seq.range(0, 5).map(r =>
           count(when(col("last") >= r, 1)).as(s"n$r"))
         val nodeAgg = n.agg(nCols.head, nCols.tail: _*)
@@ -647,6 +669,103 @@ object Release {
              |    (SELECT count(*) FROM s3), (SELECT count(*) FROM e3)
              |  UNION ALL SELECT 4, CAST((SELECT max(k) FROM kk) AS BIGINT),
              |    (SELECT count(*) FROM s4), (SELECT count(*) FROM e4)
-             |) ORDER BY round""".stripMargin))
+             |) ORDER BY round""".stripMargin)),
+
+    // degree assortativity of the co-purchase graph — do popular products
+    // co-sell with popular products (r > 0, a "hit cluster" a recommender
+    // can exploit) or with the long tail (r < 0)? Pearson correlation of
+    // endpoint degrees over the SYMMETRIZED edge list, from six exact
+    // 128-bit integer moments; the near-regular synthetic graph sits at
+    // ≈0, faithfully reported. One edge⋈degree join pair and a six-way
+    // map-combined aggregate.
+    QueryDef(
+      "q_assortativity",
+      (s, d) => {
+        val (e, deg) = copurchaseGraph(s, d)
+        val joined = e
+          .join(deg.select(col("p").as("p1"), col("deg").as("d1")), "p1")
+          .join(deg.select(col("p").as("p2"), col("deg").as("d2")), "p2")
+        val pairs = joined.select(col("d1").as("x"), col("d2").as("y"))
+          .unionAll(joined.select(col("d2").as("x"), col("d1").as("y")))
+        pairs.agg(count(lit(1)).as("n"),
+            sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+            sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+            sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+            sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+            sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+          .select(col("n").as("n_pairs"),
+            expr("""CAST(round((CAST(n * sxy - sx * sy AS DOUBLE))
+                   |  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                   |         * CAST(n * syy - sy * sy AS DOUBLE)) * 1000) AS BIGINT)"""
+              .stripMargin).as("assortativity_milli"))
+      },
+      Some("""WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+             |      FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+             |deg AS MATERIALIZED (SELECT p, count(*) AS deg FROM (
+             |        SELECT p1 AS p FROM e UNION ALL SELECT p2 FROM e) GROUP BY 1),
+             |pairs AS (SELECT d1.deg AS x, d2.deg AS y FROM e
+             |            JOIN deg d1 ON d1.p = e.p1 JOIN deg d2 ON d2.p = e.p2
+             |          UNION ALL
+             |          SELECT d2.deg, d1.deg FROM e
+             |            JOIN deg d1 ON d1.p = e.p1 JOIN deg d2 ON d2.p = e.p2),
+             |mm AS (SELECT count(*) AS n, sum(CAST(x AS HUGEINT)) AS sx,
+             |         sum(CAST(y AS HUGEINT)) AS sy, sum(CAST(x AS HUGEINT)*y) AS sxy,
+             |         sum(CAST(x AS HUGEINT)*x) AS sxx, sum(CAST(y AS HUGEINT)*y) AS syy
+             |       FROM pairs)
+             |SELECT CAST(n AS BIGINT) AS n_pairs,
+             |  CAST(round((CAST(n*sxy - sx*sy AS DOUBLE))
+             |    / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+             |    * 1000) AS BIGINT) AS assortativity_milli
+             |FROM mm""".stripMargin)),
+
+    // common-neighbor link prediction from a fixed seed-node slice — the
+    // "customers who bought X also bought Y (but X and Y never co-sold)"
+    // recommender candidate list: for seed parts p < 100, score every
+    // NON-adjacent partner by shared-neighbor count (wedges through the
+    // seed), report top-20 with the neighborhood-Jaccard score. The wedge
+    // join fans out deg² per seed — bounded here by the fixed seed slice,
+    // exactly how production link prediction batches per-entity candidate
+    // generation (the q_containment audit-slice convention; excluded from
+    // growth probes for the same reason — the slice is constant by
+    // construction). Anti-join drops existing edges before scoring.
+    QueryDef(
+      "q_link_predict",
+      (s, d) => {
+        val (e, deg) = copurchaseGraph(s, d)
+        val nb = e.select(col("p1").as("p"), col("p2").as("q"))
+          .unionAll(e.select(col("p2").as("p"), col("p1").as("q")))
+        val wedge = nb.where(col("p") < 100)
+          .join(nb.select(col("p").as("q"), col("q").as("b")), "q")
+          .where(col("b") > col("p"))
+          .groupBy(col("p").as("a"), col("b"))
+          .agg(count(lit(1)).as("cn"))
+        val cand = wedge.join(e,
+            wedge("a") === e("p1") && wedge("b") === e("p2"), "left_anti")
+        cand
+          .join(deg.select(col("p").as("a"), col("deg").as("da")), "a")
+          .join(deg.select(col("p").as("b"), col("deg").as("db")), "b")
+          .select(col("a"), col("b"), col("cn"),
+            expr("CAST(cn * 1000 div (da + db - cn) AS BIGINT)")
+              .as("jaccard_milli"))
+          .orderBy(col("cn").desc, col("a"), col("b")).limit(20)
+      },
+      Some("""WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+             |      FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+             |deg AS MATERIALIZED (SELECT p, count(*) AS deg FROM (
+             |        SELECT p1 AS p FROM e UNION ALL SELECT p2 FROM e) GROUP BY 1),
+             |nb AS MATERIALIZED (SELECT p1 AS p, p2 AS q FROM e UNION ALL SELECT p2, p1 FROM e),
+             |wedge AS (SELECT s.p AS a, n2.q AS b, count(*) AS cn
+             |          FROM (SELECT p, q FROM nb WHERE p < 100) s
+             |          JOIN nb n2 ON n2.p = s.q
+             |          WHERE n2.q > s.p GROUP BY 1, 2),
+             |cand AS (SELECT w.a, w.b, w.cn FROM wedge w
+             |         LEFT JOIN e ON e.p1 = w.a AND e.p2 = w.b
+             |         WHERE e.p1 IS NULL)
+             |SELECT c.a, c.b, c.cn,
+             |  CAST(c.cn * 1000 // (d1.deg + d2.deg - c.cn) AS BIGINT) AS jaccard_milli
+             |FROM cand c JOIN deg d1 ON d1.p = c.a JOIN deg d2 ON d2.p = c.b
+             |ORDER BY c.cn DESC, c.a, c.b LIMIT 20""".stripMargin))
   )
 }
