@@ -193,7 +193,8 @@ object ScaleProbe {
       "q_kcore", "q_t_closeness", "q_cramers_v", "q_logreg_irls", "q_ndcg",
       // q_link_predict excluded by design: fixed seed slice p < 100, the
       // q_containment convention — growth is zero by construction
-      "q_als_step", "q_assortativity")
+      "q_als_step", "q_assortativity", "q_cuped", "q_power_analysis",
+      "q_survival_km")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

@@ -1670,6 +1670,163 @@ object Behavioral {
              |  CAST(count(*) AS BIGINT) AS n_groups,
              |  CAST(min(tvd_micro) AS BIGINT) AS min_tvd_micro,
              |  CAST(sum(tvd_micro) // count(*) AS BIGINT) AS avg_tvd_micro
-             |FROM pg""".stripMargin))
+             |FROM pg""".stripMargin)),
+
+    // CUPED pre-period adjustment — the variance-reduction readout every
+    // serious experimentation platform computes before an A/B launches:
+    // θ = cov(pre, post)/var(pre) over per-user value sums split at the
+    // calendar midpoint, and ρ² = the variance fraction the adjustment
+    // removes (equivalently, how much shorter the experiment gets). One
+    // user-keyed aggregate (both periods in one conditional pass — the
+    // split never rescans), then five exact integer moments; 128-bit
+    // products (the squared covariance bounds exactness to ~1e9 users at
+    // milli quantization — the documented trade).
+    QueryDef(
+      "q_cuped",
+      (s, d) => {
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+        val u = Tables.events(s, d).groupBy("user_id")
+          .agg(
+            coalesce(sum(when(col("ts") < cut,
+              expr("CAST(round(value*1000) AS BIGINT)"))), lit(0L)).as("x"),
+            coalesce(sum(when(col("ts") >= cut,
+              expr("CAST(round(value*1000) AS BIGINT)"))), lit(0L)).as("y"))
+        u.agg(count(lit(1)).as("n"),
+            sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+            sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+            sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+            sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+            sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+          .select(col("n").as("n_users"),
+            expr("CAST((n*sxy - sx*sy) * 1000000 div (n*sxx - sx*sx) AS BIGINT)")
+              .as("theta_micro"),
+            expr("""CAST((n*sxy - sx*sy) * (n*sxy - sx*sy) * 1000000
+                   | div ((n*sxx - sx*sx) * (n*syy - sy*sy)) AS BIGINT)""".stripMargin)
+              .as("rho2_micro"))
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |    CAST(coalesce(sum(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'
+             |      THEN CAST(round(value*1000) AS BIGINT) END), 0) AS BIGINT) AS x,
+             |    CAST(coalesce(sum(CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16 00:00:00'
+             |      THEN CAST(round(value*1000) AS BIGINT) END), 0) AS BIGINT) AS y
+             |  FROM events GROUP BY 1),
+             |m AS (SELECT count(*) AS n, sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             |        sum(CAST(x AS HUGEINT)*y) AS sxy, sum(CAST(x AS HUGEINT)*x) AS sxx,
+             |        sum(CAST(y AS HUGEINT)*y) AS syy FROM u)
+             |SELECT CAST(n AS BIGINT) AS n_users,
+             |  CAST((n*sxy - sx*sy) * 1000000 // (n*sxx - sx*sx) AS BIGINT) AS theta_micro,
+             |  CAST((n*sxy - sx*sy) * (n*sxy - sx*sy) * 1000000
+             |    // ((n*sxx - sx*sx) * (n*syy - sy*sy)) AS BIGINT) AS rho2_micro
+             |FROM m""".stripMargin)),
+
+    // A/B sample-size planner — "how many users per arm to detect a 5 %
+    // lift at α=0.05, power 0.8": n = (z_{0.975}+z_{0.8})²·2σ²/d² with
+    // the normal quantiles inlined as the fixed constants every power
+    // calculator uses. σ² and the mean come from one exact integer
+    // moment pass over purchase values; the closed form is one fixed
+    // IEEE expression over those integers in both engines.
+    QueryDef(
+      "q_power_analysis",
+      (s, d) => Tables.events(s, d)
+        .where(col("event_type") === "purchase")
+        .select(expr("CAST(round(value*1000) AS BIGINT)").as("v"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(v AS DECIMAL(38,0))")).as("s"),
+          sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("s2"))
+        .select(col("n").as("n_obs"),
+          expr("CAST(s * 1000 div n AS BIGINT)").as("mean_micro"),
+          expr("CAST((n*s2 - s*s) div (n*n) AS BIGINT)").as("var_milli2"),
+          expr("""CAST(ceil(pow(1.959964 + 0.841621, 2) * 2.0
+                 |  * (CAST(n*s2 - s*s AS DOUBLE) / (CAST(n AS DOUBLE)*n))
+                 |  / pow(0.05 * CAST(s AS DOUBLE) / n, 2)) AS BIGINT)""".stripMargin)
+            .as("n_per_arm")),
+      Some("""WITH p AS (SELECT CAST(round(value*1000) AS BIGINT) AS v
+             |           FROM events WHERE event_type='purchase'),
+             |m AS (SELECT count(*) AS n, sum(CAST(v AS HUGEINT)) AS s,
+             |        sum(CAST(v AS HUGEINT)*v) AS s2 FROM p)
+             |SELECT CAST(n AS BIGINT) AS n_obs,
+             |  CAST(s * 1000 // n AS BIGINT) AS mean_micro,
+             |  CAST((n*s2 - s*s) // (n*n) AS BIGINT) AS var_milli2,
+             |  CAST(ceil(pow(1.959964 + 0.841621, 2) * 2.0
+             |        * (CAST(n*s2 - s*s AS DOUBLE) / (CAST(n AS DOUBLE)*n))
+             |        / pow(0.05 * CAST(s AS DOUBLE) / n, 2)) AS BIGINT) AS n_per_arm
+             |FROM m""".stripMargin)),
+
+    // Kaplan–Meier survival curve for time-to-first-purchase (hour
+    // grain), RIGHT-CENSORED at each non-converting user's last
+    // observation — the estimator that answers "how long until users
+    // convert" without the bias of dropping the ones who haven't yet.
+    // S(t) = Π(1 − d/n) evaluated as exp of a running Σln over DISTINCT
+    // event times (calendar-bounded table; the ln terms come from exact
+    // integer (d, n_at_risk) pairs and the running sum visits them in
+    // the same order in both engines, so the doubles are bit-identical).
+    // The terminal step where everyone remaining converts is S = 0
+    // exactly (guarded — no ln(0)). One user-keyed aggregate feeds the
+    // whole curve.
+    QueryDef(
+      "q_survival_km",
+      (s, d) => {
+        // hour-truncate BEFORE differencing: Spark's timestampdiff counts
+        // full elapsed hours, DuckDB's date_diff counts hour-boundary
+        // crossings — on truncated stamps the two definitions coincide
+        // (the q_islands second-truncation convention)
+        val ev = Tables.events(s, d)
+        val u = ev.groupBy("user_id").agg(
+          min(date_trunc("hour", col("ts"))).as("first_ts"),
+          max(date_trunc("hour", col("ts"))).as("last_ts"),
+          min(when(col("event_type") === "purchase",
+            date_trunc("hour", col("ts")))).as("first_p"))
+        val obs = u.select(
+          when(col("first_p").isNotNull,
+            expr("timestampdiff(HOUR, first_ts, first_p)"))
+            .otherwise(expr("timestampdiff(HOUR, first_ts, last_ts)")).as("t"),
+          when(col("first_p").isNotNull, 1L).otherwise(0L).as("death"))
+        val tot = obs.agg(count(lit(1)).as("n"))
+        val byt = obs.groupBy("t")
+          .agg(sum("death").as("d"), count(lit(1)).as("ev"))
+        val w = Window.orderBy("t")
+        val run = byt.withColumn("cumbef",
+          coalesce(sum("ev").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        run.crossJoin(broadcast(tot))
+          .withColumn("n_risk", col("n") - col("cumbef"))
+          .withColumn("s_micro",
+            when(col("d") === col("n_risk"), 0L).otherwise(
+              expr("""CAST(round(exp(sum(CASE WHEN d < n - cumbef
+                     |  THEN ln(1.0 - CAST(d AS DOUBLE) / (n - cumbef)) ELSE 0.0 END)
+                     |  OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                     |  * 1000000) AS BIGINT)""".stripMargin)))
+          .where(col("d") > 0)
+          .select(col("t").as("hours"), col("d").as("deaths"),
+            col("n_risk").as("n_at_risk"), col("s_micro"))
+          .orderBy("hours").limit(25)
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |    min(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS first_ts,
+             |    max(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS last_ts,
+             |    min(CASE WHEN event_type='purchase'
+             |        THEN date_trunc('hour', CAST(ts AS TIMESTAMP)) END) AS first_p
+             |  FROM events GROUP BY 1),
+             |obs AS (SELECT user_id,
+             |    CASE WHEN first_p IS NOT NULL
+             |      THEN date_diff('hour', first_ts, first_p)
+             |      ELSE date_diff('hour', first_ts, last_ts) END AS t,
+             |    CASE WHEN first_p IS NOT NULL THEN 1 ELSE 0 END AS death
+             |  FROM u),
+             |tot AS (SELECT count(*) AS n FROM obs),
+             |byt AS (SELECT t, sum(death) AS d, count(*) AS ev FROM obs GROUP BY 1),
+             |run AS (SELECT t, d, ev,
+             |    coalesce(sum(ev) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumbef
+             |  FROM byt),
+             |km AS (SELECT t, d, n - cumbef AS n_risk,
+             |    CASE WHEN d = n - cumbef THEN 0 ELSE
+             |      CAST(round(exp(sum(CASE WHEN d < n - cumbef
+             |          THEN ln(1.0 - CAST(d AS DOUBLE)/(n - cumbef)) ELSE 0.0 END)
+             |          OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1000000) AS BIGINT)
+             |    END AS s_micro
+             |  FROM run CROSS JOIN tot WHERE d > 0)
+             |SELECT t AS hours, CAST(d AS BIGINT) AS deaths,
+             |  CAST(n_risk AS BIGINT) AS n_at_risk, s_micro
+             |FROM km ORDER BY t LIMIT 25""".stripMargin))
   )
 }

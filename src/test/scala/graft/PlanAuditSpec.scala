@@ -200,7 +200,10 @@ class PlanAuditSpec extends SparkSpec {
       "q_changepoint",
       // q_bootstrap_ci: rank over the 40-row replicate-mean table —
       // bounded by the replicate count, never by data volume
-      "q_bootstrap_ci")
+      "q_bootstrap_ci",
+      // q_survival_km: running sums over the distinct-event-time table —
+      // hour-grain, calendar-bounded (q_cume_distinct convention)
+      "q_survival_km")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
       val global = fn(spark, sf).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
