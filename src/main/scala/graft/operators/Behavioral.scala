@@ -1827,6 +1827,150 @@ object Behavioral {
              |  FROM run CROSS JOIN tot WHERE d > 0)
              |SELECT t AS hours, CAST(d AS BIGINT) AS deaths,
              |  CAST(n_risk AS BIGINT) AS n_at_risk, s_micro
-             |FROM km ORDER BY t LIMIT 25""".stripMargin))
+             |FROM km ORDER BY t LIMIT 25""".stripMargin)),
+
+    // difference-in-differences — the panel-data causal estimator: a
+    // hash-assigned cohort crossed with the calendar midpoint gives the
+    // 2×2 mean grid, and DiD = (T_post−T_pre)−(C_post−C_pre) nets out
+    // both the cohort's level difference and the common time trend. One
+    // map-combined 4-cell aggregate over the fact stream; means in exact
+    // integer micros (128-bit sums). On randomized synthetic data the
+    // estimate is statistical noise around 0 — the placebo test a DiD
+    // pipeline should pass.
+    QueryDef(
+      "q_did",
+      (s, d) => {
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+        val e = Tables.events(s, d).select(
+          expr("CAST(round(value*1000) AS BIGINT)").as("v"),
+          when(substring(md5(concat(lit("did:"), col("user_id"))), 1, 1) < "8",
+            1).otherwise(0).as("treated"),
+          when(col("ts") >= cut, 1).otherwise(0).as("post"))
+        val cell = e.groupBy("treated", "post")
+          .agg(count(lit(1)).as("n"),
+            expr("CAST(sum(CAST(v AS DECIMAL(38,0))) * 1000 div count(1) AS BIGINT)")
+              .as("mean_micro"))
+        cell.agg(
+          max(when(col("treated") === 1 && col("post") === 0, col("mean_micro")))
+            .as("t_pre"),
+          max(when(col("treated") === 1 && col("post") === 1, col("mean_micro")))
+            .as("t_post"),
+          max(when(col("treated") === 0 && col("post") === 0, col("mean_micro")))
+            .as("c_pre"),
+          max(when(col("treated") === 0 && col("post") === 1, col("mean_micro")))
+            .as("c_post"))
+          .select(col("t_pre"), col("t_post"), col("c_pre"), col("c_post"),
+            ((col("t_post") - col("t_pre")) - (col("c_post") - col("c_pre")))
+              .as("did_micro"))
+      },
+      Some("""WITH e AS (SELECT CAST(round(value*1000) AS BIGINT) AS v,
+             |    CASE WHEN substr(md5('did:' || user_id), 1, 1) < '8' THEN 1 ELSE 0 END AS treated,
+             |    CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16 00:00:00'
+             |      THEN 1 ELSE 0 END AS post
+             |  FROM events),
+             |cell AS (SELECT treated, post, count(*) AS n,
+             |    CAST(sum(CAST(v AS HUGEINT)) * 1000 // count(*) AS BIGINT) AS mean_micro
+             |  FROM e GROUP BY 1, 2)
+             |SELECT
+             |  max(CASE WHEN treated=1 AND post=0 THEN mean_micro END) AS t_pre,
+             |  max(CASE WHEN treated=1 AND post=1 THEN mean_micro END) AS t_post,
+             |  max(CASE WHEN treated=0 AND post=0 THEN mean_micro END) AS c_pre,
+             |  max(CASE WHEN treated=0 AND post=1 THEN mean_micro END) AS c_post,
+             |  (max(CASE WHEN treated=1 AND post=1 THEN mean_micro END)
+             |   - max(CASE WHEN treated=1 AND post=0 THEN mean_micro END))
+             |  - (max(CASE WHEN treated=0 AND post=1 THEN mean_micro END)
+             |     - max(CASE WHEN treated=0 AND post=0 THEN mean_micro END)) AS did_micro
+             |FROM cell""".stripMargin)),
+
+    // propensity-score stratification — the observational-data companion
+    // of q_did: treatment (high error-share users) is NOT randomized and
+    // activity confounds both treatment and outcome, so the naive
+    // treated-vs-control difference is biased; stratifying on activity
+    // quintiles and weighting the within-stratum differences by stratum
+    // size removes the confounder's between-stratum component. Quintiles
+    // ride GlobalOrder's exact global ntile (the q_rfm machinery — never
+    // a partitionless window over users). Rows: stratum 1..5, stratum 0
+    // = the naive contrast, stratum −1 = the stratified ATE. All means
+    // exact integer micros.
+    QueryDef(
+      "q_propensity_strat",
+      (s, d) => {
+        val u = Tables.events(s, d).groupBy("user_id")
+          .agg(count(lit(1)).as("activity"),
+            when(count(when(col("event_type") === "error", 1)) * 1000 >
+              count(lit(1)) * 200, 1).otherwise(0).as("treated"),
+            coalesce(sum(when(col("event_type") === "purchase",
+              expr("CAST(round(value*1000) AS BIGINT)"))), lit(0L)).as("y"))
+        val st = GlobalOrder.withGlobalNtile(u,
+          Seq(col("activity"), col("user_id")), 5, "stratum")
+        def cellAgg(g: org.apache.spark.sql.RelationalGroupedDataset) = g.agg(
+          count(when(col("treated") === 1, 1)).as("n_t"),
+          count(when(col("treated") === 0, 1)).as("n_c"),
+          expr("""CAST(coalesce(sum(CASE WHEN treated=1 THEN CAST(y AS DECIMAL(38,0)) END), 0)
+                 | * 1000 div nullif(count(CASE WHEN treated=1 THEN 1 END), 0) AS BIGINT)"""
+            .stripMargin).as("mean_t_micro"),
+          expr("""CAST(coalesce(sum(CASE WHEN treated=0 THEN CAST(y AS DECIMAL(38,0)) END), 0)
+                 | * 1000 div nullif(count(CASE WHEN treated=0 THEN 1 END), 0) AS BIGINT)"""
+            .stripMargin).as("mean_c_micro"),
+          count(lit(1)).as("n_s"))
+        val perFull = cellAgg(st.groupBy("stratum"))
+        val per = perFull
+          .select(col("stratum").cast("int").as("stratum"), col("n_t"), col("n_c"),
+            col("mean_t_micro"), col("mean_c_micro"),
+            (col("mean_t_micro") - col("mean_c_micro")).as("diff_micro"))
+        val naive = cellAgg(st.withColumn("stratum", lit(0)).groupBy("stratum"))
+          .select(col("stratum"), col("n_t"), col("n_c"),
+            col("mean_t_micro"), col("mean_c_micro"),
+            (col("mean_t_micro") - col("mean_c_micro")).as("diff_micro"))
+        val ate = perFull.where(col("n_t") > 0 && col("n_c") > 0)
+          .agg(sum("n_t").as("n_t"), sum("n_c").as("n_c"),
+            expr("""CAST(sum(CAST(n_s AS DECIMAL(38,0)) * (mean_t_micro - mean_c_micro))
+                   | div sum(n_s) AS BIGINT)""".stripMargin).as("diff_micro"))
+          .select(lit(-1).as("stratum"), col("n_t"), col("n_c"),
+            lit(null).cast("long").as("mean_t_micro"),
+            lit(null).cast("long").as("mean_c_micro"), col("diff_micro"))
+        per.unionByName(naive).unionByName(ate).orderBy("stratum")
+      },
+      Some("""WITH u AS (SELECT user_id, count(*) AS activity,
+             |    CASE WHEN count(CASE WHEN event_type='error' THEN 1 END) * 1000 > 200 * count(*)
+             |      THEN 1 ELSE 0 END AS treated,
+             |    CAST(coalesce(sum(CASE WHEN event_type='purchase'
+             |      THEN CAST(round(value*1000) AS BIGINT) END), 0) AS BIGINT) AS y
+             |  FROM events GROUP BY 1),
+             |st AS (SELECT *, ntile(5) OVER (ORDER BY activity, user_id) AS stratum FROM u),
+             |per AS (SELECT CAST(stratum AS INT) AS stratum,
+             |    count(CASE WHEN treated=1 THEN 1 END) AS n_t,
+             |    count(CASE WHEN treated=0 THEN 1 END) AS n_c,
+             |    CAST(coalesce(sum(CASE WHEN treated=1 THEN CAST(y AS HUGEINT) END), 0)
+             |      * 1000 // nullif(count(CASE WHEN treated=1 THEN 1 END), 0) AS BIGINT) AS mean_t_micro,
+             |    CAST(coalesce(sum(CASE WHEN treated=0 THEN CAST(y AS HUGEINT) END), 0)
+             |      * 1000 // nullif(count(CASE WHEN treated=0 THEN 1 END), 0) AS BIGINT) AS mean_c_micro,
+             |    count(*) AS n_s
+             |  FROM st GROUP BY 1),
+             |naive AS (SELECT 0 AS stratum,
+             |    count(CASE WHEN treated=1 THEN 1 END) AS n_t,
+             |    count(CASE WHEN treated=0 THEN 1 END) AS n_c,
+             |    CAST(coalesce(sum(CASE WHEN treated=1 THEN CAST(y AS HUGEINT) END), 0)
+             |      * 1000 // nullif(count(CASE WHEN treated=1 THEN 1 END), 0) AS BIGINT) AS mean_t_micro,
+             |    CAST(coalesce(sum(CASE WHEN treated=0 THEN CAST(y AS HUGEINT) END), 0)
+             |      * 1000 // nullif(count(CASE WHEN treated=0 THEN 1 END), 0) AS BIGINT) AS mean_c_micro,
+             |    count(*) AS n_s
+             |  FROM u),
+             |ate AS (SELECT -1 AS stratum, sum(n_t) AS n_t, sum(n_c) AS n_c,
+             |    CAST(NULL AS BIGINT) AS mean_t_micro, CAST(NULL AS BIGINT) AS mean_c_micro,
+             |    CAST(sum(CAST(n_s AS HUGEINT) * (mean_t_micro - mean_c_micro))
+             |      // sum(n_s) AS BIGINT) AS diff_micro
+             |  FROM per WHERE n_t > 0 AND n_c > 0)
+             |SELECT stratum, CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
+             |  mean_t_micro, mean_c_micro, mean_t_micro - mean_c_micro AS diff_micro
+             |FROM per
+             |UNION ALL
+             |SELECT stratum, CAST(n_t AS BIGINT), CAST(n_c AS BIGINT),
+             |  mean_t_micro, mean_c_micro, mean_t_micro - mean_c_micro
+             |FROM naive
+             |UNION ALL
+             |SELECT stratum, CAST(n_t AS BIGINT), CAST(n_c AS BIGINT),
+             |  mean_t_micro, mean_c_micro, diff_micro FROM ate
+             |ORDER BY stratum""".stripMargin))
   )
 }

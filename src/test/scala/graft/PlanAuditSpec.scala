@@ -203,7 +203,10 @@ class PlanAuditSpec extends SparkSpec {
       "q_bootstrap_ci",
       // q_survival_km: running sums over the distinct-event-time table —
       // hour-grain, calendar-bounded (q_cume_distinct convention)
-      "q_survival_km")
+      "q_survival_km",
+      // q_propensity_strat: withGlobalNtile's offset prefix-sum, same
+      // ≤ #shuffle-partitions bound as the GlobalOrder family
+      "q_propensity_strat")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
       val global = fn(spark, sf).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
