@@ -194,7 +194,8 @@ object ScaleProbe {
       // q_link_predict excluded by design: fixed seed slice p < 100, the
       // q_containment convention — growth is zero by construction
       "q_als_step", "q_assortativity", "q_cuped", "q_power_analysis",
-      "q_survival_km", "q_did", "q_propensity_strat")
+      "q_survival_km", "q_did", "q_propensity_strat", "q_mcnemar",
+      "q_forecast_skill")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

@@ -1036,6 +1036,69 @@ object TextAnalysis {
              |    AS rrf_micro,
              |  r_lex, r_sem
              |FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
-             |ORDER BY rrf_micro DESC, doc_id LIMIT 20""".stripMargin))
+             |ORDER BY rrf_micro DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // McNemar's paired test — the right way to compare two classifiers
+    // evaluated on the SAME documents (two independent accuracy CIs
+    // ignore the pairing): detector A = the four-profile argmax
+    // (q_lang_profile), detector B = the crude ≥2-stopword-hits English
+    // flag (q_lang_id), truth = the lang column. Only the discordant
+    // cells matter: b = A-right/B-wrong, c = B-right/A-wrong, χ² =
+    // (b−c)²/(b+c). One scan, exact integer counts, χ² in exact milli.
+    QueryDef(
+      "q_mcnemar",
+      (s, d) => {
+        val base = langProfiles.foldLeft(Tables.documents(s, d)) {
+          case (df, (l, p)) => df.withColumn(l, profileHits(col("text"), p))
+        }
+        val scored = base.select(col("lang"),
+          when(col("en") >= col("de") && col("en") >= col("es") && col("en") >= col("fr"), "en")
+            .when(col("de") >= col("es") && col("de") >= col("fr"), "de")
+            .when(col("es") >= col("fr"), "es")
+            .otherwise("fr").as("guess_a"),
+          when(col("en") >= 2, "en").when(col("en") === 1, "mixed")
+            .otherwise("other").as("guess_b"))
+          .select(
+            when(col("guess_a") === col("lang"), 1L).otherwise(0L).as("ra"),
+            when(col("guess_b") === col("lang"), 1L).otherwise(0L).as("rb"))
+        scored.agg(count(lit(1)).as("n"),
+            sum("ra").as("a_correct"), sum("rb").as("b_correct"),
+            sum(expr("CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0 END")).as("b_disc"),
+            sum(expr("CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0 END")).as("c_disc"))
+          .select(col("n").as("n_docs"),
+            expr("a_correct * 1000000 div n").as("acc_a_micro"),
+            expr("b_correct * 1000000 div n").as("acc_b_micro"),
+            col("b_disc"), col("c_disc"),
+            expr("""CASE WHEN b_disc + c_disc = 0 THEN CAST(0 AS BIGINT)
+                   | ELSE (b_disc - c_disc) * (b_disc - c_disc) * 1000
+                   |   div (b_disc + c_disc) END""".stripMargin)
+              .as("mcnemar_chi2_milli"))
+      },
+      Some("""WITH sc AS (SELECT lang,
+             |    CASE WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+             |         WHEN de >= es AND de >= fr THEN 'de'
+             |         WHEN es >= fr THEN 'es' ELSE 'fr' END AS guess_a,
+             |    CASE WHEN en >= 2 THEN 'en' WHEN en = 1 THEN 'mixed'
+             |         ELSE 'other' END AS guess_b
+             |  FROM (SELECT lang,
+             |      CAST(len(regexp_extract_all(text, '\b(the|and|of|to|in)\b')) AS INT) AS en,
+             |      CAST(len(regexp_extract_all(text, '\b(der|die|das|und|nicht)\b')) AS INT) AS de,
+             |      CAST(len(regexp_extract_all(text, '\b(el|la|los|que|y)\b')) AS INT) AS es,
+             |      CAST(len(regexp_extract_all(text, '\b(le|la|les|et|des)\b')) AS INT) AS fr
+             |    FROM documents)),
+             |r AS (SELECT CASE WHEN guess_a = lang THEN 1 ELSE 0 END AS ra,
+             |             CASE WHEN guess_b = lang THEN 1 ELSE 0 END AS rb FROM sc),
+             |m AS (SELECT count(*) AS n, sum(ra) AS a_correct, sum(rb) AS b_correct,
+             |        sum(CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0 END) AS b_disc,
+             |        sum(CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0 END) AS c_disc
+             |      FROM r)
+             |SELECT CAST(n AS BIGINT) AS n_docs,
+             |  CAST(a_correct * 1000000 // n AS BIGINT) AS acc_a_micro,
+             |  CAST(b_correct * 1000000 // n AS BIGINT) AS acc_b_micro,
+             |  CAST(b_disc AS BIGINT) AS b_disc, CAST(c_disc AS BIGINT) AS c_disc,
+             |  CAST(CASE WHEN b_disc + c_disc = 0 THEN 0
+             |    ELSE (b_disc - c_disc) * (b_disc - c_disc) * 1000 // (b_disc + c_disc)
+             |  END AS BIGINT) AS mcnemar_chi2_milli
+             |FROM m""".stripMargin))
   )
 }

@@ -1971,6 +1971,79 @@ object Behavioral {
              |UNION ALL
              |SELECT stratum, CAST(n_t AS BIGINT), CAST(n_c AS BIGINT),
              |  mean_t_micro, mean_c_micro, diff_micro FROM ate
-             |ORDER BY stratum""".stripMargin))
+             |ORDER BY stratum""".stripMargin)),
+
+    // forecast-skill comparison — which forecaster earns the pipeline
+    // slot: the α=1/2 EWMA (q_ewma) vs the seasonal naive y(T−7)
+    // (q_seasonal_naive), scored per event type on the SAME final-day
+    // backtest. skill_micro < 1e6 means the EWMA beats the weekly
+    // repeat. All errors exact integer micros over the densified
+    // day×type grid; one daily rollup feeds both arms.
+    QueryDef(
+      "q_forecast_skill",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val days = ev.select(to_date(col("ts")).as("dt")).distinct()
+        val types = ev.select("event_type").distinct()
+        val cnt = ev.groupBy(to_date(col("ts")).as("dt"), col("event_type"))
+          .agg(count(lit(1)).as("y"))
+        val g = days.crossJoin(broadcast(types))
+          .join(cnt, Seq("dt", "event_type"), "left")
+          .select(col("dt"), col("event_type"), coalesce(col("y"), lit(0L)).as("y"))
+        val mx = g.agg(max("dt").as("t_last"))
+        val wl = g.crossJoin(broadcast(mx))
+        val ew = wl
+          .where(col("dt") < col("t_last") &&
+            datediff(col("t_last"), col("dt")) <= 16)
+          .select(col("event_type"), col("y"),
+            (datediff(col("t_last"), col("dt")) - 1).as("j"))
+          .groupBy("event_type")
+          .agg(expr("""CAST(CAST(sum(y * shiftleft(CAST(1 AS BIGINT), CAST(15 - j AS INT)))
+                      |   AS DECIMAL(38,0)) * 1000000 div 65535 AS BIGINT)""".stripMargin)
+            .as("ewma_micro"))
+        val nv = wl.where(datediff(col("t_last"), col("dt")) === 7)
+          .select(col("event_type"), (col("y") * 1000000L).as("naive_micro"))
+        val act = wl.where(col("dt") === col("t_last"))
+          .select(col("event_type"), col("y").as("actual"))
+        ew.join(nv, "event_type").join(act, "event_type")
+          .select(col("event_type"),
+            abs(col("ewma_micro") - col("actual") * 1000000L).as("ewma_err_micro"),
+            abs(col("naive_micro") - col("actual") * 1000000L).as("naive_err_micro"))
+          .select(col("event_type"), col("ewma_err_micro"), col("naive_err_micro"),
+            expr("""CASE WHEN naive_err_micro = 0 THEN CAST(NULL AS BIGINT)
+                   | ELSE CAST(CAST(ewma_err_micro AS DECIMAL(38,0)) * 1000000
+                   |   div naive_err_micro AS BIGINT) END""".stripMargin)
+              .as("skill_micro"))
+          .orderBy("event_type")
+      },
+      Some("""WITH grid AS (
+             |  SELECT d.dt, t.event_type FROM
+             |    (SELECT DISTINCT CAST(ts AS DATE) AS dt FROM events) d
+             |    CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
+             |cnt AS (SELECT CAST(ts AS DATE) AS dt, event_type, count(*) AS y
+             |        FROM events GROUP BY 1, 2),
+             |g AS (SELECT grid.dt, grid.event_type, coalesce(cnt.y, 0) AS y
+             |      FROM grid LEFT JOIN cnt ON grid.dt = cnt.dt AND grid.event_type = cnt.event_type),
+             |mx AS (SELECT max(dt) AS t_last FROM g),
+             |ew AS (SELECT event_type,
+             |        CAST(CAST(sum(y * (CAST(1 AS BIGINT) << (15 - (date_diff('day', g.dt, t_last) - 1))))
+             |             AS HUGEINT) * 1000000 // 65535 AS BIGINT) AS ewma_micro
+             |      FROM g CROSS JOIN mx
+             |      WHERE g.dt < t_last AND date_diff('day', g.dt, t_last) <= 16
+             |      GROUP BY 1),
+             |nv AS (SELECT event_type, y * 1000000 AS naive_micro
+             |       FROM g CROSS JOIN mx WHERE date_diff('day', g.dt, t_last) = 7),
+             |act AS (SELECT event_type, y AS actual FROM g CROSS JOIN mx WHERE g.dt = t_last),
+             |e2 AS (SELECT ew.event_type AS event_type,
+             |         abs(ewma_micro - actual * 1000000) AS ewma_err_micro,
+             |         abs(naive_micro - actual * 1000000) AS naive_err_micro
+             |       FROM ew JOIN nv ON nv.event_type = ew.event_type
+             |       JOIN act ON act.event_type = ew.event_type)
+             |SELECT event_type, CAST(ewma_err_micro AS BIGINT) AS ewma_err_micro,
+             |  CAST(naive_err_micro AS BIGINT) AS naive_err_micro,
+             |  CAST(CASE WHEN naive_err_micro = 0 THEN NULL
+             |    ELSE CAST(ewma_err_micro AS HUGEINT) * 1000000 // naive_err_micro
+             |  END AS BIGINT) AS skill_micro
+             |FROM e2 ORDER BY event_type""".stripMargin))
   )
 }
