@@ -1720,6 +1720,107 @@ object Curation {
              |SELECT c, n_rated,
              |  CAST((a22 * b1 - a12 * b2) * 1000000 // (a11 * a22 - a12 * a12) AS BIGINT) AS u1_micro,
              |  CAST((a11 * b2 - a12 * b1) * 1000000 // (a11 * a22 - a12 * a12) AS BIGINT) AS u2_micro
-             |FROM m WHERE c < 21 ORDER BY c""".stripMargin))
+             |FROM m WHERE c < 21 ORDER BY c""".stripMargin)),
+
+    // histogram-based decision-stump split search — the kernel every
+    // distributed gradient-boosted-tree learner (XGBoost/LightGBM-style)
+    // runs per node: bin the feature into 32 fixed-width buckets (ONE
+    // map-combined histogram pass over the facts — the only data-sized
+    // work), then score all 31 split boundaries from the 32-row
+    // histogram's running sums and take the purest. Purity is the
+    // Gini-equivalent Σside (pos²+neg²)/n_side, kept exact in integer
+    // micros (128-bit squares); argmax with a bin tiebreak. Predicting
+    // purchase from value: the best split isolates the low-value bins
+    // where purchases concentrate.
+    QueryDef(
+      "q_stump_split",
+      (s, d) => {
+        val e = Tables.events(s, d).select(
+          expr("CAST(round(value*1000) AS BIGINT)").as("v"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+        val mm = e.agg(min("v").as("vmin"), max("v").as("vmax"))
+        val h = e.crossJoin(broadcast(mm))
+          .select(expr("CAST(((v - vmin) * 32) div (vmax - vmin + 1) AS INT)")
+            .as("bin"), col("y"))
+          .groupBy("bin").agg(count(lit(1)).as("n_b"), sum("y").as("pos_b"))
+        val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        val run = h.select(col("bin"),
+          sum("n_b").over(w).as("nl"), sum("pos_b").over(w).as("posl"))
+        val tot = e.agg(count(lit(1)).as("n"), sum("y").as("pos"))
+        val sc = run.crossJoin(broadcast(tot))
+          .where(col("nl") > 0 && col("nl") < col("n"))
+          .select(col("bin"), col("nl"), col("posl"),
+            (col("n") - col("nl")).as("nr"), (col("pos") - col("posl")).as("posr"),
+            expr("""CAST((CAST(posl AS DECIMAL(38,0))*posl
+                   |   + CAST(nl-posl AS DECIMAL(38,0))*(nl-posl)) * 1000000 div nl
+                   | + (CAST(pos-posl AS DECIMAL(38,0))*(pos-posl)
+                   |    + CAST((n-nl)-(pos-posl) AS DECIMAL(38,0))*((n-nl)-(pos-posl)))
+                   |   * 1000000 div (n - nl) AS BIGINT)""".stripMargin)
+              .as("purity_score"))
+        val best = sc.orderBy(col("purity_score").desc, col("bin")).limit(1)
+        best.crossJoin(broadcast(mm))
+          .select(col("vmin"), col("vmax"), col("bin").as("best_bin"),
+            expr("CAST(vmin + (bin + 1) * (vmax - vmin + 1) div 32 AS BIGINT)")
+              .as("threshold_milli"),
+            col("nl").as("n_left"), col("posl").as("pos_left"),
+            col("nr").as("n_right"), col("posr").as("pos_right"),
+            col("purity_score"))
+      },
+      Some("""WITH e AS (SELECT CAST(round(value*1000) AS BIGINT) AS v,
+             |    CASE WHEN event_type='purchase' THEN 1 ELSE 0 END AS y FROM events),
+             |mm AS (SELECT min(v) AS vmin, max(v) AS vmax FROM e),
+             |b AS (SELECT CAST(((v - vmin) * 32) // (vmax - vmin + 1) AS INT) AS bin, y
+             |      FROM e CROSS JOIN mm),
+             |h AS (SELECT bin, count(*) AS n_b, sum(y) AS pos_b FROM b GROUP BY 1),
+             |run AS (SELECT bin,
+             |    sum(n_b) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+             |    sum(pos_b) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS posl
+             |  FROM h),
+             |tot AS (SELECT count(*) AS n, sum(y) AS pos FROM e),
+             |sc AS (SELECT bin, nl, posl, n - nl AS nr, pos - posl AS posr,
+             |    CAST((CAST(posl AS HUGEINT)*posl + CAST(nl-posl AS HUGEINT)*(nl-posl)) * 1000000 // nl
+             |       + (CAST(pos-posl AS HUGEINT)*(pos-posl)
+             |          + CAST((n-nl)-(pos-posl) AS HUGEINT)*((n-nl)-(pos-posl))) * 1000000 // (n - nl)
+             |      AS BIGINT) AS purity_score
+             |  FROM run CROSS JOIN tot WHERE nl > 0 AND nl < n),
+             |best AS (SELECT * FROM sc ORDER BY purity_score DESC, bin LIMIT 1)
+             |SELECT mm.vmin, mm.vmax, best.bin AS best_bin,
+             |  CAST(mm.vmin + (best.bin + 1) * (mm.vmax - mm.vmin + 1) // 32 AS BIGINT) AS threshold_milli,
+             |  CAST(best.nl AS BIGINT) AS n_left, CAST(best.posl AS BIGINT) AS pos_left,
+             |  CAST(best.nr AS BIGINT) AS n_right, CAST(best.posr AS BIGINT) AS pos_right,
+             |  best.purity_score
+             |FROM best CROSS JOIN mm""".stripMargin)),
+
+    // smoothed mean-target encoding — the feature-engineering transform
+    // that turns a categorical into the target's shrunk per-category
+    // rate: enc = (pos + m·prior)/(n + m) with m = 10, prior = the
+    // global rate. Small categories shrink toward the prior (the
+    // overfitting guard that makes target encoding usable at all); the
+    // prior is micro-rounded ONCE and reused, so the table is exact
+    // integers. One pass for the category stats + a broadcast prior.
+    QueryDef(
+      "q_target_encode",
+      (s, d) => {
+        val e = Tables.events(s, d).select(col("event_type"),
+          when(col("value") > 250, 1L).otherwise(0L).as("y"))
+        val tot = e.agg(count(lit(1)).as("n_tot"), sum("y").as("pos_tot"))
+          .select(expr("CAST(pos_tot * 1000000 div n_tot AS BIGINT)")
+            .as("prior_micro"))
+        e.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+          .crossJoin(broadcast(tot))
+          .select(col("event_type"), col("n"), col("pos"), col("prior_micro"),
+            expr("""CAST((CAST(pos AS DECIMAL(38,0)) * 1000000 + 10 * prior_micro)
+                   | div (n + 10) AS BIGINT)""".stripMargin).as("enc_micro"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type, CASE WHEN value > 250 THEN 1 ELSE 0 END AS y FROM events),
+             |tot AS (SELECT CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS prior_micro FROM e),
+             |g AS (SELECT event_type, count(*) AS n, sum(y) AS pos FROM e GROUP BY 1)
+             |SELECT g.event_type, CAST(g.n AS BIGINT) AS n, CAST(g.pos AS BIGINT) AS pos,
+             |  t.prior_micro,
+             |  CAST((CAST(g.pos AS HUGEINT) * 1000000 + 10 * t.prior_micro) // (g.n + 10) AS BIGINT)
+             |    AS enc_micro
+             |FROM g CROSS JOIN tot t ORDER BY g.event_type""".stripMargin))
   )
 }

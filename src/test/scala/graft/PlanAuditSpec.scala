@@ -206,7 +206,10 @@ class PlanAuditSpec extends SparkSpec {
       "q_survival_km",
       // q_propensity_strat: withGlobalNtile's offset prefix-sum, same
       // ≤ #shuffle-partitions bound as the GlobalOrder family
-      "q_propensity_strat")
+      "q_propensity_strat",
+      // q_stump_split: running sums over the 32-row feature histogram —
+      // bounded by the bin count, never by data volume
+      "q_stump_split")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
       val global = fn(spark, sf).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
