@@ -1821,6 +1821,53 @@ object Curation {
              |  t.prior_micro,
              |  CAST((CAST(g.pos AS HUGEINT) * 1000000 + 10 * t.prior_micro) // (g.n + 10) AS BIGINT)
              |    AS enc_micro
-             |FROM g CROSS JOIN tot t ORDER BY g.event_type""".stripMargin))
+             |FROM g CROSS JOIN tot t ORDER BY g.event_type""".stripMargin)),
+
+    // cumulative gains / lift chart — the model-eval readout a scored
+    // population is triaged with ("contact the top decile, capture X %
+    // of converters"): rank rows by the score (value, the stump's
+    // feature), cut into 10 global deciles, and report each decile's
+    // cumulative converter share and lift vs random. Deciles ride
+    // GlobalOrder's exact global ntile; the cumulative pass runs over
+    // the 10-row decile table. Exact integer micros; on the weakly-
+    // predictive fixture the lifts sit near 1e6 — the honest null
+    // reading a gain chart exists to reveal.
+    QueryDef(
+      "q_gain_chart",
+      (s, d) => {
+        val e = Tables.events(s, d).select(
+          expr("CAST(round(value*1000) AS BIGINT)").as("score"), col("event_id"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+        val r = GlobalOrder.withGlobalNtile(e,
+          Seq(col("score"), col("event_id")), 10, "decile")
+        val tot = e.agg(count(lit(1)).as("n"), sum("y").as("pos"))
+        val g = r.groupBy("decile")
+          .agg(count(lit(1)).as("n_d"), sum("y").as("pos_d"))
+        val w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+        g.withColumn("cum_pos", sum("pos_d").over(w))
+          .withColumn("cum_n", sum("n_d").over(w))
+          .crossJoin(broadcast(tot))
+          .select(col("decile").cast("int").as("decile"), col("n_d"), col("pos_d"),
+            expr("CAST(cum_pos * 1000000 div pos AS BIGINT)").as("cum_gain_micro"),
+            expr("""CAST((CAST(cum_pos AS DECIMAL(38,0)) * n * 1000000)
+                   | div (CAST(cum_n AS DECIMAL(38,0)) * pos) AS BIGINT)""".stripMargin)
+              .as("lift_micro"))
+          .orderBy("decile")
+      },
+      Some("""WITH e AS (SELECT CAST(round(value*1000) AS BIGINT) AS score, event_id,
+             |    CASE WHEN event_type='purchase' THEN 1 ELSE 0 END AS y FROM events),
+             |r AS (SELECT *, ntile(10) OVER (ORDER BY score, event_id) AS decile FROM e),
+             |tot AS (SELECT count(*) AS n, sum(y) AS pos FROM e),
+             |g AS (SELECT decile, count(*) AS n_d, sum(y) AS pos_d FROM r GROUP BY 1),
+             |c AS (SELECT decile, n_d, pos_d,
+             |        sum(pos_d) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+             |        sum(n_d) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+             |      FROM g)
+             |SELECT CAST(decile AS INT) AS decile, CAST(n_d AS BIGINT) AS n_d,
+             |  CAST(pos_d AS BIGINT) AS pos_d,
+             |  CAST(cum_pos * 1000000 // pos AS BIGINT) AS cum_gain_micro,
+             |  CAST((CAST(cum_pos AS HUGEINT) * n * 1000000) // (CAST(cum_n AS HUGEINT) * pos) AS BIGINT)
+             |    AS lift_micro
+             |FROM c CROSS JOIN tot ORDER BY decile""".stripMargin))
   )
 }

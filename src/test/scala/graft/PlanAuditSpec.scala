@@ -209,7 +209,10 @@ class PlanAuditSpec extends SparkSpec {
       "q_propensity_strat",
       // q_stump_split: running sums over the 32-row feature histogram —
       // bounded by the bin count, never by data volume
-      "q_stump_split")
+      "q_stump_split",
+      // q_gain_chart: withGlobalNtile's offset prefix-sum + the
+      // cumulative pass over the 10-row decile table
+      "q_gain_chart")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
       val global = fn(spark, sf).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
