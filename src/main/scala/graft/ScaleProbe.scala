@@ -196,7 +196,7 @@ object ScaleProbe {
       "q_als_step", "q_assortativity", "q_cuped", "q_power_analysis",
       "q_survival_km", "q_did", "q_propensity_strat", "q_mcnemar",
       "q_forecast_skill", "q_stump_split", "q_target_encode",
-      "q_gain_chart")
+      "q_gain_chart", "q_price_elasticity", "q_hill_tail")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

@@ -1292,6 +1292,77 @@ object Relational {
              |g AS (SELECT max(max_ts) AS anchor FROM m)
              |SELECT tbl, max_ts,
              |  date_diff('day', CAST(max_ts AS DATE), CAST(anchor AS DATE)) AS staleness_days
-             |FROM m CROSS JOIN g ORDER BY tbl""".stripMargin))
+             |FROM m CROSS JOIN g ORDER BY tbl""".stripMargin)),
+
+    // discount→quantity elasticity — the OLS slope q_discount_impact's
+    // per-band means only gesture at: Δqty per whole discount point,
+    // from five exact 128-bit integer moments in ONE map-combined pass
+    // over the fact table (the regression never sees a row twice, no
+    // per-band intermediate). The near-zero slope on the independent
+    // synthetic fixture is the honest null; on real data this is the
+    // promo-planning number.
+    QueryDef(
+      "q_price_elasticity",
+      (s, d) => Tables.lineitem(s, d)
+        .select(expr("CAST(round(l_discount * 100) AS BIGINT)").as("x"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("y"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+          sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+        .select(col("n").as("n_lines"),
+          expr("CAST((n*sxy - sx*sy) * 1000000 div (n*sxx - sx*sx) AS BIGINT)")
+            .as("slope_micro"),
+          expr("CAST(sy * 1000 div n AS BIGINT)").as("mean_qty_milli")),
+      Some("""WITH l AS (SELECT CAST(round(l_discount * 100) AS BIGINT) AS x,
+             |                  CAST(round(l_quantity) AS BIGINT) AS y FROM lineitem),
+             |m AS (SELECT count(*) AS n, sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             |        sum(CAST(x AS HUGEINT)*y) AS sxy, sum(CAST(x AS HUGEINT)*x) AS sxx FROM l)
+             |SELECT CAST(n AS BIGINT) AS n_lines,
+             |  CAST((n*sxy - sx*sy) * 1000000 // (n*sxx - sx*sx) AS BIGINT) AS slope_micro,
+             |  CAST(sy * 1000 // n AS BIGINT) AS mean_qty_milli
+             |FROM m""".stripMargin)),
+
+    // Hill tail-index estimator on the top-100 order values — the
+    // heavy-tail screen beside q_benford / q_source_gini / q_zipf_fit:
+    // α = k / Σ ln(xᵢ/x_k) over the k largest order totals (α ≲ 3 means
+    // a tail fat enough that means mislead and percentile SLOs are
+    // mandatory; the synthetic fixture's α ≈ 332 says thin tail —
+    // honest reading). The top-k is one TakeOrderedAndProject with a
+    // total order; the ln terms come from exact integer cents pairs,
+    // summed over the fixed 100-row frame in both engines.
+    QueryDef(
+      "q_hill_tail",
+      (s, d) => {
+        val t = Tables.orders(s, d)
+          .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+            col("o_orderkey"))
+          .orderBy(col("cents").desc, col("o_orderkey")).limit(100)
+        val mn = t.agg(min("cents").as("xk"))
+        // each ln term is nano-quantized BEFORE the sum, so the reduction
+        // is an exact integer sum — no cross-engine float-addition-order
+        // hazard (the house convention for every Σln in the registry)
+        val h = t.crossJoin(broadcast(mn)).where(col("cents") > col("xk"))
+          .agg(count(lit(1)).as("k_in"),
+            sum(expr("CAST(round(ln(CAST(cents AS DOUBLE) / xk) * 1e9) AS BIGINT)"))
+              .as("s_nano"))
+        val base = t.agg(count(lit(1)).as("k_all"))
+        h.crossJoin(broadcast(base)).crossJoin(broadcast(mn))
+          .select(col("xk").as("xmin_cents"), col("k_all").as("k"),
+            expr("CAST(CAST(k_in AS DECIMAL(38,0)) * 1000000000000 div s_nano AS BIGINT)")
+              .as("alpha_milli"))
+      },
+      Some("""WITH t AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+             |           FROM orders ORDER BY cents DESC, o_orderkey LIMIT 100),
+             |mn AS (SELECT min(cents) AS xk FROM t),
+             |h AS (SELECT count(*) AS k_in,
+             |        sum(CAST(round(ln(CAST(cents AS DOUBLE) / xk) * 1e9) AS BIGINT)) AS s_nano
+             |      FROM t CROSS JOIN mn WHERE cents > xk),
+             |base AS (SELECT count(*) AS k_all FROM t)
+             |SELECT CAST((SELECT xk FROM mn) AS BIGINT) AS xmin_cents,
+             |  CAST(base.k_all AS BIGINT) AS k,
+             |  CAST(CAST(h.k_in AS HUGEINT) * 1000000000000 // s_nano AS BIGINT) AS alpha_milli
+             |FROM h CROSS JOIN base""".stripMargin))
   )
 }
