@@ -77,7 +77,11 @@ object Bench {
       } catch {
         case t: Throwable =>
           Left(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(200)}")
-      }
+      } finally
+        // release GlobalOrder's pinned projections between queries:
+        // holding them across 300+ queries would leak cache blocks the
+        // box never reclaims (non-blocking, runs outside the timed span)
+        graft.operators.GlobalOrder.release()
     }
 
     // min-of-2 over the successful runs; any failure message is kept

@@ -32,6 +32,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      finally
+        // drop the blocks GlobalOrder pinned for cross-job consistency —
+        // each query's output is now on disk, so a 300+-query session
+        // must not accumulate MEMORY_AND_DISK projections
+        graft.operators.GlobalOrder.release()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

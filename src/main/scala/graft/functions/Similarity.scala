@@ -301,9 +301,17 @@ object Similarity {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     val assign = assignToCodebook(delta, cents).persist()
     assign.write.mode("append").parquet(s"$dir/assignments")
-    val deltaOcc = assign.groupBy("cluster").agg(count(lit(1)).as("delta_n"))
+    // delta occupancy materializes (≤k rows, driver-safe like baseOcc)
+    // BEFORE the unpersist: releasing first would make the lazily-read
+    // report recompute the delta assignment from scratch — and if a
+    // caller ever passed a non-deterministic delta, the written
+    // assignments and the reported delta_n could diverge.
+    val deltaOccRows = assign.groupBy("cluster")
+      .agg(count(lit(1)).as("delta_n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assign.unpersist(false)
     import spark.implicits._
+    val deltaOcc = deltaOccRows.toDF("cluster", "delta_n")
     val base = baseOcc.toDF("cluster", "base_n")
     val k = math.max(1L, cents.count())
     val occ = base.join(deltaOcc, Seq("cluster"), "full_outer")

@@ -1244,7 +1244,10 @@ object Behavioral {
           .agg(count(lit(1)).as("c"))
         c.groupBy("event_type")
           .agg(count(lit(1)).as("n"), sum("c").as("sc"),
-            sum(col("c") * col("c")).as("sc2"))
+            // the inner Σc² itself widens to 128-bit (DuckDB's sum(c*c)
+            // auto-widens to HUGEINT; a BIGINT accumulator here would be
+            // the one narrower link at ~3e9-events/day counts)
+            sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("sc2"))
           .select(col("event_type"), col("n"), col("sc").as("total"),
             expr("(sc * CAST(1000000 AS BIGINT)) div n").as("mean_micro"),
             expr("CAST(((CAST(n AS DECIMAL(38,0)) * sc2 - CAST(sc AS DECIMAL(38,0)) * sc) * 1000000) " +
@@ -1355,7 +1358,9 @@ object Behavioral {
           .groupBy(to_date(col("ts")).as("day"), expr("weekday(ts)").as("wd"))
           .agg(count(lit(1)).as("c"))
         val g = c.agg(count(lit(1)).as("n"), sum("c").as("s"),
-          sum(col("c") * col("c")).as("s2"))
+          // Σc² widened like q_burstiness's: DuckDB's sum(c*c) is HUGEINT,
+          // so the Spark accumulator must not be the narrower link
+          sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("s2"))
         val b = c.groupBy("wd").agg(count(lit(1)).as("nw"), sum("c").as("sw"))
           .agg(sum(expr("(CAST(sw AS DECIMAL(38,0)) * sw * 1000) div nw"))
             .as("ssb_milli"))
@@ -1522,9 +1527,11 @@ object Behavioral {
             (datediff(col("t_last"), col("dt")) - 1).as("j"))
           .groupBy("event_type")
           // Σy·2^15 · 10⁶ passes 2^63 at ~3e8 events/day — the weighted
-          // sum widens to DECIMAL(38,0)/HUGEINT before the micro scale-up
-          .agg(expr("""CAST(CAST(sum(y * shiftleft(CAST(1 AS BIGINT), CAST(15 - j AS INT)))
-                      |   AS DECIMAL(38,0)) * 1000000 div 65535 AS BIGINT)""".stripMargin)
+          // sum ACCUMULATES in DECIMAL(38,0) (not just the scale-up:
+          // DuckDB's sum is HUGEINT, so the per-term product widens
+          // before summation on this side too)
+          .agg(expr("""CAST(sum(CAST(y AS DECIMAL(38,0)) * shiftleft(CAST(1 AS BIGINT), CAST(15 - j AS INT)))
+                      |   * 1000000 div 65535 AS BIGINT)""".stripMargin)
             .as("forecast_micro"))
         val act = withLag.where(col("dt") === col("t_last"))
           .select(col("event_type"), col("y").as("actual"))

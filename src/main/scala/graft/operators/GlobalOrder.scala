@@ -37,6 +37,32 @@ object GlobalOrder {
 
   private val LocalBits = 33 // monotonically_increasing_id: pid << 33 | local
 
+  /** Ranked projections pinned by [[withGlobalRowNumber]] /
+    * [[withRunningTotal]] since the last [[release]]. The persist must
+    * outlive the CONSUMING action — the offsets job and the final pass
+    * both read it — which a lazily-returned DataFrame cannot scope on
+    * its own; so every pinned projection is tracked here and released by
+    * the caller once the query output is materialized. Without that,
+    * each invocation leaves MEMORY_AND_DISK blocks pinned for the
+    * session lifetime (disk-backed blocks are never LRU-reclaimed until
+    * context shutdown) and a long multi-query session accumulates
+    * unbounded cache. */
+  private val pinned = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def pin(df: DataFrame): DataFrame = { pinned.add(df); df }
+
+  /** Unpersists every ranked projection pinned since the last call.
+    * Call AFTER the consuming action (write/collect/count) has
+    * materialized the query output — Verify and Bench do, per query.
+    * Re-executing a previously returned frame after release would
+    * recompute the projection and lose the cross-job boundary
+    * consistency the persist exists for; materialize once, release,
+    * re-derive if needed. Idempotent and safe when nothing is pinned. */
+  def release(): Unit = {
+    var d = pinned.poll()
+    while (d != null) { d.unpersist(blocking = false); d = pinned.poll() }
+  }
+
   /** Adds a dense 1-based `out` BIGINT column: the row's position under
     * `order` (which must be a total order) across the whole dataset.
     *
@@ -58,6 +84,7 @@ object GlobalOrder {
       .withColumn("_go_pid", shiftright(col("_go_mid"), LocalBits))
       .withColumn("_go_loc", col("_go_mid").bitwiseAND(lit((1L << LocalBits) - 1)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pin(mid)
     val offsets = mid.groupBy("_go_pid").agg(count(lit(1)).as("_go_cnt"))
       .withColumn("_go_off", coalesce(
         sum("_go_cnt").over(Window.orderBy("_go_pid")
@@ -113,6 +140,7 @@ object GlobalOrder {
       .withColumn("_go_pid",
         shiftright(monotonically_increasing_id(), LocalBits))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pin(mid)
     val local = mid.withColumn("_go_run",
       sum("_go_val").over(Window.partitionBy("_go_pid").orderBy(order: _*)
         .rowsBetween(Window.unboundedPreceding, 0)))

@@ -58,6 +58,25 @@ class FixtureDriftSpec extends SparkSpec {
         "identity-oracle precondition no longer holds")
   }
 
+  test("verification embeddings fixtures hold exactly 500 vectors (adaptiveBits pin)") {
+    // The q_knn_graph_adaptive / q_knn_degree_adaptive / q_knn_label_purity
+    // oracles hardcode adaptiveBits(500): the SQL CTE bakes in the band
+    // width the Spark build derives from the live row count. If a fixture
+    // regeneration changed the embedding count, the Spark side would
+    // silently build a different signature width and the parity check
+    // would fail as an opaque hash mismatch. Fail HERE with the real
+    // cause instead, for both the spec fixture (sf0.001) and the driver's
+    // verification fixture (sf0.01).
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val n = Tables.embeddings(spark, dir).count()
+      assert(n == 500L,
+        s"$dir/embeddings.parquet has $n rows, not the 500 the " +
+          "adaptive-kNN oracles pin via adaptiveBits(500) — regenerate the " +
+          "oracle SQL (Similarity.scala knnAdaptiveOracleSql call sites) " +
+          "to match the new count")
+    }
+  }
+
   test("Tables.events normalizes real fixture ts to timestamp_ntz") {
     val ev = Tables.events(spark, sf)
     assert(ev.schema("ts").dataType == TimestampNTZType)

@@ -52,6 +52,30 @@ class GlobalOrderSpec extends SparkSpec {
     }
   }
 
+  test("release() leaves no pinned blocks after a GlobalOrder query completes") {
+    // the ranked projection is persisted for cross-job boundary
+    // consistency; after the consuming action the harness must be able
+    // to drop it — otherwise a 300+-query session accumulates unbounded
+    // MEMORY_AND_DISK blocks (the round-8 lesson: pinned blocks starve
+    // hash-agg execution memory at scale)
+    GlobalOrder.release() // clean slate in case earlier tests pinned
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val df = spark.range(5000).select(col("id"),
+      (col("id") * 2654435761L % 101).as("v"))
+    val out = GlobalOrder.withRunningTotal(
+      GlobalOrder.withGlobalRowNumber(df, Seq(col("v").asc, col("id").asc), "pos"),
+      Seq(col("v").asc, col("id").asc), col("pos"), "cum")
+    out.count() // the consuming action — blocks are pinned while it runs
+    val pinnedNow = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(pinnedNow.nonEmpty, "expected the ranked projections to be cached")
+    GlobalOrder.release()
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty,
+      s"${after.size} GlobalOrder block(s) still pinned after release()")
+    // idempotent on an empty registry
+    GlobalOrder.release()
+  }
+
   test("withGlobalNtile equals the global ntile window under a total order") {
     val df = spark.range(500).select(col("id"),
       (col("id") * 1103515245L % 37).as("v"))
