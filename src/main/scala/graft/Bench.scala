@@ -80,8 +80,9 @@ object Bench {
       } finally
         // release GlobalOrder's pinned projections between queries:
         // holding them across 300+ queries would leak cache blocks the
-        // box never reclaims (non-blocking, runs outside the timed span)
-        graft.operators.GlobalOrder.release()
+        // box never reclaims. BLOCKING, so the async block removal of
+        // run 1 cannot overlap — and add noise to — run 2's timed span
+        graft.operators.GlobalOrder.release(blocking = true)
     }
 
     // min-of-2 over the successful runs; any failure message is kept

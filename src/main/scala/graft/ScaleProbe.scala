@@ -191,8 +191,10 @@ object ScaleProbe {
       "q_domain_bounds", "q_key_uniqueness", "q_freshness", "q_rrf_fusion",
       "q_mannwhitney", "q_changepoint", "q_ewma", "q_bootstrap_ci",
       "q_kcore", "q_t_closeness", "q_cramers_v", "q_logreg_irls", "q_ndcg",
-      // q_link_predict excluded by design: fixed seed slice p < 100, the
-      // q_containment convention — growth is zero by construction
+      // q_link_predict probes since round 10: the per-node top-256
+      // neighbor cap bounds the wedge fan-out, so growth now measures
+      // the capped-adjacency build (the seed slice stays fixed)
+      "q_link_predict",
       "q_als_step", "q_assortativity", "q_cuped", "q_power_analysis",
       "q_survival_km", "q_did", "q_propensity_strat", "q_mcnemar",
       "q_forecast_skill", "q_stump_split", "q_target_encode",

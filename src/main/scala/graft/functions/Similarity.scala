@@ -38,6 +38,17 @@ object Similarity {
   val NdBands = 8
   val NdBits = 8
 
+  /** Declared scope bound of the FIXED NdBands×NdBits kNN-graph form
+    * (`q_knn_graph` / `q_mutual_knn` / `q_knn_degree`): expected bucket
+    * occupancy is n/2^NdBits, so the bucket self-join's candidate count
+    * grows ∝ n²/2^NdBits — fine to ~65 k vectors (≈ 2^(NdBits+8):
+    * ≈ 67 M scored pairs), a disk-exhausting spill at the 500 k-vector
+    * 100× probe. The fixed form is the ORACLE-EXPRESSIBLE verification
+    * shape; [[knnGraphAdaptive]] (bits ∝ log₂ n) is the production path
+    * past the bound, and [[knnGraph]] fails fast with that pointer
+    * instead of spilling. */
+  val FixedKnnMaxN: Long = 1L << (NdBits + 8)
+
   /** Product-quantization geometry (`q_pq_recall`): the 64-dim vector
     * splits into [[PqSubs]] subvectors of [[PqSubDim]] dims; each
     * subvector quantizes to its max-dot centroid among [[PqCents]]
@@ -301,6 +312,8 @@ object Similarity {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     val assign = assignToCodebook(delta, cents).persist()
     assign.write.mode("append").parquet(s"$dir/assignments")
+    // keep the file count bounded across arbitrarily many appends
+    compactIvfIndex(spark, dir)
     // delta occupancy materializes (≤k rows, driver-safe like baseOcc)
     // BEFORE the unpersist: releasing first would make the lazily-read
     // report recompute the delta assignment from scratch — and if a
@@ -327,6 +340,37 @@ object Similarity {
         round((col("pd") - col("pb")) * log(col("pd") / col("pb")) * 1e6)
           .cast("long").as("psi_micro"))
       .orderBy("cluster")
+  }
+
+  /** Compaction pass for the append-forever assignments table: every
+    * [[appendToIvfIndex]] adds another small parquet delta, and a
+    * long-lived index otherwise accumulates thousands of tiny files
+    * (listing + open cost per probe, tiny scan splits). Once the file
+    * count exceeds `maxFiles` the table is rewritten in one job — the
+    * scan packs small files into maxPartitionBytes-sized splits, so the
+    * rewrite emits well-sized files ∝ data volume, not append count —
+    * and swapped into place. Row-identical by construction (one read,
+    * one write, no shuffle); AnnIndexSpec pins append×N → compact →
+    * probe identical. Single-writer maintenance like the appends
+    * themselves — concurrent publication rides `AtomicPublish`, not
+    * this swap. Returns true when a compaction ran. */
+  def compactIvfIndex(spark: SparkSession, dir: String,
+      maxFiles: Int = 64): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/assignments")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nFiles = fs.listStatus(path)
+      .count(_.getPath.getName.endsWith(".parquet"))
+    if (nFiles <= maxFiles) return false
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/_assignments_compacting")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    spark.read.parquet(path.toString)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val bak = new org.apache.hadoop.fs.Path(s"$dir/_assignments_old")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    fs.rename(path, bak)
+    fs.rename(tmp, path)
+    fs.delete(bak, true)
+    true
   }
 
   /** Persisted-index PROBE: top-k neighbors for `queries` (qid, qe)
@@ -485,6 +529,14 @@ object Similarity {
     * through the heap operator. Columns: (vec_id, neighbor, sim). */
   private def knnGraph(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
+    // explicit scope guard ([[FixedKnnMaxN]]): past the bound the fixed
+    // band shape's bucket join is quadratic — fail fast with the scale
+    // path named rather than spill the cluster
+    val n = emb.count()
+    require(n <= FixedKnnMaxN,
+      s"fixed-shape kNN (${NdBands}x$NdBits bands) is bounded to " +
+        s"$FixedKnnMaxN vectors (corpus has $n): use knnGraphAdaptive / " +
+        "the *_adaptive registry queries (bits scale with log2 n)")
     val eb = explodeBands(
       emb.select("vec_id", "embedding"), col("embedding"), NdBands, NdBits)
       .drop("embedding")

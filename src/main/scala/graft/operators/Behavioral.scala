@@ -454,12 +454,12 @@ object Behavioral {
     // latency histogram beside the funnel counts. Rank-ceil percentiles
     // ((q·n + 99) div 100, the q_winsorize convention) cannot drift by an
     // ulp across engines the way interpolating ones do. The duration
-    // table is one row per converting user; its global rank runs over
-    // that already-small frame (bounded-domain argument: conversions per
-    // analysis window, orders of magnitude under the event count — the
-    // partitionless window is whitelisted in PlanAuditSpec on that
-    // basis; at true 100 TB the same rank rides GlobalOrder's range
-    // shuffle).
+    // table is one row per converting user — user-scaled, so its global
+    // rank rides GlobalOrder's range shuffle (never a partitionless
+    // window funneling every converter through one task) and the four
+    // percentile ranks are generated from the one-row count and
+    // broadcast-joined back, the q_equidepth_hist shape: the big side
+    // is touched once per pass, fully parallel at any scale.
     QueryDef(
       "q_time_to_convert",
       (s, d) => {
@@ -473,14 +473,14 @@ object Behavioral {
           .select(col("user_id"),
             (unix_timestamp(col("click_ts")) - unix_timestamp(col("view_ts")))
               .as("secs"))
-        val r = dur
-          .withColumn("rn", row_number().over(
-            Window.orderBy("secs", "user_id")).cast("long"))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-        Seq(25, 50, 75, 90).map { qq =>
-          r.where(col("rn") === expr(s"($qq * n + 99) div 100"))
-            .select(lit(qq).as("q"), col("secs"))
-        }.reduce(_.unionByName(_)).orderBy("q")
+        val r = GlobalOrder.withGlobalRowNumber(dur,
+          Seq(col("secs").asc, col("user_id").asc), "rn")
+        val edgeRanks = dur.agg(count(lit(1)).as("n"))
+          .select(explode(array(lit(25), lit(50), lit(75), lit(90))).as("q"),
+            col("n"))
+          .select(col("q"), expr("(q * n + 99) div 100").as("rn"))
+        r.join(broadcast(edgeRanks), "rn")
+          .select(col("q"), col("secs")).orderBy("q")
       },
       Some("""WITH ev AS (SELECT user_id, event_type,
              |              CAST(ts AS TIMESTAMP) AS ts FROM events),
@@ -1092,11 +1092,11 @@ object Behavioral {
     // repurchase-interval quartiles: rank-exact p25/50/75 of the gap (in
     // whole seconds) between a user's consecutive purchases — the
     // inter-purchase cadence that retention models calibrate against.
-    // Gaps come from one lag window on the user_id shuffle; their global
-    // rank runs over the purchase-pair frame (orders of magnitude under
-    // the event count; whitelisted on that bounded-domain argument, with
-    // GlobalOrder as the stated 100 TB path — the q_time_to_convert
-    // convention).
+    // Gaps come from one lag window on the user_id shuffle; the gap
+    // frame is user-scaled, so its global rank rides GlobalOrder's
+    // range shuffle and the three percentile ranks broadcast-join back
+    // from the one-row count (the q_time_to_convert shape) — no
+    // partitionless window anywhere in the plan.
     QueryDef(
       "q_repurchase_interval",
       (s, d) => {
@@ -1107,14 +1107,13 @@ object Behavioral {
           .withColumn("secs",
             unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(w)))
           .where(col("secs").isNotNull)
-        val r = gaps
-          .withColumn("rn", row_number().over(
-            Window.orderBy("secs", "user_id", "event_id")).cast("long"))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-        Seq(25, 50, 75).map { qq =>
-          r.where(col("rn") === expr(s"($qq * n + 99) div 100"))
-            .select(lit(qq).as("q"), col("secs"))
-        }.reduce(_.unionByName(_)).orderBy("q")
+        val r = GlobalOrder.withGlobalRowNumber(gaps,
+          Seq(col("secs").asc, col("user_id").asc, col("event_id").asc), "rn")
+        val edgeRanks = gaps.agg(count(lit(1)).as("n"))
+          .select(explode(array(lit(25), lit(50), lit(75))).as("q"), col("n"))
+          .select(col("q"), expr("(q * n + 99) div 100").as("rn"))
+        r.join(broadcast(edgeRanks), "rn")
+          .select(col("q"), col("secs")).orderBy("q")
       },
       Some("""WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
              |           FROM events WHERE event_type = 'purchase'),

@@ -1838,9 +1838,13 @@ object Curation {
         val e = Tables.events(s, d).select(
           expr("CAST(round(value*1000) AS BIGINT)").as("score"), col("event_id"),
           when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
-        val r = GlobalOrder.withGlobalNtile(e,
-          Seq(col("score"), col("event_id")), 10, "decile")
         val tot = e.agg(count(lit(1)).as("n"), sum("y").as("pos"))
+        // the lift denominators already count the base frame — hand the
+        // same total to the ntile pass instead of letting its default
+        // recount e in a separate job (GlobalOrder.withGlobalNtile doc)
+        val r = GlobalOrder.withGlobalNtile(e,
+          Seq(col("score"), col("event_id")), 10, "decile",
+          total = Some(tot.select(col("n").cast("long").as("_go_n"))))
         val g = r.groupBy("decile")
           .agg(count(lit(1)).as("n_d"), sum("y").as("pos_d"))
         val w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)

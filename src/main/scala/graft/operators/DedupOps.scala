@@ -435,13 +435,39 @@ object DedupOps extends org.apache.spark.internal.Logging {
 
   /** Shared chain of the corpus-dedup compositions: the exact-dup-salted
     * corpus and its MinHash-LSH duplicate-cluster labels (id → cluster,
-    * clustered docs only). Every stage is a keyed shuffle ∝ corpus size. */
-  private[operators] def corpusAndClusters(s: org.apache.spark.sql.SparkSession,
+    * clustered docs only). Every stage is a keyed shuffle ∝ corpus size.
+    *
+    * The cluster labels are what every `q_dup_*` report reads, and the
+    * LSH + star-contraction chain that produces them is the expensive
+    * part — so the labels are built ONCE per (JVM, dataset) and
+    * published as a parquet artifact ([[Artifacts.dirFor]]), the U11
+    * index convention applied to the report family. The corpus itself
+    * is a cheap two-scan union and stays a live plan (reports filter
+    * and re-join it; parquet would only add a write). `ArtifactSpec`
+    * pins consume-path ≡ build-path row-for-row. */
+  private[graft] def corpusAndClusters(s: org.apache.spark.sql.SparkSession,
       d: String): (DataFrame, DataFrame) = {
+    val dir = Artifacts.dirFor(s"dupClusters:$d", { out =>
+      corpusAndClustersRaw(s, d)._2.write.parquet(s"$out/clusters")
+    })
+    (saltedCorpus(s, d), s.read.parquet(s"$dir/clusters"))
+  }
+
+  /** The exact-dup-salted corpus every dedup composition starts from. */
+  private def saltedCorpus(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val dups = docs.where(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 100000).as("doc_id"), col("text"))
-    val corpus = docs.unionByName(dups)
+    docs.unionByName(dups)
+  }
+
+  /** The uncached build path of [[corpusAndClusters]] — what the
+    * artifact materializes. Kept callable so `ArtifactSpec` can prove
+    * the stored labels equal a fresh derivation. */
+  private[graft] def corpusAndClustersRaw(s: org.apache.spark.sql.SparkSession,
+      d: String): (DataFrame, DataFrame) = {
+    val corpus = saltedCorpus(s, d)
     val sig = minhashSignature(corpus, "doc_id", "text", 4, shingleN = 3)
     // star edges, not all-pairs: identical components and labels, but
     // linear (not quadratic) in duplicate-family size — see lshStarEdges.

@@ -57,10 +57,20 @@ object GlobalOrder {
     * Re-executing a previously returned frame after release would
     * recompute the projection and lose the cross-job boundary
     * consistency the persist exists for; materialize once, release,
-    * re-derive if needed. Idempotent and safe when nothing is pinned. */
-  def release(): Unit = {
+    * re-derive if needed. Idempotent and safe when nothing is pinned.
+    *
+    * SCOPE CONTRACT: the registry is process-global, so release()
+    * unpersists EVERY caller's projections — all GlobalOrder consumers
+    * in one JVM must run single-threaded (Verify, Bench, and the
+    * forked test suite all do, sequentially) and must not hold a
+    * returned frame across a release() boundary. A future concurrent
+    * harness needs per-invocation handles before it may share a JVM.
+    *
+    * `blocking = true` waits for block removal — use between timed
+    * runs so async cleanup can't bleed into the next measurement. */
+  def release(blocking: Boolean = false): Unit = {
     var d = pinned.poll()
-    while (d != null) { d.unpersist(blocking = false); d = pinned.poll() }
+    while (d != null) { d.unpersist(blocking); d = pinned.poll() }
   }
 
   /** Adds a dense 1-based `out` BIGINT column: the row's position under

@@ -108,6 +108,43 @@ class AnnIndexSpec extends SparkSpec {
       s"collapsed-direction delta should trip the 0.25 PSI retrain gate, got $psi µ")
   }
 
+  test("compaction: append xN grows the file count, compact shrinks it, probe identical") {
+    val dir = Files.createTempDirectory("graft-ivf-cmp").toString
+    val all = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("ed"))
+    Similarity.saveIvfIndex(all.where(col("vec_id") < 300), dir, k = 8, iters = 3)
+    for (b <- 0 until 4)
+      Similarity.appendToIvfIndex(spark, dir,
+        all.where(col("vec_id") >= 300 && col("vec_id") % 4 === b))
+
+    def files(): Int = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/assignments")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+    }
+    val q = all.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("ed").as("qe"))
+    def probe() = Similarity
+      .queryIvfIndex(spark, dir, q, all.select("vec_id", "ed"), nprobe = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def rows() = spark.read.parquet(s"$dir/assignments")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+
+    val filesBefore = files()
+    assert(filesBefore > 4, s"appends did not fan out files: $filesBefore")
+    val (rowsBefore, probeBefore) = (rows(), probe())
+
+    // under the default bound nothing compacts (the auto-call in
+    // appendToIvfIndex is a no-op until the bound is exceeded) …
+    assert(!Similarity.compactIvfIndex(spark, dir, maxFiles = 1000))
+    assert(files() == filesBefore)
+    // … over it, one rewrite shrinks the file count and changes nothing
+    assert(Similarity.compactIvfIndex(spark, dir, maxFiles = 2))
+    assert(files() < filesBefore, s"compaction did not shrink ${files()}")
+    assert(rows() == rowsBefore, "compaction changed the assignment rows")
+    assert(probe() == probeBefore, "compaction changed probe results")
+  }
+
   test("probe plan touches the stored assignments, never re-assigns the corpus") {
     val dir = Files.createTempDirectory("graft-ivf2").toString
     val emb = Tables.embeddings(spark, sf)

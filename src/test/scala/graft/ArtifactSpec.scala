@@ -1,0 +1,62 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.operators.{Artifacts, DedupOps, Release}
+import org.apache.spark.sql.DataFrame
+
+/** The build-once artifact cache must be (a) a cache — the builder runs
+  * exactly once per key, even under concurrent first callers — and
+  * (b) invisible to correctness: the stored tables the consume path
+  * reads equal a fresh run of the raw derivation row-for-row, for both
+  * published artifacts (co-purchase graph, duplicate-cluster labels). */
+class ArtifactSpec extends SparkSpec {
+
+  private def same(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  test("dirFor builds exactly once per key and memoizes the directory") {
+    val calls = new AtomicInteger(0)
+    val build: String => Unit = { dir =>
+      calls.incrementAndGet()
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    }
+    val d1 = Artifacts.dirFor("spec:once", build)
+    val d2 = Artifacts.dirFor("spec:once", build)
+    assert(d1 == d2 && calls.get() == 1)
+    // distinct keys get distinct directories and their own build
+    val d3 = Artifacts.dirFor("spec:other", build)
+    assert(d3 != d1 && calls.get() == 2)
+  }
+
+  test("a throwing build leaves no mapping, so the next caller retries") {
+    val calls = new AtomicInteger(0)
+    intercept[RuntimeException] {
+      Artifacts.dirFor("spec:fails", { _ =>
+        calls.incrementAndGet(); throw new RuntimeException("boom")
+      })
+    }
+    Artifacts.dirFor("spec:fails", { dir =>
+      calls.incrementAndGet()
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    })
+    assert(calls.get() == 2)
+  }
+
+  test("co-purchase artifact: consume path equals the raw build path") {
+    val (e, deg) = Release.copurchaseGraph(spark, sf)
+    val (eRaw, degRaw) = Release.copurchaseGraphRaw(spark, sf)
+    assert(e.count() > 0)
+    assert(same(e, eRaw), "edges artifact diverged from the raw derivation")
+    assert(same(deg, degRaw), "degree artifact diverged from the raw derivation")
+  }
+
+  test("dup-cluster artifact: consume path equals the raw build path") {
+    val (corpus, clusters) = DedupOps.corpusAndClusters(spark, sf)
+    val (corpusRaw, clustersRaw) = DedupOps.corpusAndClustersRaw(spark, sf)
+    assert(clusters.count() > 0)
+    assert(same(corpus, corpusRaw))
+    assert(same(clusters, clustersRaw),
+      "cluster-label artifact diverged from the raw derivation")
+  }
+}

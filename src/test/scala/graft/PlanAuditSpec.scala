@@ -146,10 +146,9 @@ class PlanAuditSpec extends SparkSpec {
     // ≤ #shuffle-partitions bound as the GlobalOrder family
     // q_length_batching: withGlobalRowNumber's offset prefix-sum again
     // (batch/bucket assignment itself is closed-form arithmetic)
-    // q_time_to_convert: global rank over the per-converting-user
-    // duration frame — one row per conversion in the analysis window,
-    // orders of magnitude under the event count (at true 100 TB the same
-    // rank rides GlobalOrder's range shuffle)
+    // q_time_to_convert: withGlobalRowNumber's ≤ #shuffle-partitions
+    // offset prefix-sum (the duration rank itself rides the range
+    // shuffle since the round-10 rewrite)
     // q_vocab_coverage: withGlobalRowNumber's ≤ #shuffle-partitions
     // prefix-sum (vocab rank itself is the range-shuffle closed form)
     val allowed = Set("q_global_order", "q_equidepth_hist", "q_rfm",
@@ -169,10 +168,10 @@ class PlanAuditSpec extends SparkSpec {
       // q_spearman: two withGlobalRowNumber prefix-sums (one rank pass
       // per signal)
       "q_spearman",
-      // q_repurchase_interval: global rank over the purchase-PAIR frame
-      // — one row per consecutive purchase, orders of magnitude under
-      // the event count (GlobalOrder is the 100 TB path, the
-      // q_time_to_convert convention)
+      // q_repurchase_interval: withGlobalRowNumber's offset prefix-sum
+      // (the gap rank rides the range shuffle since the round-10
+      // rewrite; the remaining global windows are the lag over user_id
+      // partitions — partitioned — and the bounded offset table)
       "q_repurchase_interval",
       // q_volume_concentration: withRunningTotal + withGlobalRowNumber
       // offset prefix-sums — both over the ≤ #shuffle-partitions tables
@@ -220,6 +219,22 @@ class PlanAuditSpec extends SparkSpec {
       }
       assert(global.isEmpty,
         s"$name plans ${global.size} partitionless window(s):\n${global.mkString("\n")}")
+    }
+  }
+
+  test("q_time_to_convert / q_repurchase_interval: percentile ranks ride the range shuffle") {
+    // both used to rank their user-scaled frame through a partitionless
+    // row_number window (single-task funnel); since round 10 the rank is
+    // GlobalOrder's two-phase range shuffle and the percentile edge
+    // ranks broadcast-join back from the one-row count
+    for (name <- Seq("q_time_to_convert", "q_repurchase_interval")) {
+      val plan = planOf(name)
+      assert(plan.contains("rangepartitioning"),
+        s"$name lost the range-shuffle global rank:\n$plan")
+      assert(!plan.contains("row_number"),
+        s"$name ranks through a row_number window again:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name percentile edge ranks not broadcast:\n$plan")
     }
   }
 
