@@ -238,6 +238,73 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("graph family consumes the published artifact — no per-order self-join at query time") {
+    // copurchaseGraph is a build-once parquet artifact since round 10:
+    // the C(lines,2) per-order self-join runs at artifact build, so the
+    // three consumers' QUERY plans must scan stored (p1, p2, w)/(p, deg)
+    // tables and never touch lineitem's order key again
+    for (name <- Seq("q_kcore", "q_assortativity", "q_link_predict")) {
+      val plan = planOf(name)
+      assert(!plan.contains("l_orderkey"),
+        s"$name re-derives the co-purchase graph from lineitem:\n${plan.take(3000)}")
+      assert(plan.contains("Scan parquet"),
+        s"$name does not scan the stored artifact:\n${plan.take(2000)}")
+    }
+  }
+
+  test("q_link_predict: adjacency cap is a p-keyed window, wedges stay equi-joins") {
+    val plan = planOf("q_link_predict")
+    assert(plan.contains("hashpartitioning(p#"),
+      s"top-m neighbor cap is not keyed on the node:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"wedge generation fell off the equi-join path:\n$plan")
+  }
+
+  test("inference family: single-pass map-combined moment aggregates, no UDFs") {
+    // the distributed-training/experimentation pattern: compute scales
+    // with rows, only a handful of exact integer moments shuffle
+    def exchanges(p: String) = "Exchange".r.findAllIn(p).length
+    // q_power_analysis: one scan, one global moment agg — no joins at all
+    val power = planOf("q_power_analysis")
+    assert(!power.contains("Join"), s"q_power_analysis plans a join:\n$power")
+    assert(exchanges(power) <= 1, s"q_power_analysis shuffles >1x:\n$power")
+    // q_cuped: user-keyed conditional agg then global moments — the
+    // pre/post split must NOT rescan (one user shuffle + the final
+    // single-partition agg exchange, nothing else)
+    val cuped = planOf("q_cuped")
+    assert(!cuped.contains("Join"), s"q_cuped plans a join:\n$cuped")
+    assert(cuped.contains("hashpartitioning(user_id#"),
+      s"q_cuped lost the user-keyed aggregate:\n$cuped")
+    assert(exchanges(cuped) <= 2, s"q_cuped shuffles >2x:\n$cuped")
+    // q_logreg_irls: both IRLS steps are moment aggregates; the step-1
+    // coefficients ride one-row broadcasts (<=2 nested-loop joins by
+    // construction), and the sigmoid is a codegen'd expression, never a
+    // black-box UDF
+    val irls = planOf("q_logreg_irls")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(irls).length <= 2,
+      s"q_logreg_irls: unexpected join structure:\n$irls")
+    for (name <- Seq("q_power_analysis", "q_cuped", "q_logreg_irls",
+        "q_target_encode", "q_mcnemar"))
+      assert(!planOf(name).contains("ScalaUDF") &&
+        !planOf(name).contains("BatchEvalPython"),
+        s"$name evaluates a non-codegen UDF")
+  }
+
+  test("GlobalOrder consumers: the ranked projection is pinned in-plan (persist discipline)") {
+    // withGlobalRowNumber persists its mid projection so the offsets job
+    // and the final pass see identical range boundaries — the plan must
+    // show the InMemoryTableScan (one per ntile/rank pass); release()
+    // afterward is the other half of the discipline (GlobalOrderSpec
+    // covers it)
+    try {
+      assert("InMemoryTableScan".r.findAllIn(planOf("q_rfm")).length >= 3,
+        "q_rfm's three quartile passes no longer pin their projections")
+      assert(planOf("q_gain_chart").contains("InMemoryTableScan"),
+        "q_gain_chart's decile pass no longer pins its projection")
+    } finally operators.GlobalOrder.release()
+  }
+
   test("q_tpch_q3: broadcast dim, shuffle fact join, TakeOrderedAndProject") {
     val plan = planOf("q_tpch_q3")
     assert(plan.contains("TakeOrderedAndProject"), s"top-N not pushed:\n$plan")
