@@ -2050,6 +2050,156 @@ object Behavioral {
              |  CAST(CASE WHEN naive_err_micro = 0 THEN NULL
              |    ELSE CAST(ewma_err_micro AS HUGEINT) * 1000000 // naive_err_micro
              |  END AS BIGINT) AS skill_micro
-             |FROM e2 ORDER BY event_type""".stripMargin))
+             |FROM e2 ORDER BY event_type""".stripMargin)),
+
+    // Welch's unequal-variance t-test on purchase value between the two
+    // md5-hash arms (the q_ab_assign split — hash-based, so both engines
+    // assign identical arms): t and the Welch–Satterthwaite df from ONE
+    // conditional-moment aggregate — six exact 128-bit integer moments
+    // shuffle, nothing else (the distributed-inference shape beside
+    // q_cuped). The closed forms are identical IEEE expressions over
+    // those exact integers in both engines (the libm-parity convention);
+    // on the null split the fixture t sits near 0 — the honest reading.
+    QueryDef(
+      "q_welch_ttest",
+      (s, d) => {
+        val u = Tables.events(s, d).select("user_id").distinct()
+          .withColumn("arm",
+            when(substring(md5(concat(lit("ab:"), col("user_id"))), 1, 1) < "8",
+              "A").otherwise("B"))
+        val p = Tables.events(s, d).where(col("event_type") === "purchase")
+          .select(col("user_id"), expr("CAST(round(value*1000) AS BIGINT)").as("v"))
+          .join(u, "user_id")
+        p.agg(
+            count(when(col("arm") === "A", 1)).as("na"),
+            count(when(col("arm") === "B", 1)).as("nb"),
+            sum(when(col("arm") === "A", expr("CAST(v AS DECIMAL(38,0))"))).as("sa"),
+            sum(when(col("arm") === "B", expr("CAST(v AS DECIMAL(38,0))"))).as("sb"),
+            sum(when(col("arm") === "A", expr("CAST(v AS DECIMAL(38,0)) * v"))).as("s2a"),
+            sum(when(col("arm") === "B", expr("CAST(v AS DECIMAL(38,0)) * v"))).as("s2b"))
+          .select(col("na"), col("nb"),
+            expr("CAST(sa * 1000 div na AS BIGINT)").as("mean_a_micro"),
+            expr("CAST(sb * 1000 div nb AS BIGINT)").as("mean_b_micro"),
+            expr("""CAST(round((CAST(sa AS DOUBLE)/na - CAST(sb AS DOUBLE)/nb)
+                   | / sqrt(CAST(na*s2a - sa*sa AS DOUBLE)/(CAST(na AS DOUBLE)*na*(na-1))
+                   |      + CAST(nb*s2b - sb*sb AS DOUBLE)/(CAST(nb AS DOUBLE)*nb*(nb-1))) * 1000)
+                   | AS BIGINT)""".stripMargin).as("t_milli"),
+            expr("""CAST(round(pow(CAST(na*s2a - sa*sa AS DOUBLE)/(CAST(na AS DOUBLE)*na*(na-1))
+                   |        + CAST(nb*s2b - sb*sb AS DOUBLE)/(CAST(nb AS DOUBLE)*nb*(nb-1)), 2)
+                   | / (pow(CAST(na*s2a - sa*sa AS DOUBLE)/(CAST(na AS DOUBLE)*na*(na-1)), 2)/(na-1)
+                   |  + pow(CAST(nb*s2b - sb*sb AS DOUBLE)/(CAST(nb AS DOUBLE)*nb*(nb-1)), 2)/(nb-1))
+                   | * 1000) AS BIGINT)""".stripMargin).as("df_milli"))
+      },
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+             |arm AS (SELECT user_id, CASE WHEN substr(md5('ab:' || user_id),1,1) < '8'
+             |          THEN 'A' ELSE 'B' END AS arm FROM u),
+             |p AS (SELECT a.arm, CAST(round(e.value*1000) AS BIGINT) AS v
+             |      FROM events e JOIN arm a USING (user_id) WHERE e.event_type='purchase'),
+             |m AS (SELECT count(*) FILTER (WHERE arm='A') AS na,
+             |        count(*) FILTER (WHERE arm='B') AS nb,
+             |        sum(CAST(v AS HUGEINT)) FILTER (WHERE arm='A') AS sa,
+             |        sum(CAST(v AS HUGEINT)) FILTER (WHERE arm='B') AS sb,
+             |        sum(CAST(v AS HUGEINT)*v) FILTER (WHERE arm='A') AS s2a,
+             |        sum(CAST(v AS HUGEINT)*v) FILTER (WHERE arm='B') AS s2b
+             |      FROM p)
+             |SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+             |  CAST(sa * 1000 // na AS BIGINT) AS mean_a_micro,
+             |  CAST(sb * 1000 // nb AS BIGINT) AS mean_b_micro,
+             |  CAST(round((CAST(sa AS DOUBLE)/na - CAST(sb AS DOUBLE)/nb)
+             |    / sqrt(CAST(na*s2a - sa*sa AS DOUBLE)/(CAST(na AS DOUBLE)*na*(na-1))
+             |         + CAST(nb*s2b - sb*sb AS DOUBLE)/(CAST(nb AS DOUBLE)*nb*(nb-1))) * 1000)
+             |    AS BIGINT) AS t_milli,
+             |  CAST(round(pow(CAST(na*s2a - sa*sa AS DOUBLE)/(CAST(na AS DOUBLE)*na*(na-1))
+             |           + CAST(nb*s2b - sb*sb AS DOUBLE)/(CAST(nb AS DOUBLE)*nb*(nb-1)), 2)
+             |    / (pow(CAST(na*s2a - sa*sa AS DOUBLE)/(CAST(na AS DOUBLE)*na*(na-1)), 2)/(na-1)
+             |     + pow(CAST(nb*s2b - sb*sb AS DOUBLE)/(CAST(nb AS DOUBLE)*nb*(nb-1)), 2)/(nb-1))
+             |    * 1000) AS BIGINT) AS df_milli
+             |FROM m""".stripMargin)),
+
+    // Theil–Sen robust trend of the daily purchase series: the median of
+    // all pairwise day-slopes — the estimator that shrugs off a single
+    // anomalous day where OLS does not. The day series is CALENDAR-
+    // bounded (≤ #days rows after one map-combined aggregate), so the
+    // C(days,2) pair fan-out and its rank are bounded by the calendar,
+    // never by data volume — the q_changepoint boundedness convention;
+    // the big-table work is exactly one grouped count. Slopes are
+    // micro-rounded from identical IEEE divisions of exact small
+    // integers, and the p25/50/75 picks are rank-ceil exact.
+    QueryDef(
+      "q_theilsen",
+      (s, d) => {
+        val dd = Tables.events(s, d).where(col("event_type") === "purchase")
+          .groupBy(col("ts").cast("date").as("day")).agg(count(lit(1)).as("c"))
+        val d2 = dd.withColumn("i",
+          row_number().over(Window.orderBy("day")).cast("long"))
+        val a = d2.select(col("i").as("i1"), col("c").as("c1"))
+        val b = d2.select(col("i").as("i2"), col("c").as("c2"))
+        val pr = a.join(broadcast(b), col("i2") > col("i1"))
+          .select(col("i1"), col("i2"),
+            expr("CAST(round((c2 - c1) * 1000000.0 / (i2 - i1)) AS BIGINT)")
+              .as("slope_micro"))
+        val r = pr
+          .withColumn("rn", row_number().over(
+            Window.orderBy("slope_micro", "i1", "i2")).cast("long"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        val edges = Seq(25, 50, 75).map { qq =>
+          r.where(col("rn") === expr(s"($qq * n + 99) div 100"))
+            .select(lit(qq).as("q"), col("slope_micro"))
+        }.reduce(_.unionByName(_))
+        edges.orderBy("q")
+      },
+      Some("""WITH dd AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS c
+             |            FROM events WHERE event_type='purchase' GROUP BY 1),
+             |d2 AS (SELECT row_number() OVER (ORDER BY day) AS i, c FROM dd),
+             |pr AS (SELECT a.i AS i1, b.i AS i2,
+             |         CAST(round((b.c - a.c) * 1000000.0 / (b.i - a.i)) AS BIGINT) AS slope_micro
+             |       FROM d2 a JOIN d2 b ON b.i > a.i),
+             |r AS (SELECT slope_micro, i1, i2,
+             |        row_number() OVER (ORDER BY slope_micro, i1, i2) AS rn,
+             |        count(*) OVER () AS n FROM pr)
+             |SELECT q, slope_micro FROM (
+             |  SELECT 25 AS q, slope_micro FROM r WHERE rn = (25*n + 99) // 100
+             |  UNION ALL SELECT 50, slope_micro FROM r WHERE rn = (50*n + 99) // 100
+             |  UNION ALL SELECT 75, slope_micro FROM r WHERE rn = (75*n + 99) // 100)
+             |ORDER BY q""".stripMargin)),
+
+    // Kendall tau-a rank correlation between the daily view and purchase
+    // counts — the nonparametric "do busy browse days convert?" readout
+    // beside q_spearman's value-rank form. Day pairs are calendar-
+    // bounded (C(days,2) after one grouped count — the q_theilsen
+    // argument), concordance is exact integer sign arithmetic, and tau
+    // micro-rounds one IEEE division of exact integers, so both engines
+    // agree bit-for-bit.
+    QueryDef(
+      "q_kendall_tau",
+      (s, d) => {
+        val dd = Tables.events(s, d)
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(count(when(col("event_type") === "view", 1)).as("x"),
+            count(when(col("event_type") === "purchase", 1)).as("y"))
+        val a = dd.select(col("day").as("d1"), col("x").as("x1"), col("y").as("y1"))
+        val b = dd.select(col("day").as("d2"), col("x").as("x2"), col("y").as("y2"))
+        a.join(broadcast(b), col("d1") < col("d2"))
+          .select(
+            when(expr("(x1 - x2) * (y1 - y2) > 0"), 1L).otherwise(0L).as("conc"),
+            when(expr("(x1 - x2) * (y1 - y2) < 0"), 1L).otherwise(0L).as("disc"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum("conc").as("concordant"), sum("disc").as("discordant"))
+          .select(col("n_pairs"), col("concordant"), col("discordant"),
+            expr("CAST(round((concordant - discordant) * 1000000.0 / n_pairs) AS BIGINT)")
+              .as("tau_a_micro"))
+      },
+      Some("""WITH dd AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             |    count(CASE WHEN event_type='view' THEN 1 END) AS x,
+             |    count(CASE WHEN event_type='purchase' THEN 1 END) AS y
+             |  FROM events GROUP BY 1),
+             |pr AS (SELECT CASE WHEN (a.x-b.x)*(a.y-b.y) > 0 THEN 1 ELSE 0 END AS conc,
+             |              CASE WHEN (a.x-b.x)*(a.y-b.y) < 0 THEN 1 ELSE 0 END AS disc
+             |       FROM dd a JOIN dd b ON a.day < b.day)
+             |SELECT count(*) AS n_pairs,
+             |  CAST(sum(conc) AS BIGINT) AS concordant,
+             |  CAST(sum(disc) AS BIGINT) AS discordant,
+             |  CAST(round(sum(conc - disc) * 1000000.0 / count(*)) AS BIGINT) AS tau_a_micro
+             |FROM pr""".stripMargin))
   )
 }

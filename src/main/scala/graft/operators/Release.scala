@@ -798,6 +798,115 @@ object Release {
              |SELECT c.a, c.b, c.cn,
              |  CAST(c.cn * 1000 // (d1.deg + d2.deg - c.cn) AS BIGINT) AS jaccard_milli
              |FROM cand c JOIN deg d1 ON d1.p = c.a JOIN deg d2 ON d2.p = c.b
-             |ORDER BY c.cn DESC, c.a, c.b LIMIT 20""".stripMargin))
+             |ORDER BY c.cn DESC, c.a, c.b LIMIT 20""".stripMargin)),
+
+    // edge-weight distribution of the co-purchase graph: how many part
+    // pairs co-sold in exactly w distinct orders, with each weight
+    // class's share — the tie-strength histogram that calibrates the
+    // link-prediction cap and any "strong tie" threshold. Reads the
+    // published artifact's (p1, p2, w) directly: one grouped count over
+    // stored skinny rows, output bounded by the weight domain.
+    QueryDef(
+      "q_edge_strength",
+      (s, d) => {
+        val (e, _) = copurchaseGraph(s, d)
+        val t = e.agg(count(lit(1)).as("tot"))
+        e.groupBy("w").agg(count(lit(1)).as("n_edges"))
+          .crossJoin(broadcast(t))
+          .select(col("w"), col("n_edges"),
+            expr("n_edges * CAST(1000000 AS BIGINT) div tot").as("share_micro"))
+          .orderBy("w")
+      },
+      Some("""WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS MATERIALIZED (SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS w
+             |      FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2),
+             |t AS (SELECT count(*) AS tot FROM e)
+             |SELECT e.w, count(*) AS n_edges,
+             |  CAST(count(*) * 1000000 // max(t.tot) AS BIGINT) AS share_micro
+             |FROM e CROSS JOIN t GROUP BY e.w ORDER BY e.w""".stripMargin)),
+
+    // node strength vs degree — the top-20 co-purchase hubs by total tie
+    // weight (Σw over incident edges), with mean weight per edge: the
+    // "is this node a hub of many weak ties or few strong ones"
+    // separation plain degree hides. One grouped aggregate over the
+    // artifact's symmetrized edges; deterministic (strength desc, p)
+    // top-20 keeps the output bounded at any scale.
+    QueryDef(
+      "q_node_strength",
+      (s, d) => {
+        val (e, _) = copurchaseGraph(s, d)
+        val nb = e.select(col("p1").as("p"), col("w"))
+          .unionAll(e.select(col("p2").as("p"), col("w")))
+        nb.groupBy("p")
+          .agg(count(lit(1)).as("deg"), sum("w").as("strength"))
+          .select(col("p"), col("deg"), col("strength"),
+            expr("strength * 1000 div deg").as("avg_w_milli"))
+          .orderBy(col("strength").desc, col("p")).limit(20)
+      },
+      Some("""WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS MATERIALIZED (SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS w
+             |      FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2),
+             |nb AS (SELECT p1 AS p, w FROM e UNION ALL SELECT p2, w FROM e)
+             |SELECT p, count(*) AS deg, CAST(sum(w) AS BIGINT) AS strength,
+             |  CAST(CAST(sum(w) AS HUGEINT) * 1000 // count(*) AS BIGINT) AS avg_w_milli
+             |FROM nb GROUP BY 1 ORDER BY strength DESC, p LIMIT 20""".stripMargin)),
+
+    // WEIGHTED PageRank over the co-purchase graph — random surfer
+    // follows ties proportionally to shared-order count, six fixed-point
+    // iterations (damping 0.85, rank in micro): the recommender
+    // centrality that values strong ties where q_pagerank's uniform walk
+    // cannot. Per-edge mass transfer is exact integer arithmetic
+    // ((r·w) div strength — deterministic in both engines), per-round
+    // sums widen to 128 bits, and each round cuts lineage so six rounds
+    // stay six joins, not a 2^6 replay. Top-25 by (rank desc, id) keeps
+    // the output bounded at any scale; the oracle unrolls the six rounds
+    // as explicit CTE stages (the q_pagerank convention).
+    QueryDef(
+      "q_weighted_pagerank",
+      (s, d) => {
+        val (e, _) = copurchaseGraph(s, d)
+        val nb = e.select(col("p1").as("u"), col("p2").as("v"), col("w"))
+          .unionAll(e.select(col("p2").as("u"), col("p1").as("v"), col("w")))
+        val st = nb.groupBy("u").agg(sum("w").as("s"))
+        val nbs = cutLineage(nb.join(st, "u"))
+        var pr = st.select(col("u").as("id"), lit(1000000L).as("r"))
+        for (_ <- 1 to 6) {
+          pr = cutLineage(
+            nbs.join(pr, nbs("u") === pr("id"))
+              .select(nbs("v").as("id0"), expr("(r * w) div s").as("c"))
+              .groupBy("id0")
+              .agg(expr("""CAST(150000 + (850000 * CAST(sum(c) AS DECIMAL(38,0)))
+                          | div 1000000 AS BIGINT)""".stripMargin).as("r"))
+              .select(col("id0").as("id"), col("r")))
+        }
+        pr.select(col("id").as("part_id"), col("r").as("rank_micro"))
+          .orderBy(col("rank_micro").desc, col("part_id")).limit(25)
+      },
+      Some(weightedPagerankOracle))
   )
+
+  /** Fixed-point WEIGHTED PageRank oracle — six unrolled stages over the
+    * co-purchase edge list, integer arithmetic mirroring the Spark loop
+    * term for term (`//` ↔ `div`, HUGEINT ↔ DECIMAL(38,0)). */
+  private def weightedPagerankOracle: String = {
+    val graph =
+      """WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS MATERIALIZED (SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS w
+        |      FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2),
+        |nb AS MATERIALIZED (SELECT p1 AS u, p2 AS v, w FROM e UNION ALL SELECT p2, p1, w FROM e),
+        |st AS MATERIALIZED (SELECT u, sum(w) AS s FROM nb GROUP BY 1),
+        |pr0 AS (SELECT u AS id, CAST(1000000 AS BIGINT) AS r FROM st)""".stripMargin
+    val iters = (1 to 6).map { k =>
+      s"""pr$k AS MATERIALIZED (SELECT nb.v AS id,
+         |    CAST(150000 + 850000 * sum(pr${k - 1}.r * nb.w // st.s) // 1000000 AS BIGINT) AS r
+         |  FROM nb JOIN pr${k - 1} ON pr${k - 1}.id = nb.u JOIN st ON st.u = nb.u
+         |  GROUP BY 1)""".stripMargin
+    }
+    (graph +: iters).mkString(",\n") +
+      "\nSELECT id AS part_id, r AS rank_micro FROM pr6" +
+      "\nORDER BY rank_micro DESC, part_id LIMIT 25"
+  }
 }

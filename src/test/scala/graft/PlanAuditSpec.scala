@@ -211,7 +211,11 @@ class PlanAuditSpec extends SparkSpec {
       "q_stump_split",
       // q_gain_chart: withGlobalNtile's offset prefix-sum + the
       // cumulative pass over the 10-row decile table
-      "q_gain_chart")
+      "q_gain_chart",
+      // q_theilsen: day indexing + pair-slope rank over the CALENDAR-
+      // bounded day series (≤ #days rows / C(#days, 2) pairs after one
+      // map-combined grouped count — the q_changepoint convention)
+      "q_theilsen")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
       val global = fn(spark, sf).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
