@@ -198,7 +198,12 @@ object ScaleProbe {
       "q_als_step", "q_assortativity", "q_cuped", "q_power_analysis",
       "q_survival_km", "q_did", "q_propensity_strat", "q_mcnemar",
       "q_forecast_skill", "q_stump_split", "q_target_encode",
-      "q_gain_chart", "q_price_elasticity", "q_hill_tail")
+      "q_gain_chart", "q_price_elasticity", "q_hill_tail",
+      // round 10: weighted-graph trio on the published artifact + the
+      // four new estimators
+      "q_edge_strength", "q_node_strength", "q_weighted_pagerank",
+      "q_welch_ttest", "q_theilsen", "q_kendall_tau", "q_mutual_info",
+      "q_lag_corr")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

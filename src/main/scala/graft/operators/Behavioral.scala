@@ -2200,6 +2200,95 @@ object Behavioral {
              |  CAST(sum(conc) AS BIGINT) AS concordant,
              |  CAST(sum(disc) AS BIGINT) AS discordant,
              |  CAST(round(sum(conc - disc) * 1000000.0 / count(*)) AS BIGINT) AS tau_a_micro
-             |FROM pr""".stripMargin))
+             |FROM pr""".stripMargin)),
+
+    // mutual information between event type and the high-value flag —
+    // the model-free dependence screen beside q_cramers_v (MI reads in
+    // nats and feeds feature selection directly). One grouped count
+    // builds the bounded |types|×2 contingency grid; marginals re-
+    // aggregate the GRID (never the fact table), and each cell's
+    // p·ln(p/(px·py)) term is nano-quantized BEFORE the sum — the
+    // reduction is an exact integer sum over ≤ 2·|types| cells, immune
+    // to float summation order (the cross-engine convention). Near-zero
+    // on the value⊥type fixture — the honest null.
+    QueryDef(
+      "q_mutual_info",
+      (s, d) => {
+        val c = Tables.events(s, d)
+          .select(col("event_type"),
+            when(col("value") > 250, 1).otherwise(0).as("hv"))
+          .groupBy("event_type", "hv").agg(count(lit(1)).as("n"))
+        val t = c.agg(sum("n").as("tot"))
+        val mx = c.groupBy("event_type").agg(sum("n").as("nx"))
+        val my = c.groupBy("hv").agg(sum("n").as("ny"))
+        c.join(mx, "event_type").join(my, "hv").crossJoin(broadcast(t))
+          .select(expr("""CAST(round(1000000000 * (CAST(n AS DOUBLE) / tot)
+                 | * ln(CAST(n AS DOUBLE) * tot / (CAST(nx AS DOUBLE) * ny)))
+                 | AS BIGINT)""".stripMargin).as("term_nano"))
+          .agg(count(lit(1)).as("n_cells"), sum("term_nano").as("mi_nano"))
+      },
+      Some("""WITH c AS (SELECT event_type, CASE WHEN value > 250 THEN 1 ELSE 0 END AS hv,
+             |             count(*) AS n FROM events GROUP BY 1, 2),
+             |t AS (SELECT sum(n) AS tot FROM c),
+             |mx AS (SELECT event_type, sum(n) AS nx FROM c GROUP BY 1),
+             |my AS (SELECT hv, sum(n) AS ny FROM c GROUP BY 1),
+             |terms AS (SELECT CAST(round(1000000000 * (CAST(c.n AS DOUBLE) / t.tot)
+             |    * ln(CAST(c.n AS DOUBLE) * t.tot / (CAST(mx.nx AS DOUBLE) * my.ny)))
+             |    AS BIGINT) AS term_nano
+             |  FROM c JOIN mx USING (event_type) JOIN my USING (hv) CROSS JOIN t)
+             |SELECT count(*) AS n_cells, CAST(sum(term_nano) AS BIGINT) AS mi_nano
+             |FROM terms""".stripMargin)),
+
+    // lead–lag cross-correlation: Pearson r between daily view counts
+    // and purchase counts k days LATER, k = 0..5 — the "does browse
+    // volume predict buying volume, and with what delay" readout that
+    // sizes marketing attribution windows. The day series is calendar-
+    // bounded after one grouped count; each lag's moments are exact
+    // 128-bit integer sums and r micro-rounds one IEEE expression over
+    // them (the q_assortativity closed form), so both engines agree bit
+    // for bit at every lag.
+    QueryDef(
+      "q_lag_corr",
+      (s, d) => {
+        val dd = Tables.events(s, d)
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(count(when(col("event_type") === "view", 1)).as("x"),
+            count(when(col("event_type") === "purchase", 1)).as("y"))
+        val lags = s.range(6).select(col("id").cast("int").as("lag"))
+        val a = dd.select(col("day").as("d1"), col("x"))
+        val b = dd.select(col("day").as("d2"), col("y"))
+        a.crossJoin(broadcast(lags))
+          .join(broadcast(b), expr("d2 = date_add(d1, lag)"))
+          .groupBy("lag")
+          .agg(count(lit(1)).as("n_days"),
+            sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+            sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+            sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+            sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+            sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+          .select(col("lag"), col("n_days").as("n_days"),
+            expr("""CAST(round(CAST(n_days*sxy - sx*sy AS DOUBLE)
+                   | / sqrt(CAST(n_days*sxx - sx*sx AS DOUBLE)
+                   |        * CAST(n_days*syy - sy*sy AS DOUBLE)) * 1000000)
+                   | AS BIGINT)""".stripMargin).as("r_micro"))
+          .orderBy("lag")
+      },
+      Some("""WITH dd AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             |    count(CASE WHEN event_type='view' THEN 1 END) AS x,
+             |    count(CASE WHEN event_type='purchase' THEN 1 END) AS y
+             |  FROM events GROUP BY 1),
+             |lags AS (SELECT CAST(unnest(range(0, 6)) AS INT) AS lag),
+             |p AS (SELECT l.lag, a.x, b.y FROM lags l
+             |      JOIN dd a ON true
+             |      JOIN dd b ON b.day = a.day + to_days(l.lag)),
+             |m AS (SELECT lag, count(*) AS n, sum(CAST(x AS HUGEINT)) AS sx,
+             |        sum(CAST(y AS HUGEINT)) AS sy, sum(CAST(x AS HUGEINT)*y) AS sxy,
+             |        sum(CAST(x AS HUGEINT)*x) AS sxx, sum(CAST(y AS HUGEINT)*y) AS syy
+             |      FROM p GROUP BY 1)
+             |SELECT lag, CAST(n AS BIGINT) AS n_days,
+             |  CAST(round(CAST(n*sxy - sx*sy AS DOUBLE)
+             |    / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+             |    * 1000000) AS BIGINT) AS r_micro
+             |FROM m ORDER BY lag""".stripMargin))
   )
 }

@@ -872,14 +872,17 @@ object Release {
         val st = nb.groupBy("u").agg(sum("w").as("s"))
         val nbs = cutLineage(nb.join(st, "u"))
         var pr = st.select(col("u").as("id"), lit(1000000L).as("r"))
+        // the rounds form a LINEAR chain (each pr feeds exactly one
+        // consumer), so unlike q_kcore's multi-consumer frames no
+        // per-round lineage cut is needed: the weighted adjacency is
+        // checkpointed once and the six join+agg stages run as one job
         for (_ <- 1 to 6) {
-          pr = cutLineage(
-            nbs.join(pr, nbs("u") === pr("id"))
-              .select(nbs("v").as("id0"), expr("(r * w) div s").as("c"))
-              .groupBy("id0")
-              .agg(expr("""CAST(150000 + (850000 * CAST(sum(c) AS DECIMAL(38,0)))
-                          | div 1000000 AS BIGINT)""".stripMargin).as("r"))
-              .select(col("id0").as("id"), col("r")))
+          pr = nbs.join(pr, nbs("u") === pr("id"))
+            .select(nbs("v").as("id0"), expr("(r * w) div s").as("c"))
+            .groupBy("id0")
+            .agg(expr("""CAST(150000 + (850000 * CAST(sum(c) AS DECIMAL(38,0)))
+                        | div 1000000 AS BIGINT)""".stripMargin).as("r"))
+            .select(col("id0").as("id"), col("r"))
         }
         pr.select(col("id").as("part_id"), col("r").as("rank_micro"))
           .orderBy(col("rank_micro").desc, col("part_id")).limit(25)
