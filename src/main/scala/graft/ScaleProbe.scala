@@ -203,7 +203,7 @@ object ScaleProbe {
       // four new estimators
       "q_edge_strength", "q_node_strength", "q_weighted_pagerank",
       "q_welch_ttest", "q_theilsen", "q_kendall_tau", "q_mutual_info",
-      "q_lag_corr")
+      "q_lag_corr", "q_wasserstein", "q_mann_kendall", "q_price_index")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

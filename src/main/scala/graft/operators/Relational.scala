@@ -1363,6 +1363,55 @@ object Relational {
              |SELECT CAST((SELECT xk FROM mn) AS BIGINT) AS xmin_cents,
              |  CAST(base.k_all AS BIGINT) AS k,
              |  CAST(CAST(h.k_in AS HUGEINT) * 1000000000000 // s_nano AS BIGINT) AS alpha_milli
-             |FROM h CROSS JOIN base""".stripMargin))
+             |FROM h CROSS JOIN base""".stripMargin)),
+
+    // monthly Laspeyres vs Paasche price indices against the first
+    // shipping month — the inflation readout a revenue dashboard
+    // decomposes price from mix with: Laspeyres reweights each month's
+    // unit prices by BASE-month quantities, Paasche by the month's own.
+    // Per-(month, part) unit prices come from one map-combined fact
+    // aggregate (rev div qty, exact micro); the base column joins on
+    // l_partkey (one-month slice — AQE broadcasts it at fixture scale,
+    // shuffles it at warehouse scale, both correct); index numerators/
+    // denominators accumulate in 128-bit. Output bounded by the
+    // calendar.
+    QueryDef(
+      "q_price_index",
+      (s, d) => {
+        val pm = Tables.lineitem(s, d)
+          .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("m"),
+            col("l_partkey"))
+          .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev"),
+            sum(round(col("l_quantity")).cast("long")).as("qty"))
+        val p = pm.select(col("m"), col("l_partkey"),
+          expr("rev * 10000 div qty").as("p_micro"), col("qty"))
+        val m0 = p.agg(min("m").as("m0"))
+        val base = p.crossJoin(broadcast(m0)).where(col("m") === col("m0"))
+          .select(col("l_partkey"), col("p_micro").as("p0"), col("qty").as("q0"))
+        p.join(base, "l_partkey")
+          .groupBy(col("m").as("month"))
+          .agg(count(lit(1)).as("n_parts"),
+            sum(expr("CAST(p_micro AS DECIMAL(38,0)) * q0")).as("lnum"),
+            sum(expr("CAST(p0 AS DECIMAL(38,0)) * q0")).as("lden"),
+            sum(expr("CAST(p_micro AS DECIMAL(38,0)) * qty")).as("pnum"),
+            sum(expr("CAST(p0 AS DECIMAL(38,0)) * qty")).as("pden"))
+          .select(col("month"), col("n_parts"),
+            expr("CAST(lnum * 1000000 div lden AS BIGINT)").as("laspeyres_micro"),
+            expr("CAST(pnum * 1000000 div pden AS BIGINT)").as("paasche_micro"))
+          .orderBy("month")
+      },
+      Some("""WITH pm AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS m, l_partkey,
+             |    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev,
+             |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+             |  FROM lineitem GROUP BY 1, 2),
+             |p AS (SELECT m, l_partkey, rev * 10000 // qty AS p_micro, qty FROM pm),
+             |base AS (SELECT l_partkey, p_micro AS p0, qty AS q0 FROM p
+             |         WHERE m = (SELECT min(m) FROM p))
+             |SELECT p.m AS month, count(*) AS n_parts,
+             |  CAST(sum(CAST(p.p_micro AS HUGEINT) * b.q0) * 1000000
+             |    // sum(CAST(b.p0 AS HUGEINT) * b.q0) AS BIGINT) AS laspeyres_micro,
+             |  CAST(sum(CAST(p.p_micro AS HUGEINT) * p.qty) * 1000000
+             |    // sum(CAST(b.p0 AS HUGEINT) * p.qty) AS BIGINT) AS paasche_micro
+             |FROM p JOIN base b USING (l_partkey) GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

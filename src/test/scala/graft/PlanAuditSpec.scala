@@ -215,7 +215,10 @@ class PlanAuditSpec extends SparkSpec {
       // q_theilsen: day indexing + pair-slope rank over the CALENDAR-
       // bounded day series (≤ #days rows / C(#days, 2) pairs after one
       // map-combined grouped count — the q_changepoint convention)
-      "q_theilsen")
+      "q_theilsen",
+      // q_wasserstein: ECDF cumulatives + lead over the bounded
+      // integer-cents value domain (the q_ks_test argument)
+      "q_wasserstein")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
       val global = fn(spark, sf).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
