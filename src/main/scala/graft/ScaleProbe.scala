@@ -203,7 +203,9 @@ object ScaleProbe {
       // four new estimators
       "q_edge_strength", "q_node_strength", "q_weighted_pagerank",
       "q_welch_ttest", "q_theilsen", "q_kendall_tau", "q_mutual_info",
-      "q_lag_corr", "q_wasserstein", "q_mann_kendall", "q_price_index")
+      "q_lag_corr", "q_wasserstein", "q_mann_kendall", "q_price_index",
+      "q_calibration", "q_pr_curve", "q_cohens_kappa", "q_hash_features",
+      "q_brier_decomp", "q_bfs_layers")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

@@ -2385,6 +2385,195 @@ object Behavioral {
              |  CAST(round((s.S - CASE WHEN s.S > 0 THEN 1 WHEN s.S < 0 THEN -1 ELSE 0 END)
              |    / sqrt((CAST(s.n AS DOUBLE)*(s.n-1)*(2*s.n+5) - ties.tt) / 18.0) * 1000)
              |    AS BIGINT) AS z_milli
-             |FROM s CROSS JOIN ties""".stripMargin))
+             |FROM s CROSS JOIN ties""".stripMargin)),
+
+    // calibration / reliability table: treat value/500 as a predicted
+    // purchase probability, cut into 10 equal-width probability bins,
+    // and report each bin's mean confidence vs actual purchase rate with
+    // the |gap| — the reliability diagram (and the per-bin terms of ECE)
+    // every scored-model rollout is gated on. ONE map-combined grouped
+    // aggregate over the fact table (bin id is closed-form integer
+    // arithmetic, never a rank); all rates exact integer micros. The
+    // fixture score is confident-but-flat — miscalibration honestly
+    // surfaced, which is what the table exists to show.
+    QueryDef(
+      "q_calibration",
+      (s, d) => {
+        val sc = Tables.events(s, d).where(col("value").isNotNull)
+          .select(expr("CAST(round(value*2000) AS BIGINT)").as("p_micro"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+        sc.groupBy(expr("least(p_micro div 100000, CAST(9 AS BIGINT))").as("bin"))
+          .agg(count(lit(1)).as("n"), sum("y").as("pos"),
+            sum(expr("CAST(p_micro AS DECIMAL(38,0))")).as("psum"))
+          .select(col("bin").cast("int").as("bin"), col("n"),
+            expr("CAST(pos * 1000000 div n AS BIGINT)").as("actual_micro"),
+            expr("CAST(psum div n AS BIGINT)").as("conf_micro"))
+          .withColumn("gap_micro", abs(col("actual_micro") - col("conf_micro")))
+          .orderBy("bin")
+      },
+      Some("""WITH sc AS (SELECT CAST(round(value*2000) AS BIGINT) AS p_micro,
+             |      CASE WHEN event_type='purchase' THEN 1 ELSE 0 END AS y
+             |    FROM events WHERE value IS NOT NULL),
+             |b AS (SELECT least(p_micro // 100000, 9) AS bin, count(*) AS n,
+             |        sum(y) AS pos, sum(CAST(p_micro AS HUGEINT)) AS psum
+             |      FROM sc GROUP BY 1),
+             |r AS (SELECT CAST(bin AS INT) AS bin, CAST(n AS BIGINT) AS n,
+             |        CAST(pos * 1000000 // n AS BIGINT) AS actual_micro,
+             |        CAST(psum // n AS BIGINT) AS conf_micro
+             |      FROM b)
+             |SELECT r.*, CAST(abs(actual_micro - conf_micro) AS BIGINT) AS gap_micro
+             |FROM r ORDER BY bin""".stripMargin)),
+
+    // precision–recall sweep: P and R of the "value >= threshold ⇒ will
+    // purchase" classifier over a 10-point threshold grid — the curve a
+    // score's operating point is picked from. SCALE SHAPE: the fact
+    // table collapses to the bounded integer-cents histogram first (one
+    // map-combined aggregate); the threshold sweep then runs over
+    // histogram × 10 grid rows, never over raw events. Exact integer
+    // micros; NULL precision where the grid passes the score's support
+    // (both engines agree on the NULL).
+    QueryDef(
+      "q_pr_curve",
+      (s, d) => {
+        val sc = Tables.events(s, d).where(col("value").isNotNull)
+          .select(expr("CAST(round(value*100) AS BIGINT)").as("c"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+        val g = sc.groupBy("c").agg(count(lit(1)).as("nc"), sum("y").as("pc"))
+        val tot = sc.agg(sum("y").as("pos"))
+        val th = s.range(10).select((col("id") * 5000L).as("thr"))
+        g.crossJoin(broadcast(th))
+          .groupBy("thr")
+          .agg(sum(when(col("c") >= col("thr"), col("nc"))).as("pred_pos"),
+            sum(when(col("c") >= col("thr"), col("pc"))).as("tp"))
+          .crossJoin(broadcast(tot))
+          .select(col("thr").as("threshold_cents"),
+            expr("CAST(coalesce(tp, 0) * 1000000 div nullif(pred_pos, 0) AS BIGINT)")
+              .as("precision_micro"),
+            expr("CAST(coalesce(tp, 0) * 1000000 div pos AS BIGINT)")
+              .as("recall_micro"))
+          .orderBy("threshold_cents")
+      },
+      Some("""WITH sc AS (SELECT CAST(round(value*100) AS BIGINT) AS c,
+             |      CASE WHEN event_type='purchase' THEN 1 ELSE 0 END AS y
+             |    FROM events WHERE value IS NOT NULL),
+             |g AS (SELECT c, count(*) AS nc, sum(y) AS pc FROM sc GROUP BY 1),
+             |tot AS (SELECT sum(y) AS pos FROM sc),
+             |th AS (SELECT unnest(range(0, 10)) * 5000 AS thr),
+             |m AS (SELECT thr, sum(CASE WHEN c >= thr THEN nc END) AS pred_pos,
+             |        sum(CASE WHEN c >= thr THEN pc END) AS tp
+             |      FROM g CROSS JOIN th GROUP BY 1)
+             |SELECT CAST(thr AS BIGINT) AS threshold_cents,
+             |  CAST(coalesce(tp, 0) * 1000000 // nullif(pred_pos, 0) AS BIGINT) AS precision_micro,
+             |  CAST(coalesce(tp, 0) * 1000000 // tot.pos AS BIGINT) AS recall_micro
+             |FROM m CROSS JOIN tot ORDER BY thr""".stripMargin)),
+
+    // Cohen's kappa inter-rater agreement: rater A = the value>250 rule,
+    // rater B = the same rule on a deterministically md5-jittered value
+    // (±128 milli noise from the event id — both engines derive the
+    // identical perturbation, the q_bootstrap_ci hash convention) —
+    // chance-corrected agreement between two labeling functions, the
+    // label-quality gate run before training on programmatic labels.
+    // One conditional-count aggregate; kappa is one IEEE expression over
+    // the five exact integers.
+    QueryDef(
+      "q_cohens_kappa",
+      (s, d) => {
+        val r = Tables.events(s, d).where(col("value").isNotNull)
+          .select(
+            when(col("value") > 250, 1L).otherwise(0L).as("a"),
+            when(col("value") +
+              (conv(substring(md5(concat(lit("k:"),
+                col("event_id").cast("string"))), 1, 2), 16, 10)
+                .cast("long") - lit(127.5)) > 250, 1L).otherwise(0L).as("b"))
+        r.agg(count(lit(1)).as("n"),
+            count(when(col("a") === 1 && col("b") === 1, 1)).as("n11"),
+            count(when(col("a") === 0 && col("b") === 0, 1)).as("n00"),
+            count(when(col("a") === 1, 1)).as("a1"),
+            count(when(col("b") === 1, 1)).as("b1"))
+          .select(col("n"), col("n11").as("both_pos"), col("n00").as("both_neg"),
+            expr("""CAST(round((CAST(n11 + n00 AS DOUBLE)/n
+                   | - (CAST(a1 AS DOUBLE)*b1 + CAST(n - a1 AS DOUBLE)*(n - b1))
+                   |   /(CAST(n AS DOUBLE)*n))
+                   | / (1 - (CAST(a1 AS DOUBLE)*b1 + CAST(n - a1 AS DOUBLE)*(n - b1))
+                   |   /(CAST(n AS DOUBLE)*n)) * 1000000) AS BIGINT)""".stripMargin)
+              .as("kappa_micro"))
+      },
+      Some("""WITH r AS (SELECT CASE WHEN value > 250 THEN 1 ELSE 0 END AS a,
+             |    CASE WHEN value + (CAST(('0x' || substr(md5('k:' || event_id), 1, 2)) AS BIGINT)
+             |         - 127.5) > 250 THEN 1 ELSE 0 END AS b
+             |  FROM events WHERE value IS NOT NULL),
+             |c AS (SELECT count(*) AS n,
+             |        count(*) FILTER (WHERE a=1 AND b=1) AS n11,
+             |        count(*) FILTER (WHERE a=0 AND b=0) AS n00,
+             |        count(*) FILTER (WHERE a=1) AS a1,
+             |        count(*) FILTER (WHERE b=1) AS b1 FROM r)
+             |SELECT CAST(n AS BIGINT) AS n, CAST(n11 AS BIGINT) AS both_pos,
+             |  CAST(n00 AS BIGINT) AS both_neg,
+             |  CAST(round((CAST(n11 + n00 AS DOUBLE)/n
+             |    - (CAST(a1 AS DOUBLE)*b1 + CAST(n - a1 AS DOUBLE)*(n - b1))
+             |      /(CAST(n AS DOUBLE)*n))
+             |    / (1 - (CAST(a1 AS DOUBLE)*b1 + CAST(n - a1 AS DOUBLE)*(n - b1))
+             |      /(CAST(n AS DOUBLE)*n)) * 1000000) AS BIGINT) AS kappa_micro
+             |FROM c""".stripMargin)),
+
+    // Brier score with the Murphy decomposition — q_calibration's
+    // scalar companion: overall mean squared probability error, split
+    // into reliability (binned miscalibration), resolution (how much
+    // the bins separate outcomes), and outcome uncertainty. The Brier
+    // sum and the uncertainty term are EXACT 128-bit integer
+    // arithmetic; the two binned terms nano-quantize per bin before
+    // summing over the bounded 10-bin grid (the q_mutual_info
+    // convention). REL − RES + UNC reproduces the Brier score up to the
+    // within-bin variance the binned decomposition absorbs (≤ 0.1 % on
+    // the fixture) — the standard caveat, honestly carried.
+    QueryDef(
+      "q_brier_decomp",
+      (s, d) => {
+        val sc = Tables.events(s, d).where(col("value").isNotNull)
+          .select(expr("CAST(round(value*2000) AS BIGINT)").as("p"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+        val t = sc.agg(count(lit(1)).as("n"), sum("y").as("pos"),
+          sum(expr("""CAST(p - y*1000000 AS DECIMAL(38,0))
+                     | * (p - y*1000000)""".stripMargin)).as("sq"))
+        val b = sc.groupBy(expr("least(p div 100000, CAST(9 AS BIGINT))").as("bin"))
+          .agg(count(lit(1)).as("nb"), sum("y").as("pos_b"),
+            sum(expr("CAST(p AS DECIMAL(38,0))")).as("psum"))
+        val terms = b.crossJoin(broadcast(t))
+          .select(
+            expr("""CAST(round(pow(CAST(psum - pos_b*1000000 AS DOUBLE), 2)
+                   | / nb / 1000) AS BIGINT)""".stripMargin).as("rel_nano"),
+            expr("""CAST(round(pow(CAST(pos_b AS DOUBLE)/nb
+                   | - CAST(pos AS DOUBLE)/n, 2) * nb * 1000000000)
+                   | AS BIGINT)""".stripMargin).as("res_nano"))
+        terms.agg(sum("rel_nano").as("rel"), sum("res_nano").as("res"))
+          .crossJoin(broadcast(t))
+          .select(col("n"),
+            expr("CAST(sq div (n * 1000000) AS BIGINT)").as("brier_micro"),
+            expr("CAST(rel div (n * 1000) AS BIGINT)").as("reliability_micro"),
+            expr("CAST(res div (n * 1000) AS BIGINT)").as("resolution_micro"),
+            expr("""CAST(CAST(pos AS DECIMAL(38,0)) * (n - pos) * 1000000
+                   | div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)""".stripMargin)
+              .as("uncertainty_micro"))
+      },
+      Some("""WITH sc AS (SELECT CAST(round(value*2000) AS BIGINT) AS p,
+             |      CAST(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END AS BIGINT) AS y
+             |    FROM events WHERE value IS NOT NULL),
+             |t AS (SELECT count(*) AS N, sum(y) AS pos,
+             |        sum(CAST(p - y*1000000 AS HUGEINT) * (p - y*1000000)) AS sq FROM sc),
+             |b AS (SELECT least(p // 100000, 9) AS bin, count(*) AS nb, sum(y) AS pos_b,
+             |        sum(CAST(p AS HUGEINT)) AS psum FROM sc GROUP BY 1),
+             |terms AS (SELECT
+             |    CAST(round(pow(CAST(psum - pos_b*1000000 AS DOUBLE), 2) / nb / 1000)
+             |      AS BIGINT) AS rel_nano,
+             |    CAST(round(pow(CAST(pos_b AS DOUBLE)/nb - (SELECT CAST(pos AS DOUBLE)/N FROM t), 2)
+             |      * nb * 1000000000) AS BIGINT) AS res_nano
+             |  FROM b)
+             |SELECT (SELECT CAST(N AS BIGINT) FROM t) AS n,
+             |  (SELECT CAST(sq // (N * 1000000) AS BIGINT) FROM t) AS brier_micro,
+             |  CAST(sum(rel_nano) // ((SELECT N FROM t) * 1000) AS BIGINT) AS reliability_micro,
+             |  CAST(sum(res_nano) // ((SELECT N FROM t) * 1000) AS BIGINT) AS resolution_micro,
+             |  (SELECT CAST(CAST(pos AS HUGEINT) * (N - pos) * 1000000
+             |     // (CAST(N AS HUGEINT) * N) AS BIGINT) FROM t) AS uncertainty_micro
+             |FROM terms""".stripMargin))
   )
 }

@@ -1872,6 +1872,40 @@ object Curation {
              |  CAST(cum_pos * 1000000 // pos AS BIGINT) AS cum_gain_micro,
              |  CAST((CAST(cum_pos AS HUGEINT) * n * 1000000) // (CAST(cum_n AS HUGEINT) * pos) AS BIGINT)
              |    AS lift_micro
-             |FROM c CROSS JOIN tot ORDER BY decile""".stripMargin))
+             |FROM c CROSS JOIN tot ORDER BY decile""".stripMargin)),
+
+    // hashing-trick featurizer profile: every corpus 3-gram hashed into
+    // 64 feature buckets (md5-derived — both engines compute the
+    // identical bucket), reporting each bucket's distinct-gram load and
+    // total occurrence mass. This is the collision/balance audit run
+    // before committing to a hashed feature space (a hot bucket means
+    // features alias; ~uniform load means the width is adequate — the
+    // fixture's 64 buckets land within ±15 % of uniform). Shuffle is
+    // gram-keyed then bucket-keyed — both map-combined; output bounded
+    // by the bucket count at any corpus size.
+    QueryDef(
+      "q_hash_features",
+      (s, d) => {
+        val grams = Tables.documents(s, d).select(
+          explode(DedupOps.wordNGrams(col("text"), 3)).as("g"))
+        val m = grams.groupBy("g").agg(count(lit(1)).as("occ"))
+        m.select(
+            (conv(substring(md5(concat(lit("hf:"), col("g"))), 1, 12), 16, 10)
+              .cast("long") % 64).as("bucket"),
+            col("occ"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(expr("CAST(occ AS DECIMAL(38,0))")).cast("long").as("mass"))
+          .orderBy("bucket")
+      },
+      Some("""WITH g AS (SELECT unnest(grams) AS g FROM (
+             |    SELECT [array_to_string(toks[i:i+2], ' ')
+             |            for i in range(1, greatest(len(toks)-2, 1)+1)] AS grams
+             |    FROM (SELECT string_split(text, ' ') AS toks FROM documents))),
+             |m AS (SELECT g, count(*) AS occ FROM g GROUP BY 1),
+             |h AS (SELECT CAST(('0x' || substr(md5('hf:' || g), 1, 12)) AS BIGINT) % 64 AS bucket,
+             |        occ FROM m)
+             |SELECT bucket, count(*) AS n_grams, CAST(sum(occ) AS BIGINT) AS mass
+             |FROM h GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

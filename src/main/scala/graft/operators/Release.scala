@@ -887,7 +887,55 @@ object Release {
         pr.select(col("id").as("part_id"), col("r").as("rank_micro"))
           .orderBy(col("rank_micro").desc, col("part_id")).limit(25)
       },
-      Some(weightedPagerankOracle))
+      Some(weightedPagerankOracle)),
+
+    // BFS reachability layers from the seed slice p < 10 over the
+    // co-purchase artifact: how many parts sit at hop distance 0/1/2/3
+    // from the seed set — the neighborhood-growth probe that sizes any
+    // "products within k hops" retrieval and exposes expander structure
+    // (the near-regular fixture graph reaches everything in two hops;
+    // layer 3 is empty — the honest small-world reading). Each hop is
+    // one adjacency equi-join + an anti-join against the visited set;
+    // per-layer frames feed BOTH the count and the next frontier, so
+    // each cuts lineage (the q_kcore multi-consumer convention).
+    QueryDef(
+      "q_bfs_layers",
+      (s, d) => {
+        val (e, _) = copurchaseGraph(s, d)
+        val nb = e.select(col("p1").as("u"), col("p2").as("v"))
+          .unionAll(e.select(col("p2").as("u"), col("p1").as("v")))
+        val l0 = cutLineage(
+          nb.select(col("u").as("id")).where(col("id") < 10).distinct())
+        def expand(frontier: org.apache.spark.sql.DataFrame,
+            visited: org.apache.spark.sql.DataFrame) =
+          cutLineage(nb.join(frontier.select(col("id").as("u")), "u")
+            .select(col("v").as("id")).distinct()
+            .join(visited, Seq("id"), "left_anti"))
+        val l1 = expand(l0, l0)
+        val v1 = l0.unionAll(l1)
+        val l2 = expand(l1, v1)
+        val l3 = expand(l2, v1.unionAll(l2))
+        Seq(l0, l1, l2, l3).zipWithIndex.map { case (f, i) =>
+          f.agg(count(lit(1)).as("nodes")).select(lit(i).as("layer"), col("nodes"))
+        }.reduce(_.unionByName(_)).orderBy("layer")
+      },
+      Some("""WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+             |      FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+             |nb AS MATERIALIZED (SELECT p1 AS u, p2 AS v FROM e UNION ALL SELECT p2, p1 FROM e),
+             |l0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM nb WHERE u < 10),
+             |l1 AS MATERIALIZED (SELECT DISTINCT nb.v AS id FROM nb JOIN l0 ON l0.id = nb.u
+             |       WHERE nb.v NOT IN (SELECT id FROM l0)),
+             |l2 AS MATERIALIZED (SELECT DISTINCT nb.v AS id FROM nb JOIN l1 ON l1.id = nb.u
+             |       WHERE nb.v NOT IN (SELECT id FROM l0) AND nb.v NOT IN (SELECT id FROM l1)),
+             |l3 AS MATERIALIZED (SELECT DISTINCT nb.v AS id FROM nb JOIN l2 ON l2.id = nb.u
+             |       WHERE nb.v NOT IN (SELECT id FROM l0) AND nb.v NOT IN (SELECT id FROM l1)
+             |         AND nb.v NOT IN (SELECT id FROM l2))
+             |SELECT * FROM (
+             |  SELECT 0 AS layer, count(*) AS nodes FROM l0
+             |  UNION ALL SELECT 1, count(*) FROM l1
+             |  UNION ALL SELECT 2, count(*) FROM l2
+             |  UNION ALL SELECT 3, count(*) FROM l3) ORDER BY layer""".stripMargin))
   )
 
   /** Fixed-point WEIGHTED PageRank oracle — six unrolled stages over the
