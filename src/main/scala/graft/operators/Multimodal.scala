@@ -10,8 +10,12 @@ import org.apache.spark.sql.types._
   * feature-extraction stage. Image decode and resize run through
   * `javax.imageio` (pure-JDK PNG/BMP/GIF/JPEG codecs) with a
   * clearly-marked deterministic STUB fallback for undecodable payloads
-  * (the text-bytes fixtures, and any format the JDK lacks — video frame
-  * sampling stays stubbed, there is no JDK video codec). The Spark-side
+  * (the text-bytes fixtures, and any format the JDK lacks). Audio and
+  * video CONTAINERS are parsed for real — byte-level RIFF walks for
+  * WAV ([[parseWav]]) and AVI ([[parseAvi]]/[[aviFrames]]) — while the
+  * in-frame video PIXEL decode stays stubbed (there is no JDK video
+  * codec; the frame chunk boundaries, indices, and bytes are real).
+  * The Spark-side
   * contract — schema, batching, partition-parallel execution — is real
   * and is what matters at 100 TB (payload bytes never pass through the
   * driver; features are computed executor-side, partition by partition).
@@ -304,6 +308,157 @@ object Multimodal {
     }(enc).toDF()
   }
 
+  // ---- video: real RIFF/AVI container parse + frame sampling ----
+
+  /** Output schema of the video feature stage. */
+  val videoFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("fps_milli", LongType),
+    StructField("duration_ms", LongType),
+    StructField("sampled", IntegerType),
+    StructField("sample_checksum", LongType)))
+
+  /** Parsed AVI: (µsPerFrame, totalFrames, width, height, moviOff,
+    * moviLen). Walks the top-level RIFF LIST chunks — `hdrl` for the
+    * `avih` main header, `movi` for the frame payload region — with the
+    * same hostile-size guards as [[parseWav]]: decoding runs against a
+    * corpus, and one corrupt container must degrade, never throw or
+    * over-read. */
+  def parseAvi(b: Array[Byte]): Option[(Int, Int, Int, Int, Int, Int)] = {
+    if (b.length < 100 || tag(b, 0) != "RIFF" || tag(b, 8) != "AVI ") return None
+    var off = 12
+    var hdr: Option[(Int, Int, Int, Int)] = None
+    var movi: Option[(Int, Int)] = None
+    while (off + 12 <= b.length && (hdr.isEmpty || movi.isEmpty)) {
+      val id = tag(b, off)
+      val sz = leInt(b, off + 4)
+      if (sz < 4 || off.toLong + 8 + sz > b.length) return None
+      if (id == "LIST") {
+        val sub = tag(b, off + 8)
+        if (sub == "hdrl") {
+          // avih must be the first child; its 56-byte body carries
+          // µsPerFrame(+0), totalFrames(+16), width(+32), height(+36)
+          val a = off + 12
+          if (a + 8 + 56 > b.length || tag(b, a) != "avih" ||
+            leInt(b, a + 4) < 56) return None
+          hdr = Some((leInt(b, a + 8), leInt(b, a + 24),
+            leInt(b, a + 40), leInt(b, a + 44)))
+        } else if (sub == "movi") movi = Some((off + 12, sz - 4))
+      }
+      off += 8 + sz + (sz & 1)
+    }
+    for ((us, nf, w, h) <- hdr; (mo, ml) <- movi
+         if us > 0 && nf >= 0 && w > 0 && h > 0)
+      yield (us, nf, w, h, mo, ml)
+  }
+
+  /** Walk the `movi` region's frame chunks (any `##dc`/`##db` stream
+    * 4cc accepted) returning (frameIndex, payloadOffset, payloadLen). */
+  def aviFrames(b: Array[Byte], moviOff: Int, moviLen: Int): Seq[(Int, Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    var off = moviOff
+    var idx = 0
+    while (off + 8 <= moviOff + moviLen && off + 8 <= b.length) {
+      val sz = leInt(b, off + 4)
+      if (sz < 0 || off.toLong + 8 + sz > b.length) return out.toSeq
+      out += ((idx, off + 8, sz))
+      idx += 1
+      off += 8 + sz + (sz & 1)
+    }
+    out.toSeq
+  }
+
+  /** STUB video decode for unparseable payloads, marked by
+    * n_frames = 0 with stub dimensions — the corpus-scale degradation
+    * contract shared with [[stubAudioFeatures]]. */
+  def stubVideoFeatures(id: Long, b: Array[Byte]): Row = {
+    val (w, h) = stubDecodeDims(b.length)
+    Row(id, b.length, w, h, 0, 0L, 0L, 0, 0L)
+  }
+
+  /** Partition-parallel video feature extraction: container metadata,
+    * frame count/rate/duration, and an every-2nd-frame sample whose
+    * checksum (sum of each sampled frame's first payload byte) pins the
+    * movi chunk-walk byte-for-byte. Parse failures degrade to
+    * [[stubVideoFeatures]]; payloads move executor-side only. */
+  def videoFeatures(spark: SparkSession, withBytes: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(videoFeatureSchema)
+    withBytes.select("doc_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getAs[Number](0).longValue()
+        val b0 = r.getAs[Array[Byte]](1)
+        val b = if (b0 == null) Array.emptyByteArray else b0
+        parseAvi(b) match {
+          case Some((us, nf, w, h, mo, ml)) =>
+            val sampled = aviFrames(b, mo, ml).filter(_._1 % 2 == 0)
+            val cks = sampled.map { case (_, o, len) =>
+              if (len > 0) (b(o) & 0xff).toLong else 0L }.sum
+            Row(id, b.length, w, h, nf,
+              math.round(1e6 / us * 1000), nf.toLong * us / 1000,
+              sampled.size, cks)
+          case None => stubVideoFeatures(id, b)
+        }
+      }
+    }(enc).toDF()
+  }
+
+  /** Deterministic synthetic AVI per document: 25 fps, 4 + doc_id % 6
+    * frames of 64 + (n_chars % 32)·2 bytes (even, so RIFF word
+    * alignment is a no-op), each frame filled with
+    * (doc_id + 7·frame) % 251 — every derived feature and the sampled
+    * checksum have closed forms in (doc_id, n_chars), so a SQL oracle
+    * pins the full synth → container → chunk-walk → sample loop. */
+  def synthAvi(docId: Long, nChars: Long): Array[Byte] = {
+    val nf = (4 + docId % 6).toInt
+    val fb = (64 + (nChars % 32) * 2).toInt
+    val w = (16 + nChars % 16).toInt
+    val h = (12 + docId % 12).toInt
+    val total = 100 + nf * (8 + fb)
+    val out = new Array[Byte](total)
+    def putTag(o: Int, s: String): Unit =
+      System.arraycopy(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII), 0, out, o, 4)
+    def putLeInt(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+      out(o + 2) = ((v >> 16) & 0xff).toByte; out(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    putTag(0, "RIFF"); putLeInt(4, total - 8); putTag(8, "AVI ")
+    putTag(12, "LIST"); putLeInt(16, 68); putTag(20, "hdrl")
+    putTag(24, "avih"); putLeInt(28, 56)
+    putLeInt(32, 40000) // µs per frame (25 fps)
+    putLeInt(48, nf) // total frames
+    putLeInt(56, 1) // streams
+    putLeInt(60, fb) // suggested buffer
+    putLeInt(64, w); putLeInt(68, h)
+    putTag(88, "LIST"); putLeInt(92, 4 + nf * (8 + fb)); putTag(96, "movi")
+    var f = 0
+    var off = 100
+    while (f < nf) {
+      putTag(off, "00dc"); putLeInt(off + 4, fb)
+      java.util.Arrays.fill(out, off + 8, off + 8 + fb,
+        ((docId + 7 * f) % 251).toByte)
+      f += 1
+      off += 8 + fb
+    }
+    out
+  }
+
+  /** Attach the synthetic AVI payload (executor-side synthesis). */
+  def withVideoPayload(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select("doc_id", "n_chars").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getAs[Number](0).longValue()
+        Row(id, synthAvi(id, r.getAs[Number](1).longValue()))
+      }
+    }(enc).toDF()
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // binary payload + metadata + feature extraction, expressed with
@@ -346,6 +501,36 @@ object Multimodal {
              |  CAST(64 + n_chars % 192 AS INT) AS n_samples,
              |  CAST((10 + doc_id % 50) * 1000 AS BIGINT) AS rms_milli,
              |  CAST(round((64 + n_chars % 192) / 8.0) AS BIGINT) AS duration_ms
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // video modality end-to-end — the third leg beside image features
+    // and the WAV codec: synthesize a REAL RIFF/AVI container per
+    // document executor-side (hdrl/avih main header + movi frame
+    // chunks, parameters closed forms in doc_id/n_chars), then run the
+    // actual byte-level container parse, frame chunk-walk, and
+    // every-2nd-frame sampling. The oracle states the closed forms
+    // incl. the sampled-frame checksum, so a header-offset, LIST-walk,
+    // frame-index, or sampling bug each breaks the hash match. Per-row
+    // work only, no shuffle; payload bytes never leave the executors.
+    QueryDef(
+      "q_video_frames",
+      (s, d) => videoFeatures(s, withVideoPayload(Tables.documents(s, d)))
+        .orderBy("doc_id"),
+      Some("""WITH base AS (SELECT doc_id, n_chars,
+             |    4 + doc_id % 6 AS nf, 64 + (n_chars % 32) * 2 AS fb FROM documents),
+             |ck AS (SELECT b.doc_id, count(*) AS sampled,
+             |         CAST(sum((b.doc_id + 14 * t.k) % 251) AS BIGINT) AS cks
+             |       FROM base b, LATERAL (SELECT unnest(range(0, (b.nf + 1) // 2)) AS k) t
+             |       GROUP BY 1)
+             |SELECT b.doc_id,
+             |  CAST(100 + b.nf * (8 + b.fb) AS INT) AS n_bytes,
+             |  CAST(16 + b.n_chars % 16 AS INT) AS width,
+             |  CAST(12 + b.doc_id % 12 AS INT) AS height,
+             |  CAST(b.nf AS INT) AS n_frames,
+             |  CAST(25000 AS BIGINT) AS fps_milli,
+             |  CAST(b.nf * 40 AS BIGINT) AS duration_ms,
+             |  CAST(ck.sampled AS INT) AS sampled,
+             |  ck.cks AS sample_checksum
+             |FROM base b JOIN ck USING (doc_id) ORDER BY b.doc_id""".stripMargin))
   )
 }

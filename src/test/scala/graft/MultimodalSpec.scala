@@ -140,4 +140,31 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.getInt(5) == 4, "n_samples from data length / block size")
     assert(feats.getLong(6) == 1000000L, "RMS of a constant-amplitude wave in milli-units")
   }
+
+  test("AVI parse: synthesized container round-trips; corrupt payloads degrade to the stub") {
+    val b = Multimodal.synthAvi(docId = 7L, nChars = 100L)
+    val Some((us, nf, w, h, mo, ml)) = Multimodal.parseAvi(b)
+    assert(us == 40000 && nf == 5, "25 fps, 4 + 7%6 frames")
+    assert(w == 16 + 100 % 16 && h == 12 + 7 % 12)
+    val frames = Multimodal.aviFrames(b, mo, ml)
+    assert(frames.size == nf, "movi chunk-walk finds every frame")
+    assert(frames.map(_._3).distinct == Seq(64 + (100 % 32) * 2))
+    // frame f is filled with (doc_id + 7f) % 251
+    for ((idx, off, _) <- frames)
+      assert((b(off) & 0xff) == ((7 + 7 * idx) % 251).toInt, s"frame $idx fill")
+
+    // corruption degrades, never throws: truncated, wrong magic, and a
+    // hostile LIST size that would over-read
+    assert(Multimodal.parseAvi(b.take(50)).isEmpty)
+    val wrongMagic = b.clone(); wrongMagic(8) = 'X'.toByte
+    assert(Multimodal.parseAvi(wrongMagic).isEmpty)
+    val hostile = b.clone()
+    hostile(16) = 0xff.toByte; hostile(17) = 0xff.toByte
+    hostile(18) = 0xff.toByte; hostile(19) = 0x7f.toByte
+    assert(Multimodal.parseAvi(hostile).isEmpty)
+    import spark.implicits._
+    val stub = Multimodal.videoFeatures(spark,
+      Seq((1L, b.take(40))).toDF("doc_id", "payload")).collect().head
+    assert(stub.getInt(4) == 0, "stub marked by n_frames = 0")
+  }
 }

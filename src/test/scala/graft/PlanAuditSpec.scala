@@ -259,6 +259,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("dup-report family consumes the cluster-label artifact — no LSH chain at query time") {
+    // corpusAndClusters publishes the MinHash-LSH + star-contraction
+    // labels as a parquet artifact since round 10: consumer plans must
+    // scan stored (id, cluster) rows with NO shingle explode (Generate)
+    // anywhere — the signature stage runs only at artifact build
+    for (name <- Seq("q_dedup_corpus", "q_dedup_keep_best")) {
+      val plan = planOf(name)
+      assert(!plan.contains("Generate"),
+        s"$name re-runs the shingle/LSH stage at query time:\n${plan.take(3000)}")
+      assert(plan.contains("Scan parquet"),
+        s"$name does not scan the stored cluster artifact:\n${plan.take(2000)}")
+    }
+  }
+
   test("q_link_predict: adjacency cap is a p-keyed window, wedges stay equi-joins") {
     val plan = planOf("q_link_predict")
     assert(plan.contains("hashpartitioning(p#"),
