@@ -220,6 +220,64 @@ object AsofJoin {
              |FROM e JOIN p USING (event_id) JOIN n USING (event_id)
              |LEFT JOIN v pv ON pv.user_id = e.user_id AND pv.v_ts = p.prev_ts
              |LEFT JOIN v nv ON nv.user_id = e.user_id AND nv.v_ts = n.next_ts
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // POINT-IN-TIME-correct feature join — the feature-store op that
+    // keeps training labels leak-free: every purchase label joins the
+    // user's most recent DAILY feature snapshot that closed STRICTLY
+    // before the label's day (features for day d publish at end-of-d,
+    // so the as-of cutoff is label_day − 1). Rides [[asofJoin]]'s
+    // union+window form — one user-keyed shuffle, output ∝ labels, no
+    // |labels|×|snapshots| fan-out (what the naive range join does and
+    // what kills PIT joins at 100 TB). The report groups labels by
+    // feature age; `leaks` counts feat_day ≥ label_day rows and MUST be
+    // zero — the audit column is the point; first-day labels with no
+    // prior snapshot surface as age −1 (cold start), never silently
+    // dropped.
+    QueryDef(
+      "q_pit_features",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("user_id"),
+          col("ts").cast("date").as("day"), col("event_type"), col("event_id"),
+          expr("CAST(round(value*1000) AS BIGINT)").as("v"))
+        val fd = ev.groupBy("user_id", "day")
+          .agg(count(lit(1)).as("acts"), sum("v").as("vsum"))
+          .withColumn("feat_day", col("day"))
+        val lb = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("day").as("label_day"), col("event_id"))
+          .withColumn("cutoff", date_add(col("label_day"), -1))
+        val j = asofJoin(lb,
+          fd.select("user_id", "day", "acts", "vsum", "feat_day"),
+          Seq("user_id"), "cutoff", "day", Seq("acts", "vsum", "feat_day"))
+        j.groupBy(coalesce(datediff(col("label_day"), col("feat_day")), lit(-1))
+            .cast("int").as("age_days"))
+          .agg(count(lit(1)).as("n_labels"),
+            coalesce(sum(expr("CAST(acts AS DECIMAL(38,0))")), lit(0))
+              .cast("long").as("feat_acts"),
+            coalesce(sum(expr("CAST(vsum AS DECIMAL(38,0))")), lit(0))
+              .cast("long").as("feat_vsum_milli"),
+            count(when(col("feat_day") >= col("label_day"), 1)).as("leaks"))
+          .orderBy("age_days")
+      },
+      Some("""WITH ev AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             |      event_id, event_type, CAST(round(value*1000) AS BIGINT) AS v
+             |    FROM events),
+             |fd AS (SELECT user_id, day, count(*) AS acts, sum(v) AS vsum
+             |       FROM ev GROUP BY 1, 2),
+             |lb AS (SELECT user_id, day AS label_day, event_id FROM ev
+             |       WHERE event_type = 'purchase'),
+             |pit AS (SELECT l.user_id, l.event_id, l.label_day, max(f.day) AS feat_day
+             |        FROM lb l JOIN fd f ON f.user_id = l.user_id AND f.day < l.label_day
+             |        GROUP BY 1, 2, 3),
+             |j AS (SELECT l.label_day, p.feat_day, f.acts, f.vsum
+             |      FROM lb l
+             |      LEFT JOIN pit p ON p.event_id = l.event_id
+             |      LEFT JOIN fd f ON f.user_id = l.user_id AND f.day = p.feat_day)
+             |SELECT CAST(coalesce(date_diff('day', feat_day, label_day), -1) AS INT) AS age_days,
+             |  count(*) AS n_labels,
+             |  CAST(coalesce(sum(CAST(acts AS HUGEINT)), 0) AS BIGINT) AS feat_acts,
+             |  CAST(coalesce(sum(CAST(vsum AS HUGEINT)), 0) AS BIGINT) AS feat_vsum_milli,
+             |  CAST(count(CASE WHEN feat_day >= label_day THEN 1 END) AS BIGINT) AS leaks
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
