@@ -205,7 +205,8 @@ object ScaleProbe {
       "q_welch_ttest", "q_theilsen", "q_kendall_tau", "q_mutual_info",
       "q_lag_corr", "q_wasserstein", "q_mann_kendall", "q_price_index",
       "q_calibration", "q_pr_curve", "q_cohens_kappa", "q_hash_features",
-      "q_brier_decomp", "q_bfs_layers", "q_video_frames", "q_pit_features")
+      "q_brier_decomp", "q_bfs_layers", "q_video_frames", "q_pit_features",
+      "q_user_features", "q_negative_downsample")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

@@ -2516,6 +2516,44 @@ object Behavioral {
              |      /(CAST(n AS DOUBLE)*n)) * 1000000) AS BIGINT) AS kappa_micro
              |FROM c""".stripMargin)),
 
+    // per-user ML feature-vector assembly — the wide feature-store row
+    // a training job reads (activity volume, breadth, tenure shape,
+    // purchase behavior, error propensity) materialized in ONE grouped
+    // pass over the fact table: the multiple distinct aggregates ride
+    // Spark's expand, everything else map-combines, and every feature
+    // is exact-integer so the stored table is bit-stable across
+    // engines and reruns (what makes feature backfills diffable).
+    // Pairs with q_pit_features, which serves these rows leak-free.
+    QueryDef(
+      "q_user_features",
+      (s, d) => {
+        Tables.events(s, d).groupBy("user_id").agg(
+            count(lit(1)).as("n_events"),
+            countDistinct(col("event_type")).as("n_types"),
+            countDistinct(col("ts").cast("date")).as("active_days"),
+            datediff(lit("2024-02-01").cast("date"), max(to_date(col("ts"))))
+              .cast("long").as("recency_days"),
+            count(when(col("event_type") === "purchase", 1)).as("purchases"),
+            coalesce(sum(when(col("event_type") === "purchase",
+              expr("CAST(round(value*1000) AS BIGINT)"))), lit(0L))
+              .as("purchase_milli"),
+            expr("count(CASE WHEN event_type='error' THEN 1 END) * 1000000 div count(1)")
+              .as("error_rate_micro"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+             |  count(*) AS n_events,
+             |  count(DISTINCT event_type) AS n_types,
+             |  count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS active_days,
+             |  CAST(date_diff('day', max(CAST(ts AS TIMESTAMP)),
+             |    TIMESTAMP '2024-02-01 00:00:00') AS BIGINT) AS recency_days,
+             |  count(CASE WHEN event_type='purchase' THEN 1 END) AS purchases,
+             |  CAST(coalesce(sum(CASE WHEN event_type='purchase'
+             |    THEN CAST(round(value*1000) AS BIGINT) END), 0) AS BIGINT) AS purchase_milli,
+             |  count(CASE WHEN event_type='error' THEN 1 END) * 1000000 // count(*)
+             |    AS error_rate_micro
+             |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
     // Brier score with the Murphy decomposition — q_calibration's
     // scalar companion: overall mean squared probability error, split
     // into reliability (binned miscalibration), resolution (how much

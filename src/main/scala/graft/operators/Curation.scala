@@ -1906,6 +1906,44 @@ object Curation {
              |h AS (SELECT CAST(('0x' || substr(md5('hf:' || g), 1, 12)) AS BIGINT) % 64 AS bucket,
              |        occ FROM m)
              |SELECT bucket, count(*) AS n_grams, CAST(sum(occ) AS BIGINT) AS mass
-             |FROM h GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM h GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // class-rebalancing negative downsample: keep every positive
+    // (purchase) and a deterministic md5-thresholded ~pos/neg fraction
+    // of negatives, targeting 1:1 — the standard imbalanced-training
+    // prep, done WITHOUT randomness so reruns and engines agree
+    // row-for-row (the md5 sampler convention). The global pos/neg
+    // ratio rides a broadcast one-row frame into the filter; the
+    // report states the achieved neg-per-pos ratio (~1.016:1 on the
+    // fixture — hash-threshold sampling is binomial-exactly that,
+    // never exactly 1).
+    QueryDef(
+      "q_negative_downsample",
+      (s, d) => {
+        val lab = Tables.events(s, d).select(col("event_id"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+        val r = lab.agg(sum("y").as("pos"),
+          (count(lit(1)) - sum("y")).as("neg"))
+        lab.crossJoin(broadcast(r))
+          .where(col("y") === 1 ||
+            conv(substring(md5(concat(lit("ds:"),
+              col("event_id").cast("string"))), 1, 12), 16, 10)
+              .cast("long") % 1000000 < expr("1000000 * pos div neg"))
+          .agg(count(lit(1)).as("n_kept"), sum("y").as("n_pos"),
+            (count(lit(1)) - sum("y")).as("n_neg"))
+          .select(col("n_kept"), col("n_pos"), col("n_neg"),
+            expr("n_neg * 1000000 div n_pos").as("neg_per_pos_micro"))
+      },
+      Some("""WITH lab AS (SELECT event_id,
+             |      CASE WHEN event_type='purchase' THEN 1 ELSE 0 END AS y FROM events),
+             |r AS (SELECT sum(y) AS pos, count(*) - sum(y) AS neg FROM lab),
+             |kept AS (SELECT l.event_id, l.y FROM lab l CROSS JOIN r
+             |         WHERE l.y = 1
+             |            OR CAST(('0x' || substr(md5('ds:' || l.event_id), 1, 12)) AS BIGINT)
+             |               % 1000000 < 1000000 * r.pos // r.neg)
+             |SELECT count(*) AS n_kept, CAST(sum(y) AS BIGINT) AS n_pos,
+             |  CAST(count(*) - sum(y) AS BIGINT) AS n_neg,
+             |  CAST((count(*) - sum(y)) * 1000000 // sum(y) AS BIGINT) AS neg_per_pos_micro
+             |FROM kept""".stripMargin))
   )
 }
