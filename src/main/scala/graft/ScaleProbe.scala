@@ -206,7 +206,8 @@ object ScaleProbe {
       "q_lag_corr", "q_wasserstein", "q_mann_kendall", "q_price_index",
       "q_calibration", "q_pr_curve", "q_cohens_kappa", "q_hash_features",
       "q_brier_decomp", "q_bfs_layers", "q_video_frames", "q_pit_features",
-      "q_user_features", "q_negative_downsample")
+      "q_user_features", "q_negative_downsample",
+      "q_anova", "q_roc_auc", "q_macro_f1", "q_woe_iv")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

@@ -2612,6 +2612,165 @@ object Behavioral {
              |  CAST(sum(res_nano) // ((SELECT N FROM t) * 1000) AS BIGINT) AS resolution_micro,
              |  (SELECT CAST(CAST(pos AS HUGEINT) * (N - pos) * 1000000
              |     // (CAST(N AS HUGEINT) * N) AS BIGINT) FROM t) AS uncertainty_micro
-             |FROM terms""".stripMargin))
+             |FROM terms""".stripMargin)),
+
+    // one-way ANOVA of event value across the five event types — the
+    // F-test feature screen that completes the selection triad beside
+    // q_chisq (categorical independence) and q_mutual_info (nonlinear):
+    // between/within variance from per-group exact 128-bit integer
+    // moments in one grouped pass. The per-group s²/n term quantizes to
+    // an integer BEFORE the cross-group sum — unordered double addition
+    // never happens, so both engines add identical integers — and F /
+    // eta² are single IEEE closed forms over those exact sums. Fixture
+    // value ⊥ type, so F ≈ 0.4: the honest null.
+    QueryDef(
+      "q_anova",
+      (s, d) => {
+        val g = Tables.events(s, d).where(col("value").isNotNull)
+          .select(col("event_type"),
+            expr("CAST(round(value*1000) AS BIGINT)").as("v"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(v AS DECIMAL(38,0))")).as("s"),
+            sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("s2"))
+          .select(col("n"), col("s"), col("s2"),
+            expr("CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS DECIMAL(38,0))")
+              .as("t"))
+        g.agg(count(lit(1)).as("k"), sum("n").as("n"), sum("s").as("s"),
+            sum("s2").as("s2"), sum("t").as("sb"))
+          .select(col("k"), col("n"),
+            expr("""CAST(round((CAST(sb AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n)
+                   | /(CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n)
+                   | * 1000000) AS BIGINT)""".stripMargin).as("eta2_micro"),
+            expr("""CAST(round(((CAST(sb AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n)/(k-1))
+                   | /((CAST(s2 AS DOUBLE) - CAST(sb AS DOUBLE))/(n-k)) * 1000)
+                   | AS BIGINT)""".stripMargin).as("f_milli"))
+      },
+      Some("""WITH v AS (SELECT event_type, CAST(round(value*1000) AS BIGINT) AS v
+             |    FROM events WHERE value IS NOT NULL),
+             |g AS (SELECT event_type, count(*) AS n, sum(CAST(v AS HUGEINT)) AS s,
+             |        sum(CAST(v AS HUGEINT)*v) AS s2 FROM v GROUP BY 1),
+             |g2 AS (SELECT n, s, s2,
+             |        CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS HUGEINT) AS t FROM g),
+             |a AS (SELECT count(*) AS k, sum(n) AS n, sum(s) AS s, sum(s2) AS s2,
+             |        sum(t) AS sb FROM g2)
+             |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+             |  CAST(round((CAST(sb AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n)
+             |    /(CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n)
+             |    * 1000000) AS BIGINT) AS eta2_micro,
+             |  CAST(round(((CAST(sb AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n)/(k-1))
+             |    /((CAST(s2 AS DOUBLE) - CAST(sb AS DOUBLE))/(n-k)) * 1000)
+             |    AS BIGINT) AS f_milli
+             |FROM a""".stripMargin)),
+
+    // exact tie-corrected ROC AUC of a deterministically md5-noised
+    // score against the value>250 ground truth (the q_cohens_kappa
+    // signal construction): mid-rank AUC computed on the score
+    // HISTOGRAM, never raw events — 2·U = Σ_s pos_s·(2·cum_neg_below +
+    // neg_s) stays exact 128-bit integer, and auc_micro is one integer
+    // division. The cumulative window is partitionless but runs over
+    // the score domain, which is RANGE-bounded (integer cents plus
+    // ±128·200 noise ⇒ ≤ ~10⁵ distinct values at any corpus size), not
+    // row-scaled — the q_pr_curve bounded-histogram argument. Gini is
+    // derived from the already-quantized AUC, so no signed division.
+    QueryDef(
+      "q_roc_auc",
+      (s, d) => {
+        val sc = Tables.events(s, d).where(col("value").isNotNull)
+          .select((expr("CAST(round(value*100) AS BIGINT)")
+              + (conv(substring(md5(concat(lit("auc:"),
+                  col("event_id").cast("string"))), 1, 2), 16, 10)
+                .cast("long") - 128L) * 200L).as("score"),
+            when(col("value") > 250, 1L).otherwise(0L).as("y"))
+        val h = sc.groupBy("score")
+          .agg(sum("y").as("p"), (count(lit(1)) - sum("y")).as("q"))
+        val c = h.select(col("p"), col("q"),
+          coalesce(sum("q").over(Window.orderBy("score")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("cq"))
+        c.agg(sum(expr("CAST(p AS DECIMAL(38,0)) * (2*cq + q)")).as("u2"),
+            sum("p").as("n1"), sum("q").as("n0"))
+          .select(col("n1").as("n_pos"), col("n0").as("n_neg"),
+            expr("CAST(u2 * 1000000 div (2*n1*n0) AS BIGINT)").as("auc_micro"),
+            (expr("CAST(u2 * 1000000 div (2*n1*n0) AS BIGINT)") * lit(2L)
+              - lit(1000000L)).as("gini_micro"))
+      },
+      Some("""WITH s AS (SELECT CAST(round(value*100) AS BIGINT)
+             |      + (CAST(('0x' || substr(md5('auc:' || event_id), 1, 2)) AS BIGINT) - 128)*200 AS score,
+             |    CASE WHEN value > 250 THEN 1 ELSE 0 END AS y
+             |  FROM events WHERE value IS NOT NULL),
+             |h AS (SELECT score, count(*) FILTER (WHERE y=1) AS p,
+             |        count(*) FILTER (WHERE y=0) AS q FROM s GROUP BY 1),
+             |c AS (SELECT p, q, coalesce(sum(q) OVER (ORDER BY score
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cq FROM h),
+             |u AS (SELECT sum(CAST(p AS HUGEINT)*(2*cq + q)) AS u2,
+             |        sum(p) AS n1, sum(q) AS n0 FROM c)
+             |SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+             |  CAST(u2 * 1000000 // (2*n1*n0) AS BIGINT) AS auc_micro,
+             |  CAST(u2 * 1000000 // (2*n1*n0) AS BIGINT)*2 - 1000000 AS gini_micro
+             |FROM u""".stripMargin)),
+
+    // macro-averaged F1 between the 3-class value-band truth and a
+    // deterministically jittered prediction (±16 value noise from the
+    // event id) — the multi-class companion to q_cohens_kappa's binary
+    // agreement and q_pr_curve's threshold sweep. ONE map-combined
+    // shuffle builds the ≤9-row confusion matrix; tp/fp/fn and the
+    // per-class F1 are derived from that tiny frame, and the macro
+    // average windows over exactly 3 rows. Every F1 is an exact
+    // integer division of exact counts.
+    QueryDef(
+      "q_macro_f1",
+      (s, d) => {
+        import s.implicits._
+        val j = Tables.events(s, d).where(col("value").isNotNull)
+          .select(col("value"),
+            ((conv(substring(md5(concat(lit("f1:"),
+                col("event_id").cast("string"))), 1, 2), 16, 10)
+              .cast("long") - lit(127.5)) / 8).as("jit"))
+        val r = j.select(
+          when(col("value") < 20, "low").when(col("value") < 80, "mid")
+            .otherwise("high").as("truth"),
+          when(col("value") + col("jit") < 20, "low")
+            .when(col("value") + col("jit") < 80, "mid")
+            .otherwise("high").as("pred"))
+        val m = r.groupBy("truth", "pred").agg(count(lit(1)).as("n"))
+        val tp = m.where(col("truth") === col("pred"))
+          .select(col("truth").as("cls"), col("n").as("tp"))
+        val fp = m.where(col("truth") =!= col("pred"))
+          .groupBy(col("pred").as("cls")).agg(sum("n").as("fp"))
+        val fn = m.where(col("truth") =!= col("pred"))
+          .groupBy(col("truth").as("cls")).agg(sum("n").as("fn"))
+        Seq("high", "low", "mid").toDF("cls")
+          .join(tp, Seq("cls"), "left").join(fp, Seq("cls"), "left")
+          .join(fn, Seq("cls"), "left")
+          .select(col("cls"), coalesce(col("tp"), lit(0L)).as("tp"),
+            coalesce(col("fp"), lit(0L)).as("fp"),
+            coalesce(col("fn"), lit(0L)).as("fn"))
+          .select(col("cls"), col("tp"), col("fp"), col("fn"),
+            expr("CAST(2*tp*1000000 div (2*tp+fp+fn) AS BIGINT)").as("f1_micro"))
+          .select(col("cls"), col("tp"), col("fp"), col("fn"), col("f1_micro"),
+            expr("CAST(CAST(sum(f1_micro) OVER () AS BIGINT) div 3 AS BIGINT)")
+              .as("macro_f1_micro"))
+          .orderBy("cls")
+      },
+      Some("""WITH j AS (SELECT value,
+             |      (CAST(('0x' || substr(md5('f1:' || event_id), 1, 2)) AS BIGINT) - 127.5)/8 AS jit
+             |    FROM events WHERE value IS NOT NULL),
+             |r AS (SELECT CASE WHEN value < 20 THEN 'low' WHEN value < 80 THEN 'mid'
+             |          ELSE 'high' END AS truth,
+             |        CASE WHEN value + jit < 20 THEN 'low' WHEN value + jit < 80 THEN 'mid'
+             |          ELSE 'high' END AS pred FROM j),
+             |m AS (SELECT truth, pred, count(*) AS n FROM r GROUP BY 1, 2),
+             |k AS (SELECT unnest(['high','low','mid']) AS cls),
+             |f AS (SELECT cls,
+             |    coalesce((SELECT sum(n) FROM m WHERE truth=cls AND pred=cls), 0) AS tp,
+             |    coalesce((SELECT sum(n) FROM m WHERE pred=cls AND truth<>cls), 0) AS fp,
+             |    coalesce((SELECT sum(n) FROM m WHERE truth=cls AND pred<>cls), 0) AS fn
+             |  FROM k)
+             |SELECT cls, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+             |  CAST(fn AS BIGINT) AS fn,
+             |  CAST(2*tp*1000000 // (2*tp+fp+fn) AS BIGINT) AS f1_micro,
+             |  CAST(CAST(sum(2*tp*1000000 // (2*tp+fp+fn)) OVER () AS BIGINT) // 3 AS BIGINT)
+             |    AS macro_f1_micro
+             |FROM f ORDER BY cls""".stripMargin))
   )
 }

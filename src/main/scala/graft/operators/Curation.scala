@@ -1944,6 +1944,63 @@ object Curation {
              |SELECT count(*) AS n_kept, CAST(sum(y) AS BIGINT) AS n_pos,
              |  CAST(count(*) - sum(y) AS BIGINT) AS n_neg,
              |  CAST((count(*) - sum(y)) * 1000000 // sum(y) AS BIGINT) AS neg_per_pos_micro
-             |FROM kept""".stripMargin))
+             |FROM kept""".stripMargin)),
+
+    // weight-of-evidence / information-value feature screen — the
+    // credit-scoring-style binned audit of how a noisy score separates
+    // the value>250 label (the q_roc_auc construction binned into ten
+    // fixed-width buckets): WOE_b = ln(smoothed pos-rate / neg-rate)
+    // per bin, IV = Σ (Δrate)·WOE. One grouped pass over events (the
+    // bin domain is 10 by construction — clamped BEFORE the integer
+    // divide so negative scores never hit engine-dependent floor-vs-
+    // truncate division); totals ride a broadcast one-row frame; each
+    // IV term is nonnegative by construction and quantizes to nano
+    // BEFORE the 10-term window sum (the q_mutual_info convention).
+    QueryDef(
+      "q_woe_iv",
+      (s, d) => {
+        val sc = Tables.events(s, d).where(col("value").isNotNull)
+          .select((expr("CAST(round(value*100) AS BIGINT)")
+              + (conv(substring(md5(concat(lit("auc:"),
+                  col("event_id").cast("string"))), 1, 2), 16, 10)
+                .cast("long") - 128L) * 200L).as("score"),
+            when(col("value") > 250, 1L).otherwise(0L).as("y"))
+          .select(expr("least(greatest(score, 0) div 5000, 9)").as("bin"), col("y"))
+        val t = sc.agg(sum("y").as("pos"), (count(lit(1)) - sum("y")).as("neg"))
+        sc.groupBy("bin")
+          .agg(sum("y").as("p"), (count(lit(1)) - sum("y")).as("q"))
+          .crossJoin(broadcast(t))
+          .select(col("bin"), col("p").as("n_pos"), col("q").as("n_neg"),
+            expr("""CAST(round(ln(((CAST(p AS DOUBLE) + 0.5)/pos)
+                   | / ((CAST(q AS DOUBLE) + 0.5)/neg)) * 1000000) AS BIGINT)""".stripMargin)
+              .as("woe_micro"),
+            expr("""CAST(round(((CAST(p AS DOUBLE) + 0.5)/pos - (CAST(q AS DOUBLE) + 0.5)/neg)
+                   | * ln(((CAST(p AS DOUBLE) + 0.5)/pos) / ((CAST(q AS DOUBLE) + 0.5)/neg))
+                   | * 1000000000) AS BIGINT)""".stripMargin).as("iv_nano"))
+          .select(col("bin"), col("n_pos"), col("n_neg"), col("woe_micro"),
+            col("iv_nano"),
+            expr("CAST(CAST(sum(iv_nano) OVER () AS BIGINT) div 1000 AS BIGINT)")
+              .as("iv_total_micro"))
+          .orderBy("bin")
+      },
+      Some("""WITH s AS (SELECT least(greatest(CAST(round(value*100) AS BIGINT)
+             |      + (CAST(('0x' || substr(md5('auc:' || event_id), 1, 2)) AS BIGINT) - 128)*200,
+             |      0) // 5000, 9) AS bin,
+             |    CASE WHEN value > 250 THEN 1 ELSE 0 END AS y
+             |  FROM events WHERE value IS NOT NULL),
+             |t AS (SELECT sum(y) AS pos, count(*) - sum(y) AS neg FROM s),
+             |b AS (SELECT bin, count(*) FILTER (WHERE y=1) AS p,
+             |        count(*) FILTER (WHERE y=0) AS q FROM s GROUP BY 1),
+             |w AS (SELECT bin, p, q,
+             |    CAST(round(ln(((CAST(p AS DOUBLE) + 0.5)/pos)
+             |      / ((CAST(q AS DOUBLE) + 0.5)/neg)) * 1000000) AS BIGINT) AS woe_micro,
+             |    CAST(round(((CAST(p AS DOUBLE) + 0.5)/pos - (CAST(q AS DOUBLE) + 0.5)/neg)
+             |      * ln(((CAST(p AS DOUBLE) + 0.5)/pos) / ((CAST(q AS DOUBLE) + 0.5)/neg))
+             |      * 1000000000) AS BIGINT) AS iv_nano
+             |  FROM b CROSS JOIN t)
+             |SELECT CAST(bin AS BIGINT) AS bin, CAST(p AS BIGINT) AS n_pos,
+             |  CAST(q AS BIGINT) AS n_neg, woe_micro, iv_nano,
+             |  CAST(CAST(sum(iv_nano) OVER () AS BIGINT) // 1000 AS BIGINT) AS iv_total_micro
+             |FROM w ORDER BY bin""".stripMargin))
   )
 }
