@@ -207,7 +207,14 @@ object ScaleProbe {
       "q_calibration", "q_pr_curve", "q_cohens_kappa", "q_hash_features",
       "q_brier_decomp", "q_bfs_layers", "q_video_frames", "q_pit_features",
       "q_user_features", "q_negative_downsample",
-      "q_anova", "q_roc_auc", "q_macro_f1", "q_woe_iv")
+      "q_anova", "q_roc_auc", "q_macro_f1", "q_woe_iv",
+      "q_clustering_coeff", "q_position_attribution", "q_tscv_folds",
+      "q_source_datasheet", "q_dp_histogram", "q_srm_check", "q_key_skew",
+      "q_degree_dist",
+      "q_retention_curve", "q_sequence_surprisal", "q_attribution_compare",
+      "q_peak_load", "q_concurrency_sweep",
+      "q_cohort_ltv", "q_supplier_scorecard", "q_market_share_trend",
+      "q_new_vs_returning", "q_streak_summary")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

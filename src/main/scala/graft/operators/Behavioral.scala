@@ -2771,6 +2771,410 @@ object Behavioral {
              |  CAST(2*tp*1000000 // (2*tp+fp+fn) AS BIGINT) AS f1_micro,
              |  CAST(CAST(sum(2*tp*1000000 // (2*tp+fp+fn)) OVER () AS BIGINT) // 3 AS BIGINT)
              |    AS macro_f1_micro
-             |FROM f ORDER BY cls""".stripMargin))
+             |FROM f ORDER BY cls""".stripMargin)),
+
+    // position-based (U-shaped) multi-touch attribution — the marketing
+    // credit model beside q_first_touch's single-touch rule: each
+    // converting user's pre-first-purchase view/click touches share one
+    // unit of credit 40/20/40 (first / evenly-split middles / last;
+    // k=1 takes all, k=2 splits 50/50). Credits are exact integer micro
+    // (middle share is one positive integer division), windows are
+    // user-partitioned (the natural 100 TB key), and the rollup is one
+    // grouped sum per touch type.
+    QueryDef(
+      "q_position_attribution",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val fp = ev.where(col("event_type") === "purchase")
+          .groupBy("user_id").agg(min("ts").as("pts"))
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val t = ev.where(col("event_type").isin("view", "click"))
+          .join(fp, "user_id").where(col("ts") < col("pts"))
+          .select(col("event_type"),
+            row_number().over(w).as("r"),
+            count(lit(1)).over(Window.partitionBy("user_id")).as("k"))
+        t.select(col("event_type"),
+            expr("""CASE WHEN k = 1 THEN 1000000
+                   |     WHEN r = 1 OR r = k THEN CASE WHEN k = 2 THEN 500000 ELSE 400000 END
+                   |     ELSE 200000 div (k - 2) END""".stripMargin).as("credit"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_touches"),
+            sum("credit").cast("long").as("credit_micro_total"))
+          .orderBy("event_type")
+      },
+      Some("""WITH fp AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS pts FROM events
+             |      WHERE event_type='purchase' GROUP BY 1),
+             |t AS (SELECT e.event_type,
+             |        row_number() OVER (PARTITION BY e.user_id
+             |          ORDER BY CAST(e.ts AS TIMESTAMP), e.event_id) AS r,
+             |        count(*) OVER (PARTITION BY e.user_id) AS k
+             |      FROM events e JOIN fp ON fp.user_id = e.user_id
+             |      WHERE e.event_type IN ('view','click') AND CAST(e.ts AS TIMESTAMP) < fp.pts),
+             |c AS (SELECT event_type,
+             |        CASE WHEN k = 1 THEN 1000000
+             |             WHEN r = 1 OR r = k THEN CASE WHEN k = 2 THEN 500000 ELSE 400000 END
+             |             ELSE 200000 // (k - 2) END AS credit
+             |      FROM t)
+             |SELECT event_type, count(*) AS n_touches,
+             |  CAST(sum(credit) AS BIGINT) AS credit_micro_total
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ε-differential-privacy histogram release — the U23 companion that
+    // ADDS noise instead of suppressing rows: per-type event counts
+    // with Laplace(b=2 ⇒ ε=0.5 at sensitivity 1) noise, derived
+    // deterministically from an md5-seeded 24-bit uniform via the
+    // inverse CDF (the md5-sampler convention, so both engines draw the
+    // identical "noise"). The uniform stays exact integer until ONE
+    // double division and one ln; released counts clamp at zero (the
+    // standard post-processing). Per-type true count, the noise drawn,
+    // and the released value, all milli.
+    QueryDef(
+      "q_dp_histogram",
+      (s, d) => {
+        val c = Tables.events(s, d).groupBy("event_type")
+          .agg(count(lit(1)).as("n"))
+        c.select(col("event_type"), col("n"),
+            (conv(substring(md5(concat(lit("dp:"), col("event_type"))), 1, 6), 16, 10)
+              .cast("long") * 2 + 1 - 16777216L).as("m"))
+          .select(col("event_type"), col("n"),
+            expr("""CAST(round(2000 * (CASE WHEN m < 0 THEN 1 ELSE -1 END)
+                   | * ln(CAST(16777216 - abs(m) AS DOUBLE)/16777216))
+                   | AS BIGINT)""".stripMargin).as("noise_milli"))
+          .select(col("event_type"), col("n"), col("noise_milli"),
+            expr("CAST(greatest(n * 1000 + noise_milli, 0) AS BIGINT)")
+              .as("released_milli"))
+          .orderBy("event_type")
+      },
+      Some("""WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+             |u AS (SELECT event_type, n,
+             |    CAST(('0x' || substr(md5('dp:' || event_type), 1, 6)) AS BIGINT) * 2 + 1
+             |      - 16777216 AS m FROM c),
+             |z AS (SELECT event_type, n,
+             |    CAST(round(2000 * (CASE WHEN m < 0 THEN 1 ELSE -1 END)
+             |      * ln(CAST(16777216 - abs(m) AS DOUBLE)/16777216)) AS BIGINT) AS noise_milli
+             |  FROM u)
+             |SELECT event_type, CAST(n AS BIGINT) AS n, noise_milli,
+             |  CAST(greatest(n * 1000 + noise_milli, 0) AS BIGINT) AS released_milli
+             |FROM z ORDER BY event_type""".stripMargin)),
+
+    // sample-ratio-mismatch guardrail — the FIRST check any A/B readout
+    // runs: χ² goodness-of-fit of the md5-hash arm counts against the
+    // declared 50/50 split, flagged at the 3.841 critical value
+    // (α=0.05, df=1). For an even split the statistic collapses to
+    // (2·n_A − n)²/n, which stays exact 128-bit integer until one
+    // micro division; the flag compares the exact rational in IEEE
+    // double identically in both engines. Pairs with q_ab_assign
+    // (the split) and q_welch_ttest (the readout this gate protects).
+    QueryDef(
+      "q_srm_check",
+      (s, d) => {
+        val arm = Tables.events(s, d).select("user_id").distinct()
+          .select(when(substring(md5(concat(lit("ab:"), col("user_id"))), 1, 1) < "8",
+            "A").otherwise("B").as("arm"))
+        arm.agg(count(when(col("arm") === "A", 1)).as("na"),
+            count(when(col("arm") === "B", 1)).as("nb"),
+            count(lit(1)).as("n"))
+          .select(col("na"), col("nb"),
+            expr("""CAST(CAST(2*na - n AS DECIMAL(38,0))*(2*na - n) * 1000000 div n
+                   | AS BIGINT)""".stripMargin).as("chi2_micro"),
+            expr("""CAST(CASE WHEN CAST(CAST(2*na - n AS DECIMAL(38,0))*(2*na - n) AS DOUBLE) / n
+                   | > CAST(3.841 AS DOUBLE) THEN 1 ELSE 0 END AS BIGINT)""".stripMargin)
+              .as("srm_flag"))
+      },
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+             |arm AS (SELECT CASE WHEN substr(md5('ab:' || user_id),1,1) < '8'
+             |          THEN 'A' ELSE 'B' END AS arm FROM u),
+             |c AS (SELECT count(*) FILTER (WHERE arm='A') AS na,
+             |        count(*) FILTER (WHERE arm='B') AS nb, count(*) AS n FROM arm)
+             |SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+             |  CAST(CAST(2*na - n AS HUGEINT)*(2*na - n) * 1000000 // n AS BIGINT) AS chi2_micro,
+             |  CAST(CASE WHEN CAST(CAST(2*na - n AS HUGEINT)*(2*na - n) AS DOUBLE) / n
+             |    > CAST(3.841 AS DOUBLE) THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+             |FROM c""".stripMargin)),
+
+    // classic day-N retention curve pooled over first-purchase cohorts —
+    // the growth chart beside q_orders_cohort's month-grain report: for
+    // N = 1..7, the share of ever-purchasers who purchase again exactly
+    // N days after their first purchase. "Any event" retention is
+    // degenerate on this fixture (users fire events daily); purchase
+    // retention lands at a non-trivial 28–40 %. One purchase-only scan
+    // feeds both the cohort frame and the (user, day) distinct frame;
+    // the 7-row N range broadcasts, so the plan is user-keyed shuffles
+    // plus bounded-frame tails at any scale.
+    QueryDef(
+      "q_retention_curve",
+      (s, d) => {
+        val p = Tables.events(s, d).where(col("event_type") === "purchase")
+        val fp = p.groupBy("user_id").agg(min(to_date(col("ts"))).as("d0"))
+        val ud = p.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val n = s.range(1, 8).select(col("id").as("day_n"))
+        val cohort = fp.agg(count(lit(1)).as("cohort"))
+        fp.join(ud, "user_id").crossJoin(broadcast(n))
+          .groupBy("day_n")
+          .agg(countDistinct(when(col("day") ===
+            expr("date_add(d0, CAST(day_n AS INT))"), col("user_id")))
+            .as("retained"))
+          .crossJoin(broadcast(cohort))
+          .select(col("day_n"), col("cohort"), col("retained"),
+            expr("retained * 1000 div cohort").as("retention_milli"))
+          .orderBy("day_n")
+      },
+      Some("""WITH p AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+             |      FROM events WHERE event_type='purchase'),
+             |fp AS (SELECT user_id, min(day) AS d0 FROM p GROUP BY 1),
+             |ud AS (SELECT DISTINCT user_id, day FROM p),
+             |n AS (SELECT unnest(range(1, 8)) AS day_n),
+             |ret AS (SELECT n.day_n,
+             |    count(DISTINCT CASE WHEN ud.day = fp.d0 + CAST(n.day_n AS INT)
+             |      THEN fp.user_id END) AS retained
+             |  FROM fp JOIN ud ON ud.user_id = fp.user_id CROSS JOIN n GROUP BY 1)
+             |SELECT CAST(day_n AS BIGINT) AS day_n,
+             |  CAST((SELECT count(*) FROM fp) AS BIGINT) AS cohort,
+             |  CAST(retained AS BIGINT) AS retained,
+             |  CAST(retained * 1000 // (SELECT count(*) FROM fp) AS BIGINT)
+             |    AS retention_milli
+             |FROM ret ORDER BY day_n""".stripMargin)),
+
+    // per-user Markov sequence surprisal — the behavioral anomaly score:
+    // fit the global first-order event-type transition model, then score
+    // each user's own sequence by total/per-step negative log-likelihood.
+    // The model is a 25-cell broadcast table with each cell's
+    // −ln P(to|from) nano-quantized ONCE (the q_mutual_info bounded-term
+    // convention: both engines round the identical double before any
+    // integer arithmetic); per-user scores are then exact integer sums of
+    // (cell count × nano term). Transitions come from one user-partitioned
+    // lead window; everything downstream of the two grouped counts is
+    // bounded by the 5×5 type grid. Top-20 by per-step surprisal — the
+    // fixture's value⊥type independence puts all users near ln(5), the
+    // honest null, but micro-grain ordering is still deterministic.
+    QueryDef(
+      "q_sequence_surprisal",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val tr = Tables.events(s, d)
+          .select(col("user_id"), col("event_type").as("f"),
+            lead("event_type", 1).over(w).as("t"))
+          .where(col("t").isNotNull)
+        val g = tr.groupBy("f", "t").agg(count(lit(1)).as("n"))
+        val gf = g.groupBy("f").agg(sum("n").as("nf"))
+        val lnterm = g.join(gf, "f")
+          .select(col("f"), col("t"),
+            expr("CAST(round(ln(CAST(nf AS DOUBLE)/CAST(n AS DOUBLE)) * 1e9) AS BIGINT)")
+              .as("s_nano"))
+        val u = tr.groupBy("user_id", "f", "t").agg(count(lit(1)).as("c"))
+        u.join(broadcast(lnterm), Seq("f", "t"))
+          .groupBy("user_id")
+          .agg(sum("c").as("n_transitions"),
+            sum(col("c") * col("s_nano")).as("tot_nano"))
+          .select(col("user_id"), col("n_transitions"),
+            expr("tot_nano div 1000").as("surprisal_micro"),
+            expr("tot_nano div n_transitions div 1000").as("per_step_micro"))
+          .orderBy(col("per_step_micro").desc, col("user_id")).limit(20)
+      },
+      Some("""WITH seq AS (SELECT user_id, event_type AS f,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS t FROM events),
+             |tr AS (SELECT user_id, f, t FROM seq WHERE t IS NOT NULL),
+             |g AS (SELECT f, t, count(*) AS n FROM tr GROUP BY 1, 2),
+             |gf AS (SELECT f, sum(n) AS nf FROM g GROUP BY 1),
+             |lnterm AS (SELECT g.f, g.t,
+             |    CAST(round(ln(CAST(gf.nf AS DOUBLE)/CAST(g.n AS DOUBLE)) * 1e9) AS BIGINT)
+             |      AS s_nano
+             |  FROM g JOIN gf USING (f)),
+             |u AS (SELECT user_id, f, t, count(*) AS c FROM tr GROUP BY 1, 2, 3),
+             |su AS (SELECT u.user_id, sum(u.c) AS n_transitions,
+             |         sum(u.c * l.s_nano) AS tot_nano
+             |       FROM u JOIN lnterm l ON l.f = u.f AND l.t = u.t GROUP BY 1)
+             |SELECT user_id, CAST(n_transitions AS BIGINT) AS n_transitions,
+             |  CAST(tot_nano // 1000 AS BIGINT) AS surprisal_micro,
+             |  CAST(tot_nano // n_transitions // 1000 AS BIGINT) AS per_step_micro
+             |FROM su ORDER BY per_step_micro DESC, user_id LIMIT 20""".stripMargin)),
+
+    // side-by-side attribution-model comparison — linear / first-touch /
+    // last-touch credit per touch type from ONE windowed frame (the
+    // q_position_attribution pre-conversion frame): the report a marketing
+    // platform shows before picking a credit rule. Linear credit
+    // 1000000 div k is exact integer micro; first/last are indicator
+    // sums. One user-keyed shuffle, one grouped rollup.
+    QueryDef(
+      "q_attribution_compare",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val fp = ev.where(col("event_type") === "purchase")
+          .groupBy("user_id").agg(min("ts").as("pts"))
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val t = ev.where(col("event_type").isin("view", "click"))
+          .join(fp, "user_id").where(col("ts") < col("pts"))
+          .select(col("event_type"),
+            row_number().over(w).as("r"),
+            count(lit(1)).over(Window.partitionBy("user_id")).as("k"))
+        t.groupBy("event_type")
+          .agg(sum(expr("1000000 div k")).cast("long").as("linear_micro"),
+            sum(when(col("r") === 1, 1000000L).otherwise(0L)).as("first_micro"),
+            sum(when(col("r") === col("k"), 1000000L).otherwise(0L)).as("last_micro"))
+          .orderBy("event_type")
+      },
+      Some("""WITH fp AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS pts FROM events
+             |      WHERE event_type='purchase' GROUP BY 1),
+             |t AS (SELECT e.event_type,
+             |        row_number() OVER (PARTITION BY e.user_id
+             |          ORDER BY CAST(e.ts AS TIMESTAMP), e.event_id) AS r,
+             |        count(*) OVER (PARTITION BY e.user_id) AS k
+             |      FROM events e JOIN fp ON fp.user_id = e.user_id
+             |      WHERE e.event_type IN ('view','click') AND CAST(e.ts AS TIMESTAMP) < fp.pts)
+             |SELECT event_type,
+             |  CAST(sum(1000000 // k) AS BIGINT) AS linear_micro,
+             |  CAST(sum(CASE WHEN r = 1 THEN 1000000 ELSE 0 END) AS BIGINT) AS first_micro,
+             |  CAST(sum(CASE WHEN r = k THEN 1000000 ELSE 0 END) AS BIGINT) AS last_micro
+             |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // per-day peak-hour load report — the capacity-planning readout: each
+    // day's busiest hour, its event count, and its share of the day's
+    // traffic. One grouped (day, hour) count — ≤ 744 rows at ANY scale —
+    // then day-partitioned ranking and a day-total join, so everything
+    // after the single events scan is calendar-bounded.
+    QueryDef(
+      "q_peak_load",
+      (s, d) => {
+        val h = Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"), hour(col("ts")).as("hr"))
+          .agg(count(lit(1)).as("n"))
+        val dt = h.groupBy("day").agg(sum("n").as("day_n"))
+        val wd = Window.partitionBy("day").orderBy(col("n").desc, col("hr"))
+        h.withColumn("rk", row_number().over(wd)).where(col("rk") === 1)
+          .join(dt, "day")
+          .select(col("day"), col("hr").cast("long").as("peak_hour"),
+            col("n").as("peak_n"), col("day_n"),
+            expr("n * 1000 div day_n").as("peak_share_milli"))
+          .orderBy("day")
+      },
+      Some("""WITH h AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             |        extract(hour FROM CAST(ts AS TIMESTAMP)) AS hr, count(*) AS n
+             |      FROM events GROUP BY 1, 2),
+             |d AS (SELECT day, sum(n) AS day_n FROM h GROUP BY 1),
+             |p AS (SELECT day, hr, n,
+             |        row_number() OVER (PARTITION BY day ORDER BY n DESC, hr) AS rk FROM h)
+             |SELECT p.day, CAST(p.hr AS BIGINT) AS peak_hour, CAST(p.n AS BIGINT) AS peak_n,
+             |  CAST(d.day_n AS BIGINT) AS day_n,
+             |  CAST(p.n * 1000 // d.day_n AS BIGINT) AS peak_share_milli
+             |FROM p JOIN d USING (day) WHERE rk = 1 ORDER BY day""".stripMargin)),
+
+    // concurrent-sessions sweep-line — the interval-overlap operator: each
+    // user-day's active span [first hour, last hour] becomes a +1/−1 delta
+    // pair, deltas aggregate onto the ≤ 745-slot hour calendar, and ONE
+    // cumulative pass over that bounded domain yields concurrency;
+    // reported as each day's peak concurrent-user count and its hour.
+    // This is how interval overlap is done at 100 TB — no interval
+    // self-join, no per-event state: the sweep frame is the calendar, so
+    // the partitionless cumulative window is bounded (whitelisted under
+    // the q_changepoint calendar convention).
+    QueryDef(
+      "q_concurrency_sweep",
+      (s, d) => {
+        val sess = Tables.events(s, d)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(min(date_trunc("hour", col("ts"))).as("h0"),
+            max(date_trunc("hour", col("ts"))).as("h1"))
+        val deltas = sess.select(col("h0").as("h"), lit(1L).as("delta"))
+          .unionAll(sess.select(expr("h1 + INTERVAL 1 HOUR").as("h"),
+            lit(-1L).as("delta")))
+          .groupBy("h").agg(sum("delta").as("delta"))
+        val conc = deltas.withColumn("conc",
+          sum("delta").over(Window.orderBy("h")))
+        val wd = Window.partitionBy(to_date(col("h")))
+          .orderBy(col("conc").desc, col("h"))
+        conc.withColumn("rk", row_number().over(wd)).where(col("rk") === 1)
+          .select(to_date(col("h")).as("day"),
+            hour(col("h")).cast("long").as("peak_hour"),
+            col("conc").cast("long").as("max_concurrent"))
+          .orderBy("day")
+      },
+      Some("""WITH s AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             |        min(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS h0,
+             |        max(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS h1
+             |      FROM events GROUP BY 1, 2),
+             |d AS (SELECT h0 AS h, 1 AS delta FROM s
+             |      UNION ALL SELECT h1 + INTERVAL 1 HOUR, -1 FROM s),
+             |g AS (SELECT h, sum(delta) AS delta FROM d GROUP BY 1),
+             |c AS (SELECT h, sum(delta) OVER (ORDER BY h) AS conc FROM g),
+             |p AS (SELECT CAST(h AS DATE) AS day, extract(hour FROM h) AS hr, conc,
+             |        row_number() OVER (PARTITION BY CAST(h AS DATE)
+             |          ORDER BY conc DESC, h) AS rk FROM c)
+             |SELECT day, CAST(hr AS BIGINT) AS peak_hour,
+             |  CAST(conc AS BIGINT) AS max_concurrent
+             |FROM p WHERE rk = 1 ORDER BY day""".stripMargin)),
+
+    // daily new-vs-returning decomposition — each day's event volume with
+    // its distinct users split by first-seen-that-day vs seen-before: the
+    // standard DAU decomposition chart. One grouped min per user (the
+    // first-seen frame, user-keyed) joined back on user_id, then one
+    // day-grain rollup. The fixture's users all arrive in the first two
+    // days, so new flatlines to zero after — the honest shape.
+    QueryDef(
+      "q_new_vs_returning",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+        val fs = ev.groupBy("user_id").agg(min("day").as("d0"))
+        ev.join(fs, "user_id")
+          .groupBy("day")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(when(col("day") === col("d0"), col("user_id")))
+              .as("new_users"),
+            countDistinct(when(col("day") > col("d0"), col("user_id")))
+              .as("returning_users"),
+            countDistinct(col("user_id")).as("dau"))
+          .select(col("day"), col("n_events"), col("new_users"),
+            col("returning_users"),
+            expr("new_users * 1000 div dau").as("new_share_milli"))
+          .orderBy("day")
+      },
+      Some("""WITH fs AS (SELECT user_id, min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d0
+             |      FROM events GROUP BY 1),
+             |e AS (SELECT e.user_id, CAST(CAST(e.ts AS TIMESTAMP) AS DATE) AS day
+             |      FROM events e)
+             |SELECT day, count(*) AS n_events,
+             |  CAST(count(DISTINCT CASE WHEN day = d0 THEN e.user_id END) AS BIGINT)
+             |    AS new_users,
+             |  CAST(count(DISTINCT CASE WHEN day > d0 THEN e.user_id END) AS BIGINT)
+             |    AS returning_users,
+             |  CAST(count(DISTINCT CASE WHEN day = d0 THEN e.user_id END) * 1000
+             |    // count(DISTINCT e.user_id) AS BIGINT) AS new_share_milli
+             |FROM e JOIN fs USING (user_id) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // longest consecutive-purchase-day streak per user — gaps-and-islands
+    // on the (user, day) distinct frame via the day − row_number constant
+    // (q_islands merges 5-minute event intervals; this is the day-grain
+    // habit metric). Purchase-only keeps it non-degenerate (any-event
+    // streaks span the whole fixture). All windows are user-partitioned;
+    // top-10 via TakeOrdered.
+    QueryDef(
+      "q_streak_summary",
+      (s, d) => {
+        val ud = Tables.events(s, d).where(col("event_type") === "purchase")
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val wu = Window.partitionBy("user_id").orderBy("day")
+        val st = ud.withColumn("rn", row_number().over(wu))
+          .withColumn("grp", expr("date_add(day, -rn)"))
+          .groupBy("user_id", "grp")
+          .agg(count(lit(1)).as("streak_days"), min("day").as("start_day"))
+        val wb = Window.partitionBy("user_id")
+          .orderBy(col("streak_days").desc, col("start_day"))
+        st.withColumn("rk", row_number().over(wb)).where(col("rk") === 1)
+          .select(col("user_id"), col("streak_days"), col("start_day"))
+          .orderBy(col("streak_days").desc, col("user_id")).limit(10)
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+             |      FROM events WHERE event_type = 'purchase'),
+             |g AS (SELECT user_id, day,
+             |        day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT)
+             |          AS grp FROM ud),
+             |st AS (SELECT user_id, grp, count(*) AS len, min(day) AS start_day
+             |       FROM g GROUP BY 1, 2),
+             |best AS (SELECT user_id, len, start_day,
+             |           row_number() OVER (PARTITION BY user_id
+             |             ORDER BY len DESC, start_day) AS rk FROM st)
+             |SELECT user_id, CAST(len AS BIGINT) AS streak_days, start_day
+             |FROM best WHERE rk = 1 ORDER BY streak_days DESC, user_id LIMIT 10""".stripMargin))
   )
 }

@@ -2001,6 +2001,128 @@ object Curation {
              |SELECT CAST(bin AS BIGINT) AS bin, CAST(p AS BIGINT) AS n_pos,
              |  CAST(q AS BIGINT) AS n_neg, woe_micro, iv_nano,
              |  CAST(CAST(sum(iv_nano) OVER () AS BIGINT) // 1000 AS BIGINT) AS iv_total_micro
-             |FROM w ORDER BY bin""".stripMargin))
+             |FROM w ORDER BY bin""".stripMargin)),
+
+    // expanding-window time-series cross-validation plan — five folds
+    // with 5-day test windows over the January fixture span, each fold
+    // training on everything strictly before its cut: the split report
+    // a forecasting/backtest pipeline materializes before training,
+    // with the user-overlap column surfacing how many entities leak
+    // state across the boundary (q_temporal_split's scalar audit, per
+    // fold). Event counts come from the 31-row per-day rollup and user
+    // flags from the (user, day) distinct frame — the fold cross join
+    // touches users·days rows, never raw events, so the plan is one
+    // events shuffle plus bounded broadcast work at any scale.
+    QueryDef(
+      "q_tscv_folds",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val folds = s.range(1, 6).select(col("id").as("fold"),
+          expr("date_add(DATE'2024-01-01', CAST(5*id AS INT))").as("cut"))
+        val dc = ev.groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val evc = dc.crossJoin(broadcast(folds))
+          .groupBy("fold")
+          .agg(coalesce(sum(when(col("day") < col("cut"), col("n"))), lit(0L))
+              .as("train_n"),
+            coalesce(sum(when(col("day") >= col("cut")
+              && col("day") < date_add(col("cut"), 5), col("n"))), lit(0L))
+              .as("test_n"))
+        val ud = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val us = ud.crossJoin(broadcast(folds))
+          .groupBy("fold", "user_id")
+          .agg(max(when(col("day") < col("cut"), 1L).otherwise(0L)).as("tr"),
+            max(when(col("day") >= col("cut")
+              && col("day") < date_add(col("cut"), 5), 1L).otherwise(0L)).as("te"))
+          .groupBy("fold")
+          .agg(count(when(col("tr") === 1, 1)).as("train_users"),
+            count(when(col("te") === 1, 1)).as("test_users"),
+            count(when(col("tr") === 1 && col("te") === 1, 1)).as("shared_users"))
+        evc.join(us, "fold")
+          .select(col("fold"), col("train_n"), col("test_n"),
+            col("train_users"), col("test_users"), col("shared_users"))
+          .orderBy("fold")
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+             |      FROM events),
+             |dc AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n
+             |      FROM events GROUP BY 1),
+             |fc AS (SELECT fold, DATE '2024-01-01' + INTERVAL (5 * fold) DAY AS cut
+             |      FROM (SELECT unnest(range(1, 6)) AS fold)),
+             |ev AS (SELECT fold,
+             |         coalesce(sum(n) FILTER (WHERE day < cut), 0) AS train_n,
+             |         coalesce(sum(n) FILTER (WHERE day >= cut
+             |           AND day < cut + INTERVAL 5 DAY), 0) AS test_n
+             |       FROM fc CROSS JOIN dc GROUP BY 1),
+             |us AS (SELECT fold,
+             |         count(*) FILTER (WHERE tr) AS train_users,
+             |         count(*) FILTER (WHERE te) AS test_users,
+             |         count(*) FILTER (WHERE tr AND te) AS shared_users
+             |       FROM (SELECT fc.fold, ud.user_id,
+             |               bool_or(ud.day < fc.cut) AS tr,
+             |               bool_or(ud.day >= fc.cut AND ud.day < fc.cut + INTERVAL 5 DAY) AS te
+             |             FROM fc CROSS JOIN ud GROUP BY 1, 2)
+             |       GROUP BY 1)
+             |SELECT CAST(ev.fold AS BIGINT) AS fold, CAST(train_n AS BIGINT) AS train_n,
+             |  CAST(test_n AS BIGINT) AS test_n, CAST(train_users AS BIGINT) AS train_users,
+             |  CAST(test_users AS BIGINT) AS test_users,
+             |  CAST(shared_users AS BIGINT) AS shared_users
+             |FROM ev JOIN us ON us.fold = ev.fold ORDER BY fold""".stripMargin)),
+
+    // per-source dataset datasheet — the one-row-per-source summary a
+    // corpus release ships (the "datasheets for datasets" table):
+    // volume (docs / chars / whitespace tokens), language breadth and
+    // the majority language with its share, and the exact-duplicate
+    // count within the source (docs whose md5 fingerprint collides).
+    // Three grouped passes over documents — per-source, per-(source,
+    // lang) with a bounded argmax window, per-(source, hash) — all
+    // map-combined on the source key; every column is an exact integer
+    // or an integer division.
+    QueryDef(
+      "q_source_datasheet",
+      (s, d) => {
+        val base = Tables.documents(s, d).select(col("source"), col("lang"),
+          col("n_chars"), md5(col("text")).as("h"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+        val ps = base.groupBy("source").agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("chars"), sum("toks").as("tokens"),
+          countDistinct("lang").as("n_langs"))
+        val wl = Window.partitionBy("source")
+          .orderBy(col("nl").desc, col("lang").asc)
+        val top = base.groupBy("source", "lang").agg(count(lit(1)).as("nl"))
+          .withColumn("r", row_number().over(wl)).where(col("r") === 1)
+          .select(col("source"), col("lang").as("top_lang"), col("nl"))
+        val dup = base.groupBy("source", "h").agg(count(lit(1)).as("c"))
+          .where(col("c") > 1)
+          .groupBy("source").agg(sum("c").as("dup_docs"))
+        ps.join(top, "source").join(dup, Seq("source"), "left")
+          .select(col("source"), col("n_docs"), col("chars"), col("tokens"),
+            expr("chars div n_docs").as("mean_chars"), col("n_langs"),
+            col("top_lang"),
+            expr("nl * 1000 div n_docs").as("top_lang_share_milli"),
+            coalesce(col("dup_docs"), lit(0L)).as("dup_docs"))
+          .orderBy("source")
+      },
+      Some("""WITH base AS (SELECT source, lang, n_chars, md5(text) AS h,
+             |        len(string_split(text, ' ')) AS toks FROM documents),
+             |ps AS (SELECT source, count(*) AS n_docs, sum(n_chars) AS chars,
+             |        sum(toks) AS tokens, count(DISTINCT lang) AS n_langs
+             |      FROM base GROUP BY 1),
+             |pl AS (SELECT source, lang, count(*) AS nl FROM base GROUP BY 1, 2),
+             |top AS (SELECT source, lang AS top_lang, nl FROM (
+             |          SELECT source, lang, nl, row_number() OVER (PARTITION BY source
+             |            ORDER BY nl DESC, lang) AS r FROM pl) WHERE r = 1),
+             |dup AS (SELECT source, sum(c) AS dup_docs FROM (
+             |          SELECT source, count(*) AS c FROM base GROUP BY source, h
+             |          HAVING count(*) > 1) GROUP BY 1)
+             |SELECT ps.source, CAST(n_docs AS BIGINT) AS n_docs,
+             |  CAST(chars AS BIGINT) AS chars, CAST(tokens AS BIGINT) AS tokens,
+             |  CAST(chars // n_docs AS BIGINT) AS mean_chars,
+             |  CAST(n_langs AS BIGINT) AS n_langs, top.top_lang,
+             |  CAST(top.nl * 1000 // ps.n_docs AS BIGINT) AS top_lang_share_milli,
+             |  CAST(coalesce(dup.dup_docs, 0) AS BIGINT) AS dup_docs
+             |FROM ps JOIN top ON top.source = ps.source
+             |LEFT JOIN dup ON dup.source = ps.source
+             |ORDER BY ps.source""".stripMargin))
   )
 }

@@ -1412,6 +1412,164 @@ object Relational {
              |    // sum(CAST(b.p0 AS HUGEINT) * b.q0) AS BIGINT) AS laspeyres_micro,
              |  CAST(sum(CAST(p.p_micro AS HUGEINT) * p.qty) * 1000000
              |    // sum(CAST(b.p0 AS HUGEINT) * p.qty) AS BIGINT) AS paasche_micro
-             |FROM p JOIN base b USING (l_partkey) GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM p JOIN base b USING (l_partkey) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // join-key skew audit — the pre-join report a 100 TB pipeline runs
+    // before shuffling on a key: top-10 hottest o_custkey values with
+    // each key's skew multiple vs the mean key (n·n_keys/total, milli).
+    // The hot-key list drives salting / AQE-skew-join decisions
+    // (q_salted_join is the downstream fix this report justifies).
+    // One grouped count, a broadcast one-row total, and a sort-limit
+    // top-10 — the rank window runs AFTER the limit, over 10 rows, so
+    // no row-scaled partitionless window exists in the plan.
+    QueryDef(
+      "q_key_skew",
+      (s, d) => {
+        val k = Tables.orders(s, d).groupBy(col("o_custkey").as("key"))
+          .agg(count(lit(1)).as("n"))
+        val t = k.agg(count(lit(1)).as("nk"), sum("n").as("total"))
+        val top = k.orderBy(col("n").desc, col("key")).limit(10)
+        top.withColumn("rank",
+            row_number().over(Window.orderBy(col("n").desc, col("key"))))
+          .crossJoin(broadcast(t))
+          .select(col("rank"), col("key"), col("n"),
+            expr("CAST(n * CAST(nk AS DECIMAL(38,0)) * 1000 div total AS BIGINT)")
+              .as("skew_x_milli"))
+          .orderBy("rank")
+      },
+      Some("""WITH k AS (SELECT o_custkey AS key, count(*) AS n FROM orders GROUP BY 1),
+             |t AS (SELECT count(*) AS nk, sum(n) AS total FROM k),
+             |top AS (SELECT key, n, row_number() OVER (ORDER BY n DESC, key) AS r FROM k)
+             |SELECT CAST(r AS BIGINT) AS rank, key, CAST(n AS BIGINT) AS n,
+             |  CAST(n * CAST((SELECT nk FROM t) AS HUGEINT) * 1000
+             |    // (SELECT total FROM t) AS BIGINT) AS skew_x_milli
+             |FROM top WHERE r <= 10 ORDER BY r""".stripMargin)),
+
+    // cohort lifetime-value curve — cumulative revenue per customer by
+    // (first-order cohort month × months-since-first-order age): the LTV
+    // chart finance reads beside q_orders_cohort's flat rollup. The grid
+    // is calendar-bounded (≤ 80 cohorts × ≤ 80 ages) after ONE orders
+    // scan each for cohorts and revenue; the cumulative window is
+    // cohort-partitioned. Cents stay exact integers; per-customer LTV is
+    // one integer division at centi-cent grain.
+    QueryDef(
+      "q_cohort_ltv",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val fo = o.groupBy("o_custkey")
+          .agg(to_date(date_trunc("month", min(col("o_orderdate")))).as("cm"))
+        val rev = o.select(col("o_custkey"),
+          to_date(date_trunc("month", col("o_orderdate"))).as("om"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val g = rev.join(fo, "o_custkey")
+          .groupBy(col("cm"), expr("CAST(months_between(om, cm) AS BIGINT)").as("age_months"))
+          .agg(sum("cents").as("cents"))
+        val cs = fo.groupBy("cm").agg(count(lit(1)).as("n_cust"))
+        val wc = Window.partitionBy("cm").orderBy("age_months")
+        g.join(cs, "cm")
+          .select(date_format(col("cm"), "yyyy-MM").as("cohort_month"),
+            col("age_months"),
+            sum("cents").over(wc).as("cum_cents"),
+            expr("n_cust").as("n_cust"))
+          .select(col("cohort_month"), col("age_months"), col("cum_cents"),
+            expr("cum_cents * 100 div n_cust").as("ltv_per_cust_centi_cents"))
+          .orderBy("cohort_month", "age_months")
+      },
+      Some("""WITH fo AS (SELECT o_custkey,
+             |      date_trunc('month', min(CAST(o_orderdate AS DATE))) AS cm
+             |    FROM orders GROUP BY 1),
+             |rev AS (SELECT o_custkey, date_trunc('month', CAST(o_orderdate AS DATE)) AS om,
+             |      CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+             |g AS (SELECT fo.cm, datediff('month', fo.cm, rev.om) AS age, sum(cents) AS cents
+             |      FROM rev JOIN fo USING (o_custkey) GROUP BY 1, 2),
+             |cs AS (SELECT cm, count(*) AS n_cust FROM fo GROUP BY 1),
+             |c AS (SELECT g.cm, age, sum(cents) OVER (PARTITION BY g.cm ORDER BY age) AS cum,
+             |        n_cust FROM g JOIN cs USING (cm))
+             |SELECT strftime(cm, '%Y-%m') AS cohort_month, CAST(age AS BIGINT) AS age_months,
+             |  CAST(cum AS BIGINT) AS cum_cents,
+             |  CAST(cum * 100 // n_cust AS BIGINT) AS ltv_per_cust_centi_cents
+             |FROM c ORDER BY cohort_month, age_months""".stripMargin)),
+
+    // per-supplier operations scorecard — the dbt-style mart row: line
+    // volume, exact-cents revenue, return rate, and mean discount per
+    // supplier with the nation dim attached. One lineitem scan with
+    // map-side combine on the supplier key; both dims broadcast. Top-20
+    // by revenue via TakeOrdered.
+    QueryDef(
+      "q_supplier_scorecard",
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+        val sup = Tables.supplier(s, d)
+        val nat = Tables.nation(s, d)
+        l.groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(round(col("l_extendedprice") * 100).cast("long")).as("revenue_cents"),
+            sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("returns"),
+            sum(round(col("l_discount") * 100).cast("long")).as("disc_pts"))
+          .join(broadcast(sup.select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat.select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("nation"), col("n_lines"),
+            col("revenue_cents"),
+            expr("returns * 1000 div n_lines").as("return_milli"),
+            expr("disc_pts * 10 div n_lines").as("avg_disc_milli"))
+          .orderBy(col("revenue_cents").desc, col("s_suppkey")).limit(20)
+      },
+      Some("""SELECT s.s_suppkey, n.n_name AS nation, count(*) AS n_lines,
+             |  CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)) AS BIGINT)
+             |    AS revenue_cents,
+             |  CAST(sum(CASE WHEN l.l_returnflag='R' THEN 1 ELSE 0 END) * 1000
+             |    // count(*) AS BIGINT) AS return_milli,
+             |  CAST(sum(CAST(round(l.l_discount*100) AS BIGINT)) * 10 // count(*) AS BIGINT)
+             |    AS avg_disc_milli
+             |FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+             |JOIN nation n ON n.n_nationkey = s.s_nationkey
+             |GROUP BY 1, 2 ORDER BY revenue_cents DESC, s.s_suppkey LIMIT 20""".stripMargin)),
+
+    // monthly market-share trend by customer nation — each nation's
+    // revenue share of its month (micro), the share delta vs the prior
+    // month, and the within-month rank: the competitive-dashboard query.
+    // One orders scan (customer + nation dims broadcast) feeds a
+    // calendar-bounded month×nation grid (≤ 80×25 rows); both windows
+    // are partitioned (by nation for the lag, by month for the rank).
+    QueryDef(
+      "q_market_share_trend",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+        val nat = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+        val rev = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("mo"),
+            col("n_name").as("nation"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        val tot = rev.groupBy("mo").agg(sum("cents").as("tot"))
+        val sh = rev.join(tot, "mo")
+          .select(col("mo"), col("nation"),
+            expr("cents * 1000000 div tot").as("share_micro"))
+        val wl = Window.partitionBy("nation").orderBy("mo")
+        val wr = Window.partitionBy("mo").orderBy(col("share_micro").desc, col("nation"))
+        sh.select(date_format(col("mo"), "yyyy-MM").as("month"), col("nation"),
+            col("share_micro"),
+            coalesce(col("share_micro") - lag("share_micro", 1).over(wl), lit(0L))
+              .as("delta_micro"),
+            row_number().over(wr).cast("long").as("rk"))
+          .orderBy("month", "rk")
+      },
+      Some("""WITH rev AS (SELECT date_trunc('month', CAST(o.o_orderdate AS DATE)) AS mo,
+             |        n.n_name AS nation,
+             |        sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS cents
+             |      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+             |      JOIN nation n ON n.n_nationkey = c.c_nationkey GROUP BY 1, 2),
+             |t AS (SELECT mo, sum(cents) AS tot FROM rev GROUP BY 1),
+             |s AS (SELECT rev.mo, nation, CAST(cents * 1000000 // tot AS BIGINT) AS share_micro
+             |      FROM rev JOIN t USING (mo))
+             |SELECT strftime(mo, '%Y-%m') AS month, nation, share_micro,
+             |  CAST(coalesce(share_micro - lag(share_micro)
+             |    OVER (PARTITION BY nation ORDER BY mo), 0) AS BIGINT) AS delta_micro,
+             |  CAST(row_number() OVER (PARTITION BY mo
+             |    ORDER BY share_micro DESC, nation) AS BIGINT) AS rk
+             |FROM s ORDER BY month, rk""".stripMargin))
   )
 }

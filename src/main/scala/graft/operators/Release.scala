@@ -935,7 +935,91 @@ object Release {
              |  SELECT 0 AS layer, count(*) AS nodes FROM l0
              |  UNION ALL SELECT 1, count(*) FROM l1
              |  UNION ALL SELECT 2, count(*) FROM l2
-             |  UNION ALL SELECT 3, count(*) FROM l3) ORDER BY layer""".stripMargin))
+             |  UNION ALL SELECT 3, count(*) FROM l3) ORDER BY layer""".stripMargin)),
+
+    // local clustering coefficient over the published co-purchase
+    // artifact — per-node triangle closure closed/(deg choose 2), the
+    // community-tightness score beside q_triangles' global count. Runs
+    // on the p<200 audit seed slice (the q_containment convention) with
+    // the q_link_predict production cap: each seed keeps its top-256
+    // neighbors by (w desc, q asc), so the wedge fan-out is seeds·m²
+    // at ANY scale — 256 exceeds every fixture degree (max 222 at
+    // sf0.1), so the uncapped DuckDB oracle matches hash-for-hash.
+    // Closure is one equi-join of seed neighbor pairs against the
+    // stored edge list; ranking is on the rounded cc per convention.
+    QueryDef(
+      "q_clustering_coeff",
+      (s, d) => {
+        val (e, _) = copurchaseGraph(s, d)
+        val nbAll = e.select(col("p1").as("p"), col("p2").as("q"), col("w"))
+          .unionAll(e.select(col("p2").as("p"), col("p1").as("q"), col("w")))
+          .where(col("p") < 200)
+        val wcap = Window.partitionBy("p").orderBy(col("w").desc, col("q").asc)
+        val nb = nbAll.withColumn("r", row_number().over(wcap))
+          .where(col("r") <= 256).select("p", "q")
+        val deg = nb.groupBy("p").agg(count(lit(1)).as("deg"))
+        val wedge = nb.join(nb.select(col("p"), col("q").as("q2")), "p")
+          .where(col("q") < col("q2"))
+        val closed = wedge.join(e.select(col("p1"), col("p2")),
+            wedge("q") === e("p1") && wedge("q2") === e("p2"))
+          .groupBy("p").agg(count(lit(1)).as("closed"))
+        deg.where(col("deg") >= 2)
+          .join(closed, Seq("p"), "left")
+          .select(col("p"), col("deg"),
+            coalesce(col("closed"), lit(0L)).as("closed"))
+          .select(col("p"), col("deg"), col("closed"),
+            expr("CAST(closed * 1000000 div (deg*(deg-1) div 2) AS BIGINT)")
+              .as("cc_micro"))
+          .orderBy(col("cc_micro").desc, col("p")).limit(20)
+      },
+      Some("""WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS MATERIALIZED (SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS w
+             |      FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2),
+             |nb AS MATERIALIZED (SELECT p1 AS p, p2 AS q FROM e UNION ALL SELECT p2, p1 FROM e),
+             |sl AS (SELECT p, q FROM nb WHERE p < 200),
+             |deg AS (SELECT p, count(*) AS deg FROM sl GROUP BY 1),
+             |wedge AS (SELECT a.p, a.q AS v, b.q AS v2
+             |          FROM sl a JOIN sl b ON a.p = b.p AND a.q < b.q),
+             |closed AS (SELECT wedge.p, count(*) AS closed
+             |           FROM wedge JOIN e ON e.p1 = wedge.v AND e.p2 = wedge.v2 GROUP BY 1)
+             |SELECT d.p, CAST(d.deg AS BIGINT) AS deg,
+             |  CAST(coalesce(c.closed, 0) AS BIGINT) AS closed,
+             |  CAST(coalesce(c.closed, 0) * 1000000 // (d.deg*(d.deg-1) // 2) AS BIGINT) AS cc_micro
+             |FROM deg d LEFT JOIN closed c ON c.p = d.p
+             |WHERE d.deg >= 2
+             |ORDER BY cc_micro DESC, d.p LIMIT 20""".stripMargin)),
+
+    // degree distribution of the co-purchase graph — how many nodes
+    // have exactly d ties, with each degree class's share of all nodes:
+    // the first plot of any graph analysis (regular vs heavy-tailed
+    // decides whether hubs need capping — it calibrates
+    // q_link_predict's top-256 and q_clustering_coeff's seed cap).
+    // Reads the published artifact's degree table: one grouped count
+    // whose output is bounded by the degree domain, plus a broadcast
+    // one-row node total.
+    QueryDef(
+      "q_degree_dist",
+      (s, d) => {
+        val (_, deg) = copurchaseGraph(s, d)
+        val t = deg.agg(count(lit(1)).as("nn"))
+        deg.groupBy(col("deg").as("degree"))
+          .agg(count(lit(1)).as("n_nodes"))
+          .crossJoin(broadcast(t))
+          .select(col("degree"), col("n_nodes"),
+            expr("CAST(n_nodes * 1000000 div nn AS BIGINT)").as("share_micro"))
+          .orderBy("degree")
+      },
+      Some("""WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+             |      FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2),
+             |nb AS (SELECT p1 AS p FROM e UNION ALL SELECT p2 FROM e),
+             |deg AS (SELECT p, count(*) AS deg FROM nb GROUP BY 1),
+             |t AS (SELECT count(*) AS nn FROM deg)
+             |SELECT deg AS degree, count(*) AS n_nodes,
+             |  CAST(count(*) * 1000000 // (SELECT nn FROM t) AS BIGINT) AS share_micro
+             |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** Fixed-point WEIGHTED PageRank oracle — six unrolled stages over the

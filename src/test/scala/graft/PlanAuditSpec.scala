@@ -218,15 +218,32 @@ class PlanAuditSpec extends SparkSpec {
       "q_theilsen",
       // q_wasserstein: ECDF cumulatives + lead over the bounded
       // integer-cents value domain (the q_ks_test argument)
-      "q_wasserstein")
-    for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
-      val global = fn(spark, sf).queryExecution.optimizedPlan.collect {
+      "q_wasserstein",
+      // q_roc_auc: cumulative FP pass over the range-bounded score
+      // histogram (score = cents-rounded value + bounded jitter ⇒ the
+      // grouped frame is the score DOMAIN, never the event count)
+      "q_roc_auc",
+      // q_key_skew: rank window runs AFTER the sort-limit top-10 —
+      // 10 rows by construction
+      "q_key_skew",
+      // q_macro_f1: macro-average window runs over the per-CLASS F1
+      // frame — ≤ 3 rows (the label domain), never the event count
+      "q_macro_f1",
+      // q_woe_iv: IV-total window runs over the 10 fixed WOE bins —
+      // bounded by the bin count, never by data volume
+      "q_woe_iv",
+      // q_concurrency_sweep: the sweep-line cumulative runs over the
+      // ≤ 745-slot hour calendar after the delta aggregation — bounded
+      // by the calendar, never by data volume (q_changepoint convention)
+      "q_concurrency_sweep")
+    val offenders = for {
+      (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !allowed(name)
+      w = fn(spark, sf).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
           if w.partitionSpec.isEmpty => w
-      }
-      assert(global.isEmpty,
-        s"$name plans ${global.size} partitionless window(s):\n${global.mkString("\n")}")
-    }
+      } if w.nonEmpty
+    } yield s"$name plans ${w.size} partitionless window(s):\n${w.mkString("\n")}"
+    assert(offenders.isEmpty, offenders.mkString("\n\n"))
   }
 
   test("q_time_to_convert / q_repurchase_interval: percentile ranks ride the range shuffle") {
