@@ -214,7 +214,9 @@ object ScaleProbe {
       "q_retention_curve", "q_sequence_surprisal", "q_attribution_compare",
       "q_peak_load", "q_concurrency_sweep",
       "q_cohort_ltv", "q_supplier_scorecard", "q_market_share_trend",
-      "q_new_vs_returning", "q_streak_summary")
+      "q_new_vs_returning", "q_streak_summary",
+      "q_burn_rate", "q_churn_risk", "q_vocab_oov", "q_abc_class",
+      "q_demand_cv")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

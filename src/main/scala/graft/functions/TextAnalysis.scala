@@ -1099,6 +1099,94 @@ object TextAnalysis {
              |  CAST(CASE WHEN b_disc + c_disc = 0 THEN 0
              |    ELSE (b_disc - c_disc) * (b_disc - c_disc) * 1000 // (b_disc + c_disc)
              |  END AS BIGINT) AS mcnemar_chi2_milli
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // corpus keyness — top-3 distinctive terms per source by the G²
+    // log-likelihood ratio (Dunning 1993) of the word-vs-rest 2×2 table:
+    // the standard keyword-extraction screen that complements q_source_js
+    // (which measures whole-distribution divergence, not which words carry
+    // it). One tokenized scan → grouped counts; the source (20-row) and
+    // vocabulary margins broadcast back onto the (source, word) frame, so
+    // shuffle ∝ distinct (source, word) — vocabulary-sized, never corpus-
+    // sized. G² is 4 ln terms on exact count rationals, micro-rounded once;
+    // the per-source rank window is partitioned by source.
+    QueryDef(
+      "q_keyness",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        val cnt = tok.groupBy("source", "w").agg(count(lit(1)).as("a"))
+        val st = cnt.groupBy("source").agg(sum("a").as("ns"))
+        val wt = cnt.groupBy("w").agg(sum("a").as("nw"))
+        val tot = cnt.agg(sum("a").as("n"))
+        val g2 = cnt.join(broadcast(st), "source").join(broadcast(wt), "w")
+          .crossJoin(broadcast(tot))
+          .select(col("source"), col("w"),
+            expr("""CAST(round(2000000.0 * (
+                   |  CASE WHEN a > 0 THEN a*ln(CAST(a AS DOUBLE)*n/(CAST(ns AS DOUBLE)*nw)) ELSE 0.0 END +
+                   |  CASE WHEN nw-a > 0 THEN (nw-a)*ln(CAST(nw-a AS DOUBLE)*n/(CAST(n-ns AS DOUBLE)*nw)) ELSE 0.0 END +
+                   |  CASE WHEN ns-a > 0 THEN (ns-a)*ln(CAST(ns-a AS DOUBLE)*n/(CAST(ns AS DOUBLE)*(n-nw))) ELSE 0.0 END +
+                   |  CASE WHEN n-ns-nw+a > 0 THEN (n-ns-nw+a)*ln(CAST(n-ns-nw+a AS DOUBLE)*n/(CAST(n-ns AS DOUBLE)*(n-nw))) ELSE 0.0 END
+                   |)) AS BIGINT)""".stripMargin).as("g2_micro"))
+        g2.withColumn("rk",
+            row_number().over(Window.partitionBy("source")
+              .orderBy(col("g2_micro").desc, col("w"))))
+          .where(col("rk") <= 3)
+          .select(col("source"), col("w"), col("g2_micro"), col("rk").cast("long").as("rk"))
+          .orderBy("source", "rk")
+      },
+      Some("""WITH tok AS (SELECT source, unnest(string_split(text,' ')) AS w FROM documents),
+             |c AS (SELECT source, w, count(*) AS a FROM tok GROUP BY 1,2),
+             |st AS (SELECT source, sum(a) AS ns FROM c GROUP BY 1),
+             |wt AS (SELECT w, sum(a) AS nw FROM c GROUP BY 1),
+             |t AS (SELECT sum(a) AS n FROM c),
+             |g AS (SELECT c.source, c.w, c.a, st.ns, wt.nw, t.n
+             |      FROM c JOIN st USING (source) JOIN wt USING (w) CROSS JOIN t),
+             |g2 AS (SELECT source, w,
+             |  CAST(round(2000000.0 * (
+             |    CASE WHEN a > 0 THEN a*ln(CAST(a AS DOUBLE)*n/(CAST(ns AS DOUBLE)*nw)) ELSE 0.0 END +
+             |    CASE WHEN nw-a > 0 THEN (nw-a)*ln(CAST(nw-a AS DOUBLE)*n/(CAST(n-ns AS DOUBLE)*nw)) ELSE 0.0 END +
+             |    CASE WHEN ns-a > 0 THEN (ns-a)*ln(CAST(ns-a AS DOUBLE)*n/(CAST(ns AS DOUBLE)*(n-nw))) ELSE 0.0 END +
+             |    CASE WHEN n-ns-nw+a > 0 THEN (n-ns-nw+a)*ln(CAST(n-ns-nw+a AS DOUBLE)*n/(CAST(n-ns AS DOUBLE)*(n-nw))) ELSE 0.0 END
+             |  )) AS BIGINT) AS g2_micro FROM g),
+             |rk AS (SELECT source, w, g2_micro,
+             |    row_number() OVER (PARTITION BY source ORDER BY g2_micro DESC, w) AS rk
+             |  FROM g2)
+             |SELECT source, w, g2_micro, CAST(rk AS BIGINT) AS rk
+             |FROM rk WHERE rk <= 3 ORDER BY source, rk""".stripMargin)),
+
+    // tokenizer fertility per source — subword pieces per whitespace word
+    // and characters per piece, the standard tokenizer-efficiency readout
+    // (fertility ≈ 1 means the regex tokenizer splits near word level;
+    // high fertility sources cost proportionally more training tokens —
+    // the budget input q_token_budget allocates against). Reuses the
+    // codegen'd tokenCount/bpeishCount expressions from q_token_count in
+    // ONE map-combined grouped sum; ratios are exact integer micro.
+    // Fixture honesty: the synthetic corpus is single-case [a-z0-9]+
+    // words, so fertility pins at exactly 1.000000 — the chars-per-piece
+    // column carries the per-source variation at this scale.
+    QueryDef(
+      "q_token_fertility",
+      (s, d) => Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(tokenCount(col("text")).cast("long")).as("ws_tokens"),
+          sum(bpeishCount(col("text")).cast("long")).as("re_tokens"),
+          sum(col("n_chars")).as("chars"))
+        .select(col("source"), col("n_docs"), col("ws_tokens"), col("re_tokens"),
+          col("chars"),
+          expr("re_tokens * 1000000 div ws_tokens").as("fertility_micro"),
+          expr("chars * 1000000 div re_tokens").as("chars_per_piece_micro"))
+        .orderBy("source"),
+      Some("""WITH t AS (SELECT source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+             |    CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_re,
+             |    n_chars
+             |  FROM documents)
+             |SELECT source, count(*) AS n_docs, sum(n_ws) AS ws_tokens,
+             |  sum(n_re) AS re_tokens, sum(n_chars) AS chars,
+             |  CAST(sum(n_re) * 1000000 // sum(n_ws) AS BIGINT) AS fertility_micro,
+             |  CAST(sum(n_chars) * 1000000 // sum(n_re) AS BIGINT) AS chars_per_piece_micro
+             |FROM t GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

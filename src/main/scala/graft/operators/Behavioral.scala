@@ -3175,6 +3175,440 @@ object Behavioral {
              |           row_number() OVER (PARTITION BY user_id
              |             ORDER BY len DESC, start_day) AS rk FROM st)
              |SELECT user_id, CAST(len AS BIGINT) AS streak_days, start_day
-             |FROM best WHERE rk = 1 ORDER BY streak_days DESC, user_id LIMIT 10""".stripMargin))
+             |FROM best WHERE rk = 1 ORDER BY streak_days DESC, user_id LIMIT 10""".stripMargin)),
+
+    // SRE error-budget burn-rate alert — the multi-window SLO readout:
+    // per-hour error rate plus the 6-hour rolling rate, flagged when BOTH
+    // windows burn above the 25 % budget (the fixture's base error rate
+    // is 20 %, so flags fire on genuinely hot hours — 58 of 720). The
+    // rolling frame slides over the ≤744-slot hour calendar after ONE
+    // map-combined grouped count, so the partitionless window is
+    // calendar-bounded (whitelisted, q_changepoint convention). Rates
+    // are exact integer micro.
+    QueryDef(
+      "q_burn_rate",
+      (s, d) => {
+        val h = Tables.events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("e"))
+        val w6 = Window.orderBy("hr").rowsBetween(-5, 0)
+        h.select(col("hr"), col("n"), col("e"),
+            sum("n").over(w6).as("n6"), sum("e").over(w6).as("e6"))
+          .select(col("hr"),
+            expr("e * 1000000 div n").as("rate1h_micro"),
+            expr("e6 * 1000000 div n6").as("rate6h_micro"),
+            expr("CAST(CASE WHEN e*4 > n AND e6*4 > n6 THEN 1 ELSE 0 END AS BIGINT)")
+              .as("burn_flag"))
+          .orderBy("hr")
+      },
+      Some("""WITH h AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+             |        count(*) AS n,
+             |        sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS e
+             |      FROM events GROUP BY 1),
+             |w AS (SELECT hr, n, e,
+             |        sum(n) OVER (ORDER BY hr ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS n6,
+             |        sum(e) OVER (ORDER BY hr ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS e6
+             |      FROM h)
+             |SELECT hr, CAST(e * 1000000 // n AS BIGINT) AS rate1h_micro,
+             |  CAST(e6 * 1000000 // n6 AS BIGINT) AS rate6h_micro,
+             |  CAST(CASE WHEN e*4 > n AND e6*4 > n6 THEN 1 ELSE 0 END AS BIGINT) AS burn_flag
+             |FROM w ORDER BY hr""".stripMargin)),
+
+    // churn-risk triage — each user's idle time since last purchase
+    // against their OWN purchasing rhythm: the lower median of
+    // inter-purchase gaps (rank-picked at position (n+1) div 2, exact in
+    // both engines — no interpolated median crosses the hash compare),
+    // ratio in milli, flag at idle > 2× median. Gap and idle are exact
+    // integer milliseconds. All windows are user-partitioned; top-10 by
+    // idle ratio via TakeOrdered. 36 of 150 fixture users flag.
+    QueryDef(
+      "q_churn_risk",
+      (s, d) => {
+        // ts is TIMESTAMP_NTZ; the session timezone is pinned UTC repo-wide,
+        // so the cast to TIMESTAMP makes unix_millis read the same instant
+        // DuckDB's epoch_ms reads on the naive value.
+        val p = Tables.events(s, d).where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            unix_millis(col("ts").cast("timestamp")).as("ms"))
+        val anchor = p.agg(max(col("ms")).as("mx"))
+        val wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val gaps = p
+          .select(col("user_id"),
+            (col("ms") - lag("ms", 1).over(wu)).as("gap_ms"))
+          .where(col("gap_ms").isNotNull)
+        val wg = Window.partitionBy("user_id").orderBy("gap_ms")
+        val med = gaps.withColumn("r", row_number().over(wg))
+          .withColumn("n_gaps", count(lit(1)).over(Window.partitionBy("user_id")))
+          .where(col("r") === expr("(n_gaps + 1) div 2"))
+          .select(col("user_id"), col("n_gaps"), col("gap_ms").as("med_gap_ms"))
+        val lastp = p.groupBy("user_id").agg(max(col("ms")).as("last_ms"))
+        med.join(lastp, "user_id").crossJoin(broadcast(anchor))
+          .select(col("user_id"), col("n_gaps"), col("med_gap_ms"),
+            (col("mx") - col("last_ms")).as("idle_ms"))
+          .select(col("user_id"), col("n_gaps"), col("med_gap_ms"), col("idle_ms"),
+            expr("idle_ms * 1000 div med_gap_ms").as("idle_ratio_milli"),
+            expr("CAST(CASE WHEN idle_ms > 2 * med_gap_ms THEN 1 ELSE 0 END AS BIGINT)")
+              .as("churn_flag"))
+          .orderBy(col("idle_ratio_milli").desc, col("user_id")).limit(10)
+      },
+      Some("""WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
+             |      WHERE event_type='purchase'),
+             |anchor AS (SELECT max(epoch_ms(ts)) AS mx FROM p),
+             |g AS (SELECT user_id,
+             |        epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id
+             |          ORDER BY ts, event_id)) AS gap_ms FROM p),
+             |gaps AS (SELECT user_id, gap_ms FROM g WHERE gap_ms IS NOT NULL),
+             |rk AS (SELECT user_id, gap_ms,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY gap_ms) AS r,
+             |         count(*) OVER (PARTITION BY user_id) AS n_gaps FROM gaps),
+             |med AS (SELECT user_id, n_gaps, gap_ms AS med_gap_ms FROM rk
+             |        WHERE r = (n_gaps + 1) // 2),
+             |lastp AS (SELECT user_id, max(epoch_ms(ts)) AS last_ms FROM p GROUP BY 1)
+             |SELECT m.user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+             |  CAST(med_gap_ms AS BIGINT) AS med_gap_ms,
+             |  CAST((SELECT mx FROM anchor) - last_ms AS BIGINT) AS idle_ms,
+             |  CAST(((SELECT mx FROM anchor) - last_ms) * 1000 // med_gap_ms AS BIGINT)
+             |    AS idle_ratio_milli,
+             |  CAST(CASE WHEN (SELECT mx FROM anchor) - last_ms > 2 * med_gap_ms
+             |    THEN 1 ELSE 0 END AS BIGINT) AS churn_flag
+             |FROM med m JOIN lastp l ON l.user_id = m.user_id
+             |ORDER BY idle_ratio_milli DESC, m.user_id LIMIT 10""".stripMargin)),
+
+    // Benjamini–Hochberg FDR screen — one chi-square independence test per
+    // event type (type vs the rest × early/mid/late month-tercile, a 2×3
+    // table ⇒ df = 2, whose survival function is the CLOSED FORM e^(-χ²/2):
+    // no incomplete-gamma approximation crosses the engine boundary), then
+    // the BH step-up at α = 0.05 across the m per-type p-values. Everything
+    // after the ONE map-combined grouped count is margin arithmetic on the
+    // ≤ |types| × 3 cell table; the rank/kmax windows run over the
+    // |types|-row p frame (bounded by the type domain — q_macro_f1
+    // convention). p is derived from the already-quantized χ² so both
+    // engines exponentiate the same rational.
+    QueryDef(
+      "q_fdr_bh",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("event_type"),
+            when(dayofmonth(col("ts")) <= 10, 0)
+              .when(dayofmonth(col("ts")) <= 20, 1).otherwise(2).as("per"))
+        val o = e.groupBy("event_type", "per").agg(count(lit(1)).as("o"))
+        val tm = o.groupBy("per").agg(sum("o").as("np"))
+        val ty = o.groupBy("event_type").agg(sum("o").as("nt"))
+        val n = o.agg(sum("o").as("n"))
+        val cells = ty.crossJoin(broadcast(tm)).crossJoin(broadcast(n))
+          .join(o, Seq("event_type", "per"), "left")
+          .select(col("event_type"),
+            coalesce(col("o"), lit(0L)).as("obs"),
+            expr("CAST(nt AS DOUBLE) * np / n").as("exp_in"),
+            expr("CAST(n - nt AS DOUBLE) * np / n").as("exp_out"),
+            (col("np") - coalesce(col("o"), lit(0L))).as("obs_out"))
+        val chi = cells.groupBy("event_type")
+          .agg(expr("""CAST(round(1000000.0 * sum((obs-exp_in)*(obs-exp_in)/exp_in
+                      |  + (obs_out-exp_out)*(obs_out-exp_out)/exp_out)) AS BIGINT)"""
+            .stripMargin).as("chisq_micro"))
+        val p = chi.select(col("event_type"), col("chisq_micro"),
+          expr("CAST(round(1000000.0 * exp(-CAST(chisq_micro AS DOUBLE)/2000000.0)) AS BIGINT)")
+            .as("p_micro"))
+        // the global windows below run over the |types|-row p frame —
+        // bounded by the type domain, whitelisted in PlanAuditSpec
+        val wAll = Window.partitionBy()
+        val rk = p
+          .withColumn("r", row_number().over(
+            Window.orderBy(col("p_micro"), col("event_type"))))
+          .withColumn("m", count(lit(1)).over(wAll))
+        rk.withColumn("kmax",
+            max(when(col("p_micro") * col("m") <= col("r") * 50000, col("r"))
+              .otherwise(lit(0L))).over(wAll))
+          .select(col("event_type"), col("chisq_micro"), col("p_micro"),
+            col("r").cast("long").as("rk"),
+            expr("(r * 50000) div m").as("thr_micro"),
+            expr("CAST(CASE WHEN r <= kmax THEN 1 ELSE 0 END AS BIGINT)").as("reject"))
+          .orderBy("rk")
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |      CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 10 THEN 0
+             |           WHEN day(CAST(ts AS TIMESTAMP)) <= 20 THEN 1 ELSE 2 END AS per
+             |    FROM events),
+             |o AS (SELECT event_type, per, count(*) AS o FROM e GROUP BY 1,2),
+             |tm AS (SELECT per, sum(o) AS np FROM o GROUP BY 1),
+             |ty AS (SELECT event_type, sum(o) AS nt FROM o GROUP BY 1),
+             |n AS (SELECT sum(o) AS n FROM o),
+             |cells AS (SELECT t.event_type,
+             |    coalesce(o.o, 0) AS obs,
+             |    CAST(t.nt AS DOUBLE) * p.np / n.n AS exp_in,
+             |    CAST(n.n - t.nt AS DOUBLE) * p.np / n.n AS exp_out,
+             |    p.np - coalesce(o.o, 0) AS obs_out
+             |  FROM ty t CROSS JOIN tm p CROSS JOIN n
+             |  LEFT JOIN o ON o.event_type = t.event_type AND o.per = p.per),
+             |chi AS (SELECT event_type,
+             |    CAST(round(1000000.0 * sum((obs-exp_in)*(obs-exp_in)/exp_in
+             |      + (obs_out-exp_out)*(obs_out-exp_out)/exp_out)) AS BIGINT) AS chisq_micro
+             |  FROM cells GROUP BY 1),
+             |p AS (SELECT event_type, chisq_micro,
+             |    CAST(round(1000000.0 * exp(-CAST(chisq_micro AS DOUBLE)/2000000.0)) AS BIGINT)
+             |      AS p_micro FROM chi),
+             |rk AS (SELECT *, row_number() OVER (ORDER BY p_micro, event_type) AS r,
+             |        count(*) OVER () AS m FROM p),
+             |bh AS (SELECT *,
+             |        max(CASE WHEN p_micro * m <= r * 50000 THEN r ELSE 0 END) OVER () AS kmax
+             |      FROM rk)
+             |SELECT event_type, chisq_micro, p_micro, CAST(r AS BIGINT) AS rk,
+             |  CAST((r * 50000) // m AS BIGINT) AS thr_micro,
+             |  CAST(CASE WHEN r <= kmax THEN 1 ELSE 0 END AS BIGINT) AS reject
+             |FROM bh ORDER BY rk""".stripMargin)),
+
+    // autocorrelation function — Pearson r of the daily event count against
+    // itself at lags 1..7 (the weekly-seasonality fingerprint; q_autocorr is
+    // the single-lag special case, this is the curve q_seasonality_strength
+    // summarizes). The calendar-bounded daily frame broadcasts against its
+    // 7-lag explosion, the moment sums are one map-combined aggregate per
+    // lag, and products widen through DECIMAL(38,0) before the one double
+    // division (q_anova convention).
+    QueryDef(
+      "q_acf",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+        val pairs = daily
+          .select(col("day"), col("n").as("x"),
+            explode(sequence(lit(1), lit(7))).as("lag"))
+          .withColumn("jday", expr("date_add(day, lag)"))
+          .join(broadcast(daily.select(col("day").as("jday"), col("n").as("y"))),
+            "jday")
+        pairs.groupBy("lag")
+          .agg(count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(expr("x*x")).as("sxx"), sum(expr("y*y")).as("syy"),
+            sum(expr("x*y")).as("sxy"))
+          .select(col("lag").cast("long").as("lag"), col("k").as("n_pairs"),
+            expr("""CAST(round(1000000.0 *
+                   |  CAST(CAST(k AS DECIMAL(38,0))*sxy - CAST(sx AS DECIMAL(38,0))*sy AS DOUBLE) /
+                   |  (sqrt(CAST(CAST(k AS DECIMAL(38,0))*sxx - CAST(sx AS DECIMAL(38,0))*sx AS DOUBLE)) *
+                   |   sqrt(CAST(CAST(k AS DECIMAL(38,0))*syy - CAST(sy AS DECIMAL(38,0))*sy AS DOUBLE)))) AS BIGINT)"""
+              .stripMargin).as("r_micro"))
+          .orderBy("lag")
+      },
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+             |      FROM events GROUP BY 1),
+             |l AS (SELECT unnest(range(1, 8)) AS lag),
+             |pairs AS (SELECT l.lag, a.n AS x, b.n AS y
+             |  FROM l JOIN daily a ON TRUE
+             |  JOIN daily b ON b.day = a.day + CAST(l.lag AS BIGINT) * INTERVAL 1 DAY),
+             |m AS (SELECT lag, count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+             |        sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+             |      FROM pairs GROUP BY 1)
+             |SELECT CAST(lag AS BIGINT) AS lag, CAST(k AS BIGINT) AS n_pairs,
+             |  CAST(round(1000000.0 *
+             |    CAST(CAST(k AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE) /
+             |    (sqrt(CAST(CAST(k AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE)) *
+             |     sqrt(CAST(CAST(k AS HUGEINT)*syy - CAST(sy AS HUGEINT)*sy AS DOUBLE)))) AS BIGINT)
+             |    AS r_micro
+             |FROM m ORDER BY lag""".stripMargin)),
+
+    // STL-lite seasonal decomposition — daily count = trend (centered 7-day
+    // moving average, full windows only) + weekday seasonal (mean detrended
+    // per weekday, re-centered to sum ≈ 0) + residual. The additive
+    // decomposition behind q_seasonality_strength's single summary number,
+    // materialized as the full per-day table. Every window rides the
+    // ≤ #days calendar frame after ONE map-combined grouped count
+    // (q_changepoint convention); the only division is the /7 trend mean
+    // and two bounded avgs, each rounded once to micro.
+    QueryDef(
+      "q_stl_lite",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+        val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+        val mid = daily
+          .select(col("day"), col("n"),
+            sum("n").over(w7).as("s7"), count(lit(1)).over(w7).as("k7"),
+            (dayofweek(col("day")) - 1).as("dow"))
+          .where(col("k7") === 7)
+          .select(col("day"), col("n"), col("dow"),
+            expr("CAST(round(CAST(s7 AS DOUBLE) * 1000000 / 7) AS BIGINT)").as("trend_micro"))
+          .withColumn("det_micro", expr("n*1000000 - trend_micro"))
+        val sw = mid.groupBy("dow")
+          .agg(expr("CAST(round(avg(CAST(det_micro AS DOUBLE))) AS BIGINT)").as("seas_micro"))
+        val off = sw.agg(
+          expr("CAST(round(avg(CAST(seas_micro AS DOUBLE))) AS BIGINT)").as("off"))
+        mid.join(broadcast(sw), "dow").crossJoin(broadcast(off))
+          .select(col("day"), col("n"), col("trend_micro"),
+            (col("seas_micro") - col("off")).as("seasonal_micro"),
+            (col("det_micro") - (col("seas_micro") - col("off"))).as("resid_micro"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+             |      FROM events GROUP BY 1),
+             |tr AS (SELECT day, n,
+             |    sum(n) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+             |    count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS k7,
+             |    dayofweek(day) AS dow
+             |  FROM daily),
+             |mid AS (SELECT day, n, dow,
+             |    CAST(round(CAST(s7 AS DOUBLE) * 1000000 / 7) AS BIGINT) AS trend_micro,
+             |    n*1000000 - CAST(round(CAST(s7 AS DOUBLE) * 1000000 / 7) AS BIGINT) AS det_micro
+             |  FROM tr WHERE k7 = 7),
+             |sw AS (SELECT dow,
+             |    CAST(round(avg(CAST(det_micro AS DOUBLE))) AS BIGINT) AS seas_micro
+             |  FROM mid GROUP BY 1),
+             |adj AS (SELECT CAST(round(avg(CAST(seas_micro AS DOUBLE))) AS BIGINT) AS off FROM sw)
+             |SELECT m.day, CAST(m.n AS BIGINT) AS n, m.trend_micro,
+             |  (s.seas_micro - (SELECT off FROM adj)) AS seasonal_micro,
+             |  (m.det_micro - (s.seas_micro - (SELECT off FROM adj))) AS resid_micro
+             |FROM mid m JOIN sw s ON s.dow = m.dow ORDER BY m.day""".stripMargin)),
+
+    // empirical-Bayes (James–Stein/Morris) shrinkage of per-nation mean
+    // order value toward the grand mean — the standard small-sample
+    // stabilizer for per-group KPIs: weight = τ²/(τ² + σ²w/nᵢ) with σ²w the
+    // pooled within-group variance and τ² the method-of-moments between-
+    // group variance (floored at 0). TWO map-combined aggregates (group
+    // moments, then the 25-row margin frame) — nothing else touches the
+    // orders scan. Squares widen through exact 128-bit products before the
+    // one double cast; every reported double rounds once.
+    QueryDef(
+      "q_eb_shrinkage",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_nationkey").as("nk"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val g = o.groupBy("nk").agg(count(lit(1)).as("n"), sum("cents").as("s"),
+          sum(expr("CAST(cents AS DECIMAL(38,0)) * cents")).as("ss"))
+        val w = g.agg(
+          expr("""sum(CAST(ss AS DOUBLE) - CAST(CAST(s AS DECIMAL(38,0))*s AS DOUBLE)/n)
+                 |  / (sum(n) - count(*))""".stripMargin).as("s2w"),
+          expr("avg(CAST(s AS DOUBLE)/n)").as("mbar"),
+          expr("var_samp(CAST(s AS DOUBLE)/n)").as("vbar"),
+          expr("avg(1.0/n)").as("invn"))
+        val tau = w.select(col("s2w"), col("mbar"),
+          expr("greatest(vbar - s2w * invn, 0.0)").as("tau2"))
+        g.crossJoin(broadcast(tau))
+          .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey").as("nk"), col("n_name").as("nation"))), "nk")
+          .select(col("nation"), col("n").as("n_orders"),
+            expr("CAST(round(CAST(s AS DOUBLE)/n) AS BIGINT)").as("raw_mean_cents"),
+            expr("""CAST(round(mbar + tau2 / (tau2 + s2w/n)
+                   |  * (CAST(s AS DOUBLE)/n - mbar)) AS BIGINT)""".stripMargin)
+              .as("eb_mean_cents"),
+            expr("CAST(round(1000000.0 * tau2 / (tau2 + s2w/n)) AS BIGINT)")
+              .as("weight_micro"))
+          .orderBy("nation")
+      },
+      Some("""WITH o AS (SELECT c.c_nationkey AS nk,
+             |      CAST(round(o_totalprice*100) AS BIGINT) AS cents
+             |    FROM orders JOIN customer c ON c.c_custkey = o_custkey),
+             |g AS (SELECT nk, count(*) AS n, sum(cents) AS s,
+             |      sum(CAST(cents AS HUGEINT)*cents) AS ss FROM o GROUP BY 1),
+             |w AS (SELECT
+             |    sum(CAST(ss AS DOUBLE) - CAST(CAST(s AS HUGEINT)*s AS DOUBLE)/n)
+             |      / (sum(n) - count(*)) AS s2w,
+             |    avg(CAST(s AS DOUBLE)/n) AS mbar,
+             |    var_samp(CAST(s AS DOUBLE)/n) AS vbar,
+             |    avg(1.0/n) AS invn FROM g),
+             |tau AS (SELECT s2w, mbar, greatest(vbar - s2w * invn, 0.0) AS tau2 FROM w)
+             |SELECT nn.n_name AS nation, CAST(g.n AS BIGINT) AS n_orders,
+             |  CAST(round(CAST(g.s AS DOUBLE)/g.n) AS BIGINT) AS raw_mean_cents,
+             |  CAST(round(t.mbar + t.tau2 / (t.tau2 + t.s2w/g.n)
+             |    * (CAST(g.s AS DOUBLE)/g.n - t.mbar)) AS BIGINT) AS eb_mean_cents,
+             |  CAST(round(1000000.0 * t.tau2 / (t.tau2 + t.s2w/g.n)) AS BIGINT)
+             |    AS weight_micro
+             |FROM g CROSS JOIN tau t JOIN nation nn ON nn.n_nationkey = g.nk
+             |ORDER BY 1""".stripMargin)),
+
+    // always-valid A/B monitoring — the mixture-SPRT (Johari et al.) p-value
+    // sequence for the purchase-value difference between the two user_id-
+    // parity arms, reported at every daily checkpoint: λₜ with normal
+    // mixture τ² = pooled σ² on the cumulative two-sample z, p = 1/max λ.
+    // Peeking-safe by construction (λ is a martingale under H₀ — the
+    // running max can only tighten honestly). One map-combined daily-arm
+    // aggregate; cumulative/forward-fill/running-max windows all ride the
+    // ≤ #days calendar frame (q_changepoint convention). The fixture's arms
+    // are identical by design, so p plateaus high — the honest null.
+    QueryDef(
+      "q_msprt",
+      (s, d) => {
+        val p0 = Tables.events(s, d).where(col("event_type") === "purchase")
+          .select(to_date(col("ts")).as("day"), (col("user_id") % 2).as("arm"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val dAgg = p0.groupBy("day", "arm")
+          .agg(count(lit(1)).as("n"), sum("cents").as("s"),
+            sum(expr("CAST(cents AS DECIMAL(38,0)) * cents")).as("ss"))
+        val piv = dAgg.groupBy("day").agg(
+          sum(when(col("arm") === 0, col("n"))).as("dn0"),
+          sum(when(col("arm") === 0, col("s"))).as("ds0"),
+          sum(when(col("arm") === 0, col("ss"))).as("dss0"),
+          sum(when(col("arm") === 1, col("n"))).as("dn1"),
+          sum(when(col("arm") === 1, col("s"))).as("ds1"),
+          sum(when(col("arm") === 1, col("ss"))).as("dss1"))
+        val wc = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = piv.select(col("day"),
+          sum(coalesce(col("dn0"), lit(0L))).over(wc).as("n0"),
+          sum(coalesce(col("ds0"), lit(0L))).over(wc).as("s0"),
+          sum(coalesce(col("dss0"), lit(0L).cast("decimal(38,0)"))).over(wc).as("ss0"),
+          sum(coalesce(col("dn1"), lit(0L))).over(wc).as("n1"),
+          sum(coalesce(col("ds1"), lit(0L))).over(wc).as("s1"),
+          sum(coalesce(col("dss1"), lit(0L).cast("decimal(38,0)"))).over(wc).as("ss1"))
+        val lam = cum.where(col("n0") >= 2 && col("n1") >= 2)
+          .select(col("day"), col("n0"), col("n1"),
+            expr("CAST(s1 AS DOUBLE)/n1 - CAST(s0 AS DOUBLE)/n0").as("diff"),
+            expr("""((CAST(ss0 AS DOUBLE) - CAST(CAST(s0 AS DECIMAL(38,0))*s0 AS DOUBLE)/n0)
+                   | + (CAST(ss1 AS DOUBLE) - CAST(CAST(s1 AS DECIMAL(38,0))*s1 AS DOUBLE)/n1))
+                   | / (n0 + n1 - 2)""".stripMargin).as("s2"))
+          .select(col("day"), col("n0"), col("n1"),
+            expr("CAST(round(100.0*diff) AS BIGINT)").as("diff_centi"),
+            expr("""sqrt((s2*(1.0/n0+1.0/n1)) / (s2*(1.0/n0+1.0/n1) + s2))
+                   | * exp(diff*diff / (2*(s2*(1.0/n0+1.0/n1))
+                   |       * (1 + (s2*(1.0/n0+1.0/n1))/s2)))""".stripMargin).as("lam"))
+        lam.select(col("day"), col("n0"), col("n1"), col("diff_centi"),
+            expr("CAST(round(1000000.0 * lam) AS BIGINT)").as("lam_micro"),
+            max(col("lam")).over(Window.orderBy("day")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("lmax"))
+          .select(col("day"), col("n0"), col("n1"), col("diff_centi"), col("lam_micro"),
+            expr("CAST(round(1000000.0 * least(1.0, 1.0/lmax)) AS BIGINT)")
+              .as("p_always_micro"))
+          .orderBy("day")
+      },
+      Some("""WITH p AS (SELECT CAST(ts AS DATE) AS day, user_id % 2 AS arm,
+             |      CAST(round(value*100) AS BIGINT) AS cents
+             |    FROM events WHERE event_type = 'purchase'),
+             |d AS (SELECT day, arm, count(*) AS n, sum(cents) AS s,
+             |      sum(CAST(cents AS HUGEINT)*cents) AS ss FROM p GROUP BY 1,2),
+             |piv AS (SELECT day,
+             |    sum(CASE WHEN arm=0 THEN n END) AS dn0,
+             |    sum(CASE WHEN arm=0 THEN s END) AS ds0,
+             |    sum(CASE WHEN arm=0 THEN ss END) AS dss0,
+             |    sum(CASE WHEN arm=1 THEN n END) AS dn1,
+             |    sum(CASE WHEN arm=1 THEN s END) AS ds1,
+             |    sum(CASE WHEN arm=1 THEN ss END) AS dss1
+             |  FROM d GROUP BY 1),
+             |cum AS (SELECT day,
+             |    sum(coalesce(dn0, 0)) OVER (ORDER BY day) AS n0,
+             |    sum(coalesce(ds0, 0)) OVER (ORDER BY day) AS s0,
+             |    sum(coalesce(dss0, 0)) OVER (ORDER BY day) AS ss0,
+             |    sum(coalesce(dn1, 0)) OVER (ORDER BY day) AS n1,
+             |    sum(coalesce(ds1, 0)) OVER (ORDER BY day) AS s1,
+             |    sum(coalesce(dss1, 0)) OVER (ORDER BY day) AS ss1
+             |  FROM piv),
+             |st AS (SELECT day, n0, n1,
+             |    CAST(s1 AS DOUBLE)/n1 - CAST(s0 AS DOUBLE)/n0 AS diff,
+             |    ((CAST(ss0 AS DOUBLE) - CAST(CAST(s0 AS HUGEINT)*s0 AS DOUBLE)/n0)
+             |      + (CAST(ss1 AS DOUBLE) - CAST(CAST(s1 AS HUGEINT)*s1 AS DOUBLE)/n1))
+             |      / (n0 + n1 - 2) AS s2
+             |  FROM cum WHERE n0 >= 2 AND n1 >= 2),
+             |lam AS (SELECT day, n0, n1,
+             |    CAST(round(100.0*diff) AS BIGINT) AS diff_centi,
+             |    sqrt((s2*(1.0/n0+1.0/n1)) / (s2*(1.0/n0+1.0/n1) + s2))
+             |      * exp(diff*diff / (2*(s2*(1.0/n0+1.0/n1))
+             |            * (1 + (s2*(1.0/n0+1.0/n1))/s2))) AS lam
+             |  FROM st),
+             |run AS (SELECT day, n0, n1, diff_centi,
+             |    CAST(round(1000000.0 * lam) AS BIGINT) AS lam_micro,
+             |    max(lam) OVER (ORDER BY day) AS lmax FROM lam)
+             |SELECT day, CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+             |  diff_centi, lam_micro,
+             |  CAST(round(1000000.0 * least(1.0, 1.0/lmax)) AS BIGINT) AS p_always_micro
+             |FROM run ORDER BY day""".stripMargin))
   )
 }

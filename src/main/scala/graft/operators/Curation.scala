@@ -2123,6 +2123,117 @@ object Curation {
              |  CAST(coalesce(dup.dup_docs, 0) AS BIGINT) AS dup_docs
              |FROM ps JOIN top ON top.source = ps.source
              |LEFT JOIN dup ON dup.source = ps.source
-             |ORDER BY ps.source""".stripMargin))
+             |ORDER BY ps.source""".stripMargin)),
+
+    // per-source out-of-vocabulary rate vs the global top-20 token list —
+    // the train/serve vocabulary-mismatch gate (q_vocab_coverage measures
+    // what the top-k CAPTURES globally; this measures what each source
+    // LOSES). The top-20 list is a TakeOrdered (sort-limit, no global
+    // window) broadcast against one tokenized scan; rates are exact
+    // integer micro. On the ~37-word fixture vocabulary OOV sits under
+    // 1 % — the honest floor; real corpora put this in double digits.
+    QueryDef(
+      "q_vocab_oov",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        val topv = tok.groupBy("w").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("w")).limit(20)
+          .select(col("w"), lit(1L).as("in_vocab"))
+        tok.join(broadcast(topv), Seq("w"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+          .select(col("source"), col("n_tokens"), col("oov_tokens"),
+            expr("oov_tokens * 1000000 div n_tokens").as("oov_micro"))
+          .orderBy("source")
+      },
+      Some("""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+             |      FROM documents),
+             |v AS (SELECT w, count(*) AS n FROM tok GROUP BY 1),
+             |topv AS (SELECT w FROM (
+             |    SELECT w, row_number() OVER (ORDER BY n DESC, w) AS r FROM v)
+             |  WHERE r <= 20)
+             |SELECT source, count(*) AS n_tokens,
+             |  CAST(sum(CASE WHEN topv.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens,
+             |  CAST(sum(CASE WHEN topv.w IS NULL THEN 1 ELSE 0 END) * 1000000
+             |    // count(*) AS BIGINT) AS oov_micro
+             |FROM tok LEFT JOIN topv USING (w) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // multinomial naive-Bayes train + classify — the count-based distributed
+    // trainer (U21 family): Laplace-smoothed per-class token log-probs fit on
+    // the even doc-id-blocks half, applied to the held-out half, reported as
+    // the confusion matrix. The model (|vocab| × |classes| log-probs) is the
+    // ONLY thing broadcast — the corpus streams through one tokenize + one
+    // grouped count each side, so shuffle ∝ corpus tokens and the score
+    // aggregation is map-combined per (doc, class). ln terms quantize to
+    // nano BEFORE the per-doc sum (q_mutual_info convention); argmax breaks
+    // ties on class name. Fixture honesty: source word-distributions are iid
+    // by construction, so accuracy sits at chance (~1/20) — the machinery
+    // and the exact confusion hash are the deliverable, as with
+    // q_mutual_info's near-zero MI.
+    QueryDef(
+      "q_nb_classify",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val train = docs.where(expr("(doc_id div 20) % 2 = 0"))
+          .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("w"))
+        val test = docs.where(expr("(doc_id div 20) % 2 = 1"))
+          .select(col("doc_id"), col("source").as("true_source"),
+            explode(split(col("text"), " ")).as("w"))
+        val cw = train.groupBy("source", "w").agg(count(lit(1)).as("a"))
+        val cs = cw.groupBy("source").agg(sum("a").as("ns"))
+        val vocab = train.agg(countDistinct("w").as("vocab"))
+        val pri = train.groupBy("source").agg(countDistinct("doc_id").as("nd"))
+        val tot = pri.agg(sum("nd").as("td"))
+        val priors = pri.crossJoin(broadcast(tot))
+          .select(col("source").as("cls"),
+            expr("CAST(round(1e9*ln(CAST(nd AS DOUBLE)/td)) AS BIGINT)").as("prior_nano"))
+        val model = cw.select(col("source").as("cls"), col("w"), col("a"))
+        val terms = test
+          .crossJoin(broadcast(cs.select(col("source").as("cls"), col("ns"))))
+          .crossJoin(broadcast(vocab))
+          .join(broadcast(model), Seq("cls", "w"), "left")
+          .select(col("doc_id"), col("true_source"), col("cls"),
+            expr("CAST(round(1e9*ln((coalesce(a,0)+1.0)/(ns + vocab))) AS BIGINT)")
+              .as("lp_nano"))
+        val score = terms.groupBy("doc_id", "true_source", "cls")
+          .agg(sum("lp_nano").as("s_tok"))
+          .join(broadcast(priors), "cls")
+          .select(col("doc_id"), col("true_source"), col("cls"),
+            (col("s_tok") + col("prior_nano")).as("s_nano"))
+        score.withColumn("rk",
+            row_number().over(Window.partitionBy("doc_id")
+              .orderBy(col("s_nano").desc, col("cls"))))
+          .where(col("rk") === 1)
+          .groupBy(col("true_source"), col("cls").as("pred_source"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("true_source", "pred_source")
+      },
+      Some("""WITH train AS (SELECT doc_id, source, unnest(string_split(text,' ')) AS w
+             |      FROM documents WHERE (doc_id // 20) % 2 = 0),
+             |test AS (SELECT doc_id, source AS true_source, unnest(string_split(text,' ')) AS w
+             |      FROM documents WHERE (doc_id // 20) % 2 = 1),
+             |cw AS (SELECT source, w, count(*) AS a FROM train GROUP BY 1,2),
+             |cs AS (SELECT source, sum(a) AS ns FROM cw GROUP BY 1),
+             |v AS (SELECT count(DISTINCT w) AS vocab FROM train),
+             |pri AS (SELECT source, count(DISTINCT doc_id) AS nd FROM train GROUP BY 1),
+             |tot AS (SELECT sum(nd) AS td FROM pri),
+             |priors AS (SELECT source AS cls,
+             |    CAST(round(1e9*ln(CAST(nd AS DOUBLE)/(SELECT td FROM tot))) AS BIGINT)
+             |      AS prior_nano FROM pri),
+             |terms AS (SELECT t.doc_id, t.true_source, cs.source AS cls,
+             |    CAST(round(1e9*ln((coalesce(cw.a,0)+1.0)/(cs.ns + (SELECT vocab FROM v))))
+             |      AS BIGINT) AS lp_nano
+             |  FROM test t CROSS JOIN cs
+             |  LEFT JOIN cw ON cw.source = cs.source AND cw.w = t.w),
+             |score AS (SELECT doc_id, true_source, terms.cls,
+             |    sum(lp_nano) + any_value(prior_nano) AS s_nano
+             |  FROM terms JOIN priors ON priors.cls = terms.cls GROUP BY 1,2,3),
+             |pred AS (SELECT doc_id, true_source, cls AS pred_source,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY s_nano DESC, cls) AS rk
+             |  FROM score)
+             |SELECT true_source, pred_source, count(*) AS n_docs
+             |FROM pred WHERE rk = 1 GROUP BY 1,2 ORDER BY 1,2""".stripMargin))
   )
 }

@@ -1570,6 +1570,173 @@ object Relational {
              |    OVER (PARTITION BY nation ORDER BY mo), 0) AS BIGINT) AS delta_micro,
              |  CAST(row_number() OVER (PARTITION BY mo
              |    ORDER BY share_micro DESC, nation) AS BIGINT) AS rk
-             |FROM s ORDER BY month, rk""".stripMargin))
+             |FROM s ORDER BY month, rk""".stripMargin)),
+
+    // ABC inventory classification — parts bucketed A/B/C at the 80/95 %
+    // cumulative-revenue breakpoints, reported as the 3-row class rollup
+    // (count, revenue, share): the named analysis behind
+    // q_volume_concentration's threshold probes. The cumulative runs on
+    // GlobalOrder's two-phase range-partitioned running total — parts are
+    // data-sized, so a partitionless window here would be the single-task
+    // trap. Breakpoint compares stay exact in DECIMAL(38,0).
+    QueryDef(
+      "q_abc_class",
+      (s, d) => {
+        val pr = Tables.lineitem(s, d)
+          .select(col("l_partkey"),
+            round(col("l_extendedprice") * 100).cast("long").as("cents"))
+          .groupBy("l_partkey").agg(sum("cents").as("cents"))
+        val ord = Seq(col("cents").desc, col("l_partkey").asc)
+        val run = GlobalOrder.withRunningTotal(pr, ord, col("cents"), "cum")
+        val tot = pr.agg(sum("cents").as("tot"))
+        run.crossJoin(broadcast(tot))
+          .select(col("cents"), col("tot"),
+            expr("""CASE WHEN CAST(cum AS DECIMAL(38,0)) * 100 <= CAST(tot AS DECIMAL(38,0)) * 80
+                   |     THEN 'A'
+                   |     WHEN CAST(cum AS DECIMAL(38,0)) * 100 <= CAST(tot AS DECIMAL(38,0)) * 95
+                   |     THEN 'B' ELSE 'C' END""".stripMargin).as("cls"))
+          .groupBy("cls")
+          .agg(count(lit(1)).as("n_parts"), sum("cents").as("revenue_cents"))
+          .crossJoin(broadcast(tot))
+          .select(col("cls"), col("n_parts"), col("revenue_cents"),
+            expr("revenue_cents * 1000 div tot").as("share_milli"))
+          .orderBy("cls")
+      },
+      Some("""WITH p AS (SELECT l_partkey,
+             |      sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS cents
+             |    FROM lineitem GROUP BY 1),
+             |t AS (SELECT sum(cents) AS tot FROM p),
+             |c AS (SELECT l_partkey, cents,
+             |        sum(cents) OVER (ORDER BY cents DESC, l_partkey) AS cum FROM p),
+             |cl AS (SELECT cents,
+             |        CASE WHEN CAST(cum AS HUGEINT) * 100 <= CAST((SELECT tot FROM t) AS HUGEINT) * 80
+             |             THEN 'A'
+             |             WHEN CAST(cum AS HUGEINT) * 100 <= CAST((SELECT tot FROM t) AS HUGEINT) * 95
+             |             THEN 'B' ELSE 'C' END AS cls FROM c)
+             |SELECT cls, count(*) AS n_parts,
+             |  CAST(sum(cents) AS BIGINT) AS revenue_cents,
+             |  CAST(sum(cents) * 1000 // (SELECT tot FROM t) AS BIGINT) AS share_milli
+             |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // XYZ demand-variability classification — per-part coefficient of
+    // variation of monthly shipped quantity from ONE map-combined moment
+    // pass (n, Σq, Σq²), bucketed X (<0.5), Y (<1.0), Z (≥1.0) with each
+    // class's CV range. The only doubles are one sqrt and one division on
+    // exact integer moments, micro-rounded once (the q_anova convention);
+    // parts under 6 active months are excluded as too sparse to classify.
+    // Pairs with q_abc_class: ABC ranks value, XYZ ranks predictability.
+    QueryDef(
+      "q_demand_cv",
+      (s, d) => {
+        val m = Tables.lineitem(s, d)
+          .groupBy(col("l_partkey"),
+            to_date(date_trunc("month", col("l_shipdate"))).as("mo"))
+          .agg(sum(col("l_quantity").cast("long")).as("q"))
+        val st = m.groupBy("l_partkey")
+          .agg(count(lit(1)).as("n_months"), sum("q").as("sq"),
+            sum(expr("q*q")).as("sqq"))
+          .where(col("n_months") >= 6 && col("sq") > 0)
+        st.select(
+            expr("""CAST(round(sqrt(CAST(n_months*sqq - sq*sq AS DOUBLE)/(n_months*n_months))
+                   | * 1000000 / (CAST(sq AS DOUBLE)/n_months)) AS BIGINT)""".stripMargin)
+              .as("cv_micro"))
+          .select(
+            expr("""CASE WHEN cv_micro < 500000 THEN 'X'
+                   |     WHEN cv_micro < 1000000 THEN 'Y' ELSE 'Z' END""".stripMargin)
+              .as("cls"), col("cv_micro"))
+          .groupBy("cls")
+          .agg(count(lit(1)).as("n_parts"),
+            min("cv_micro").as("cv_min_micro"), max("cv_micro").as("cv_max_micro"))
+          .orderBy("cls")
+      },
+      Some("""WITH m AS (SELECT l_partkey, date_trunc('month', CAST(l_shipdate AS DATE)) AS mo,
+             |      CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+             |    FROM lineitem GROUP BY 1, 2),
+             |st AS (SELECT l_partkey, count(*) AS n_months, sum(q) AS sq, sum(q*q) AS sqq
+             |       FROM m GROUP BY 1 HAVING count(*) >= 6 AND sum(q) > 0),
+             |cv AS (SELECT CAST(round(sqrt(CAST(n_months*sqq - sq*sq AS DOUBLE)/(n_months*n_months))
+             |         * 1000000 / (CAST(sq AS DOUBLE)/n_months)) AS BIGINT) AS cv_micro
+             |       FROM st)
+             |SELECT CASE WHEN cv_micro < 500000 THEN 'X'
+             |            WHEN cv_micro < 1000000 THEN 'Y' ELSE 'Z' END AS cls,
+             |  count(*) AS n_parts,
+             |  CAST(min(cv_micro) AS BIGINT) AS cv_min_micro,
+             |  CAST(max(cv_micro) AS BIGINT) AS cv_max_micro
+             |FROM cv GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // price/volume/mix revenue bridge — the FP&A decomposition of the
+    // 1996→1997 revenue change per brand: for parts traded both years,
+    // price effect = rev₁ − rev₀·q₁/q₀ and volume effect = rev₀·q₁/q₀ − rev₀
+    // (so the two sum to the part's Δ exactly); parts entering or exiting
+    // land whole in the new/churn buckets. ONE conditional-sum aggregate
+    // per (brand, part, both years) replaces the classic year self-join —
+    // no second scan, no join at all beyond the part-dim lookup. All
+    // arithmetic is exact cents; the interaction product widens through
+    // DECIMAL(38,0) and uses truncating div on positives (both engines
+    // agree). The per-brand identity price+volume+new+churn = Δ is
+    // structural — the oracle hash would catch any drift.
+    QueryDef(
+      "q_gmv_bridge",
+      (s, d) => {
+        val ly = Tables.lineitem(s, d)
+          .withColumn("y", year(col("l_shipdate")))
+          .where(col("y").isin(1996, 1997))
+          .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand").as("brand"), col("l_partkey"))
+          .agg(
+            sum(when(col("y") === 1996,
+              round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+                .cast("long"))).as("rev0"),
+            sum(when(col("y") === 1996, col("l_quantity").cast("long"))).as("q0"),
+            sum(when(col("y") === 1997,
+              round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+                .cast("long"))).as("rev1"),
+            sum(when(col("y") === 1997, col("l_quantity").cast("long"))).as("q1"))
+        ly.select(col("brand"),
+            expr("""CASE WHEN rev0 IS NOT NULL AND rev1 IS NOT NULL
+                   | THEN rev1 - CAST(CAST(rev0 AS DECIMAL(38,0))*q1 div q0 AS BIGINT)
+                   | ELSE CAST(0 AS BIGINT) END""".stripMargin).as("price_eff"),
+            expr("""CASE WHEN rev0 IS NOT NULL AND rev1 IS NOT NULL
+                   | THEN CAST(CAST(rev0 AS DECIMAL(38,0))*q1 div q0 AS BIGINT) - rev0
+                   | ELSE CAST(0 AS BIGINT) END""".stripMargin).as("volume_eff"),
+            expr("CASE WHEN rev0 IS NULL THEN rev1 ELSE CAST(0 AS BIGINT) END").as("new_eff"),
+            expr("CASE WHEN rev1 IS NULL THEN -rev0 ELSE CAST(0 AS BIGINT) END").as("churn_eff"),
+            expr("coalesce(rev1, CAST(0 AS BIGINT)) - coalesce(rev0, CAST(0 AS BIGINT))").as("delta"))
+          .groupBy("brand")
+          .agg(sum("price_eff").as("price_eff_cents"),
+            sum("volume_eff").as("volume_eff_cents"),
+            sum("new_eff").as("new_eff_cents"),
+            sum("churn_eff").as("churn_eff_cents"),
+            sum("delta").as("delta_cents"))
+          .orderBy("brand")
+      },
+      Some("""WITH ly AS (SELECT p.p_brand AS brand, l.l_partkey,
+             |      sum(CASE WHEN year(CAST(l_shipdate AS DATE)) = 1996
+             |        THEN CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT) END) AS rev0,
+             |      sum(CASE WHEN year(CAST(l_shipdate AS DATE)) = 1996
+             |        THEN CAST(l_quantity AS BIGINT) END) AS q0,
+             |      sum(CASE WHEN year(CAST(l_shipdate AS DATE)) = 1997
+             |        THEN CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT) END) AS rev1,
+             |      sum(CASE WHEN year(CAST(l_shipdate AS DATE)) = 1997
+             |        THEN CAST(l_quantity AS BIGINT) END) AS q1
+             |    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+             |    WHERE year(CAST(l_shipdate AS DATE)) IN (1996, 1997) GROUP BY 1, 2),
+             |eff AS (SELECT brand,
+             |    CASE WHEN rev0 IS NOT NULL AND rev1 IS NOT NULL
+             |         THEN rev1 - CAST(CAST(rev0 AS HUGEINT)*q1 // q0 AS BIGINT)
+             |         ELSE 0 END AS price_eff,
+             |    CASE WHEN rev0 IS NOT NULL AND rev1 IS NOT NULL
+             |         THEN CAST(CAST(rev0 AS HUGEINT)*q1 // q0 AS BIGINT) - rev0
+             |         ELSE 0 END AS volume_eff,
+             |    CASE WHEN rev0 IS NULL THEN rev1 ELSE 0 END AS new_eff,
+             |    CASE WHEN rev1 IS NULL THEN -rev0 ELSE 0 END AS churn_eff,
+             |    coalesce(rev1, 0) - coalesce(rev0, 0) AS delta FROM ly)
+             |SELECT brand, CAST(sum(price_eff) AS BIGINT) AS price_eff_cents,
+             |  CAST(sum(volume_eff) AS BIGINT) AS volume_eff_cents,
+             |  CAST(sum(new_eff) AS BIGINT) AS new_eff_cents,
+             |  CAST(sum(churn_eff) AS BIGINT) AS churn_eff_cents,
+             |  CAST(sum(delta) AS BIGINT) AS delta_cents
+             |FROM eff GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -235,7 +235,27 @@ class PlanAuditSpec extends SparkSpec {
       // q_concurrency_sweep: the sweep-line cumulative runs over the
       // ≤ 745-slot hour calendar after the delta aggregation — bounded
       // by the calendar, never by data volume (q_changepoint convention)
-      "q_concurrency_sweep")
+      "q_concurrency_sweep",
+      // q_burn_rate: the 6-hour rolling frame slides over the ≤ 744-slot
+      // hour calendar after one map-combined grouped count — bounded by
+      // the calendar, never by data volume (q_changepoint convention)
+      "q_burn_rate",
+      // q_abc_class: withRunningTotal's offset prefix-sum, same
+      // ≤ #shuffle-partitions bound as the GlobalOrder family (the
+      // cumulative-revenue ranking itself rides the range shuffle)
+      "q_abc_class",
+      // q_fdr_bh: the BH rank/kmax windows run over the per-event-type
+      // p-value frame — ≤ |types| rows (the type domain), never the
+      // event count (q_macro_f1 convention)
+      "q_fdr_bh",
+      // q_stl_lite: the centered 7-day trend window slides over the
+      // ≤ #days calendar frame after one map-combined grouped count
+      // (q_changepoint convention)
+      "q_stl_lite",
+      // q_msprt: the cumulative / running-max windows ride the ≤ #days
+      // daily-checkpoint frame after one map-combined daily-arm
+      // aggregate (q_changepoint convention)
+      "q_msprt")
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !allowed(name)
       w = fn(spark, sf).queryExecution.optimizedPlan.collect {
