@@ -216,7 +216,12 @@ object ScaleProbe {
       "q_cohort_ltv", "q_supplier_scorecard", "q_market_share_trend",
       "q_new_vs_returning", "q_streak_summary",
       "q_burn_rate", "q_churn_risk", "q_vocab_oov", "q_abc_class",
-      "q_demand_cv")
+      "q_demand_cv",
+      "q_keyness", "q_nb_classify", "q_fdr_bh", "q_acf", "q_gmv_bridge",
+      "q_stl_lite", "q_eb_shrinkage", "q_msprt", "q_hits",
+      "q_token_fertility",
+      "q_granger", "q_partial_corr", "q_value_quantile_trend",
+      "q_filter_overlap", "q_ivf_sweep")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

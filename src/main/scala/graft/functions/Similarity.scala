@@ -2600,5 +2600,81 @@ object Similarity {
              |  CAST((sum(CASE WHEN in_text = 1 AND in_emb = 1 THEN 1 ELSE 0 END) * 1000000)
              |       // count(*) AS BIGINT) AS jaccard_micro
              |FROM u""".stripMargin))
-  )
+  ) :+ ivfSweepDef
+
+  /** One DuckDB stage set shared by every q_ivf_sweep nprobe point: the
+    * q_ivf_recall oracle parameterized by an unnest([1..4]) grid. */
+  private def ivfSweepOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
+      |c AS (SELECT vec_id AS cent_id, ed AS ce FROM e WHERE vec_id < 8),
+      |ad AS (SELECT e.vec_id, c.cent_id,
+      |         round(list_dot_product(e.ed, c.ce), 4) AS cdot,
+      |         row_number() OVER (PARTITION BY e.vec_id
+      |           ORDER BY round(list_dot_product(e.ed, c.ce), 4) DESC, c.cent_id) AS crn
+      |       FROM e CROSS JOIN c),
+      |assign AS (SELECT vec_id, cent_id AS cluster FROM ad WHERE crn = 1),
+      |grid AS (SELECT unnest([1, 2, 3, 4]) AS np),
+      |probes AS (SELECT g.np, ad.vec_id AS qid, ad.cent_id AS cluster
+      |           FROM ad CROSS JOIN grid g
+      |           WHERE ad.vec_id >= 8 AND ad.vec_id < 28 AND ad.crn <= g.np),
+      |cand AS (SELECT DISTINCT p.np, p.qid, a.vec_id FROM probes p
+      |         JOIN assign a ON a.cluster = p.cluster WHERE a.vec_id <> p.qid),
+      |isims AS (SELECT cd.np, cd.qid, cd.vec_id,
+      |            round(list_dot_product(q2.ed, e2.ed), 4) AS sim
+      |          FROM cand cd JOIN e q2 ON q2.vec_id = cd.qid
+      |          JOIN e e2 ON e2.vec_id = cd.vec_id),
+      |ivf AS (SELECT np, qid, vec_id FROM (
+      |    SELECT np, qid, vec_id,
+      |      row_number() OVER (PARTITION BY np, qid ORDER BY sim DESC, vec_id) AS rn
+      |    FROM isims) WHERE rn <= 5),
+      |q AS (SELECT vec_id AS qid, ed AS qe FROM e WHERE vec_id >= 8 AND vec_id < 28),
+      |bsims AS (SELECT q.qid, e.vec_id, round(list_dot_product(q.qe, e.ed), 4) AS sim
+      |          FROM q CROSS JOIN e WHERE e.vec_id <> q.qid),
+      |brute AS (SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id,
+      |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+      |    FROM bsims) WHERE rn <= 5),
+      |h AS (SELECT g.np, b.qid, count(i.np) AS hits
+      |      FROM grid g CROSS JOIN brute b
+      |      LEFT JOIN ivf i ON i.np = g.np AND i.qid = b.qid AND i.vec_id = b.vec_id
+      |      GROUP BY 1, 2),
+      |per AS (SELECT g.np, q.qid,
+      |         round(coalesce(h.hits, 0) / 5.0, 4) AS r
+      |       FROM grid g CROSS JOIN q
+      |       LEFT JOIN (SELECT np, qid, sum(hits) AS hits FROM h GROUP BY 1, 2) h
+      |         ON h.np = g.np AND h.qid = q.qid),
+      |rec AS (SELECT np, CAST(round(1000000*avg(r)) AS BIGINT) AS recall_micro
+      |        FROM per GROUP BY 1),
+      |cc AS (SELECT np, count(*) AS nc FROM cand GROUP BY 1)
+      |SELECT CAST(rec.np AS BIGINT) AS nprobe, rec.recall_micro,
+      |  CAST(coalesce(cc.nc, 0) * 1000000 // 20 AS BIGINT) AS cand_per_q_micro
+      |FROM rec LEFT JOIN cc ON cc.np = rec.np ORDER BY nprobe""".stripMargin
+
+  /** The IVF tuning curve as an ORACLED query (AnnFrontier prints the
+    * same numbers as a diagnostic main; this pins them): recall@5 and
+    * mean exact-score candidates per query at nprobe 1..4 — the two
+    * numbers the index dial trades off. Reuses ivfCandidates /
+    * ivfRecallAt5 verbatim per point so the sweep can never measure a
+    * different index shape than the gates; 4 fixed points union post-agg. */
+  private def ivfSweepDef: QueryDef = QueryDef(
+    "q_ivf_sweep",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("ed"))
+      val cents = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("ed").as("ce"))
+      val isQ = col("vec_id") >= 8 && col("vec_id") < 28
+      val points = (1 to 4).map { np =>
+        val rec = ivfRecallAt5(emb, cents, isQ, np)
+          .agg(expr("CAST(round(1000000*avg(recall_at_5)) AS BIGINT)")
+            .as("recall_micro"))
+        val cc = ivfCandidates(emb, cents, isQ, np)
+          .agg(expr("CAST(count(1) * 1000000 div 20 AS BIGINT)")
+            .as("cand_per_q_micro"))
+        rec.crossJoin(cc).select(lit(np.toLong).as("nprobe"),
+          col("recall_micro"), col("cand_per_q_micro"))
+      }
+      points.reduce(_ unionByName _).orderBy("nprobe")
+    },
+    Some(ivfSweepOracle))
 }

@@ -3233,10 +3233,13 @@ object Behavioral {
             unix_millis(col("ts").cast("timestamp")).as("ms"))
         val anchor = p.agg(max(col("ms")).as("mx"))
         val wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        // zero gaps (same-millisecond re-logs of one purchase) carry no
+        // rhythm signal and would zero the median — the rhythm is defined
+        // over POSITIVE inter-purchase gaps
         val gaps = p
           .select(col("user_id"),
             (col("ms") - lag("ms", 1).over(wu)).as("gap_ms"))
-          .where(col("gap_ms").isNotNull)
+          .where(col("gap_ms").isNotNull && col("gap_ms") > 0)
         val wg = Window.partitionBy("user_id").orderBy("gap_ms")
         val med = gaps.withColumn("r", row_number().over(wg))
           .withColumn("n_gaps", count(lit(1)).over(Window.partitionBy("user_id")))
@@ -3258,7 +3261,8 @@ object Behavioral {
              |g AS (SELECT user_id,
              |        epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id
              |          ORDER BY ts, event_id)) AS gap_ms FROM p),
-             |gaps AS (SELECT user_id, gap_ms FROM g WHERE gap_ms IS NOT NULL),
+             |gaps AS (SELECT user_id, gap_ms FROM g
+             |         WHERE gap_ms IS NOT NULL AND gap_ms > 0),
              |rk AS (SELECT user_id, gap_ms,
              |         row_number() OVER (PARTITION BY user_id ORDER BY gap_ms) AS r,
              |         count(*) OVER (PARTITION BY user_id) AS n_gaps FROM gaps),
@@ -3609,6 +3613,177 @@ object Behavioral {
              |SELECT day, CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
              |  diff_centi, lam_micro,
              |  CAST(round(1000000.0 * least(1.0, 1.0/lmax)) AS BIGINT) AS p_always_micro
-             |FROM run ORDER BY day""".stripMargin))
+             |FROM run ORDER BY day""".stripMargin)),
+
+    // lag-1 Granger test — does yesterday's error count predict today's
+    // purchase count beyond purchases' own autoregression? Restricted
+    // AR(1) vs full (AR(1) + lagged x) OLS on the demeaned daily series,
+    // solved in closed form (2×2 normal equations — no iterative fit),
+    // F = (RSS_r − RSS_f)/(RSS_f/(n−3)), flagged at the fixed F(1,26)
+    // 5 % critical value 4.2. Everything after ONE map-combined daily
+    // conditional-count aggregate runs on the ≤ #days calendar frame
+    // (q_changepoint convention); sums of demeaned products are doubles
+    // on exact-count rationals, each reported value rounded once.
+    QueryDef(
+      "q_granger",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("x"))
+        val wd = Window.orderBy("day")
+        val f = daily
+          .select(col("day"), col("y"),
+            lag("y", 1).over(wd).as("y1"), lag("x", 1).over(wd).as("x1"))
+          .where(col("y1").isNotNull)
+        val m = f.agg(count(lit(1)).as("n"),
+          expr("avg(CAST(y AS DOUBLE))").as("my"),
+          expr("avg(CAST(y1 AS DOUBLE))").as("my1"),
+          expr("avg(CAST(x1 AS DOUBLE))").as("mx1"))
+        val sums = f.crossJoin(broadcast(m))
+          .select(expr("y - my").as("dy"), expr("y1 - my1").as("dy1"),
+            expr("x1 - mx1").as("dx1"))
+          .agg(count(lit(1)).as("n"), sum(expr("dy1*dy1")).as("a11"),
+            sum(expr("dy1*dx1")).as("a12"), sum(expr("dx1*dx1")).as("a22"),
+            sum(expr("dy1*dy")).as("b1"), sum(expr("dx1*dy")).as("b2"),
+            sum(expr("dy*dy")).as("syy"))
+        sums.select(col("n"), col("syy"), col("b1"), col("b2"),
+            expr("syy - b1*b1/a11").as("rss_r"),
+            expr("(b1*a22 - b2*a12)/(a11*a22 - a12*a12)").as("beta1"),
+            expr("(b2*a11 - b1*a12)/(a11*a22 - a12*a12)").as("beta2"))
+          .select(col("n"), col("rss_r"), col("beta2"),
+            expr("syy - beta1*b1 - beta2*b2").as("rss_f"))
+          .select(col("n").as("n_days"),
+            expr("CAST(round(1000.0*rss_r) AS BIGINT)").as("rss_r_milli"),
+            expr("CAST(round(1000.0*rss_f) AS BIGINT)").as("rss_f_milli"),
+            expr("CAST(round(1000000.0*beta2) AS BIGINT)").as("beta_x_micro"),
+            expr("CAST(round(1000000.0*((rss_r - rss_f)/(rss_f/(n-3)))) AS BIGINT)")
+              .as("f_micro"),
+            expr("""CAST(CASE WHEN (rss_r - rss_f)/(rss_f/(n-3)) > 4.2
+                   | THEN 1 ELSE 0 END AS BIGINT)""".stripMargin).as("granger_flag"))
+      },
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+             |    sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS y,
+             |    sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS x
+             |  FROM events GROUP BY 1),
+             |l AS (SELECT day, y,
+             |    lag(y) OVER (ORDER BY day) AS y1, lag(x) OVER (ORDER BY day) AS x1
+             |  FROM daily),
+             |f AS (SELECT * FROM l WHERE y1 IS NOT NULL),
+             |m AS (SELECT count(*) AS n, avg(CAST(y AS DOUBLE)) AS my,
+             |    avg(CAST(y1 AS DOUBLE)) AS my1, avg(CAST(x1 AS DOUBLE)) AS mx1 FROM f),
+             |dm AS (SELECT y - m.my AS dy, y1 - m.my1 AS dy1, x1 - m.mx1 AS dx1
+             |      FROM f CROSS JOIN m),
+             |s AS (SELECT count(*) AS n, sum(dy1*dy1) AS a11, sum(dy1*dx1) AS a12,
+             |    sum(dx1*dx1) AS a22, sum(dy1*dy) AS b1, sum(dx1*dy) AS b2,
+             |    sum(dy*dy) AS syy FROM dm),
+             |sol AS (SELECT n, syy, b1, b2,
+             |    syy - b1*b1/a11 AS rss_r,
+             |    (b1*a22 - b2*a12)/(a11*a22 - a12*a12) AS beta1,
+             |    (b2*a11 - b1*a12)/(a11*a22 - a12*a12) AS beta2
+             |  FROM s),
+             |fin AS (SELECT n, rss_r, beta2, syy - beta1*b1 - beta2*b2 AS rss_f FROM sol)
+             |SELECT CAST(n AS BIGINT) AS n_days,
+             |  CAST(round(1000.0*rss_r) AS BIGINT) AS rss_r_milli,
+             |  CAST(round(1000.0*rss_f) AS BIGINT) AS rss_f_milli,
+             |  CAST(round(1000000.0*beta2) AS BIGINT) AS beta_x_micro,
+             |  CAST(round(1000000.0*((rss_r - rss_f)/(rss_f/(n-3)))) AS BIGINT) AS f_micro,
+             |  CAST(CASE WHEN (rss_r - rss_f)/(rss_f/(n-3)) > 4.2
+             |    THEN 1 ELSE 0 END AS BIGINT) AS granger_flag
+             |FROM fin""".stripMargin)),
+
+    // partial correlation — purchase vs error daily counts CONTROLLING for
+    // view volume: r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)), the
+    // one-line screen for "is this correlation just traffic?". One
+    // map-combined moment aggregate over the daily conditional counts;
+    // the three pairwise r's and the partial come from the same exact
+    // integer moment row, each rounded once to micro (q_anova convention).
+    QueryDef(
+      "q_partial_corr",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("x"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("y"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("z"))
+        val sAgg = daily.agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"), sum("z").as("sz"),
+          sum(expr("x*x")).as("sxx"), sum(expr("y*y")).as("syy"),
+          sum(expr("z*z")).as("szz"), sum(expr("x*y")).as("sxy"),
+          sum(expr("x*z")).as("sxz"), sum(expr("y*z")).as("syz"))
+        sAgg.select(col("n"),
+            expr("""(n*sxy - sx*sy)/(sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                   | *sqrt(CAST(n*syy - sy*sy AS DOUBLE)))""".stripMargin).as("rxy"),
+            expr("""(n*sxz - sx*sz)/(sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                   | *sqrt(CAST(n*szz - sz*sz AS DOUBLE)))""".stripMargin).as("rxz"),
+            expr("""(n*syz - sy*sz)/(sqrt(CAST(n*syy - sy*sy AS DOUBLE))
+                   | *sqrt(CAST(n*szz - sz*sz AS DOUBLE)))""".stripMargin).as("ryz"))
+          .select(col("n").as("n_days"),
+            expr("CAST(round(1000000.0*rxy) AS BIGINT)").as("rxy_micro"),
+            expr("CAST(round(1000000.0*rxz) AS BIGINT)").as("rxz_micro"),
+            expr("CAST(round(1000000.0*ryz) AS BIGINT)").as("ryz_micro"),
+            expr("""CAST(round(1000000.0*(rxy - rxz*ryz)
+                   | /sqrt((1-rxz*rxz)*(1-ryz*ryz))) AS BIGINT)""".stripMargin)
+              .as("rxy_given_z_micro"))
+      },
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+             |    sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS x,
+             |    sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS y,
+             |    sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS z
+             |  FROM events GROUP BY 1),
+             |s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(z) AS sz,
+             |    sum(x*x) AS sxx, sum(y*y) AS syy, sum(z*z) AS szz,
+             |    sum(x*y) AS sxy, sum(x*z) AS sxz, sum(y*z) AS syz FROM daily),
+             |r AS (SELECT n,
+             |    (n*sxy - sx*sy)/(sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+             |      *sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS rxy,
+             |    (n*sxz - sx*sz)/(sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+             |      *sqrt(CAST(n*szz - sz*sz AS DOUBLE))) AS rxz,
+             |    (n*syz - sy*sz)/(sqrt(CAST(n*syy - sy*sy AS DOUBLE))
+             |      *sqrt(CAST(n*szz - sz*sz AS DOUBLE))) AS ryz
+             |  FROM s)
+             |SELECT CAST(n AS BIGINT) AS n_days,
+             |  CAST(round(1000000.0*rxy) AS BIGINT) AS rxy_micro,
+             |  CAST(round(1000000.0*rxz) AS BIGINT) AS rxz_micro,
+             |  CAST(round(1000000.0*ryz) AS BIGINT) AS ryz_micro,
+             |  CAST(round(1000000.0*(rxy - rxz*ryz)
+             |    /sqrt((1-rxz*rxz)*(1-ryz*ryz))) AS BIGINT) AS rxy_given_z_micro
+             |FROM r""".stripMargin)),
+
+    // daily value-quantile trend — exact p50/p95 of event value per day via
+    // the cents-domain ECDF: group to (day, cents) first, then cumulate
+    // WITHIN each day partition over the bounded distinct-cents domain (the
+    // q_ks_test argument — the window frame is the VALUE DOMAIN, never the
+    // event count, and it is day-partitioned on top). The percentile pick
+    // is the exact type-1 quantile (smallest value with ⌈q·n⌉ mass), all
+    // integer arithmetic.
+    QueryDef(
+      "q_value_quantile_trend",
+      (s, d) => {
+        val v = Tables.events(s, d).where(col("value").isNotNull)
+          .select(to_date(col("ts")).as("day"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val g = v.groupBy("day", "cents").agg(count(lit(1)).as("k"))
+        val wd = Window.partitionBy("day").orderBy("cents")
+        val wn = Window.partitionBy("day")
+        g.select(col("day"), col("cents"),
+            sum("k").over(wd).as("ck"), sum("k").over(wn).as("n"))
+          .groupBy("day")
+          .agg(max("n").as("n"),
+            min(when(expr("ck*2 >= n"), col("cents"))).as("p50_cents"),
+            min(when(expr("ck*20 >= n*19"), col("cents"))).as("p95_cents"))
+          .orderBy("day")
+      },
+      Some("""WITH v AS (SELECT CAST(ts AS DATE) AS day,
+             |      CAST(round(value*100) AS BIGINT) AS cents
+             |    FROM events WHERE value IS NOT NULL),
+             |g AS (SELECT day, cents, count(*) AS k FROM v GROUP BY 1,2),
+             |cum AS (SELECT day, cents, k,
+             |    sum(k) OVER (PARTITION BY day ORDER BY cents) AS ck,
+             |    sum(k) OVER (PARTITION BY day) AS n FROM g)
+             |SELECT day, CAST(max(n) AS BIGINT) AS n,
+             |  CAST(min(CASE WHEN ck*2 >= n THEN cents END) AS BIGINT) AS p50_cents,
+             |  CAST(min(CASE WHEN ck*20 >= n*19 THEN cents END) AS BIGINT) AS p95_cents
+             |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

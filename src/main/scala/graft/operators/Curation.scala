@@ -2234,6 +2234,79 @@ object Curation {
              |    row_number() OVER (PARTITION BY doc_id ORDER BY s_nano DESC, cls) AS rk
              |  FROM score)
              |SELECT true_source, pred_source, count(*) AS n_docs
-             |FROM pred WHERE rk = 1 GROUP BY 1,2 ORDER BY 1,2""".stripMargin))
+             |FROM pred WHERE rk = 1 GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    // quality-rule overlap matrix — for q_quality_filter's three drop rules
+    // (length outside [30,500], zero stopword hits, 3-gram repetition
+    // > 0.2): per pair, how many docs each kills, how many both kill, and
+    // the Jaccard of their kill sets. The number that decides whether a
+    // rule is redundant (high overlap) or carries unique signal — the
+    // standard ablation before touching a production filter chain. Same
+    // rule expressions as q_quality_filter verbatim, ONE conditional-sum
+    // aggregate, 3-row literal pair unrolling post-agg.
+    QueryDef(
+      "q_filter_overlap",
+      (s, d) => {
+        import graft.functions.TextAnalysis.{enStopwordHits, tokenCount}
+        val grams = DedupOps.wordNGrams(col("text"), 3)
+        val rep = Tables.documents(s, d)
+          .select(col("doc_id"), explode(grams).as("gram"))
+          .groupBy("doc_id", "gram").agg(count(lit(1)).as("n"))
+          .groupBy("doc_id")
+          .agg(round(max("n").cast("double") / sum("n"), 4).as("rep_ratio"))
+        val fl = Tables.documents(s, d)
+          .withColumn("n_tokens", tokenCount(col("text")))
+          .withColumn("stop_hits", enStopwordHits(col("text")))
+          .join(rep, "doc_id")
+          .select(
+            when(!col("n_tokens").between(30, 500), 1L).otherwise(0L).as("fa"),
+            when(col("stop_hits") < 1, 1L).otherwise(0L).as("fb"),
+            when(col("rep_ratio") > 0.2, 1L).otherwise(0L).as("fc"))
+        val sAgg = fl.agg(sum("fa").as("na"), sum("fb").as("nb"), sum("fc").as("nc"),
+          sum(expr("fa*fb")).as("nab"), sum(expr("fa*fc")).as("nac"),
+          sum(expr("fb*fc")).as("nbc"))
+        def pair(a: String, b: String, fa: String, fb: String, both: String) =
+          sAgg.select(lit(a).as("rule_a"), lit(b).as("rule_b"),
+            col(fa).as("fail_a"), col(fb).as("fail_b"), col(both).as("fail_both"),
+            expr(s"""CAST(CASE WHEN $fa + $fb - $both = 0 THEN 0
+                    | ELSE $both*1000 div ($fa + $fb - $both) END AS BIGINT)"""
+              .stripMargin).as("jaccard_milli"))
+        pair("length", "repetition", "na", "nc", "nac")
+          .unionByName(pair("length", "stopword", "na", "nb", "nab"))
+          .unionByName(pair("stopword", "repetition", "nb", "nc", "nbc"))
+          .orderBy("rule_a", "rule_b")
+      },
+      Some("""WITH g AS (SELECT doc_id, unnest(grams) AS gram FROM (
+             |    SELECT doc_id,
+             |      [array_to_string(toks[i:i+2], ' ')
+             |       for i in range(1, greatest(len(toks)-2, 1)+1)] AS grams
+             |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))),
+             |c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2),
+             |rep AS (SELECT doc_id,
+             |    round(CAST(max(n) AS DOUBLE) / sum(n), 4) AS rep_ratio
+             |  FROM c GROUP BY 1),
+             |fl AS (SELECT
+             |    CASE WHEN NOT (len(string_split(text, ' ')) BETWEEN 30 AND 500)
+             |         THEN 1 ELSE 0 END AS fa,
+             |    CASE WHEN len(regexp_extract_all(text, '\b(the|and|of|to|in)\b')) < 1
+             |         THEN 1 ELSE 0 END AS fb,
+             |    CASE WHEN r.rep_ratio > 0.2 THEN 1 ELSE 0 END AS fc
+             |  FROM documents d JOIN rep r USING (doc_id)),
+             |s AS (SELECT sum(fa) AS na, sum(fb) AS nb, sum(fc) AS nc,
+             |    sum(fa*fb) AS nab, sum(fa*fc) AS nac, sum(fb*fc) AS nbc FROM fl)
+             |SELECT 'length' AS rule_a, 'repetition' AS rule_b,
+             |  CAST(na AS BIGINT) AS fail_a, CAST(nc AS BIGINT) AS fail_b,
+             |  CAST(nac AS BIGINT) AS fail_both,
+             |  CAST(CASE WHEN na + nc - nac = 0 THEN 0
+             |    ELSE nac*1000 // (na+nc-nac) END AS BIGINT) AS jaccard_milli FROM s
+             |UNION ALL SELECT 'length', 'stopword', CAST(na AS BIGINT),
+             |  CAST(nb AS BIGINT), CAST(nab AS BIGINT),
+             |  CAST(CASE WHEN na + nb - nab = 0 THEN 0
+             |    ELSE nab*1000 // (na+nb-nab) END AS BIGINT) FROM s
+             |UNION ALL SELECT 'stopword', 'repetition', CAST(nb AS BIGINT),
+             |  CAST(nc AS BIGINT), CAST(nbc AS BIGINT),
+             |  CAST(CASE WHEN nb + nc - nbc = 0 THEN 0
+             |    ELSE nbc*1000 // (nb+nc-nbc) END AS BIGINT) FROM s
+             |ORDER BY rule_a, rule_b""".stripMargin))
   )
 }

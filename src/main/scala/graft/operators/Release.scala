@@ -1025,37 +1025,32 @@ object Release {
     // (Kleinberg 1999): which parts are bought by the best-connected
     // customers — a DIFFERENT centrality than q_weighted_pagerank's random
     // walk (HITS is the dual eigenvector pair of MᵀM / MMᵀ). Four power
-    // iterations in L1-normalized 1e9 FIXED POINT — the q_pagerank trick:
-    // the per-iteration scalar total divides through exact 128-bit
-    // products with truncating div, so both engines produce bit-identical
-    // scores and an iterative spectral method stays hash-oracle-able. The
-    // incidence list is a build-once parquet artifact (the lineage cut);
-    // each iteration is two keyed grouped sums + two one-row broadcast
-    // totals — shuffle ∝ |edges|, never squared.
+    // half-steps run UNNORMALIZED in exact integer arithmetic (since L1
+    // normalization only rescales, the direction is identical, and skipping
+    // it per step halves the plan: no scalar total, no crossJoin, no
+    // truncation drift per round) — scores stay ≤ 1e9·deg⁴ < 10³⁸, inside
+    // DECIMAL(38,0)/HUGEINT, and both engines agree bit for bit. One L1
+    // normalization to the 1e9 fixed-point scale happens at the very end.
+    // The incidence list is a build-once parquet artifact (the lineage
+    // cut); each half-step is one keyed join + grouped sum — shuffle
+    // ∝ |edges|, never squared.
     QueryDef(
       "q_hits",
       (s, d) => {
         val edges = custPartIncidence(s, d)
         var hubs = edges.select(col("c")).distinct()
-          .select(col("c"), lit(1000000000L).as("h"))
-        var auth = edges.select(col("p")).distinct()
-          .select(col("p"), lit(0L).as("a"))
-        for (_ <- 1 to 4) {
-          val a0 = edges.join(hubs, "c").groupBy("p")
-            .agg(sum(expr("CAST(h AS DECIMAL(38,0))")).as("araw"))
-          val sa = a0.agg(sum("araw").as("stot"))
-          auth = a0.crossJoin(broadcast(sa))
-            .select(col("p"),
-              expr("CAST(araw * 1000000000 div stot AS BIGINT)").as("a"))
-          val h0 = edges.join(auth, "p").groupBy("c")
-            .agg(sum(expr("CAST(a AS DECIMAL(38,0))")).as("hraw"))
-          val sh = h0.agg(sum("hraw").as("stot"))
-          hubs = h0.crossJoin(broadcast(sh))
-            .select(col("c"),
-              expr("CAST(hraw * 1000000000 div stot AS BIGINT)").as("h"))
+          .select(col("c"), expr("CAST(1 AS DECIMAL(38,0))").as("h"))
+        var auth: org.apache.spark.sql.DataFrame = null
+        for (_ <- 1 to 2) {
+          auth = edges.join(hubs, "c").groupBy("p").agg(sum("h").as("a"))
+          hubs = edges.join(auth, "p").groupBy("c").agg(sum("a").as("h"))
         }
-        auth.orderBy(col("a").desc, col("p")).limit(10)
-          .select(col("p").as("partkey"), col("a").as("auth_nano"))
+        val sa = auth.agg(sum("a").as("stot"))
+        auth.crossJoin(broadcast(sa))
+          .select(col("p"),
+            expr("CAST(a * 1000000000 div stot AS BIGINT)").as("auth_nano"))
+          .orderBy(col("auth_nano").desc, col("p")).limit(10)
+          .select(col("p").as("partkey"), col("auth_nano"))
       },
       Some(hitsOracle))
   )
@@ -1100,29 +1095,25 @@ object Release {
     s.read.parquet(s"$dir/edges")
   }
 
-  /** Fixed-point HITS oracle — four unrolled hub/authority stages over the
-    * customer→part incidence, L1-normalized each half-step in exact
-    * HUGEINT arithmetic mirroring the Spark loop term for term. */
+  /** Exact-integer HITS oracle — unnormalized hub/authority half-steps
+    * over the customer→part incidence in HUGEINT, one final L1
+    * normalization to the 1e9 scale, mirroring the Spark loop term for
+    * term. */
   private def hitsOracle: String = {
     val graph =
       """WITH e AS MATERIALIZED (
         |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
         |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
-        |h0 AS (SELECT DISTINCT c, CAST(1000000000 AS HUGEINT) AS h FROM e)""".stripMargin
-    val iters = (1 to 4).map { k =>
-      s"""ar$k AS MATERIALIZED (SELECT e.p, sum(h${k - 1}.h) AS araw
+        |h0 AS (SELECT DISTINCT c, CAST(1 AS HUGEINT) AS h FROM e)""".stripMargin
+    val iters = (1 to 2).map { k =>
+      s"""a$k AS MATERIALIZED (SELECT e.p, sum(h${k - 1}.h) AS a
          |  FROM e JOIN h${k - 1} ON h${k - 1}.c = e.c GROUP BY 1),
-         |a$k AS MATERIALIZED (SELECT p,
-         |    CAST(araw * 1000000000 // (SELECT sum(araw) FROM ar$k) AS HUGEINT) AS a
-         |  FROM ar$k),
-         |hr$k AS MATERIALIZED (SELECT e.c, sum(a$k.a) AS hraw
-         |  FROM e JOIN a$k ON a$k.p = e.p GROUP BY 1),
-         |h$k AS MATERIALIZED (SELECT c,
-         |    CAST(hraw * 1000000000 // (SELECT sum(hraw) FROM hr$k) AS HUGEINT) AS h
-         |  FROM hr$k)""".stripMargin
+         |h$k AS MATERIALIZED (SELECT e.c, sum(a$k.a) AS h
+         |  FROM e JOIN a$k ON a$k.p = e.p GROUP BY 1)""".stripMargin
     }
     (graph +: iters).mkString(",\n") +
-      "\nSELECT p AS partkey, CAST(a AS BIGINT) AS auth_nano FROM a4" +
-      "\nORDER BY auth_nano DESC, partkey LIMIT 10"
+      "\nSELECT p AS partkey," +
+      "\n  CAST(a * 1000000000 // (SELECT sum(a) FROM a2) AS BIGINT) AS auth_nano" +
+      "\nFROM a2 ORDER BY auth_nano DESC, partkey LIMIT 10"
   }
 }

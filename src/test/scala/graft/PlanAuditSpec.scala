@@ -255,7 +255,11 @@ class PlanAuditSpec extends SparkSpec {
       // q_msprt: the cumulative / running-max windows ride the ≤ #days
       // daily-checkpoint frame after one map-combined daily-arm
       // aggregate (q_changepoint convention)
-      "q_msprt")
+      "q_msprt",
+      // q_granger: the lag-1 window rides the ≤ #days daily frame after
+      // one map-combined conditional-count aggregate (q_changepoint
+      // convention)
+      "q_granger")
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !allowed(name)
       w = fn(spark, sf).queryExecution.optimizedPlan.collect {
