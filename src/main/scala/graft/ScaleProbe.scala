@@ -221,7 +221,9 @@ object ScaleProbe {
       "q_stl_lite", "q_eb_shrinkage", "q_msprt", "q_hits",
       "q_token_fertility",
       "q_granger", "q_partial_corr", "q_value_quantile_trend",
-      "q_filter_overlap", "q_ivf_sweep")
+      "q_filter_overlap", "q_ivf_sweep",
+      "q_markov_stationary", "q_top_paths", "q_dwell_histogram",
+      "q_seasonal_index", "q_item_intro", "q_rfm_migration")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

@@ -3784,6 +3784,183 @@ object Behavioral {
              |SELECT day, CAST(max(n) AS BIGINT) AS n,
              |  CAST(min(CASE WHEN ck*2 >= n THEN cents END) AS BIGINT) AS p50_cents,
              |  CAST(min(CASE WHEN ck*20 >= n*19 THEN cents END) AS BIGINT) AS p95_cents
-             |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // stationary distribution of the event-type Markov chain — where a
+    // user's session settles in the long run, the one-vector summary of
+    // q_event_transitions' 5×5 matrix. Ten power iterations entirely in
+    // 1e9 fixed point: each per-edge contribution is the exact truncating
+    // π·c div rowtot on 128-bit-widened products (order-free under
+    // summation — the q_pagerank trick), and every frame after the ONE
+    // user-partitioned lead + grouped count is bounded by the |types|²
+    // transition domain.
+    QueryDef(
+      "q_markov_stationary",
+      (s, d) => {
+        val wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val tr = Tables.events(s, d)
+          .select(col("event_type").as("a"),
+            lead("event_type", 1).over(wu).as("b"))
+          .where(col("b").isNotNull)
+          .groupBy("a", "b").agg(count(lit(1)).as("c"))
+        val rs = tr.groupBy("a").agg(sum("c").as("tot"))
+        val ns = rs.agg(count(lit(1)).as("k"))
+        var pi = rs.select(col("a").as("st")).crossJoin(broadcast(ns))
+          .select(col("st"), expr("CAST(1000000000 div k AS BIGINT)").as("pi"))
+        for (_ <- 1 to 10) {
+          pi = tr.join(pi, col("a") === col("st")).join(rs, "a")
+            .groupBy(col("b").as("st2"))
+            .agg(sum(expr("CAST(pi AS DECIMAL(38,0)) * c div tot")).as("pi"))
+            .select(col("st2").as("st"), col("pi").cast("long").as("pi"))
+        }
+        pi.select(col("st").as("event_type"), col("pi").as("pi_nano"))
+          .orderBy("event_type")
+      },
+      Some(markovOracle)),
+
+    // top daily journeys — the first three event types of each (user, day)
+    // as a path string, ranked by frequency: the entry-flow report behind
+    // q_event_transitions' edge view. The per-(user, day) rank window is
+    // partitioned; the path assembles from three conditional MIN aggs (no
+    // ordered string_agg crosses the engine boundary), and the top-10 is a
+    // sort-limit (TakeOrdered), never a global window.
+    QueryDef(
+      "q_top_paths",
+      (s, d) => {
+        val w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+        val r = Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            col("event_type"), col("ts"), col("event_id"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 3)
+        r.groupBy("user_id", "day")
+          .agg(min(when(col("rn") === 1, col("event_type"))).as("t1"),
+            min(when(col("rn") === 2, col("event_type"))).as("t2"),
+            min(when(col("rn") === 3, col("event_type"))).as("t3"))
+          .where(col("t3").isNotNull)
+          .select(concat_ws(">", col("t1"), col("t2"), col("t3")).as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n_user_days"))
+          .orderBy(col("n_user_days").desc, col("path")).limit(10)
+      },
+      Some("""WITH r AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+             |    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+             |      ORDER BY ts, event_id) AS rn
+             |  FROM events),
+             |p AS (SELECT user_id, day,
+             |    min(CASE WHEN rn = 1 THEN event_type END) AS t1,
+             |    min(CASE WHEN rn = 2 THEN event_type END) AS t2,
+             |    min(CASE WHEN rn = 3 THEN event_type END) AS t3
+             |  FROM r WHERE rn <= 3 GROUP BY 1, 2)
+             |SELECT concat_ws('>', t1, t2, t3) AS path, count(*) AS n_user_days
+             |FROM p WHERE t3 IS NOT NULL
+             |GROUP BY 1 ORDER BY n_user_days DESC, path LIMIT 10""".stripMargin)),
+
+    // dwell-time histogram — per event type, the log2-bucketed distribution
+    // of time until the user's NEXT event (the latency-histogram shape:
+    // exponential buckets, exact integer bucket = |bin(ms+1)|−1, so no
+    // floating log2 boundary can disagree between engines). One
+    // user-partitioned lead, one grouped count; output is bounded by
+    // |types| × ~42 millisecond-buckets, never by the event count.
+    QueryDef(
+      "q_dwell_histogram",
+      (s, d) => {
+        val wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .select(col("event_type"),
+            (unix_millis(lead(col("ts"), 1).over(wu).cast("timestamp"))
+              - unix_millis(col("ts").cast("timestamp"))).as("dwell_ms"))
+          .where(col("dwell_ms").isNotNull && col("dwell_ms") >= 0)
+          .select(col("event_type"),
+            (length(bin(col("dwell_ms") + 1)) - 1).cast("long").as("bucket"))
+          .groupBy("event_type", "bucket").agg(count(lit(1)).as("n"))
+          .orderBy("event_type", "bucket")
+      },
+      Some("""WITH ord AS (SELECT event_type,
+             |    epoch_ms(lead(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id)) - epoch_ms(CAST(ts AS TIMESTAMP)) AS dwell_ms
+             |  FROM events)
+             |SELECT event_type,
+             |  CAST(length(bin(dwell_ms + 1)) - 1 AS BIGINT) AS bucket,
+             |  count(*) AS n
+             |FROM ord WHERE dwell_ms IS NOT NULL AND dwell_ms >= 0
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // RFM segment migration — each customer's fixed-rule segment (champion
+    // / loyal / big_spender / regular / occasional, from 1996 frequency ×
+    // monetary) against their 1997 segment, as the transition-count matrix
+    // CRM teams steer by. ONE conditional-sum pass per customer replaces
+    // the year self-join (the q_gmv_bridge trick); 'absent' marks
+    // customers active in only one year. Thresholds are exact integer
+    // cents — no quantile dependence, so the segmentation is stable under
+    // resampling (q_rfm holds the ntile-based sibling).
+    QueryDef(
+      "q_rfm_migration",
+      (s, d) => {
+        val oy = Tables.orders(s, d)
+          .withColumn("y", year(col("o_orderdate")))
+          .where(col("y").isin(1996, 1997))
+          .groupBy(col("o_custkey").as("ck"))
+          .agg(sum(when(col("y") === 1996, 1L).otherwise(0L)).as("f0"),
+            sum(when(col("y") === 1996,
+              round(col("o_totalprice") * 100).cast("long")).otherwise(0L)).as("m0"),
+            sum(when(col("y") === 1997, 1L).otherwise(0L)).as("f1"),
+            sum(when(col("y") === 1997,
+              round(col("o_totalprice") * 100).cast("long")).otherwise(0L)).as("m1"))
+        def seg(f: String, m: String) =
+          expr(s"""CASE WHEN $f = 0 THEN 'absent'
+                  |     WHEN $f >= 3 AND $m >= 30000000 THEN 'champion'
+                  |     WHEN $f >= 3 THEN 'loyal'
+                  |     WHEN $m >= 30000000 THEN 'big_spender'
+                  |     WHEN $f >= 2 THEN 'regular' ELSE 'occasional' END""".stripMargin)
+        oy.select(seg("f0", "m0").as("seg0"), seg("f1", "m1").as("seg1"))
+          .groupBy("seg0", "seg1").agg(count(lit(1)).as("n_customers"))
+          .orderBy("seg0", "seg1")
+      },
+      Some("""WITH oy AS (SELECT o_custkey AS ck,
+             |    sum(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996 THEN 1 ELSE 0 END) AS f0,
+             |    sum(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996
+             |      THEN CAST(round(o_totalprice*100) AS BIGINT) ELSE 0 END) AS m0,
+             |    sum(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1997 THEN 1 ELSE 0 END) AS f1,
+             |    sum(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1997
+             |      THEN CAST(round(o_totalprice*100) AS BIGINT) ELSE 0 END) AS m1
+             |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) IN (1996, 1997)
+             |  GROUP BY 1),
+             |seg AS (SELECT
+             |    CASE WHEN f0 = 0 THEN 'absent'
+             |         WHEN f0 >= 3 AND m0 >= 30000000 THEN 'champion'
+             |         WHEN f0 >= 3 THEN 'loyal'
+             |         WHEN m0 >= 30000000 THEN 'big_spender'
+             |         WHEN f0 >= 2 THEN 'regular' ELSE 'occasional' END AS seg0,
+             |    CASE WHEN f1 = 0 THEN 'absent'
+             |         WHEN f1 >= 3 AND m1 >= 30000000 THEN 'champion'
+             |         WHEN f1 >= 3 THEN 'loyal'
+             |         WHEN m1 >= 30000000 THEN 'big_spender'
+             |         WHEN f1 >= 2 THEN 'regular' ELSE 'occasional' END AS seg1
+             |  FROM oy)
+             |SELECT seg0, seg1, count(*) AS n_customers
+             |FROM seg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
+
+  /** Fixed-point Markov stationary oracle — ten unrolled power-iteration
+    * stages over the |types|² transition matrix, exact truncating
+    * arithmetic mirroring the Spark loop term for term. */
+  private def markovOracle: String = {
+    val base =
+      """WITH ord AS (SELECT event_type AS a,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b
+        |  FROM events),
+        |tr AS (SELECT a, b, count(*) AS c FROM ord WHERE b IS NOT NULL GROUP BY 1, 2),
+        |rs AS (SELECT a, sum(c) AS tot FROM tr GROUP BY 1),
+        |ns AS (SELECT count(*) AS k FROM rs),
+        |p0 AS (SELECT a AS st, CAST(1000000000 // (SELECT k FROM ns) AS BIGINT) AS pi
+        |       FROM rs)""".stripMargin
+    val iters = (1 to 10).map { k =>
+      s"""p$k AS (SELECT tr.b AS st,
+         |    CAST(sum(CAST(p${k - 1}.pi AS HUGEINT) * tr.c // rs.tot) AS BIGINT) AS pi
+         |  FROM tr JOIN p${k - 1} ON p${k - 1}.st = tr.a JOIN rs ON rs.a = tr.a
+         |  GROUP BY 1)""".stripMargin
+    }
+    (base +: iters).mkString(",\n") +
+      "\nSELECT st AS event_type, pi AS pi_nano FROM p10 ORDER BY st"
+  }
 }

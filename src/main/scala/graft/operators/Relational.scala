@@ -1737,6 +1737,102 @@ object Relational {
              |  CAST(sum(new_eff) AS BIGINT) AS new_eff_cents,
              |  CAST(sum(churn_eff) AS BIGINT) AS churn_eff_cents,
              |  CAST(sum(delta) AS BIGINT) AS delta_cents
-             |FROM eff GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM eff GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // classical ratio-to-moving-average seasonal indices — the monthly
+    // multiplicative calendar profile of shipped revenue (the forecasting
+    // prep that feeds deseasonalized trend models; q_stl_lite is the
+    // additive daily sibling). Centered 12-month MA as the average of the
+    // two offset 12-windows (the textbook 2×12 MA), full windows only;
+    // ratios average per calendar month and re-normalize to mean 1. All
+    // windows ride the ≤ #months calendar frame after ONE map-combined
+    // grouped sum (q_changepoint convention).
+    QueryDef(
+      "q_seasonal_index",
+      (s, d) => {
+        val m = Tables.lineitem(s, d)
+          .groupBy(to_date(date_trunc("month", col("l_shipdate"))).as("mo"))
+          .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long")).as("rev"))
+        val wa = Window.orderBy("mo").rowsBetween(-6, 5)
+        val wb = Window.orderBy("mo").rowsBetween(-5, 6)
+        val rt = m.select(col("mo"), col("rev"),
+            sum("rev").over(wa).as("s12a"), sum("rev").over(wb).as("s12b"),
+            count(lit(1)).over(wa).as("k1"), count(lit(1)).over(wb).as("k2"))
+          .where(col("k1") === 12 && col("k2") === 12)
+          .select(month(col("mo")).as("cal_month"),
+            expr("CAST(round(1000000.0 * rev / ((s12a + s12b) / 24.0)) AS BIGINT)")
+              .as("ratio_micro"))
+        val ix = rt.groupBy("cal_month")
+          .agg(count(lit(1)).as("n_obs"),
+            expr("CAST(round(avg(CAST(ratio_micro AS DOUBLE))) AS BIGINT)").as("idx_micro"))
+        val nrm = ix.agg(
+          expr("CAST(round(avg(CAST(idx_micro AS DOUBLE))) AS BIGINT)").as("mean_idx"))
+        ix.crossJoin(broadcast(nrm))
+          .select(col("cal_month").cast("long").as("cal_month"), col("n_obs"),
+            col("idx_micro"),
+            expr("CAST(round(1000000.0 * idx_micro / mean_idx) AS BIGINT)")
+              .as("idx_norm_micro"))
+          .orderBy("cal_month")
+      },
+      Some("""WITH m AS (SELECT date_trunc('month', CAST(l_shipdate AS DATE)) AS mo,
+             |      sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS rev
+             |    FROM lineitem GROUP BY 1),
+             |ma AS (SELECT mo, rev,
+             |    sum(rev) OVER (ORDER BY mo ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING) AS s12a,
+             |    sum(rev) OVER (ORDER BY mo ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING) AS s12b,
+             |    count(*) OVER (ORDER BY mo ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING) AS k1,
+             |    count(*) OVER (ORDER BY mo ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING) AS k2
+             |  FROM m),
+             |rt AS (SELECT month(mo) AS cal_month,
+             |    CAST(round(1000000.0 * rev / ((s12a + s12b) / 24.0)) AS BIGINT) AS ratio_micro
+             |  FROM ma WHERE k1 = 12 AND k2 = 12),
+             |ix AS (SELECT cal_month, count(*) AS n_obs,
+             |    CAST(round(avg(CAST(ratio_micro AS DOUBLE))) AS BIGINT) AS idx_micro
+             |  FROM rt GROUP BY 1),
+             |nrm AS (SELECT CAST(round(avg(CAST(idx_micro AS DOUBLE))) AS BIGINT) AS mean_idx
+             |       FROM ix)
+             |SELECT CAST(cal_month AS BIGINT) AS cal_month, n_obs, idx_micro,
+             |  CAST(round(1000000.0 * idx_micro / (SELECT mean_idx FROM nrm)) AS BIGINT)
+             |    AS idx_norm_micro
+             |FROM ix ORDER BY cal_month""".stripMargin)),
+
+    // new-item velocity — parts shipping for the FIRST time each month and
+    // the revenue share they capture: the assortment-freshness mart row
+    // (pairs with q_gmv_bridge's new/churn buckets at the monthly grain).
+    // Two grouped passes over lineitem (first-ship month, then
+    // month×part revenue) joined on partkey — shuffle ∝ |parts| after the
+    // map-combined aggs, never the line count.
+    QueryDef(
+      "q_item_intro",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_partkey"),
+            to_date(date_trunc("month", col("l_shipdate"))).as("mo"),
+            round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        val fs = li.groupBy("l_partkey").agg(min("mo").as("intro_mo"))
+        val mrev = li.groupBy("mo", "l_partkey").agg(sum("cents").as("rev"))
+        mrev.join(fs, "l_partkey")
+          .groupBy("mo")
+          .agg(sum(when(col("intro_mo") === col("mo"), 1L).otherwise(0L)).as("new_parts"),
+            count(lit(1)).as("active_parts"),
+            sum(when(col("intro_mo") === col("mo"), col("rev")).otherwise(0L)).as("new_rev"),
+            sum("rev").as("tot_rev"))
+          .select(col("mo").as("month"), col("new_parts"), col("active_parts"),
+            expr("new_rev * 1000000 div tot_rev").as("new_rev_share_micro"))
+          .orderBy("month")
+      },
+      Some("""WITH li AS (SELECT l_partkey,
+             |      date_trunc('month', CAST(l_shipdate AS DATE)) AS mo,
+             |      CAST(round(l_extendedprice*100) AS BIGINT) AS cents
+             |    FROM lineitem),
+             |fs AS (SELECT l_partkey, min(mo) AS intro_mo FROM li GROUP BY 1),
+             |mrev AS (SELECT mo, l_partkey, sum(cents) AS rev FROM li GROUP BY 1, 2)
+             |SELECT mo AS month,
+             |  CAST(sum(CASE WHEN intro_mo = mo THEN 1 ELSE 0 END) AS BIGINT) AS new_parts,
+             |  count(*) AS active_parts,
+             |  CAST(sum(CASE WHEN intro_mo = mo THEN rev ELSE 0 END) * 1000000
+             |    // sum(rev) AS BIGINT) AS new_rev_share_micro
+             |FROM mrev JOIN fs USING (l_partkey) GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -259,7 +259,11 @@ class PlanAuditSpec extends SparkSpec {
       // q_granger: the lag-1 window rides the ≤ #days daily frame after
       // one map-combined conditional-count aggregate (q_changepoint
       // convention)
-      "q_granger")
+      "q_granger",
+      // q_seasonal_index: the 2×12 centered-MA windows ride the ≤ #months
+      // calendar frame after one map-combined grouped sum (q_changepoint
+      // convention)
+      "q_seasonal_index")
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !allowed(name)
       w = fn(spark, sf).queryExecution.optimizedPlan.collect {
