@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Mathematical invariants of the round-10 analytics additions —
+  * properties the DuckDB hash-oracle cannot state (it pins VALUES; these
+  * pin the LAWS the values must obey, so a fixture regeneration that
+  * keeps the oracle green but breaks a law still fails loudly).
+  * Fixture: sf0.001. Convention follows [[InferenceInvariantSpec]].
+  */
+class AnalyticsInvariantSpec extends SparkSpec {
+
+  private def rows(name: String): Seq[Row] =
+    SparkEntry.queries(name)(spark, sf).collect().toSeq
+
+  test("q_gmv_bridge: price + volume + new + churn equals delta on every row") {
+    val r = rows("q_gmv_bridge")
+    assert(r.nonEmpty)
+    for (row <- r) {
+      val sum = row.getAs[Long]("price_eff_cents") +
+        row.getAs[Long]("volume_eff_cents") +
+        row.getAs[Long]("new_eff_cents") + row.getAs[Long]("churn_eff_cents")
+      assert(sum == row.getAs[Long]("delta_cents"), row.toString)
+    }
+  }
+
+  test("q_stl_lite: trend + seasonal + residual reconstructs n exactly") {
+    val r = rows("q_stl_lite")
+    assert(r.nonEmpty)
+    for (row <- r) {
+      val recon = row.getAs[Long]("trend_micro") +
+        row.getAs[Long]("seasonal_micro") + row.getAs[Long]("resid_micro")
+      assert(recon == row.getAs[Long]("n") * 1000000L, row.toString)
+    }
+  }
+
+  test("q_markov_stationary: pi sums to 1e9 minus bounded truncation loss") {
+    val s = rows("q_markov_stationary").map(_.getAs[Long]("pi_nano")).sum
+    // each of the 10 iterations loses < |types|^2 = 25 nano to per-edge
+    // truncation, plus the initial 1e9 div k remainder
+    assert(s <= 1000000000L && s >= 1000000000L - 1000L, s.toString)
+  }
+
+  test("q_fdr_bh: BH thresholds rise with rank and rejections form a prefix") {
+    val r = rows("q_fdr_bh").sortBy(_.getAs[Long]("rk"))
+    assert(r.nonEmpty)
+    val thr = r.map(_.getAs[Long]("thr_micro"))
+    assert(thr.zip(thr.tail).forall { case (a, b) => a <= b }, thr.toString)
+    val rej = r.map(_.getAs[Long]("reject"))
+    // step-up: once a rank fails to reject, no later rank rejects
+    assert(rej.zip(rej.tail).forall { case (a, b) => a >= b }, rej.toString)
+    for (row <- r)
+      assert(row.getAs[Long]("p_micro") >= 0L &&
+        row.getAs[Long]("p_micro") <= 1000000L, row.toString)
+  }
+
+  test("q_msprt: the always-valid p is monotone non-increasing over checkpoints") {
+    val r = rows("q_msprt")
+    assert(r.nonEmpty)
+    val p = r.map(_.getAs[Long]("p_always_micro"))
+    assert(p.forall(v => v > 0L && v <= 1000000L))
+    assert(p.zip(p.tail).forall { case (a, b) => b <= a }, p.toString)
+    // cumulative sample sizes never shrink
+    val n0 = r.map(_.getAs[Long]("n0"))
+    assert(n0.zip(n0.tail).forall { case (a, b) => b >= a })
+  }
+
+  test("q_eb_shrinkage: every EB mean lies between its raw mean and the grand mean") {
+    val r = rows("q_eb_shrinkage")
+    assert(r.nonEmpty)
+    // the grand mean is the precision-weighted center; recover it from the
+    // raw means via the reported weights is circular — assert the
+    // BETWEENNESS law per row instead against the pooled raw-mean span
+    val raws = r.map(_.getAs[Long]("raw_mean_cents"))
+    val (lo, hi) = (raws.min, raws.max)
+    for (row <- r) {
+      val w = row.getAs[Long]("weight_micro")
+      assert(w >= 0L && w <= 1000000L, row.toString)
+      val eb = row.getAs[Long]("eb_mean_cents")
+      // shrinkage can never escape the observed group-mean envelope
+      assert(eb >= lo - 1 && eb <= hi + 1, row.toString)
+      // and moves toward the center: |eb - raw| bounded by the envelope
+      assert(math.abs(eb - row.getAs[Long]("raw_mean_cents")) <= (hi - lo),
+        row.toString)
+    }
+  }
+
+  test("q_hits: authorities are positive, ranked, and L1-bounded") {
+    val r = rows("q_hits")
+    assert(r.size == 10)
+    val a = r.map(_.getAs[Long]("auth_nano"))
+    assert(a.forall(v => v > 0L && v <= 1000000000L))
+    assert(a.zip(a.tail).forall { case (x, y) => y <= x }, a.toString)
+    // top-10 of an L1-normalized vector can't exceed the whole mass
+    assert(a.sum <= 1000000000L)
+  }
+
+  test("q_ivf_sweep: recall and candidate count are monotone in nprobe") {
+    val r = rows("q_ivf_sweep").sortBy(_.getAs[Long]("nprobe"))
+    assert(r.size == 4)
+    val rec = r.map(_.getAs[Long]("recall_micro"))
+    val cand = r.map(_.getAs[Long]("cand_per_q_micro"))
+    assert(rec.zip(rec.tail).forall { case (a, b) => b >= a }, rec.toString)
+    assert(cand.zip(cand.tail).forall { case (a, b) => b >= a }, cand.toString)
+    assert(rec.forall(v => v >= 0L && v <= 1000000L))
+  }
+
+  test("q_value_quantile_trend: p50 <= p95 on every day") {
+    val r = rows("q_value_quantile_trend")
+    assert(r.nonEmpty)
+    for (row <- r)
+      assert(row.getAs[Long]("p50_cents") <= row.getAs[Long]("p95_cents"),
+        row.toString)
+  }
+
+  test("q_granger: the full model's RSS never exceeds the restricted model's") {
+    val r = rows("q_granger").head
+    assert(r.getAs[Long]("rss_f_milli") <= r.getAs[Long]("rss_r_milli"))
+    assert(r.getAs[Long]("f_micro") >= 0L)
+  }
+
+  test("q_acf: correlations bounded and pair counts shrink with lag") {
+    val r = rows("q_acf").sortBy(_.getAs[Long]("lag"))
+    assert(r.size == 7)
+    for (row <- r)
+      assert(math.abs(row.getAs[Long]("r_micro")) <= 1000000L, row.toString)
+    val n = r.map(_.getAs[Long]("n_pairs"))
+    assert(n.zip(n.tail).forall { case (a, b) => b <= a }, n.toString)
+  }
+
+  test("q_burn_rate: a burn flag requires BOTH windows above the 25% budget") {
+    val r = rows("q_burn_rate")
+    assert(r.nonEmpty)
+    for (row <- r) {
+      val (r1, r6) = (row.getAs[Long]("rate1h_micro"), row.getAs[Long]("rate6h_micro"))
+      assert(r1 >= 0L && r1 <= 1000000L, row.toString)
+      assert(r6 >= 0L && r6 <= 1000000L, row.toString)
+      if (row.getAs[Long]("burn_flag") == 1L)
+        assert(r1 > 250000L - 1L && r6 > 250000L - 1L, row.toString)
+    }
+    assert(r.exists(_.getAs[Long]("burn_flag") == 1L),
+      "fixture should produce at least one burning hour")
+  }
+
+  test("q_abc_class: the three classes partition revenue with shares summing to ~1") {
+    val r = rows("q_abc_class")
+    assert(r.map(_.getAs[String]("cls")).toSet.subsetOf(Set("A", "B", "C")))
+    val shares = r.map(_.getAs[Long]("share_milli")).sum
+    // truncating div loses < 1 milli per class
+    assert(shares >= 997L && shares <= 1000L, shares.toString)
+  }
+
+  test("q_nb_classify: confusion counts cover exactly the held-out docs") {
+    val total = rows("q_nb_classify").map(_.getAs[Long]("n_docs")).sum
+    val expected = Tables.documents(spark, sf)
+      .where(org.apache.spark.sql.functions.expr("(doc_id div 20) % 2 = 1"))
+      .count()
+    assert(total == expected, s"$total != $expected")
+  }
+
+  test("q_rfm_migration: migration counts cover every active customer once") {
+    val total = rows("q_rfm_migration").map(_.getAs[Long]("n_customers")).sum
+    val expected = Tables.orders(spark, sf)
+      .where(org.apache.spark.sql.functions
+        .expr("year(o_orderdate) IN (1996, 1997)"))
+      .select("o_custkey").distinct().count()
+    assert(total == expected, s"$total != $expected")
+  }
+
+  test("q_seasonal_index: twelve calendar months, normalized indices centered on 1") {
+    val r = rows("q_seasonal_index")
+    assert(r.size == 12)
+    assert(r.map(_.getAs[Long]("cal_month")).sorted == (1L to 12L))
+    val mean = r.map(_.getAs[Long]("idx_norm_micro")).sum / 12.0
+    assert(math.abs(mean - 1000000.0) < 100.0, mean.toString)
+  }
+}
