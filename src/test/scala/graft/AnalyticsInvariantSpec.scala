@@ -167,6 +167,28 @@ class AnalyticsInvariantSpec extends SparkSpec {
     assert(total == expected, s"$total != $expected")
   }
 
+  test("q_tost: the lower one-sided t always exceeds the upper by 2·margin/se") {
+    val r = rows("q_tost").head
+    assert(r.getAs[Long]("t_lower_micro") > r.getAs[Long]("t_upper_micro"))
+    assert(r.getAs[Long]("margin_centi") > 0L)
+    // equivalence demands BOTH one-sided rejections
+    if (r.getAs[Long]("equivalent_flag") == 1L) {
+      assert(r.getAs[Long]("t_lower_micro") > 1644900L)
+      assert(r.getAs[Long]("t_upper_micro") < -1644900L)
+    }
+  }
+
+  test("q_capture_recapture: the Chapman estimate is bounded by its inputs") {
+    val r = rows("q_capture_recapture").head
+    val (n1, n2) = (r.getAs[Long]("day1_buyers"), r.getAs[Long]("day2_buyers"))
+    val m = r.getAs[Long]("recaptured")
+    val est = r.getAs[Long]("chapman_estimate")
+    assert(m <= math.min(n1, n2))
+    // N-hat can never fall below either single occasion's count
+    assert(est >= math.max(n1, n2) - 1, r.toString)
+    assert(r.getAs[Long]("se_est") >= 0L)
+  }
+
   test("q_seasonal_index: twelve calendar months, normalized indices centered on 1") {
     val r = rows("q_seasonal_index")
     assert(r.size == 12)
