@@ -224,7 +224,9 @@ object ScaleProbe {
       "q_filter_overlap", "q_ivf_sweep",
       "q_markov_stationary", "q_top_paths", "q_dwell_histogram",
       "q_seasonal_index", "q_item_intro", "q_rfm_migration",
-      "q_tost", "q_capture_recapture")
+      "q_tost", "q_capture_recapture",
+      "q_morans_i", "q_self_excitation", "q_term_burstiness",
+      "q_weibull_fit", "q_dedup_sweep")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

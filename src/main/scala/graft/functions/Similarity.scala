@@ -2600,7 +2600,74 @@ object Similarity {
              |  CAST((sum(CASE WHEN in_text = 1 AND in_emb = 1 THEN 1 ELSE 0 END) * 1000000)
              |       // count(*) AS BIGINT) AS jaccard_micro
              |FROM u""".stripMargin))
-  ) :+ ivfSweepDef
+  ) :+ ivfSweepDef :+ dedupSweepDef
+
+  /** Near-dup threshold dial — the q_ivf_sweep idea applied to embedding
+    * dedup: confirmed pair count and affected-doc count at cosine 0.90 /
+    * 0.95 / 0.99, from ONE banded-LSH candidate generation + ONE exact
+    * scoring pass (the q_embed_dedup machinery verbatim) and three
+    * conditional counts. The number that decides how aggressive a dedup
+    * release can be before it starts deleting genuinely distinct docs. */
+  private def dedupSweepDef: QueryDef = QueryDef(
+    "q_dedup_sweep",
+    (s, d) => {
+      val corpus = dedupCorpus(s, d).cache()
+      val eb = explodeBands(corpus, col("embedding"), NdBands, NdBits)
+        .drop("embedding")
+        .repartition(col("band"), col("sig"))
+      val cand = eb.select(col("vec_id").as("id1"), col("band"), col("sig"))
+        .join(eb.select(col("vec_id").as("id2"), col("band"), col("sig"))
+          .hint("shuffle_hash"), Seq("band", "sig"))
+        .where(col("id1") < col("id2"))
+        .select("id1", "id2").distinct()
+      val e = corpus.select(col("vec_id"), asDouble(col("embedding")).as("ed"))
+      val sims = cand
+        .join(e.select(col("vec_id").as("id1"), col("ed").as("e1")), "id1")
+        .join(e.select(col("vec_id").as("id2"), col("ed").as("e2")), "id2")
+        .select(col("id1"), col("id2"),
+          round(dot(col("e1"), col("e2")), 4).as("sim"))
+      val grid = s.range(0, 3).select(
+        expr("CAST(element_at(array(900, 950, 990), CAST(id AS INT) + 1) AS BIGINT)")
+          .as("thr_milli"))
+      val hit = sims.crossJoin(broadcast(grid))
+        .where(col("sim") * 1000 >= col("thr_milli"))
+      val pairs = hit.groupBy("thr_milli").agg(count(lit(1)).as("dup_pairs"))
+      val docs = hit.select(col("thr_milli"), col("id1").as("id"))
+        .unionAll(hit.select(col("thr_milli"), col("id2").as("id")))
+        .groupBy("thr_milli").agg(countDistinct("id").as("docs_affected"))
+      broadcast(grid).join(pairs, Seq("thr_milli"), "left")
+        .join(docs, Seq("thr_milli"), "left")
+        .select(col("thr_milli"),
+          coalesce(col("dup_pairs"), lit(0L)).as("dup_pairs"),
+          coalesce(col("docs_affected"), lit(0L)).as("docs_affected"))
+        .orderBy("thr_milli")
+    },
+    Some {
+      s"""WITH RECURSIVE $dedupCorpusSql,
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+         |             ${bandSigSqlCols(NdBands, NdBits).mkString(",\n             ")}
+         |      FROM corpus),
+         |cand AS (
+         |  SELECT DISTINCT id1, id2 FROM (
+         |  ${(0 until NdBands).map(b =>
+             s"SELECT a.vec_id AS id1, b.vec_id AS id2 FROM e a JOIN e b ON a.sig$b = b.sig$b AND a.vec_id < b.vec_id")
+             .mkString("\n  UNION ALL\n  ")})),
+         |sims AS (SELECT c.id1, c.id2, round(list_dot_product(a.ed, b.ed), 4) AS sim
+         |      FROM cand c JOIN e a ON a.vec_id = c.id1 JOIN e b ON b.vec_id = c.id2),
+         |grid AS (SELECT unnest([900, 950, 990]) AS thr_milli),
+         |hit AS (SELECT g.thr_milli, s.id1, s.id2 FROM sims s CROSS JOIN grid g
+         |        WHERE s.sim * 1000 >= g.thr_milli),
+         |p AS (SELECT thr_milli, count(*) AS dup_pairs FROM hit GROUP BY 1),
+         |dd AS (SELECT thr_milli, count(DISTINCT id) AS docs_affected FROM (
+         |    SELECT thr_milli, id1 AS id FROM hit
+         |    UNION ALL SELECT thr_milli, id2 FROM hit) GROUP BY 1)
+         |SELECT CAST(g.thr_milli AS BIGINT) AS thr_milli,
+         |  CAST(coalesce(p.dup_pairs, 0) AS BIGINT) AS dup_pairs,
+         |  CAST(coalesce(dd.docs_affected, 0) AS BIGINT) AS docs_affected
+         |FROM grid g LEFT JOIN p ON p.thr_milli = g.thr_milli
+         |LEFT JOIN dd ON dd.thr_milli = g.thr_milli
+         |ORDER BY thr_milli""".stripMargin
+    })
 
   /** One DuckDB stage set shared by every q_ivf_sweep nprobe point: the
     * q_ivf_recall oracle parameterized by an unnest([1..4]) grid. */

