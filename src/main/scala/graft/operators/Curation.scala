@@ -2190,12 +2190,18 @@ object Curation {
           .select(col("source").as("cls"),
             expr("CAST(round(1e9*ln(CAST(nd AS DOUBLE)/td)) AS BIGINT)").as("prior_nano"))
         val model = cw.select(col("source").as("cls"), col("w"), col("a"))
-        val terms = test
+        // collapse token INSTANCES to per-(doc, word) counts BEFORE the
+        // |classes| fan-out — the score is Σ_w cnt·lp(w, cls), identical
+        // by distributivity, and the class explosion now rides the much
+        // smaller distinct-word frame
+        val tw = test.groupBy("doc_id", "true_source", "w")
+          .agg(count(lit(1)).as("cnt"))
+        val terms = tw
           .crossJoin(broadcast(cs.select(col("source").as("cls"), col("ns"))))
           .crossJoin(broadcast(vocab))
           .join(broadcast(model), Seq("cls", "w"), "left")
           .select(col("doc_id"), col("true_source"), col("cls"),
-            expr("CAST(round(1e9*ln((coalesce(a,0)+1.0)/(ns + vocab))) AS BIGINT)")
+            expr("cnt * CAST(round(1e9*ln((coalesce(a,0)+1.0)/(ns + vocab))) AS BIGINT)")
               .as("lp_nano"))
         val score = terms.groupBy("doc_id", "true_source", "cls")
           .agg(sum("lp_nano").as("s_tok"))
@@ -2222,10 +2228,12 @@ object Curation {
              |priors AS (SELECT source AS cls,
              |    CAST(round(1e9*ln(CAST(nd AS DOUBLE)/(SELECT td FROM tot))) AS BIGINT)
              |      AS prior_nano FROM pri),
+             |tw AS (SELECT doc_id, true_source, w, count(*) AS cnt
+             |       FROM test GROUP BY 1, 2, 3),
              |terms AS (SELECT t.doc_id, t.true_source, cs.source AS cls,
-             |    CAST(round(1e9*ln((coalesce(cw.a,0)+1.0)/(cs.ns + (SELECT vocab FROM v))))
+             |    t.cnt * CAST(round(1e9*ln((coalesce(cw.a,0)+1.0)/(cs.ns + (SELECT vocab FROM v))))
              |      AS BIGINT) AS lp_nano
-             |  FROM test t CROSS JOIN cs
+             |  FROM tw t CROSS JOIN cs
              |  LEFT JOIN cw ON cw.source = cs.source AND cw.w = t.w),
              |score AS (SELECT doc_id, true_source, terms.cls,
              |    sum(lp_nano) + any_value(prior_nano) AS s_nano
