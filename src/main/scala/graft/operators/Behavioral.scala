@@ -4147,7 +4147,113 @@ object Behavioral {
              |SELECT CAST(m AS BIGINT) AS n_points,
              |  CAST(round(1000000.0*shape) AS BIGINT) AS shape_micro,
              |  CAST(round(exp(-icept/shape)) AS BIGINT) AS scale_ms
-             |FROM fit""".stripMargin))
+             |FROM fit""".stripMargin)),
+
+    // funnel with Wilson 95 % intervals — q_funnel reports the step rates;
+    // this adds the score-interval error bars that survive small
+    // denominators (Wilson, closed form — never the Wald interval that
+    // collapses at p near 0/1). Unit = (user, day) — the fixture's
+    // hyperactive users make USER-level funnels all-1.0 (documented
+    // degeneracy); at day grain the steps land ~38/35/36 % with honest
+    // widening intervals down-funnel. ONE conditional-max pass, a 3-row
+    // literal unroll, all doubles rounded once.
+    QueryDef(
+      "q_funnel_ci",
+      (s, d) => {
+        val u = Tables.events(s, d)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(max(when(col("event_type") === "view", 1L).otherwise(0L)).as("s1"),
+            max(when(col("event_type") === "click", 1L).otherwise(0L)).as("s2"),
+            max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("s3"))
+        val f = u.agg(count(lit(1)).as("n0"), sum("s1").as("n1"),
+          sum(expr("s1*s2")).as("n2"), sum(expr("s1*s2*s3")).as("n3"))
+        def step(k: Int, name: String, denom: String, num: String) =
+          f.select(lit(k.toLong).as("step"), lit(name).as("name"),
+            col(denom).as("denom"), col(num).as("num"))
+        val wil = step(1, "view", "n0", "n1")
+          .unionByName(step(2, "click|view", "n1", "n2"))
+          .unionByName(step(3, "purchase|click", "n2", "n3"))
+          .select(col("step"), col("name"), col("denom"), col("num"),
+            expr("CAST(num AS DOUBLE)/denom").as("p"), lit(1.959964).as("z"))
+        wil.select(col("step"), col("name"), col("denom"), col("num"),
+            expr("CAST(round(1000000.0*p) AS BIGINT)").as("rate_micro"),
+            expr("""CAST(round(1000000.0*((p + z*z/(2*denom)
+                   | - z*sqrt((p*(1-p) + z*z/(4*denom))/denom)) / (1 + z*z/denom)))
+                   | AS BIGINT)""".stripMargin).as("lo_micro"),
+            expr("""CAST(round(1000000.0*((p + z*z/(2*denom)
+                   | + z*sqrt((p*(1-p) + z*z/(4*denom))/denom)) / (1 + z*z/denom)))
+                   | AS BIGINT)""".stripMargin).as("hi_micro"))
+          .orderBy("step")
+      },
+      Some("""WITH u AS (SELECT user_id, CAST(ts AS DATE) AS day,
+             |    max(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS s1,
+             |    max(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS s2,
+             |    max(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS s3
+             |  FROM events GROUP BY 1, 2),
+             |f AS (SELECT count(*) AS n0, sum(s1) AS n1, sum(s1*s2) AS n2,
+             |      sum(s1*s2*s3) AS n3 FROM u),
+             |steps AS (
+             |  SELECT 1 AS step, 'view' AS name, n0 AS denom, n1 AS num FROM f
+             |  UNION ALL SELECT 2, 'click|view', n1, n2 FROM f
+             |  UNION ALL SELECT 3, 'purchase|click', n2, n3 FROM f),
+             |wil AS (SELECT step, name, denom, num,
+             |    CAST(num AS DOUBLE)/denom AS p, 1.959964 AS z FROM steps)
+             |SELECT CAST(step AS BIGINT) AS step, name, CAST(denom AS BIGINT) AS denom,
+             |  CAST(num AS BIGINT) AS num,
+             |  CAST(round(1000000.0*p) AS BIGINT) AS rate_micro,
+             |  CAST(round(1000000.0*((p + z*z/(2*denom)
+             |    - z*sqrt((p*(1-p) + z*z/(4*denom))/denom)) / (1 + z*z/denom)))
+             |    AS BIGINT) AS lo_micro,
+             |  CAST(round(1000000.0*((p + z*z/(2*denom)
+             |    + z*sqrt((p*(1-p) + z*z/(4*denom))/denom)) / (1 + z*z/denom)))
+             |    AS BIGINT) AS hi_micro
+             |FROM wil ORDER BY step""".stripMargin)),
+
+    // minimum-detectable-effect planning curve — for 7/14/21/28-day
+    // runtimes at the observed purchase traffic: n per arm, the absolute
+    // MDE in cents and relative to the mean, at 80 % power / 5 % two-sided
+    // (z's as fixed literals — no inverse-normal crosses the engine
+    // boundary). The planning table q_power_analysis's single answer
+    // expands into; one moment pass, a 4-row broadcast grid.
+    QueryDef(
+      "q_mde_curve",
+      (s, d) => {
+        val p = Tables.events(s, d).where(col("event_type") === "purchase")
+          .select(round(col("value") * 100).cast("long").as("cents"),
+            to_date(col("ts")).as("day"))
+        val base = p.agg(count(lit(1)).as("n"), countDistinct("day").as("days"),
+            sum("cents").as("sc"),
+            sum(expr("CAST(cents AS DECIMAL(38,0)) * cents")).as("ss"))
+          .select(expr("CAST(n AS DOUBLE)/days").as("daily"),
+            expr("(CAST(ss AS DOUBLE) - CAST(sc AS DOUBLE)*sc/n)/(n-1)").as("s2"),
+            expr("sc/CAST(n AS DOUBLE)").as("mu"))
+        val grid = s.range(1, 5).select((col("id") * 7).cast("long").as("k"))
+        broadcast(grid).crossJoin(base)
+          .select(col("k").as("days"),
+            expr("CAST(round(daily*k/2) AS BIGINT)").as("n_per_arm"),
+            expr("CAST(round((1.959964+0.841621)*sqrt(2*s2/(daily*k/2))) AS BIGINT)")
+              .as("mde_cents"),
+            expr("""CAST(round(1000000.0*(1.959964+0.841621)
+                   | *sqrt(2*s2/(daily*k/2))/mu) AS BIGINT)""".stripMargin)
+              .as("mde_rel_micro"))
+          .orderBy("days")
+      },
+      Some("""WITH p AS (SELECT CAST(round(value*100) AS BIGINT) AS cents,
+             |      CAST(ts AS DATE) AS day
+             |    FROM events WHERE event_type='purchase'),
+             |s AS (SELECT count(*) AS n, count(DISTINCT day) AS days,
+             |    sum(cents) AS sc, sum(CAST(cents AS HUGEINT)*cents) AS ss FROM p),
+             |base AS (SELECT CAST(n AS DOUBLE)/days AS daily,
+             |    (CAST(ss AS DOUBLE) - CAST(sc AS DOUBLE)*sc/n)/(n-1) AS s2,
+             |    sc/CAST(n AS DOUBLE) AS mu FROM s),
+             |grid AS (SELECT unnest([7,14,21,28]) AS k)
+             |SELECT CAST(k AS BIGINT) AS days,
+             |  CAST(round(daily*k/2) AS BIGINT) AS n_per_arm,
+             |  CAST(round((1.959964+0.841621)*sqrt(2*s2/(daily*k/2))) AS BIGINT)
+             |    AS mde_cents,
+             |  CAST(round(1000000.0*(1.959964+0.841621)*sqrt(2*s2/(daily*k/2))/mu)
+             |    AS BIGINT) AS mde_rel_micro
+             |FROM grid CROSS JOIN base ORDER BY days""".stripMargin))
   )
 
   /** Fixed-point Markov stationary oracle — ten unrolled power-iteration

@@ -1884,6 +1884,68 @@ object Relational {
              |    AS BIGINT) AS morans_i_micro,
              |  CAST(round(-1000000.0 / ((SELECT k FROM m) - 1)) AS BIGINT)
              |    AS expected_i_micro
-             |FROM agg""".stripMargin))
+             |FROM agg""".stripMargin)),
+
+    // safety-stock recommendation — z·σ_monthly·√(LT/month) at a 95 %
+    // service level for the top-10 parts by mean monthly demand: the
+    // inventory-planning composite of q_demand_cv's variability and the
+    // ship-lag lead time. Lead time averages only NONNEGATIVE
+    // order→ship lags (the synthetic fixture's dates are uncorrelated, so
+    // negative lags exist and are operationally meaningless — documented);
+    // the variance numerator floors at 0 against float cancellation.
+    // Two map-combined grouped passes + one broadcast-joined margin.
+    QueryDef(
+      "q_safety_stock",
+      (s, d) => {
+        val m = Tables.lineitem(s, d)
+          .groupBy(col("l_partkey"),
+            to_date(date_trunc("month", col("l_shipdate"))).as("mo"))
+          .agg(sum(col("l_quantity").cast("long")).as("q"))
+        val st = m.groupBy("l_partkey")
+          .agg(count(lit(1)).as("n_mo"), sum("q").as("sq"),
+            sum(expr("q*q")).as("sqq"))
+          .where(col("n_mo") >= 6)
+        val lt = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_partkey"),
+            datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+              .as("lag"))
+          .where(col("lag") >= 0)
+          .groupBy("l_partkey")
+          .agg(expr("avg(CAST(lag AS DOUBLE))").as("lt_days"))
+        st.join(lt, "l_partkey")
+          .select(col("l_partkey").as("partkey"), col("n_mo").as("n_months"),
+            expr("CAST(round(CAST(sq AS DOUBLE)/n_mo) AS BIGINT)")
+              .as("mean_monthly_qty"),
+            expr("""CAST(round(sqrt(greatest(sqq - CAST(sq AS DOUBLE)*sq/n_mo, 0)
+                   | /(n_mo-1))) AS BIGINT)""".stripMargin).as("sd_monthly_qty"),
+            expr("CAST(round(lt_days*100) AS BIGINT)").as("lead_time_centi_days"),
+            expr("""CAST(round(1.644854 * sqrt(greatest(sqq - CAST(sq AS DOUBLE)*sq/n_mo, 0)
+                   | /(n_mo-1)) * sqrt(lt_days/30.0)) AS BIGINT)""".stripMargin)
+              .as("safety_stock_units"))
+          .orderBy(col("mean_monthly_qty").desc, col("partkey")).limit(10)
+      },
+      Some("""WITH m AS (SELECT l_partkey,
+             |      date_trunc('month', CAST(l_shipdate AS DATE)) AS mo,
+             |      sum(CAST(l_quantity AS BIGINT)) AS q FROM lineitem GROUP BY 1, 2),
+             |st AS (SELECT l_partkey, count(*) AS n_mo, sum(q) AS sq, sum(q*q) AS sqq
+             |       FROM m GROUP BY 1 HAVING count(*) >= 6),
+             |lt AS (SELECT l.l_partkey,
+             |    avg(CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+             |        CAST(l.l_shipdate AS DATE)) AS DOUBLE)) AS lt_days
+             |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+             |  WHERE date_diff('day', CAST(o.o_orderdate AS DATE),
+             |        CAST(l.l_shipdate AS DATE)) >= 0
+             |  GROUP BY 1)
+             |SELECT st.l_partkey AS partkey, CAST(st.n_mo AS BIGINT) AS n_months,
+             |  CAST(round(CAST(st.sq AS DOUBLE)/st.n_mo) AS BIGINT) AS mean_monthly_qty,
+             |  CAST(round(sqrt(greatest(st.sqq - CAST(st.sq AS DOUBLE)*st.sq/st.n_mo, 0)
+             |    /(st.n_mo-1))) AS BIGINT) AS sd_monthly_qty,
+             |  CAST(round(lt.lt_days*100) AS BIGINT) AS lead_time_centi_days,
+             |  CAST(round(1.644854 * sqrt(greatest(st.sqq - CAST(st.sq AS DOUBLE)*st.sq/st.n_mo, 0)
+             |    /(st.n_mo-1)) * sqrt(lt.lt_days/30.0)) AS BIGINT) AS safety_stock_units
+             |FROM st JOIN lt ON lt.l_partkey = st.l_partkey
+             |ORDER BY mean_monthly_qty DESC, partkey LIMIT 10""".stripMargin))
   )
 }
