@@ -4253,7 +4253,138 @@ object Behavioral {
              |    AS mde_cents,
              |  CAST(round(1000000.0*(1.959964+0.841621)*sqrt(2*s2/(daily*k/2))/mu)
              |    AS BIGINT) AS mde_rel_micro
-             |FROM grid CROSS JOIN base ORDER BY days""".stripMargin))
+             |FROM grid CROSS JOIN base ORDER BY days""".stripMargin)),
+
+    // partial autocorrelation at lags 1..3 — Durbin–Levinson in closed form
+    // from the biased common-mean autocovariances (the AR-order fingerprint
+    // q_acf's raw curve can't show: PACF cuts off at the true AR order).
+    // The day frame is calendar-bounded; the φ recursions are pure scalar
+    // algebra on the three r's, every reported value rounded once.
+    QueryDef(
+      "q_pacf",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+        val mu = daily.agg(expr("avg(CAST(n AS DOUBLE))").as("mu"))
+        val dm = daily.crossJoin(broadcast(mu))
+          .select(col("day"), (col("n") - col("mu")).as("z"))
+        val c0 = dm.agg(sum(expr("z*z")).as("c0"))
+        val ck = dm
+          .select(col("day"), col("z"), explode(sequence(lit(1), lit(3))).as("k"))
+          .withColumn("jday", expr("date_add(day, k)"))
+          .join(broadcast(dm.select(col("day").as("jday"), col("z").as("z2"))),
+            "jday")
+          .groupBy("k").agg(sum(expr("z*z2")).as("c"))
+        val r = ck.crossJoin(broadcast(c0))
+          .groupBy()
+          .agg(max(when(col("k") === 1, expr("c/c0"))).as("r1"),
+            max(when(col("k") === 2, expr("c/c0"))).as("r2"),
+            max(when(col("k") === 3, expr("c/c0"))).as("r3"))
+        val dl = r
+          .withColumn("p11", col("r1"))
+          .withColumn("p22", expr("(r2 - r1*r1)/(1 - r1*r1)"))
+          .withColumn("p21", expr("r1*(1 - p22)"))
+          .withColumn("p33",
+            expr("(r3 - p21*r2 - p22*r1)/(1 - p21*r1 - p22*r2)"))
+        def rowFor(k: Int, rc: String, pc: String) =
+          dl.select(lit(k.toLong).as("lag"),
+            expr(s"CAST(round(1000000.0*$rc) AS BIGINT)").as("acf_micro"),
+            expr(s"CAST(round(1000000.0*$pc) AS BIGINT)").as("pacf_micro"))
+        rowFor(1, "r1", "p11").unionByName(rowFor(2, "r2", "p22"))
+          .unionByName(rowFor(3, "r3", "p33")).orderBy("lag")
+      },
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+             |      FROM events GROUP BY 1),
+             |mu AS (SELECT avg(CAST(n AS DOUBLE)) AS mu FROM daily),
+             |dm AS (SELECT day, n - (SELECT mu FROM mu) AS z FROM daily),
+             |c0 AS (SELECT sum(z*z) AS c0 FROM dm),
+             |ck AS (SELECT k, sum(a.z * b.z) AS c
+             |  FROM (SELECT unnest([1,2,3]) AS k) g
+             |  JOIN dm a ON TRUE
+             |  JOIN dm b ON b.day = a.day + CAST(g.k AS BIGINT) * INTERVAL 1 DAY
+             |  GROUP BY 1),
+             |r AS (SELECT
+             |    max(CASE WHEN k=1 THEN c END)/(SELECT c0 FROM c0) AS r1,
+             |    max(CASE WHEN k=2 THEN c END)/(SELECT c0 FROM c0) AS r2,
+             |    max(CASE WHEN k=3 THEN c END)/(SELECT c0 FROM c0) AS r3
+             |  FROM ck),
+             |dl AS (SELECT r1, r2, r3, r1 AS p11,
+             |    (r2 - r1*r1)/(1 - r1*r1) AS p22 FROM r),
+             |dl2 AS (SELECT *, r1*(1 - p22) AS p21 FROM dl),
+             |dl3 AS (SELECT *,
+             |    (r3 - p21*r2 - p22*r1)/(1 - p21*r1 - p22*r2) AS p33 FROM dl2)
+             |SELECT CAST(1 AS BIGINT) AS lag,
+             |  CAST(round(1000000.0*r1) AS BIGINT) AS acf_micro,
+             |  CAST(round(1000000.0*p11) AS BIGINT) AS pacf_micro FROM dl3
+             |UNION ALL SELECT 2, CAST(round(1000000.0*r2) AS BIGINT),
+             |  CAST(round(1000000.0*p22) AS BIGINT) FROM dl3
+             |UNION ALL SELECT 3, CAST(round(1000000.0*r3) AS BIGINT),
+             |  CAST(round(1000000.0*p33) AS BIGINT) FROM dl3
+             |ORDER BY lag""".stripMargin)),
+
+    // nested variance decomposition — how much of order-value variance
+    // lives BETWEEN regions, between nations WITHIN regions, and within
+    // nations: the hierarchy-profiling ANOVA that says which grouping is
+    // worth segmenting on. Per-group (s, n) are exact integers; the total
+    // SS reports from the exact 128-bit numerator n·Σx² − (Σx)² (a raw
+    // double sum at ~1e17 would round differently per engine); the three
+    // shares are doubles on exact inputs, each rounded once, and sum to
+    // 1e6 within rounding (law pinned in AnalyticsInvariantSpec).
+    QueryDef(
+      "q_variance_decomp",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey"), col("n_regionkey"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_regionkey").as("rk"), col("n_nationkey").as("nk"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val g = o.agg(count(lit(1)).as("n"), sum("cents").as("s"),
+          sum(expr("CAST(cents AS DECIMAL(38,0)) * cents")).as("ss"))
+        val nn = o.groupBy("rk", "nk").agg(count(lit(1)).as("gn"), sum("cents").as("gs"))
+        val rr = nn.groupBy("rk").agg(sum("gn").as("gn"), sum("gs").as("gs"))
+        val betn = nn.agg(sum(expr("CAST(gs AS DOUBLE)*gs/gn")).as("gmn"))
+        val betr = rr.agg(sum(expr("CAST(gs AS DOUBLE)*gs/gn")).as("gmr"))
+        g.crossJoin(broadcast(betn)).crossJoin(broadcast(betr))
+          .select(
+            expr("""CAST(round(CAST(CAST(n AS DECIMAL(38,0))*ss - CAST(s AS DECIMAL(38,0))*s AS DOUBLE)
+                   | / n / 1000000.0) AS BIGINT)""".stripMargin).as("ss_total_mega"),
+            expr("CAST(s AS DOUBLE)*s/n").as("cf"),
+            expr("CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)*s/n").as("sst"),
+            col("gmn"), col("gmr"))
+          .select(col("ss_total_mega"),
+            expr("CAST(round(1000000.0*(gmr - cf)/sst) AS BIGINT)")
+              .as("region_share_micro"),
+            expr("CAST(round(1000000.0*(gmn - gmr)/sst) AS BIGINT)")
+              .as("nation_share_micro"),
+            expr("CAST(round(1000000.0*(sst - (gmn - cf))/sst) AS BIGINT)")
+              .as("residual_share_micro"))
+      },
+      Some("""WITH o AS (SELECT n.n_regionkey AS rk, n.n_nationkey AS nk,
+             |      CAST(round(o_totalprice*100) AS BIGINT) AS cents
+             |    FROM orders JOIN customer c ON c.c_custkey = o_custkey
+             |    JOIN nation n ON n.n_nationkey = c.c_nationkey),
+             |g AS (SELECT count(*) AS n, sum(cents) AS s,
+             |      sum(CAST(cents AS HUGEINT)*cents) AS ss FROM o),
+             |nn AS (SELECT rk, nk, count(*) AS gn, sum(cents) AS gs FROM o GROUP BY 1, 2),
+             |rr AS (SELECT rk, sum(gn) AS gn, sum(gs) AS gs FROM nn GROUP BY 1),
+             |betn AS (SELECT sum(CAST(gs AS DOUBLE)*gs/gn) AS gmn FROM nn),
+             |betr AS (SELECT sum(CAST(gs AS DOUBLE)*gs/gn) AS gmr FROM rr),
+             |fin AS (SELECT
+             |    CAST(round(CAST(CAST(g.n AS HUGEINT)*g.ss - CAST(g.s AS HUGEINT)*g.s AS DOUBLE)
+             |      / g.n / 1000000.0) AS BIGINT) AS ss_total_mega,
+             |    CAST(g.s AS DOUBLE)*g.s/g.n AS cf,
+             |    CAST(g.ss AS DOUBLE) - CAST(g.s AS DOUBLE)*g.s/g.n AS sst,
+             |    betn.gmn, betr.gmr
+             |  FROM g CROSS JOIN betn CROSS JOIN betr)
+             |SELECT ss_total_mega,
+             |  CAST(round(1000000.0*(gmr - cf)/sst) AS BIGINT) AS region_share_micro,
+             |  CAST(round(1000000.0*(gmn - gmr)/sst) AS BIGINT) AS nation_share_micro,
+             |  CAST(round(1000000.0*(sst - (gmn - cf))/sst) AS BIGINT)
+             |    AS residual_share_micro
+             |FROM fin""".stripMargin))
   )
 
   /** Fixed-point Markov stationary oracle — ten unrolled power-iteration

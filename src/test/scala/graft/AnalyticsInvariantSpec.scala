@@ -219,6 +219,46 @@ class AnalyticsInvariantSpec extends SparkSpec {
     assert(e.getAs[Long]("excitation_ratio_micro") > 0L)
   }
 
+  test("q_variance_decomp: the three shares partition the variance") {
+    val r = rows("q_variance_decomp").head
+    val sum = r.getAs[Long]("region_share_micro") +
+      r.getAs[Long]("nation_share_micro") + r.getAs[Long]("residual_share_micro")
+    assert(math.abs(sum - 1000000L) <= 2L, sum.toString)
+    assert(r.getAs[Long]("ss_total_mega") > 0L)
+    assert(r.getAs[Long]("residual_share_micro") >= 0L)
+  }
+
+  test("q_pacf: lag-1 PACF equals lag-1 ACF and all values are bounded") {
+    val r = rows("q_pacf").sortBy(_.getAs[Long]("lag"))
+    assert(r.size == 3)
+    assert(r.head.getAs[Long]("acf_micro") == r.head.getAs[Long]("pacf_micro"))
+    r.foreach { row =>
+      assert(math.abs(row.getAs[Long]("acf_micro")) <= 1000000L, row.toString)
+      assert(math.abs(row.getAs[Long]("pacf_micro")) <= 1000000L, row.toString)
+    }
+  }
+
+  test("q_funnel_ci: Wilson intervals bracket the rate and widen down-funnel denominators") {
+    val r = rows("q_funnel_ci").sortBy(_.getAs[Long]("step"))
+    for (row <- r) {
+      val (lo, p, hi) = (row.getAs[Long]("lo_micro"),
+        row.getAs[Long]("rate_micro"), row.getAs[Long]("hi_micro"))
+      assert(lo <= p && p <= hi, row.toString)
+      assert(lo >= 0L && hi <= 1000000L, row.toString)
+    }
+    // denominators chain: each step's denominator is the prior numerator
+    assert(r(1).getAs[Long]("denom") == r(0).getAs[Long]("num"))
+    assert(r(2).getAs[Long]("denom") == r(1).getAs[Long]("num"))
+  }
+
+  test("q_mde_curve: longer experiments detect smaller effects") {
+    val r = rows("q_mde_curve").sortBy(_.getAs[Long]("days"))
+    val mde = r.map(_.getAs[Long]("mde_cents"))
+    assert(mde.zip(mde.tail).forall { case (a, b) => b <= a }, mde.toString)
+    val n = r.map(_.getAs[Long]("n_per_arm"))
+    assert(n.zip(n.tail).forall { case (a, b) => b >= a }, n.toString)
+  }
+
   test("q_seasonal_index: twelve calendar months, normalized indices centered on 1") {
     val r = rows("q_seasonal_index")
     assert(r.size == 12)
