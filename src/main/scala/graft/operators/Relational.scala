@@ -1946,6 +1946,78 @@ object Relational {
              |  CAST(round(1.644854 * sqrt(greatest(st.sqq - CAST(st.sq AS DOUBLE)*st.sq/st.n_mo, 0)
              |    /(st.n_mo-1)) * sqrt(lt.lt_days/30.0)) AS BIGINT) AS safety_stock_units
              |FROM st JOIN lt ON lt.l_partkey = st.l_partkey
-             |ORDER BY mean_monthly_qty DESC, partkey LIMIT 10""".stripMargin))
+             |ORDER BY mean_monthly_qty DESC, partkey LIMIT 10""".stripMargin)),
+
+    // ABC × XYZ strategy matrix — the 9-cell cross of value concentration
+    // (q_abc_class) and demand predictability (q_demand_cv) per part, with
+    // each cell's part count and revenue share: AX = automate, CZ =
+    // make-to-order, the standard inventory-policy grid. Both
+    // classifications recompute from their own one-pass machinery (the
+    // cumulative rides GlobalOrder's range-partitioned running total) and
+    // meet in one partkey equi-join.
+    QueryDef(
+      "q_abc_xyz",
+      (s, d) => {
+        val pr = Tables.lineitem(s, d)
+          .select(col("l_partkey"),
+            round(col("l_extendedprice") * 100).cast("long").as("cents"))
+          .groupBy("l_partkey").agg(sum("cents").as("cents"))
+        val ord = Seq(col("cents").desc, col("l_partkey").asc)
+        val run = GlobalOrder.withRunningTotal(pr, ord, col("cents"), "cum")
+        val tot = pr.agg(sum("cents").as("tot"))
+        val abc = run.crossJoin(broadcast(tot))
+          .select(col("l_partkey"), col("cents"),
+            expr("""CASE WHEN CAST(cum AS DECIMAL(38,0)) * 100 <= CAST(tot AS DECIMAL(38,0)) * 80
+                   |     THEN 'A'
+                   |     WHEN CAST(cum AS DECIMAL(38,0)) * 100 <= CAST(tot AS DECIMAL(38,0)) * 95
+                   |     THEN 'B' ELSE 'C' END""".stripMargin).as("abc"))
+        val m = Tables.lineitem(s, d)
+          .groupBy(col("l_partkey"),
+            to_date(date_trunc("month", col("l_shipdate"))).as("mo"))
+          .agg(sum(col("l_quantity").cast("long")).as("q"))
+        val xyz = m.groupBy("l_partkey")
+          .agg(count(lit(1)).as("n_mo"), sum("q").as("sq"), sum(expr("q*q")).as("sqq"))
+          .where(col("n_mo") >= 6 && col("sq") > 0)
+          .select(col("l_partkey"),
+            expr("""CAST(round(sqrt(CAST(n_mo*sqq - sq*sq AS DOUBLE)/(n_mo*n_mo))
+                   | * 1000000 / (CAST(sq AS DOUBLE)/n_mo)) AS BIGINT)""".stripMargin)
+              .as("cv"))
+          .select(col("l_partkey"),
+            expr("""CASE WHEN cv < 500000 THEN 'X'
+                   |     WHEN cv < 1000000 THEN 'Y' ELSE 'Z' END""".stripMargin).as("xyz"))
+        abc.join(xyz, "l_partkey")
+          .groupBy("abc", "xyz")
+          .agg(count(lit(1)).as("n_parts"), sum("cents").as("cellrev"))
+          .crossJoin(broadcast(tot))
+          .select(col("abc"), col("xyz"), col("n_parts"),
+            expr("cellrev * 1000000 div tot").as("revenue_share_micro"))
+          .orderBy("abc", "xyz")
+      },
+      Some("""WITH p AS (SELECT l_partkey,
+             |      sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS cents
+             |    FROM lineitem GROUP BY 1),
+             |t AS (SELECT sum(cents) AS tot FROM p),
+             |cum AS (SELECT l_partkey, cents,
+             |    sum(cents) OVER (ORDER BY cents DESC, l_partkey) AS cum FROM p),
+             |abc AS (SELECT l_partkey, cents,
+             |    CASE WHEN CAST(cum AS HUGEINT)*100 <= CAST((SELECT tot FROM t) AS HUGEINT)*80
+             |         THEN 'A'
+             |         WHEN CAST(cum AS HUGEINT)*100 <= CAST((SELECT tot FROM t) AS HUGEINT)*95
+             |         THEN 'B' ELSE 'C' END AS abc FROM cum),
+             |m AS (SELECT l_partkey, date_trunc('month', CAST(l_shipdate AS DATE)) AS mo,
+             |      CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+             |    FROM lineitem GROUP BY 1, 2),
+             |st AS (SELECT l_partkey, count(*) AS n_mo, sum(q) AS sq, sum(q*q) AS sqq
+             |       FROM m GROUP BY 1 HAVING count(*) >= 6 AND sum(q) > 0),
+             |xyz AS (SELECT l_partkey,
+             |    CASE WHEN cv < 500000 THEN 'X' WHEN cv < 1000000 THEN 'Y' ELSE 'Z' END AS xyz
+             |  FROM (SELECT l_partkey,
+             |      CAST(round(sqrt(CAST(n_mo*sqq - sq*sq AS DOUBLE)/(n_mo*n_mo))
+             |        * 1000000 / (CAST(sq AS DOUBLE)/n_mo)) AS BIGINT) AS cv FROM st))
+             |SELECT a.abc, x.xyz, count(*) AS n_parts,
+             |  CAST(sum(a.cents) * 1000000 // (SELECT tot FROM t) AS BIGINT)
+             |    AS revenue_share_micro
+             |FROM abc a JOIN xyz x USING (l_partkey)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

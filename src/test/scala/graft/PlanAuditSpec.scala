@@ -266,7 +266,10 @@ class PlanAuditSpec extends SparkSpec {
       "q_seasonal_index",
       // q_weibull_fit: the ECDF cumulative runs over the ≤ ~42-bucket
       // log2 gap domain after one grouped count (q_ks_test argument)
-      "q_weibull_fit")
+      "q_weibull_fit",
+      // q_abc_xyz: withRunningTotal's offset prefix-sum, same
+      // ≤ #shuffle-partitions bound as the GlobalOrder family
+      "q_abc_xyz")
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !allowed(name)
       w = fn(spark, sf).queryExecution.optimizedPlan.collect {
