@@ -228,7 +228,8 @@ object ScaleProbe {
       "q_morans_i", "q_self_excitation", "q_term_burstiness",
       "q_weibull_fit", "q_dedup_sweep",
       "q_funnel_ci", "q_mde_curve", "q_safety_stock",
-      "q_pacf", "q_variance_decomp", "q_abc_xyz")
+      "q_pacf", "q_variance_decomp", "q_abc_xyz",
+      "q_coverage_curve", "q_lm_generalization")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

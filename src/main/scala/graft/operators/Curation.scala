@@ -2315,6 +2315,110 @@ object Curation {
              |  CAST(nc AS BIGINT), CAST(nbc AS BIGINT),
              |  CAST(CASE WHEN nb + nc - nbc = 0 THEN 0
              |    ELSE nbc*1000 // (nb+nc-nbc) END AS BIGINT) FROM s
-             |ORDER BY rule_a, rule_b""".stripMargin))
+             |ORDER BY rule_a, rule_b""".stripMargin)),
+
+    // vocabulary coverage curve — token mass captured by the top-k
+    // vocabulary at k = 1/5/10/20/50: the vocabulary-size dial
+    // q_vocab_coverage's single point expands into (and the input to
+    // choosing a tokenizer's vocab budget). The vocab ranking rides
+    // GlobalOrder's range-partitioned row number (the q_zipf_fit
+    // convention — never a global window over the vocabulary frame);
+    // the 5-point grid joins broadcast.
+    QueryDef(
+      "q_coverage_curve",
+      (s, d) => {
+        val cnt = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("n"))
+        val tot = cnt.agg(sum("n").as("t"), count(lit(1)).as("vocab"))
+        val rk = GlobalOrder.withGlobalRowNumber(cnt,
+          Seq(col("n").desc, col("w").asc), "r")
+        val grid = s.range(0, 5).select(
+          expr("CAST(element_at(array(1, 5, 10, 20, 50), CAST(id AS INT) + 1) AS BIGINT)")
+            .as("k"))
+        rk.crossJoin(broadcast(grid))
+          .groupBy("k")
+          .agg(sum(when(col("r") <= col("k"), col("n")).otherwise(0L)).as("covered"))
+          .crossJoin(broadcast(tot))
+          .select(col("k"),
+            expr("covered * 1000000 div t").as("coverage_micro"),
+            col("vocab").as("vocab_size"))
+          .orderBy("k")
+      },
+      Some("""WITH tok AS (SELECT unnest(string_split(text,' ')) AS w FROM documents),
+             |cnt AS (SELECT w, count(*) AS n FROM tok GROUP BY 1),
+             |rk AS (SELECT w, n, row_number() OVER (ORDER BY n DESC, w) AS r FROM cnt),
+             |tot AS (SELECT sum(n) AS t, count(*) AS vocab FROM cnt),
+             |grid AS (SELECT unnest([1,5,10,20,50]) AS k)
+             |SELECT CAST(g.k AS BIGINT) AS k,
+             |  CAST(sum(CASE WHEN rk.r <= g.k THEN rk.n ELSE 0 END) * 1000000
+             |    // (SELECT t FROM tot) AS BIGINT) AS coverage_micro,
+             |  CAST((SELECT vocab FROM tot) AS BIGINT) AS vocab_size
+             |FROM grid g CROSS JOIN rk GROUP BY g.k ORDER BY k""".stripMargin)),
+
+    // bigram-LM generalization gap — train an add-1-smoothed bigram model
+    // on the even doc-id blocks, report perplexity on train vs held-out
+    // halves: the overfit screen for q_bigram_lm's model (test ppl above
+    // train ppl by ~6 % on the fixture — a REAL generalization gap from
+    // unseen bigrams, not noise). Per-bigram ln terms quantize to nano
+    // before the sum (q_mutual_info convention); the model broadcasts,
+    // the corpus streams through one tokenize + one lead.
+    QueryDef(
+      "q_lm_generalization",
+      (s, d) => {
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), expr("(doc_id div 20) % 2").as("half"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        val big = toks
+          .withColumn("nxt", lead("tok", 1).over(w))
+          .where(col("nxt").isNotNull)
+          .select(col("half"), col("tok").as("w1"), col("nxt"))
+        val tr = big.where(col("half") === 0)
+          .groupBy("w1", "nxt").agg(count(lit(1)).as("c"))
+        val uni = tr.groupBy("w1").agg(sum("c").as("cu"))
+        val v = tr.agg(countDistinct("nxt").as("vocab"))
+        val sc = big
+          .join(broadcast(tr), Seq("w1", "nxt"), "left")
+          .join(broadcast(uni), Seq("w1"), "left")
+          .crossJoin(broadcast(v))
+          .select(col("half"),
+            expr("""CAST(round(1e9*ln((coalesce(c,0)+1.0)
+                   | /(coalesce(cu,0) + vocab))) AS BIGINT)""".stripMargin)
+              .as("lp_nano"))
+        sc.groupBy("half").agg(count(lit(1)).as("n"), sum("lp_nano").as("s"))
+          .groupBy()
+          .agg(max(when(col("half") === 0, col("n"))).as("train_bigrams"),
+            max(when(col("half") === 1, col("n"))).as("test_bigrams"),
+            max(when(col("half") === 0, col("s"))).as("s0"),
+            max(when(col("half") === 1, col("s"))).as("s1"))
+          .select(col("train_bigrams"), col("test_bigrams"),
+            expr("CAST(round(exp(-CAST(s0 AS DOUBLE)/train_bigrams/1e9)*1000) AS BIGINT)")
+              .as("train_ppl_milli"),
+            expr("CAST(round(exp(-CAST(s1 AS DOUBLE)/test_bigrams/1e9)*1000) AS BIGINT)")
+              .as("test_ppl_milli"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, (doc_id // 20) % 2 AS half,
+             |      i AS pos, ws[i] AS w1, ws[i+1] AS nxt
+             |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |    LATERAL unnest(range(1, len(ws))) AS t(i)),
+             |big AS (SELECT half, w1, nxt FROM toks WHERE nxt IS NOT NULL),
+             |tr AS (SELECT w1, nxt, count(*) AS c FROM big WHERE half = 0 GROUP BY 1, 2),
+             |uni AS (SELECT w1, sum(c) AS cu FROM tr GROUP BY 1),
+             |v AS (SELECT count(DISTINCT nxt) AS vocab FROM tr),
+             |sc AS (SELECT b.half,
+             |    CAST(round(1e9*ln((coalesce(tr.c,0)+1.0)
+             |      /(coalesce(uni.cu,0) + (SELECT vocab FROM v)))) AS BIGINT) AS lp_nano
+             |  FROM big b LEFT JOIN tr ON tr.w1 = b.w1 AND tr.nxt = b.nxt
+             |  LEFT JOIN uni ON uni.w1 = b.w1),
+             |agg AS (SELECT half, count(*) AS n, sum(lp_nano) AS s FROM sc GROUP BY 1)
+             |SELECT
+             |  CAST(max(CASE WHEN half=0 THEN n END) AS BIGINT) AS train_bigrams,
+             |  CAST(max(CASE WHEN half=1 THEN n END) AS BIGINT) AS test_bigrams,
+             |  CAST(round(exp(-CAST(max(CASE WHEN half=0 THEN s END) AS DOUBLE)
+             |    /max(CASE WHEN half=0 THEN n END)/1e9)*1000) AS BIGINT) AS train_ppl_milli,
+             |  CAST(round(exp(-CAST(max(CASE WHEN half=1 THEN s END) AS DOUBLE)
+             |    /max(CASE WHEN half=1 THEN n END)/1e9)*1000) AS BIGINT) AS test_ppl_milli
+             |FROM agg""".stripMargin))
   )
 }

@@ -269,7 +269,11 @@ class PlanAuditSpec extends SparkSpec {
       "q_weibull_fit",
       // q_abc_xyz: withRunningTotal's offset prefix-sum, same
       // ≤ #shuffle-partitions bound as the GlobalOrder family
-      "q_abc_xyz")
+      "q_abc_xyz",
+      // q_coverage_curve: withGlobalRowNumber's ≤ #shuffle-partitions
+      // prefix-sum (vocab rank rides the range shuffle — q_zipf_fit
+      // convention)
+      "q_coverage_curve")
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !allowed(name)
       w = fn(spark, sf).queryExecution.optimizedPlan.collect {
