@@ -229,7 +229,8 @@ object ScaleProbe {
       "q_weibull_fit", "q_dedup_sweep",
       "q_funnel_ci", "q_mde_curve", "q_safety_stock",
       "q_pacf", "q_variance_decomp", "q_abc_xyz",
-      "q_coverage_curve", "q_lm_generalization")
+      "q_coverage_curve", "q_lm_generalization",
+      "q_trade_flows", "q_exp_gof", "q_supply_risk")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

@@ -4149,6 +4149,62 @@ object Behavioral {
              |  CAST(round(exp(-icept/shape)) AS BIGINT) AS scale_ms
              |FROM fit""".stripMargin)),
 
+    // exponential goodness-of-fit — KS distance of the inter-purchase gap
+    // ECDF (at the log2 bucket edges) from the fitted exponential
+    // 1 − e^(−λ̂t), against the asymptotic 5 % critical value 1.358/√n.
+    // The THIRD estimator of the purchase process's memorylessness:
+    // q_weibull_fit's k ≈ 1 and q_self_excitation's ratio ≈ 1 predict
+    // "don't reject", and this test confirms it — three independent
+    // methods, one story. Bucket-edge ECDF keeps the sup over the bounded
+    // ~42-bucket domain (q_weibull_fit convention, whitelisted).
+    QueryDef(
+      "q_exp_gof",
+      (s, d) => {
+        val wu = Window.partitionBy("user_id").orderBy("ms")
+        val b = Tables.events(s, d).where(col("event_type") === "purchase")
+          .select(col("user_id"),
+            unix_millis(col("ts").cast("timestamp")).as("ms"))
+          .select((col("ms") - lag("ms", 1).over(wu)).as("gap"))
+          .where(col("gap").isNotNull && col("gap") > 0)
+        val bk = b.select((length(bin(col("gap") + 1)) - 1).cast("long").as("bucket"),
+            col("gap"))
+          .groupBy("bucket").agg(count(lit(1)).as("k"), sum("gap").as("sg"))
+        val n = bk.agg(sum("k").as("n"), sum("sg").as("tot"))
+        bk.select(col("bucket"), col("k"),
+            sum("k").over(Window.orderBy("bucket")).as("ck"))
+          .crossJoin(broadcast(n))
+          .select(expr("""abs(CAST(ck AS DOUBLE)/n
+                 | - (1 - exp(-(power(2.0, bucket+1)-1) * n / tot)))""".stripMargin)
+            .as("ks"), col("n"))
+          .groupBy()
+          .agg(max("n").as("n_gaps"),
+            expr("CAST(round(1000000.0*max(ks)) AS BIGINT)").as("ks_micro"),
+            expr("CAST(round(1000000.0*1.358/sqrt(max(n))) AS BIGINT)")
+              .as("crit05_micro"),
+            expr("""CAST(CASE WHEN max(ks) > 1.358/sqrt(max(n))
+                   | THEN 1 ELSE 0 END AS BIGINT)""".stripMargin).as("reject_exp"))
+      },
+      Some("""WITH p AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+             |      FROM events WHERE event_type='purchase'),
+             |g AS (SELECT ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) AS gap
+             |      FROM p),
+             |gg AS (SELECT gap FROM g WHERE gap IS NOT NULL AND gap > 0),
+             |b AS (SELECT CAST(length(bin(gap + 1)) - 1 AS BIGINT) AS bucket,
+             |      count(*) AS k, sum(gap) AS sg FROM gg GROUP BY 1),
+             |n AS (SELECT sum(k) AS n, sum(sg) AS tot FROM b),
+             |e AS (SELECT bucket, k, sum(k) OVER (ORDER BY bucket) AS ck FROM b),
+             |d AS (SELECT bucket,
+             |    abs(CAST(ck AS DOUBLE)/(SELECT n FROM n)
+             |      - (1 - exp(-(power(2.0, bucket+1)-1) * (SELECT n FROM n)
+             |         / (SELECT tot FROM n)))) AS ks FROM e)
+             |SELECT CAST((SELECT n FROM n) AS BIGINT) AS n_gaps,
+             |  CAST(round(1000000.0*max(ks)) AS BIGINT) AS ks_micro,
+             |  CAST(round(1000000.0*1.358/sqrt((SELECT n FROM n))) AS BIGINT)
+             |    AS crit05_micro,
+             |  CAST(CASE WHEN max(ks) > 1.358/sqrt((SELECT n FROM n))
+             |    THEN 1 ELSE 0 END AS BIGINT) AS reject_exp
+             |FROM d""".stripMargin)),
+
     // funnel with Wilson 95 % intervals — q_funnel reports the step rates;
     // this adds the score-interval error bars that survive small
     // denominators (Wilson, closed form — never the Wald interval that

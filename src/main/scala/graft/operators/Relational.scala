@@ -2018,6 +2018,108 @@ object Relational {
              |  CAST(sum(a.cents) * 1000000 // (SELECT tot FROM t) AS BIGINT)
              |    AS revenue_share_micro
              |FROM abc a JOIN xyz x USING (l_partkey)
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // trade-flow lift matrix — supplier-nation × customer-nation revenue
+    // against the independence expectation (observed·total / row·col
+    // margins, the gravity-model null): which trade lanes are genuinely
+    // preferred vs just big. The star join runs dims-broadcast; margins
+    // are two grouped sums over the ≤ |nations|² cell table; lift is
+    // exact 128-bit integer milli. Top-15 lanes by lift, TakeOrdered.
+    QueryDef(
+      "q_trade_flows",
+      (s, d) => {
+        val nat = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+        val f = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat.select(col("n_nationkey").as("cnk"),
+            col("n_name").as("cust_nation"))), col("c_nationkey") === col("cnk"))
+          .join(broadcast(nat.select(col("n_nationkey").as("snk"),
+            col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
+          .select(col("supp_nation"), col("cust_nation"),
+            round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+              .cast("long").as("cents"))
+        val cell = f.groupBy("supp_nation", "cust_nation").agg(sum("cents").as("rev"))
+        val ms = cell.groupBy("supp_nation").agg(sum("rev").as("sr"))
+        val mc = cell.groupBy("cust_nation").agg(sum("rev").as("cr"))
+        val t = cell.agg(sum("rev").as("tot"))
+        cell.join(broadcast(ms), "supp_nation").join(broadcast(mc), "cust_nation")
+          .crossJoin(broadcast(t))
+          .select(col("supp_nation"), col("cust_nation"),
+            col("rev").as("rev_cents"),
+            expr("""CAST(CAST(rev AS DECIMAL(38,0)) * tot * 1000
+                   | div (CAST(sr AS DECIMAL(38,0)) * cr) AS BIGINT)""".stripMargin)
+              .as("lift_milli"))
+          .orderBy(col("lift_milli").desc, col("supp_nation"), col("cust_nation"))
+          .limit(15)
+      },
+      Some("""WITH f AS (SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+             |      CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT) AS cents
+             |    FROM lineitem l
+             |    JOIN orders o ON o.o_orderkey = l.l_orderkey
+             |    JOIN customer c ON c.c_custkey = o.o_custkey
+             |    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+             |    JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+             |    JOIN nation ns ON ns.n_nationkey = s.s_nationkey),
+             |cell AS (SELECT supp_nation, cust_nation, sum(cents) AS rev FROM f
+             |         GROUP BY 1, 2),
+             |ms AS (SELECT supp_nation, sum(rev) AS sr FROM cell GROUP BY 1),
+             |mc AS (SELECT cust_nation, sum(rev) AS cr FROM cell GROUP BY 1),
+             |t AS (SELECT sum(rev) AS tot FROM cell)
+             |SELECT cell.supp_nation, cell.cust_nation,
+             |  CAST(cell.rev AS BIGINT) AS rev_cents,
+             |  CAST(CAST(cell.rev AS HUGEINT) * (SELECT tot FROM t) * 1000
+             |    // (CAST(ms.sr AS HUGEINT) * mc.cr) AS BIGINT) AS lift_milli
+             |FROM cell JOIN ms USING (supp_nation) JOIN mc USING (cust_nation)
+             |ORDER BY lift_milli DESC, supp_nation, cust_nation LIMIT 15""".stripMargin)),
+
+    // supply-risk audit — per-part supplier concentration (HHI over
+    // line-count shares) rolled up to the procurement dashboard row:
+    // single-sourced part share, mean HHI, and the count of parts above
+    // the 0.5 concentration bar. One grouped pass per level, exact
+    // 128-bit integer HHI. The fixture's parts all multi-source (0
+    // single-sourced) — the honest baseline this gate exists to watch.
+    QueryDef(
+      "q_supply_risk",
+      (s, d) => {
+        val ps = Tables.lineitem(s, d)
+          .groupBy("l_partkey", "l_suppkey").agg(count(lit(1)).as("n"))
+        val h = ps.groupBy("l_partkey")
+          .agg(count(lit(1)).as("n_supp"), sum("n").as("tot"),
+            sum(expr("CAST(n AS DECIMAL(38,0))*n")).as("ss"))
+          .select(col("l_partkey"), col("n_supp"),
+            expr("""CAST(ss * 1000000 div (CAST(tot AS DECIMAL(38,0))*tot) AS BIGINT)"""
+              ).as("hhi_micro"))
+        h.agg(count(lit(1)).as("n_parts"),
+            sum(when(col("n_supp") === 1, 1L).otherwise(0L)).as("single_sourced"),
+            expr("CAST(round(avg(CAST(hhi_micro AS DOUBLE))) AS BIGINT)")
+              .as("mean_hhi_micro"),
+            sum(when(col("hhi_micro") > 500000, 1L).otherwise(0L))
+              .as("concentrated_parts"))
+          .select(col("n_parts"), col("single_sourced"),
+            expr("single_sourced * 1000000 div n_parts").as("single_share_micro"),
+            col("mean_hhi_micro"), col("concentrated_parts"))
+      },
+      Some("""WITH ps AS (SELECT l_partkey, l_suppkey, count(*) AS n FROM lineitem
+             |      GROUP BY 1, 2),
+             |h AS (SELECT l_partkey, count(*) AS n_supp, sum(n) AS tot,
+             |      sum(CAST(n AS HUGEINT)*n) AS ss FROM ps GROUP BY 1),
+             |hh AS (SELECT l_partkey, n_supp,
+             |    CAST(CAST(ss AS HUGEINT) * 1000000 // (CAST(tot AS HUGEINT)*tot)
+             |      AS BIGINT) AS hhi_micro FROM h)
+             |SELECT CAST(count(*) AS BIGINT) AS n_parts,
+             |  CAST(sum(CASE WHEN n_supp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS single_sourced,
+             |  CAST(sum(CASE WHEN n_supp = 1 THEN 1 ELSE 0 END) * 1000000
+             |    // count(*) AS BIGINT) AS single_share_micro,
+             |  CAST(round(avg(CAST(hhi_micro AS DOUBLE))) AS BIGINT) AS mean_hhi_micro,
+             |  CAST(sum(CASE WHEN hhi_micro > 500000 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS concentrated_parts
+             |FROM hh""".stripMargin))
   )
 }

@@ -273,7 +273,10 @@ class PlanAuditSpec extends SparkSpec {
       // q_coverage_curve: withGlobalRowNumber's ≤ #shuffle-partitions
       // prefix-sum (vocab rank rides the range shuffle — q_zipf_fit
       // convention)
-      "q_coverage_curve")
+      "q_coverage_curve",
+      // q_exp_gof: the ECDF cumulative runs over the ≤ ~42-bucket log2
+      // gap domain after one grouped count (q_weibull_fit convention)
+      "q_exp_gof")
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !allowed(name)
       w = fn(spark, sf).queryExecution.optimizedPlan.collect {
