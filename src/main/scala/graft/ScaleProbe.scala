@@ -230,7 +230,8 @@ object ScaleProbe {
       "q_funnel_ci", "q_mde_curve", "q_safety_stock",
       "q_pacf", "q_variance_decomp", "q_abc_xyz",
       "q_coverage_curve", "q_lm_generalization",
-      "q_trade_flows", "q_exp_gof", "q_supply_risk")
+      "q_trade_flows", "q_exp_gof", "q_supply_risk",
+      "q_kruskal_wallis", "q_runs_test", "q_ljung_box", "q_friedman")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

@@ -4440,7 +4440,278 @@ object Behavioral {
              |  CAST(round(1000000.0*(gmn - gmr)/sst) AS BIGINT) AS nation_share_micro,
              |  CAST(round(1000000.0*(sst - (gmn - cf))/sst) AS BIGINT)
              |    AS residual_share_micro
-             |FROM fin""".stripMargin))
+             |FROM fin""".stripMargin)),
+
+    // Kruskal-Wallis k-sample rank test — does line quantity differ by
+    // return flag? The k-group generalization of q_mannwhitney, same
+    // midrank machinery: ranks live on the ≤50-value quantity domain
+    // (one grouped count, then a bounded-domain cumulative), group rank
+    // sums stay exact via doubled midranks (2·cum − cnt + 1, all
+    // integers), and the tie-corrected H meets the closed-form df=2
+    // chi-square survival e^(−H/2). Null expected on TPC-H (quantity ⊥
+    // returnflag) — the honest baseline.
+    QueryDef(
+      "q_kruskal_wallis",
+      (s, d) => {
+        val e = Tables.lineitem(s, d)
+          .select(col("l_returnflag").as("g"), col("l_quantity").cast("long").as("v"))
+        val byv = e.groupBy("v").agg(count(lit(1)).as("cnt"))
+        val rk = byv
+          .withColumn("cum", sum("cnt").over(Window.orderBy("v")))
+          .select(col("v"),
+            expr("CAST(2*cum - cnt + 1 AS DECIMAL(38,0))").as("r2"))
+        val gr = e.groupBy("g", "v").agg(count(lit(1)).as("c"))
+          .join(broadcast(rk), "v")
+          .groupBy("g")
+          .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * r2")).as("r2sum"),
+            sum("c").as("nj"))
+        val n = gr.agg(sum("nj").as("n"))
+        val tie = byv.agg(
+          sum(expr("CAST(cnt AS DECIMAL(38,0))*cnt*cnt - cnt")).as("t3"))
+        gr.crossJoin(broadcast(n)).crossJoin(broadcast(tie))
+          .groupBy()
+          .agg(max("n").as("n"), count(lit(1)).as("k"),
+            expr("""(3.0/(CAST(max(n) AS DOUBLE)*(max(n)+1)))
+                   | * sum(CAST(r2sum AS DOUBLE)*CAST(r2sum AS DOUBLE)/nj)
+                   | - 3.0*(max(n)+1)""".stripMargin).as("h0"),
+            expr("""1.0 - CAST(max(t3) AS DOUBLE)
+                   | / (CAST(max(n) AS DOUBLE)*max(n)*max(n) - max(n))""".stripMargin)
+              .as("corr"))
+          .select(col("n").cast("long").as("n"), col("k").as("k_groups"),
+            expr("CAST(round(1000.0*h0/corr) AS BIGINT)").as("h_milli"),
+            expr("CAST(round(1000000.0*exp(-h0/corr/2)) AS BIGINT)").as("p_micro"),
+            expr("CAST(CASE WHEN exp(-h0/corr/2) < 0.05 THEN 1 ELSE 0 END AS BIGINT)")
+              .as("reject_equal"))
+      },
+      Some("""WITH e AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v
+             |      FROM lineitem),
+             |byv AS (SELECT v, count(*) AS cnt FROM e GROUP BY 1),
+             |r AS (SELECT v, cnt, sum(cnt) OVER (ORDER BY v) AS cum FROM byv),
+             |rk AS (SELECT v, CAST(2*cum - cnt + 1 AS HUGEINT) AS r2 FROM r),
+             |gv AS (SELECT g, v, count(*) AS c FROM e GROUP BY 1, 2),
+             |gr AS (SELECT g, sum(CAST(c AS HUGEINT) * rk.r2) AS r2sum, sum(c) AS nj
+             |       FROM gv JOIN rk USING (v) GROUP BY 1),
+             |n AS (SELECT sum(nj) AS n FROM gr),
+             |tie AS (SELECT sum(CAST(cnt AS HUGEINT)*cnt*cnt - cnt) AS t3 FROM byv),
+             |h AS (SELECT max(n.n) AS n, count(*) AS k,
+             |    (3.0/(CAST(max(n.n) AS DOUBLE)*(max(n.n)+1)))
+             |      * sum(CAST(r2sum AS DOUBLE)*CAST(r2sum AS DOUBLE)/nj)
+             |      - 3.0*(max(n.n)+1) AS h0,
+             |    1.0 - CAST(max(tie.t3) AS DOUBLE)
+             |      / (CAST(max(n.n) AS DOUBLE)*max(n.n)*max(n.n) - max(n.n)) AS corr
+             |  FROM gr CROSS JOIN n CROSS JOIN tie)
+             |SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups,
+             |  CAST(round(1000.0*h0/corr) AS BIGINT) AS h_milli,
+             |  CAST(round(1000000.0*exp(-h0/corr/2)) AS BIGINT) AS p_micro,
+             |  CAST(CASE WHEN exp(-h0/corr/2) < 0.05 THEN 1 ELSE 0 END AS BIGINT)
+             |    AS reject_equal
+             |FROM h""".stripMargin)),
+
+    // Wald-Wolfowitz runs test — is the daily-revenue sequence random
+    // around its median, or does it trend/cluster? Days above vs below
+    // the exact lower median (ties dropped, the standard treatment),
+    // runs counted by one lag pass over the calendar-bounded daily
+    // frame, and the closed-form normal z. Complements q_mann_kendall
+    // (monotone trend) with the non-parametric randomness check.
+    QueryDef(
+      "q_runs_test",
+      (s, d) => {
+        val day = Tables.orders(s, d)
+          .groupBy(col("o_orderdate").as("dt"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+        val med = day
+          .select(col("rev"), col("dt"),
+            row_number().over(Window.orderBy("rev", "dt")).as("r"),
+            count(lit(1)).over(Window.partitionBy()).as("n"))
+          .where(expr("r = (n+1) div 2")).select(col("rev").as("m"))
+        val sg = day.crossJoin(broadcast(med))
+          .where(col("rev") =!= col("m"))
+          .select(col("dt"), when(col("rev") > col("m"), 1L).otherwise(0L).as("sgn"))
+        val runs = sg
+          .withColumn("prev", lag("sgn", 1).over(Window.orderBy("dt")))
+          .agg(count(lit(1)).as("n"), sum("sgn").as("n1"),
+            sum(when(col("prev").isNull || col("sgn") =!= col("prev"), 1L)
+              .otherwise(0L)).as("runs"))
+        runs.select(col("n").as("n_days"), col("n1").as("n_above"),
+          (col("n") - col("n1")).as("n_below"), col("runs").as("n_runs"),
+          expr("""CAST(round(1000.0 * (runs - (2.0*n1*(n-n1)/n + 1))
+                 | / sqrt(2.0*n1*(n-n1)*(2.0*n1*(n-n1) - n)
+                 |   / (CAST(n AS DOUBLE)*n*(n-1)))) AS BIGINT)""".stripMargin)
+            .as("z_milli"),
+          expr("""CAST(CASE WHEN abs((runs - (2.0*n1*(n-n1)/n + 1))
+                 | / sqrt(2.0*n1*(n-n1)*(2.0*n1*(n-n1) - n)
+                 |   / (CAST(n AS DOUBLE)*n*(n-1)))) > 1.96
+                 | THEN 1 ELSE 0 END AS BIGINT)""".stripMargin).as("reject_random"))
+      },
+      Some("""WITH day AS (SELECT o_orderdate AS dt,
+             |      sum(CAST(round(o_totalprice*100) AS BIGINT)) AS rev
+             |    FROM orders GROUP BY 1),
+             |med AS (SELECT rev AS m FROM
+             |    (SELECT rev, dt, row_number() OVER (ORDER BY rev, dt) AS r,
+             |       count(*) OVER () AS n FROM day)
+             |    WHERE r = (n+1)//2),
+             |s AS (SELECT dt, CASE WHEN rev > (SELECT m FROM med) THEN 1 ELSE 0 END AS sgn
+             |      FROM day WHERE rev <> (SELECT m FROM med)),
+             |r AS (SELECT sgn, lag(sgn) OVER (ORDER BY dt) AS prev FROM s),
+             |agg AS (SELECT count(*) AS n, sum(sgn) AS n1,
+             |        sum(CASE WHEN prev IS NULL OR sgn <> prev THEN 1 ELSE 0 END) AS runs
+             |      FROM r)
+             |SELECT CAST(n AS BIGINT) AS n_days, CAST(n1 AS BIGINT) AS n_above,
+             |  CAST(n - n1 AS BIGINT) AS n_below, CAST(runs AS BIGINT) AS n_runs,
+             |  CAST(round(1000.0 * (runs - (2.0*n1*(n-n1)/n + 1))
+             |    / sqrt(2.0*n1*(n-n1)*(2.0*n1*(n-n1) - n)
+             |      / (CAST(n AS DOUBLE)*n*(n-1)))) AS BIGINT) AS z_milli,
+             |  CAST(CASE WHEN abs((runs - (2.0*n1*(n-n1)/n + 1))
+             |    / sqrt(2.0*n1*(n-n1)*(2.0*n1*(n-n1) - n)
+             |      / (CAST(n AS DOUBLE)*n*(n-1)))) > 1.96
+             |    THEN 1 ELSE 0 END AS BIGINT) AS reject_random
+             |FROM agg""".stripMargin)),
+
+    // Ljung-Box portmanteau test — is the daily event-count series white
+    // noise across lags 1..10 jointly? q_acf reports the per-lag curve;
+    // this is the omnibus Q over it. Centering stays exact through the
+    // integer trick y_t = T·x_t − N (ρ_k = Σy_t·y_{t+k} / Σy_t², both
+    // 128-bit exact), the lag pairs ride q_acf's broadcast self-join on
+    // the calendar-bounded daily frame, and df=10 (even) admits the
+    // closed-form chi-square survival.
+    QueryDef(
+      "q_ljung_box",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("x"))
+        val t = daily.agg(count(lit(1)).as("t"), sum("x").as("n"))
+        val y = daily.crossJoin(broadcast(t))
+          .select(col("day"), expr("CAST(t AS DECIMAL(38,0))*x - n").as("y"),
+            col("t"))
+        val g0 = y.agg(sum(expr("y*y")).as("g0"))
+        val gk = y
+          .select(col("day"), col("y").as("a"),
+            explode(sequence(lit(1), lit(10))).as("lag"))
+          .withColumn("jday", expr("date_add(day, lag)"))
+          .join(broadcast(y.select(col("day").as("jday"), col("y").as("b"))), "jday")
+          .groupBy("lag").agg(sum(expr("a*b")).as("gk"))
+        val q = gk.crossJoin(broadcast(g0)).crossJoin(broadcast(t))
+          .groupBy()
+          .agg(max("t").as("t"),
+            sum(expr("""(CAST(gk AS DOUBLE)/CAST(g0 AS DOUBLE))
+                       | * (CAST(gk AS DOUBLE)/CAST(g0 AS DOUBLE)) / (t - lag)"""
+              .stripMargin)).as("sq"))
+          .select(col("t"), expr("CAST(t AS DOUBLE)*(t+2)*sq").as("q"))
+        q.select(col("t").cast("long").as("t_days"),
+          expr("CAST(round(1000.0*q) AS BIGINT)").as("q_milli"),
+          expr("""CAST(round(1000000.0 * exp(-q/2)*(1 + q/2 + pow(q/2,2)/2
+                 | + pow(q/2,3)/6 + pow(q/2,4)/24)) AS BIGINT)""".stripMargin)
+            .as("p_micro"),
+          expr("""CAST(CASE WHEN exp(-q/2)*(1 + q/2 + pow(q/2,2)/2
+                 | + pow(q/2,3)/6 + pow(q/2,4)/24) < 0.05
+                 | THEN 1 ELSE 0 END AS BIGINT)""".stripMargin)
+            .as("reject_whitenoise"))
+      },
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS x
+             |      FROM events GROUP BY 1),
+             |t AS (SELECT count(*) AS t, sum(x) AS n FROM daily),
+             |y AS (SELECT day, CAST(t.t AS HUGEINT)*x - t.n AS y FROM daily CROSS JOIN t),
+             |g0 AS (SELECT sum(y*y) AS g0 FROM y),
+             |l AS (SELECT unnest(range(1, 11)) AS lag),
+             |gk AS (SELECT l.lag, sum(a.y*b.y) AS gk FROM l
+             |       JOIN y a ON TRUE
+             |       JOIN y b ON b.day = a.day + CAST(l.lag AS BIGINT)*INTERVAL 1 DAY
+             |       GROUP BY 1),
+             |rho AS (SELECT lag, CAST(gk AS DOUBLE)/(SELECT CAST(g0 AS DOUBLE) FROM g0)
+             |          AS rho FROM gk),
+             |q0 AS (SELECT max((SELECT t FROM t)) AS t,
+             |      sum(rho*rho / ((SELECT t FROM t) - lag)) AS s FROM rho),
+             |f AS (SELECT t, CAST(t AS DOUBLE)*(t+2)*s AS q FROM q0)
+             |SELECT CAST(t AS BIGINT) AS t_days,
+             |  CAST(round(1000.0*q) AS BIGINT) AS q_milli,
+             |  CAST(round(1000000.0 * exp(-q/2)*(1 + q/2 + pow(q/2,2)/2
+             |    + pow(q/2,3)/6 + pow(q/2,4)/24)) AS BIGINT) AS p_micro,
+             |  CAST(CASE WHEN exp(-q/2)*(1 + q/2 + pow(q/2,2)/2
+             |    + pow(q/2,3)/6 + pow(q/2,4)/24) < 0.05
+             |    THEN 1 ELSE 0 END AS BIGINT) AS reject_whitenoise
+             |FROM f""".stripMargin)),
+
+    // Friedman test — do the five event types keep the same volume
+    // ordering day after day? Blocks = days, treatments = the pinned
+    // 5-type list (df = 4, even → closed-form p), midranks within each
+    // day via the doubled-rank integers (2·RANK + ties − 1), zero-filled
+    // grid so absent (day, type) cells rank honestly, and Conover's
+    // tie-general statistic (k−1)·Σ(R_j − n(k+1)/2)²/(A − C) computed
+    // exactly until the one final division. Every window partitions by
+    // day; the grid is calendar × 5.
+    QueryDef(
+      "q_friedman",
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val dd = Tables.events(s, d)
+          .where(col("event_type").isin(types: _*))
+          .groupBy(to_date(col("ts")).as("day"), col("event_type").as("ty"))
+          .agg(count(lit(1)).as("c"))
+        val grid = dd.select("day").distinct()
+          .crossJoin(broadcast(
+            dd.sparkSession.createDataFrame(types.map(Tuple1(_))).toDF("ty")))
+          .join(dd, Seq("day", "ty"), "left")
+          .na.fill(0L, Seq("c"))
+        val rk2 = grid
+          .withColumn("rk0", rank().over(Window.partitionBy("day").orderBy("c")))
+          .withColumn("teq", count(lit(1)).over(Window.partitionBy("day", "c")))
+          .select(col("day"), col("ty"),
+            expr("CAST(2*rk0 + teq - 1 AS DECIMAL(38,0))").as("r2"))
+        val rj = rk2.groupBy("ty").agg(sum("r2").as("r2j"))
+        val nn = rk2.select("day").distinct().agg(count(lit(1)).as("n"))
+        val aa = rk2.agg(sum(expr("r2*r2")).as("a4"))
+        rj.crossJoin(broadcast(nn)).crossJoin(broadcast(aa))
+          .groupBy()
+          .agg(max("n").as("n"), count(lit(1)).as("k"),
+            sum(expr("""CAST(r2j - CAST(n AS DECIMAL(38,0))*6 AS DOUBLE)
+                       | * CAST(r2j - CAST(n AS DECIMAL(38,0))*6 AS DOUBLE)"""
+              .stripMargin)).as("num"),
+            max("a4").as("a4"))
+          .select(col("n").cast("long").as("n_days"), col("k").as("k_types"),
+            expr("""CAST(round(1000.0 * (k-1)*num
+                   | / (CAST(a4 AS DOUBLE) - CAST(n AS DOUBLE)*k*(k+1)*(k+1)))
+                   | AS BIGINT)""".stripMargin).as("chi2_milli"),
+            expr("""CAST(round(1000000.0 * exp(-((k-1)*num
+                   | / (CAST(a4 AS DOUBLE) - CAST(n AS DOUBLE)*k*(k+1)*(k+1)))/2)
+                   | * (1 + ((k-1)*num
+                   | / (CAST(a4 AS DOUBLE) - CAST(n AS DOUBLE)*k*(k+1)*(k+1)))/2))
+                   | AS BIGINT)""".stripMargin).as("p_micro"),
+            expr("""CAST(CASE WHEN exp(-((k-1)*num
+                   | / (CAST(a4 AS DOUBLE) - CAST(n AS DOUBLE)*k*(k+1)*(k+1)))/2)
+                   | * (1 + ((k-1)*num
+                   | / (CAST(a4 AS DOUBLE) - CAST(n AS DOUBLE)*k*(k+1)*(k+1)))/2) < 0.05
+                   | THEN 1 ELSE 0 END AS BIGINT)""".stripMargin).as("reject_equal"))
+      },
+      Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day, event_type AS ty, count(*) AS c
+             |      FROM events
+             |      WHERE event_type IN ('click','error','purchase','signup','view')
+             |      GROUP BY 1, 2),
+             |days AS (SELECT DISTINCT day FROM d),
+             |tys AS (SELECT unnest(['click','error','purchase','signup','view']) AS ty),
+             |grid AS (SELECT days.day, tys.ty, coalesce(d.c, 0) AS c
+             |         FROM days CROSS JOIN tys
+             |         LEFT JOIN d ON d.day = days.day AND d.ty = tys.ty),
+             |rk AS (SELECT day, ty, c,
+             |        CAST(2*rank() OVER (PARTITION BY day ORDER BY c)
+             |          + count(*) OVER (PARTITION BY day, c) - 1 AS HUGEINT) AS r2
+             |       FROM grid),
+             |rj AS (SELECT ty, sum(r2) AS r2j FROM rk GROUP BY 1),
+             |nn AS (SELECT count(*) AS n FROM days),
+             |aa AS (SELECT sum(r2*r2) AS a4 FROM rk),
+             |st AS (SELECT count(*) AS k,
+             |    sum(CAST(r2j - (SELECT n FROM nn)*6 AS DOUBLE)
+             |      * CAST(r2j - (SELECT n FROM nn)*6 AS DOUBLE)) AS num
+             |  FROM rj),
+             |f AS (SELECT (SELECT n FROM nn) AS n, k,
+             |    (k-1)*num / (CAST((SELECT a4 FROM aa) AS DOUBLE)
+             |      - CAST((SELECT n FROM nn) AS DOUBLE)*k*(k+1)*(k+1)) AS chi2
+             |  FROM st)
+             |SELECT CAST(n AS BIGINT) AS n_days, CAST(k AS BIGINT) AS k_types,
+             |  CAST(round(1000.0*chi2) AS BIGINT) AS chi2_milli,
+             |  CAST(round(1000000.0 * exp(-chi2/2)*(1 + chi2/2)) AS BIGINT) AS p_micro,
+             |  CAST(CASE WHEN exp(-chi2/2)*(1 + chi2/2) < 0.05 THEN 1 ELSE 0 END AS BIGINT)
+             |    AS reject_equal
+             |FROM f""".stripMargin))
   )
 
   /** Fixed-point Markov stationary oracle — ten unrolled power-iteration

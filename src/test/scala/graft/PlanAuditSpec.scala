@@ -276,7 +276,14 @@ class PlanAuditSpec extends SparkSpec {
       "q_coverage_curve",
       // q_exp_gof: the ECDF cumulative runs over the ≤ ~42-bucket log2
       // gap domain after one grouped count (q_weibull_fit convention)
-      "q_exp_gof")
+      "q_exp_gof",
+      // q_kruskal_wallis: the midrank cumulative runs over the ≤50-value
+      // quantity domain after one grouped count (q_mannwhitney argument)
+      "q_kruskal_wallis",
+      // q_runs_test: the median row_number and the run-boundary lag both
+      // ride the ≤ #days calendar frame after one map-combined daily sum
+      // (q_changepoint convention)
+      "q_runs_test")
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !allowed(name)
       w = fn(spark, sf).queryExecution.optimizedPlan.collect {
