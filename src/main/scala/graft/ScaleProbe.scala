@@ -231,7 +231,8 @@ object ScaleProbe {
       "q_pacf", "q_variance_decomp", "q_abc_xyz",
       "q_coverage_curve", "q_lm_generalization",
       "q_trade_flows", "q_exp_gof", "q_supply_risk",
-      "q_kruskal_wallis", "q_runs_test", "q_ljung_box", "q_friedman")
+      "q_kruskal_wallis", "q_runs_test", "q_ljung_box", "q_friedman",
+      "q_rich_club", "q_jl_distortion")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

@@ -2599,7 +2599,82 @@ object Similarity {
              |    AS both_pairs,
              |  CAST((sum(CASE WHEN in_text = 1 AND in_emb = 1 THEN 1 ELSE 0 END) * 1000000)
              |       // count(*) AS BIGINT) AS jaccard_micro
-             |FROM u""".stripMargin))
+             |FROM u""".stripMargin)),
+
+    // Johnson-Lindenstrauss distortion gate — project the 64-d embeddings
+    // to 16-d with a DETERMINISTIC ±1 sign matrix (md5-parity per (i, j),
+    // the repo's seedless-sampling convention) and measure how well
+    // consecutive-id pair distances survive: the health check to run
+    // before trusting any dimensionality-reduced index. Coordinates
+    // quantize to integer micro BEFORE distances, so both squared norms
+    // are exact 128-bit integers and the per-pair ratio is one double on
+    // exact inputs. Everything is linear: the sign matrix is a 1024-row
+    // broadcast, pairs come from the id+1 equi-join, never n².
+    QueryDef(
+      "q_jl_distortion",
+      (s, d) => {
+        val x = Tables.embeddings(s, d)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "e")))
+          .select(col("vec_id"), col("i").cast("long").as("i"),
+            round(col("e").cast("double") * 1e6).cast("long").as("xq"))
+        // pivoted sign matrix: 64 rows × 16 sign columns, so the z shuffle
+        // carries n rows of 16 sums instead of 16n exploded rows
+        val sgp = s.range(0, 64).toDF("i").select(
+          col("i") +: (0 until 16).map { j =>
+            when(conv(substring(md5(concat(lit("jl:"), col("i").cast("string"),
+              lit(s":$j"))), 1, 12), 16, 10)
+              .cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L)).as(s"s$j")
+          }: _*)
+        val zAggs = (0 until 16).map(j => sum(col(s"s$j") * col("xq")).as(s"z$j"))
+        val z = x.join(broadcast(sgp), "i")
+          .groupBy("vec_id").agg(zAggs.head, zAggs.tail: _*)
+        val dx = x.select((col("vec_id") + 1).as("vid"), col("i"), col("xq").as("ax"))
+          .join(x.select(col("vec_id").as("vid"), col("i"), col("xq").as("bx")),
+            Seq("vid", "i"))
+          .groupBy("vid")
+          .agg(sum(expr("CAST(ax - bx AS DECIMAL(38,0)) * (ax - bx)")).as("dx2"))
+        val za = z.select((col("vec_id") + 1).as("vid") +:
+          (0 until 16).map(j => col(s"z$j").as(s"az$j")): _*)
+        val zb = z.select(col("vec_id").as("vid") +:
+          (0 until 16).map(j => col(s"z$j").as(s"bz$j")): _*)
+        val dzExpr = (0 until 16)
+          .map(j => s"CAST(az$j - bz$j AS DECIMAL(38,0)) * (az$j - bz$j)")
+          .mkString(" + ")
+        val dz = za.join(zb, "vid").select(col("vid"), expr(dzExpr).as("dz2"))
+        dx.join(dz, "vid").where(col("dx2") > 0)
+          .select(expr("CAST(dz2 AS DOUBLE) / (16.0 * CAST(dx2 AS DOUBLE))").as("ratio"))
+          .agg(count(lit(1)).as("n_pairs"),
+            expr("CAST(round(1000000.0*avg(ratio)) AS BIGINT)").as("mean_ratio_micro"),
+            expr("""CAST(sum(CASE WHEN abs(ratio - 1.0) <= 0.2 THEN 1 ELSE 0 END)
+                   | * 1000000 div count(1) AS BIGINT)""".stripMargin)
+              .as("share_within20_micro"))
+          .select(col("n_pairs"), lit(64L).as("d_in"), lit(16L).as("d_out"),
+            col("mean_ratio_micro"), col("share_within20_micro"))
+      },
+      Some("""WITH x AS (SELECT vec_id,
+             |        CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+             |        CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xq
+             |      FROM embeddings),
+             |sg AS (SELECT ii.i, jj.j,
+             |        CASE WHEN CAST(('0x' || substr(md5('jl:' || ii.i || ':' || jj.j), 1, 12))
+             |            AS BIGINT) % 2 = 0
+             |          THEN 1 ELSE -1 END AS s
+             |      FROM (SELECT unnest(range(0, 64)) AS i) ii
+             |      CROSS JOIN (SELECT unnest(range(0, 16)) AS j) jj),
+             |z AS (SELECT x.vec_id, sg.j, sum(sg.s * x.xq) AS zq
+             |      FROM x JOIN sg ON sg.i = x.i GROUP BY 1, 2),
+             |dx AS (SELECT a.vec_id, sum(CAST(a.xq - b.xq AS HUGEINT)*(a.xq - b.xq)) AS dx2
+             |       FROM x a JOIN x b ON b.vec_id = a.vec_id + 1 AND b.i = a.i GROUP BY 1),
+             |dz AS (SELECT a.vec_id, sum(CAST(a.zq - b.zq AS HUGEINT)*(a.zq - b.zq)) AS dz2
+             |       FROM z a JOIN z b ON b.vec_id = a.vec_id + 1 AND b.j = a.j GROUP BY 1),
+             |r AS (SELECT dx.vec_id, CAST(dz2 AS DOUBLE) / (16.0 * CAST(dx2 AS DOUBLE)) AS ratio
+             |      FROM dx JOIN dz USING (vec_id) WHERE dx2 > 0)
+             |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             |  CAST(64 AS BIGINT) AS d_in, CAST(16 AS BIGINT) AS d_out,
+             |  CAST(round(1000000.0*avg(ratio)) AS BIGINT) AS mean_ratio_micro,
+             |  CAST(sum(CASE WHEN abs(ratio - 1.0) <= 0.2 THEN 1 ELSE 0 END) * 1000000
+             |    // count(*) AS BIGINT) AS share_within20_micro
+             |FROM r""".stripMargin))
   ) :+ ivfSweepDef :+ dedupSweepDef
 
   /** Near-dup threshold dial — the q_ivf_sweep idea applied to embedding

@@ -1052,7 +1052,58 @@ object Release {
           .orderBy(col("auth_nano").desc, col("p")).limit(10)
           .select(col("p").as("partkey"), col("auth_nano"))
       },
-      Some(hitsOracle))
+      Some(hitsOracle)),
+
+    // rich-club coefficient ladder — do the highest-degree parts
+    // preferentially co-purchase with each other? φ(k) = 2·E₍>k₎ /
+    // (N₍>k₎(N₍>k₎−1)) over a log2 threshold ladder. Both suffix counts
+    // ride value histograms (edges by min-endpoint degree, nodes by
+    // degree) so the ladder join touches ≤ |distinct degrees| rows, not
+    // the edge list — the artifact scan plus two grouped passes is the
+    // entire corpus-scaled work. Ladder rows appear only where the club
+    // has ≥ 2 members; exact integer φ in micro.
+    QueryDef(
+      "q_rich_club",
+      (s, d) => {
+        val (e, deg) = copurchaseGraph(s, d)
+        val meh = e
+          .join(deg.select(col("p").as("p1"), col("deg").as("d1")), "p1")
+          .join(deg.select(col("p").as("p2"), col("deg").as("d2")), "p2")
+          .select(least(col("d1"), col("d2")).as("m"))
+          .groupBy("m").agg(count(lit(1)).as("c"))
+        val dh = deg.groupBy(col("deg").as("m")).agg(count(lit(1)).as("c"))
+        val ks = s.createDataFrame(
+          Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L)
+            .map(Tuple1(_))).toDF("k")
+        val ek = broadcast(ks).join(meh, col("m") > col("k"))
+          .groupBy("k").agg(sum("c").as("ne"))
+        val nk = broadcast(ks).join(dh, col("m") > col("k"))
+          .groupBy("k").agg(sum("c").as("nn"))
+        ks.join(nk, Seq("k"), "left").join(ek, Seq("k"), "left")
+          .na.fill(0L, Seq("nn", "ne"))
+          .where(col("nn") >= 2)
+          .select(col("k"), col("nn").as("n_nodes"), col("ne").as("n_edges"),
+            expr("CAST(2*ne*1000000 div (nn*(nn-1)) AS BIGINT)").as("phi_micro"))
+          .orderBy("k")
+      },
+      Some("""WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+             |      FROM lp a JOIN lp b
+             |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2),
+             |nb AS (SELECT p1 AS p FROM e UNION ALL SELECT p2 FROM e),
+             |deg AS (SELECT p, count(*) AS deg FROM nb GROUP BY 1),
+             |meh AS (SELECT least(d1.deg, d2.deg) AS m, count(*) AS c FROM e
+             |        JOIN deg d1 ON d1.p = e.p1 JOIN deg d2 ON d2.p = e.p2 GROUP BY 1),
+             |dh AS (SELECT deg AS m, count(*) AS c FROM deg GROUP BY 1),
+             |ks AS (SELECT unnest([1,2,4,8,16,32,64,128,256,512,1024,2048,4096]) AS k),
+             |ek AS (SELECT k, sum(c) AS ne FROM ks JOIN meh ON meh.m > ks.k GROUP BY 1),
+             |nk AS (SELECT k, sum(c) AS nn FROM ks JOIN dh ON dh.m > ks.k GROUP BY 1)
+             |SELECT CAST(ks.k AS BIGINT) AS k, CAST(coalesce(nn, 0) AS BIGINT) AS n_nodes,
+             |  CAST(coalesce(ne, 0) AS BIGINT) AS n_edges,
+             |  CAST(2*coalesce(ne, 0)*1000000 // (nn*(nn-1)) AS BIGINT) AS phi_micro
+             |FROM ks LEFT JOIN nk USING (k) LEFT JOIN ek USING (k)
+             |WHERE coalesce(nn, 0) >= 2 ORDER BY k""".stripMargin))
   )
 
   /** Fixed-point WEIGHTED PageRank oracle — six unrolled stages over the
