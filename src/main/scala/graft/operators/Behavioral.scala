@@ -4711,8 +4711,86 @@ object Behavioral {
              |  CAST(round(1000000.0 * exp(-chi2/2)*(1 + chi2/2)) AS BIGINT) AS p_micro,
              |  CAST(CASE WHEN exp(-chi2/2)*(1 + chi2/2) < 0.05 THEN 1 ELSE 0 END AS BIGINT)
              |    AS reject_equal
-             |FROM f""".stripMargin))
+             |FROM f""".stripMargin)),
+
+    // Erlang-C staffing table — how many servers does the peak event
+    // arrival rate need at a 200 ms mean service time? Offered load
+    // a = peak/18000 erlangs; the Erlang-B blocking recursion
+    // B_c = a·B_{c−1}/(c + a·B_{c−1}) runs 32 unrolled steps in
+    // TRUNCATING nano fixed point (the q_markov_stationary convention —
+    // integer div at every step, so both engines agree bit for bit),
+    // then Erlang-C wait probability and ASA come out as exact integer
+    // rationals of B. The corpus-scaled work is ONE grouped hourly count;
+    // the recursion lives on a 1-row frame.
+    QueryDef(
+      "q_erlang_c",
+      (s, d) => {
+        val pk = Tables.events(s, d)
+          .groupBy(date_trunc("hour", col("ts").cast("timestamp")).as("h"))
+          .agg(count(lit(1)).as("n"))
+          .agg(max("n").cast("decimal(38,0)").as("p"))
+        var chain = pk.withColumn("b0",
+          lit(1000000000L).cast("decimal(38,0)"))
+        for (k <- 1 to 32) chain = chain.withColumn(s"b$k",
+          expr(s"""CAST((p * b${k - 1})
+                  | div (CAST(${k * 18000} AS DECIMAL(38,0))
+                  |   + (p * b${k - 1}) div 1000000000) AS DECIMAL(38,0))"""
+            .stripMargin))
+        val tab = chain.select(col("p"),
+            explode(array((1 to 32).map(k =>
+              struct(lit(k.toLong).as("c"), col(s"b$k").as("b"))): _*)).as("r"))
+          .select(col("p"), col("r.c").as("c"), col("r.b").as("b"))
+        tab.where(expr("18000*c > p"))
+          .select(col("c").as("servers"),
+            expr("CAST(p * 1000000 div (18000*c) AS BIGINT)").as("util_micro"),
+            col("b").cast("long").as("erlang_b_nano"),
+            expr("""CAST(b*c*18000
+                   | div (CAST(c AS DECIMAL(38,0))*18000
+                   |   - p*(1000000000 - b) div 1000000000) AS BIGINT)"""
+              .stripMargin).as("erlang_c_nano"),
+            expr("""CAST(3600 * (b*c*18000
+                   | div (CAST(c AS DECIMAL(38,0))*18000
+                   |   - p*(1000000000 - b) div 1000000000))
+                   | div (18000*c - p) AS BIGINT)""".stripMargin).as("asa_micro_s"))
+          .orderBy("servers")
+      },
+      Some(erlangOracle))
   )
+
+  /** Fixed-point Erlang-B/C oracle — the 32-step blocking recursion
+    * unrolled as MATERIALIZED CTEs (each step references its predecessor
+    * twice; without materialization DuckDB's default inlining goes
+    * exponential), truncating nano arithmetic mirroring the Spark chain
+    * term for term. */
+  private def erlangOracle: String = {
+    val steps = (1 to 32).map { k =>
+      s"""b$k AS MATERIALIZED (SELECT CAST((SELECT p FROM pk) * (SELECT b FROM b${k - 1})
+         |  // (CAST($k AS HUGEINT)*18000
+         |     + ((SELECT p FROM pk) * (SELECT b FROM b${k - 1})) // 1000000000) AS BIGINT) AS b)"""
+        .stripMargin
+    }
+    val union = (1 to 32).map(k => s"SELECT $k AS c, b FROM b$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH pk AS MATERIALIZED (SELECT CAST(max(n) AS HUGEINT) AS p FROM
+       |      (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, count(*) AS n
+       |       FROM events GROUP BY 1)),
+       |b0 AS MATERIALIZED (SELECT CAST(1000000000 AS BIGINT) AS b),
+       |${steps.mkString(",\n")},
+       |tab AS ($union)
+       |SELECT CAST(c AS BIGINT) AS servers,
+       |  CAST((SELECT p FROM pk) * 1000000 // (18000*c) AS BIGINT) AS util_micro,
+       |  CAST(b AS BIGINT) AS erlang_b_nano,
+       |  CAST(CAST(b AS HUGEINT)*c*18000
+       |    // (CAST(c AS HUGEINT)*18000
+       |        - (SELECT p FROM pk)*(1000000000 - b) // 1000000000) AS BIGINT)
+       |    AS erlang_c_nano,
+       |  CAST(3600 * (CAST(b AS HUGEINT)*c*18000
+       |    // (CAST(c AS HUGEINT)*18000
+       |        - (SELECT p FROM pk)*(1000000000 - b) // 1000000000))
+       |    // (18000*c - (SELECT p FROM pk)) AS BIGINT) AS asa_micro_s
+       |FROM tab WHERE 18000*c > (SELECT p FROM pk)
+       |ORDER BY c""".stripMargin
+  }
 
   /** Fixed-point Markov stationary oracle — ten unrolled power-iteration
     * stages over the |types|² transition matrix, exact truncating

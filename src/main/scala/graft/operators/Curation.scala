@@ -2419,6 +2419,107 @@ object Curation {
              |    /max(CASE WHEN half=0 THEN n END)/1e9)*1000) AS BIGINT) AS train_ppl_milli,
              |  CAST(round(exp(-CAST(max(CASE WHEN half=1 THEN s END) AS DOUBLE)
              |    /max(CASE WHEN half=1 THEN n END)/1e9)*1000) AS BIGINT) AS test_ppl_milli
-             |FROM agg""".stripMargin))
+             |FROM agg""".stripMargin)),
+
+    // log-linear data-scaling fit — train the add-1 bigram LM on nested
+    // md5-bucket fractions (1/16 … 16/16 of the train pool), score each
+    // against the SAME held-out docs, and fit held-out cross-entropy
+    // against ln(train size): the slope is the data-scaling exponent
+    // that says what 10× more corpus buys BEFORE you spend the compute.
+    // Nested fractions come from ONE bucketed count rolled up through
+    // the ≤2× bucket→fraction explosion (never 5 corpus scans);
+    // per-bigram ln terms quantize to nano before summing
+    // (q_lm_generalization convention); the 5-point OLS is closed-form.
+    QueryDef(
+      "q_scaling_law",
+      (s, d) => {
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            when(col("doc_id") % 10 === 9, 1L).otherwise(0L).as("tst"),
+            (conv(substring(md5(concat(lit("sl:"), col("doc_id").cast("string"))),
+              1, 12), 16, 10).cast("long") % 16).as("bkt"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        val big = toks
+          .withColumn("nxt", lead("tok", 1).over(w))
+          .where(col("nxt").isNotNull)
+          .select(col("tst"), col("bkt"), col("tok").as("w1"), col("nxt"))
+        val fr = s.createDataFrame(Seq(1L, 2L, 4L, 8L, 16L).map(Tuple1(_)))
+          .toDF("m")
+        val bc = big.where(col("tst") === 0)
+          .groupBy("bkt", "w1", "nxt").agg(count(lit(1)).as("c0"))
+        val tr = bc.crossJoin(broadcast(fr)).where(col("bkt") < col("m"))
+          .groupBy("m", "w1", "nxt").agg(sum("c0").as("c"))
+        val uni = tr.groupBy("m", "w1").agg(sum("c").as("cu"))
+        val v = tr.groupBy("m").agg(countDistinct("nxt").as("vocab"))
+        val nb = tr.groupBy("m").agg(sum("c").as("ntr"))
+        val sc = big.where(col("tst") === 1).crossJoin(broadcast(fr))
+          .join(broadcast(tr), Seq("m", "w1", "nxt"), "left")
+          .join(broadcast(uni), Seq("m", "w1"), "left")
+          .join(broadcast(v), "m")
+          .select(col("m"),
+            expr("""CAST(round(1e9*ln((coalesce(c,0)+1.0)
+                   | /(coalesce(cu,0) + vocab))) AS BIGINT)""".stripMargin)
+              .as("lp_nano"))
+        val ce = sc.groupBy("m")
+          .agg(expr("-sum(lp_nano)/count(1)").as("y_nano"))
+          .join(broadcast(nb), "m")
+          .select(col("m"), col("ntr"),
+            expr("CAST(round(1e9*ln(CAST(ntr AS DOUBLE))) AS BIGINT)").as("x_nano"),
+            col("y_nano"))
+        val fl = ce.where(col("m") === 16)
+          .select(col("ntr").as("fntr"), col("y_nano").as("fy"))
+        ce.agg(count(lit(1)).as("k"),
+            sum(expr("x_nano/1e9")).as("sx"), sum(expr("y_nano/1e9")).as("sy"),
+            sum(expr("(x_nano/1e9)*(x_nano/1e9)")).as("sxx"),
+            sum(expr("(x_nano/1e9)*(y_nano/1e9)")).as("sxy"))
+          .crossJoin(broadcast(fl))
+          .select(col("k").as("n_points"),
+            col("fntr").as("full_train_bigrams"),
+            expr("CAST(round(fy/1e6) AS BIGINT)").as("ce_full_milli"),
+            expr("""CAST(round(1000.0*(k*sxy - sx*sy)/(k*sxx - sx*sx))
+                   | AS BIGINT)""".stripMargin).as("slope_milli"),
+            expr("""CAST(round((fy/1e9
+                   | + (k*sxy - sx*sy)/(k*sxx - sx*sx)*ln(10))*1000)
+                   | AS BIGINT)""".stripMargin).as("ce_pred_10x_milli"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+             |      CASE WHEN doc_id % 10 = 9 THEN 1 ELSE 0 END AS tst,
+             |      CAST(('0x' || substr(md5('sl:' || doc_id), 1, 12)) AS BIGINT) % 16 AS bkt,
+             |      i AS pos, ws[i] AS w1, ws[i+1] AS nxt
+             |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |    LATERAL unnest(range(1, len(ws))) AS t(i)),
+             |big AS (SELECT tst, bkt, w1, nxt FROM toks WHERE nxt IS NOT NULL),
+             |fr AS (SELECT unnest([1,2,4,8,16]) AS m),
+             |tr AS (SELECT fr.m, w1, nxt, count(*) AS c
+             |       FROM big JOIN fr ON big.bkt < fr.m WHERE tst = 0 GROUP BY 1, 2, 3),
+             |uni AS (SELECT m, w1, sum(c) AS cu FROM tr GROUP BY 1, 2),
+             |v AS (SELECT m, count(DISTINCT nxt) AS vocab FROM tr GROUP BY 1),
+             |nb AS (SELECT m, sum(c) AS ntr FROM tr GROUP BY 1),
+             |sc AS (SELECT fr.m,
+             |    CAST(round(1e9*ln((coalesce(tr.c, 0)+1.0)
+             |      /(coalesce(uni.cu, 0) + v.vocab))) AS BIGINT) AS lp_nano
+             |  FROM big b CROSS JOIN fr
+             |  LEFT JOIN tr ON tr.m = fr.m AND tr.w1 = b.w1 AND tr.nxt = b.nxt
+             |  LEFT JOIN uni ON uni.m = fr.m AND uni.w1 = b.w1
+             |  JOIN v ON v.m = fr.m
+             |  WHERE b.tst = 1),
+             |ce AS (SELECT sc.m, nb.ntr,
+             |    CAST(round(1e9*ln(CAST(nb.ntr AS DOUBLE))) AS BIGINT) AS x_nano,
+             |    -sum(lp_nano)/count(*) AS y_nano
+             |  FROM sc JOIN nb ON nb.m = sc.m GROUP BY 1, 2, 3),
+             |ols AS (SELECT count(*) AS k, sum(x_nano/1e9) AS sx, sum(y_nano/1e9) AS sy,
+             |    sum((x_nano/1e9)*(x_nano/1e9)) AS sxx,
+             |    sum((x_nano/1e9)*(y_nano/1e9)) AS sxy
+             |  FROM ce),
+             |fit AS (SELECT k, (k*sxy - sx*sy)/(k*sxx - sx*sx) AS slope FROM ols),
+             |fl AS (SELECT ntr, y_nano FROM ce WHERE m = 16)
+             |SELECT CAST(k AS BIGINT) AS n_points,
+             |  CAST((SELECT ntr FROM fl) AS BIGINT) AS full_train_bigrams,
+             |  CAST(round((SELECT y_nano FROM fl)/1e6) AS BIGINT) AS ce_full_milli,
+             |  CAST(round(1000.0*slope) AS BIGINT) AS slope_milli,
+             |  CAST(round(((SELECT y_nano FROM fl)/1e9 + slope*ln(10))*1000) AS BIGINT)
+             |    AS ce_pred_10x_milli
+             |FROM fit""".stripMargin))
   )
 }
