@@ -232,7 +232,9 @@ object ScaleProbe {
       "q_coverage_curve", "q_lm_generalization",
       "q_trade_flows", "q_exp_gof", "q_supply_risk",
       "q_kruskal_wallis", "q_runs_test", "q_ljung_box", "q_friedman",
-      "q_rich_club", "q_jl_distortion", "q_erlang_c", "q_scaling_law")
+      "q_rich_club", "q_jl_distortion", "q_erlang_c", "q_scaling_law",
+      "q_ahash_dedup", "q_kcenter_coreset",
+      "q_sign_test", "q_hurst", "q_assoc_rules", "q_theil_index")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

@@ -2674,7 +2674,51 @@ object Similarity {
              |  CAST(round(1000000.0*avg(ratio)) AS BIGINT) AS mean_ratio_micro,
              |  CAST(sum(CASE WHEN abs(ratio - 1.0) <= 0.2 THEN 1 ELSE 0 END) * 1000000
              |    // count(*) AS BIGINT) AS share_within20_micro
-             |FROM r""".stripMargin))
+             |FROM r""".stripMargin)),
+
+    // Gonzalez greedy k-center coreset — pick the 4 most mutually
+    // distant embeddings (the diversity-maximizing selection that seeds
+    // diverse training subsets and gives the 2-approximation covering
+    // radius). Each round is ONE distributed argmax of the running
+    // min-distance-to-selected (a 1-row TopOrdered collect, bounded by
+    // k=4 — the BPE merge-loop convention), then a least() fold against
+    // the new center's distance column; coordinates quantize to integer
+    // micro so every distance is an exact 128-bit integer and the greedy
+    // trace is engine-identical. Reports the selection order, each
+    // center's distance at selection, and the covering radius after it.
+    QueryDef(
+      "q_kcenter_coreset",
+      (s, d) => {
+        val x = Tables.embeddings(s, d)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "e")))
+          .select(col("vec_id"), col("i"),
+            round(col("e").cast("double") * 1e6).cast("long").as("xq"))
+        def distTo(id: Long) = x
+          .join(x.where(col("vec_id") === id)
+            .select(col("i"), col("xq").as("cq")), "i")
+          .groupBy("vec_id")
+          .agg(sum(expr("CAST(xq - cq AS DECIMAL(38,0)) * (xq - cq)")).as("dist"))
+        def radius(df: org.apache.spark.sql.DataFrame): Long =
+          df.agg(max("dist")).head().getDecimal(0).longValueExact()
+        val c1 = x.agg(min("vec_id")).head().getLong(0)
+        var dcur = distTo(c1)
+        var rows = List((1L, c1, 0L, radius(dcur)))
+        for (r <- 2 to 4) {
+          val sel = dcur.orderBy(col("dist").desc, col("vec_id")).limit(1).head()
+          val cid = sel.getLong(0)
+          val sd = sel.getDecimal(1).longValueExact()
+          val dn = distTo(cid)
+            .select(col("vec_id"), col("dist").as("dn"))
+          dcur = dcur.join(dn, "vec_id")
+            .select(col("vec_id"),
+              least(col("dist"), col("dn")).cast("decimal(38,0)").as("dist"))
+          rows = rows :+ ((r.toLong, cid, sd, radius(dcur)))
+        }
+        s.createDataFrame(rows)
+          .toDF("round", "center_id", "sel_dist2", "radius2_after")
+          .orderBy("round")
+      },
+      Some(kcenterOracle))
   ) :+ ivfSweepDef :+ dedupSweepDef
 
   /** Near-dup threshold dial — the q_ivf_sweep idea applied to embedding
@@ -2819,4 +2863,44 @@ object Similarity {
       points.reduce(_ unionByName _).orderBy("nprobe")
     },
     Some(ivfSweepOracle))
+
+  /** Unrolled 4-round Gonzalez greedy trace — each round a MATERIALIZED
+    * argmax-of-min-distance CTE (materialized because every round
+    * references its predecessor's distance column; default inlining
+    * would re-derive the whole prefix per reference), exact integer
+    * micro² distances mirroring the Spark loop term for term. */
+  private def kcenterOracle: String = {
+    val head =
+      """WITH x AS MATERIALIZED (SELECT vec_id,
+        |      CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+        |      CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xq
+        |    FROM embeddings),
+        |c1 AS MATERIALIZED (SELECT min(vec_id) AS id FROM x),
+        |d1 AS MATERIALIZED (SELECT a.vec_id,
+        |      sum(CAST(a.xq - b.xq AS HUGEINT)*(a.xq - b.xq)) AS d
+        |    FROM x a JOIN x b ON b.vec_id = (SELECT id FROM c1) AND b.i = a.i
+        |    GROUP BY 1)""".stripMargin
+    val rounds = (2 to 4).map { r =>
+      s"""c$r AS MATERIALIZED (SELECT vec_id AS id, d FROM d${r - 1}
+         |    ORDER BY d DESC, vec_id LIMIT 1),
+         |d$r AS MATERIALIZED (SELECT a.vec_id,
+         |      least(d${r - 1}.d, sum(CAST(a.xq - b.xq AS HUGEINT)*(a.xq - b.xq))) AS d
+         |    FROM x a JOIN x b ON b.vec_id = (SELECT id FROM c$r) AND b.i = a.i
+         |    JOIN d${r - 1} ON d${r - 1}.vec_id = a.vec_id
+         |    GROUP BY 1, d${r - 1}.d)""".stripMargin
+    }
+    val tail =
+      """SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS round, (SELECT id FROM c1) AS center_id,
+        |    CAST(0 AS BIGINT) AS sel_dist2,
+        |    CAST((SELECT max(d) FROM d1) AS BIGINT) AS radius2_after
+        |  UNION ALL SELECT 2, (SELECT id FROM c2), CAST((SELECT d FROM c2) AS BIGINT),
+        |    CAST((SELECT max(d) FROM d2) AS BIGINT)
+        |  UNION ALL SELECT 3, (SELECT id FROM c3), CAST((SELECT d FROM c3) AS BIGINT),
+        |    CAST((SELECT max(d) FROM d3) AS BIGINT)
+        |  UNION ALL SELECT 4, (SELECT id FROM c4), CAST((SELECT d FROM c4) AS BIGINT),
+        |    CAST((SELECT max(d) FROM d4) AS BIGINT)
+        |) ORDER BY round""".stripMargin
+    (head +: rounds).mkString(",\n") + "\n" + tail
+  }
 }

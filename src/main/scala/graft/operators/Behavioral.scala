@@ -4754,7 +4754,145 @@ object Behavioral {
                    | div (18000*c - p) AS BIGINT)""".stripMargin).as("asa_micro_s"))
           .orderBy("servers")
       },
-      Some(erlangOracle))
+      Some(erlangOracle)),
+
+    // paired sign test — within each week, is weekend daily-average
+    // revenue above the weekday average? Per-week comparison by exact
+    // integer cross-multiplication (s_we·n_wd vs s_wd·n_we — no division
+    // ever), then the binomial normal approximation z = (2S − m)/√m over
+    // the calendar-bounded week count. The distribution-free sibling of
+    // q_welch_ttest for paired designs; ties (equal averages) drop, the
+    // standard treatment.
+    QueryDef(
+      "q_sign_test",
+      (s, d) => {
+        val day = Tables.orders(s, d)
+          .groupBy(col("o_orderdate").as("dt"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+        val wk = day.select(date_trunc("week", col("dt")).as("w"),
+          when(dayofweek(col("dt")).isin(1, 7), 1L).otherwise(0L).as("we"),
+          col("rev"))
+        val agg = wk.groupBy("w")
+          .agg(sum(when(col("we") === 1, col("rev")).otherwise(0L)).as("swe"),
+            sum(col("we")).as("nwe"),
+            sum(when(col("we") === 0, col("rev")).otherwise(0L)).as("swd"),
+            sum(lit(1L) - col("we")).as("nwd"))
+          .where(col("nwe") > 0 && col("nwd") > 0)
+        val sg = agg.select(
+          expr("""CASE WHEN CAST(swe AS DECIMAL(38,0))*nwd > CAST(swd AS DECIMAL(38,0))*nwe THEN 1
+                 | WHEN CAST(swe AS DECIMAL(38,0))*nwd < CAST(swd AS DECIMAL(38,0))*nwe THEN -1
+                 | ELSE 0 END""".stripMargin).as("sg"))
+        sg.agg(sum(when(col("sg") =!= 0, 1L).otherwise(0L)).as("m"),
+            sum(when(col("sg") === 1, 1L).otherwise(0L)).as("pos"))
+          .select(col("m").as("n_weeks"), col("pos").as("weekend_higher"),
+            expr("""CAST(round(1000.0*(2.0*pos - m)/sqrt(CAST(m AS DOUBLE)))
+                   | AS BIGINT)""".stripMargin).as("z_milli"),
+            expr("""CAST(CASE WHEN abs((2.0*pos - m)/sqrt(CAST(m AS DOUBLE))) > 1.96
+                   | THEN 1 ELSE 0 END AS BIGINT)""".stripMargin)
+              .as("reject_symmetry"))
+      },
+      Some("""WITH day AS (SELECT o_orderdate AS dt,
+             |      sum(CAST(round(o_totalprice*100) AS BIGINT)) AS rev
+             |    FROM orders GROUP BY 1),
+             |wk AS (SELECT date_trunc('week', dt) AS w,
+             |        CASE WHEN dayofweek(dt) IN (0, 6) THEN 1 ELSE 0 END AS we, rev
+             |       FROM day),
+             |agg AS (SELECT w,
+             |        sum(CASE WHEN we = 1 THEN rev ELSE 0 END) AS swe,
+             |        sum(CASE WHEN we = 1 THEN 1 ELSE 0 END) AS nwe,
+             |        sum(CASE WHEN we = 0 THEN rev ELSE 0 END) AS swd,
+             |        sum(CASE WHEN we = 0 THEN 1 ELSE 0 END) AS nwd
+             |      FROM wk GROUP BY 1
+             |      HAVING sum(CASE WHEN we = 1 THEN 1 ELSE 0 END) > 0
+             |         AND sum(CASE WHEN we = 0 THEN 1 ELSE 0 END) > 0),
+             |sg AS (SELECT CASE
+             |         WHEN CAST(swe AS HUGEINT)*nwd > CAST(swd AS HUGEINT)*nwe THEN 1
+             |         WHEN CAST(swe AS HUGEINT)*nwd < CAST(swd AS HUGEINT)*nwe THEN -1
+             |         ELSE 0 END AS s FROM agg),
+             |f AS (SELECT count(*) FILTER (s <> 0) AS m,
+             |        count(*) FILTER (s = 1) AS pos FROM sg)
+             |SELECT CAST(m AS BIGINT) AS n_weeks, CAST(pos AS BIGINT) AS weekend_higher,
+             |  CAST(round(1000.0*(2.0*pos - m)/sqrt(CAST(m AS DOUBLE))) AS BIGINT)
+             |    AS z_milli,
+             |  CAST(CASE WHEN abs((2.0*pos - m)/sqrt(CAST(m AS DOUBLE))) > 1.96
+             |    THEN 1 ELSE 0 END AS BIGINT) AS reject_symmetry
+             |FROM f""".stripMargin)),
+
+    // Hurst exponent via rescaled-range analysis — does the daily
+    // revenue series have long-range memory (H > ½), or is it a random
+    // walk of independent days (H ≈ ½)? Classic Mandelbrot-Wallis R/S:
+    // per window size w ∈ {8…128}, full blocks get an exact integer
+    // cumulative-deviation range (D_t = w·cum_t − (t+1)·S, no rational
+    // mean) over a per-block std from exact moments; H is the 5-point
+    // log-log OLS slope. Everything after the one daily grouped sum
+    // rides the calendar frame × 5 window sizes.
+    QueryDef(
+      "q_hurst",
+      (s, d) => {
+        val day = Tables.orders(s, d)
+          .groupBy(col("o_orderdate").as("dt"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+        val idx = day.select(
+          (row_number().over(Window.orderBy("dt")) - 1).as("t"), col("rev"))
+        val ws = s.createDataFrame(Seq(8L, 16L, 32L, 64L, 128L).map(Tuple1(_)))
+          .toDF("w")
+        val blk = idx.crossJoin(broadcast(ws))
+          .select(col("w"), expr("t div w").as("b"), expr("t % w").as("j"),
+            col("rev"))
+        val fb = blk.groupBy("w", "b")
+          .agg(count(lit(1)).as("k"), sum("rev").as("s"),
+            sum(expr("CAST(rev AS DECIMAL(38,0))*rev")).as("ss"))
+          .where(col("k") === col("w"))
+          .drop("k")
+        val cum = blk.join(fb, Seq("w", "b"))
+          .withColumn("c", sum("rev").over(
+            Window.partitionBy("w", "b").orderBy("j")))
+        val dev = cum.groupBy("w", "b")
+          .agg(max("s").as("s"), max("ss").as("ss"),
+            max(expr("CAST(w AS DECIMAL(38,0))*c - (j+1)*s")).as("dmax"),
+            min(expr("CAST(w AS DECIMAL(38,0))*c - (j+1)*s")).as("dmin"))
+        val rs = dev
+          .where(expr("w*ss - CAST(s AS DECIMAL(38,0))*s > 0"))
+          .select(col("w"),
+            expr("""CAST(dmax - dmin AS DOUBLE)
+                   | / sqrt(CAST(w*ss - CAST(s AS DECIMAL(38,0))*s AS DOUBLE))"""
+              .stripMargin).as("rsv"))
+        val pts = rs.groupBy("w").agg(avg("rsv").as("mrs"))
+        pts.select(expr("ln(CAST(w AS DOUBLE))").as("x"), expr("ln(mrs)").as("y"))
+          .agg(count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(expr("x*x")).as("sxx"), sum(expr("x*y")).as("sxy"))
+          .select(col("k").as("n_scales"),
+            expr("CAST(round(1000.0*(k*sxy - sx*sy)/(k*sxx - sx*sx)) AS BIGINT)")
+              .as("hurst_milli"))
+      },
+      Some("""WITH day AS (SELECT o_orderdate AS dt,
+             |      sum(CAST(round(o_totalprice*100) AS BIGINT)) AS rev
+             |    FROM orders GROUP BY 1),
+             |idx AS (SELECT row_number() OVER (ORDER BY dt) - 1 AS t, rev FROM day),
+             |ws AS (SELECT unnest([8, 16, 32, 64, 128]) AS w),
+             |blk AS (SELECT ws.w, t // ws.w AS b, t % ws.w AS j, rev
+             |        FROM idx CROSS JOIN ws),
+             |fb AS (SELECT w, b, sum(rev) AS s, sum(CAST(rev AS HUGEINT)*rev) AS ss
+             |       FROM blk GROUP BY 1, 2 HAVING count(*) = w),
+             |cum AS (SELECT blk.w, blk.b, blk.j, fb.s, fb.ss,
+             |        sum(rev) OVER (PARTITION BY blk.w, blk.b ORDER BY j) AS c
+             |       FROM blk JOIN fb ON fb.w = blk.w AND fb.b = blk.b),
+             |dev AS (SELECT w, b, max(s) AS s, max(ss) AS ss,
+             |        max(CAST(w AS HUGEINT)*c - (j+1)*s) AS dmax,
+             |        min(CAST(w AS HUGEINT)*c - (j+1)*s) AS dmin
+             |       FROM cum GROUP BY 1, 2),
+             |rs AS (SELECT w, b,
+             |        CAST(dmax - dmin AS DOUBLE)
+             |          / sqrt(CAST(w*ss - CAST(s AS HUGEINT)*s AS DOUBLE)) AS rsv
+             |       FROM dev WHERE w*ss - CAST(s AS HUGEINT)*s > 0),
+             |pts AS (SELECT w, avg(rsv) AS mrs FROM rs GROUP BY 1),
+             |q AS (SELECT ln(CAST(w AS DOUBLE)) AS x, ln(mrs) AS y FROM pts),
+             |ols AS (SELECT count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+             |        sum(x*x) AS sxx, sum(x*y) AS sxy FROM q)
+             |SELECT CAST(k AS BIGINT) AS n_scales,
+             |  CAST(round(1000.0*(k*sxy - sx*sy)/(k*sxx - sx*sx)) AS BIGINT)
+             |    AS hurst_milli
+             |FROM ols""".stripMargin))
   )
 
   /** Fixed-point Erlang-B/C oracle — the 32-step blocking recursion

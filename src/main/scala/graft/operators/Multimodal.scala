@@ -531,6 +531,91 @@ object Multimodal {
              |  CAST(b.nf * 40 AS BIGINT) AS duration_ms,
              |  CAST(ck.sampled AS INT) AS sampled,
              |  ck.cks AS sample_checksum
-             |FROM base b JOIN ck USING (doc_id) ORDER BY b.doc_id""".stripMargin))
+             |FROM base b JOIN ck USING (doc_id) ORDER BY b.doc_id""".stripMargin)),
+
+    // perceptual average-hash near-dup over the image modality — the
+    // classic aHash pipeline on the synthesized payload: sample 64
+    // evenly-strided "pixels" (payload bytes ≡ text chars, the repo's
+    // deterministic fake-decode), threshold each against the exact
+    // integer mean to a 64-bit signature, band it 4×16 for the LSH-style
+    // candidate join (identical band value → candidate, the q_simhash
+    // shape on the image column), then verify candidates by exact
+    // Hamming ≤ 6 via XOR + bit_count. Everything corpus-scaled is one
+    // ×64 bounded explode plus per-band equi-joins — never all-pairs.
+    QueryDef(
+      "q_ahash_dedup",
+      (s, d) => {
+        val px = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(0), lit(63))).as("i"))
+          .select(col("doc_id"), col("i"),
+            expr("""ascii(substring(text,
+                   | CAST(1 + (i * greatest(length(text) div 64, 1))
+                   |   % length(text) AS INT), 1))""".stripMargin).as("p"))
+        val mn = px.groupBy("doc_id").agg(expr("sum(p) div 64").as("m"))
+        val bv = px.join(mn, "doc_id")
+          .select(col("doc_id"), expr("i div 16").as("band"),
+            expr("""CASE WHEN p > m
+                   | THEN shiftleft(CAST(1 AS BIGINT), CAST(i % 16 AS INT))
+                   | ELSE CAST(0 AS BIGINT) END""".stripMargin).as("bit"))
+          .groupBy("doc_id", "band").agg(sum("bit").as("v"))
+        // bucket cap: a band value shared by >256 docs is a low-information
+        // band (the LSH stop-shingle problem — q_shingle_df_profile's
+        // argument); skipping it bounds the pair join at 256²/2 per bucket
+        // and the skip count is reported, never silent
+        val occ = bv.groupBy("band", "v").agg(count(lit(1)).as("bsz"))
+        val bvc = bv.join(occ.where(col("bsz") <= 256).drop("bsz"),
+          Seq("band", "v"))
+        val sk = occ.agg(
+          sum(when(col("bsz") > 256, 1L).otherwise(0L)).as("skipped_buckets"))
+        val cand = bvc.select(col("doc_id").as("id1"), col("band"), col("v"))
+          .join(bvc.select(col("doc_id").as("id2"), col("band"), col("v")),
+            Seq("band", "v"))
+          .where(col("id1") < col("id2"))
+          .select("id1", "id2").distinct()
+        val ham = cand
+          .join(bv.select(col("doc_id").as("id1"), col("band"),
+            col("v").as("vx")), "id1")
+          .join(bv.select(col("doc_id").as("id2"), col("band"),
+            col("v").as("vy")), Seq("id2", "band"))
+          .groupBy("id1", "id2")
+          .agg(sum(expr("bit_count(vx ^ vy)")).as("hd"))
+        val nd = Tables.documents(s, d).agg(count(lit(1)).as("docs"))
+        ham.crossJoin(broadcast(nd)).crossJoin(broadcast(sk))
+          .agg(max("docs").as("n_docs"),
+            count(lit(1)).as("cand_pairs"),
+            sum(when(col("hd") <= 6, 1L).otherwise(0L)).as("dup_pairs"),
+            countDistinct(when(col("hd") <= 6, col("id2"))).as("dup_docs"),
+            max("skipped_buckets").as("skipped_buckets"))
+      },
+      Some("""WITH px AS (SELECT doc_id, i,
+             |      ord(substr(text,
+             |        CAST(1 + (i * greatest(len(text)//64, 1)) % len(text) AS INT),
+             |        1)) AS p
+             |    FROM documents, (SELECT unnest(range(0, 64)) AS i)),
+             |mn AS (SELECT doc_id, sum(p) // 64 AS m FROM px GROUP BY 1),
+             |bits AS (SELECT px.doc_id, i // 16 AS band, i % 16 AS j,
+             |      CASE WHEN p > m THEN 1 ELSE 0 END AS b
+             |    FROM px JOIN mn ON mn.doc_id = px.doc_id),
+             |bv AS (SELECT doc_id, band, sum(b * (1::BIGINT << j)) AS v
+             |       FROM bits GROUP BY 1, 2),
+             |occ AS (SELECT band, v, count(*) AS bsz FROM bv GROUP BY 1, 2),
+             |bvc AS (SELECT bv.doc_id, bv.band, bv.v FROM bv
+             |    JOIN occ ON occ.band = bv.band AND occ.v = bv.v AND occ.bsz <= 256),
+             |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+             |    FROM bvc a JOIN bvc b
+             |      ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id),
+             |ham AS (SELECT cand.id1, cand.id2, sum(bit_count(xor(x.v, y.v))) AS hd
+             |    FROM cand JOIN bv x ON x.doc_id = cand.id1
+             |    JOIN bv y ON y.doc_id = cand.id2 AND y.band = x.band
+             |    GROUP BY 1, 2),
+             |sk AS (SELECT sum(CASE WHEN bsz > 256 THEN 1 ELSE 0 END) AS skipped FROM occ),
+             |nd AS (SELECT count(*) AS docs FROM documents)
+             |SELECT CAST((SELECT docs FROM nd) AS BIGINT) AS n_docs,
+             |  CAST(count(*) AS BIGINT) AS cand_pairs,
+             |  CAST(sum(CASE WHEN hd <= 6 THEN 1 ELSE 0 END) AS BIGINT) AS dup_pairs,
+             |  CAST(count(DISTINCT CASE WHEN hd <= 6 THEN id2 END) AS BIGINT) AS dup_docs,
+             |  CAST((SELECT skipped FROM sk) AS BIGINT) AS skipped_buckets
+             |FROM ham""".stripMargin))
   )
 }

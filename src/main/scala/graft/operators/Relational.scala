@@ -2120,6 +2120,121 @@ object Relational {
              |  CAST(round(avg(CAST(hhi_micro AS DOUBLE))) AS BIGINT) AS mean_hhi_micro,
              |  CAST(sum(CASE WHEN hhi_micro > 500000 THEN 1 ELSE 0 END) AS BIGINT)
              |    AS concentrated_parts
-             |FROM hh""".stripMargin))
+             |FROM hh""".stripMargin)),
+
+    // directional association rules — q_basket_pairs reports symmetric
+    // lift; recommendations need the DIRECTED strengths: confidence
+    // p1→p2 and p2→p1 (which way does the basket pull?) plus leverage
+    // (co-rate above independence in absolute probability, the measure
+    // that doesn't explode on rare items). Same orderkey-keyed pair
+    // join, top-20 cut BEFORE the margin lookups, exact integer micro
+    // everywhere.
+    QueryDef(
+      "q_assoc_rules",
+      (s, d) => {
+        val lp = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_partkey").distinct()
+        val n = lp.agg(countDistinct("l_orderkey").as("n_orders"))
+        val pc = lp.groupBy("l_partkey").agg(count(lit(1)).as("c"))
+        val pr = lp.select(col("l_orderkey"), col("l_partkey").as("p1"))
+          .join(lp.select(col("l_orderkey"), col("l_partkey").as("p2")),
+            "l_orderkey")
+          .where(col("p1") < col("p2"))
+          .groupBy("p1", "p2").agg(count(lit(1)).as("cnt"))
+        val top = pr.orderBy(col("cnt").desc, col("p1"), col("p2")).limit(20)
+        top
+          .join(broadcast(pc.select(col("l_partkey").as("p1"), col("c").as("c1"))), "p1")
+          .join(broadcast(pc.select(col("l_partkey").as("p2"), col("c").as("c2"))), "p2")
+          .crossJoin(broadcast(n))
+          .select(col("p1"), col("p2"), col("cnt"),
+            expr("CAST(cnt * 1000000 div c1 AS BIGINT)").as("conf_fwd_micro"),
+            expr("CAST(cnt * 1000000 div c2 AS BIGINT)").as("conf_bwd_micro"),
+            expr("""CAST((CAST(cnt AS DECIMAL(38,0)) * n_orders
+                   | - CAST(c1 AS DECIMAL(38,0)) * c2) * 1000000
+                   | div (CAST(n_orders AS DECIMAL(38,0)) * n_orders) AS BIGINT)"""
+              .stripMargin).as("leverage_micro"))
+          .orderBy(col("cnt").desc, col("p1"), col("p2"))
+      },
+      Some("""WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lp),
+             |pc AS (SELECT l_partkey, count(*) AS c FROM lp GROUP BY 1),
+             |pr AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS cnt
+             |       FROM lp a JOIN lp b
+             |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |       GROUP BY 1, 2),
+             |top AS (SELECT p1, p2, cnt FROM pr ORDER BY cnt DESC, p1, p2 LIMIT 20)
+             |SELECT t.p1, t.p2, t.cnt,
+             |  CAST(t.cnt * 1000000 // c1.c AS BIGINT) AS conf_fwd_micro,
+             |  CAST(t.cnt * 1000000 // c2.c AS BIGINT) AS conf_bwd_micro,
+             |  CAST((CAST(t.cnt AS HUGEINT) * n.n_orders
+             |      - CAST(c1.c AS HUGEINT) * c2.c) * 1000000
+             |    // (CAST(n.n_orders AS HUGEINT) * n.n_orders) AS BIGINT)
+             |    AS leverage_micro
+             |FROM top t JOIN pc c1 ON c1.l_partkey = t.p1
+             |JOIN pc c2 ON c2.l_partkey = t.p2 CROSS JOIN n
+             |ORDER BY t.cnt DESC, t.p1, t.p2""".stripMargin)),
+
+    // Theil inequality index with exact between/within decomposition —
+    // how unequal is customer revenue, and how much of the inequality is
+    // BETWEEN nations vs within them? The generalized-entropy measure
+    // whose decomposition is exact (Gini's isn't), which is why data
+    // sheets report it alongside q_source_gini. Per-customer ln terms
+    // quantize to nano before the one exact 128-bit Σr·ln r; the
+    // between-group term is a double sum over the ≤ |nations| margin.
+    QueryDef(
+      "q_theil_index",
+      (s, d) => {
+        val cr = Tables.orders(s, d)
+          .groupBy(col("o_custkey").as("c"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("r"))
+          .where(col("r") > 0)
+        val cg = cr.join(
+          Tables.customer(s, d).select(col("c_custkey").as("c"),
+            col("c_nationkey").as("g")), "c")
+        val tot = cg.agg(count(lit(1)).as("n"), sum("r").as("x"))
+        val s1 = cg.select(col("r"),
+            expr("CAST(round(1e9*ln(CAST(r AS DOUBLE))) AS BIGINT)").as("lnr"))
+          .agg(sum(expr("CAST(r AS DECIMAL(38,0))*lnr")).as("srl"))
+        val gr = cg.groupBy("g").agg(count(lit(1)).as("ng"), sum("r").as("xg"))
+        val tb = gr.crossJoin(broadcast(tot))
+          .agg(sum(expr("""(CAST(xg AS DOUBLE)/x)
+                          | * ln((CAST(xg AS DOUBLE)/x)
+                          |   / (CAST(ng AS DOUBLE)/n))""".stripMargin)).as("bt"))
+        tot.crossJoin(broadcast(s1)).crossJoin(broadcast(tb))
+          .select(col("n").as("n_customers"),
+            expr("""CAST(round(1000000.0*(CAST(srl AS DOUBLE)/1e9/x
+                   | + ln(CAST(n AS DOUBLE)/x))) AS BIGINT)""".stripMargin)
+              .as("theil_micro"),
+            expr("CAST(round(1000000.0*bt) AS BIGINT)").as("between_micro"),
+            expr("""CAST(round(1000000.0*(CAST(srl AS DOUBLE)/1e9/x
+                   | + ln(CAST(n AS DOUBLE)/x) - bt)) AS BIGINT)""".stripMargin)
+              .as("within_micro"),
+            expr("""CAST(round(1000000.0*bt/(CAST(srl AS DOUBLE)/1e9/x
+                   | + ln(CAST(n AS DOUBLE)/x))) AS BIGINT)""".stripMargin)
+              .as("between_share_micro"))
+      },
+      Some("""WITH cr AS (SELECT o_custkey AS c,
+             |      sum(CAST(round(o_totalprice*100) AS BIGINT)) AS r
+             |    FROM orders GROUP BY 1
+             |    HAVING sum(CAST(round(o_totalprice*100) AS BIGINT)) > 0),
+             |cg AS (SELECT cr.c, cr.r, c_nationkey AS g FROM cr
+             |       JOIN customer ON c_custkey = cr.c),
+             |tot AS (SELECT count(*) AS n, sum(r) AS x FROM cg),
+             |rl AS (SELECT g, r, CAST(round(1e9*ln(CAST(r AS DOUBLE))) AS BIGINT) AS lnr
+             |       FROM cg),
+             |s1 AS (SELECT sum(CAST(r AS HUGEINT)*lnr) AS srl FROM rl),
+             |gr AS (SELECT g, count(*) AS ng, sum(r) AS xg FROM cg GROUP BY 1),
+             |tb AS (SELECT sum((CAST(xg AS DOUBLE)/(SELECT x FROM tot))
+             |        * ln((CAST(xg AS DOUBLE)/(SELECT x FROM tot))
+             |          / (CAST(ng AS DOUBLE)/(SELECT n FROM tot)))) AS bt FROM gr),
+             |tt AS (SELECT CAST((SELECT srl FROM s1) AS DOUBLE)/1e9/(SELECT x FROM tot)
+             |        + ln(CAST((SELECT n FROM tot) AS DOUBLE)/(SELECT x FROM tot)) AS t)
+             |SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n_customers,
+             |  CAST(round(1000000.0*t) AS BIGINT) AS theil_micro,
+             |  CAST(round(1000000.0*(SELECT bt FROM tb)) AS BIGINT) AS between_micro,
+             |  CAST(round(1000000.0*(t - (SELECT bt FROM tb))) AS BIGINT) AS within_micro,
+             |  CAST(round(1000000.0*(SELECT bt FROM tb)/t) AS BIGINT)
+             |    AS between_share_micro
+             |FROM tt""".stripMargin))
   )
 }

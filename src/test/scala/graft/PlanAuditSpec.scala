@@ -283,7 +283,11 @@ class PlanAuditSpec extends SparkSpec {
       // q_runs_test: the median row_number and the run-boundary lag both
       // ride the ≤ #days calendar frame after one map-combined daily sum
       // (q_changepoint convention)
-      "q_runs_test")
+      "q_runs_test",
+      // q_hurst: the day-index row_number rides the ≤ #days calendar
+      // frame after one map-combined daily sum; the R/S cumulatives are
+      // all (w, block)-partitioned (q_changepoint convention)
+      "q_hurst")
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !allowed(name)
       w = fn(spark, sf).queryExecution.optimizedPlan.collect {
