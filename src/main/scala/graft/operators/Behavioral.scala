@@ -4892,7 +4892,135 @@ object Behavioral {
              |SELECT CAST(k AS BIGINT) AS n_scales,
              |  CAST(round(1000.0*(k*sxy - sx*sy)/(k*sxx - sx*sx)) AS BIGINT)
              |    AS hurst_milli
-             |FROM ols""".stripMargin))
+             |FROM ols""".stripMargin)),
+
+    // XmR individuals control chart — the Shewhart companion to
+    // q_changepoint (which finds ONE level shift; this counts every
+    // excursion past the 3σ-equivalent moving-range limits). Center
+    // x̄, limits x̄ ± 2.66·MR̄, and the out-of-control test stays EXACT:
+    // 2.66 = 133/50, so "x > UCL" is the integer comparison
+    // 50·m·n·x > 50·m·S + 133·n·R — no float ever decides a violation.
+    // One grouped daily sum, one lag pass on the calendar frame.
+    QueryDef(
+      "q_control_chart",
+      (s, d) => {
+        val day = Tables.orders(s, d)
+          .groupBy(col("o_orderdate").as("dt"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
+        val mr = day.withColumn("r",
+          abs(col("x") - lag("x", 1).over(Window.orderBy("dt"))))
+        val tot = day.agg(count(lit(1)).as("n"), sum("x").as("s"))
+        val rtot = mr.agg(count("r").as("m"), sum("r").as("rr"))
+        val v = day.crossJoin(broadcast(tot)).crossJoin(broadcast(rtot))
+          .agg(
+            sum(expr("""CASE WHEN CAST(50 AS DECIMAL(38,0))*m*n*x
+                       | > CAST(50 AS DECIMAL(38,0))*m*s + CAST(133 AS DECIMAL(38,0))*n*rr
+                       | THEN 1 ELSE 0 END""".stripMargin)).as("n_above"),
+            sum(expr("""CASE WHEN CAST(50 AS DECIMAL(38,0))*m*n*x
+                       | < CAST(50 AS DECIMAL(38,0))*m*s - CAST(133 AS DECIMAL(38,0))*n*rr
+                       | THEN 1 ELSE 0 END""".stripMargin)).as("n_below"))
+        v.crossJoin(broadcast(tot)).crossJoin(broadcast(rtot))
+          .select(col("n").as("n_days"),
+            expr("CAST(s * 1000000 div n AS BIGINT)").as("center_micro"),
+            expr("CAST(rr * 1000000 div m AS BIGINT)").as("mrbar_micro"),
+            expr("""CAST((CAST(50 AS DECIMAL(38,0))*m*s + CAST(133 AS DECIMAL(38,0))*n*rr)
+                   | * 1000000 div (CAST(50 AS DECIMAL(38,0))*m*n) AS BIGINT)"""
+              .stripMargin).as("ucl_micro"),
+            expr("""CAST((CAST(50 AS DECIMAL(38,0))*m*s - CAST(133 AS DECIMAL(38,0))*n*rr)
+                   | * 1000000 div (CAST(50 AS DECIMAL(38,0))*m*n) AS BIGINT)"""
+              .stripMargin).as("lcl_micro"),
+            col("n_above").cast("long").as("n_above"),
+            col("n_below").cast("long").as("n_below"),
+            expr("CAST((n_above + n_below) * 1000000 div n AS BIGINT)")
+              .as("ooc_share_micro"))
+      },
+      Some("""WITH day AS (SELECT o_orderdate AS dt,
+             |      sum(CAST(round(o_totalprice*100) AS BIGINT)) AS x
+             |    FROM orders GROUP BY 1),
+             |mr AS (SELECT dt, x, abs(x - lag(x) OVER (ORDER BY dt)) AS r FROM day),
+             |tot AS (SELECT count(*) AS n, sum(x) AS s FROM day),
+             |rtot AS (SELECT count(r) AS m, sum(r) AS rr FROM mr),
+             |v AS (SELECT
+             |    sum(CASE WHEN CAST(50 AS HUGEINT)*m*n*x
+             |        > CAST(50 AS HUGEINT)*m*s + CAST(133 AS HUGEINT)*n*rr
+             |        THEN 1 ELSE 0 END) AS n_above,
+             |    sum(CASE WHEN CAST(50 AS HUGEINT)*m*n*x
+             |        < CAST(50 AS HUGEINT)*m*s - CAST(133 AS HUGEINT)*n*rr
+             |        THEN 1 ELSE 0 END) AS n_below
+             |  FROM day CROSS JOIN tot CROSS JOIN rtot)
+             |SELECT CAST(n AS BIGINT) AS n_days,
+             |  CAST(s * 1000000 // n AS BIGINT) AS center_micro,
+             |  CAST(rr * 1000000 // m AS BIGINT) AS mrbar_micro,
+             |  CAST((CAST(50 AS HUGEINT)*m*s + CAST(133 AS HUGEINT)*n*rr) * 1000000
+             |    // (CAST(50 AS HUGEINT)*m*n) AS BIGINT) AS ucl_micro,
+             |  CAST((CAST(50 AS HUGEINT)*m*s - CAST(133 AS HUGEINT)*n*rr) * 1000000
+             |    // (CAST(50 AS HUGEINT)*m*n) AS BIGINT) AS lcl_micro,
+             |  CAST(n_above AS BIGINT) AS n_above, CAST(n_below AS BIGINT) AS n_below,
+             |  CAST((n_above + n_below) * 1000000 // n AS BIGINT) AS ooc_share_micro
+             |FROM v CROSS JOIN tot CROSS JOIN rtot""".stripMargin)),
+
+    // Dickey-Fuller unit-root test — is daily revenue a random walk
+    // (unit root: shocks persist forever) or stationary (shocks decay)?
+    // Regress Δx_t on x_{t−1}: β near 0 means random walk, β near −1
+    // means white noise around a level. All regression moments are exact
+    // 128-bit integers off one lag pass; only the final t-ratio is a
+    // double, judged against the asymptotic 5 % constant-only critical
+    // value −2.86. Completes the stationarity battery next to
+    // q_runs_test (randomness), q_ljung_box (joint ACF), q_hurst
+    // (long memory), q_mann_kendall (monotone trend).
+    QueryDef(
+      "q_dickey_fuller",
+      (s, d) => {
+        val day = Tables.orders(s, d)
+          .groupBy(col("o_orderdate").as("dt"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
+        val p = day.select(
+            lag("x", 1).over(Window.orderBy("dt")).as("u"),
+            (col("x") - lag("x", 1).over(Window.orderBy("dt"))).as("v"))
+          .where(col("u").isNotNull)
+        val m = p.agg(count(lit(1)).as("n"), sum("u").as("su"), sum("v").as("sv"),
+          sum(expr("CAST(u AS DECIMAL(38,0))*u")).as("suu"),
+          sum(expr("CAST(u AS DECIMAL(38,0))*v")).as("suv"),
+          sum(expr("CAST(v AS DECIMAL(38,0))*v")).as("svv"))
+        m.select(col("n"),
+            expr("""CAST(CAST(n AS DECIMAL(38,0))*suv - CAST(su AS DECIMAL(38,0))*sv AS DOUBLE)
+                   | / CAST(CAST(n AS DECIMAL(38,0))*suu - CAST(su AS DECIMAL(38,0))*su AS DOUBLE)"""
+              .stripMargin).as("beta"),
+            expr("""CAST(CAST(n AS DECIMAL(38,0))*suu - CAST(su AS DECIMAL(38,0))*su AS DOUBLE)/n"""
+              ).as("sxx"),
+            expr("CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE)*sv/n").as("syy"))
+          .select(col("n").as("n_days"),
+            expr("CAST(round(1e9*beta) AS BIGINT)").as("beta_nano"),
+            expr("""CAST(round(1000.0*beta
+                   | / sqrt(((syy - beta*beta*sxx)/(n - 2))/sxx)) AS BIGINT)"""
+              .stripMargin).as("t_milli"),
+            expr("""CAST(CASE WHEN beta
+                   | / sqrt(((syy - beta*beta*sxx)/(n - 2))/sxx) < -2.86
+                   | THEN 1 ELSE 0 END AS BIGINT)""".stripMargin)
+              .as("reject_unit_root"))
+      },
+      Some("""WITH day AS (SELECT o_orderdate AS dt,
+             |      sum(CAST(round(o_totalprice*100) AS BIGINT)) AS x
+             |    FROM orders GROUP BY 1),
+             |p AS (SELECT lag(x) OVER (ORDER BY dt) AS u,
+             |        x - lag(x) OVER (ORDER BY dt) AS v FROM day),
+             |m AS (SELECT count(*) AS n, sum(u) AS su, sum(v) AS sv,
+             |        sum(CAST(u AS HUGEINT)*u) AS suu, sum(CAST(u AS HUGEINT)*v) AS suv,
+             |        sum(CAST(v AS HUGEINT)*v) AS svv
+             |      FROM p WHERE u IS NOT NULL),
+             |f AS (SELECT n,
+             |    CAST(CAST(n AS HUGEINT)*suv - CAST(su AS HUGEINT)*sv AS DOUBLE)
+             |      / CAST(CAST(n AS HUGEINT)*suu - CAST(su AS HUGEINT)*su AS DOUBLE) AS beta,
+             |    CAST(CAST(n AS HUGEINT)*suu - CAST(su AS HUGEINT)*su AS DOUBLE)/n AS sxx,
+             |    CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE)*sv/n AS syy
+             |  FROM m),
+             |t AS (SELECT n, beta, sxx, (syy - beta*beta*sxx) / (n - 2) AS mse FROM f)
+             |SELECT CAST(n AS BIGINT) AS n_days,
+             |  CAST(round(1e9*beta) AS BIGINT) AS beta_nano,
+             |  CAST(round(1000.0*beta/sqrt(mse/sxx)) AS BIGINT) AS t_milli,
+             |  CAST(CASE WHEN beta/sqrt(mse/sxx) < -2.86 THEN 1 ELSE 0 END AS BIGINT)
+             |    AS reject_unit_root
+             |FROM t""".stripMargin))
   )
 
   /** Fixed-point Erlang-B/C oracle — the 32-step blocking recursion

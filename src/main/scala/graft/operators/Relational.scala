@@ -2235,6 +2235,133 @@ object Relational {
              |  CAST(round(1000000.0*(t - (SELECT bt FROM tb))) AS BIGINT) AS within_micro,
              |  CAST(round(1000000.0*(SELECT bt FROM tb)/t) AS BIGINT)
              |    AS between_share_micro
-             |FROM tt""".stripMargin))
+             |FROM tt""".stripMargin)),
+
+    // ranking-stability gate — recompute the top-20 parts by revenue on
+    // two deterministic md5 half-samples of ORDERS and measure agreement:
+    // overlap@20, Jaccard, and Spearman's footrule over the common
+    // members. The poor man's bootstrap for leaderboards: a dashboard
+    // ranking that doesn't survive a half-sample split isn't a ranking,
+    // it's noise — this gate says so BEFORE anyone acts on it. Two
+    // grouped sums and two bounded 20-row TopKs; no corpus-scaled tail.
+    QueryDef(
+      "q_rank_stability",
+      (s, d) => {
+        val h = Tables.lineitem(s, d)
+          .select(col("l_partkey"),
+            (conv(substring(md5(concat(lit("rs:"),
+              col("l_orderkey").cast("string"))), 1, 12), 16, 10)
+              .cast("long") % 2).as("half"),
+            round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+              .cast("long").as("cents"))
+        val g = h.groupBy("half", "l_partkey").agg(sum("cents").as("rev"))
+        def topRanked(side: Int) = g.where(col("half") === side)
+          .orderBy(col("rev").desc, col("l_partkey")).limit(20)
+          .select(col("l_partkey"),
+            row_number().over(Window.orderBy(col("rev").desc, col("l_partkey")))
+              .cast("long").as(s"rk$side"))
+        topRanked(0).join(topRanked(1), "l_partkey")
+          .agg(count(lit(1)).as("overlap_at_20"),
+            expr("CAST(count(1) * 1000000 div (40 - count(1)) AS BIGINT)")
+              .as("jaccard_micro"),
+            coalesce(sum(abs(col("rk0") - col("rk1"))), lit(0L)).as("footrule"))
+      },
+      Some("""WITH h AS (SELECT l_partkey,
+             |      CAST(('0x' || substr(md5('rs:' || l_orderkey), 1, 12)) AS BIGINT) % 2
+             |        AS half,
+             |      CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT) AS cents
+             |    FROM lineitem),
+             |g AS (SELECT half, l_partkey, sum(cents) AS rev FROM h GROUP BY 1, 2),
+             |ra AS (SELECT l_partkey, row_number() OVER (ORDER BY rev DESC, l_partkey)
+             |         AS rk FROM g WHERE half = 0 ORDER BY rev DESC, l_partkey LIMIT 20),
+             |rb AS (SELECT l_partkey, row_number() OVER (ORDER BY rev DESC, l_partkey)
+             |         AS rk FROM g WHERE half = 1 ORDER BY rev DESC, l_partkey LIMIT 20),
+             |j AS (SELECT ra.rk AS rka, rb.rk AS rkb FROM ra JOIN rb USING (l_partkey))
+             |SELECT CAST(count(*) AS BIGINT) AS overlap_at_20,
+             |  CAST(count(*) * 1000000 // (40 - count(*)) AS BIGINT) AS jaccard_micro,
+             |  CAST(coalesce(sum(abs(rka - rkb)), 0) AS BIGINT) AS footrule
+             |FROM j""".stripMargin)),
+
+    // Simpson's-paradox detector — does the pooled revenue-over-time
+    // trend point the same way as the per-nation trends? Slope SIGNS are
+    // decided by the exact integer OLS numerator n·Σxy − Σx·Σy (no
+    // division ever decides a direction); the paradox flag fires when
+    // the pooled sign disagrees with the majority of group signs — the
+    // aggregation artifact every dashboard drill-down should check
+    // before narrating a trend. One grouped-moments pass over the
+    // fact join; the group table is ≤ |nations|.
+    QueryDef(
+      "q_simpson_check",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_nationkey").as("g"),
+            datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("x"),
+            round(col("o_totalprice") * 100).cast("long").as("y"))
+        def moments(df: org.apache.spark.sql.RelationalGroupedDataset) =
+          df.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(expr("CAST(x AS DECIMAL(38,0))*x")).as("sxx"),
+            sum(expr("CAST(x AS DECIMAL(38,0))*y")).as("sxy"))
+        val sgnExpr = expr(
+          """CASE WHEN CAST(n AS DECIMAL(38,0))*sxy - CAST(sx AS DECIMAL(38,0))*sy > 0 THEN 1
+            | WHEN CAST(n AS DECIMAL(38,0))*sxy - CAST(sx AS DECIMAL(38,0))*sy < 0 THEN -1
+            | ELSE 0 END""".stripMargin)
+        val gs = moments(o.groupBy("g")).where(col("n") >= 3)
+          .select(sgnExpr.as("sgn"))
+        val ps = moments(o.groupBy())
+          .select(sgnExpr.as("psgn"),
+            expr("""CAST(round(1000000.0
+                   | * CAST(CAST(n AS DECIMAL(38,0))*sxy - CAST(sx AS DECIMAL(38,0))*sy AS DOUBLE)
+                   | / CAST(CAST(n AS DECIMAL(38,0))*sxx - CAST(sx AS DECIMAL(38,0))*sx AS DOUBLE))
+                   | AS BIGINT)""".stripMargin).as("slope_micro"))
+        gs.crossJoin(broadcast(ps))
+          .agg(max("slope_micro").as("pooled_slope_micro"),
+            max("psgn").cast("long").as("pooled_sign"),
+            count(lit(1)).as("n_groups"),
+            sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n_pos_groups"),
+            sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("n_neg_groups"))
+          .withColumn("paradox_flag",
+            expr("""CAST(CASE WHEN pooled_sign = 1 AND n_neg_groups > n_pos_groups THEN 1
+                   | WHEN pooled_sign = -1 AND n_pos_groups > n_neg_groups THEN 1
+                   | ELSE 0 END AS BIGINT)""".stripMargin))
+      },
+      Some("""WITH o AS (SELECT c_nationkey AS g,
+             |      date_diff('day', DATE '1992-01-01', o_orderdate) AS x,
+             |      CAST(round(o_totalprice*100) AS BIGINT) AS y
+             |    FROM orders JOIN customer ON c_custkey = o_custkey),
+             |gm AS (SELECT g, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             |        sum(CAST(x AS HUGEINT)*x) AS sxx, sum(CAST(x AS HUGEINT)*y) AS sxy
+             |      FROM o GROUP BY 1 HAVING count(*) >= 3),
+             |gs AS (SELECT g,
+             |        CASE WHEN CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy > 0 THEN 1
+             |             WHEN CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy < 0 THEN -1
+             |             ELSE 0 END AS sgn
+             |      FROM gm),
+             |pm AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             |        sum(CAST(x AS HUGEINT)*x) AS sxx, sum(CAST(x AS HUGEINT)*y) AS sxy
+             |      FROM o),
+             |ps AS (SELECT
+             |    CASE WHEN CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy > 0 THEN 1
+             |         WHEN CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy < 0 THEN -1
+             |         ELSE 0 END AS sgn,
+             |    CAST(round(1000000.0
+             |      * CAST(CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE)
+             |      / CAST(CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE))
+             |      AS BIGINT) AS slope_micro
+             |  FROM pm)
+             |SELECT CAST((SELECT slope_micro FROM ps) AS BIGINT) AS pooled_slope_micro,
+             |  CAST((SELECT sgn FROM ps) AS BIGINT) AS pooled_sign,
+             |  CAST(count(*) AS BIGINT) AS n_groups,
+             |  CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_groups,
+             |  CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg_groups,
+             |  CAST(CASE WHEN (SELECT sgn FROM ps) = 1
+             |         AND sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END)
+             |           > sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) THEN 1
+             |       WHEN (SELECT sgn FROM ps) = -1
+             |         AND sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)
+             |           > sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) THEN 1
+             |       ELSE 0 END AS BIGINT) AS paradox_flag
+             |FROM gs""".stripMargin))
   )
 }

@@ -266,4 +266,119 @@ class AnalyticsInvariantSpec extends SparkSpec {
     val mean = r.map(_.getAs[Long]("idx_norm_micro")).sum / 12.0
     assert(math.abs(mean - 1000000.0) < 100.0, mean.toString)
   }
+
+  test("q_kruskal_wallis: H nonnegative, p in [0,1], reject consistent with p") {
+    val r = rows("q_kruskal_wallis")
+    assert(r.size == 1)
+    val row = r.head
+    assert(row.getAs[Long]("h_milli") >= 0L)
+    val p = row.getAs[Long]("p_micro")
+    assert(p >= 0L && p <= 1000000L, p.toString)
+    assert(row.getAs[Long]("reject_equal") == (if (p < 50000L) 1L else 0L))
+  }
+
+  test("q_runs_test: runs bounded by 1..n, sides partition the days") {
+    val row = rows("q_runs_test").head
+    val n = row.getAs[Long]("n_days")
+    assert(row.getAs[Long]("n_above") + row.getAs[Long]("n_below") == n)
+    val runs = row.getAs[Long]("n_runs")
+    assert(runs >= 1L && runs <= n, row.toString)
+  }
+
+  test("q_ljung_box and q_friedman: p in [0,1] and reject flags consistent") {
+    for ((q, pcol, rej) <- Seq(
+        ("q_ljung_box", "p_micro", "reject_whitenoise"),
+        ("q_friedman", "p_micro", "reject_equal"))) {
+      val row = rows(q).head
+      val p = row.getAs[Long](pcol)
+      assert(p >= 0L && p <= 1000000L, s"$q $p")
+      assert(row.getAs[Long](rej) == (if (p < 50000L) 1L else 0L), q)
+    }
+  }
+
+  test("q_rich_club: phi in [0,1e6], club sizes shrink as the bar rises") {
+    val r = rows("q_rich_club").sortBy(_.getAs[Long]("k"))
+    assert(r.nonEmpty)
+    val nn = r.map(_.getAs[Long]("n_nodes"))
+    assert(nn.zip(nn.tail).forall { case (a, b) => b <= a }, nn.toString)
+    val ne = r.map(_.getAs[Long]("n_edges"))
+    assert(ne.zip(ne.tail).forall { case (a, b) => b <= a }, ne.toString)
+    for (row <- r) {
+      val phi = row.getAs[Long]("phi_micro")
+      assert(phi >= 0L && phi <= 1000000L, row.toString)
+    }
+  }
+
+  test("q_jl_distortion: mean ratio within 15% of 1 (JL expectation)") {
+    val row = rows("q_jl_distortion").head
+    val m = row.getAs[Long]("mean_ratio_micro")
+    assert(m > 850000L && m < 1150000L, m.toString)
+    val sh = row.getAs[Long]("share_within20_micro")
+    assert(sh >= 0L && sh <= 1000000L, sh.toString)
+  }
+
+  test("q_kcenter_coreset: greedy selection distances non-increasing, radius bounded") {
+    val r = rows("q_kcenter_coreset").sortBy(_.getAs[Long]("round"))
+    assert(r.size == 4)
+    assert(r.map(_.getAs[Long]("center_id")).distinct.size == 4)
+    val sel = r.tail.map(_.getAs[Long]("sel_dist2"))
+    assert(sel.zip(sel.tail).forall { case (a, b) => b <= a }, sel.toString)
+    val rad = r.map(_.getAs[Long]("radius2_after"))
+    assert(rad.zip(rad.tail).forall { case (a, b) => b <= a }, rad.toString)
+    // the greedy covering radius never exceeds the distance at selection
+    assert(r.last.getAs[Long]("radius2_after") <= sel.last)
+  }
+
+  test("q_erlang_c: blocking and waiting probabilities fall as servers rise") {
+    val r = rows("q_erlang_c").sortBy(_.getAs[Long]("servers"))
+    assert(r.nonEmpty)
+    val b = r.map(_.getAs[Long]("erlang_b_nano"))
+    assert(b.zip(b.tail).forall { case (x, y) => y <= x }, b.toString)
+    val c = r.map(_.getAs[Long]("erlang_c_nano"))
+    assert(c.zip(c.tail).forall { case (x, y) => y <= x }, c.toString)
+    for (row <- r) {
+      assert(row.getAs[Long]("erlang_c_nano") >= row.getAs[Long]("erlang_b_nano"),
+        row.toString)
+      assert(row.getAs[Long]("util_micro") < 1000000L, row.toString)
+    }
+  }
+
+  test("q_scaling_law: more data never hurts held-out CE on the fitted line") {
+    val row = rows("q_scaling_law").head
+    assert(row.getAs[Long]("n_points") == 5L)
+    assert(row.getAs[Long]("slope_milli") <= 0L, "CE must fall with data")
+    assert(row.getAs[Long]("ce_pred_10x_milli") <=
+      row.getAs[Long]("ce_full_milli"))
+  }
+
+  test("q_theil_index: decomposition adds up and shares are sane") {
+    val row = rows("q_theil_index").head
+    val t = row.getAs[Long]("theil_micro")
+    val b = row.getAs[Long]("between_micro")
+    val w = row.getAs[Long]("within_micro")
+    assert(t >= 0L && b >= 0L && w >= 0L, row.toString)
+    assert(math.abs(b + w - t) <= 1L, s"$b + $w != $t")
+  }
+
+  test("q_hurst: exponent within (0,1)") {
+    val h = rows("q_hurst").head.getAs[Long]("hurst_milli")
+    assert(h > 0L && h < 1000L, h.toString)
+  }
+
+  test("q_ahash_dedup: dup pairs are a subset of candidates") {
+    val row = rows("q_ahash_dedup").head
+    assert(row.getAs[Long]("dup_pairs") <= row.getAs[Long]("cand_pairs"))
+    assert(row.getAs[Long]("dup_docs") <= row.getAs[Long]("n_docs"))
+    assert(row.getAs[Long]("skipped_buckets") >= 0L)
+  }
+
+  test("q_assoc_rules: confidences in (0,1e6], leverage consistent with lift direction") {
+    val r = rows("q_assoc_rules")
+    assert(r.size == 20)
+    for (row <- r) {
+      val cf = row.getAs[Long]("conf_fwd_micro")
+      val cb = row.getAs[Long]("conf_bwd_micro")
+      assert(cf > 0L && cf <= 1000000L && cb > 0L && cb <= 1000000L, row.toString)
+    }
+  }
 }

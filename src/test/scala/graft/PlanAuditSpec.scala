@@ -287,7 +287,14 @@ class PlanAuditSpec extends SparkSpec {
       // q_hurst: the day-index row_number rides the ≤ #days calendar
       // frame after one map-combined daily sum; the R/S cumulatives are
       // all (w, block)-partitioned (q_changepoint convention)
-      "q_hurst")
+      "q_hurst",
+      // q_control_chart / q_dickey_fuller: one moving-range/lag pass
+      // over the ≤ #days calendar frame after one map-combined daily
+      // sum (q_changepoint convention)
+      "q_control_chart", "q_dickey_fuller",
+      // q_rank_stability: the half-sample re-rank row_numbers run on the
+      // two 20-row TopK outputs, bounded by the limit that precedes them
+      "q_rank_stability")
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !allowed(name)
       w = fn(spark, sf).queryExecution.optimizedPlan.collect {
