@@ -235,7 +235,8 @@ object ScaleProbe {
       "q_rich_club", "q_jl_distortion", "q_erlang_c", "q_scaling_law",
       "q_ahash_dedup", "q_kcenter_coreset",
       "q_sign_test", "q_hurst", "q_assoc_rules", "q_theil_index",
-      "q_control_chart", "q_dickey_fuller", "q_rank_stability", "q_simpson_check")
+      "q_control_chart", "q_dickey_fuller", "q_rank_stability", "q_simpson_check",
+      "q_modularity", "q_uncertainty_sample")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

@@ -2520,6 +2520,94 @@ object Curation {
              |  CAST(round(1000.0*slope) AS BIGINT) AS slope_milli,
              |  CAST(round(((SELECT y_nano FROM fl)/1e9 + slope*ln(10))*1000) AS BIGINT)
              |    AS ce_pred_10x_milli
-             |FROM fit""".stripMargin))
+             |FROM fit""".stripMargin)),
+
+    // uncertainty sampling — the active-learning labeling queue: score
+    // every held-out doc with q_nb_classify's exact-integer NB model and
+    // surface the 10 docs where the top two classes are CLOSEST (smallest
+    // score margin). These are the docs a labeling budget buys the most
+    // from; margins are exact nano differences of exact sums, so the
+    // queue order is engine-identical. Same collapsed per-(doc, word)
+    // scoring as q_nb_classify — the class fan-out rides distinct words.
+    QueryDef(
+      "q_uncertainty_sample",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val train = docs.where(expr("(doc_id div 20) % 2 = 0"))
+          .select(col("doc_id"), col("source"),
+            explode(split(col("text"), " ")).as("w"))
+        val test = docs.where(expr("(doc_id div 20) % 2 = 1"))
+          .select(col("doc_id"), col("source").as("true_source"),
+            explode(split(col("text"), " ")).as("w"))
+        val cw = train.groupBy("source", "w").agg(count(lit(1)).as("a"))
+        val cs = cw.groupBy("source").agg(sum("a").as("ns"))
+        val vocab = train.agg(countDistinct("w").as("vocab"))
+        val pri = train.groupBy("source").agg(countDistinct("doc_id").as("nd"))
+        val tot = pri.agg(sum("nd").as("td"))
+        val priors = pri.crossJoin(broadcast(tot))
+          .select(col("source").as("cls"),
+            expr("CAST(round(1e9*ln(CAST(nd AS DOUBLE)/td)) AS BIGINT)")
+              .as("prior_nano"))
+        val model = cw.select(col("source").as("cls"), col("w"), col("a"))
+        val tw = test.groupBy("doc_id", "true_source", "w")
+          .agg(count(lit(1)).as("cnt"))
+        val terms = tw
+          .crossJoin(broadcast(cs.select(col("source").as("cls"), col("ns"))))
+          .crossJoin(broadcast(vocab))
+          .join(broadcast(model), Seq("cls", "w"), "left")
+          .select(col("doc_id"), col("true_source"), col("cls"),
+            expr("cnt * CAST(round(1e9*ln((coalesce(a,0)+1.0)/(ns + vocab))) AS BIGINT)")
+              .as("lp_nano"))
+        val score = terms.groupBy("doc_id", "true_source", "cls")
+          .agg(sum("lp_nano").as("s_tok"))
+          .join(broadcast(priors), "cls")
+          .select(col("doc_id"), col("true_source"), col("cls"),
+            (col("s_tok") + col("prior_nano")).as("s_nano"))
+        val rk = score.withColumn("r",
+          row_number().over(Window.partitionBy("doc_id")
+            .orderBy(col("s_nano").desc, col("cls"))))
+        rk.where(col("r") === 1)
+          .select(col("doc_id"), col("true_source"),
+            col("cls").as("pred_source"), col("s_nano").as("s1"))
+          .join(rk.where(col("r") === 2)
+            .select(col("doc_id"), col("s_nano").as("s2")), "doc_id")
+          .select(col("doc_id"), col("true_source"), col("pred_source"),
+            (col("s1") - col("s2")).as("margin_nano"))
+          .orderBy("margin_nano", "doc_id")
+          .limit(10)
+      },
+      Some("""WITH train AS (SELECT doc_id, source, unnest(string_split(text,' ')) AS w
+             |      FROM documents WHERE (doc_id // 20) % 2 = 0),
+             |test AS (SELECT doc_id, source AS true_source,
+             |      unnest(string_split(text,' ')) AS w
+             |      FROM documents WHERE (doc_id // 20) % 2 = 1),
+             |cw AS (SELECT source, w, count(*) AS a FROM train GROUP BY 1,2),
+             |cs AS (SELECT source, sum(a) AS ns FROM cw GROUP BY 1),
+             |v AS (SELECT count(DISTINCT w) AS vocab FROM train),
+             |pri AS (SELECT source, count(DISTINCT doc_id) AS nd FROM train GROUP BY 1),
+             |tot AS (SELECT sum(nd) AS td FROM pri),
+             |priors AS (SELECT source AS cls,
+             |    CAST(round(1e9*ln(CAST(nd AS DOUBLE)/(SELECT td FROM tot))) AS BIGINT)
+             |      AS prior_nano FROM pri),
+             |tw AS (SELECT doc_id, true_source, w, count(*) AS cnt
+             |       FROM test GROUP BY 1, 2, 3),
+             |terms AS (SELECT t.doc_id, t.true_source, cs.source AS cls,
+             |    t.cnt * CAST(round(1e9*ln((coalesce(cw.a,0)+1.0)
+             |      /(cs.ns + (SELECT vocab FROM v)))) AS BIGINT) AS lp_nano
+             |  FROM tw t CROSS JOIN cs
+             |  LEFT JOIN cw ON cw.source = cs.source AND cw.w = t.w),
+             |score AS (SELECT doc_id, true_source, cls,
+             |    sum(lp_nano) + (SELECT prior_nano FROM priors
+             |                    WHERE priors.cls = terms.cls) AS s_nano
+             |  FROM terms GROUP BY 1, 2, 3),
+             |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             |         ORDER BY s_nano DESC, cls) AS r
+             |       FROM score),
+             |marg AS (SELECT a.doc_id, a.true_source, a.cls AS pred_source,
+             |    a.s_nano - b.s_nano AS margin_nano
+             |  FROM rk a JOIN rk b ON b.doc_id = a.doc_id AND a.r = 1 AND b.r = 2)
+             |SELECT doc_id, true_source, pred_source,
+             |  CAST(margin_nano AS BIGINT) AS margin_nano
+             |FROM marg ORDER BY margin_nano, doc_id LIMIT 10""".stripMargin))
   )
 }

@@ -1103,7 +1103,72 @@ object Release {
              |  CAST(coalesce(ne, 0) AS BIGINT) AS n_edges,
              |  CAST(2*coalesce(ne, 0)*1000000 // (nn*(nn-1)) AS BIGINT) AS phi_micro
              |FROM ks LEFT JOIN nk USING (k) LEFT JOIN ek USING (k)
-             |WHERE coalesce(nn, 0) >= 2 ORDER BY k""".stripMargin))
+             |WHERE coalesce(nn, 0) >= 2 ORDER BY k""".stripMargin)),
+
+    // Newman modularity of the BRAND partition — do brands form
+    // co-purchase communities, or is the brand label orthogonal to
+    // market structure? Q = Σ_b[e_b/m − (d_b/2m)²] on the support-≥3
+    // graph, computed exactly as Σ(4m·e_b − d_b²)/(4m²) in 128-bit
+    // integers with ONE final division. Edges come from the build-once
+    // artifact (weights already stored); degrees recompute on the
+    // thresholded subgraph. The honest answer on TPC-H is ≈ 0 — the
+    // null this gate exists to detect drift from.
+    QueryDef(
+      "q_modularity",
+      (s, d) => {
+        val (e0, _) = copurchaseGraph(s, d)
+        val pr = e0.where(col("w") >= 3).select("p1", "p2")
+        val m = pr.agg(count(lit(1)).as("m"))
+        val br = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
+        val eb = pr
+          .join(br.select(col("p_partkey").as("p1"), col("p_brand").as("b1")), "p1")
+          .join(br.select(col("p_partkey").as("p2"), col("p_brand").as("b2")), "p2")
+          .where(col("b1") === col("b2"))
+          .groupBy(col("b1").as("g")).agg(count(lit(1)).as("e"))
+        val dg = pr.select(col("p1").as("p")).unionAll(pr.select(col("p2").as("p")))
+          .groupBy("p").agg(count(lit(1)).as("deg"))
+        val db = dg
+          .join(br.select(col("p_partkey").as("p"), col("p_brand").as("g")), "p")
+          .groupBy("g").agg(sum("deg").as("d"))
+        db.join(eb, Seq("g"), "left").na.fill(0L, Seq("e"))
+          .crossJoin(broadcast(m))
+          .agg(max("m").as("m"),
+            sum(expr("CAST(4 AS DECIMAL(38,0))*m*e - CAST(d AS DECIMAL(38,0))*d"))
+              .as("num"),
+            count(lit(1)).as("nb"), sum("e").as("intra"))
+          .select(col("m").cast("long").as("n_edges"),
+            col("nb").as("n_brands"),
+            expr("CAST(intra * 1000000 div m AS BIGINT)").as("intra_share_micro"),
+            expr("""CAST(num * 1000000
+                   | div (CAST(4 AS DECIMAL(38,0))*m*m) AS BIGINT)""".stripMargin)
+              .as("modularity_micro"))
+      },
+      Some("""WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |pr AS MATERIALIZED (SELECT a.l_partkey AS id1, b.l_partkey AS id2
+             |    FROM lp a JOIN lp b
+             |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |    GROUP BY 1, 2 HAVING count(*) >= 3),
+             |m AS (SELECT count(*) AS m FROM pr),
+             |br AS (SELECT p_partkey, p_brand FROM part),
+             |eb AS (SELECT b1.p_brand AS g, count(*) AS e
+             |       FROM pr JOIN br b1 ON b1.p_partkey = pr.id1
+             |       JOIN br b2 ON b2.p_partkey = pr.id2
+             |       WHERE b1.p_brand = b2.p_brand GROUP BY 1),
+             |dg AS (SELECT p, count(*) AS deg FROM
+             |        (SELECT id1 AS p FROM pr UNION ALL SELECT id2 FROM pr) GROUP BY 1),
+             |db AS (SELECT br.p_brand AS g, sum(deg) AS d FROM dg
+             |       JOIN br ON br.p_partkey = dg.p GROUP BY 1),
+             |q AS (SELECT sum(CAST(4 AS HUGEINT)*(SELECT m FROM m)*coalesce(eb.e, 0)
+             |        - CAST(db.d AS HUGEINT)*db.d) AS num,
+             |       count(*) AS nb, sum(coalesce(eb.e, 0)) AS intra
+             |      FROM db LEFT JOIN eb USING (g))
+             |SELECT CAST((SELECT m FROM m) AS BIGINT) AS n_edges,
+             |  CAST(nb AS BIGINT) AS n_brands,
+             |  CAST(intra * 1000000 // (SELECT m FROM m) AS BIGINT) AS intra_share_micro,
+             |  CAST(num * 1000000
+             |    // (CAST(4 AS HUGEINT)*(SELECT m FROM m)*(SELECT m FROM m)) AS BIGINT)
+             |    AS modularity_micro
+             |FROM q""".stripMargin))
   )
 
   /** Fixed-point WEIGHTED PageRank oracle — six unrolled stages over the
