@@ -1225,6 +1225,71 @@ object TextAnalysis {
              |    (CAST(cc AS DOUBLE)/(SELECT d FROM nd)
              |      - (CAST(cf AS DOUBLE)/(SELECT d FROM nd))*(CAST(cf AS DOUBLE)/(SELECT d FROM nd)))
              |    / (CAST(cf AS DOUBLE)/(SELECT d FROM nd))) AS BIGINT) AS vmr_micro
-             |FROM top ORDER BY corpus_freq DESC, w""".stripMargin))
+             |FROM top ORDER BY corpus_freq DESC, w""".stripMargin)),
+
+    // Burrows' Delta stylometry — which source pairs write most alike?
+    // The classic authorship-attribution distance: z-scores of the
+    // top-50 words' relative frequencies across sources, Delta(a, b) =
+    // mean |z_a − z_b|. Frequencies quantize to truncating nano
+    // BEFORE the cross-source moments (so the z inputs are exact
+    // integers), everything after the one token-count pass is bounded
+    // by |sources|×50, and the pair table is |sources|². Reports the
+    // 10 closest pairs — the candidate same-pipeline/same-template
+    // sources a provenance audit checks first.
+    QueryDef(
+      "q_burrows_delta",
+      (s, d) => {
+        val tw = Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+          .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        val st = tw.groupBy("source").agg(sum("c").as("n"))
+        val top = tw.groupBy("w").agg(sum("c").as("tc"))
+          .orderBy(col("tc").desc, col("w")).limit(50).select("w")
+        val f = st.crossJoin(broadcast(top))
+          .join(tw, Seq("source", "w"), "left").na.fill(0L, Seq("c"))
+          .select(col("source"), col("w"),
+            expr("CAST(CAST(c AS DECIMAL(38,0)) * 1000000000 div n AS BIGINT)")
+              .as("fn"))
+        val mu = f.groupBy("w").agg(avg(expr("CAST(fn AS DOUBLE)")).as("m"),
+          expr("""sqrt(avg(CAST(fn AS DOUBLE)*fn)
+                 | - avg(CAST(fn AS DOUBLE))*avg(CAST(fn AS DOUBLE)))""".stripMargin)
+            .as("sd"))
+        val z = f.join(broadcast(mu), "w").where(col("sd") > 0)
+          .select(col("source"), col("w"),
+            expr("CAST(round(1000000.0*(fn - m)/sd) AS BIGINT)").as("z"))
+        z.select(col("source").as("src_a"), col("w"), col("z").as("za"))
+          .join(z.select(col("source").as("src_b"), col("w"), col("z").as("zb")),
+            "w")
+          .where(col("src_a") < col("src_b"))
+          .groupBy("src_a", "src_b")
+          .agg(expr("CAST(round(avg(CAST(abs(za - zb) AS DOUBLE))) AS BIGINT)")
+            .as("delta_micro"))
+          .orderBy("delta_micro", "src_a", "src_b")
+          .limit(10)
+      },
+      Some("""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS w
+             |      FROM documents),
+             |tw AS (SELECT source, w, count(*) AS c FROM toks GROUP BY 1, 2),
+             |st AS (SELECT source, sum(c) AS n FROM tw GROUP BY 1),
+             |top AS (SELECT w FROM (SELECT w, sum(c) AS tc FROM tw GROUP BY 1
+             |        ORDER BY tc DESC, w LIMIT 50)),
+             |f AS (SELECT st.source, top.w,
+             |        CAST(coalesce(tw.c, 0) AS HUGEINT) * 1000000000 // st.n AS fn
+             |      FROM st CROSS JOIN top
+             |      LEFT JOIN tw ON tw.source = st.source AND tw.w = top.w),
+             |mu AS (SELECT w, avg(CAST(fn AS DOUBLE)) AS m,
+             |        sqrt(avg(CAST(fn AS DOUBLE)*fn)
+             |          - avg(CAST(fn AS DOUBLE))*avg(CAST(fn AS DOUBLE))) AS sd
+             |      FROM f GROUP BY 1),
+             |z AS (SELECT f.source, f.w,
+             |        CAST(round(1000000.0*(fn - m)/sd) AS BIGINT) AS z
+             |      FROM f JOIN mu USING (w) WHERE sd > 0),
+             |pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+             |        CAST(round(avg(CAST(abs(a.z - b.z) AS DOUBLE))) AS BIGINT)
+             |          AS delta_micro
+             |      FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+             |      GROUP BY 1, 2)
+             |SELECT src_a, src_b, delta_micro FROM pairs
+             |ORDER BY delta_micro, src_a, src_b LIMIT 10""".stripMargin))
   )
 }

@@ -5020,8 +5020,75 @@ object Behavioral {
              |  CAST(round(1000.0*beta/sqrt(mse/sxx)) AS BIGINT) AS t_milli,
              |  CAST(CASE WHEN beta/sqrt(mse/sxx) < -2.86 THEN 1 ELSE 0 END AS BIGINT)
              |    AS reject_unit_root
-             |FROM t""".stripMargin))
+             |FROM t""".stripMargin)),
+
+    // expected steps to conversion — treat 'purchase' as the absorbing
+    // state of the session Markov chain and report each transient
+    // state's expected number of steps until absorption: the funnel
+    // metric that says HOW FAR each state is from converting, not just
+    // whether it does (q_markov_stationary's dual). t = (I−Q)⁻¹·1
+    // computed as the 20-term Neumann series t ← 1 + Q·t in truncating
+    // nano fixed point (the markov convention — per-edge integer div
+    // each step, both engines bit-identical). The chain lives on the
+    // |types|² matrix; the corpus-scaled work is ONE lead pass.
+    QueryDef(
+      "q_absorption_steps",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val tr = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("a"))
+          .withColumn("b", lead("a", 1).over(w))
+          .where(col("b").isNotNull)
+          .groupBy("a", "b").agg(count(lit(1)).as("c"))
+        val rs = tr.groupBy("a").agg(sum("c").as("tot"))
+        val q = tr.join(rs, "a")
+          .where(col("a") =!= "purchase" && col("b") =!= "purchase")
+          .select(col("a"), col("b"),
+            expr("CAST(CAST(c AS DECIMAL(38,0)) * 1000000000 div tot AS BIGINT)")
+              .as("pn"))
+        var t = q.select(col("a").as("st")).distinct()
+          .withColumn("t", lit(1000000000L))
+        for (_ <- 1 to 20) {
+          t = q.join(t.select(col("st").as("b"), col("t").as("tb")), Seq("b"), "left")
+            .na.fill(0L, Seq("tb"))
+            .groupBy(col("a").as("st"))
+            .agg((lit(1000000000L) +
+              sum(expr("(CAST(pn AS DECIMAL(38,0)) * tb) div 1000000000")))
+              .cast("long").as("t"))
+        }
+        t.select(col("st").as("event_type"), col("t").as("steps_nano"))
+          .orderBy("event_type")
+      },
+      Some(absorptionOracle))
   )
+
+  /** Fixed-point absorbing-chain oracle — twenty unrolled Neumann steps
+    * t ← 1 + Q·t over the transient |types|² submatrix, MATERIALIZED
+    * per step (each references its predecessor), exact truncating
+    * arithmetic mirroring the Spark loop term for term. */
+  private def absorptionOracle: String = {
+    val steps = (1 to 20).map { k =>
+      s"""t$k AS MATERIALIZED (SELECT q.a AS st,
+         |      CAST(1000000000 + sum(CAST(q.pn AS HUGEINT) * coalesce(t${k - 1}.t, 0)
+         |        // 1000000000) AS BIGINT) AS t
+         |    FROM q LEFT JOIN t${k - 1} ON t${k - 1}.st = q.b
+         |    GROUP BY 1)""".stripMargin
+    }
+    s"""WITH ord AS (SELECT event_type AS a,
+       |      lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b
+       |    FROM events),
+       |tr AS (SELECT a, b, count(*) AS c FROM ord WHERE b IS NOT NULL GROUP BY 1, 2),
+       |rs AS (SELECT a, sum(c) AS tot FROM tr GROUP BY 1),
+       |q AS MATERIALIZED (SELECT tr.a, tr.b,
+       |      CAST(tr.c AS HUGEINT) * 1000000000 // rs.tot AS pn
+       |    FROM tr JOIN rs ON rs.a = tr.a
+       |    WHERE tr.a <> 'purchase' AND tr.b <> 'purchase'),
+       |t0 AS MATERIALIZED (SELECT a AS st, CAST(1000000000 AS BIGINT) AS t
+       |    FROM (SELECT DISTINCT a FROM q)),
+       |${steps.mkString(",\n")}
+       |SELECT st AS event_type, t AS steps_nano FROM t20 ORDER BY st""".stripMargin
+  }
 
   /** Fixed-point Erlang-B/C oracle — the 32-step blocking recursion
     * unrolled as MATERIALIZED CTEs (each step references its predecessor

@@ -2362,6 +2362,60 @@ object Relational {
              |         AND sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)
              |           > sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) THEN 1
              |       ELSE 0 END AS BIGINT) AS paradox_flag
-             |FROM gs""".stripMargin))
+             |FROM gs""".stripMargin)),
+
+    // newsvendor order quantity — the classic OR stocking rule: at
+    // critical ratio 0.75 (underage 3× overage), stock the 75th
+    // percentile of observed daily demand. Exact type-1 quantile per
+    // part via the integer rank test 4·rk ≥ 3·n on the (part)-partitioned
+    // demand ranks — no float quantile estimator, both engines agree by
+    // construction. The empirical-quantile companion to q_safety_stock's
+    // normal-theory z formula; reported for the top-10 volume parts, the
+    // quantile machinery runs for all.
+    QueryDef(
+      "q_newsvendor",
+      (s, d) => {
+        val pd = Tables.lineitem(s, d)
+          .groupBy(col("l_partkey"), col("l_shipdate").as("d"))
+          .agg(sum("l_quantity").cast("long").as("q"))
+        val topp = pd.groupBy("l_partkey").agg(sum("q").as("tq"))
+          .orderBy(col("tq").desc, col("l_partkey")).limit(10)
+          .select("l_partkey")
+        val r = pd.join(broadcast(topp), "l_partkey")
+          .select(col("l_partkey"), col("q"),
+            row_number().over(Window.partitionBy("l_partkey")
+              .orderBy("q", "d")).as("rk"),
+            count(lit(1)).over(Window.partitionBy("l_partkey")).as("n"))
+        val qs = r.groupBy("l_partkey")
+          .agg(max("n").as("n_days"),
+            min(when(expr("4*rk >= 3*n"), col("q"))).as("q_star"))
+        val mn = pd.join(broadcast(topp), "l_partkey")
+          .groupBy("l_partkey")
+          .agg(expr("sum(q) * 1000 div count(1)").as("mean_q_milli"))
+        qs.join(mn, "l_partkey")
+          .select(col("l_partkey"), col("n_days").cast("long").as("n_days"),
+            col("q_star").as("q_star_75"),
+            col("mean_q_milli").as("mean_daily_q_milli"))
+          .orderBy("l_partkey")
+      },
+      Some("""WITH pd AS (SELECT l_partkey, l_shipdate AS d,
+             |      CAST(sum(l_quantity) AS BIGINT) AS q
+             |    FROM lineitem GROUP BY 1, 2),
+             |topp AS (SELECT l_partkey FROM (
+             |    SELECT l_partkey, sum(q) AS tq FROM pd GROUP BY 1
+             |    ORDER BY tq DESC, l_partkey LIMIT 10)),
+             |r AS (SELECT pd.l_partkey, q,
+             |        row_number() OVER (PARTITION BY pd.l_partkey ORDER BY q, d) AS rk,
+             |        count(*) OVER (PARTITION BY pd.l_partkey) AS n
+             |      FROM pd JOIN topp USING (l_partkey)),
+             |qs AS (SELECT l_partkey, max(n) AS n_days,
+             |        min(CASE WHEN 4*rk >= 3*n THEN q END) AS q_star
+             |      FROM r GROUP BY 1),
+             |mn AS (SELECT pd.l_partkey, sum(q) * 1000 // count(*) AS mean_q_milli
+             |       FROM pd JOIN topp USING (l_partkey) GROUP BY 1)
+             |SELECT qs.l_partkey, CAST(n_days AS BIGINT) AS n_days,
+             |  CAST(q_star AS BIGINT) AS q_star_75,
+             |  CAST(mn.mean_q_milli AS BIGINT) AS mean_daily_q_milli
+             |FROM qs JOIN mn USING (l_partkey) ORDER BY qs.l_partkey""".stripMargin))
   )
 }
