@@ -237,7 +237,8 @@ object ScaleProbe {
       "q_sign_test", "q_hurst", "q_assoc_rules", "q_theil_index",
       "q_control_chart", "q_dickey_fuller", "q_rank_stability", "q_simpson_check",
       "q_modularity", "q_uncertainty_sample",
-      "q_burrows_delta", "q_absorption_steps", "q_newsvendor")
+      "q_burrows_delta", "q_absorption_steps", "q_newsvendor",
+      "q_conformal", "q_mmd_linear")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

@@ -2718,7 +2718,112 @@ object Similarity {
           .toDF("round", "center_id", "sel_dist2", "radius2_after")
           .orderBy("round")
       },
-      Some(kcenterOracle))
+      Some(kcenterOracle)),
+
+    // linear-time MMD two-sample test — are label-0 and label-1
+    // embeddings drawn from the same distribution? Gretton's MMD_l:
+    // disjoint quadruples (x₁,x₂,y₁,y₂) paired deterministically within
+    // md5 buckets (bucket count ADAPTIVE, max(8, n/64), so partitions
+    // scale with the corpus instead of funneling into |labels| tasks),
+    // h = k(x₁,x₂)+k(y₁,y₂)−k(x₁,y₁)−k(x₂,y₂) with an RBF kernel on
+    // exact integer micro² distances, each kernel value quantized to
+    // nano before the sum. O(n) where the full MMD is O(n²) — the
+    // two-sample gate that still runs at corpus scale. Honest null on
+    // the fixture (labels iid): MMD ≈ 0.
+    QueryDef(
+      "q_mmd_linear",
+      (s, d) => {
+        val n0 = Tables.embeddings(s, d).where(col("label").isin(0, 1))
+          .agg(count(lit(1)).as("n"))
+        val bp = n0.select(expr("greatest(8, n div 64)").as("b"))
+        val v = Tables.embeddings(s, d).where(col("label").isin(0, 1))
+          .crossJoin(broadcast(bp))
+          .select(col("vec_id"), col("label"),
+            (conv(substring(md5(concat(lit("mm:"),
+              col("vec_id").cast("string"))), 1, 12), 16, 10)
+              .cast("long") % col("b")).as("bkt"))
+        val rk = v.withColumn("r",
+          row_number().over(Window.partitionBy("label", "bkt")
+            .orderBy("vec_id")) - 1)
+        val pr = rk.groupBy(col("label"), col("bkt"), expr("r div 2").as("pair"))
+          .agg(count(lit(1)).as("c"),
+            max(when(col("r") % 2 === 0, col("vec_id"))).as("ida"),
+            max(when(col("r") % 2 === 1, col("vec_id"))).as("idb"))
+          .where(col("c") === 2)
+        val quad = pr.where(col("label") === 0)
+          .select(col("bkt"), col("pair"), col("ida").as("x1"), col("idb").as("x2"))
+          .join(pr.where(col("label") === 1)
+            .select(col("bkt"), col("pair"), col("ida").as("y1"), col("idb").as("y2")),
+            Seq("bkt", "pair"))
+        val need = quad.select(col("bkt"), col("pair"), lit("xx").as("role"),
+            col("x1").as("ia"), col("x2").as("ib"))
+          .unionAll(quad.select(col("bkt"), col("pair"), lit("yy"),
+            col("y1"), col("y2")))
+          .unionAll(quad.select(col("bkt"), col("pair"), lit("xy"),
+            col("x1"), col("y1")))
+          .unionAll(quad.select(col("bkt"), col("pair"), lit("x2y2"),
+            col("x2"), col("y2")))
+        val xq = Tables.embeddings(s, d)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "e")))
+          .select(col("vec_id"), col("i"),
+            round(col("e").cast("double") * 1e6).cast("long").as("q"))
+        val d2 = need
+          .join(xq.select(col("vec_id").as("ia"), col("i"), col("q").as("qa")), "ia")
+          .join(xq.select(col("vec_id").as("ib"), col("i"), col("q").as("qb")),
+            Seq("ib", "i"))
+          .groupBy("bkt", "pair", "role")
+          .agg(sum(expr("CAST(qa - qb AS DECIMAL(38,0))*(qa - qb)")).as("d2"))
+        val h = d2
+          .select(col("bkt"), col("pair"),
+            expr("""CASE WHEN role IN ('xx', 'yy')
+                   | THEN CAST(round(1e9*exp(-CAST(d2 AS DOUBLE)/2e12)) AS BIGINT)
+                   | ELSE -CAST(round(1e9*exp(-CAST(d2 AS DOUBLE)/2e12)) AS BIGINT)
+                   | END""".stripMargin).as("k"))
+          .groupBy("bkt", "pair")
+          .agg(count(lit(1)).as("c"), sum("k").as("h"))
+          .where(col("c") === 4)
+        h.agg(count(lit(1)).as("n_quads"),
+          expr("CAST(round(1000000.0 * sum(h) / count(1) / 1e9) AS BIGINT)")
+            .as("mmd_micro"))
+      },
+      Some("""WITH n0 AS (SELECT count(*) AS n FROM embeddings WHERE label IN (0, 1)),
+             |bp AS (SELECT greatest(8, (SELECT n FROM n0) // 64) AS b),
+             |v AS (SELECT vec_id, label,
+             |      CAST(('0x' || substr(md5('mm:' || vec_id), 1, 12)) AS BIGINT)
+             |        % (SELECT b FROM bp) AS bkt
+             |    FROM embeddings WHERE label IN (0, 1)),
+             |rk AS (SELECT vec_id, label, bkt,
+             |      row_number() OVER (PARTITION BY label, bkt ORDER BY vec_id) - 1 AS r
+             |    FROM v),
+             |pr AS (SELECT label, bkt, r // 2 AS pair,
+             |        max(CASE WHEN r % 2 = 0 THEN vec_id END) AS ida,
+             |        max(CASE WHEN r % 2 = 1 THEN vec_id END) AS idb
+             |      FROM rk GROUP BY 1, 2, 3 HAVING count(*) = 2),
+             |quad AS (SELECT a.bkt, a.pair, a.ida AS x1, a.idb AS x2,
+             |        b.ida AS y1, b.idb AS y2
+             |      FROM pr a JOIN pr b ON a.bkt = b.bkt AND a.pair = b.pair
+             |      WHERE a.label = 0 AND b.label = 1),
+             |need AS (SELECT bkt, pair, 'xx' AS role, x1 AS ia, x2 AS ib FROM quad
+             |  UNION ALL SELECT bkt, pair, 'yy', y1, y2 FROM quad
+             |  UNION ALL SELECT bkt, pair, 'xy', x1, y1 FROM quad
+             |  UNION ALL SELECT bkt, pair, 'x2y2', x2, y2 FROM quad),
+             |xq AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+             |      CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+             |    FROM embeddings),
+             |d2 AS (SELECT n.bkt, n.pair, n.role,
+             |      sum(CAST(a.q - b.q AS HUGEINT)*(a.q - b.q)) AS d2
+             |    FROM need n JOIN xq a ON a.vec_id = n.ia
+             |    JOIN xq b ON b.vec_id = n.ib AND b.i = a.i
+             |    GROUP BY 1, 2, 3),
+             |kv AS (SELECT bkt, pair, role,
+             |      CAST(round(1e9*exp(-CAST(d2 AS DOUBLE)/2e12)) AS BIGINT) AS k FROM d2),
+             |h AS (SELECT bkt, pair,
+             |      sum(CASE WHEN role = 'xx' THEN k WHEN role = 'yy' THEN k
+             |           WHEN role = 'xy' THEN -k WHEN role = 'x2y2' THEN -k END) AS h
+             |    FROM kv GROUP BY 1, 2 HAVING count(*) = 4)
+             |SELECT CAST(count(*) AS BIGINT) AS n_quads,
+             |  CAST(round(1000000.0 * sum(h) / count(*) / 1e9) AS BIGINT) AS mmd_micro
+             |FROM h""".stripMargin))
   ) :+ ivfSweepDef :+ dedupSweepDef
 
   /** Near-dup threshold dial — the q_ivf_sweep idea applied to embedding

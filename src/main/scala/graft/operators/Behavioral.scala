@@ -5060,7 +5060,69 @@ object Behavioral {
         t.select(col("st").as("event_type"), col("t").as("steps_nano"))
           .orderBy("event_type")
       },
-      Some(absorptionOracle))
+      Some(absorptionOracle)),
+
+    // split-conformal prediction interval — the distribution-free
+    // coverage guarantee, end to end: fit the (deliberately crude)
+    // per-nation mean predictor on the train folds, take q̂ = the
+    // ⌈(n+1)·0.9⌉-th smallest absolute residual on the calibration fold
+    // (exact integer rank over the distributed GlobalOrder — the index
+    // is the integer ceil (9n+18) div 10, no float quantile), and
+    // report achieved coverage on the held-out fold. Conformal's point
+    // is that coverage ≈ 90 % HOLDS even for a bad model — the fixture
+    // shows 89.6–90.4 %. Folds are md5-deterministic quarters.
+    QueryDef(
+      "q_conformal",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey").as("k"), col("c_nationkey").as("g"),
+            round(col("o_totalprice") * 100).cast("long").as("y"),
+            (conv(substring(md5(concat(lit("cf:"),
+              col("o_orderkey").cast("string"))), 1, 12), 16, 10)
+              .cast("long") % 4).as("fold"))
+        val mu = o.where(col("fold") <= 1).groupBy("g")
+          .agg(expr("sum(y) div count(1)").as("yhat"))
+        val cal = o.join(broadcast(mu), "g").where(col("fold") === 2)
+          .select(col("k"), abs(col("y") - col("yhat")).as("r"))
+        val n = cal.agg(count(lit(1)).as("n"))
+        val ranked = GlobalOrder.withGlobalRowNumber(cal,
+          Seq(col("r").asc, col("k").asc), "rk")
+        val qi = n.select(expr("(9*n + 18) div 10").as("rk"), col("n"))
+        val qr = ranked.join(broadcast(qi), "rk")
+          .select(col("r").as("qhat"), col("n"))
+        o.join(broadcast(mu), "g").where(col("fold") === 3)
+          .crossJoin(broadcast(qr))
+          .agg(max("n").as("n_calib"), max("qhat").as("qhat_cents"),
+            count(lit(1)).as("n_test"),
+            sum(when(abs(col("y") - col("yhat")) <= col("qhat"), 1L)
+              .otherwise(0L)).as("cov"))
+          .select(col("n_calib"), col("qhat_cents"), col("n_test"),
+            expr("CAST(cov * 1000000 div n_test AS BIGINT)").as("coverage_micro"),
+            lit(900000L).as("target_micro"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey AS k, c_nationkey AS g,
+             |      CAST(round(o_totalprice*100) AS BIGINT) AS y,
+             |      CAST(('0x' || substr(md5('cf:' || o_orderkey), 1, 12)) AS BIGINT) % 4
+             |        AS fold
+             |    FROM orders JOIN customer ON c_custkey = o_custkey),
+             |mu AS (SELECT g, sum(y) // count(*) AS yhat FROM o WHERE fold <= 1 GROUP BY 1),
+             |cal AS (SELECT k, abs(y - yhat) AS r FROM o JOIN mu USING (g) WHERE fold = 2),
+             |n AS (SELECT count(*) AS n FROM cal),
+             |qi AS (SELECT (9*(SELECT n FROM n) + 18) // 10 AS qidx),
+             |qr AS (SELECT r FROM (SELECT r, row_number() OVER (ORDER BY r, k) AS rk FROM cal)
+             |       WHERE rk = (SELECT qidx FROM qi)),
+             |tst AS (SELECT count(*) AS m,
+             |        sum(CASE WHEN abs(y - yhat) <= (SELECT r FROM qr) THEN 1 ELSE 0 END)
+             |          AS cov
+             |      FROM o JOIN mu USING (g) WHERE fold = 3)
+             |SELECT CAST((SELECT n FROM n) AS BIGINT) AS n_calib,
+             |  CAST((SELECT r FROM qr) AS BIGINT) AS qhat_cents,
+             |  CAST(m AS BIGINT) AS n_test,
+             |  CAST(cov * 1000000 // m AS BIGINT) AS coverage_micro,
+             |  CAST(900000 AS BIGINT) AS target_micro
+             |FROM tst""".stripMargin))
   )
 
   /** Fixed-point absorbing-chain oracle — twenty unrolled Neumann steps
