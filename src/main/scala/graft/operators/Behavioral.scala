@@ -5122,7 +5122,134 @@ object Behavioral {
              |  CAST(m AS BIGINT) AS n_test,
              |  CAST(cov * 1000000 // m AS BIGINT) AS coverage_micro,
              |  CAST(900000 AS BIGINT) AS target_micro
-             |FROM tst""".stripMargin))
+             |FROM tst""".stripMargin)),
+
+    // Cochran-Mantel-Haenszel stratified test — q_simpson_check detects
+    // the aggregation reversal; CMH is the FIX: test the exposure→
+    // outcome association (late-half order date → high priority) WITHIN
+    // each nation stratum and pool. Per-stratum (a, E, V) are exact
+    // rationals of integer margins, the pooled χ² (df = 1, no continuity
+    // correction) is judged against the literal 3.841 critical value.
+    // One grouped pass over the fact join; the stratum table is
+    // ≤ |nations|. Honest null on TPC-H: priority ⊥ time.
+    QueryDef(
+      "q_cmh_test",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_nationkey").as("g"),
+            when(col("o_orderdate") >= lit("1998-06-01"), 1L).otherwise(0L).as("e"),
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L).as("y"))
+        val st = o.groupBy("g")
+          .agg(count(lit(1)).as("n"), sum("e").as("n1"),
+            sum(lit(1L) - col("e")).as("n0"), sum("y").as("m1"),
+            sum(lit(1L) - col("y")).as("m0"),
+            sum(col("e") * col("y")).as("a"))
+          .where(col("n") >= 2 && col("n1") > 0 && col("n0") > 0)
+        st.agg(count(lit(1)).as("k"),
+            sum(expr("CAST(a AS DOUBLE)")).as("sa"),
+            sum(expr("CAST(n1 AS DOUBLE)*m1/n")).as("se"),
+            sum(expr("CAST(n1 AS DOUBLE)*n0*m1*m0/(CAST(n AS DOUBLE)*n*(n-1))"))
+              .as("sv"))
+          .select(col("k").as("n_strata"),
+            expr("CAST(round(1000.0*(sa - se)) AS BIGINT)").as("excess_milli"),
+            expr("CAST(round(1000.0*(sa - se)*(sa - se)/sv) AS BIGINT)")
+              .as("cmh_chi2_milli"),
+            expr("""CAST(CASE WHEN (sa - se)*(sa - se)/sv > 3.841
+                   | THEN 1 ELSE 0 END AS BIGINT)""".stripMargin).as("reject_indep"))
+      },
+      Some("""WITH o AS (SELECT c_nationkey AS g,
+             |      CASE WHEN o_orderdate >= DATE '1998-06-01' THEN 1 ELSE 0 END AS e,
+             |      CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS y
+             |    FROM orders JOIN customer ON c_custkey = o_custkey),
+             |st AS (SELECT g, count(*) AS n,
+             |        sum(e) AS n1, sum(1 - e) AS n0,
+             |        sum(y) AS m1, sum(1 - y) AS m0,
+             |        sum(e * y) AS a
+             |      FROM o GROUP BY 1
+             |      HAVING count(*) >= 2 AND sum(e) > 0 AND sum(1-e) > 0),
+             |acc AS (SELECT count(*) AS k,
+             |    sum(CAST(a AS DOUBLE)) AS sa,
+             |    sum(CAST(n1 AS DOUBLE)*m1/n) AS se,
+             |    sum(CAST(n1 AS DOUBLE)*n0*m1*m0/(CAST(n AS DOUBLE)*n*(n-1))) AS sv
+             |  FROM st)
+             |SELECT CAST(k AS BIGINT) AS n_strata,
+             |  CAST(round(1000.0*(sa - se)) AS BIGINT) AS excess_milli,
+             |  CAST(round(1000.0*(sa - se)*(sa - se)/sv) AS BIGINT) AS cmh_chi2_milli,
+             |  CAST(CASE WHEN (sa - se)*(sa - se)/sv > 3.841 THEN 1 ELSE 0 END AS BIGINT)
+             |    AS reject_indep
+             |FROM acc""".stripMargin)),
+
+    // O'Brien-Fleming group-sequential monitor — the classical
+    // fixed-schedule complement to q_msprt's always-valid inference:
+    // four calendar looks at the md5-arm experiment, cumulative
+    // two-proportion z per look, spending boundary c/√k with the
+    // literal c = 4.333 (K = 4, α ≈ 0.05 two-sided). Early looks
+    // demand near-miraculous evidence, the final look pays almost
+    // full α — the reason real launch reviews use OBF. One grouped
+    // pass per look over the bounded look×arm table.
+    QueryDef(
+      "q_obrien_fleming",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .select(col("o_orderdate").as("dt"),
+            (conv(substring(md5(concat(lit("ab:"),
+              col("o_orderkey").cast("string"))), 1, 12), 16, 10)
+              .cast("long") % 2).as("arm"),
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L).as("y"))
+        val lk = s.createDataFrame(Seq(
+          (1L, "1996-09-01"), (2L, "1998-03-01"),
+          (3L, "1999-09-01"), (4L, "2001-08-02")))
+          .toDF("look", "cutoff")
+          .select(col("look"), col("cutoff").cast("date").as("cutoff"))
+        val cum = o.join(broadcast(lk), col("dt") < col("cutoff"))
+          .groupBy("look")
+          .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("c0"),
+            sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("c1"))
+        cum.select(col("look"), col("n0"), col("n1"),
+            expr("""(CAST(c1 AS DOUBLE)/n1 - CAST(c0 AS DOUBLE)/n0)
+                   | / sqrt((CAST(c0 + c1 AS DOUBLE)/(n0 + n1))
+                   |   * (1 - CAST(c0 + c1 AS DOUBLE)/(n0 + n1))
+                   |   * (1.0/n0 + 1.0/n1))""".stripMargin).as("zz"))
+          .select(col("look"), col("n0").as("n_control"), col("n1").as("n_treat"),
+            expr("CAST(round(1000.0*zz) AS BIGINT)").as("z_milli"),
+            expr("CAST(round(1000.0*4.333/sqrt(CAST(look AS DOUBLE))) AS BIGINT)")
+              .as("boundary_milli"),
+            expr("""CAST(CASE WHEN abs(zz) > 4.333/sqrt(CAST(look AS DOUBLE))
+                   | THEN 1 ELSE 0 END AS BIGINT)""".stripMargin).as("crossed"))
+          .orderBy("look")
+      },
+      Some("""WITH o AS (SELECT o_orderkey AS k, o_orderdate AS dt,
+             |      CAST(('0x' || substr(md5('ab:' || o_orderkey), 1, 12)) AS BIGINT) % 2
+             |        AS arm,
+             |      CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS y
+             |    FROM orders),
+             |lk AS (SELECT * FROM (VALUES (1, DATE '1996-09-01'), (2, DATE '1998-03-01'),
+             |        (3, DATE '1999-09-01'), (4, DATE '2001-08-02')) t(look, cutoff)),
+             |cum AS (SELECT lk.look,
+             |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+             |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+             |    sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS c0,
+             |    sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS c1
+             |  FROM o JOIN lk ON o.dt < lk.cutoff GROUP BY 1),
+             |z AS (SELECT look, n0, n1,
+             |    (CAST(c1 AS DOUBLE)/n1 - CAST(c0 AS DOUBLE)/n0)
+             |      / sqrt((CAST(c0 + c1 AS DOUBLE)/(n0 + n1))
+             |        * (1 - CAST(c0 + c1 AS DOUBLE)/(n0 + n1)) * (1.0/n0 + 1.0/n1)) AS zz
+             |  FROM cum)
+             |SELECT CAST(look AS BIGINT) AS look, CAST(n0 AS BIGINT) AS n_control,
+             |  CAST(n1 AS BIGINT) AS n_treat,
+             |  CAST(round(1000.0*zz) AS BIGINT) AS z_milli,
+             |  CAST(round(1000.0*4.333/sqrt(CAST(look AS DOUBLE))) AS BIGINT)
+             |    AS boundary_milli,
+             |  CAST(CASE WHEN abs(zz) > 4.333/sqrt(CAST(look AS DOUBLE)) THEN 1 ELSE 0 END
+             |    AS BIGINT) AS crossed
+             |FROM z ORDER BY look""".stripMargin))
   )
 
   /** Fixed-point absorbing-chain oracle — twenty unrolled Neumann steps
