@@ -238,7 +238,8 @@ object ScaleProbe {
       "q_control_chart", "q_dickey_fuller", "q_rank_stability", "q_simpson_check",
       "q_modularity", "q_uncertainty_sample",
       "q_burrows_delta", "q_absorption_steps", "q_newsvendor",
-      "q_conformal", "q_mmd_linear", "q_cmh_test", "q_obrien_fleming")
+      "q_conformal", "q_mmd_linear", "q_cmh_test", "q_obrien_fleming",
+      "q_shapley_attribution", "q_holm_bonferroni", "q_ransac_fit")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

@@ -5249,7 +5249,251 @@ object Behavioral {
              |    AS boundary_milli,
              |  CAST(CASE WHEN abs(zz) > 4.333/sqrt(CAST(look AS DOUBLE)) THEN 1 ELSE 0 END
              |    AS BIGINT) AS crossed
-             |FROM z ORDER BY look""".stripMargin))
+             |FROM z ORDER BY look""".stripMargin)),
+
+    // Shapley channel attribution — the game-theoretic split that
+    // first/last/position-touch heuristics approximate: value function
+    // v(C) = same-day purchase share of (user, day) cells whose exact
+    // channel mix is C over {view, click, signup}, Shapley weights
+    // |C|!(2−|C|)!/3! applied as the exact integer {2, 1, 2}/6 kernel.
+    // Everything after ONE user-day grouped pass lives on the ≤8-row
+    // coalition table (three bit-flip self-joins). The (user, day)
+    // grain is deliberate — user-lifetime coalitions are degenerate on
+    // any fixture where every user eventually does everything. On iid
+    // streams all marginals come out slightly negative (event-heavy
+    // days dilute same-day purchase share) — the honest null.
+    QueryDef(
+      "q_shapley_attribution",
+      (s, d) => {
+        val u = Tables.events(s, d)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(max(when(col("event_type") === "view", 1L).otherwise(0L)).as("hv"),
+            max(when(col("event_type") === "click", 1L).otherwise(0L)).as("hc"),
+            max(when(col("event_type") === "signup", 1L).otherwise(0L)).as("hs"),
+            max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+        val v = u.groupBy("hv", "hc", "hs")
+          .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+          .select(col("hv"), col("hc"), col("hs"),
+            expr("CAST(CAST(c AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)").as("vr"))
+        def shapFor(name: String, bit: String, o1: String, o2: String) = {
+          val base = v.where(col(bit) === 0)
+          val plus = v.where(col(bit) === 1)
+            .select(col(o1), col(o2), col("vr").as("vr2"))
+          base.join(plus, Seq(o1, o2), "left").na.fill(0L, Seq("vr2"))
+            .agg(sum(expr(s"""(CASE WHEN $o1 + $o2 = 0 THEN 2
+                             | WHEN $o1 + $o2 = 1 THEN 1 ELSE 2 END)
+                             | * (vr2 - vr)""".stripMargin)).as("num"))
+            .select(lit(name).as("channel"),
+              expr("CAST(round(CAST(num AS DOUBLE)/6.0/1000.0) AS BIGINT)")
+                .as("shapley_milli"))
+        }
+        shapFor("view", "hv", "hc", "hs")
+          .unionAll(shapFor("click", "hc", "hv", "hs"))
+          .unionAll(shapFor("signup", "hs", "hv", "hc"))
+          .orderBy("channel")
+      },
+      Some("""WITH u AS (SELECT user_id, CAST(ts AS DATE) AS day,
+             |      max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS hv,
+             |      max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS hc,
+             |      max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS hs,
+             |      max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+             |    FROM events GROUP BY 1, 2),
+             |v AS (SELECT hv, hc, hs,
+             |      CAST(sum(conv) AS HUGEINT) * 1000000 // count(*) AS vr
+             |    FROM u GROUP BY 1, 2, 3),
+             |g AS (SELECT hv, hc, hs, vr FROM v),
+             |sh AS (
+             |  SELECT 'view' AS channel,
+             |    sum(CASE WHEN hv = 0 THEN
+             |        (CASE WHEN hc + hs = 0 THEN 2 WHEN hc + hs = 1 THEN 1 ELSE 2 END)
+             |        * (coalesce((SELECT vr FROM g x
+             |            WHERE x.hv=1 AND x.hc=g.hc AND x.hs=g.hs), 0) - vr)
+             |      ELSE 0 END) AS num
+             |  FROM g
+             |  UNION ALL
+             |  SELECT 'click',
+             |    sum(CASE WHEN hc = 0 THEN
+             |        (CASE WHEN hv + hs = 0 THEN 2 WHEN hv + hs = 1 THEN 1 ELSE 2 END)
+             |        * (coalesce((SELECT vr FROM g x
+             |            WHERE x.hc=1 AND x.hv=g.hv AND x.hs=g.hs), 0) - vr)
+             |      ELSE 0 END)
+             |  FROM g
+             |  UNION ALL
+             |  SELECT 'signup',
+             |    sum(CASE WHEN hs = 0 THEN
+             |        (CASE WHEN hv + hc = 0 THEN 2 WHEN hv + hc = 1 THEN 1 ELSE 2 END)
+             |        * (coalesce((SELECT vr FROM g x
+             |            WHERE x.hs=1 AND x.hv=g.hv AND x.hc=g.hc), 0) - vr)
+             |      ELSE 0 END)
+             |  FROM g)
+             |SELECT channel, CAST(round(CAST(num AS DOUBLE)/6.0/1000.0) AS BIGINT)
+             |    AS shapley_milli
+             |FROM sh ORDER BY channel""".stripMargin)),
+
+    // Holm-Bonferroni step-down — the FWER companion to q_fdr_bh's FDR
+    // step-up, on an independent screen (event type vs day-of-week
+    // tercile, df = 2 closed-form survival): reject the sorted p-values
+    // while p₍ᵣ₎ ≤ α/(m−r+1) and STOP at the first failure. Same
+    // bounded |types|-row window machinery; the two procedures together
+    // are the multiple-testing toolkit a metrics platform actually
+    // ships. Honest null on the fixture: type ⊥ weekday.
+    QueryDef(
+      "q_holm_bonferroni",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("event_type"),
+            when(dayofweek(col("ts")) <= 2, 0)
+              .when(dayofweek(col("ts")) <= 5, 1).otherwise(2).as("per"))
+        val o = e.groupBy("event_type", "per").agg(count(lit(1)).as("o"))
+        val tm = o.groupBy("per").agg(sum("o").as("np"))
+        val ty = o.groupBy("event_type").agg(sum("o").as("nt"))
+        val n = o.agg(sum("o").as("n"))
+        val cells = ty.crossJoin(broadcast(tm)).crossJoin(broadcast(n))
+          .join(o, Seq("event_type", "per"), "left")
+          .select(col("event_type"),
+            coalesce(col("o"), lit(0L)).as("obs"),
+            expr("CAST(nt AS DOUBLE) * np / n").as("exp_in"),
+            expr("CAST(n - nt AS DOUBLE) * np / n").as("exp_out"),
+            (col("np") - coalesce(col("o"), lit(0L))).as("obs_out"))
+        val chi = cells.groupBy("event_type")
+          .agg(expr("""CAST(round(1000000.0 * sum((obs-exp_in)*(obs-exp_in)/exp_in
+                      |  + (obs_out-exp_out)*(obs_out-exp_out)/exp_out)) AS BIGINT)"""
+            .stripMargin).as("chisq_micro"))
+        val p = chi.select(col("event_type"), col("chisq_micro"),
+          expr("CAST(round(1000000.0 * exp(-CAST(chisq_micro AS DOUBLE)/2000000.0)) AS BIGINT)")
+            .as("p_micro"))
+        // bounded |types|-row windows (q_fdr_bh convention, whitelisted)
+        val wAll = Window.partitionBy()
+        p.withColumn("r", row_number().over(
+            Window.orderBy(col("p_micro"), col("event_type"))))
+          .withColumn("m", count(lit(1)).over(wAll))
+          .withColumn("kfail",
+            min(when(col("p_micro") * (col("m") - col("r") + 1) > 50000, col("r")))
+              .over(wAll))
+          .select(col("event_type"), col("chisq_micro"), col("p_micro"),
+            col("r").cast("long").as("rk"),
+            expr("CAST(50000 div (m - r + 1) AS BIGINT)").as("thr_micro"),
+            expr("""CAST(CASE WHEN kfail IS NULL OR r < kfail
+                   | THEN 1 ELSE 0 END AS BIGINT)""".stripMargin).as("reject"))
+          .orderBy("rk")
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |      CASE WHEN dayofweek(CAST(ts AS TIMESTAMP)) <= 1 THEN 0
+             |           WHEN dayofweek(CAST(ts AS TIMESTAMP)) <= 4 THEN 1 ELSE 2 END AS per
+             |    FROM events),
+             |o AS (SELECT event_type, per, count(*) AS o FROM e GROUP BY 1,2),
+             |tm AS (SELECT per, sum(o) AS np FROM o GROUP BY 1),
+             |ty AS (SELECT event_type, sum(o) AS nt FROM o GROUP BY 1),
+             |n AS (SELECT sum(o) AS n FROM o),
+             |cells AS (SELECT t.event_type,
+             |    coalesce(o.o, 0) AS obs,
+             |    CAST(t.nt AS DOUBLE) * p.np / n.n AS exp_in,
+             |    CAST(n.n - t.nt AS DOUBLE) * p.np / n.n AS exp_out,
+             |    p.np - coalesce(o.o, 0) AS obs_out
+             |  FROM ty t CROSS JOIN tm p CROSS JOIN n
+             |  LEFT JOIN o ON o.event_type = t.event_type AND o.per = p.per),
+             |chi AS (SELECT event_type,
+             |    CAST(round(1000000.0 * sum((obs-exp_in)*(obs-exp_in)/exp_in
+             |      + (obs_out-exp_out)*(obs_out-exp_out)/exp_out)) AS BIGINT) AS chisq_micro
+             |  FROM cells GROUP BY 1),
+             |p AS (SELECT event_type, chisq_micro,
+             |    CAST(round(1000000.0 * exp(-CAST(chisq_micro AS DOUBLE)/2000000.0))
+             |      AS BIGINT) AS p_micro FROM chi),
+             |rk AS (SELECT *, row_number() OVER (ORDER BY p_micro, event_type) AS r,
+             |        count(*) OVER () AS m FROM p),
+             |hf AS (SELECT *,
+             |        min(CASE WHEN p_micro * (m - r + 1) > 50000 THEN r ELSE NULL END)
+             |          OVER () AS kfail
+             |      FROM rk)
+             |SELECT event_type, chisq_micro, p_micro, CAST(r AS BIGINT) AS rk,
+             |  CAST(50000 // (m - r + 1) AS BIGINT) AS thr_micro,
+             |  CAST(CASE WHEN kfail IS NULL OR r < kfail THEN 1 ELSE 0 END AS BIGINT)
+             |    AS reject
+             |FROM hf ORDER BY rk""".stripMargin)),
+
+    // deterministic RANSAC line fit — robust trend through the daily
+    // revenue series that outliers cannot drag: 32 md5-seeded candidate
+    // day pairs (the repo's seedless-sampling convention), each scored
+    // by its EXACT integer inlier count — the residual test cross-
+    // multiplies through the slope denominator and the MR̄ tolerance's
+    // m denominator, so no float ever decides membership. Best
+    // candidate by inliers with index tiebreak. The consensus
+    // complement to q_theilsen (median slope) and q_control_chart
+    // (which flags the same outliers this fit ignores). The candidate ×
+    // calendar score join is 32 × ≤ #days.
+    QueryDef(
+      "q_ransac_fit",
+      (s, d) => {
+        val day = Tables.orders(s, d)
+          .groupBy(col("o_orderdate").as("dt"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
+        val idx = day.select(
+          (row_number().over(Window.orderBy("dt")) - 1).as("t"), col("x"))
+        val nn = idx.agg(count(lit(1)).as("n"))
+        val mr = day
+          .select(abs(col("x") - lag("x", 1).over(Window.orderBy("dt"))).as("r"))
+          .where(col("r").isNotNull)
+          .agg(count(lit(1)).as("m"), sum("r").as("rr"))
+        val cand = s.range(0, 32).toDF("j").crossJoin(broadcast(nn))
+          .select(col("j"),
+            (conv(substring(md5(concat(lit("ra:"), col("j").cast("string"),
+              lit(":1"))), 1, 12), 16, 10).cast("long") % col("n")).as("i1"),
+            (conv(substring(md5(concat(lit("ra:"), col("j").cast("string"),
+              lit(":2"))), 1, 12), 16, 10).cast("long") % col("n")).as("i2"))
+        val cl = cand
+          .join(idx.select(col("t").as("i1"), col("x").as("x1")), "i1")
+          .join(idx.select(col("t").as("i2"), col("x").as("x2")), "i2")
+          .where(col("i1") =!= col("i2"))
+          .select(col("j"), col("i1").as("t1"), col("x1"),
+            col("i2").as("t2"), col("x2"))
+        val fitj = cl.crossJoin(idx).crossJoin(broadcast(mr))
+          .where(expr("""abs(CAST(m AS DECIMAL(38,0))*((x - x1)*(t2 - t1)
+                        | - (x2 - x1)*(t - t1)))
+                        | <= CAST(rr AS DECIMAL(38,0)) * abs(t2 - t1)"""
+            .stripMargin))
+          .groupBy("j").agg(count(lit(1)).as("inliers"))
+        fitj.join(cl, "j")
+          .orderBy(col("inliers").desc, col("j")).limit(1)
+          .crossJoin(broadcast(nn))
+          .select(col("n").as("n_days"), col("j").as("best_candidate"),
+            col("inliers"),
+            expr("CAST(inliers * 1000000 div n AS BIGINT)").as("inlier_share_micro"),
+            expr("CAST(round(1000000.0*CAST(x2 - x1 AS DOUBLE)/(t2 - t1)) AS BIGINT)")
+              .as("slope_micro"))
+      },
+      Some("""WITH day AS (SELECT o_orderdate AS dt,
+             |      sum(CAST(round(o_totalprice*100) AS BIGINT)) AS x
+             |    FROM orders GROUP BY 1),
+             |idx AS (SELECT row_number() OVER (ORDER BY dt) - 1 AS t, x FROM day),
+             |nn AS (SELECT count(*) AS n FROM idx),
+             |mr AS (SELECT count(*) AS m, sum(r) AS rr FROM
+             |        (SELECT abs(x - lag(x) OVER (ORDER BY dt)) AS r FROM day)
+             |      WHERE r IS NOT NULL),
+             |cand AS (SELECT j,
+             |      CAST(('0x' || substr(md5('ra:' || j || ':1'), 1, 12)) AS BIGINT)
+             |        % (SELECT n FROM nn) AS i1,
+             |      CAST(('0x' || substr(md5('ra:' || j || ':2'), 1, 12)) AS BIGINT)
+             |        % (SELECT n FROM nn) AS i2
+             |    FROM (SELECT unnest(range(0, 32)) AS j)),
+             |cl AS (SELECT j, a.t AS t1, a.x AS x1, b.t AS t2, b.x AS x2
+             |      FROM cand JOIN idx a ON a.t = i1 JOIN idx b ON b.t = i2
+             |      WHERE i1 <> i2),
+             |fit AS (SELECT cl.j, count(*) AS inliers FROM cl JOIN idx ON TRUE
+             |      CROSS JOIN mr
+             |      WHERE abs(CAST(m AS HUGEINT)*((idx.x - cl.x1)*(cl.t2 - cl.t1)
+             |              - (cl.x2 - cl.x1)*(idx.t - cl.t1)))
+             |        <= CAST(rr AS HUGEINT) * abs(cl.t2 - cl.t1)
+             |      GROUP BY 1),
+             |best AS (SELECT f.j, f.inliers, cl.t1, cl.x1, cl.t2, cl.x2 FROM fit f
+             |      JOIN cl ON cl.j = f.j
+             |      ORDER BY f.inliers DESC, f.j LIMIT 1)
+             |SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n_days,
+             |  CAST(j AS BIGINT) AS best_candidate, CAST(inliers AS BIGINT) AS inliers,
+             |  CAST(inliers * 1000000 // (SELECT n FROM nn) AS BIGINT)
+             |    AS inlier_share_micro,
+             |  CAST(round(1000000.0*CAST(x2 - x1 AS DOUBLE)/(t2 - t1)) AS BIGINT)
+             |    AS slope_micro
+             |FROM best""".stripMargin))
   )
 
   /** Fixed-point absorbing-chain oracle — twenty unrolled Neumann steps

@@ -294,7 +294,13 @@ class PlanAuditSpec extends SparkSpec {
       "q_control_chart", "q_dickey_fuller",
       // q_rank_stability: the half-sample re-rank row_numbers run on the
       // two 20-row TopK outputs, bounded by the limit that precedes them
-      "q_rank_stability")
+      "q_rank_stability",
+      // q_holm_bonferroni: rank/kfail windows over the |types|-row
+      // p frame (q_fdr_bh convention)
+      "q_holm_bonferroni",
+      // q_ransac_fit: the day-index row_number and moving-range lag ride
+      // the ≤ #days calendar frame (q_control_chart convention)
+      "q_ransac_fit")
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !allowed(name)
       w = fn(spark, sf).queryExecution.optimizedPlan.collect {
