@@ -381,4 +381,106 @@ class AnalyticsInvariantSpec extends SparkSpec {
       assert(cf > 0L && cf <= 1000000L && cb > 0L && cb <= 1000000L, row.toString)
     }
   }
+
+  test("q_control_chart: limits bracket the center, violations partition correctly") {
+    val row = rows("q_control_chart").head
+    assert(row.getAs[Long]("lcl_micro") < row.getAs[Long]("center_micro"))
+    assert(row.getAs[Long]("center_micro") < row.getAs[Long]("ucl_micro"))
+    assert(row.getAs[Long]("n_above") + row.getAs[Long]("n_below") <=
+      row.getAs[Long]("n_days"))
+  }
+
+  test("q_dickey_fuller: beta in [-2, 0] for a mean-reverting daily series") {
+    val row = rows("q_dickey_fuller").head
+    val b = row.getAs[Long]("beta_nano")
+    assert(b <= 0L && b >= -2000000000L, b.toString)
+  }
+
+  test("q_rank_stability: footrule zero iff overlap tiny, jaccard consistent") {
+    val row = rows("q_rank_stability").head
+    val ov = row.getAs[Long]("overlap_at_20")
+    assert(ov >= 0L && ov <= 20L)
+    val j = row.getAs[Long]("jaccard_micro")
+    if (ov == 20L) assert(j == 1000000L) else assert(j < 1000000L)
+  }
+
+  test("q_simpson_check: group sign counts bounded by group count") {
+    val row = rows("q_simpson_check").head
+    assert(row.getAs[Long]("n_pos_groups") + row.getAs[Long]("n_neg_groups") <=
+      row.getAs[Long]("n_groups"))
+    assert(Set(-1L, 0L, 1L).contains(row.getAs[Long]("pooled_sign")))
+  }
+
+  test("q_conformal: achieved coverage within 3pp of the 90% target") {
+    val row = rows("q_conformal").head
+    val cov = row.getAs[Long]("coverage_micro")
+    assert(math.abs(cov - 900000L) < 30000L, cov.toString)
+    assert(row.getAs[Long]("qhat_cents") > 0L)
+  }
+
+  test("q_mmd_linear: same-distribution labels give |MMD| under 0.25") {
+    val row = rows("q_mmd_linear").head
+    assert(row.getAs[Long]("n_quads") > 0L)
+    assert(math.abs(row.getAs[Long]("mmd_micro")) < 250000L, row.toString)
+  }
+
+  test("q_obrien_fleming: boundaries shrink with looks, samples accumulate") {
+    val r = rows("q_obrien_fleming").sortBy(_.getAs[Long]("look"))
+    assert(r.size == 4)
+    val b = r.map(_.getAs[Long]("boundary_milli"))
+    assert(b.zip(b.tail).forall { case (x, y) => y < x }, b.toString)
+    val n = r.map(x => x.getAs[Long]("n_control") + x.getAs[Long]("n_treat"))
+    assert(n.zip(n.tail).forall { case (x, y) => y >= x }, n.toString)
+  }
+
+  test("q_cmh_test: chi-square nonnegative, reject consistent with 3.841") {
+    val row = rows("q_cmh_test").head
+    val c = row.getAs[Long]("cmh_chi2_milli")
+    assert(c >= 0L)
+    assert(row.getAs[Long]("reject_indep") == (if (c > 3841L) 1L else 0L))
+  }
+
+  test("q_holm_bonferroni: thresholds rise with rank, rejections form a prefix") {
+    val r = rows("q_holm_bonferroni").sortBy(_.getAs[Long]("rk"))
+    val thr = r.map(_.getAs[Long]("thr_micro"))
+    assert(thr.zip(thr.tail).forall { case (a, b) => a <= b }, thr.toString)
+    val rej = r.map(_.getAs[Long]("reject"))
+    assert(rej.zip(rej.tail).forall { case (a, b) => a >= b }, rej.toString)
+  }
+
+  test("q_shapley_attribution: exactly the three channels") {
+    val r = rows("q_shapley_attribution")
+    assert(r.map(_.getAs[String]("channel")).sorted ==
+      Seq("click", "signup", "view"))
+  }
+
+  test("q_ransac_fit: inliers positive and bounded by days") {
+    val row = rows("q_ransac_fit").head
+    val in = row.getAs[Long]("inliers")
+    assert(in > 0L && in <= row.getAs[Long]("n_days"))
+    assert(row.getAs[Long]("inlier_share_micro") <= 1000000L)
+  }
+
+  test("q_absorption_steps: every transient state needs at least one step") {
+    val r = rows("q_absorption_steps")
+    assert(r.nonEmpty)
+    for (row <- r)
+      assert(row.getAs[Long]("steps_nano") >= 1000000000L, row.toString)
+  }
+
+  test("q_burrows_delta: deltas nonnegative and sorted ascending") {
+    val r = rows("q_burrows_delta")
+    assert(r.size == 10)
+    val ds = r.map(_.getAs[Long]("delta_micro"))
+    assert(ds.forall(_ >= 0L))
+    assert(ds.zip(ds.tail).forall { case (a, b) => a <= b }, ds.toString)
+  }
+
+  test("q_newsvendor: the 75th-percentile stock covers the mean demand") {
+    val r = rows("q_newsvendor")
+    assert(r.size == 10)
+    for (row <- r)
+      assert(row.getAs[Long]("q_star_75") * 1000L >=
+        row.getAs[Long]("mean_daily_q_milli"), row.toString)
+  }
 }

@@ -298,6 +298,9 @@ class PlanAuditSpec extends SparkSpec {
       // q_holm_bonferroni: rank/kfail windows over the |types|-row
       // p frame (q_fdr_bh convention)
       "q_holm_bonferroni",
+      // q_conformal: withGlobalRowNumber's ≤ #shuffle-partitions
+      // prefix-sum (q_coverage_curve convention)
+      "q_conformal",
       // q_ransac_fit: the day-index row_number and moving-range lag ride
       // the ≤ #days calendar frame (q_control_chart convention)
       "q_ransac_fit")
