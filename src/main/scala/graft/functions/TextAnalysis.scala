@@ -1290,6 +1290,57 @@ object TextAnalysis {
              |      FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
              |      GROUP BY 1, 2)
              |SELECT src_a, src_b, delta_micro FROM pairs
-             |ORDER BY delta_micro, src_a, src_b LIMIT 10""".stripMargin))
+             |ORDER BY delta_micro, src_a, src_b LIMIT 10""".stripMargin)),
+
+    // best-passage extraction — the snippet step of a search stack:
+    // for each doc, the 10-token window carrying the most query-term
+    // hits (query = the top-3 document-frequency terms, deterministic),
+    // reported for the 10 densest docs. The window sum is PARTITIONED
+    // by doc (ROWS BETWEEN CURRENT AND 9 FOLLOWING — per-doc sliding,
+    // never a global window), the query set is a 3-row broadcast, and
+    // ties resolve to the earliest start. One tokenize scan end to end.
+    QueryDef(
+      "q_best_passage",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(split(col("text"), " "))
+            .as(Seq("pos0", "w")))
+          .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("w"))
+        val qt = toks.groupBy("w").agg(countDistinct("doc_id").as("df"))
+          .orderBy(col("df").desc, col("w")).limit(3).select(col("w"))
+        val fl = toks
+          .join(broadcast(qt.withColumn("hit", lit(1L))), Seq("w"), "left")
+          .select(col("doc_id"), col("pos"),
+            coalesce(col("hit"), lit(0L)).as("f"))
+        val win = fl.withColumn("score",
+          sum("f").over(Window.partitionBy("doc_id").orderBy("pos")
+            .rowsBetween(0, 9)))
+        win.withColumn("rk",
+            row_number().over(Window.partitionBy("doc_id")
+              .orderBy(col("score").desc, col("pos"))))
+          .where(col("rk") === 1)
+          .select(col("doc_id"), col("pos").cast("long").as("start_pos"),
+            col("score").as("matched"))
+          .orderBy(col("matched").desc, col("doc_id")).limit(10)
+      },
+      Some("""WITH toks AS (SELECT doc_id, i AS pos, ws[i] AS w
+             |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |    LATERAL unnest(range(1, len(ws)+1)) AS t(i)),
+             |df AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+             |qt AS (SELECT w FROM df ORDER BY df DESC, w LIMIT 3),
+             |fl AS (SELECT doc_id, pos,
+             |    CASE WHEN w IN (SELECT w FROM qt) THEN 1 ELSE 0 END AS f
+             |    FROM toks),
+             |win AS (SELECT doc_id, pos,
+             |    sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+             |                 ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS score
+             |  FROM fl),
+             |best AS (SELECT doc_id, pos AS start_pos, score,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, pos) AS rk
+             |  FROM win)
+             |SELECT doc_id, CAST(start_pos AS BIGINT) AS start_pos,
+             |  CAST(score AS BIGINT) AS matched
+             |FROM best WHERE rk = 1
+             |ORDER BY matched DESC, doc_id LIMIT 10""".stripMargin))
   )
 }

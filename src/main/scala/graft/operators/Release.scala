@@ -63,6 +63,40 @@ object Release {
       "\nSELECT d.id, d.deg, pr10.r FROM deg d JOIN pr10 ON pr10.id = d.id ORDER BY d.id"
   }
 
+  /** Fixed-point personalized-PageRank oracle — eight unrolled restart
+    * power steps over the weighted co-purchase edges, MATERIALIZED per
+    * stage, truncating nano arithmetic mirroring the Spark loop term
+    * for term (per-edge `r·w // tw`, restart mass only at the seed). */
+  private def pprOracle: String = {
+    val steps = (1 to 8).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |    SELECT n.id,
+         |      CAST((CASE WHEN n.id = (SELECT sd FROM seed) THEN 150000000 ELSE 0 END)
+         |        + (85 * coalesce(c$k.cs, 0)) // 100 AS BIGINT) AS r
+         |    FROM nodes n LEFT JOIN (
+         |      SELECT e.dst AS id, sum(CAST(p${k - 1}.r AS HUGEINT) * e.w // ws.tw) AS cs
+         |      FROM e JOIN p${k - 1} ON p${k - 1}.id = e.src JOIN ws ON ws.src = e.src
+         |      GROUP BY 1) c$k ON c$k.id = n.id)""".stripMargin
+    }
+    s"""WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e0 AS MATERIALIZED (SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS w
+       |    FROM lp a JOIN lp b
+       |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |    GROUP BY 1, 2),
+       |e AS MATERIALIZED (SELECT p1 AS src, p2 AS dst, w FROM e0
+       |    UNION ALL SELECT p2, p1, w FROM e0),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
+       |ws AS MATERIALIZED (SELECT src, sum(w) AS tw FROM e GROUP BY 1),
+       |seed AS MATERIALIZED (SELECT min(id) AS sd FROM nodes),
+       |p0 AS MATERIALIZED (SELECT id,
+       |    CAST(CASE WHEN id = (SELECT sd FROM seed) THEN 1000000000 ELSE 0 END
+       |      AS BIGINT) AS r
+       |  FROM nodes),
+       |${steps.mkString(",\n")}
+       |SELECT id AS partkey, r AS ppr_nano FROM p8
+       |ORDER BY r DESC, id LIMIT 10""".stripMargin
+  }
+
   /** Eager lineage cut, DedupOps convention: a RELIABLE checkpoint when
     * the session has a checkpoint dir (localCheckpoint blocks are pinned
     * — they cannot be recomputed — so a corpus-scale edge list held in
@@ -1168,7 +1202,121 @@ object Release {
              |  CAST(num * 1000000
              |    // (CAST(4 AS HUGEINT)*(SELECT m FROM m)*(SELECT m FROM m)) AS BIGINT)
              |    AS modularity_micro
-             |FROM q""".stripMargin))
+             |FROM q""".stripMargin)),
+
+    // personalized PageRank — relevance to a SEED part (the "customers
+    // who bought this also orbit..." recommender primitive), the
+    // restart-biased dual of q_pagerank's global centrality. Eight power
+    // steps over the weighted co-purchase artifact in truncating nano
+    // fixed point: p ← 0.15·seed + 0.85·Wᵀp with per-edge integer div,
+    // the restart mass injected by a broadcast seed comparison (no
+    // driver collect anywhere). Each step is one keyed join + grouped
+    // sum — shuffle ∝ |edges|, never squared. Top-10 by mass.
+    QueryDef(
+      "q_ppr",
+      (s, d) => {
+        val (e0, deg) = copurchaseGraph(s, d)
+        val e = e0.select(col("p1").as("src"), col("p2").as("dst"), col("w"))
+          .unionByName(e0.select(col("p2").as("src"), col("p1").as("dst"), col("w")))
+        // the artifact's degree table already lists every node — no distinct
+        val nodes = deg.select(col("p").as("id"))
+        // one lineage cut each: ws and every p_k would otherwise re-derive
+        // the whole prefix per iteration (the q_kcore peel-round argument)
+        val ws = cutLineage(e.groupBy("src").agg(sum("w").as("tw")))
+        val seed = nodes.agg(min("id").as("sd"))
+        var p = nodes.crossJoin(broadcast(seed))
+          .select(col("id"),
+            when(col("id") === col("sd"), 1000000000L).otherwise(0L).as("r"))
+        for (k <- 1 to 8) {
+          val contribs = p.join(e, col("id") === col("src"))
+            .join(ws, "src")
+            .groupBy("dst")
+            .agg(sum(expr("CAST(r AS DECIMAL(38,0)) * w div tw")).as("cs"))
+          val next = nodes.crossJoin(broadcast(seed))
+            .join(contribs.select(col("dst").as("id"), col("cs")), Seq("id"), "left")
+            .select(col("id"),
+              (when(col("id") === col("sd"), 150000000L).otherwise(0L) +
+                expr("(85 * coalesce(cs, CAST(0 AS DECIMAL(38,0)))) div 100"))
+                .cast("long").as("r"))
+          // cut every second round: halves the checkpoint IO while keeping
+          // the executed plan depth ≤ 2 rounds
+          p = if (k % 2 == 0) cutLineage(next) else next
+        }
+        p.orderBy(col("r").desc, col("id")).limit(10)
+          .select(col("id").as("partkey"), col("r").as("ppr_nano"))
+      },
+      Some(pprOracle)),
+
+    // hub-robustness probe — how much of the co-purchase network's
+    // largest component survives removing the top-1% hubs? The
+    // percolation gate a marketplace runs before trusting "the network
+    // is resilient": scale-free graphs shatter, dense ones shrug.
+    // Hub cut by GlobalOrder rank (no driver collect, no partitionless
+    // window over the node-scaled degree frame); both component maps
+    // come from the same checkpointed min-label CC the dedup chain
+    // uses. The honest fixture answer: the dense graph loses exactly
+    // the removed nodes and nothing else.
+    QueryDef(
+      "q_hub_robustness",
+      (s, d) => {
+        val (e0, deg) = copurchaseGraph(s, d)
+        val nn = deg.agg(count(lit(1)).as("n"))
+        val ranked = GlobalOrder.withGlobalRowNumber(deg,
+          Seq(col("deg").desc, col("p").asc), "rn")
+        val hubs = ranked.crossJoin(broadcast(nn))
+          .where(expr("rn <= (n + 99) div 100")).select("p")
+        val ef = e0
+          .join(hubs.select(col("p").as("p1")), Seq("p1"), "left_anti")
+          .join(hubs.select(col("p").as("p2")), Seq("p2"), "left_anti")
+        def lcc(edges: org.apache.spark.sql.DataFrame) =
+          DedupOps.connectedComponentsStar(
+              edges.select(col("p1").as("id1"), col("p2").as("id2")))
+            .groupBy("cluster").agg(count(lit(1)).as("cnt"))
+            .agg(coalesce(max("cnt"), lit(0L)).as("lcc"))
+        val before = lcc(e0).select(col("lcc").as("lcc_before"))
+        val after = lcc(ef).select(col("lcc").as("lcc_after"))
+        val me = e0.agg(count(lit(1)).as("n_edges"))
+        val hc = hubs.agg(count(lit(1)).as("hubs_removed"))
+        nn.crossJoin(broadcast(me)).crossJoin(broadcast(hc))
+          .crossJoin(broadcast(before)).crossJoin(broadcast(after))
+          .select(col("n").as("n_nodes"), col("n_edges"), col("hubs_removed"),
+            col("lcc_before"), col("lcc_after"),
+            expr("(lcc_before - lcc_after) * 1000000 div lcc_before")
+              .as("lcc_drop_micro"))
+      },
+      Some("""WITH RECURSIVE lp AS MATERIALIZED (
+             |    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e0 AS MATERIALIZED (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+             |    FROM lp a JOIN lp b
+             |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |    GROUP BY 1, 2),
+             |nb AS (SELECT p1 AS p FROM e0 UNION ALL SELECT p2 FROM e0),
+             |deg AS MATERIALIZED (SELECT p, count(*) AS deg FROM nb GROUP BY 1),
+             |nn AS (SELECT count(*) AS n FROM deg),
+             |hubs AS MATERIALIZED (SELECT p FROM deg
+             |    ORDER BY deg DESC, p LIMIT (SELECT (n + 99) // 100 FROM nn)),
+             |ef AS MATERIALIZED (SELECT p1, p2 FROM e0
+             |    WHERE p1 NOT IN (SELECT p FROM hubs)
+             |      AND p2 NOT IN (SELECT p FROM hubs)),
+             |eu AS (SELECT p1 AS a, p2 AS b FROM e0 UNION SELECT p2, p1 FROM e0),
+             |reach(id, r) AS (SELECT a, a FROM eu UNION
+             |    SELECT eu.a, reach.r FROM eu JOIN reach ON reach.id = eu.b),
+             |lab AS (SELECT id, min(r) AS c FROM reach GROUP BY 1),
+             |lcc0 AS (SELECT max(cnt) AS lcc FROM
+             |    (SELECT c, count(*) AS cnt FROM lab GROUP BY 1)),
+             |euf AS (SELECT p1 AS a, p2 AS b FROM ef UNION SELECT p2, p1 FROM ef),
+             |reach2(id, r) AS (SELECT a, a FROM euf UNION
+             |    SELECT euf.a, reach2.r FROM euf JOIN reach2 ON reach2.id = euf.b),
+             |lab2 AS (SELECT id, min(r) AS c FROM reach2 GROUP BY 1),
+             |lcc1 AS (SELECT coalesce(max(cnt), 0) AS lcc FROM
+             |    (SELECT c, count(*) AS cnt FROM lab2 GROUP BY 1))
+             |SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n_nodes,
+             |  CAST((SELECT count(*) FROM e0) AS BIGINT) AS n_edges,
+             |  CAST((SELECT count(*) FROM hubs) AS BIGINT) AS hubs_removed,
+             |  CAST((SELECT lcc FROM lcc0) AS BIGINT) AS lcc_before,
+             |  CAST((SELECT lcc FROM lcc1) AS BIGINT) AS lcc_after,
+             |  CAST(((SELECT lcc FROM lcc0) - (SELECT lcc FROM lcc1)) * 1000000
+             |    // (SELECT lcc FROM lcc0) AS BIGINT) AS lcc_drop_micro""".stripMargin))
   )
 
   /** Fixed-point WEIGHTED PageRank oracle — six unrolled stages over the
