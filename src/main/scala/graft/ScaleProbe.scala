@@ -240,7 +240,8 @@ object ScaleProbe {
       "q_burrows_delta", "q_absorption_steps", "q_newsvendor",
       "q_conformal", "q_mmd_linear", "q_cmh_test", "q_obrien_fleming",
       "q_shapley_attribution", "q_holm_bonferroni", "q_ransac_fit",
-      "q_ppr", "q_hub_robustness", "q_best_passage")
+      "q_ppr", "q_hub_robustness", "q_best_passage",
+      "q_crosstab_residuals", "q_price_endings")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

@@ -5493,7 +5493,63 @@ object Behavioral {
              |    AS inlier_share_micro,
              |  CAST(round(1000000.0*CAST(x2 - x1 AS DOUBLE)/(t2 - t1)) AS BIGINT)
              |    AS slope_micro
-             |FROM best""".stripMargin))
+             |FROM best""".stripMargin)),
+
+    // adjusted standardized residuals — q_fdr_bh and q_chisq say WHETHER
+    // the type×tercile table deviates; this says WHICH CELL:
+    // r = (O−E)/√(E(1−row/n)(1−col/n)), the Agresti-adjusted residual
+    // that is asymptotically N(0,1) per cell, flagged at |r| > 1.96.
+    // The drill-down a dashboard shows when the omnibus test fires.
+    // One map-combined grouped count; everything after is margin
+    // arithmetic on the |types|×3 cell table.
+    QueryDef(
+      "q_crosstab_residuals",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("event_type"),
+            when(dayofmonth(col("ts")) <= 10, 0)
+              .when(dayofmonth(col("ts")) <= 20, 1).otherwise(2).as("per"))
+        val o = e.groupBy("event_type", "per").agg(count(lit(1)).as("o"))
+        val tm = o.groupBy("per").agg(sum("o").as("np"))
+        val ty = o.groupBy("event_type").agg(sum("o").as("nt"))
+        val n = o.agg(sum("o").as("n"))
+        ty.crossJoin(broadcast(tm)).crossJoin(broadcast(n))
+          .join(o, Seq("event_type", "per"), "left")
+          .select(col("event_type"), col("per").cast("long").as("per"),
+            coalesce(col("o"), lit(0L)).as("obs"),
+            expr("CAST(nt AS DOUBLE) * np / n").as("exp"),
+            expr("CAST(nt AS DOUBLE) / n").as("rs"),
+            expr("CAST(np AS DOUBLE) / n").as("cs"))
+          .select(col("event_type"), col("per"), col("obs"),
+            expr("CAST(round(1000.0*exp) AS BIGINT)").as("exp_milli"),
+            expr("""CAST(round(1000.0*(obs - exp)/sqrt(exp*(1 - rs)*(1 - cs)))
+                   | AS BIGINT)""".stripMargin).as("std_resid_milli"),
+            expr("""CAST(CASE WHEN abs((obs - exp)/sqrt(exp*(1 - rs)*(1 - cs))) > 1.96
+                   | THEN 1 ELSE 0 END AS BIGINT)""".stripMargin).as("flagged"))
+          .orderBy("event_type", "per")
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |      CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 10 THEN 0
+             |           WHEN day(CAST(ts AS TIMESTAMP)) <= 20 THEN 1 ELSE 2 END AS per
+             |    FROM events),
+             |o AS (SELECT event_type, per, count(*) AS o FROM e GROUP BY 1, 2),
+             |tm AS (SELECT per, sum(o) AS np FROM o GROUP BY 1),
+             |ty AS (SELECT event_type, sum(o) AS nt FROM o GROUP BY 1),
+             |n AS (SELECT sum(o) AS n FROM o),
+             |cells AS (SELECT t.event_type, p.per,
+             |    coalesce(o.o, 0) AS obs,
+             |    CAST(t.nt AS DOUBLE) * p.np / n.n AS exp,
+             |    CAST(t.nt AS DOUBLE) / n.n AS rs,
+             |    CAST(p.np AS DOUBLE) / n.n AS cs
+             |  FROM ty t CROSS JOIN tm p CROSS JOIN n
+             |  LEFT JOIN o ON o.event_type = t.event_type AND o.per = p.per)
+             |SELECT event_type, CAST(per AS BIGINT) AS per, CAST(obs AS BIGINT) AS obs,
+             |  CAST(round(1000.0*exp) AS BIGINT) AS exp_milli,
+             |  CAST(round(1000.0*(obs - exp)/sqrt(exp*(1 - rs)*(1 - cs))) AS BIGINT)
+             |    AS std_resid_milli,
+             |  CAST(CASE WHEN abs((obs - exp)/sqrt(exp*(1 - rs)*(1 - cs))) > 1.96
+             |    THEN 1 ELSE 0 END AS BIGINT) AS flagged
+             |FROM cells ORDER BY event_type, per""".stripMargin))
   )
 
   /** Fixed-point absorbing-chain oracle — twenty unrolled Neumann steps

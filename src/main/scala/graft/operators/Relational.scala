@@ -2416,6 +2416,38 @@ object Relational {
              |SELECT qs.l_partkey, CAST(n_days AS BIGINT) AS n_days,
              |  CAST(q_star AS BIGINT) AS q_star_75,
              |  CAST(mn.mean_q_milli AS BIGINT) AS mean_daily_q_milli
-             |FROM qs JOIN mn USING (l_partkey) ORDER BY qs.l_partkey""".stripMargin))
+             |FROM qs JOIN mn USING (l_partkey) ORDER BY qs.l_partkey""".stripMargin)),
+
+    // price-ending profile — the psychological-pricing audit: which
+    // cents endings dominate order totals, and how far above the
+    // uniform 1 % each sits. On synthetic TPC-H prices the honest
+    // answer is "uniform within noise" — the gate exists so a pricing
+    // engine that starts rounding to .99 shows up as drift. One
+    // map-combined grouped count over the 100-value ending domain.
+    QueryDef(
+      "q_price_endings",
+      (s, d) => {
+        val c = Tables.orders(s, d)
+          .select((round(col("o_totalprice") * 100).cast("long") % 100)
+            .as("ending"))
+        val n = c.agg(count(lit(1)).as("n"))
+        c.groupBy("ending").agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(n))
+          .select(col("ending"), col("cnt").as("n_orders"),
+            expr("CAST(cnt * 1000000 div n AS BIGINT)").as("share_micro"),
+            expr("CAST(cnt * 100000000 div n div 1000 AS BIGINT)")
+              .as("lift_vs_uniform_milli"))
+          .orderBy(col("n_orders").desc, col("ending"))
+          .limit(10)
+      },
+      Some("""WITH c AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) % 100 AS ending
+             |      FROM orders),
+             |n AS (SELECT count(*) AS n FROM c),
+             |g AS (SELECT ending, count(*) AS cnt FROM c GROUP BY 1)
+             |SELECT ending, CAST(cnt AS BIGINT) AS n_orders,
+             |  CAST(cnt * 1000000 // (SELECT n FROM n) AS BIGINT) AS share_micro,
+             |  CAST(cnt * 100000000 // (SELECT n FROM n) // 1000 AS BIGINT)
+             |    AS lift_vs_uniform_milli
+             |FROM g ORDER BY cnt DESC, ending LIMIT 10""".stripMargin))
   )
 }

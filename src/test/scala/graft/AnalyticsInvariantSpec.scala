@@ -483,4 +483,48 @@ class AnalyticsInvariantSpec extends SparkSpec {
       assert(row.getAs[Long]("q_star_75") * 1000L >=
         row.getAs[Long]("mean_daily_q_milli"), row.toString)
   }
+
+  test("q_ppr: the seed keeps the most mass and every mass is nonnegative") {
+    val r = rows("q_ppr")
+    assert(r.nonEmpty)
+    val masses = r.map(_.getAs[Long]("ppr_nano"))
+    assert(masses.forall(_ >= 0L))
+    // restart mass alone gives the seed >= 0.15; truncation only shrinks
+    assert(masses.max >= 150000000L, masses.max.toString)
+  }
+
+  test("q_hub_robustness: the post-removal LCC never exceeds the original") {
+    val row = rows("q_hub_robustness").head
+    assert(row.getAs[Long]("lcc_after") <= row.getAs[Long]("lcc_before"))
+    assert(row.getAs[Long]("lcc_before") <= row.getAs[Long]("n_nodes"))
+    assert(row.getAs[Long]("hubs_removed") >= 1L)
+  }
+
+  test("q_best_passage: window scores bounded by the window length") {
+    val r = rows("q_best_passage")
+    assert(r.nonEmpty)
+    for (row <- r) {
+      val m = row.getAs[Long]("matched")
+      assert(m >= 0L && m <= 10L, row.toString)
+      assert(row.getAs[Long]("start_pos") >= 1L)
+    }
+  }
+
+  test("q_crosstab_residuals: full grid, flags consistent with 1.96") {
+    val r = rows("q_crosstab_residuals")
+    assert(r.size == 15)
+    for (row <- r) {
+      val z = row.getAs[Long]("std_resid_milli")
+      assert(row.getAs[Long]("flagged") ==
+        (if (math.abs(z) > 1960L) 1L else 0L), row.toString)
+    }
+  }
+
+  test("q_price_endings: shares descend and stay near the uniform 1%") {
+    val r = rows("q_price_endings")
+    assert(r.size == 10)
+    val sh = r.map(_.getAs[Long]("share_micro"))
+    assert(sh.zip(sh.tail).forall { case (a, b) => b <= a }, sh.toString)
+    assert(sh.head < 100000L, "no ending should carry 10% of synthetic prices")
+  }
 }

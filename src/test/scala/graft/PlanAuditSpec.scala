@@ -301,6 +301,9 @@ class PlanAuditSpec extends SparkSpec {
       // q_conformal: withGlobalRowNumber's ≤ #shuffle-partitions
       // prefix-sum (q_coverage_curve convention)
       "q_conformal",
+      // q_hub_robustness: withGlobalRowNumber's ≤ #shuffle-partitions
+      // prefix-sum for the hub rank (q_coverage_curve convention)
+      "q_hub_robustness",
       // q_ransac_fit: the day-index row_number and moving-range lag ride
       // the ≤ #days calendar frame (q_control_chart convention)
       "q_ransac_fit")
