@@ -46,6 +46,29 @@ def canon(cols, rows):
     return [cols[i] for i in order], out
 
 
+def type_lint(con, oracle_sql):
+    """DESCRIBE every oracle and reject output types the driver's pandas
+    hash treats differently from Spark's (HUGEINT/UHUGEINT from bare
+    sum(BIGINT), DECIMAL) — dtype mismatches that the value-stringifying
+    comparison below cannot see. Runs over ALL registry entries regardless
+    of the query filter so the class can't recur on unselected queries."""
+    bad = 0
+    for name in sorted(oracle_sql):
+        try:
+            desc = con.execute(f"DESCRIBE {oracle_sql[name]}").fetchall()
+        except Exception as e:
+            print(f"TYPELINT-FAIL {name}: DESCRIBE error {e}")
+            bad += 1
+            continue
+        offending = [(c, t) for c, t, *_ in desc
+                     if "HUGEINT" in t.upper() or "DECIMAL" in t.upper()]
+        if offending:
+            print(f"TYPELINT-FAIL {name}: un-cast wide output columns "
+                  f"{offending} — CAST them (AS BIGINT/DOUBLE) in the oracle")
+            bad += 1
+    return bad
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -58,6 +81,7 @@ def main():
     if unknown:
         print(f"FAIL unknown query name(s) in filter: {sorted(unknown)}")
         sys.exit(1)
+    lint_failed = type_lint(con, oracle_sql)
     ok = failed = 0
     for name in sorted(oracle_sql):
         if only and name not in only:
@@ -90,8 +114,8 @@ def main():
         else:
             print(f"ok   {name} ({len(sr)} rows)")
             ok += 1
-    print(f"{ok} ok, {failed} failed")
-    sys.exit(1 if failed else 0)
+    print(f"{ok} ok, {failed} failed, {lint_failed} type-lint failures")
+    sys.exit(1 if failed or lint_failed else 0)
 
 
 if __name__ == "__main__":

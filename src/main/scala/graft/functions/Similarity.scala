@@ -353,20 +353,36 @@ object Similarity {
     * one write, no shuffle); AnnIndexSpec pins append×N → compact →
     * probe identical. Single-writer maintenance like the appends
     * themselves — concurrent publication rides `AtomicPublish`, not
-    * this swap. Returns true when a compaction ran. */
+    * this swap. Crash-safe: a writer that died mid-swap leaves either
+    * the live path intact (stale tmp, removed below) or the compacted
+    * table stranded in tmp with the live path renamed away — entry
+    * recovery below finishes the interrupted swap before anything else,
+    * so no crash point loses data and a subsequent call never throws on
+    * a missing path. Returns true when a compaction ran. */
   def compactIvfIndex(spark: SparkSession, dir: String,
       maxFiles: Int = 64): Boolean = {
     val path = new org.apache.hadoop.fs.Path(s"$dir/assignments")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/_assignments_compacting")
+    val bak = new org.apache.hadoop.fs.Path(s"$dir/_assignments_old")
+    // crash recovery: the live path can only be missing if a previous
+    // compaction died BETWEEN its two renames — and at that point the
+    // tmp write had already completed, so finishing its second rename
+    // restores the newer (compacted) table; an empty-handed fallback to
+    // the backup covers a manually disturbed directory. No stored index
+    // at all → nothing to compact.
+    if (!fs.exists(path)) {
+      if (fs.exists(tmp)) fs.rename(tmp, path)
+      else if (fs.exists(bak)) fs.rename(bak, path)
+      else return false
+    }
+    if (fs.exists(bak)) fs.delete(bak, true) // leftover post-swap cleanup
     val nFiles = fs.listStatus(path)
       .count(_.getPath.getName.endsWith(".parquet"))
     if (nFiles <= maxFiles) return false
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/_assignments_compacting")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     spark.read.parquet(path.toString)
       .write.mode("overwrite").parquet(tmp.toString)
-    val bak = new org.apache.hadoop.fs.Path(s"$dir/_assignments_old")
-    if (fs.exists(bak)) fs.delete(bak, true)
     fs.rename(path, bak)
     fs.rename(tmp, path)
     fs.delete(bak, true)

@@ -1183,8 +1183,10 @@ object TextAnalysis {
              |    CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_re,
              |    n_chars
              |  FROM documents)
-             |SELECT source, count(*) AS n_docs, sum(n_ws) AS ws_tokens,
-             |  sum(n_re) AS re_tokens, sum(n_chars) AS chars,
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
+             |  CAST(sum(n_re) AS BIGINT) AS re_tokens,
+             |  CAST(sum(n_chars) AS BIGINT) AS chars,
              |  CAST(sum(n_re) * 1000000 // sum(n_ws) AS BIGINT) AS fertility_micro,
              |  CAST(sum(n_chars) * 1000000 // sum(n_re) AS BIGINT) AS chars_per_piece_micro
              |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)),

@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps extends org.apache.spark.internal.Logging {
 
+  /** Declared scope bound for `q_setsim_join`, the exact pair-listing
+    * verification oracle: a pair lister's OUTPUT is Ω(n²)·density on a
+    * near-dup-dense corpus, so past this many sliced documents the query
+    * fails fast naming `q_setsim_topk` (bounded top-1-per-doc output) as
+    * the production path — the [[graft.functions.Similarity.FixedKnnMaxN]]
+    * precedent. 2¹⁸ docs ≈ 40× the sf0.1 slice, far above every
+    * verification scale and far below corpus scale. */
+  val SetsimJoinMaxDocs: Long = 1L << 18
+
   /** Distinct whitespace tokens, one row per (id, token). */
   def explodeTokens(df: DataFrame, id: String, text: String): DataFrame =
     df.select(col(id), explode(array_distinct(split(col(text), " "))).as("tok"))
@@ -1188,9 +1197,19 @@ object DedupOps extends org.apache.spark.internal.Logging {
     QueryDef(
       "q_setsim_join",
       (s, d) => {
-        val t = explodeTokens(
-          Tables.documents(s, d).where(col("doc_id") % 10 === 0),
-          "doc_id", "text")
+        val docs = Tables.documents(s, d).where(col("doc_id") % 10 === 0)
+        // explicit scope guard (the [[Similarity.FixedKnnMaxN]] pattern):
+        // a pair LISTER cannot be capped without forfeiting the exactness
+        // contract the oracle verifies, so past the declared bound it
+        // fails fast naming the bounded-output production form instead
+        // of emitting an Ω(n²)·density pair list
+        val nd = docs.count()
+        require(nd <= SetsimJoinMaxDocs,
+          s"q_setsim_join is the small-scale exactness oracle (pair-list " +
+            s"output is quadratic in near-dup density): bounded to " +
+            s"$SetsimJoinMaxDocs sliced docs (slice has $nd); use " +
+            "q_setsim_topk (top-1-per-doc, bounded output) in production")
+        val t = explodeTokens(docs, "doc_id", "text")
         val tokDf = t.groupBy("tok").agg(count(lit(1)).as("tok_df"))
         val ranked = t.join(tokDf, "tok")
           .withColumn("rn", row_number().over(

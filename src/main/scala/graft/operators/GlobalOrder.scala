@@ -37,41 +37,67 @@ object GlobalOrder {
 
   private val LocalBits = 33 // monotonically_increasing_id: pid << 33 | local
 
-  /** Ranked projections pinned by [[withGlobalRowNumber]] /
-    * [[withRunningTotal]] since the last [[release]]. The persist must
+  /** A per-invocation registry of the ranked projections pinned by
+    * [[withGlobalRowNumber]] / [[withRunningTotal]]. The persist must
     * outlive the CONSUMING action — the offsets job and the final pass
     * both read it — which a lazily-returned DataFrame cannot scope on
-    * its own; so every pinned projection is tracked here and released by
-    * the caller once the query output is materialized. Without that,
-    * each invocation leaves MEMORY_AND_DISK blocks pinned for the
-    * session lifetime (disk-backed blocks are never LRU-reclaimed until
-    * context shutdown) and a long multi-query session accumulates
-    * unbounded cache. */
-  private val pinned = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    * its own; so every pinned projection is tracked on a handle and
+    * released by the caller once the query output is materialized.
+    * Without that, each invocation leaves MEMORY_AND_DISK blocks pinned
+    * for the session lifetime (disk-backed blocks are never
+    * LRU-reclaimed until context shutdown) and a long multi-query
+    * session accumulates unbounded cache. */
+  final class PinHandle private[GlobalOrder] () {
+    private[GlobalOrder] val pins =
+      new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  private def pin(df: DataFrame): DataFrame = { pinned.add(df); df }
-
-  /** Unpersists every ranked projection pinned since the last call.
-    * Call AFTER the consuming action (write/collect/count) has
-    * materialized the query output — Verify and Bench do, per query.
-    * Re-executing a previously returned frame after release would
-    * recompute the projection and lose the cross-job boundary
-    * consistency the persist exists for; materialize once, release,
-    * re-derive if needed. Idempotent and safe when nothing is pinned.
-    *
-    * SCOPE CONTRACT: the registry is process-global, so release()
-    * unpersists EVERY caller's projections — all GlobalOrder consumers
-    * in one JVM must run single-threaded (Verify, Bench, and the
-    * forked test suite all do, sequentially) and must not hold a
-    * returned frame across a release() boundary. A future concurrent
-    * harness needs per-invocation handles before it may share a JVM.
-    *
-    * `blocking = true` waits for block removal — use between timed
-    * runs so async cleanup can't bleed into the next measurement. */
-  def release(blocking: Boolean = false): Unit = {
-    var d = pinned.poll()
-    while (d != null) { d.unpersist(blocking); d = pinned.poll() }
+    /** Unpersists every projection pinned under THIS handle — another
+      * caller's scoped pins are untouched, so releasing cannot force a
+      * concurrent consumer to silently recompute its ranked projection
+      * (and lose the cross-job boundary consistency the persist exists
+      * for). Call AFTER the consuming action has materialized the
+      * output; idempotent and safe when nothing is pinned.
+      * `blocking = true` waits for block removal — use between timed
+      * runs so async cleanup can't bleed into the next measurement. */
+    def release(blocking: Boolean = false): Unit = {
+      var d = pins.poll()
+      while (d != null) { d.unpersist(blocking); d = pins.poll() }
+    }
   }
+
+  /** Pins from callers outside any [[scoped]] block land here — the
+    * sequential Verify/Bench/spec harnesses, which drain it per query
+    * via the process-global [[release]]. */
+  private val defaultHandle = new PinHandle
+
+  /** The handle receiving pins on the current thread — thread-local
+    * (inherited by child threads), so two concurrent scoped callers in
+    * one JVM cannot see each other's pins. */
+  private val current =
+    new scala.util.DynamicVariable[PinHandle](defaultHandle)
+
+  private def pin(df: DataFrame): DataFrame = { current.value.pins.add(df); df }
+
+  /** Runs `body` with a FRESH per-invocation handle and returns
+    * (result, handle): every projection pinned during `body` belongs to
+    * the returned handle, which the caller releases after materializing
+    * its output. This is the concurrency-safe entry point — a scoped
+    * caller can never unpersist another caller's projections, and the
+    * global [[release]] never touches scoped pins. */
+  def scoped[T](body: => T): (T, PinHandle) = {
+    val h = new PinHandle
+    (current.withValue(h)(body), h)
+  }
+
+  /** Unpersists every ranked projection pinned OUTSIDE any [[scoped]]
+    * block since the last call — the sequential-harness convenience
+    * (Verify and Bench call it per query). Re-executing a previously
+    * returned frame after release would recompute the projection and
+    * lose the cross-job boundary consistency the persist exists for;
+    * materialize once, release, re-derive if needed. Concurrent callers
+    * must use [[scoped]] instead: this drains only the default handle,
+    * so it cannot reach — and cannot break — their pins. */
+  def release(blocking: Boolean = false): Unit = defaultHandle.release(blocking)
 
   /** Adds a dense 1-based `out` BIGINT column: the row's position under
     * `order` (which must be a total order) across the whole dataset.

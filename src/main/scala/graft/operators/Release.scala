@@ -125,14 +125,56 @@ object Release {
   private[graft] def copurchaseGraph(s: org.apache.spark.sql.SparkSession,
       d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val dir = Artifacts.dirFor(s"copurchase:$d", { out =>
+    val dir = copurchaseDir(s, d)
+    (s.read.parquet(s"$dir/edges"), s.read.parquet(s"$dir/deg"))
+  }
+
+  /** Directed expansion of the co-purchase artifact: `nbw` is
+    * e0 ∪ reverse(e0) as (u, v, w, s) with the per-source out-weight
+    * total `s` ALREADY JOINED IN, and `ws` is the skinny (u, s) table —
+    * both stored once per (JVM, dataset). The weighted-graph family
+    * (q_ppr / q_weighted_pagerank / q_bfs_layers) previously rebuilt the
+    * union + grouped sum per query, and the iterative consumers then had
+    * to checkpoint the join; a parquet read of the pre-joined table is
+    * both the dedup and the lineage cut. */
+  private[graft] def copurchaseDirected(s: org.apache.spark.sql.SparkSession,
+      d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val dir = copurchaseDir(s, d)
+    (s.read.parquet(s"$dir/nbw"), s.read.parquet(s"$dir/ws"))
+  }
+
+  private def copurchaseDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    Artifacts.dirFor(s"copurchase:$d", { out =>
       copurchaseGraphRaw(s, d)._1.write.parquet(s"$out/edges")
       val e = s.read.parquet(s"$out/edges")
       e.select(col("p1").as("p")).unionAll(e.select(col("p2").as("p")))
         .groupBy("p").agg(count(lit(1)).as("deg"))
         .write.parquet(s"$out/deg")
+      val nb = e.select(col("p1").as("u"), col("p2").as("v"), col("w"))
+        .unionAll(e.select(col("p2").as("u"), col("p1").as("v"), col("w")))
+      nb.groupBy("u").agg(sum("w").as("s")).write.parquet(s"$out/ws")
+      nb.join(s.read.parquet(s"$out/ws"), "u").write.parquet(s"$out/nbw")
     })
-    (s.read.parquet(s"$dir/edges"), s.read.parquet(s"$dir/deg"))
+
+  /** Star-contraction connected-component labels (id, cluster) of the
+    * co-purchase graph at edge-weight threshold `minW`, published once
+    * per (JVM, dataset, threshold). Consumers whose output is
+    * label-invariant (component SIZE readouts) share the stored map
+    * instead of re-running the iterative CC: q_hub_robustness's
+    * "before" arm (minW=1, the full graph) and q_product_communities
+    * (minW=3). */
+  private[graft] def copurchaseCcLabels(s: org.apache.spark.sql.SparkSession,
+      d: String, minW: Long): org.apache.spark.sql.DataFrame = {
+    val dir = Artifacts.dirFor(s"copurchase-cc:$minW:$d", { out =>
+      val (e0, _) = copurchaseGraph(s, d)
+      DedupOps.connectedComponentsStar(
+          e0.where(col("w") >= minW)
+            .select(col("p1").as("id1"), col("p2").as("id2")))
+        .write.parquet(s"$out/labels")
+    })
+    s.read.parquet(s"$dir/labels")
   }
 
   /** The uncached build path of [[copurchaseGraph]] — what the artifact
@@ -900,16 +942,15 @@ object Release {
     QueryDef(
       "q_weighted_pagerank",
       (s, d) => {
-        val (e, _) = copurchaseGraph(s, d)
-        val nb = e.select(col("p1").as("u"), col("p2").as("v"), col("w"))
-          .unionAll(e.select(col("p2").as("u"), col("p1").as("v"), col("w")))
-        val st = nb.groupBy("u").agg(sum("w").as("s"))
-        val nbs = cutLineage(nb.join(st, "u"))
+        // the artifact stores the directed adjacency with the per-source
+        // strength pre-joined — the parquet scan replaces the old
+        // per-query union + grouped sum + checkpoint
+        val (nbs, st) = copurchaseDirected(s, d)
         var pr = st.select(col("u").as("id"), lit(1000000L).as("r"))
         // the rounds form a LINEAR chain (each pr feeds exactly one
         // consumer), so unlike q_kcore's multi-consumer frames no
-        // per-round lineage cut is needed: the weighted adjacency is
-        // checkpointed once and the six join+agg stages run as one job
+        // per-round lineage cut is needed: the weighted adjacency is a
+        // stored table and the six join+agg stages run as one job
         for (_ <- 1 to 6) {
           pr = nbs.join(pr, nbs("u") === pr("id"))
             .select(nbs("v").as("id0"), expr("(r * w) div s").as("c"))
@@ -935,9 +976,7 @@ object Release {
     QueryDef(
       "q_bfs_layers",
       (s, d) => {
-        val (e, _) = copurchaseGraph(s, d)
-        val nb = e.select(col("p1").as("u"), col("p2").as("v"))
-          .unionAll(e.select(col("p2").as("u"), col("p1").as("v")))
+        val nb = copurchaseDirected(s, d)._1.select("u", "v")
         val l0 = cutLineage(
           nb.select(col("u").as("id")).where(col("id") < 10).distinct())
         def expand(frontier: org.apache.spark.sql.DataFrame,
@@ -1215,21 +1254,20 @@ object Release {
     QueryDef(
       "q_ppr",
       (s, d) => {
-        val (e0, deg) = copurchaseGraph(s, d)
-        val e = e0.select(col("p1").as("src"), col("p2").as("dst"), col("w"))
-          .unionByName(e0.select(col("p2").as("src"), col("p1").as("dst"), col("w")))
+        // the stored directed adjacency carries the out-weight total `s`
+        // pre-joined — no per-query grouped sum, no checkpoint: the
+        // parquet scan is the lineage cut each power step restarts from
+        val (nbw, _) = copurchaseDirected(s, d)
+        val e = nbw.select(col("u").as("src"), col("v").as("dst"), col("w"),
+          col("s").as("tw"))
         // the artifact's degree table already lists every node — no distinct
-        val nodes = deg.select(col("p").as("id"))
-        // one lineage cut each: ws and every p_k would otherwise re-derive
-        // the whole prefix per iteration (the q_kcore peel-round argument)
-        val ws = cutLineage(e.groupBy("src").agg(sum("w").as("tw")))
+        val nodes = copurchaseGraph(s, d)._2.select(col("p").as("id"))
         val seed = nodes.agg(min("id").as("sd"))
         var p = nodes.crossJoin(broadcast(seed))
           .select(col("id"),
             when(col("id") === col("sd"), 1000000000L).otherwise(0L).as("r"))
         for (k <- 1 to 8) {
           val contribs = p.join(e, col("id") === col("src"))
-            .join(ws, "src")
             .groupBy("dst")
             .agg(sum(expr("CAST(r AS DECIMAL(38,0)) * w div tw")).as("cs"))
           val next = nodes.crossJoin(broadcast(seed))
@@ -1253,9 +1291,12 @@ object Release {
     // is resilient": scale-free graphs shatter, dense ones shrug.
     // Hub cut by GlobalOrder rank (no driver collect, no partitionless
     // window over the node-scaled degree frame); both component maps
-    // come from the same checkpointed min-label CC the dedup chain
-    // uses. The honest fixture answer: the dense graph loses exactly
-    // the removed nodes and nothing else.
+    // are star-contraction CC ([[DedupOps.connectedComponentsStar]] —
+    // the form that completed the 100× probe where min-label aborted),
+    // and the "before" map reads the PUBLISHED ccLabels artifact rather
+    // than re-running the iterative CC this query shares with every
+    // other full-graph component consumer. The honest fixture answer:
+    // the dense graph loses exactly the removed nodes and nothing else.
     QueryDef(
       "q_hub_robustness",
       (s, d) => {
@@ -1268,13 +1309,14 @@ object Release {
         val ef = e0
           .join(hubs.select(col("p").as("p1")), Seq("p1"), "left_anti")
           .join(hubs.select(col("p").as("p2")), Seq("p2"), "left_anti")
-        def lcc(edges: org.apache.spark.sql.DataFrame) =
-          DedupOps.connectedComponentsStar(
-              edges.select(col("p1").as("id1"), col("p2").as("id2")))
-            .groupBy("cluster").agg(count(lit(1)).as("cnt"))
-            .agg(coalesce(max("cnt"), lit(0L)).as("lcc"))
-        val before = lcc(e0).select(col("lcc").as("lcc_before"))
-        val after = lcc(ef).select(col("lcc").as("lcc_after"))
+        def lccOf(labels: org.apache.spark.sql.DataFrame) = labels
+          .groupBy("cluster").agg(count(lit(1)).as("cnt"))
+          .agg(coalesce(max("cnt"), lit(0L)).as("lcc"))
+        val before = lccOf(copurchaseCcLabels(s, d, 1L))
+          .select(col("lcc").as("lcc_before"))
+        val after = lccOf(DedupOps.connectedComponentsStar(
+            ef.select(col("p1").as("id1"), col("p2").as("id2"))))
+          .select(col("lcc").as("lcc_after"))
         val me = e0.agg(count(lit(1)).as("n_edges"))
         val hc = hubs.agg(count(lit(1)).as("hubs_removed"))
         nn.crossJoin(broadcast(me)).crossJoin(broadcast(hc))

@@ -437,7 +437,11 @@ class AnalyticsInvariantSpec extends SparkSpec {
     val row = rows("q_cmh_test").head
     val c = row.getAs[Long]("cmh_chi2_milli")
     assert(c >= 0L)
-    assert(row.getAs[Long]("reject_indep") == (if (c > 3841L) 1L else 0L))
+    // ±1-milli guard band around the threshold: the query's flag comes
+    // from the unrounded double, this law from the rounded milli (the
+    // q_crosstab_residuals convention)
+    if (c < 3840L || c > 3842L)
+      assert(row.getAs[Long]("reject_indep") == (if (c > 3841L) 1L else 0L))
   }
 
   test("q_holm_bonferroni: thresholds rise with rank, rejections form a prefix") {
@@ -514,9 +518,15 @@ class AnalyticsInvariantSpec extends SparkSpec {
     val r = rows("q_crosstab_residuals")
     assert(r.size == 15)
     for (row <- r) {
-      val z = row.getAs[Long]("std_resid_milli")
-      assert(row.getAs[Long]("flagged") ==
-        (if (math.abs(z) > 1960L) 1L else 0L), row.toString)
+      // the query flags on the UNROUNDED double (> 1.96) while this law
+      // reads the rounded milli column — a residual inside the ±1-milli
+      // rounding band of the threshold can legitimately disagree, so
+      // consistency is asserted only OUTSIDE the band (fixture
+      // regeneration must not fail a correct query on a boundary tie)
+      val z = math.abs(row.getAs[Long]("std_resid_milli"))
+      if (z < 1959L || z > 1961L)
+        assert(row.getAs[Long]("flagged") ==
+          (if (z > 1960L) 1L else 0L), row.toString)
     }
   }
 

@@ -143,6 +143,28 @@ class AnnIndexSpec extends SparkSpec {
     assert(files() < filesBefore, s"compaction did not shrink ${files()}")
     assert(rows() == rowsBefore, "compaction changed the assignment rows")
     assert(probe() == probeBefore, "compaction changed probe results")
+
+    // crash recovery: simulate a writer that died BETWEEN its two swap
+    // renames — live path renamed away, compacted table stranded in tmp.
+    // The next call must finish the interrupted swap (restore from tmp,
+    // the newer table), lose no rows, and not throw on the missing path.
+    val fsPath = new org.apache.hadoop.fs.Path(s"$dir/assignments")
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/_assignments_compacting")
+    val bak = new org.apache.hadoop.fs.Path(s"$dir/_assignments_old")
+    fs.rename(fsPath, tmp) // the "compacted" table, stranded mid-swap
+    fs.mkdirs(bak) // a stale leftover backup must not confuse recovery
+    assert(!Similarity.compactIvfIndex(spark, dir, maxFiles = 1000))
+    assert(fs.exists(fsPath) && !fs.exists(tmp) && !fs.exists(bak),
+      "interrupted swap was not recovered to a clean live path")
+    assert(rows() == rowsBefore, "recovery lost assignment rows")
+    assert(probe() == probeBefore, "recovery changed probe results")
+    // …and the crash point BEFORE any rename (live path intact, stale
+    // tmp only) is cleaned up without touching the live table
+    fs.mkdirs(tmp)
+    assert(Similarity.compactIvfIndex(spark, dir, maxFiles = 0))
+    assert(fs.exists(fsPath) && !fs.exists(tmp) && !fs.exists(bak))
+    assert(rows() == rowsBefore, "stale-tmp cleanup corrupted the table")
   }
 
   test("probe plan touches the stored assignments, never re-assigns the corpus") {

@@ -4,6 +4,7 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import graft.operators.{Artifacts, DedupOps, Release}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** The build-once artifact cache must be (a) a cache — the builder runs
   * exactly once per key, even under concurrent first callers — and
@@ -49,6 +50,29 @@ class ArtifactSpec extends SparkSpec {
     assert(e.count() > 0)
     assert(same(e, eRaw), "edges artifact diverged from the raw derivation")
     assert(same(deg, degRaw), "degree artifact diverged from the raw derivation")
+  }
+
+  test("directed co-purchase artifact: nbw/ws equal the raw derivation") {
+    val (nbw, ws) = Release.copurchaseDirected(spark, sf)
+    val (eRaw, _) = Release.copurchaseGraphRaw(spark, sf)
+    val nbRaw = eRaw.select(col("p1").as("u"), col("p2").as("v"), col("w"))
+      .unionAll(eRaw.select(col("p2").as("u"), col("p1").as("v"), col("w")))
+    val wsRaw = nbRaw.groupBy("u").agg(sum("w").as("s"))
+    assert(ws.count() > 0)
+    assert(same(ws, wsRaw), "out-weight artifact diverged from raw derivation")
+    assert(same(nbw, nbRaw.join(wsRaw, "u")),
+      "directed adjacency artifact diverged from raw derivation")
+  }
+
+  test("cc-labels artifact: consume path equals a fresh star-contraction run") {
+    val labels = Release.copurchaseCcLabels(spark, sf, 3L)
+    val (eRaw, _) = Release.copurchaseGraphRaw(spark, sf)
+    val fresh = DedupOps.connectedComponentsStar(
+      eRaw.where(col("w") >= 3)
+        .select(col("p1").as("id1"), col("p2").as("id2")))
+    assert(labels.count() > 0)
+    assert(same(labels, fresh),
+      "cc-labels artifact diverged from a fresh star-contraction run")
   }
 
   test("dup-cluster artifact: consume path equals the raw build path") {

@@ -76,6 +76,44 @@ class GlobalOrderSpec extends SparkSpec {
     GlobalOrder.release()
   }
 
+  test("scoped handles: releasing one caller's pins leaves the other's cached") {
+    // two interleaved callers, each in its own scope: caller A releasing
+    // must not unpersist caller B's ranked projection (the process-global
+    // release() trap this API exists to close), and the global release()
+    // must not reach scoped pins at all
+    GlobalOrder.release()
+    val base = spark.sparkContext.getPersistentRDDs.keySet
+    // distinct inputs per caller: Spark's CacheManager dedups persist()
+    // by logical plan, so identical frames would share one cache entry
+    // regardless of any handle discipline
+    def ranked(n: Long) = {
+      val df = spark.range(n).select(col("id"),
+        (col("id") * 2654435761L % 101).as("v"))
+      GlobalOrder.withGlobalRowNumber(
+        df, Seq(col("v").asc, col("id").asc), "pos")
+    }
+    val (outA, hA) = GlobalOrder.scoped { val r = ranked(3000); r.count(); r }
+    val afterA = spark.sparkContext.getPersistentRDDs.keySet -- base
+    val (outB, hB) = GlobalOrder.scoped { val r = ranked(4000); r.count(); r }
+    val bOnly = spark.sparkContext.getPersistentRDDs.keySet -- base -- afterA
+    assert(afterA.nonEmpty && bOnly.nonEmpty,
+      "expected each scope to pin its own projection")
+    // the global release must not touch either scope's pins
+    GlobalOrder.release(blocking = true)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- base)
+      == afterA ++ bOnly)
+    hA.release(blocking = true)
+    val left = spark.sparkContext.getPersistentRDDs.keySet -- base
+    assert((left & afterA).isEmpty, "caller A's pins survived its release")
+    assert(bOnly.subsetOf(left),
+      "caller A's release unpersisted caller B's projection")
+    assert(outB.count() == 4000) // B's frame still valid, no recompute race
+    hB.release(blocking = true)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- base).isEmpty)
+    hA.release(); hB.release() // idempotent
+    assert(outA.count() == 3000) // released frames re-derive correctly
+  }
+
   test("withGlobalNtile equals the global ntile window under a total order") {
     val df = spark.range(500).select(col("id"),
       (col("id") * 1103515245L % 37).as("v"))

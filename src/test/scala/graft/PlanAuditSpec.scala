@@ -407,8 +407,11 @@ class PlanAuditSpec extends SparkSpec {
     // afterward is the other half of the discipline (GlobalOrderSpec
     // covers it)
     try {
-      assert("InMemoryTableScan".r.findAllIn(planOf("q_rfm")).length >= 3,
-        "q_rfm's three quartile passes no longer pin their projections")
+      // the single-pass rewrite ranks all three dimensions in ONE
+      // GlobalOrder pass over the 3n exploded frame: exactly one pinned
+      // projection, scanned by both the offsets job and the final pass
+      assert("InMemoryTableScan".r.findAllIn(planOf("q_rfm")).length >= 1,
+        "q_rfm's quartile pass no longer pins its projection")
       assert(planOf("q_gain_chart").contains("InMemoryTableScan"),
         "q_gain_chart's decile pass no longer pins its projection")
     } finally operators.GlobalOrder.release()
