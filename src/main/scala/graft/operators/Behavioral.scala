@@ -103,23 +103,20 @@ object Behavioral {
             .as("monetary_cents"))
         // three GLOBAL quartile assignments without partitionless ntile
         // windows (which funnel every user through one task — Spark warns
-        // `WindowExec: No Partition Defined`): each is GlobalOrder's
-        // range-partitioned two-phase rank + closed-form ntile. The oracle
-        // below still uses native ntile() — hash equality proves the
-        // distributed path reproduces the single-node semantics exactly.
-        // the user count is invariant across the three passes — computed
-        // once from the base aggregate and threaded through, so passes 2
-        // and 3 don't re-execute the prior pass's plan just to recount
+        // `WindowExec: No Partition Defined`) AND without three chained
+        // range shuffles: GlobalOrder.withGlobalNtiles ranks all three
+        // orderings in ONE skinny exploded shuffle, broadcasts the nine
+        // quartile boundary keys back, and assigns tiles map-side — the
+        // per-user frame itself never shuffles. Descending dimensions
+        // ride as negated keys; user_id is the shared tiebreak. The
+        // oracle below still uses native ntile() — hash equality proves
+        // the boundary-key formulation IS the single-node semantics.
         val tot = m.agg(count(lit(1)).cast("long").as("_go_n"))
-        val r = GlobalOrder.withGlobalNtile(m,
-          Seq(col("recency_days").asc, col("user_id").asc), 4, "r_quartile",
-          Some(tot))
-        val f = GlobalOrder.withGlobalNtile(r,
-          Seq(col("frequency").desc, col("user_id").asc), 4, "f_quartile",
-          Some(tot))
-        GlobalOrder.withGlobalNtile(f,
-          Seq(col("monetary_cents").desc, col("user_id").asc), 4, "m_quartile",
-          Some(tot))
+        GlobalOrder.withGlobalNtiles(m,
+          Seq((col("recency_days").cast("long"), "r_quartile"),
+            (-col("frequency"), "f_quartile"),
+            (-col("monetary_cents"), "m_quartile")),
+          col("user_id"), 4, Some(tot))
           .select("user_id", "recency_days", "frequency", "monetary_cents",
             "r_quartile", "f_quartile", "m_quartile")
           .orderBy("user_id")
@@ -2327,7 +2324,12 @@ object Behavioral {
             .stripMargin)).as("num"),
             max("n1").as("n1"), max("n2").as("n2"))
           .select(col("n1").as("n_purchase"), col("n2").as("n_click"),
-            expr("CAST(num * 10000 div (n1 * n2) AS BIGINT)").as("w1_microunit"))
+            // the divisor product widens through DECIMAL(38,0) like the
+            // numerator: a bare n1*n2 is 64-bit and wraps silently with
+            // ANSI off at ~3e9 rows per class — a scale-only divergence
+            // the sf0.01 gate can't catch (DuckDB promotes to HUGEINT)
+            expr("CAST(num * 10000 div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)")
+              .as("w1_microunit"))
       },
       Some("""WITH v AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS c FROM events
              |           WHERE event_type IN ('purchase','click')),
@@ -2690,9 +2692,14 @@ object Behavioral {
         c.agg(sum(expr("CAST(p AS DECIMAL(38,0)) * (2*cq + q)")).as("u2"),
             sum("p").as("n1"), sum("q").as("n0"))
           .select(col("n1").as("n_pos"), col("n0").as("n_neg"),
-            expr("CAST(u2 * 1000000 div (2*n1*n0) AS BIGINT)").as("auc_micro"),
-            (expr("CAST(u2 * 1000000 div (2*n1*n0) AS BIGINT)") * lit(2L)
-              - lit(1000000L)).as("gini_micro"))
+            // 2*n1*n0 widened through DECIMAL(38,0): the bare 64-bit
+            // product wraps at ~2e9 rows per class with ANSI off, while
+            // DuckDB promotes to HUGEINT — same widening convention as
+            // the numerator
+            expr("CAST(u2 * 1000000 div (2 * CAST(n1 AS DECIMAL(38,0)) * n0) AS BIGINT)")
+              .as("auc_micro"),
+            (expr("CAST(u2 * 1000000 div (2 * CAST(n1 AS DECIMAL(38,0)) * n0) AS BIGINT)")
+              * lit(2L) - lit(1000000L)).as("gini_micro"))
       },
       Some("""WITH s AS (SELECT CAST(round(value*100) AS BIGINT)
              |      + (CAST(('0x' || substr(md5('auc:' || event_id), 1, 2)) AS BIGINT) - 128)*200 AS score,

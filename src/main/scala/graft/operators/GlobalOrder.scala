@@ -209,6 +209,69 @@ object GlobalOrder {
       .drop("_go_rn", "_go_n")
   }
 
+  /** SEVERAL global `ntile(k)` columns over DIFFERENT orderings of the
+    * same rows, in ONE skinny shuffle — the full frame is never shuffled
+    * at all. Chaining [[withGlobalNtile]] D times range-shuffles the
+    * whole (progressively wider) frame D times; this instead:
+    *
+    *   1. explodes a (dim index, long key, long tiebreak) projection —
+    *      D·n skinny rows — and runs ONE two-phase global rank over
+    *      (dim, key, tie), so each dimension's sorted run is a
+    *      contiguous global-rank range starting at dim·n;
+    *   2. computes the k−1 ntile cut RANKS per dimension in closed form
+    *      from n alone (cut j sits at j·q + min(j, r) with n = k·q + r)
+    *      and keeps only the ≤ D·(k−1) boundary KEYS at those ranks;
+    *   3. broadcasts the boundary keys back and assigns each row's tile
+    *      map-side: tile = 1 + #boundaries strictly below the row's
+    *      (key, tie) — with a total order per dimension that is exactly
+    *      SQL ntile (duplicate cut ranks from n < k stay in the list,
+    *      reproducing the one-row-per-tile edge case).
+    *
+    * At 100 TB the win compounds: the shuffled bytes drop from D× the
+    * full row width to D × 24 bytes/row, and the final assignment is a
+    * broadcast hash join + a codegen'd array scan over ≤ D·(k−1)
+    * structs. Each `dims` entry is (ASCENDING long sort key → output
+    * column); negate the key for a descending dimension. `tie` must
+    * make (key, tie) unique per dimension — same total-order contract
+    * as every GlobalOrder entry point. */
+  def withGlobalNtiles(df: DataFrame, dims: Seq[(Column, String)],
+      tie: Column, k: Int, total: Option[DataFrame] = None): DataFrame = {
+    val tot = total.getOrElse(df.agg(count(lit(1)).cast("long").as("_go_n")))
+    val exploded = df.select(tie.cast("long").as("_mt_tie"),
+      posexplode(array(dims.map(_._1.cast("long")): _*))
+        .as(Seq("_mt_d", "_mt_k")))
+    val ranked = withGlobalRowNumber(exploded,
+      Seq(col("_mt_d").asc, col("_mt_k").asc, col("_mt_tie").asc), "_mt_rn")
+    val cuts = tot
+      .select(col("_go_n"),
+        explode(sequence(lit(0), lit(dims.size - 1))).as("_mt_d"))
+      .select(col("_go_n"), col("_mt_d"),
+        explode(sequence(lit(1), lit(k - 1))).as("_mt_j"))
+      .select(col("_mt_d"),
+        (col("_mt_d").cast("long") * col("_go_n")
+          + col("_mt_j").cast("long")
+            * call_function("div", col("_go_n"), lit(k.toLong))
+          + least(col("_mt_j").cast("long"), col("_go_n") % k)).as("_mt_rn"))
+    // ≤ D·(k−1) boundary keys, sorted per dimension, pivoted into one
+    // broadcastable row. The cuts side keeps ONLY the rank (the dim is
+    // already encoded in the rank's range, and the ranked side carries
+    // it); duplicate cut ranks from n < k survive the inner join, which
+    // is what reproduces ntile's one-row-per-tile edge case.
+    val bmap = ranked.join(broadcast(cuts.select("_mt_rn")), Seq("_mt_rn"))
+      .groupBy("_mt_d")
+      .agg(sort_array(collect_list(
+        struct(col("_mt_k"), col("_mt_tie")))).as("_mt_b"))
+      .agg(map_from_entries(collect_list(
+        struct(col("_mt_d"), col("_mt_b")))).as("_mt_map"))
+    val joined = df.crossJoin(broadcast(bmap))
+    dims.zipWithIndex.foldLeft(joined) { case (acc, ((key, name), i)) =>
+      acc.withColumn(name,
+        (lit(1) + size(filter(element_at(col("_mt_map"), lit(i)),
+          b => struct(key.cast("long").as("_mt_k"),
+            tie.cast("long").as("_mt_tie")) > b))).cast("int"))
+    }.drop("_mt_map")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // dense global ordering of the corpus by (n_chars desc, doc_id): the

@@ -124,4 +124,35 @@ class GlobalOrderSpec extends SparkSpec {
       ntile(4).over(Window.orderBy(col("v").asc, col("id").asc)).as("q"))
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
+
+  test("withGlobalNtiles matches one ntile window per dimension in one pass") {
+    // three dimensions with heavy value ties (the boundary-key formula
+    // must disambiguate through the tiebreak), one descending via key
+    // negation — the q_rfm shape
+    val df = spark.range(997).select(col("id"),
+      (col("id") * 1103515245L % 37).as("a"),
+      (col("id") * 2654435761L % 11).as("b"),
+      (col("id") * 40503L % 5).as("c"))
+    val got = GlobalOrder.withGlobalNtiles(df,
+        Seq((col("a"), "qa"), (-col("b"), "qb"), (col("c"), "qc")),
+        col("id"), 4)
+      .select("id", "qa", "qb", "qc")
+    val want = df.select(col("id"),
+      ntile(4).over(Window.orderBy(col("a").asc, col("id").asc)).as("qa"),
+      ntile(4).over(Window.orderBy(col("b").desc, col("id").asc)).as("qb"),
+      ntile(4).over(Window.orderBy(col("c").asc, col("id").asc)).as("qc"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    GlobalOrder.release(blocking = true)
+  }
+
+  test("withGlobalNtiles handles n < k (one-row-per-tile edge case)") {
+    val df = spark.range(2).select(col("id"), (col("id") * 7L).as("v"))
+    val got = GlobalOrder.withGlobalNtiles(df,
+        Seq((col("v"), "q")), col("id"), 4)
+      .select("id", "q")
+    val want = df.select(col("id"),
+      ntile(4).over(Window.orderBy(col("v").asc, col("id").asc)).as("q"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    GlobalOrder.release(blocking = true)
+  }
 }
