@@ -27,6 +27,9 @@ object SparkEntry {
       operators.GlobalOrder.defs ++
       operators.Curation.defs ++
       operators.Behavioral.defs ++
+      operators.Survival.defs ++
+      operators.StatTests.defs ++
+      operators.RankEval.defs ++
       operators.Multimodal.defs ++
       functions.TextAnalysis.defs ++
       functions.Similarity.defs

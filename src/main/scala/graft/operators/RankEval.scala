@@ -1,0 +1,206 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.Similarity.{asDouble, bruteTopK}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranking-quality and multi-rater agreement metrics — the evaluation
+  * side of the retrieval stack: average precision completes the
+  * hits@k / MRR / NDCG scorecard ([[graft.functions.Similarity]]
+  * q_retrieval_eval / q_ndcg), rank-biased overlap compares two FULL
+  * rankings (the metric for "did the index rebuild change what users
+  * see"), and Fleiss' kappa generalizes q_cohens_kappa's two-rater
+  * agreement to k raters — the label-quality gate for crowd-sourced or
+  * multi-model annotation pipelines.
+  *
+  * Determinism: every per-rank/per-item rational term quantizes to micro
+  * BEFORE any cross-row sum (the q_anova convention), so no unordered
+  * double addition exists in either engine.
+  */
+object RankEval {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // average precision @10 per query vector, label relevance (the
+    // q_retrieval_eval relevance model): AP = Σ_{rel ranks} P@r /
+    // min(R, 10) with R the query's total relevant corpus count. P@r =
+    // hit_idx/r quantizes to micro per rank (≤10 exact-integer terms);
+    // the division by min(R, 10) is one integer div. Brute-force
+    // exactness path; the metric only sees (qid, rank, label) pairs, so
+    // the same scorecard runs over any ANN candidate stream at scale.
+    QueryDef(
+      "q_avg_precision",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("ed"))
+        val q2 = e.where(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+            col("ed").as("qe"))
+        val nrel = q2.select("qid", "qlabel")
+          .join(e, e("label") === col("qlabel") && e("vec_id") =!= col("qid"))
+          .groupBy("qid").agg(count(lit(1)).as("r"))
+        val w = Window.partitionBy("qid").orderBy("rn")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val agg = bruteTopK(e, q2, 10)
+          .withColumn("rel", when(col("label") === col("qlabel"), 1L).otherwise(0L))
+          .withColumn("hit_idx", sum("rel").over(w))
+          .groupBy("qid")
+          .agg(sum("rel").as("hits"),
+            sum(expr("CASE WHEN rel = 1 THEN CAST(round(1000000.0 * hit_idx / rn) AS BIGINT) ELSE 0 END"))
+              .as("psum_micro"))
+        agg.join(nrel, Seq("qid"), "left")
+          .select(col("qid"), coalesce(col("r"), lit(0L)).as("n_rel"),
+            col("hits"),
+            coalesce(expr("psum_micro div nullif(least(r, 10), 0)"), lit(0L))
+              .as("ap_micro"))
+          .orderBy("qid")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
+             |q AS (SELECT vec_id AS qid, label AS qlabel, ed AS qe FROM e WHERE vec_id < 50),
+             |nrel AS (SELECT q.qid, count(*) AS r FROM q
+             |  JOIN e ON e.label = q.qlabel AND e.vec_id <> q.qid GROUP BY 1),
+             |sims AS (SELECT q.qid, q.qlabel, e.vec_id, e.label,
+             |           round(list_dot_product(q.qe, e.ed), 4) AS sim
+             |         FROM q CROSS JOIN e WHERE e.vec_id <> q.qid),
+             |top AS (SELECT qid, qlabel, vec_id, label,
+             |          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+             |        FROM sims QUALIFY rn <= 10),
+             |rel AS (SELECT qid, rn, CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel,
+             |          sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+             |            OVER (PARTITION BY qid ORDER BY rn
+             |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hit_idx
+             |        FROM top),
+             |agg AS (SELECT qid, CAST(sum(rel) AS BIGINT) AS hits,
+             |          sum(CASE WHEN rel = 1
+             |            THEN CAST(round(1000000.0 * hit_idx / rn) AS BIGINT) ELSE 0 END) AS psum_micro
+             |        FROM rel GROUP BY qid)
+             |SELECT a.qid, CAST(coalesce(n.r, 0) AS BIGINT) AS n_rel, a.hits,
+             |  CAST(coalesce(a.psum_micro // nullif(least(n.r, 10), 0), 0) AS BIGINT) AS ap_micro
+             |FROM agg a LEFT JOIN nrel n ON n.qid = a.qid ORDER BY a.qid""".stripMargin)),
+
+    // rank-biased overlap (p = 0.9, depth 20) between the volume
+    // ranking and the frequency ranking of parts — "do the two views of
+    // demand agree, weighted toward the top". X_d (overlap of the two
+    // depth-d prefixes) comes from an exact ≤20×20 rank join; each
+    // (1−p)·p^(d−1)·X_d/d term is the same IEEE expression in both
+    // engines, micro-rounded per depth and integer-summed. Both
+    // rankings are sort-limit top-20s BEFORE their rank windows, so the
+    // windows run on 20 rows by construction (q_rank_stability
+    // convention); per-part sums are exact integers (quantities round
+    // per row).
+    QueryDef(
+      "q_rbo",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .groupBy("l_partkey")
+          .agg(sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("sq"),
+            count(lit(1)).as("cnt"))
+        val a = li.orderBy(col("sq").desc, col("l_partkey")).limit(20)
+          .withColumn("ra",
+            row_number().over(Window.orderBy(col("sq").desc, col("l_partkey"))))
+          .select(col("l_partkey").as("item"), col("ra"))
+        val b = li.orderBy(col("cnt").desc, col("l_partkey")).limit(20)
+          .withColumn("rb",
+            row_number().over(Window.orderBy(col("cnt").desc, col("l_partkey"))))
+          .select(col("l_partkey").as("item"), col("rb"))
+        val j = a.join(b, "item")
+          .select(greatest(col("ra"), col("rb")).as("m"))
+        val depths = li.sparkSession.range(1, 21).select(col("id").as("depth"))
+        val x = depths.join(broadcast(j), col("m") <= col("depth"), "left")
+          .groupBy("depth").agg(count(col("m")).as("xd"))
+        x.select(col("depth"), col("xd"),
+            expr("CAST(round(0.1 * pow(0.9, depth - 1) * xd / depth * 1000000) AS BIGINT)")
+              .as("t_micro"))
+          .agg(max(when(col("depth") === 20, col("xd"))).as("overlap_at_20"),
+            sum("t_micro").as("rbo_micro"))
+          .select(lit(20L).as("depth"),
+            col("overlap_at_20").cast("long").as("overlap_at_20"),
+            col("rbo_micro").cast("long").as("rbo_micro"))
+      },
+      Some("""WITH li AS (SELECT l_partkey, sum(CAST(round(l_quantity) AS BIGINT)) AS sq,
+             |    count(*) AS cnt FROM lineitem GROUP BY 1),
+             |a AS (SELECT l_partkey AS item,
+             |    row_number() OVER (ORDER BY sq DESC, l_partkey) AS ra
+             |  FROM li QUALIFY ra <= 20),
+             |b AS (SELECT l_partkey AS item,
+             |    row_number() OVER (ORDER BY cnt DESC, l_partkey) AS rb
+             |  FROM li QUALIFY rb <= 20),
+             |j AS (SELECT greatest(ra, rb) AS m FROM a JOIN b USING (item)),
+             |d AS (SELECT unnest(range(1, 21)) AS depth),
+             |x AS (SELECT depth, count(m) AS xd FROM d
+             |  LEFT JOIN j ON j.m <= d.depth GROUP BY 1),
+             |terms AS (SELECT depth, xd,
+             |    CAST(round(0.1 * pow(0.9, depth - 1) * xd / depth * 1000000) AS BIGINT) AS t_micro
+             |  FROM x)
+             |SELECT CAST(20 AS BIGINT) AS depth,
+             |  CAST(max(CASE WHEN depth = 20 THEN xd END) AS BIGINT) AS overlap_at_20,
+             |  CAST(sum(t_micro) AS BIGINT) AS rbo_micro
+             |FROM terms""".stripMargin)),
+
+    // Fleiss' kappa for three deterministic "raters" assigning each
+    // document to a length band (md5-jittered 20% of the time — the
+    // q_cohens_kappa noise convention, so both engines derive identical
+    // labels). P̄ rides per-item micro-rounded (Σn²−3)/6 terms; P̄ₑ is
+    // ≤3 per-category micro terms; kappa is one IEEE closed form. The
+    // k-rater generalization of q_cohens_kappa — the agreement gate a
+    // multi-annotator labeling pipeline is accepted on.
+    QueryDef(
+      "q_fleiss_kappa",
+      (s, d) => {
+        val base = Tables.documents(s, d).select(col("doc_id"),
+          when(col("n_chars") < 250, 0L).when(col("n_chars") < 400, 1L)
+            .otherwise(2L).as("b"))
+        val cat = base
+          .select(col("doc_id"), col("b"),
+            explode(sequence(lit(1), lit(3))).as("rater"))
+          .withColumn("h",
+            conv(substring(md5(concat(lit("fk"), col("rater").cast("string"),
+              lit(":"), col("doc_id").cast("string"))), 1, 2), 16, 10)
+              .cast("long"))
+          .select(col("doc_id"),
+            when(col("h") % 10 < 2, (col("b") + 1 + col("h") % 2) % 3)
+              .otherwise(col("b")).as("c"))
+        val nij = cat.groupBy("doc_id", "c").agg(count(lit(1)).as("n"))
+        val pit = nij.groupBy("doc_id")
+          .agg(expr("CAST(round((sum(n*n) - 3) * 1000000.0 / 6) AS BIGINT)")
+            .as("p_micro"))
+        val pbar = pit.agg(count(lit(1)).as("nitems"), sum("p_micro").as("psum"))
+        val pe = nij.groupBy("c").agg(sum("n").as("cnt"))
+          .crossJoin(broadcast(pbar.select("nitems")))
+          .agg(sum(expr(
+            "CAST(round(1000000.0 * cnt * cnt / (9.0 * nitems * nitems)) AS BIGINT)"))
+            .as("pe_micro"))
+        pbar.crossJoin(broadcast(pe))
+          .select(col("nitems").cast("long").as("n_items"),
+            expr("psum div nitems").cast("long").as("pbar_micro"),
+            col("pe_micro").cast("long").as("pe_micro"),
+            expr("""CAST(round(1000.0 * (CAST(psum AS DOUBLE) / nitems - pe_micro)
+                   |  / (1000000.0 - pe_micro)) AS BIGINT)""".stripMargin)
+              .as("kappa_milli"))
+      },
+      Some("""WITH base AS (SELECT doc_id,
+             |    CASE WHEN n_chars < 250 THEN 0 WHEN n_chars < 400 THEN 1 ELSE 2 END AS b
+             |  FROM documents),
+             |r AS (SELECT doc_id, b, unnest([1,2,3]) AS rater FROM base),
+             |cat AS (SELECT doc_id,
+             |    CASE WHEN CAST(('0x' || substr(md5('fk' || rater || ':' || doc_id), 1, 2)) AS BIGINT) % 10 < 2
+             |      THEN (b + 1 + CAST(('0x' || substr(md5('fk' || rater || ':' || doc_id), 1, 2)) AS BIGINT) % 2) % 3
+             |      ELSE b END AS c
+             |  FROM r),
+             |nij AS (SELECT doc_id, c, count(*) AS n FROM cat GROUP BY 1, 2),
+             |pit AS (SELECT doc_id, CAST(round((sum(n*n) - 3) * 1000000.0 / 6) AS BIGINT) AS p_micro
+             |  FROM nij GROUP BY 1),
+             |pbar AS (SELECT count(*) AS nitems, sum(p_micro) AS psum FROM pit),
+             |cj AS (SELECT c, sum(n) AS cnt FROM nij GROUP BY 1),
+             |pe AS (SELECT sum(CAST(round(1000000.0 * cnt * cnt
+             |    / (9.0 * (SELECT nitems FROM pbar) * (SELECT nitems FROM pbar))) AS BIGINT)) AS pe_micro
+             |  FROM cj)
+             |SELECT CAST(nitems AS BIGINT) AS n_items,
+             |  CAST(psum // nitems AS BIGINT) AS pbar_micro,
+             |  CAST(pe_micro AS BIGINT) AS pe_micro,
+             |  CAST(round(1000.0 * (CAST(psum AS DOUBLE) / nitems - pe_micro)
+             |    / (1000000.0 - pe_micro)) AS BIGINT) AS kappa_milli
+             |FROM pbar CROSS JOIN pe""".stripMargin))
+  )
+}

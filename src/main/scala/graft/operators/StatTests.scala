@@ -1,0 +1,273 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classic distribution-diagnostic tests — the assumption checks that sit
+  * UPSTREAM of the inference battery in [[Behavioral]] (q_anova assumes
+  * variance homogeneity → q_levene certifies it; q_welch_ttest's normal
+  * approximation → q_jarque_bera scores it; trend-model residual
+  * independence → q_durbin_watson; q_mcnemar's two-condition design →
+  * q_cochran_q generalizes to k conditions; z-score outlier screens →
+  * q_grubbs is the test-valued form).
+  *
+  * House determinism rules throughout (the q_anova convention): group
+  * moments are EXACT 128-bit integer sums; any per-group rational term
+  * quantizes to an integer BEFORE the cross-group sum so unordered double
+  * addition never happens; the final statistic is one IEEE closed form
+  * over those exact sums, rounded once to milli/micro.
+  */
+object StatTests {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Brown–Forsythe / Levene variance-homogeneity test across the five
+    // event types: one-way ANOVA on |x − group median|. The group median
+    // doubles as 2·median, which is ALWAYS an integer for integer cents
+    // (middle value or sum of the two middles), so the deviations are
+    // exact half-cent integers and the whole F pipeline reuses
+    // q_anova's exact-moment machinery. Medians broadcast back over a
+    // 5-row join; fixture value ⊥ type, so F ≈ 0.5: the honest null.
+    QueryDef(
+      "q_levene",
+      (s, d) => {
+        val v = Tables.events(s, d).where(col("value").isNotNull)
+          .select(col("event_type"),
+            expr("CAST(round(value*100) AS BIGINT)").as("c"))
+        val med = v.groupBy("event_type")
+          .agg(expr("CAST(round(2 * percentile(c, 0.5)) AS BIGINT)").as("m2"))
+        val z = v.join(broadcast(med), "event_type")
+          .select(col("event_type"), abs(col("c") * 2 - col("m2")).as("w"))
+        val g = z.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(w AS DECIMAL(38,0))")).as("s"),
+            sum(expr("CAST(w AS DECIMAL(38,0)) * w")).as("s2"))
+          .select(col("n"), col("s"), col("s2"),
+            expr("CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS DECIMAL(38,0))")
+              .as("t"))
+        g.agg(count(lit(1)).as("k"), sum("n").as("n"), sum("s").as("s"),
+            sum("s2").as("s2"), sum("t").as("sb"))
+          .select(col("k").cast("long").as("k"), col("n").cast("long").as("n"),
+            expr("""CAST(round(((CAST(sb AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n)/(k-1))
+                   | /((CAST(s2 AS DOUBLE) - CAST(sb AS DOUBLE))/(n-k)) * 1000)
+                   | AS BIGINT)""".stripMargin).as("f_milli"))
+      },
+      Some("""WITH v AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS c
+             |    FROM events WHERE value IS NOT NULL),
+             |med AS (SELECT event_type,
+             |    CAST(round(2 * quantile_cont(c, 0.5)) AS BIGINT) AS m2 FROM v GROUP BY 1),
+             |z AS (SELECT v.event_type, abs(2*c - m2) AS w FROM v JOIN med USING (event_type)),
+             |g AS (SELECT event_type, count(*) AS n, sum(CAST(w AS HUGEINT)) AS s,
+             |        sum(CAST(w AS HUGEINT)*w) AS s2 FROM z GROUP BY 1),
+             |g2 AS (SELECT n, s, s2,
+             |        CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS HUGEINT) AS t FROM g),
+             |a AS (SELECT count(*) AS k, sum(n) AS n, sum(s) AS s, sum(s2) AS s2,
+             |        sum(t) AS sb FROM g2)
+             |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+             |  CAST(round(((CAST(sb AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n)/(k-1))
+             |    /((CAST(s2 AS DOUBLE) - CAST(sb AS DOUBLE))/(n-k)) * 1000) AS BIGINT) AS f_milli
+             |FROM a""".stripMargin)),
+
+    // Jarque–Bera normality score on purchase values: skewness and
+    // excess kurtosis from the first four raw moments (one map-combined
+    // pass, exact 128-bit sums — cents⁴ at 10¹² rows is ~10³⁴, inside
+    // DECIMAL(38,0)), then JB = n·(S²/6 + K²/24). The central-moment
+    // algebra is a single mirrored IEEE expression over the exact sums.
+    // Purchase values are uniform-ish ⇒ strong negative kurtosis, JB
+    // far from χ²₂'s bulk: the honest rejection.
+    QueryDef(
+      "q_jarque_bera",
+      (s, d) => Tables.events(s, d)
+        .where(col("value").isNotNull && col("event_type") === "purchase")
+        .select(expr("CAST(round(value*100) AS BIGINT)").as("c"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(c AS DECIMAL(38,0))")).as("s1"),
+          sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("s2"),
+          sum(expr("CAST(c AS DECIMAL(38,0)) * c * c")).as("s3"),
+          sum(expr("CAST(c AS DECIMAL(38,0)) * c * c * c")).as("s4"))
+        .select(col("n"), expr("CAST(s1 AS DOUBLE)/n").as("mu"),
+          expr("CAST(s2 AS DOUBLE)/n").as("r2"),
+          expr("CAST(s3 AS DOUBLE)/n").as("r3"),
+          expr("CAST(s4 AS DOUBLE)/n").as("r4"))
+        .select(col("n"), expr("r2 - mu*mu").as("m2"),
+          expr("r3 - 3*mu*r2 + 2*mu*mu*mu").as("m3"),
+          expr("r4 - 4*mu*r3 + 6*mu*mu*r2 - 3*mu*mu*mu*mu").as("m4"))
+        .select(col("n").cast("long").as("n_obs"),
+          expr("CAST(round(m3 / pow(m2, 1.5) * 1000) AS BIGINT)").as("skew_milli"),
+          expr("CAST(round((m4 / (m2*m2) - 3) * 1000) AS BIGINT)").as("kurt_milli"),
+          expr("""CAST(round(n * (pow(m3 / pow(m2, 1.5), 2) / 6
+                 |  + pow(m4 / (m2*m2) - 3, 2) / 24) * 1000) AS BIGINT)"""
+            .stripMargin).as("jb_milli")),
+      Some("""WITH v AS (SELECT CAST(round(value*100) AS BIGINT) AS c FROM events
+             |    WHERE value IS NOT NULL AND event_type = 'purchase'),
+             |m AS (SELECT count(*) AS n, sum(CAST(c AS HUGEINT)) AS s1,
+             |    sum(CAST(c AS HUGEINT)*c) AS s2, sum(CAST(c AS HUGEINT)*c*c) AS s3,
+             |    sum(CAST(c AS HUGEINT)*c*c*c) AS s4 FROM v),
+             |d AS (SELECT n, CAST(s1 AS DOUBLE)/n AS mu, CAST(s2 AS DOUBLE)/n AS r2,
+             |    CAST(s3 AS DOUBLE)/n AS r3, CAST(s4 AS DOUBLE)/n AS r4 FROM m),
+             |c AS (SELECT n, r2 - mu*mu AS m2,
+             |    r3 - 3*mu*r2 + 2*mu*mu*mu AS m3,
+             |    r4 - 4*mu*r3 + 6*mu*mu*r2 - 3*mu*mu*mu*mu AS m4 FROM d)
+             |SELECT CAST(n AS BIGINT) AS n_obs,
+             |  CAST(round(m3 / pow(m2, 1.5) * 1000) AS BIGINT) AS skew_milli,
+             |  CAST(round((m4 / (m2*m2) - 3) * 1000) AS BIGINT) AS kurt_milli,
+             |  CAST(round(n * (pow(m3 / pow(m2, 1.5), 2) / 6
+             |    + pow(m4 / (m2*m2) - 3, 2) / 24) * 1000) AS BIGINT) AS jb_milli
+             |FROM c""".stripMargin)),
+
+    // Durbin–Watson autocorrelation test on the residuals of the daily-
+    // revenue linear trend. The OLS line is exact: scaling residuals by
+    // the determinant D = n·Σi² − (Σi)² makes D·eᵢ an exact integer
+    // expression of the moment sums, so the residual series needs no
+    // float-fit at all; each scaled residual quantizes once (÷10³) and
+    // the squared-difference / squared-level sums are exact integer
+    // aggregates. DW ≈ 2 ⇒ independent residuals. The day-index
+    // row_number and lag ride the ≤ #days calendar frame after one
+    // map-combined daily sum (q_control_chart convention).
+    QueryDef(
+      "q_durbin_watson",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .where(col("event_type") === "purchase")
+          .groupBy(date_trunc("day", col("ts")).as("d"))
+          .agg(sum(expr("CAST(round(value*100) AS BIGINT)")).as("y"))
+        val idx = daily.select(col("y"),
+          row_number().over(Window.orderBy("d")).cast("long").as("i"))
+        val f = idx.agg(count(lit(1)).as("n"),
+          sum(expr("CAST(i AS DECIMAL(38,0))")).as("sx"),
+          sum(expr("CAST(i AS DECIMAL(38,0))*i")).as("sxx"),
+          sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+          sum(expr("CAST(i AS DECIMAL(38,0))*y")).as("sxy"))
+        val r = idx.crossJoin(broadcast(f))
+          .select(col("i"), col("n"),
+            expr("""CAST(round((CAST(n*sxx - sx*sx AS DOUBLE) * y
+                   |  - (CAST(sy*sxx - sx*sxy AS DOUBLE)
+                   |     + CAST(n*sxy - sx*sy AS DOUBLE) * i)) / 1000)
+                   |  AS BIGINT)""".stripMargin).as("rd"))
+        val l = r.select(col("n"), col("rd"),
+          lag("rd", 1).over(Window.orderBy("i")).as("rp"))
+        l.groupBy("n")
+          .agg(sum(expr("CAST(rd AS DECIMAL(38,0))*rd")).as("se2"),
+            sum(expr("""CASE WHEN rp IS NOT NULL
+                       |  THEN CAST(rd - rp AS DECIMAL(38,0))*(rd - rp) END"""
+              .stripMargin)).as("sd2"))
+          .select(col("n").cast("long").as("n_days"),
+            expr("CAST(round(1000.0 * CAST(sd2 AS DOUBLE) / CAST(se2 AS DOUBLE)) AS BIGINT)")
+              .as("dw_milli"))
+      },
+      Some("""WITH daily AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+             |    sum(CAST(round(value*100) AS BIGINT)) AS y
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |idx AS (SELECT y, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i FROM daily),
+             |f AS (SELECT count(*) AS n, sum(CAST(i AS HUGEINT)) AS sx,
+             |    sum(CAST(i AS HUGEINT)*i) AS sxx, sum(CAST(y AS HUGEINT)) AS sy,
+             |    sum(CAST(i AS HUGEINT)*y) AS sxy FROM idx),
+             |r AS (SELECT i, f.n,
+             |    CAST(round((CAST(f.n*f.sxx - f.sx*f.sx AS DOUBLE) * y
+             |      - (CAST(f.sy*f.sxx - f.sx*f.sxy AS DOUBLE)
+             |         + CAST(f.n*f.sxy - f.sx*f.sy AS DOUBLE) * i)) / 1000) AS BIGINT) AS rd
+             |  FROM idx CROSS JOIN f),
+             |l AS (SELECT n, rd, lag(rd) OVER (ORDER BY i) AS rp FROM r),
+             |q AS (SELECT n, sum(CAST(rd AS HUGEINT)*rd) AS se2,
+             |    sum(CASE WHEN rp IS NOT NULL THEN CAST(rd - rp AS HUGEINT)*(rd - rp) END) AS sd2
+             |  FROM l GROUP BY 1)
+             |SELECT CAST(n AS BIGINT) AS n_days,
+             |  CAST(round(1000.0 * CAST(sd2 AS DOUBLE) / CAST(se2 AS DOUBLE)) AS BIGINT) AS dw_milli
+             |FROM q""".stripMargin)),
+
+    // Cochran's Q: did each user's weekly purchase propensity stay flat
+    // across the first three weeks of January? Blocks = users, binary
+    // response = "converted in week j". Q = [k(k−1)ΣCⱼ² − (k−1)N²] /
+    // (kN − ΣRᵢ²) is PURE integer arithmetic over the row/column totals
+    // — one users × 3 broadcast grid, one distinct-conversion left
+    // join, two tiny aggregations. The k-condition generalization of
+    // q_mcnemar (k = 2 reduces to it).
+    QueryDef(
+      "q_cochran_q",
+      (s, d) => {
+        val wk = Tables.events(s, d)
+          .where(col("event_type") === "purchase" &&
+            col("ts") < lit("2024-01-22 00:00:00").cast("timestamp_ntz"))
+          .select(col("user_id"),
+            expr("CAST(datediff(ts, DATE '2024-01-01') div 7 AS BIGINT)").as("w"))
+          .distinct()
+        val users = Tables.events(s, d).select("user_id").distinct()
+        val weeks = users.sparkSession.range(3).select(col("id").as("w"))
+        val cell = users.crossJoin(broadcast(weeks))
+          .join(wk.withColumn("x", lit(1L)), Seq("user_id", "w"), "left")
+          .select(col("user_id"), col("w"), coalesce(col("x"), lit(0L)).as("x"))
+        val rows = cell.groupBy("user_id").agg(sum("x").as("r"))
+        val ragg = rows.agg(count(lit(1)).as("b"), sum("r").as("nn"),
+          sum(col("r") * col("r")).as("r2"))
+        val cagg = cell.groupBy("w").agg(sum("x").as("c"))
+          .agg(sum(col("c") * col("c")).as("c2"))
+        ragg.crossJoin(broadcast(cagg))
+          .select(col("b").cast("long").as("n_users"),
+            col("nn").cast("long").as("total_hits"),
+            expr("""CAST(round(1000.0 * (3*2*CAST(c2 AS DOUBLE) - 2*CAST(nn AS DOUBLE)*nn)
+                   |  / (3*CAST(nn AS DOUBLE) - CAST(r2 AS DOUBLE))) AS BIGINT)"""
+              .stripMargin).as("q_milli"),
+            lit(2L).as("df"))
+      },
+      Some("""WITH wk AS (SELECT DISTINCT user_id,
+             |    CAST((date_diff('day', DATE '2024-01-01', CAST(ts AS TIMESTAMP)) // 7) AS BIGINT) AS w
+             |  FROM events WHERE event_type = 'purchase'
+             |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-22 00:00:00'),
+             |users AS (SELECT DISTINCT user_id FROM events),
+             |cell AS (SELECT u.user_id, g.w,
+             |    CASE WHEN wk.user_id IS NOT NULL THEN 1 ELSE 0 END AS x
+             |  FROM users u CROSS JOIN (SELECT unnest([0,1,2]) AS w) g
+             |  LEFT JOIN wk ON wk.user_id = u.user_id AND wk.w = g.w),
+             |rows_ AS (SELECT user_id, sum(x) AS r FROM cell GROUP BY 1),
+             |ragg AS (SELECT count(*) AS b, sum(r) AS nn, sum(r*r) AS r2 FROM rows_),
+             |cagg AS (SELECT sum(c*c) AS c2 FROM
+             |    (SELECT w, sum(x) AS c FROM cell GROUP BY 1))
+             |SELECT CAST(b AS BIGINT) AS n_users, CAST(nn AS BIGINT) AS total_hits,
+             |  CAST(round(1000.0 * (3*2*CAST(c2 AS DOUBLE) - 2*CAST(nn AS DOUBLE)*nn)
+             |    / (3*CAST(nn AS DOUBLE) - CAST(r2 AS DOUBLE))) AS BIGINT) AS q_milli,
+             |  CAST(2 AS BIGINT) AS df
+             |FROM ragg CROSS JOIN cagg""".stripMargin)),
+
+    // Grubbs' extreme-outlier test on purchase values: G = max|x − x̄|/s.
+    // The max deviation is exact — |c·n − S| in 128-bit integer units of
+    // 1/n — so the argmax row is engine-deterministic (ties broken by
+    // min cents); G itself is one IEEE closed form over (maxdev, n, S,
+    // ΣX²). The test-valued companion to q_robust_outliers' MAD screen.
+    QueryDef(
+      "q_grubbs",
+      (s, d) => {
+        val v = Tables.events(s, d)
+          .where(col("value").isNotNull && col("event_type") === "purchase")
+          .select(expr("CAST(round(value*100) AS BIGINT)").as("c"))
+        val m = v.agg(count(lit(1)).as("n"),
+          sum(expr("CAST(c AS DECIMAL(38,0))")).as("s"),
+          sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("s2"))
+        val dev = v.crossJoin(broadcast(m))
+          .agg(max(expr("abs(CAST(c AS DECIMAL(38,0)) * n - s)")).as("maxdev"))
+        val pick = v.crossJoin(broadcast(m)).crossJoin(broadcast(dev))
+          .where(expr("abs(CAST(c AS DECIMAL(38,0)) * n - s) = maxdev"))
+          .agg(min("c").as("outlier"))
+        m.crossJoin(broadcast(dev)).crossJoin(broadcast(pick))
+          .select(col("n").cast("long").as("n_obs"),
+            col("outlier").cast("long").as("outlier_cents"),
+            expr("""CAST(round(1000.0 * (CAST(maxdev AS DOUBLE) / n)
+                   |  / sqrt((CAST(n AS DOUBLE) * s2 - CAST(s AS DOUBLE) * s)
+                   |    / (CAST(n AS DOUBLE) * (n - 1)))) AS BIGINT)"""
+              .stripMargin).as("g_milli"))
+      },
+      Some("""WITH v AS (SELECT CAST(round(value*100) AS BIGINT) AS c FROM events
+             |    WHERE value IS NOT NULL AND event_type = 'purchase'),
+             |m AS (SELECT count(*) AS n, sum(CAST(c AS HUGEINT)) AS s,
+             |    sum(CAST(c AS HUGEINT)*c) AS s2 FROM v),
+             |dev AS (SELECT max(abs(CAST(c AS HUGEINT) * n - s)) AS maxdev
+             |  FROM v CROSS JOIN m),
+             |pick AS (SELECT min(c) AS outlier FROM v CROSS JOIN m CROSS JOIN dev
+             |  WHERE abs(CAST(c AS HUGEINT) * n - s) = maxdev)
+             |SELECT CAST(n AS BIGINT) AS n_obs, CAST(outlier AS BIGINT) AS outlier_cents,
+             |  CAST(round(1000.0 * (CAST(maxdev AS DOUBLE) / n)
+             |    / sqrt((CAST(n AS DOUBLE) * s2 - CAST(s AS DOUBLE) * s)
+             |      / (CAST(n AS DOUBLE) * (n - 1)))) AS BIGINT) AS g_milli
+             |FROM m CROSS JOIN dev CROSS JOIN pick""".stripMargin))
+  )
+}

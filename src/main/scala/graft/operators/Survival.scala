@@ -1,0 +1,259 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Survival analysis over time-to-first-purchase — the censoring-aware
+  * companions to [[Behavioral]]'s q_survival_km (Kaplan–Meier curve):
+  * the Nelson–Aalen cumulative hazard, the two-group log-rank test, and
+  * the restricted mean survival time. Same observation model throughout:
+  * each user contributes ONE (duration, event) pair — hours from first
+  * activity to first purchase, right-censored at the last observed event
+  * for users who never convert (cf. the reference's status/validity
+  * derivations, `src/trv/load_sqlite.py:43-103`, which this family
+  * generalizes from point-in-time state to time-to-event).
+  *
+  * Scale posture: the per-user reduction is ONE map-combined groupBy on
+  * user_id; everything after runs on the distinct-event-time table,
+  * which is hour-grain and therefore CALENDAR-bounded (≤ #hours in the
+  * observation window, never row-scaled) — the q_survival_km /
+  * q_cume_distinct boundedness argument. Running sums over that table
+  * visit rows in the same t-order in both engines, so the doubles they
+  * produce are bit-identical before the single micro/nano rounding.
+  */
+object Survival {
+
+  /** Per-user (t hours, death flag) observations; hour-truncate BEFORE
+    * differencing so Spark's full-elapsed-hours timestampdiff and
+    * DuckDB's boundary-crossing date_diff coincide (the q_islands
+    * second-truncation convention, cf. q_survival_km). */
+  private def observations(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).groupBy("user_id").agg(
+        min(date_trunc("hour", col("ts"))).as("first_ts"),
+        max(date_trunc("hour", col("ts"))).as("last_ts"),
+        min(when(col("event_type") === "purchase",
+          date_trunc("hour", col("ts")))).as("first_p"))
+      .select(col("user_id"),
+        when(col("first_p").isNotNull,
+          expr("timestampdiff(HOUR, first_ts, first_p)"))
+          .otherwise(expr("timestampdiff(HOUR, first_ts, last_ts)")).as("t"),
+        when(col("first_p").isNotNull, 1L).otherwise(0L).as("death"))
+
+  private val obsSql =
+    """u AS (SELECT user_id,
+      |    min(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS first_ts,
+      |    max(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS last_ts,
+      |    min(CASE WHEN event_type='purchase'
+      |        THEN date_trunc('hour', CAST(ts AS TIMESTAMP)) END) AS first_p
+      |  FROM events GROUP BY 1),
+      |obs AS (SELECT user_id,
+      |    CASE WHEN first_p IS NOT NULL THEN date_diff('hour', first_ts, first_p)
+      |         ELSE date_diff('hour', first_ts, last_ts) END AS t,
+      |    CASE WHEN first_p IS NOT NULL THEN 1 ELSE 0 END AS death FROM u)"""
+      .stripMargin
+
+  /** (t, d deaths, ev events-leaving, cumbef left-before) over distinct
+    * event times — the shared at-risk bookkeeping. */
+  private def riskTable(obs: DataFrame): DataFrame = {
+    val byt = obs.groupBy("t")
+      .agg(sum("death").as("d"), count(lit(1)).as("ev"))
+    byt.withColumn("cumbef",
+      coalesce(sum("ev").over(Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Nelson–Aalen cumulative hazard H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ with its
+    // variance Σ dᵢ/nᵢ² — the estimator whose slope reads out the raw
+    // conversion hazard (KM's S(t) ≈ exp(−H(t)) is the integrated view).
+    // Each term comes from exact integer (d, n_at_risk) pairs; the
+    // running sum visits them in t-order in both engines, so the double
+    // is bit-identical before the one micro/nano rounding.
+    QueryDef(
+      "q_nelson_aalen",
+      (s, d) => {
+        val obs = observations(s, d)
+        val tot = obs.agg(count(lit(1)).as("n"))
+        val w = Window.orderBy("t")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        riskTable(obs).crossJoin(broadcast(tot))
+          .withColumn("n_risk", col("n") - col("cumbef"))
+          .withColumn("h_micro",
+            expr("""CAST(round(sum(CAST(d AS DOUBLE) / (n - cumbef))
+                   |  OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   |  * 1000000) AS BIGINT)""".stripMargin))
+          .withColumn("var_nano",
+            expr("""CAST(round(sum(CAST(d AS DOUBLE)
+                   |    / (CAST(n - cumbef AS DOUBLE) * (n - cumbef)))
+                   |  OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   |  * 1000000000) AS BIGINT)""".stripMargin))
+          .where(col("d") > 0)
+          .select(col("t").cast("long").as("hours"), col("d").as("deaths"),
+            col("n_risk").cast("long").as("n_at_risk"),
+            col("h_micro"), col("var_nano"))
+          .orderBy("hours").limit(25)
+      },
+      Some(s"""WITH $obsSql,
+             |tot AS (SELECT count(*) AS n FROM obs),
+             |byt AS (SELECT t, sum(death) AS d, count(*) AS ev FROM obs GROUP BY 1),
+             |run AS (SELECT t, d, ev,
+             |    coalesce(sum(ev) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),0) AS cumbef
+             |  FROM byt),
+             |na AS (SELECT t, d, n - cumbef AS n_risk,
+             |    CAST(round(sum(CAST(d AS DOUBLE)/(n - cumbef))
+             |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000) AS BIGINT) AS h_micro,
+             |    CAST(round(sum(CAST(d AS DOUBLE)/(CAST(n - cumbef AS DOUBLE)*(n - cumbef)))
+             |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000000) AS BIGINT) AS var_nano
+             |  FROM run CROSS JOIN tot)
+             |SELECT CAST(t AS BIGINT) AS hours, CAST(d AS BIGINT) AS deaths,
+             |  CAST(n_risk AS BIGINT) AS n_at_risk, h_micro, var_nano
+             |FROM na WHERE d > 0 ORDER BY hours LIMIT 25""".stripMargin)),
+
+    // two-group log-rank test: does conversion time differ between the
+    // even/odd user_id cohorts (the deterministic A/B split)? At each
+    // pooled event time the observed group-0 deaths are compared to the
+    // hypergeometric expectation d·n₁/n; the χ² statistic is
+    // (O−E)²/V. Every at-risk window is PARTITIONED by group (never a
+    // data-sized global window); per-time expectation/variance terms
+    // round once to micro and integer-sum, so no float-summation-order
+    // hazard exists in either engine. The time grid is hour-grain ⇒
+    // calendar-bounded, so the grid × group cross join is tiny at any
+    // corpus size.
+    QueryDef(
+      "q_logrank",
+      (s, d) => {
+        val obsg = observations(s, d)
+          .select(col("t"), col("death"), (col("user_id") % 2).as("grp"))
+        val gt = obsg.groupBy("grp").agg(count(lit(1)).as("ng"))
+        val byt = obsg.groupBy("t", "grp")
+          .agg(sum("death").as("d"), count(lit(1)).as("ev"))
+        val grid = byt.select("t").distinct()
+        val groups = obsg.select("grp").distinct()
+        val bygrid = grid.crossJoin(broadcast(groups))
+          .join(byt, Seq("t", "grp"), "left")
+          .select(col("t"), col("grp"),
+            coalesce(col("d"), lit(0L)).as("d"),
+            coalesce(col("ev"), lit(0L)).as("ev"))
+        val risk = bygrid.join(broadcast(gt), "grp")
+          .withColumn("nr", col("ng") - coalesce(
+            sum("ev").over(Window.partitionBy("grp").orderBy("t")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val wide = risk.groupBy("t").agg(
+          sum(when(col("grp") === 0, col("d")).otherwise(0L)).as("d1"),
+          sum(when(col("grp") === 1, col("d")).otherwise(0L)).as("d2"),
+          sum(when(col("grp") === 0, col("nr")).otherwise(0L)).as("n1"),
+          sum(when(col("grp") === 1, col("nr")).otherwise(0L)).as("n2"))
+        val terms = wide
+          .select(col("d1"), (col("d1") + col("d2")).as("dt"),
+            col("n1"), col("n2"), (col("n1") + col("n2")).as("nt"))
+          .where(col("dt") > 0 && col("nt") > 1)
+        terms.agg(
+            sum("d1").as("o1"),
+            sum(expr("CAST(round(1000000.0 * dt * n1 / nt) AS BIGINT)"))
+              .as("e1_micro"),
+            sum(expr("""CAST(round(1000000.0 * dt * (CAST(n1 AS DOUBLE) / nt)
+                       |  * (CAST(n2 AS DOUBLE) / nt) * (nt - dt) / (nt - 1))
+                       |  AS BIGINT)""".stripMargin)).as("v_micro"))
+          .select(col("o1").cast("long").as("obs_g0"),
+            col("e1_micro").cast("long").as("exp_g0_micro"),
+            col("v_micro").cast("long").as("var_micro"),
+            expr("""CAST(round(CAST(1000000 * o1 - e1_micro AS DOUBLE)
+                   |  * (1000000 * o1 - e1_micro) / (1000.0 * v_micro))
+                   |  AS BIGINT)""".stripMargin).as("chi2_milli"))
+      },
+      Some(s"""WITH $obsSql,
+             |obsg AS (SELECT t, death, user_id % 2 AS grp FROM obs),
+             |gt AS (SELECT grp, count(*) AS ng FROM obsg GROUP BY 1),
+             |byt AS (SELECT t, grp, sum(death) AS d, count(*) AS ev FROM obsg GROUP BY 1, 2),
+             |grid AS (SELECT DISTINCT t FROM byt),
+             |bygrid AS (SELECT g.t, gr.grp, coalesce(b.d, 0) AS d, coalesce(b.ev, 0) AS ev
+             |  FROM grid g CROSS JOIN (SELECT DISTINCT grp FROM obsg) gr
+             |  LEFT JOIN byt b ON b.t = g.t AND b.grp = gr.grp),
+             |risk AS (SELECT t, grp, d,
+             |    ng - coalesce(sum(ev) OVER (PARTITION BY grp ORDER BY t
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nr
+             |  FROM bygrid JOIN gt USING (grp)),
+             |wide AS (SELECT t,
+             |    sum(CASE WHEN grp = 0 THEN d ELSE 0 END) AS d1,
+             |    sum(CASE WHEN grp = 1 THEN d ELSE 0 END) AS d2,
+             |    sum(CASE WHEN grp = 0 THEN nr ELSE 0 END) AS n1,
+             |    sum(CASE WHEN grp = 1 THEN nr ELSE 0 END) AS n2
+             |  FROM risk GROUP BY 1),
+             |terms AS (SELECT d1, d1 + d2 AS dt, n1, n2, n1 + n2 AS nt FROM wide
+             |  WHERE d1 + d2 > 0 AND n1 + n2 > 1),
+             |q AS (SELECT sum(d1) AS o1,
+             |    sum(CAST(round(1000000.0 * dt * n1 / nt) AS BIGINT)) AS e1_micro,
+             |    sum(CAST(round(1000000.0 * dt * (CAST(n1 AS DOUBLE) / nt)
+             |      * (CAST(n2 AS DOUBLE) / nt) * (nt - dt) / (nt - 1)) AS BIGINT)) AS v_micro
+             |  FROM terms)
+             |SELECT CAST(o1 AS BIGINT) AS obs_g0, CAST(e1_micro AS BIGINT) AS exp_g0_micro,
+             |  CAST(v_micro AS BIGINT) AS var_micro,
+             |  CAST(round(CAST(1000000 * o1 - e1_micro AS DOUBLE)
+             |    * (1000000 * o1 - e1_micro) / (1000.0 * v_micro)) AS BIGINT) AS chi2_milli
+             |FROM q""".stripMargin)),
+
+    // restricted mean survival time at τ = 168 h (one week): the area
+    // under the KM curve up to τ — "expected conversion-free hours in
+    // the first week", the single-number summary regulators prefer to
+    // hazard ratios. The KM step values are the q_survival_km integers
+    // (micro-rounded once), so every interval term s_micro · gap is
+    // EXACT integer arithmetic and the final sum needs no float order
+    // argument at all.
+    QueryDef(
+      "q_rmst",
+      (s, d) => {
+        val tau = 168L
+        val obs = observations(s, d)
+        val tot = obs.agg(count(lit(1)).as("n"))
+        val km = riskTable(obs).crossJoin(broadcast(tot))
+          .withColumn("n_risk", col("n") - col("cumbef"))
+          .withColumn("s_micro",
+            when(col("d") === col("n_risk"), 0L).otherwise(
+              expr("""CAST(round(exp(sum(CASE WHEN d < n - cumbef
+                     |  THEN ln(1.0 - CAST(d AS DOUBLE) / (n - cumbef)) ELSE 0.0 END)
+                     |  OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                     |  * 1000000) AS BIGINT)""".stripMargin)))
+          .where(col("d") > 0)
+          .select("t", "s_micro")
+        val head = km.agg(min("t").as("t1"))
+          .select(coalesce(least(col("t1"), lit(tau)) * 1000000L,
+            lit(tau * 1000000L)).as("head"))
+        val body = km
+          .withColumn("tn", lead("t", 1).over(Window.orderBy("t")))
+          .where(col("t") < tau)
+          .agg(coalesce(sum(col("s_micro") *
+            (least(coalesce(col("tn"), lit(tau)), lit(tau)) - col("t"))),
+            lit(0L)).as("body"))
+        val n = obs.agg(count(lit(1)).cast("long").as("n_users"))
+        head.crossJoin(broadcast(body)).crossJoin(broadcast(n))
+          .select(lit(tau).cast("long").as("tau_hours"), col("n_users"),
+            (col("head") + col("body")).cast("long").as("rmst_micro_hours"))
+      },
+      Some(s"""WITH $obsSql,
+             |tot AS (SELECT count(*) AS n FROM obs),
+             |byt AS (SELECT t, sum(death) AS d, count(*) AS ev FROM obs GROUP BY 1),
+             |run AS (SELECT t, d, ev,
+             |    coalesce(sum(ev) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),0) AS cumbef
+             |  FROM byt),
+             |km AS (SELECT t, d, n - cumbef AS n_risk,
+             |    CASE WHEN d = n - cumbef THEN 0 ELSE
+             |      CAST(round(exp(sum(CASE WHEN d < n - cumbef
+             |          THEN ln(1.0 - CAST(d AS DOUBLE)/(n - cumbef)) ELSE 0.0 END)
+             |          OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1000000) AS BIGINT)
+             |    END AS s_micro
+             |  FROM run CROSS JOIN tot WHERE d > 0),
+             |seg AS (SELECT t, s_micro, lead(t) OVER (ORDER BY t) AS tn FROM km),
+             |head AS (SELECT coalesce((SELECT 1000000 * least(min(t), 168) FROM km),
+             |    168000000) AS head),
+             |body AS (SELECT coalesce(sum(s_micro * (least(coalesce(tn, 168), 168) - t)), 0) AS body
+             |  FROM seg WHERE t < 168)
+             |SELECT CAST(168 AS BIGINT) AS tau_hours,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM obs) AS n_users,
+             |  CAST(head + body AS BIGINT) AS rmst_micro_hours
+             |FROM head CROSS JOIN body""".stripMargin))
+  )
+}

@@ -306,7 +306,18 @@ class PlanAuditSpec extends SparkSpec {
       "q_hub_robustness",
       // q_ransac_fit: the day-index row_number and moving-range lag ride
       // the ≤ #days calendar frame (q_control_chart convention)
-      "q_ransac_fit")
+      "q_ransac_fit",
+      // q_nelson_aalen / q_rmst: running sums + lead over the distinct-
+      // event-time table — hour-grain, calendar-bounded (q_survival_km
+      // convention; q_logrank's at-risk windows are group-PARTITIONED)
+      "q_nelson_aalen", "q_rmst",
+      // q_durbin_watson: the day-index row_number and residual lag ride
+      // the ≤ #days calendar frame after one map-combined daily sum
+      // (q_control_chart convention)
+      "q_durbin_watson",
+      // q_rbo: the two rank windows run AFTER sort-limit top-20s —
+      // 20 rows by construction (q_rank_stability convention)
+      "q_rbo")
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !allowed(name)
       w = fn(spark, sf).queryExecution.optimizedPlan.collect {
