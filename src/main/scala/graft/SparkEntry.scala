@@ -30,6 +30,7 @@ object SparkEntry {
       operators.Survival.defs ++
       operators.StatTests.defs ++
       operators.RankEval.defs ++
+      operators.ModelFit.defs ++
       operators.Multimodal.defs ++
       functions.TextAnalysis.defs ++
       functions.Similarity.defs

@@ -1343,6 +1343,81 @@ object TextAnalysis {
              |SELECT doc_id, CAST(start_pos AS BIGINT) AS start_pos,
              |  CAST(score AS BIGINT) AS matched
              |FROM best WHERE rk = 1
-             |ORDER BY matched DESC, doc_id LIMIT 10""".stripMargin))
+             |ORDER BY matched DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    // the maximal ≤3-token runs between stopwords; each word scores
+    // deg/freq (deg = Σ phrase length over its occurrences — words that
+    // travel in long company score high) and a phrase scores the sum of
+    // its words. ALL integer arithmetic: deg/freq rides a single 128-bit
+    // `div`, phrase scores are exact sums of those integers, so the
+    // top-15 ranking is engine-deterministic with the (score, phrase)
+    // tiebreak. Phrase segmentation is one doc-PARTITIONED running
+    // stopword count; word stats are one vocabulary-sized aggregate —
+    // both linear at corpus scale. The stopword list is fixed (the two
+    // grammatical stopwords the synthetic corpus has, plus its four
+    // highest-df content words — the corpus-derived-stopword practice
+    // for jargon corpora).
+    QueryDef(
+      "q_rake_keywords",
+      (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        val pid = words
+          .withColumn("st",
+            when(col("w").isin("the", "a", "data", "row", "table", "join"),
+              1L).otherwise(0L))
+          .withColumn("pid",
+            sum("st").over(Window.partitionBy("doc_id").orderBy("pos")
+              .rowsBetween(Window.unboundedPreceding, 0)))
+        val toks0 = pid.where(col("st") === 0)
+          .select("doc_id", "pid", "pos", "w")
+        val keep = toks0.groupBy("doc_id", "pid")
+          .agg(count(lit(1)).as("len")).where(col("len") <= 3)
+        val toks = toks0.join(keep, Seq("doc_id", "pid"))
+        val wsc = toks.groupBy("w")
+          .agg(count(lit(1)).as("freq"), sum("len").as("deg"))
+          .select(col("w"),
+            expr("(1000000 * CAST(deg AS DECIMAL(38,0))) div freq")
+              .as("score_micro"))
+        val ph = toks.join(wsc, "w")
+          .groupBy("doc_id", "pid")
+          .agg(array_join(
+              transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+                x => x.getField("w")), " ").as("phrase"),
+            sum("score_micro").as("pscore"))
+        ph.groupBy("phrase")
+          .agg(count(lit(1)).as("n_occurrences"), max("pscore").as("pscore"))
+          .select(col("phrase"),
+            col("n_occurrences").cast("long").as("n_occurrences"),
+            col("pscore").cast("long").as("score_micro"))
+          .orderBy(col("score_micro").desc, col("phrase")).limit(15)
+      },
+      Some("""WITH w AS (SELECT doc_id, u.pos, u.w FROM documents,
+             |    LATERAL (SELECT unnest(string_split(text, ' ')) AS w,
+             |             generate_subscripts(string_split(text, ' '), 1) AS pos) u),
+             |mk AS (SELECT doc_id, pos, w,
+             |    CASE WHEN w IN ('the', 'a', 'data', 'row', 'table', 'join')
+             |      THEN 1 ELSE 0 END AS st FROM w),
+             |pid AS (SELECT doc_id, pos, w, st,
+             |    sum(st) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+             |  FROM mk),
+             |toks0 AS (SELECT doc_id, pid, pos, w FROM pid WHERE st = 0),
+             |keep AS (SELECT doc_id, pid, count(*) AS len FROM toks0
+             |  GROUP BY 1, 2 HAVING count(*) <= 3),
+             |toks AS (SELECT t.*, keep.len FROM toks0 t JOIN keep USING (doc_id, pid)),
+             |ws AS (SELECT w, count(*) AS freq, sum(len) AS deg FROM toks GROUP BY 1),
+             |wsc AS (SELECT w, (1000000 * CAST(deg AS HUGEINT)) // freq AS score_micro FROM ws),
+             |ph AS (SELECT t.doc_id, t.pid,
+             |    string_agg(t.w, ' ' ORDER BY t.pos) AS phrase,
+             |    sum(wsc.score_micro) AS pscore
+             |  FROM toks t JOIN wsc ON wsc.w = t.w GROUP BY 1, 2),
+             |uniq AS (SELECT phrase, count(*) AS n_occurrences,
+             |    max(pscore) AS score_micro FROM ph GROUP BY 1)
+             |SELECT phrase, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+             |  CAST(score_micro AS BIGINT) AS score_micro
+             |FROM uniq ORDER BY score_micro DESC, phrase LIMIT 15""".stripMargin))
   )
 }

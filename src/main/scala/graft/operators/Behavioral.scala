@@ -5556,7 +5556,86 @@ object Behavioral {
              |    AS std_resid_milli,
              |  CAST(CASE WHEN abs((obs - exp)/sqrt(exp*(1 - rs)*(1 - cs))) > 1.96
              |    THEN 1 ELSE 0 END AS BIGINT) AS flagged
-             |FROM cells ORDER BY event_type, per""".stripMargin))
+             |FROM cells ORDER BY event_type, per""".stripMargin)),
+
+    // economic order quantity per brand: EOQ = √(2·D·S/H) with demand D
+    // from exact per-row-rounded quantities, ordering cost S fixed at
+    // 5 000 cents, and holding cost H = 20% of the brand's average unit
+    // revenue — the classic inventory lot-size that closes the loop
+    // with q_safety_stock (when to reorder) and q_newsvendor (how much
+    // under uncertainty): this is how much per order at steady state.
+    // One lineitem aggregate + a broadcast part-dim join; the sqrt is
+    // one IEEE expression over exact integer sums.
+    QueryDef(
+      "q_eoq",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).groupBy("l_partkey")
+          .agg(sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("dem"),
+            sum(expr("CAST(round(l_extendedprice*100) AS BIGINT)")).as("rev"),
+            count(lit(1)).as("n"))
+        li.join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+            col("p_partkey") === col("l_partkey"))
+          .groupBy(col("p_brand").as("brand"))
+          .agg(sum("dem").as("demand"),
+            sum(expr("CAST(rev AS DECIMAL(38,0))")).as("rev_cents"),
+            sum("n").as("lines"))
+          .select(col("brand"), col("demand").cast("long").as("demand"),
+            col("lines").cast("long").as("n_lines"),
+            expr("""CAST(round(sqrt(2.0 * demand * 500000 /
+                   |  (0.2 * CAST(rev_cents AS DOUBLE) / demand))) AS BIGINT)"""
+              .stripMargin).as("eoq_units"))
+          .orderBy("brand")
+      },
+      Some("""WITH li AS (SELECT l_partkey, sum(CAST(round(l_quantity) AS BIGINT)) AS dem,
+             |    sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS rev,
+             |    count(*) AS n FROM lineitem GROUP BY 1),
+             |b AS (SELECT p.p_brand AS brand, sum(li.dem) AS demand,
+             |    sum(CAST(li.rev AS HUGEINT)) AS rev_cents, sum(li.n) AS lines
+             |  FROM li JOIN part p ON p.p_partkey = li.l_partkey GROUP BY 1)
+             |SELECT brand, CAST(demand AS BIGINT) AS demand, CAST(lines AS BIGINT) AS n_lines,
+             |  CAST(round(sqrt(2.0 * demand * 500000 /
+             |    (0.2 * CAST(rev_cents AS DOUBLE) / demand))) AS BIGINT) AS eoq_units
+             |FROM b ORDER BY brand""".stripMargin)),
+
+    // Wilson score interval (95%) for the value>250 rate per event type
+    // — the binomial CI that stays inside [0,1] and behaves at k = 0
+    // where the Wald interval collapses (the q_funnel_ci upgrade for
+    // small-k segments). One conditional-count aggregate; both bounds
+    // are single IEEE closed forms over the exact (k, n) integers with
+    // z² = 3.84145882069412 spelled as the same literal in both
+    // engines.
+    QueryDef(
+      "q_wilson_ci",
+      (s, d) => Tables.events(s, d).where(col("value").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("value") > 250, 1)).as("k"))
+        .select(col("event_type"), col("n").cast("long").as("n"),
+          col("k").cast("long").as("k"),
+          expr("""CAST(round(((CAST(k AS DOUBLE)/n + 3.84145882069412/(2*n))
+                 |  / (1 + 3.84145882069412/n)
+                 |  - 1.959964 * sqrt((CAST(k AS DOUBLE)/n)*(1 - CAST(k AS DOUBLE)/n)/n
+                 |      + 3.84145882069412/(4.0*n*n)) / (1 + 3.84145882069412/n))
+                 |  * 1000000) AS BIGINT)""".stripMargin).as("lo_micro"),
+          expr("""CAST(round(((CAST(k AS DOUBLE)/n + 3.84145882069412/(2*n))
+                 |  / (1 + 3.84145882069412/n)
+                 |  + 1.959964 * sqrt((CAST(k AS DOUBLE)/n)*(1 - CAST(k AS DOUBLE)/n)/n
+                 |      + 3.84145882069412/(4.0*n*n)) / (1 + 3.84145882069412/n))
+                 |  * 1000000) AS BIGINT)""".stripMargin).as("hi_micro"))
+        .orderBy("event_type"),
+      Some("""WITH g AS (SELECT event_type, count(*) AS n,
+             |    count(*) FILTER (WHERE value > 250) AS k
+             |  FROM events WHERE value IS NOT NULL GROUP BY 1)
+             |SELECT event_type, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+             |  CAST(round(((CAST(k AS DOUBLE)/n + 3.84145882069412/(2*n))
+             |    / (1 + 3.84145882069412/n)
+             |    - 1.959964 * sqrt((CAST(k AS DOUBLE)/n)*(1 - CAST(k AS DOUBLE)/n)/n
+             |        + 3.84145882069412/(4.0*n*n)) / (1 + 3.84145882069412/n)) * 1000000) AS BIGINT) AS lo_micro,
+             |  CAST(round(((CAST(k AS DOUBLE)/n + 3.84145882069412/(2*n))
+             |    / (1 + 3.84145882069412/n)
+             |    + 1.959964 * sqrt((CAST(k AS DOUBLE)/n)*(1 - CAST(k AS DOUBLE)/n)/n
+             |        + 3.84145882069412/(4.0*n*n)) / (1 + 3.84145882069412/n)) * 1000000) AS BIGINT) AS hi_micro
+             |FROM g ORDER BY event_type""".stripMargin))
   )
 
   /** Fixed-point absorbing-chain oracle — twenty unrolled Neumann steps

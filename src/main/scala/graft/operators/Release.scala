@@ -1358,8 +1358,139 @@ object Release {
              |  CAST((SELECT lcc FROM lcc0) AS BIGINT) AS lcc_before,
              |  CAST((SELECT lcc FROM lcc1) AS BIGINT) AS lcc_after,
              |  CAST(((SELECT lcc FROM lcc0) - (SELECT lcc FROM lcc1)) * 1000000
-             |    // (SELECT lcc FROM lcc0) AS BIGINT) AS lcc_drop_micro""".stripMargin))
+             |    // (SELECT lcc FROM lcc0) AS BIGINT) AS lcc_drop_micro""".stripMargin)),
+
+    // synchronous label propagation (4 rounds, min-label tiebreak) on
+    // the w ≥ 3 co-purchase graph — the linear-time community detector
+    // that complements the star-CC partition q_product_communities
+    // reads (LPA splits a connected component along weak ties; CC
+    // cannot). Deterministic by construction: every node
+    // simultaneously adopts the neighbor label with the max total edge
+    // weight, ties to the min label, so round k is a pure function of
+    // round k−1 — no update-order dependence to hide. Each round is one
+    // adjacency join + a u-PARTITIONED rank window (never global); the
+    // output is the label-invariant community-size histogram. Rounds
+    // cut lineage (q_kcore convention). The oracle unrolls the four
+    // rounds as CTE stages (q_weighted_pagerank convention).
+    QueryDef(
+      "q_label_prop",
+      (s, d) => {
+        val nb = copurchaseDirected(s, d)._1
+          .where(col("w") >= 3).select("u", "v", "w")
+        var lbl = nb.select(col("u")).distinct()
+          .select(col("u"), col("u").as("label"))
+        for (_ <- 1 to 4) {
+          val w = Window.partitionBy("u")
+            .orderBy(col("tw").desc, col("label").asc)
+          lbl = cutLineage(nb
+            .join(lbl.select(col("u").as("v"), col("label")), "v")
+            .groupBy("u", "label").agg(sum("w").as("tw"))
+            .withColumn("rn", row_number().over(w))
+            .where(col("rn") === 1).select("u", "label"))
+        }
+        lbl.groupBy("label").agg(count(lit(1)).as("sz"))
+          .groupBy("sz").agg(count(lit(1)).as("n_communities"))
+          .select(col("sz").cast("long").as("community_size"),
+            col("n_communities").cast("long").as("n_communities"))
+          .orderBy("community_size")
+      },
+      Some(labelPropOracle)),
+
+    // double-sweep BFS diameter lower bound on the w ≥ 3 co-purchase
+    // graph: BFS from the min node, hop to the farthest reached node
+    // (tie → min id), BFS again — the eccentricity of the second sweep
+    // is the classic 2-sweep diameter estimate (exact on trees, a tight
+    // lower bound in practice). Six hop rounds per sweep, each one
+    // adjacency equi-join + an anti-join against the settled distance
+    // map, lineage cut per round (q_bfs_layers convention) — hop-capped
+    // so the worst case is 12 bounded joins at any scale, never an
+    // unbounded fixpoint. The oracle states the same sweeps as
+    // depth-capped recursive CTEs.
+    QueryDef(
+      "q_graph_diameter",
+      (s, d) => {
+        val nb = copurchaseDirected(s, d)._1
+          .where(col("w") >= 3).select("u", "v")
+        def bfs(seed: org.apache.spark.sql.DataFrame) = {
+          var dist = cutLineage(seed.select(col("id"), lit(0L).as("dist")))
+          for (i <- 1 to 6) {
+            val next = nb
+              .join(dist.where(col("dist") === (i - 1))
+                .select(col("id").as("u")), "u")
+              .select(col("v").as("id")).distinct()
+              .join(dist, Seq("id"), "left_anti")
+              .select(col("id"), lit(i.toLong).as("dist"))
+            dist = cutLineage(dist.unionAll(next))
+          }
+          dist
+        }
+        val seed = nb.agg(min("u").as("id"))
+        val d1 = bfs(seed)
+        val far = d1.orderBy(col("dist").desc, col("id").asc).limit(1)
+        val d2 = bfs(far.select("id"))
+        val ecc1 = far.select(col("id").as("far_node"),
+          col("dist").as("ecc_seed"))
+        val agg2 = d2.agg(max("dist").as("diameter_lb"),
+          count(lit(1)).as("n_reached"))
+        seed.select(col("id").cast("long").as("seed_node"))
+          .crossJoin(broadcast(ecc1)).crossJoin(broadcast(agg2))
+          .select(col("seed_node"),
+            col("far_node").cast("long").as("far_node"),
+            col("ecc_seed").cast("long").as("ecc_seed"),
+            col("diameter_lb").cast("long").as("diameter_lb"),
+            col("n_reached").cast("long").as("n_reached"))
+      },
+      Some("""WITH RECURSIVE lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS MATERIALIZED (SELECT p1, p2, w FROM (
+             |      SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS w
+             |      FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2) WHERE w >= 3),
+             |nb AS MATERIALIZED (SELECT p1 AS u, p2 AS v FROM e UNION ALL SELECT p2, p1 FROM e),
+             |seed AS (SELECT min(u) AS s FROM nb),
+             |b1(v, dist) AS (
+             |  SELECT s, 0 FROM seed
+             |  UNION
+             |  SELECT nb.v, b1.dist + 1 FROM b1 JOIN nb ON nb.u = b1.v WHERE b1.dist < 6),
+             |d1 AS (SELECT v, min(dist) AS dist FROM b1 GROUP BY 1),
+             |far AS (SELECT v AS f, dist AS ecc1 FROM d1 ORDER BY dist DESC, v LIMIT 1),
+             |b2(v, dist) AS (
+             |  SELECT f, 0 FROM far
+             |  UNION
+             |  SELECT nb.v, b2.dist + 1 FROM b2 JOIN nb ON nb.u = b2.v WHERE b2.dist < 6),
+             |d2 AS (SELECT v, min(dist) AS dist FROM b2 GROUP BY 1)
+             |SELECT (SELECT CAST(s AS BIGINT) FROM seed) AS seed_node,
+             |  (SELECT CAST(f AS BIGINT) FROM far) AS far_node,
+             |  (SELECT CAST(ecc1 AS BIGINT) FROM far) AS ecc_seed,
+             |  (SELECT CAST(max(dist) AS BIGINT) FROM d2) AS diameter_lb,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM d2) AS n_reached""".stripMargin))
   )
+
+  /** Four unrolled synchronous LPA rounds over the w ≥ 3 co-purchase
+    * adjacency — min-label tiebreak mirrored via the same
+    * (tw DESC, label) rank the Spark loop uses. */
+  private def labelPropOracle: String = {
+    val graph =
+      """WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS MATERIALIZED (SELECT p1, p2, w FROM (
+        |      SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS w
+        |      FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2) WHERE w >= 3),
+        |nb AS MATERIALIZED (SELECT p1 AS u, p2 AS v, w FROM e UNION ALL SELECT p2, p1, w FROM e),
+        |l0 AS (SELECT DISTINCT u, u AS label FROM nb)""".stripMargin
+    val iters = (1 to 4).map { k =>
+      s"""l$k AS MATERIALIZED (SELECT u, label FROM (
+         |  SELECT n.u, l.label, sum(n.w) AS tw,
+         |    row_number() OVER (PARTITION BY n.u ORDER BY sum(n.w) DESC, l.label) AS rn
+         |  FROM nb n JOIN l${k - 1} l ON l.u = n.v GROUP BY n.u, l.label) WHERE rn = 1)"""
+        .stripMargin
+    }
+    (graph +: iters).mkString(",\n") +
+      """
+        |, comm AS (SELECT label, count(*) AS sz FROM l4 GROUP BY 1)
+        |SELECT CAST(sz AS BIGINT) AS community_size,
+        |  CAST(count(*) AS BIGINT) AS n_communities
+        |FROM comm GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   /** Fixed-point WEIGHTED PageRank oracle — six unrolled stages over the
     * co-purchase edge list, integer arithmetic mirroring the Spark loop
