@@ -5635,7 +5635,72 @@ object Behavioral {
              |    / (1 + 3.84145882069412/n)
              |    + 1.959964 * sqrt((CAST(k AS DOUBLE)/n)*(1 - CAST(k AS DOUBLE)/n)/n
              |        + 3.84145882069412/(4.0*n*n)) / (1 + 3.84145882069412/n)) * 1000000) AS BIGINT) AS hi_micro
-             |FROM g ORDER BY event_type""".stripMargin))
+             |FROM g ORDER BY event_type""".stripMargin)),
+
+    // inverse-propensity-weighted ATE of afternoon exposure (hour ≥ 12)
+    // on event value, with day-of-week as the stratifying confounder —
+    // the Horvitz-Thompson estimator beside q_propensity_strat's
+    // stratified difference and q_cuped's variance reduction. The
+    // propensity is the exact within-stratum rate t_b/n_b, so each
+    // stratum's IPW term Σy·n_b/t_b is ONE micro-quantized expression
+    // over exact integer cell sums (≤ 7×2 cells — no per-row weighting
+    // pass exists at any scale), integer-summed across strata. The
+    // day-of-week key only GROUPS rows (never output), so the engines'
+    // different weekday numberings are irrelevant. Fixture exposure is
+    // unconfounded, so naive ≈ IPW: the honest null.
+    QueryDef(
+      "q_ipw_ate",
+      (s, d) => {
+        val e = Tables.events(s, d).where(col("value").isNotNull)
+          .select(expr("CAST(round(value*100) AS BIGINT)").as("y"),
+            when(expr("hour(ts)") >= 12, 1L).otherwise(0L).as("t"),
+            expr("dayofweek(ts)").as("x"))
+        val cells = e.groupBy("x", "t")
+          .agg(count(lit(1)).as("n"), sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"))
+        val bins = cells.groupBy("x")
+          .agg(sum("n").as("nb"),
+            sum(when(col("t") === 1, col("n")).otherwise(0L)).as("tb"))
+        val terms = cells.join(broadcast(bins), "x")
+          .where((col("t") === 1 && col("tb") > 0) ||
+            (col("t") === 0 && col("nb") > col("tb")))
+          .select(expr("""CAST(round(CASE WHEN t = 1
+                         |  THEN 10000.0 * sy * nb / tb
+                         |  ELSE -10000.0 * sy * nb / (nb - tb) END) AS BIGINT)"""
+            .stripMargin).as("term"))
+        val tsum = terms.agg(sum("term").as("tsum"))
+        e.agg(count(lit(1)).as("n"),
+            sum(when(col("t") === 1, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("t") === 1, expr("CAST(y AS DECIMAL(38,0))"))
+              .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("y1"),
+            sum(when(col("t") === 0, expr("CAST(y AS DECIMAL(38,0))"))
+              .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("y0"))
+          .crossJoin(broadcast(tsum))
+          .select(col("n").cast("long").as("n_obs"),
+            expr("""CAST(round((CAST(y1 AS DOUBLE)/n1
+                   |  - CAST(y0 AS DOUBLE)/(n - n1)) * 10000) AS BIGINT)"""
+              .stripMargin).as("ate_naive_cmilli"),
+            expr("CAST(tsum div n AS BIGINT)").as("ate_ipw_cmilli"))
+      },
+      Some("""WITH e AS (SELECT CAST(round(value*100) AS BIGINT) AS y,
+             |    CASE WHEN hour(CAST(ts AS TIMESTAMP)) >= 12 THEN 1 ELSE 0 END AS t,
+             |    dayofweek(CAST(ts AS TIMESTAMP)) AS x
+             |  FROM events WHERE value IS NOT NULL),
+             |cells AS (SELECT x, t, count(*) AS n, sum(CAST(y AS HUGEINT)) AS sy FROM e GROUP BY 1, 2),
+             |bins AS (SELECT x, sum(n) AS nb, sum(CASE WHEN t = 1 THEN n ELSE 0 END) AS tb FROM cells GROUP BY 1),
+             |terms AS (SELECT CAST(round(CASE WHEN c.t = 1
+             |      THEN 10000.0 * c.sy * b.nb / b.tb
+             |      ELSE -10000.0 * c.sy * b.nb / (b.nb - b.tb) END) AS BIGINT) AS term
+             |  FROM cells c JOIN bins b ON b.x = c.x
+             |  WHERE (c.t = 1 AND b.tb > 0) OR (c.t = 0 AND b.nb > b.tb)),
+             |tot AS (SELECT count(*) AS n,
+             |    sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS n1,
+             |    sum(CASE WHEN t = 1 THEN CAST(y AS HUGEINT) ELSE 0 END) AS y1,
+             |    sum(CASE WHEN t = 0 THEN CAST(y AS HUGEINT) ELSE 0 END) AS y0 FROM e)
+             |SELECT CAST(n AS BIGINT) AS n_obs,
+             |  CAST(round((CAST(y1 AS DOUBLE)/n1 - CAST(y0 AS DOUBLE)/(n - n1)) * 10000) AS BIGINT)
+             |    AS ate_naive_cmilli,
+             |  CAST((SELECT sum(term) FROM terms) // n AS BIGINT) AS ate_ipw_cmilli
+             |FROM tot""".stripMargin))
   )
 
   /** Fixed-point absorbing-chain oracle — twenty unrolled Neumann steps

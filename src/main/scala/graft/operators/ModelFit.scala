@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Closed-form model fits — distributed training steps whose entire data
@@ -91,6 +92,125 @@ object ModelFit {
              |  CAST(round(d2 / det * 1000) AS BIGINT) AS b2_milli,
              |  CAST(round((1 - (syy - (d0/det)*sy - (d1/det)*s1y - (d2/det)*s2y)
              |    / (syy - sy*sy/n)) * 1000000) AS BIGINT) AS r2_micro
-             |FROM sol""".stripMargin))
+             |FROM sol""".stripMargin)),
+
+    // two gradient-boosting rounds with depth-1 regression stumps on
+    // squared loss — the distributed XGBoost-style kernel end to end:
+    // f₀ = global mean, stage 1 splits on hour-of-day, stage 2 on
+    // day-of-month over the stage-1 residuals. Residuals stay EXACT
+    // integer micro-cents at every stage (leaf values are integer divs
+    // of exact sums, broadcast back); the split search scores all
+    // thresholds from the ≤31-row feature histogram's running sums
+    // (the q_stump_split shape — the only data-sized work per stage is
+    // one map-combined histogram pass), argmax with a value tiebreak.
+    // Train MSE after each stage is an exact 128-bit Σr² — the curve a
+    // boosting run is monitored on. Fixture value ⊥ time, so the MSE
+    // drop is tiny: the honest null.
+    QueryDef(
+      "q_gbm_round",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .where(col("event_type") === "purchase" && col("value").isNotNull)
+          .select(expr("CAST(round(value*100) AS BIGINT)").as("y"),
+            expr("CAST(hour(ts) AS BIGINT)").as("x1"),
+            expr("CAST(dayofmonth(ts) AS BIGINT)").as("x2"))
+        val t0 = e.agg(count(lit(1)).as("n"),
+          sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"))
+        val f0 = t0.select(col("n"),
+          expr("CAST(1000000 * sy div n AS BIGINT)").as("f0"))
+        val r1 = e.crossJoin(broadcast(f0))
+          .select(col("x1"), col("x2"),
+            expr("CAST(1000000 * y - f0 AS BIGINT)").as("r"))
+        def stump(rs: org.apache.spark.sql.DataFrame, x: String) = {
+          val h = rs.groupBy(x).agg(count(lit(1)).as("nb"),
+            sum(expr("CAST(r AS DECIMAL(38,0))")).as("sb"))
+          val w = Window.orderBy(x).rowsBetween(Window.unboundedPreceding, 0)
+          val run = h.select(col(x), sum("nb").over(w).as("nl"),
+            sum("sb").over(w).as("sl"))
+          val tt = h.agg(sum("nb").as("n"), sum("sb").as("st"))
+          run.crossJoin(broadcast(tt))
+            .where(col("nl") > 0 && col("nl") < col("n"))
+            .select(col(x), col("nl"), col("sl"),
+              (col("n") - col("nl")).as("nr"), (col("st") - col("sl")).as("sr"),
+              expr("pow(CAST(sl AS DOUBLE), 2) / nl + pow(CAST(st - sl AS DOUBLE), 2) / (n - nl)")
+                .as("score"))
+            .orderBy(col("score").desc, col(x)).limit(1)
+            .select(col(x).as("thr"),
+              expr("CAST(sl div nl AS BIGINT)").as("gl"),
+              expr("CAST(sr div nr AS BIGINT)").as("gr"))
+        }
+        def mseOf(rs: org.apache.spark.sql.DataFrame) = rs.agg(
+          // divide by 10¹² BEFORE the row count: IntegralDivide returns
+          // LONG, and Σr²/n alone exceeds 2⁶³ (observed: silent wrap with
+          // ANSI off) — ÷10¹² first keeps every intermediate in range and
+          // floor(a/c/n) = floor(a/(c·n)) exactly for positive integers
+          expr("""CAST(sum(CAST(r AS DECIMAL(38,0)) * r) div 1000000000000
+                 |  div count(*) AS BIGINT)""".stripMargin).as("mse"))
+        val b1 = stump(r1, "x1").withColumnsRenamed(
+          Map("thr" -> "thr1", "gl" -> "gl1", "gr" -> "gr1"))
+        val r2 = r1.crossJoin(broadcast(b1)).select(col("x2"),
+          expr("CAST(r - CASE WHEN x1 <= thr1 THEN gl1 ELSE gr1 END AS BIGINT)")
+            .as("r"))
+        val mse1 = mseOf(r2).withColumnRenamed("mse", "mse1")
+        val b2 = stump(r2, "x2").withColumnsRenamed(
+          Map("thr" -> "thr2", "gl" -> "gl2", "gr" -> "gr2"))
+        val r3 = r2.crossJoin(broadcast(b2)).select(
+          expr("CAST(r - CASE WHEN x2 <= thr2 THEN gl2 ELSE gr2 END AS BIGINT)")
+            .as("r"))
+        val mse2 = mseOf(r3).withColumnRenamed("mse", "mse2")
+        f0.crossJoin(broadcast(b1)).crossJoin(broadcast(mse1))
+          .crossJoin(broadcast(b2)).crossJoin(broadcast(mse2))
+          .select(col("n").cast("long").as("n_obs"),
+            col("f0").as("f0_micro"),
+            col("thr1").cast("long").as("hour_threshold"),
+            col("gl1").as("gamma_l1_micro"), col("gr1").as("gamma_r1_micro"),
+            col("mse1").as("mse_stage1_cents2"),
+            col("thr2").cast("long").as("dom_threshold"),
+            col("gl2").as("gamma_l2_micro"), col("gr2").as("gamma_r2_micro"),
+            col("mse2").as("mse_stage2_cents2"))
+      },
+      Some("""WITH e AS (SELECT CAST(round(value*100) AS BIGINT) AS y,
+             |    CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS x1,
+             |    CAST(dayofmonth(CAST(ts AS TIMESTAMP)) AS BIGINT) AS x2
+             |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+             |t0 AS (SELECT count(*) AS n, sum(CAST(y AS HUGEINT)) AS sy FROM e),
+             |f0 AS (SELECT n, CAST(1000000 * sy // n AS BIGINT) AS f0 FROM t0),
+             |r1 AS (SELECT x1, x2, CAST(1000000 * y - f0 AS BIGINT) AS r FROM e CROSS JOIN f0),
+             |h1 AS (SELECT x1, count(*) AS nb, sum(CAST(r AS HUGEINT)) AS sb FROM r1 GROUP BY 1),
+             |run1 AS (SELECT x1,
+             |    sum(nb) OVER (ORDER BY x1 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+             |    sum(sb) OVER (ORDER BY x1 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl
+             |  FROM h1),
+             |tt1 AS (SELECT sum(nb) AS n, sum(sb) AS st FROM h1),
+             |sc1 AS (SELECT x1, nl, sl, n - nl AS nr, st - sl AS sr,
+             |    pow(CAST(sl AS DOUBLE), 2) / nl + pow(CAST(st - sl AS DOUBLE), 2) / (n - nl) AS score
+             |  FROM run1 CROSS JOIN tt1 WHERE nl > 0 AND nl < n),
+             |b1 AS (SELECT x1 AS thr1, CAST(sl // nl AS BIGINT) AS gl1, CAST(sr // nr AS BIGINT) AS gr1
+             |  FROM sc1 ORDER BY score DESC, x1 LIMIT 1),
+             |r2 AS (SELECT x2, CAST(r - CASE WHEN x1 <= thr1 THEN gl1 ELSE gr1 END AS BIGINT) AS r
+             |  FROM r1 CROSS JOIN b1),
+             |mse1 AS (SELECT CAST(sum(CAST(r AS HUGEINT) * r) // 1000000000000 // count(*) AS BIGINT) AS mse1 FROM r2),
+             |h2 AS (SELECT x2, count(*) AS nb, sum(CAST(r AS HUGEINT)) AS sb FROM r2 GROUP BY 1),
+             |run2 AS (SELECT x2,
+             |    sum(nb) OVER (ORDER BY x2 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+             |    sum(sb) OVER (ORDER BY x2 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl
+             |  FROM h2),
+             |tt2 AS (SELECT sum(nb) AS n, sum(sb) AS st FROM h2),
+             |sc2 AS (SELECT x2, nl, sl, n - nl AS nr, st - sl AS sr,
+             |    pow(CAST(sl AS DOUBLE), 2) / nl + pow(CAST(st - sl AS DOUBLE), 2) / (n - nl) AS score
+             |  FROM run2 CROSS JOIN tt2 WHERE nl > 0 AND nl < n),
+             |b2 AS (SELECT x2 AS thr2, CAST(sl // nl AS BIGINT) AS gl2, CAST(sr // nr AS BIGINT) AS gr2
+             |  FROM sc2 ORDER BY score DESC, x2 LIMIT 1),
+             |r3 AS (SELECT CAST(r - CASE WHEN x2 <= thr2 THEN gl2 ELSE gr2 END AS BIGINT) AS r
+             |  FROM r2 CROSS JOIN b2),
+             |mse2 AS (SELECT CAST(sum(CAST(r AS HUGEINT) * r) // 1000000000000 // count(*) AS BIGINT) AS mse2 FROM r3)
+             |SELECT (SELECT CAST(n AS BIGINT) FROM t0) AS n_obs,
+             |  (SELECT f0 FROM f0) AS f0_micro,
+             |  (SELECT CAST(thr1 AS BIGINT) FROM b1) AS hour_threshold,
+             |  (SELECT gl1 FROM b1) AS gamma_l1_micro, (SELECT gr1 FROM b1) AS gamma_r1_micro,
+             |  (SELECT mse1 FROM mse1) AS mse_stage1_cents2,
+             |  (SELECT CAST(thr2 AS BIGINT) FROM b2) AS dom_threshold,
+             |  (SELECT gl2 FROM b2) AS gamma_l2_micro, (SELECT gr2 FROM b2) AS gamma_r2_micro,
+             |  (SELECT mse2 FROM mse2) AS mse_stage2_cents2""".stripMargin))
   )
 }

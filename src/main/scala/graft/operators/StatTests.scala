@@ -268,6 +268,115 @@ object StatTests {
              |  CAST(round(1000.0 * (CAST(maxdev AS DOUBLE) / n)
              |    / sqrt((CAST(n AS DOUBLE) * s2 - CAST(s AS DOUBLE) * s)
              |      / (CAST(n AS DOUBLE) * (n - 1)))) AS BIGINT) AS g_milli
-             |FROM m CROSS JOIN dev CROSS JOIN pick""".stripMargin))
+             |FROM m CROSS JOIN dev CROSS JOIN pick""".stripMargin)),
+
+    // Tukey-Kramer post-hoc q statistics for every event-type pair —
+    // the step AFTER q_anova rejects: which of the C(5,2) = 10 pairwise
+    // mean differences carry the signal, on the studentized-range scale
+    // q = |x̄ᵢ − x̄ⱼ| / √(MSW/2 · (1/nᵢ + 1/nⱼ)) that keeps the family-
+    // wise error controlled where 10 naive t-tests would not. MSW
+    // reuses q_anova's exact moment machinery (per-group s²/n quantized
+    // before the cross-group sum); the pair frame is a ≤ k² broadcast
+    // self-join of the k-row group table.
+    QueryDef(
+      "q_tukey_hsd",
+      (s, d) => {
+        val g = Tables.events(s, d).where(col("value").isNotNull)
+          .select(col("event_type"),
+            expr("CAST(round(value*100) AS BIGINT)").as("c"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(c AS DECIMAL(38,0))")).as("s"),
+            sum(expr("CAST(c AS DECIMAL(38,0))*c")).as("s2"))
+        val g2 = g.withColumn("t",
+          expr("CAST(round(CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n) AS DECIMAL(38,0))"))
+        val msw = g2.agg(sum("n").as("nn"), count(lit(1)).as("k"),
+            sum("s2").as("ss2"), sum("t").as("sb"))
+          .select(expr("(CAST(ss2 AS DOUBLE) - CAST(sb AS DOUBLE)) / (nn - k)")
+            .as("msw"))
+        val a = g.select(col("event_type").as("type_a"), col("n").as("na"),
+          col("s").as("sa"))
+        val b = g.select(col("event_type").as("type_b"), col("n").as("nb_"),
+          col("s").as("sb_"))
+        a.join(broadcast(b), col("type_a") < col("type_b"))
+          .crossJoin(broadcast(msw))
+          .select(col("type_a"), col("type_b"),
+            expr("CAST(round((CAST(sa AS DOUBLE)/na - CAST(sb_ AS DOUBLE)/nb_) * 1000) AS BIGINT)")
+              .as("mean_diff_milli"),
+            expr("""CAST(round(abs(CAST(sa AS DOUBLE)/na - CAST(sb_ AS DOUBLE)/nb_)
+                   |  / sqrt(msw / 2 * (1.0/na + 1.0/nb_)) * 1000) AS BIGINT)"""
+              .stripMargin).as("q_milli"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""WITH v AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS c
+             |    FROM events WHERE value IS NOT NULL),
+             |g AS (SELECT event_type, count(*) AS n, sum(CAST(c AS HUGEINT)) AS s,
+             |    sum(CAST(c AS HUGEINT)*c) AS s2 FROM v GROUP BY 1),
+             |g2 AS (SELECT *, CAST(round(CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n) AS HUGEINT) AS t FROM g),
+             |msw AS (SELECT (CAST(sum(s2) AS DOUBLE) - CAST(sum(t) AS DOUBLE))
+             |    / (sum(n) - count(*)) AS msw FROM g2),
+             |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |    a.n AS na, b.n AS nb_, CAST(a.s AS DOUBLE)/a.n - CAST(b.s AS DOUBLE)/b.n AS diff
+             |  FROM g a JOIN g b ON a.event_type < b.event_type)
+             |SELECT type_a, type_b,
+             |  CAST(round(diff * 1000) AS BIGINT) AS mean_diff_milli,
+             |  CAST(round(abs(diff) / sqrt(msw / 2 * (1.0/na + 1.0/nb_)) * 1000) AS BIGINT) AS q_milli
+             |FROM pairs CROSS JOIN msw ORDER BY type_a, type_b""".stripMargin)),
+
+    // one-way intraclass correlation ICC(1,1) with user_id as the
+    // grouping factor — "how much of event-value variance is BETWEEN
+    // users": the reliability coefficient behind any per-user averaging
+    // decision (repeated measures, rater pools, cluster sampling
+    // design effects). Unequal group sizes use the k₀ = (N − Σnᵢ²/N)/
+    // (b−1) correction; MSB/MSW come from q_anova's exact per-group
+    // moments (s²/n quantized before the cross-group sum, Σn² exact).
+    // Fixture events are i.i.d. across users, so ICC ≈ 0: the honest
+    // null.
+    QueryDef(
+      "q_icc",
+      (s, d) => {
+        val g = Tables.events(s, d).where(col("value").isNotNull)
+          .select(col("user_id").as("g"),
+            expr("CAST(round(value*100) AS BIGINT)").as("c"))
+          .groupBy("g")
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(c AS DECIMAL(38,0))")).as("s"),
+            sum(expr("CAST(c AS DECIMAL(38,0))*c")).as("s2"))
+          .select(col("n"), col("s"), col("s2"),
+            expr("CAST(round(CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n) AS DECIMAL(38,0))")
+              .as("t"),
+            expr("CAST(n AS DECIMAL(38,0))*n").as("n2"))
+        g.agg(count(lit(1)).as("b"), sum("n").as("nn"), sum("s").as("s"),
+            sum("s2").as("s2"), sum("t").as("sb"), sum("n2").as("sn2"))
+          .select(col("b"), col("nn"),
+            expr("(CAST(sb AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/nn) / (b - 1)")
+              .as("msb"),
+            expr("(CAST(s2 AS DOUBLE) - CAST(sb AS DOUBLE)) / (nn - b)").as("msw"),
+            expr("(CAST(nn AS DOUBLE) - CAST(sn2 AS DOUBLE)/nn) / (b - 1)").as("k0"))
+          .select(col("b").cast("long").as("n_groups"),
+            col("nn").cast("long").as("n_obs"),
+            expr("CAST(round(msb) AS BIGINT)").as("msb_cents2"),
+            expr("CAST(round(msw) AS BIGINT)").as("msw_cents2"),
+            expr("CAST(round((msb - msw) / (msb + (k0 - 1) * msw) * 1000000) AS BIGINT)")
+              .as("icc_micro"))
+      },
+      Some("""WITH v AS (SELECT user_id AS g, CAST(round(value*100) AS BIGINT) AS c
+             |    FROM events WHERE value IS NOT NULL),
+             |g AS (SELECT g, count(*) AS n, sum(CAST(c AS HUGEINT)) AS s,
+             |    sum(CAST(c AS HUGEINT)*c) AS s2 FROM v GROUP BY 1),
+             |g2 AS (SELECT *, CAST(round(CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n) AS HUGEINT) AS t,
+             |    CAST(n AS HUGEINT)*n AS n2 FROM g),
+             |a AS (SELECT count(*) AS b, sum(n) AS nn, sum(s) AS s, sum(s2) AS s2,
+             |    sum(t) AS sb, sum(n2) AS sn2 FROM g2),
+             |f AS (SELECT b, nn,
+             |    (CAST(sb AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/nn) / (b - 1) AS msb,
+             |    (CAST(s2 AS DOUBLE) - CAST(sb AS DOUBLE)) / (nn - b) AS msw,
+             |    (CAST(nn AS DOUBLE) - CAST(sn2 AS DOUBLE)/nn) / (b - 1) AS k0
+             |  FROM a)
+             |SELECT CAST(b AS BIGINT) AS n_groups, CAST(nn AS BIGINT) AS n_obs,
+             |  CAST(round(msb) AS BIGINT) AS msb_cents2,
+             |  CAST(round(msw) AS BIGINT) AS msw_cents2,
+             |  CAST(round((msb - msw) / (msb + (k0 - 1) * msw) * 1000000) AS BIGINT) AS icc_micro
+             |FROM f""".stripMargin))
   )
 }

@@ -317,7 +317,11 @@ class PlanAuditSpec extends SparkSpec {
       "q_durbin_watson",
       // q_rbo: the two rank windows run AFTER sort-limit top-20s —
       // 20 rows by construction (q_rank_stability convention)
-      "q_rbo")
+      "q_rbo",
+      // q_gbm_round: the two split-search running sums ride the ≤ 24 /
+      // ≤ 31-row feature-domain histograms after map-combined passes
+      // (q_stump_split convention)
+      "q_gbm_round")
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !allowed(name)
       w = fn(spark, sf).queryExecution.optimizedPlan.collect {
