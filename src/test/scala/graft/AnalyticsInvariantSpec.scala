@@ -537,4 +537,189 @@ class AnalyticsInvariantSpec extends SparkSpec {
     assert(sh.zip(sh.tail).forall { case (a, b) => b <= a }, sh.toString)
     assert(sh.head < 100000L, "no ending should carry 10% of synthetic prices")
   }
+
+  // ---- round-11 additions ----
+
+  test("q_nelson_aalen: hazard and variance are nondecreasing, at-risk shrinks") {
+    val r = rows("q_nelson_aalen")
+    assert(r.nonEmpty)
+    val h = r.map(_.getAs[Long]("h_micro"))
+    val v = r.map(_.getAs[Long]("var_nano"))
+    val n = r.map(_.getAs[Long]("n_at_risk"))
+    assert(h.zip(h.tail).forall { case (a, b) => a < b }, h.toString)
+    assert(v.zip(v.tail).forall { case (a, b) => a < b }, v.toString)
+    assert(n.zip(n.tail).forall { case (a, b) => a > b }, n.toString)
+  }
+
+  test("q_logrank: chi-square and variance nonnegative, expectation near total") {
+    val r = rows("q_logrank")
+    assert(r.size == 1)
+    assert(r.head.getAs[Long]("chi2_milli") >= 0L)
+    assert(r.head.getAs[Long]("var_micro") > 0L)
+    // E[O_g0] under H0 uses the same pooled deaths the observed count
+    // draws from, so both sit in [0, total deaths]
+    assert(r.head.getAs[Long]("obs_g0") >= 0L)
+  }
+
+  test("q_rmst: the restricted mean is positive and bounded by tau") {
+    val r = rows("q_rmst")
+    assert(r.size == 1)
+    val rmst = r.head.getAs[Long]("rmst_micro_hours")
+    assert(rmst > 0L && rmst <= r.head.getAs[Long]("tau_hours") * 1000000L,
+      rmst.toString)
+  }
+
+  test("survival cross-law: KM survival decays no faster than exp(-H)") {
+    // S(t) = Π(1−dᵢ/nᵢ) ≤ exp(−Σdᵢ/nᵢ) = exp(−H(t)) pointwise — the
+    // Nelson–Aalen curve upper-bounds the KM curve after exp-negation
+    // (1−x ≤ e^−x). Joined on the shared death-time grid.
+    val km = rows("q_survival_km")
+      .map(r => r.getAs[Long]("hours") -> r.getAs[Long]("s_micro")).toMap
+    val na = rows("q_nelson_aalen")
+      .map(r => r.getAs[Long]("hours") -> r.getAs[Long]("h_micro")).toMap
+    val shared = km.keySet & na.keySet
+    assert(shared.nonEmpty)
+    for (t <- shared) {
+      val sExp = math.exp(-na(t) / 1e6) * 1e6
+      assert(km(t) <= sExp + 1, s"t=$t km=${km(t)} exp(-H)=$sExp")
+    }
+  }
+
+  test("q_levene / q_jarque_bera / q_cochran_q: test statistics nonnegative") {
+    assert(rows("q_levene").head.getAs[Long]("f_milli") >= 0L)
+    assert(rows("q_jarque_bera").head.getAs[Long]("jb_milli") >= 0L)
+    assert(rows("q_cochran_q").head.getAs[Long]("q_milli") >= 0L)
+  }
+
+  test("q_durbin_watson: DW lives in [0, 4]") {
+    val dw = rows("q_durbin_watson").head.getAs[Long]("dw_milli")
+    assert(dw >= 0L && dw <= 4000L, dw.toString)
+  }
+
+  test("q_grubbs: G respects the (n-1)/sqrt(n) attainable maximum") {
+    val r = rows("q_grubbs").head
+    val n = r.getAs[Long]("n_obs").toDouble
+    val g = r.getAs[Long]("g_milli")
+    assert(g > 0L && g <= math.ceil((n - 1) / math.sqrt(n) * 1000).toLong,
+      g.toString)
+  }
+
+  test("q_avg_precision: AP and hits bounded, zero-hit queries score zero") {
+    val r = rows("q_avg_precision")
+    assert(r.size == 50)
+    for (row <- r) {
+      val ap = row.getAs[Long]("ap_micro")
+      val hits = row.getAs[Long]("hits")
+      assert(ap >= 0L && ap <= 1000000L, row.toString)
+      assert(hits >= 0L && hits <= math.min(10L, row.getAs[Long]("n_rel")),
+        row.toString)
+      if (hits == 0L) assert(ap == 0L, row.toString)
+      if (ap == 0L) assert(hits == 0L, row.toString)
+    }
+  }
+
+  test("q_rbo: overlap bounded by depth and RBO by the truncated mass") {
+    val r = rows("q_rbo").head
+    assert(r.getAs[Long]("overlap_at_20") >= 0L &&
+      r.getAs[Long]("overlap_at_20") <= 20L)
+    // (1−p)Σ_{d≤20} p^{d−1} < 1 − p^20 ⇒ micro score under 878 423 + ε
+    val rbo = r.getAs[Long]("rbo_micro")
+    assert(rbo >= 0L && rbo <= 878430L, rbo.toString)
+  }
+
+  test("q_fleiss_kappa: kappa at most 1, pbar at least pe on agreeing raters") {
+    val r = rows("q_fleiss_kappa").head
+    assert(r.getAs[Long]("kappa_milli") <= 1000L)
+    assert(r.getAs[Long]("pbar_micro") <= 1000000L &&
+      r.getAs[Long]("pe_micro") <= 1000000L)
+  }
+
+  test("q_label_prop: community sizes partition the thresholded node set") {
+    val covered = rows("q_label_prop")
+      .map(r => r.getAs[Long]("community_size") *
+        r.getAs[Long]("n_communities")).sum
+    val nodes = graft.operators.Release.copurchaseDirected(spark, sf)._1
+      .where(org.apache.spark.sql.functions.col("w") >= 3)
+      .select("u").distinct().count()
+    assert(covered == nodes, s"covered=$covered nodes=$nodes")
+  }
+
+  test("q_graph_diameter: second sweep dominates the first eccentricity") {
+    val r = rows("q_graph_diameter").head
+    assert(r.getAs[Long]("diameter_lb") >= r.getAs[Long]("ecc_seed"),
+      r.toString)
+    assert(r.getAs[Long]("n_reached") >= 1L)
+  }
+
+  test("q_ols_multi: R-squared lies in [0, 1]") {
+    val r2 = rows("q_ols_multi").head.getAs[Long]("r2_micro")
+    assert(r2 >= 0L && r2 <= 1000000L, r2.toString)
+  }
+
+  test("q_gbm_round: train MSE never rises across boosting stages") {
+    val r = rows("q_gbm_round").head
+    val m1 = r.getAs[Long]("mse_stage1_cents2")
+    val m2 = r.getAs[Long]("mse_stage2_cents2")
+    // each stage fits the SSE-optimal leaf means, so in-sample MSE is
+    // weakly decreasing (±1 for the two independent integer floors)
+    assert(m2 <= m1 + 1, s"m1=$m1 m2=$m2")
+    assert(m1 > 0L && m2 > 0L)
+  }
+
+  test("q_tukey_hsd: all 10 pairs, q consistent with the mean gap sign") {
+    val r = rows("q_tukey_hsd")
+    assert(r.size == 10)
+    for (row <- r) {
+      assert(row.getAs[Long]("q_milli") >= 0L, row.toString)
+      if (row.getAs[Long]("mean_diff_milli") == 0L)
+        assert(row.getAs[Long]("q_milli") == 0L, row.toString)
+    }
+  }
+
+  test("q_icc: the coefficient respects its algebraic floor and ceiling") {
+    val r = rows("q_icc").head
+    // ICC(1,1) ≥ −1/(k₀−1) ≥ −1 and ≤ 1
+    val icc = r.getAs[Long]("icc_micro")
+    assert(icc >= -1000000L && icc <= 1000000L, icc.toString)
+  }
+
+  test("q_ipw_ate: unconfounded fixture keeps IPW within 20% of naive spread") {
+    val r = rows("q_ipw_ate").head
+    val naive = r.getAs[Long]("ate_naive_cmilli")
+    val ipw = r.getAs[Long]("ate_ipw_cmilli")
+    // exposure is hour-of-day, the confounder day-of-week ⊥ hour in the
+    // fixture, so stratification must not move the estimate much; the
+    // bound is loose (half the naive magnitude + a floor) to stay
+    // regeneration-proof
+    assert(math.abs(ipw - naive) <= math.abs(naive) / 2 + 2000L,
+      s"naive=$naive ipw=$ipw")
+  }
+
+  test("q_eoq: batch size positive and demand-monotone in aggregate") {
+    val r = rows("q_eoq")
+    assert(r.size == 25)
+    for (row <- r) assert(row.getAs[Long]("eoq_units") > 0L, row.toString)
+  }
+
+  test("q_wilson_ci: interval brackets the point rate and stays in [0,1]") {
+    for (row <- rows("q_wilson_ci")) {
+      val lo = row.getAs[Long]("lo_micro")
+      val hi = row.getAs[Long]("hi_micro")
+      val p = 1000000.0 * row.getAs[Long]("k") / row.getAs[Long]("n")
+      assert(lo >= 0L && hi <= 1000000L && lo <= hi, row.toString)
+      assert(lo <= p + 1 && p <= hi + 1, row.toString)
+    }
+  }
+
+  test("q_rake_keywords: 15 phrases, each at most 3 tokens, scores positive") {
+    val r = rows("q_rake_keywords")
+    assert(r.size == 15)
+    val scores = r.map(_.getAs[Long]("score_micro"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    for (row <- r) {
+      assert(row.getAs[String]("phrase").split(" ").length <= 3, row.toString)
+      assert(row.getAs[Long]("score_micro") > 0L, row.toString)
+      assert(row.getAs[Long]("n_occurrences") >= 1L, row.toString)
+    }
+  }
 }
