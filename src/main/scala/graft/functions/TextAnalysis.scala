@@ -1418,6 +1418,55 @@ object TextAnalysis {
              |    max(pscore) AS score_micro FROM ph GROUP BY 1)
              |SELECT phrase, CAST(n_occurrences AS BIGINT) AS n_occurrences,
              |  CAST(score_micro AS BIGINT) AS score_micro
-             |FROM uniq ORDER BY score_micro DESC, phrase LIMIT 15""".stripMargin))
+             |FROM uniq ORDER BY score_micro DESC, phrase LIMIT 15""".stripMargin)),
+
+    // interpolated Kneser–Ney bigram probabilities (discount d = 0.75
+    // held as the exact rational 3/4) — the smoothing that made n-gram
+    // LMs competitive and the continuation-count idea modern tokenizer
+    // quality metrics reuse: p(w₂|w₁) = max(c−d,0)/c(w₁) +
+    // (d·N₁₊(w₁•)/c(w₁)) · N₁₊(•w₂)/N₁₊(••). Every term is a 128-bit
+    // integer `div` over exact bigram/continuation counts (all c ≥ 1 so
+    // the max never binds), so the whole table is bit-stable — the
+    // add-k q_bigram_lm's production-grade sibling. Counts are two
+    // vocabulary²-bounded aggregates off one positional self-join.
+    QueryDef(
+      "q_kneser_ney",
+      (s, d) => {
+        val w = Tables.documents(s, d).select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        val bg = w.select(col("doc_id"), col("pos"), col("w").as("w1"))
+          .join(w.select(col("doc_id"), (col("pos") - 1).as("pos"),
+            col("w").as("w2")), Seq("doc_id", "pos"))
+        val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+        val c1 = c12.groupBy("w1")
+          .agg(sum("c").as("cw1"), count(lit(1)).as("nfollow"))
+        val cont = c12.groupBy("w2").agg(count(lit(1)).as("nprec"))
+        val tot = c12.agg(count(lit(1)).as("ntypes"))
+        c12.join(c1, "w1").join(cont, "w2").crossJoin(broadcast(tot))
+          .select(col("w1"), col("w2"), col("c").cast("long").as("c"),
+            expr("""CAST(
+                   |  (1000000 * (CAST(c AS DECIMAL(38,0)) * 4 - 3)) div (cw1 * 4)
+                   |  + ((1000000 * CAST(3 AS DECIMAL(38,0)) * nfollow) div (4 * cw1))
+                   |    * nprec div ntypes
+                   |AS BIGINT)""".stripMargin).as("pkn_micro"))
+          .orderBy(col("c").desc, col("w1"), col("w2")).limit(20)
+      },
+      Some("""WITH w AS (SELECT doc_id, u.pos, u.w FROM documents,
+             |    LATERAL (SELECT unnest(string_split(text, ' ')) AS w,
+             |             generate_subscripts(string_split(text, ' '), 1) AS pos) u),
+             |bg AS (SELECT a.w AS w1, b.w AS w2 FROM w a JOIN w b
+             |    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+             |c12 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+             |c1 AS (SELECT w1, sum(c) AS cw1, count(*) AS nfollow FROM c12 GROUP BY 1),
+             |cont AS (SELECT w2, count(*) AS nprec FROM c12 GROUP BY 1),
+             |tot AS (SELECT count(*) AS ntypes FROM c12)
+             |SELECT w1, w2, CAST(c AS BIGINT) AS c,
+             |  CAST(
+             |    (1000000 * (CAST(c AS HUGEINT) * 4 - 3)) // (cw1 * 4)
+             |    + ((1000000 * CAST(3 AS HUGEINT) * nfollow) // (4 * cw1)) * nprec // ntypes
+             |  AS BIGINT) AS pkn_micro
+             |FROM c12 JOIN c1 USING (w1) CROSS JOIN tot
+             |JOIN cont USING (w2)
+             |ORDER BY c DESC, w1, w2 LIMIT 20""".stripMargin))
   )
 }

@@ -5700,7 +5700,54 @@ object Behavioral {
              |  CAST(round((CAST(y1 AS DOUBLE)/n1 - CAST(y0 AS DOUBLE)/(n - n1)) * 10000) AS BIGINT)
              |    AS ate_naive_cmilli,
              |  CAST((SELECT sum(term) FROM terms) // n AS BIGINT) AS ate_ipw_cmilli
-             |FROM tot""".stripMargin))
+             |FROM tot""".stripMargin)),
+
+    // bullwhip ratio: CV²(daily order arrivals) / CV²(daily shipped
+    // quantity) — the demand-amplification diagnostic a supply chain is
+    // monitored on (ratio > 1 ⇒ ordering amplifies demand noise
+    // upstream; the fixture's order counts are SMOOTHER than quantity,
+    // the honest < 1 reading). Two calendar-bounded daily aggregates
+    // with exact 128-bit moments; the ratio is one IEEE closed form.
+    // Completes the q_demand_cv / q_safety_stock / q_eoq inventory
+    // suite with the inter-echelon view.
+    QueryDef(
+      "q_bullwhip",
+      (s, d) => {
+        val dem = Tables.lineitem(s, d)
+          .groupBy(col("l_shipdate").cast("date").as("dt"))
+          .agg(sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("q"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(q AS DECIMAL(38,0))")).as("s"),
+            sum(expr("CAST(q AS DECIMAL(38,0))*q")).as("s2"))
+        val ord = Tables.orders(s, d)
+          .groupBy(col("o_orderdate").cast("date").as("dt"))
+          .agg(count(lit(1)).as("q"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(q AS DECIMAL(38,0))")).as("s"),
+            sum(expr("CAST(q AS DECIMAL(38,0))*q")).as("s2"))
+        dem.select(col("n").as("nd"), col("s").as("sd_"), col("s2").as("sd2"))
+          .crossJoin(broadcast(ord))
+          .select(col("nd").cast("long").as("demand_days"),
+            col("n").cast("long").as("order_days"),
+            expr("""CAST(round((CAST(n AS DOUBLE)*s2 - CAST(s AS DOUBLE)*s)
+                   |    / (CAST(s AS DOUBLE)*s)
+                   |  / ((CAST(nd AS DOUBLE)*sd2 - CAST(sd_ AS DOUBLE)*sd_)
+                   |    / (CAST(sd_ AS DOUBLE)*sd_)) * 1000) AS BIGINT)"""
+              .stripMargin).as("bullwhip_milli"))
+      },
+      Some("""WITH dem AS (SELECT CAST(l_shipdate AS DATE) AS dt,
+             |    sum(CAST(round(l_quantity) AS BIGINT)) AS q FROM lineitem GROUP BY 1),
+             |orde AS (SELECT CAST(o_orderdate AS DATE) AS dt, count(*) AS q FROM orders GROUP BY 1),
+             |md AS (SELECT count(*) AS n, sum(CAST(q AS HUGEINT)) AS s,
+             |    sum(CAST(q AS HUGEINT)*q) AS s2 FROM dem),
+             |mo AS (SELECT count(*) AS n, sum(CAST(q AS HUGEINT)) AS s,
+             |    sum(CAST(q AS HUGEINT)*q) AS s2 FROM orde)
+             |SELECT CAST(md.n AS BIGINT) AS demand_days, CAST(mo.n AS BIGINT) AS order_days,
+             |  CAST(round((CAST(mo.n AS DOUBLE)*mo.s2 - CAST(mo.s AS DOUBLE)*mo.s)
+             |      / (CAST(mo.s AS DOUBLE)*mo.s)
+             |    / ((CAST(md.n AS DOUBLE)*md.s2 - CAST(md.s AS DOUBLE)*md.s)
+             |      / (CAST(md.s AS DOUBLE)*md.s)) * 1000) AS BIGINT) AS bullwhip_milli
+             |FROM md CROSS JOIN mo""".stripMargin))
   )
 
   /** Fixed-point absorbing-chain oracle — twenty unrolled Neumann steps

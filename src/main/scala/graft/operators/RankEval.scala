@@ -201,6 +201,51 @@ object RankEval {
              |  CAST(pe_micro AS BIGINT) AS pe_micro,
              |  CAST(round(1000.0 * (CAST(psum AS DOUBLE) / nitems - pe_micro)
              |    / (1000000.0 - pe_micro)) AS BIGINT) AS kappa_milli
-             |FROM pbar CROSS JOIN pe""".stripMargin))
+             |FROM pbar CROSS JOIN pe""".stripMargin)),
+
+    // expected reciprocal rank @10 (Chapelle et al. 2009) — the cascade
+    // metric: a user scans down, stops at a satisfying result with
+    // probability R (binary label relevance ⇒ R = ½), so rank r
+    // contributes (1/r)·R·(1−R)^{hits before r}. Earlier hits SHADOW
+    // later ones — the diversity-aware behavior MAP/NDCG lack. Each
+    // term is the same IEEE pow expression in both engines,
+    // micro-rounded per rank (≤10 terms) and integer-summed per query.
+    QueryDef(
+      "q_err",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("ed"))
+        val q2 = e.where(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+            col("ed").as("qe"))
+        val w = Window.partitionBy("qid").orderBy("rn")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        bruteTopK(e, q2, 10)
+          .withColumn("rel", when(col("label") === col("qlabel"), 1L).otherwise(0L))
+          .withColumn("before", coalesce(sum("rel").over(w), lit(0L)))
+          .groupBy("qid")
+          .agg(sum(expr("""CASE WHEN rel = 1
+                          |  THEN CAST(round(1000000.0 * pow(0.5, before + 1) / rn) AS BIGINT)
+                          |  ELSE 0 END""".stripMargin)).as("err_micro"))
+          .select(col("qid"), col("err_micro").cast("long").as("err_micro"))
+          .orderBy("qid")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
+             |q AS (SELECT vec_id AS qid, label AS qlabel, ed AS qe FROM e WHERE vec_id < 50),
+             |sims AS (SELECT q.qid, q.qlabel, e.vec_id, e.label,
+             |           round(list_dot_product(q.qe, e.ed), 4) AS sim
+             |         FROM q CROSS JOIN e WHERE e.vec_id <> q.qid),
+             |top AS (SELECT qid, qlabel, vec_id, label,
+             |          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+             |        FROM sims QUALIFY rn <= 10),
+             |rel AS (SELECT qid, rn, CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel,
+             |          coalesce(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+             |            OVER (PARTITION BY qid ORDER BY rn
+             |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+             |        FROM top)
+             |SELECT qid, CAST(sum(CASE WHEN rel = 1
+             |    THEN CAST(round(1000000.0 * pow(0.5, before + 1) / rn) AS BIGINT)
+             |    ELSE 0 END) AS BIGINT) AS err_micro
+             |FROM rel GROUP BY 1 ORDER BY qid""".stripMargin))
   )
 }

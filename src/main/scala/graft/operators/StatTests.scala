@@ -377,6 +377,47 @@ object StatTests {
              |  CAST(round(msb) AS BIGINT) AS msb_cents2,
              |  CAST(round(msw) AS BIGINT) AS msw_cents2,
              |  CAST(round((msb - msw) / (msb + (k0 - 1) * msw) * 1000000) AS BIGINT) AS icc_micro
-             |FROM f""".stripMargin))
+             |FROM f""".stripMargin)),
+
+    // paired t-test on day-matched purchase vs click revenue — the
+    // within-pair design that removes day-level variance where
+    // q_welch_ttest's independent-samples form cannot (same calendar
+    // shock hits both arms). Differences are exact integer cents per
+    // day; t is one IEEE closed form over the exact (n, Σd, Σd²)
+    // moments. ≤ #days pairs after one map-combined conditional sum.
+    QueryDef(
+      "q_paired_ttest",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(date_trunc("day", col("ts")).as("d"))
+          .agg(
+            sum(when(col("event_type") === "purchase",
+              expr("CAST(round(value*100) AS BIGINT)")).otherwise(0L)).as("yp"),
+            sum(when(col("event_type") === "click",
+              expr("CAST(round(value*100) AS BIGINT)")).otherwise(0L)).as("yc"))
+        daily.select((col("yp") - col("yc")).as("dd"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(dd AS DECIMAL(38,0))")).as("s"),
+            sum(expr("CAST(dd AS DECIMAL(38,0))*dd")).as("s2"))
+          .select(col("n").cast("long").as("n_days"),
+            expr("CAST(s div n AS BIGINT)").as("mean_diff_cents"),
+            expr("""CAST(round(CAST(s AS DOUBLE) / n
+                   |  / sqrt((CAST(n AS DOUBLE) * s2 - CAST(s AS DOUBLE) * s)
+                   |    / (CAST(n AS DOUBLE) * (n - 1)) / n) * 1000) AS BIGINT)"""
+              .stripMargin).as("t_milli"))
+      },
+      Some("""WITH daily AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+             |    sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS yp,
+             |    sum(CASE WHEN event_type = 'click' THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS yc
+             |  FROM events GROUP BY 1),
+             |diff AS (SELECT yp - yc AS dd FROM daily),
+             |m AS (SELECT count(*) AS n, sum(CAST(dd AS HUGEINT)) AS s,
+             |    sum(CAST(dd AS HUGEINT)*dd) AS s2 FROM diff)
+             |SELECT CAST(n AS BIGINT) AS n_days,
+             |  CAST(s // n AS BIGINT) AS mean_diff_cents,
+             |  CAST(round(CAST(s AS DOUBLE) / n
+             |    / sqrt((CAST(n AS DOUBLE) * s2 - CAST(s AS DOUBLE) * s)
+             |      / (CAST(n AS DOUBLE) * (n - 1)) / n) * 1000) AS BIGINT) AS t_milli
+             |FROM m""".stripMargin))
   )
 }

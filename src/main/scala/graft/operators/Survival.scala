@@ -254,6 +254,116 @@ object Survival {
              |SELECT CAST(168 AS BIGINT) AS tau_hours,
              |  (SELECT CAST(count(*) AS BIGINT) FROM obs) AS n_users,
              |  CAST(head + body AS BIGINT) AS rmst_micro_hours
-             |FROM head CROSS JOIN body""".stripMargin))
+             |FROM head CROSS JOIN body""".stripMargin)),
+
+    // Kaplan–Meier curve with 95% Greenwood confidence bands on the
+    // log(−log S) scale — the transform that keeps the band inside
+    // [0, 1] and behaves near S → 1 where the plain Greenwood band
+    // escapes. Both the ln S running sum and the Greenwood variance sum
+    // Σ d/(n(n−d)) ride the same t-ordered calendar-bounded window as
+    // q_survival_km, so the doubles are bit-identical before the one
+    // micro rounding; the exponent sign flips with ln S < 0, so the
+    // bounds are named by least/greatest rather than by formula side.
+    QueryDef(
+      "q_km_ci",
+      (s, d) => {
+        val obs = observations(s, d)
+        val tot = obs.agg(count(lit(1)).as("n"))
+        riskTable(obs).crossJoin(broadcast(tot))
+          .withColumn("n_risk", col("n") - col("cumbef"))
+          .withColumn("lns",
+            expr("""sum(CASE WHEN d < n - cumbef
+                   |  THEN ln(1.0 - CAST(d AS DOUBLE) / (n - cumbef)) ELSE 0.0 END)
+                   |  OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+              .stripMargin))
+          .withColumn("gw",
+            expr("""sum(CASE WHEN d < n - cumbef
+                   |  THEN CAST(d AS DOUBLE) / ((n - cumbef) * (CAST(n AS DOUBLE) - cumbef - d))
+                   |  ELSE 0.0 END)
+                   |  OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+              .stripMargin))
+          .where(col("d") > 0)
+          .select(col("t").cast("long").as("hours"),
+            when(col("d") === col("n_risk"), 0L)
+              .otherwise(expr("CAST(round(exp(lns) * 1000000) AS BIGINT)"))
+              .as("s_micro"),
+            when(col("d") === col("n_risk"), 0L).otherwise(expr(
+              """CAST(round(least(exp(lns * exp(1.959964 * sqrt(gw) / lns)),
+                |  exp(lns * exp(-1.959964 * sqrt(gw) / lns))) * 1000000) AS BIGINT)"""
+                .stripMargin)).as("lo_micro"),
+            when(col("d") === col("n_risk"), 0L).otherwise(expr(
+              """CAST(round(greatest(exp(lns * exp(1.959964 * sqrt(gw) / lns)),
+                |  exp(lns * exp(-1.959964 * sqrt(gw) / lns))) * 1000000) AS BIGINT)"""
+                .stripMargin)).as("hi_micro"))
+          .orderBy("hours").limit(25)
+      },
+      Some(s"""WITH $obsSql,
+             |tot AS (SELECT count(*) AS n FROM obs),
+             |byt AS (SELECT t, sum(death) AS d, count(*) AS ev FROM obs GROUP BY 1),
+             |run AS (SELECT t, d, ev,
+             |    coalesce(sum(ev) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),0) AS cumbef
+             |  FROM byt),
+             |km AS (SELECT t, d, n - cumbef AS n_risk,
+             |    sum(CASE WHEN d < n - cumbef THEN ln(1.0 - CAST(d AS DOUBLE)/(n - cumbef)) ELSE 0.0 END)
+             |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lns,
+             |    sum(CASE WHEN d < n - cumbef
+             |        THEN CAST(d AS DOUBLE) / ((n - cumbef) * (CAST(n AS DOUBLE) - cumbef - d)) ELSE 0.0 END)
+             |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gw
+             |  FROM run CROSS JOIN tot)
+             |SELECT CAST(t AS BIGINT) AS hours,
+             |  CASE WHEN d = n_risk THEN 0
+             |    ELSE CAST(round(exp(lns) * 1000000) AS BIGINT) END AS s_micro,
+             |  CASE WHEN d = n_risk THEN 0
+             |    ELSE CAST(round(least(exp(lns * exp(1.959964 * sqrt(gw) / lns)),
+             |      exp(lns * exp(-1.959964 * sqrt(gw) / lns))) * 1000000) AS BIGINT) END AS lo_micro,
+             |  CASE WHEN d = n_risk THEN 0
+             |    ELSE CAST(round(greatest(exp(lns * exp(1.959964 * sqrt(gw) / lns)),
+             |      exp(lns * exp(-1.959964 * sqrt(gw) / lns))) * 1000000) AS BIGINT) END AS hi_micro
+             |FROM km WHERE d > 0 ORDER BY hours LIMIT 25""".stripMargin)),
+
+    // exponential (constant-hazard) AFT fit per A/B cohort: λ̂ = deaths /
+    // person-hours, hazard ratio λ₁/λ₀ with the standard log-scale CI
+    // exp(ln HR ± z√(1/d₀ + 1/d₁)) — the parametric one-number
+    // companion to q_logrank's nonparametric test (same even/odd
+    // split). One grouped aggregate; person-time sums are exact
+    // integers; HR and its band are single mirrored IEEE expressions.
+    QueryDef(
+      "q_hazard_ratio",
+      (s, d) => {
+        val g = observations(s, d)
+          .groupBy((col("user_id") % 2).as("grp"))
+          .agg(sum("death").as("d"), sum("t").as("pt"))
+        g.agg(
+            max(when(col("grp") === 0, col("d"))).as("d0"),
+            max(when(col("grp") === 0, col("pt"))).as("t0"),
+            max(when(col("grp") === 1, col("d"))).as("d1"),
+            max(when(col("grp") === 1, col("pt"))).as("t1"))
+          .select(col("d0").cast("long").as("deaths_g0"),
+            col("t0").cast("long").as("hours_g0"),
+            col("d1").cast("long").as("deaths_g1"),
+            col("t1").cast("long").as("hours_g1"),
+            expr("CAST(round(1000.0 * (CAST(d1 AS DOUBLE) / t1) / (CAST(d0 AS DOUBLE) / t0)) AS BIGINT)")
+              .as("hr_milli"),
+            expr("""CAST(round(1000.0 * exp(ln((CAST(d1 AS DOUBLE) / t1) / (CAST(d0 AS DOUBLE) / t0))
+                   |  - 1.959964 * sqrt(1.0/d0 + 1.0/d1))) AS BIGINT)""".stripMargin)
+              .as("hr_lo_milli"),
+            expr("""CAST(round(1000.0 * exp(ln((CAST(d1 AS DOUBLE) / t1) / (CAST(d0 AS DOUBLE) / t0))
+                   |  + 1.959964 * sqrt(1.0/d0 + 1.0/d1))) AS BIGINT)""".stripMargin)
+              .as("hr_hi_milli"))
+      },
+      Some(s"""WITH $obsSql,
+             |g AS (SELECT user_id % 2 AS grp, sum(death) AS d, sum(t) AS pt FROM obs GROUP BY 1),
+             |w AS (SELECT
+             |    max(CASE WHEN grp = 0 THEN d END) AS d0, max(CASE WHEN grp = 0 THEN pt END) AS t0,
+             |    max(CASE WHEN grp = 1 THEN d END) AS d1, max(CASE WHEN grp = 1 THEN pt END) AS t1
+             |  FROM g)
+             |SELECT CAST(d0 AS BIGINT) AS deaths_g0, CAST(t0 AS BIGINT) AS hours_g0,
+             |  CAST(d1 AS BIGINT) AS deaths_g1, CAST(t1 AS BIGINT) AS hours_g1,
+             |  CAST(round(1000.0 * (CAST(d1 AS DOUBLE) / t1) / (CAST(d0 AS DOUBLE) / t0)) AS BIGINT) AS hr_milli,
+             |  CAST(round(1000.0 * exp(ln((CAST(d1 AS DOUBLE) / t1) / (CAST(d0 AS DOUBLE) / t0))
+             |    - 1.959964 * sqrt(1.0/d0 + 1.0/d1))) AS BIGINT) AS hr_lo_milli,
+             |  CAST(round(1000.0 * exp(ln((CAST(d1 AS DOUBLE) / t1) / (CAST(d0 AS DOUBLE) / t0))
+             |    + 1.959964 * sqrt(1.0/d0 + 1.0/d1))) AS BIGINT) AS hr_hi_milli
+             |FROM w""".stripMargin))
   )
 }

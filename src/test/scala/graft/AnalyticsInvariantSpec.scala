@@ -711,6 +711,59 @@ class AnalyticsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("q_km_ci: band brackets the point estimate, survival nonincreasing") {
+    val r = rows("q_km_ci")
+    assert(r.nonEmpty)
+    val s = r.map(_.getAs[Long]("s_micro"))
+    assert(s.zip(s.tail).forall { case (a, b) => b <= a }, s.toString)
+    for (row <- r if row.getAs[Long]("s_micro") > 0L) {
+      assert(row.getAs[Long]("lo_micro") <= row.getAs[Long]("s_micro") &&
+        row.getAs[Long]("s_micro") <= row.getAs[Long]("hi_micro"), row.toString)
+      assert(row.getAs[Long]("hi_micro") <= 1000000L, row.toString)
+    }
+  }
+
+  test("q_hazard_ratio: CI brackets the point estimate, all positive") {
+    val r = rows("q_hazard_ratio").head
+    val hr = r.getAs[Long]("hr_milli")
+    assert(r.getAs[Long]("hr_lo_milli") <= hr &&
+      hr <= r.getAs[Long]("hr_hi_milli"), r.toString)
+    assert(r.getAs[Long]("hr_lo_milli") > 0L)
+  }
+
+  test("q_kneser_ney: probabilities live in (0, 1] and counts descend") {
+    val r = rows("q_kneser_ney")
+    assert(r.size == 20)
+    val c = r.map(_.getAs[Long]("c"))
+    assert(c.zip(c.tail).forall { case (a, b) => b <= a }, c.toString)
+    for (row <- r)
+      assert(row.getAs[Long]("pkn_micro") > 0L &&
+        row.getAs[Long]("pkn_micro") <= 1000000L, row.toString)
+  }
+
+  test("q_paired_ttest: the statistic carries the mean difference's sign") {
+    val r = rows("q_paired_ttest").head
+    assert(java.lang.Long.signum(r.getAs[Long]("t_milli")) ==
+      java.lang.Long.signum(r.getAs[Long]("mean_diff_cents")) ||
+      r.getAs[Long]("mean_diff_cents").abs <= 1, r.toString)
+  }
+
+  test("q_err: bounded by the all-relevant cascade mass ln 2") {
+    val r = rows("q_err")
+    assert(r.size == 50)
+    // Σ_{r=1..∞} (1/r)·(1/2)^r = ln 2 ⇒ micro ceiling 693 148 + rounding
+    for (row <- r) {
+      val e = row.getAs[Long]("err_micro")
+      assert(e >= 0L && e <= 693160L, row.toString)
+    }
+  }
+
+  test("q_bullwhip: ratio positive on a nondegenerate calendar") {
+    val r = rows("q_bullwhip").head
+    assert(r.getAs[Long]("bullwhip_milli") > 0L, r.toString)
+    assert(r.getAs[Long]("demand_days") > 0L && r.getAs[Long]("order_days") > 0L)
+  }
+
   test("q_rake_keywords: 15 phrases, each at most 3 tokens, scores positive") {
     val r = rows("q_rake_keywords")
     assert(r.size == 15)

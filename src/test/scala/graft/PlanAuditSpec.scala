@@ -321,7 +321,11 @@ class PlanAuditSpec extends SparkSpec {
       // q_gbm_round: the two split-search running sums ride the ≤ 24 /
       // ≤ 31-row feature-domain histograms after map-combined passes
       // (q_stump_split convention)
-      "q_gbm_round")
+      "q_gbm_round",
+      // q_km_ci: the ln-S and Greenwood running sums ride the distinct-
+      // event-time table — hour-grain, calendar-bounded (q_survival_km
+      // convention)
+      "q_km_ci")
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !allowed(name)
       w = fn(spark, sf).queryExecution.optimizedPlan.collect {
