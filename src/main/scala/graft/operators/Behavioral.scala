@@ -5747,7 +5747,117 @@ object Behavioral {
              |      / (CAST(mo.s AS DOUBLE)*mo.s)
              |    / ((CAST(md.n AS DOUBLE)*md.s2 - CAST(md.s AS DOUBLE)*md.s)
              |      / (CAST(md.s AS DOUBLE)*md.s)) * 1000) AS BIGINT) AS bullwhip_milli
-             |FROM md CROSS JOIN mo""".stripMargin))
+             |FROM md CROSS JOIN mo""".stripMargin)),
+
+    // population stability index of the value distribution between the
+    // January halves — THE industry drift gate for deployed-model
+    // inputs (PSI < 0.1 stable, > 0.25 retrain). Ten fixed 50-unit bins
+    // with +1 Laplace smoothing so one-sided bins contribute finite
+    // mass; shares are exact integer micro, each bin's (q−p)·ln(q/p)
+    // term is one mirrored IEEE expression micro-rounded per bin. The
+    // per-bin view names WHERE the shift sits — the actionable readout
+    // beside q_quantile_drift's envelope and q_ks_test's statistic.
+    QueryDef(
+      "q_psi",
+      (s, d) => {
+        val e = Tables.events(s, d).where(col("value").isNotNull)
+          .select(expr("CAST(round(value*100) AS BIGINT)").as("c"),
+            when(col("ts") < lit("2024-01-16 00:00:00").cast("timestamp_ntz"),
+              0L).otherwise(1L).as("half"))
+        val b = e.select(expr("least(c div 5000, 9)").as("bin"), col("half"))
+          .groupBy("bin", "half").agg(count(lit(1)).as("n"))
+        val grid = e.sparkSession.range(10).select(col("id").as("bin"))
+        val cells = grid
+          .join(b.where(col("half") === 0).select(col("bin"), col("n").as("n0")),
+            Seq("bin"), "left")
+          .join(b.where(col("half") === 1).select(col("bin"), col("n").as("n1")),
+            Seq("bin"), "left")
+          .select(col("bin"), (coalesce(col("n0"), lit(0L)) + 1L).as("ne"),
+            (coalesce(col("n1"), lit(0L)) + 1L).as("na"))
+        val den = b.agg(
+          (sum(when(col("half") === 0, col("n")).otherwise(0L)) + 10L).as("de"),
+          (sum(when(col("half") === 1, col("n")).otherwise(0L)) + 10L).as("da"))
+        cells.crossJoin(broadcast(den))
+          .select(col("bin").cast("long").as("bin"),
+            expr("CAST((1000000 * ne) div de AS BIGINT)").as("expected_micro"),
+            expr("CAST((1000000 * na) div da AS BIGINT)").as("actual_micro"),
+            expr("""CAST(round(1000000.0 * (CAST(na AS DOUBLE)/da - CAST(ne AS DOUBLE)/de)
+                   |  * ln((CAST(na AS DOUBLE)/da) / (CAST(ne AS DOUBLE)/de))) AS BIGINT)"""
+              .stripMargin).as("psi_term_micro"))
+          .orderBy("bin")
+      },
+      Some("""WITH e AS (SELECT CAST(round(value*100) AS BIGINT) AS c,
+             |    CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END AS half
+             |  FROM events WHERE value IS NOT NULL),
+             |b AS (SELECT least(c // 5000, 9) AS bin, half, count(*) AS n FROM e GROUP BY 1, 2),
+             |grid AS (SELECT unnest(range(0, 10)) AS bin),
+             |cells AS (SELECT g.bin,
+             |    coalesce(b0.n, 0) + 1 AS ne, coalesce(b1.n, 0) + 1 AS na
+             |  FROM grid g
+             |  LEFT JOIN b b0 ON b0.bin = g.bin AND b0.half = 0
+             |  LEFT JOIN b b1 ON b1.bin = g.bin AND b1.half = 1),
+             |den AS (SELECT sum(CASE WHEN half = 0 THEN n ELSE 0 END) + 10 AS de,
+             |    sum(CASE WHEN half = 1 THEN n ELSE 0 END) + 10 AS da FROM b)
+             |SELECT CAST(bin AS BIGINT) AS bin,
+             |  CAST((1000000 * ne) // de AS BIGINT) AS expected_micro,
+             |  CAST((1000000 * na) // da AS BIGINT) AS actual_micro,
+             |  CAST(round(1000000.0 * (CAST(na AS DOUBLE)/da - CAST(ne AS DOUBLE)/de)
+             |    * ln((CAST(na AS DOUBLE)/da) / (CAST(ne AS DOUBLE)/de))) AS BIGINT) AS psi_term_micro
+             |FROM cells CROSS JOIN den ORDER BY bin""".stripMargin)),
+
+    // pinball (quantile) loss eval of a P90 forecast — train the
+    // per-type 90th-percentile threshold on the first January half as
+    // an EXACT discrete order statistic (smallest value whose running
+    // count reaches ⌈0.9·n⌉, computed on the type-PARTITIONED value
+    // histogram — never an interpolated quantile whose last-ulp could
+    // flip a cent), then score the second half with the asymmetric
+    // pinball loss 0.9·(y−q)⁺ + 0.1·(q−y)⁺ in exact deci-cent integer
+    // arithmetic. The eval loop every quantile forecaster (safety
+    // stock, SLA sizing, demand P90) is accepted on.
+    QueryDef(
+      "q_pinball_eval",
+      (s, d) => {
+        val e = Tables.events(s, d).where(col("value").isNotNull)
+          .select(col("event_type"),
+            expr("CAST(round(value*100) AS BIGINT)").as("c"),
+            when(col("ts") < lit("2024-01-16 00:00:00").cast("timestamp_ntz"),
+              0L).otherwise(1L).as("half"))
+        val h = e.where(col("half") === 0)
+          .groupBy("event_type", "c").agg(count(lit(1)).as("n"))
+        val cum = h.withColumn("cm",
+          sum("n").over(Window.partitionBy("event_type").orderBy("c")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        val tt = h.groupBy("event_type").agg(sum("n").as("nt"))
+        val q = cum.join(tt, "event_type")
+          .where(expr("cm >= (9 * nt + 9) div 10"))
+          .groupBy("event_type").agg(min("c").as("qhat"))
+        e.where(col("half") === 1).join(q, "event_type")
+          .groupBy("event_type")
+          .agg(max("qhat").as("qhat_cents"), count(lit(1)).as("n_test"),
+            sum(expr("CASE WHEN c >= qhat THEN 9 * (c - qhat) ELSE qhat - c END"))
+              .as("ls"))
+          .select(col("event_type"), col("qhat_cents"),
+            col("n_test").cast("long").as("n_test"),
+            expr("CAST(ls div (10 * n_test) AS BIGINT)").as("pinball_cents"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS c,
+             |    CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END AS half
+             |  FROM events WHERE value IS NOT NULL),
+             |h AS (SELECT event_type, c, count(*) AS n FROM e WHERE half = 0 GROUP BY 1, 2),
+             |cum AS (SELECT event_type, c,
+             |    sum(n) OVER (PARTITION BY event_type ORDER BY c
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm FROM h),
+             |tt AS (SELECT event_type, sum(n) AS nt FROM h GROUP BY 1),
+             |q AS (SELECT c2.event_type, min(c2.c) AS qhat FROM cum c2 JOIN tt USING (event_type)
+             |  WHERE c2.cm >= (9 * nt + 9) // 10 GROUP BY 1),
+             |test AS (SELECT e.event_type, e.c, q.qhat FROM e JOIN q USING (event_type) WHERE half = 1),
+             |loss AS (SELECT event_type, any_value(qhat) AS qhat_cents, count(*) AS n_test,
+             |    sum(CASE WHEN c >= qhat THEN 9 * (c - qhat) ELSE qhat - c END) AS ls
+             |  FROM test GROUP BY 1)
+             |SELECT event_type, qhat_cents, CAST(n_test AS BIGINT) AS n_test,
+             |  CAST(ls // (10 * n_test) AS BIGINT) AS pinball_cents
+             |FROM loss ORDER BY event_type""".stripMargin))
   )
 
   /** Fixed-point absorbing-chain oracle — twenty unrolled Neumann steps

@@ -2608,6 +2608,70 @@ object Curation {
              |  FROM rk a JOIN rk b ON b.doc_id = a.doc_id AND a.r = 1 AND b.r = 2)
              |SELECT doc_id, true_source, pred_source,
              |  CAST(margin_nano AS BIGINT) AS margin_nano
-             |FROM marg ORDER BY margin_nano, doc_id LIMIT 10""".stripMargin))
+             |FROM marg ORDER BY margin_nano, doc_id LIMIT 10""".stripMargin)),
+
+    // one DoReMi-style exponentiated-gradient step on the domain
+    // weights (Xie et al. 2023): domains whose text is HARDER under the
+    // corpus unigram LM (higher mean surprisal) get upweighted —
+    // w₁ ∝ w₀·exp(η·loss), η = 0.1, w₀ = the domain's token share.
+    // Per-(domain, word) surprisal mass c·ln(N/c_w) nano-quantizes
+    // BEFORE the domain sum (the q_domain_kl convention — no unordered
+    // double addition over the data-sized vocab axis); the exp update
+    // and the normalizer run on the ≤|sources|-row domain frame with
+    // integer micro weights. This is the reweighting step a
+    // multi-domain training mix is tuned with; chaining it is the full
+    // DoReMi loop.
+    QueryDef(
+      "q_doremi_step",
+      (s, d) => {
+        val w = Tables.documents(s, d).select(col("source"),
+          explode(split(col("text"), " ")).as("w"))
+        val cw = w.groupBy("w").agg(count(lit(1)).as("c"))
+        val n = w.agg(count(lit(1)).as("nt"))
+        val dw = w.groupBy("source", "w").agg(count(lit(1)).as("cd"))
+        val terms = dw.join(cw, "w").crossJoin(broadcast(n))
+          .select(col("source"), col("cd"),
+            expr("CAST(round(1000000000.0 * cd * ln(CAST(nt AS DOUBLE) / c)) AS BIGINT)")
+              .as("t_nano"))
+        val dom = terms.groupBy("source")
+          .agg(sum("cd").as("toks"),
+            sum(expr("CAST(t_nano AS DECIMAL(38,0))")).as("loss_nano"))
+        val tot = dom.agg(sum("toks").as("nt"))
+        val base = dom.crossJoin(broadcast(tot))
+          .select(col("source"), col("toks"),
+            expr("CAST(loss_nano div toks div 1000 AS BIGINT)").as("loss_micro"),
+            expr("CAST((1000000 * toks) div nt AS BIGINT)").as("w0_micro"))
+        val upd = base.withColumn("raw",
+          expr("CAST(round(w0_micro * exp(0.1 * (loss_micro / 1000000.0))) AS BIGINT)"))
+        val z = upd.agg(sum("raw").as("z"))
+        upd.crossJoin(broadcast(z))
+          .select(col("source"), col("toks").cast("long").as("tokens"),
+            col("loss_micro"), col("w0_micro"),
+            expr("CAST((1000000 * CAST(raw AS DECIMAL(38,0))) div z AS BIGINT)")
+              .as("w1_micro"))
+          .orderBy("source")
+      },
+      Some("""WITH w AS (SELECT source, u.w FROM documents,
+             |    LATERAL (SELECT unnest(string_split(text, ' ')) AS w) u),
+             |cw AS (SELECT w, count(*) AS c FROM w GROUP BY 1),
+             |n AS (SELECT count(*) AS nt FROM w),
+             |dw AS (SELECT source, w, count(*) AS cd FROM w GROUP BY 1, 2),
+             |terms AS (SELECT d.source, d.cd,
+             |    CAST(round(1000000000.0 * d.cd * ln(CAST(n.nt AS DOUBLE) / cw.c)) AS BIGINT) AS t_nano
+             |  FROM dw d JOIN cw USING (w) CROSS JOIN n),
+             |dom AS (SELECT source, sum(cd) AS toks, sum(CAST(t_nano AS HUGEINT)) AS loss_nano
+             |  FROM terms GROUP BY 1),
+             |tot AS (SELECT sum(toks) AS nt FROM dom),
+             |base AS (SELECT source, toks,
+             |    CAST(loss_nano // toks // 1000 AS BIGINT) AS loss_micro,
+             |    CAST((1000000 * toks) // (SELECT nt FROM tot) AS BIGINT) AS w0_micro
+             |  FROM dom),
+             |upd AS (SELECT source, toks, loss_micro, w0_micro,
+             |    CAST(round(w0_micro * exp(0.1 * (loss_micro / 1000000.0))) AS BIGINT) AS raw
+             |  FROM base),
+             |z AS (SELECT sum(raw) AS z FROM upd)
+             |SELECT source, CAST(toks AS BIGINT) AS tokens, loss_micro, w0_micro,
+             |  CAST((1000000 * CAST(raw AS HUGEINT)) // z AS BIGINT) AS w1_micro
+             |FROM upd CROSS JOIN z ORDER BY source""".stripMargin))
   )
 }

@@ -764,6 +764,43 @@ class AnalyticsInvariantSpec extends SparkSpec {
     assert(r.getAs[Long]("demand_days") > 0L && r.getAs[Long]("order_days") > 0L)
   }
 
+  test("q_doremi_step: weights are simplex-normalized and loss-monotone") {
+    val r = rows("q_doremi_step")
+    assert(r.nonEmpty)
+    val w0 = r.map(_.getAs[Long]("w0_micro")).sum
+    val w1 = r.map(_.getAs[Long]("w1_micro")).sum
+    // each integer floor loses < 1 micro per domain
+    assert(w0 > 1000000L - r.size && w0 <= 1000000L, w0.toString)
+    assert(w1 > 1000000L - r.size && w1 <= 1000000L, w1.toString)
+    // exponentiated gradient: a clearly harder domain must gain at
+    // least as much relative weight (1-milli guard for the roundings)
+    for (a <- r; b <- r
+         if a.getAs[Long]("loss_micro") > b.getAs[Long]("loss_micro") + 1000) {
+      val lhs = BigInt(a.getAs[Long]("w1_micro")) * b.getAs[Long]("w0_micro")
+      val rhs = BigInt(b.getAs[Long]("w1_micro")) * a.getAs[Long]("w0_micro")
+      assert(lhs >= rhs - 2000000, s"$a vs $b")
+    }
+  }
+
+  test("q_psi: terms nonnegative, smoothed shares sum to one") {
+    val r = rows("q_psi")
+    assert(r.size == 10)
+    for (row <- r)
+      assert(row.getAs[Long]("psi_term_micro") >= 0L, row.toString)
+    val pe = r.map(_.getAs[Long]("expected_micro")).sum
+    assert(pe > 1000000L - 10 && pe <= 1000000L, pe.toString)
+  }
+
+  test("q_pinball_eval: thresholds and losses nonnegative for all 5 types") {
+    val r = rows("q_pinball_eval")
+    assert(r.size == 5)
+    for (row <- r) {
+      assert(row.getAs[Long]("qhat_cents") >= 0L, row.toString)
+      assert(row.getAs[Long]("pinball_cents") >= 0L, row.toString)
+      assert(row.getAs[Long]("n_test") > 0L, row.toString)
+    }
+  }
+
   test("q_rake_keywords: 15 phrases, each at most 3 tokens, scores positive") {
     val r = rows("q_rake_keywords")
     assert(r.size == 15)
