@@ -241,7 +241,17 @@ object ScaleProbe {
       "q_conformal", "q_mmd_linear", "q_cmh_test", "q_obrien_fleming",
       "q_shapley_attribution", "q_holm_bonferroni", "q_ransac_fit",
       "q_ppr", "q_hub_robustness", "q_best_passage",
-      "q_crosstab_residuals", "q_price_endings")
+      "q_crosstab_residuals", "q_price_endings",
+      // round 11: survival family, assumption checks, ranking eval,
+      // graph additions, model fits, and the curation/drift additions
+      "q_nelson_aalen", "q_logrank", "q_rmst", "q_km_ci", "q_hazard_ratio",
+      "q_levene", "q_jarque_bera", "q_durbin_watson", "q_cochran_q",
+      "q_grubbs", "q_tukey_hsd", "q_icc", "q_paired_ttest", "q_ipw_ate",
+      "q_wilson_ci", "q_avg_precision", "q_err", "q_rbo", "q_fleiss_kappa",
+      "q_mmr_diversify", "q_label_prop", "q_graph_diameter", "q_ols_multi",
+      "q_gbm_round", "q_em_gmm_step", "q_eoq", "q_bullwhip",
+      "q_rake_keywords", "q_kneser_ney", "q_doremi_step", "q_psi",
+      "q_pinball_eval")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

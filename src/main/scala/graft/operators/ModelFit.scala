@@ -211,6 +211,67 @@ object ModelFit {
              |  (SELECT mse1 FROM mse1) AS mse_stage1_cents2,
              |  (SELECT CAST(thr2 AS BIGINT) FROM b2) AS dom_threshold,
              |  (SELECT gl2 FROM b2) AS gamma_l2_micro, (SELECT gr2 FROM b2) AS gamma_r2_micro,
-             |  (SELECT mse2 FROM mse2) AS mse_stage2_cents2""".stripMargin))
+             |  (SELECT mse2 FROM mse2) AS mse_stage2_cents2""".stripMargin)),
+
+    // one EM step for a two-component 1-D Gaussian mixture on purchase
+    // value — the distributed E/M split done right at scale: the E-step
+    // responsibilities are computed per DISTINCT cents value (the
+    // domain-bounded histogram, never per row) and micro-quantized
+    // ONCE; the M-step moments are then exact 128-bit integer sums of
+    // count × responsibility products, so the updated (π, μ, σ) are
+    // engine-bit-stable. Fixed deterministic initialization
+    // (μ = 2 000/20 000, σ = 3 000/15 000, π = ½); chaining the step is
+    // the full EM loop. Completes the U21 family's unsupervised corner
+    // beside q_kmeans_iter's hard assignments.
+    QueryDef(
+      "q_em_gmm_step",
+      (s, d) => {
+        val v = Tables.events(s, d)
+          .where(col("value").isNotNull && col("event_type") === "purchase")
+          .groupBy(expr("CAST(round(value*100) AS BIGINT)").as("x"))
+          .agg(count(lit(1)).as("c"))
+        val r = v.select(col("x"), col("c"),
+          expr("""CAST(round(1000000 *
+                 |  (0.5 * exp(-pow((x - 2000.0) / 3000.0, 2) / 2) / 3000.0)
+                 |  / (0.5 * exp(-pow((x - 2000.0) / 3000.0, 2) / 2) / 3000.0
+                 |     + 0.5 * exp(-pow((x - 20000.0) / 15000.0, 2) / 2) / 15000.0))
+                 |AS BIGINT)""".stripMargin).as("r1"))
+        r.agg(sum("c").as("n"),
+            sum(col("c") * col("r1")).as("n1w"),
+            sum(col("c") * (lit(1000000L) - col("r1"))).as("n2w"),
+            sum(expr("CAST(c AS DECIMAL(38,0)) * x * r1")).as("s1"),
+            sum(expr("CAST(c AS DECIMAL(38,0)) * x * (1000000 - r1)")).as("s2"),
+            sum(expr("CAST(c AS DECIMAL(38,0)) * x * x * r1")).as("q1"),
+            sum(expr("CAST(c AS DECIMAL(38,0)) * x * x * (1000000 - r1)")).as("q2"))
+          .select(col("n").cast("long").as("n_obs"),
+            expr("CAST((1000000 * CAST(n1w AS DECIMAL(38,0))) div (n1w + n2w) AS BIGINT)")
+              .as("pi1_micro"),
+            expr("CAST(s1 div n1w AS BIGINT)").as("mu1_cents"),
+            expr("CAST(s2 div n2w AS BIGINT)").as("mu2_cents"),
+            expr("CAST(round(sqrt(CAST(q1 AS DOUBLE) / n1w - pow(CAST(s1 AS DOUBLE) / n1w, 2))) AS BIGINT)")
+              .as("sd1_cents"),
+            expr("CAST(round(sqrt(CAST(q2 AS DOUBLE) / n2w - pow(CAST(s2 AS DOUBLE) / n2w, 2))) AS BIGINT)")
+              .as("sd2_cents"))
+      },
+      Some("""WITH v AS (SELECT CAST(round(value*100) AS BIGINT) AS x, count(*) AS c
+             |  FROM events WHERE value IS NOT NULL AND event_type = 'purchase' GROUP BY 1),
+             |r AS (SELECT x, c,
+             |    CAST(round(1000000 *
+             |      (0.5 * exp(-pow((x - 2000.0) / 3000.0, 2) / 2) / 3000.0)
+             |      / (0.5 * exp(-pow((x - 2000.0) / 3000.0, 2) / 2) / 3000.0
+             |         + 0.5 * exp(-pow((x - 20000.0) / 15000.0, 2) / 2) / 15000.0)) AS BIGINT) AS r1
+             |  FROM v),
+             |m AS (SELECT sum(c) AS n,
+             |    sum(c * r1) AS n1w, sum(c * (1000000 - r1)) AS n2w,
+             |    sum(CAST(c AS HUGEINT) * x * r1) AS s1, sum(CAST(c AS HUGEINT) * x * (1000000 - r1)) AS s2,
+             |    sum(CAST(c AS HUGEINT) * x * x * r1) AS q1, sum(CAST(c AS HUGEINT) * x * x * (1000000 - r1)) AS q2
+             |  FROM r)
+             |SELECT CAST(n AS BIGINT) AS n_obs,
+             |  CAST((1000000 * CAST(n1w AS HUGEINT)) // (n1w + n2w) AS BIGINT) AS pi1_micro,
+             |  CAST(s1 // n1w AS BIGINT) AS mu1_cents,
+             |  CAST(s2 // n2w AS BIGINT) AS mu2_cents,
+             |  CAST(round(sqrt(CAST(q1 AS DOUBLE) / n1w - pow(CAST(s1 AS DOUBLE) / n1w, 2))) AS BIGINT) AS sd1_cents,
+             |  CAST(round(sqrt(CAST(q2 AS DOUBLE) / n2w - pow(CAST(s2 AS DOUBLE) / n2w, 2))) AS BIGINT) AS sd2_cents
+             |FROM m""".stripMargin))
   )
 }

@@ -246,6 +246,110 @@ object RankEval {
              |SELECT qid, CAST(sum(CASE WHEN rel = 1
              |    THEN CAST(round(1000000.0 * pow(0.5, before + 1) / rn) AS BIGINT)
              |    ELSE 0 END) AS BIGINT) AS err_micro
-             |FROM rel GROUP BY 1 ORDER BY qid""".stripMargin))
+             |FROM rel GROUP BY 1 ORDER BY qid""".stripMargin)),
+
+    // maximal marginal relevance (λ = 0.7): pick 3 results per query
+    // that are relevant AND mutually diverse — each greedy step scores
+    // candidates by λ·sim(q,c) − (1−λ)·max sim(c, already picked). The
+    // three steps unroll as fixed stages (the q_weighted_pagerank
+    // convention); every similarity is the rounded-4dp dot the whole
+    // ANN family standardizes on, and each stage's argmax carries a
+    // vec_id tiebreak, so the greedy chain is engine-deterministic.
+    // Candidate pools are per-query top-10s ⇒ the pairwise grid is
+    // ≤ 10² per query at any corpus size.
+    QueryDef(
+      "q_mmr_diversify",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), asDouble(col("embedding")).as("ed"))
+        val q2 = e.where(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("ed").as("qe"))
+        val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+        val cand = e.crossJoin(broadcast(q2))
+          .where(col("vec_id") =!= col("qid"))
+          .withColumn("sim", round(graft.functions.Similarity.dot(
+            col("qe"), col("ed")), 4))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 10)
+          .select("qid", "vec_id", "ed", "sim", "rn")
+        val pair = cand.select(col("qid"), col("vec_id").as("u"), col("ed").as("eu"))
+          .join(cand.select(col("qid"), col("vec_id").as("v"), col("ed").as("ev")),
+            Seq("qid"))
+          .where(col("u") =!= col("v"))
+          .select(col("qid"), col("u"), col("v"),
+            round(graft.functions.Similarity.dot(col("eu"), col("ev")), 4).as("ps"))
+        val s1 = cand.where(col("rn") === 1)
+          .select(col("qid"), col("vec_id").as("p1"), col("sim").as("sim1"))
+        val w2 = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
+        // every stage joins through USING-columns only, so the coalesced
+        // keys can never turn ambiguous as the chain deepens
+        val p1sim = pair.select(col("qid"), col("u").as("vec_id"),
+          col("v").as("p1"), col("ps"))
+        val s2 = cand.select("qid", "vec_id", "sim")
+          .join(s1.select("qid", "p1"), Seq("qid"))
+          .where(col("vec_id") =!= col("p1"))
+          .join(p1sim, Seq("qid", "vec_id", "p1"))
+          .select(col("qid"), col("vec_id"),
+            expr("CAST(round(1000000 * (0.7 * sim - 0.3 * ps)) AS BIGINT)").as("score"))
+          .withColumn("rk", row_number().over(w2)).where(col("rk") === 1)
+          .select(col("qid"), col("vec_id").as("p2"), col("score").as("score2"))
+        val pa = pair.select(col("qid"), col("u").as("vec_id"),
+          col("v").as("p1"), col("ps").as("ps1"))
+        val pb = pair.select(col("qid"), col("u").as("vec_id"),
+          col("v").as("p2"), col("ps").as("ps2"))
+        val s3 = cand.select("qid", "vec_id", "sim")
+          .join(s1.select("qid", "p1"), Seq("qid"))
+          .join(s2.select("qid", "p2"), Seq("qid"))
+          .where(col("vec_id") =!= col("p1") && col("vec_id") =!= col("p2"))
+          .join(pa, Seq("qid", "vec_id", "p1"))
+          .join(pb, Seq("qid", "vec_id", "p2"))
+          .select(col("qid"), col("vec_id"),
+            expr("CAST(round(1000000 * (0.7 * sim - 0.3 * greatest(ps1, ps2))) AS BIGINT)")
+              .as("score"))
+          .withColumn("rk", row_number().over(w2)).where(col("rk") === 1)
+          .select(col("qid"), col("vec_id").as("p3"), col("score").as("score3"))
+        s1.select(col("qid"), lit(1L).as("pos"), col("p1").as("vec_id"),
+            expr("CAST(round(1000000 * sim1) AS BIGINT)").as("score_micro"))
+          .unionByName(s2.select(col("qid"), lit(2L).as("pos"),
+            col("p2").as("vec_id"), col("score2").as("score_micro")))
+          .unionByName(s3.select(col("qid"), lit(3L).as("pos"),
+            col("p3").as("vec_id"), col("score3").as("score_micro")))
+          .orderBy("qid", "pos")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
+             |q AS (SELECT vec_id AS qid, ed AS qe FROM e WHERE vec_id < 20),
+             |sims AS (SELECT q.qid, e.vec_id, e.ed, round(list_dot_product(q.qe, e.ed), 4) AS sim
+             |         FROM q CROSS JOIN e WHERE e.vec_id <> q.qid),
+             |cand AS (SELECT qid, vec_id, ed, sim,
+             |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+             |  FROM sims QUALIFY rn <= 10),
+             |pair AS (SELECT a.qid, a.vec_id AS u, b.vec_id AS v,
+             |    round(list_dot_product(a.ed, b.ed), 4) AS ps
+             |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.vec_id <> b.vec_id),
+             |s1 AS (SELECT qid, vec_id AS p1, sim AS sim1 FROM cand WHERE rn = 1),
+             |sc2 AS (SELECT c.qid, c.vec_id,
+             |    CAST(round(1000000 * (0.7 * c.sim - 0.3 * p.ps)) AS BIGINT) AS score
+             |  FROM cand c JOIN s1 ON s1.qid = c.qid AND c.vec_id <> s1.p1
+             |  JOIN pair p ON p.qid = c.qid AND p.u = c.vec_id AND p.v = s1.p1),
+             |s2 AS (SELECT qid, vec_id AS p2, score AS score2 FROM (
+             |    SELECT qid, vec_id, score,
+             |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rk
+             |    FROM sc2) WHERE rk = 1),
+             |sc3 AS (SELECT c.qid, c.vec_id,
+             |    CAST(round(1000000 * (0.7 * c.sim - 0.3 * greatest(pa.ps, pb.ps))) AS BIGINT) AS score
+             |  FROM cand c JOIN s1 ON s1.qid = c.qid JOIN s2 ON s2.qid = c.qid
+             |  JOIN pair pa ON pa.qid = c.qid AND pa.u = c.vec_id AND pa.v = s1.p1
+             |  JOIN pair pb ON pb.qid = c.qid AND pb.u = c.vec_id AND pb.v = s2.p2
+             |  WHERE c.vec_id <> s1.p1 AND c.vec_id <> s2.p2),
+             |s3 AS (SELECT qid, vec_id AS p3, score AS score3 FROM (
+             |    SELECT qid, vec_id, score,
+             |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rk
+             |    FROM sc3) WHERE rk = 1),
+             |outp AS (
+             |  SELECT qid, 1 AS pos, p1 AS vec_id, CAST(round(1000000 * sim1) AS BIGINT) AS score_micro FROM s1
+             |  UNION ALL SELECT qid, 2, p2, score2 FROM s2
+             |  UNION ALL SELECT qid, 3, p3, score3 FROM s3)
+             |SELECT qid, CAST(pos AS BIGINT) AS pos, vec_id, score_micro
+             |FROM outp ORDER BY qid, pos""".stripMargin))
   )
 }

@@ -801,6 +801,34 @@ class AnalyticsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("q_em_gmm_step: mixture weight on the simplex, components ordered") {
+    val r = rows("q_em_gmm_step").head
+    val pi = r.getAs[Long]("pi1_micro")
+    assert(pi >= 0L && pi <= 1000000L, pi.toString)
+    // component 1 is initialized low, component 2 high; one E/M step
+    // cannot swap them on a fixed fixture
+    assert(r.getAs[Long]("mu1_cents") < r.getAs[Long]("mu2_cents"), r.toString)
+    assert(r.getAs[Long]("sd1_cents") >= 0L && r.getAs[Long]("sd2_cents") >= 0L)
+  }
+
+  test("q_mmr_diversify: three distinct picks per query, greedy order kept") {
+    val r = rows("q_mmr_diversify")
+    assert(r.size == 60)
+    val byQ = r.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == 20)
+    for ((q, picks) <- byQ) {
+      assert(picks.map(_.getAs[Long]("vec_id")).distinct.size == 3, q.toString)
+      assert(picks.map(_.getAs[Long]("pos")).sorted == Seq(1L, 2L, 3L))
+      // the λ-discounted stage scores can never exceed pure relevance
+      // (guarded to nonnegative tops — a hypothetical all-negative
+      // fixture would invert the inequality legitimately)
+      val s1 = picks.find(_.getAs[Long]("pos") == 1L).get.getAs[Long]("score_micro")
+      if (s1 >= 0L)
+        for (p <- picks if p.getAs[Long]("pos") > 1L)
+          assert(p.getAs[Long]("score_micro") <= s1, s"$q: $picks")
+    }
+  }
+
   test("q_rake_keywords: 15 phrases, each at most 3 tokens, scores positive") {
     val r = rows("q_rake_keywords")
     assert(r.size == 15)
