@@ -5857,7 +5857,110 @@ object Behavioral {
              |  FROM test GROUP BY 1)
              |SELECT event_type, qhat_cents, CAST(n_test AS BIGINT) AS n_test,
              |  CAST(ls // (10 * n_test) AS BIGINT) AS pinball_cents
-             |FROM loss ORDER BY event_type""".stripMargin))
+             |FROM loss ORDER BY event_type""".stripMargin)),
+
+    // brand-switching matrix: consecutive-order brand transitions per
+    // customer (order brand = the deterministic min lineitem brand),
+    // top-15 off-diagonal flows with the per-source switch rate — the
+    // loyalty/competition readout a category manager gets from the same
+    // machinery q_event_transitions applies to event types. One
+    // customer-partitioned lead window over the order timeline; brand
+    // totals and rates are exact integers.
+    QueryDef(
+      "q_brand_switch",
+      (s, d) => {
+        val ob = Tables.orders(s, d)
+          .select(col("o_custkey").as("c"), col("o_orderkey"),
+            col("o_orderdate").cast("date").as("dt"))
+          .join(Tables.lineitem(s, d).select("l_orderkey", "l_partkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+            col("p_partkey") === col("l_partkey"))
+          .groupBy("c", "o_orderkey", "dt").agg(min("p_brand").as("brand"))
+        val seq = ob.select(col("c"), col("brand"),
+          lead("brand", 1).over(Window.partitionBy("c")
+            .orderBy(col("dt"), col("o_orderkey"))).as("nxt"))
+        val tr = seq.where(col("nxt").isNotNull)
+          .groupBy(col("brand").as("from_brand"), col("nxt").as("to_brand"))
+          .agg(count(lit(1)).as("n"))
+        val rs = tr.groupBy("from_brand").agg(sum("n").as("tot"))
+        tr.join(rs, "from_brand")
+          .where(col("from_brand") =!= col("to_brand"))
+          .select(col("from_brand"), col("to_brand"),
+            col("n").cast("long").as("n"),
+            expr("CAST((1000000 * n) div tot AS BIGINT)").as("rate_micro"))
+          .orderBy(col("n").desc, col("from_brand"), col("to_brand")).limit(15)
+      },
+      Some("""WITH ob AS (SELECT o.o_custkey AS c, o.o_orderkey, CAST(o.o_orderdate AS DATE) AS dt,
+             |    min(p.p_brand) AS brand
+             |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+             |  JOIN part p ON p.p_partkey = l.l_partkey
+             |  GROUP BY 1, 2, 3),
+             |seq AS (SELECT c, brand,
+             |    lead(brand) OVER (PARTITION BY c ORDER BY dt, o_orderkey) AS nxt
+             |  FROM ob),
+             |tr AS (SELECT brand AS from_brand, nxt AS to_brand, count(*) AS n
+             |  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+             |rs AS (SELECT from_brand, sum(n) AS tot FROM tr GROUP BY 1)
+             |SELECT t.from_brand, t.to_brand, CAST(t.n AS BIGINT) AS n,
+             |  CAST((1000000 * t.n) // r.tot AS BIGINT) AS rate_micro
+             |FROM tr t JOIN rs r USING (from_brand)
+             |WHERE t.from_brand <> t.to_brand
+             |ORDER BY n DESC, from_brand, to_brand LIMIT 15""".stripMargin)),
+
+    // cross-price elasticity: regress Brand#2's daily log-quantity on
+    // Brand#1's daily log average price (both nano-quantized per
+    // calendar day before the exact moment sums — the q_hill_tail ln
+    // convention). Positive β ⇒ substitutes, negative ⇒ complements;
+    // the fixture's independent demand reads ≈ 0, the honest null. The
+    // own-price q_price_elasticity's competitive companion.
+    QueryDef(
+      "q_cross_elasticity",
+      (s, d) => {
+        def daily(brand: String, out: String, isPrice: Boolean) = {
+          val g = Tables.lineitem(s, d)
+            .join(broadcast(Tables.part(s, d)
+              .where(col("p_brand") === brand).select("p_partkey")),
+              col("p_partkey") === col("l_partkey"))
+            .groupBy(col("l_shipdate").cast("date").as("dt"))
+          if (isPrice)
+            g.agg(expr("""CAST(round(1000000000.0 *
+                         |  ln(sum(CAST(round(l_extendedprice*100) AS BIGINT))
+                         |    / CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)))
+                         |AS BIGINT)""".stripMargin).as(out))
+          else
+            g.agg(expr("""CAST(round(1000000000.0 *
+                         |  ln(CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)))
+                         |AS BIGINT)""".stripMargin).as(out))
+        }
+        daily("Brand#1", "x", isPrice = true)
+          .join(daily("Brand#2", "y", isPrice = false), "dt")
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+            sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+            sum(expr("CAST(x AS DECIMAL(38,0))*x")).as("sxx"),
+            sum(expr("CAST(x AS DECIMAL(38,0))*y")).as("sxy"))
+          .select(col("n").cast("long").as("n_days"),
+            expr("""CAST(round(1000.0 * (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+                   |  / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)) AS BIGINT)"""
+              .stripMargin).as("cross_elasticity_milli"))
+      },
+      Some("""WITH da AS (SELECT CAST(l.l_shipdate AS DATE) AS dt,
+             |    CAST(round(1000000000.0 * ln(sum(CAST(round(l.l_extendedprice*100) AS BIGINT))
+             |      / CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS DOUBLE))) AS BIGINT) AS x
+             |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+             |  WHERE p.p_brand = 'Brand#1' GROUP BY 1),
+             |db AS (SELECT CAST(l.l_shipdate AS DATE) AS dt,
+             |    CAST(round(1000000000.0 * ln(CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS DOUBLE))) AS BIGINT) AS y
+             |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+             |  WHERE p.p_brand = 'Brand#2' GROUP BY 1),
+             |j AS (SELECT x, y FROM da JOIN db USING (dt)),
+             |m AS (SELECT count(*) AS n, sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             |    sum(CAST(x AS HUGEINT)*x) AS sxx, sum(CAST(x AS HUGEINT)*y) AS sxy FROM j)
+             |SELECT CAST(n AS BIGINT) AS n_days,
+             |  CAST(round(1000.0 * (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+             |    / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)) AS BIGINT) AS cross_elasticity_milli
+             |FROM m""".stripMargin))
   )
 
   /** Fixed-point absorbing-chain oracle — twenty unrolled Neumann steps

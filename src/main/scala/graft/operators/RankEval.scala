@@ -350,6 +350,58 @@ object RankEval {
              |  UNION ALL SELECT qid, 2, p2, score2 FROM s2
              |  UNION ALL SELECT qid, 3, p3, score3 FROM s3)
              |SELECT qid, CAST(pos AS BIGINT) AS pos, vec_id, score_micro
-             |FROM outp ORDER BY qid, pos""".stripMargin))
+             |FROM outp ORDER BY qid, pos""".stripMargin)),
+
+    // catalog coverage and novelty of the top-3 co-purchase
+    // recommendations — the two beyond-accuracy metrics a recommender
+    // rollout is reviewed on (high coverage = the long tail gets
+    // surfaced; high novelty = recs aren't just the bestsellers).
+    // Recommendations are the per-part top-3 neighbors by shared-order
+    // weight (the partitioned rank the GroupTopK heap rewrite plans);
+    // novelty is the mean −log₂ popularity share, milli-quantized per
+    // rec instance before the exact integer mean. One vocabulary-sized
+    // aggregate per side; no per-user state.
+    QueryDef(
+      "q_rec_coverage",
+      (s, d) => {
+        val nb = graft.operators.Release.copurchaseDirected(s, d)._1
+          .select("u", "v", "w")
+        val w3 = Window.partitionBy("u").orderBy(col("w").desc, col("v"))
+        val rec = nb.withColumn("rn", row_number().over(w3))
+          .where(col("rn") <= 3).select("u", "v")
+        val pop = Tables.lineitem(s, d)
+          .groupBy(col("l_partkey").as("v")).agg(count(lit(1)).as("freq"))
+        val tot = Tables.lineitem(s, d).agg(count(lit(1)).as("nl"))
+        val cat = Tables.part(s, d).agg(count(lit(1)).as("ncat"))
+        rec.join(pop, "v").crossJoin(broadcast(tot))
+          .agg(count(lit(1)).as("nrec_inst"),
+            countDistinct("v").as("nrec"),
+            sum(expr("CAST(round(-1000.0 * log2(CAST(freq AS DOUBLE) / nl)) AS BIGINT)"))
+              .as("novsum"))
+          .crossJoin(broadcast(cat))
+          .select(col("ncat").cast("long").as("n_catalog"),
+            col("nrec").cast("long").as("n_recommended"),
+            expr("CAST((1000000 * nrec) div ncat AS BIGINT)").as("coverage_micro"),
+            expr("CAST(novsum div nrec_inst AS BIGINT)").as("novelty_milli"))
+      },
+      Some("""WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS w
+             |      FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2),
+             |nb AS (SELECT p1 AS u, p2 AS v, w FROM e UNION ALL SELECT p2, p1, w FROM e),
+             |rec AS (SELECT u, v FROM (SELECT u, v, w,
+             |    row_number() OVER (PARTITION BY u ORDER BY w DESC, v) AS rn FROM nb)
+             |  WHERE rn <= 3),
+             |pop AS (SELECT l_partkey AS v, count(*) AS freq FROM lineitem GROUP BY 1),
+             |tot AS (SELECT count(*) AS nl FROM lineitem),
+             |cat AS (SELECT count(*) AS ncat FROM part),
+             |nov AS (SELECT count(*) AS nrec_inst, count(DISTINCT v) AS nrec,
+             |    sum(CAST(round(-1000.0 * log2(CAST(freq AS DOUBLE) / nl)) AS BIGINT)) AS novsum
+             |  FROM rec JOIN pop USING (v) CROSS JOIN tot)
+             |SELECT (SELECT CAST(ncat AS BIGINT) FROM cat) AS n_catalog,
+             |  CAST(nrec AS BIGINT) AS n_recommended,
+             |  CAST((1000000 * nrec) // (SELECT ncat FROM cat) AS BIGINT) AS coverage_micro,
+             |  CAST(novsum // nrec_inst AS BIGINT) AS novelty_milli
+             |FROM nov""".stripMargin))
   )
 }

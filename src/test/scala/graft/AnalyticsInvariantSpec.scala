@@ -829,6 +829,32 @@ class AnalyticsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("q_rec_coverage: coverage on [0,1], novelty positive") {
+    val r = rows("q_rec_coverage").head
+    assert(r.getAs[Long]("n_recommended") <= r.getAs[Long]("n_catalog"))
+    val cov = r.getAs[Long]("coverage_micro")
+    assert(cov > 0L && cov <= 1000000L, cov.toString)
+    assert(r.getAs[Long]("novelty_milli") > 0L,
+      "every popularity share < 1 makes -log2 positive")
+  }
+
+  test("q_brand_switch: off-diagonal flows, descending, rates on [0,1]") {
+    val r = rows("q_brand_switch")
+    assert(r.size == 15)
+    val n = r.map(_.getAs[Long]("n"))
+    assert(n.zip(n.tail).forall { case (a, b) => b <= a }, n.toString)
+    for (row <- r) {
+      assert(row.getAs[String]("from_brand") != row.getAs[String]("to_brand"))
+      val rate = row.getAs[Long]("rate_micro")
+      assert(rate > 0L && rate <= 1000000L, row.toString)
+    }
+  }
+
+  test("q_cross_elasticity: joined day count positive") {
+    val r = rows("q_cross_elasticity").head
+    assert(r.getAs[Long]("n_days") > 1L, r.toString)
+  }
+
   test("q_rake_keywords: 15 phrases, each at most 3 tokens, scores positive") {
     val r = rows("q_rake_keywords")
     assert(r.size == 15)
