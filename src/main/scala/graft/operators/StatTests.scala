@@ -418,6 +418,205 @@ object StatTests {
              |  CAST(round(CAST(s AS DOUBLE) / n
              |    / sqrt((CAST(n AS DOUBLE) * s2 - CAST(s AS DOUBLE) * s)
              |      / (CAST(n AS DOUBLE) * (n - 1)) / n) * 1000) AS BIGINT) AS t_milli
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // Chow structural-break F-test: did the daily-revenue trend line
+    // CHANGE between the two January halves? F compares the pooled-fit
+    // SSE against the sum of the per-half fits — all three SSEs close
+    // over the same exact 128-bit (n, Σi, Σi², Σy, Σiy, Σy²) moments,
+    // so the test needs three tiny aggregates and zero residual
+    // materialization. The regression-level complement of
+    // q_changepoint's mean-shift CUSUM. Day indexing rides the ≤ #days
+    // calendar frame (q_durbin_watson convention).
+    QueryDef(
+      "q_chow_test",
+      (s, d) => {
+        val idx = dailyIdx(s, d)
+        val half = idx.agg(max("i").as("mx"))
+        def mom(df: org.apache.spark.sql.DataFrame) = df.agg(
+          count(lit(1)).as("n"),
+          sum(expr("CAST(i AS DECIMAL(38,0))")).as("sx"),
+          sum(expr("CAST(i AS DECIMAL(38,0))*i")).as("sxx"),
+          sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+          sum(expr("CAST(i AS DECIMAL(38,0))*y")).as("sxy"),
+          sum(expr("CAST(y AS DECIMAL(38,0))*y")).as("syy"))
+        val sseExpr =
+          """(CAST(syy AS DOUBLE)
+            |  - (CAST(sy AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sxy)
+            |    / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) * sy
+            |  - (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+            |    / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) * sxy)""".stripMargin
+        val withHalf = idx.crossJoin(broadcast(half))
+        val mp = mom(idx).select(expr(sseExpr).as("ssep"), col("n"))
+        val m1 = mom(withHalf.where(col("i") <= col("mx") / 2))
+          .select(expr(sseExpr).as("sse1"))
+        val m2 = mom(withHalf.where(col("i") > col("mx") / 2))
+          .select(expr(sseExpr).as("sse2"))
+        mp.crossJoin(broadcast(m1)).crossJoin(broadcast(m2))
+          .select(col("n").cast("long").as("n_days"),
+            expr("""CAST(round(1000.0 * ((ssep - sse1 - sse2) / 2)
+                   |  / ((sse1 + sse2) / (n - 4))) AS BIGINT)""".stripMargin)
+              .as("chow_f_milli"))
+      },
+      Some(s"""WITH $dailyIdxSql,
+             |half AS (SELECT max(i) AS mx FROM idx),
+             |mp AS ($momSql FROM idx),
+             |m1 AS ($momSql FROM idx WHERE i <= (SELECT mx FROM half) / 2),
+             |m2 AS ($momSql FROM idx WHERE i > (SELECT mx FROM half) / 2),
+             |s AS (SELECT
+             |  (SELECT $sseSql FROM mp) AS ssep,
+             |  (SELECT $sseSql FROM m1) AS sse1,
+             |  (SELECT $sseSql FROM m2) AS sse2,
+             |  (SELECT n FROM mp) AS n)
+             |SELECT CAST(n AS BIGINT) AS n_days,
+             |  CAST(round(1000.0 * ((ssep - sse1 - sse2) / 2)
+             |    / ((sse1 + sse2) / (n - 4))) AS BIGINT) AS chow_f_milli
+             |FROM s""".stripMargin)),
+
+    // Cook's distance top-5: which days, if dropped, would move the
+    // revenue trend line most? Dᵢ = eᵢ²/(2s²) · h/(1−h)² with the
+    // determinant-scaled exact residuals (q_durbin_watson convention)
+    // and the closed-form simple-regression leverage h = 1/n +
+    // (i−x̄)²/Sxx — the scale cancels between eᵢ² and s², so the
+    // readout needs no float fit at all. The influence diagnostic that
+    // closes the residual-analysis suite (DW: autocorrelation, BP:
+    // heteroscedasticity, Cook: leverage).
+    QueryDef(
+      "q_cooks_distance",
+      (s, d) => {
+        val idx = dailyIdx(s, d)
+        val m = idx.agg(count(lit(1)).as("n"),
+          sum(expr("CAST(i AS DECIMAL(38,0))")).as("sx"),
+          sum(expr("CAST(i AS DECIMAL(38,0))*i")).as("sxx"),
+          sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+          sum(expr("CAST(i AS DECIMAL(38,0))*y")).as("sxy"))
+        val r = idx.crossJoin(broadcast(m))
+          .select(col("i"), col("n"), col("sx"), col("sxx"),
+            expr("""CAST(round((CAST(n*sxx - sx*sx AS DOUBLE) * y
+                   |  - (CAST(sy*sxx - sx*sxy AS DOUBLE)
+                   |     + CAST(n*sxy - sx*sy AS DOUBLE) * i)) / 1000)
+                   |  AS BIGINT)""".stripMargin).as("rd"))
+        val mse = r.agg(sum(expr("CAST(rd AS DECIMAL(38,0))*rd")).as("se2"),
+          count(lit(1)).as("nn"))
+        r.withColumn("h",
+            expr("""1.0/n + pow(i - CAST(sx AS DOUBLE)/n, 2)
+                   |  / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*sx/n)"""
+              .stripMargin))
+          .crossJoin(broadcast(mse))
+          .select(col("i").cast("long").as("day_index"),
+            expr("""CAST(round(1000000.0 * (CAST(rd AS DOUBLE)*rd
+                   |  / (CAST(se2 AS DOUBLE) / (nn - 2) * 2))
+                   |  * (h / pow(1 - h, 2))) AS BIGINT)""".stripMargin)
+              .as("cooks_d_micro"))
+          .orderBy(col("cooks_d_micro").desc, col("day_index")).limit(5)
+      },
+      Some(s"""WITH $dailyIdxSql,
+             |m AS (SELECT count(*) AS n, sum(CAST(i AS HUGEINT)) AS sx,
+             |    sum(CAST(i AS HUGEINT)*i) AS sxx, sum(CAST(y AS HUGEINT)) AS sy,
+             |    sum(CAST(i AS HUGEINT)*y) AS sxy FROM idx),
+             |r AS (SELECT i, m.n, m.sx, m.sxx,
+             |    CAST(round((CAST(m.n*m.sxx - m.sx*m.sx AS DOUBLE) * y
+             |      - (CAST(m.sy*m.sxx - m.sx*m.sxy AS DOUBLE)
+             |         + CAST(m.n*m.sxy - m.sx*m.sy AS DOUBLE) * i)) / 1000) AS BIGINT) AS rd
+             |  FROM idx CROSS JOIN m),
+             |mse AS (SELECT sum(CAST(rd AS HUGEINT)*rd) AS se2, count(*) AS nn FROM r),
+             |lev AS (SELECT i, rd,
+             |    1.0/n + pow(i - CAST(sx AS DOUBLE)/n, 2)
+             |      / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*sx/n) AS h
+             |  FROM r)
+             |SELECT CAST(i AS BIGINT) AS day_index,
+             |  CAST(round(1000000.0 * (CAST(rd AS DOUBLE)*rd
+             |    / (CAST((SELECT se2 FROM mse) AS DOUBLE) / ((SELECT nn FROM mse) - 2) * 2))
+             |    * (h / pow(1 - h, 2))) AS BIGINT) AS cooks_d_micro
+             |FROM lev ORDER BY cooks_d_micro DESC, i LIMIT 5""".stripMargin)),
+
+    // Breusch–Pagan heteroscedasticity LM test: regress the squared
+    // (determinant-scaled, giga-requantized) residuals on the day index
+    // — LM = n·R². Residuals come exact from the q_durbin_watson
+    // machinery; the squares requantize ONCE per day before the second
+    // exact moment pass, so both regressions are over calendar-bounded
+    // integer frames. Completes the residual triptych with the
+    // variance-stability axis.
+    QueryDef(
+      "q_breusch_pagan",
+      (s, d) => {
+        val idx = dailyIdx(s, d)
+        val m = idx.agg(count(lit(1)).as("n"),
+          sum(expr("CAST(i AS DECIMAL(38,0))")).as("sx"),
+          sum(expr("CAST(i AS DECIMAL(38,0))*i")).as("sxx"),
+          sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+          sum(expr("CAST(i AS DECIMAL(38,0))*y")).as("sxy"))
+        val u = idx.crossJoin(broadcast(m))
+          .select(col("i"),
+            expr("""CAST(round((CAST(n*sxx - sx*sx AS DOUBLE) * y
+                   |  - (CAST(sy*sxx - sx*sxy AS DOUBLE)
+                   |     + CAST(n*sxy - sx*sy AS DOUBLE) * i)) / 1000)
+                   |  AS BIGINT)""".stripMargin).as("rd"))
+          .select(col("i"),
+            expr("CAST(round(CAST(rd AS DOUBLE)*rd / 1000000000.0) AS BIGINT)")
+              .as("e2"))
+        u.agg(count(lit(1)).as("n"),
+            sum(expr("CAST(i AS DECIMAL(38,0))")).as("sx"),
+            sum(expr("CAST(i AS DECIMAL(38,0))*i")).as("sxx"),
+            sum(expr("CAST(e2 AS DECIMAL(38,0))")).as("sy"),
+            sum(expr("CAST(i AS DECIMAL(38,0))*e2")).as("sxy"),
+            sum(expr("CAST(e2 AS DECIMAL(38,0))*e2")).as("syy"))
+          .select(col("n").cast("long").as("n_days"),
+            expr("""CAST(round(1000.0 * n *
+                   |  pow(CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy, 2)
+                   |  / ((CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
+                   |     * (CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy)))
+                   |AS BIGINT)""".stripMargin).as("bp_lm_milli"))
+      },
+      Some(s"""WITH $dailyIdxSql,
+             |m AS (SELECT count(*) AS n, sum(CAST(i AS HUGEINT)) AS sx,
+             |    sum(CAST(i AS HUGEINT)*i) AS sxx, sum(CAST(y AS HUGEINT)) AS sy,
+             |    sum(CAST(i AS HUGEINT)*y) AS sxy FROM idx),
+             |r AS (SELECT i,
+             |    CAST(round((CAST(m.n*m.sxx - m.sx*m.sx AS DOUBLE) * y
+             |      - (CAST(m.sy*m.sxx - m.sx*m.sxy AS DOUBLE)
+             |         + CAST(m.n*m.sxy - m.sx*m.sy AS DOUBLE) * i)) / 1000) AS BIGINT) AS rd
+             |  FROM idx CROSS JOIN m),
+             |u AS (SELECT i, CAST(round(CAST(rd AS DOUBLE)*rd / 1000000000.0) AS BIGINT) AS e2 FROM r),
+             |m2 AS (SELECT count(*) AS n, sum(CAST(i AS HUGEINT)) AS sx, sum(CAST(i AS HUGEINT)*i) AS sxx,
+             |    sum(CAST(e2 AS HUGEINT)) AS sy, sum(CAST(i AS HUGEINT)*e2) AS sxy,
+             |    sum(CAST(e2 AS HUGEINT)*e2) AS syy FROM u)
+             |SELECT CAST(n AS BIGINT) AS n_days,
+             |  CAST(round(1000.0 * n *
+             |    pow(CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy, 2)
+             |    / ((CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
+             |       * (CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy))) AS BIGINT) AS bp_lm_milli
+             |FROM m2""".stripMargin))
   )
+
+  /** Daily purchase revenue with a calendar-ordered day index — the
+    * shared regression frame of the residual-diagnostics suite
+    * (q_durbin_watson / q_chow_test / q_cooks_distance /
+    * q_breusch_pagan). */
+  private def dailyIdx(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.events(s, d).where(col("event_type") === "purchase")
+      .groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(sum(expr("CAST(round(value*100) AS BIGINT)")).as("y"))
+      .select(col("y"),
+        row_number().over(Window.orderBy("d")).cast("long").as("i"))
+
+  private def dailyIdxSql: String =
+    """daily AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+      |    sum(CAST(round(value*100) AS BIGINT)) AS y
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |idx AS (SELECT y, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i FROM daily)"""
+      .stripMargin
+
+  private def momSql: String =
+    """SELECT count(*) AS n, sum(CAST(i AS HUGEINT)) AS sx,
+      |    sum(CAST(i AS HUGEINT)*i) AS sxx, sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(i AS HUGEINT)*y) AS sxy, sum(CAST(y AS HUGEINT)*y) AS syy"""
+      .stripMargin
+
+  private def sseSql: String =
+    """(CAST(syy AS DOUBLE)
+      |  - (CAST(sy AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sxy)
+      |    / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) * sy
+      |  - (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+      |    / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) * sxy)""".stripMargin
 }

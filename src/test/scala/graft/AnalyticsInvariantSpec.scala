@@ -829,6 +829,26 @@ class AnalyticsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("q_chow_test: pooled SSE dominates the split fits (F nonnegative)") {
+    val f = rows("q_chow_test").head.getAs[Long]("chow_f_milli")
+    // SSE_pooled ≥ SSE_1 + SSE_2 algebraically; ±1 milli rounding slack
+    assert(f >= -1L, f.toString)
+  }
+
+  test("q_cooks_distance: five days, descending, nonnegative") {
+    val r = rows("q_cooks_distance")
+    assert(r.size == 5)
+    val d = r.map(_.getAs[Long]("cooks_d_micro"))
+    assert(d.zip(d.tail).forall { case (a, b) => b <= a }, d.toString)
+    assert(d.forall(_ >= 0L), d.toString)
+  }
+
+  test("q_breusch_pagan: LM statistic inside [0, n] (R-squared bound)") {
+    val r = rows("q_breusch_pagan").head
+    val lm = r.getAs[Long]("bp_lm_milli")
+    assert(lm >= 0L && lm <= 1000L * r.getAs[Long]("n_days"), lm.toString)
+  }
+
   test("q_rec_coverage: coverage on [0,1], novelty positive") {
     val r = rows("q_rec_coverage").head
     assert(r.getAs[Long]("n_recommended") <= r.getAs[Long]("n_catalog"))

@@ -325,7 +325,11 @@ class PlanAuditSpec extends SparkSpec {
       // q_km_ci: the ln-S and Greenwood running sums ride the distinct-
       // event-time table — hour-grain, calendar-bounded (q_survival_km
       // convention)
-      "q_km_ci")
+      "q_km_ci",
+      // q_chow_test / q_cooks_distance / q_breusch_pagan: the shared
+      // day-index row_number rides the ≤ #days calendar frame after one
+      // map-combined daily sum (q_durbin_watson convention)
+      "q_chow_test", "q_cooks_distance", "q_breusch_pagan")
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !allowed(name)
       w = fn(spark, sf).queryExecution.optimizedPlan.collect {
