@@ -5960,7 +5960,64 @@ object Behavioral {
              |SELECT CAST(n AS BIGINT) AS n_days,
              |  CAST(round(1000.0 * (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
              |    / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)) AS BIGINT) AS cross_elasticity_milli
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // chain-ladder development factors: cumulative shipped revenue by
+    // (order-month cohort × months-to-ship development age), with the
+    // all-cohort volume-weighted age-to-age factor fⱼ = ΣC_{i,j+1}/ΣC_{i,j}
+    // — the actuarial run-off projection, here reading "how much of an
+    // order month's revenue has shipped by age j" (the reserving view
+    // of q_ship_lag's distribution). One grouped pass builds the
+    // triangle; the cumulative rides a cohort-PARTITIONED window over
+    // the ≤5-value development domain; factors are exact 128-bit
+    // integer ratios.
+    QueryDef(
+      "q_chain_ladder",
+      (s, d) => {
+        val c = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderdate").cast("date").as("od"))
+          .join(Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_shipdate").cast("date").as("sd"),
+              expr("CAST(round(l_extendedprice*100) AS BIGINT)").as("v")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(date_trunc("month", col("od")).cast("date").as("cohort"),
+            expr("""CAST((year(sd) - year(od)) * 12
+                   |  + month(sd) - month(od) AS BIGINT)""".stripMargin).as("dev"))
+          .agg(sum("v").as("v"))
+        val cum = c.where(col("dev") >= 0 && col("dev") <= 4)
+          .withColumn("cv", sum("v").over(
+            Window.partitionBy("cohort").orderBy("dev")
+              .rowsBetween(Window.unboundedPreceding, 0)))
+        val a = cum.select(col("cohort"), col("dev").as("age"), col("cv"))
+        val b = cum.select(col("cohort"), (col("dev") - 1).as("age"),
+          col("cv").as("nv"))
+        a.join(b, Seq("cohort", "age"))
+          .groupBy("age")
+          .agg(sum(expr("CAST(nv AS DECIMAL(38,0))")).as("nxt"),
+            sum(expr("CAST(cv AS DECIMAL(38,0))")).as("cur"))
+          .select(col("age").cast("long").as("age_months"),
+            col("cur").cast("long").as("cum_cents"),
+            expr("CAST((1000000 * nxt) div cur AS BIGINT)").as("dev_factor_micro"))
+          .orderBy("age_months")
+      },
+      Some("""WITH c AS (SELECT CAST(date_trunc('month', CAST(o.o_orderdate AS DATE)) AS DATE) AS cohort,
+             |    CAST((year(CAST(l.l_shipdate AS DATE)) - year(CAST(o.o_orderdate AS DATE))) * 12
+             |      + month(CAST(l.l_shipdate AS DATE)) - month(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS dev,
+             |    sum(CAST(round(l.l_extendedprice*100) AS BIGINT)) AS v
+             |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+             |  GROUP BY 1, 2),
+             |cum AS (SELECT cohort, dev,
+             |    sum(v) OVER (PARTITION BY cohort ORDER BY dev
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+             |  FROM c WHERE dev >= 0 AND dev <= 4),
+             |pairs AS (SELECT a.dev AS age, sum(CAST(b.cv AS HUGEINT)) AS nxt,
+             |    sum(CAST(a.cv AS HUGEINT)) AS cur
+             |  FROM cum a JOIN cum b ON b.cohort = a.cohort AND b.dev = a.dev + 1
+             |  GROUP BY 1)
+             |SELECT CAST(age AS BIGINT) AS age_months,
+             |  CAST(cur AS BIGINT) AS cum_cents,
+             |  CAST((1000000 * nxt) // cur AS BIGINT) AS dev_factor_micro
+             |FROM pairs ORDER BY age""".stripMargin))
   )
 
   /** Fixed-point absorbing-chain oracle — twenty unrolled Neumann steps

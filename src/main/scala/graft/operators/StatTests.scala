@@ -587,7 +587,50 @@ object StatTests {
              |    / ((CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
              |       * (CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy))) AS BIGINT) AS bp_lm_milli
              |FROM m2""".stripMargin))
-  )
+  ) :+ gumbelDef
+
+  /** Gumbel extreme-value fit on daily maxima by the method of moments
+    * (β = s·√6/π, μ = x̄ − γβ with the Euler–Mascheroni constant spelled
+    * as the same literal in both engines), plus the 99% return level
+    * μ − β·ln(−ln 0.99) — the EVT readout capacity planning sizes tail
+    * risk on, where q_hill_tail reads the tail exponent. One daily-max
+    * aggregate feeding exact 128-bit moments; the fit is one IEEE
+    * closed form. */
+  private def gumbelDef = QueryDef(
+    "q_gumbel_fit",
+    (s, d) => Tables.events(s, d).where(col("value").isNotNull)
+      .groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(max(expr("CAST(round(value*100) AS BIGINT)")).as("mx"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(mx AS DECIMAL(38,0))")).as("s"),
+        sum(expr("CAST(mx AS DECIMAL(38,0))*mx")).as("s2"))
+      .select(col("n"),
+        expr("""sqrt((CAST(n AS DOUBLE)*s2 - CAST(s AS DOUBLE)*s)
+               |  / (CAST(n AS DOUBLE)*(n-1))) * sqrt(6.0) / pi()"""
+          .stripMargin).as("beta"),
+        col("s"))
+      .select(col("n"), col("beta"),
+        expr("CAST(s AS DOUBLE)/n - 0.5772156649015329 * beta").as("mu"))
+      .select(col("n").cast("long").as("n_days"),
+        expr("CAST(round(mu) AS BIGINT)").as("mu_cents"),
+        expr("CAST(round(beta) AS BIGINT)").as("beta_cents"),
+        expr("CAST(round(mu - beta * ln(-ln(0.99))) AS BIGINT)")
+          .as("p99_return_cents")),
+    Some("""WITH dm AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+           |    max(CAST(round(value*100) AS BIGINT)) AS mx
+           |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+           |m AS (SELECT count(*) AS n, sum(CAST(mx AS HUGEINT)) AS s,
+           |    sum(CAST(mx AS HUGEINT)*mx) AS s2 FROM dm),
+           |b AS (SELECT n, s,
+           |    sqrt((CAST(n AS DOUBLE)*s2 - CAST(s AS DOUBLE)*s)
+           |      / (CAST(n AS DOUBLE)*(n-1))) * sqrt(6.0) / pi() AS beta FROM m),
+           |f AS (SELECT n, beta,
+           |    CAST(s AS DOUBLE)/n - 0.5772156649015329 * beta AS mu FROM b)
+           |SELECT CAST(n AS BIGINT) AS n_days,
+           |  CAST(round(mu) AS BIGINT) AS mu_cents,
+           |  CAST(round(beta) AS BIGINT) AS beta_cents,
+           |  CAST(round(mu - beta * ln(-ln(0.99))) AS BIGINT) AS p99_return_cents
+           |FROM f""".stripMargin))
 
   /** Daily purchase revenue with a calendar-ordered day index — the
     * shared regression frame of the residual-diagnostics suite

@@ -849,6 +849,24 @@ class AnalyticsInvariantSpec extends SparkSpec {
     assert(lm >= 0L && lm <= 1000L * r.getAs[Long]("n_days"), lm.toString)
   }
 
+  test("q_gumbel_fit: scale positive, return level beyond the location") {
+    val r = rows("q_gumbel_fit").head
+    assert(r.getAs[Long]("beta_cents") > 0L, r.toString)
+    // −ln(−ln 0.99) ≈ 4.6 > γ, so the P99 return level sits above μ
+    assert(r.getAs[Long]("p99_return_cents") > r.getAs[Long]("mu_cents"),
+      r.toString)
+  }
+
+  test("q_chain_ladder: development factors at least 1 and cumulative") {
+    val r = rows("q_chain_ladder")
+    assert(r.nonEmpty)
+    for (row <- r) {
+      // shipped revenue only accumulates with age
+      assert(row.getAs[Long]("dev_factor_micro") >= 1000000L, row.toString)
+      assert(row.getAs[Long]("cum_cents") > 0L, row.toString)
+    }
+  }
+
   test("q_rec_coverage: coverage on [0,1], novelty positive") {
     val r = rows("q_rec_coverage").head
     assert(r.getAs[Long]("n_recommended") <= r.getAs[Long]("n_catalog"))
