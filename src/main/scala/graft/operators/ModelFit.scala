@@ -272,6 +272,48 @@ object ModelFit {
              |  CAST(s2 // n2w AS BIGINT) AS mu2_cents,
              |  CAST(round(sqrt(CAST(q1 AS DOUBLE) / n1w - pow(CAST(s1 AS DOUBLE) / n1w, 2))) AS BIGINT) AS sd1_cents,
              |  CAST(round(sqrt(CAST(q2 AS DOUBLE) / n2w - pow(CAST(s2 AS DOUBLE) / n2w, 2))) AS BIGINT) AS sd2_cents
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // variance inflation factor between q_ols_multi's two regressors —
+    // VIF = 1/(1−R²(x₁~x₂)), the multicollinearity gate run BEFORE
+    // trusting the coefficients: VIF ≈ 1 certifies the fixture's
+    // hour ⊥ day-of-month design, VIF > 5-10 would say the normal
+    // equations are near-singular and the betas unstable. Same exact
+    // 128-bit moment pass; the squared correlation is one IEEE closed
+    // form.
+    QueryDef(
+      "q_vif",
+      (s, d) => Tables.events(s, d)
+        .where(col("event_type") === "purchase" && col("value").isNotNull)
+        .select(expr("CAST(hour(ts) AS BIGINT)").as("x1"),
+          expr("CAST(dayofmonth(ts) AS BIGINT)").as("x2"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(x1 AS DECIMAL(38,0))")).as("s1"),
+          sum(expr("CAST(x2 AS DECIMAL(38,0))")).as("s2"),
+          sum(expr("CAST(x1 AS DECIMAL(38,0))*x1")).as("s11"),
+          sum(expr("CAST(x1 AS DECIMAL(38,0))*x2")).as("s12"),
+          sum(expr("CAST(x2 AS DECIMAL(38,0))*x2")).as("s22"))
+        .select(col("n"),
+          expr("""pow(CAST(n AS DOUBLE)*s12 - CAST(s1 AS DOUBLE)*s2, 2)
+                 |/ ((CAST(n AS DOUBLE)*s11 - CAST(s1 AS DOUBLE)*s1)
+                 |   * (CAST(n AS DOUBLE)*s22 - CAST(s2 AS DOUBLE)*s2))"""
+            .stripMargin).as("r2"))
+        .select(col("n").cast("long").as("n_obs"),
+          expr("CAST(round(1000000 * r2) AS BIGINT)").as("r2_micro"),
+          expr("CAST(round(1000.0 / (1 - r2)) AS BIGINT)").as("vif_milli")),
+      Some("""WITH v AS (SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS x1,
+             |    CAST(dayofmonth(CAST(ts AS TIMESTAMP)) AS BIGINT) AS x2
+             |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+             |m AS (SELECT count(*) AS n, sum(CAST(x1 AS HUGEINT)) AS s1, sum(CAST(x2 AS HUGEINT)) AS s2,
+             |    sum(CAST(x1 AS HUGEINT)*x1) AS s11, sum(CAST(x1 AS HUGEINT)*x2) AS s12,
+             |    sum(CAST(x2 AS HUGEINT)*x2) AS s22 FROM v),
+             |r AS (SELECT n,
+             |    pow(CAST(n AS DOUBLE)*s12 - CAST(s1 AS DOUBLE)*s2, 2)
+             |    / ((CAST(n AS DOUBLE)*s11 - CAST(s1 AS DOUBLE)*s1)
+             |       * (CAST(n AS DOUBLE)*s22 - CAST(s2 AS DOUBLE)*s2)) AS r2 FROM m)
+             |SELECT CAST(n AS BIGINT) AS n_obs,
+             |  CAST(round(1000000 * r2) AS BIGINT) AS r2_micro,
+             |  CAST(round(1000.0 / (1 - r2)) AS BIGINT) AS vif_milli
+             |FROM r""".stripMargin))
   )
 }

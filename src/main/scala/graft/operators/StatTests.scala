@@ -587,7 +587,61 @@ object StatTests {
              |    / ((CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
              |       * (CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy))) AS BIGINT) AS bp_lm_milli
              |FROM m2""".stripMargin))
-  ) :+ gumbelDef
+  ) :+ gumbelDef :+ kupiecDef
+
+  /** Kupiec proportion-of-failures VaR backtest: the P99 threshold is
+    * trained on the first January half as an EXACT discrete order
+    * statistic (the q_pinball_eval convention), then the second half's
+    * violation count x is scored with the likelihood ratio
+    * LR = −2[ln L(p₀) − ln L(x/n)] against p₀ = 1%. The x = 0 corner
+    * (no violations) collapses to −2n·ln(0.99) in closed form — no
+    * ln(0). The acceptance test for q_gumbel_fit's return level and any
+    * production VaR/SLA threshold. */
+  private def kupiecDef = QueryDef(
+    "q_kupiec_pof",
+    (s, d) => {
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+        .select(expr("CAST(round(value*100) AS BIGINT)").as("c"),
+          when(col("ts") < lit("2024-01-16 00:00:00").cast("timestamp_ntz"),
+            0L).otherwise(1L).as("half"))
+      val h = e.where(col("half") === 0).groupBy("c").agg(count(lit(1)).as("n"))
+      val cum = h.withColumn("cm", sum("n").over(Window.orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      val tt = h.agg(sum("n").as("nt"))
+      val q = cum.crossJoin(broadcast(tt))
+        .where(expr("cm >= (99 * nt + 99) div 100"))
+        .agg(min("c").as("var99"))
+      e.where(col("half") === 1).crossJoin(broadcast(q))
+        .agg(max("var99").as("var99"), count(lit(1)).as("n"),
+          sum(when(col("c") > col("var99"), 1L).otherwise(0L)).as("x"))
+        .select(col("var99").cast("long").as("var99_cents"),
+          col("n").cast("long").as("n_test"),
+          col("x").cast("long").as("violations"),
+          expr("""CAST(round(1000.0 * (-2) * (CASE WHEN x = 0
+                 |  THEN n * ln(0.99)
+                 |  ELSE (n - x) * ln(0.99) + x * ln(0.01)
+                 |    - ((n - x) * ln(1.0 - CAST(x AS DOUBLE)/n)
+                 |       + x * ln(CAST(x AS DOUBLE)/n)) END)) AS BIGINT)"""
+            .stripMargin).as("kupiec_lr_milli"))
+    },
+    Some("""WITH e AS (SELECT CAST(round(value*100) AS BIGINT) AS c,
+           |    CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END AS half
+           |  FROM events WHERE value IS NOT NULL),
+           |h AS (SELECT c, count(*) AS n FROM e WHERE half = 0 GROUP BY 1),
+           |cum AS (SELECT c, sum(n) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm FROM h),
+           |tt AS (SELECT sum(n) AS nt FROM h),
+           |q AS (SELECT min(c) AS var99 FROM cum CROSS JOIN tt WHERE cm >= (99 * nt + 99) // 100),
+           |t AS (SELECT (SELECT var99 FROM q) AS var99, count(*) AS n,
+           |    sum(CASE WHEN c > (SELECT var99 FROM q) THEN 1 ELSE 0 END) AS x
+           |  FROM e WHERE half = 1)
+           |SELECT CAST(var99 AS BIGINT) AS var99_cents,
+           |  CAST(n AS BIGINT) AS n_test, CAST(x AS BIGINT) AS violations,
+           |  CAST(round(1000.0 * (-2) * (CASE WHEN x = 0
+           |    THEN n * ln(0.99)
+           |    ELSE (n - x) * ln(0.99) + x * ln(0.01)
+           |      - ((n - x) * ln(1.0 - CAST(x AS DOUBLE)/n)
+           |         + x * ln(CAST(x AS DOUBLE)/n)) END)) AS BIGINT) AS kupiec_lr_milli
+           |FROM t""".stripMargin))
 
   /** Gumbel extreme-value fit on daily maxima by the method of moments
     * (β = s·√6/π, μ = x̄ − γβ with the Euler–Mascheroni constant spelled

@@ -867,6 +867,24 @@ class AnalyticsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("q_vif: at least 1 and consistent with its own R-squared") {
+    val r = rows("q_vif").head
+    val vif = r.getAs[Long]("vif_milli")
+    val r2 = r.getAs[Long]("r2_micro")
+    assert(vif >= 1000L, vif.toString)
+    assert(r2 >= 0L && r2 < 1000000L, r2.toString)
+    // VIF = 1/(1−R²): recompute from the reported R² within rounding
+    val expect = math.round(1000.0 / (1 - r2 / 1e6))
+    assert(math.abs(vif - expect) <= 1L, s"vif=$vif expect=$expect")
+  }
+
+  test("q_kupiec_pof: LR nonnegative, violations bounded by the test count") {
+    val r = rows("q_kupiec_pof").head
+    assert(r.getAs[Long]("kupiec_lr_milli") >= 0L, r.toString)
+    assert(r.getAs[Long]("violations") >= 0L &&
+      r.getAs[Long]("violations") <= r.getAs[Long]("n_test"), r.toString)
+  }
+
   test("q_rec_coverage: coverage on [0,1], novelty positive") {
     val r = rows("q_rec_coverage").head
     assert(r.getAs[Long]("n_recommended") <= r.getAs[Long]("n_catalog"))

@@ -329,7 +329,10 @@ class PlanAuditSpec extends SparkSpec {
       // q_chow_test / q_cooks_distance / q_breusch_pagan: the shared
       // day-index row_number rides the ≤ #days calendar frame after one
       // map-combined daily sum (q_durbin_watson convention)
-      "q_chow_test", "q_cooks_distance", "q_breusch_pagan")
+      "q_chow_test", "q_cooks_distance", "q_breusch_pagan",
+      // q_kupiec_pof: the train-half ECDF cumulative runs over the
+      // bounded integer-cents value domain (q_ks_test argument)
+      "q_kupiec_pof")
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !allowed(name)
       w = fn(spark, sf).queryExecution.optimizedPlan.collect {
