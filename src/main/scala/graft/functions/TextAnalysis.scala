@@ -1467,6 +1467,41 @@ object TextAnalysis {
              |  AS BIGINT) AS pkn_micro
              |FROM c12 JOIN c1 USING (w1) CROSS JOIN tot
              |JOIN cont USING (w2)
-             |ORDER BY c DESC, w1, w2 LIMIT 20""".stripMargin))
+             |ORDER BY c DESC, w1, w2 LIMIT 20""".stripMargin)),
+
+    // Yule's K lexical-richness characteristic + Simpson's repeat-rate
+    // — the frequency-of-frequencies stylometry constants (K is
+    // corpus-size-invariant where raw TTR is not; the q_burrows_delta /
+    // q_heaps_fit family's scalar summary). Everything is EXACT integer
+    // arithmetic over the V_m spectrum (two vocabulary-sized
+    // aggregates): K = 10⁴·(Σm²V_m − N)/N², Simpson = (Σm²V_m − N)/
+    // (N(N−1)) — both one 128-bit `div`.
+    QueryDef(
+      "q_yule_k",
+      (s, d) => {
+        val cw = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("m"))
+        cw.groupBy("m").agg(count(lit(1)).as("vm"))
+          .agg(sum(expr("CAST(m AS DECIMAL(38,0)) * m * vm")).as("s2"),
+            sum(expr("CAST(m AS DECIMAL(38,0)) * vm")).as("n"),
+            sum("vm").as("vocab"))
+          .select(col("n").cast("long").as("n_tokens"),
+            col("vocab").cast("long").as("vocab"),
+            expr("CAST((10000 * (s2 - n) * 1000) div (n * n) AS BIGINT)")
+              .as("yule_k_milli"),
+            expr("CAST((1000000 * (s2 - n)) div (n * (n - 1)) AS BIGINT)")
+              .as("simpson_micro"))
+      },
+      Some("""WITH w AS (SELECT u.w FROM documents,
+             |    LATERAL (SELECT unnest(string_split(text, ' ')) AS w) u),
+             |cw AS (SELECT w, count(*) AS m FROM w GROUP BY 1),
+             |ff AS (SELECT m, count(*) AS vm FROM cw GROUP BY 1),
+             |t AS (SELECT sum(CAST(m AS HUGEINT) * m * vm) AS s2,
+             |    sum(CAST(m AS HUGEINT) * vm) AS n, sum(vm) AS vocab FROM ff)
+             |SELECT CAST(n AS BIGINT) AS n_tokens, CAST(vocab AS BIGINT) AS vocab,
+             |  CAST((10000 * (s2 - n) * 1000) // (n * n) AS BIGINT) AS yule_k_milli,
+             |  CAST((1000000 * (s2 - n)) // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT) AS simpson_micro
+             |FROM t""".stripMargin))
   )
 }

@@ -1375,20 +1375,7 @@ object Release {
     QueryDef(
       "q_label_prop",
       (s, d) => {
-        val nb = copurchaseDirected(s, d)._1
-          .where(col("w") >= 3).select("u", "v", "w")
-        var lbl = nb.select(col("u")).distinct()
-          .select(col("u"), col("u").as("label"))
-        for (_ <- 1 to 4) {
-          val w = Window.partitionBy("u")
-            .orderBy(col("tw").desc, col("label").asc)
-          lbl = cutLineage(nb
-            .join(lbl.select(col("u").as("v"), col("label")), "v")
-            .groupBy("u", "label").agg(sum("w").as("tw"))
-            .withColumn("rn", row_number().over(w))
-            .where(col("rn") === 1).select("u", "label"))
-        }
-        lbl.groupBy("label").agg(count(lit(1)).as("sz"))
+        lpaLabels(s, d).groupBy("label").agg(count(lit(1)).as("sz"))
           .groupBy("sz").agg(count(lit(1)).as("n_communities"))
           .select(col("sz").cast("long").as("community_size"),
             col("n_communities").cast("long").as("n_communities"))
@@ -1462,13 +1449,71 @@ object Release {
              |  (SELECT CAST(f AS BIGINT) FROM far) AS far_node,
              |  (SELECT CAST(ecc1 AS BIGINT) FROM far) AS ecc_seed,
              |  (SELECT CAST(max(dist) AS BIGINT) FROM d2) AS diameter_lb,
-             |  (SELECT CAST(count(*) AS BIGINT) FROM d2) AS n_reached""".stripMargin))
+             |  (SELECT CAST(count(*) AS BIGINT) FROM d2) AS n_reached""".stripMargin)),
+
+    // conductance of the LPA partition's top-10 communities: cut weight
+    // over min(volume, 2m − volume) — the partition-QUALITY readout
+    // that closes the community-detection loop (q_label_prop finds the
+    // partition, q_modularity scores the global split, conductance
+    // names WHICH communities leak). Labels are the shared 4-round LPA
+    // map; volumes/cuts are two label-joined edge aggregates, exact
+    // integer ratios; the output is label-invariant (sizes, volumes,
+    // cuts — never the arbitrary label ids).
+    QueryDef(
+      "q_conductance",
+      (s, d) => {
+        val nb = copurchaseDirected(s, d)._1
+          .where(col("w") >= 3).select("u", "v", "w")
+        val lab = lpaLabels(s, d)
+        val vol = nb.join(lab, "u").groupBy("label").agg(sum("w").as("vol"))
+        val m2 = nb.agg(sum("w").as("tot"))
+        val cut = nb.join(lab.select(col("u"), col("label").as("lu")), "u")
+          .join(lab.select(col("u").as("v"), col("label").as("lv")), "v")
+          .where(col("lu") =!= col("lv"))
+          .groupBy(col("lu").as("label")).agg(sum("w").as("cut"))
+        val sz = lab.groupBy("label").agg(count(lit(1)).as("n_nodes"))
+        sz.join(vol, "label").join(cut, Seq("label"), "left")
+          .crossJoin(broadcast(m2))
+          .where(col("vol") < col("tot"))
+          .select(col("n_nodes").cast("long").as("n_nodes"),
+            col("vol").cast("long").as("volume"),
+            coalesce(col("cut"), lit(0L)).cast("long").as("cut_w"),
+            expr("""CAST((1000000 * coalesce(cut, 0))
+                   |  div least(vol, tot - vol) AS BIGINT)""".stripMargin)
+              .as("conductance_micro"))
+          .orderBy(col("n_nodes").desc, col("volume").desc, col("cut_w"))
+          .limit(10)
+      },
+      Some(conductanceOracle))
   )
 
-  /** Four unrolled synchronous LPA rounds over the w ≥ 3 co-purchase
-    * adjacency — min-label tiebreak mirrored via the same
-    * (tw DESC, label) rank the Spark loop uses. */
-  private def labelPropOracle: String = {
+  /** The 4-round synchronous min-label LPA labels on the w ≥ 3
+    * co-purchase adjacency — shared by q_label_prop (size histogram)
+    * and q_conductance (partition-quality readout). Each round is one
+    * adjacency join + a u-PARTITIONED rank window, lineage cut per
+    * round (q_kcore convention). */
+  private def lpaLabels(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val nb = copurchaseDirected(s, d)._1
+      .where(col("w") >= 3).select("u", "v", "w")
+    var lbl = nb.select(col("u")).distinct()
+      .select(col("u"), col("u").as("label"))
+    for (_ <- 1 to 4) {
+      val w = Window.partitionBy("u")
+        .orderBy(col("tw").desc, col("label").asc)
+      lbl = cutLineage(nb
+        .join(lbl.select(col("u").as("v"), col("label")), "v")
+        .groupBy("u", "label").agg(sum("w").as("tw"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).select("u", "label"))
+    }
+    lbl
+  }
+
+  /** The shared WITH-body of the unrolled 4-round LPA oracles:
+    * thresholded graph + l1..l4 label CTEs, min-label tiebreak mirrored
+    * via the same (tw DESC, label) rank the Spark loop uses. */
+  private def lpaOracleCtes: String = {
     val graph =
       """WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |e AS MATERIALIZED (SELECT p1, p2, w FROM (
@@ -1484,13 +1529,34 @@ object Release {
          |  FROM nb n JOIN l${k - 1} l ON l.u = n.v GROUP BY n.u, l.label) WHERE rn = 1)"""
         .stripMargin
     }
-    (graph +: iters).mkString(",\n") +
+    (graph +: iters).mkString(",\n")
+  }
+
+  private def labelPropOracle: String =
+    lpaOracleCtes +
       """
         |, comm AS (SELECT label, count(*) AS sz FROM l4 GROUP BY 1)
         |SELECT CAST(sz AS BIGINT) AS community_size,
         |  CAST(count(*) AS BIGINT) AS n_communities
         |FROM comm GROUP BY 1 ORDER BY 1""".stripMargin
-  }
+
+  private def conductanceOracle: String =
+    lpaOracleCtes +
+      """
+        |, lab AS (SELECT u, label FROM l4),
+        |vol AS (SELECT la.label, sum(nb.w) AS vol FROM nb JOIN lab la ON la.u = nb.u GROUP BY 1),
+        |m2 AS (SELECT sum(w) AS tot FROM nb),
+        |cut AS (SELECT la.label, sum(nb.w) AS cut FROM nb
+        |  JOIN lab la ON la.u = nb.u JOIN lab lb ON lb.u = nb.v
+        |  WHERE la.label <> lb.label GROUP BY 1),
+        |sz AS (SELECT label, count(*) AS n_nodes FROM lab GROUP BY 1)
+        |SELECT CAST(s.n_nodes AS BIGINT) AS n_nodes,
+        |  CAST(v.vol AS BIGINT) AS volume, CAST(coalesce(c.cut, 0) AS BIGINT) AS cut_w,
+        |  CAST((1000000 * coalesce(c.cut, 0))
+        |    // least(v.vol, (SELECT tot FROM m2) - v.vol) AS BIGINT) AS conductance_micro
+        |FROM sz s JOIN vol v USING (label) LEFT JOIN cut c USING (label)
+        |WHERE v.vol < (SELECT tot FROM m2)
+        |ORDER BY n_nodes DESC, volume DESC, cut_w LIMIT 10""".stripMargin
 
   /** Fixed-point WEIGHTED PageRank oracle — six unrolled stages over the
     * co-purchase edge list, integer arithmetic mirroring the Spark loop

@@ -885,6 +885,24 @@ class AnalyticsInvariantSpec extends SparkSpec {
       r.getAs[Long]("violations") <= r.getAs[Long]("n_test"), r.toString)
   }
 
+  test("q_conductance: ratios on [0,1], cut bounded by volume") {
+    val r = rows("q_conductance")
+    assert(r.nonEmpty)
+    for (row <- r) {
+      val phi = row.getAs[Long]("conductance_micro")
+      assert(phi >= 0L && phi <= 1000000L, row.toString)
+      assert(row.getAs[Long]("cut_w") <= row.getAs[Long]("volume"), row.toString)
+    }
+  }
+
+  test("q_yule_k: Simpson micro bounded by 1, vocab bounded by tokens") {
+    val r = rows("q_yule_k").head
+    assert(r.getAs[Long]("simpson_micro") >= 0L &&
+      r.getAs[Long]("simpson_micro") <= 1000000L, r.toString)
+    assert(r.getAs[Long]("vocab") <= r.getAs[Long]("n_tokens"), r.toString)
+    assert(r.getAs[Long]("yule_k_milli") >= 0L, r.toString)
+  }
+
   test("q_rec_coverage: coverage on [0,1], novelty positive") {
     val r = rows("q_rec_coverage").head
     assert(r.getAs[Long]("n_recommended") <= r.getAs[Long]("n_catalog"))
