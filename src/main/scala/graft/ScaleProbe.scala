@@ -251,7 +251,11 @@ object ScaleProbe {
       "q_mmr_diversify", "q_label_prop", "q_graph_diameter", "q_ols_multi",
       "q_gbm_round", "q_em_gmm_step", "q_eoq", "q_bullwhip",
       "q_rake_keywords", "q_kneser_ney", "q_doremi_step", "q_psi",
-      "q_pinball_eval")
+      "q_pinball_eval",
+      "q_rec_coverage", "q_brand_switch", "q_cross_elasticity",
+      "q_chow_test", "q_cooks_distance", "q_breusch_pagan",
+      "q_gumbel_fit", "q_chain_ladder", "q_vif", "q_kupiec_pof",
+      "q_conductance", "q_yule_k")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 
