@@ -2840,7 +2840,122 @@ object Similarity {
              |SELECT CAST(count(*) AS BIGINT) AS n_quads,
              |  CAST(round(1000000.0 * sum(h) / count(*) / 1e9) AS BIGINT) AS mmd_micro
              |FROM h""".stripMargin))
-  ) :+ ivfSweepDef :+ dedupSweepDef
+  ) :+ ivfSweepDef :+ dedupSweepDef :+ silhouetteDef :+ daviesBouldinDef
+
+  /** Exact integer (vec, label-centroid) squared distances — the shared
+    * frame of the clustering-quality pair (q_silhouette /
+    * q_davies_bouldin): embedding components quantize to micro ints
+    * ONCE (the q_label_centroids convention), centroids are exact
+    * integer means, and every distance is a 128-bit Σ(x−c)² — no float
+    * summation order exists anywhere before the final per-point sqrt.
+    * Rows: (vec_id, label, cl, dd). n·|labels| rows after the dim join
+    * — linear in the corpus for the fixed label/dim domains. */
+  private def centroidDist2(s: org.apache.spark.sql.SparkSession,
+      d: String): (DataFrame, DataFrame) = {
+    val dims = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        round(col("x").cast("double") * 1e6).cast("long").as("xm"))
+    val cent = dims.groupBy(col("label").as("cl"), col("dim"))
+      .agg(expr("sum(xm) div count(1)").as("cm"))
+    val d2 = dims.join(broadcast(cent), "dim")
+      .groupBy("vec_id", "label", "cl")
+      .agg(sum(expr("CAST(xm - cm AS DECIMAL(38,0)) * (xm - cm)")).as("dd"))
+    (d2, cent)
+  }
+
+  private def centroidDist2Sql: String =
+    """dims AS (SELECT vec_id, label, u.dim, CAST(round(u.x * 1000000) AS BIGINT) AS xm
+      |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
+      |  LATERAL (SELECT unnest(ed) AS x, generate_subscripts(ed, 1) AS dim) u),
+      |cent AS (SELECT label AS cl, dim, sum(xm) // count(*) AS cm FROM dims GROUP BY 1, 2),
+      |d2 AS (SELECT d.vec_id, d.label, c.cl,
+      |    sum(CAST(d.xm - c.cm AS HUGEINT) * (d.xm - c.cm)) AS dd
+      |  FROM dims d JOIN cent c USING (dim) GROUP BY 1, 2, 3)""".stripMargin
+
+  /** Simplified silhouette per label (centroid form, Hruschka et al.):
+    * s = (b − a)/max(a, b) with a the distance to the own centroid and
+    * b the nearest other centroid — O(n·k) where the classic silhouette
+    * is O(n²), the form that exists at corpus scale. Per-point scores
+    * micro-quantize before the exact per-label integer mean. The
+    * isotropic fixture reads ≈ 0: the honest no-cluster-structure
+    * verdict this gate exists to give. */
+  private def silhouetteDef = QueryDef(
+    "q_silhouette",
+    (s, d) => {
+      val (d2, _) = centroidDist2(s, d)
+      d2.groupBy("vec_id", "label")
+        .agg(
+          expr("sqrt(CAST(max(CASE WHEN cl = label THEN dd END) AS DOUBLE))")
+            .as("a"),
+          expr("sqrt(CAST(min(CASE WHEN cl <> label THEN dd END) AS DOUBLE))")
+            .as("b"))
+        .select(col("label"),
+          expr("CAST(round(1000000 * (b - a) / greatest(a, b)) AS BIGINT)")
+            .as("sil"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_points"),
+          expr("sum(sil) div count(1)").as("mean_sil_micro"))
+        .select(col("label"), col("n_points").cast("long").as("n_points"),
+          col("mean_sil_micro").cast("long").as("mean_sil_micro"))
+        .orderBy("label")
+    },
+    Some(s"""WITH $centroidDist2Sql,
+           |pp AS (SELECT vec_id, label,
+           |    sqrt(CAST(max(CASE WHEN cl = label THEN dd END) AS DOUBLE)) AS a,
+           |    sqrt(CAST(min(CASE WHEN cl <> label THEN dd END) AS DOUBLE)) AS b
+           |  FROM d2 GROUP BY 1, 2),
+           |sp AS (SELECT label,
+           |    CAST(round(1000000 * (b - a) / greatest(a, b)) AS BIGINT) AS sil
+           |  FROM pp)
+           |SELECT label, CAST(count(*) AS BIGINT) AS n_points,
+           |  CAST(sum(sil) // count(*) AS BIGINT) AS mean_sil_micro
+           |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Davies–Bouldin index of the label partition: DB = meanᵢ maxⱼ≠ᵢ
+    * (Sᵢ + Sⱼ)/Mᵢⱼ with per-cluster scatter S and centroid separation M
+    * — lower is better-separated; the scalar companion to
+    * q_silhouette's per-label view. Per-point distances micro-quantize
+    * before the exact per-cluster mean; the (i, j) grid is |labels|²
+    * exact-integer ratios. Isotropic fixture ⇒ DB ≫ 1: honest. */
+  private def daviesBouldinDef = QueryDef(
+    "q_davies_bouldin",
+    (s, d) => {
+      val (d2, cent) = centroidDist2(s, d)
+      val si = d2.where(col("cl") === col("label"))
+        .select(col("label"),
+          expr("CAST(round(sqrt(CAST(dd AS DOUBLE))) AS BIGINT)").as("dist"))
+        .groupBy("label").agg(expr("sum(dist) div count(1)").as("s"))
+      val a = cent.select(col("cl").as("i"), col("dim"), col("cm").as("ci"))
+      val b = cent.select(col("cl").as("j"), col("dim"), col("cm").as("cj"))
+      val mm = a.join(broadcast(b), Seq("dim"))
+        .where(col("i") =!= col("j"))
+        .groupBy("i", "j")
+        .agg(expr("""CAST(round(sqrt(CAST(sum(CAST(ci - cj AS DECIMAL(38,0))
+                    |  * (ci - cj)) AS DOUBLE))) AS BIGINT)""".stripMargin)
+          .as("m"))
+      mm.join(si.select(col("label").as("i"), col("s").as("s1")), Seq("i"))
+        .join(si.select(col("label").as("j"), col("s").as("s2")), Seq("j"))
+        .groupBy("i")
+        .agg(max(expr("(1000 * (s1 + s2)) div m")).as("ri"))
+        .agg(count(lit(1)).as("k"), sum("ri").as("rsum"))
+        .select(col("k").cast("long").as("k"),
+          expr("CAST(rsum div k AS BIGINT)").as("db_milli"))
+    },
+    Some(s"""WITH $centroidDist2Sql,
+           |sp AS (SELECT d2.label, CAST(round(sqrt(CAST(dd AS DOUBLE))) AS BIGINT) AS dist
+           |  FROM d2 WHERE cl = label),
+           |si AS (SELECT label, sum(dist) // count(*) AS s FROM sp GROUP BY 1),
+           |mm AS (SELECT a.cl AS i, b.cl AS j,
+           |    CAST(round(sqrt(CAST(sum(CAST(a.cm - b.cm AS HUGEINT) * (a.cm - b.cm)) AS DOUBLE))) AS BIGINT) AS m
+           |  FROM cent a JOIN cent b USING (dim) WHERE a.cl <> b.cl GROUP BY 1, 2),
+           |r AS (SELECT mm.i, max((1000 * (si1.s + si2.s)) // mm.m) AS ri
+           |  FROM mm JOIN si si1 ON si1.label = mm.i JOIN si si2 ON si2.label = mm.j
+           |  GROUP BY 1)
+           |SELECT CAST(count(*) AS BIGINT) AS k,
+           |  CAST(sum(ri) // count(*) AS BIGINT) AS db_milli
+           |FROM r""".stripMargin))
 
   /** Near-dup threshold dial — the q_ivf_sweep idea applied to embedding
     * dedup: confirmed pair count and affected-doc count at cosine 0.90 /

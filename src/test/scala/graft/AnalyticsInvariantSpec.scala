@@ -903,6 +903,22 @@ class AnalyticsInvariantSpec extends SparkSpec {
     assert(r.getAs[Long]("yule_k_milli") >= 0L, r.toString)
   }
 
+  test("q_silhouette: scores in [-1, 1] for every label") {
+    val r = rows("q_silhouette")
+    assert(r.size == 10)
+    for (row <- r) {
+      val s = row.getAs[Long]("mean_sil_micro")
+      assert(s >= -1000000L && s <= 1000000L, row.toString)
+      assert(row.getAs[Long]("n_points") > 0L, row.toString)
+    }
+  }
+
+  test("q_davies_bouldin: positive index over the full label set") {
+    val r = rows("q_davies_bouldin").head
+    assert(r.getAs[Long]("k") == 10L, r.toString)
+    assert(r.getAs[Long]("db_milli") > 0L, r.toString)
+  }
+
   test("q_rec_coverage: coverage on [0,1], novelty positive") {
     val r = rows("q_rec_coverage").head
     assert(r.getAs[Long]("n_recommended") <= r.getAs[Long]("n_catalog"))
