@@ -255,7 +255,7 @@ object ScaleProbe {
       "q_rec_coverage", "q_brand_switch", "q_cross_elasticity",
       "q_chow_test", "q_cooks_distance", "q_breusch_pagan",
       "q_gumbel_fit", "q_chain_ladder", "q_vif", "q_kupiec_pof",
-      "q_conductance", "q_yule_k", "q_silhouette", "q_davies_bouldin")
+      "q_conductance", "q_yule_k", "q_silhouette", "q_davies_bouldin", "q_page_hinkley")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

@@ -587,7 +587,67 @@ object StatTests {
              |    / ((CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
              |       * (CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy))) AS BIGINT) AS bp_lm_milli
              |FROM m2""".stripMargin))
-  ) :+ gumbelDef :+ kupiecDef
+  ) :+ gumbelDef :+ kupiecDef :+ pageHinkleyDef
+
+  /** Page–Hinkley drift monitor on the daily mean value: mₜ accumulates
+    * (xᵢ − x̄ᵢ − δ) against the RUNNING mean (δ = 10 cents slack), and
+    * PHₜ = mₜ − min_{s≤t} mₛ alarms past λ = 2 000 cents — the online
+    * mean-shift detector that fires mid-stream where q_changepoint's
+    * retrospective CUSUM localizes after the fact. Per-day terms
+    * micro-quantize from exact (Σv, n) prefix sums before the second
+    * running sum; every window rides the ≤ #days calendar frame
+    * (q_changepoint convention). The stationary fixture reads at/near
+    * the line: the honest null (the sf0.001 alarm is 30-sample noise,
+    * which is itself the small-n lesson PH tuning teaches). */
+  private def pageHinkleyDef = QueryDef(
+    "q_page_hinkley",
+    (s, d) => {
+      val daily = Tables.events(s, d).where(col("value").isNotNull)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(sum(expr("CAST(round(value*100) AS BIGINT)")).as("sv"),
+          count(lit(1)).as("nv"))
+      val idx = daily.select(
+        row_number().over(Window.orderBy("d")).cast("long").as("i"),
+        col("sv"), col("nv"))
+      val wRun = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+      val term = idx
+        .withColumn("cs", sum("sv").over(wRun))
+        .withColumn("cn", sum("nv").over(wRun))
+        .select(col("i"),
+          expr("""CAST(round(1000000.0 * (CAST(sv AS DOUBLE)/nv
+                 |  - CAST(cs AS DOUBLE)/cn - 10.0)) AS BIGINT)""".stripMargin)
+            .as("t"))
+      val ph = term.withColumn("mt", sum("t").over(wRun))
+        .withColumn("ph", col("mt") - min("mt").over(wRun))
+      val n = idx.agg(count(lit(1)).as("n_days"))
+      ph.orderBy(col("ph").desc, col("i")).limit(1)
+        .crossJoin(broadcast(n))
+        .select(col("n_days").cast("long").as("n_days"),
+          col("i").cast("long").as("peak_day"),
+          col("ph").cast("long").as("ph_max_micro"),
+          when(col("ph") > 2000000000L, 1L).otherwise(0L).as("alarm"))
+    },
+    Some("""WITH daily AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+           |    sum(CAST(round(value*100) AS BIGINT)) AS sv, count(*) AS nv
+           |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+           |idx AS (SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i, sv, nv FROM daily),
+           |run AS (SELECT i, sv, nv,
+           |    sum(sv) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+           |    sum(nv) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+           |  FROM idx),
+           |term AS (SELECT i,
+           |    CAST(round(1000000.0 * (CAST(sv AS DOUBLE)/nv - CAST(cs AS DOUBLE)/cn - 10.0)) AS BIGINT) AS t
+           |  FROM run),
+           |m AS (SELECT i, sum(t) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mt FROM term),
+           |ph AS (SELECT i, mt,
+           |    mt - min(mt) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
+           |  FROM m),
+           |best AS (SELECT i AS peak_day, ph AS ph_max FROM ph ORDER BY ph DESC, i LIMIT 1)
+           |SELECT (SELECT CAST(count(*) AS BIGINT) FROM idx) AS n_days,
+           |  CAST(peak_day AS BIGINT) AS peak_day,
+           |  CAST(ph_max AS BIGINT) AS ph_max_micro,
+           |  CAST(CASE WHEN ph_max > 2000000000 THEN 1 ELSE 0 END AS BIGINT) AS alarm
+           |FROM best""".stripMargin))
 
   /** Kupiec proportion-of-failures VaR backtest: the P99 threshold is
     * trained on the first January half as an EXACT discrete order

@@ -919,6 +919,17 @@ class AnalyticsInvariantSpec extends SparkSpec {
     assert(r.getAs[Long]("db_milli") > 0L, r.toString)
   }
 
+  test("q_page_hinkley: PH nonnegative with a consistent alarm flag") {
+    val r = rows("q_page_hinkley").head
+    val ph = r.getAs[Long]("ph_max_micro")
+    // PH_t = m_t − min m_s ≥ 0 by construction
+    assert(ph >= 0L, r.toString)
+    assert(r.getAs[Long]("alarm") == (if (ph > 2000000000L) 1L else 0L),
+      r.toString)
+    assert(r.getAs[Long]("peak_day") >= 1L &&
+      r.getAs[Long]("peak_day") <= r.getAs[Long]("n_days"), r.toString)
+  }
+
   test("q_rec_coverage: coverage on [0,1], novelty positive") {
     val r = rows("q_rec_coverage").head
     assert(r.getAs[Long]("n_recommended") <= r.getAs[Long]("n_catalog"))

@@ -332,7 +332,11 @@ class PlanAuditSpec extends SparkSpec {
       "q_chow_test", "q_cooks_distance", "q_breusch_pagan",
       // q_kupiec_pof: the train-half ECDF cumulative runs over the
       // bounded integer-cents value domain (q_ks_test argument)
-      "q_kupiec_pof")
+      "q_kupiec_pof",
+      // q_page_hinkley: all running sums/mins ride the ≤ #days calendar
+      // frame after one map-combined daily aggregate (q_changepoint
+      // convention)
+      "q_page_hinkley")
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !allowed(name)
       w = fn(spark, sf).queryExecution.optimizedPlan.collect {
