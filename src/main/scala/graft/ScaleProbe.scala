@@ -127,6 +127,13 @@ object ScaleProbe {
     println("scaled tables written")
     }
 
+    // STANDING RULE (round 12+): every new query whose plan contains a
+    // JOIN or a WINDOW gets a row here AND a 100× probe row in the
+    // BENCH.md close section before the round closes (or an explicit
+    // flat-at-10× waiver written there). 10×-only probing let
+    // q_kneser_ney's 63× curve hide until it was promoted to the heavy
+    // list; joins and windows are exactly the shapes whose growth can
+    // be super-linear, so they are probed at both factors by default.
     val probeQueries = Seq(
       "q_line_dedup", "q_dedup_exact", "q_dedup_latest", "q_dedup_corpus",
       "q_dedup_keep_best", "q_dup_stats_by_source",

@@ -2892,8 +2892,13 @@ object Similarity {
           expr("sqrt(CAST(min(CASE WHEN cl <> label THEN dd END) AS DOUBLE))")
             .as("b"))
         .select(col("label"),
-          expr("CAST(round(1000000 * (b - a) / greatest(a, b)) AS BIGINT)")
-            .as("sil"))
+          // greatest(a,b)=0 (a point coinciding with both its own and
+          // the nearest other centroid) would be 0/0 = NaN, which Spark
+          // ANSI-off CASTs to 0 while DuckDB's CAST errors — a crash-vs-
+          // value divergence; a coincident point's silhouette IS 0
+          expr("""CAST(CASE WHEN greatest(a, b) = 0 THEN 0
+                 |  ELSE round(1000000 * (b - a) / greatest(a, b)) END AS BIGINT)"""
+            .stripMargin).as("sil"))
         .groupBy("label")
         .agg(count(lit(1)).as("n_points"),
           expr("sum(sil) div count(1)").as("mean_sil_micro"))
@@ -2907,7 +2912,8 @@ object Similarity {
            |    sqrt(CAST(min(CASE WHEN cl <> label THEN dd END) AS DOUBLE)) AS b
            |  FROM d2 GROUP BY 1, 2),
            |sp AS (SELECT label,
-           |    CAST(round(1000000 * (b - a) / greatest(a, b)) AS BIGINT) AS sil
+           |    CAST(CASE WHEN greatest(a, b) = 0 THEN 0
+           |      ELSE round(1000000 * (b - a) / greatest(a, b)) END AS BIGINT) AS sil
            |  FROM pp)
            |SELECT label, CAST(count(*) AS BIGINT) AS n_points,
            |  CAST(sum(sil) // count(*) AS BIGINT) AS mean_sil_micro

@@ -1427,8 +1427,19 @@ object TextAnalysis {
     // (d·N₁₊(w₁•)/c(w₁)) · N₁₊(•w₂)/N₁₊(••). Every term is a 128-bit
     // integer `div` over exact bigram/continuation counts (all c ≥ 1 so
     // the max never binds), so the whole table is bit-stable — the
-    // add-k q_bigram_lm's production-grade sibling. Counts are two
-    // vocabulary²-bounded aggregates off one positional self-join.
+    // add-k q_bigram_lm's production-grade sibling.
+    //
+    // Plan shape (round 12 — the old form's 100× probe grew 63×
+    // because the full bigram-TYPE table shuffled four separate
+    // times): the type table materializes ONCE (localCheckpoint — it
+    // feeds four consumers, each of whose actions would otherwise
+    // re-run the positional self-join), the top-20 output rows are
+    // selected FIRST on the (c desc, w1, w2) order the final sort uses
+    // (a TakeOrdered, no full sort shuffle — restricting c1/cont to
+    // surviving keys cannot change their per-key counts), and the
+    // per-key denominator aggregates then run behind broadcast
+    // semi-joins on those ≤20 keys, so everything after the one type
+    // aggregation is O(top-k), not O(vocab²).
     QueryDef(
       "q_kneser_ney",
       (s, d) => {
@@ -1438,11 +1449,17 @@ object TextAnalysis {
           .join(w.select(col("doc_id"), (col("pos") - 1).as("pos"),
             col("w").as("w2")), Seq("doc_id", "pos"))
         val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-        val c1 = c12.groupBy("w1")
+          .localCheckpoint(true)
+        val top = c12.orderBy(col("c").desc, col("w1"), col("w2")).limit(20)
+          .localCheckpoint(true)
+        val c1 = c12.join(broadcast(top.select("w1").distinct()), "w1",
+            "left_semi").groupBy("w1")
           .agg(sum("c").as("cw1"), count(lit(1)).as("nfollow"))
-        val cont = c12.groupBy("w2").agg(count(lit(1)).as("nprec"))
+        val cont = c12.join(broadcast(top.select("w2").distinct()), "w2",
+            "left_semi").groupBy("w2").agg(count(lit(1)).as("nprec"))
         val tot = c12.agg(count(lit(1)).as("ntypes"))
-        c12.join(c1, "w1").join(cont, "w2").crossJoin(broadcast(tot))
+        top.join(broadcast(c1), "w1").join(broadcast(cont), "w2")
+          .crossJoin(broadcast(tot))
           .select(col("w1"), col("w2"), col("c").cast("long").as("c"),
             expr("""CAST(
                    |  (1000000 * (CAST(c AS DECIMAL(38,0)) * 4 - 3)) div (cw1 * 4)
@@ -1502,6 +1519,143 @@ object TextAnalysis {
              |SELECT CAST(n AS BIGINT) AS n_tokens, CAST(vocab AS BIGINT) AS vocab,
              |  CAST((10000 * (s2 - n) * 1000) // (n * n) AS BIGINT) AS yule_k_milli,
              |  CAST((1000000 * (s2 - n)) // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT) AS simpson_micro
-             |FROM t""".stripMargin))
+             |FROM t""".stripMargin)),
+
+    // simple Good–Turing adjusted counts r* = (r+1)·N_{r+1}/N_r for the
+    // low-count BIGRAM region r = 1..5 — the smoothing that reassigns
+    // probability mass from once-seen n-grams to the unseen, and the
+    // ratios Katz backoff runs verbatim. Bigram types (not unigrams)
+    // because that is where the low-count spectrum lives at EVERY
+    // corpus scale — the fixture's unigram vocabulary saturates past
+    // count 5 already at sf0.01, which is itself the reason real LM
+    // smoothing happens at the n-gram level. Everything is exact
+    // integer arithmetic over the frequency-of-frequencies table (one
+    // n-gram-typed aggregate + a self-join on the ≤ max-count spectrum,
+    // both skinny); an absent N_{r+1} reads 0, which IS the SGT
+    // "switch to the fitted line here" signal.
+    QueryDef(
+      "q_good_turing",
+      (s, d) => {
+        val ff = Tables.documents(s, d)
+          .select(explode(
+            graft.operators.DedupOps.wordNGrams(col("text"), 2)).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("m"))
+          .groupBy("m").agg(count(lit(1)).as("vm"))
+        ff.where(col("m") <= 5)
+          .join(broadcast(ff.select((col("m") - 1).as("m"),
+            col("vm").as("vnext"))), Seq("m"), "left")
+          .select(col("m").cast("long").as("r"),
+            col("vm").cast("long").as("n_r"),
+            coalesce(col("vnext"), lit(0L)).cast("long").as("n_next"),
+            expr("""CAST((1000000 * (m + 1) * CAST(coalesce(vnext, 0)
+                   |  AS DECIMAL(38,0))) div vm AS BIGINT)""".stripMargin)
+              .as("r_star_micro"))
+          .orderBy("r")
+      },
+      Some("""WITH w AS (SELECT unnest(grams) AS w FROM (
+             |    SELECT [array_to_string(toks[i:i+1], ' ')
+             |       for i in range(1, greatest(len(toks)-1, 1)+1)] AS grams
+             |    FROM (SELECT string_split(text, ' ') AS toks FROM documents))),
+             |cw AS (SELECT w, count(*) AS m FROM w GROUP BY 1),
+             |ff AS (SELECT m, count(*) AS vm FROM cw GROUP BY 1)
+             |SELECT CAST(a.m AS BIGINT) AS r, CAST(a.vm AS BIGINT) AS n_r,
+             |  CAST(coalesce(b.vm, 0) AS BIGINT) AS n_next,
+             |  CAST((1000000 * (a.m + 1) * CAST(coalesce(b.vm, 0) AS HUGEINT))
+             |    // a.vm AS BIGINT) AS r_star_micro
+             |FROM ff a LEFT JOIN ff b ON b.m = a.m + 1
+             |WHERE a.m <= 5 ORDER BY r""".stripMargin)),
+
+    // Chao1 species-richness estimator + Good's coverage — "how much
+    // vocabulary has this corpus slice NOT seen yet": chao1 = V +
+    // F₁(F₁−1)/(2(F₂+1)) (the bias-corrected form, defined even at
+    // F₂ = 0) and C = 1 − F₁/N. The pair a curator reads before
+    // deciding whether more data buys more vocabulary (q_heaps_fit
+    // fits the growth curve; this estimates its asymptote). One
+    // vocabulary-sized aggregate; singleton/doubleton counts are
+    // conditional sums; both estimates are single 128-bit ratios.
+    QueryDef(
+      "q_chao1",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("m"))
+          .agg(count(lit(1)).as("v"),
+            sum(when(col("m") === 1, 1L).otherwise(0L)).as("f1"),
+            sum(when(col("m") === 2, 1L).otherwise(0L)).as("f2"),
+            sum(expr("CAST(m AS DECIMAL(38,0))")).as("n"))
+          .select(col("v").cast("long").as("vocab"),
+            col("f1").cast("long").as("f1"),
+            col("f2").cast("long").as("f2"),
+            col("n").cast("long").as("n_tokens"),
+            expr("""CAST(1000 * v + (1000 * CAST(f1 AS DECIMAL(38,0)) * (f1 - 1))
+                   |  div (2 * (f2 + 1)) AS BIGINT)""".stripMargin)
+              .as("chao1_milli"),
+            expr("CAST(1000000 - (1000000 * CAST(f1 AS DECIMAL(38,0))) div n AS BIGINT)")
+              .as("coverage_micro"))
+      },
+      Some("""WITH w AS (SELECT u.w FROM documents,
+             |    LATERAL (SELECT unnest(string_split(text, ' ')) AS w) u),
+             |cw AS (SELECT w, count(*) AS m FROM w GROUP BY 1),
+             |t AS (SELECT count(*) AS v,
+             |    sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS f1,
+             |    sum(CASE WHEN m = 2 THEN 1 ELSE 0 END) AS f2,
+             |    sum(CAST(m AS HUGEINT)) AS n FROM cw)
+             |SELECT CAST(v AS BIGINT) AS vocab, CAST(f1 AS BIGINT) AS f1,
+             |  CAST(f2 AS BIGINT) AS f2, CAST(n AS BIGINT) AS n_tokens,
+             |  CAST(1000 * v + (1000 * CAST(f1 AS HUGEINT) * (f1 - 1))
+             |    // (2 * (f2 + 1)) AS BIGINT) AS chao1_milli,
+             |  CAST(1000000 - (1000000 * CAST(f1 AS HUGEINT)) // n AS BIGINT)
+             |    AS coverage_micro
+             |FROM t""".stripMargin)),
+
+    // Gries' deviation of proportions (DP) for the top-10 corpus words
+    // — the dispersion statistic that separates "frequent because it is
+    // everywhere" from "frequent because one source spams it":
+    // DP(w) = ½·Σ_s |share of w's occurrences in s − s's share of all
+    // tokens|, 0 = perfectly dispersed, →1 = concentrated in one
+    // source. Complements q_term_burstiness (per-DOC concentration)
+    // with the per-SOURCE view a mixing curator acts on. ONE tokenize +
+    // one (w, source) shuffle builds the skinny count table; word
+    // totals, source totals and the top-10 all re-aggregate from it;
+    // the |sources|×10 grid rides broadcast joins; terms are exact
+    // integer micro with the same `div` in both engines.
+    QueryDef(
+      "q_dispersion",
+      (s, d) => {
+        val ws = Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+          .groupBy("w", "source").agg(count(lit(1)).as("c"))
+        val wt = ws.groupBy("w").agg(sum("c").as("cw"))
+        val top = wt.orderBy(col("cw").desc, col("w")).limit(10)
+        val st = ws.groupBy("source").agg(sum("c").as("ts"))
+        val tt = st.agg(sum(expr("CAST(ts AS DECIMAL(38,0))")).as("tt"))
+        val wsTop = ws.join(broadcast(top.select("w")), Seq("w"), "left_semi")
+        top.crossJoin(broadcast(st)).crossJoin(broadcast(tt))
+          .join(broadcast(wsTop), Seq("w", "source"), "left")
+          .select(col("w"), col("cw"),
+            abs(expr("""CAST(coalesce(c, 0) AS DECIMAL(38,0)) * 1000000 div cw
+                       |- CAST(ts AS DECIMAL(38,0)) * 1000000 div tt"""
+              .stripMargin)).as("term"))
+          .groupBy("w", "cw")
+          .agg(expr("CAST(sum(term) div 2 AS BIGINT)").as("dp_micro"))
+          .select(col("w").as("word"), col("cw").cast("long").as("n_occurrences"),
+            col("dp_micro"))
+          .orderBy(col("dp_micro").desc, col("word"))
+      },
+      Some("""WITH tok AS (SELECT source, u.w FROM documents,
+             |    LATERAL (SELECT unnest(string_split(text, ' ')) AS w) u),
+             |ws AS (SELECT w, source, count(*) AS c FROM tok GROUP BY 1, 2),
+             |wt AS (SELECT w, sum(c) AS cw FROM ws GROUP BY 1),
+             |top AS (SELECT w, cw FROM wt ORDER BY cw DESC, w LIMIT 10),
+             |st AS (SELECT source, sum(c) AS ts FROM ws GROUP BY 1),
+             |tt AS (SELECT sum(CAST(ts AS HUGEINT)) AS tt FROM st),
+             |terms AS (SELECT top.w, top.cw,
+             |    abs(CAST(coalesce(ws.c, 0) AS HUGEINT) * 1000000 // top.cw
+             |      - CAST(st.ts AS HUGEINT) * 1000000 // (SELECT tt FROM tt)) AS term
+             |  FROM top CROSS JOIN st
+             |  LEFT JOIN ws ON ws.w = top.w AND ws.source = st.source)
+             |SELECT w AS word, CAST(cw AS BIGINT) AS n_occurrences,
+             |  CAST(sum(term) // 2 AS BIGINT) AS dp_micro
+             |FROM terms GROUP BY 1, 2 ORDER BY dp_micro DESC, word""".stripMargin))
   )
 }

@@ -5576,9 +5576,15 @@ object Behavioral {
         li.join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
             col("p_partkey") === col("l_partkey"))
           .groupBy(col("p_brand").as("brand"))
-          .agg(sum("dem").as("demand"),
+          // demand/lines widen through DECIMAL(38,0) like rev_cents —
+          // the registry-wide convention for brand-level re-sums, since
+          // DuckDB's sum() promotes to HUGEINT while a plain Spark long
+          // sum would wrap silently under ANSI-off (the wrap threshold
+          // is astronomically far here, but convention beats a proof
+          // obligation per query)
+          .agg(sum(expr("CAST(dem AS DECIMAL(38,0))")).as("demand"),
             sum(expr("CAST(rev AS DECIMAL(38,0))")).as("rev_cents"),
-            sum("n").as("lines"))
+            sum(expr("CAST(n AS DECIMAL(38,0))")).as("lines"))
           .select(col("brand"), col("demand").cast("long").as("demand"),
             col("lines").cast("long").as("n_lines"),
             expr("""CAST(round(sqrt(2.0 * demand * 500000 /
@@ -5602,8 +5608,8 @@ object Behavioral {
     // where the Wald interval collapses (the q_funnel_ci upgrade for
     // small-k segments). One conditional-count aggregate; both bounds
     // are single IEEE closed forms over the exact (k, n) integers with
-    // z² = 3.84145882069412 spelled as the same literal in both
-    // engines.
+    // z = 1.9599639845 and z² = 3.84145882069412 (= z², so the interval
+    // is self-consistent) spelled as the same literals in both engines.
     QueryDef(
       "q_wilson_ci",
       (s, d) => Tables.events(s, d).where(col("value").isNotNull)
@@ -5614,12 +5620,12 @@ object Behavioral {
           col("k").cast("long").as("k"),
           expr("""CAST(round(((CAST(k AS DOUBLE)/n + 3.84145882069412/(2*n))
                  |  / (1 + 3.84145882069412/n)
-                 |  - 1.959964 * sqrt((CAST(k AS DOUBLE)/n)*(1 - CAST(k AS DOUBLE)/n)/n
+                 |  - 1.9599639845 * sqrt((CAST(k AS DOUBLE)/n)*(1 - CAST(k AS DOUBLE)/n)/n
                  |      + 3.84145882069412/(4.0*n*n)) / (1 + 3.84145882069412/n))
                  |  * 1000000) AS BIGINT)""".stripMargin).as("lo_micro"),
           expr("""CAST(round(((CAST(k AS DOUBLE)/n + 3.84145882069412/(2*n))
                  |  / (1 + 3.84145882069412/n)
-                 |  + 1.959964 * sqrt((CAST(k AS DOUBLE)/n)*(1 - CAST(k AS DOUBLE)/n)/n
+                 |  + 1.9599639845 * sqrt((CAST(k AS DOUBLE)/n)*(1 - CAST(k AS DOUBLE)/n)/n
                  |      + 3.84145882069412/(4.0*n*n)) / (1 + 3.84145882069412/n))
                  |  * 1000000) AS BIGINT)""".stripMargin).as("hi_micro"))
         .orderBy("event_type"),
@@ -5629,11 +5635,11 @@ object Behavioral {
              |SELECT event_type, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
              |  CAST(round(((CAST(k AS DOUBLE)/n + 3.84145882069412/(2*n))
              |    / (1 + 3.84145882069412/n)
-             |    - 1.959964 * sqrt((CAST(k AS DOUBLE)/n)*(1 - CAST(k AS DOUBLE)/n)/n
+             |    - 1.9599639845 * sqrt((CAST(k AS DOUBLE)/n)*(1 - CAST(k AS DOUBLE)/n)/n
              |        + 3.84145882069412/(4.0*n*n)) / (1 + 3.84145882069412/n)) * 1000000) AS BIGINT) AS lo_micro,
              |  CAST(round(((CAST(k AS DOUBLE)/n + 3.84145882069412/(2*n))
              |    / (1 + 3.84145882069412/n)
-             |    + 1.959964 * sqrt((CAST(k AS DOUBLE)/n)*(1 - CAST(k AS DOUBLE)/n)/n
+             |    + 1.9599639845 * sqrt((CAST(k AS DOUBLE)/n)*(1 - CAST(k AS DOUBLE)/n)/n
              |        + 3.84145882069412/(4.0*n*n)) / (1 + 3.84145882069412/n)) * 1000000) AS BIGINT) AS hi_micro
              |FROM g ORDER BY event_type""".stripMargin)),
 
@@ -5970,7 +5976,14 @@ object Behavioral {
     // of q_ship_lag's distribution). One grouped pass builds the
     // triangle; the cumulative rides a cohort-PARTITIONED window over
     // the ≤5-value development domain; factors are exact 128-bit
-    // integer ratios.
+    // integer ratios. Scope note (mirrored in the oracle, so never a
+    // divergence): ages pair via an exact dev = dev+1 join, so a cohort
+    // MISSING an intermediate age contributes nothing to the factors
+    // around the gap rather than carrying its cumulative forward as a
+    // fully-densified actuarial triangle would; the TPC-H ship lags are
+    // dense over ages 0..4 by construction (q_ship_lag pins that), and
+    // a sparse-cohort corpus would want a 5-row-per-cohort grid join +
+    // last-value carry-forward BEFORE this factor join.
     QueryDef(
       "q_chain_ladder",
       (s, d) => {

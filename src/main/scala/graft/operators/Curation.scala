@@ -2175,40 +2175,7 @@ object Curation {
     QueryDef(
       "q_nb_classify",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        val train = docs.where(expr("(doc_id div 20) % 2 = 0"))
-          .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("w"))
-        val test = docs.where(expr("(doc_id div 20) % 2 = 1"))
-          .select(col("doc_id"), col("source").as("true_source"),
-            explode(split(col("text"), " ")).as("w"))
-        val cw = train.groupBy("source", "w").agg(count(lit(1)).as("a"))
-        val cs = cw.groupBy("source").agg(sum("a").as("ns"))
-        val vocab = train.agg(countDistinct("w").as("vocab"))
-        val pri = train.groupBy("source").agg(countDistinct("doc_id").as("nd"))
-        val tot = pri.agg(sum("nd").as("td"))
-        val priors = pri.crossJoin(broadcast(tot))
-          .select(col("source").as("cls"),
-            expr("CAST(round(1e9*ln(CAST(nd AS DOUBLE)/td)) AS BIGINT)").as("prior_nano"))
-        val model = cw.select(col("source").as("cls"), col("w"), col("a"))
-        // collapse token INSTANCES to per-(doc, word) counts BEFORE the
-        // |classes| fan-out — the score is Σ_w cnt·lp(w, cls), identical
-        // by distributivity, and the class explosion now rides the much
-        // smaller distinct-word frame
-        val tw = test.groupBy("doc_id", "true_source", "w")
-          .agg(count(lit(1)).as("cnt"))
-        val terms = tw
-          .crossJoin(broadcast(cs.select(col("source").as("cls"), col("ns"))))
-          .crossJoin(broadcast(vocab))
-          .join(broadcast(model), Seq("cls", "w"), "left")
-          .select(col("doc_id"), col("true_source"), col("cls"),
-            expr("cnt * CAST(round(1e9*ln((coalesce(a,0)+1.0)/(ns + vocab))) AS BIGINT)")
-              .as("lp_nano"))
-        val score = terms.groupBy("doc_id", "true_source", "cls")
-          .agg(sum("lp_nano").as("s_tok"))
-          .join(broadcast(priors), "cls")
-          .select(col("doc_id"), col("true_source"), col("cls"),
-            (col("s_tok") + col("prior_nano")).as("s_nano"))
-        score.withColumn("rk",
+        nbScores(s, d).withColumn("rk",
             row_number().over(Window.partitionBy("doc_id")
               .orderBy(col("s_nano").desc, col("cls"))))
           .where(col("rk") === 1)
@@ -2532,38 +2499,7 @@ object Curation {
     QueryDef(
       "q_uncertainty_sample",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        val train = docs.where(expr("(doc_id div 20) % 2 = 0"))
-          .select(col("doc_id"), col("source"),
-            explode(split(col("text"), " ")).as("w"))
-        val test = docs.where(expr("(doc_id div 20) % 2 = 1"))
-          .select(col("doc_id"), col("source").as("true_source"),
-            explode(split(col("text"), " ")).as("w"))
-        val cw = train.groupBy("source", "w").agg(count(lit(1)).as("a"))
-        val cs = cw.groupBy("source").agg(sum("a").as("ns"))
-        val vocab = train.agg(countDistinct("w").as("vocab"))
-        val pri = train.groupBy("source").agg(countDistinct("doc_id").as("nd"))
-        val tot = pri.agg(sum("nd").as("td"))
-        val priors = pri.crossJoin(broadcast(tot))
-          .select(col("source").as("cls"),
-            expr("CAST(round(1e9*ln(CAST(nd AS DOUBLE)/td)) AS BIGINT)")
-              .as("prior_nano"))
-        val model = cw.select(col("source").as("cls"), col("w"), col("a"))
-        val tw = test.groupBy("doc_id", "true_source", "w")
-          .agg(count(lit(1)).as("cnt"))
-        val terms = tw
-          .crossJoin(broadcast(cs.select(col("source").as("cls"), col("ns"))))
-          .crossJoin(broadcast(vocab))
-          .join(broadcast(model), Seq("cls", "w"), "left")
-          .select(col("doc_id"), col("true_source"), col("cls"),
-            expr("cnt * CAST(round(1e9*ln((coalesce(a,0)+1.0)/(ns + vocab))) AS BIGINT)")
-              .as("lp_nano"))
-        val score = terms.groupBy("doc_id", "true_source", "cls")
-          .agg(sum("lp_nano").as("s_tok"))
-          .join(broadcast(priors), "cls")
-          .select(col("doc_id"), col("true_source"), col("cls"),
-            (col("s_tok") + col("prior_nano")).as("s_nano"))
-        val rk = score.withColumn("r",
+        val rk = nbScores(s, d).withColumn("r",
           row_number().over(Window.partitionBy("doc_id")
             .orderBy(col("s_nano").desc, col("cls"))))
         rk.where(col("r") === 1)
@@ -2674,4 +2610,53 @@ object Curation {
              |  CAST((1000000 * CAST(raw AS HUGEINT)) // z AS BIGINT) AS w1_micro
              |FROM upd CROSS JOIN z ORDER BY source""".stripMargin))
   )
+
+  /** Shared exact-integer multinomial NB train + score chain —
+    * q_nb_classify (confusion matrix) and q_uncertainty_sample
+    * (smallest-margin labeling queue) both read the per-(doc, class)
+    * score frame (doc_id, true_source, cls, s_nano); only the readout
+    * differs. Laplace-smoothed per-class token log-probs fit on the
+    * even doc-id-blocks half, applied to the held-out half. The model
+    * (|vocab| × |classes| log-probs) is the ONLY thing broadcast — the
+    * corpus streams through one tokenize + one grouped count each side,
+    * so shuffle ∝ corpus tokens and the score aggregation is
+    * map-combined per (doc, class). ln terms quantize to nano BEFORE
+    * the per-doc sum (q_mutual_info convention). Token INSTANCES
+    * collapse to per-(doc, word) counts BEFORE the |classes| fan-out —
+    * the score is Σ_w cnt·lp(w, cls), identical by distributivity, and
+    * the class explosion rides the much smaller distinct-word frame. */
+  private def nbScores(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d)
+    val train = docs.where(expr("(doc_id div 20) % 2 = 0"))
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+    val test = docs.where(expr("(doc_id div 20) % 2 = 1"))
+      .select(col("doc_id"), col("source").as("true_source"),
+        explode(split(col("text"), " ")).as("w"))
+    val cw = train.groupBy("source", "w").agg(count(lit(1)).as("a"))
+    val cs = cw.groupBy("source").agg(sum("a").as("ns"))
+    val vocab = train.agg(countDistinct("w").as("vocab"))
+    val pri = train.groupBy("source").agg(countDistinct("doc_id").as("nd"))
+    val tot = pri.agg(sum("nd").as("td"))
+    val priors = pri.crossJoin(broadcast(tot))
+      .select(col("source").as("cls"),
+        expr("CAST(round(1e9*ln(CAST(nd AS DOUBLE)/td)) AS BIGINT)")
+          .as("prior_nano"))
+    val model = cw.select(col("source").as("cls"), col("w"), col("a"))
+    val tw = test.groupBy("doc_id", "true_source", "w")
+      .agg(count(lit(1)).as("cnt"))
+    val terms = tw
+      .crossJoin(broadcast(cs.select(col("source").as("cls"), col("ns"))))
+      .crossJoin(broadcast(vocab))
+      .join(broadcast(model), Seq("cls", "w"), "left")
+      .select(col("doc_id"), col("true_source"), col("cls"),
+        expr("cnt * CAST(round(1e9*ln((coalesce(a,0)+1.0)/(ns + vocab))) AS BIGINT)")
+          .as("lp_nano"))
+    terms.groupBy("doc_id", "true_source", "cls")
+      .agg(sum("lp_nano").as("s_tok"))
+      .join(broadcast(priors), "cls")
+      .select(col("doc_id"), col("true_source"), col("cls"),
+        (col("s_tok") + col("prior_nano")).as("s_nano"))
+  }
 }

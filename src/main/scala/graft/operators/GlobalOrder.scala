@@ -233,13 +233,24 @@ object GlobalOrder {
     * structs. Each `dims` entry is (ASCENDING long sort key → output
     * column); negate the key for a descending dimension. `tie` must
     * make (key, tie) unique per dimension — same total-order contract
-    * as every GlobalOrder entry point. */
+    * as every GlobalOrder entry point — and keys/tie must be NON-NULL:
+    * a null key would make the `struct(key, tie) > boundary` comparison
+    * in step 3 evaluate to null, silently parking every null-key row in
+    * tile 1 instead of native ntile's nulls-first capacity split, so
+    * the plan ASSERTS non-nullness on the skinny exploded frame (one
+    * codegen'd predicate; callers with nullable dimensions must
+    * coalesce to an explicit sentinel first and own its sort place). */
   def withGlobalNtiles(df: DataFrame, dims: Seq[(Column, String)],
       tie: Column, k: Int, total: Option[DataFrame] = None): DataFrame = {
     val tot = total.getOrElse(df.agg(count(lit(1)).cast("long").as("_go_n")))
     val exploded = df.select(tie.cast("long").as("_mt_tie"),
       posexplode(array(dims.map(_._1.cast("long")): _*))
         .as(Seq("_mt_d", "_mt_k")))
+      .where(assert_true(col("_mt_k").isNotNull && col("_mt_tie").isNotNull,
+        lit("withGlobalNtiles requires non-null sort keys and tiebreak: " +
+          "a null key would silently land in tile 1 (the boundary " +
+          "comparison is null-propagating); coalesce nullable dimensions " +
+          "to an explicit sentinel first")).isNull)
     val ranked = withGlobalRowNumber(exploded,
       Seq(col("_mt_d").asc, col("_mt_k").asc, col("_mt_tie").asc), "_mt_rn")
     val cuts = tot

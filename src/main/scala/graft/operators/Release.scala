@@ -1489,10 +1489,26 @@ object Release {
 
   /** The 4-round synchronous min-label LPA labels on the w ≥ 3
     * co-purchase adjacency — shared by q_label_prop (size histogram)
-    * and q_conductance (partition-quality readout). Each round is one
-    * adjacency join + a u-PARTITIONED rank window, lineage cut per
-    * round (q_kcore convention). */
-  private def lpaLabels(s: org.apache.spark.sql.SparkSession,
+    * and q_conductance (partition-quality readout). The iterative build
+    * runs ONCE per (JVM, dataset) and is published as a parquet
+    * artifact ([[Artifacts.dirFor]], the copurchase-cc pattern): at
+    * 100 TB a community-label map is a published table every partition-
+    * quality report joins against, not a 4-round job each report
+    * re-runs. `ArtifactSpec` pins stored ≡ fresh. */
+  private[graft] def lpaLabels(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val dir = Artifacts.dirFor(s"lpa:3:4:$d", { out =>
+      lpaLabelsRaw(s, d).write.parquet(s"$out/labels")
+    })
+    s.read.parquet(s"$dir/labels")
+  }
+
+  /** The uncached build path of [[lpaLabels]] — what the artifact
+    * materializes. Each round is one adjacency join + a u-PARTITIONED
+    * rank window (never global), lineage cut per round (q_kcore
+    * convention). Kept callable so `ArtifactSpec` can prove the stored
+    * map equals a fresh derivation. */
+  private[graft] def lpaLabelsRaw(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val nb = copurchaseDirected(s, d)._1
       .where(col("w") >= 3).select("u", "v", "w")

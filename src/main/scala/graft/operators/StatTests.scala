@@ -587,7 +587,213 @@ object StatTests {
              |    / ((CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
              |       * (CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy))) AS BIGINT) AS bp_lm_milli
              |FROM m2""".stripMargin))
-  ) :+ gumbelDef :+ kupiecDef :+ pageHinkleyDef
+  ) :+ gumbelDef :+ kupiecDef :+ pageHinkleyDef :+ bartlettDef :+
+    rateRatioDef :+ periodogramDef :+ kendallWDef
+
+  /** Bartlett's variance-homogeneity test across the five event types —
+    * the higher-power companion to q_levene (Bartlett is exact under
+    * normality where Brown–Forsythe trades power for robustness; a
+    * pipeline runs both and trusts Levene when they disagree).
+    * B = [(N−k)·ln s_p² − Σ(nᵢ−1)·ln sᵢ²] / C with the Bartlett
+    * correction C = 1 + (Σ1/(nᵢ−1) − 1/(N−k)) / (3(k−1)). House rules:
+    * group moments are exact 128-bit cents sums; each group's
+    * (nᵢ−1)·ln sᵢ² and 1/(nᵢ−1) quantize to nano BEFORE the cross-group
+    * sum; the statistic is one mirrored IEEE form over those exact
+    * sums. Fixture value ⊥ type ⇒ B near 0: the honest null. */
+  private def bartlettDef = QueryDef(
+    "q_bartlett",
+    (s, d) => {
+      val g = Tables.events(s, d).where(col("value").isNotNull)
+        .select(col("event_type"),
+          expr("CAST(round(value*100) AS BIGINT)").as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(c AS DECIMAL(38,0))")).as("s"),
+          sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("s2"))
+        .select(col("n"),
+          expr("""CAST(round(CAST(s2 AS DOUBLE)
+                 |  - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n) AS DECIMAL(38,0))"""
+            .stripMargin).as("ssq"),
+          expr("""CAST(round(1e9 * (n - 1) * ln((CAST(s2 AS DOUBLE)
+                 |  - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n) / (n - 1)))
+                 |AS BIGINT)""".stripMargin).as("l_nano"),
+          expr("CAST(round(1e9 / (n - 1)) AS BIGINT)").as("w_nano"))
+      g.agg(count(lit(1)).as("k"), sum("n").as("nn"), sum("ssq").as("ss"),
+          sum("l_nano").as("l"), sum("w_nano").as("w"))
+        .select(col("k").cast("long").as("k"),
+          col("nn").cast("long").as("n"),
+          expr("""CAST(round(1000 *
+                 |  ((nn - k) * ln(CAST(ss AS DOUBLE) / (CAST(nn AS DOUBLE) - k)) - l/1e9)
+                 |  / (1 + (w/1e9 - 1.0/(CAST(nn AS DOUBLE) - k)) / (3.0*(k - 1))))
+                 |AS BIGINT)""".stripMargin).as("b_stat_milli"))
+    },
+    Some("""WITH v AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS c
+           |    FROM events WHERE value IS NOT NULL),
+           |g0 AS (SELECT event_type, count(*) AS n, sum(CAST(c AS HUGEINT)) AS s,
+           |    sum(CAST(c AS HUGEINT)*c) AS s2 FROM v GROUP BY 1),
+           |g AS (SELECT n,
+           |    CAST(round(CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n) AS HUGEINT) AS ssq,
+           |    CAST(round(1e9 * (n - 1) * ln((CAST(s2 AS DOUBLE)
+           |      - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n) / (n - 1))) AS BIGINT) AS l_nano,
+           |    CAST(round(1e9 / (n - 1)) AS BIGINT) AS w_nano
+           |  FROM g0),
+           |a AS (SELECT count(*) AS k, sum(n) AS nn, sum(ssq) AS ss,
+           |    sum(l_nano) AS l, sum(w_nano) AS w FROM g)
+           |SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n,
+           |  CAST(round(1000 *
+           |    ((nn - k) * ln(CAST(ss AS DOUBLE) / (CAST(nn AS DOUBLE) - k)) - l/1e9)
+           |    / (1 + (w/1e9 - 1.0/(CAST(nn AS DOUBLE) - k)) / (3.0*(k - 1)))) AS BIGINT)
+           |    AS b_stat_milli
+           |FROM a""".stripMargin))
+
+  /** Two-sample Poisson rate-ratio with the standard log-scale Wald CI —
+    * "are weekend event rates different from weekday rates": RR =
+    * (c₁/days₁)/(c₀/days₀), CI = exp(ln RR ± z·√(1/c₁ + 1/c₀)), z =
+    * 1.959964. Weekend classification uses epoch-day mod 7 (1970-01-01
+    * was a Thursday ⇒ Saturday ≡ 2, Sunday ≡ 3), NOT the engines'
+    * dayofweek numberings, which disagree — the arithmetic form is
+    * engine-portable by construction. ONE conditional-count pass
+    * (counts + distinct-day exposures); the CI is a single mirrored
+    * IEEE form over the four exact integers. */
+  private def rateRatioDef = QueryDef(
+    "q_rate_ratio",
+    (s, d) => {
+      Tables.events(s, d)
+        .select((datediff(col("ts").cast("date"),
+          lit("1970-01-01").cast("date")) % 7).isin(2, 3).as("we"),
+          col("ts").cast("date").as("day"))
+        .agg(count(when(col("we"), 1)).as("c1"),
+          count(when(!col("we"), 1)).as("c0"),
+          countDistinct(when(col("we"), col("day"))).as("d1"),
+          countDistinct(when(!col("we"), col("day"))).as("d0"))
+        .select(col("c0").cast("long").as("weekday_events"),
+          col("c1").cast("long").as("weekend_events"),
+          col("d0").cast("long").as("weekday_days"),
+          col("d1").cast("long").as("weekend_days"),
+          expr("""CAST(round(1000.0 * (CAST(c1 AS DOUBLE)/d1)
+                 |  / (CAST(c0 AS DOUBLE)/d0)) AS BIGINT)""".stripMargin)
+            .as("rr_milli"),
+          expr("""CAST(round(1000.0 * exp(ln((CAST(c1 AS DOUBLE)/d1) / (CAST(c0 AS DOUBLE)/d0))
+                 |  - 1.959964 * sqrt(1.0/c1 + 1.0/c0))) AS BIGINT)""".stripMargin)
+            .as("rr_lo_milli"),
+          expr("""CAST(round(1000.0 * exp(ln((CAST(c1 AS DOUBLE)/d1) / (CAST(c0 AS DOUBLE)/d0))
+                 |  + 1.959964 * sqrt(1.0/c1 + 1.0/c0))) AS BIGINT)""".stripMargin)
+            .as("rr_hi_milli"))
+    },
+    Some("""WITH e AS (SELECT
+           |    ((CAST(ts AS DATE) - DATE '1970-01-01') % 7) IN (2, 3) AS we,
+           |    CAST(ts AS DATE) AS day FROM events),
+           |a AS (SELECT count(*) FILTER (WHERE we) AS c1,
+           |    count(*) FILTER (WHERE NOT we) AS c0,
+           |    count(DISTINCT day) FILTER (WHERE we) AS d1,
+           |    count(DISTINCT day) FILTER (WHERE NOT we) AS d0 FROM e)
+           |SELECT CAST(c0 AS BIGINT) AS weekday_events,
+           |  CAST(c1 AS BIGINT) AS weekend_events,
+           |  CAST(d0 AS BIGINT) AS weekday_days, CAST(d1 AS BIGINT) AS weekend_days,
+           |  CAST(round(1000.0 * (CAST(c1 AS DOUBLE)/d1) / (CAST(c0 AS DOUBLE)/d0)) AS BIGINT) AS rr_milli,
+           |  CAST(round(1000.0 * exp(ln((CAST(c1 AS DOUBLE)/d1) / (CAST(c0 AS DOUBLE)/d0))
+           |    - 1.959964 * sqrt(1.0/c1 + 1.0/c0))) AS BIGINT) AS rr_lo_milli,
+           |  CAST(round(1000.0 * exp(ln((CAST(c1 AS DOUBLE)/d1) / (CAST(c0 AS DOUBLE)/d0))
+           |    + 1.959964 * sqrt(1.0/c1 + 1.0/c0))) AS BIGINT) AS rr_hi_milli
+           |FROM a""".stripMargin))
+
+  /** Discrete periodogram of the daily event-count series at candidate
+    * periods 2..14 days — the spectral view that NAMES the cycle length
+    * where q_acf/q_seasonality_strength only score a pre-chosen one:
+    * P(p) = (Σₜ xₜ·cos(2πt/p))² + (Σₜ xₜ·sin(2πt/p))² over absolute
+    * epoch-day indices (a pure phase shift, which power is invariant
+    * to). Per-(period, day) trig terms nano-quantize from the exact
+    * integer counts BEFORE the sum (house rule — no unordered double
+    * addition over the data axis); the 13-period grid rides one
+    * broadcast explode over the ≤ #days calendar frame. */
+  private def periodogramDef = QueryDef(
+    "q_periodogram",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(datediff(col("ts").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long").as("t"))
+        .agg(count(lit(1)).as("x"))
+      val terms = daily
+        .select(col("t"), col("x"),
+          explode(sequence(lit(2L), lit(14L))).as("p"))
+        .select(col("p"),
+          expr("CAST(round(1e9 * x * cos(2 * pi() * t / p)) AS BIGINT)").as("tc"),
+          expr("CAST(round(1e9 * x * sin(2 * pi() * t / p)) AS BIGINT)").as("tsn"))
+      terms.groupBy("p")
+        .agg(sum("tc").as("sc"), sum("tsn").as("ss"))
+        .select(col("p").cast("long").as("period_days"),
+          expr("""CAST(round(((sc/1e9)*(sc/1e9) + (ss/1e9)*(ss/1e9)) / 1000.0)
+                 |AS BIGINT)""".stripMargin).as("power_kilo"))
+        .orderBy("period_days")
+    },
+    Some("""WITH daily AS (SELECT
+           |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+           |    count(*) AS x FROM events GROUP BY 1),
+           |terms AS (SELECT p.p,
+           |    CAST(round(1e9 * x * cos(2 * pi() * t / p.p)) AS BIGINT) AS tc,
+           |    CAST(round(1e9 * x * sin(2 * pi() * t / p.p)) AS BIGINT) AS tsn
+           |  FROM daily CROSS JOIN (SELECT unnest(generate_series(2, 14)) AS p) p),
+           |agg AS (SELECT p, sum(tc) AS sc, sum(tsn) AS ss FROM terms GROUP BY 1)
+           |SELECT CAST(p AS BIGINT) AS period_days,
+           |  CAST(round(((sc/1e9)*(sc/1e9) + (ss/1e9)*(ss/1e9)) / 1000.0) AS BIGINT)
+           |    AS power_kilo
+           |FROM agg ORDER BY 1""".stripMargin))
+
+  /** Kendall's coefficient of concordance W across the five event types
+    * as judges ranking days by their daily volume — "do all event types
+    * agree on which days are busy": W = 12·S / (m²·(n³−n)) with S the
+    * sum of squared rank-sum deviations. The day×type grid densifies
+    * with zero counts (a judge must rank EVERY item) and ranks break
+    * ties deterministically on (count desc, day) so the rank table is a
+    * permutation — S is then an exact integer and W one 128-bit ratio.
+    * Rank windows partition by type over the ≤ #days calendar frame;
+    * nothing is data-sized. Complements q_fleiss_kappa (categorical
+    * agreement) and q_icc (continuous) with the RANK-agreement view. */
+  private def kendallWDef = QueryDef(
+    "q_kendall_w",
+    (s, d) => {
+      val de = Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val days = de.select("day").distinct()
+      val types = de.select("event_type").distinct()
+      val grid = days.crossJoin(broadcast(types))
+        .join(de, Seq("day", "event_type"), "left")
+        .select(col("day"), col("event_type"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val ranked = grid.withColumn("r",
+        row_number().over(Window.partitionBy("event_type")
+          .orderBy(col("c").desc, col("day").asc)).cast("long"))
+      val rs = ranked.groupBy("day").agg(sum("r").as("rsum"))
+      val m = types.agg(count(lit(1)).as("m"))
+      rs.agg(count(lit(1)).as("n"),
+          sum(expr("CAST(rsum AS DECIMAL(38,0)) * rsum")).as("s2"),
+          sum(expr("CAST(rsum AS DECIMAL(38,0))")).as("s1"))
+        .crossJoin(broadcast(m))
+        .select(col("n").cast("long").as("n_days"),
+          col("m").cast("long").as("m_judges"),
+          expr("""CAST((12 * (s2 - s1 * s1 div n) * 1000000)
+                 |  div (CAST(m AS DECIMAL(38,0)) * m * (CAST(n AS DECIMAL(38,0))*n*n - n))
+                 |AS BIGINT)""".stripMargin).as("w_micro"))
+    },
+    Some("""WITH de AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS c
+           |    FROM events GROUP BY 1, 2),
+           |days AS (SELECT DISTINCT day FROM de),
+           |types AS (SELECT DISTINCT event_type FROM de),
+           |grid AS (SELECT days.day, types.event_type, coalesce(de.c, 0) AS c
+           |  FROM days CROSS JOIN types
+           |  LEFT JOIN de ON de.day = days.day AND de.event_type = types.event_type),
+           |ranked AS (SELECT day, CAST(row_number() OVER (PARTITION BY event_type
+           |    ORDER BY c DESC, day) AS BIGINT) AS r FROM grid),
+           |rs AS (SELECT day, sum(r) AS rsum FROM ranked GROUP BY 1),
+           |a AS (SELECT count(*) AS n, sum(CAST(rsum AS HUGEINT) * rsum) AS s2,
+           |    sum(CAST(rsum AS HUGEINT)) AS s1 FROM rs),
+           |m AS (SELECT count(*) AS m FROM types)
+           |SELECT CAST(n AS BIGINT) AS n_days, CAST(m.m AS BIGINT) AS m_judges,
+           |  CAST((12 * (s2 - s1 * s1 // n) * 1000000)
+           |    // (CAST(m.m AS HUGEINT) * m.m * (CAST(n AS HUGEINT)*n*n - n)) AS BIGINT)
+           |    AS w_micro
+           |FROM a CROSS JOIN m""".stripMargin))
 
   /** Page–Hinkley drift monitor on the daily mean value: mₜ accumulates
     * (xᵢ − x̄ᵢ − δ) against the RUNNING mean (δ = 10 cents slack), and

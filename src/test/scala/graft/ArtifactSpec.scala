@@ -75,6 +75,14 @@ class ArtifactSpec extends SparkSpec {
       "cc-labels artifact diverged from a fresh star-contraction run")
   }
 
+  test("lpa-labels artifact: consume path equals a fresh 4-round LPA run") {
+    val labels = Release.lpaLabels(spark, sf)
+    val fresh = Release.lpaLabelsRaw(spark, sf)
+    assert(labels.count() > 0)
+    assert(same(labels, fresh),
+      "lpa-labels artifact diverged from a fresh 4-round LPA run")
+  }
+
   test("dup-cluster artifact: consume path equals the raw build path") {
     val (corpus, clusters) = DedupOps.corpusAndClusters(spark, sf)
     val (corpusRaw, clustersRaw) = DedupOps.corpusAndClustersRaw(spark, sf)
@@ -82,5 +90,13 @@ class ArtifactSpec extends SparkSpec {
     assert(same(corpus, corpusRaw))
     assert(same(clusters, clustersRaw),
       "cluster-label artifact diverged from the raw derivation")
+  }
+
+  test("incremental base-index artifact: stored index equals a fresh LSH build") {
+    val stored = DedupOps.incrementalBaseIndex(spark, sf)
+    val fresh = DedupOps.incrementalBaseIndexRaw(spark, sf)
+    assert(stored.count() > 0)
+    assert(same(stored, fresh),
+      "stored base LSH index diverged from a fresh build")
   }
 }

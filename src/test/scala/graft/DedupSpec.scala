@@ -174,5 +174,23 @@ class DedupSpec extends SparkSpec {
     assert(DedupOps.dedupAgainstIndex(batch, grown, "doc_id", 4, 2).count() == 0L)
   }
 
+  test("setsimScopeGuard: rows pass untouched under the bound, job fails loudly past it") {
+    val ok = DedupOps.setsimScopeGuard(docs, maxDocs = 10L)
+    assert(ok.columns.toSeq == docs.columns.toSeq,
+      "guard must be invisible in the schema")
+    assert(ok.count() == docs.count(),
+      "guard dropped rows under the bound")
+    // past the bound the SINGLE job raises (no separate count action)
+    // and the error names the bounded production path
+    val e = intercept[Exception] {
+      DedupOps.setsimScopeGuard(docs, maxDocs = 2L).count()
+    }
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
+    assert(messages(e).contains("q_setsim_topk"),
+      s"guard failure does not name the production path:\n${messages(e)}")
+  }
+
   private def round4(d: Double): Double = math.round(d * 10000).toDouble / 10000
 }

@@ -155,4 +155,20 @@ class GlobalOrderSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
     GlobalOrder.release(blocking = true)
   }
+
+  test("withGlobalNtiles fails loudly on a null sort key instead of mis-tiling") {
+    val df = spark.range(8).select(col("id"),
+      when(col("id") === 3, lit(null).cast("long"))
+        .otherwise(col("id") * 7L).as("v"))
+    val e = intercept[Exception] {
+      GlobalOrder.withGlobalNtiles(df, Seq((col("v"), "q")), col("id"), 4)
+        .count()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("non-null"),
+      s"null-key failure does not explain the contract:\n$msgs")
+    GlobalOrder.release(blocking = true)
+  }
 }

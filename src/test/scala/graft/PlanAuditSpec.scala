@@ -391,6 +391,42 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_incremental_dedup: base side is a stored index scan, never a re-shingled corpus") {
+    // incrementalBaseIndex publishes the base split's (doc_id, band,
+    // bucket) LSH index as a parquet artifact since round 12 — the
+    // query-time plan must scan the stored index (a path under the
+    // graft_artifacts temp root) and the only documents scans left are
+    // the three batch branches; a fourth scan means the base side is
+    // being re-shingled at query time
+    val plan = planOf("q_incremental_dedup")
+    assert(plan.contains("graft_artifacts"),
+      s"base index not read from the stored artifact:\n${plan.take(3000)}")
+    // every legitimate documents scan is a BATCH branch (doc_id % 5 = 0,
+    // % 5 ≠ 0 ∧ % 7 = 0, or % 15 = 0); a scan filtered to the bare base
+    // split (NOT % 5 without the % 7 conjunct) means the base side is
+    // being re-shingled at query time. Cached subtrees repeat scans in
+    // the dump, so match per FileScan line, not by count.
+    val baseRescan = plan.linesIterator.filter(_.contains("documents.parquet"))
+      .filter(l => l.contains("NOT") && l.contains("% 5"))
+      .filterNot(_.contains("% 7")).toSeq
+    assert(baseRescan.isEmpty,
+      s"base split re-scanned at query time:\n${baseRescan.mkString("\n")}")
+  }
+
+  test("lpa family consumes the published label artifact — no 4-round build at query time") {
+    // lpaLabels is a build-once parquet artifact since round 12: the
+    // iterative adjacency-join + rank-window rounds run at artifact
+    // build, so consumer plans scan stored (u, label) rows with no
+    // row_number window anywhere
+    for (name <- Seq("q_label_prop", "q_conductance")) {
+      val plan = planOf(name)
+      assert(plan.contains("graft_artifacts"),
+        s"$name does not scan the stored LPA label artifact:\n${plan.take(3000)}")
+      assert(!plan.contains("row_number"),
+        s"$name re-runs the LPA rank window at query time:\n${plan.take(3000)}")
+    }
+  }
+
   test("q_link_predict: adjacency cap is a p-keyed window, wedges stay equi-joins") {
     val plan = planOf("q_link_predict")
     assert(plan.contains("hashpartitioning(p#"),
