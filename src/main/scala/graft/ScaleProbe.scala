@@ -262,7 +262,13 @@ object ScaleProbe {
       "q_rec_coverage", "q_brand_switch", "q_cross_elasticity",
       "q_chow_test", "q_cooks_distance", "q_breusch_pagan",
       "q_gumbel_fit", "q_chain_ladder", "q_vif", "q_kupiec_pof",
-      "q_conductance", "q_yule_k", "q_silhouette", "q_davies_bouldin", "q_page_hinkley")
+      "q_conductance", "q_yule_k", "q_silhouette", "q_davies_bouldin", "q_page_hinkley",
+      // round 12 (standing rule: join/window ⇒ probe; q_bartlett and
+      // q_rate_ratio are single-pass aggregates and flat by shape, the
+      // rest plan joins or windows)
+      "q_good_turing", "q_chao1", "q_dispersion", "q_periodogram",
+      "q_kendall_w", "q_katz", "q_adamic_adar", "q_gini_customer",
+      "q_croston")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

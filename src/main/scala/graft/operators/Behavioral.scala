@@ -6030,7 +6030,102 @@ object Behavioral {
              |SELECT CAST(age AS BIGINT) AS age_months,
              |  CAST(cur AS BIGINT) AS cum_cents,
              |  CAST((1000000 * nxt) // cur AS BIGINT) AS dev_factor_micro
-             |FROM pairs ORDER BY age""".stripMargin))
+             |FROM pairs ORDER BY age""".stripMargin)),
+
+    // Gini coefficient of customer revenue concentration — the single
+    // inequality number behind q_volume_concentration's curve and the
+    // q_theil_index / q_source_gini siblings' CUSTOMER-revenue view:
+    // G = (2·Σᵢ i·xᵢ)/(n·Σx) − (n+1)/n over revenue ranked ascending.
+    // Customers are data-sized, so the rank rides GlobalOrder's range
+    // shuffle (never a partitionless window); the rank-weighted sum is
+    // one map-combined aggregate over the ranked frame; products widen
+    // through DECIMAL(38,0) (rank·cents passes 2⁶³ at warehouse scale).
+    // Ascending ties break on custkey — mirrored, so exact.
+    QueryDef(
+      "q_gini_customer",
+      (s, d) => {
+        val cr = Tables.orders(s, d)
+          .select(col("o_custkey"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .groupBy("o_custkey").agg(sum("cents").as("cents"))
+        val ord = Seq(col("cents").asc, col("o_custkey").asc)
+        GlobalOrder.withGlobalRowNumber(cr, ord, "i")
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(cents AS DECIMAL(38,0))")).as("sx"),
+            sum(expr("CAST(i AS DECIMAL(38,0)) * cents")).as("six"))
+          .select(col("n").cast("long").as("n_customers"),
+            col("sx").cast("long").as("total_cents"),
+            expr("""CAST((2000000 * six) div (n * sx)
+                   |  - (1000000 * (n + 1)) div n AS BIGINT)""".stripMargin)
+              .as("gini_micro"))
+      },
+      Some("""WITH cr AS (SELECT o_custkey,
+             |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+             |  FROM orders GROUP BY 1),
+             |r AS (SELECT cents,
+             |    CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS i
+             |  FROM cr),
+             |a AS (SELECT count(*) AS n, sum(CAST(cents AS HUGEINT)) AS sx,
+             |    sum(CAST(i AS HUGEINT) * cents) AS six FROM r)
+             |SELECT CAST(n AS BIGINT) AS n_customers,
+             |  CAST(sx AS BIGINT) AS total_cents,
+             |  CAST((2000000 * six) // (n * sx)
+             |    - (1000000 * (n + 1)) // n AS BIGINT) AS gini_micro
+             |FROM a""".stripMargin)),
+
+    // Croston's intermittent-demand estimate per brand — the forecast
+    // form for SKUs that sell in occasional lumps, where a plain moving
+    // average smears zeros into the level: demand rate = (mean nonzero
+    // monthly demand) / (mean inter-demand interval in months), both
+    // read off the brand's ACTIVE months against its observed calendar
+    // span. This is the closed-form rate (Croston's ratio z̄/p̄), not
+    // the order-dependent SES recursion — the distributed-friendly
+    // form. One lineitem aggregate to monthly grain, a broadcast
+    // part-dim join, and a ≤ |brands|-row readout; rates are exact
+    // integer milli over exact unit sums.
+    QueryDef(
+      "q_croston",
+      (s, d) => {
+        val bm = Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+            col("p_partkey") === col("l_partkey"))
+          .groupBy(col("p_brand").as("brand"),
+            date_trunc("month", col("l_shipdate")).as("m"))
+          .agg(sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("dem"))
+        val cal = bm.agg(countDistinct("m").as("months"))
+        bm.groupBy("brand")
+          .agg(count(lit(1)).as("active_months"),
+            sum(expr("CAST(dem AS DECIMAL(38,0))")).as("units"))
+          .crossJoin(broadcast(cal))
+          .select(col("brand"),
+            col("active_months").cast("long").as("active_months"),
+            col("months").cast("long").as("span_months"),
+            col("units").cast("long").as("units"),
+            // z̄ = units/active, p̄ = span/active ⇒ rate = units/span
+            // kept as the two Croston components plus the rate
+            expr("CAST((1000 * units) div active_months AS BIGINT)")
+              .as("mean_demand_milli"),
+            expr("CAST((1000 * months) div active_months AS BIGINT)")
+              .as("mean_interval_milli"),
+            expr("CAST((1000 * units) div months AS BIGINT)")
+              .as("rate_milli"))
+          .orderBy("brand")
+      },
+      Some("""WITH bm AS (SELECT p.p_brand AS brand,
+             |    date_trunc('month', CAST(l.l_shipdate AS TIMESTAMP)) AS m,
+             |    sum(CAST(round(l.l_quantity) AS BIGINT)) AS dem
+             |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+             |  GROUP BY 1, 2),
+             |cal AS (SELECT count(DISTINCT m) AS months FROM bm),
+             |b AS (SELECT brand, count(*) AS active_months,
+             |    sum(CAST(dem AS HUGEINT)) AS units FROM bm GROUP BY 1)
+             |SELECT brand, CAST(active_months AS BIGINT) AS active_months,
+             |  CAST(months AS BIGINT) AS span_months,
+             |  CAST(units AS BIGINT) AS units,
+             |  CAST((1000 * units) // active_months AS BIGINT) AS mean_demand_milli,
+             |  CAST((1000 * months) // active_months AS BIGINT) AS mean_interval_milli,
+             |  CAST((1000 * units) // months AS BIGINT) AS rate_milli
+             |FROM b CROSS JOIN cal ORDER BY brand""".stripMargin))
   )
 
   /** Fixed-point absorbing-chain oracle — twenty unrolled Neumann steps

@@ -1484,7 +1484,120 @@ object Release {
           .orderBy(col("n_nodes").desc, col("volume").desc, col("cut_w"))
           .limit(10)
       },
-      Some(conductanceOracle))
+      Some(conductanceOracle)),
+
+    // Katz centrality (4 terms, attenuation β = 1/8) on the w ≥ 3
+    // co-purchase graph — the walk-counting centrality between degree
+    // (k = 1 only) and PageRank (the k → ∞ random-walk limit): a node
+    // is central if MANY short walks end there. Unweighted walk counts
+    // are EXACT integers (c₁ = degree, cₖ = Σ_{u→v} cₖ₋₁(u)), so with
+    // the exact rational β = 1/8 the whole score is integer arithmetic
+    // — Σₖ (10⁶·cₖ) div 8ᵏ — and bit-stable with no FP anywhere, where
+    // the classic eigenvector formulation would force doubles. Four
+    // bounded join+agg rounds over the stored artifact adjacency (the
+    // q_weighted_pagerank linear-chain shape: no lineage cuts needed);
+    // walk counts widen through DECIMAL(38,0) because c₄ ≤ deg⁴ passes
+    // 2⁶³ on high-degree corpora. The oracle unrolls the four rounds as
+    // CTEs.
+    QueryDef(
+      "q_katz",
+      (s, d) => {
+        val nb = copurchaseDirected(s, d)._1
+          .where(col("w") >= 3).select("u", "v")
+        var c = nb.groupBy("v").agg(count(lit(1)).as("c"))
+          .select(col("v").as("id"), expr("CAST(c AS DECIMAL(38,0))").as("c"))
+        var katz = c.select(col("id"),
+          expr("CAST((1000000 * c) div 8 AS DECIMAL(38,0))").as("k"))
+        for (i <- 2 to 4) {
+          c = nb.join(c, nb("u") === c("id"))
+            .groupBy(nb("v").as("id0")).agg(sum("c").as("c"))
+            .select(col("id0").as("id"), col("c"))
+          katz = katz.join(c.select(col("id"),
+              expr(s"CAST((1000000 * c) div ${math.pow(8, i).toLong} AS DECIMAL(38,0))")
+                .as("ki")), Seq("id"), "full_outer")
+            .select(col("id"),
+              (coalesce(col("k"), lit(0L)) + coalesce(col("ki"), lit(0L))).as("k"))
+        }
+        katz.select(col("id").cast("long").as("part_id"),
+            col("k").cast("long").as("katz_micro"))
+          .orderBy(col("katz_micro").desc, col("part_id")).limit(15)
+      },
+      Some("""WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS MATERIALIZED (SELECT p1, p2, w FROM (
+             |      SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS w
+             |      FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2) WHERE w >= 3),
+             |nb AS MATERIALIZED (SELECT p1 AS u, p2 AS v FROM e UNION ALL SELECT p2, p1 FROM e),
+             |c1 AS (SELECT v AS id, CAST(count(*) AS HUGEINT) AS c FROM nb GROUP BY 1),
+             |c2 AS (SELECT nb.v AS id, sum(c1.c) AS c FROM nb JOIN c1 ON c1.id = nb.u GROUP BY 1),
+             |c3 AS (SELECT nb.v AS id, sum(c2.c) AS c FROM nb JOIN c2 ON c2.id = nb.u GROUP BY 1),
+             |c4 AS (SELECT nb.v AS id, sum(c3.c) AS c FROM nb JOIN c3 ON c3.id = nb.u GROUP BY 1),
+             |katz AS (SELECT c1.id,
+             |    (1000000 * c1.c) // 8
+             |    + coalesce((1000000 * c2.c) // 64, 0)
+             |    + coalesce((1000000 * c3.c) // 512, 0)
+             |    + coalesce((1000000 * c4.c) // 4096, 0) AS k
+             |  FROM c1 LEFT JOIN c2 USING (id) LEFT JOIN c3 USING (id)
+             |  LEFT JOIN c4 USING (id))
+             |SELECT CAST(id AS BIGINT) AS part_id, CAST(k AS BIGINT) AS katz_micro
+             |FROM katz ORDER BY katz_micro DESC, part_id LIMIT 15""".stripMargin)),
+
+    // Adamic–Adar link prediction over the co-purchase graph — the
+    // inverse-log-degree refinement of q_link_predict's common-neighbor
+    // count: a shared LOW-degree neighbor is stronger evidence than a
+    // shared hub, AA(a,b) = Σ_{z ∈ CN} 1/ln(deg z). Same production
+    // shape as q_link_predict (seed slice p < 100, per-node top-256
+    // neighbor cap bounding the wedge fan-out at any scale — the cap
+    // exceeds every fixture degree so the uncapped oracle matches
+    // hash-for-hash; wedges are equi-joins; candidates anti-join the
+    // edge list). Each wedge center's 1/ln(deg) term nano-quantizes
+    // BEFORE the per-pair sum (house rule); deg ≥ 2 for any common
+    // neighbor of two distinct nodes, so ln never hits 0.
+    QueryDef(
+      "q_adamic_adar",
+      (s, d) => {
+        val (e, deg) = copurchaseGraph(s, d)
+        val nbAll = e.select(col("p1").as("p"), col("p2").as("q"), col("w"))
+          .unionAll(e.select(col("p2").as("p"), col("p1").as("q"), col("w")))
+        val wcap = Window.partitionBy("p").orderBy(col("w").desc, col("q").asc)
+        val nb = nbAll.withColumn("r", row_number().over(wcap))
+          .where(col("r") <= 256).select("p", "q")
+        // deg = 1 nodes can never be a wedge center (their only
+        // neighbor IS the seed), and ln(1) = 0 would be a cast-of-Inf
+        // crash in the oracle engine — filter them out of the term
+        // table in both engines
+        val zterm = deg.where(col("deg") >= 2).select(col("p").as("q"),
+          expr("CAST(round(1e9 / ln(CAST(deg AS DOUBLE))) AS BIGINT)").as("t"))
+        val wedge = nb.where(col("p") < 100)
+          .join(broadcast(zterm), "q")
+          .join(nb.select(col("p").as("q"), col("q").as("b")), "q")
+          .where(col("b") > col("p"))
+          .groupBy(col("p").as("a"), col("b"))
+          .agg(count(lit(1)).as("cn"), sum("t").as("aa_nano"))
+        wedge.join(e, wedge("a") === e("p1") && wedge("b") === e("p2"),
+            "left_anti")
+          .select(col("a"), col("b"), col("cn"),
+            expr("CAST(aa_nano div 1000 AS BIGINT)").as("aa_micro"))
+          .orderBy(col("aa_micro").desc, col("a"), col("b")).limit(20)
+      },
+      Some("""WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+             |      FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+             |deg AS MATERIALIZED (SELECT p, count(*) AS deg FROM (
+             |        SELECT p1 AS p FROM e UNION ALL SELECT p2 FROM e) GROUP BY 1),
+             |zt AS (SELECT p AS q, CAST(round(1e9 / ln(CAST(deg AS DOUBLE))) AS BIGINT) AS t
+             |       FROM deg WHERE deg >= 2),
+             |nb AS MATERIALIZED (SELECT p1 AS p, p2 AS q FROM e UNION ALL SELECT p2, p1 FROM e),
+             |wedge AS (SELECT s.p AS a, n2.q AS b, count(*) AS cn, sum(zt.t) AS aa_nano
+             |          FROM (SELECT p, q FROM nb WHERE p < 100) s
+             |          JOIN zt ON zt.q = s.q
+             |          JOIN nb n2 ON n2.p = s.q
+             |          WHERE n2.q > s.p GROUP BY 1, 2),
+             |cand AS (SELECT w.a, w.b, w.cn, w.aa_nano FROM wedge w
+             |         LEFT JOIN e ON e.p1 = w.a AND e.p2 = w.b
+             |         WHERE e.p1 IS NULL)
+             |SELECT a, b, cn, CAST(aa_nano // 1000 AS BIGINT) AS aa_micro
+             |FROM cand ORDER BY aa_micro DESC, a, b LIMIT 20""".stripMargin))
   )
 
   /** The 4-round synchronous min-label LPA labels on the w ≥ 3

@@ -967,4 +967,120 @@ class AnalyticsInvariantSpec extends SparkSpec {
       assert(row.getAs[Long]("n_occurrences") >= 1L, row.toString)
     }
   }
+
+  test("q_good_turing: SGT discounts once-seen mass (r* < r at r = 1 when N2 < 2N1)") {
+    val r = rows("q_good_turing")
+    assert(r.nonEmpty && r.size <= 5)
+    for (row <- r) {
+      val rr = row.getAs[Long]("r")
+      val nr = row.getAs[Long]("n_r")
+      val nNext = row.getAs[Long]("n_next")
+      assert(rr >= 1L && rr <= 5L && nr >= 1L, row.toString)
+      // r* = (r+1)·N_{r+1}/N_r exactly (integer micro)
+      assert(row.getAs[Long]("r_star_micro") ==
+        1000000L * (rr + 1) * nNext / nr, row.toString)
+    }
+    // Zipfian spectra are decreasing in the low-count region: N1 > N2
+    val byR = r.map(x => x.getAs[Long]("r") -> x.getAs[Long]("n_r")).toMap
+    if (byR.contains(1L) && byR.contains(2L))
+      assert(byR(1L) > byR(2L), byR.toString)
+  }
+
+  test("q_chao1: estimated richness at least the observed vocabulary") {
+    val r = rows("q_chao1").head
+    val vocab = r.getAs[Long]("vocab")
+    assert(vocab > 0L)
+    assert(r.getAs[Long]("f1") + r.getAs[Long]("f2") <= vocab, r.toString)
+    assert(r.getAs[Long]("chao1_milli") >= 1000L * vocab, r.toString)
+    val cov = r.getAs[Long]("coverage_micro")
+    assert(cov >= 0L && cov <= 1000000L, r.toString)
+  }
+
+  test("q_dispersion: DP on [0,1] for all ten top words") {
+    val r = rows("q_dispersion")
+    assert(r.size == 10)
+    for (row <- r) {
+      val dp = row.getAs[Long]("dp_micro")
+      assert(dp >= 0L && dp <= 1000000L, row.toString)
+      assert(row.getAs[Long]("n_occurrences") > 0L, row.toString)
+    }
+  }
+
+  test("q_bartlett: statistic defined and consistent with the k-group design") {
+    val r = rows("q_bartlett").head
+    assert(r.getAs[Long]("k") >= 2L, r.toString)
+    assert(r.getAs[Long]("n") > r.getAs[Long]("k"), r.toString)
+    // B >= 0 up to the nano-quantization of the per-group ln terms
+    assert(r.getAs[Long]("b_stat_milli") >= -1L, r.toString)
+  }
+
+  test("q_rate_ratio: CI brackets the point estimate, exposures partition the calendar") {
+    val r = rows("q_rate_ratio").head
+    assert(r.getAs[Long]("weekday_events") > 0L && r.getAs[Long]("weekend_events") > 0L)
+    // 5 weekdays vs 2 weekend days per week
+    assert(r.getAs[Long]("weekday_days") > r.getAs[Long]("weekend_days"), r.toString)
+    val rr = r.getAs[Long]("rr_milli")
+    assert(r.getAs[Long]("rr_lo_milli") <= rr && rr <= r.getAs[Long]("rr_hi_milli"),
+      r.toString)
+  }
+
+  test("q_periodogram: 13 candidate periods, nonnegative power") {
+    val r = rows("q_periodogram")
+    assert(r.map(_.getAs[Long]("period_days")) == (2L to 14L))
+    for (row <- r) assert(row.getAs[Long]("power_kilo") >= 0L, row.toString)
+  }
+
+  test("q_kendall_w: concordance on [0,1] over the full day-by-type grid") {
+    val r = rows("q_kendall_w").head
+    assert(r.getAs[Long]("n_days") > 1L && r.getAs[Long]("m_judges") >= 2L)
+    val w = r.getAs[Long]("w_micro")
+    assert(w >= 0L && w <= 1000000L, r.toString)
+  }
+
+  test("q_katz: positive descending scores; katz dominated by the full geometric sum") {
+    val r = rows("q_katz")
+    assert(r.size == 15)
+    val k = r.map(_.getAs[Long]("katz_micro"))
+    assert(k.zip(k.tail).forall { case (a, b) => a >= b }, k.toString)
+    assert(k.forall(_ > 0L), k.toString)
+  }
+
+  test("q_adamic_adar: AA positive, at least cn/ln(maxdeg) by construction") {
+    val r = rows("q_adamic_adar")
+    assert(r.nonEmpty && r.size <= 20)
+    val aa = r.map(_.getAs[Long]("aa_micro"))
+    assert(aa.zip(aa.tail).forall { case (a, b) => a >= b }, aa.toString)
+    for (row <- r) {
+      // every common neighbor contributes at least 1/ln(deg) > 0, and
+      // since deg >= 2 each term is at most 1/ln 2 ≈ 1.4427
+      val cn = row.getAs[Long]("cn")
+      assert(cn >= 1L, row.toString)
+      assert(row.getAs[Long]("aa_micro") > 0L, row.toString)
+      assert(row.getAs[Long]("aa_micro") <= math.ceil(cn * 1e6 / math.log(2)).toLong,
+        row.toString)
+    }
+  }
+
+  test("q_gini_customer: gini on [0,1) and zero under a degenerate single rank") {
+    val r = rows("q_gini_customer").head
+    assert(r.getAs[Long]("n_customers") > 1L)
+    assert(r.getAs[Long]("total_cents") > 0L)
+    val g = r.getAs[Long]("gini_micro")
+    // integer div may shave a micro below 0 on a perfectly equal fixture
+    assert(g >= -1L && g < 1000000L, r.toString)
+  }
+
+  test("q_croston: components consistent — rate equals units/span, interval >= 1") {
+    val r = rows("q_croston")
+    assert(r.nonEmpty)
+    for (row <- r) {
+      assert(row.getAs[Long]("active_months") >= 1L, row.toString)
+      assert(row.getAs[Long]("active_months") <= row.getAs[Long]("span_months"),
+        row.toString)
+      assert(row.getAs[Long]("mean_interval_milli") >= 1000L, row.toString)
+      assert(row.getAs[Long]("rate_milli") ==
+        1000L * row.getAs[Long]("units") / row.getAs[Long]("span_months"),
+        row.toString)
+    }
+  }
 }

@@ -336,7 +336,11 @@ class PlanAuditSpec extends SparkSpec {
       // q_page_hinkley: all running sums/mins ride the ≤ #days calendar
       // frame after one map-combined daily aggregate (q_changepoint
       // convention)
-      "q_page_hinkley")
+      "q_page_hinkley",
+      // q_gini_customer: withGlobalRowNumber's ≤ #shuffle-partitions
+      // offset prefix-sum (the revenue rank itself rides the range
+      // shuffle — q_coverage_curve convention)
+      "q_gini_customer")
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !allowed(name)
       w = fn(spark, sf).queryExecution.optimizedPlan.collect {
