@@ -268,7 +268,8 @@ object ScaleProbe {
       // rest plan joins or windows)
       "q_good_turing", "q_chao1", "q_dispersion", "q_periodogram",
       "q_kendall_w", "q_katz", "q_adamic_adar", "q_gini_customer",
-      "q_croston")
+      "q_croston", "q_sttr", "q_ngram_contamination", "q_atkinson",
+      "q_huber_step", "q_ridge_closed")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

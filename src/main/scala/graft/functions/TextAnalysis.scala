@@ -1656,6 +1656,46 @@ object TextAnalysis {
              |  LEFT JOIN ws ON ws.w = top.w AND ws.source = st.source)
              |SELECT w AS word, CAST(cw AS BIGINT) AS n_occurrences,
              |  CAST(sum(term) // 2 AS BIGINT) AS dp_micro
-             |FROM terms GROUP BY 1, 2 ORDER BY dp_micro DESC, word""".stripMargin))
+             |FROM terms GROUP BY 1, 2 ORDER BY dp_micro DESC, word""".stripMargin)),
+
+    // standardized type-token ratio (STTR-25) per source — raw TTR
+    // falls with corpus length (q_ttr_curve measures exactly that
+    // decay), so corpora of different sizes are comparable only on
+    // FIXED-length windows: chunk every document into consecutive
+    // 25-token blocks (the classic window is 100, but the fixture docs
+    // run 10–99 tokens — the window must sit inside the document
+    // length distribution or every block is ragged), keep complete
+    // blocks only (the standard STTR convention — the ragged tail
+    // would bias short docs upward), and
+    // average the per-block type counts. Distinct types per block is an
+    // exact integer, so STTR is exact micro: mean TTR = (Σ types)·10⁴ /
+    // #blocks. One posexplode + two keyed aggregates, everything
+    // partitioned by (doc, block) then source — no global state.
+    QueryDef(
+      "q_sttr",
+      (s, d) => {
+        val blocks = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+          .groupBy(col("source"), col("doc_id"),
+            expr("pos div 25").as("blk"))
+          .agg(count(lit(1)).as("n_tok"), countDistinct("w").as("types"))
+          .where(col("n_tok") === 25)
+        blocks.groupBy("source")
+          .agg(count(lit(1)).as("n_blocks"), sum("types").as("t"))
+          .select(col("source"), col("n_blocks").cast("long").as("n_blocks"),
+            expr("CAST((t * 40000) div n_blocks AS BIGINT)").as("sttr_micro"))
+          .orderBy("source")
+      },
+      Some("""WITH w AS (SELECT doc_id, source, u.pos, u.w FROM documents,
+             |    LATERAL (SELECT unnest(string_split(text, ' ')) AS w,
+             |             generate_subscripts(string_split(text, ' '), 1) AS pos) u),
+             |blk AS (SELECT source, doc_id, (pos - 1) // 25 AS blk,
+             |    count(*) AS n_tok, count(DISTINCT w) AS types
+             |  FROM w GROUP BY 1, 2, 3),
+             |full_blk AS (SELECT source, types FROM blk WHERE n_tok = 25)
+             |SELECT source, count(*) AS n_blocks,
+             |  CAST((sum(types) * 40000) // count(*) AS BIGINT) AS sttr_micro
+             |FROM full_blk GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -26,16 +26,45 @@ private[graft] object Artifacts {
     java.nio.file.Files.createTempDirectory("graft_artifacts").toString
 
   private val built = new ConcurrentHashMap[String, String]()
+  private val locks = new ConcurrentHashMap[String, AnyRef]()
 
   /** Directory holding the artifact for `key`, building it exactly once
-    * per JVM via `build(dir)` on first request (computeIfAbsent gives
-    * the once-only locking; a throwing build leaves no mapping, so the
-    * next caller retries instead of reading a half-written artifact). */
-  def dirFor(key: String, build: String => Unit): String =
-    built.computeIfAbsent(key, { k =>
+    * per JVM via `build(dir)` on first request.
+    *
+    * Once-only locking is a per-KEY monitor, NOT computeIfAbsent over
+    * the shared map: artifact builders COMPOSE (the LPA label build
+    * reads the co-purchase artifact), and a nested dirFor inside a
+    * computeIfAbsent mapping function throws IllegalStateException
+    * ("Recursive update") — hit the first time a dependent artifact was
+    * the first builder on a fresh dataset. Distinct keys take distinct
+    * monitors, so nesting is deadlock-free; concurrent first callers on
+    * the SAME key serialize on its monitor and the loser reads the
+    * winner's directory. A throwing build deletes its partial output
+    * and leaves no mapping, so the next caller retries cleanly instead
+    * of hitting PATH_ALREADY_EXISTS on the parquet write. */
+  def dirFor(key: String, build: String => Unit): String = {
+    val hit = built.get(key)
+    if (hit != null) return hit
+    val lock = locks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      val again = built.get(key)
+      if (again != null) return again
       val dir = s"$root/${java.security.MessageDigest.getInstance("MD5")
-        .digest(k.getBytes("UTF-8")).map("%02x".format(_)).mkString}"
-      build(dir)
+        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString}"
+      try build(dir)
+      catch {
+        case t: Throwable =>
+          deleteRecursively(new java.io.File(dir))
+          throw t
+      }
+      built.put(key, dir)
       dir
-    })
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
 }

@@ -6125,7 +6125,46 @@ object Behavioral {
              |  CAST((1000 * units) // active_months AS BIGINT) AS mean_demand_milli,
              |  CAST((1000 * months) // active_months AS BIGINT) AS mean_interval_milli,
              |  CAST((1000 * units) // months AS BIGINT) AS rate_milli
-             |FROM b CROSS JOIN cal ORDER BY brand""".stripMargin))
+             |FROM b CROSS JOIN cal ORDER BY brand""".stripMargin)),
+
+    // Atkinson inequality index (ε = 1) of customer revenue — the
+    // welfare-theoretic complement to q_gini_customer: A = 1 −
+    // geomean(x)/mean(x), which unlike Gini is decomposable and weights
+    // the LOW end of the distribution (ε picks the aversion; ε = 1 is
+    // the log form). The geometric mean rides Σln x with each
+    // customer's ln(cents) nano-quantized BEFORE the sum (house rule);
+    // the index is one mirrored IEEE closed form over the two exact
+    // sums. One grouped aggregate + one global aggregate — no windows,
+    // no joins. Revenue cents ≥ 100 by fixture construction, so ln
+    // never sees 0.
+    QueryDef(
+      "q_atkinson",
+      (s, d) => {
+        Tables.orders(s, d)
+          .select(col("o_custkey"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .groupBy("o_custkey").agg(sum("cents").as("cents"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(cents AS DECIMAL(38,0))")).as("sx"),
+            sum(expr("CAST(round(1e9 * ln(CAST(cents AS DOUBLE))) AS BIGINT)"))
+              .as("sl"))
+          .select(col("n").cast("long").as("n_customers"),
+            expr("CAST(sx div n AS BIGINT)").as("mean_cents"),
+            expr("""CAST(round(1000000 * (1 - exp(sl/1e9/n)
+                   |  / (CAST(sx AS DOUBLE)/n))) AS BIGINT)""".stripMargin)
+              .as("atkinson_micro"))
+      },
+      Some("""WITH cr AS (SELECT o_custkey,
+             |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+             |  FROM orders GROUP BY 1),
+             |a AS (SELECT count(*) AS n, sum(CAST(cents AS HUGEINT)) AS sx,
+             |    sum(CAST(round(1e9 * ln(CAST(cents AS DOUBLE))) AS BIGINT)) AS sl
+             |  FROM cr)
+             |SELECT CAST(n AS BIGINT) AS n_customers,
+             |  CAST(sx // n AS BIGINT) AS mean_cents,
+             |  CAST(round(1000000 * (1 - exp(sl/1e9/n)
+             |    / (CAST(sx AS DOUBLE)/n))) AS BIGINT) AS atkinson_micro
+             |FROM a""".stripMargin))
   )
 
   /** Fixed-point absorbing-chain oracle — twenty unrolled Neumann steps

@@ -2608,7 +2608,61 @@ object Curation {
              |z AS (SELECT sum(raw) AS z FROM upd)
              |SELECT source, CAST(toks AS BIGINT) AS tokens, loss_micro, w0_micro,
              |  CAST((1000000 * CAST(raw AS HUGEINT)) // z AS BIGINT) AS w1_micro
-             |FROM upd CROSS JOIN z ORDER BY source""".stripMargin))
+             |FROM upd CROSS JOIN z ORDER BY source""".stripMargin)),
+
+    // train/test n-gram contamination audit (the GPT-3-style
+    // decontamination check): split the corpus by doc-id parity, then
+    // for every TEST document count how many of its distinct 5-gram
+    // shingles also appear anywhere in the TRAIN half — a doc with any
+    // hit is "contaminated" and would inflate eval scores if the splits
+    // fed train and benchmark. Distinct from q_split_leakage (near-dup
+    // FAMILIES straddling a split) and q_ngram_novelty (first-occurrence
+    // novelty): this is the verbatim-overlap audit run before any
+    // held-out evaluation. Shuffles are shingle-keyed (train set
+    // distinct + one semi-joinable left join), never pairwise; output
+    // is per-source rates in exact integer micro.
+    QueryDef(
+      "q_ngram_contamination",
+      (s, d) => {
+        val sh = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            explode(DedupOps.shingles(col("text"), 5)).as("g"))
+        val train = sh.where(col("doc_id") % 2 === 0)
+          .select("g").distinct()
+        val test = sh.where(col("doc_id") % 2 === 1)
+        val hits = test
+          .join(train.select(col("g"), lit(1L).as("hit")), Seq("g"), "left")
+          .groupBy("doc_id", "source")
+          .agg(count(lit(1)).as("n_grams"),
+            count(col("hit")).as("n_hits"))
+        hits.groupBy("source")
+          .agg(count(lit(1)).as("n_test_docs"),
+            sum(when(col("n_hits") > 0, 1L).otherwise(0L)).as("n_contaminated"),
+            sum("n_hits").as("hits"), sum("n_grams").as("grams"))
+          .select(col("source"),
+            col("n_test_docs").cast("long").as("n_test_docs"),
+            col("n_contaminated").cast("long").as("n_contaminated"),
+            expr("CAST((1000000 * hits) div grams AS BIGINT)")
+              .as("gram_hit_micro"))
+          .orderBy("source")
+      },
+      Some("""WITH sh AS (SELECT DISTINCT doc_id, source, unnest(grams) AS g FROM (
+             |    SELECT doc_id, source,
+             |      [array_to_string(toks[i:i+4], ' ')
+             |       for i in range(1, greatest(len(toks)-4, 1)+1)] AS grams
+             |    FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+             |          FROM documents))),
+             |train AS (SELECT DISTINCT g FROM sh WHERE doc_id % 2 = 0),
+             |hits AS (SELECT s.doc_id, s.source, count(*) AS n_grams,
+             |    count(train.g) AS n_hits
+             |  FROM sh s LEFT JOIN train ON train.g = s.g
+             |  WHERE s.doc_id % 2 = 1 GROUP BY 1, 2)
+             |SELECT source, count(*) AS n_test_docs,
+             |  CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_contaminated,
+             |  CAST((1000000 * sum(n_hits)) // sum(n_grams) AS BIGINT)
+             |    AS gram_hit_micro
+             |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** Shared exact-integer multinomial NB train + score chain —

@@ -314,6 +314,88 @@ object ModelFit {
              |SELECT CAST(n AS BIGINT) AS n_obs,
              |  CAST(round(1000000 * r2) AS BIGINT) AS r2_micro,
              |  CAST(round(1000.0 / (1 - r2)) AS BIGINT) AS vif_milli
-             |FROM r""".stripMargin))
+             |FROM r""".stripMargin)),
+
+    // closed-form ridge regression on q_ols_multi's two-feature frame —
+    // the L2-regularized counterpart showing shrinkage end to end: the
+    // CENTERED normal equations (intercept unpenalized, the standard
+    // formulation) gain λ on the diagonal, λ = (c₁₁+c₂₂)/4 so the
+    // shrinkage strength is scale-free (a fixed λ would vanish as n
+    // grows — the whole point of ridge is visible regularization).
+    // Both the λ = 0 (OLS) and ridge solves close over the SAME exact
+    // 128-bit moment sums from ONE map-combined pass; the 2×2 inverse
+    // is a mirrored IEEE closed form. Shrinkage = 1 − ‖β_ridge‖₁/‖β‖₁.
+    QueryDef(
+      "q_ridge_closed",
+      (s, d) => Tables.events(s, d)
+        .where(col("event_type") === "purchase" && col("value").isNotNull)
+        .select(expr("CAST(round(value*100) AS BIGINT)").as("y"),
+          expr("CAST(hour(ts) AS BIGINT)").as("x1"),
+          expr("CAST(dayofmonth(ts) AS BIGINT)").as("x2"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(x1 AS DECIMAL(38,0))")).as("s1"),
+          sum(expr("CAST(x2 AS DECIMAL(38,0))")).as("s2"),
+          sum(expr("CAST(x1 AS DECIMAL(38,0))*x1")).as("s11"),
+          sum(expr("CAST(x1 AS DECIMAL(38,0))*x2")).as("s12"),
+          sum(expr("CAST(x2 AS DECIMAL(38,0))*x2")).as("s22"),
+          sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+          sum(expr("CAST(x1 AS DECIMAL(38,0))*y")).as("s1y"),
+          sum(expr("CAST(x2 AS DECIMAL(38,0))*y")).as("s2y"))
+        .select(col("n"),
+          expr("CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE)*s1/n").as("c11"),
+          expr("CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE)*s2/n").as("c12"),
+          expr("CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE)*s2/n").as("c22"),
+          expr("CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE)*sy/n").as("c1y"),
+          expr("CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE)*sy/n").as("c2y"))
+        .select(col("n"), col("c11"), col("c12"), col("c22"),
+          col("c1y"), col("c2y"), expr("(c11 + c22) / 4").as("lam"))
+        .select(col("n"),
+          expr("(c22*c1y - c12*c2y) / (c11*c22 - c12*c12)").as("b1o"),
+          expr("(c11*c2y - c12*c1y) / (c11*c22 - c12*c12)").as("b2o"),
+          expr("""((c22+lam)*c1y - c12*c2y)
+                 |/ ((c11+lam)*(c22+lam) - c12*c12)""".stripMargin).as("b1r"),
+          expr("""((c11+lam)*c2y - c12*c1y)
+                 |/ ((c11+lam)*(c22+lam) - c12*c12)""".stripMargin).as("b2r"))
+        .select(col("n").cast("long").as("n_obs"),
+          expr("CAST(round(1000.0*b1o) AS BIGINT)").as("ols_b1_milli"),
+          expr("CAST(round(1000.0*b2o) AS BIGINT)").as("ols_b2_milli"),
+          expr("CAST(round(1000.0*b1r) AS BIGINT)").as("ridge_b1_milli"),
+          expr("CAST(round(1000.0*b2r) AS BIGINT)").as("ridge_b2_milli"),
+          expr("""CAST(round(1000000 * (1 - (abs(b1r)+abs(b2r))
+                 |  / (abs(b1o)+abs(b2o)))) AS BIGINT)""".stripMargin)
+            .as("shrinkage_micro")),
+      Some("""WITH v AS (SELECT CAST(round(value*100) AS BIGINT) AS y,
+             |    CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS x1,
+             |    CAST(dayofmonth(CAST(ts AS TIMESTAMP)) AS BIGINT) AS x2
+             |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+             |m AS (SELECT count(*) AS n,
+             |    sum(CAST(x1 AS HUGEINT)) AS s1, sum(CAST(x2 AS HUGEINT)) AS s2,
+             |    sum(CAST(x1 AS HUGEINT)*x1) AS s11, sum(CAST(x1 AS HUGEINT)*x2) AS s12,
+             |    sum(CAST(x2 AS HUGEINT)*x2) AS s22,
+             |    sum(CAST(y AS HUGEINT)) AS sy, sum(CAST(x1 AS HUGEINT)*y) AS s1y,
+             |    sum(CAST(x2 AS HUGEINT)*y) AS s2y
+             |  FROM v),
+             |c AS (SELECT n,
+             |    CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE)*s1/n AS c11,
+             |    CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE)*s2/n AS c12,
+             |    CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE)*s2/n AS c22,
+             |    CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE)*sy/n AS c1y,
+             |    CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE)*sy/n AS c2y
+             |  FROM m),
+             |l AS (SELECT *, (c11 + c22) / 4 AS lam FROM c),
+             |b AS (SELECT n,
+             |    (c22*c1y - c12*c2y) / (c11*c22 - c12*c12) AS b1o,
+             |    (c11*c2y - c12*c1y) / (c11*c22 - c12*c12) AS b2o,
+             |    ((c22+lam)*c1y - c12*c2y) / ((c11+lam)*(c22+lam) - c12*c12) AS b1r,
+             |    ((c11+lam)*c2y - c12*c1y) / ((c11+lam)*(c22+lam) - c12*c12) AS b2r
+             |  FROM l)
+             |SELECT CAST(n AS BIGINT) AS n_obs,
+             |  CAST(round(1000.0*b1o) AS BIGINT) AS ols_b1_milli,
+             |  CAST(round(1000.0*b2o) AS BIGINT) AS ols_b2_milli,
+             |  CAST(round(1000.0*b1r) AS BIGINT) AS ridge_b1_milli,
+             |  CAST(round(1000.0*b2r) AS BIGINT) AS ridge_b2_milli,
+             |  CAST(round(1000000 * (1 - (abs(b1r)+abs(b2r))
+             |    / (abs(b1o)+abs(b2o)))) AS BIGINT) AS shrinkage_micro
+             |FROM b""".stripMargin))
   )
 }

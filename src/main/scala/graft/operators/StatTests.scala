@@ -588,7 +588,92 @@ object StatTests {
              |       * (CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy))) AS BIGINT) AS bp_lm_milli
              |FROM m2""".stripMargin))
   ) :+ gumbelDef :+ kupiecDef :+ pageHinkleyDef :+ bartlettDef :+
-    rateRatioDef :+ periodogramDef :+ kendallWDef
+    rateRatioDef :+ periodogramDef :+ kendallWDef :+ huberStepDef
+
+  /** One Huber IRLS step on the daily revenue-vs-day-index regression —
+    * the robust-regression kernel beside q_ransac_fit's consensus form:
+    * fit OLS, down-weight every day whose residual exceeds c·σ
+    * (c = 1.345, the 95%-efficiency constant) by w = c·σ/|r|, refit
+    * with the weighted moments. Weights micro-quantize per day BEFORE
+    * the weighted sums (house rule; the |r| ≤ c·σ branch never divides,
+    // so a perfect fit cannot 0/0); both fits close over exact 128-bit
+    * moment sums of the ≤ #days calendar frame (q_durbin_watson
+    * convention for the day indexing). */
+  private def huberStepDef = QueryDef(
+    "q_huber_step",
+    (s, d) => {
+      val idx = dailyIdx(s, d)
+      val m = idx.agg(
+        count(lit(1)).as("n"),
+        sum(expr("CAST(i AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(i AS DECIMAL(38,0))*i")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+        sum(expr("CAST(i AS DECIMAL(38,0))*y")).as("sxy"),
+        sum(expr("CAST(y AS DECIMAL(38,0))*y")).as("syy"))
+        .select(col("n"),
+          expr("""(CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+                 |/ (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)"""
+            .stripMargin).as("b"),
+          expr("CAST(sy AS DOUBLE)/n").as("my"),
+          expr("CAST(sx AS DOUBLE)/n").as("mx"),
+          expr("""sqrt((CAST(syy AS DOUBLE)
+                 |  - (CAST(sy AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sxy)
+                 |    / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) * sy
+                 |  - (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+                 |    / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) * sxy)
+                 |  / (n - 2))""".stripMargin).as("sig"))
+      val w = idx.crossJoin(broadcast(m))
+        .select(col("i"), col("y"), col("n"), col("b"), col("sig"),
+          expr("abs(y - (my - b*mx) - b*i)").as("ar"))
+        .select(col("i"), col("y"), col("n"), col("b"),
+          expr("""CASE WHEN ar <= 1.345 * sig THEN 1000000
+                 |ELSE CAST(round(1000000 * 1.345 * sig / ar) AS BIGINT) END"""
+            .stripMargin).as("w"))
+      w.agg(max("n").as("n"), max("b").as("b0"),
+          sum(when(col("w") < 1000000L, 1L).otherwise(0L)).as("nd"),
+          sum(expr("CAST(w AS DECIMAL(38,0))")).as("swn"),
+          sum(expr("CAST(w AS DECIMAL(38,0))*i")).as("swx"),
+          sum(expr("CAST(w AS DECIMAL(38,0))*i*i")).as("swxx"),
+          sum(expr("CAST(w AS DECIMAL(38,0))*y")).as("swy"),
+          sum(expr("CAST(w AS DECIMAL(38,0))*i*y")).as("swxy"))
+        .select(col("n").cast("long").as("n_days"),
+          col("nd").cast("long").as("n_downweighted"),
+          expr("CAST(round(1000.0 * b0) AS BIGINT)").as("ols_slope_milli"),
+          expr("""CAST(round(1000.0 *
+                 |  (CAST(swn AS DOUBLE)*CAST(swxy AS DOUBLE)
+                 |    - CAST(swx AS DOUBLE)*CAST(swy AS DOUBLE))
+                 |  / (CAST(swn AS DOUBLE)*CAST(swxx AS DOUBLE)
+                 |    - CAST(swx AS DOUBLE)*CAST(swx AS DOUBLE))) AS BIGINT)"""
+            .stripMargin).as("huber_slope_milli"))
+    },
+    Some(s"""WITH $dailyIdxSql,
+           |mm AS ($momSql FROM idx),
+           |fit AS (SELECT n,
+           |    (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+           |      / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) AS b,
+           |    CAST(sy AS DOUBLE)/n AS my, CAST(sx AS DOUBLE)/n AS mx,
+           |    sqrt($sseSql / (n - 2)) AS sig
+           |  FROM mm),
+           |w AS (SELECT i, y, fit.n, fit.b,
+           |    CASE WHEN abs(y - (my - b*mx) - b*i) <= 1.345 * sig THEN 1000000
+           |      ELSE CAST(round(1000000 * 1.345 * sig / abs(y - (my - b*mx) - b*i)) AS BIGINT)
+           |    END AS w
+           |  FROM idx CROSS JOIN fit),
+           |a AS (SELECT max(n) AS n, max(b) AS b0,
+           |    sum(CASE WHEN w < 1000000 THEN 1 ELSE 0 END) AS nd,
+           |    sum(CAST(w AS HUGEINT)) AS swn, sum(CAST(w AS HUGEINT)*i) AS swx,
+           |    sum(CAST(w AS HUGEINT)*i*i) AS swxx, sum(CAST(w AS HUGEINT)*y) AS swy,
+           |    sum(CAST(w AS HUGEINT)*i*y) AS swxy
+           |  FROM w)
+           |SELECT CAST(n AS BIGINT) AS n_days, CAST(nd AS BIGINT) AS n_downweighted,
+           |  CAST(round(1000.0 * b0) AS BIGINT) AS ols_slope_milli,
+           |  CAST(round(1000.0 *
+           |    (CAST(swn AS DOUBLE)*CAST(swxy AS DOUBLE)
+           |      - CAST(swx AS DOUBLE)*CAST(swy AS DOUBLE))
+           |    / (CAST(swn AS DOUBLE)*CAST(swxx AS DOUBLE)
+           |      - CAST(swx AS DOUBLE)*CAST(swx AS DOUBLE))) AS BIGINT)
+           |    AS huber_slope_milli
+           |FROM a""".stripMargin))
 
   /** Bartlett's variance-homogeneity test across the five event types —
     * the higher-power companion to q_levene (Bartlett is exact under

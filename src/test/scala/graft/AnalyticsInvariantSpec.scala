@@ -1083,4 +1083,62 @@ class AnalyticsInvariantSpec extends SparkSpec {
         row.toString)
     }
   }
+
+  test("q_sttr: per-block TTR bounded by 1, every source represented") {
+    val r = rows("q_sttr")
+    assert(r.nonEmpty)
+    for (row <- r) {
+      assert(row.getAs[Long]("n_blocks") >= 1L, row.toString)
+      val sttr = row.getAs[Long]("sttr_micro")
+      // ≤ 25 types in a 25-token block ⇒ STTR ∈ (0, 1]
+      assert(sttr > 0L && sttr <= 1000000L, row.toString)
+    }
+  }
+
+  test("q_ngram_contamination: contaminated docs bounded by test docs, rates on [0,1]") {
+    val r = rows("q_ngram_contamination")
+    assert(r.nonEmpty)
+    for (row <- r) {
+      val docs = row.getAs[Long]("n_test_docs")
+      val cont = row.getAs[Long]("n_contaminated")
+      assert(docs >= 1L && cont >= 0L && cont <= docs, row.toString)
+      val hit = row.getAs[Long]("gram_hit_micro")
+      assert(hit >= 0L && hit <= 1000000L, row.toString)
+      // a doc with zero hits cannot carry a positive rate and vice versa:
+      // if nothing is contaminated the hit mass must be zero
+      if (cont == 0L) assert(hit == 0L, row.toString)
+    }
+  }
+
+  test("q_atkinson: index on [0,1) and zero only when all revenues equal") {
+    val r = rows("q_atkinson").head
+    assert(r.getAs[Long]("n_customers") > 1L)
+    assert(r.getAs[Long]("mean_cents") > 0L)
+    val a = r.getAs[Long]("atkinson_micro")
+    // AM-GM: geomean <= mean, so A >= 0 (up to one micro of quantization)
+    assert(a >= -1L && a < 1000000L, r.toString)
+  }
+
+  test("q_huber_step: weights only shrink the slope's variance side — both fits finite") {
+    val r = rows("q_huber_step").head
+    assert(r.getAs[Long]("n_days") > 4L)
+    assert(r.getAs[Long]("n_downweighted") >= 0L &&
+      r.getAs[Long]("n_downweighted") < r.getAs[Long]("n_days"), r.toString)
+    // a robust step cannot blow the slope up by orders of magnitude on a
+    // stationary fixture
+    val o = r.getAs[Long]("ols_slope_milli")
+    val h = r.getAs[Long]("huber_slope_milli")
+    assert(math.abs(h - o) <= math.abs(o) + 100000L, r.toString)
+  }
+
+  test("q_ridge_closed: shrinkage nonnegative and coefficients move toward zero") {
+    val r = rows("q_ridge_closed").head
+    assert(r.getAs[Long]("n_obs") > 2L)
+    val s = r.getAs[Long]("shrinkage_micro")
+    assert(s >= 0L && s <= 1000000L, r.toString)
+    assert(math.abs(r.getAs[Long]("ridge_b1_milli")) +
+      math.abs(r.getAs[Long]("ridge_b2_milli")) <=
+      math.abs(r.getAs[Long]("ols_b1_milli")) +
+        math.abs(r.getAs[Long]("ols_b2_milli")) + 2L, r.toString)
+  }
 }

@@ -30,6 +30,44 @@ class ArtifactSpec extends SparkSpec {
     assert(d3 != d1 && calls.get() == 2)
   }
 
+  test("artifact builders compose: a build may call dirFor on another key") {
+    // the LPA label build reads the co-purchase artifact — nested
+    // dirFor used to throw IllegalStateException("Recursive update")
+    // under the old computeIfAbsent locking whenever the dependent
+    // artifact was the first builder on a fresh dataset
+    val calls = new AtomicInteger(0)
+    val outer = Artifacts.dirFor("spec:nested-outer", { dir =>
+      val inner = Artifacts.dirFor("spec:nested-inner", { d2 =>
+        calls.incrementAndGet()
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d2))
+      })
+      assert(new java.io.File(inner).isDirectory)
+      calls.incrementAndGet()
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    })
+    assert(new java.io.File(outer).isDirectory && calls.get() == 2)
+  }
+
+  test("a throwing build deletes its partial output, so the retry's write cannot collide") {
+    val calls = new AtomicInteger(0)
+    intercept[RuntimeException] {
+      Artifacts.dirFor("spec:partial", { dir =>
+        calls.incrementAndGet()
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(dir, "part"), "half-written")
+        throw new RuntimeException("boom mid-write")
+      })
+    }
+    val retried = Artifacts.dirFor("spec:partial", { dir =>
+      calls.incrementAndGet()
+      assert(!new java.io.File(dir, "part").exists(),
+        "partial output survived the failed build")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    })
+    assert(new java.io.File(retried).isDirectory && calls.get() == 2)
+  }
+
   test("a throwing build leaves no mapping, so the next caller retries") {
     val calls = new AtomicInteger(0)
     intercept[RuntimeException] {

@@ -340,7 +340,11 @@ class PlanAuditSpec extends SparkSpec {
       // q_gini_customer: withGlobalRowNumber's ≤ #shuffle-partitions
       // offset prefix-sum (the revenue rank itself rides the range
       // shuffle — q_coverage_curve convention)
-      "q_gini_customer")
+      "q_gini_customer",
+      // q_huber_step: the shared dailyIdx day-index row_number rides
+      // the ≤ #days calendar frame after one map-combined daily sum
+      // (q_durbin_watson convention)
+      "q_huber_step")
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !allowed(name)
       w = fn(spark, sf).queryExecution.optimizedPlan.collect {
