@@ -6164,7 +6164,52 @@ object Behavioral {
              |  CAST(sx // n AS BIGINT) AS mean_cents,
              |  CAST(round(1000000 * (1 - exp(sl/1e9/n)
              |    / (CAST(sx AS DOUBLE)/n))) AS BIGINT) AS atkinson_micro
-             |FROM a""".stripMargin))
+             |FROM a""".stripMargin)),
+
+    // half-life time-decay popularity per part — the feature-store
+    // scoring every "trending items" surface runs: each sale's weight
+    // halves per 30 days of age, anchored at the corpus max ship date
+    // (reproducible — wall-clock NOW would make the score unstable).
+    // The decay is the EXACT integer 10⁶ ≫ (age div 30) — a bit shift,
+    // not exp(−age/τ): a smooth exponential's last nano digit rides
+    // each engine's libm (Spark and DuckDB exp() disagree by 1 ulp on
+    // real inputs — measured: one boundary age flipped the sf0.01
+    // hash), while the stepped half-life is engine-free arithmetic
+    // with the same decay law. Per-row terms are exact micro integers
+    // summed exactly; the anchor rides a broadcast 1-row frame. Top-15
+    // with the raw sale count alongside — the pair shows WHERE decay
+    // reorders raw popularity.
+    QueryDef(
+      "q_decay_popularity",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_partkey"),
+          datediff(col("l_shipdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("t"))
+        val anchor = li.agg(max("t").as("t0"))
+        li.crossJoin(broadcast(anchor))
+          .select(col("l_partkey"),
+            expr("""1000000 div shiftleft(CAST(1 AS BIGINT),
+                   |  CAST(least((t0 - t) div 30, 62) AS INT))""".stripMargin)
+              .as("s"))
+          .groupBy("l_partkey")
+          .agg(count(lit(1)).as("n_sales"), sum("s").as("score"))
+          .select(col("l_partkey").cast("long").as("part_id"),
+            col("n_sales").cast("long").as("n_sales"),
+            col("score").cast("long").as("decay_score_micro"))
+          .orderBy(col("decay_score_micro").desc, col("part_id")).limit(15)
+      },
+      Some("""WITH li AS (SELECT l_partkey,
+             |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS t
+             |  FROM lineitem),
+             |a AS (SELECT max(t) AS t0 FROM li),
+             |sc AS (SELECT l_partkey,
+             |    1000000 // (CAST(1 AS BIGINT) << least((t0 - t) // 30, 62)) AS s
+             |  FROM li CROSS JOIN a)
+             |SELECT CAST(l_partkey AS BIGINT) AS part_id,
+             |  count(*) AS n_sales,
+             |  CAST(sum(s) AS BIGINT) AS decay_score_micro
+             |FROM sc GROUP BY 1
+             |ORDER BY decay_score_micro DESC, part_id LIMIT 15""".stripMargin))
   )
 
   /** Fixed-point absorbing-chain oracle — twenty unrolled Neumann steps

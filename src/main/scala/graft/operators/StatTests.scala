@@ -588,7 +588,55 @@ object StatTests {
              |       * (CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy))) AS BIGINT) AS bp_lm_milli
              |FROM m2""".stripMargin))
   ) :+ gumbelDef :+ kupiecDef :+ pageHinkleyDef :+ bartlettDef :+
-    rateRatioDef :+ periodogramDef :+ kendallWDef :+ huberStepDef
+    rateRatioDef :+ periodogramDef :+ kendallWDef :+ huberStepDef :+
+    negbinFitDef
+
+  /** Method-of-moments negative-binomial fit on per-user event counts —
+    * the overdispersion diagnostic that decides whether per-user
+    * activity is Poisson (σ² ≈ μ: one rate fits everyone) or NB
+    * (σ² > μ: heterogeneous users, and r = μ²/(σ²−μ) says HOW
+    * heterogeneous — the Gamma mixing shape behind BG/NBD-style CLV
+    * models). One user-grouped count + one exact-moment aggregate; the
+    * fit is a mirrored IEEE closed form over the exact sums, with the
+    * σ² ≤ μ equidispersed case reported as r = 0 instead of a division
+    * blow-up. */
+  private def negbinFitDef = QueryDef(
+    "q_negbin_fit",
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy("user_id").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(c AS DECIMAL(38,0))")).as("s1"),
+          sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("s2"))
+        .select(col("n"), expr("CAST(s1 AS DOUBLE)/n").as("mu"),
+          expr("""(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/n)
+                 |/ (n - 1)""".stripMargin).as("v"))
+        .select(col("n").cast("long").as("n_users"),
+          expr("CAST(round(1000 * mu) AS BIGINT)").as("mean_milli"),
+          expr("CAST(round(1000 * v) AS BIGINT)").as("var_milli"),
+          expr("CAST(round(1000000 * v / mu) AS BIGINT)").as("dispersion_micro"),
+          expr("""CAST(CASE WHEN v <= mu THEN 0
+                 |ELSE round(1000 * mu * mu / (v - mu)) END AS BIGINT)"""
+            .stripMargin).as("nb_r_milli"),
+          expr("""CAST(CASE WHEN v <= mu THEN 1000000
+                 |ELSE round(1000000 * mu / v) END AS BIGINT)"""
+            .stripMargin).as("nb_p_micro"))
+    },
+    Some("""WITH u AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+           |m AS (SELECT count(*) AS n, sum(CAST(c AS HUGEINT)) AS s1,
+           |    sum(CAST(c AS HUGEINT) * c) AS s2 FROM u),
+           |f AS (SELECT n, CAST(s1 AS DOUBLE)/n AS mu,
+           |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/n)
+           |      / (n - 1) AS v FROM m)
+           |SELECT CAST(n AS BIGINT) AS n_users,
+           |  CAST(round(1000 * mu) AS BIGINT) AS mean_milli,
+           |  CAST(round(1000 * v) AS BIGINT) AS var_milli,
+           |  CAST(round(1000000 * v / mu) AS BIGINT) AS dispersion_micro,
+           |  CAST(CASE WHEN v <= mu THEN 0
+           |    ELSE round(1000 * mu * mu / (v - mu)) END AS BIGINT) AS nb_r_milli,
+           |  CAST(CASE WHEN v <= mu THEN 1000000
+           |    ELSE round(1000000 * mu / v) END AS BIGINT) AS nb_p_micro
+           |FROM f""".stripMargin))
 
   /** One Huber IRLS step on the daily revenue-vs-day-index regression —
     * the robust-regression kernel beside q_ransac_fit's consensus form:

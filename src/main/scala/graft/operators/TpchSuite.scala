@@ -763,6 +763,45 @@ object TpchSuite {
              |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
              |      AND CAST(l3.l_shipdate AS TIMESTAMP)
              |          > CAST(o_orderdate AS TIMESTAMP) + INTERVAL 90 DAY)
-             |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin))
+             |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)),
+
+    // Q5: local-supplier volume — revenue from lineitems where the
+    // customer and the supplier sit in the SAME nation, by nation, one
+    // order year. The classic 6-way snowflake join: lineitem drives,
+    // orders filters the year, customer/supplier bring their nation
+    // keys (the equality c_nationkey = s_nationkey IS the query), and
+    // the nation/region dims broadcast. Completes the suite's TPC-H
+    // coverage (Q1-Q22 minus the ones the fixture's columns cannot
+    // express). Revenue in exact integer cents.
+    QueryDef(
+      "q_tpch_q5",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .where(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+          .select("o_orderkey", "o_custkey")
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"), revCents().as("cents"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+            col("o_custkey") === col("c_custkey"))
+          .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(sum("cents").as("revenue_c"))
+          .orderBy(col("revenue_c").desc, col("n_name"))
+      },
+      Some(s"""SELECT n_name, CAST(sum($revCentsSql) AS BIGINT) AS revenue_c
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |WHERE CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1997-01-01 00:00:00'
+             |GROUP BY 1 ORDER BY revenue_c DESC, n_name""".stripMargin))
   )
 }

@@ -1131,6 +1131,35 @@ class AnalyticsInvariantSpec extends SparkSpec {
     assert(math.abs(h - o) <= math.abs(o) + 100000L, r.toString)
   }
 
+  test("q_negbin_fit: dispersion consistent with the r/p branch taken") {
+    val r = rows("q_negbin_fit").head
+    assert(r.getAs[Long]("n_users") > 1L)
+    val disp = r.getAs[Long]("dispersion_micro")
+    val nbR = r.getAs[Long]("nb_r_milli")
+    val nbP = r.getAs[Long]("nb_p_micro")
+    assert(disp > 0L, r.toString)
+    if (disp > 1000000L) {
+      // overdispersed: a real NB fit with p = mu/v on (0,1)
+      assert(nbR > 0L && nbP > 0L && nbP < 1000000L, r.toString)
+    } else {
+      // equidispersed fallback: r = 0 sentinel, p = 1
+      assert(nbR == 0L && nbP == 1000000L, r.toString)
+    }
+  }
+
+  test("q_decay_popularity: decayed score never exceeds fresh-sale mass") {
+    val r = rows("q_decay_popularity")
+    assert(r.nonEmpty && r.size <= 15)
+    val sc = r.map(_.getAs[Long]("decay_score_micro"))
+    assert(sc.zip(sc.tail).forall { case (a, b) => a >= b }, sc.toString)
+    for (row <- r) {
+      // each sale contributes at most 1e6 (age 0) and at least 0
+      assert(row.getAs[Long]("decay_score_micro") <=
+        row.getAs[Long]("n_sales") * 1000000L, row.toString)
+      assert(row.getAs[Long]("decay_score_micro") >= 0L, row.toString)
+    }
+  }
+
   test("q_ridge_closed: shrinkage nonnegative and coefficients move toward zero") {
     val r = rows("q_ridge_closed").head
     assert(r.getAs[Long]("n_obs") > 2L)
