@@ -6209,7 +6209,48 @@ object Behavioral {
              |  count(*) AS n_sales,
              |  CAST(sum(s) AS BIGINT) AS decay_score_micro
              |FROM sc GROUP BY 1
-             |ORDER BY decay_score_micro DESC, part_id LIMIT 15""".stripMargin))
+             |ORDER BY decay_score_micro DESC, part_id LIMIT 15""".stripMargin)),
+
+    // UCB1 bandit scores over the event types as arms (reward = the
+    // value > 250 conversion indicator, the bounded-[0,1] reward UCB1's
+    // regret bound assumes) — the exploration-bonus ranking a
+    // batch-updated bandit serves from: ucb = x̄ⱼ + √(2·ln N / nⱼ).
+    // This is the SCORING step of the bandit loop (the arm-pull side is
+    // a serving-time concern, not a batch query); the analytics
+    // pipeline's job is to recompute these scores per batch. One
+    // conditional-count pass, the total a broadcast 1-row frame, one
+    // mirrored IEEE form per arm over exact (k, n) integers. On the
+    // type-independent fixture all means tie ⇒ the bonus term alone
+    // ranks arms by inverse pull count: the honest cold-start read.
+    QueryDef(
+      "q_ucb1",
+      (s, d) => {
+        val arms = Tables.events(s, d).where(col("value").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            count(when(col("value") > 250, 1)).as("k"))
+        val tot = arms.agg(sum("n").as("nn"))
+        arms.crossJoin(broadcast(tot))
+          .select(col("event_type").as("arm"),
+            col("n").cast("long").as("pulls"),
+            col("k").cast("long").as("successes"),
+            expr("CAST((1000 * k) div n AS BIGINT)").as("mean_milli"),
+            expr("""CAST(round(1000 * (CAST(k AS DOUBLE)/n
+                   |  + sqrt(2 * ln(CAST(nn AS DOUBLE)) / n))) AS BIGINT)"""
+              .stripMargin).as("ucb_milli"))
+          .orderBy(col("ucb_milli").desc, col("arm"))
+      },
+      Some("""WITH arms AS (SELECT event_type, count(*) AS n,
+             |    count(*) FILTER (WHERE value > 250) AS k
+             |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+             |t AS (SELECT sum(n) AS nn FROM arms)
+             |SELECT event_type AS arm, CAST(n AS BIGINT) AS pulls,
+             |  CAST(k AS BIGINT) AS successes,
+             |  CAST((1000 * k) // n AS BIGINT) AS mean_milli,
+             |  CAST(round(1000 * (CAST(k AS DOUBLE)/n
+             |    + sqrt(2 * ln(CAST(nn AS DOUBLE)) / n))) AS BIGINT) AS ucb_milli
+             |FROM arms CROSS JOIN t
+             |ORDER BY ucb_milli DESC, arm""".stripMargin))
   )
 
   /** Fixed-point absorbing-chain oracle — twenty unrolled Neumann steps

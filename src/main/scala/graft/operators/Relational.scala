@@ -2441,6 +2441,53 @@ object Relational {
              |  CAST(cnt * 1000000 // (SELECT n FROM n) AS BIGINT) AS share_micro,
              |  CAST(cnt * 100000000 // (SELECT n FROM n) // 1000 AS BIGINT)
              |    AS lift_vs_uniform_milli
-             |FROM g ORDER BY cnt DESC, ending LIMIT 10""".stripMargin))
+             |FROM g ORDER BY cnt DESC, ending LIMIT 10""".stripMargin)),
+
+    // join-cardinality estimation audit: the textbook optimizer
+    // estimate |A⋈B| ≈ n_A·n_B / max(d_A, d_B) for orders⋈lineitem on
+    // the order key, against the EXACT output size Σ_k c_A(k)·c_B(k) —
+    // the number every cost-based planner bets its join order on, here
+    // made inspectable (a ratio far from 1 on YOUR keys means the
+    // uniform-frequency assumption is lying and broadcast/shuffle
+    // decisions inherit the error). Exact side is one key-count join
+    // (both sides pre-aggregated to skinny (key, count) tables, shuffle
+    // ∝ distinct keys, never the raw rows); products widen through
+    // DECIMAL(38,0).
+    QueryDef(
+      "q_join_size_est",
+      (s, d) => {
+        val a = Tables.orders(s, d).groupBy("o_orderkey")
+          .agg(count(lit(1)).as("ca"))
+        val b = Tables.lineitem(s, d).groupBy(col("l_orderkey").as("o_orderkey"))
+          .agg(count(lit(1)).as("cb"))
+        val sa = a.agg(sum("ca").as("na"), count(lit(1)).as("da"))
+        val sb = b.agg(sum("cb").as("nb"), count(lit(1)).as("db"))
+        val actual = a.join(b, "o_orderkey")
+          .agg(sum(expr("CAST(ca AS DECIMAL(38,0)) * cb")).as("act"))
+        sa.crossJoin(broadcast(sb)).crossJoin(broadcast(actual))
+          .select(col("na").cast("long").as("n_orders"),
+            col("nb").cast("long").as("n_lineitems"),
+            col("da").cast("long").as("d_orders"),
+            col("db").cast("long").as("d_lineitem_keys"),
+            expr("""CAST((CAST(na AS DECIMAL(38,0)) * nb)
+                   |  div greatest(da, db) AS BIGINT)""".stripMargin).as("est_rows"),
+            col("act").cast("long").as("actual_rows"),
+            expr("""CAST((1000 * (CAST(na AS DECIMAL(38,0)) * nb)
+                   |  div greatest(da, db)) div act AS BIGINT)""".stripMargin)
+              .as("est_over_actual_milli"))
+      },
+      Some("""WITH a AS (SELECT o_orderkey, count(*) AS ca FROM orders GROUP BY 1),
+             |b AS (SELECT l_orderkey AS o_orderkey, count(*) AS cb FROM lineitem GROUP BY 1),
+             |sa AS (SELECT sum(ca) AS na, count(*) AS da FROM a),
+             |sb AS (SELECT sum(cb) AS nb, count(*) AS db FROM b),
+             |act AS (SELECT sum(CAST(ca AS HUGEINT) * cb) AS act
+             |        FROM a JOIN b USING (o_orderkey))
+             |SELECT CAST(na AS BIGINT) AS n_orders, CAST(nb AS BIGINT) AS n_lineitems,
+             |  CAST(da AS BIGINT) AS d_orders, CAST(db AS BIGINT) AS d_lineitem_keys,
+             |  CAST((CAST(na AS HUGEINT) * nb) // greatest(da, db) AS BIGINT) AS est_rows,
+             |  CAST(act AS BIGINT) AS actual_rows,
+             |  CAST((1000 * (CAST(na AS HUGEINT) * nb) // greatest(da, db)) // act AS BIGINT)
+             |    AS est_over_actual_milli
+             |FROM sa CROSS JOIN sb CROSS JOIN act""".stripMargin))
   )
 }

@@ -1160,6 +1160,31 @@ class AnalyticsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("q_ucb1: every arm's UCB strictly exceeds its mean; pulls partition the total") {
+    val r = rows("q_ucb1")
+    assert(r.nonEmpty)
+    val ucb = r.map(_.getAs[Long]("ucb_milli"))
+    assert(ucb.zip(ucb.tail).forall { case (a, b) => a >= b }, ucb.toString)
+    val total = r.map(_.getAs[Long]("pulls")).sum
+    for (row <- r) {
+      assert(row.getAs[Long]("ucb_milli") > row.getAs[Long]("mean_milli"),
+        row.toString) // the exploration bonus is strictly positive
+      assert(row.getAs[Long]("successes") <= row.getAs[Long]("pulls"), row.toString)
+      assert(row.getAs[Long]("pulls") < total, row.toString)
+    }
+  }
+
+  test("q_join_size_est: exact join size at least the row count of the smaller side") {
+    val r = rows("q_join_size_est").head
+    val act = r.getAs[Long]("actual_rows")
+    // every lineitem has an order parent in the fixture, so the exact
+    // join size equals the lineitem count; the estimate shares the
+    // d = max(d_a, d_b) denominator and lands within rounding of it
+    assert(act == r.getAs[Long]("n_lineitems"), r.toString)
+    val ratio = r.getAs[Long]("est_over_actual_milli")
+    assert(ratio >= 900L && ratio <= 1100L, r.toString)
+  }
+
   test("q_ridge_closed: shrinkage nonnegative and coefficients move toward zero") {
     val r = rows("q_ridge_closed").head
     assert(r.getAs[Long]("n_obs") > 2L)
