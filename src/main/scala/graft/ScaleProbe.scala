@@ -270,7 +270,8 @@ object ScaleProbe {
       "q_kendall_w", "q_katz", "q_adamic_adar", "q_gini_customer",
       "q_croston", "q_sttr", "q_ngram_contamination", "q_atkinson",
       "q_huber_step", "q_ridge_closed", "q_tpch_q5", "q_negbin_fit",
-      "q_decay_popularity", "q_ucb1", "q_join_size_est")
+      "q_decay_popularity", "q_ucb1", "q_join_size_est",
+      "q_zonemap_prune", "q_bcg_matrix")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

@@ -6250,7 +6250,70 @@ object Behavioral {
              |  CAST(round(1000 * (CAST(k AS DOUBLE)/n
              |    + sqrt(2 * ln(CAST(nn AS DOUBLE)) / n))) AS BIGINT) AS ucb_milli
              |FROM arms CROSS JOIN t
-             |ORDER BY ucb_milli DESC, arm""".stripMargin))
+             |ORDER BY ucb_milli DESC, arm""".stripMargin)),
+
+    // BCG growth-share matrix per brand — split the shipping calendar
+    // at its midpoint date (deterministic, from min/max ship epochs),
+    // score each brand's recent-half revenue share against its
+    // half-over-half growth, and place it in the classic quadrant
+    // (star / cash_cow / question_mark / dog) using the natural
+    // thresholds: share above the uniform 1/|brands| line, growth above
+    // 1.0. The portfolio readout that q_market_share_trend's monthly
+    // series feeds in practice, here as one self-contained exact-cents
+    // aggregate: one lineitem pass splits the halves conditionally, the
+    // part dim broadcasts, totals ride 1-row broadcasts.
+    QueryDef(
+      "q_bcg_matrix",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+            col("p_partkey") === col("l_partkey"))
+          .select(col("p_brand").as("brand"),
+            datediff(col("l_shipdate").cast("date"),
+              lit("1970-01-01").cast("date")).cast("long").as("t"),
+            expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+              .as("cents"))
+        val span = li.agg(min("t").as("t0"), max("t").as("t1"))
+        val b = li.crossJoin(broadcast(span))
+          .groupBy("brand")
+          .agg(sum(when(expr("t * 2 >= t0 + t1"),
+              expr("CAST(cents AS DECIMAL(38,0))")).otherwise(lit(0))).as("r2"),
+            sum(when(expr("t * 2 < t0 + t1"),
+              expr("CAST(cents AS DECIMAL(38,0))")).otherwise(lit(0))).as("r1"))
+        val tot = b.agg(sum("r2").as("tr2"), count(lit(1)).as("nb"))
+        b.crossJoin(broadcast(tot))
+          .select(col("brand"),
+            expr("CAST(r2 AS BIGINT)").as("recent_cents"),
+            expr("CAST((1000000 * r2) div tr2 AS BIGINT)").as("share_micro"),
+            expr("CAST((1000 * r2) div greatest(r1, 1) AS BIGINT)").as("growth_milli"),
+            expr("""CASE
+                   |  WHEN (1000000 * r2) div tr2 >= 1000000 div nb
+                   |   AND (1000 * r2) div greatest(r1, 1) >= 1000 THEN 'star'
+                   |  WHEN (1000000 * r2) div tr2 >= 1000000 div nb THEN 'cash_cow'
+                   |  WHEN (1000 * r2) div greatest(r1, 1) >= 1000 THEN 'question_mark'
+                   |  ELSE 'dog' END""".stripMargin).as("quadrant"))
+          .orderBy("brand")
+      },
+      Some("""WITH li AS (SELECT p.p_brand AS brand,
+             |    CAST(CAST(l.l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+             |    CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT) AS cents
+             |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+             |sp AS (SELECT min(t) AS t0, max(t) AS t1 FROM li),
+             |b AS (SELECT brand,
+             |    sum(CASE WHEN t * 2 >= t0 + t1 THEN CAST(cents AS HUGEINT) ELSE 0 END) AS r2,
+             |    sum(CASE WHEN t * 2 < t0 + t1 THEN CAST(cents AS HUGEINT) ELSE 0 END) AS r1
+             |  FROM li CROSS JOIN sp GROUP BY 1),
+             |t AS (SELECT sum(r2) AS tr2, count(*) AS nb FROM b)
+             |SELECT brand, CAST(r2 AS BIGINT) AS recent_cents,
+             |  CAST((1000000 * r2) // tr2 AS BIGINT) AS share_micro,
+             |  CAST((1000 * r2) // greatest(r1, 1) AS BIGINT) AS growth_milli,
+             |  CASE
+             |    WHEN (1000000 * r2) // tr2 >= 1000000 // nb
+             |     AND (1000 * r2) // greatest(r1, 1) >= 1000 THEN 'star'
+             |    WHEN (1000000 * r2) // tr2 >= 1000000 // nb THEN 'cash_cow'
+             |    WHEN (1000 * r2) // greatest(r1, 1) >= 1000 THEN 'question_mark'
+             |    ELSE 'dog' END AS quadrant
+             |FROM b CROSS JOIN t ORDER BY brand""".stripMargin))
   )
 
   /** Fixed-point absorbing-chain oracle — twenty unrolled Neumann steps

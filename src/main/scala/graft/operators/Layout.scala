@@ -97,6 +97,59 @@ object Layout {
              |    CAST(((user_id % 1024) + 1024) % 1024 AS INT) AS zx,
              |    CAST(((CAST(round(value * 100) AS BIGINT) % 1024) + 1024) % 1024 AS INT) AS zy
              |  FROM events)
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // zone-map pruning simulation — the number that justifies a sort
+    // layout at 100 TB: bucket the purchase stream into 64 equal
+    // "files" under (a) natural insertion order and (b) value-sorted
+    // order, record each file's min/max value (exactly the parquet
+    // row-group zone map), and count how many files a 1%-band predicate
+    // [25000, 26000) cents must scan under each layout. Natural order
+    // scatters the band across ~every file (zone maps useless); the
+    // sorted layout confines it to ~1 file — the measured gap IS the
+    // argument for value-clustering this column. File assignment is
+    // GlobalOrder's closed-form ntile over the range shuffle (rows are
+    // data-sized; the oracle uses native ntile over the same total
+    // orders — the q_global_order equivalence proof covers this).
+    QueryDef(
+      "q_zonemap_prune",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .where(col("event_type") === "purchase" && col("value").isNotNull)
+          .select(col("event_id"),
+            expr("CAST(round(value*100) AS BIGINT)").as("c"))
+        def scanned(files: DataFrame, layout: String) = files
+          .groupBy("f").agg(min("c").as("lo"), max("c").as("hi"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(when(col("lo") < 26000L && col("hi") >= 25000L, 1L)
+              .otherwise(0L)).as("files_scanned"))
+          .select(lit(layout).as("layout"), col("n_files").cast("long").as("n_files"),
+            col("files_scanned").cast("long").as("files_scanned"),
+            expr("CAST((1000000 * files_scanned) div n_files AS BIGINT)")
+              .as("scan_share_micro"))
+        val nat = GlobalOrder.withGlobalNtile(ev,
+          Seq(col("event_id").asc), 64, "f")
+        val srt = GlobalOrder.withGlobalNtile(ev,
+          Seq(col("c").asc, col("event_id").asc), 64, "f")
+        scanned(nat, "natural").unionByName(scanned(srt, "value_sorted"))
+          .orderBy("layout")
+      },
+      Some("""WITH ev AS (SELECT event_id, CAST(round(value*100) AS BIGINT) AS c
+             |    FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+             |nat AS (SELECT c, ntile(64) OVER (ORDER BY event_id) AS f FROM ev),
+             |srt AS (SELECT c, ntile(64) OVER (ORDER BY c, event_id) AS f FROM ev),
+             |zn AS (SELECT f, min(c) AS lo, max(c) AS hi FROM nat GROUP BY 1),
+             |zs AS (SELECT f, min(c) AS lo, max(c) AS hi FROM srt GROUP BY 1),
+             |a AS (SELECT 'natural' AS layout, count(*) AS n_files,
+             |    sum(CASE WHEN lo < 26000 AND hi >= 25000 THEN 1 ELSE 0 END) AS files_scanned
+             |  FROM zn
+             |  UNION ALL
+             |  SELECT 'value_sorted', count(*),
+             |    sum(CASE WHEN lo < 26000 AND hi >= 25000 THEN 1 ELSE 0 END)
+             |  FROM zs)
+             |SELECT layout, CAST(n_files AS BIGINT) AS n_files,
+             |  CAST(files_scanned AS BIGINT) AS files_scanned,
+             |  CAST((1000000 * files_scanned) // n_files AS BIGINT) AS scan_share_micro
+             |FROM a ORDER BY layout""".stripMargin))
   )
 }

@@ -1160,6 +1160,43 @@ class AnalyticsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("q_zonemap_prune: the sorted layout never scans more files than natural order") {
+    val r = rows("q_zonemap_prune")
+    assert(r.size == 2)
+    val by = r.map(x => x.getAs[String]("layout") -> x).toMap
+    val nat = by("natural")
+    val srt = by("value_sorted")
+    assert(nat.getAs[Long]("n_files") == 64L && srt.getAs[Long]("n_files") == 64L)
+    // sorting on the filter column confines a value band to contiguous
+    // files; insertion order cannot do better
+    assert(srt.getAs[Long]("files_scanned") <= nat.getAs[Long]("files_scanned"),
+      r.toString)
+    for (row <- r) {
+      val scanned = row.getAs[Long]("files_scanned")
+      assert(scanned >= 0L && scanned <= 64L, row.toString)
+    }
+  }
+
+  test("q_bcg_matrix: quadrant labels consistent with the share/growth thresholds") {
+    val r = rows("q_bcg_matrix")
+    assert(r.nonEmpty)
+    val shareSum = r.map(_.getAs[Long]("share_micro")).sum
+    // shares partition the recent half (up to one micro per brand of div loss)
+    assert(shareSum <= 1000000L && shareSum >= 1000000L - r.size, shareSum.toString)
+    val uniform = 1000000L / r.size
+    for (row <- r) {
+      val hiShare = row.getAs[Long]("share_micro") >= uniform
+      val hiGrowth = row.getAs[Long]("growth_milli") >= 1000L
+      val want = (hiShare, hiGrowth) match {
+        case (true, true) => "star"
+        case (true, false) => "cash_cow"
+        case (false, true) => "question_mark"
+        case _ => "dog"
+      }
+      assert(row.getAs[String]("quadrant") == want, row.toString)
+    }
+  }
+
   test("q_ucb1: every arm's UCB strictly exceeds its mean; pulls partition the total") {
     val r = rows("q_ucb1")
     assert(r.nonEmpty)

@@ -344,7 +344,12 @@ class PlanAuditSpec extends SparkSpec {
       // q_huber_step: the shared dailyIdx day-index row_number rides
       // the ≤ #days calendar frame after one map-combined daily sum
       // (q_durbin_watson convention)
-      "q_huber_step")
+      "q_huber_step",
+      // q_zonemap_prune: two withGlobalNtile offset prefix-sums (one
+      // per layout), same ≤ #shuffle-partitions bound as the
+      // GlobalOrder family — the file assignment itself rides the two
+      // range shuffles
+      "q_zonemap_prune")
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !allowed(name)
       w = fn(spark, sf).queryExecution.optimizedPlan.collect {
