@@ -2678,8 +2678,24 @@ object Curation {
     * the per-doc sum (q_mutual_info convention). Token INSTANCES
     * collapse to per-(doc, word) counts BEFORE the |classes| fan-out —
     * the score is Σ_w cnt·lp(w, cls), identical by distributivity, and
-    * the class explosion rides the much smaller distinct-word frame. */
-  private def nbScores(s: org.apache.spark.sql.SparkSession,
+    * the class explosion rides the much smaller distinct-word frame.
+    *
+    * The scored frame is published once per (JVM, dataset) via
+    * [[Artifacts.dirFor]] — at 100 TB a batch-scored table is exactly
+    * that, a table the confusion-matrix report and the labeling queue
+    * both read, not a train+score job each report re-runs.
+    * `ArtifactSpec` pins stored ≡ fresh. */
+  private[graft] def nbScores(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val dir = Artifacts.dirFor(s"nbscores:$d", { out =>
+      nbScoresRaw(s, d).write.parquet(s"$out/scores")
+    })
+    s.read.parquet(s"$dir/scores")
+  }
+
+  /** The uncached build path of [[nbScores]], kept callable for
+    * `ArtifactSpec`'s stored-≡-fresh proof. */
+  private[graft] def nbScoresRaw(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(s, d)
     val train = docs.where(expr("(doc_id div 20) % 2 = 0"))

@@ -177,6 +177,34 @@ object Release {
     s.read.parquet(s"$dir/labels")
   }
 
+  /** Per-node top-256-by-(w desc, q asc) capped adjacency (p, q) of the
+    * co-purchase graph — the production cap that bounds every
+    * wedge-walk's fan-out at seeds·256² regardless of scale, published
+    * once per (JVM, dataset) and shared by the link-prediction pair
+    * (q_link_predict's common-neighbor/Jaccard scores and
+    * q_adamic_adar's inverse-log-degree weighting read the SAME capped
+    * table; each used to pay the rank window over the full adjacency
+    * separately). `ArtifactSpec` pins stored ≡ fresh. */
+  private[graft] def cappedAdjacency(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val dir = Artifacts.dirFor(s"copurchase-cap256:$d", { out =>
+      cappedAdjacencyRaw(s, d).write.parquet(s"$out/nb")
+    })
+    s.read.parquet(s"$dir/nb")
+  }
+
+  /** The uncached build path of [[cappedAdjacency]], kept callable for
+    * `ArtifactSpec`'s stored-≡-fresh proof. */
+  private[graft] def cappedAdjacencyRaw(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val (e, _) = copurchaseGraph(s, d)
+    val nbAll = e.select(col("p1").as("p"), col("p2").as("q"), col("w"))
+      .unionAll(e.select(col("p2").as("p"), col("p1").as("q"), col("w")))
+    val wcap = Window.partitionBy("p").orderBy(col("w").desc, col("q").asc)
+    nbAll.withColumn("r", row_number().over(wcap))
+      .where(col("r") <= 256).select("p", "q")
+  }
+
   /** The uncached build path of [[copurchaseGraph]] — what the artifact
     * materializes. Kept callable so `ArtifactSpec` can prove the stored
     * tables equal a fresh derivation. */
@@ -838,11 +866,9 @@ object Release {
       "q_link_predict",
       (s, d) => {
         val (e, deg) = copurchaseGraph(s, d)
-        val nbAll = e.select(col("p1").as("p"), col("p2").as("q"), col("w"))
-          .unionAll(e.select(col("p2").as("p"), col("p1").as("q"), col("w")))
-        val wcap = Window.partitionBy("p").orderBy(col("w").desc, col("q").asc)
-        val nb = nbAll.withColumn("r", row_number().over(wcap))
-          .where(col("r") <= 256).select("p", "q")
+        // the capped adjacency is a published artifact shared with
+        // q_adamic_adar — the rank-window cap builds once per dataset
+        val nb = cappedAdjacency(s, d)
         val wedge = nb.where(col("p") < 100)
           .join(nb.select(col("p").as("q"), col("q").as("b")), "q")
           .where(col("b") > col("p"))
@@ -1024,12 +1050,9 @@ object Release {
       "q_clustering_coeff",
       (s, d) => {
         val (e, _) = copurchaseGraph(s, d)
-        val nbAll = e.select(col("p1").as("p"), col("p2").as("q"), col("w"))
-          .unionAll(e.select(col("p2").as("p"), col("p1").as("q"), col("w")))
-          .where(col("p") < 200)
-        val wcap = Window.partitionBy("p").orderBy(col("w").desc, col("q").asc)
-        val nb = nbAll.withColumn("r", row_number().over(wcap))
-          .where(col("r") <= 256).select("p", "q")
+        // per-p top-256 commutes with the seed-slice filter on p, so
+        // the shared capped-adjacency artifact serves this query too
+        val nb = cappedAdjacency(s, d).where(col("p") < 200)
         val deg = nb.groupBy("p").agg(count(lit(1)).as("deg"))
         val wedge = nb.join(nb.select(col("p"), col("q").as("q2")), "p")
           .where(col("q") < col("q2"))
@@ -1557,11 +1580,7 @@ object Release {
       "q_adamic_adar",
       (s, d) => {
         val (e, deg) = copurchaseGraph(s, d)
-        val nbAll = e.select(col("p1").as("p"), col("p2").as("q"), col("w"))
-          .unionAll(e.select(col("p2").as("p"), col("p1").as("q"), col("w")))
-        val wcap = Window.partitionBy("p").orderBy(col("w").desc, col("q").asc)
-        val nb = nbAll.withColumn("r", row_number().over(wcap))
-          .where(col("r") <= 256).select("p", "q")
+        val nb = cappedAdjacency(s, d)
         // deg = 1 nodes can never be a wedge center (their only
         // neighbor IS the seed), and ln(1) = 0 would be a cast-of-Inf
         // crash in the oracle engine — filter them out of the term

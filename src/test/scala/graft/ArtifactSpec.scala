@@ -130,6 +130,22 @@ class ArtifactSpec extends SparkSpec {
       "cluster-label artifact diverged from the raw derivation")
   }
 
+  test("capped-adjacency artifact: stored top-256 table equals a fresh rank-window build") {
+    val stored = Release.cappedAdjacency(spark, sf)
+    val fresh = Release.cappedAdjacencyRaw(spark, sf)
+    assert(stored.count() > 0)
+    assert(same(stored, fresh),
+      "capped adjacency artifact diverged from a fresh build")
+  }
+
+  test("nb-scores artifact: stored score frame equals a fresh train+score run") {
+    val stored = graft.operators.Curation.nbScores(spark, sf)
+    val fresh = graft.operators.Curation.nbScoresRaw(spark, sf)
+    assert(stored.count() > 0)
+    assert(same(stored, fresh),
+      "nb-scores artifact diverged from a fresh train+score run")
+  }
+
   test("incremental base-index artifact: stored index equals a fresh LSH build") {
     val stored = DedupOps.incrementalBaseIndex(spark, sf)
     val fresh = DedupOps.incrementalBaseIndexRaw(spark, sf)

@@ -440,13 +440,44 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("q_link_predict: adjacency cap is a p-keyed window, wedges stay equi-joins") {
+  test("nb family consumes the published score artifact — no train tokenize at query time") {
+    // nbScores publishes the scored (doc, class) frame since round 12:
+    // the confusion matrix and the labeling queue must read stored rows
+    // with no token explode (Generate) anywhere — train+score runs only
+    // at artifact build
+    for (name <- Seq("q_nb_classify", "q_uncertainty_sample")) {
+      val plan = planOf(name)
+      assert(plan.contains("graft_artifacts"),
+        s"$name does not scan the stored NB score artifact:\n${plan.take(2000)}")
+      assert(!plan.contains("Generate"),
+        s"$name re-tokenizes at query time:\n${plan.take(3000)}")
+    }
+  }
+
+  test("link-prediction family consumes the capped-adjacency artifact") {
+    // the per-node top-256 rank window runs once at artifact build; the
+    // three consumers' plans must scan stored (p, q) rows without a
+    // row_number window over the full adjacency
+    for (name <- Seq("q_link_predict", "q_adamic_adar", "q_clustering_coeff")) {
+      val plan = planOf(name)
+      assert(plan.contains("graft_artifacts"),
+        s"$name does not scan the stored capped adjacency:\n${plan.take(2000)}")
+      assert(!plan.contains("row_number"),
+        s"$name re-runs the cap rank window at query time:\n${plan.take(3000)}")
+    }
+  }
+
+  test("q_link_predict: wedges stay equi-joins over the stored capped adjacency") {
     val plan = planOf("q_link_predict")
-    assert(plan.contains("hashpartitioning(p#"),
-      s"top-m neighbor cap is not keyed on the node:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"),
       s"wedge generation fell off the equi-join path:\n$plan")
+    // the cap itself is plan-audited at the artifact level: the build
+    // path's window must stay p-keyed (never partitionless)
+    val build = graft.operators.Release.cappedAdjacencyRaw(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(build.contains("hashpartitioning(p#"),
+      s"top-m neighbor cap is not keyed on the node:\n$build")
   }
 
   test("inference family: single-pass map-combined moment aggregates, no UDFs") {
