@@ -6313,7 +6313,98 @@ object Behavioral {
              |    WHEN (1000000 * r2) // tr2 >= 1000000 // nb THEN 'cash_cow'
              |    WHEN (1000 * r2) // greatest(r1, 1) >= 1000 THEN 'question_mark'
              |    ELSE 'dog' END AS quadrant
-             |FROM b CROSS JOIN t ORDER BY brand""".stripMargin))
+             |FROM b CROSS JOIN t ORDER BY brand""".stripMargin)),
+
+    // CDC changelog compaction — the Debezium-stream kernel beyond
+    // q_upsert_latest's latest-wins merge: a keyed op stream where
+    // DELETES are first-class (error events tombstone the user, value
+    // events upsert), compacted to the net final state per key — last
+    // op by (ts, event_id) wins, a winning tombstone removes the key.
+    // One user-partitioned rank window (never global) + one aggregate;
+    // the live-state checksum is an exact DECIMAL(38,0) cents sum. The
+    // batch form of what the streaming IncrementalUpsert applies per
+    // micro-batch; at 100 TB this compaction IS how a changelog table
+    // becomes a snapshot.
+    QueryDef(
+      "q_cdc_compact",
+      (s, d) => {
+        val log = Tables.events(s, d).where(col("value").isNotNull)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            when(col("event_type") === "error", lit("d")).otherwise(lit("u"))
+              .as("op"),
+            expr("CAST(round(value*100) AS BIGINT)").as("cents"))
+        val last = log.withColumn("rn",
+            row_number().over(Window.partitionBy("user_id")
+              .orderBy(col("ts").desc, col("event_id").desc)))
+          .where(col("rn") === 1)
+        last.agg(count(lit(1)).as("n_keys"),
+            sum(when(col("op") === "d", 1L).otherwise(0L)).as("n_tombstoned"),
+            sum(when(col("op") === "u", 1L).otherwise(0L)).as("n_live"),
+            sum(when(col("op") === "u",
+              expr("CAST(cents AS DECIMAL(38,0))")).otherwise(lit(0)))
+              .as("live_cents"))
+          .select(col("n_keys").cast("long").as("n_keys"),
+            col("n_tombstoned").cast("long").as("n_tombstoned"),
+            col("n_live").cast("long").as("n_live"),
+            col("live_cents").cast("long").as("live_cents"))
+      },
+      Some("""WITH log AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             |    CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+             |    CAST(round(value*100) AS BIGINT) AS cents
+             |  FROM events WHERE value IS NOT NULL),
+             |last AS (SELECT * FROM (SELECT *, row_number() OVER (
+             |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM log) WHERE rn = 1)
+             |SELECT count(*) AS n_keys,
+             |  CAST(sum(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS BIGINT) AS n_tombstoned,
+             |  CAST(sum(CASE WHEN op = 'u' THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+             |  CAST(sum(CASE WHEN op = 'u' THEN CAST(cents AS HUGEINT) ELSE 0 END) AS BIGINT)
+             |    AS live_cents
+             |FROM last""".stripMargin)),
+
+    // SCD2 as-of reconstruction — the type-2 slowly-changing-dimension
+    // read: each user's purchase stream defines value-band "dimension
+    // versions" with validity [ts, next purchase ts); the as-of instant
+    // is the corpus midpoint (deterministic from min/max event epochs),
+    // and the readout is how many users sit in each band AT that
+    // instant — the point-in-time dimension join every fact backfill
+    // runs. Validity intervals come from one user-partitioned lead
+    // window; the as-of filter is a broadcast 1-row frame; bands are
+    // the value-cents div 10000 domain.
+    QueryDef(
+      "q_scd2_asof",
+      (s, d) => {
+        // validity arithmetic runs in exact epoch-micro LONG space —
+        // engine-portable and free of the NTZ/TZ comparison snags
+        val p = Tables.events(s, d)
+          .where(col("event_type") === "purchase" && col("value").isNotNull)
+          .select(col("user_id"),
+            expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tsu"),
+            col("event_id"),
+            expr("CAST(round(value*100) AS BIGINT) div 10000").as("band"))
+        val scd = p.withColumn("valid_to",
+          lead(col("tsu"), 1).over(Window.partitionBy("user_id")
+            .orderBy(col("tsu").asc, col("event_id").asc)))
+        val asof = p.agg(expr("(min(tsu) + max(tsu)) div 2").as("t"))
+        scd.crossJoin(broadcast(asof))
+          .where(col("tsu") <= col("t") &&
+            (col("valid_to").isNull || col("valid_to") > col("t")))
+          .groupBy("band").agg(count(lit(1)).as("n_users"))
+          .select(col("band").cast("long").as("value_band"),
+            col("n_users").cast("long").as("n_users_asof"))
+          .orderBy("value_band")
+      },
+      Some("""WITH p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, event_id,
+             |    CAST(round(value*100) AS BIGINT) // 10000 AS band
+             |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+             |scd AS (SELECT *, lead(tsu) OVER (PARTITION BY user_id
+             |    ORDER BY tsu, event_id) AS valid_to FROM p),
+             |a AS (SELECT (min(tsu) + max(tsu)) // 2 AS t FROM p)
+             |SELECT CAST(band AS BIGINT) AS value_band,
+             |  count(*) AS n_users_asof
+             |FROM scd CROSS JOIN a
+             |WHERE tsu <= t AND (valid_to IS NULL OR valid_to > t)
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** Fixed-point absorbing-chain oracle — twenty unrolled Neumann steps

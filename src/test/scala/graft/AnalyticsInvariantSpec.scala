@@ -1197,6 +1197,26 @@ class AnalyticsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("q_cdc_compact: tombstoned + live partition the keys; live checksum positive") {
+    val r = rows("q_cdc_compact").head
+    val keys = r.getAs[Long]("n_keys")
+    assert(keys > 0L)
+    assert(r.getAs[Long]("n_tombstoned") + r.getAs[Long]("n_live") == keys,
+      r.toString)
+    assert(r.getAs[Long]("live_cents") > 0L, r.toString)
+  }
+
+  test("q_scd2_asof: as-of population bounded by the purchase-user count") {
+    val r = rows("q_scd2_asof")
+    assert(r.nonEmpty)
+    val total = r.map(_.getAs[Long]("n_users_asof")).sum
+    // exactly one dimension version per user is valid at any instant,
+    // so the as-of population is at most one row per purchasing user
+    val users = SparkEntry.queries("q_cdc_compact")(spark, sf)
+      .collect().head.getAs[Long]("n_keys")
+    assert(total > 0L && total <= users, s"asof=$total users<=$users")
+  }
+
   test("q_ucb1: every arm's UCB strictly exceeds its mean; pulls partition the total") {
     val r = rows("q_ucb1")
     assert(r.nonEmpty)
