@@ -2662,7 +2662,113 @@ object Curation {
              |    AS n_contaminated,
              |  CAST((1000000 * sum(n_hits)) // sum(n_grams) AS BIGINT)
              |    AS gram_hit_micro
-             |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // PII pattern scan per source — the redaction-gate audit every
+    // public-corpus release runs before shipping: per source, how many
+    // documents match an email-shaped, phone-shaped, or long-digit-run
+    // pattern, plus total hits. Patterns stay inside the RE2 ∩ Java
+    // regex dialect intersection (no lookarounds, no backrefs) so both
+    // engines score identical matches; the scan is one regexp pass per
+    // pattern inside a single projection — map-only, no shuffle beyond
+    // the per-source count. The synthetic fixture carries no planted
+    // PII, so zeros here are the honest PASS this gate exists to print
+    // (and the digit-run column shows the machinery firing on real
+    // numeric tokens).
+    QueryDef(
+      "q_pii_scan",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(col("source"),
+            size(expr("regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+', 0)"))
+              .as("email"),
+            size(expr(
+              "regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}', 0)"))
+              .as("phone"),
+            size(expr("regexp_extract_all(text, '[0-9]{6,}', 0)")).as("digits"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("email") > 0, 1L).otherwise(0L)).as("email_docs"),
+            sum(when(col("phone") > 0, 1L).otherwise(0L)).as("phone_docs"),
+            sum(when(col("digits") > 0, 1L).otherwise(0L)).as("digitrun_docs"),
+            sum(col("digits").cast("long")).as("digitrun_hits"))
+          .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+            col("email_docs").cast("long").as("email_docs"),
+            col("phone_docs").cast("long").as("phone_docs"),
+            col("digitrun_docs").cast("long").as("digitrun_docs"),
+            col("digitrun_hits").cast("long").as("digitrun_hits"))
+          .orderBy("source")
+      },
+      Some("""WITH sc AS (SELECT source,
+             |    len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+')) AS email,
+             |    len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS phone,
+             |    len(regexp_extract_all(text, '[0-9]{6,}')) AS digits
+             |  FROM documents)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS email_docs,
+             |  CAST(sum(CASE WHEN phone > 0 THEN 1 ELSE 0 END) AS BIGINT) AS phone_docs,
+             |  CAST(sum(CASE WHEN digits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS digitrun_docs,
+             |  CAST(sum(digits) AS BIGINT) AS digitrun_hits
+             |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // per-domain held-out perplexity under the GLOBAL bigram LM — the
+    // out-of-distribution detector a mixing curator reads next to
+    // q_domain_kl: train add-1 bigrams on the even half (all sources
+    // pooled), score each source's odd-half bigrams separately, and
+    // rank sources by PPL — a domain far above the pooled PPL is the
+    // one the global model does not speak. Same nano-quantized ln
+    // machinery as q_lm_generalization (whose single global test row
+    // this breaks out per source); model/unigram/vocab frames
+    // broadcast, the corpus streams through once per half.
+    QueryDef(
+      "q_domain_ppl",
+      (s, d) => {
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            expr("(doc_id div 20) % 2").as("half"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        val big = toks
+          .withColumn("nxt", lead("tok", 1).over(w))
+          .where(col("nxt").isNotNull)
+          .select(col("half"), col("source"), col("tok").as("w1"), col("nxt"))
+        val tr = big.where(col("half") === 0)
+          .groupBy("w1", "nxt").agg(count(lit(1)).as("c"))
+        val uni = tr.groupBy("w1").agg(sum("c").as("cu"))
+        val v = tr.agg(countDistinct("nxt").as("vocab"))
+        big.where(col("half") === 1)
+          .join(broadcast(tr), Seq("w1", "nxt"), "left")
+          .join(broadcast(uni), Seq("w1"), "left")
+          .crossJoin(broadcast(v))
+          .select(col("source"),
+            expr("""CAST(round(1e9*ln((coalesce(c,0)+1.0)
+                   | /(coalesce(cu,0) + vocab))) AS BIGINT)""".stripMargin)
+              .as("lp_nano"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"), sum("lp_nano").as("sl"))
+          .select(col("source"), col("n").cast("long").as("test_bigrams"),
+            expr("CAST(round(exp(-CAST(sl AS DOUBLE)/n/1e9)*1000) AS BIGINT)")
+              .as("ppl_milli"))
+          .orderBy("source")
+      },
+      Some("""WITH toks AS (SELECT doc_id, source, (doc_id // 20) % 2 AS half,
+             |      i AS pos, ws[i] AS w1, ws[i+1] AS nxt
+             |    FROM (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+             |    LATERAL unnest(range(1, len(ws))) AS t(i)),
+             |big AS (SELECT half, source, w1, nxt FROM toks WHERE nxt IS NOT NULL),
+             |tr AS (SELECT w1, nxt, count(*) AS c FROM big WHERE half = 0 GROUP BY 1, 2),
+             |uni AS (SELECT w1, sum(c) AS cu FROM tr GROUP BY 1),
+             |v AS (SELECT count(DISTINCT nxt) AS vocab FROM tr),
+             |sc AS (SELECT b.source,
+             |    CAST(round(1e9*ln((coalesce(tr.c,0)+1.0)
+             |      /(coalesce(uni.cu,0) + (SELECT vocab FROM v)))) AS BIGINT) AS lp_nano
+             |  FROM big b LEFT JOIN tr ON tr.w1 = b.w1 AND tr.nxt = b.nxt
+             |  LEFT JOIN uni ON uni.w1 = b.w1
+             |  WHERE b.half = 1)
+             |SELECT source, count(*) AS test_bigrams,
+             |  CAST(round(exp(-CAST(sum(lp_nano) AS DOUBLE)/count(*)/1e9)*1000) AS BIGINT)
+             |    AS ppl_milli
+             |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** Shared exact-integer multinomial NB train + score chain —

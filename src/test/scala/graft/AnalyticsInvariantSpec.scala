@@ -1197,6 +1197,29 @@ class AnalyticsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("q_pii_scan: hit-doc counts bounded by doc counts; digit hits cover digit docs") {
+    val r = rows("q_pii_scan")
+    assert(r.nonEmpty)
+    for (row <- r) {
+      val docs = row.getAs[Long]("n_docs")
+      assert(docs > 0L)
+      for (c <- Seq("email_docs", "phone_docs", "digitrun_docs"))
+        assert(row.getAs[Long](c) >= 0L && row.getAs[Long](c) <= docs, row.toString)
+      assert(row.getAs[Long]("digitrun_hits") >= row.getAs[Long]("digitrun_docs"),
+        row.toString)
+    }
+  }
+
+  test("q_domain_ppl: per-source PPL at least 1; every source scored") {
+    val r = rows("q_domain_ppl")
+    assert(r.nonEmpty)
+    for (row <- r) {
+      assert(row.getAs[Long]("test_bigrams") > 0L, row.toString)
+      // perplexity of a proper distribution is >= 1
+      assert(row.getAs[Long]("ppl_milli") >= 1000L, row.toString)
+    }
+  }
+
   test("q_cdc_compact: tombstoned + live partition the keys; live checksum positive") {
     val r = rows("q_cdc_compact").head
     val keys = r.getAs[Long]("n_keys")
