@@ -272,7 +272,8 @@ object ScaleProbe {
       "q_huber_step", "q_ridge_closed", "q_tpch_q5", "q_negbin_fit",
       "q_decay_popularity", "q_ucb1", "q_join_size_est",
       "q_zonemap_prune", "q_bcg_matrix", "q_cdc_compact", "q_scd2_asof",
-      "q_pii_scan", "q_domain_ppl")
+      "q_pii_scan", "q_domain_ppl", "q_loo_source_influence",
+      "q_greedy_coverage")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

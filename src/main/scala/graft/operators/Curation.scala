@@ -2768,7 +2768,116 @@ object Curation {
              |SELECT source, count(*) AS test_bigrams,
              |  CAST(round(exp(-CAST(sum(lp_nano) AS DOUBLE)/count(*)/1e9)*1000) AS BIGINT)
              |    AS ppl_milli
-             |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // leave-one-source-out influence on the corpus quality score — the
+    // group-level data-valuation readout (the cheap, exact end of the
+    // Shapley/influence-function spectrum): for each source, how much
+    // does the corpus mean quality (token count per doc, the
+    // q_quality_filter length axis) move if that source is DROPPED?
+    // influence = mean(without j) − mean(all), positive ⇒ the source
+    // was dragging quality down. Closed form from ONE grouped pass:
+    // mean(without j) = (S − s_j)/(N − n_j) — no per-source rescan, so
+    // the whole valuation is |sources| rows of exact integer micro
+    // arithmetic off global totals on a broadcast.
+    QueryDef(
+      "q_loo_source_influence",
+      (s, d) => {
+        val g = Tables.documents(s, d)
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("q"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(q AS DECIMAL(38,0))")).as("sq"))
+        val tot = g.agg(sum("n").as("nn"), sum("sq").as("ss"))
+        g.crossJoin(broadcast(tot))
+          .select(col("source"), col("n").cast("long").as("n_docs"),
+            expr("CAST((1000000 * sq) div n AS BIGINT)").as("source_mean_micro"),
+            expr("""CAST((1000000 * (ss - sq)) div (nn - n)
+                   |  - (1000000 * ss) div nn AS BIGINT)""".stripMargin)
+              .as("loo_influence_micro"))
+          .orderBy(col("loo_influence_micro").desc, col("source"))
+      },
+      Some("""WITH g AS (SELECT source, count(*) AS n,
+             |    sum(CAST(len(string_split(text, ' ')) AS HUGEINT)) AS sq
+             |  FROM documents GROUP BY 1),
+             |t AS (SELECT sum(n) AS nn, sum(sq) AS ss FROM g)
+             |SELECT source, CAST(n AS BIGINT) AS n_docs,
+             |  CAST((1000000 * sq) // n AS BIGINT) AS source_mean_micro,
+             |  CAST((1000000 * (ss - sq)) // (nn - n)
+             |    - (1000000 * ss) // nn AS BIGINT) AS loo_influence_micro
+             |FROM g CROSS JOIN t
+             |ORDER BY loo_influence_micro DESC, source""".stripMargin)),
+
+    // greedy maximum-coverage selection (facility-location light) — the
+    // submodular data-pruning kernel: pick 5 documents from the audit
+    // slice (doc_id < 100) that greedily maximize 3-gram shingle
+    // coverage, each round selecting the doc covering the most
+    // NOT-YET-covered shingles (ties → min doc_id). The greedy is
+    // provably (1−1/e)-optimal for coverage, which is why real
+    // selection pipelines run exactly this loop; here each of the 5
+    // bounded rounds is one anti-join against the covered set + one
+    // grouped count + a 1-row TakeOrdered, with the covered set
+    // re-derived as a semi-join against the picked ids (never collected
+    // beyond the 1-row pick). The oracle unrolls the 5 rounds as CTEs.
+    QueryDef(
+      "q_greedy_coverage",
+      (s, d) => {
+        val sh = Tables.documents(s, d).where(col("doc_id") < 100)
+          .select(col("doc_id"),
+            explode(DedupOps.shingles(col("text"), 3)).as("g"))
+          .localCheckpoint(true)
+        var picked = s.range(0).select(col("id").as("doc_id"),
+          lit(0L).as("round"), lit(0L).as("gain"))
+        for (r <- 1 to 5) {
+          val covered = sh.join(broadcast(picked.select("doc_id")),
+            Seq("doc_id"), "left_semi").select("g").distinct()
+          val pick = sh.join(covered, Seq("g"), "left_anti")
+            .groupBy("doc_id").agg(count(lit(1)).as("gain"))
+            .orderBy(col("gain").desc, col("doc_id")).limit(1)
+            .select(col("doc_id"), lit(r.toLong).as("round"),
+              col("gain").cast("long").as("gain"))
+            .localCheckpoint(true)
+          picked = picked.unionByName(pick)
+        }
+        picked.select(col("round"), col("doc_id").cast("long").as("doc_id"),
+          col("gain")).orderBy("round")
+      },
+      Some("""WITH sh AS (SELECT DISTINCT doc_id, unnest(grams) AS g FROM (
+             |    SELECT doc_id,
+             |      [array_to_string(toks[i:i+2], ' ')
+             |       for i in range(1, greatest(len(toks)-2, 1)+1)] AS grams
+             |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+             |          FROM documents WHERE doc_id < 100))),
+             |p1 AS (SELECT doc_id, count(*) AS gain FROM sh
+             |  GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1),
+             |c1 AS (SELECT DISTINCT g FROM sh WHERE doc_id IN (SELECT doc_id FROM p1)),
+             |p2 AS (SELECT doc_id, count(*) AS gain FROM sh
+             |  WHERE g NOT IN (SELECT g FROM c1)
+             |  GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1),
+             |c2 AS (SELECT g FROM c1 UNION SELECT DISTINCT g FROM sh
+             |  WHERE doc_id IN (SELECT doc_id FROM p2)),
+             |p3 AS (SELECT doc_id, count(*) AS gain FROM sh
+             |  WHERE g NOT IN (SELECT g FROM c2)
+             |  GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1),
+             |c3 AS (SELECT g FROM c2 UNION SELECT DISTINCT g FROM sh
+             |  WHERE doc_id IN (SELECT doc_id FROM p3)),
+             |p4 AS (SELECT doc_id, count(*) AS gain FROM sh
+             |  WHERE g NOT IN (SELECT g FROM c3)
+             |  GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1),
+             |c4 AS (SELECT g FROM c3 UNION SELECT DISTINCT g FROM sh
+             |  WHERE doc_id IN (SELECT doc_id FROM p4)),
+             |p5 AS (SELECT doc_id, count(*) AS gain FROM sh
+             |  WHERE g NOT IN (SELECT g FROM c4)
+             |  GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1)
+             |SELECT * FROM (
+             |  SELECT CAST(1 AS BIGINT) AS round, CAST(doc_id AS BIGINT) AS doc_id,
+             |    CAST(gain AS BIGINT) AS gain FROM p1
+             |  UNION ALL SELECT 2, doc_id, gain FROM p2
+             |  UNION ALL SELECT 3, doc_id, gain FROM p3
+             |  UNION ALL SELECT 4, doc_id, gain FROM p4
+             |  UNION ALL SELECT 5, doc_id, gain FROM p5)
+             |ORDER BY round""".stripMargin))
   )
 
   /** Shared exact-integer multinomial NB train + score chain —

@@ -1197,6 +1197,36 @@ class AnalyticsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("q_loo_source_influence: influences cancel — dropping everything is dropping nothing") {
+    val r = rows("q_loo_source_influence")
+    assert(r.nonEmpty)
+    // each row's identity: removing source j moves the mean by
+    // n_j/(N - n_j) * (mean - mean_j); signs must oppose the source's
+    // own deviation from the corpus mean
+    val corpusMeanApprox = {
+      val n = r.map(_.getAs[Long]("n_docs")).sum.toDouble
+      r.map(x => x.getAs[Long]("source_mean_micro").toDouble *
+        x.getAs[Long]("n_docs")).sum / n
+    }
+    for (row <- r) {
+      val dev = row.getAs[Long]("source_mean_micro") - corpusMeanApprox
+      val inf = row.getAs[Long]("loo_influence_micro")
+      // a source above the mean must have nonpositive-ish LOO influence
+      if (math.abs(dev) > 1000) assert(dev * inf < 0, s"$row dev=$dev")
+    }
+  }
+
+  test("q_greedy_coverage: gains strictly decrease and picks are distinct") {
+    val r = rows("q_greedy_coverage")
+    assert(r.size == 5)
+    val gains = r.map(_.getAs[Long]("gain"))
+    // submodularity: marginal gains are non-increasing
+    assert(gains.zip(gains.tail).forall { case (a, b) => a >= b }, gains.toString)
+    assert(gains.forall(_ >= 0L))
+    val picks = r.map(_.getAs[Long]("doc_id"))
+    assert(picks.distinct.size == picks.size, picks.toString)
+  }
+
   test("q_pii_scan: hit-doc counts bounded by doc counts; digit hits cover digit docs") {
     val r = rows("q_pii_scan")
     assert(r.nonEmpty)
