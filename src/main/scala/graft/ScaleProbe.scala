@@ -273,7 +273,7 @@ object ScaleProbe {
       "q_decay_popularity", "q_ucb1", "q_join_size_est",
       "q_zonemap_prune", "q_bcg_matrix", "q_cdc_compact", "q_scd2_asof",
       "q_pii_scan", "q_domain_ppl", "q_loo_source_influence",
-      "q_greedy_coverage")
+      "q_greedy_coverage", "q_iv_wald", "q_reg_discontinuity")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

@@ -6404,7 +6404,152 @@ object Behavioral {
              |  count(*) AS n_users_asof
              |FROM scd CROSS JOIN a
              |WHERE tsu <= t AND (valid_to IS NULL OR valid_to > t)
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // instrumental-variable Wald estimator with the first-stage
+    // diagnostic — completes the causal battery (q_did, q_ipw_ate,
+    // q_propensity_strat) with the estimator for UNOBSERVED
+    // confounding: instrument z = weekend (epoch-day mod 7, the
+    // engine-portable classification), treatment x = afternoon
+    // exposure, outcome y = value cents; Wald β = (ȳ₁−ȳ₀)/(x̄₁−x̄₀).
+    // The fixture assigns hour independent of weekday, so the first
+    // stage is ≈ 0 — a WEAK instrument — and the honest deliverable is
+    // exactly that diagnostic: the first-stage delta is reported in
+    // micro and the Wald ratio is zero-sentineled when the first stage
+    // vanishes (the blow-up a real pipeline must refuse to ship). One
+    // conditional-moment pass; one mirrored closed form.
+    QueryDef(
+      "q_iv_wald",
+      (s, d) => {
+        Tables.events(s, d).where(col("value").isNotNull)
+          .select(
+            (datediff(col("ts").cast("date"),
+              lit("1970-01-01").cast("date")) % 7).isin(2, 3).as("z"),
+            when(expr("hour(ts)") >= 12, 1L).otherwise(0L).as("x"),
+            expr("CAST(round(value*100) AS BIGINT)").as("y"))
+          .agg(count(when(col("z"), 1)).as("n1"),
+            count(when(!col("z"), 1)).as("n0"),
+            sum(when(col("z"), col("x")).otherwise(0L)).as("x1"),
+            sum(when(!col("z"), col("x")).otherwise(0L)).as("x0"),
+            sum(when(col("z"), expr("CAST(y AS DECIMAL(38,0))"))
+              .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("y1"),
+            sum(when(!col("z"), expr("CAST(y AS DECIMAL(38,0))"))
+              .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("y0"))
+          .select(col("n0").cast("long").as("n_z0"),
+            col("n1").cast("long").as("n_z1"),
+            expr("""CAST((1000000 * x1) div n1 - (1000000 * x0) div n0
+                   |AS BIGINT)""".stripMargin).as("first_stage_micro"),
+            expr("""CAST((1000 * y1) div n1 - (1000 * y0) div n0
+                   |AS BIGINT)""".stripMargin).as("reduced_form_milli"),
+            expr("""CAST(CASE
+                   |  WHEN (1000000 * x1) div n1 = (1000000 * x0) div n0 THEN 0
+                   |  ELSE round((CAST(y1 AS DOUBLE)/n1 - CAST(y0 AS DOUBLE)/n0)
+                   |    / (CAST(x1 AS DOUBLE)/n1 - CAST(x0 AS DOUBLE)/n0) * 1000)
+                   |END AS BIGINT)""".stripMargin).as("wald_beta_milli"))
+      },
+      Some("""WITH e AS (SELECT
+             |    ((CAST(ts AS DATE) - DATE '1970-01-01') % 7) IN (2, 3) AS z,
+             |    CASE WHEN hour(CAST(ts AS TIMESTAMP)) >= 12 THEN 1 ELSE 0 END AS x,
+             |    CAST(round(value*100) AS BIGINT) AS y
+             |  FROM events WHERE value IS NOT NULL),
+             |a AS (SELECT count(*) FILTER (WHERE z) AS n1,
+             |    count(*) FILTER (WHERE NOT z) AS n0,
+             |    sum(CASE WHEN z THEN x ELSE 0 END) AS x1,
+             |    sum(CASE WHEN NOT z THEN x ELSE 0 END) AS x0,
+             |    sum(CASE WHEN z THEN CAST(y AS HUGEINT) ELSE 0 END) AS y1,
+             |    sum(CASE WHEN NOT z THEN CAST(y AS HUGEINT) ELSE 0 END) AS y0
+             |  FROM e)
+             |SELECT CAST(n0 AS BIGINT) AS n_z0, CAST(n1 AS BIGINT) AS n_z1,
+             |  CAST((1000000 * x1) // n1 - (1000000 * x0) // n0 AS BIGINT)
+             |    AS first_stage_micro,
+             |  CAST((1000 * y1) // n1 - (1000 * y0) // n0 AS BIGINT)
+             |    AS reduced_form_milli,
+             |  CAST(CASE
+             |    WHEN (1000000 * x1) // n1 = (1000000 * x0) // n0 THEN 0
+             |    ELSE round((CAST(y1 AS DOUBLE)/n1 - CAST(y0 AS DOUBLE)/n0)
+             |      / (CAST(x1 AS DOUBLE)/n1 - CAST(x0 AS DOUBLE)/n0) * 1000)
+             |  END AS BIGINT) AS wald_beta_milli
+             |FROM a""".stripMargin)),
+
+    // sharp regression-discontinuity estimate at an account-balance
+    // cutoff — the last member of the causal battery: running variable
+    // c_acctbal (cents), cutoff 5000.00, outcome per-customer order
+    // count, bandwidth ±2500.00, LOCAL LINEAR fit on each side (the
+    // standard RD spec — a raw mean gap would conflate the
+    // discontinuity with the slope). Both side-fits close over exact
+    // 128-bit moments from ONE conditional pass; the effect is the gap
+    // between the two fitted intercepts AT the cutoff. The fixture
+    // draws balance independent of behavior ⇒ effect ≈ 0: the honest
+    // null, with the machinery (and the per-side slopes) on display.
+    QueryDef(
+      "q_reg_discontinuity",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+          .select(col("c_custkey"),
+            (round(col("c_acctbal") * 100).cast("long") - 500000L).as("r"))
+          .where(col("r") >= -250000L && col("r") < 250000L)
+        val o = Tables.orders(s, d).groupBy("o_custkey")
+          .agg(count(lit(1)).as("y"))
+        val pts = c.join(o, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("r"), coalesce(col("y"), lit(0L)).as("y"),
+            (col("r") >= 0L).as("side"))
+        def fitCols(side: Boolean, tag: String) = Seq(
+          count(when(col("side") === side, 1)).as(s"n$tag"),
+          sum(when(col("side") === side, expr("CAST(r AS DECIMAL(38,0))"))
+            .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as(s"sx$tag"),
+          sum(when(col("side") === side, expr("CAST(r AS DECIMAL(38,0)) * r"))
+            .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as(s"sxx$tag"),
+          sum(when(col("side") === side, expr("CAST(y AS DECIMAL(38,0))"))
+            .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as(s"sy$tag"),
+          sum(when(col("side") === side, expr("CAST(r AS DECIMAL(38,0)) * y"))
+            .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as(s"sxy$tag"))
+        val m = pts.agg((fitCols(false, "l") ++ fitCols(true, "r")).head,
+          (fitCols(false, "l") ++ fitCols(true, "r")).tail: _*)
+        def icept(t: String) =
+          s"""(CAST(sy$t AS DOUBLE)*sxx$t - CAST(sx$t AS DOUBLE)*sxy$t)
+             |/ (CAST(n$t AS DOUBLE)*sxx$t - CAST(sx$t AS DOUBLE)*sx$t)""".stripMargin
+        m.select(col("nl").cast("long").as("n_left"),
+          col("nr").cast("long").as("n_right"),
+          expr(s"CAST(round(1000 * ${icept("l")}) AS BIGINT)")
+            .as("left_at_cutoff_milli"),
+          expr(s"CAST(round(1000 * ${icept("r")}) AS BIGINT)")
+            .as("right_at_cutoff_milli"),
+          expr(s"CAST(round(1000 * (${icept("r")} - ${icept("l")})) AS BIGINT)")
+            .as("rd_effect_milli"))
+      },
+      Some("""WITH c AS (SELECT c_custkey,
+             |    CAST(round(c_acctbal * 100) AS BIGINT) - 500000 AS r
+             |  FROM customer
+             |  WHERE CAST(round(c_acctbal * 100) AS BIGINT) - 500000 >= -250000
+             |    AND CAST(round(c_acctbal * 100) AS BIGINT) - 500000 < 250000),
+             |o AS (SELECT o_custkey, count(*) AS y FROM orders GROUP BY 1),
+             |pts AS (SELECT c.r, coalesce(o.y, 0) AS y, c.r >= 0 AS side
+             |  FROM c LEFT JOIN o ON o.o_custkey = c.c_custkey),
+             |m AS (SELECT
+             |    count(*) FILTER (WHERE NOT side) AS nl,
+             |    sum(CASE WHEN NOT side THEN CAST(r AS HUGEINT) ELSE 0 END) AS sxl,
+             |    sum(CASE WHEN NOT side THEN CAST(r AS HUGEINT) * r ELSE 0 END) AS sxxl,
+             |    sum(CASE WHEN NOT side THEN CAST(y AS HUGEINT) ELSE 0 END) AS syl,
+             |    sum(CASE WHEN NOT side THEN CAST(r AS HUGEINT) * y ELSE 0 END) AS sxyl,
+             |    count(*) FILTER (WHERE side) AS nr,
+             |    sum(CASE WHEN side THEN CAST(r AS HUGEINT) ELSE 0 END) AS sxr,
+             |    sum(CASE WHEN side THEN CAST(r AS HUGEINT) * r ELSE 0 END) AS sxxr,
+             |    sum(CASE WHEN side THEN CAST(y AS HUGEINT) ELSE 0 END) AS syr,
+             |    sum(CASE WHEN side THEN CAST(r AS HUGEINT) * y ELSE 0 END) AS sxyr
+             |  FROM pts)
+             |SELECT CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+             |  CAST(round(1000 * (CAST(syl AS DOUBLE)*sxxl - CAST(sxl AS DOUBLE)*sxyl)
+             |    / (CAST(nl AS DOUBLE)*sxxl - CAST(sxl AS DOUBLE)*sxl)) AS BIGINT)
+             |    AS left_at_cutoff_milli,
+             |  CAST(round(1000 * (CAST(syr AS DOUBLE)*sxxr - CAST(sxr AS DOUBLE)*sxyr)
+             |    / (CAST(nr AS DOUBLE)*sxxr - CAST(sxr AS DOUBLE)*sxr)) AS BIGINT)
+             |    AS right_at_cutoff_milli,
+             |  CAST(round(1000 * ((CAST(syr AS DOUBLE)*sxxr - CAST(sxr AS DOUBLE)*sxyr)
+             |    / (CAST(nr AS DOUBLE)*sxxr - CAST(sxr AS DOUBLE)*sxr)
+             |    - (CAST(syl AS DOUBLE)*sxxl - CAST(sxl AS DOUBLE)*sxyl)
+             |    / (CAST(nl AS DOUBLE)*sxxl - CAST(sxl AS DOUBLE)*sxl))) AS BIGINT)
+             |    AS rd_effect_milli
+             |FROM m""".stripMargin))
   )
 
   /** Fixed-point absorbing-chain oracle — twenty unrolled Neumann steps

@@ -1197,6 +1197,22 @@ class AnalyticsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("q_iv_wald: arms populated; a vanished first stage forces the zero sentinel") {
+    val r = rows("q_iv_wald").head
+    assert(r.getAs[Long]("n_z0") > 0L && r.getAs[Long]("n_z1") > 0L)
+    if (r.getAs[Long]("first_stage_micro") == 0L)
+      assert(r.getAs[Long]("wald_beta_milli") == 0L, r.toString)
+  }
+
+  test("q_reg_discontinuity: effect equals the gap of the two side intercepts") {
+    val r = rows("q_reg_discontinuity").head
+    assert(r.getAs[Long]("n_left") > 2L && r.getAs[Long]("n_right") > 2L)
+    val gap = r.getAs[Long]("right_at_cutoff_milli") -
+      r.getAs[Long]("left_at_cutoff_milli")
+    // identical up to the two independent roundings
+    assert(math.abs(r.getAs[Long]("rd_effect_milli") - gap) <= 1L, r.toString)
+  }
+
   test("q_loo_source_influence: influences cancel — dropping everything is dropping nothing") {
     val r = rows("q_loo_source_influence")
     assert(r.nonEmpty)
