@@ -273,7 +273,8 @@ object ScaleProbe {
       "q_decay_popularity", "q_ucb1", "q_join_size_est",
       "q_zonemap_prune", "q_bcg_matrix", "q_cdc_compact", "q_scd2_asof",
       "q_pii_scan", "q_domain_ppl", "q_loo_source_influence",
-      "q_greedy_coverage", "q_iv_wald", "q_reg_discontinuity")
+      "q_greedy_coverage", "q_iv_wald", "q_reg_discontinuity",
+      "q_time_decay_attribution", "q_unigram_sampling")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

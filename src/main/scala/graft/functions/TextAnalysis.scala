@@ -1696,6 +1696,44 @@ object TextAnalysis {
              |full_blk AS (SELECT source, types FROM blk WHERE n_tok = 25)
              |SELECT source, count(*) AS n_blocks,
              |  CAST((sum(types) * 40000) // count(*) AS BIGINT) AS sttr_micro
-             |FROM full_blk GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM full_blk GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // word2vec negative-sampling table — the unigram^0.75 noise
+    // distribution every skip-gram trainer draws from (the 3/4 power
+    // flattens the head so frequent words are not over-sampled): per
+    // word, p ∝ count^0.75. Portability note: c^0.75 is computed as
+    // sqrt(sqrt(c³)), because IEEE 754 REQUIRES sqrt to be correctly
+    // rounded while pow() is engine-libm territory (a measured 1-ulp
+    // exp() divergence already forced q_decay_popularity off libm) —
+    // two correctly-rounded sqrts of identical doubles are bit-equal
+    // everywhere. Per-word scores nano-quantize before the exact total;
+    // top-30 by probability with the exact integer p_micro.
+    QueryDef(
+      "q_unigram_sampling",
+      (s, d) => {
+        val cw = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+          .select(col("w"), col("c"),
+            expr("""CAST(round(1e9 * sqrt(sqrt(CAST(c AS DOUBLE)
+                   |  * c * c))) AS BIGINT)""".stripMargin).as("s_nano"))
+        val tot = cw.agg(sum(expr("CAST(s_nano AS DECIMAL(38,0))")).as("ts"))
+        cw.crossJoin(broadcast(tot))
+          .select(col("w").as("word"), col("c").cast("long").as("n_occurrences"),
+            expr("CAST((1000000 * CAST(s_nano AS DECIMAL(38,0))) div ts AS BIGINT)")
+              .as("p_micro"))
+          .orderBy(col("p_micro").desc, col("word")).limit(30)
+      },
+      Some("""WITH w AS (SELECT u.w FROM documents,
+             |    LATERAL (SELECT unnest(string_split(text, ' ')) AS w) u),
+             |cw AS (SELECT w, count(*) AS c FROM w GROUP BY 1),
+             |sc AS (SELECT w, c,
+             |    CAST(round(1e9 * sqrt(sqrt(CAST(c AS DOUBLE) * c * c))) AS BIGINT)
+             |      AS s_nano FROM cw),
+             |t AS (SELECT sum(CAST(s_nano AS HUGEINT)) AS ts FROM sc)
+             |SELECT w AS word, CAST(c AS BIGINT) AS n_occurrences,
+             |  CAST((1000000 * CAST(s_nano AS HUGEINT)) // ts AS BIGINT) AS p_micro
+             |FROM sc CROSS JOIN t
+             |ORDER BY p_micro DESC, word LIMIT 30""".stripMargin))
   )
 }

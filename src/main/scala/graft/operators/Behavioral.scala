@@ -2826,6 +2826,52 @@ object Behavioral {
              |  CAST(sum(credit) AS BIGINT) AS credit_micro_total
              |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // time-decay multi-touch attribution — the fifth model beside
+    // U-shaped (q_position_attribution) and linear/first/last
+    // (q_attribution_compare): each pre-purchase touch earns weight
+    // halving per 7 days of distance to the conversion, normalized per
+    // user so every conversion distributes exactly one credit. The
+    // decay is the EXACT integer 10⁶ ≫ (age_days div 7) (the
+    // q_decay_popularity bit-shift convention — no libm in the weight),
+    // and the per-user normalizer is a user-partitioned window sum, so
+    // every credit is an exact integer ratio.
+    QueryDef(
+      "q_time_decay_attribution",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val fp = ev.where(col("event_type") === "purchase")
+          .groupBy("user_id").agg(min(expr("CAST(ts AS DATE)")).as("pd"))
+        val t = ev.where(col("event_type").isin("view", "click"))
+          .join(fp, "user_id")
+          .where(col("ts").cast("date") <= col("pd"))
+          .select(col("user_id"), col("event_type"),
+            expr("""1000000 div shiftleft(CAST(1 AS BIGINT),
+                   |  CAST(least(datediff(pd, CAST(ts AS DATE)) div 7, 62) AS INT))"""
+              .stripMargin).as("w"))
+        val norm = t.withColumn("tw",
+          sum("w").over(Window.partitionBy("user_id")))
+        norm.select(col("event_type"),
+            expr("(1000000 * w) div tw").as("credit"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_touches"),
+            sum("credit").cast("long").as("credit_micro_total"))
+          .orderBy("event_type")
+      },
+      Some("""WITH fp AS (SELECT user_id, min(CAST(ts AS DATE)) AS pd FROM events
+             |      WHERE event_type='purchase' GROUP BY 1),
+             |t AS (SELECT e.user_id, e.event_type,
+             |        1000000 // (CAST(1 AS BIGINT) << least(
+             |          (fp.pd - CAST(e.ts AS DATE)) // 7, 62)) AS w
+             |      FROM events e JOIN fp ON fp.user_id = e.user_id
+             |      WHERE e.event_type IN ('view','click')
+             |        AND CAST(e.ts AS DATE) <= fp.pd),
+             |n AS (SELECT event_type, w,
+             |        sum(w) OVER (PARTITION BY user_id) AS tw FROM t),
+             |c AS (SELECT event_type, (1000000 * w) // tw AS credit FROM n)
+             |SELECT event_type, count(*) AS n_touches,
+             |  CAST(sum(credit) AS BIGINT) AS credit_micro_total
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ε-differential-privacy histogram release — the U23 companion that
     // ADDS noise instead of suppressing rows: per-type event counts
     // with Laplace(b=2 ⇒ ε=0.5 at sensitivity 1) noise, derived

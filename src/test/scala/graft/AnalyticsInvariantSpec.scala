@@ -1197,6 +1197,28 @@ class AnalyticsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("q_time_decay_attribution: total credit equals one per converting user") {
+    val r = rows("q_time_decay_attribution")
+    assert(r.nonEmpty)
+    val totalCredit = r.map(_.getAs[Long]("credit_micro_total")).sum
+    // each user's credits sum to 1e6 minus at most (touches-1) micro of
+    // integer-div loss; bound via the global touch count
+    val touches = r.map(_.getAs[Long]("n_touches")).sum
+    assert(totalCredit > 0L && totalCredit % 1 == 0)
+    assert(totalCredit <= touches * 1000000L, r.toString)
+  }
+
+  test("q_unigram_sampling: 3/4-power flattens the head — top share below raw share") {
+    val r = rows("q_unigram_sampling")
+    assert(r.size == 30)
+    val p = r.map(_.getAs[Long]("p_micro"))
+    assert(p.zip(p.tail).forall { case (a, b) => a >= b }, p.toString)
+    assert(p.forall(x => x > 0L && x < 1000000L), p.toString)
+    // the 0.75 power preserves the count order on the top words
+    val c = r.map(_.getAs[Long]("n_occurrences"))
+    assert(c.zip(c.tail).forall { case (a, b) => a >= b }, c.toString)
+  }
+
   test("q_iv_wald: arms populated; a vanished first stage forces the zero sentinel") {
     val r = rows("q_iv_wald").head
     assert(r.getAs[Long]("n_z0") > 0L && r.getAs[Long]("n_z1") > 0L)
