@@ -589,7 +589,67 @@ object StatTests {
              |FROM m2""".stripMargin))
   ) :+ gumbelDef :+ kupiecDef :+ pageHinkleyDef :+ bartlettDef :+
     rateRatioDef :+ periodogramDef :+ kendallWDef :+ huberStepDef :+
-    negbinFitDef
+    negbinFitDef :+ bradleyTerryDef
+
+  /** One Bradley–Terry minorization–maximization step on pairwise
+    * day-wins between event types — THE pairwise-preference model
+    * (the likelihood a reward model fits over preference pairs): type a
+    * "beats" b on every day it out-counts b, ties credit half a win,
+    * and from the uniform initialization the MM update is the closed
+    * form pᵢ ∝ Wᵢ / (Nᵢ/2) — exact integer milli wins over exact pair
+    * exposures, normalized to micro strengths. The day×type grid
+    * densifies with zeros (q_kendall_w convention) so every pair is
+    * compared on every day; the pair fan-out is |types|² off the
+    * ≤ #days calendar frame, never data-sized. */
+  private def bradleyTerryDef = QueryDef(
+    "q_bradley_terry",
+    (s, d) => {
+      val de = Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val days = de.select("day").distinct()
+      val types = de.select("event_type").distinct()
+      val grid = days.crossJoin(broadcast(types))
+        .join(de, Seq("day", "event_type"), "left")
+        .select(col("day"), col("event_type"), coalesce(col("c"), lit(0L)).as("c"))
+      val pairs = grid.select(col("day"), col("event_type").as("a"), col("c").as("ca"))
+        .join(grid.select(col("day"), col("event_type").as("b"), col("c").as("cb")),
+          "day")
+        .where(col("a") =!= col("b"))
+        .groupBy("a")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("ca") > col("cb"), 1000L)
+            .when(col("ca") === col("cb"), 500L).otherwise(0L)).as("w_milli"))
+      val tot = pairs.agg(
+        sum(expr("(2000 * CAST(w_milli AS DECIMAL(38,0))) div n")).as("z"))
+      pairs.crossJoin(broadcast(tot))
+        .select(col("a").as("event_type"),
+          col("n").cast("long").as("n_comparisons"),
+          col("w_milli").cast("long").as("wins_milli"),
+          expr("""CAST((1000000 * ((2000 * CAST(w_milli AS DECIMAL(38,0))) div n))
+                 |div z AS BIGINT)""".stripMargin).as("strength_micro"))
+        .orderBy(col("strength_micro").desc, col("event_type"))
+    },
+    Some("""WITH de AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS c
+           |    FROM events GROUP BY 1, 2),
+           |days AS (SELECT DISTINCT day FROM de),
+           |types AS (SELECT DISTINCT event_type FROM de),
+           |grid AS (SELECT days.day, types.event_type, coalesce(de.c, 0) AS c
+           |  FROM days CROSS JOIN types
+           |  LEFT JOIN de ON de.day = days.day AND de.event_type = types.event_type),
+           |pairs AS (SELECT ga.event_type AS a, count(*) AS n,
+           |    sum(CASE WHEN ga.c > gb.c THEN 1000
+           |             WHEN ga.c = gb.c THEN 500 ELSE 0 END) AS w_milli
+           |  FROM grid ga JOIN grid gb
+           |    ON gb.day = ga.day AND gb.event_type <> ga.event_type
+           |  GROUP BY 1),
+           |t AS (SELECT sum((2000 * CAST(w_milli AS HUGEINT)) // n) AS z FROM pairs)
+           |SELECT a AS event_type, CAST(n AS BIGINT) AS n_comparisons,
+           |  CAST(w_milli AS BIGINT) AS wins_milli,
+           |  CAST((1000000 * ((2000 * CAST(w_milli AS HUGEINT)) // n)) // z AS BIGINT)
+           |    AS strength_micro
+           |FROM pairs CROSS JOIN t
+           |ORDER BY strength_micro DESC, event_type""".stripMargin))
 
   /** Method-of-moments negative-binomial fit on per-user event counts —
     * the overdispersion diagnostic that decides whether per-user

@@ -1197,6 +1197,21 @@ class AnalyticsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("q_bradley_terry: strengths normalize; wins bounded by comparisons") {
+    val r = rows("q_bradley_terry")
+    assert(r.nonEmpty)
+    val s = r.map(_.getAs[Long]("strength_micro")).sum
+    assert(s <= 1000000L && s >= 1000000L - r.size, s.toString)
+    for (row <- r)
+      assert(row.getAs[Long]("wins_milli") <=
+        row.getAs[Long]("n_comparisons") * 1000L, row.toString)
+    // symmetry: total win mass is exactly half the total comparison mass
+    // (every pair-day contributes 1000 milli split between its two arms)
+    val w = r.map(_.getAs[Long]("wins_milli")).sum
+    val n = r.map(_.getAs[Long]("n_comparisons")).sum
+    assert(w * 2 == n * 1000L, s"w=$w n=$n")
+  }
+
   test("q_time_decay_attribution: total credit equals one per converting user") {
     val r = rows("q_time_decay_attribution")
     assert(r.nonEmpty)
