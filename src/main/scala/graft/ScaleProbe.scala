@@ -274,7 +274,8 @@ object ScaleProbe {
       "q_zonemap_prune", "q_bcg_matrix", "q_cdc_compact", "q_scd2_asof",
       "q_pii_scan", "q_domain_ppl", "q_loo_source_influence",
       "q_greedy_coverage", "q_iv_wald", "q_reg_discontinuity",
-      "q_time_decay_attribution", "q_unigram_sampling", "q_bradley_terry")
+      "q_time_decay_attribution", "q_unigram_sampling", "q_bradley_terry",
+      "q_disorder_profile")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

@@ -2872,6 +2872,64 @@ object Behavioral {
              |  CAST(sum(credit) AS BIGINT) AS credit_micro_total
              |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // event-time disorder profile with the watermark-loss curve — the
+    // measurement every Structured Streaming watermark is tuned from:
+    // within each user's stream (event_id as arrival order), an event
+    // is LATE by the gap to the user's running-max event time, and the
+    // readout is the share of events a 1-minute / 5-minute / 15-minute
+    // watermark would drop. Lateness rides ONE user-partitioned running
+    // max in exact epoch-micro space; the loss curve is one conditional
+    // aggregate. The synthetic stream arrives nearly in order, so small
+    // losses here are the honest green light the streaming suite's
+    // fixed watermarks rely on.
+    QueryDef(
+      "q_disorder_profile",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tsu"))
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val late = e
+          .withColumn("mx", max("tsu").over(w))
+          .select(
+            when(col("mx").isNotNull && col("mx") > col("tsu"),
+              col("mx") - col("tsu")).otherwise(lit(0L)).as("late_us"))
+        late.agg(count(lit(1)).as("n"),
+            sum(when(col("late_us") > 0L, 1L).otherwise(0L)).as("n_late"),
+            max("late_us").as("max_late_us"),
+            sum(when(col("late_us") > 60000000L, 1L).otherwise(0L)).as("l1"),
+            sum(when(col("late_us") > 300000000L, 1L).otherwise(0L)).as("l5"),
+            sum(when(col("late_us") > 900000000L, 1L).otherwise(0L)).as("l15"))
+          .select(col("n").cast("long").as("n_events"),
+            expr("CAST((1000000 * n_late) div n AS BIGINT)").as("late_share_micro"),
+            expr("CAST(max_late_us div 1000000 AS BIGINT)").as("max_late_sec"),
+            expr("CAST((1000000 * l1) div n AS BIGINT)").as("lost_at_1m_micro"),
+            expr("CAST((1000000 * l5) div n AS BIGINT)").as("lost_at_5m_micro"),
+            expr("CAST((1000000 * l15) div n AS BIGINT)").as("lost_at_15m_micro"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS tsu FROM events),
+             |l AS (SELECT CASE WHEN mx IS NOT NULL AND mx > tsu
+             |        THEN mx - tsu ELSE 0 END AS late_us
+             |  FROM (SELECT tsu, max(tsu) OVER (PARTITION BY user_id
+             |      ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND 1 PRECEDING) AS mx FROM e)),
+             |a AS (SELECT count(*) AS n,
+             |    sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS n_late,
+             |    max(late_us) AS max_late_us,
+             |    sum(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END) AS l1,
+             |    sum(CASE WHEN late_us > 300000000 THEN 1 ELSE 0 END) AS l5,
+             |    sum(CASE WHEN late_us > 900000000 THEN 1 ELSE 0 END) AS l15
+             |  FROM l)
+             |SELECT CAST(n AS BIGINT) AS n_events,
+             |  CAST((1000000 * n_late) // n AS BIGINT) AS late_share_micro,
+             |  CAST(max_late_us // 1000000 AS BIGINT) AS max_late_sec,
+             |  CAST((1000000 * l1) // n AS BIGINT) AS lost_at_1m_micro,
+             |  CAST((1000000 * l5) // n AS BIGINT) AS lost_at_5m_micro,
+             |  CAST((1000000 * l15) // n AS BIGINT) AS lost_at_15m_micro
+             |FROM a""".stripMargin)),
+
     // ε-differential-privacy histogram release — the U23 companion that
     // ADDS noise instead of suppressing rows: per-type event counts
     // with Laplace(b=2 ⇒ ε=0.5 at sensitivity 1) noise, derived

@@ -1197,6 +1197,17 @@ class AnalyticsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("q_disorder_profile: watermark losses nest — longer watermarks drop fewer events") {
+    val r = rows("q_disorder_profile").head
+    assert(r.getAs[Long]("n_events") > 0L)
+    val l1 = r.getAs[Long]("lost_at_1m_micro")
+    val l5 = r.getAs[Long]("lost_at_5m_micro")
+    val l15 = r.getAs[Long]("lost_at_15m_micro")
+    val late = r.getAs[Long]("late_share_micro")
+    assert(late >= l1 && l1 >= l5 && l5 >= l15 && l15 >= 0L, r.toString)
+    if (late == 0L) assert(r.getAs[Long]("max_late_sec") == 0L, r.toString)
+  }
+
   test("q_bradley_terry: strengths normalize; wins bounded by comparisons") {
     val r = rows("q_bradley_terry")
     assert(r.nonEmpty)
