@@ -49,6 +49,13 @@ object DedupOps extends org.apache.spark.internal.Logging {
       .drop("__nd")
   }
 
+  /** Bag-of-words duplicate signature: md5 of the SORTED token list —
+    * catches word-order permutations that byte-exact dedup misses while
+    * staying exact (no shingle probability). One projection; the sort
+    * is per-row over the doc's own tokens. */
+  def bowSignature(text: Column): Column =
+    md5(concat_ws(" ", array_sort(split(text, " "))))
+
   /** Distinct whitespace tokens, one row per (id, token). */
   def explodeTokens(df: DataFrame, id: String, text: String): DataFrame =
     df.select(col(id), explode(array_distinct(split(col(text), " "))).as("tok"))
@@ -705,6 +712,69 @@ object DedupOps extends org.apache.spark.internal.Logging {
       },
       Some(s"""SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_copies
               |FROM ($docsWithDups) GROUP BY 1 ORDER BY keeper""".stripMargin)),
+
+    // bag-of-words dedup — the EXACT dedup semantics between byte-exact
+    // (q_dedup_exact, misses any reordering) and MinHash (approximate):
+    // hash the SORTED token multiset, so word-order permutations and
+    // sentence-shuffled copies collapse while genuinely different texts
+    // never collide. The salted corpus adds reversed-word copies of
+    // every 7th doc — invisible to md5(text), caught here; the report
+    // is the per-signature family table with the byte-exact count
+    // alongside, so the gap IS the reorder-dup mass. One projection +
+    // one grouped count (shuffle on the signature).
+    QueryDef(
+      "q_bow_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val shuffled = docs.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 300000).as("doc_id"),
+            concat_ws(" ", reverse(split(col("text"), " "))).as("text"))
+        docs.unionByName(shuffled)
+          .groupBy(bowSignature(col("text")).as("bow_h"))
+          .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"),
+            countDistinct(md5(col("text"))).as("n_distinct_texts"))
+          .where(col("n_copies") > 1)
+          .orderBy("keeper")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 300000,
+             |    array_to_string(list_reverse(string_split(text, ' ')), ' ')
+             |  FROM documents WHERE doc_id % 7 = 0)
+             |SELECT md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS bow_h,
+             |  min(doc_id) AS keeper, count(*) AS n_copies,
+             |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+             |FROM corpus GROUP BY 1 HAVING count(*) > 1 ORDER BY keeper""".stripMargin)),
+
+    // template mining — cluster documents by SHAPE (the sequence of
+    // token lengths), the cheap boilerplate detector web-scrape
+    // curation runs before content-level dedup: form letters and
+    // generated pages share a length skeleton even when every slot
+    // differs. Signature = md5 of the dash-joined token-length
+    // sequence; report the top-10 template families with size and how
+    // many DISTINCT texts share the skeleton (all-distinct ⇒ a true
+    // template, not plain copies). One projection + one grouped count.
+    QueryDef(
+      "q_template_mining",
+      (s, d) => {
+        Tables.documents(s, d)
+          .groupBy(md5(concat_ws("-",
+            transform(split(col("text"), " "), t => length(t).cast("string"))))
+            .as("shape_h"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(md5(col("text"))).as("n_distinct_texts"),
+            min("doc_id").as("exemplar"))
+          .orderBy(col("n_docs").desc, col("exemplar"))
+          .limit(10)
+      },
+      Some("""SELECT md5(array_to_string(
+             |    [CAST(len(t) AS VARCHAR) for t in string_split(text, ' ')], '-')) AS shape_h,
+             |  count(*) AS n_docs,
+             |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+             |  min(doc_id) AS exemplar
+             |FROM documents GROUP BY 1
+             |ORDER BY n_docs DESC, exemplar LIMIT 10""".stripMargin)),
 
     // MinHash signatures (k=4) per document
     QueryDef(

@@ -1197,6 +1197,31 @@ class AnalyticsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("q_bow_dedup: every family has >1 copy; reorder dups show fewer distinct texts") {
+    val r = rows("q_bow_dedup")
+    assert(r.nonEmpty)
+    var sawReorder = false
+    for (row <- r) {
+      val copies = row.getAs[Long]("n_copies")
+      val distinct = row.getAs[Long]("n_distinct_texts")
+      assert(copies > 1L && distinct >= 1L && distinct <= copies, row.toString)
+      if (distinct > 1L) sawReorder = true
+    }
+    // the salted reversed copies guarantee at least one family whose
+    // members are byte-DISTINCT but bag-equal
+    assert(sawReorder, r.take(5).toString)
+  }
+
+  test("q_template_mining: family sizes descending, distinct texts bounded by size") {
+    val r = rows("q_template_mining")
+    assert(r.nonEmpty && r.size <= 10)
+    val n = r.map(_.getAs[Long]("n_docs"))
+    assert(n.zip(n.tail).forall { case (a, b) => a >= b }, n.toString)
+    for (row <- r)
+      assert(row.getAs[Long]("n_distinct_texts") <= row.getAs[Long]("n_docs"),
+        row.toString)
+  }
+
   test("q_disorder_profile: watermark losses nest — longer watermarks drop fewer events") {
     val r = rows("q_disorder_profile").head
     assert(r.getAs[Long]("n_events") > 0L)
