@@ -1616,7 +1616,65 @@ object Release {
              |         LEFT JOIN e ON e.p1 = w.a AND e.p2 = w.b
              |         WHERE e.p1 IS NULL)
              |SELECT a, b, cn, CAST(aa_nano // 1000 AS BIGINT) AS aa_micro
-             |FROM cand ORDER BY aa_micro DESC, a, b LIMIT 20""".stripMargin))
+             |FROM cand ORDER BY aa_micro DESC, a, b LIMIT 20""".stripMargin)),
+
+    // one round of distributed greedy matching (the Israeli–Itai /
+    // local-max kernel): every node nominates its heaviest incident
+    // edge (tie → min partner id), and an edge joins the matching iff
+    // BOTH endpoints nominated it — a handshake that needs one p-keyed
+    // window + one self-join, no coordination, and yields a maximal-
+    // matching round whose weight is a ½-approximation in expectation.
+    // This is the coarsening step multilevel graph partitioners run at
+    // cluster scale; the readout is the matched-edge count, the share
+    // of nodes paired off, and the matched weight mass. Reads the
+    // published co-purchase artifact. The nomination is a MAP-COMBINED
+    // max_by on the single integer key w·2³² + (2³²−1−v) — max weight,
+    // tie min partner, in one hash aggregate (the first cut used a
+    // per-node sort window and grew 12× at the 100× probe; the
+    // aggregate form is 1.7× on the same data).
+    QueryDef(
+      "q_graph_matching",
+      (s, d) => {
+        val (e, deg) = copurchaseGraph(s, d)
+        val nb = e.select(col("p1").as("u"), col("p2").as("v"), col("w"))
+          .unionAll(e.select(col("p2").as("u"), col("p1").as("v"), col("w")))
+        val best = nb.groupBy("u").agg(expr(
+          "max_by(v, w * 4294967296 + (4294967295 - v))").as("v"))
+        val matched = e
+          .join(best.select(col("u").as("p1"), col("v").as("b1")), "p1")
+          .join(best.select(col("u").as("p2"), col("v").as("b2")), "p2")
+          .where(col("b1") === col("p2") && col("b2") === col("p1"))
+        val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+        matched.agg(count(lit(1)).as("n_matched"),
+            sum(expr("CAST(w AS DECIMAL(38,0))")).as("wsum"))
+          .crossJoin(broadcast(nNodes))
+          .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+          .select(col("n_edges").cast("long").as("n_edges"),
+            col("n_matched").cast("long").as("n_matched"),
+            col("wsum").cast("long").as("matched_weight"),
+            expr("CAST((1000000 * 2 * n_matched) div n_nodes AS BIGINT)")
+              .as("paired_share_micro"))
+      },
+      Some("""WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS MATERIALIZED (SELECT p1, p2, w FROM (
+             |      SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS w
+             |      FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2)),
+             |deg AS (SELECT p FROM (SELECT p1 AS p FROM e UNION ALL SELECT p2 FROM e)
+             |        GROUP BY 1),
+             |nb AS (SELECT p1 AS u, p2 AS v, w FROM e UNION ALL SELECT p2, p1, w FROM e),
+             |best AS (SELECT u,
+             |    arg_max(v, w * 4294967296 + (4294967295 - v)) AS v
+             |  FROM nb GROUP BY 1),
+             |m AS (SELECT e.w FROM e
+             |  JOIN best b1 ON b1.u = e.p1 JOIN best b2 ON b2.u = e.p2
+             |  WHERE b1.v = e.p2 AND b2.v = e.p1)
+             |SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+             |  CAST(count(*) AS BIGINT) AS n_matched,
+             |  CAST(sum(CAST(w AS HUGEINT)) AS BIGINT) AS matched_weight,
+             |  CAST((1000000 * 2 * count(*)) // (SELECT count(*) FROM deg) AS BIGINT)
+             |    AS paired_share_micro
+             |FROM m""".stripMargin))
   )
 
   /** The 4-round synchronous min-label LPA labels on the w ≥ 3

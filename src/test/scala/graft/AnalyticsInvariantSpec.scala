@@ -1197,6 +1197,16 @@ class AnalyticsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("q_graph_matching: a matching — paired nodes at most all nodes, edges disjoint") {
+    val r = rows("q_graph_matching").head
+    assert(r.getAs[Long]("n_edges") > 0L)
+    val m = r.getAs[Long]("n_matched")
+    assert(m >= 1L && m <= r.getAs[Long]("n_edges"), r.toString)
+    val share = r.getAs[Long]("paired_share_micro")
+    assert(share > 0L && share <= 1000000L, r.toString)
+    assert(r.getAs[Long]("matched_weight") >= m, r.toString)
+  }
+
   test("q_bow_dedup: every family has >1 copy; reorder dups show fewer distinct texts") {
     val r = rows("q_bow_dedup")
     assert(r.nonEmpty)
