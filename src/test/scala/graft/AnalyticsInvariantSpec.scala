@@ -1197,6 +1197,15 @@ class AnalyticsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("q_weighted_median: the weighted median is an attained price per brand") {
+    val r = rows("q_weighted_median")
+    assert(r.nonEmpty)
+    for (row <- r) {
+      assert(row.getAs[Long]("total_units") > 0L, row.toString)
+      assert(row.getAs[Long]("weighted_median_cents") > 0L, row.toString)
+    }
+  }
+
   test("q_graph_matching: a matching — paired nodes at most all nodes, edges disjoint") {
     val r = rows("q_graph_matching").head
     assert(r.getAs[Long]("n_edges") > 0L)
