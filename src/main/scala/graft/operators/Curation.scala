@@ -2770,6 +2770,82 @@ object Curation {
              |    AS ppl_milli
              |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // one EM step for Jelinek–Mercer interpolation weights — the
+    // classic way the mixture λs of an interpolated LM (bigram ⊕
+    // unigram ⊕ uniform) are fit on held-out data, and the smoothing
+    // family's third member beside add-k (q_bigram_lm) and Kneser–Ney
+    // (q_kneser_ney): from the uniform initialization λ = ⅓ each, the
+    // E-step posterior of each component on every held-out bigram is
+    // γ_c = p_c / Σp, and the M-step is λ'_c = mean γ_c. Component
+    // probabilities come from even-half counts (broadcast model
+    // frames); per-token posteriors nano-quantize BEFORE the mean
+    // (house rule). The λs say WHICH backoff level the corpus actually
+    // needs — the number a production LM smoother is tuned by.
+    QueryDef(
+      "q_jelinek_mercer",
+      (s, d) => {
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), expr("(doc_id div 20) % 2").as("half"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        val big = toks.withColumn("nxt", lead("tok", 1).over(w))
+          .where(col("nxt").isNotNull)
+          .select(col("half"), col("tok").as("w1"), col("nxt"))
+        val tr = big.where(col("half") === 0)
+          .groupBy("w1", "nxt").agg(count(lit(1)).as("c12"))
+        val uni1 = tr.groupBy("w1").agg(sum("c12").as("c1"))
+        val uni2 = tr.groupBy("nxt").agg(sum("c12").as("c2"))
+        val tot = tr.agg(sum("c12").as("nt"), countDistinct("nxt").as("v"))
+        val post = big.where(col("half") === 1)
+          .join(broadcast(tr), Seq("w1", "nxt"), "left")
+          .join(broadcast(uni1), Seq("w1"), "left")
+          .join(broadcast(uni2), Seq("nxt"), "left")
+          .crossJoin(broadcast(tot))
+          .select(
+            expr("""CASE WHEN c1 IS NULL OR c12 IS NULL THEN 0.0
+                   |ELSE CAST(c12 AS DOUBLE) / c1 END""".stripMargin).as("pb"),
+            expr("coalesce(CAST(c2 AS DOUBLE), 0.0) / nt").as("pu"),
+            expr("1.0 / v").as("pf"))
+          .select(
+            expr("CAST(round(1e9 * pb / (pb + pu + pf)) AS BIGINT)").as("gb"),
+            expr("CAST(round(1e9 * pu / (pb + pu + pf)) AS BIGINT)").as("gu"),
+            expr("CAST(round(1e9 * pf / (pb + pu + pf)) AS BIGINT)").as("gf"))
+        post.agg(count(lit(1)).as("n"), sum("gb").as("sb"),
+            sum("gu").as("su"), sum("gf").as("sf"))
+          .select(col("n").cast("long").as("heldout_bigrams"),
+            expr("CAST(sb div n div 1000 AS BIGINT)").as("lambda_bigram_micro"),
+            expr("CAST(su div n div 1000 AS BIGINT)").as("lambda_unigram_micro"),
+            expr("CAST(sf div n div 1000 AS BIGINT)").as("lambda_uniform_micro"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, (doc_id // 20) % 2 AS half,
+             |      ws[i] AS w1, ws[i+1] AS nxt
+             |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |    LATERAL unnest(range(1, len(ws))) AS t(i)),
+             |big AS (SELECT half, w1, nxt FROM toks WHERE nxt IS NOT NULL),
+             |tr AS (SELECT w1, nxt, count(*) AS c12 FROM big WHERE half = 0 GROUP BY 1, 2),
+             |u1 AS (SELECT w1, sum(c12) AS c1 FROM tr GROUP BY 1),
+             |u2 AS (SELECT nxt, sum(c12) AS c2 FROM tr GROUP BY 1),
+             |tot AS (SELECT sum(c12) AS nt, count(DISTINCT nxt) AS v FROM tr),
+             |p AS (SELECT
+             |    CASE WHEN u1.c1 IS NULL OR tr.c12 IS NULL THEN 0.0
+             |      ELSE CAST(tr.c12 AS DOUBLE) / u1.c1 END AS pb,
+             |    coalesce(CAST(u2.c2 AS DOUBLE), 0.0) / (SELECT nt FROM tot) AS pu,
+             |    1.0 / (SELECT v FROM tot) AS pf
+             |  FROM big b LEFT JOIN tr ON tr.w1 = b.w1 AND tr.nxt = b.nxt
+             |  LEFT JOIN u1 ON u1.w1 = b.w1
+             |  LEFT JOIN u2 ON u2.nxt = b.nxt
+             |  WHERE b.half = 1),
+             |g AS (SELECT
+             |    CAST(round(1e9 * pb / (pb + pu + pf)) AS BIGINT) AS gb,
+             |    CAST(round(1e9 * pu / (pb + pu + pf)) AS BIGINT) AS gu,
+             |    CAST(round(1e9 * pf / (pb + pu + pf)) AS BIGINT) AS gf
+             |  FROM p)
+             |SELECT count(*) AS heldout_bigrams,
+             |  CAST(sum(gb) // count(*) // 1000 AS BIGINT) AS lambda_bigram_micro,
+             |  CAST(sum(gu) // count(*) // 1000 AS BIGINT) AS lambda_unigram_micro,
+             |  CAST(sum(gf) // count(*) // 1000 AS BIGINT) AS lambda_uniform_micro
+             |FROM g""".stripMargin)),
+
     // leave-one-source-out influence on the corpus quality score — the
     // group-level data-valuation readout (the cheap, exact end of the
     // Shapley/influence-function spectrum): for each source, how much

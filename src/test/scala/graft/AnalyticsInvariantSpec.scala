@@ -1197,6 +1197,22 @@ class AnalyticsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("q_jelinek_mercer: lambdas form a distribution and bigram evidence dominates") {
+    val r = rows("q_jelinek_mercer").head
+    assert(r.getAs[Long]("heldout_bigrams") > 0L)
+    val lb = r.getAs[Long]("lambda_bigram_micro")
+    val lu = r.getAs[Long]("lambda_unigram_micro")
+    val lf = r.getAs[Long]("lambda_uniform_micro")
+    val sum = lb + lu + lf
+    assert(sum >= 999000L && sum <= 1000000L, s"sum=$sum")
+    // some held-out bigrams reappear in train, so the bigram component
+    // carries mass; and the DATA-driven components together must beat
+    // the uniform floor (at sf0.001 most held-out bigrams are unseen,
+    // so bigram-vs-unigram dominance is corpus-size-dependent — not a law)
+    assert(lb > 0L, s"lb=$lb lu=$lu lf=$lf")
+    assert(lb + lu > lf, s"lb=$lb lu=$lu lf=$lf")
+  }
+
   test("q_weighted_median: the weighted median is an attained price per brand") {
     val r = rows("q_weighted_median")
     assert(r.nonEmpty)
