@@ -589,7 +589,100 @@ object StatTests {
              |FROM m2""".stripMargin))
   ) :+ gumbelDef :+ kupiecDef :+ pageHinkleyDef :+ bartlettDef :+
     rateRatioDef :+ periodogramDef :+ kendallWDef :+ huberStepDef :+
-    negbinFitDef :+ bradleyTerryDef
+    negbinFitDef :+ bradleyTerryDef :+ kpssDef :+ saxMotifsDef
+
+  /** KPSS level-stationarity statistic on the daily revenue series —
+    * the COMPLEMENT of q_dickey_fuller's ADF (ADF's null is a unit
+    * root; KPSS's null is stationarity — a series failing both is the
+    * "neither" red flag): η = Σₜ Sₜ² / (n²·σ̂²) with Sₜ the partial
+    * sums of the demeaned series and σ̂² the lag-0 long-run variance
+    * (the classic short-form; the Newey–West lags are a bandwidth
+    * choice, stated in-line). Demeaned terms stay exact integers (y·n −
+    * Σy keeps everything integral), the partial sums ride the ≤ #days
+    * calendar frame, and Σ Sₜ² widens through DECIMAL(38,0). */
+  private def kpssDef = QueryDef(
+    "q_kpss",
+    (s, d) => {
+      val idx = dailyIdx(s, d)
+      val tot = idx.agg(count(lit(1)).as("n"),
+        sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"))
+      // scale the series by n so the demeaned value y·n − Σy is integral
+      val st = idx.crossJoin(broadcast(tot))
+        .withColumn("dm", expr("CAST(y AS DECIMAL(38,0)) * n - sy"))
+        .withColumn("s", sum("dm").over(Window.orderBy("i")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      st.agg(max("n").as("n"),
+          sum(expr("CAST(s AS DECIMAL(38,0)) * s")).as("ss2"),
+          sum(expr("CAST(dm AS DECIMAL(38,0)) * dm")).as("sd2"))
+        .select(col("n").cast("long").as("n_days"),
+          // η = (Σ Sₜ²/n²) / Σdm² — the n-scaling of dm cancels
+          expr("""CAST(round(1000000 * CAST(ss2 AS DOUBLE)
+                 |  / (CAST(n AS DOUBLE) * n) / CAST(sd2 AS DOUBLE))
+                 |AS BIGINT)""".stripMargin).as("kpss_eta_micro"),
+          // 5% critical value for level stationarity is 0.463
+          expr("""CAST(CASE WHEN CAST(ss2 AS DOUBLE)
+                 |  / (CAST(n AS DOUBLE) * n) / CAST(sd2 AS DOUBLE) > 0.463
+                 |THEN 1 ELSE 0 END AS BIGINT)""".stripMargin)
+            .as("reject_stationarity"))
+    },
+    Some(s"""WITH $dailyIdxSql,
+           |tot AS (SELECT count(*) AS n, sum(CAST(y AS HUGEINT)) AS sy FROM idx),
+           |st AS (SELECT i, CAST(y AS HUGEINT) * n - sy AS dm,
+           |    sum(CAST(y AS HUGEINT) * n - sy) OVER (ORDER BY i
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+           |  FROM idx CROSS JOIN tot),
+           |a AS (SELECT (SELECT n FROM tot) AS n,
+           |    sum(CAST(s AS HUGEINT) * s) AS ss2,
+           |    sum(CAST(dm AS HUGEINT) * dm) AS sd2 FROM st)
+           |SELECT CAST(n AS BIGINT) AS n_days,
+           |  CAST(round(1000000 * CAST(ss2 AS DOUBLE)
+           |    / (CAST(n AS DOUBLE) * n) / CAST(sd2 AS DOUBLE)) AS BIGINT)
+           |    AS kpss_eta_micro,
+           |  CAST(CASE WHEN CAST(ss2 AS DOUBLE)
+           |    / (CAST(n AS DOUBLE) * n) / CAST(sd2 AS DOUBLE) > 0.463
+           |  THEN 1 ELSE 0 END AS BIGINT) AS reject_stationarity
+           |FROM a""".stripMargin))
+
+  /** SAX motif discovery on the daily event-count series — discretize
+    * each day into a 3-letter alphabet by count tertile (ties break on
+    * the day index, so the letters are a deterministic function of the
+    * series), slide a 5-day window via four leads, and report the
+    * most frequent 5-letter words: recurring weekly SHAPES, the
+    * time-series analogue of the n-gram profile. Every window rides the
+    * ≤ #days calendar frame (q_changepoint convention); tertiles come
+    * from the native ntile over the same bounded frame. */
+  private def saxMotifsDef = QueryDef(
+    "q_sax_motifs",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val lettered = daily.withColumn("t",
+          ntile(3).over(Window.orderBy(col("c"), col("day"))))
+        .withColumn("l", expr("CASE t WHEN 1 THEN 'a' WHEN 2 THEN 'b' ELSE 'c' END"))
+      val wOrd = Window.orderBy("day")
+      val words = lettered.select(col("day"),
+          concat(col("l"), lead("l", 1).over(wOrd), lead("l", 2).over(wOrd),
+            lead("l", 3).over(wOrd), lead("l", 4).over(wOrd)).as("word"))
+        .where(col("word").isNotNull)
+      words.groupBy("word").agg(count(lit(1)).as("n_windows"))
+        .orderBy(col("n_windows").desc, col("word")).limit(5)
+    },
+    Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS c
+           |    FROM events GROUP BY 1),
+           |lt AS (SELECT day,
+           |    CASE ntile(3) OVER (ORDER BY c, day)
+           |      WHEN 1 THEN 'a' WHEN 2 THEN 'b' ELSE 'c' END AS l
+           |  FROM daily),
+           |words AS (SELECT l
+           |      || lead(l, 1) OVER (ORDER BY day)
+           |      || lead(l, 2) OVER (ORDER BY day)
+           |      || lead(l, 3) OVER (ORDER BY day)
+           |      || lead(l, 4) OVER (ORDER BY day) AS word
+           |  FROM lt)
+           |SELECT word, count(*) AS n_windows FROM words
+           |WHERE word IS NOT NULL
+           |GROUP BY 1 ORDER BY n_windows DESC, word LIMIT 5""".stripMargin))
 
   /** One Bradley–Terry minorization–maximization step on pairwise
     * day-wins between event types — THE pairwise-preference model

@@ -1197,6 +1197,28 @@ class AnalyticsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("q_kpss: eta positive and the rejection flag consistent with the 0.463 line") {
+    val r = rows("q_kpss").head
+    assert(r.getAs[Long]("n_days") > 2L)
+    val eta = r.getAs[Long]("kpss_eta_micro")
+    assert(eta > 0L, r.toString)
+    val reject = r.getAs[Long]("reject_stationarity")
+    if (eta > 464000L) assert(reject == 1L, r.toString)
+    if (eta < 462000L) assert(reject == 0L, r.toString)
+  }
+
+  test("q_sax_motifs: 5-letter words over {a,b,c}, window counts bounded by days") {
+    val r = rows("q_sax_motifs")
+    assert(r.nonEmpty && r.size <= 5)
+    val n = r.map(_.getAs[Long]("n_windows"))
+    assert(n.zip(n.tail).forall { case (a, b) => a >= b }, n.toString)
+    for (row <- r) {
+      val w = row.getAs[String]("word")
+      assert(w.length == 5 && w.forall("abc".contains(_)), row.toString)
+      assert(row.getAs[Long]("n_windows") >= 1L, row.toString)
+    }
+  }
+
   test("q_jelinek_mercer: lambdas form a distribution and bigram evidence dominates") {
     val r = rows("q_jelinek_mercer").head
     assert(r.getAs[Long]("heldout_bigrams") > 0L)

@@ -349,7 +349,14 @@ class PlanAuditSpec extends SparkSpec {
       // per layout), same ≤ #shuffle-partitions bound as the
       // GlobalOrder family — the file assignment itself rides the two
       // range shuffles
-      "q_zonemap_prune")
+      "q_zonemap_prune",
+      // q_kpss: partial sums over the ≤ #days calendar frame after one
+      // map-combined daily sum (q_changepoint convention)
+      "q_kpss",
+      // q_sax_motifs: tertile + four-lead windows over the ≤ #days
+      // calendar frame after one map-combined daily count
+      // (q_changepoint convention)
+      "q_sax_motifs")
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !allowed(name)
       w = fn(spark, sf).queryExecution.optimizedPlan.collect {
