@@ -24,7 +24,56 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
+  /** DuckDB horner-expansion of `conv(substr(md5(expr),1,12),16,10)` —
+    * 12 hex chars = 48 bits, the KMV hash width. */
+  private def hex12Sql(expr: String): String =
+    (0 until 12).map(i =>
+      s"(instr('0123456789abcdef', substr(md5($expr),${1 + i},1))-1)*${math.pow(16, 11 - i).toLong}")
+      .mkString(" + ")
+
   val defs: Seq[QueryDef] = Seq(
+
+    // KMV (K-minimum-values) distinct-count sketch, k = 256 — the
+    // distinct sketch that, unlike HLL (q_hll_gate is spec-bounded
+    // because registers are engine-private), is EXACTLY oracle-able:
+    // the k smallest 48-bit md5 hashes are a deterministic set in both
+    // engines, and the estimator (k−1)·2⁴⁸ div h₍ₖ₎ is one integer
+    // division. The plan is the sketch's own story at scale: a
+    // map-combined distinct, then a TakeOrdered of 256 skinny hashes —
+    // no giant shuffle, fixed memory. When the true cardinality is
+    // below k the sketch is exact by definition (the CASE arm).
+    QueryDef(
+      "q_kmv_distinct",
+      (s, d) => {
+        val h = Tables.events(s, d).select(col("user_id")).distinct()
+          .select(conv(substring(md5(col("user_id").cast("string")), 1, 12),
+            16, 10).cast("long").as("h"))
+        val kmin = h.orderBy("h").limit(256)
+        val hk = kmin.agg(max("h").as("hk"), count(lit(1)).as("kk"))
+        val exact = h.agg(count(lit(1)).as("exact"))
+        hk.crossJoin(broadcast(exact))
+          .select(col("exact").cast("long").as("exact_distinct"),
+            col("kk").cast("long").as("k_used"),
+            expr("""CAST(CASE WHEN kk < 256 THEN exact
+                   |ELSE (255 * 281474976710656) div hk END AS BIGINT)"""
+              .stripMargin).as("kmv_estimate"),
+            expr("""CAST(CASE WHEN kk < 256 THEN 1000
+                   |ELSE (1000 * ((255 * 281474976710656) div hk)) div exact
+                   |END AS BIGINT)""".stripMargin).as("est_over_exact_milli"))
+      },
+      Some(s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+             |h AS (SELECT ${hex12Sql("CAST(user_id AS VARCHAR)")} AS h FROM u),
+             |kmin AS (SELECT h FROM h ORDER BY h LIMIT 256),
+             |a AS (SELECT max(h) AS hk, count(*) AS kk FROM kmin),
+             |e AS (SELECT count(*) AS exact FROM h)
+             |SELECT CAST(exact AS BIGINT) AS exact_distinct,
+             |  CAST(kk AS BIGINT) AS k_used,
+             |  CAST(CASE WHEN kk < 256 THEN exact
+             |    ELSE (255 * 281474976710656) // hk END AS BIGINT) AS kmv_estimate,
+             |  CAST(CASE WHEN kk < 256 THEN 1000
+             |    ELSE (1000 * ((255 * 281474976710656) // hk)) // exact
+             |  END AS BIGINT) AS est_over_exact_milli
+             |FROM a CROSS JOIN e""".stripMargin)),
 
     // HyperLogLog++ distinct-count gate: |est − exact| ≤ 5·rsd·exact per
     // group (rsd = 0.02 → the bound is ±10% = 5σ — deterministic data +

@@ -1197,6 +1197,19 @@ class AnalyticsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("q_kmv_distinct: estimate within the k=256 relative-error envelope") {
+    val r = rows("q_kmv_distinct").head
+    val exact = r.getAs[Long]("exact_distinct")
+    val est = r.getAs[Long]("kmv_estimate")
+    assert(exact > 0L && est > 0L)
+    if (r.getAs[Long]("k_used") < 256L) assert(est == exact, r.toString)
+    else {
+      // KMV rse ≈ 1/sqrt(k-2) ≈ 6.3%; allow 5 sigma
+      val tol = (exact * 0.315).toLong + 1
+      assert(math.abs(est - exact) <= tol, s"est=$est exact=$exact")
+    }
+  }
+
   test("q_kpss: eta positive and the rejection flag consistent with the 0.463 line") {
     val r = rows("q_kpss").head
     assert(r.getAs[Long]("n_days") > 2L)
