@@ -277,7 +277,8 @@ object ScaleProbe {
       "q_time_decay_attribution", "q_unigram_sampling", "q_bradley_terry",
       "q_disorder_profile", "q_bow_dedup", "q_template_mining",
       "q_graph_matching", "q_weighted_median", "q_jelinek_mercer",
-      "q_kpss", "q_sax_motifs", "q_kmv_distinct")
+      "q_kpss", "q_sax_motifs", "q_kmv_distinct", "q_rolling_slope",
+      "q_turning_points", "q_spectral_entropy")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

@@ -589,7 +589,158 @@ object StatTests {
              |FROM m2""".stripMargin))
   ) :+ gumbelDef :+ kupiecDef :+ pageHinkleyDef :+ bartlettDef :+
     rateRatioDef :+ periodogramDef :+ kendallWDef :+ huberStepDef :+
-    negbinFitDef :+ bradleyTerryDef :+ kpssDef :+ saxMotifsDef
+    negbinFitDef :+ bradleyTerryDef :+ kpssDef :+ saxMotifsDef :+
+    rollingSlopeDef :+ turningPointsDef :+ spectralEntropyDef
+
+  /** 30-day rolling OLS slope of daily revenue — the local-trend track
+    * a dashboard overlays where q_theilsen gives one global robust
+    * slope: each day's slope closes over the exact moment sums of its
+    * trailing 30-row frame (Σi, Σi², Σy, Σiy as four frame sums — the
+    * closed form needs nothing else), so the whole track is windowed
+    * arithmetic on the ≤ #days calendar frame with no per-window refit.
+    * Report the steepest up- and down-trend days plus the track ends. */
+  private def rollingSlopeDef = QueryDef(
+    "q_rolling_slope",
+    (s, d) => {
+      val idx = dailyIdx(s, d)
+      val w = Window.orderBy("i").rowsBetween(-29, 0)
+      val sl = idx
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum("i").over(w))
+        .withColumn("sxx", sum(expr("CAST(i AS DECIMAL(38,0)) * i")).over(w))
+        .withColumn("sy", sum(expr("CAST(y AS DECIMAL(38,0))")).over(w))
+        .withColumn("sxy", sum(expr("CAST(i AS DECIMAL(38,0)) * y")).over(w))
+        .where(col("n") === 30)
+        .select(col("i"),
+          expr("""CAST(round(1000.0 *
+                 |  (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                 |  / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)))
+                 |AS BIGINT)""".stripMargin).as("slope_milli"))
+      val mx = sl.orderBy(col("slope_milli").desc, col("i")).limit(1)
+        .select(col("i").as("max_day"), col("slope_milli").as("max_slope_milli"))
+      val mn = sl.orderBy(col("slope_milli").asc, col("i")).limit(1)
+        .select(col("i").as("min_day"), col("slope_milli").as("min_slope_milli"))
+      val ends = sl.agg(count(lit(1)).as("n_windows"),
+        max("i").as("last_day"))
+      ends.crossJoin(broadcast(mx)).crossJoin(broadcast(mn))
+        .select(col("n_windows").cast("long").as("n_windows"),
+          col("max_day").cast("long").as("max_day"),
+          col("max_slope_milli"), col("min_day").cast("long").as("min_day"),
+          col("min_slope_milli"))
+    },
+    Some(s"""WITH $dailyIdxSql,
+           |sl AS (SELECT i,
+           |    CAST(round(1000.0 *
+           |      (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+           |      / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)))
+           |      AS BIGINT) AS slope_milli
+           |  FROM (SELECT i,
+           |      count(*) OVER w AS n, sum(i) OVER w AS sx,
+           |      sum(CAST(i AS HUGEINT) * i) OVER w AS sxx,
+           |      sum(CAST(y AS HUGEINT)) OVER w AS sy,
+           |      sum(CAST(i AS HUGEINT) * y) OVER w AS sxy
+           |    FROM idx
+           |    WINDOW w AS (ORDER BY i ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+           |  WHERE n = 30),
+           |mx AS (SELECT i AS max_day, slope_milli AS max_slope_milli FROM sl
+           |       ORDER BY slope_milli DESC, i LIMIT 1),
+           |mn AS (SELECT i AS min_day, slope_milli AS min_slope_milli FROM sl
+           |       ORDER BY slope_milli, i LIMIT 1),
+           |e AS (SELECT count(*) AS n_windows, max(i) AS last_day FROM sl)
+           |SELECT CAST(n_windows AS BIGINT) AS n_windows,
+           |  CAST(max_day AS BIGINT) AS max_day, max_slope_milli,
+           |  CAST(min_day AS BIGINT) AS min_day, min_slope_milli
+           |FROM e CROSS JOIN mx CROSS JOIN mn""".stripMargin))
+
+  /** Turning-points randomness test on daily revenue — a day is a
+    * turning point if it is a strict local max or min of its two
+    * neighbors; under iid randomness E[T] = 2(n−2)/3 and Var[T] =
+    * (16n−29)/90, so z = (T−E)/√Var is the classic quick screen beside
+    * q_runs_test (which sees level shifts; this sees local wiggliness).
+    * One lag + one lead over the ≤ #days calendar frame, exact integer
+    * T, one mirrored closed form. */
+  private def turningPointsDef = QueryDef(
+    "q_turning_points",
+    (s, d) => {
+      val idx = dailyIdx(s, d)
+      val w = Window.orderBy("i")
+      val t = idx
+        .withColumn("p", lag("y", 1).over(w))
+        .withColumn("nx", lead("y", 1).over(w))
+        .where(col("p").isNotNull && col("nx").isNotNull)
+        .select(when((col("y") > col("p") && col("y") > col("nx")) ||
+          (col("y") < col("p") && col("y") < col("nx")), 1L)
+          .otherwise(0L).as("tp"))
+      t.agg(count(lit(1)).as("m"), sum("tp").as("tt"))
+        .select(expr("CAST(m + 2 AS BIGINT)").as("n_days"),
+          col("tt").cast("long").as("turning_points"),
+          expr("""CAST(round(1000.0 * (tt - 2.0*m/3)
+                 |  / sqrt((16.0*(m+2) - 29) / 90)) AS BIGINT)""".stripMargin)
+            .as("z_milli"))
+    },
+    Some(s"""WITH $dailyIdxSql,
+           |t AS (SELECT CASE WHEN (y > p AND y > nx) OR (y < p AND y < nx)
+           |      THEN 1 ELSE 0 END AS tp
+           |  FROM (SELECT y, lag(y) OVER (ORDER BY i) AS p,
+           |      lead(y) OVER (ORDER BY i) AS nx FROM idx)
+           |  WHERE p IS NOT NULL AND nx IS NOT NULL),
+           |a AS (SELECT count(*) AS m, sum(tp) AS tt FROM t)
+           |SELECT CAST(m + 2 AS BIGINT) AS n_days,
+           |  CAST(tt AS BIGINT) AS turning_points,
+           |  CAST(round(1000.0 * (tt - 2.0*m/3)
+           |    / sqrt((16.0*(m+2) - 29) / 90)) AS BIGINT) AS z_milli
+           |FROM a""".stripMargin))
+
+  /** Normalized spectral entropy of the daily count series over the
+    * candidate periods 2..14 d — q_periodogram's scalar summary: a
+    * series dominated by one cycle reads near 0, white noise reads
+    * near 1. Powers re-derive from the same nano-quantized trig sums;
+    * the 13-row probability normalization and the −Σp·ln p both run on
+    * the period DOMAIN, with each period's p·ln p term nano-quantized
+    * before the sum (house rule). */
+  private def spectralEntropyDef = QueryDef(
+    "q_spectral_entropy",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(datediff(col("ts").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long").as("t"))
+        .agg(count(lit(1)).as("x"))
+      val terms = daily
+        .select(col("t"), col("x"), explode(sequence(lit(2L), lit(14L))).as("p"))
+        .select(col("p"),
+          expr("CAST(round(1e9 * x * cos(2 * pi() * t / p)) AS BIGINT)").as("tc"),
+          expr("CAST(round(1e9 * x * sin(2 * pi() * t / p)) AS BIGINT)").as("tsn"))
+      val pw = terms.groupBy("p")
+        .agg(sum("tc").as("sc"), sum("tsn").as("ss"))
+        .select(col("p"),
+          expr("(sc/1e9)*(sc/1e9) + (ss/1e9)*(ss/1e9)").as("pw"))
+      val tot = pw.agg(sum("pw").as("tp"), count(lit(1)).as("k"))
+      pw.crossJoin(broadcast(tot))
+        .select(col("k"),
+          expr("CAST(round(1e9 * (pw/tp) * ln(pw/tp)) AS BIGINT)").as("e_nano"))
+        .groupBy("k").agg(sum("e_nano").as("se"))
+        .select(col("k").cast("long").as("n_periods"),
+          expr("CAST(round(-se/1e9 / ln(CAST(k AS DOUBLE)) * 1000000) AS BIGINT)")
+            .as("spectral_entropy_micro"))
+    },
+    Some("""WITH daily AS (SELECT
+           |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+           |    count(*) AS x FROM events GROUP BY 1),
+           |terms AS (SELECT p.p,
+           |    CAST(round(1e9 * x * cos(2 * pi() * t / p.p)) AS BIGINT) AS tc,
+           |    CAST(round(1e9 * x * sin(2 * pi() * t / p.p)) AS BIGINT) AS tsn
+           |  FROM daily CROSS JOIN (SELECT unnest(generate_series(2, 14)) AS p) p),
+           |pw AS (SELECT p, (sum(tc)/1e9)*(sum(tc)/1e9) + (sum(tsn)/1e9)*(sum(tsn)/1e9) AS pw
+           |  FROM terms GROUP BY 1),
+           |tot AS (SELECT sum(pw) AS tp, count(*) AS k FROM pw),
+           |e AS (SELECT (SELECT k FROM tot) AS k,
+           |    CAST(round(1e9 * (pw/(SELECT tp FROM tot))
+           |      * ln(pw/(SELECT tp FROM tot))) AS BIGINT) AS e_nano
+           |  FROM pw)
+           |SELECT CAST(k AS BIGINT) AS n_periods,
+           |  CAST(round(-sum(e_nano)/1e9 / ln(CAST(k AS DOUBLE)) * 1000000) AS BIGINT)
+           |    AS spectral_entropy_micro
+           |FROM e GROUP BY k""".stripMargin))
 
   /** KPSS level-stationarity statistic on the daily revenue series —
     * the COMPLEMENT of q_dickey_fuller's ADF (ADF's null is a unit

@@ -1197,6 +1197,31 @@ class AnalyticsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("q_rolling_slope: extreme days inside the track, max at least min") {
+    val r = rows("q_rolling_slope").head
+    assert(r.getAs[Long]("n_windows") > 0L)
+    assert(r.getAs[Long]("max_slope_milli") >= r.getAs[Long]("min_slope_milli"),
+      r.toString)
+    // every reported day ends a FULL 30-day window
+    assert(r.getAs[Long]("max_day") >= 30L && r.getAs[Long]("min_day") >= 30L,
+      r.toString)
+  }
+
+  test("q_turning_points: count bounded by interior days") {
+    val r = rows("q_turning_points").head
+    val n = r.getAs[Long]("n_days")
+    assert(n > 2L)
+    val t = r.getAs[Long]("turning_points")
+    assert(t >= 0L && t <= n - 2L, r.toString)
+  }
+
+  test("q_spectral_entropy: normalized entropy on [0,1] over 13 periods") {
+    val r = rows("q_spectral_entropy").head
+    assert(r.getAs[Long]("n_periods") == 13L)
+    val h = r.getAs[Long]("spectral_entropy_micro")
+    assert(h >= 0L && h <= 1000001L, r.toString)
+  }
+
   test("q_kmv_distinct: estimate within the k=256 relative-error envelope") {
     val r = rows("q_kmv_distinct").head
     val exact = r.getAs[Long]("exact_distinct")

@@ -356,7 +356,11 @@ class PlanAuditSpec extends SparkSpec {
       // q_sax_motifs: tertile + four-lead windows over the ≤ #days
       // calendar frame after one map-combined daily count
       // (q_changepoint convention)
-      "q_sax_motifs")
+      "q_sax_motifs",
+      // q_rolling_slope / q_turning_points: 30-row moment frames and
+      // lag/lead over the ≤ #days calendar frame after one map-combined
+      // daily sum (q_changepoint convention)
+      "q_rolling_slope", "q_turning_points")
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !allowed(name)
       w = fn(spark, sf).queryExecution.optimizedPlan.collect {
