@@ -590,7 +590,54 @@ object StatTests {
   ) :+ gumbelDef :+ kupiecDef :+ pageHinkleyDef :+ bartlettDef :+
     rateRatioDef :+ periodogramDef :+ kendallWDef :+ huberStepDef :+
     negbinFitDef :+ bradleyTerryDef :+ kpssDef :+ saxMotifsDef :+
-    rollingSlopeDef :+ turningPointsDef :+ spectralEntropyDef
+    rollingSlopeDef :+ turningPointsDef :+ spectralEntropyDef :+
+    wilcoxonDef
+
+  /** Wilcoxon signed-rank test on q_paired_ttest's day-paired
+    * purchase-vs-click revenue differences — the nonparametric
+    * complement that survives the heavy-tailed days the t-test's
+    * normality leans on: rank |dᵢ| ascending (zero differences drop,
+    * the standard convention; ties broken on the day index for a total
+    * order — deterministic in both engines), W⁺ = Σ ranks of positive
+    * differences, z = (W⁺ − n(n+1)/4)/√(n(n+1)(2n+1)/24). Ranks ride
+    * the ≤ #days calendar frame; W⁺ is an exact integer. */
+  private def wilcoxonDef = QueryDef(
+    "q_wilcoxon",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(
+          sum(when(col("event_type") === "purchase",
+            expr("CAST(round(value*100) AS BIGINT)")).otherwise(0L)).as("yp"),
+          sum(when(col("event_type") === "click",
+            expr("CAST(round(value*100) AS BIGINT)")).otherwise(0L)).as("yc"))
+      val dd = daily.select(col("d"), (col("yp") - col("yc")).as("dd"))
+        .where(col("dd") =!= 0L)
+      val ranked = dd.withColumn("r",
+        row_number().over(Window.orderBy(abs(col("dd")), col("d"))).cast("long"))
+      ranked.agg(count(lit(1)).as("n"),
+          sum(when(col("dd") > 0L, col("r")).otherwise(0L)).as("wp"))
+        .select(col("n").cast("long").as("n_nonzero_days"),
+          col("wp").cast("long").as("w_plus"),
+          expr("""CAST(round(1000.0 * (wp - CAST(n AS DOUBLE)*(n+1)/4)
+                 |  / sqrt(CAST(n AS DOUBLE)*(n+1)*(2*n+1)/24)) AS BIGINT)"""
+            .stripMargin).as("z_milli"))
+    },
+    Some("""WITH daily AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+           |    sum(CASE WHEN event_type = 'purchase'
+           |        THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS yp,
+           |    sum(CASE WHEN event_type = 'click'
+           |        THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS yc
+           |  FROM events GROUP BY 1),
+           |dd AS (SELECT d, yp - yc AS dd FROM daily WHERE yp <> yc),
+           |rk AS (SELECT dd, CAST(row_number() OVER (ORDER BY abs(dd), d) AS BIGINT) AS r
+           |  FROM dd),
+           |a AS (SELECT count(*) AS n,
+           |    sum(CASE WHEN dd > 0 THEN r ELSE 0 END) AS wp FROM rk)
+           |SELECT CAST(n AS BIGINT) AS n_nonzero_days, CAST(wp AS BIGINT) AS w_plus,
+           |  CAST(round(1000.0 * (wp - CAST(n AS DOUBLE)*(n+1)/4)
+           |    / sqrt(CAST(n AS DOUBLE)*(n+1)*(2*n+1)/24)) AS BIGINT) AS z_milli
+           |FROM a""".stripMargin))
 
   /** 30-day rolling OLS slope of daily revenue — the local-trend track
     * a dashboard overlays where q_theilsen gives one global robust

@@ -1197,6 +1197,14 @@ class AnalyticsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("q_wilcoxon: W+ bounded by the total rank sum") {
+    val r = rows("q_wilcoxon").head
+    val n = r.getAs[Long]("n_nonzero_days")
+    assert(n > 2L)
+    val wp = r.getAs[Long]("w_plus")
+    assert(wp >= 0L && wp <= n * (n + 1) / 2, r.toString)
+  }
+
   test("q_rolling_slope: extreme days inside the track, max at least min") {
     val r = rows("q_rolling_slope").head
     assert(r.getAs[Long]("n_windows") > 0L)

@@ -360,7 +360,11 @@ class PlanAuditSpec extends SparkSpec {
       // q_rolling_slope / q_turning_points: 30-row moment frames and
       // lag/lead over the ≤ #days calendar frame after one map-combined
       // daily sum (q_changepoint convention)
-      "q_rolling_slope", "q_turning_points")
+      "q_rolling_slope", "q_turning_points",
+      // q_wilcoxon: the |d| rank rides the ≤ #days calendar frame after
+      // one map-combined daily conditional sum (q_changepoint
+      // convention)
+      "q_wilcoxon")
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !allowed(name)
       w = fn(spark, sf).queryExecution.optimizedPlan.collect {
