@@ -2845,9 +2845,15 @@ object Behavioral {
           .join(fp, "user_id")
           .where(col("ts").cast("date") <= col("pd"))
           .select(col("user_id"), col("event_type"),
-            expr("""1000000 div shiftleft(CAST(1 AS BIGINT),
-                   |  CAST(least(datediff(pd, CAST(ts AS DATE)) div 7, 62) AS INT))"""
-              .stripMargin).as("w"))
+            // clamp to ≥ 1: past 20 weeks the shift exceeds 10⁶ and the
+            // integer weight would underflow to 0 — a user whose every
+            // touch is that old would get tw = 0 and credit = 0/0 (NULL
+            // in Spark ANSI-off, a division error in DuckDB — the
+            // silhouette crash-vs-value class), silently violating
+            // "every conversion distributes exactly one credit"
+            expr("""greatest(1000000 div shiftleft(CAST(1 AS BIGINT),
+                   |  CAST(least(datediff(pd, CAST(ts AS DATE)) div 7, 62) AS INT)),
+                   |  CAST(1 AS BIGINT))""".stripMargin).as("w"))
         val norm = t.withColumn("tw",
           sum("w").over(Window.partitionBy("user_id")))
         norm.select(col("event_type"),
@@ -2860,8 +2866,8 @@ object Behavioral {
       Some("""WITH fp AS (SELECT user_id, min(CAST(ts AS DATE)) AS pd FROM events
              |      WHERE event_type='purchase' GROUP BY 1),
              |t AS (SELECT e.user_id, e.event_type,
-             |        1000000 // (CAST(1 AS BIGINT) << least(
-             |          (fp.pd - CAST(e.ts AS DATE)) // 7, 62)) AS w
+             |        greatest(1000000 // (CAST(1 AS BIGINT) << least(
+             |          (fp.pd - CAST(e.ts AS DATE)) // 7, 62)), 1) AS w
              |      FROM events e JOIN fp ON fp.user_id = e.user_id
              |      WHERE e.event_type IN ('view','click')
              |        AND CAST(e.ts AS DATE) <= fp.pd),

@@ -615,12 +615,19 @@ object StatTests {
         .where(col("dd") =!= 0L)
       val ranked = dd.withColumn("r",
         row_number().over(Window.orderBy(abs(col("dd")), col("d"))).cast("long"))
+      // n = 0 (every day's purchase and click cents tie) would make both
+      // wp NULL (sum over an empty frame) and z = 0/0: Spark ANSI-off
+      // yields a value while DuckDB round(NaN)::BIGINT ERRORS — the
+      // crash-vs-value class; zero-sentinel the degenerate case in both
+      // engines (house convention: q_negbin_fit, q_iv_wald)
       ranked.agg(count(lit(1)).as("n"),
-          sum(when(col("dd") > 0L, col("r")).otherwise(0L)).as("wp"))
+          coalesce(sum(when(col("dd") > 0L, col("r")).otherwise(0L)), lit(0L))
+            .as("wp"))
         .select(col("n").cast("long").as("n_nonzero_days"),
           col("wp").cast("long").as("w_plus"),
-          expr("""CAST(round(1000.0 * (wp - CAST(n AS DOUBLE)*(n+1)/4)
-                 |  / sqrt(CAST(n AS DOUBLE)*(n+1)*(2*n+1)/24)) AS BIGINT)"""
+          expr("""CAST(CASE WHEN n = 0 THEN 0
+                 |  ELSE round(1000.0 * (wp - CAST(n AS DOUBLE)*(n+1)/4)
+                 |    / sqrt(CAST(n AS DOUBLE)*(n+1)*(2*n+1)/24)) END AS BIGINT)"""
             .stripMargin).as("z_milli"))
     },
     Some("""WITH daily AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
@@ -633,10 +640,11 @@ object StatTests {
            |rk AS (SELECT dd, CAST(row_number() OVER (ORDER BY abs(dd), d) AS BIGINT) AS r
            |  FROM dd),
            |a AS (SELECT count(*) AS n,
-           |    sum(CASE WHEN dd > 0 THEN r ELSE 0 END) AS wp FROM rk)
+           |    coalesce(sum(CASE WHEN dd > 0 THEN r ELSE 0 END), 0) AS wp FROM rk)
            |SELECT CAST(n AS BIGINT) AS n_nonzero_days, CAST(wp AS BIGINT) AS w_plus,
-           |  CAST(round(1000.0 * (wp - CAST(n AS DOUBLE)*(n+1)/4)
-           |    / sqrt(CAST(n AS DOUBLE)*(n+1)*(2*n+1)/24)) AS BIGINT) AS z_milli
+           |  CAST(CASE WHEN n = 0 THEN 0
+           |    ELSE round(1000.0 * (wp - CAST(n AS DOUBLE)*(n+1)/4)
+           |      / sqrt(CAST(n AS DOUBLE)*(n+1)*(2*n+1)/24)) END AS BIGINT) AS z_milli
            |FROM a""".stripMargin))
 
   /** 30-day rolling OLS slope of daily revenue — the local-trend track
@@ -718,7 +726,10 @@ object StatTests {
         .select(when((col("y") > col("p") && col("y") > col("nx")) ||
           (col("y") < col("p") && col("y") < col("nx")), 1L)
           .otherwise(0L).as("tp"))
-      t.agg(count(lit(1)).as("m"), sum("tp").as("tt"))
+      // coalesce: a < 3-day series leaves t empty and sum() NULL — the
+      // zero-sentinel keeps every output column defined (z's denominator
+      // is already safe at m = 0: √(3/90) > 0)
+      t.agg(count(lit(1)).as("m"), coalesce(sum("tp"), lit(0L)).as("tt"))
         .select(expr("CAST(m + 2 AS BIGINT)").as("n_days"),
           col("tt").cast("long").as("turning_points"),
           expr("""CAST(round(1000.0 * (tt - 2.0*m/3)
@@ -731,7 +742,7 @@ object StatTests {
            |  FROM (SELECT y, lag(y) OVER (ORDER BY i) AS p,
            |      lead(y) OVER (ORDER BY i) AS nx FROM idx)
            |  WHERE p IS NOT NULL AND nx IS NOT NULL),
-           |a AS (SELECT count(*) AS m, sum(tp) AS tt FROM t)
+           |a AS (SELECT count(*) AS m, coalesce(sum(tp), 0) AS tt FROM t)
            |SELECT CAST(m + 2 AS BIGINT) AS n_days,
            |  CAST(tt AS BIGINT) AS turning_points,
            |  CAST(round(1000.0 * (tt - 2.0*m/3)
@@ -813,13 +824,16 @@ object StatTests {
           sum(expr("CAST(s AS DECIMAL(38,0)) * s")).as("ss2"),
           sum(expr("CAST(dm AS DECIMAL(38,0)) * dm")).as("sd2"))
         .select(col("n").cast("long").as("n_days"),
-          // η = (Σ Sₜ²/n²) / Σdm² — the n-scaling of dm cancels
+          // η = Σ Sₜ²_true / (n · Σe²): dm = n·e and S = n·S_true, so the
+          // n² scale factor cancels INSIDE ss2/sd2 (= ΣS_true²/Σe²) and
+          // exactly ONE factor of n remains — ss2/(n·sd2). Dividing by n²
+          // here would under-report η by a factor of n (the r12 bug).
           expr("""CAST(round(1000000 * CAST(ss2 AS DOUBLE)
-                 |  / (CAST(n AS DOUBLE) * n) / CAST(sd2 AS DOUBLE))
+                 |  / CAST(n AS DOUBLE) / CAST(sd2 AS DOUBLE))
                  |AS BIGINT)""".stripMargin).as("kpss_eta_micro"),
           // 5% critical value for level stationarity is 0.463
           expr("""CAST(CASE WHEN CAST(ss2 AS DOUBLE)
-                 |  / (CAST(n AS DOUBLE) * n) / CAST(sd2 AS DOUBLE) > 0.463
+                 |  / CAST(n AS DOUBLE) / CAST(sd2 AS DOUBLE) > 0.463
                  |THEN 1 ELSE 0 END AS BIGINT)""".stripMargin)
             .as("reject_stationarity"))
     },
@@ -834,10 +848,10 @@ object StatTests {
            |    sum(CAST(dm AS HUGEINT) * dm) AS sd2 FROM st)
            |SELECT CAST(n AS BIGINT) AS n_days,
            |  CAST(round(1000000 * CAST(ss2 AS DOUBLE)
-           |    / (CAST(n AS DOUBLE) * n) / CAST(sd2 AS DOUBLE)) AS BIGINT)
+           |    / CAST(n AS DOUBLE) / CAST(sd2 AS DOUBLE)) AS BIGINT)
            |    AS kpss_eta_micro,
            |  CAST(CASE WHEN CAST(ss2 AS DOUBLE)
-           |    / (CAST(n AS DOUBLE) * n) / CAST(sd2 AS DOUBLE) > 0.463
+           |    / CAST(n AS DOUBLE) / CAST(sd2 AS DOUBLE) > 0.463
            |  THEN 1 ELSE 0 END AS BIGINT) AS reject_stationarity
            |FROM a""".stripMargin))
 

@@ -1243,7 +1243,7 @@ class AnalyticsInvariantSpec extends SparkSpec {
     }
   }
 
-  test("q_kpss: eta positive and the rejection flag consistent with the 0.463 line") {
+  test("q_kpss: eta matches an independent BigInt replay and the flag is consistent") {
     val r = rows("q_kpss").head
     assert(r.getAs[Long]("n_days") > 2L)
     val eta = r.getAs[Long]("kpss_eta_micro")
@@ -1251,6 +1251,25 @@ class AnalyticsInvariantSpec extends SparkSpec {
     val reject = r.getAs[Long]("reject_stationarity")
     if (eta > 464000L) assert(reject == 1L, r.toString)
     if (eta < 462000L) assert(reject == 0L, r.toString)
+    // independent sequential replay of the textbook statistic
+    // η = Σ Sₜ² / (n²·σ̂²) with σ̂² = Σe²/n, i.e. η = Σ Sₜ² / (n·Σe²),
+    // in exact BigInt over the UNSCALED demeaned series times n (the
+    // same integralization the query uses) — pins the r12 factor-of-n
+    // bug class: η/n would miss by ~700× here
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, sf)
+      .where(col("event_type") === "purchase")
+      .groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(sum(expr("CAST(round(value*100) AS BIGINT)")).as("y"))
+      .orderBy("d").collect().map(_.getAs[Long]("y"))
+    val n = BigInt(daily.length)
+    val sy = daily.map(BigInt(_)).sum
+    val dm = daily.map(y => BigInt(y) * n - sy)
+    val ss2 = dm.scanLeft(BigInt(0))(_ + _).tail.map(s => s * s).sum
+    val sd2 = dm.map(e => e * e).sum
+    val etaReplay =
+      math.round(1e6 * ss2.toDouble / n.toDouble / sd2.toDouble)
+    assert(eta == etaReplay, s"query=$eta replay=$etaReplay")
   }
 
   test("q_sax_motifs: 5-letter words over {a,b,c}, window counts bounded by days") {
