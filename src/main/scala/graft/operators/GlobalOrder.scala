@@ -78,6 +78,15 @@ object GlobalOrder {
 
   private def pin(df: DataFrame): DataFrame = { current.value.pins.add(df); df }
 
+  /** Registers an externally-persisted frame on the current handle so
+    * the harness's per-query [[release]] drains it with the ranked
+    * projections — for operators that persist a frame REUSED across
+    * iterative rounds (q_ppr / q_weighted_pagerank pre-partition the
+    * edge frame by join key once so the 6–8 power rounds shuffle only
+    * the skinny rank side; the cache must outlive the final action but
+    * not the session). Caller persists; this only scopes the release. */
+  private[graft] def pinPersisted(df: DataFrame): DataFrame = pin(df)
+
   /** Runs `body` with a FRESH per-invocation handle and returns
     * (result, handle): every projection pinned during `body` belongs to
     * the returned handle, which the caller releases after materializing

@@ -14,6 +14,36 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** Per-part revenue with the global ABC running total — (l_partkey,
+    * cents, cum) under (cents desc, partkey asc) — built ONCE per (JVM,
+    * dataset) via GlobalOrder's two-phase range-partitioned running
+    * total and published as a parquet artifact. q_abc_class and
+    * q_abc_xyz both classify off this frame (each used to pay the
+    * ranked-cumulative pass separately — the one non-graph entry in the
+    * r12 close's worst-5 was exactly the duplicated pass); the grand
+    * total re-derives as a one-column sum of the stored frame, so
+    * neither consumer rescans lineitem. `ArtifactSpec` pins stored ≡
+    * fresh. */
+  private[graft] def abcRunningTotal(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val dir = Artifacts.dirFor(s"abcrun:$d", { out =>
+      abcRunningTotalRaw(s, d).write.parquet(s"$out/run")
+    })
+    s.read.parquet(s"$dir/run")
+  }
+
+  /** The uncached build path of [[abcRunningTotal]], kept callable for
+    * `ArtifactSpec`'s stored-≡-fresh proof. */
+  private[graft] def abcRunningTotalRaw(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val pr = Tables.lineitem(s, d)
+      .select(col("l_partkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .groupBy("l_partkey").agg(sum("cents").as("cents"))
+    GlobalOrder.withRunningTotal(pr,
+      Seq(col("cents").desc, col("l_partkey").asc), col("cents"), "cum")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // TPC-H Q1-style pricing summary: partial (map-side) aggregation makes
@@ -1568,20 +1598,16 @@ object Relational {
     // ABC inventory classification — parts bucketed A/B/C at the 80/95 %
     // cumulative-revenue breakpoints, reported as the 3-row class rollup
     // (count, revenue, share): the named analysis behind
-    // q_volume_concentration's threshold probes. The cumulative runs on
-    // GlobalOrder's two-phase range-partitioned running total — parts are
-    // data-sized, so a partitionless window here would be the single-task
-    // trap. Breakpoint compares stay exact in DECIMAL(38,0).
+    // q_volume_concentration's threshold probes. The cumulative reads
+    // the published [[abcRunningTotal]] artifact (GlobalOrder two-phase
+    // range-partitioned running total — parts are data-sized, so a
+    // partitionless window here would be the single-task trap), shared
+    // with q_abc_xyz. Breakpoint compares stay exact in DECIMAL(38,0).
     QueryDef(
       "q_abc_class",
       (s, d) => {
-        val pr = Tables.lineitem(s, d)
-          .select(col("l_partkey"),
-            round(col("l_extendedprice") * 100).cast("long").as("cents"))
-          .groupBy("l_partkey").agg(sum("cents").as("cents"))
-        val ord = Seq(col("cents").desc, col("l_partkey").asc)
-        val run = GlobalOrder.withRunningTotal(pr, ord, col("cents"), "cum")
-        val tot = pr.agg(sum("cents").as("tot"))
+        val run = abcRunningTotal(s, d)
+        val tot = run.agg(sum("cents").as("tot"))
         run.crossJoin(broadcast(tot))
           .select(col("cents"), col("tot"),
             expr("""CASE WHEN CAST(cum AS DECIMAL(38,0)) * 100 <= CAST(tot AS DECIMAL(38,0)) * 80
@@ -1944,20 +1970,18 @@ object Relational {
     // ABC × XYZ strategy matrix — the 9-cell cross of value concentration
     // (q_abc_class) and demand predictability (q_demand_cv) per part, with
     // each cell's part count and revenue share: AX = automate, CZ =
-    // make-to-order, the standard inventory-policy grid. Both
-    // classifications recompute from their own one-pass machinery (the
-    // cumulative rides GlobalOrder's range-partitioned running total) and
-    // meet in one partkey equi-join.
+    // make-to-order, the standard inventory-policy grid. The ABC
+    // cumulative reads the published [[abcRunningTotal]] artifact; the
+    // XYZ side is one map-combined moment pass; they meet in one partkey
+    // equi-join.
     QueryDef(
       "q_abc_xyz",
       (s, d) => {
-        val pr = Tables.lineitem(s, d)
-          .select(col("l_partkey"),
-            round(col("l_extendedprice") * 100).cast("long").as("cents"))
-          .groupBy("l_partkey").agg(sum("cents").as("cents"))
-        val ord = Seq(col("cents").desc, col("l_partkey").asc)
-        val run = GlobalOrder.withRunningTotal(pr, ord, col("cents"), "cum")
-        val tot = pr.agg(sum("cents").as("tot"))
+        // the ABC side reads the published running-total artifact shared
+        // with q_abc_class — the duplicated GlobalOrder pass was the one
+        // non-graph entry in the r12 close's worst-5
+        val run = abcRunningTotal(s, d)
+        val tot = run.agg(sum("cents").as("tot"))
         val abc = run.crossJoin(broadcast(tot))
           .select(col("l_partkey"), col("cents"),
             expr("""CASE WHEN CAST(cum AS DECIMAL(38,0)) * 100 <= CAST(tot AS DECIMAL(38,0)) * 80

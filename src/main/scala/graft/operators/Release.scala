@@ -971,7 +971,14 @@ object Release {
         // the artifact stores the directed adjacency with the per-source
         // strength pre-joined — the parquet scan replaces the old
         // per-query union + grouped sum + checkpoint
-        val (nbs, st) = copurchaseDirected(s, d)
+        val (nbs0, st) = copurchaseDirected(s, d)
+        // q_ppr convention: hash-partition the edge frame by the join key
+        // once and persist, so the six power rounds shuffle only the
+        // skinny rank frame instead of re-exchanging the data-sized
+        // adjacency per round; pinned for the harness's per-query release
+        val nbs = GlobalOrder.pinPersisted(
+          nbs0.repartition(s.sessionState.conf.numShufflePartitions, col("u"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         var pr = st.select(col("u").as("id"), lit(1000000L).as("r"))
         // the rounds form a LINEAR chain (each pr feeds exactly one
         // consumer), so unlike q_kcore's multi-consumer frames no
@@ -1281,8 +1288,21 @@ object Release {
         // pre-joined — no per-query grouped sum, no checkpoint: the
         // parquet scan is the lineage cut each power step restarts from
         val (nbw, _) = copurchaseDirected(s, d)
-        val e = nbw.select(col("u").as("src"), col("v").as("dst"), col("w"),
-          col("s").as("tw"))
+        // hash-partition the edge frame by the join key ONCE and persist:
+        // all 8 power rounds join on src, and without this each round
+        // re-scans AND re-exchanges the edge side (8 data-sized shuffles
+        // of the one frame that grows with the corpus — the bench's
+        // standing ceiling). Cached with HashPartitioning(src, parts),
+        // every round's join reuses the layout and shuffles only the
+        // skinny (id, r) rank frame — the iterative-graph contract GraphX
+        // uses. Pinned on the harness handle so the per-query release
+        // frees the MEMORY_AND_DISK blocks after the action.
+        val parts = s.sessionState.conf.numShufflePartitions
+        val e = GlobalOrder.pinPersisted(
+          nbw.select(col("u").as("src"), col("v").as("dst"), col("w"),
+              col("s").as("tw"))
+            .repartition(parts, col("src"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         // the artifact's degree table already lists every node — no distinct
         val nodes = copurchaseGraph(s, d)._2.select(col("p").as("id"))
         val seed = nodes.agg(min("id").as("sd"))
@@ -1313,12 +1333,13 @@ object Release {
     // percolation gate a marketplace runs before trusting "the network
     // is resilient": scale-free graphs shatter, dense ones shrug.
     // Hub cut by GlobalOrder rank (no driver collect, no partitionless
-    // window over the node-scaled degree frame); both component maps
-    // are star-contraction CC ([[DedupOps.connectedComponentsStar]] —
-    // the form that completed the 100× probe where min-label aborted),
-    // and the "before" map reads the PUBLISHED ccLabels artifact rather
-    // than re-running the iterative CC this query shares with every
-    // other full-graph component consumer. The honest fixture answer:
+    // window over the node-scaled degree frame). The "before" map reads
+    // the PUBLISHED ccLabels artifact; the "after" map runs
+    // star-contraction CC ([[DedupOps.connectedComponentsStar]] — the
+    // form that completed the 100× probe where min-label aborted) on the
+    // AFFECTED subgraph only, seeded from the before-labels: removal
+    // only splits components, so untouched components keep their stored
+    // size and never enter the fixpoint. The honest fixture answer:
     // the dense graph loses exactly the removed nodes and nothing else.
     QueryDef(
       "q_hub_robustness",
@@ -1335,11 +1356,32 @@ object Release {
         def lccOf(labels: org.apache.spark.sql.DataFrame) = labels
           .groupBy("cluster").agg(count(lit(1)).as("cnt"))
           .agg(coalesce(max("cnt"), lit(0L)).as("lcc"))
-        val before = lccOf(copurchaseCcLabels(s, d, 1L))
-          .select(col("lcc").as("lcc_before"))
+        val ccLabels = copurchaseCcLabels(s, d, 1L)
+        val before = lccOf(ccLabels).select(col("lcc").as("lcc_before"))
+        // node removal only SPLITS components: a before-component with no
+        // removed hub keeps exactly its node set, so the iterative
+        // after-CC needs only the AFFECTED subgraph (edges whose
+        // before-label contains a hub — both endpoints share the label by
+        // definition, so one endpoint lookup suffices) and every
+        // untouched component contributes its stored before-size
+        // directly. At marketplace scale the graph is one giant component
+        // plus a long tail of small ones; the tail never enters the
+        // fixpoint. The decomposition is exact (spec-pinned against the
+        // undecomposed global CC in AnalyticsInvariantSpec).
+        val hubLabels = ccLabels
+          .join(hubs.select(col("p").as("id")), "id")
+          .select("cluster").distinct()
+        val efAff = ef
+          .join(ccLabels.select(col("id").as("p1"), col("cluster")), "p1")
+          .join(hubLabels, Seq("cluster"), "left_semi")
+        val untouched = ccLabels
+          .join(hubLabels, Seq("cluster"), "left_anti")
+          .groupBy("cluster").agg(count(lit(1)).as("cnt"))
+          .agg(coalesce(max("cnt"), lit(0L)).as("lcc_untouched"))
         val after = lccOf(DedupOps.connectedComponentsStar(
-            ef.select(col("p1").as("id1"), col("p2").as("id2"))))
-          .select(col("lcc").as("lcc_after"))
+            efAff.select(col("p1").as("id1"), col("p2").as("id2"))))
+          .crossJoin(broadcast(untouched))
+          .select(greatest(col("lcc"), col("lcc_untouched")).as("lcc_after"))
         val me = e0.agg(count(lit(1)).as("n_edges"))
         val hc = hubs.agg(count(lit(1)).as("hubs_removed"))
         nn.crossJoin(broadcast(me)).crossJoin(broadcast(hc))

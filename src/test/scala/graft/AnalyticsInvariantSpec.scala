@@ -504,6 +504,32 @@ class AnalyticsInvariantSpec extends SparkSpec {
     assert(row.getAs[Long]("hubs_removed") >= 1L)
   }
 
+  test("q_hub_robustness: affected-component decomposition equals the global after-CC") {
+    // the query prunes the after-CC to before-components containing a
+    // removed hub and takes untouched components at their stored size;
+    // this replays the UNDECOMPOSED global CC over the full hub-removed
+    // edge set and pins lcc_after equality — the stored-vs-fresh proof
+    // for the r13 rewrite
+    import org.apache.spark.sql.functions._
+    val row = rows("q_hub_robustness").head
+    val (e0, deg) = graft.operators.Release.copurchaseGraph(spark, sf)
+    val nn = deg.count()
+    val hubs = graft.operators.GlobalOrder
+      .withGlobalRowNumber(deg, Seq(col("deg").desc, col("p").asc), "rn")
+      .where(col("rn") <= (nn + 99) / 100).select("p")
+    val ef = e0
+      .join(hubs.select(col("p").as("p1")), Seq("p1"), "left_anti")
+      .join(hubs.select(col("p").as("p2")), Seq("p2"), "left_anti")
+    val lccGlobal = graft.operators.DedupOps.connectedComponentsStar(
+        ef.select(col("p1").as("id1"), col("p2").as("id2")))
+      .groupBy("cluster").agg(count(lit(1)).as("cnt"))
+      .agg(coalesce(max("cnt"), lit(0L)).as("lcc"))
+      .head().getAs[Long]("lcc")
+    graft.operators.GlobalOrder.release()
+    assert(row.getAs[Long]("lcc_after") == lccGlobal,
+      s"decomposed=${row.getAs[Long]("lcc_after")} global=$lccGlobal")
+  }
+
   test("q_best_passage: window scores bounded by the window length") {
     val r = rows("q_best_passage")
     assert(r.nonEmpty)

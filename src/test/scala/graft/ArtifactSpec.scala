@@ -2,7 +2,7 @@ package graft
 
 import java.util.concurrent.atomic.AtomicInteger
 
-import graft.operators.{Artifacts, DedupOps, Release}
+import graft.operators.{Artifacts, DedupOps, Relational, Release}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -152,5 +152,14 @@ class ArtifactSpec extends SparkSpec {
     assert(stored.count() > 0)
     assert(same(stored, fresh),
       "stored base LSH index diverged from a fresh build")
+  }
+
+  test("abc running-total artifact: stored frame equals a fresh GlobalOrder build") {
+    val stored = Relational.abcRunningTotal(spark, sf)
+    val fresh = Relational.abcRunningTotalRaw(spark, sf)
+    assert(stored.count() > 0)
+    assert(same(stored, fresh),
+      "abc running-total artifact diverged from a fresh build")
+    graft.operators.GlobalOrder.release()
   }
 }
