@@ -1303,17 +1303,25 @@ object Release {
               col("s").as("tw"))
             .repartition(parts, col("src"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        // the artifact's degree table already lists every node — no distinct
+        // the artifact's degree table already lists every node — no
+        // distinct; the (id, sd) base frame is node-sized and read NINE
+        // times (init + once per round for the restart injection), so it
+        // persists too — without this every round re-scans the degree
+        // parquet and re-runs the min-seed aggregate as a fresh
+        // broadcast-build job
         val nodes = copurchaseGraph(s, d)._2.select(col("p").as("id"))
         val seed = nodes.agg(min("id").as("sd"))
-        var p = nodes.crossJoin(broadcast(seed))
+        val base = GlobalOrder.pinPersisted(
+          nodes.crossJoin(broadcast(seed))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        var p = base
           .select(col("id"),
             when(col("id") === col("sd"), 1000000000L).otherwise(0L).as("r"))
         for (k <- 1 to 8) {
           val contribs = p.join(e, col("id") === col("src"))
             .groupBy("dst")
             .agg(sum(expr("CAST(r AS DECIMAL(38,0)) * w div tw")).as("cs"))
-          val next = nodes.crossJoin(broadcast(seed))
+          val next = base
             .join(contribs.select(col("dst").as("id"), col("cs")), Seq("id"), "left")
             .select(col("id"),
               (when(col("id") === col("sd"), 150000000L).otherwise(0L) +
@@ -1371,9 +1379,14 @@ object Release {
         val hubLabels = ccLabels
           .join(hubs.select(col("p").as("id")), "id")
           .select("cluster").distinct()
-        val efAff = ef
-          .join(ccLabels.select(col("id").as("p1"), col("cluster")), "p1")
-          .join(hubLabels, Seq("cluster"), "left_semi")
+        // membership test via the NODE-sized affected set (labels
+        // semi-joined to the hub labels), not an edge×labels equi-join:
+        // the semi join's build side is bounded by the node table, so
+        // AQE broadcasts it at bench scale and the surviving-edge frame
+        // never takes an extra exchange just to learn its component
+        val affNodes = ccLabels.join(hubLabels, Seq("cluster"), "left_semi")
+          .select(col("id").as("p1"))
+        val efAff = ef.join(affNodes, Seq("p1"), "left_semi")
         val untouched = ccLabels
           .join(hubLabels, Seq("cluster"), "left_anti")
           .groupBy("cluster").agg(count(lit(1)).as("cnt"))
