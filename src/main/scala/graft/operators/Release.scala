@@ -1009,7 +1009,15 @@ object Release {
     QueryDef(
       "q_bfs_layers",
       (s, d) => {
-        val nb = copurchaseDirected(s, d)._1.select("u", "v")
+        // q_ppr convention: the adjacency is probed once per hop (three
+        // hops), so partition it by the hop join key once and persist —
+        // each expansion reuses the layout instead of re-scanning and,
+        // at the scale where the frontier stops broadcasting,
+        // re-exchanging the edge frame
+        val nb = GlobalOrder.pinPersisted(
+          copurchaseDirected(s, d)._1.select("u", "v")
+            .repartition(s.sessionState.conf.numShufflePartitions, col("u"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val l0 = cutLineage(
           nb.select(col("u").as("id")).where(col("id") < 10).distinct())
         def expand(frontier: org.apache.spark.sql.DataFrame,
