@@ -303,7 +303,14 @@ object ScaleProbe {
         case t: Throwable =>
           println(s"| $q | ERROR ${t.getClass.getSimpleName}: " +
             s"${Option(t.getMessage).getOrElse("").take(120)} |")
-      }
+      } finally
+        // release pinned projections BETWEEN queries (not between the
+        // two runs of one query — run 2 deliberately reuses run 1's
+        // pins, the measurement semantics every recorded probe row
+        // used): without this a long probe list accumulates
+        // MEMORY_AND_DISK blocks the JVM never reclaims and the sweep
+        // eventually OOMs at 100× regardless of heap size
+        graft.operators.GlobalOrder.release(blocking = true)
     }
     spark.stop()
   }
