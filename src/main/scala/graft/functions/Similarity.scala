@@ -2705,10 +2705,17 @@ object Similarity {
     QueryDef(
       "q_kcenter_coreset",
       (s, d) => {
-        val x = Tables.embeddings(s, d)
-          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "e")))
-          .select(col("vec_id"), col("i"),
-            round(col("e").cast("double") * 1e6).cast("long").as("xq"))
+        // the exploded quantized frame feeds every one of the greedy
+        // loop's ~9 actions (4 rounds × argmax/radius readouts, each
+        // with a center-distance join) — persist it once instead of
+        // re-exploding the embedding table per action (pinned for the
+        // harness's per-query release)
+        val x = graft.operators.GlobalOrder.pinPersisted(
+          Tables.embeddings(s, d)
+            .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "e")))
+            .select(col("vec_id"), col("i"),
+              round(col("e").cast("double") * 1e6).cast("long").as("xq"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         def distTo(id: Long) = x
           .join(x.where(col("vec_id") === id)
             .select(col("i"), col("xq").as("cq")), "i")
