@@ -282,23 +282,31 @@ object ScaleProbe {
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 
-    def timeMin2(name: String, dir: String): (Double, Long) = {
+    // returns (cold = run 1, min-of-2, rows): the min is the recorded
+    // growth basis every probe row in BENCH.md has ever used (run 2
+    // deliberately replays run 1's pinned caches — the warm-iteration
+    // semantics), and the cold column is reported BESIDE it because
+    // with query-level persists (round 13+) run 2 largely measures the
+    // warm-cache replay; a reader comparing against pre-r13 rows (which
+    // had no query-level persists) needs the cold figure for an
+    // apples-to-apples read
+    def timeMin2(name: String, dir: String): (Double, Double, Long) = {
       def once(): (Double, Long) = {
         val t0 = System.nanoTime()
         val n = SparkEntry.queries(name)(spark, dir).count()
         ((System.nanoTime() - t0) / 1e9, n)
       }
       val a = once(); val b = once()
-      (math.min(a._1, b._1), b._2)
+      (a._1, math.min(a._1, b._1), b._2)
     }
 
-    println(f"| query | t@1x (s) | rows@1x | t@${factor}x (s) | rows@${factor}x | growth |")
-    println("|---|---:|---:|---:|---:|---:|")
+    println(f"| query | t@1x (s) | cold@1x | rows@1x | t@${factor}x (s) | cold@${factor}x | rows@${factor}x | growth |")
+    println("|---|---:|---:|---:|---:|---:|---:|---:|")
     for (q <- probeQueries) {
       try {
-        val (t1, n1) = timeMin2(q, src)
-        val (tN, nN) = timeMin2(q, dst)
-        println(f"| $q | $t1%.2f | $n1 | $tN%.2f | $nN | ${tN / t1}%.1f× |")
+        val (c1, t1, n1) = timeMin2(q, src)
+        val (cN, tN, nN) = timeMin2(q, dst)
+        println(f"| $q | $t1%.2f | $c1%.2f | $n1 | $tN%.2f | $cN%.2f | $nN | ${tN / t1}%.1f× |")
       } catch {
         case t: Throwable =>
           println(s"| $q | ERROR ${t.getClass.getSimpleName}: " +

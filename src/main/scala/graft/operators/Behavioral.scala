@@ -6345,6 +6345,9 @@ object Behavioral {
         val anchor = li.agg(max("t").as("t0"))
         li.crossJoin(broadcast(anchor))
           .select(col("l_partkey"),
+            // underflow-to-0 past ~20 half-lives is SAFE here (unlike
+            // q_time_decay_attribution's clamped weights): the weight is
+            // SUMMED, never a divisor — decay-to-zero is the intended law
             expr("""1000000 div shiftleft(CAST(1 AS BIGINT),
                    |  CAST(least((t0 - t) div 30, 62) AS INT))""".stripMargin)
               .as("s"))

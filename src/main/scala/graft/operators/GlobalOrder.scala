@@ -84,7 +84,16 @@ object GlobalOrder {
     * iterative rounds (q_ppr / q_weighted_pagerank pre-partition the
     * edge frame by join key once so the 6–8 power rounds shuffle only
     * the skinny rank side; the cache must outlive the final action but
-    * not the session). Caller persists; this only scopes the release. */
+    * not the session). Caller persists; this only scopes the release.
+    *
+    * RELEASE CONTRACT (documented on [[graft.QueryDef]] too): pins land
+    * on the DEFAULT handle unless the caller runs inside [[scoped]].
+    * The sequential harnesses (Verify / Bench / ScaleProbe / specs)
+    * drain the default handle per query; any OTHER caller executing a
+    * pinning query must call [[release]] after materializing its output
+    * or wrap the run in [[scoped]] and release that handle — otherwise
+    * every invocation leaks MEMORY_AND_DISK blocks for the session
+    * lifetime. */
   private[graft] def pinPersisted(df: DataFrame): DataFrame = pin(df)
 
   /** Runs `body` with a FRESH per-invocation handle and returns

@@ -66,7 +66,9 @@ object Release {
   /** Fixed-point personalized-PageRank oracle — eight unrolled restart
     * power steps over the weighted co-purchase edges, MATERIALIZED per
     * stage, truncating nano arithmetic mirroring the Spark loop term
-    * for term (per-edge `r·w // tw`, restart mass only at the seed). */
+    * for term: the per-edge transfer fraction is precomputed once as
+    * `fm = (w·2³⁰) // tw` (the artifact's fm column) and the per-round
+    * term is `(r·fm) // 2³⁰`, restart mass only at the seed. */
   private def pprOracle: String = {
     val steps = (1 to 8).map { k =>
       s"""p$k AS MATERIALIZED (
@@ -74,8 +76,8 @@ object Release {
          |      CAST((CASE WHEN n.id = (SELECT sd FROM seed) THEN 150000000 ELSE 0 END)
          |        + (85 * coalesce(c$k.cs, 0)) // 100 AS BIGINT) AS r
          |    FROM nodes n LEFT JOIN (
-         |      SELECT e.dst AS id, sum(CAST(p${k - 1}.r AS HUGEINT) * e.w // ws.tw) AS cs
-         |      FROM e JOIN p${k - 1} ON p${k - 1}.id = e.src JOIN ws ON ws.src = e.src
+         |      SELECT ef.dst AS id, sum((p${k - 1}.r * ef.fm) // 1073741824) AS cs
+         |      FROM ef JOIN p${k - 1} ON p${k - 1}.id = ef.src
          |      GROUP BY 1) c$k ON c$k.id = n.id)""".stripMargin
     }
     s"""WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -87,6 +89,9 @@ object Release {
        |    UNION ALL SELECT p2, p1, w FROM e0),
        |nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
        |ws AS MATERIALIZED (SELECT src, sum(w) AS tw FROM e GROUP BY 1),
+       |ef AS MATERIALIZED (SELECT e.src, e.dst,
+       |    CAST(CAST(e.w AS HUGEINT) * 1073741824 // ws.tw AS BIGINT) AS fm
+       |  FROM e JOIN ws ON ws.src = e.src),
        |seed AS MATERIALIZED (SELECT min(id) AS sd FROM nodes),
        |p0 AS MATERIALIZED (SELECT id,
        |    CAST(CASE WHEN id = (SELECT sd FROM seed) THEN 1000000000 ELSE 0 END
@@ -102,11 +107,65 @@ object Release {
     * — they cannot be recomputed — so a corpus-scale edge list held in
     * block storage starves hash aggregation of execution memory; the
     * 100× probe hit exactly that), localCheckpoint otherwise. */
-  private def cutLineage(df: org.apache.spark.sql.DataFrame)
+  private[graft] def cutLineage(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint(true)
     else df.localCheckpoint(true)
+
+  /** The iterative-graph cache convention, defined ONCE (it was
+    * triplicated across q_ppr / q_weighted_pagerank / q_bfs_layers and
+    * each copy carried its own rationale comment — three copies of a
+    * subtle convention is how the fourth gets it wrong):
+    *
+    * Hash-partition the static frame by the loop's join key ONCE and
+    * persist MEMORY_AND_DISK. Every round's join then reuses the cached
+    * layout and shuffles only the skinny evolving side (rank / frontier
+    * / survivor set) — the GraphX contract. Without this, each round
+    * re-scans AND re-exchanges the data-sized static frame: k rounds =
+    * k full shuffles of the one input that grows with the corpus.
+    * Measured (round 13, 100× probes): q_ppr 131 → 56.6 s,
+    * q_weighted_pagerank 70.3 → 40.7 s. A `bucketBy(key).saveAsTable`
+    * layout is NOT a substitute — it avoids the exchange but not the
+    * per-round parquet re-decode (measured 3.6× worse; BENCH.md r13).
+    *
+    * The frame is pinned via [[GlobalOrder.pinPersisted]], so the
+    * harness's per-query release drains the blocks after the consuming
+    * action — callers outside Verify/Bench/ScaleProbe must drain via
+    * `GlobalOrder.release()` (or run inside `GlobalOrder.scoped`) or
+    * the MEMORY_AND_DISK blocks leak for the session lifetime.
+    *
+    * CUT POLICY for the loop body built on top of this cache: cut
+    * lineage ([[cutLineage]]) at depth ≤ 2 — the per-round join
+    * broadcasts the evolving side at bench scale, and a broadcast
+    * exchange materializes its child eagerly with no cross-round stage
+    * reuse, so an uncut "linear" chain replays quadratically (measured:
+    * dropping q_ppr's cuts doubled it, 5.4 → 11 s; adding
+    * every-2nd-round cuts to q_weighted_pagerank took its 100× probe
+    * 53.9 → 34.7 s). Do NOT try to dodge the cuts by forcing the
+    * evolving side to SHUFFLE instead (shuffle_hash hints): measured
+    * round 14 on q_ppr, the all-shuffle form was worse on BOTH axes —
+    * sf0.1 4.6 s (broadcast+cuts) vs 20.4 s (shj+cuts) / 34.9 s (shj
+    * uncut), 100× 52.2 vs 43.9 / 69.7 s — the uncut-shj numbers show
+    * the chain still replays (AQE stage materialization does not reuse
+    * map outputs across the re-planned sub-stages), and the per-round
+    * shuffle of the evolving side costs far more than the broadcast it
+    * replaces wherever the rank frame is broadcastable. BENCH.md r14. */
+  private[graft] def partitionedEdgeCache(df: org.apache.spark.sql.DataFrame,
+      key: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    GlobalOrder.pinPersisted(
+      df.repartition(parts, key)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** Pin-scoped plain persist (no re-partitioning) for node-sized frames
+    * a loop reads every round — same release contract as
+    * [[partitionedEdgeCache]]. */
+  private[graft] def pinnedPersist(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    GlobalOrder.pinPersisted(
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Distinct undirected co-purchase edges (p1 < p2, with the shared-
     * order count `w` and per-node degrees) — the shared graph the
@@ -130,13 +189,15 @@ object Release {
   }
 
   /** Directed expansion of the co-purchase artifact: `nbw` is
-    * e0 ∪ reverse(e0) as (u, v, w, s) with the per-source out-weight
-    * total `s` ALREADY JOINED IN, and `ws` is the skinny (u, s) table —
-    * both stored once per (JVM, dataset). The weighted-graph family
-    * (q_ppr / q_weighted_pagerank / q_bfs_layers) previously rebuilt the
-    * union + grouped sum per query, and the iterative consumers then had
-    * to checkpoint the join; a parquet read of the pre-joined table is
-    * both the dedup and the lineage cut. */
+    * e0 ∪ reverse(e0) as (u, v, w, s, fm) with the per-source out-weight
+    * total `s` ALREADY JOINED IN and the 2³⁰-fixed-point transfer
+    * fraction `fm = (w·2³⁰) div s` precomputed (see the build comment),
+    * and `ws` is the skinny (u, s) table — both stored once per (JVM,
+    * dataset). The weighted-graph family (q_ppr / q_weighted_pagerank /
+    * q_bfs_layers) previously rebuilt the union + grouped sum per query,
+    * and the iterative consumers then had to checkpoint the join; a
+    * parquet read of the pre-joined table is both the dedup and the
+    * lineage cut. */
   private[graft] def copurchaseDirected(s: org.apache.spark.sql.SparkSession,
       d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
@@ -155,7 +216,17 @@ object Release {
       val nb = e.select(col("p1").as("u"), col("p2").as("v"), col("w"))
         .unionAll(e.select(col("p2").as("u"), col("p1").as("v"), col("w")))
       nb.groupBy("u").agg(sum("w").as("s")).write.parquet(s"$out/ws")
-      nb.join(s.read.parquet(s"$out/ws"), "u").write.parquet(s"$out/nbw")
+      // fm = (w·2³⁰) div s — the per-edge transfer fraction in 2³⁰
+      // fixed point, folded into the stored table so q_ppr's per-round
+      // per-edge term is a pure LONG multiply + div-by-constant instead
+      // of a DECIMAL(38,0) multiply + data-dependent div (8 rounds ×
+      // |E| of it; the DECIMAL build is once, here). Bounds: w ≤ s
+      // always, so fm ≤ 2³⁰; rank mass ≤ 1e9 nano, so r·fm ≤ 1.1e18 <
+      // LONG max — the round arithmetic never leaves primitive longs.
+      nb.join(s.read.parquet(s"$out/ws"), "u")
+        .withColumn("fm",
+          expr("CAST(CAST(w AS DECIMAL(38,0)) * 1073741824 div s AS BIGINT)"))
+        .write.parquet(s"$out/nbw")
     })
 
   /** Star-contraction connected-component labels (id, cluster) of the
@@ -175,6 +246,36 @@ object Release {
         .write.parquet(s"$out/labels")
     })
     s.read.parquet(s"$dir/labels")
+  }
+
+  /** The top-1% co-purchase hubs — the ⌈n/100⌉ highest-degree parts
+    * under the total order (deg desc, p asc) — published once per (JVM,
+    * dataset). The set is deterministic per dataset and
+    * q_hub_robustness's percolation read is the hot consumer: the
+    * GlobalOrder ranked pass over the node-scaled degree frame ran per
+    * query; now it runs once at publish. The q_abc_class `abcrun`
+    * convention (`Relational.abcRunningTotal`); `ArtifactSpec` pins
+    * stored ≡ fresh. */
+  private[graft] def copurchaseHubs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val dir = Artifacts.dirFor(s"copurchase-hubs:$d", { out =>
+      copurchaseHubsRaw(s, d).write.parquet(s"$out/hubs")
+    })
+    s.read.parquet(s"$dir/hubs")
+  }
+
+  /** The uncached build path of [[copurchaseHubs]], kept callable for
+    * `ArtifactSpec`'s stored-≡-fresh proof. Hub cut by GlobalOrder rank
+    * — no driver collect, no partitionless window over the node-scaled
+    * degree frame. */
+  private[graft] def copurchaseHubsRaw(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val deg = copurchaseGraph(s, d)._2
+    val nn = deg.agg(count(lit(1)).as("n"))
+    GlobalOrder.withGlobalRowNumber(deg,
+        Seq(col("deg").desc, col("p").asc), "rn")
+      .crossJoin(broadcast(nn))
+      .where(expr("rn <= (n + 99) div 100")).select("p")
   }
 
   /** Per-node top-256-by-(w desc, q asc) capped adjacency (p, q) of the
@@ -713,7 +814,14 @@ object Release {
         // loop otherwise stacks one join-lineage level per round and every
         // consumer (the degree pass, the k frame, the final annotation)
         // replays the whole prefix — measured 21 s → ~6 s at sf0.1.
-        val (e0, deg0) = copurchaseGraph(s, d)
+        val (e00, deg0) = copurchaseGraph(s, d)
+        // the full edge frame is consumed three times (round-1 peel, its
+        // degree pass, and the final edge annotation join): cache it
+        // partitioned by p1 once ([[partitionedEdgeCache]]). Measured
+        // r14: 1× 2.96 → 2.55 s, 100× a wash (22.7 vs 23.6 s — the peel
+        // rounds are checkpoint-dominated there); kept for the
+        // many-consumer shape, which is what scales.
+        val e0 = partitionedEdgeCache(e00, col("p1"))
         def degrees(e: org.apache.spark.sql.DataFrame) =
           cutLineage(
             e.select(col("p1").as("p")).unionAll(e.select(col("p2").as("p")))
@@ -972,20 +1080,14 @@ object Release {
         // strength pre-joined — the parquet scan replaces the old
         // per-query union + grouped sum + checkpoint
         val (nbs0, st) = copurchaseDirected(s, d)
-        // q_ppr convention: hash-partition the edge frame by the join key
-        // once and persist, so the six power rounds shuffle only the
-        // skinny rank frame instead of re-exchanging the data-sized
-        // adjacency per round; pinned for the harness's per-query release
-        val nbs = GlobalOrder.pinPersisted(
-          nbs0.repartition(s.sessionState.conf.numShufflePartitions, col("u"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        // six power rounds join on u: cache the edge frame partitioned
+        // by u once ([[partitionedEdgeCache]] — rationale + cut policy
+        // documented there)
+        val nbs = partitionedEdgeCache(nbs0, col("u"))
         var pr = st.select(col("u").as("id"), lit(1000000L).as("r"))
-        // the chain is linear, but the rank side of each round's join is
-        // BROADCAST and a broadcast exchange materializes its child
-        // eagerly with no cross-round stage reuse — uncut, round k's
-        // build replays rounds 1..k−1 (the q_ppr measurement: dropping
-        // the cuts doubled that query). Every-2nd-round cuts keep the
-        // replayed depth ≤ 2.
+        // the rank side of each round's join BROADCASTS at bench scale,
+        // so the helper's cut policy applies: every-2nd-round cuts keep
+        // the broadcast-replay depth ≤ 2.
         for (k <- 1 to 6) {
           val next = nbs.join(pr, nbs("u") === pr("id"))
             .select(nbs("v").as("id0"), expr("(r * w) div s").as("c"))
@@ -1012,15 +1114,10 @@ object Release {
     QueryDef(
       "q_bfs_layers",
       (s, d) => {
-        // q_ppr convention: the adjacency is probed once per hop (three
-        // hops), so partition it by the hop join key once and persist —
-        // each expansion reuses the layout instead of re-scanning and,
-        // at the scale where the frontier stops broadcasting,
-        // re-exchanging the edge frame
-        val nb = GlobalOrder.pinPersisted(
-          copurchaseDirected(s, d)._1.select("u", "v")
-            .repartition(s.sessionState.conf.numShufflePartitions, col("u"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        // the adjacency is probed once per hop (three hops): cache it
+        // partitioned by the hop join key ([[partitionedEdgeCache]])
+        val nb = partitionedEdgeCache(
+          copurchaseDirected(s, d)._1.select("u", "v"), col("u"))
         val l0 = cutLineage(
           nb.select(col("u").as("id")).where(col("id") < 10).distinct())
         def expand(frontier: org.apache.spark.sql.DataFrame,
@@ -1288,10 +1385,12 @@ object Release {
     // who bought this also orbit..." recommender primitive), the
     // restart-biased dual of q_pagerank's global centrality. Eight power
     // steps over the weighted co-purchase artifact in truncating nano
-    // fixed point: p ← 0.15·seed + 0.85·Wᵀp with per-edge integer div,
-    // the restart mass injected by a broadcast seed comparison (no
-    // driver collect anywhere). Each step is one keyed join + grouped
-    // sum — shuffle ∝ |edges|, never squared. Top-10 by mass.
+    // fixed point: p ← 0.15·seed + 0.85·Wᵀp where W's per-edge transfer
+    // fraction is the artifact's precomputed fm = (w·2³⁰) div tw, so the
+    // hot term is (r·fm) div 2³⁰ in primitive longs; the restart mass is
+    // injected by a broadcast seed comparison (no driver collect
+    // anywhere). Each step is one keyed join + grouped sum — shuffle ∝
+    // |edges|, never squared. Top-10 by mass.
     QueryDef(
       "q_ppr",
       (s, d) => {
@@ -1299,52 +1398,47 @@ object Release {
         // pre-joined — no per-query grouped sum, no checkpoint: the
         // parquet scan is the lineage cut each power step restarts from
         val (nbw, _) = copurchaseDirected(s, d)
-        // hash-partition the edge frame by the join key ONCE and persist:
-        // all 8 power rounds join on src, and without this each round
-        // re-scans AND re-exchanges the edge side (8 data-sized shuffles
-        // of the one frame that grows with the corpus — the bench's
-        // standing ceiling). Cached with HashPartitioning(src, parts),
-        // every round's join reuses the layout and shuffles only the
-        // skinny (id, r) rank frame — the iterative-graph contract GraphX
-        // uses. Pinned on the harness handle so the per-query release
-        // frees the MEMORY_AND_DISK blocks after the action.
-        val parts = s.sessionState.conf.numShufflePartitions
-        val e = GlobalOrder.pinPersisted(
-          nbw.select(col("u").as("src"), col("v").as("dst"), col("w"),
-              col("s").as("tw"))
-            .repartition(parts, col("src"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        // all 8 power rounds join on src: cache the edge frame
+        // partitioned by src once ([[partitionedEdgeCache]]). Only the
+        // precomputed 2³⁰ fixed-point factor fm rides along — the
+        // per-round term is (r·fm) div 2³⁰ in pure LONG arithmetic
+        // (DECIMAL multiply + data-dependent div paid once at artifact
+        // build, not 8×|E| times per query; oracle mirrors term for term)
+        val e = partitionedEdgeCache(
+          nbw.select(col("u").as("src"), col("v").as("dst"), col("fm")),
+          col("src"))
         // the artifact's degree table already lists every node — no
         // distinct; the (id, sd) base frame is node-sized and read NINE
         // times (init + once per round for the restart injection), so it
-        // persists too — without this every round re-scans the degree
-        // parquet and re-runs the min-seed aggregate as a fresh
-        // broadcast-build job
+        // caches too, partitioned by id so the per-round restart join
+        // never re-exchanges it
         val nodes = copurchaseGraph(s, d)._2.select(col("p").as("id"))
         val seed = nodes.agg(min("id").as("sd"))
-        val base = GlobalOrder.pinPersisted(
-          nodes.crossJoin(broadcast(seed))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val base = partitionedEdgeCache(
+          nodes.crossJoin(broadcast(seed)), col("id"))
         var p = base
           .select(col("id"),
             when(col("id") === col("sd"), 1000000000L).otherwise(0L).as("r"))
+        // the rank side of each round's join BROADCASTS, so the helper's
+        // cut policy applies: every-2nd-round cuts keep the broadcast-
+        // replay depth ≤ 2 (no cut after the final round — that frame
+        // feeds exactly one action and is never re-broadcast). The
+        // all-shuffle alternative (shuffle_hash hints on the evolving
+        // side, with or without cuts) was MEASURED WORSE on both axes in
+        // round 14 — sf0.1 4.6 vs 20–35 s, 100× 52 vs 44–70 s with the
+        // no-cut form the worst — see BENCH.md round 14; don't re-try it.
         for (k <- 1 to 8) {
           val contribs = p.join(e, col("id") === col("src"))
             .groupBy("dst")
-            .agg(sum(expr("CAST(r AS DECIMAL(38,0)) * w div tw")).as("cs"))
+            .agg(sum(expr("(r * fm) div 1073741824")).as("cs"))
           val next = base
-            .join(contribs.select(col("dst").as("id"), col("cs")), Seq("id"), "left")
+            .join(contribs.select(col("dst").as("id"), col("cs")),
+              Seq("id"), "left")
             .select(col("id"),
               (when(col("id") === col("sd"), 150000000L).otherwise(0L) +
-                expr("(85 * coalesce(cs, CAST(0 AS DECIMAL(38,0)))) div 100"))
+                expr("(85 * coalesce(cs, CAST(0 AS BIGINT))) div 100"))
                 .cast("long").as("r"))
-          // cut every second round. The chain is linear, but the rank
-          // side of each round's join is BROADCAST, and a broadcast
-          // exchange materializes its child eagerly with no cross-round
-          // stage reuse — uncut, round k's build replays rounds 1..k−1
-          // (measured: dropping the cuts DOUBLED the query, 5.4 → 11 s
-          // at sf0.1). Every-2nd-round keeps the replayed depth ≤ 2.
-          p = if (k % 2 == 0) cutLineage(next) else next
+          p = if (k % 2 == 0 && k < 8) cutLineage(next) else next
         }
         p.orderBy(col("r").desc, col("id")).limit(10)
           .select(col("id").as("partkey"), col("r").as("ppr_nano"))
@@ -1355,8 +1449,9 @@ object Release {
     // largest component survives removing the top-1% hubs? The
     // percolation gate a marketplace runs before trusting "the network
     // is resilient": scale-free graphs shatter, dense ones shrug.
-    // Hub cut by GlobalOrder rank (no driver collect, no partitionless
-    // window over the node-scaled degree frame). The "before" map reads
+    // Hub cut read from the PUBLISHED [[copurchaseHubs]] artifact (the
+    // GlobalOrder ranked pass runs once at publish — no driver collect,
+    // no partitionless window). The "before" map reads
     // the PUBLISHED ccLabels artifact; the "after" map runs
     // star-contraction CC ([[DedupOps.connectedComponentsStar]] — the
     // form that completed the 100× probe where min-label aborted) on the
@@ -1369,10 +1464,10 @@ object Release {
       (s, d) => {
         val (e0, deg) = copurchaseGraph(s, d)
         val nn = deg.agg(count(lit(1)).as("n"))
-        val ranked = GlobalOrder.withGlobalRowNumber(deg,
-          Seq(col("deg").desc, col("p").asc), "rn")
-        val hubs = ranked.crossJoin(broadcast(nn))
-          .where(expr("rn <= (n + 99) div 100")).select("p")
+        // the hub set is deterministic per dataset: read the published
+        // artifact ([[copurchaseHubs]]) instead of re-running the
+        // GlobalOrder ranked pass over the node-scaled degree frame
+        val hubs = copurchaseHubs(s, d)
         val ef = e0
           .join(hubs.select(col("p").as("p1")), Seq("p1"), "left_anti")
           .join(hubs.select(col("p").as("p2")), Seq("p2"), "left_anti")

@@ -98,8 +98,13 @@ class ArtifactSpec extends SparkSpec {
     val wsRaw = nbRaw.groupBy("u").agg(sum("w").as("s"))
     assert(ws.count() > 0)
     assert(same(ws, wsRaw), "out-weight artifact diverged from raw derivation")
-    assert(same(nbw, nbRaw.join(wsRaw, "u")),
+    assert(same(nbw, nbRaw.join(wsRaw, "u").withColumn("fm",
+        expr("CAST(CAST(w AS DECIMAL(38,0)) * 1073741824 div s AS BIGINT)"))),
       "directed adjacency artifact diverged from raw derivation")
+    // the fixed-point factor law: fm ≤ 2³⁰ everywhere (w ≤ s), so the
+    // q_ppr round term r·fm stays inside a primitive long
+    assert(nbw.where(col("fm") > 1073741824L || col("fm") < 0).count() == 0,
+      "fm out of [0, 2^30] — the long-arithmetic bound argument breaks")
   }
 
   test("cc-labels artifact: consume path equals a fresh star-contraction run") {
@@ -136,6 +141,14 @@ class ArtifactSpec extends SparkSpec {
     assert(stored.count() > 0)
     assert(same(stored, fresh),
       "capped adjacency artifact diverged from a fresh build")
+  }
+
+  test("co-purchase hubs artifact: stored top-1% set equals a fresh ranked build") {
+    val stored = Release.copurchaseHubs(spark, sf)
+    val fresh = Release.copurchaseHubsRaw(spark, sf)
+    assert(stored.count() > 0)
+    assert(same(stored, fresh),
+      "hub-set artifact diverged from a fresh GlobalOrder ranked build")
   }
 
   test("nb-scores artifact: stored score frame equals a fresh train+score run") {
