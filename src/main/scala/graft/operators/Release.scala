@@ -1082,7 +1082,13 @@ object Release {
         val (nbs0, st) = copurchaseDirected(s, d)
         // six power rounds join on u: cache the edge frame partitioned
         // by u once ([[partitionedEdgeCache]] — rationale + cut policy
-        // documented there)
+        // documented there). q_ppr's fm fixed-point factor is NOT used
+        // here on purpose: wpr's rank scale is 1e6 PER NODE (total mass
+        // n·1e6, unbounded in n), so r·fm at 2³⁰ precision overflows a
+        // long once a hub concentrates ≥ ~8.6e9 micro of mass — ppr can
+        // fold fm only because its total mass is a FIXED 1e9 nano. The
+        // per-edge (r·w) div s below is already primitive-long
+        // arithmetic; only the node-level sum widens to DECIMAL.
         val nbs = partitionedEdgeCache(nbs0, col("u"))
         var pr = st.select(col("u").as("id"), lit(1000000L).as("r"))
         // the rank side of each round's join BROADCASTS at bench scale,
@@ -1466,7 +1472,9 @@ object Release {
         val nn = deg.agg(count(lit(1)).as("n"))
         // the hub set is deterministic per dataset: read the published
         // artifact ([[copurchaseHubs]]) instead of re-running the
-        // GlobalOrder ranked pass over the node-scaled degree frame
+        // GlobalOrder ranked pass over the node-scaled degree frame per
+        // query (r14 A/B: sf0.1 9.0 → 3.7–5.7 s; 100× within noise —
+        // the after-CC dominates there either way)
         val hubs = copurchaseHubs(s, d)
         val ef = e0
           .join(hubs.select(col("p").as("p1")), Seq("p1"), "left_anti")
