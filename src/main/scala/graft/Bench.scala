@@ -87,23 +87,32 @@ object Bench {
 
     // five samples per calibration point (was min-of-2): the probe feeds
     // total_normalized, and a min over two loaded samples swung the r13
-    // normalized figures 219–306 s across same-day runs. Min-of-5
-    // converges on the true uncontended floor — the same estimator
-    // family as the pinned 0.148 s reference (itself a min), so
-    // round-over-round normalized deltas stay comparable — at <1 s
-    // added overhead. Samples at or below clock resolution are
-    // discarded (a zero/near-zero reading would turn the normalization
-    // into Infinity/garbage instead of null).
-    def calibrate(): (Option[Double], Option[String]) = {
+    // normalized figures 219–306 s across same-day runs. Returns ALL
+    // valid samples; the consumer below uses the MEDIAN (robust both to
+    // loaded outliers above and to transient turbo/cache dips below —
+    // an r14 min-of-5 run caught a 0.109 s dip that overstated the box
+    // 35% against the 0.148 s reference) and also reports the min for
+    // continuity with the pre-r14 rows. Samples at or below clock
+    // resolution are discarded (a zero/near-zero reading would turn the
+    // normalization into Infinity/garbage instead of null).
+    def calibrate(): (List[Double], Option[String]) = {
       val runs = List.fill(5)(calibrateOnce())
       val ok = runs.collect { case Right(d) => d }.filter(_ > 1e-3)
       val err = runs.collectFirst { case Left(m) => m }
-      (if (ok.nonEmpty) Some(ok.min) else None, err)
+      (ok, err)
+    }
+    def median(xs: List[Double]): Option[Double] = {
+      if (xs.isEmpty) None
+      else {
+        val s = xs.sorted
+        Some(if (s.size % 2 == 1) s(s.size / 2)
+             else (s(s.size / 2 - 1) + s(s.size / 2)) / 2)
+      }
     }
 
     // warm the JVM once so the "before" calibration isn't a JIT outlier
     calibrateOnce()
-    val (calibBefore, calibBeforeErr) = calibrate()
+    val (calibBeforeRuns, calibBeforeErr) = calibrate()
 
     case class QResult(runs: List[Double], err: Option[String])
     // optional args = local-iteration subset (the driver passes none)
@@ -121,7 +130,9 @@ object Bench {
       name -> QResult(runs, err)
     }
 
-    val (calibAfter, calibAfterErr) = calibrate()
+    val (calibAfterRuns, calibAfterErr) = calibrate()
+    val calibBefore = median(calibBeforeRuns)
+    val calibAfter = median(calibAfterRuns)
 
     val ok = results.collect { case (n, QResult(runs, None)) => n -> runs.min }
     val total = round3(ok.map(_._2).sum)
@@ -139,16 +150,23 @@ object Bench {
     // pure function of box weather, so total × (PROBE_REF / probe) re-
     // expresses the total at a fixed reference box speed — round-over-
     // round deltas compare total_normalized, not raw totals. PROBE_REF
-    // pins the r11 driver run's probe reading (0.148 s, BENCH.md);
-    // probe = min(before, after), matching the queries' own min-of-2.
+    // pins the r11 driver run's probe reading (0.148 s, BENCH.md; taken
+    // uncontended, where min ≈ median). probe = MEDIAN of all valid
+    // samples across both calibration points: the r13 min-of-2 was
+    // unstable upward under load, and an r14 min-of-5 drifted DOWNWARD
+    // into a transient 0.109 s dip that overstated the box 35%; the
+    // median of 10 is the stable middle. probe_min_sec is also emitted
+    // for continuity with pre-r14 artifacts.
     val ProbeRef = 0.148
-    val probeMeasured = (calibBefore.toList ++ calibAfter.toList)
-      .sorted.headOption
+    val allProbes = calibBeforeRuns ++ calibAfterRuns
+    val probeMeasured = median(allProbes)
+    val probeMin = allProbes.sorted.headOption
     val totalNormJson = probeMeasured
       .map(p => round3(total * (ProbeRef / p)).toString).getOrElse("null")
     val calibJson =
       s"""{"probe":"range10M_sum_double","before_sec":${calibVal(calibBefore)},""" +
-      s""""after_sec":${calibVal(calibAfter)},"probe_ref_sec":$ProbeRef,""" +
+      s""""after_sec":${calibVal(calibAfter)},"probe_used_sec":${calibVal(probeMeasured)},""" +
+      s""""probe_min_sec":${calibVal(probeMin)},"probe_ref_sec":$ProbeRef,""" +
       s""""probe_errors":${calibErrs.mkString("[", ",", "]")}}"""
 
     val fullLine =

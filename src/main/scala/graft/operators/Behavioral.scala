@@ -3968,11 +3968,20 @@ object Behavioral {
           .where(col("b").isNotNull)
           .groupBy("a", "b").agg(count(lit(1)).as("c"))
         val rs = tr.groupBy("a").agg(sum("c").as("tot"))
-        val ns = rs.agg(count(lit(1)).as("k"))
-        var pi = rs.select(col("a").as("st")).crossJoin(broadcast(ns))
+        // bounded-domain iterative-loop convention (q_pagerank form): the
+        // |types|²-bounded transition frame persists ONCE with the row
+        // total pre-joined — its lineage is the corpus-scaled
+        // lead-window scan, which every uncut broadcast round used to
+        // replay — but no repartition and no cuts: the remaining replay
+        // is over the persisted ≤|types|² frame, and per-round
+        // checkpoints cost more than they save at this size
+        val trj = Release.pinnedPersist(tr.join(rs, "a"))
+        val sts = trj.select(col("a").as("st")).distinct()
+        val ns = sts.agg(count(lit(1)).as("k"))
+        var pi = sts.crossJoin(broadcast(ns))
           .select(col("st"), expr("CAST(1000000000 div k AS BIGINT)").as("pi"))
         for (_ <- 1 to 10) {
-          pi = tr.join(pi, col("a") === col("st")).join(rs, "a")
+          pi = trj.join(pi, col("a") === col("st"))
             .groupBy(col("b").as("st2"))
             .agg(sum(expr("CAST(pi AS DECIMAL(38,0)) * c div tot")).as("pi"))
             .select(col("st2").as("st"), col("pi").cast("long").as("pi"))
@@ -5206,11 +5215,16 @@ object Behavioral {
           .where(col("b").isNotNull)
           .groupBy("a", "b").agg(count(lit(1)).as("c"))
         val rs = tr.groupBy("a").agg(sum("c").as("tot"))
-        val q = tr.join(rs, "a")
+        // bounded-domain iterative-loop convention (q_pagerank form): the
+        // transient-transition frame persists once — its lineage is the
+        // corpus-scaled lead-window scan, which all 20 uncut broadcast
+        // rounds used to replay — no repartition, no cuts (the replay
+        // left is over the persisted ≤|types|² frame)
+        val q = Release.pinnedPersist(tr.join(rs, "a")
           .where(col("a") =!= "purchase" && col("b") =!= "purchase")
           .select(col("a"), col("b"),
             expr("CAST(CAST(c AS DECIMAL(38,0)) * 1000000000 div tot AS BIGINT)")
-              .as("pn"))
+              .as("pn")))
         var t = q.select(col("a").as("st")).distinct()
           .withColumn("t", lit(1000000000L))
         for (_ <- 1 to 20) {

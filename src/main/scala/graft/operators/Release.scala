@@ -493,14 +493,27 @@ object Release {
       "q_pagerank",
       (s, d) => {
         val e0 = DedupOps.shareEdges(s, d)
-        val edges = e0.select(col("id1").as("src"), col("id2").as("dst"))
+        val edges0 = e0.select(col("id1").as("src"), col("id2").as("dst"))
           .unionByName(e0.select(col("id2").as("src"), col("id1").as("dst")))
-        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        val deg0 = edges0.groupBy("src").agg(count(lit(1)).as("deg"))
           .select(col("src").as("id"), col("deg"))
+        // bounded-domain variant of the iterative-loop convention: the
+        // edge/degree frames persist ONCE with the degree folded in (one
+        // per-round join instead of two — before this every broadcast
+        // round replayed the shingle-share derivation), but NO
+        // repartition and NO cuts: the graph is the fixed doc_id<20
+        // audit slice (≤ 40 edges at ANY corpus size), so 32-partition
+        // layouts and per-round checkpoints are pure task-launch
+        // overhead, and the uncut replay is over persisted tiny frames
+        // (measured r14: the repartition+cut form was 1.6× SLOWER at
+        // sf0.1 than the old uncut code; this form keeps the persist's
+        // replay kill without the fixed costs — BENCH.md r14)
+        val deg = pinnedPersist(deg0)
+        val edges = pinnedPersist(
+          edges0.join(deg0.select(col("id").as("src"), col("deg")), "src"))
         var ranks = deg.select(col("id"), lit(1000000000L).as("r"))
         for (_ <- 1 to 10) {
-          val contribs = ranks.join(deg, "id")
-            .join(edges, col("id") === col("src"))
+          val contribs = ranks.join(edges, col("id") === col("src"))
             .groupBy("dst").agg(sum(expr("r div deg")).as("csum"))
           ranks = deg.select(col("id"))
             .join(contribs.select(col("dst").as("id"), col("csum")), Seq("id"), "left")

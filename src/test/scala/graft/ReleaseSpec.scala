@@ -11,6 +11,43 @@ class ReleaseSpec extends SparkSpec {
   private def run(name: String): DataFrame =
     Release.defs.find(_.name == name).get.fn(spark, sf)
 
+  test("partitionedEdgeCache: keyed join reuses the cached HashPartitioning — no edge-side exchange") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // the helper's whole value is the partitioning surviving into the
+    // per-round join; a silent regression (e.g. a column rename breaking
+    // the key) would degrade every loop round to a data-sized exchange
+    // with all rows still green — exactly what a spec must pin. Plain
+    // (non-adaptive, non-broadcast) planning so the exchange count is
+    // deterministic.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (nbw, _) = Release.copurchaseDirected(spark, sf)
+      val cached = Release.partitionedEdgeCache(
+        nbw.select(col("u").as("src"), col("v"), col("fm")), col("src"))
+      val nodes = Release.copurchaseGraph(spark, sf)._2
+        .select(col("p").as("id"), lit(1L).as("r"))
+      val round = nodes.join(cached, col("id") === col("src"))
+        .groupBy("v").agg(sum(expr("(r * fm) div 1073741824")).as("cs"))
+      assert(round.count() > 0)
+      val plan = round.queryExecution.executedPlan
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      // exactly two exchanges: the skinny rank side into the join, and
+      // the groupBy — the cached edge side must contribute NONE
+      assert(shuffles.size == 2,
+        s"expected 2 exchanges (rank side + groupBy), got ${shuffles.size}:\n$plan")
+      assert(plan.toString.contains("InMemoryTableScan"),
+        "the edge side did not read from the partitioned cache")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      graft.operators.GlobalOrder.release(blocking = true)
+    }
+  }
+
   test("q_split_assign: no near-dup cluster straddles a split boundary") {
     val rows = run("q_split_assign").collect()
     assert(rows.nonEmpty)
