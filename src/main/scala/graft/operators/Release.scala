@@ -1267,6 +1267,16 @@ object Release {
     QueryDef(
       "q_hits",
       (s, d) => {
+        // deliberately NOT cached (r14 negative result, measured): the
+        // incidence has five consumers but its joins ALTERNATE between
+        // keys c and p, so no partitioning serves them and every join
+        // fully exchanges the data-sized frame either way — a
+        // MEMORY_AND_DISK persist only added cache-materialization cost
+        // and executor memory pressure on top (100× probe 15.9 → 29.5 s
+        // WITH the persist; reverted). The artifact parquet re-scan is
+        // the cheap path when the cache cannot also carry a useful
+        // layout — the inverse of the q_ppr/q_wpr finding, recorded in
+        // BENCH.md r14 so the cache helper isn't blanket-applied.
         val edges = custPartIncidence(s, d)
         var hubs = edges.select(col("c")).distinct()
           .select(col("c"), expr("CAST(1 AS DECIMAL(38,0))").as("h"))
@@ -1605,8 +1615,12 @@ object Release {
     QueryDef(
       "q_graph_diameter",
       (s, d) => {
-        val nb = copurchaseDirected(s, d)._1
-          .where(col("w") >= 3).select("u", "v")
+        // the adjacency is probed by TWELVE hop joins (6 per sweep), all
+        // on u: cache it partitioned by u once ([[partitionedEdgeCache]])
+        // instead of re-scanning the artifact parquet per hop
+        val nb = partitionedEdgeCache(
+          copurchaseDirected(s, d)._1
+            .where(col("w") >= 3).select("u", "v"), col("u"))
         def bfs(seed: org.apache.spark.sql.DataFrame) = {
           var dist = cutLineage(seed.select(col("id"), lit(0L).as("dist")))
           for (i <- 1 to 6) {
@@ -1711,8 +1725,12 @@ object Release {
     QueryDef(
       "q_katz",
       (s, d) => {
-        val nb = copurchaseDirected(s, d)._1
-          .where(col("w") >= 3).select("u", "v")
+        // four consumers (the initial in-degree pass + three walk
+        // rounds, all joining on u): cache the filtered adjacency
+        // partitioned by u once ([[partitionedEdgeCache]])
+        val nb = partitionedEdgeCache(
+          copurchaseDirected(s, d)._1
+            .where(col("w") >= 3).select("u", "v"), col("u"))
         var c = nb.groupBy("v").agg(count(lit(1)).as("c"))
           .select(col("v").as("id"), expr("CAST(c AS DECIMAL(38,0))").as("c"))
         var katz = c.select(col("id"),
