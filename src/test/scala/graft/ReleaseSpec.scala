@@ -60,6 +60,23 @@ class ReleaseSpec extends SparkSpec {
     assert(share("train") > share("valid") && share("train") > share("test"))
   }
 
+  test("q_ppr: restart mass floor and truncating-fixed-point mass bound under the fm fold") {
+    // the r14 fm fold changed the round arithmetic ((r·fm) div 2³⁰ for
+    // fm = (w·2³⁰) div tw); the conservation law is fold-independent:
+    // fm ≤ 2³⁰·w/tw ⇒ per-round transferred mass ≤ Σr, so by induction
+    // Σr ≤ 1e9 nano every round (truncation only loses mass), and the
+    // seed's restart injection guarantees the global max ≥ 0.15e9
+    val rows = run("q_ppr").collect()
+    assert(rows.length == 10)
+    val rs = rows.map(_.getLong(1))
+    assert(rs.forall(_ >= 0L), "negative ppr mass")
+    assert(rs.sameElements(rs.sorted.reverse), "top-10 not rank-ordered")
+    assert(rs.max >= 150000000L,
+      s"global max ${rs.max} below the seed restart floor")
+    assert(rs.sum <= 1000000000L,
+      s"top-10 mass ${rs.sum} exceeds the 1e9 conservation bound")
+  }
+
   test("q_pagerank: ranks positive and total rank conserved within truncation loss") {
     val rows = run("q_pagerank").collect()
     assert(rows.nonEmpty)
