@@ -156,6 +156,14 @@ object Release {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     GlobalOrder.pinPersisted(
       df.repartition(parts, key)
+        // sorted ONCE at cache build: at bench scale the evolving side
+        // broadcasts and the ordering is irrelevant, but at the scale
+        // where it stops broadcasting the per-round join plans as
+        // sort-merge — InMemoryRelation preserves outputOrdering, so a
+        // pre-sorted cache hands SMJ both the partitioning AND the
+        // order and only the skinny evolving side sorts per round,
+        // instead of the data-sized edge frame re-sorting k times
+        .sortWithinPartitions(key)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
