@@ -149,28 +149,42 @@ object Bench {
     // total 1.4× vs the same-commit uncontended rerun. The probe is a
     // pure function of box weather, so total × (PROBE_REF / probe) re-
     // expresses the total at a fixed reference box speed — round-over-
-    // round deltas compare total_normalized, not raw totals. PROBE_REF
-    // pins the r11 driver run's probe reading (0.148 s, BENCH.md; taken
-    // uncontended, where min ≈ median). probe = MEDIAN of all valid
-    // samples across both calibration points: the r13 min-of-2 was
-    // unstable upward under load, and an r14 min-of-5 drifted DOWNWARD
-    // into a transient 0.109 s dip that overstated the box 35%; the
-    // median of 10 is the stable middle. probe_min_sec is also emitted
-    // for continuity with pre-r14 artifacts.
-    val ProbeRef = 0.148
+    // round deltas compare normalized totals, not raw ones. TWO
+    // estimator FAMILIES are emitted, each normalized against a
+    // reference pinned under ITS OWN estimator (the r14 verdict flagged
+    // that dividing a median-family measurement by the min-family
+    // 0.148 s pin deflates the result ~2×; the families are not
+    // interchangeable):
+    //  - total_normalized_min: min of all valid samples vs the r11
+    //    min-family pin 0.148 s — continuity with every pre-r15 row;
+    //  - total_normalized_median (also emitted as the primary
+    //    total_normalized): median of all valid samples vs the r15
+    //    median-family pin 0.153 s — three back-to-back quiet-box
+    //    (load 0.15) calibration-only runs read medians
+    //    0.134/0.153/0.165 and the pin is their median (pinning run
+    //    recorded in BENCH.md r15). The median is the stable middle:
+    //    min-of-N drifts downward into transient turbo/cache dips
+    //    (an r14 run caught a 0.109 s dip, overstating the box 35%)
+    //    while any loaded sample only pushes the median up slightly.
+    val ProbeRefMin = 0.148
+    val ProbeRefMedian = 0.153
     val allProbes = calibBeforeRuns ++ calibAfterRuns
     val probeMeasured = median(allProbes)
     val probeMin = allProbes.sorted.headOption
     val totalNormJson = probeMeasured
-      .map(p => round3(total * (ProbeRef / p)).toString).getOrElse("null")
+      .map(p => round3(total * (ProbeRefMedian / p)).toString).getOrElse("null")
+    val totalNormMinJson = probeMin
+      .map(p => round3(total * (ProbeRefMin / p)).toString).getOrElse("null")
     val calibJson =
       s"""{"probe":"range10M_sum_double","before_sec":${calibVal(calibBefore)},""" +
       s""""after_sec":${calibVal(calibAfter)},"probe_used_sec":${calibVal(probeMeasured)},""" +
-      s""""probe_min_sec":${calibVal(probeMin)},"probe_ref_sec":$ProbeRef,""" +
+      s""""probe_min_sec":${calibVal(probeMin)},"probe_ref_median_sec":$ProbeRefMedian,""" +
+      s""""probe_ref_min_sec":$ProbeRefMin,""" +
       s""""probe_errors":${calibErrs.mkString("[", ",", "]")}}"""
 
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","total_normalized":$totalNormJson,""" +
+      s""""total_normalized_median":$totalNormJson,"total_normalized_min":$totalNormMinJson,""" +
       s""""queries":$qs,"sf":${jsonStr(sfDir)},""" +
       s""""ok_count":${ok.size},"error_count":${results.size - ok.size},""" +
       s""""errors":$errsJson,"runs":$runsJson,"calibration":$calibJson}"""
@@ -192,7 +206,8 @@ object Bench {
       .map { case (k, v) => jsonStr(k) + ":" + v }.mkString("{", ",", "}")
     println(
       s"""{"metric":"total_compact","value":$total,"unit":"sec",""" +
-      s""""total_normalized":$totalNormJson,"sf":${jsonStr(sfDir)},""" +
+      s""""total_normalized":$totalNormJson,"total_normalized_min":$totalNormMinJson,""" +
+      s""""sf":${jsonStr(sfDir)},""" +
       s""""ok_count":${ok.size},"error_count":${results.size - ok.size},""" +
       s""""worst5":$worst5,"calibration":$calibJson}""")
     spark.stop()
