@@ -1175,7 +1175,8 @@ object Similarity {
         // the corpus union feeds the sig explode, two confirm joins, and
         // the final anti-join — cache the (skinny) table so each branch
         // doesn't re-read and re-union the fixture
-        val corpus = dedupCorpus(s, d).cache()
+        val corpus = graft.operators.GlobalOrder.pinPersisted(
+          dedupCorpus(s, d).cache()) // pinned: harness release drains it (r15 leak-guard)
         val eb = explodeBands(corpus, col("embedding"), NdBands, NdBits)
           .drop("embedding")
           // single (band, sig) exchange shared by both self-join sides
@@ -1236,7 +1237,8 @@ object Similarity {
       (s, d) => {
         // cached for the same reason as q_embed_dedup, plus the shape-
         // sizing count() in adaptiveNearDupPairs is one more consumer
-        val corpus = dedupCorpus(s, d).cache()
+        val corpus = graft.operators.GlobalOrder.pinPersisted(
+          dedupCorpus(s, d).cache()) // pinned: harness release drains it (r15 leak-guard)
         val pairs = adaptiveNearDupPairs(corpus, 0.95, 0.9999)
         val clusters = graft.operators.DedupOps.connectedComponents(pairs)
         val losers = clusters.where(col("id") =!= col("cluster"))
@@ -2979,7 +2981,8 @@ object Similarity {
   private def dedupSweepDef: QueryDef = QueryDef(
     "q_dedup_sweep",
     (s, d) => {
-      val corpus = dedupCorpus(s, d).cache()
+      val corpus = graft.operators.GlobalOrder.pinPersisted(
+          dedupCorpus(s, d).cache()) // pinned: harness release drains it (r15 leak-guard)
       val eb = explodeBands(corpus, col("embedding"), NdBands, NdBits)
         .drop("embedding")
         .repartition(col("band"), col("sig"))

@@ -477,17 +477,21 @@ object TextAnalysis {
         // once for its total), and every broadcast/aggregate branch
         // would otherwise re-run the full token explode — cache() the
         // tiny results (≤ vocab² rows) so the corpus is read once each
-        val bi = docs
+        val bi0 = docs
           .where(size(toks) >= 2)
           .select(explode(transform(starts,
             i => struct(element_at(toks, i).as("x"),
               element_at(toks, i + 1).as("y")))).as("b"))
           .select(col("b.x").as("x"), col("b.y").as("y"))
           .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
-          .cache()
-        val uni = docs.select(explode(toks).as("tok"))
-          .groupBy("tok").agg(count(lit(1)).as("c"))
-          .cache()
+        // pinned (not bare .cache()): the harness's per-query release
+        // must drain these or every q_pmi_bigrams run leaks two cache
+        // entries for the session lifetime (r15 leak-guard)
+        val bi = graft.operators.GlobalOrder.pinPersisted(bi0.cache())
+        val uni = graft.operators.GlobalOrder.pinPersisted(
+          docs.select(explode(toks).as("tok"))
+            .groupBy("tok").agg(count(lit(1)).as("c"))
+            .cache())
         val nBi = bi.agg(sum("c_xy").as("n_bi"))
         val nUni = uni.agg(sum("c").as("n_uni"))
         bi.where(col("c_xy") >= 5)
@@ -634,12 +638,15 @@ object TextAnalysis {
           .select(col("w1"), col("w2"),
             expr("CAST(round(ln((c12 + 1.0) / (c1 + v)) * 1000000) AS BIGINT)")
               .as("s_micro"))
-        val scored = pairs.join(model, Seq("w1", "w2"))
-          .groupBy("doc_id")
-          .agg(sum("s_micro").as("sm"), count(lit(1)).as("nb"))
-          .select(col("doc_id"),
-            round(col("sm") / 1e6 / col("nb"), 4).as("avg_logp"))
-          .cache()
+        // pinned so the harness release drains the LM-score cache
+        // (r15 leak-guard caught the bare .cache() surviving release)
+        val scored = graft.operators.GlobalOrder.pinPersisted(
+          pairs.join(model, Seq("w1", "w2"))
+            .groupBy("doc_id")
+            .agg(sum("s_micro").as("sm"), count(lit(1)).as("nb"))
+            .select(col("doc_id"),
+              round(col("sm") / 1e6 / col("nb"), 4).as("avg_logp"))
+            .cache())
         graft.operators.GlobalOrder.withGlobalNtile(scored,
             Seq(col("avg_logp").desc, col("doc_id").asc), 3, "tile")
           .select(col("doc_id"), col("avg_logp"),

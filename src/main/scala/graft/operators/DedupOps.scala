@@ -220,11 +220,14 @@ object DedupOps extends org.apache.spark.internal.Logging {
     // index rebuilds per call. cache() (recomputable on eviction, so
     // never a correctness risk) collapses that to one build each; the
     // cached sets are id/bucket lists, ∝ batch size only. The entries
-    // live until the session ends — fine for one-shot batch callers;
-    // LONG-RUNNING callers (a foreachBatch loop) must pass materialize=
-    // false or they leak two cache entries per invocation. Plan audits
-    // also use materialize=false to see the uncached join shape.
-    def mat(df: DataFrame): DataFrame = if (materialize) df.cache() else df
+    // are PINNED on GlobalOrder's registry, so the harness's per-query
+    // release drains them (the r15 leak-guard caught the unpinned form
+    // surviving past release); LONG-RUNNING callers outside the harness
+    // (a foreachBatch loop) must pass materialize=false or drain via
+    // GlobalOrder.release. Plan audits also use materialize=false to
+    // see the uncached join shape.
+    def mat(df: DataFrame): DataFrame =
+      if (materialize) GlobalOrder.pinPersisted(df.cache()) else df
     val bb = mat(lshBuckets(
       minhashSignature(batch, id, "text", k, shingleN = 3), id, k, rowsPerBand))
     val hitBase = bb

@@ -118,6 +118,15 @@ object Release {
     * each copy carried its own rationale comment — three copies of a
     * subtle convention is how the fourth gets it wrong):
     *
+    * Scope (r15 doc generalization, per the r14 advice): any LOOP-STATIC
+    * frame every round joins on a SINGLE fixed key — the data-sized edge
+    * frame is the motivating case and the naming case, but a node-sized
+    * base frame read k times on the same key (q_ppr's restart frame,
+    * nine consumers on `id`) earns the same treatment: the partitioned
+    * layout kills the per-round exchange wherever the OTHER side stops
+    * broadcasting, and the build-time sort below hands sort-merge both
+    * requirements whichever side of the join the cache lands on.
+    *
     * Hash-partition the static frame by the loop's join key ONCE and
     * persist MEMORY_AND_DISK. Every round's join then reuses the cached
     * layout and shuffles only the skinny evolving side (rank / frontier
@@ -517,8 +526,11 @@ object Release {
         // sf0.1 than the old uncut code; this form keeps the persist's
         // replay kill without the fixed costs — BENCH.md r14)
         val deg = pinnedPersist(deg0)
+        // join the PERSISTED deg (not deg0) so materializing the edges
+        // cache reuses the one degree aggregation instead of re-running
+        // its lineage (r14 advice item)
         val edges = pinnedPersist(
-          edges0.join(deg0.select(col("id").as("src"), col("deg")), "src"))
+          edges0.join(deg.select(col("id").as("src"), col("deg")), "src"))
         var ranks = deg.select(col("id"), lit(1000000000L).as("r"))
         for (_ <- 1 to 10) {
           val contribs = ranks.join(edges, col("id") === col("src"))

@@ -34,13 +34,26 @@ class ReleaseSpec extends SparkSpec {
         .groupBy("v").agg(sum(expr("(r * fm) div 1073741824")).as("cs"))
       assert(round.count() > 0)
       val plan = round.queryExecution.executedPlan
-      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
-      // exactly two exchanges: the skinny rank side into the join, and
-      // the groupBy — the cached edge side must contribute NONE
-      assert(shuffles.size == 2,
-        s"expected 2 exchanges (rank side + groupBy), got ${shuffles.size}:\n$plan")
-      assert(plan.toString.contains("InMemoryTableScan"),
-        "the edge side did not read from the partitioned cache")
+      // assert the INVARIANT, not the global plan shape (r14 advice: a
+      // global exchange count of 2 and a plan-string substring both
+      // break noisily on a Spark upgrade that renames a node or folds
+      // the groupBy exchange): exactly one join, whose cache side reads
+      // an InMemoryTableScanExec (matched by node CLASS) with ZERO
+      // ShuffleExchangeExec anywhere in that subtree — the cached
+      // layout reached the join unre-exchanged
+      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+      import org.apache.spark.sql.execution.joins.BaseJoinExec
+      val joins = plan.collect { case j: BaseJoinExec => j }
+      assert(joins.size == 1, s"expected exactly 1 join, got ${joins.size}:\n$plan")
+      val cacheSides = joins.head.children.filter(
+        _.collect { case c: InMemoryTableScanExec => c }.nonEmpty)
+      assert(cacheSides.size == 1,
+        s"expected exactly one join side reading the partitioned cache:\n$plan")
+      val edgeSideShuffles =
+        cacheSides.head.collect { case e: ShuffleExchangeExec => e }
+      assert(edgeSideShuffles.isEmpty,
+        s"the cached edge side re-exchanged — the cached HashPartitioning " +
+          s"did not survive into the join:\n$plan")
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
