@@ -815,14 +815,22 @@ object Behavioral {
           ev, Seq(col("half"), col("vm"), col("event_id")), "grn")
         val sizes = ev.groupBy("half").agg(count(lit(1)).as("n"))
         val na = sizes.where(col("half") === "a").select(col("n").as("na"))
-        val r = ranked.crossJoin(broadcast(na))
-          .join(broadcast(sizes), "half")
-          .withColumn("rn",
-            when(col("half") === "a", col("grn")).otherwise(col("grn") - col("na")))
-        val qs = Seq(50, 90, 99).map { qq =>
-          r.where(col("rn") === expr(s"($qq * n + 99) div 100"))
-            .select(lit(qq).as("q"), col("half"), col("vm"))
-        }.reduce(_.unionByName(_))
+        // ONE pass over the ranked frame (r15 consolidation — the three
+        // rank-filter branches re-scanned it once per quantile): the six
+        // target ranks (3 quantiles × 2 halves) are precomputed as
+        // GLOBAL row numbers in the broadcast 2-row sizes frame — the
+        // per-half local rank t maps to global rank t (half a) or
+        // na + t (half b), and the two per-half target ranges are
+        // disjoint, so a plain grn equi-join picks the exact six rows
+        // map-side with no full-frame projection at all
+        val targets = sizes.crossJoin(broadcast(na))
+          .select(col("half"), col("n"), col("na"),
+            explode(array(lit(50), lit(90), lit(99))).as("q"))
+          .select(col("q"),
+            (when(col("half") === "a", lit(0L)).otherwise(col("na")) +
+              expr("(q * n + 99) div 100")).as("grn"))
+        val qs = ranked.join(broadcast(targets), "grn")
+          .select(col("q"), col("half"), col("vm"))
         qs.where(col("half") === "a")
           .select(col("q"), col("vm").as("half_a_micro"))
           .join(qs.where(col("half") === "b")
