@@ -1239,6 +1239,16 @@ object Similarity {
         // sizing count() in adaptiveNearDupPairs is one more consumer
         val corpus = graft.operators.GlobalOrder.pinPersisted(
           dedupCorpus(s, d).cache()) // pinned: harness release drains it (r15 leak-guard)
+        // COST NOTE (r15 tail sweep): warm ~3.0 s at sf0.1 decomposes as
+        // ~0.6 s adaptive-LSH candidate+confirm (q_dedup_sweep runs the
+        // same machinery solo, with fewer bands) + the CC checkpoint
+        // rounds and anti-join; a star-contraction CC swap was measured
+        // NO better (3.04 vs 3.03, and 2.54 vs 2.08 on q_embed_dedup —
+        // BENCH.md r15), and pre-r15 warm rows were flattered by the
+        // unpinned corpus cache leaking into run 2. The residual is the
+        // recall-targeted band expansion + per-round checkpoint I/O,
+        // inherent to the adaptive contract; every stage is keyed/banded
+        // (no all-pairs), so growth stays ~linear at 10×/100×.
         val pairs = adaptiveNearDupPairs(corpus, 0.95, 0.9999)
         val clusters = graft.operators.DedupOps.connectedComponents(pairs)
         val losers = clusters.where(col("id") =!= col("cluster"))
@@ -2725,8 +2735,18 @@ object Similarity {
           .agg(sum(expr("CAST(xq - cq AS DECIMAL(38,0)) * (xq - cq)")).as("dist"))
         def radius(df: org.apache.spark.sql.DataFrame): Long =
           df.agg(max("dist")).head().getDecimal(0).longValueExact()
+        // persist-only convention for the evolving min-distance frame
+        // (the q_markov_stationary bounded-loop rule): dcur feeds TWO
+        // actions per round (argmax + radius) and the next round's
+        // join — unpersisted, each action replayed the whole join
+        // chain back to round 1 (≈ O(k²) replays of the center-
+        // distance join). One corpus-sized persist per round, pinned
+        // so the harness release drains all four.
+        def pinned(df: org.apache.spark.sql.DataFrame) =
+          graft.operators.GlobalOrder.pinPersisted(
+            df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val c1 = x.agg(min("vec_id")).head().getLong(0)
-        var dcur = distTo(c1)
+        var dcur = pinned(distTo(c1))
         var rows = List((1L, c1, 0L, radius(dcur)))
         for (r <- 2 to 4) {
           val sel = dcur.orderBy(col("dist").desc, col("vec_id")).limit(1).head()
@@ -2734,9 +2754,9 @@ object Similarity {
           val sd = sel.getDecimal(1).longValueExact()
           val dn = distTo(cid)
             .select(col("vec_id"), col("dist").as("dn"))
-          dcur = dcur.join(dn, "vec_id")
+          dcur = pinned(dcur.join(dn, "vec_id")
             .select(col("vec_id"),
-              least(col("dist"), col("dn")).cast("decimal(38,0)").as("dist"))
+              least(col("dist"), col("dn")).cast("decimal(38,0)").as("dist")))
           rows = rows :+ ((r.toLong, cid, sd, radius(dcur)))
         }
         s.createDataFrame(rows)

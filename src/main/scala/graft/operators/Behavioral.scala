@@ -6054,14 +6054,22 @@ object Behavioral {
     QueryDef(
       "q_brand_switch",
       (s, d) => {
-        val ob = Tables.orders(s, d)
-          .select(col("o_custkey").as("c"), col("o_orderkey"),
-            col("o_orderdate").cast("date").as("dt"))
-          .join(Tables.lineitem(s, d).select("l_orderkey", "l_partkey"),
-            col("l_orderkey") === col("o_orderkey"))
+        // aggregate lineitem to its per-ORDER brand BEFORE touching
+        // orders (r15 tail sweep): min(p_brand) by l_orderkey map-side-
+        // combines 4:1 ahead of its one narrow shuffle, and the orders
+        // join then attaches (c, dt) to order-sized rows — the old form
+        // joined data-sized lineitem to orders first and re-shuffled
+        // the full joined width on (c, o_orderkey, dt). Same result:
+        // o_orderkey determines c and dt, so grouping by the order key
+        // alone is the identical aggregation.
+        val ob = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
           .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
             col("p_partkey") === col("l_partkey"))
-          .groupBy("c", "o_orderkey", "dt").agg(min("p_brand").as("brand"))
+          .groupBy("l_orderkey").agg(min("p_brand").as("brand"))
+          .join(Tables.orders(s, d)
+            .select(col("o_custkey").as("c"), col("o_orderkey"),
+              col("o_orderdate").cast("date").as("dt")),
+            col("l_orderkey") === col("o_orderkey"))
         val seq = ob.select(col("c"), col("brand"),
           lead("brand", 1).over(Window.partitionBy("c")
             .orderBy(col("dt"), col("o_orderkey"))).as("nxt"))

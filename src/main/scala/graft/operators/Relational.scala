@@ -795,6 +795,15 @@ object Relational {
     QueryDef(
       "q_basket_pairs",
       (s, d) => {
+        // MEASURED-BEST plan (r15 3-arm A/B, BENCH.md): lp re-derived
+        // per consumer beats BOTH a partitioned cache of lp (cache
+        // build over four cheap rescans: warm 2.0 → 2.8 s at 1×) AND a
+        // collect_set array-pair form with no self-join (1 shuffle but
+        // wide cached array rows: 100× 11.9 → 22.7 s on q_assoc_rules,
+        // 17.2 → 22.0 s here). The scan+distinct is map-side combined
+        // and columnar — re-running it 4× costs less than materializing
+        // it once; the residual cost is the C(items,2) pair-space
+        // aggregation, inherent to the question.
         val lp = Tables.lineitem(s, d)
           .select("l_orderkey", "l_partkey").distinct()
         val n = lp.agg(countDistinct("l_orderkey").as("n_orders"))
@@ -2149,6 +2158,15 @@ object Relational {
     QueryDef(
       "q_assoc_rules",
       (s, d) => {
+        // MEASURED-BEST plan (r15 3-arm A/B, BENCH.md): lp re-derived
+        // per consumer beats BOTH a partitioned cache of lp (cache
+        // build over four cheap rescans: warm 2.0 → 2.8 s at 1×) AND a
+        // collect_set array-pair form with no self-join (1 shuffle but
+        // wide cached array rows: 100× 11.9 → 22.7 s on q_assoc_rules,
+        // 17.2 → 22.0 s here). The scan+distinct is map-side combined
+        // and columnar — re-running it 4× costs less than materializing
+        // it once; the residual cost is the C(items,2) pair-space
+        // aggregation, inherent to the question.
         val lp = Tables.lineitem(s, d)
           .select("l_orderkey", "l_partkey").distinct()
         val n = lp.agg(countDistinct("l_orderkey").as("n_orders"))
