@@ -1287,23 +1287,29 @@ object Release {
     QueryDef(
       "q_hits",
       (s, d) => {
-        // deliberately NOT cached (r14 negative result, measured): the
-        // incidence has five consumers but its joins ALTERNATE between
-        // keys c and p, so no partitioning serves them and every join
-        // fully exchanges the data-sized frame either way — a
-        // MEMORY_AND_DISK persist only added cache-materialization cost
-        // and executor memory pressure on top (100× probe 15.9 → 29.5 s
-        // WITH the persist; reverted). The artifact parquet re-scan is
-        // the cheap path when the cache cannot also carry a useful
-        // layout — the inverse of the q_ppr/q_wpr finding, recorded in
-        // BENCH.md r14 so the cache helper isn't blanket-applied.
-        val edges = custPartIncidence(s, d)
-        var hubs = edges.select(col("c")).distinct()
+        // DUAL layout-matched caches + per-half-step cuts (r15 4-arm
+        // A/B, BENCH.md). The r14 finding stands: ONE cache cannot
+        // serve joins that ALTERNATE keys (a plain persist made 100×
+        // WORSE, 15.9 → 29.5 s). The r15 refinement: cache the
+        // incidence TWICE, partitioned+sorted by c and by p, so each
+        // half-step reads its layout-matched side, and cut lineage
+        // after each half-step so the per-step plan restarts from a
+        // checkpoint instead of replaying the chain. Neither half
+        // suffices alone — 100×: status quo 18.5 s, dual-only 17.7,
+        // cuts-only 16.2, BOTH 9.2–11.7 s across samples (the cuts stop
+        // the replay; only then does the saved edge-side exchange
+        // per join show up). 1× pays the two cache builds (~+1 s),
+        // the standard bench-scale cache toll.
+        val raw = custPartIncidence(s, d)
+        val ec = partitionedEdgeCache(raw, col("c"))
+        val ep = partitionedEdgeCache(raw, col("p"))
+        var hubs = ec.select(col("c")).distinct()
           .select(col("c"), expr("CAST(1 AS DECIMAL(38,0))").as("h"))
         var auth: org.apache.spark.sql.DataFrame = null
-        for (_ <- 1 to 2) {
-          auth = edges.join(hubs, "c").groupBy("p").agg(sum("h").as("a"))
-          hubs = edges.join(auth, "p").groupBy("c").agg(sum("a").as("h"))
+        for (k <- 1 to 2) {
+          auth = cutLineage(ec.join(hubs, "c").groupBy("p").agg(sum("h").as("a")))
+          hubs = ep.join(auth, "p").groupBy("c").agg(sum("a").as("h"))
+          if (k < 2) hubs = cutLineage(hubs)
         }
         val sa = auth.agg(sum("a").as("stot"))
         auth.crossJoin(broadcast(sa))
