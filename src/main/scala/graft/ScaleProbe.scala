@@ -300,13 +300,40 @@ object ScaleProbe {
       (a._1, math.min(a._1, b._1), b._2)
     }
 
+    // Queries whose 100× rows showed ±30% run-to-run spread on IDENTICAL
+    // code (q_hub_robustness: 48.3–78.7 s across r13/r14 same-day
+    // samples — the after-CC star contraction is checkpoint-I/O-bound):
+    // a single min-of-2 reading is weather, not signal. These take
+    // MEDIAN-OF-3 (cold and min columns alike; pins released between
+    // samples so each is self-contained) and the printed cell carries
+    // the [min–max] range — BENCH.md ledger rows for them must quote
+    // the range, never a point.
+    val HighVariance = Set("q_hub_robustness")
+    def timeHV(name: String, dir: String): (String, String, Long) = {
+      val samples = (1 to 3).map { _ =>
+        val r = timeMin2(name, dir)
+        graft.operators.GlobalOrder.release(blocking = true)
+        r
+      }
+      def med(xs: Seq[Double]): Double = xs.sorted.apply(1)
+      def cell(xs: Seq[Double]): String =
+        f"${med(xs)}%.2f [${xs.min}%.2f–${xs.max}%.2f]"
+      (cell(samples.map(_._2)), cell(samples.map(_._1)), samples.head._3)
+    }
+
     println(f"| query | t@1x (s) | cold@1x | rows@1x | t@${factor}x (s) | cold@${factor}x | rows@${factor}x | growth |")
     println("|---|---:|---:|---:|---:|---:|---:|---:|")
     for (q <- probeQueries) {
       try {
+        if (HighVariance(q)) {
+          val (t1, c1, n1) = timeHV(q, src)
+          val (tN, cN, nN) = timeHV(q, dst)
+          println(s"| $q | $t1 | $c1 | $n1 | $tN | $cN | $nN | median-of-3 |")
+        } else {
         val (c1, t1, n1) = timeMin2(q, src)
         val (cN, tN, nN) = timeMin2(q, dst)
         println(f"| $q | $t1%.2f | $c1%.2f | $n1 | $tN%.2f | $cN%.2f | $nN | ${tN / t1}%.1f× |")
+        }
       } catch {
         case t: Throwable =>
           println(s"| $q | ERROR ${t.getClass.getSimpleName}: " +
