@@ -27,6 +27,11 @@ object SparkEntry {
       operators.GlobalOrder.defs ++
       operators.Curation.defs ++
       operators.Behavioral.defs ++
+      operators.Journeys.defs ++
+      operators.TimeSeries.defs ++
+      operators.Experimentation.defs ++
+      operators.Evaluation.defs ++
+      operators.SupplyChain.defs ++
       operators.Survival.defs ++
       operators.StatTests.defs ++
       operators.RankEval.defs ++

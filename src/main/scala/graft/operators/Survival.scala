@@ -364,6 +364,198 @@ object Survival {
              |    - 1.959964 * sqrt(1.0/d0 + 1.0/d1))) AS BIGINT) AS hr_lo_milli,
              |  CAST(round(1000.0 * exp(ln((CAST(d1 AS DOUBLE) / t1) / (CAST(d0 AS DOUBLE) / t0))
              |    + 1.959964 * sqrt(1.0/d0 + 1.0/d1))) AS BIGINT) AS hr_hi_milli
-             |FROM w""".stripMargin))
+             |FROM w""".stripMargin)),
+
+    // Kaplan–Meier survival curve for time-to-first-purchase (hour
+    // grain), RIGHT-CENSORED at each non-converting user's last
+    // observation — the estimator that answers "how long until users
+    // convert" without the bias of dropping the ones who haven't yet.
+    // S(t) = Π(1 − d/n) evaluated as exp of a running Σln over DISTINCT
+    // event times (calendar-bounded table; the ln terms come from exact
+    // integer (d, n_at_risk) pairs and the running sum visits them in
+    // the same order in both engines, so the doubles are bit-identical).
+    // The terminal step where everyone remaining converts is S = 0
+    // exactly (guarded — no ln(0)). One user-keyed aggregate feeds the
+    // whole curve.
+    QueryDef(
+      "q_survival_km",
+      (s, d) => {
+        // hour-truncate BEFORE differencing: Spark's timestampdiff counts
+        // full elapsed hours, DuckDB's date_diff counts hour-boundary
+        // crossings — on truncated stamps the two definitions coincide
+        // (the q_islands second-truncation convention)
+        val ev = Tables.events(s, d)
+        val u = ev.groupBy("user_id").agg(
+          min(date_trunc("hour", col("ts"))).as("first_ts"),
+          max(date_trunc("hour", col("ts"))).as("last_ts"),
+          min(when(col("event_type") === "purchase",
+            date_trunc("hour", col("ts")))).as("first_p"))
+        val obs = u.select(
+          when(col("first_p").isNotNull,
+            expr("timestampdiff(HOUR, first_ts, first_p)"))
+            .otherwise(expr("timestampdiff(HOUR, first_ts, last_ts)")).as("t"),
+          when(col("first_p").isNotNull, 1L).otherwise(0L).as("death"))
+        val tot = obs.agg(count(lit(1)).as("n"))
+        val byt = obs.groupBy("t")
+          .agg(sum("death").as("d"), count(lit(1)).as("ev"))
+        val w = Window.orderBy("t")
+        val run = byt.withColumn("cumbef",
+          coalesce(sum("ev").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        run.crossJoin(broadcast(tot))
+          .withColumn("n_risk", col("n") - col("cumbef"))
+          .withColumn("s_micro",
+            when(col("d") === col("n_risk"), 0L).otherwise(
+              expr("""CAST(round(exp(sum(CASE WHEN d < n - cumbef
+                     |  THEN ln(1.0 - CAST(d AS DOUBLE) / (n - cumbef)) ELSE 0.0 END)
+                     |  OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                     |  * 1000000) AS BIGINT)""".stripMargin)))
+          .where(col("d") > 0)
+          .select(col("t").as("hours"), col("d").as("deaths"),
+            col("n_risk").as("n_at_risk"), col("s_micro"))
+          .orderBy("hours").limit(25)
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |    min(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS first_ts,
+             |    max(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS last_ts,
+             |    min(CASE WHEN event_type='purchase'
+             |        THEN date_trunc('hour', CAST(ts AS TIMESTAMP)) END) AS first_p
+             |  FROM events GROUP BY 1),
+             |obs AS (SELECT user_id,
+             |    CASE WHEN first_p IS NOT NULL
+             |      THEN date_diff('hour', first_ts, first_p)
+             |      ELSE date_diff('hour', first_ts, last_ts) END AS t,
+             |    CASE WHEN first_p IS NOT NULL THEN 1 ELSE 0 END AS death
+             |  FROM u),
+             |tot AS (SELECT count(*) AS n FROM obs),
+             |byt AS (SELECT t, sum(death) AS d, count(*) AS ev FROM obs GROUP BY 1),
+             |run AS (SELECT t, d, ev,
+             |    coalesce(sum(ev) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumbef
+             |  FROM byt),
+             |km AS (SELECT t, d, n - cumbef AS n_risk,
+             |    CASE WHEN d = n - cumbef THEN 0 ELSE
+             |      CAST(round(exp(sum(CASE WHEN d < n - cumbef
+             |          THEN ln(1.0 - CAST(d AS DOUBLE)/(n - cumbef)) ELSE 0.0 END)
+             |          OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1000000) AS BIGINT)
+             |    END AS s_micro
+             |  FROM run CROSS JOIN tot WHERE d > 0)
+             |SELECT t AS hours, CAST(d AS BIGINT) AS deaths,
+             |  CAST(n_risk AS BIGINT) AS n_at_risk, s_micro
+             |FROM km ORDER BY t LIMIT 25""".stripMargin)),
+
+
+    // Weibull reliability fit — shape k and scale λ of the inter-purchase
+    // gap distribution by median-rank regression: ln(−ln(1−F)) on ln t over
+    // the ≤ ~42 log2 gap buckets (the q_dwell_histogram binning), closed-
+    // form OLS. Shape < 1 ⇒ "infant-mortality" churn, ≈ 1 ⇒ memoryless,
+    // > 1 ⇒ wear-out; the fixture fits k ≈ 0.995 — exponential, agreeing
+    // with q_self_excitation's ratio ≈ 1 (two estimators, one story). The
+    // ECDF cumulative runs over the bounded bucket domain (whitelisted,
+    // q_ks_test argument).
+    QueryDef(
+      "q_weibull_fit",
+      (s, d) => {
+        val wu = Window.partitionBy("user_id").orderBy("ms")
+        val b = Tables.events(s, d).where(col("event_type") === "purchase")
+          .select(col("user_id"),
+            unix_millis(col("ts").cast("timestamp")).as("ms"))
+          .select((col("ms") - lag("ms", 1).over(wu)).as("gap"))
+          .where(col("gap").isNotNull && col("gap") > 0)
+          .select((length(bin(col("gap") + 1)) - 1).cast("long").as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("k"))
+        val n = b.agg(sum("k").as("n"))
+        val pts = b
+          .select(col("bucket"), col("k"),
+            sum("k").over(Window.orderBy("bucket")).as("ck"))
+          .crossJoin(broadcast(n))
+          .where(col("ck") < col("n"))
+          .select(expr("ln(CAST(2 AS DOUBLE)) * (bucket + 1)").as("lnt"),
+            expr("ln(-ln(1.0 - CAST(ck AS DOUBLE)/(n + 1)))").as("y"))
+        pts.agg(count(lit(1)).as("m"), sum("lnt").as("sx"), sum("y").as("sy"),
+            sum(expr("lnt*lnt")).as("sxx"), sum(expr("lnt*y")).as("sxy"))
+          .select(col("m"),
+            expr("(m*sxy - sx*sy)/(m*sxx - sx*sx)").as("shape"),
+            expr("(sy - (m*sxy - sx*sy)/(m*sxx - sx*sx)*sx)/m").as("icept"))
+          .select(col("m").as("n_points"),
+            expr("CAST(round(1000000.0*shape) AS BIGINT)").as("shape_micro"),
+            expr("CAST(round(exp(-icept/shape)) AS BIGINT)").as("scale_ms"))
+      },
+      Some("""WITH p AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+             |      FROM events WHERE event_type='purchase'),
+             |g AS (SELECT ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) AS gap
+             |      FROM p),
+             |gg AS (SELECT gap FROM g WHERE gap IS NOT NULL AND gap > 0),
+             |b AS (SELECT CAST(length(bin(gap + 1)) - 1 AS BIGINT) AS bucket,
+             |      count(*) AS k FROM gg GROUP BY 1),
+             |n AS (SELECT sum(k) AS n FROM b),
+             |e AS (SELECT bucket, k, sum(k) OVER (ORDER BY bucket) AS ck FROM b),
+             |pts AS (SELECT ln(CAST(2 AS DOUBLE)) * (bucket + 1) AS lnt,
+             |    ln(-ln(1.0 - CAST(ck AS DOUBLE)/((SELECT n FROM n) + 1))) AS y
+             |  FROM e WHERE ck < (SELECT n FROM n)),
+             |s AS (SELECT count(*) AS m, sum(lnt) AS sx, sum(y) AS sy,
+             |    sum(lnt*lnt) AS sxx, sum(lnt*y) AS sxy FROM pts),
+             |fit AS (SELECT m, (m*sxy - sx*sy)/(m*sxx - sx*sx) AS shape,
+             |    (sy - (m*sxy - sx*sy)/(m*sxx - sx*sx)*sx)/m AS icept FROM s)
+             |SELECT CAST(m AS BIGINT) AS n_points,
+             |  CAST(round(1000000.0*shape) AS BIGINT) AS shape_micro,
+             |  CAST(round(exp(-icept/shape)) AS BIGINT) AS scale_ms
+             |FROM fit""".stripMargin)),
+
+
+    // exponential goodness-of-fit — KS distance of the inter-purchase gap
+    // ECDF (at the log2 bucket edges) from the fitted exponential
+    // 1 − e^(−λ̂t), against the asymptotic 5 % critical value 1.358/√n.
+    // The THIRD estimator of the purchase process's memorylessness:
+    // q_weibull_fit's k ≈ 1 and q_self_excitation's ratio ≈ 1 predict
+    // "don't reject", and this test confirms it — three independent
+    // methods, one story. Bucket-edge ECDF keeps the sup over the bounded
+    // ~42-bucket domain (q_weibull_fit convention, whitelisted).
+    QueryDef(
+      "q_exp_gof",
+      (s, d) => {
+        val wu = Window.partitionBy("user_id").orderBy("ms")
+        val b = Tables.events(s, d).where(col("event_type") === "purchase")
+          .select(col("user_id"),
+            unix_millis(col("ts").cast("timestamp")).as("ms"))
+          .select((col("ms") - lag("ms", 1).over(wu)).as("gap"))
+          .where(col("gap").isNotNull && col("gap") > 0)
+        val bk = b.select((length(bin(col("gap") + 1)) - 1).cast("long").as("bucket"),
+            col("gap"))
+          .groupBy("bucket").agg(count(lit(1)).as("k"), sum("gap").as("sg"))
+        val n = bk.agg(sum("k").as("n"), sum("sg").as("tot"))
+        bk.select(col("bucket"), col("k"),
+            sum("k").over(Window.orderBy("bucket")).as("ck"))
+          .crossJoin(broadcast(n))
+          .select(expr("""abs(CAST(ck AS DOUBLE)/n
+                 | - (1 - exp(-(power(2.0, bucket+1)-1) * n / tot)))""".stripMargin)
+            .as("ks"), col("n"))
+          .groupBy()
+          .agg(max("n").as("n_gaps"),
+            expr("CAST(round(1000000.0*max(ks)) AS BIGINT)").as("ks_micro"),
+            expr("CAST(round(1000000.0*1.358/sqrt(max(n))) AS BIGINT)")
+              .as("crit05_micro"),
+            expr("""CAST(CASE WHEN max(ks) > 1.358/sqrt(max(n))
+                   | THEN 1 ELSE 0 END AS BIGINT)""".stripMargin).as("reject_exp"))
+      },
+      Some("""WITH p AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+             |      FROM events WHERE event_type='purchase'),
+             |g AS (SELECT ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) AS gap
+             |      FROM p),
+             |gg AS (SELECT gap FROM g WHERE gap IS NOT NULL AND gap > 0),
+             |b AS (SELECT CAST(length(bin(gap + 1)) - 1 AS BIGINT) AS bucket,
+             |      count(*) AS k, sum(gap) AS sg FROM gg GROUP BY 1),
+             |n AS (SELECT sum(k) AS n, sum(sg) AS tot FROM b),
+             |e AS (SELECT bucket, k, sum(k) OVER (ORDER BY bucket) AS ck FROM b),
+             |d AS (SELECT bucket,
+             |    abs(CAST(ck AS DOUBLE)/(SELECT n FROM n)
+             |      - (1 - exp(-(power(2.0, bucket+1)-1) * (SELECT n FROM n)
+             |         / (SELECT tot FROM n)))) AS ks FROM e)
+             |SELECT CAST((SELECT n FROM n) AS BIGINT) AS n_gaps,
+             |  CAST(round(1000000.0*max(ks)) AS BIGINT) AS ks_micro,
+             |  CAST(round(1000000.0*1.358/sqrt((SELECT n FROM n))) AS BIGINT)
+             |    AS crit05_micro,
+             |  CAST(CASE WHEN max(ks) > 1.358/sqrt((SELECT n FROM n))
+             |    THEN 1 ELSE 0 END AS BIGINT) AS reject_exp
+             |FROM d""".stripMargin)),
   )
 }
