@@ -278,7 +278,9 @@ object ScaleProbe {
       "q_disorder_profile", "q_bow_dedup", "q_template_mining",
       "q_graph_matching", "q_weighted_median", "q_jelinek_mercer",
       "q_kpss", "q_sax_motifs", "q_kmv_distinct", "q_rolling_slope",
-      "q_turning_points", "q_spectral_entropy", "q_wilcoxon")
+      "q_turning_points", "q_spectral_entropy", "q_wilcoxon",
+      // round 15 (standing rule: join/window ⇒ probe)
+      "q_dup_spans")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

@@ -660,6 +660,99 @@ object DedupOps extends org.apache.spark.internal.Logging {
              |HAVING count(*) FILTER (WHERE rn = 1) > 0
              |ORDER BY doc_id""".stripMargin)),
 
+    // Exact-substring (repeated-span) dedup map — the Lee et al. 2022
+    // "Deduplicating Training Data Makes Language Models Better"
+    // granularity the chunk/line/shingle passes approximate from above:
+    // which CONTIGUOUS token spans of each document are covered by an
+    // 8-gram that also appears verbatim in ANOTHER document, merged
+    // into maximal covered spans. q_chunk_dedup counts shared fixed
+    // windows and q_ngram_novelty scores set-semantics shingles;
+    // neither yields the removable span inventory an exact-substring
+    // cut pass consumes. Semantics: token position t is covered iff
+    // some cross-doc-duplicated window start q with q ≤ t ≤ q+7
+    // exists; sorted duplicated starts whose gap ≤ 7 merge (interval
+    // union via lag/running-sum islands), so spans are maximal and
+    // DISJOINT and dup_tokens is the exact union coverage ≤ n_tokens —
+    // the per-doc "how much of this text exists verbatim elsewhere"
+    // number. Docs shorter than 8 tokens contribute their whole text
+    // as one truncated window (the wordNGrams contract); the final
+    // least() clamp makes that doc's coverage exact (it is necessarily
+    // a single span, so clamping the sum equals clamping the span).
+    // Cost: one posexplode (rows ∝ corpus tokens), one 128-bit
+    // fingerprint hash agg + one fingerprint-keyed join back (both
+    // map-side combined, shuffle linear in corpus tokens), then
+    // doc-partitioned lag/sum windows — per-partition size is one
+    // doc's duplicated-window count, never global. No pairwise
+    // anything; hot fingerprints are bounded by the duplicate-family
+    // size, the q_chunk_dedup argument.
+    QueryDef(
+      "q_dup_spans",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val grams = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(wordNGrams(col("text"), 8)).as(Seq("p", "g")))
+          .select(col("doc_id"), col("p"), md5(col("g")).as("fp"))
+        val crossDoc = grams.groupBy("fp")
+          .agg(countDistinct("doc_id").as("nd"))
+          .where(col("nd") > 1).select("fp")
+        val dupPos = grams.join(crossDoc, "fp").select("doc_id", "p")
+        val byDoc = Window.partitionBy("doc_id").orderBy("p")
+        val spans = dupPos
+          .withColumn("brk",
+            when(col("p") - lag("p", 1).over(byDoc) <= 7, 0).otherwise(1))
+          .withColumn("isl", sum("brk").over(
+            byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("doc_id", "isl")
+          .agg(min("p").as("s0"), max("p").as("e0"), count(lit(1)).as("nw"))
+        val perDoc = spans.groupBy("doc_id").agg(
+          count(lit(1)).as("n_spans"),
+          sum(col("e0") - col("s0") + 8).cast("long").as("cov"),
+          max(col("e0") - col("s0") + 8).cast("long").as("cov_max"),
+          sum("nw").as("n_dup_windows"))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .join(perDoc, "doc_id")
+          .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+            col("n_dup_windows"),
+            least(col("cov"), col("n_tokens")).as("dup_tokens"),
+            least(col("cov_max"), col("n_tokens")).as("longest_span"))
+          .withColumn("dup_frac_micro",
+            expr("(dup_tokens * CAST(1000000 AS BIGINT)) div n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |g AS (SELECT doc_id,
+             |    unnest([i - 1 for i in range(1, greatest(len(t) - 7, 1) + 1)]) AS p,
+             |    unnest([md5(array_to_string(t[i:i+7], ' '))
+             |            for i in range(1, greatest(len(t) - 7, 1) + 1)]) AS fp
+             |  FROM d),
+             |x AS (SELECT fp FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) > 1),
+             |dp AS (SELECT doc_id, p FROM g JOIN x USING (fp)),
+             |fl AS (SELECT doc_id, p,
+             |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 7
+             |         THEN 0 ELSE 1 END AS brk
+             |  FROM dp),
+             |il AS (SELECT doc_id, p,
+             |    sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS isl FROM fl),
+             |sp AS (SELECT doc_id, isl, min(p) AS s0, max(p) AS e0,
+             |    count(*) AS nw FROM il GROUP BY 1, 2),
+             |pd AS (SELECT doc_id, count(*) AS n_spans,
+             |    sum(e0 - s0 + 8) AS cov, max(e0 - s0 + 8) AS cov_max,
+             |    sum(nw) AS n_dup_windows FROM sp GROUP BY 1),
+             |l AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+             |  FROM documents)
+             |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(n_spans AS BIGINT) AS n_spans,
+             |  CAST(n_dup_windows AS BIGINT) AS n_dup_windows,
+             |  CAST(least(cov, n_tokens) AS BIGINT) AS dup_tokens,
+             |  CAST(least(cov_max, n_tokens) AS BIGINT) AS longest_span,
+             |  CAST(least(cov, n_tokens) * 1000000 // n_tokens AS BIGINT)
+             |    AS dup_frac_micro
+             |FROM pd JOIN l USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // edit-distance-1 fuzzy self-join via deletion-neighborhood blocking
     // (the SymSpell trick): every string produces itself plus each
     // one-char-deletion variant; two strings within Levenshtein distance

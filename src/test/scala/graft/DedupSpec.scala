@@ -192,5 +192,55 @@ class DedupSpec extends SparkSpec {
       s"guard failure does not name the production path:\n${messages(e)}")
   }
 
+  test("q_dup_spans: sequential-replay coverage law on the sf0.001 corpus") {
+    // independent implementation (hash-map replay + explicit interval
+    // merge over the collected corpus — bounded at sf0.001), the
+    // AnalyticsInvariantSpec replay pattern: the declarative
+    // fingerprint-agg/join/lag-island plan must equal a direct
+    // sequential computation row for row, and the coverage laws
+    // (dup_tokens ≤ n_tokens, longest ≤ total — spans are a disjoint
+    // union) must hold on real data, not just the fixture slice.
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def gramsOf(t: String): Array[String] = {
+      val toks = t.split(" ", -1)
+      val m = math.max(toks.length - 7, 1)
+      Array.tabulate(m)(i =>
+        toks.slice(i, math.min(i + 8, toks.length)).mkString(" "))
+    }
+    val byGram = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.Set[Long]]
+    for ((id, t) <- docs; g <- gramsOf(t).distinct)
+      byGram.getOrElseUpdate(
+        g, scala.collection.mutable.Set.empty[Long]) += id
+    val expected = docs.flatMap { case (id, t) =>
+      val dup = gramsOf(t).zipWithIndex.collect {
+        case (g, p) if byGram(g).exists(_ != id) => p
+      }
+      if (dup.isEmpty) None
+      else {
+        var spans = List.empty[(Int, Int)] // (s0, e0), head = current
+        for (p <- dup) spans = spans match {
+          case (s0, e0) :: rest if p - e0 <= 7 => (s0, p) :: rest
+          case _ => (p, p) :: spans
+        }
+        val n = t.split(" ", -1).length.toLong
+        val cov = spans.map { case (s0, e0) => e0 - s0 + 8 }.sum.toLong
+        val covMax = spans.map { case (s0, e0) => e0 - s0 + 8 }.max.toLong
+        Some(id -> (n, spans.length.toLong, dup.length.toLong,
+          math.min(cov, n), math.min(covMax, n)))
+      }
+    }.toMap
+    val got = SparkEntry.queries("q_dup_spans")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(got.nonEmpty,
+      "fixture has no cross-doc duplicated 8-gram spans — capability untested")
+    assert(got == expected)
+    assert(got.forall { case (_, (n, _, _, cov, covMax)) =>
+      cov <= n && covMax <= cov })
+  }
+
   private def round4(d: Double): Double = math.round(d * 10000).toDouble / 10000
 }
