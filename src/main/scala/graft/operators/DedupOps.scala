@@ -753,6 +753,100 @@ object DedupOps extends org.apache.spark.internal.Logging {
              |FROM pd JOIN l USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Exact-substring cut — q_dup_spans is the MAP, this is the APPLY:
+    // materialize the deduplicated corpus the way an exact-substring
+    // pass ships it. Ownership rule (the Lee et al. keep-one-copy
+    // contract, made deterministic): each cross-doc-duplicated 8-gram
+    // window is OWNED by the minimum doc_id that contains it; a token
+    // position is removed iff it is covered by at least one duplicated
+    // window and NONE of the duplicated windows covering it are owned
+    // by its own document — so the first occurrence of every duplicated
+    // passage survives verbatim somewhere, and a doc that is itself the
+    // first occurrence keeps its text. Output: every doc with its
+    // kept/removed token accounting and the reassembled cleaned text
+    // (the q_line_dedup materialization convention, at substring
+    // granularity). Cost: the q_dup_spans fingerprint agg + join, one
+    // bounded ×8 position expansion (explode of an 8-element sequence —
+    // linear in corpus tokens, the window length is a constant), one
+    // (doc, pos) agg, one per-doc reassembly agg. NO windows at all —
+    // every step is a keyed groupBy/join, so there is nothing
+    // partitionless to whitelist and the shape survives any corpus.
+    QueryDef(
+      "q_dup_span_cut",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("t", "tok")))
+        val lens = docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        val grams = docs
+          .select(col("doc_id"),
+            posexplode(wordNGrams(col("text"), 8)).as(Seq("p", "g")))
+          .select(col("doc_id"), col("p"), md5(col("g")).as("fp"))
+        val owners = grams.groupBy("fp")
+          .agg(countDistinct("doc_id").as("nd"), min("doc_id").as("owner"))
+          .where(col("nd") > 1).select("fp", "owner")
+        // covered positions of each duplicated window, clamped to the
+        // doc length (the <8-token truncated-window contract)
+        val cover = grams.join(owners, "fp")
+          .join(lens, "doc_id")
+          .select(col("doc_id"),
+            (col("doc_id") === col("owner")).cast("int").as("own"),
+            explode(sequence(col("p").cast("long"),
+              least(col("p") + 7L, col("n_tokens") - 1L))).as("t"))
+          .groupBy("doc_id", "t").agg(max("own").as("any_owned"))
+        val kept = toks.join(cover, Seq("doc_id", "t"), "left")
+          .withColumn("keep",
+            col("any_owned").isNull || col("any_owned") === 1)
+        kept.groupBy("doc_id")
+          .agg(
+            sum(when(col("keep"), 1L).otherwise(0L)).as("kept_tokens"),
+            sum(when(col("keep"), 0L).otherwise(1L)).as("removed_tokens"),
+            array_join(
+              transform(
+                array_sort(collect_list(
+                  when(col("keep"), struct(col("t"), col("tok"))))),
+                x => x.getField("tok")),
+              " ").as("cleaned"))
+          .join(lens, "doc_id")
+          .select(col("doc_id"), col("n_tokens"), col("kept_tokens"),
+            col("removed_tokens"),
+            expr("(removed_tokens * CAST(1000000 AS BIGINT)) div n_tokens")
+              .as("removed_frac_micro"),
+            col("cleaned"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |l AS (SELECT doc_id, len(tk) AS n_tokens FROM d),
+             |g AS (SELECT doc_id,
+             |    unnest([i - 1 for i in range(1, greatest(len(tk) - 7, 1) + 1)]) AS p,
+             |    unnest([md5(array_to_string(tk[i:i+7], ' '))
+             |            for i in range(1, greatest(len(tk) - 7, 1) + 1)]) AS fp
+             |  FROM d),
+             |o AS (SELECT fp, min(doc_id) AS owner FROM g
+             |  GROUP BY 1 HAVING count(DISTINCT doc_id) > 1),
+             |cov AS (SELECT g.doc_id, t,
+             |    max(CASE WHEN g.doc_id = o.owner THEN 1 ELSE 0 END) AS any_owned
+             |  FROM g JOIN o USING (fp) JOIN l ON l.doc_id = g.doc_id,
+             |    unnest(range(p, least(p + 8, n_tokens))) AS u(t)
+             |  GROUP BY 1, 2),
+             |tox AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS t, tk[i] AS tok
+             |  FROM d, unnest(range(1, len(tk) + 1)) AS r(i)),
+             |k AS (SELECT tox.doc_id, tox.t, tox.tok,
+             |    (cov.any_owned IS NULL OR cov.any_owned = 1) AS keep
+             |  FROM tox LEFT JOIN cov
+             |    ON cov.doc_id = tox.doc_id AND cov.t = tox.t)
+             |SELECT k.doc_id, CAST(l.n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS kept_tokens,
+             |  CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS removed_tokens,
+             |  CAST(count(*) FILTER (WHERE NOT keep) * 1000000
+             |    // l.n_tokens AS BIGINT) AS removed_frac_micro,
+             |  coalesce(string_agg(tok, ' ' ORDER BY k.t)
+             |    FILTER (WHERE keep), '') AS cleaned
+             |FROM k JOIN l ON l.doc_id = k.doc_id
+             |GROUP BY k.doc_id, l.n_tokens
+             |ORDER BY k.doc_id""".stripMargin)),
+
     // edit-distance-1 fuzzy self-join via deletion-neighborhood blocking
     // (the SymSpell trick): every string produces itself plus each
     // one-char-deletion variant; two strings within Levenshtein distance

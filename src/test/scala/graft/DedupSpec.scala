@@ -242,5 +242,59 @@ class DedupSpec extends SparkSpec {
       cov <= n && covMax <= cov })
   }
 
+  test("q_dup_span_cut: replay equality, map/apply consistency, and the keep-one-copy guarantee") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def gramsOf(t: String): Array[String] = {
+      val toks = t.split(" ", -1)
+      val m = math.max(toks.length - 7, 1)
+      Array.tabulate(m)(i =>
+        toks.slice(i, math.min(i + 8, toks.length)).mkString(" "))
+    }
+    val byGram = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.Set[Long]]
+    for ((id, t) <- docs; g <- gramsOf(t).distinct)
+      byGram.getOrElseUpdate(
+        g, scala.collection.mutable.Set.empty[Long]) += id
+    val owner = byGram.collect {
+      case (g, ids) if ids.size > 1 => g -> ids.min
+    }
+    // sequential replay of the cut: position kept iff uncovered or some
+    // covering duplicated window is owned by this doc
+    val expected = docs.map { case (id, t) =>
+      val toks = t.split(" ", -1)
+      val n = toks.length
+      val anyOwned = Array.fill(n)(Option.empty[Boolean])
+      for ((g, p) <- gramsOf(t).zipWithIndex if owner.contains(g)) {
+        val own = owner(g) == id
+        for (q <- p until math.min(p + 8, n))
+          anyOwned(q) = Some(anyOwned(q).getOrElse(false) || own)
+      }
+      val keep = anyOwned.map(o => o.isEmpty || o.get)
+      val cleaned = toks.zip(keep).collect { case (tk, true) => tk }
+      id -> (n.toLong, cleaned.length.toLong, (n - cleaned.length).toLong,
+        cleaned.mkString(" "))
+    }.toMap
+    val got = SparkEntry.queries("q_dup_span_cut")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(5))).toMap
+    assert(got == expected)
+    assert(got.values.exists(_._3 > 0),
+      "fixture cut nothing — the apply path is untested")
+    // map/apply consistency: the cut never removes more than the span
+    // map's coverage (ownership can only SHRINK the removable set)
+    val spanMap = SparkEntry.queries("q_dup_spans")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(got.forall { case (id, (_, _, removed, _)) =>
+      removed <= spanMap.getOrElse(id, 0L) })
+    // keep-one-copy guarantee (the Lee et al. contract): every cross-doc
+    // duplicated 8-gram survives contiguously in its OWNER's cleaned
+    // text — owned windows pin all eight positions, so the run is kept
+    val cleanedGrams = got.map { case (id, (_, _, _, c)) =>
+      id -> gramsOf(c).toSet
+    }
+    assert(owner.forall { case (g, own) => cleanedGrams(own).contains(g) })
+  }
+
   private def round4(d: Double): Double = math.round(d * 10000).toDouble / 10000
 }
