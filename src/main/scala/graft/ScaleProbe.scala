@@ -280,7 +280,7 @@ object ScaleProbe {
       "q_kpss", "q_sax_motifs", "q_kmv_distinct", "q_rolling_slope",
       "q_turning_points", "q_spectral_entropy", "q_wilcoxon",
       // round 15 (standing rule: join/window ⇒ probe)
-      "q_dup_spans", "q_dup_span_cut")
+      "q_dup_spans", "q_dup_span_cut", "q_contamination_spans")
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 

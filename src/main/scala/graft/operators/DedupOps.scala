@@ -753,6 +753,89 @@ object DedupOps extends org.apache.spark.internal.Logging {
              |FROM pd JOIN l USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Span-level contamination map — q_ngram_contamination reports
+    // per-source set-semantics hit RATES; this extracts the actual
+    // contiguous TRAIN-doc spans whose 8-grams appear in the TEST split
+    // (same doc_id-parity split convention), i.e. the passages a
+    // surgical decontamination pass cuts from train instead of
+    // amputating whole documents (q_decontaminate's granularity). Same
+    // machinery as q_dup_spans — positional fingerprints, a semi join
+    // against the test-side distinct gram set, lag/running-sum interval
+    // union per doc, coverage clamp for sub-8-token docs — with the
+    // membership predicate swapped from "any OTHER doc" to "any TEST
+    // doc". Cost: fingerprint-keyed shuffles linear in corpus tokens
+    // (the semi join's build side is the distinct test gram set, itself
+    // corpus-bounded), doc-partitioned windows only.
+    QueryDef(
+      "q_contamination_spans",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val grams = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(wordNGrams(col("text"), 8)).as(Seq("p", "g")))
+          .select(col("doc_id"), col("p"), md5(col("g")).as("fp"))
+        val testSet = grams.where(col("doc_id") % 2 === 1)
+          .select("fp").distinct()
+        val dirty = grams.where(col("doc_id") % 2 === 0)
+          .join(testSet, Seq("fp"), "left_semi")
+          .select("doc_id", "p")
+        val byDoc = Window.partitionBy("doc_id").orderBy("p")
+        val spans = dirty
+          .withColumn("brk",
+            when(col("p") - lag("p", 1).over(byDoc) <= 7, 0).otherwise(1))
+          .withColumn("isl", sum("brk").over(
+            byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("doc_id", "isl")
+          .agg(min("p").as("s0"), max("p").as("e0"), count(lit(1)).as("nw"))
+        val perDoc = spans.groupBy("doc_id").agg(
+          count(lit(1)).as("n_spans"),
+          sum(col("e0") - col("s0") + 8).cast("long").as("cov"),
+          max(col("e0") - col("s0") + 8).cast("long").as("cov_max"),
+          sum("nw").as("n_dirty_windows"))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .join(perDoc, "doc_id")
+          .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+            col("n_dirty_windows"),
+            least(col("cov"), col("n_tokens")).as("contaminated_tokens"),
+            least(col("cov_max"), col("n_tokens")).as("longest_span"))
+          .withColumn("contaminated_frac_micro",
+            expr("(contaminated_tokens * CAST(1000000 AS BIGINT)) div n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |g AS (SELECT doc_id,
+             |    unnest([i - 1 for i in range(1, greatest(len(t) - 7, 1) + 1)]) AS p,
+             |    unnest([md5(array_to_string(t[i:i+7], ' '))
+             |            for i in range(1, greatest(len(t) - 7, 1) + 1)]) AS fp
+             |  FROM d),
+             |ts AS (SELECT DISTINCT fp FROM g WHERE doc_id % 2 = 1),
+             |dp AS (SELECT doc_id, p FROM g
+             |  WHERE doc_id % 2 = 0 AND fp IN (SELECT fp FROM ts)),
+             |fl AS (SELECT doc_id, p,
+             |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 7
+             |         THEN 0 ELSE 1 END AS brk
+             |  FROM dp),
+             |il AS (SELECT doc_id, p,
+             |    sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS isl FROM fl),
+             |sp AS (SELECT doc_id, isl, min(p) AS s0, max(p) AS e0,
+             |    count(*) AS nw FROM il GROUP BY 1, 2),
+             |pd AS (SELECT doc_id, count(*) AS n_spans,
+             |    sum(e0 - s0 + 8) AS cov, max(e0 - s0 + 8) AS cov_max,
+             |    sum(nw) AS n_dirty_windows FROM sp GROUP BY 1),
+             |l AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+             |  FROM documents)
+             |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(n_spans AS BIGINT) AS n_spans,
+             |  CAST(n_dirty_windows AS BIGINT) AS n_dirty_windows,
+             |  CAST(least(cov, n_tokens) AS BIGINT) AS contaminated_tokens,
+             |  CAST(least(cov_max, n_tokens) AS BIGINT) AS longest_span,
+             |  CAST(least(cov, n_tokens) * 1000000 // n_tokens AS BIGINT)
+             |    AS contaminated_frac_micro
+             |FROM pd JOIN l USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Exact-substring cut — q_dup_spans is the MAP, this is the APPLY:
     // materialize the deduplicated corpus the way an exact-substring
     // pass ships it. Ownership rule (the Lee et al. keep-one-copy

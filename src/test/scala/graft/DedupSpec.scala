@@ -296,5 +296,52 @@ class DedupSpec extends SparkSpec {
     assert(owner.forall { case (g, own) => cleanedGrams(own).contains(g) })
   }
 
+  test("q_contamination_spans: sequential-replay law and containment in the dup-span map") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def gramsOf(t: String): Array[String] = {
+      val toks = t.split(" ", -1)
+      val m = math.max(toks.length - 7, 1)
+      Array.tabulate(m)(i =>
+        toks.slice(i, math.min(i + 8, toks.length)).mkString(" "))
+    }
+    val testGrams = docs.collect { case (id, t) if id % 2 == 1 => t }
+      .flatMap(gramsOf).toSet
+    val expected = docs.flatMap { case (id, t) =>
+      if (id % 2 != 0) None
+      else {
+        val dirty = gramsOf(t).zipWithIndex.collect {
+          case (g, p) if testGrams(g) => p
+        }
+        if (dirty.isEmpty) None
+        else {
+          var spans = List.empty[(Int, Int)]
+          for (p <- dirty) spans = spans match {
+            case (s0, e0) :: rest if p - e0 <= 7 => (s0, p) :: rest
+            case _ => (p, p) :: spans
+          }
+          val n = t.split(" ", -1).length.toLong
+          val cov = spans.map { case (s0, e0) => e0 - s0 + 8 }.sum.toLong
+          val covMax = spans.map { case (s0, e0) => e0 - s0 + 8 }.max.toLong
+          Some(id -> (n, spans.length.toLong, dirty.length.toLong,
+            math.min(cov, n), math.min(covMax, n)))
+        }
+      }
+    }.toMap
+    val got = SparkEntry.queries("q_contamination_spans")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(got.nonEmpty, "fixture has no train-test contaminated spans")
+    assert(got == expected)
+    // containment: a contaminated window is cross-doc duplicated by
+    // definition (this train doc + a test doc), so the contamination
+    // coverage can never exceed the dup-span map's coverage
+    val dupMap = SparkEntry.queries("q_dup_spans")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(got.forall { case (id, (_, _, _, cov, _)) =>
+      cov <= dupMap.getOrElse(id, 0L) })
+  }
+
   private def round4(d: Double): Double = math.round(d * 10000).toDouble / 10000
 }
