@@ -2357,6 +2357,12 @@ object Similarity {
     QueryDef(
       "q_top_eigen",
       (s, d) => {
+        // r15 note: a map-side double-posexplode build of this moment
+        // matrix (the q_dim_corr rewrite) was MEASURED SLOWER here
+        // (1.42 vs 1.14 s): q_top_eigen's five m-consuming branches ride
+        // the self-join's reusable exchange, while the generate subtree
+        // is re-inlined per branch (HOF quantization is interpreted —
+        // CodegenFallback). The join form stays: measured-best.
         val dims = Tables.embeddings(s, d)
           .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
           .select(col("vec_id"), col("dim"),
@@ -2516,13 +2522,19 @@ object Similarity {
     QueryDef(
       "q_dim_corr",
       (s, d) => {
-        val dims = Tables.embeddings(s, d)
-          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
-          .select(col("vec_id"), col("dim"),
-            round(col("x").cast("double") * 1e3).cast("long").as("xm"))
-        val m = dims.select(col("vec_id"), col("dim").as("i"), col("xm").as("xa"))
-          .join(dims.select(col("vec_id"), col("dim").as("j"), col("xm").as("xb")),
-            "vec_id")
+        // r15 optimization (guide §2.3/§2.4): the q_top_eigen rewrite —
+        // upper-triangle moment matrix built map-side (double
+        // posexplode + i ≤ j filter inside the scan task, partial
+        // aggregation before the only tiny exchange) instead of the
+        // corpus-sized dims self-join on vec_id; the three consuming
+        // branches (off-diagonal pass + both broadcast diag dims) share
+        // the subtree, so ReuseExchange dedupes the corpus pass.
+        val qarr = Tables.embeddings(s, d)
+          .select(transform(col("embedding"),
+            x => round(x.cast("double") * 1e3).cast("long")).as("xs"))
+        val m = qarr
+          .select(col("xs"), posexplode(col("xs")).as(Seq("i", "xa")))
+          .select(col("i"), col("xa"), posexplode(col("xs")).as(Seq("j", "xb")))
           .where(col("i") <= col("j"))
           .groupBy("i", "j").agg(sum(col("xa") * col("xb")).as("mij"))
         val diag = m.where(col("i") === col("j"))

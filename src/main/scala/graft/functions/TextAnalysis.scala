@@ -172,16 +172,28 @@ object TextAnalysis {
     QueryDef(
       "q_bigram_lm",
       (s, d) => {
-        val w = Window.partitionBy("doc_id").orderBy("pos")
-        val toks = Tables.documents(s, d)
-          .select(col("doc_id"),
-            posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-        val pairs = toks
-          .withColumn("w2", lead("tok", 1).over(w))
-          .where(col("w2").isNotNull)
-          .select(col("doc_id"), col("tok").as("w1"), col("w2"))
-        val uni = toks.groupBy(col("tok").as("u_w")).agg(count(lit(1)).as("c1"))
-        val vocab = toks.agg(countDistinct(col("tok")).as("v"))
+        // r15 optimization (guide §2.4): adjacent-token pairs derived
+        // MAP-SIDE from the split array (l[i], l[i+1]) — the old
+        // window-lead form shuffled and sorted the corpus-sized token
+        // explode once PER CONSUMER of `pairs` (model build + scoring
+        // join). The split array is bound to a COLUMN first: an inlined
+        // split re-evaluates inside the transform lambda per element
+        // (O(tokens²) per doc — measured 3× slower). Vocab is a row
+        // count over the unigram table instead of a countDistinct
+        // corpus pass. No caches: consumers share identical subtrees,
+        // so ReuseExchange dedupes the corpus passes within the action
+        // at any scale, without a materialization barrier.
+        val dl = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("l"))
+        val pairs = dl.where(size(col("l")) >= 2)
+          .select(col("doc_id"), explode(transform(
+            sequence(lit(1), size(col("l")) - 1),
+            i => struct(element_at(col("l"), i).as("w1"),
+              element_at(col("l"), i + 1).as("w2")))).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val uni = dl.select(explode(col("l")).as("tok"))
+          .groupBy(col("tok").as("u_w")).agg(count(lit(1)).as("c1"))
+        val vocab = uni.agg(count(lit(1)).as("v"))
         val model = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
           .join(uni, col("w1") === col("u_w"))
           .crossJoin(broadcast(vocab))
@@ -469,29 +481,35 @@ object TextAnalysis {
     QueryDef(
       "q_pmi_bigrams",
       (s, d) => {
-        val toks = split(col("text"), " ")
-        val starts = sequence(lit(1), greatest(size(toks) - lit(1), lit(1)))
-        val docs = Tables.documents(s, d)
-        // both count tables are consumed by several downstream branches
-        // (uni twice as a broadcast dim + once for its total; bi once +
-        // once for its total), and every broadcast/aggregate branch
-        // would otherwise re-run the full token explode — cache() the
-        // tiny results (≤ vocab² rows) so the corpus is read once each
-        val bi0 = docs
-          .where(size(toks) >= 2)
-          .select(explode(transform(starts,
-            i => struct(element_at(toks, i).as("x"),
-              element_at(toks, i + 1).as("y")))).as("b"))
+        // r15 optimization (guide §2.3 "aggregate before you shuffle" +
+        // §2.4 "remove shuffles outright"): the old form exploded the
+        // corpus TWICE — once into bigrams for c_xy, once into tokens
+        // for the unigram counts — and pinned TWO caches whose builds
+        // the bench pays per run. One pass subsumes both: emit one
+        // (x = token at i, y = token at i+1 OR NULL at the last
+        // position) row per token position, map-side from the split
+        // array (`get` is 0-based and null-safe past the end, so the
+        // last position yields y = NULL under ANSI mode); then
+        //   bigram counts = the y IS NOT NULL slice, and
+        //   unigram counts = Σ_y c(x, y) — every occurrence of a token
+        //   is the x of exactly one position row, so the roll-up over
+        //   the ≤ vocab²+vocab grouped table IS the token count.
+        // The split array is BOUND TO A COLUMN first: referencing the
+        // split(...) expression inside the transform lambda re-evaluates
+        // it per element (O(tokens²) per doc — measured 3× slower).
+        // No cache at all: every consumer shares the identical grouped
+        // subtree, so ReuseExchange dedupes the corpus pass within the
+        // one action — at ANY scale — without a materialization barrier.
+        val grouped = Tables.documents(s, d)
+          .select(split(col("text"), " ").as("l"))
+          .select(explode(transform(sequence(lit(1), size(col("l"))),
+            i => struct(element_at(col("l"), i).as("x"),
+              get(col("l"), i).as("y")))).as("b"))
           .select(col("b.x").as("x"), col("b.y").as("y"))
-          .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
-        // pinned (not bare .cache()): the harness's per-query release
-        // must drain these or every q_pmi_bigrams run leaks two cache
-        // entries for the session lifetime (r15 leak-guard)
-        val bi = graft.operators.GlobalOrder.pinPersisted(bi0.cache())
-        val uni = graft.operators.GlobalOrder.pinPersisted(
-          docs.select(explode(toks).as("tok"))
-            .groupBy("tok").agg(count(lit(1)).as("c"))
-            .cache())
+          .groupBy("x", "y").agg(count(lit(1)).as("c"))
+        val bi = grouped.where(col("y").isNotNull)
+          .select(col("x"), col("y"), col("c").as("c_xy"))
+        val uni = grouped.groupBy(col("x").as("tok")).agg(sum("c").as("c"))
         val nBi = bi.agg(sum("c_xy").as("n_bi"))
         val nUni = uni.agg(sum("c").as("n_uni"))
         bi.where(col("c_xy") >= 5)
@@ -622,16 +640,25 @@ object TextAnalysis {
     QueryDef(
       "q_ppl_buckets",
       (s, d) => {
-        val w = Window.partitionBy("doc_id").orderBy("pos")
-        val toks = Tables.documents(s, d)
-          .select(col("doc_id"),
-            posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-        val pairs = toks
-          .withColumn("w2", lead("tok", 1).over(w))
-          .where(col("w2").isNotNull)
-          .select(col("doc_id"), col("tok").as("w1"), col("w2"))
-        val uni = toks.groupBy(col("tok").as("u_w")).agg(count(lit(1)).as("c1"))
-        val vocab = toks.agg(countDistinct(col("tok")).as("v"))
+        // r15 optimization (guide §2.4): same rewrite as q_bigram_lm —
+        // map-side adjacent pairs (no per-consumer window shuffle of
+        // the token explode), the split array bound to a column (an
+        // inlined split re-evaluates per lambda element), vocab as a
+        // row count over the unigram table, no new caches (ReuseExchange
+        // dedupes the shared subtrees). The pre-existing `scored` pin
+        // below stays: ITS consumers are GlobalOrder's separate jobs,
+        // which exchange reuse cannot span.
+        val dl = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("l"))
+        val pairs = dl.where(size(col("l")) >= 2)
+          .select(col("doc_id"), explode(transform(
+            sequence(lit(1), size(col("l")) - 1),
+            i => struct(element_at(col("l"), i).as("w1"),
+              element_at(col("l"), i + 1).as("w2")))).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val uni = dl.select(explode(col("l")).as("tok"))
+          .groupBy(col("tok").as("u_w")).agg(count(lit(1)).as("c1"))
+        val vocab = uni.agg(count(lit(1)).as("v"))
         val model = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
           .join(uni, col("w1") === col("u_w"))
           .crossJoin(broadcast(vocab))

@@ -2333,14 +2333,21 @@ object Curation {
     QueryDef(
       "q_lm_generalization",
       (s, d) => {
-        val w = Window.partitionBy("doc_id").orderBy("pos")
-        val toks = Tables.documents(s, d)
-          .select(col("doc_id"), expr("(doc_id div 20) % 2").as("half"),
-            posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-        val big = toks
-          .withColumn("nxt", lead("tok", 1).over(w))
-          .where(col("nxt").isNotNull)
-          .select(col("half"), col("tok").as("w1"), col("nxt"))
+        // r15 optimization (guide §2.4): adjacent pairs map-side from
+        // the split array (bound to a column — an inlined split
+        // re-evaluates per lambda element) instead of the window-lead
+        // over the token explode — `big` has two consumers (train
+        // counts + held-out scoring) and each re-ran the corpus-wide
+        // window shuffle+sort. No cache: tr's consumers share its
+        // subtree, so ReuseExchange dedupes the train pass in-action.
+        val big = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("l"))
+          .where(size(col("l")) >= 2)
+          .select(expr("(doc_id div 20) % 2").as("half"),
+            explode(transform(sequence(lit(1), size(col("l")) - 1),
+              i => struct(element_at(col("l"), i).as("w1"),
+                element_at(col("l"), i + 1).as("nxt")))).as("b"))
+          .select(col("half"), col("b.w1").as("w1"), col("b.nxt").as("nxt"))
         val tr = big.where(col("half") === 0)
           .groupBy("w1", "nxt").agg(count(lit(1)).as("c"))
         val uni = tr.groupBy("w1").agg(sum("c").as("cu"))
@@ -2400,17 +2407,23 @@ object Curation {
     QueryDef(
       "q_scaling_law",
       (s, d) => {
-        val w = Window.partitionBy("doc_id").orderBy("pos")
-        val toks = Tables.documents(s, d)
-          .select(col("doc_id"),
+        // r15 optimization (guide §2.4): map-side adjacent pairs (the
+        // q_lm_generalization rewrite, split bound to a column) — `big`
+        // has two consumers, each formerly re-running the corpus-wide
+        // window shuffle. No cache: tr's four consumers share its
+        // subtree, so ReuseExchange dedupes the roll-up in-action.
+        val big = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("l"))
+          .where(size(col("l")) >= 2)
+          .select(
             when(col("doc_id") % 10 === 9, 1L).otherwise(0L).as("tst"),
             (conv(substring(md5(concat(lit("sl:"), col("doc_id").cast("string"))),
               1, 12), 16, 10).cast("long") % 16).as("bkt"),
-            posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-        val big = toks
-          .withColumn("nxt", lead("tok", 1).over(w))
-          .where(col("nxt").isNotNull)
-          .select(col("tst"), col("bkt"), col("tok").as("w1"), col("nxt"))
+            explode(transform(sequence(lit(1), size(col("l")) - 1),
+              i => struct(element_at(col("l"), i).as("w1"),
+                element_at(col("l"), i + 1).as("nxt")))).as("b"))
+          .select(col("tst"), col("bkt"), col("b.w1").as("w1"),
+            col("b.nxt").as("nxt"))
         val fr = s.createDataFrame(Seq(1L, 2L, 4L, 8L, 16L).map(Tuple1(_)))
           .toDF("m")
         val bc = big.where(col("tst") === 0)
@@ -2723,15 +2736,18 @@ object Curation {
     QueryDef(
       "q_domain_ppl",
       (s, d) => {
-        val w = Window.partitionBy("doc_id").orderBy("pos")
-        val toks = Tables.documents(s, d)
-          .select(col("doc_id"), col("source"),
-            expr("(doc_id div 20) % 2").as("half"),
-            posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-        val big = toks
-          .withColumn("nxt", lead("tok", 1).over(w))
-          .where(col("nxt").isNotNull)
-          .select(col("half"), col("source"), col("tok").as("w1"), col("nxt"))
+        // r15 optimization (guide §2.4): the q_lm_generalization rewrite
+        // — map-side adjacent pairs, split bound to a column, no cache
+        // (ReuseExchange dedupes tr's shared subtree in-action).
+        val big = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), split(col("text"), " ").as("l"))
+          .where(size(col("l")) >= 2)
+          .select(col("source"), expr("(doc_id div 20) % 2").as("half"),
+            explode(transform(sequence(lit(1), size(col("l")) - 1),
+              i => struct(element_at(col("l"), i).as("w1"),
+                element_at(col("l"), i + 1).as("nxt")))).as("b"))
+          .select(col("half"), col("source"), col("b.w1").as("w1"),
+            col("b.nxt").as("nxt"))
         val tr = big.where(col("half") === 0)
           .groupBy("w1", "nxt").agg(count(lit(1)).as("c"))
         val uni = tr.groupBy("w1").agg(sum("c").as("cu"))
@@ -2784,13 +2800,17 @@ object Curation {
     QueryDef(
       "q_jelinek_mercer",
       (s, d) => {
-        val w = Window.partitionBy("doc_id").orderBy("pos")
-        val toks = Tables.documents(s, d)
-          .select(col("doc_id"), expr("(doc_id div 20) % 2").as("half"),
-            posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-        val big = toks.withColumn("nxt", lead("tok", 1).over(w))
-          .where(col("nxt").isNotNull)
-          .select(col("half"), col("tok").as("w1"), col("nxt"))
+        // r15 optimization (guide §2.4): the q_lm_generalization rewrite
+        // — map-side adjacent pairs, split bound to a column, no cache
+        // (ReuseExchange dedupes tr's shared subtree in-action).
+        val big = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("l"))
+          .where(size(col("l")) >= 2)
+          .select(expr("(doc_id div 20) % 2").as("half"),
+            explode(transform(sequence(lit(1), size(col("l")) - 1),
+              i => struct(element_at(col("l"), i).as("w1"),
+                element_at(col("l"), i + 1).as("nxt")))).as("b"))
+          .select(col("half"), col("b.w1").as("w1"), col("b.nxt").as("nxt"))
         val tr = big.where(col("half") === 0)
           .groupBy("w1", "nxt").agg(count(lit(1)).as("c12"))
         val uni1 = tr.groupBy("w1").agg(sum("c12").as("c1"))

@@ -338,7 +338,14 @@ object Evaluation {
     QueryDef(
       "q_conformal",
       (s, d) => {
-        val o = Tables.orders(s, d)
+        // r15 optimization (guide §2.4 + the persist convention): the
+        // scored frame `o` is consumed by FOUR branches (train mean,
+        // calibration residuals, the calibration count, the held-out
+        // coverage pass) and each re-ran the orders⋈customer join plus
+        // the md5 fold hash. One narrow (k, g, y, fold) persist makes
+        // the join and hash run once; pinned so the harness release
+        // drains it.
+        val o = GlobalOrder.pinPersisted(Tables.orders(s, d)
           .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
             col("o_custkey") === col("c_custkey"))
           .select(col("o_orderkey").as("k"), col("c_nationkey").as("g"),
@@ -346,6 +353,7 @@ object Evaluation {
             (conv(substring(md5(concat(lit("cf:"),
               col("o_orderkey").cast("string"))), 1, 12), 16, 10)
               .cast("long") % 4).as("fold"))
+          .cache())
         val mu = o.where(col("fold") <= 1).groupBy("g")
           .agg(expr("sum(y) div count(1)").as("yhat"))
         val cal = o.join(broadcast(mu), "g").where(col("fold") === 2)

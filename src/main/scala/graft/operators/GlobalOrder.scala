@@ -208,6 +208,44 @@ object GlobalOrder {
       .drop("_go_val", "_go_pid", "_go_run", "_go_off")
   }
 
+  /** [[withRunningTotal]] AND [[withGlobalRowNumber]] under the SAME
+    * total order in ONE range shuffle — r15 optimization for callers
+    * that chained the two (each entry point re-range-shuffled, re-sorted
+    * and re-persisted the frame the other had just ordered; guide §2.4
+    * "two operations keyed the same way can share one exchange"). The
+    * per-partition offset table carries BOTH the count prefix (for the
+    * row number) and the value-sum prefix (for the running total); the
+    * pid-keyed local window and the broadcast offsets join are shared.
+    * Same total-order and cross-job-consistency contract as the single
+    * helpers; the one persisted projection is pinned once. */
+  def withRunningTotalAndRowNumber(df: DataFrame, order: Seq[Column],
+      value: Column, runOut: String, rnOut: String): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val mid = df.repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("_go_val", value.cast("long"))
+      .withColumn("_go_mid", monotonically_increasing_id())
+      .withColumn("_go_pid", shiftright(col("_go_mid"), LocalBits))
+      .withColumn("_go_loc", col("_go_mid").bitwiseAND(lit((1L << LocalBits) - 1)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pin(mid)
+    val prefixW = Window.orderBy("_go_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = mid.groupBy("_go_pid")
+      .agg(count(lit(1)).as("_go_cnt"), sum("_go_val").as("_go_psum"))
+      .withColumn("_go_coff", coalesce(sum("_go_cnt").over(prefixW), lit(0L)))
+      .withColumn("_go_soff", coalesce(sum("_go_psum").over(prefixW), lit(0L)))
+      .select("_go_pid", "_go_coff", "_go_soff")
+    val local = mid.withColumn("_go_run",
+      sum("_go_val").over(Window.partitionBy("_go_pid").orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    local.join(broadcast(offsets), "_go_pid")
+      .withColumn(runOut, (col("_go_soff") + col("_go_run")).cast("long"))
+      .withColumn(rnOut, (col("_go_coff") + col("_go_loc") + lit(1L)).cast("long"))
+      .drop("_go_val", "_go_mid", "_go_pid", "_go_loc", "_go_run",
+        "_go_coff", "_go_soff")
+  }
+
   /** [[withGlobalRowNumber]] + [[ntileFrom]]: a scale-safe global
     * `ntile(k)` under `order`. The total count rides in as a broadcast
     * one-row cross join, so the whole thing stays one declarative plan.

@@ -109,21 +109,41 @@ object ModelFit {
     QueryDef(
       "q_gbm_round",
       (s, d) => {
-        val e = Tables.events(s, d)
+        // r15 optimization (guide §2.3 "aggregate before you shuffle" +
+        // §1.1 first-principles pass count): every stage of the
+        // two-round boosting kernel is a function of the ≤ 24×31
+        // (hour, day) CELL HISTOGRAM (count, Σy, Σy²) — the leaf values
+        // because per-cell residual sums are linear in (Σy, n), and the
+        // MSEs because Σ(10⁶y − C)² = 10¹²Σy² − 2·10⁶·C·Σy + n·C² with
+        // C constant within a cell (exact integer identities, verified
+        // against the oracle at both SFs). The old form re-scanned the
+        // events fact 5× (global mean, stage-1 histogram, mse1, stage-2
+        // histogram, mse2); now ONE map-side-combined pass builds the
+        // bounded-domain histogram and everything downstream is
+        // arithmetic over ≤ 744 rows (the consumers share the identical
+        // subtree, so ReuseExchange runs the fact pass once in-action;
+        // a measured pinned-cache variant was SLOWER at bench scale —
+        // the materialization barrier costs more than it saves).
+        val cell = (Tables.events(s, d)
           .where(col("event_type") === "purchase" && col("value").isNotNull)
           .select(expr("CAST(round(value*100) AS BIGINT)").as("y"),
             expr("CAST(hour(ts) AS BIGINT)").as("x1"),
             expr("CAST(dayofmonth(ts) AS BIGINT)").as("x2"))
-        val t0 = e.agg(count(lit(1)).as("n"),
-          sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"))
+          .groupBy("x1", "x2")
+          .agg(count(lit(1)).as("nc"),
+            sum(expr("CAST(y AS DECIMAL(38,0))")).as("cy"),
+            sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("cyy")))
+        val t0 = cell.agg(sum("nc").as("n"), sum("cy").as("sy"))
         val f0 = t0.select(col("n"),
           expr("CAST(1000000 * sy div n AS BIGINT)").as("f0"))
-        val r1 = e.crossJoin(broadcast(f0))
-          .select(col("x1"), col("x2"),
-            expr("CAST(1000000 * y - f0 AS BIGINT)").as("r"))
-        def stump(rs: org.apache.spark.sql.DataFrame, x: String) = {
-          val h = rs.groupBy(x).agg(count(lit(1)).as("nb"),
-            sum(expr("CAST(r AS DECIMAL(38,0))")).as("sb"))
+        // per-cell residual sums for stage 1: Σr = 10⁶·Σy − n·f0
+        val cells1 = cell.crossJoin(broadcast(f0))
+          .select(col("x1"), col("x2"), col("nc"), col("cy"), col("cyy"),
+            col("f0").as("cc"))
+        def stump(cs: org.apache.spark.sql.DataFrame, x: String) = {
+          val h = cs.groupBy(x).agg(sum("nc").as("nb"),
+            sum(expr("CAST(1000000 AS DECIMAL(38,0)) * cy " +
+              "- CAST(nc AS DECIMAL(38,0)) * cc")).as("sb"))
           val w = Window.orderBy(x).rowsBetween(Window.unboundedPreceding, 0)
           val run = h.select(col(x), sum("nb").over(w).as("nl"),
             sum("sb").over(w).as("sl"))
@@ -139,25 +159,29 @@ object ModelFit {
               expr("CAST(sl div nl AS BIGINT)").as("gl"),
               expr("CAST(sr div nr AS BIGINT)").as("gr"))
         }
-        def mseOf(rs: org.apache.spark.sql.DataFrame) = rs.agg(
-          // divide by 10¹² BEFORE the row count: IntegralDivide returns
-          // LONG, and Σr²/n alone exceeds 2⁶³ (observed: silent wrap with
-          // ANSI off) — ÷10¹² first keeps every intermediate in range and
-          // floor(a/c/n) = floor(a/(c·n)) exactly for positive integers
-          expr("""CAST(sum(CAST(r AS DECIMAL(38,0)) * r) div 1000000000000
-                 |  div count(*) AS BIGINT)""".stripMargin).as("mse"))
-        val b1 = stump(r1, "x1").withColumnsRenamed(
+        // Σ(10⁶y − cc)² per cell, exact; ÷10¹² BEFORE the row count:
+        // IntegralDivide returns LONG, and Σr²/n alone exceeds 2⁶³ —
+        // floor(a/c/n) = floor(a/(c·n)) exactly for positive integers
+        def mseOf(cs: org.apache.spark.sql.DataFrame) = cs.agg(
+          expr("""CAST(sum(CAST(1000000000000 AS DECIMAL(38,0)) * cyy
+                 |  - CAST(2000000 AS DECIMAL(38,0)) * cc * cy
+                 |  + CAST(nc AS DECIMAL(38,0)) * cc * cc) div 1000000000000
+                 |  div sum(nc) AS BIGINT)""".stripMargin).as("mse"))
+        val b1 = stump(cells1, "x1").withColumnsRenamed(
           Map("thr" -> "thr1", "gl" -> "gl1", "gr" -> "gr1"))
-        val r2 = r1.crossJoin(broadcast(b1)).select(col("x2"),
-          expr("CAST(r - CASE WHEN x1 <= thr1 THEN gl1 ELSE gr1 END AS BIGINT)")
-            .as("r"))
-        val mse1 = mseOf(r2).withColumnRenamed("mse", "mse1")
-        val b2 = stump(r2, "x2").withColumnsRenamed(
+        // stage-2 per-cell constant: cc = f0 + stage-1 leaf of the cell
+        val cells2 = cells1.crossJoin(broadcast(b1))
+          .select(col("x1"), col("x2"), col("nc"), col("cy"), col("cyy"),
+            expr("CAST(cc + CASE WHEN x1 <= thr1 THEN gl1 ELSE gr1 END AS BIGINT)")
+              .as("cc"))
+        val mse1 = mseOf(cells2).withColumnRenamed("mse", "mse1")
+        val b2 = stump(cells2, "x2").withColumnsRenamed(
           Map("thr" -> "thr2", "gl" -> "gl2", "gr" -> "gr2"))
-        val r3 = r2.crossJoin(broadcast(b2)).select(
-          expr("CAST(r - CASE WHEN x2 <= thr2 THEN gl2 ELSE gr2 END AS BIGINT)")
-            .as("r"))
-        val mse2 = mseOf(r3).withColumnRenamed("mse", "mse2")
+        val cells3 = cells2.crossJoin(broadcast(b2))
+          .select(col("nc"), col("cy"), col("cyy"),
+            expr("CAST(cc + CASE WHEN x2 <= thr2 THEN gl2 ELSE gr2 END AS BIGINT)")
+              .as("cc"))
+        val mse2 = mseOf(cells3).withColumnRenamed("mse", "mse2")
         f0.crossJoin(broadcast(b1)).crossJoin(broadcast(mse1))
           .crossJoin(broadcast(b2)).crossJoin(broadcast(mse2))
           .select(col("n").cast("long").as("n_obs"),
