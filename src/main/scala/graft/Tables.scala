@@ -10,8 +10,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * loader as the single place a table name is spelled.
   */
 object Tables {
+  /** r15 optimization (guide §5 "the driver should do almost no data
+    * work" / §6 file-listing caches): every `spark.read.parquet` call
+    * re-lists the path and re-reads a parquet footer ON THE DRIVER
+    * before any job runs. A 539-query bench session calls these loaders
+    * thousands of times against ten immutable fixture paths, so the
+    * unevaluated DataFrame (the PLAN — never any result data) is
+    * memoized per (session, dir, table). Every action still scans the
+    * parquet from disk; only the driver-side listing + footer read is
+    * deduplicated. Keyed by session so a fresh session re-lists (the
+    * fixtures are immutable within a session by the harness contract —
+    * ScaleProbe writes its scaled tables BEFORE first reading them). */
+  private val memo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    memo.computeIfAbsent((spark, dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
 
   /** `events.ts` has shipped in two physical types across fixture
     * generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized
@@ -21,7 +36,11 @@ object Tables {
     * either generation normalizes to the same `timestamp_ntz` column
     * the oracle side sees via `CAST(ts AS TIMESTAMP)`.
     */
-  private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+  private def loadEvents(spark: SparkSession, dir: String): DataFrame =
+    memo.computeIfAbsent((spark, dir, "events#normalized"),
+      _ => loadEventsUncached(spark, dir))
+
+  private def loadEventsUncached(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     import org.apache.spark.sql.functions._
