@@ -698,11 +698,19 @@ object Similarity {
     * beside the fixed-shape [[knnGraph]] oracles. Candidates come from a
     * multi-probe SRP-LSH self-join — for each of [[KnnBands]] bands with
     * [[adaptiveBits]]-sized signatures, two vectors are candidates iff
-    * their band signatures agree or differ in exactly ONE bit. The probe
-    * relation stays SKINNY (vec_id, band, probe, key): masking bit j from
-    * the signature makes Hamming-≤1 pairs collide on key at probe j, so
-    * the whole expansion is an equi-join — no distance predicate, no
-    * cross join — and one (band, probe, key) exchange feeds both sides.
+    * their band signatures agree or differ in exactly ONE bit.
+    *
+    * r16 optimization (guide §3 / §2.4, verdict item 1): the Hamming-≤1
+    * expansion is ONE-SIDED. The probe side carries the signature AS-IS
+    * plus each of its `bits` single-bit FLIPS ((bits+1)× rows); the
+    * build side stays 1× (the plain signature as the key). sig_b ∈
+    * {sig_a} ∪ {sig_a ⊕ 2ʲ} ⟺ hamming(a,b) ≤ 1, so the candidate set is
+    * IDENTICAL to the old two-sided bit-masking form — but the join
+    * moves n·bands·(bits+2) rows instead of 2·n·bands·bits (−45% at the
+    * sf0.1 bits=15), the shrunken build side unlocks a sort-free
+    * shuffled-hash join (see below), and a Hamming-0 pair now collides
+    * ONCE per band instead of `bits` times, shrinking the pair-dedup
+    * input ~15×.
     * Work per probe row is bounded by the occupancy law, so the build is
     * O(bands·bits·n) ≈ O(n log n) end to end; everything (hyperplanes,
     * tie-breaks) is hash-derived and deterministic. */
@@ -711,20 +719,22 @@ object Similarity {
     val sigs = emb.select(col("vec_id"),
         posexplode(ArrayMath.hyperplaneSigs(col("embedding"), bands, bits)))
       .toDF("vec_id", "band", "sig")
-    val probes = sigs.select(col("vec_id"), col("band"),
-        explode(array((0 until bits).map(j =>
-          struct(lit(j).as("probe"),
-            col("sig").bitwiseAND(lit(~(1L << j))).as("key"))): _*)).as("p"))
-      .select(col("vec_id"), col("band"), col("p.probe"), col("p.key"))
-      .repartition(col("band"), col("probe"), col("key"))
-    // sort-merge, NOT shuffle_hash: the probe relation is bits× wider
-    // than a plain band explode (n·bands·bits rows), and SHJ's unsafe
-    // hash map cannot spill — at the 100× corpus (140M probe rows) it
-    // OOMs, while SMJ sorts with graceful disk spill. Both sides still
-    // ride the single (band, probe, key) exchange above.
-    val cand = probes.select(col("vec_id").as("id1"), col("band"), col("probe"), col("key"))
-      .join(probes.select(col("vec_id").as("id2"), col("band"), col("probe"), col("key"))
-        .hint("merge"), Seq("band", "probe", "key"))
+    val probes = sigs.select(col("vec_id").as("id1"), col("band"),
+        explode(array(col("sig") +: (0 until bits).map(j =>
+          col("sig").bitwiseXOR(lit(1L << j))): _*)).as("key"))
+    val keys = sigs.select(col("vec_id").as("id2"), col("band"),
+      col("sig").as("key"))
+    // shuffle-hash with the PLAIN-signature side as build: one-sided
+    // expansion makes the build side (bits+1)× smaller than the probe
+    // side, so neither relation sorts at all. The r15 "SMJ, not SHJ"
+    // rule was for the TWO-SIDED form, where the build side was the full
+    // bits×-expanded probe relation (140M rows at 100× — OOM); the 1×
+    // keys side is n·bands rows whose per-partition hash table scales
+    // DOWN as shuffle partitions scale with the corpus. Measured r16,
+    // 100× (200k vectors, bits=22): SMJ one-sided 40.98 s min-of-2 /
+    // 62.12 cold vs SHJ-on-keys 21.22 / 34.61 — another −48%.
+    val cand = probes
+      .join(keys.hint("shuffle_hash"), Seq("band", "key"))
       .where(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
     val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("ed"))
@@ -733,8 +743,15 @@ object Similarity {
       .join(e.select(col("vec_id").as("id2"), col("ed").as("e2")), "id2")
       .withColumn("sim", round(dot(col("e1"), col("e2")), 4))
       .select("id1", "id2", "sim")
-    val edges = scored.unionByName(
-      scored.select(col("id2").as("id1"), col("id1").as("id2"), col("sim")))
+    // both edge directions map-side (explode of the two orientations)
+    // instead of unionByName(swap): the union form re-planned the WHOLE
+    // candidate+scoring subtree per branch — ReuseExchange dedupes the
+    // exchanges but the final pair-dedup aggregate, both embedding joins
+    // and the dot-product scoring executed TWICE (r16 plan audit).
+    val edges = scored.select(explode(array(
+        struct(col("id1").as("s"), col("id2").as("d"), col("sim")),
+        struct(col("id2").as("s"), col("id1").as("d"), col("sim")))).as("e"))
+      .select(col("e.s").as("id1"), col("e.d").as("id2"), col("e.sim").as("sim"))
     val w = Window.partitionBy("id1").orderBy(col("sim").desc, col("id2").asc)
     edges.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
