@@ -140,50 +140,73 @@ object ModelFit {
         val cells1 = cell.crossJoin(broadcast(f0))
           .select(col("x1"), col("x2"), col("nc"), col("cy"), col("cyy"),
             col("f0").as("cc"))
-        def stump(cs: org.apache.spark.sql.DataFrame, x: String) = {
-          val h = cs.groupBy(x).agg(sum("nc").as("nb"),
+        // r16 job-count fold (guide §5 driver section, verdict item 3):
+        // the old chain ran 22 one-task jobs — per stump a separate
+        // `tt` totals broadcast, and per stage a separate cells-level
+        // MSE aggregate over a rebuilt residual frame (cells2 / cells3).
+        // Three folds remove them without changing a single output
+        // integer:
+        //  - per-feature histogram `hist` also carries qb = Σ(10⁶y−cc)²
+        //    per bucket (the same exact per-cell integers the old mseOf
+        //    summed, grouped by the feature instead of per cell);
+        //  - stump totals ride the SAME single-partition window as the
+        //    running sums (an unbounded-following frame, one WindowExec,
+        //    ≤31 rows) instead of a broadcast `tt` job;
+        //  - each stage's MSE comes from the stump histogram and the
+        //    chosen split via the exact identity
+        //    Σ(r−g)² = Σr² − 2·g·Σr + n·g² per bucket (g constant within
+        //    a bucket), so `cells3` and both cells-level aggregates
+        //    disappear. All terms stay DECIMAL(38,0): identical sums of
+        //    identical integers, order-free.
+        def hist(cs: org.apache.spark.sql.DataFrame, x: String) =
+          cs.groupBy(x).agg(sum("nc").as("nb"),
             sum(expr("CAST(1000000 AS DECIMAL(38,0)) * cy " +
-              "- CAST(nc AS DECIMAL(38,0)) * cc")).as("sb"))
+              "- CAST(nc AS DECIMAL(38,0)) * cc")).as("sb"),
+            sum(expr("""CAST(1000000000000 AS DECIMAL(38,0)) * cyy
+                       |  - CAST(2000000 AS DECIMAL(38,0)) * cc * cy
+                       |  + CAST(nc AS DECIMAL(38,0)) * cc * cc""".stripMargin))
+              .as("qb"))
+        // The stump's winner row carries its OWN stage MSE: at the chosen
+        // threshold, Σ(r−g)² over all buckets =
+        //   Σqb − 2·(gl·sl + gr·sr) + nl·gl² + nr·gr²
+        // (g is constant within each side, sl/sr are the winner row's
+        // running/remainder sums) — the same exact integers the old
+        // cells-level mseOf summed, so no separate MSE aggregate, no
+        // rebuilt residual frame, no extra broadcast. ÷10¹² BEFORE the
+        // row count (IntegralDivide returns LONG, and Σr²/n alone
+        // exceeds 2⁶³ — floor(a/c/n) = floor(a/(c·n)) for a ≥ 0).
+        def stump(h: org.apache.spark.sql.DataFrame, x: String, i: Int) = {
           val w = Window.orderBy(x).rowsBetween(Window.unboundedPreceding, 0)
-          val run = h.select(col(x), sum("nb").over(w).as("nl"),
-            sum("sb").over(w).as("sl"))
-          val tt = h.agg(sum("nb").as("n"), sum("sb").as("st"))
-          run.crossJoin(broadcast(tt))
+          val wAll = Window.orderBy(x)
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+          h.select(col(x), sum("nb").over(w).as("nl"), sum("sb").over(w).as("sl"),
+              sum("nb").over(wAll).as("n"), sum("sb").over(wAll).as("st"),
+              sum("qb").over(wAll).as("qt"))
             .where(col("nl") > 0 && col("nl") < col("n"))
-            .select(col(x), col("nl"), col("sl"),
+            .select(col(x), col("nl"), col("sl"), col("n"), col("qt"),
               (col("n") - col("nl")).as("nr"), (col("st") - col("sl")).as("sr"),
               expr("pow(CAST(sl AS DOUBLE), 2) / nl + pow(CAST(st - sl AS DOUBLE), 2) / (n - nl)")
                 .as("score"))
             .orderBy(col("score").desc, col(x)).limit(1)
-            .select(col(x).as("thr"),
-              expr("CAST(sl div nl AS BIGINT)").as("gl"),
-              expr("CAST(sr div nr AS BIGINT)").as("gr"))
+            .select(col(x).as(s"thr$i"),
+              expr("CAST(sl div nl AS BIGINT)").as(s"gl$i"),
+              expr("CAST(sr div nr AS BIGINT)").as(s"gr$i"),
+              expr("""CAST((qt
+                     |  - CAST(2 AS DECIMAL(38,0))
+                     |    * ((sl div nl) * sl + (sr div nr) * sr)
+                     |  + CAST(nl AS DECIMAL(38,0)) * (sl div nl) * (sl div nl)
+                     |  + CAST(nr AS DECIMAL(38,0)) * (sr div nr) * (sr div nr))
+                     |  div 1000000000000 div n AS BIGINT)""".stripMargin)
+                .as(s"mse$i"))
         }
-        // Σ(10⁶y − cc)² per cell, exact; ÷10¹² BEFORE the row count:
-        // IntegralDivide returns LONG, and Σr²/n alone exceeds 2⁶³ —
-        // floor(a/c/n) = floor(a/(c·n)) exactly for positive integers
-        def mseOf(cs: org.apache.spark.sql.DataFrame) = cs.agg(
-          expr("""CAST(sum(CAST(1000000000000 AS DECIMAL(38,0)) * cyy
-                 |  - CAST(2000000 AS DECIMAL(38,0)) * cc * cy
-                 |  + CAST(nc AS DECIMAL(38,0)) * cc * cc) div 1000000000000
-                 |  div sum(nc) AS BIGINT)""".stripMargin).as("mse"))
-        val b1 = stump(cells1, "x1").withColumnsRenamed(
-          Map("thr" -> "thr1", "gl" -> "gl1", "gr" -> "gr1"))
+        val b1 = stump(hist(cells1, "x1"), "x1", 1)
         // stage-2 per-cell constant: cc = f0 + stage-1 leaf of the cell
         val cells2 = cells1.crossJoin(broadcast(b1))
           .select(col("x1"), col("x2"), col("nc"), col("cy"), col("cyy"),
             expr("CAST(cc + CASE WHEN x1 <= thr1 THEN gl1 ELSE gr1 END AS BIGINT)")
               .as("cc"))
-        val mse1 = mseOf(cells2).withColumnRenamed("mse", "mse1")
-        val b2 = stump(cells2, "x2").withColumnsRenamed(
-          Map("thr" -> "thr2", "gl" -> "gl2", "gr" -> "gr2"))
-        val cells3 = cells2.crossJoin(broadcast(b2))
-          .select(col("nc"), col("cy"), col("cyy"),
-            expr("CAST(cc + CASE WHEN x2 <= thr2 THEN gl2 ELSE gr2 END AS BIGINT)")
-              .as("cc"))
-        val mse2 = mseOf(cells3).withColumnRenamed("mse", "mse2")
-        f0.crossJoin(broadcast(b1)).crossJoin(broadcast(mse1))
-          .crossJoin(broadcast(b2)).crossJoin(broadcast(mse2))
+        val b2 = stump(hist(cells2, "x2"), "x2", 2)
+        f0.crossJoin(broadcast(b1)).crossJoin(broadcast(b2))
           .select(col("n").cast("long").as("n_obs"),
             col("f0").as("f0_micro"),
             col("thr1").cast("long").as("hour_threshold"),
