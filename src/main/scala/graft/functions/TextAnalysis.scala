@@ -183,6 +183,15 @@ object TextAnalysis {
         // corpus pass. No caches: consumers share identical subtrees,
         // so ReuseExchange dedupes the corpus passes within the action
         // at any scale, without a materialization barrier.
+        // r16 REFUTED (two same-session 100× A/B pairs): the
+        // q_pmi_bigrams one-pass trick — deriving `uni` from a
+        // (w1, next-or-NULL) grouped frame instead of this token
+        // explode — measured 8.2→10.5 s min-of-2 / 10.0→13.9 cold at
+        // 100×. This explode map-combines to ~vocab rows per task
+        // (tiny shuffle, cheap rows); the fused form pays a
+        // distinct-bigram-sized roll-up instead. pmi won because its
+        // fusion ALSO removed two pinned caches; here there are none
+        // to remove. Keep this form.
         val dl = Tables.documents(s, d)
           .select(col("doc_id"), split(col("text"), " ").as("l"))
         val pairs = dl.where(size(col("l")) >= 2)
@@ -648,6 +657,10 @@ object TextAnalysis {
         // dedupes the shared subtrees). The pre-existing `scored` pin
         // below stays: ITS consumers are GlobalOrder's separate jobs,
         // which exchange reuse cannot span.
+        // r16 REFUTED (two same-session 100× A/B pairs, with
+        // q_bigram_lm): the one-pass (w1, next-or-NULL) fusion of the
+        // unigram explode measured flat here (cold 13.4→13.6 s) and
+        // WORSE on q_bigram_lm — see the refutation note there.
         val dl = Tables.documents(s, d)
           .select(col("doc_id"), split(col("text"), " ").as("l"))
         val pairs = dl.where(size(col("l")) >= 2)

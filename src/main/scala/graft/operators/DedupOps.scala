@@ -689,14 +689,25 @@ object DedupOps extends org.apache.spark.internal.Logging {
       "q_dup_spans",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // r16 (guide §2.3/§2.4): fp is unhex(md5) — the 16-byte BINARY
+        // digest instead of the 32-char hex string (bijective, so
+        // grouping/joining is collision-identical and every output row
+        // is unchanged; the fingerprint never leaves the plan) — and
+        // ONE fp-keyed exchange feeds both the cross-doc aggregate and
+        // the join back (the q_fuzzy_join convention; shuffle_hash
+        // keeps AQE from broadcasting the grouped side, which would
+        // rebuild the subtree instead of riding the shared exchange).
+        // Measured 100× noop: 13.7 → 9.4 s run-2.
         val grams = Tables.documents(s, d)
           .select(col("doc_id"),
             posexplode(wordNGrams(col("text"), 8)).as(Seq("p", "g")))
-          .select(col("doc_id"), col("p"), md5(col("g")).as("fp"))
+          .select(col("doc_id"), col("p"), unhex(md5(col("g"))).as("fp"))
+          .repartition(col("fp"))
         val crossDoc = grams.groupBy("fp")
           .agg(countDistinct("doc_id").as("nd"))
           .where(col("nd") > 1).select("fp")
-        val dupPos = grams.join(crossDoc, "fp").select("doc_id", "p")
+        val dupPos = grams.join(crossDoc.hint("shuffle_hash"), "fp")
+          .select("doc_id", "p")
         val byDoc = Window.partitionBy("doc_id").orderBy("p")
         val spans = dupPos
           .withColumn("brk",
@@ -770,14 +781,19 @@ object DedupOps extends org.apache.spark.internal.Logging {
       "q_contamination_spans",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // r16: unhex(md5) binary fingerprint + one shared fp-keyed
+        // exchange for the test-side distinct and the train-side semi
+        // join — see the q_dup_spans note (same rewrite, same proof of
+        // output identity).
         val grams = Tables.documents(s, d)
           .select(col("doc_id"),
             posexplode(wordNGrams(col("text"), 8)).as(Seq("p", "g")))
-          .select(col("doc_id"), col("p"), md5(col("g")).as("fp"))
+          .select(col("doc_id"), col("p"), unhex(md5(col("g"))).as("fp"))
+          .repartition(col("fp"))
         val testSet = grams.where(col("doc_id") % 2 === 1)
           .select("fp").distinct()
         val dirty = grams.where(col("doc_id") % 2 === 0)
-          .join(testSet, Seq("fp"), "left_semi")
+          .join(testSet.hint("shuffle_hash"), Seq("fp"), "left_semi")
           .select("doc_id", "p")
         val byDoc = Window.partitionBy("doc_id").orderBy("p")
         val spans = dirty
@@ -858,45 +874,59 @@ object DedupOps extends org.apache.spark.internal.Logging {
       "q_dup_span_cut",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val toks = docs.select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("t", "tok")))
-        val lens = docs.select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        // r16 reassembly rewrite (guide §2.3 "shuffle keys and metadata
+        // instead of payloads", verdict item 4): the old form exploded
+        // EVERY token, left-joined it against the covered-position map
+        // and rebuilt each doc with a collect_list + array_sort — two
+        // corpus-sized shuffles of token STRINGS plus a per-doc sort.
+        // Only the REMOVED positions (doc_id, t — no strings) shuffle
+        // now; the cleaned text reassembles MAP-SIDE from the bound
+        // split array via array_except over the position sequence
+        // (order-preserving on the left operand, hash-set lookup on the
+        // removed set — linear per doc). 100× cold 17.6 → 9.2 s.
+        val dl = docs.select(col("doc_id"), split(col("text"), " ").as("l"))
+          .select(col("doc_id"), col("l"),
+            size(col("l")).cast("long").as("n_tokens"))
+        val lens = dl.select("doc_id", "n_tokens")
+        // unhex(md5) binary fingerprint + one shared fp-keyed exchange
+        // for the owner aggregate and the join back — see the
+        // q_dup_spans note (same rewrite, same proof of output identity)
         val grams = docs
           .select(col("doc_id"),
             posexplode(wordNGrams(col("text"), 8)).as(Seq("p", "g")))
-          .select(col("doc_id"), col("p"), md5(col("g")).as("fp"))
+          .select(col("doc_id"), col("p"), unhex(md5(col("g"))).as("fp"))
+          .repartition(col("fp"))
         val owners = grams.groupBy("fp")
           .agg(countDistinct("doc_id").as("nd"), min("doc_id").as("owner"))
           .where(col("nd") > 1).select("fp", "owner")
         // covered positions of each duplicated window, clamped to the
         // doc length (the <8-token truncated-window contract)
-        val cover = grams.join(owners, "fp")
+        val cover = grams.join(owners.hint("shuffle_hash"), "fp")
           .join(lens, "doc_id")
           .select(col("doc_id"),
             (col("doc_id") === col("owner")).cast("int").as("own"),
             explode(sequence(col("p").cast("long"),
               least(col("p") + 7L, col("n_tokens") - 1L))).as("t"))
           .groupBy("doc_id", "t").agg(max("own").as("any_owned"))
-        val kept = toks.join(cover, Seq("doc_id", "t"), "left")
-          .withColumn("keep",
-            col("any_owned").isNull || col("any_owned") === 1)
-        kept.groupBy("doc_id")
-          .agg(
-            sum(when(col("keep"), 1L).otherwise(0L)).as("kept_tokens"),
-            sum(when(col("keep"), 0L).otherwise(1L)).as("removed_tokens"),
-            array_join(
-              transform(
-                array_sort(collect_list(
-                  when(col("keep"), struct(col("t"), col("tok"))))),
-                x => x.getField("tok")),
-              " ").as("cleaned"))
-          .join(lens, "doc_id")
+        val rm = cover.where(col("any_owned") === 0)
+          .groupBy("doc_id")
+          .agg(collect_list("t").as("rm"),
+            count(lit(1)).cast("long").as("removed"))
+        dl.join(rm, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            (col("n_tokens") - coalesce(col("removed"), lit(0L)))
+              .as("kept_tokens"),
+            coalesce(col("removed"), lit(0L)).as("removed_tokens"),
+            coalesce(col("rm"), array().cast("array<bigint>")).as("rm"),
+            col("l"))
           .select(col("doc_id"), col("n_tokens"), col("kept_tokens"),
             col("removed_tokens"),
             expr("(removed_tokens * CAST(1000000 AS BIGINT)) div n_tokens")
               .as("removed_frac_micro"),
-            col("cleaned"))
+            array_join(transform(
+              array_except(sequence(lit(0L), col("n_tokens") - 1L), col("rm")),
+              t => element_at(col("l"), (t + 1L).cast("int"))), " ")
+              .as("cleaned"))
           .orderBy("doc_id")
       },
       Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
