@@ -183,7 +183,8 @@ object Bench {
       s""""probe_errors":${calibErrs.mkString("[", ",", "]")}}"""
 
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_normalized":$totalNormJson,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,""" +
+      s""""total_normalized":$totalNormJson,""" +
       s""""total_normalized_median":$totalNormJson,"total_normalized_min":$totalNormMinJson,""" +
       s""""queries":$qs,"sf":${jsonStr(sfDir)},""" +
       s""""ok_count":${ok.size},"error_count":${results.size - ok.size},""" +
@@ -192,12 +193,19 @@ object Bench {
     // capture-proof record: the driver's stdout capture has truncated the
     // full line three rounds running, so ALSO write it to a repo file that
     // gets committed at round close — BENCH_r* analysis can then always
-    // read a complete per-query map regardless of capture behavior
+    // read a complete per-query map regardless of capture behavior.
+    // r16 (verdict item 6): a cpus-stamped copy is ALWAYS written beside
+    // the default/overridden path, so the driver's low-core scaling sweep
+    // can never shadow the headline run in the committed artifact — each
+    // run config keeps its own file, and the JSON itself carries "cpus".
     try {
-      val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json"))
-      java.nio.file.Files.write(out,
-        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val payload = (fullLine + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      java.nio.file.Files.write(java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")),
+        payload)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"bench_latest_c$cpus.json"), payload)
     } catch { case _: Throwable => () } // never let the file write kill the bench
     // compact tail-survivor: everything a grader needs if the full line
     // is truncated again (worst-5 = the slowest five, where any perf
@@ -205,7 +213,7 @@ object Bench {
     val worst5 = ok.sortBy(-_._2).take(5)
       .map { case (k, v) => jsonStr(k) + ":" + v }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total_compact","value":$total,"unit":"sec",""" +
+      s"""{"metric":"total_compact","value":$total,"unit":"sec","cpus":$cpus,""" +
       s""""total_normalized":$totalNormJson,"total_normalized_min":$totalNormMinJson,""" +
       s""""sf":${jsonStr(sfDir)},""" +
       s""""ok_count":${ok.size},"error_count":${results.size - ok.size},""" +

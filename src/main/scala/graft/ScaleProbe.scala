@@ -284,19 +284,20 @@ object ScaleProbe {
       .filter(SparkEntry.queries.contains)
       .filter(q => subset.isEmpty || subset(q))
 
-    // returns (cold = run 1, min-of-2, rows): the min is the recorded
-    // growth basis every probe row in BENCH.md has ever used (run 2
-    // deliberately replays run 1's pinned caches — the warm-iteration
-    // semantics), and the cold column is reported BESIDE it because
-    // with query-level persists (round 13+) run 2 largely measures the
-    // warm-cache replay; a reader comparing against pre-r13 rows (which
-    // had no query-level persists) needs the cold figure for an
-    // apples-to-apples read
+    // returns (cold = run 1, min-of-2, rows). r16 (verdict item 5):
+    // pins are RELEASED between the two runs — run 2 recomputes from
+    // the parquet inputs for every query, matching Bench.timeOnce's
+    // contract, so the warm column means one thing for all queries.
+    // (Pre-r16 probe rows let run 2 replay run 1's pinned caches, so
+    // their warm/min columns for self-pinning queries measured a cache
+    // read — compare those rows on the COLD column only.)
     def timeMin2(name: String, dir: String): (Double, Double, Long) = {
       def once(): (Double, Long) = {
         val t0 = System.nanoTime()
-        val n = SparkEntry.queries(name)(spark, dir).count()
-        ((System.nanoTime() - t0) / 1e9, n)
+        try {
+          val n = SparkEntry.queries(name)(spark, dir).count()
+          ((System.nanoTime() - t0) / 1e9, n)
+        } finally graft.operators.GlobalOrder.release(blocking = true)
       }
       val a = once(); val b = once()
       (a._1, math.min(a._1, b._1), b._2)
@@ -341,12 +342,10 @@ object ScaleProbe {
           println(s"| $q | ERROR ${t.getClass.getSimpleName}: " +
             s"${Option(t.getMessage).getOrElse("").take(120)} |")
       } finally
-        // release pinned projections BETWEEN queries (not between the
-        // two runs of one query — run 2 deliberately reuses run 1's
-        // pins, the measurement semantics every recorded probe row
-        // used): without this a long probe list accumulates
-        // MEMORY_AND_DISK blocks the JVM never reclaims and the sweep
-        // eventually OOMs at 100× regardless of heap size
+        // belt-and-braces release between queries (timeMin2 already
+        // releases after every run): without draining, a long probe
+        // list accumulates MEMORY_AND_DISK blocks the JVM never
+        // reclaims and the sweep eventually OOMs at 100×
         graft.operators.GlobalOrder.release(blocking = true)
     }
     spark.stop()
