@@ -24,9 +24,24 @@ object Tables {
   private val memo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String), DataFrame]()
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Growth bound (r15 advice item 1): a JVM that churns sessions
+    * (spec suites) keeps inserting fresh keys whose values pin stopped
+    * sessions' plans. 10 tables × a session is tiny, but unbounded is
+    * unbounded: past this many entries the whole map drops —
+    * re-listing a fixture dir costs milliseconds, leaking plans for
+    * the JVM lifetime costs memory. */
+  private val MaxEntries = 1024
+
+  /** Drop every memoized plan — call after regenerating a fixture dir
+    * in-place within one session (no harness path does; ScaleProbe
+    * writes scaled tables before first reading them). */
+  def clear(): Unit = memo.clear()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (memo.size > MaxEntries) memo.clear()
     memo.computeIfAbsent((spark, dir, name),
       _ => spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   /** `events.ts` has shipped in two physical types across fixture
     * generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized

@@ -2546,6 +2546,11 @@ object Similarity {
         // corpus-sized dims self-join on vec_id; the three consuming
         // branches (off-diagonal pass + both broadcast diag dims) share
         // the subtree, so ReuseExchange dedupes the corpus pass.
+        // EQUIVALENCE ASSUMPTION (r15 advice item 2): the per-row
+        // moment build equals the oracle's vec_id self-join only while
+        // vec_id is UNIQUE per embeddings row — FixtureDriftSpec pins
+        // that uniqueness, so a fixture regeneration that breaks it
+        // trips a test instead of a silent hash mismatch here.
         val qarr = Tables.embeddings(s, d)
           .select(transform(col("embedding"),
             x => round(x.cast("double") * 1e3).cast("long")).as("xs"))

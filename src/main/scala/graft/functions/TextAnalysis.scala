@@ -192,6 +192,11 @@ object TextAnalysis {
         // distinct-bigram-sized roll-up instead. pmi won because its
         // fusion ALSO removed two pinned caches; here there are none
         // to remove. Keep this form.
+        // r16 ALSO REFUTED (same-session 100× noop A/B): pre-grouping
+        // the scoring side per (doc_id, w1, w2) before the model join
+        // (verdict item 8) measured 11.2 → 23.0 s — per-doc bigrams are
+        // mostly unique, so the pre-agg compacts nothing and adds a
+        // full corpus-sized exchange before the join's own.
         val dl = Tables.documents(s, d)
           .select(col("doc_id"), split(col("text"), " ").as("l"))
         val pairs = dl.where(size(col("l")) >= 2)

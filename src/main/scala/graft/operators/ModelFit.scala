@@ -133,7 +133,12 @@ object ModelFit {
           .agg(count(lit(1)).as("nc"),
             sum(expr("CAST(y AS DECIMAL(38,0))")).as("cy"),
             sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("cyy")))
-        val t0 = cell.agg(sum("nc").as("n"), sum("cy").as("sy"))
+        // coalesce(…, 0): on a degenerate zero-purchase input sum(nc)
+        // is NULL where the pre-r15 count(lit(1)) form returned 0 —
+        // keep n_obs = 0 for that case (r15 advice item 3; the fixture
+        // path is unaffected, sums of a non-empty histogram)
+        val t0 = cell.agg(coalesce(sum("nc"), lit(0L)).as("n"),
+          sum("cy").as("sy"))
         val f0 = t0.select(col("n"),
           expr("CAST(1000000 * sy div n AS BIGINT)").as("f0"))
         // per-cell residual sums for stage 1: Σr = 10⁶·Σy − n·f0

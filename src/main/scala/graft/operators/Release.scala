@@ -1115,7 +1115,10 @@ object Release {
         val (nbs0, st) = copurchaseDirected(s, d)
         // six power rounds join on u: cache the edge frame partitioned
         // by u once ([[partitionedEdgeCache]] — rationale + cut policy
-        // documented there). q_ppr's fm fixed-point factor is NOT used
+        // documented there). r16 re-profile under the releasing
+        // ScaleProbe (verdict item 7): cached 68.8 s min-of-2 at 100×
+        // vs 100.8 s uncached — the cache stands; see the q_ppr note
+        // for the full four-arm reading. q_ppr's fm fixed-point factor is NOT used
         // here on purpose: wpr's rank scale is 1e6 PER NODE (total mass
         // n·1e6, unbounded in n), so r·fm at 2³⁰ precision overflows a
         // long once a hub concentrates ≥ ~8.6e9 micro of mass — ppr can
@@ -1482,6 +1485,14 @@ object Release {
         // side, with or without cuts) was MEASURED WORSE on both axes in
         // round 14 — sf0.1 4.6 vs 20–35 s, 100× 52 vs 44–70 s with the
         // no-cut form the worst — see BENCH.md round 14; don't re-try it.
+        // r16 re-profile under the releasing ScaleProbe (verdict item
+        // 7): cache+cuts 70.3 s min-of-2 at 100× vs 107.9 s with both
+        // caches dropped — the cached arm stands (+35%); at 1× the
+        // no-cache arm IS faster (4.9 vs 8.4 s — the build outweighs 8
+        // reuses on KB-scale edges), which is precisely the local-only
+        // win the scale rules reject. The q_hits dual-layout rule does
+        // not apply: every round joins on the SAME key (src), so there
+        // is no alternating layout to cache twice.
         for (k <- 1 to 8) {
           val contribs = p.join(e, col("id") === col("src"))
             .groupBy("dst")

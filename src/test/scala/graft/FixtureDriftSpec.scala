@@ -37,6 +37,17 @@ class FixtureDriftSpec extends SparkSpec {
     }
   }
 
+  test("embeddings vec_id is unique") {
+    // q_dim_corr's map-side moment build equals its oracle's vec_id
+    // self-join ONLY while vec_id is unique per row (r15 advice item 2)
+    // — duplicate ids would make the two silently diverge instead of
+    // failing loudly, so pin the precondition itself
+    val e = Tables.embeddings(spark, sf)
+    assert(e.count() == e.select("vec_id").distinct().count(),
+      "duplicate vec_id rows in the embeddings fixture — q_dim_corr's " +
+        "per-row moment build no longer matches its self-join oracle")
+  }
+
   test("raw embeddings fixture has no cosine >= 0.95 pair") {
     // q_modal_dedup_agreement's hash-equality against an exact all-pairs
     // oracle holds only because injected exact copies are the SOLE sim ≥
